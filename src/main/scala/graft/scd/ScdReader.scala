@@ -1,0 +1,106 @@
+package graft.scd
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.charset.StandardCharsets
+
+/** Type-7 SCD table reader (SURVEY.md §7.1 module 4).
+  *
+  * A table is a directory of immutable data files plus an optional
+  * `.updates` DML sidecar in the same directory (reference:
+  * SQLUpdater.java:107-119 — `new Path(dir.getParent, ".updates")`).
+  * Reading resolves the as-of time, loads + time-gates the log on the
+  * DRIVER (the sidecar is tiny), compiles it to narrow Catalyst
+  * expressions, and returns the as-of view. No sidecar / no retained
+  * statements → the raw DataFrame unchanged (O14 passthrough).
+  *
+  * `scd.time` resolution order (reference README.md:172-217):
+  * explicit `asOf` argument > Spark conf `spark.scd.time` > now.
+  * `-1` disables replay entirely.
+  *
+  * Spark conveniently ignores dot-prefixed files during file listing,
+  * so the `.updates` sidecar never pollutes the data scan.
+  */
+object ScdReader {
+
+  val ConfKey = "spark.scd.time"
+  val SidecarName = ".updates"
+
+  /** Read the as-of view of an SCD table directory.
+    *
+    * @param format  any DataSource format ("parquet", "avro", "json", …)
+    * @param schema  optional explicit reader schema
+    * @param options extra reader options (e.g. "avroSchema" -> json for
+    *                Avro reader-schema default resolution, SURVEY §1.3)
+    * @param asOf    optional scd.time (epoch millis, ISO date[time], or
+    *                "-1"); absent → conf `spark.scd.time` → now
+    */
+  def read(
+      spark: SparkSession,
+      dir: String,
+      format: String = "parquet",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty,
+      asOf: Option[String] = None): DataFrame = {
+    val base0 = spark.read.format(format).options(options)
+    val base = schema.fold(base0)(base0.schema).load(dir)
+    applyLogFile(spark, base, dir, asOf)
+  }
+
+  /** Apply a directory's `.updates` sidecar (if any) to an
+    * already-loaded DataFrame. */
+  def applyLogFile(
+      spark: SparkSession,
+      base: DataFrame,
+      dir: String,
+      asOf: Option[String]): DataFrame =
+    readSidecar(spark, dir) match {
+      case None => base
+      case Some(text) => applyLogText(spark, base, text, asOf)
+    }
+
+  /** Apply a `.updates` log given as text — the core entry point; used
+    * directly when the log lives outside the data directory (e.g. a CDC
+    * feed, or tests over read-only data dirs). */
+  def applyLogText(
+      spark: SparkSession,
+      base: DataFrame,
+      logText: String,
+      asOf: Option[String] = None): DataFrame = {
+    val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    val log = UpdatesParser.parse(logText, scdTime)
+    ScdCompiler(base, log)
+  }
+
+  /** Driver-side sidecar probe + read (tiny file; O2). */
+  def readSidecar(spark: SparkSession, dir: String): Option[String] = {
+    val p = new Path(dir, SidecarName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
+  /** Compaction (reference README.md:239-244 recommended pattern):
+    * materialize the as-of view into `outDir` as an updates-free
+    * snapshot. Plain `df.write` — distributed, no driver collect. */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      outDir: String,
+      format: String = "parquet",
+      outFormat: String = "parquet",
+      asOf: Option[String] = None): Unit =
+    read(spark, dir, format, asOf = asOf)
+      .write.mode("overwrite").format(outFormat).save(outDir)
+}

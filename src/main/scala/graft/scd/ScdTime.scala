@@ -1,0 +1,61 @@
+package graft.scd
+
+import java.time.format.DateTimeFormatter
+import java.time.temporal.{ChronoField, TemporalAccessor}
+import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+
+/** Tri-state SCD time parse (reference: SQLUpdater.java:95-105, O3 in
+  * SURVEY.md §2.1):
+  *
+  *   - null/empty  → the supplied default (for the session parameter the
+  *     default is "now"; for an empty `-- time=` directive value it is
+  *     the query's scd.time — SQLUpdater.java:108, :129)
+  *   - numeric     → epoch millis verbatim (`-1` disables all updates,
+  *     since every statement time is >= 0 and the gate is `<=`)
+  *   - otherwise   → ISO-8601 date with optional time and optional zone
+  *     offset (`yyyy-MM-dd[THH:mm[:ss[.SSS]][±zone]]`), matching Joda's
+  *     `dateOptionalTimeParser`; zoneless values are UTC
+  */
+object ScdTime {
+
+  /** Sentinel: SCD replay fully disabled. */
+  val Disabled: Long = -1L
+
+  private val fmt: DateTimeFormatter = DateTimeFormatter.ofPattern(
+    "yyyy-MM-dd['T'HH:mm[:ss[.SSS]][XXX][X]]")
+
+  def parse(text: String, default: => Long): Long = {
+    val t = if (text == null) "" else text.trim
+    if (t.isEmpty) default
+    else
+      try t.toLong
+      catch {
+        case _: NumberFormatException => parseIso(t)
+      }
+  }
+
+  private def parseIso(t: String): Long = {
+    val acc: TemporalAccessor = fmt.parse(t)
+    val date = LocalDate.from(acc)
+    val withTime =
+      if (acc.isSupported(ChronoField.HOUR_OF_DAY)) LocalDateTime.of(
+        date.getYear, date.getMonthValue, date.getDayOfMonth,
+        acc.get(ChronoField.HOUR_OF_DAY),
+        if (acc.isSupported(ChronoField.MINUTE_OF_HOUR)) acc.get(ChronoField.MINUTE_OF_HOUR) else 0,
+        if (acc.isSupported(ChronoField.SECOND_OF_MINUTE)) acc.get(ChronoField.SECOND_OF_MINUTE) else 0,
+        if (acc.isSupported(ChronoField.MILLI_OF_SECOND)) acc.get(ChronoField.MILLI_OF_SECOND) * 1000000 else 0)
+      else date.atStartOfDay()
+    val offset =
+      if (acc.isSupported(ChronoField.OFFSET_SECONDS))
+        ZoneOffset.ofTotalSeconds(acc.get(ChronoField.OFFSET_SECONDS))
+      else ZoneOffset.UTC
+    Instant.from(withTime.atOffset(offset)).toEpochMilli
+  }
+
+  /** Session-default resolution: explicit argument wins, else the Spark
+    * conf `spark.scd.time`, else "now". */
+  def resolve(explicit: Option[String], conf: Option[String]): Long = {
+    val text = explicit.orElse(conf).getOrElse("")
+    parse(text, System.currentTimeMillis())
+  }
+}
