@@ -1,13 +1,764 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.scd.ScdReader
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract (SURVEY.md §7 + builder prompt): one named query per
+  * implemented operator, each paired with equivalent DuckDB SQL in
+  * [[SparkEntry.oracleSql]] run by the driver against the same parquet
+  * tables.
+  *
+  * Oracle-portability rules used throughout (so value hashes match):
+  *   - every query ends with a total ORDER BY (unique tie-break);
+  *   - aggregated doubles are round()ed (per-row arithmetic on the
+  *     same inputs is bit-identical across engines, so raw columns and
+  *     row-local math stay unrounded);
+  *   - computed integers are cast to long (DuckDB counts/extracts are
+  *     BIGINT);
+  *   - ranks are computed over ROUNDED scores so float ulps can't flip
+  *     orderings across engines;
+  *   - event timestamps are compared/emitted as epoch micros
+  *     (`unix_micros` / `epoch_us`) because the parquet source is ns
+  *     and Spark truncates to µs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
+    * default; read it as raw nanos and expose epoch-micros `ts_us`
+    * (integer division — ns values exceed double's 2^53 mantissa, so
+    * float math would corrupt them). Matches DuckDB's `epoch_us(ts)`
+    * truncation. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = t(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs)
+  }
+
+  /** The customer-dimension `.updates` log used by the scd_* queries
+    * (FIXTURES.md §3.1): an UPDATE effective at epoch 0 and a DELETE
+    * effective 2024-06-01. */
+  val CustomerLog: String =
+    """UPDATE customer SET c_acctbal = c_acctbal + 100 WHERE c_mktsegment = 'BUILDING';
+      |-- time=2024-06-01
+      |DELETE FROM customer WHERE c_acctbal < 0;
+      |""".stripMargin
+
+  private def asOfCustomer(s: SparkSession, dir: String,
+      asOf: Option[String]): DataFrame =
+    ScdReader.applyLogText(s, t(s, dir, "customer"), CustomerLog, asOf)
+
+  /** Flagship: as-of SCD dimension joined to facts with an aggregate —
+    * scan + SCD replay + join + agg in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("scd_fact_join")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational surface (Hive-provided in the reference, §2.2) ----
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      // dimension side is the small input: broadcast it so the fact
+      // scan never shuffles (at 100 TB: lineitem stays in place)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(o("o_orderkey"), o("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(o("o_orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).cast("long").as("rnk"))
+        .where(col("rnk") <= 5)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("has_orders"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("no_orders"))
+      semi.unionByName(anti).select("kind", "c_mktsegment", "n")
+        .orderBy("kind", "c_mktsegment")
+    }),
+
+    "q_setops" -> ((s, dir) => {
+      val a = t(s, dir, "customer").where(col("c_mktsegment") === "AUTOMOBILE")
+        .select("c_custkey")
+      val f = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      a.except(f).withColumn("op", lit("except"))
+        .unionByName(a.intersect(f).withColumn("op", lit("intersect")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("acctbal_sum"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nation"),
+          col("n"), col("acctbal_sum"))
+        .orderBy("segment", "nation")
+    }),
+
+    "q_scalar_fns" -> ((s, dir) => {
+      t(s, dir, "part").selectExpr(
+        "p_partkey",
+        "upper(p_name) AS name_upper",
+        "substring(p_type, 1, 5) AS type_prefix",
+        "cast(length(p_name) AS BIGINT) AS name_len",
+        "concat(p_brand, '#', p_type) AS brand_type",
+        "round(p_retailprice * 1.1, 2) AS marked_up",
+        "cast(abs(p_size - 25) AS BIGINT) AS size_dev",
+        "cast(p_size % 5 AS BIGINT) AS size_mod",
+        "CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class",
+        "replace(lower(p_name), ' ', '_') AS slug")
+        .orderBy("p_partkey")
+    }),
+
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_date_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("yr", "mo")
+    }),
+
+    // ---- the Type-7 SCD read path (O1-O15) over testdata --------------
+    "scd_asof_now" -> ((s, dir) =>
+      asOfCustomer(s, dir, None).orderBy("c_custkey")),
+
+    "scd_asof_past" -> ((s, dir) =>
+      asOfCustomer(s, dir, Some("2024-01-01")).orderBy("c_custkey")),
+
+    "scd_disabled" -> ((s, dir) =>
+      asOfCustomer(s, dir, Some("-1")).orderBy("c_custkey")),
+
+    "scd_fact_join" -> ((s, dir) => {
+      val dim = asOfCustomer(s, dir, None)
+      val o = t(s, dir, "orders")
+      // as-of dim joined to facts — the raison d'être of the SCD view
+      o.join(broadcast(dim), o("o_custkey") === dim("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "scd_merge_upsert" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val changed = c.where(col("c_custkey") % 10 === 0).select(
+        col("c_custkey"), concat(lit("u:"), col("c_name")).as("c_name"),
+        col("c_nationkey"), (col("c_acctbal") + 500).as("c_acctbal"),
+        col("c_mktsegment"))
+      val inserted = c.where(col("c_custkey") % 97 === 0).select(
+        (col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      ScdMerge.upsert(c, changed.unionByName(inserted), "c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    "scd2_reconstruct" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_id", "ts_us")
+      ScdMerge.scd2FromChangeLog(ev, "user_id", "ts_us", "event_id")
+        .select("user_id", "event_id", "valid_from_us", "valid_to_us",
+          "is_current")
+        .orderBy("user_id", "valid_from_us", "event_id")
+    }),
+
+    "scd2_snapshot" -> ((s, dir) => {
+      val ev = events(s, dir).select("user_id", "event_id", "ts_us")
+      val scd2 = ScdMerge.scd2FromChangeLog(ev, "user_id", "ts_us", "event_id")
+      ScdMerge.snapshotAsOf(scd2, SnapshotUs)
+        .select("user_id", "event_id", "valid_from_us", "valid_to_us")
+        .orderBy("user_id")
+    }),
+
+    "asof_join_events" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_id").as("click_eid"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", "ts_us",
+        Seq(("click_eid", "click_id")), "event_id")
+        .orderBy("event_id")
+    }),
+
+    "sessionize" -> ((s, dir) =>
+      Sessionize.sessions(events(s, dir), tsCol = "ts_us")
+        .orderBy("user_id", "session_seq")),
+
+    // ---- text analysis over documents ---------------------------------
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ---- dedup family over documents / embeddings ---------------------
+    "dedup_exact" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fpkey"))
+      Dedup.exactGroups(fp, col("fpkey")).orderBy("keep_id")
+    }),
+
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"))
+        .orderBy("id_a", "id_b")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), col("label"),
+        threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search over embeddings ----------------------------
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- multimodal plumbing (metadata over opaque content) -----------
+    "mm_binary_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        expr("cast(octet_length(text) AS BIGINT)").as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        sha2(col("text"), 256).as("content_sha256"),
+        upper(substring(col("text"), 1, 8)).as("head"))
+        .orderBy("doc_id")),
+  )
+
+  /** scd2_snapshot as-of instant: 2024-01-15T00:00:00Z in epoch µs. */
+  val SnapshotUs: Long = 1705276800000000L
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL — one entry per query above, same column names,
+  // same ORDER BY. Shared CTE fragments are built programmatically.
+  // ---------------------------------------------------------------------
+
+  /** as-of customer CTE at scd.time >= 2024-06-01 (both statements) */
+  private val AsOfNowCte =
+    """asof AS (
+      |  SELECT * FROM (
+      |    SELECT c_custkey, c_name, c_nationkey,
+      |      CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+      |           THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+      |      c_mktsegment
+      |    FROM customer)
+      |  WHERE NOT coalesce(c_acctbal < 0, FALSE))""".stripMargin
+
+  /** distinct 3-token shingles + per-doc set sizes */
+  private val ShingleCtes =
+    """toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+      |  FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val JaccardSelect =
+    """SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+      |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+      |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** doubled-space padded text for standalone-word counting */
+  private def wordCountSql(word: String): String =
+    s"CAST((length(p) - length(replace(p, ' $word ', ''))) / ${word.length + 2} AS BIGINT)"
+
+  private val PaddedDocCte =
+    "p AS (SELECT doc_id, replace(' ' || lower(text) || ' ', ' ', '  ') AS p FROM documents)"
+
+  private def langScoreSql(words: Seq[String]): String =
+    words.map(wordCountSql).mkString("(", " + ", ")")
+
+  /** embeddings as DOUBLE[] + cosine expression */
+  private val EmbCte =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)"
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  row_number() OVER w AS rn,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  lag(o_totalprice) OVER w AS prev_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT 'has_orders' AS kind, c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'no_orders' AS kind, c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY kind, c_mktsegment""".stripMargin,
+
+    "q_setops" ->
+      """SELECT 'except' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS acctbal_sum
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY segment, nation""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  substring(p_type, 1, 5) AS type_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  round(p_retailprice * 1.1, 2) AS marked_up,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+        |  CAST(p_size % 5 AS BIGINT) AS size_mod,
+        |  CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class,
+        |  replace(lower(p_name), ' ', '_') AS slug
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_date_agg" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+
+    "scd_asof_now" ->
+      s"""WITH $AsOfNowCte
+         |SELECT * FROM asof ORDER BY c_custkey""".stripMargin,
+
+    "scd_asof_past" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+        |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "scd_disabled" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "scd_fact_join" ->
+      s"""WITH $AsOfNowCte
+         |SELECT c_mktsegment, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM asof JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "scd_merge_upsert" ->
+      """WITH staging AS (
+        |  SELECT c_custkey, 'u:' || c_name AS c_name, c_nationkey,
+        |    c_acctbal + 500 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM staging)
+        |  UNION ALL SELECT * FROM staging)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "scd2_reconstruct" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+        |SELECT user_id, event_id, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER w AS valid_to_us,
+        |  lead(ts_us) OVER w IS NULL AS is_current
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+
+    "scd2_snapshot" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |v AS (
+         |  SELECT user_id, event_id, ts_us AS valid_from_us,
+         |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |      AS valid_to_us
+         |  FROM e)
+         |SELECT user_id, event_id, valid_from_us, valid_to_us FROM v
+         |WHERE valid_from_us <= $SnapshotUs
+         |  AND (valid_to_us IS NULL OR valid_to_us > $SnapshotUs)
+         |ORDER BY user_id""".stripMargin,
+
+    "asof_join_events" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us, click_id FROM w WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  round((max(us) - min(us)) / 1e6, 3) AS duration_s
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    length(replace(text, ' ', '')) AS nc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(nc AS BIGINT) AS n_chars_nospace,
+        |  round(nc / len(toks), 4) AS avg_token_len,
+        |  round(len(list_distinct(toks)) / len(toks), 4) AS type_token_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+        s"${langScoreSql(words)} AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val greatestAll = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      // fold semantics: earliest language achieving the max wins
+      val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1)
+        val conds = later.map(l2 => s"score_$l >= score_$l2").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH $PaddedDocCte,
+         |scored AS (
+         |  SELECT doc_id,
+         |  $scores
+         |  FROM p)
+         |SELECT doc_id,
+         |  CASE WHEN $greatestAll = 0 THEN 'und'
+         |    $caseArms
+         |    ELSE '${langs.last}' END AS lang_guess,
+         |  ${langs.map(l => s"score_$l").mkString(", ")}
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" -> {
+      val stopSum = Seq("the", "and", "of", "a", "to").map(wordCountSql)
+        .mkString("(", " + ", ")")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    replace(' ' || lower(text) || ' ', ' ', '  ') AS p,
+         |    len(string_split(lower(text), ' ')) AS nt,
+         |    len(list_distinct(string_split(lower(text), ' '))) AS nd,
+         |    length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS na
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN nt >= 20 AND nt <= 2000 THEN 1.0
+         |         WHEN nt >= 5 THEN 0.5 ELSE 0.0 END AS len_score,
+         |    na / greatest(length(text), 1) AS punct_ratio,
+         |    $stopSum / greatest(CAST(nt AS DOUBLE), 1.0) AS stopword_ratio,
+         |    nd / greatest(CAST(nt AS DOUBLE), 1.0) AS ttr
+         |  FROM base)
+         |SELECT doc_id,
+         |  round(len_score, 4) AS len_score,
+         |  round(punct_ratio, 4) AS punct_ratio,
+         |  round(stopword_ratio, 4) AS stopword_ratio,
+         |  round(ttr, 4) AS type_token_ratio,
+         |  round(len_score * 0.4
+         |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+         |    + least(stopword_ratio * 4.0, 1.0) * 0.2
+         |    + least(ttr * 2.0, 1.0) * 0.2, 4) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |  string_split(lower(text), ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(text), ' '))), ' ')) AS dedup_key
+        |  FROM documents)
+        |SELECT dedup_key, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM fp GROUP BY dedup_key ORDER BY keep_id""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH $ShingleCtes,
+         |com AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |$JaccardSelect""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until 16)
+        .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+      val bands = (0 until 4).map { b =>
+        val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $ShingleCtes,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |com AS (
+         |  SELECT id_a, id_b, count(*) AS n_common
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+         |    JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
+         |  GROUP BY id_a, id_b)
+         |$JaccardSelect""".stripMargin
+    },
+
+    "dedup_simhash" -> {
+      val bitSums = (0 until 16).map(b =>
+        s"sum(((instr('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2) * 2 - 1) AS b$b")
+        .mkString(",\n    ")
+      val bitsConcat = (0 until 16).map(b =>
+        s"(CASE WHEN b$b >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      val banded = (0 until 4).map(b =>
+        s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 4 + 1}, 4) AS bkey FROM sh2")
+        .mkString("\n  UNION ALL ")
+      val hammingExpr = (1 to 16).map(i =>
+        s"(CASE WHEN substr(sh_a, $i, 1) <> substr(sh_b, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  FROM documents),
+         |th AS (SELECT doc_id, md5(w) AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $bitSums
+         |  FROM th GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, $bitsConcat AS simhash FROM bits),
+         |banded AS (
+         |  $banded),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
+         |    b.doc_id AS id_b, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b, CAST($hammingExpr AS BIGINT) AS hamming FROM cand)
+         |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_embedding" ->
+      s"""WITH $EmbCte,
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p
+         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_bruteforce_topk" ->
+      s"""WITH $EmbCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(${cosSql("qv", "v")}, 6) AS cosine
+         |  FROM q JOIN e ON e.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM s)
+         |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "sim_lsh_topk" -> {
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      s"""WITH $EmbCte,
+         |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 10),
+         |s AS (
+         |  SELECT query_id, eb.vec_id AS neighbor_id,
+         |    round(${cosSql("qv", "eb.v")}, 6) AS cosine
+         |  FROM q JOIN eb USING (bucket) WHERE eb.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM s)
+         |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  sha256(text) AS content_sha256,
+        |  upper(substring(text, 1, 8)) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - `bruteForceTopK` is the exact baseline: queries × corpus cross
+  *     join with the small side broadcast, cosine per pair, windowed
+  *     top-k. Cost O(|Q|·|C|) — fine when |Q| is small (the broadcast
+  *     keeps it shuffle-free); the recall oracle for the ANN variants.
+  *   - `lshTopK` is the scale path: sign-LSH bucketing (coordinate
+  *     hyperplanes over the leading dims) partitions the corpus; each
+  *     query only scans its own bucket. One hash-partitioned join on
+  *     the bucket key instead of a cross join — at 100 TB the bucket
+  *     join shuffles each side once and AQE handles bucket skew.
+  *     Deterministic (no random planes), so the DuckDB oracle can
+  *     replay it exactly.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (excluding self).
+    * Output: query_id, neighbor_id, rank, cosine. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    topK(scored, k)
+  }
+
+  /** Bucketed ANN: candidates = corpus vectors in the query's sign
+    * bucket. Same output shape as bruteForceTopK; recall < 1 by
+    * construction (bucket boundaries), which is the documented
+    * trade-off. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 8, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vecCol).as("qv"),
+      VectorFunctions.signBucket(col(vecCol), bits).as("bucket"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorFunctions.signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    topK(scored, k)
+  }
+
+  /** rank by (cosine desc, neighbor_id) — the id tie-break keeps the
+    * cut deterministic for the oracle compare */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, heuristic language ID, quality scoring, and
+  * document fingerprinting. All pure per-row Catalyst expressions —
+  * narrow, codegen'd, shuffle-free, and engine-portable (every
+  * function used has an identical-semantics DuckDB counterpart, so
+  * the driver's oracle can replay them in SQL).
+  */
+object TextAnalysis {
+
+  /** whitespace tokens of the lowercased text */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** token count without materializing the array: chars minus spaces
+    * arithmetic is wrong for runs; prefer array size. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Per-document token statistics.
+    * Output: doc_id, n_tokens, n_distinct, n_chars_nospace,
+    * avg_token_len, type_token_ratio. */
+  def tokenStats(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col(id),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_distinct"),
+      length(regexp_replace(col(textCol), " ", "")).cast("long")
+        .as("n_chars_nospace"),
+      round(length(regexp_replace(col(textCol), " ", "")).cast("double") /
+        size(t), 4).as("avg_token_len"),
+      round(size(array_distinct(t)).cast("double") / size(t), 4)
+        .as("type_token_ratio"))
+  }
+
+  /** Occurrences of `word` as a standalone token, via the
+    * length-difference trick on the padded text — O(n) per row, no
+    * array explode, portable to any SQL engine. */
+  def wordCount(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val needle = s" $word "
+    // overlapping " w w " runs: replace consumes the shared space, so
+    // pad spaces first to make every token boundary independent
+    val doubled = regexp_replace(padded, " ", "  ")
+    ((length(doubled) - length(regexp_replace(doubled, needle, ""))) /
+      needle.length).cast("long")
+  }
+
+  /** Heuristic n-gram/stopword language ID: score a handful of
+    * language-marker stopwords and take the argmax, 'und' when no
+    * marker hits. A real pipeline would plug fastText here; the
+    * operator shape (per-row scoring + argmax) is the point. */
+  def langId(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val markers = LangMarkers.map { case (lang, words) =>
+      lang -> words.map(w => wordCount(col(textCol), w))
+        .reduce(_ + _).as(s"score_$lang")
+    }
+    val scored = docs.select(col(id) +: markers.map(_._2): _*)
+    val best = markers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }.reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    val guess = when(
+      greatest(markers.map(m => col(s"score_${m._1}")): _*) > 0,
+      best.getField("l")).otherwise(lit("und")).as("lang_guess")
+    scored.select(
+      (col(id) +: guess +: markers.map(m => col(s"score_${m._1}"))): _*)
+  }
+
+  /** language → marker stopwords (ordered; ties resolve to the first) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "fr" -> Seq("le", "les", "des"),
+    "de" -> Seq("der", "die", "und"))
+
+  /** Quality score in [0,1] from cheap signals: length band, punct
+    * ratio, stopword ratio, repetition (type-token ratio). Weights are
+    * illustrative; the operator is the per-row scoring pipeline. */
+  def qualityScore(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val t = tokens(text)
+    val nTok = size(t).cast("double")
+    val nonAlnum = length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
+    val punctRatio = nonAlnum.cast("double") / greatest(length(text), lit(1))
+    val stopHits = Seq("the", "and", "of", "a", "to")
+      .map(w => wordCount(text, w)).reduce(_ + _)
+    val stopRatio = stopHits.cast("double") / greatest(nTok, lit(1.0))
+    val ttr = size(array_distinct(t)).cast("double") / greatest(nTok, lit(1.0))
+    val lenScore = when(nTok >= 20 && nTok <= 2000, 1.0)
+      .when(nTok >= 5, 0.5).otherwise(0.0)
+    docs.select(
+      col(id),
+      round(lenScore, 4).as("len_score"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(ttr, 4).as("type_token_ratio"),
+      round(
+        lenScore * 0.4
+          + (lit(1.0) - least(punctRatio * 5.0, lit(1.0))) * 0.2
+          + least(stopRatio * 4.0, lit(1.0)) * 0.2
+          + least(ttr * 2.0, lit(1.0)) * 0.2, 4).as("quality"))
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
+    * Documents that differ only by token order/repetition collide —
+    * the standard "near-exact" dedup key one step beyond raw-text
+    * equality. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+}
