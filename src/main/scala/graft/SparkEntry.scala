@@ -57,6 +57,18 @@ object SparkEntry {
       asOf: Option[String]): DataFrame =
     ScdReader.applyLogText(s, t(s, dir, "customer"), CustomerLog, asOf)
 
+  /** Build a real SCD table directory under target/: customer parquet
+    * plus the `.updates` sidecar — the filesystem-backed path for the
+    * scd_sidecar / scd_compact queries. */
+  private def sidecarDir(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp = s"/root/repo/target/scdtmp/$tag/customer"
+    t(s, dir, "customer").write.mode("overwrite").parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, ScdReader.SidecarName), CustomerLog)
+    tmp
+  }
+
   /** Flagship: as-of SCD dimension joined to facts with an aggregate —
     * scan + SCD replay + join + agg in one plan. */
   def entry(spark: SparkSession): DataFrame =
@@ -150,6 +162,17 @@ object SparkEntry {
         .orderBy("op", "c_custkey")
     }),
 
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "customer")
         .rollup(col("c_mktsegment"), col("c_nationkey"))
@@ -214,6 +237,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total"))
         .orderBy("c_mktsegment")
+    }),
+
+    // the flagship "table = dir + `.updates` sidecar" abstraction,
+    // end-to-end through the filesystem (O1/O2): materialize customer
+    // to a scratch dir, drop the DML sidecar next to it, read as-of
+    "scd_sidecar" -> ((s, dir) =>
+      ScdReader.read(s, sidecarDir(s, dir)).orderBy("c_custkey")),
+
+    // compaction (README.md:239-244 pattern): materialize the as-of
+    // view to an updates-free snapshot dir, then plain-read it back
+    "scd_compact" -> ((s, dir) => {
+      val src = sidecarDir(s, dir)
+      val out = src + "_compacted"
+      ScdReader.compact(s, src, out)
+      s.read.parquet(out).orderBy("c_custkey")
     }),
 
     "scd_merge_upsert" -> ((s, dir) => {
@@ -301,8 +339,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), col("label"),
-        threshold = 0.9)
+      // default sign-hyperplane LSH blocking (8 bits = 256 buckets);
+      // bucket-local pairwise cosine — the 100 TB-safe shape
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.9)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")),
 
@@ -338,9 +377,11 @@ object SparkEntry {
   // same ORDER BY. Shared CTE fragments are built programmatically.
   // ---------------------------------------------------------------------
 
-  /** as-of customer CTE at scd.time >= 2024-06-01 (both statements) */
+  /** as-of customer CTE at scd.time >= 2024-06-01 (both statements).
+    * NB: the CTE must NOT be named `asof` — reserved keyword in DuckDB
+    * (ASOF JOIN syntax); round-1 CORRECTNESS failed on exactly that. */
   private val AsOfNowCte =
-    """asof AS (
+    """asof_dim AS (
       |  SELECT * FROM (
       |    SELECT c_custkey, c_name, c_nationkey,
       |      CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
@@ -446,6 +487,13 @@ object SparkEntry {
         |  INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |ORDER BY op, c_custkey""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+
     "q_rollup" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
@@ -481,7 +529,16 @@ object SparkEntry {
 
     "scd_asof_now" ->
       s"""WITH $AsOfNowCte
-         |SELECT * FROM asof ORDER BY c_custkey""".stripMargin,
+         |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    // sidecar + compact read the same as-of view through the filesystem
+    "scd_sidecar" ->
+      s"""WITH $AsOfNowCte
+         |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    "scd_compact" ->
+      s"""WITH $AsOfNowCte
+         |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
 
     "scd_asof_past" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -497,7 +554,7 @@ object SparkEntry {
       s"""WITH $AsOfNowCte
          |SELECT c_mktsegment, count(*) AS n_orders,
          |  round(sum(o_totalprice), 2) AS total
-         |FROM asof JOIN orders ON c_custkey = o_custkey
+         |FROM asof_dim JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "scd_merge_upsert" ->
@@ -655,8 +712,10 @@ object SparkEntry {
          |$JaccardSelect""".stripMargin,
 
     "dedup_minhash_lsh" -> {
+      // 4 sub-hashes of 8 hex chars per md5 — mirrors minHashSignatures
       val mins = (0 until 16)
-        .map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")
+        .map(i => s"min(substr(md5('${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
+        .mkString(", ")
       val bands = (0 until 4).map { b =>
         val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
         s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
@@ -678,15 +737,17 @@ object SparkEntry {
     },
 
     "dedup_simhash" -> {
-      val bitSums = (0 until 16).map(b =>
-        s"sum(((instr('0123456789abcdef', substr(h, ${b + 1}, 1)) - 1) % 2) * 2 - 1) AS b$b")
+      // 64-bit simhash: bit b = bit (3 - b%4) of hex digit b/4 of
+      // md5(token) — mirrors Dedup.hexDigitBit exactly
+      val bitSums = (0 until 64).map(b =>
+        s"sum((((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${3 - b % 4}) & 1) * 2 - 1) AS b$b")
         .mkString(",\n    ")
-      val bitsConcat = (0 until 16).map(b =>
+      val bitsConcat = (0 until 64).map(b =>
         s"(CASE WHEN b$b >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
       val banded = (0 until 4).map(b =>
-        s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 4 + 1}, 4) AS bkey FROM sh2")
+        s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 16 + 1}, 16) AS bkey FROM sh2")
         .mkString("\n  UNION ALL ")
-      val hammingExpr = (1 to 16).map(i =>
+      val hammingExpr = (1 to 64).map(i =>
         s"(CASE WHEN substr(sh_a, $i, 1) <> substr(sh_b, $i, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH tok AS (
@@ -710,14 +771,19 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 
-    "dedup_embedding" ->
+    "dedup_embedding" -> {
+      // 8-bit sign-hyperplane bucket — mirrors VectorFunctions.signBucket
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
       s"""WITH $EmbCte,
+         |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e),
          |p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${cosSql("a.v", "b.v")} AS cos
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p
-         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "sim_bruteforce_topk" ->
       s"""WITH $EmbCte,

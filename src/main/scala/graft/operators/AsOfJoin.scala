@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (temporal) join: for each left row, the most recent right row
   * with the same key and rightTime <= leftTime.
@@ -29,43 +30,45 @@ object AsOfJoin {
     *
     * Output: all left columns + for each (rc, alias) the as-of value
     * (NULL when no right row precedes).
+    *
+    * The attached columns travel as ONE non-null struct per right row
+    * (ADVICE r01): `last(..., ignoreNulls)` then distinguishes "no
+    * preceding right row" (struct NULL) from "preceding right row with
+    * a genuinely NULL payload column" (struct non-null, field NULL) —
+    * a per-column carry would skip the latter and resurrect older
+    * values.
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[(String, String)], tieBreak: String): DataFrame = {
     val leftCols = left.columns
-    val l = left
+    val payload = struct(rightCols.map { case (rc, alias) =>
+      col(rc).as(alias) }: _*)
+    val payloadType = StructType(rightCols.map { case (rc, alias) =>
+      StructField(alias, right.schema(rc).dataType, nullable = true) }.toArray)
+    val meta = Seq(key, "__t", "__side", "__tb", "__r")
+    val leftSel = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tb", col(tieBreak))
-    val attachNull = rightCols.foldLeft(l) { case (d, (rc, alias)) =>
-      d.withColumn(s"__r_$alias", lit(null).cast(right.schema(rc).dataType))
-    }
-    var r = right
+      .withColumn("__r", lit(null).cast(payloadType))
+      .select((meta ++ leftCols.filterNot(_ == key)).map(col): _*)
+    val rightSel = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", col(tieBreak))
-    for ((rc, alias) <- rightCols) r = r.withColumn(s"__r_$alias", col(rc))
-    val rightSel = r.select(
-      (Seq(key, "__t", "__side", "__tb") ++ rightCols.map(c => s"__r_${c._2}"))
-        .map(col): _*)
-    val leftSel = attachNull.select(
-      (Seq(key, "__t", "__side", "__tb") ++ rightCols.map(c => s"__r_${c._2}")
-        ++ leftCols.filterNot(c => c == key)).map(col): _*)
-    val unioned = leftSel.unionByName(
-      rightSel.select(rightSel.columns.map(col): _*), allowMissingColumns = true)
+      .withColumn("__r", payload)
+      .select(meta.map(col): _*)
+    val unioned = leftSel.unionByName(rightSel, allowMissingColumns = true)
     // right rows sort before left rows at equal time (side 0 < 1): a
     // right row AT the probe's timestamp is already visible (<=)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { case (d, (_, alias)) =>
-      d.withColumn(s"__asof_$alias",
-        last(when(col("__side") === 0, col(s"__r_$alias")), ignoreNulls = true)
-          .over(w))
-    }
+    val carried = unioned.withColumn("__asof",
+      last(col("__r"), ignoreNulls = true).over(w))
     carried.where(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        rightCols.map { case (_, alias) => col(s"__asof_$alias").as(alias) }: _*)
+      .select(leftCols.map(col) ++ rightCols.map { case (_, alias) =>
+        col("__asof").getField(alias).as(alias) }: _*)
   }
 }

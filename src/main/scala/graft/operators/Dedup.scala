@@ -79,15 +79,26 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes independent permutations simulated
-    * by min(md5(seed || shingle)). Output: id, m0..m{k-1}.
-    * One groupBy over the exploded shingles; each min is map-side
-    * combinable. */
+    * by per-shingle hashes, min-aggregated per doc. Output: id,
+    * m0..m{k-1}. One groupBy over the exploded shingles; each min is
+    * map-side combinable.
+    *
+    * Hashing cost (round-1 bench lesson: md5 dominates): each md5
+    * yields 128 bits = four independent 32-bit (8-hex-char) sub-hashes,
+    * so k signatures need only ceil(k/4) md5 calls per shingle —
+    * computed once in a pre-projection, then sliced by substring.
+    * 32-bit sub-hashes keep accidental min-collisions across dissimilar
+    * docs negligible while staying replayable in any SQL engine
+    * (md5 + substr). */
   def minHashSignatures(sh: DataFrame, id: String = "doc_id",
-      numHashes: Int = 16): DataFrame =
-    sh.groupBy(col(id)).agg(
-      min(md5(concat(lit("0|"), col("shingle")))).as("m0"),
-      (1 until numHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), col("shingle")))).as(s"m$i")): _*)
+      numHashes: Int = 16): DataFrame = {
+    val nSeeds = (numHashes + 3) / 4
+    val withH = sh.select(col(id) +: (0 until nSeeds).map(sd =>
+      md5(concat(lit(s"$sd|"), col("shingle"))).as(s"h$sd")): _*)
+    val aggs = (0 until numHashes).map(i =>
+      min(substring(col(s"h${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"m$i"))
+    withH.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** LSH banding: hash `rowsPerBand` consecutive signature components
     * per band; docs sharing any band key are candidates. Output:
@@ -143,28 +154,35 @@ object Dedup {
   }
 
   /** SimHash over tokens: bit b is the sign of Σ_tokens (2·hbit−1)
-    * where hbit = parity of hex digit b of md5(token). Output: id,
-    * simhash ('0'/'1' string of length `bits`, MSB first). Narrow +
-    * one groupBy. */
+    * where hbit is bit b of md5(token)'s 128-bit value (4 bits per hex
+    * digit, MSB first). Output: id, simhash ('0'/'1' string of length
+    * `bits`, MSB first). Narrow + one map-side-combinable groupBy.
+    *
+    * 64 bits (round-1 lesson): a 16-bit simhash degenerated — banding
+    * keys of 4 bits gave 16 buckets/band and flagged 14.5% of ALL
+    * pairs as near-dups. 64 bits with 16-bit band keys keeps bucket
+    * collision probability ≈ 2^-16 per band for unrelated docs. */
   def simHash(docs: DataFrame, id: String = "doc_id",
-      textCol: String = "text", bits: Int = 16): DataFrame = {
+      textCol: String = "text", bits: Int = 64): DataFrame = {
+    require(bits <= 128, s"md5 yields 128 bits, requested $bits")
     val tok = docs.select(col(id),
       explode(split(lower(col(textCol)), " ")).as("t"))
       .withColumn("h", md5(col("t")))
     val bitSums = tok.groupBy(col(id)).agg(
-      sum(hexDigitParity(col("h"), 0) * 2 - 1).as("b0"),
+      sum(hexDigitBit(col("h"), 0) * 2 - 1).as("b0"),
       (1 until bits).map(b =>
-        sum(hexDigitParity(col("h"), b) * 2 - 1).as(s"b$b")): _*)
+        sum(hexDigitBit(col("h"), b) * 2 - 1).as(s"b$b")): _*)
     bitSums.select(col(id),
       concat((0 until bits).map(b =>
         when(col(s"b$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
-  /** parity (0/1) of hex digit `pos` of a lowercase hex string —
-    * instr-based so any SQL engine can replay it */
-  private def hexDigitParity(hexStr: Column, pos: Int): Column =
-    ((instr(lit("0123456789abcdef"), substring(hexStr, pos + 1, 1)) - 1) % 2)
-      .cast("int")
+  /** bit `pos` (0 = MSB of digit 0) of a lowercase hex string's value —
+    * instr + shift + mask so any SQL engine can replay it */
+  private def hexDigitBit(hexStr: Column, pos: Int): Column =
+    shiftright(
+      instr(lit("0123456789abcdef"), substring(hexStr, pos / 4 + 1, 1)) - 1,
+      3 - pos % 4).bitwiseAND(1)
 
   /** Hamming distance between equal-length bit strings. */
   def hamming(a: Column, b: Column, bits: Int): Column =
@@ -173,10 +191,13 @@ object Dedup {
       .reduce(_ + _)
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
-    * banding the bit string (pigeonhole over maxDist+1 bands). */
+    * banding the bit string (pigeonhole over maxDist+1 bands). With the
+    * 64-bit default, band keys are 16 bits wide; `maxBucket` drops
+    * degenerate buckets (same skew guard as `lshCandidates` — a k-doc
+    * bucket costs k² pairs at scale). */
   def simhashPairs(docs: DataFrame, id: String = "doc_id",
-      textCol: String = "text", bits: Int = 16,
-      maxDist: Int = 3): DataFrame = {
+      textCol: String = "text", bits: Int = 64,
+      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val bands = maxDist + 1
     val width = bits / bands
     val sh = simHash(docs, id, textCol, bits)
@@ -187,9 +208,14 @@ object Dedup {
         .as("bk"))
       .select(col(id), col("simhash"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val l = banded.select(col("band"), col("bkey"), col(id).as("id_a"),
+    val pruned = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bkey")))
+      .where(col("bucket_n") <= maxBucket)
+    val l = pruned.select(col("band"), col("bkey"), col(id).as("id_a"),
       col("simhash").as("sh_a"))
-    val r = banded.select(col("band"), col("bkey"), col(id).as("id_b"),
+    val r = pruned.select(col("band"), col("bkey"), col(id).as("id_b"),
       col("simhash").as("sh_b"))
     l.join(r, Seq("band", "bkey")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
@@ -198,12 +224,23 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Embedding-cosine near-duplicate pairs, blocked on a deterministic
-    * key (at scale: an LSH/IVF bucket; here any low-cardinality
-    * column) so the pairwise check is bucket-local. */
+  /** Embedding-cosine near-duplicate pairs. The DEFAULT blocking key is
+    * `VectorFunctions.signBucket` — a sign-hyperplane LSH bucket, so
+    * bucket sizes shrink geometrically with `bits` (n/2^bits expected)
+    * and the pairwise cosine check stays bucket-local at any scale.
+    * Round-1 lesson: blocking on a low-cardinality attribute (label)
+    * is O(n²/k) — quadratic at 100 TB. */
+  def embeddingNearDups(embs: DataFrame, id: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.9,
+      bits: Int = 8): DataFrame =
+    embeddingNearDups(embs, VectorFunctions.signBucket(col(vecCol), bits),
+      id, vecCol, threshold)
+
+  /** Variant with an explicit blocking key (e.g. a precomputed IVF
+    * centroid id, or an attribute when pairs are only wanted within an
+    * attribute group). */
   def embeddingNearDups(embs: DataFrame, blockKey: Column,
-      id: String = "vec_id", vecCol: String = "embedding",
-      threshold: Double = 0.9): DataFrame = {
+      id: String, vecCol: String, threshold: Double): DataFrame = {
     val withKey = embs.select(col(id), col(vecCol), blockKey.as("bk"))
     val l = withKey.select(col("bk"), col(id).as("id_a"), col(vecCol).as("v_a"))
     val r = withKey.select(col("bk"), col(id).as("id_b"), col(vecCol).as("v_b"))

@@ -39,14 +39,16 @@ object TextAnalysis {
 
   /** Occurrences of `word` as a standalone token, via the
     * length-difference trick on the padded text — O(n) per row, no
-    * array explode, portable to any SQL engine. */
+    * array explode, portable to any SQL engine. Matching is LITERAL
+    * (`replace`, not regex — ADVICE r01: a word like "c++" must not be
+    * treated as a pattern). */
   def wordCount(text: Column, word: String): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val needle = s" $word "
     // overlapping " w w " runs: replace consumes the shared space, so
     // pad spaces first to make every token boundary independent
-    val doubled = regexp_replace(padded, " ", "  ")
-    ((length(doubled) - length(regexp_replace(doubled, needle, ""))) /
+    val doubled = replace(padded, lit(" "), lit("  "))
+    ((length(doubled) - length(replace(doubled, lit(needle), lit("")))) /
       needle.length).cast("long")
   }
 

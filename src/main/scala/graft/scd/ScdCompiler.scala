@@ -56,6 +56,15 @@ object ScdCompiler {
   private[scd] def applyOne(df: DataFrame, stmt: ScdStatement): DataFrame =
     stmt match {
       case ScdUpdate(_, sets, where, _) =>
+        // a SET column that resolves to nothing is a DML bug — fail like
+        // the reference's H2 execution would (unknown column error),
+        // never silently no-op (ADVICE r01)
+        sets.foreach { case (c, _) =>
+          if (!df.schema.fields.exists(_.name.equalsIgnoreCase(c)))
+            throw new IllegalStateException(
+              s"UPDATE SET references unknown column '$c' " +
+                s"(schema: ${df.schema.fieldNames.mkString(", ")})")
+        }
         val p = pred(where)
         val cols = df.schema.fields.map { f =>
           sets.collectFirst {

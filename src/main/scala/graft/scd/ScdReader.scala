@@ -44,8 +44,16 @@ object ScdReader {
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty,
       asOf: Option[String] = None): DataFrame = {
-    val base0 = spark.read.format(format).options(options)
-    val base = schema.fold(base0)(base0.schema).load(dir)
+    val base =
+      if (format.equalsIgnoreCase("avro"))
+        // no spark-avro connector in this environment: dedicated
+        // avro-mapred-backed source; "avroSchema" option carries the
+        // READER schema (defaults resolution, SURVEY §1.3)
+        graft.sources.AvroSource.read(spark, dir, options.get("avroSchema"))
+      else {
+        val base0 = spark.read.format(format).options(options)
+        schema.fold(base0)(base0.schema).load(dir)
+      }
     applyLogFile(spark, base, dir, asOf)
   }
 

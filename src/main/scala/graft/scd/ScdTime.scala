@@ -13,16 +13,40 @@ import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
   *   - numeric     → epoch millis verbatim (`-1` disables all updates,
   *     since every statement time is >= 0 and the gate is `<=`)
   *   - otherwise   → ISO-8601 date with optional time and optional zone
-  *     offset (`yyyy-MM-dd[THH:mm[:ss[.SSS]][±zone]]`), matching Joda's
-  *     `dateOptionalTimeParser`; zoneless values are UTC
+  *     offset (`yyyy-MM-dd[THH[:mm[:ss[.fraction]]][±zone]]`), matching
+  *     Joda's `dateOptionalTimeParser` (reference SQLUpdater.java:102):
+  *     hour-only times, 0–9 fraction digits, and `+HH`/`+HHmm`/`+HH:MM`
+  *     offset forms all parse (ADVICE r01); zoneless values are UTC
   */
 object ScdTime {
 
   /** Sentinel: SCD replay fully disabled. */
   val Disabled: Long = -1L
 
-  private val fmt: DateTimeFormatter = DateTimeFormatter.ofPattern(
-    "yyyy-MM-dd['T'HH:mm[:ss[.SSS]][XXX][X]]")
+  private val fmt: DateTimeFormatter = {
+    import java.time.format.DateTimeFormatterBuilder
+    new DateTimeFormatterBuilder()
+      .append(DateTimeFormatter.ISO_LOCAL_DATE)
+      .optionalStart()
+      .appendLiteral('T')
+      .appendValue(ChronoField.HOUR_OF_DAY, 2)
+      .optionalStart()
+      .appendLiteral(':').appendValue(ChronoField.MINUTE_OF_HOUR, 2)
+      .optionalStart()
+      .appendLiteral(':').appendValue(ChronoField.SECOND_OF_MINUTE, 2)
+      .optionalStart()
+      .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .optionalEnd()
+      .optionalEnd()
+      .optionalEnd()
+      // offset alternatives — each optional section rolls back on
+      // mismatch, so +02, +0200, +02:00, and Z all parse
+      .optionalStart().appendOffset("+HH:MM", "Z").optionalEnd()
+      .optionalStart().appendOffset("+HHmm", "Z").optionalEnd()
+      .optionalStart().appendOffset("+HH", "Z").optionalEnd()
+      .optionalEnd()
+      .toFormatter
+  }
 
   def parse(text: String, default: => Long): Long = {
     val t = if (text == null) "" else text.trim
@@ -43,7 +67,7 @@ object ScdTime {
         acc.get(ChronoField.HOUR_OF_DAY),
         if (acc.isSupported(ChronoField.MINUTE_OF_HOUR)) acc.get(ChronoField.MINUTE_OF_HOUR) else 0,
         if (acc.isSupported(ChronoField.SECOND_OF_MINUTE)) acc.get(ChronoField.SECOND_OF_MINUTE) else 0,
-        if (acc.isSupported(ChronoField.MILLI_OF_SECOND)) acc.get(ChronoField.MILLI_OF_SECOND) * 1000000 else 0)
+        if (acc.isSupported(ChronoField.NANO_OF_SECOND)) acc.get(ChronoField.NANO_OF_SECOND) else 0)
       else date.atStartOfDay()
     val offset =
       if (acc.isSupported(ChronoField.OFFSET_SECONDS))

@@ -1,0 +1,134 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileStream
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.AvroKeyInputFormat
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.jdk.CollectionConverters._
+
+/** Distributed Avro reader built on the shipped `avro-mapred` Hadoop
+  * InputFormat (no `spark-avro` connector in this environment). This is
+  * the Spark analogue of the reference's native format path
+  * (AvroSCDInputFormat.java:51-59 delegates to Hive's Avro container
+  * InputFormat): each task deserializes its own splits' container
+  * blocks; the driver only touches one file header for schema
+  * inference.
+  *
+  * Reader-schema resolution — the reference's schema-evolution story
+  * (AvroSCDInputFormat.java:141-152; README.md:91-97's `extra_field`
+  * default) — is delegated to Avro's own `GenericDatumReader` by
+  * passing the reader schema through the Hadoop conf
+  * (`avro.schema.input.key`), so field defaults/reordering behave
+  * byte-for-byte like the reference.
+  *
+  * Type bridge mirrors SURVEY.md §1.2's SQL_TYPES table
+  * (AvroSCDInputFormat.java:156-163): BOOLEAN/INT/LONG/FLOAT/DOUBLE/
+  * STRING plus 2-branch NULL unions; BYTES additionally maps to
+  * BinaryType (multimodal payload columns). Anything nested throws,
+  * like the reference's UnsupportedOperationException (:178).
+  *
+  * Scale: schema inference is one driver-side header read; record
+  * decoding is per-task, narrow, and immediately converted to Rows
+  * inside the same stage (no GenericRecord ever crosses a shuffle).
+  */
+object AvroSource {
+
+  /** Read a directory (or file) of Avro container files.
+    *
+    * @param readerSchemaJson optional Avro READER schema; absent → the
+    *                         writer schema of the first file found
+    */
+  def read(spark: SparkSession, path: String,
+      readerSchemaJson: Option[String] = None): DataFrame = {
+    val schemaJson = readerSchemaJson.getOrElse(inferWriterSchema(spark, path))
+    val avroSchema = new Schema.Parser().parse(schemaJson)
+    val structType = toStructType(avroSchema)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("avro.schema.input.key", schemaJson)
+    val nFields = structType.fields.length
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
+      // extract values eagerly per record: the InputFormat reuses the
+      // AvroKey datum between next() calls
+      .map { case (k, _) =>
+        val rec = k.datum()
+        val vals = new Array[Any](nFields)
+        var i = 0
+        while (i < nFields) { vals(i) = fromAvro(rec.get(i)); i += 1 }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    spark.createDataFrame(rdd, structType)
+  }
+
+  /** Driver-side writer-schema sniff: first non-hidden `*.avro` (or
+    * any) file's container header. */
+  def inferWriterSchema(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target =
+      if (fs.getFileStatus(p).isDirectory) {
+        val files = fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        require(files.nonEmpty, s"no data files under $path")
+        files.map(_.getPath).minBy(_.getName.toString)
+      } else p
+    val in = fs.open(target)
+    try {
+      val stream = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try stream.getSchema.toString
+      finally stream.close()
+    } finally in.close()
+  }
+
+  /** Avro schema → Spark StructType (SURVEY.md §1.2 map). */
+  def toStructType(s: Schema): StructType = {
+    require(s.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${s.getType}")
+    StructType(s.getFields.asScala.map { f =>
+      val (dt, nullable) = toSparkType(f.schema())
+      StructField(f.name(), dt, nullable)
+    }.toArray)
+  }
+
+  private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT => (IntegerType, false)
+    case Schema.Type.LONG => (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.UNION =>
+      // exactly-2-branch NULL unions, either order, like the reference
+      // (AvroSCDInputFormat.java:169-177)
+      val branches = s.getTypes.asScala
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      if (branches.size == 2 && nonNull.size == 1)
+        (toSparkType(nonNull.head)._1, true)
+      else throw new UnsupportedOperationException(
+        s"unsupported Avro union: $s")
+    case other => throw new UnsupportedOperationException(
+      s"unsupported Avro type: $other (flat records only, README.md:248-252)")
+  }
+
+  /** Avro runtime value → Spark external row value. */
+  private def fromAvro(v: Any): Any = v match {
+    case null => null
+    case u: org.apache.avro.util.Utf8 => u.toString
+    case s: CharSequence => s.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case other => other // Int/Long/Float/Double/Boolean box as-is
+  }
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.scd.ScdReader
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** End-to-end over the reference's ACTUAL fixture files: read
+  * `example/doctors.avro` (deflate-coded Avro container, 3-field writer
+  * schema) with the 4-field READER schema from `example/doctors.hql`
+  * (adds `extra_field` default "fishfingers and custard" —
+  * README.md:91-97 schema evolution), apply the `example/updates` DML,
+  * and reproduce all three README golden outputs (README.md:153-212).
+  */
+class AvroGoldenSpec extends SparkSpec {
+
+  private val refDir = "/root/reference/example"
+  private val d = "fishfingers and custard"
+
+  /** reader schema per example/doctors.hql (avro.schema.literal) */
+  private val readerSchema =
+    """{"type":"record","name":"doctors","namespace":"testing.hive.avro.serde",
+      |"fields":[
+      |  {"name":"number","type":"int"},
+      |  {"name":"first_name","type":"string"},
+      |  {"name":"last_name","type":"string"},
+      |  {"name":"extra_field","type":"string","default":"fishfingers and custard"}
+      |]}""".stripMargin
+
+  /** the reference dir is read-only and names its log `updates` (no
+    * dot); stage a proper SCD table dir: avro file + `.updates` */
+  private lazy val tableDir: String = {
+    val dir = Files.createTempDirectory("avroscd")
+    Files.copy(Paths.get(refDir, "doctors.avro"),
+      dir.resolve("doctors.avro"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(refDir, "updates"),
+      dir.resolve(ScdReader.SidecarName), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def readAsOf(asOf: Option[String]) =
+    ScdReader.read(spark, tableDir, format = "avro",
+      options = Map("avroSchema" -> readerSchema), asOf = asOf)
+      .collect()
+      .map(r => (r.getAs[Int]("number"), r.getAs[String]("first_name"),
+        r.getAs[String]("last_name"), r.getAs[String]("extra_field")))
+      .toSet
+
+  private val rawSet = Set(
+    (6, "Colin", "Baker", d), (3, "Jon", "Pertwee", d), (4, "Tom", "Baker", d),
+    (5, "Peter", "Davison", d), (11, "Matt", "Smith", d),
+    (1, "William", "Hartnell", d), (7, "Sylvester", "McCoy", d),
+    (8, "Paul", "McGann", d), (2, "Patrick", "Troughton", d),
+    (9, "Christopher", "Eccleston", d), (10, "David", "Tennant", d))
+
+  test("writer-schema inference reads the raw 3-field file") {
+    val df = AvroSource.read(spark, tableDir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("number", "first_name", "last_name"))
+    assert(df.count() == 11)
+  }
+
+  test("reader schema materializes extra_field default on every row") {
+    val df = AvroSource.read(spark, tableDir, Some(readerSchema))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("number", "first_name", "last_name", "extra_field"))
+    assert(df.select("extra_field").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(d))
+  }
+
+  test("golden #1 — default time: 10 rows, Troughton 2→12, Colin gone (README.md:153-165)") {
+    val got = readAsOf(None)
+    val expected = rawSet - ((6, "Colin", "Baker", d)) -
+      ((2, "Patrick", "Troughton", d)) + ((12, "Patrick", "Troughton", d))
+    assert(got == expected)
+  }
+
+  test("golden #2 — scd.time=2014-01-01: 11 rows, Colin kept (README.md:178-192)") {
+    val got = readAsOf(Some("2014-01-01"))
+    val expected = rawSet - ((2, "Patrick", "Troughton", d)) +
+      ((12, "Patrick", "Troughton", d))
+    assert(got == expected)
+  }
+
+  test("golden #3 — scd.time=-1: raw 11 rows unchanged (README.md:196-212)") {
+    assert(readAsOf(Some("-1")) == rawSet)
+  }
+
+  test("DML can reference the reader-defaulted column") {
+    val log = "DELETE FROM doctors WHERE extra_field = 'fishfingers and custard';"
+    val base = AvroSource.read(spark, tableDir, Some(readerSchema))
+    assert(ScdReader.applyLogText(spark, base, log, None).count() == 0)
+  }
+}
