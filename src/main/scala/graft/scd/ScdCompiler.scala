@@ -49,6 +49,18 @@ object ScdCompiler {
   def apply(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame =
     stmts.foldLeft(df)(applyOne)
 
+  /** Reference-compat error policy (O13, SQLUpdater.java:171-174): the
+    * reference catches any SQLException while replaying DML on a record
+    * and SKIPS the record — the row is dropped from the scan. The
+    * default Spark-idiomatic policy above fails fast instead (ANSI
+    * runtime errors surface); this variant reproduces the reference:
+    * a row is dropped iff its WHERE predicate raises, or the predicate
+    * holds and any SET expression (incl. the write-back cast) raises.
+    * Rows the statement doesn't touch are never at risk — H2 does not
+    * evaluate SET expressions when the predicate is false. */
+  def compat(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame =
+    stmts.foldLeft(df)(applyOneCompat)
+
   /** Predicate wrapped so NULL never fires a statement. */
   private def pred(where: Option[String]) =
     where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
@@ -80,4 +92,46 @@ object ScdCompiler {
       case ScdDelete(_, where, _) =>
         df.filter(!pred(where))
     }
+
+  private[scd] def applyOneCompat(df: DataFrame, stmt: ScdStatement): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge.{evalFails, safeValue}
+    stmt match {
+      case ScdUpdate(_, sets, where, _) =>
+        // unknown SET column is a prepare-time failure in the reference
+        // (statement prepare at SQLUpdater.java:82-89), not a row skip —
+        // fail fast in compat mode too
+        sets.foreach { case (c, _) =>
+          if (!df.schema.fields.exists(_.name.equalsIgnoreCase(c)))
+            throw new IllegalStateException(
+              s"UPDATE SET references unknown column '$c'")
+        }
+        val pRaw = where.map(expr).getOrElse(lit(true))
+        val pErr = where.map(w => evalFails(expr(w))).getOrElse(lit(false))
+        val fire = coalesce(safeValue(pRaw), lit(false))
+        val setExprs = df.schema.fields.flatMap { f =>
+          sets.collectFirst { case (c, e) if c.equalsIgnoreCase(f.name) =>
+            f -> expr(e).cast(f.dataType)
+          }
+        }
+        val setErr = setExprs.map { case (_, e) => evalFails(e) }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val rowErr = pErr || (fire && setErr)
+        val kept = df.filter(!rowErr)
+        val cols = kept.schema.fields.map { f =>
+          setExprs.collectFirst { case (g, e) if g.name == f.name =>
+            // safeValue never actually nulls here: error rows are gone
+            when(fire, safeValue(e)).otherwise(col(f.name)).as(f.name)
+          }.getOrElse(col(f.name))
+        }
+        kept.select(cols.toIndexedSeq: _*)
+      case ScdDelete(_, where, _) =>
+        // predicate error ⇒ skip ⇒ dropped — same outcome as a firing
+        // DELETE, so: keep iff the predicate evaluates cleanly to
+        // FALSE/NULL
+        val pErr = where.map(w => evalFails(expr(w))).getOrElse(lit(false))
+        val fire = coalesce(where.map(w => safeValue(expr(w))).getOrElse(lit(true)),
+          lit(false))
+        df.filter(!(pErr || fire))
+    }
+  }
 }

@@ -72,14 +72,20 @@ object ScdReader {
   /** Apply a `.updates` log given as text — the core entry point; used
     * directly when the log lives outside the data directory (e.g. a CDC
     * feed, or tests over read-only data dirs). */
+  /** @param errorSkipCompat reference-compat error policy (O13): DML
+    *        runtime errors drop the affected row instead of failing the
+    *        query (SQLUpdater.java:171-174). Default = Spark-idiomatic
+    *        fail-fast. */
   def applyLogText(
       spark: SparkSession,
       base: DataFrame,
       logText: String,
-      asOf: Option[String] = None): DataFrame = {
+      asOf: Option[String] = None,
+      errorSkipCompat: Boolean = false): DataFrame = {
     val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
     val log = UpdatesParser.parse(logText, scdTime)
-    ScdCompiler(base, log)
+    if (errorSkipCompat) ScdCompiler.compat(base, log.statements)
+    else ScdCompiler(base, log)
   }
 
   /** Driver-side sidecar probe + read (tiny file; O2). */

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+
+/** Streaming face of the SCD engine (SURVEY.md §2.2 "streaming" row):
+  * the `.updates` DML log is, at heart, a CDC feed — a stream of keyed
+  * mutations ordered by effective time. The batch engine replays it at
+  * read time; the streaming engine maintains the same "latest state
+  * per key" continuously with Structured Streaming.
+  *
+  * Three idiomatic shapes, all shuffle-once on the key:
+  *   - [[latestPerKey]] — declarative streaming aggregation (`max_by`),
+  *     works identically on batch and streaming frames (update/complete
+  *     modes);
+  *   - [[latestPerKeyStateful]] — explicit keyed state via
+  *     `mapGroupsWithState` (the shape to extend when custom state —
+  *     e.g. full SCD2 interval tracking — is needed);
+  *   - [[upsertSink]] — `foreachBatch` merge maintaining a queryable
+  *     parquet snapshot, the streaming analogue of
+  *     `ScdReader.compact`.
+  *
+  * Scale: all three partition by key (hash shuffle), state is
+  * per-key-bounded (one row), and the snapshot write is a plain
+  * distributed parquet write — nothing driver-bound.
+  */
+object ScdStream {
+
+  /** Latest row per key by `ts` — declarative, streaming-safe
+    * (aggregation state = one struct per key). */
+  def latestPerKey(df: DataFrame, key: String, ts: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    df.groupBy(col(key))
+      .agg(max_by(struct(others.map(col): _*), col(ts)).as("__latest"))
+      .select(col(key) +: others.map(c => col("__latest").getField(c).as(c)): _*)
+  }
+
+  /** Latest row per key via explicit keyed state (`mapGroupsWithState`,
+    * update mode). `ts` must be LongType; the key is compared by its
+    * string form (generic over key type). */
+  def latestPerKeyStateful(df: DataFrame, key: String, ts: String): DataFrame = {
+    val enc = Encoders.row(df.schema)
+    val tsIdx = df.schema.fieldIndex(ts)
+    df.groupByKey(r => String.valueOf(r.getAs[Any](key)))(Encoders.STRING)
+      .mapGroupsWithState[Row, Row](GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
+          val newest = (state.getOption.iterator ++ rows)
+            .maxBy(_.getLong(tsIdx))
+          state.update(newest)
+          newest
+      }(enc, enc)
+  }
+
+  /** Tumbling-window event counts with a watermark — the standard
+    * windowed streaming aggregate over an event-time column. */
+  def eventCountsPerWindow(df: DataFrame, tsCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_events"))
+
+  /** `foreachBatch` upsert sink: each micro-batch merges into a
+    * versioned parquet snapshot under `snapshotDir/v=<epoch>`; the
+    * newest version is the queryable dimension state and older versions
+    * are pruned after a successful write (simple two-phase swap — a
+    * table format with atomic commits would replace this at
+    * production scale). Returns the writer; caller starts it. */
+  def upsertSink(changes: DataFrame, key: String, ts: String,
+      snapshotDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, key, ts, snapshotDir, batchId)
+      }
+
+  /** One micro-batch merge (exposed for testing / batch backfill). */
+  def mergeBatch(batch: DataFrame, key: String, ts: String,
+      snapshotDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val merged = latestSnapshot(spark, snapshotDir) match {
+      case Some(prev) => latestPerKey(prev.unionByName(batch), key, ts)
+      case None => latestPerKey(batch, key, ts)
+    }
+    merged.write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+    pruneVersions(spark, snapshotDir, keep = batchId)
+  }
+
+  /** The newest committed snapshot version, if any. */
+  def latestSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
+    listVersions(spark, snapshotDir).sorted.lastOption.map(v =>
+      spark.read.parquet(s"$snapshotDir/v=$v"))
+
+  private def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  private def pruneVersions(spark: SparkSession, dir: String, keep: Long): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(spark, dir).filter(_ != keep).foreach(v =>
+      fs.delete(new Path(dir, s"v=$v"), true))
+  }
+}
