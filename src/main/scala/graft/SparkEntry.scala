@@ -208,6 +208,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // deterministic engine-portable KMV distinct sketch (production
+    // path is approx_count_distinct below; KMV is the oracle-able one)
+    "q_kmv_distinct" -> ((s, dir) =>
+      Sketch.kmvDistinct(t(s, dir, "lineitem"), "l_returnflag", "l_partkey",
+        k = 64).orderBy("l_returnflag")),
+
+    // production HLL sketch — mergeable partials, no per-group sort; no
+    // DuckDB oracle (HLL implementations differ across engines), the
+    // driver records the weaker rows-only check
+    "q_approx_distinct_hll" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
     "q_date_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(
@@ -367,6 +382,21 @@ object SparkEntry {
         sha2(col("text"), 256).as("content_sha256"),
         upper(substring(col("text"), 1, 8)).as("head"))
         .orderBy("doc_id")),
+
+    // full binary pipeline: BinaryType payload -> magic sniff + typed
+    // meta + chunk fingerprints + stub feature vector (decode STUBBED,
+    // plumbing real — see Multimodal scaladoc)
+    "mm_pipeline" -> ((s, dir) => {
+      val bin = t(s, dir, "documents").select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.prepare(bin, "doc_id", "payload")
+        .select(col("doc_id"), col("byte_len"), col("format"),
+          col("content_md5"), col("head_hex"),
+          concat_ws("|", col("chunks")).as("chunk_fps"),
+          round(graft.functions.VectorFunctions.l2Norm(col("features")), 4)
+            .as("feat_norm"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** scd2_snapshot as-of instant: 2024-01-15T00:00:00Z in epoch µs. */
@@ -424,6 +454,14 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** md5-derived hash fraction in [0,1) — mirrors Sketch.md5Fraction's
+    * horner expansion exactly (left-assoc sum of exact-in-double terms) */
+  private def md5FracSql(arg: String): String = {
+    val terms = (0 until 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}.0")
+    "(" + terms.mkString(" + ") + ") / 4294967296.0"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -520,6 +558,21 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         |h AS (SELECT l_returnflag,
+         |  ${md5FracSql("CAST(l_partkey AS VARCHAR)")} AS hfrac FROM d),
+         |r AS (SELECT l_returnflag, hfrac,
+         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY hfrac) AS rn
+         |  FROM h),
+         |k AS (SELECT l_returnflag, count(*) AS n_kept,
+         |  max(CASE WHEN rn = 64 THEN hfrac END) AS kth
+         |  FROM r WHERE rn <= 64 GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_kept,
+         |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+         |        ELSE 63.0 / kth END, 4) AS est_distinct
+         |FROM k ORDER BY l_returnflag""".stripMargin,
 
     "q_date_agg" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
@@ -737,13 +790,16 @@ object SparkEntry {
     },
 
     "dedup_simhash" -> {
-      // 64-bit simhash: bit b = bit (3 - b%4) of hex digit b/4 of
-      // md5(token) — mirrors Dedup.hexDigitBit exactly
-      val bitSums = (0 until 64).map(b =>
-        s"sum((((instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${3 - b % 4}) & 1) * 2 - 1) AS b$b")
+      // 64-bit simhash via the packed nibble-spread counters — mirrors
+      // Dedup.simHash exactly (lane k of digit d = count of bit 3-k)
+      val spread = graft.operators.Dedup.NibbleSpread.mkString("[", ", ", "]")
+      val packedCols = (0 until 16).map(d =>
+        s"($spread)[instr('0123456789abcdef', substr(h, ${d + 1}, 1))] AS p$d")
         .mkString(",\n    ")
+      val sumCols = (0 until 16).map(d => s"sum(p$d) AS s$d").mkString(", ")
       val bitsConcat = (0 until 64).map(b =>
-        s"(CASE WHEN b$b >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+        s"(CASE WHEN ((s${b / 4} >> ${16 * (b % 4)}) & 65535) * 2 >= n THEN '1' ELSE '0' END)")
+        .mkString(" || ")
       val banded = (0 until 4).map(b =>
         s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 16 + 1}, 16) AS bkey FROM sh2")
         .mkString("\n  UNION ALL ")
@@ -754,11 +810,13 @@ object SparkEntry {
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
          |  FROM documents),
          |th AS (SELECT doc_id, md5(w) AS h FROM tok),
-         |bits AS (
+         |pk AS (
          |  SELECT doc_id,
-         |    $bitSums
-         |  FROM th GROUP BY doc_id),
-         |sh2 AS (SELECT doc_id, $bitsConcat AS simhash FROM bits),
+         |    $packedCols
+         |  FROM th),
+         |sums AS (
+         |  SELECT doc_id, count(*) AS n, $sumCols FROM pk GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, $bitsConcat AS simhash FROM sums),
          |banded AS (
          |  $banded),
          |cand AS (
@@ -826,5 +884,30 @@ object SparkEntry {
         |  sha256(text) AS content_sha256,
         |  upper(substring(text, 1, 8)) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_pipeline" -> {
+      // feature_i = md5frac("i|" || hex) * 2 - 1; norm via left-assoc sum
+      val featSq = (0 until 8).map(i =>
+        s"(${md5FracSql(s"'$i|' || hx")} * 2.0 - 1.0)")
+        .map(f => s"$f * $f").mkString(" + ")
+      val chunkFps = (0 until 4).map(i =>
+        s"md5(substr(hx, ${i * 32 + 1}, 32))").mkString(", ")
+      s"""WITH b AS (
+         |  SELECT doc_id, text, lower(hex(encode(text))) AS hx
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  CASE WHEN substr(hx, 1, 8) = '89504e47' THEN 'png'
+         |       WHEN substr(hx, 1, 6) = 'ffd8ff' THEN 'jpeg'
+         |       WHEN substr(hx, 1, 8) = '47494638' THEN 'gif'
+         |       WHEN substr(hx, 1, 8) = '25504446' THEN 'pdf'
+         |       WHEN substr(hx, 1, 8) = '504b0304' THEN 'zip'
+         |       ELSE 'unknown' END AS format,
+         |  md5(text) AS content_md5,
+         |  substr(hx, 1, 16) AS head_hex,
+         |  concat_ws('|', $chunkFps) AS chunk_fps,
+         |  round(sqrt($featSq), 4) AS feat_norm
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
   )
 }

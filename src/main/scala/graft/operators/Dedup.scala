@@ -30,8 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Distinct w-token shingles of the lowercased text as ONE array per
+    * document — the narrow, un-exploded form (intersection checks work
+    * directly on it via `array_intersect`). */
+  def shingleArrays(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", w: Int = 3): DataFrame = {
+    val refs = (0 until w).map(k => s"toks[i+$k]").mkString(", ")
+    docs
+      .select(col(id), split(lower(col(textCol)), " ").as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col(id), array_distinct(expr(
+        s"transform(sequence(0, size(toks)-$w), i -> concat_ws(' ', $refs))"))
+        .as("sharr"))
+  }
+
   /** w-token shingles of the lowercased text, distinct per document.
-    * Output: (id, shingle) exploded — the input to Jaccard/MinHash. */
+    * Output: (id, shingle) exploded — the input to Jaccard/MinHash.
+    * NB: the generator stays INLINE over the transform expression — an
+    * intermediate aliased array projection before explode measured 4x
+    * slower at sf0.1 (breaks projection collapse around the generate). */
   def shingles(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", w: Int = 3): DataFrame = {
     val refs = (0 until w).map(k => s"toks[i+$k]").mkString(", ")
@@ -134,19 +151,22 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", w: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val arr = shingleArrays(docs, id, textCol, w)
     val sh = shingles(docs, id, textCol, w)
     val cands = lshCandidates(minHashSignatures(sh, id, numHashes), id,
       numHashes, bands)
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col(id).as("id_a"), col("shingle"))
-    val shB = sh.select(col(id).as("id_b"), col("shingle"))
-    val common = cands.join(shA, Seq("id_a")).join(shB, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("sz", "n_a"),
-        common("id_a") === sizes(id)).drop(id)
-      .join(sizes.withColumnRenamed("sz", "n_b"),
-        col("id_b") === sizes(id)).drop(id)
+    // verification joins the per-doc shingle ARRAYS to the (small)
+    // candidate set and intersects in-row — two joins keyed on doc id
+    // instead of a re-exploded shingle equi-join over the whole corpus
+    // (round-2 bench: the exploded verify join dominated the query)
+    val a = arr.select(col(id).as("id_a"), col("sharr").as("arr_a"))
+    val b = arr.select(col(id).as("id_b"), col("sharr").as("arr_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("n_common"),
+        size(col("arr_a")).cast("long").as("n_a"),
+        size(col("arr_b")).cast("long").as("n_b"))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
@@ -162,27 +182,40 @@ object Dedup {
     * keys of 4 bits gave 16 buckets/band and flagged 14.5% of ALL
     * pairs as near-dups. 64 bits with 16-bit band keys keeps bucket
     * collision probability ≈ 2^-16 per band for unrelated docs. */
+  /** per hex-digit value v (0..15): its 4 bits spread to 16-bit lanes,
+    * so ONE BIGINT sum per digit accumulates all 4 bit-counts
+    * (lane k = count of bit (3-k) set). Packing bound: 65535 tokens per
+    * doc per lane — clamp/sample longer docs upstream at extreme scale. */
+  private[graft] val NibbleSpread: Seq[Long] = (0 to 15).map { v =>
+    (0 until 4).map(k => ((v >> (3 - k)) & 1).toLong << (16 * k)).sum
+  }
+
   def simHash(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", bits: Int = 64): DataFrame = {
     require(bits <= 128, s"md5 yields 128 bits, requested $bits")
+    val nDigits = (bits + 3) / 4
+    val spreadArr = array(NibbleSpread.map(lit): _*)
+    // per token/digit: one instr (1-based: exactly v+1, the lookup
+    // index) + one array lookup; the groupBy then carries ONE packed
+    // 64-bit counter per digit instead of four bit-sums
     val tok = docs.select(col(id),
       explode(split(lower(col(textCol)), " ")).as("t"))
       .withColumn("h", md5(col("t")))
-    val bitSums = tok.groupBy(col(id)).agg(
-      sum(hexDigitBit(col("h"), 0) * 2 - 1).as("b0"),
-      (1 until bits).map(b =>
-        sum(hexDigitBit(col("h"), b) * 2 - 1).as(s"b$b")): _*)
-    bitSums.select(col(id),
+    val packed = tok.select(col(id) +: (0 until nDigits).map { d =>
+      element_at(spreadArr,
+        instr(lit("0123456789abcdef"), substring(col("h"), d + 1, 1)))
+        .as(s"p$d")
+    }: _*)
+    val sums = packed.groupBy(col(id)).agg(
+      count(lit(1)).as("n"),
+      (0 until nDigits).map(d => sum(col(s"p$d")).as(s"s$d")): _*)
+    // bit b lives in lane k = b%4 of digit b/4; majority: 2*ones >= n
+    def ones(b: Int): Column =
+      shiftright(col(s"s${b / 4}"), 16 * (b % 4)).bitwiseAND(65535L)
+    sums.select(col(id),
       concat((0 until bits).map(b =>
-        when(col(s"b$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
+        when(ones(b) * 2 >= col("n"), "1").otherwise("0")): _*).as("simhash"))
   }
-
-  /** bit `pos` (0 = MSB of digit 0) of a lowercase hex string's value —
-    * instr + shift + mask so any SQL engine can replay it */
-  private def hexDigitBit(hexStr: Column, pos: Int): Column =
-    shiftright(
-      instr(lit("0123456789abcdef"), substring(hexStr, pos / 4 + 1, 1)) - 1,
-      3 - pos % 4).bitwiseAND(1)
 
   /** Hamming distance between equal-length bit strings. */
   def hamming(a: Column, b: Column, bits: Int): Column =

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, processed by per-row
+  * expressions that never leave Tungsten.
+  *
+  * What is REAL here (and exercised by tests/oracle): BinaryType
+  * columns through the whole pipeline, content-sniffing on magic
+  * bytes, sizing/hashing metadata, deterministic chunking ("frame
+  * sampling" over byte ranges), and a deterministic feature vector
+  * derived from content hashes that flows into the `VectorFunctions` /
+  * `Similarity` operators.
+  *
+  * What is STUBBED (clearly): actual media decode. No image/audio codec
+  * ships in this environment; at production scale the decode step is a
+  * `mapPartitions` over the binary column calling a native decoder with
+  * batch-sized partitions (`spark.sql.files.maxPartitionBytes` tuned so
+  * a partition of payloads fits executor memory) — the surrounding
+  * schema, partitioning, and per-row plumbing are exactly what this
+  * module implements; [[fakeEmbedding]] stands in for the decoder's
+  * feature output deterministically.
+  */
+object Multimodal {
+
+  /** Magic-byte content sniff over the first bytes of a binary column
+    * (lowercase hex prefix match): png/jpeg/gif/pdf/zip/unknown. */
+  def sniffFormat(bin: Column): Column = {
+    val head = lower(hex(substring(bin, 1, 4)))
+    when(head.startsWith("89504e47"), "png")
+      .when(head.startsWith("ffd8ff"), "jpeg")
+      .when(head.startsWith("47494638"), "gif")
+      .when(head.startsWith("25504446"), "pdf")
+      .when(head.startsWith("504b0304"), "zip")
+      .otherwise("unknown")
+  }
+
+  /** Typed metadata struct for an opaque payload: byte length, sniffed
+    * format, md5, lowercase hex of the first 8 bytes. */
+  def contentMeta(bin: Column): Column =
+    struct(
+      octet_length(bin).cast("long").as("byte_len"),
+      sniffFormat(bin).as("format"),
+      md5(bin).as("content_md5"),
+      lower(hex(substring(bin, 1, 8))).as("head_hex"))
+
+  /** Deterministic "frame sampling": `n` fixed-stride byte windows of
+    * `width` bytes, each fingerprinted — the real scan/chunk shape of
+    * a video frame sampler with the codec swapped for a hash.
+    * Windows are fingerprinted through the hex form (2 chars/byte) so
+    * any engine without blob-slicing built-ins reproduces them. */
+  def sampleChunks(bin: Column, n: Int = 4, width: Int = 16): Column = {
+    val hx = lower(hex(bin))
+    array((0 until n).map(i =>
+      md5(substring(hx, i * width * 2 + 1, width * 2))): _*)
+  }
+
+  /** STUB feature extractor: an `n`-dim double vector in [-1, 1)
+    * derived from seeded content hashes — deterministic across engines
+    * (what a real decoder+encoder would emit, shape-wise). Feeds
+    * directly into VectorFunctions/Similarity/Dedup.embeddingNearDups. */
+  def fakeEmbedding(bin: Column, n: Int = 8): Column =
+    array((0 until n).map(i =>
+      Sketch.md5Fraction(concat(lit(s"$i|"), lower(hex(bin)))) * 2.0 - 1.0): _*)
+
+  /** Full multimodal prep pipeline over a table with a binary payload:
+    * metadata + chunk fingerprints + stub features, flattened for easy
+    * downstream use. */
+  def prepare(df: DataFrame, id: String, binCol: String,
+      embedDim: Int = 8): DataFrame =
+    df.select(col(id), contentMeta(col(binCol)).as("meta"),
+        sampleChunks(col(binCol)).as("chunks"),
+        fakeEmbedding(col(binCol), embedDim).as("features"))
+      .select(col(id), col("meta.byte_len").as("byte_len"),
+        col("meta.format").as("format"),
+        col("meta.content_md5").as("content_md5"),
+        col("meta.head_hex").as("head_hex"),
+        col("chunks"), col("features"))
+}
