@@ -138,6 +138,56 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    "q_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      // customers with zero orders survive with n_orders = 0
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(c("c_custkey"), c("c_mktsegment"))
+        .agg(count(o("o_orderkey")).as("n_orders"),
+          coalesce(round(sum(o("o_totalprice")), 2), lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_full_outer" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("c_cnt"))
+      val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("s_cnt"))
+      cn.join(sn, Seq("nk"), "full")
+        .select(col("nk").cast("long").as("nationkey"),
+          coalesce(col("c_cnt"), lit(0L)).as("c_cnt"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"))
+        .orderBy("nationkey")
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY status, priority""".stripMargin)
+    }),
+
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer").where(col("c_custkey") <= 100)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_name"))), ",")
+            .as("names"))
+        .orderBy("c_mktsegment")),
+
+    "q_percentile" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")),
+
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -504,6 +554,43 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders)
         |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |  coalesce(round(sum(o_totalprice), 2), 0.0) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT CAST(coalesce(cn.nk, sn.nk) AS BIGINT) AS nationkey,
+        |  coalesce(c_cnt, 0) AS c_cnt, coalesce(s_cnt, 0) AS s_cnt
+        |FROM (SELECT c_nationkey AS nk, count(*) AS c_cnt
+        |      FROM customer GROUP BY c_nationkey) cn
+        |FULL JOIN (SELECT s_nationkey AS nk, count(*) AS s_cnt
+        |           FROM supplier GROUP BY s_nationkey) sn USING (nk)
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  array_to_string(list_sort(list(c_name)), ',') AS names
+        |FROM customer WHERE c_custkey <= 100
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT 'has_orders' AS kind, c_mktsegment, count(*) AS n FROM customer
