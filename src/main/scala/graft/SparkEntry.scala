@@ -319,6 +319,12 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // Type 7 -> SCD2 bridge: the table's full state-over-time as
+    // validity intervals, one snapshot per distinct effective time
+    "scd_history" -> ((s, dir) =>
+      ScdReader.historyText(s, t(s, dir, "customer"), CustomerLog)
+        .orderBy("valid_from_ms", "c_custkey")),
+
     "scd_merge_upsert" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val changed = c.where(col("c_custkey") % 10 === 0).select(
@@ -420,6 +426,13 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 10), 5,
+        nCentroids = 16, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -697,6 +710,21 @@ object SparkEntry {
          |FROM asof_dim JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "scd_history" ->
+      s"""WITH upd AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+         |         THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         |    c_mktsegment
+         |  FROM customer)
+         |SELECT *, CAST(0 AS BIGINT) AS valid_from_ms,
+         |  CAST(1717200000000 AS BIGINT) AS valid_to_ms FROM upd
+         |UNION ALL
+         |SELECT *, CAST(1717200000000 AS BIGINT) AS valid_from_ms,
+         |  CAST(NULL AS BIGINT) AS valid_to_ms FROM upd
+         |WHERE NOT coalesce(c_acctbal < 0, FALSE)
+         |ORDER BY valid_from_ms, c_custkey""".stripMargin,
+
     "scd_merge_upsert" ->
       """WITH staging AS (
         |  SELECT c_custkey, 'u:' || c_name AS c_name, c_nationkey,
@@ -963,6 +991,35 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
     },
+
+    "sim_ivf_topk" ->
+      s"""WITH $EmbCte,
+         |c AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+         |a AS (
+         |  SELECT neighbor_id, cv, cid FROM (
+         |    SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2),
+         |s AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(${cosSql("qv", "cv")}, 6) AS cosine
+         |  FROM a JOIN p USING (cid) WHERE query_id <> neighbor_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM s)
+         |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -51,6 +51,46 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into centroid cells,
+    * probe only the `nProbe` cells nearest each query.
+    *
+    * Centroids here are the `nCentroids` lowest-id vectors — a
+    * deterministic stand-in for the k-means step so the DuckDB oracle
+    * can replay cell assignment exactly; at production scale the
+    * centroid table comes from a sampled k-means job and everything
+    * downstream is unchanged.
+    *
+    * Plan shape (the part that matters at 100 TB): build = one narrow
+    * pass over the corpus against a BROADCAST centroid table (linear,
+    * no shuffle) + one hash shuffle on cell id; probe = per-query cell
+    * ranking against the same broadcast table, then a bucket-local
+    * equi-join — never a cross join against the corpus. Recall grows
+    * with `nProbe` (the standard IVF knob). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.orderBy(col(id)).limit(nCentroids)
+      .select(col(id).as("cid"), col(vecCol).as("cvec"))
+    def nearestCells(df: DataFrame, outId: String, outVec: String, n: Int) = {
+      val w = Window.partitionBy(outId)
+        .orderBy(col("__ccos").desc, col("cid"))
+      df.select(col(id).as(outId), col(vecCol).as(outVec))
+        .join(broadcast(cents), lit(true))
+        .withColumn("__ccos",
+          round(VectorFunctions.cosine(col(outVec), col("cvec")), 6))
+        .withColumn("__crn", row_number().over(w))
+        .where(col("__crn") <= n)
+        .select(col(outId), col(outVec), col("cid"))
+    }
+    val assigned = nearestCells(corpus, "neighbor_id", "cv", 1)
+    val probes = nearestCells(queries, "query_id", "qv", nProbe)
+    val scored = assigned.join(probes, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    topK(scored, k)
+  }
+
   /** rank by (cosine desc, neighbor_id) — the id tie-break keeps the
     * cut deterministic for the oracle compare */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -2,7 +2,7 @@ package graft.scd
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 
 import java.nio.charset.StandardCharsets
 
@@ -86,6 +86,48 @@ object ScdReader {
     val log = UpdatesParser.parse(logText, scdTime)
     if (errorSkipCompat) ScdCompiler.compat(base, log.statements)
     else ScdCompiler(base, log)
+  }
+
+  /** Full Type-7 HISTORY export: the table's state over time as SCD2
+    * validity intervals. The as-of view only changes at statement
+    * effective times, so history = one snapshot per distinct effective
+    * time (epoch first), each tagged [valid_from_ms, valid_to_ms) —
+    * the natural "Type 7 → SCD2" bridge (reference README.md:239-244
+    * pairs the raw log with materialized snapshots the same way).
+    *
+    * The union has one branch per DISTINCT statement time — statement
+    * logs are small (driver-parsed), so plan size stays O(#times); each
+    * branch is the usual narrow compiled replay over the same scan. */
+  def historyText(
+      spark: SparkSession,
+      base: DataFrame,
+      logText: String): DataFrame = {
+    val all = UpdatesParser.parse(logText, Long.MaxValue)
+    val times = (0L +: all.statements.map(_.timeMillis)).distinct.sorted
+    val snapshots = times.zipWithIndex.map { case (t, i) =>
+      val upTo = all.statements.filter(_.timeMillis <= t)
+      val validTo =
+        if (i + 1 < times.length) functions.lit(times(i + 1))
+        else functions.lit(null).cast("long")
+      ScdCompiler(base, upTo)
+        .withColumn("valid_from_ms", functions.lit(t))
+        .withColumn("valid_to_ms", validTo)
+    }
+    snapshots.reduce(_ unionByName _)
+  }
+
+  /** History export for a table directory (see [[historyText]]). */
+  def history(
+      spark: SparkSession,
+      dir: String,
+      format: String = "parquet"): DataFrame = {
+    val base = spark.read.format(format).load(dir)
+    readSidecar(spark, dir) match {
+      case None => base
+        .withColumn("valid_from_ms", functions.lit(0L))
+        .withColumn("valid_to_ms", functions.lit(null).cast("long"))
+      case Some(text) => historyText(spark, base, text)
+    }
   }
 
   /** Driver-side sidecar probe + read (tiny file; O2). */

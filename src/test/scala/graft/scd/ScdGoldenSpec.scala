@@ -95,6 +95,22 @@ class ScdGoldenSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 10)
   }
 
+  test("historyText: one interval per effective time, SCD2-shaped") {
+    val h = ScdReader.historyText(spark, doctorsDf, updates)
+    val rows = h.collect().map(r => (r.getAs[Long]("valid_from_ms"),
+      Option(r.getAs[java.lang.Long]("valid_to_ms")).map(_.toLong),
+      r.getAs[Int]("number"), r.getAs[String]("first_name")))
+    val deleteMs = 1409529600000L // 2014-09-01T00:00:00Z
+    val (epoch, current) = rows.partition(_._1 == 0L)
+    // interval [0, delete): UPDATE applied, Colin still present
+    assert(epoch.length == 11 && epoch.forall(_._2.contains(deleteMs)))
+    assert(epoch.exists(r => r._3 == 12 && r._4 == "Patrick"))
+    assert(epoch.exists(_._4 == "Colin"))
+    // interval [delete, inf): Colin gone, open-ended
+    assert(current.length == 10 && current.forall(_._2.isEmpty))
+    assert(!current.exists(_._4 == "Colin"))
+  }
+
   test("sequential composition: later statements see earlier updates") {
     val log =
       """UPDATE doctors SET number = 12 WHERE number = 2;
