@@ -370,6 +370,40 @@ object SparkEntry {
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
 
+    // deterministic train/val/test assignment by id-hash fraction —
+    // stable across runs, partitionings, and engines
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.splitAssign(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split")),
+
+    // salted skew-join: result-identical to the plain join (the oracle
+    // IS the plain join), hot probe keys spread over nSalt tasks
+    "q_salted_join" -> ((s, dir) => {
+      val probe = t(s, dir, "orders")
+        .withColumnRenamed("o_custkey", "c_custkey")
+      val joined = SkewJoin.saltedJoin(probe,
+        t(s, dir, "customer"), "c_custkey", "o_orderkey", nSalt = 8)
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // per-group above-average filter (scalar-subquery shape via window)
+    "q_above_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment")
+      t(s, dir, "customer")
+        .withColumn("seg_avg", round(avg(col("c_acctbal")).over(w), 4))
+        .where(col("c_acctbal") > col("seg_avg"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("seg_avg"))
+        .orderBy("c_custkey")
+    }),
+
     // ---- text analysis over documents ---------------------------------
     "text_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(t(s, dir, "documents")).orderBy("doc_id")),
@@ -789,6 +823,32 @@ object SparkEntry {
         |  round((max(us) - min(us)) / 1e6, 3) AS duration_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_split_assign" -> {
+      // thresholds as the SAME left-assoc cumulative sums the operator
+      // computes, so double representations agree exactly
+      s"""WITH f AS (
+         |  SELECT doc_id, ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS frac
+         |  FROM documents)
+         |SELECT CASE WHEN frac < 0.8 THEN 'train'
+         |            WHEN frac < 0.8 + 0.1 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM f GROUP BY 1 ORDER BY split""".stripMargin
+    },
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal, seg_avg FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    round(avg(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg
+        |  FROM customer)
+        |WHERE c_acctbal > seg_avg ORDER BY c_custkey""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (

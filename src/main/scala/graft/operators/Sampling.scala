@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic sampling / split assignment for training-data
+  * pipelines. Spark's `sample()` is seed-stable only per partitioning;
+  * these operators hash ROW IDENTITY instead, so membership is stable
+  * across runs, repartitions, engines, and incremental reprocessing —
+  * the property a train/val/test split must have. Pure per-row
+  * expressions: narrow, codegen'd, shuffle-free. */
+object Sampling {
+
+  /** Keep rows whose md5-fraction of `idCol` falls below `p` — a
+    * deterministic Bernoulli sample (same rows every run, any engine). */
+  def hashSample(df: DataFrame, idCol: Column, p: Double): DataFrame =
+    df.where(Sketch.md5Fraction(idCol) < p)
+
+  /** Assign each row to a named split by cumulative weight over the
+    * id-hash fraction (e.g. train/val/test 0.8/0.1/0.1). Weights must
+    * sum to 1; the last split absorbs the boundary. */
+  def splitColumn(idCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val frac = Sketch.md5Fraction(idCol)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum.init)
+      .foldRight(lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+        when(frac < hi, name).otherwise(acc)
+      }
+  }
+
+  /** `df` plus a `split` column (see [[splitColumn]]). */
+  def splitAssign(df: DataFrame, idCol: Column,
+      splits: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", splitColumn(idCol, splits))
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salting for skewed equi-joins. AQE's skew-join split handles most
+  * cases at runtime; explicit salting remains the tool when one build
+  * key is hot enough that even split shuffle partitions overwhelm a
+  * task (the classic power-law dimension key at 100 TB).
+  *
+  * Mechanics: replicate the build side `nSalt` times with a salt
+  * column; give each probe row ONE deterministic salt from a
+  * probe-side column hash; join on (key, salt). Every probe row meets
+  * exactly one replica of its key's build rows, so the result is
+  * row-identical to the unsalted join while the hot key's probe rows
+  * spread over `nSalt` tasks. */
+object SkewJoin {
+
+  /** @param probe        the large/skewed side
+    * @param build        the side that gets replicated (small, e.g. a
+    *                     dimension) — its per-key rows appear once per
+    *                     salt value
+    * @param key          equi-join column on both sides
+    * @param probeSaltCol probe column whose hash spreads the hot key's
+    *                     rows (a unique id gives a uniform spread)
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      probeSaltCol: String, nSalt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(nSalt > 0, s"nSalt must be positive: $nSalt")
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until nSalt).map(lit): _*)))
+    val salted = probe.withColumn("__salt",
+      pmod(crc32(col(probeSaltCol).cast("string")), lit(nSalt)).cast("int"))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}
