@@ -65,6 +65,53 @@ object Multimodal {
     array((0 until n).map(i =>
       Sketch.md5Fraction(concat(lit(s"$i|"), lower(hex(bin)))) * 2.0 - 1.0): _*)
 
+  /** Batched decode plumbing — the Spark-side shape of a real media
+    * decoder (the analogue of a vectorized/batched UDF): one decoder
+    * instance per PARTITION (codecs are expensive to construct),
+    * records streamed through it lazily, output schema declared up
+    * front. The decode itself is injectable and DEFAULTS TO A STUB —
+    * a deterministic fake emitting (width, height, n_frames) from the
+    * payload hash, standing in for the native codec this environment
+    * doesn't ship. Partition sizing governs decoder memory: tune
+    * `spark.sql.files.maxPartitionBytes` so one partition of payloads
+    * fits an executor core.
+    *
+    * Output: id, byte_len, width, height, n_frames. */
+  def decodeBatched(df: DataFrame, id: String, binCol: String,
+      decoder: Array[Byte] => (Int, Int, Int) = stubDecode)
+      : DataFrame = {
+    val session = df.sparkSession
+    val inSchema = df.select(col(id), col(binCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.head,
+      org.apache.spark.sql.types.StructField("byte_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_frames",
+        org.apache.spark.sql.types.IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      // per-partition decoder setup happens HERE (once), not per row
+      val decode = decoder
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, f) = decode(payload)
+        org.apache.spark.sql.Row(r.get(0), payload.length.toLong, w, h, f)
+      }
+    }(enc)
+  }
+
+  /** STUB decoder: deterministic dimensions from the payload's bytes —
+    * replace with the real codec binding in production. */
+  def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(payload)
+    (640 + math.abs(h % 4) * 160, 360 + math.abs(h / 4 % 4) * 90,
+      1 + math.abs(h / 16 % 300))
+  }
+
   /** Full multimodal prep pipeline over a table with a binary payload:
     * metadata + chunk fingerprints + stub features, flattened for easy
     * downstream use. */

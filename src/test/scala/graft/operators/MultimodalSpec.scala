@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing specs: real BinaryType round-trip, magic-byte
+  * sniffing on actual file signatures, and the batched decode shape. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)
+  private val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 9, 9)
+  private val other = "just text bytes".getBytes("UTF-8")
+
+  private def bins = Seq((1L, png), (2L, jpeg), (3L, other))
+    .toDF("id", "payload")
+
+  test("sniffFormat recognizes real magic bytes on BinaryType") {
+    val got = bins.select(col("id"),
+      Multimodal.sniffFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "png", 2L -> "jpeg", 3L -> "unknown"))
+  }
+
+  test("contentMeta emits typed metadata struct") {
+    val m = bins.where(col("id") === 1)
+      .select(Multimodal.contentMeta(col("payload")).as("m"))
+      .select("m.byte_len", "m.format", "m.head_hex").collect().head
+    assert(m.getLong(0) == 10L)
+    assert(m.getString(1) == "png")
+    assert(m.getString(2) == "89504e470d0a1a0a")
+  }
+
+  test("decodeBatched: per-partition decoder, declared schema, stub output") {
+    val out = Multimodal.decodeBatched(bins.repartition(2), "id", "payload")
+    assert(out.schema.fieldNames.toSeq ==
+      Seq("id", "byte_len", "width", "height", "n_frames"))
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L)._1 == 10L)
+    // deterministic: same payload, same stub dimensions every run
+    val again = Multimodal.decodeBatched(bins, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(again == rows)
+    // injectable decoder: swap the codec without touching the plumbing
+    val fixed = Multimodal.decodeBatched(bins, "id", "payload",
+      _ => (1, 2, 3)).select("width", "height", "n_frames")
+      .distinct().collect()
+    assert(fixed.length == 1 && fixed.head.getInt(0) == 1)
+  }
+
+  test("fakeEmbedding feeds the vector operators") {
+    val e = bins.select(col("id").as("vec_id"),
+      Multimodal.fakeEmbedding(col("payload"), 8).as("embedding"))
+    val norms = e.select(
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(norms.forall(n => n > 0 && n < math.sqrt(8.0) + 1e-9))
+  }
+}
