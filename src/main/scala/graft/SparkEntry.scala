@@ -972,15 +972,16 @@ object SparkEntry {
         s"($spread)[instr('0123456789abcdef', substr(h, ${d + 1}, 1))] AS p$d")
         .mkString(",\n    ")
       val sumCols = (0 until 16).map(d => s"sum(p$d) AS s$d").mkString(", ")
-      val bitsConcat = (0 until 64).map(b =>
-        s"(CASE WHEN ((s${b / 4} >> ${16 * (b % 4)}) & 65535) * 2 >= n THEN '1' ELSE '0' END)")
-        .mkString(" || ")
+      // signed-long packed signature: bit b -> long bit 63-b; the MSB
+      // weight is Long.MinValue (rendered overflow-safely)
+      val packedSig = (0 until 64).map { b =>
+        val w = if (b == 0) "(-9223372036854775807 - 1)"
+          else (1L << (63 - b)).toString
+        s"(CASE WHEN ((s${b / 4} >> ${16 * (b % 4)}) & 65535) * 2 >= n THEN $w ELSE 0 END)"
+      }.mkString(" + ")
       val banded = (0 until 4).map(b =>
-        s"SELECT doc_id, simhash, $b AS band, substr(simhash, ${b * 16 + 1}, 16) AS bkey FROM sh2")
+        s"SELECT doc_id, simhash, $b AS band, ((simhash >> ${64 - 16 * (b + 1)}) & 65535) AS bkey FROM sh2")
         .mkString("\n  UNION ALL ")
-      val hammingExpr = (1 to 64).map(i =>
-        s"(CASE WHEN substr(sh_a, $i, 1) <> substr(sh_b, $i, 1) THEN 1 ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
          |  FROM documents),
@@ -991,16 +992,15 @@ object SparkEntry {
          |  FROM th),
          |sums AS (
          |  SELECT doc_id, count(*) AS n, $sumCols FROM pk GROUP BY doc_id),
-         |sh2 AS (SELECT doc_id, $bitsConcat AS simhash FROM sums),
+         |sh2 AS (SELECT doc_id, $packedSig AS simhash FROM sums),
          |banded AS (
          |  $banded),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sh_a,
-         |    b.doc_id AS id_b, b.simhash AS sh_b
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT id_a, id_b, CAST($hammingExpr AS BIGINT) AS hamming FROM cand)
+         |SELECT id_a, id_b, hamming FROM cand
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
     },
 

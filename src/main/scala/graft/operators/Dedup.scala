@@ -209,56 +209,60 @@ object Dedup {
     val sums = packed.groupBy(col(id)).agg(
       count(lit(1)).as("n"),
       (0 until nDigits).map(d => sum(col(s"p$d")).as(s"s$d")): _*)
-    // bit b lives in lane k = b%4 of digit b/4; majority: 2*ones >= n
+    // bit b lives in lane k = b%4 of digit b/4; majority: 2*ones >= n.
+    // The signature packs into ONE signed long (simhash bit b = long
+    // bit 63-b; b=0 contributes Long.MinValue — engines with checked
+    // shifts reject 1<<63): an 8-byte join/shuffle payload instead of a
+    // 64-char string, with XOR+popcount Hamming.
     def ones(b: Int): Column =
       shiftright(col(s"s${b / 4}"), 16 * (b % 4)).bitwiseAND(65535L)
-    sums.select(col(id),
-      concat((0 until bits).map(b =>
-        when(ones(b) * 2 >= col("n"), "1").otherwise("0")): _*).as("simhash"))
+    val packedSig = (0 until bits).map { b =>
+      val weight = if (b == 0 && bits == 64) Long.MinValue else 1L << (bits - 1 - b)
+      when(ones(b) * 2 >= col("n"), lit(weight)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(id), packedSig.as("simhash"))
   }
 
-  /** Hamming distance between equal-length bit strings. */
-  def hamming(a: Column, b: Column, bits: Int): Column =
-    (0 until bits).map(i =>
-      when(substring(a, i + 1, 1) =!= substring(b, i + 1, 1), 1).otherwise(0))
-      .reduce(_ + _)
+  /** Hamming distance between packed signature longs: XOR + popcount. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
-    * banding the bit string (pigeonhole over maxDist+1 bands). With the
-    * 64-bit default, band keys are 16 bits wide; `maxBucket` drops
-    * degenerate buckets (same skew guard as `lshCandidates` — a k-doc
-    * bucket costs k² pairs at scale). */
+    * banding the signature (pigeonhole over maxDist+1 bands). With the
+    * 64-bit default, band keys are 16-bit slices of the packed long;
+    * `maxBucket` drops degenerate buckets (same skew guard as
+    * `lshCandidates` — a k-doc bucket costs k² pairs at scale). The
+    * whole candidate pipeline ships only (id, long) pairs. */
   def simhashPairs(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", bits: Int = 64,
       maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val bands = maxDist + 1
     val width = bits / bands
     val sh = simHash(docs, id, textCol, bits)
-    // candidate join + distinct carry ONLY the id pair — shipping the
-    // two 64-char signatures through the shuffle measured ~10x slower;
-    // signatures rejoin afterwards against the small per-doc table
-    val banded = sh.select(col(id),
+    // band i = bit slice [bits-width*(i+1), bits-width*i): arithmetic
+    // shift is fine — the mask keeps only the slice's bits
+    def bkeyOf(sig: Column, i: Int): Column =
+      shiftright(sig, bits - width * (i + 1)).bitwiseAND((1L << width) - 1)
+    val banded = sh.select(col(id), col("simhash").as("sh"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          substring(col("simhash"), b * width + 1, width).as("bkey"))): _*))
+        struct(lit(b).as("band"), bkeyOf(col("simhash"), b).as("bkey"))): _*))
         .as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .select(col(id), col("sh"), col("bk.band").as("band"),
+        col("bk.bkey").as("bkey"))
     val pruned = banded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "bkey")))
       .where(col("bucket_n") <= maxBucket)
-    val l = pruned.select(col("band"), col("bkey"), col(id).as("id_a"))
-    val r = pruned.select(col("band"), col("bkey"), col(id).as("id_b"))
-    val pairs = l.join(r, Seq("band", "bkey"))
+    val l = pruned.select(col("band"), col("bkey"), col(id).as("id_a"),
+      col("sh").as("sh_a"))
+    val r = pruned.select(col("band"), col("bkey"), col(id).as("id_b"),
+      col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    pairs
-      .join(sh.select(col(id).as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col(id).as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b"), bits).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .distinct()
       .where(col("hamming") <= maxDist)
-      .select("id_a", "id_b", "hamming")
   }
 
   /** Embedding-cosine near-duplicate pairs. The DEFAULT blocking key is

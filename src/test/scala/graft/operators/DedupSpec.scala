@@ -60,12 +60,14 @@ class DedupSpec extends SparkSpec {
     assert(!byPair.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
-  test("simHash is 64 '0'/'1' chars and deterministic") {
+  test("simHash packs to a long, deterministic, equal for identical docs") {
     val hs = Dedup.simHash(docs).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(hs.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hs(1L) == hs(3L)) // identical docs, identical signature
     assert(hs(1L) != hs(4L))
+    val again = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == hs)
   }
 
   test("embeddingNearDups with default sign-LSH blocking finds near vectors") {
