@@ -156,7 +156,12 @@ object ScdReader {
       outDir: String,
       format: String = "parquet",
       outFormat: String = "parquet",
-      asOf: Option[String] = None): Unit =
-    read(spark, dir, format, asOf = asOf)
-      .write.mode("overwrite").format(outFormat).save(outDir)
+      asOf: Option[String] = None): Unit = {
+    val view = read(spark, dir, format, asOf = asOf)
+    if (outFormat.equalsIgnoreCase("avro"))
+      // reference-format round-trip (Avro dir in, compacted Avro dir out)
+      graft.sources.AvroSource.write(view, outDir)
+    else
+      view.write.mode("overwrite").format(outFormat).save(outDir)
+  }
 }

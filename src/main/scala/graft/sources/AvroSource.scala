@@ -91,6 +91,70 @@ object AvroSource {
     } finally in.close()
   }
 
+  /** Write a DataFrame as an Avro container-file directory via
+    * `AvroKeyOutputFormat` — the reverse bridge, so `ScdReader.compact`
+    * can round-trip a reference-format (Avro) table dir. Distributed:
+    * each task writes its partition's container file. */
+  def write(df: DataFrame, path: String,
+      recordName: String = "record"): Unit = {
+    val avroSchema = toAvroSchema(df.schema, recordName)
+    val schemaJson = avroSchema.toString
+    val conf = new org.apache.hadoop.conf.Configuration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    conf.set("avro.schema.output.key", schemaJson)
+    val fields = df.schema.fields
+    df.rdd.mapPartitions { rows =>
+      // schema re-parsed per partition (Schema isn't serializable-safe
+      // across all avro versions); records built positionally
+      val schema = new Schema.Parser().parse(schemaJson)
+      rows.map { row =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        var i = 0
+        while (i < fields.length) {
+          rec.put(i, toAvro(row.get(i)))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(path,
+      classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+      classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[GenericRecord]],
+      conf)
+  }
+
+  /** Spark StructType → Avro record schema (reverse of the §1.2 map;
+    * nullable fields become [null, T] unions). */
+  def toAvroSchema(st: StructType, recordName: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = f.dataType match {
+        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+        case IntegerType => Schema.create(Schema.Type.INT)
+        case LongType => Schema.create(Schema.Type.LONG)
+        case FloatType => Schema.create(Schema.Type.FLOAT)
+        case DoubleType => Schema.create(Schema.Type.DOUBLE)
+        case StringType => Schema.create(Schema.Type.STRING)
+        case BinaryType => Schema.create(Schema.Type.BYTES)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported Spark type for Avro write: $other")
+      }
+      val sch =
+        if (f.nullable)
+          Schema.createUnion(java.util.Arrays.asList(
+            Schema.create(Schema.Type.NULL), base))
+        else base
+      new Schema.Field(f.name, sch, null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, "graft.avro", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  /** Spark external row value → Avro runtime value. */
+  private def toAvro(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case other => other // String/Int/Long/Float/Double/Boolean/null as-is
+  }
+
   /** Avro schema → Spark StructType (SURVEY.md §1.2 map). */
   def toStructType(s: Schema): StructType = {
     require(s.getType == Schema.Type.RECORD,

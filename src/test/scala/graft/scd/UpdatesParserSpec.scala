@@ -123,4 +123,20 @@ class UpdatesParserSpec extends AnyFunSuite {
     assert(ScdTime.parse("2014-09-01T12:30", 0L) == 1409529600000L + (12 * 3600 + 30 * 60) * 1000L)
     assert(ScdTime.parse("2014-09-01T12:30:15", 0L) == 1409529600000L + (12 * 3600 + 30 * 60 + 15) * 1000L)
   }
+
+  test("ScdTime accepts Joda dateOptionalTimeParser forms (ADVICE r01)") {
+    val noon = 1409529600000L + 12 * 3600 * 1000L
+    // hour-only time
+    assert(ScdTime.parse("2014-09-01T12", 0L) == noon)
+    // fractional seconds, 1..6+ digits
+    assert(ScdTime.parse("2014-09-01T12:00:00.5", 0L) == noon + 500L)
+    assert(ScdTime.parse("2014-09-01T12:00:00.123456", 0L) == noon + 123L)
+    // offset forms: +HH:MM, +HHMM, +HH, Z
+    assert(ScdTime.parse("2014-09-01T12:00:00+02:00", 0L) == noon - 2 * 3600 * 1000L)
+    assert(ScdTime.parse("2014-09-01T12:00:00+0200", 0L) == noon - 2 * 3600 * 1000L)
+    assert(ScdTime.parse("2014-09-01T12:00:00+02", 0L) == noon - 2 * 3600 * 1000L)
+    assert(ScdTime.parse("2014-09-01T12:00:00Z", 0L) == noon)
+    assert(ScdTime.parse("2014-09-01T12:00:00-05:30", 0L) ==
+      noon + (5 * 3600 + 30 * 60) * 1000L)
+  }
 }

@@ -179,6 +179,18 @@ class UpdatesPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: compat error policy ≡ default when no expression errors") {
+    forAll(Gen.zip(genRows, genIntLog), n = 10) { case (rows, stmts) =>
+      val df = spark.createDataFrame(
+        rows.map { case (a, b) => Row(a, b) }.asJava, schema)
+      val dflt = ScdCompiler(df, stmts).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+      val compat = ScdCompiler.compat(df, stmts).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq.sorted
+      assert(compat == dflt)
+    }
+  }
+
   test("property: empty log is identity; unconditional DELETE empties") {
     forAll(genRows, n = 8) { rows =>
       val df = spark.createDataFrame(

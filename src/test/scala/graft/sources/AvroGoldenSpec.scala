@@ -91,4 +91,19 @@ class AvroGoldenSpec extends SparkSpec {
     val base = AvroSource.read(spark, tableDir, Some(readerSchema))
     assert(ScdReader.applyLogText(spark, base, log, None).count() == 0)
   }
+
+  test("avro-to-avro compaction round-trips the as-of view (reference format)") {
+    val out = Files.createTempDirectory("avrocompact").toString + "/snap"
+    // compact the avro dir's as-of view back INTO avro
+    val view = ScdReader.read(spark, tableDir, format = "avro",
+      options = Map("avroSchema" -> readerSchema))
+    AvroSource.write(view, out, recordName = "doctors")
+    val reread = AvroSource.read(spark, out).collect()
+      .map(r => (r.getAs[Int]("number"), r.getAs[String]("first_name"),
+        r.getAs[String]("last_name"), r.getAs[String]("extra_field")))
+      .toSet
+    val expected = rawSet - ((6, "Colin", "Baker", d)) -
+      ((2, "Patrick", "Troughton", d)) + ((12, "Patrick", "Troughton", d))
+    assert(reread == expected)
+  }
 }
