@@ -53,6 +53,15 @@ object SparkEntry {
       |DELETE FROM customer WHERE c_acctbal < 0;
       |""".stripMargin
 
+  /** A 3-statement log where every later statement depends on an
+    * earlier statement's output — the sequential-composition contract
+    * (SURVEY §7.4.1) as a driver-checked query, not just an sbt test. */
+  val SequentialLog: String =
+    """UPDATE customer SET c_acctbal = c_acctbal * 2 WHERE c_mktsegment = 'MACHINERY';
+      |UPDATE customer SET c_mktsegment = 'MACH-HI' WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000;
+      |DELETE FROM customer WHERE c_mktsegment = 'MACH-HI' AND c_acctbal < 12000;
+      |""".stripMargin
+
   private def asOfCustomer(s: SparkSession, dir: String,
       asOf: Option[String]): DataFrame =
     ScdReader.applyLogText(s, t(s, dir, "customer"), CustomerLog, asOf)
@@ -319,6 +328,12 @@ object SparkEntry {
       s.read.parquet(out).orderBy("c_custkey")
     }),
 
+    // sequential composition: stmt 2 tests stmt 1's doubled balance,
+    // stmt 3 tests stmt 2's rewritten segment
+    "scd_sequential" -> ((s, dir) =>
+      ScdReader.applyLogText(s, t(s, dir, "customer"), SequentialLog, None)
+        .orderBy("c_custkey")),
+
     // Type 7 -> SCD2 bridge: the table's full state-over-time as
     // validity intervals, one snapshot per distinct effective time
     "scd_history" -> ((s, dir) =>
@@ -413,6 +428,14 @@ object SparkEntry {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // corpus-level n-gram document frequency (top-k bigrams)
+    "q_top_ngrams" -> ((s, dir) =>
+      Dedup.shingles(t(s, dir, "documents"), w = 2)
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("shingle"))
+        .limit(20)),
 
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -744,6 +767,22 @@ object SparkEntry {
          |FROM asof_dim JOIN orders ON c_custkey = o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "scd_sequential" ->
+      """WITH s1 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN coalesce(c_mktsegment = 'MACHINERY', FALSE)
+        |         THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |s2 AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    CASE WHEN coalesce(c_mktsegment = 'MACHINERY' AND c_acctbal > 9000, FALSE)
+        |         THEN 'MACH-HI' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM s1)
+        |SELECT * FROM s2
+        |WHERE NOT coalesce(c_mktsegment = 'MACH-HI' AND c_acctbal < 12000, FALSE)
+        |ORDER BY c_custkey""".stripMargin,
+
     "scd_history" ->
       s"""WITH upd AS (
          |  SELECT c_custkey, c_name, c_nationkey,
@@ -917,6 +956,17 @@ object SparkEntry {
          |    + least(ttr * 2.0, 1.0) * 0.2, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS s
+        |  FROM toks)
+        |SELECT s AS shingle, count(*) AS n_docs FROM sh
+        |GROUP BY s ORDER BY n_docs DESC, shingle LIMIT 20""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
