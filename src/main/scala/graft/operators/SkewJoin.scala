@@ -28,6 +28,12 @@ object SkewJoin {
       probeSaltCol: String, nSalt: Int,
       joinType: String = "inner"): DataFrame = {
     require(nSalt > 0, s"nSalt must be positive: $nSalt")
+    // build-preserving join types are UNSOUND under salting: an
+    // unmatched build row would surface once per salt replica
+    val ok = Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti", "cross")
+    require(ok.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports probe-preserving join types only, got $joinType")
     val replicated = build.withColumn("__salt",
       explode(array((0 until nSalt).map(lit): _*)))
     val salted = probe.withColumn("__salt",
