@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** As-of join semantics, including the NULL-payload case the round-1
+  * per-column carry got wrong (ADVICE r01): a matched right row whose
+  * attached column is genuinely NULL must yield NULL, not resurrect an
+  * older row's value. */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("latest right row at or before left time attaches; ties prefer right") {
+    val left = Seq((1L, 100L, "e1"), (1L, 200L, "e2"), (2L, 50L, "e3"))
+      .toDF("k", "t", "eid")
+    val right = Seq((1L, 100L, "r-a", "x1"), (1L, 150L, "r-b", "x2"),
+      (2L, 60L, "r-c", "x3")).toDF("k", "t", "v", "eid")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "t",
+      Seq(("v", "asof_v")), "eid")
+      .collect().map(r => (r.getString(2), r.getString(3))).toMap
+    // e1 at t=100: right r-a AT t=100 already visible (<=)
+    // e2 at t=200: latest is r-b (150)
+    // e3 at t=50: no right row precedes -> NULL
+    assert(got == Map("e1" -> "r-a", "e2" -> "r-b", "e3" -> null))
+  }
+
+  test("NULL payload in the matched right row survives (no resurrection)") {
+    val left = Seq((1L, 300L, "probe")).toDF("k", "t", "eid")
+    val right = Seq((1L, 100L, Some("old"), "x1"),
+      (1L, 200L, Option.empty[String], "x2")).toDF("k", "t", "v", "eid")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "t",
+      Seq(("v", "asof_v")), "eid").collect().head
+    // the as-of match is the t=200 row whose payload IS NULL — the
+    // old value "old" must not leak through
+    assert(got.getString(2) == "probe" || got.getString(0) == "probe")
+    assert(got.isNullAt(got.fieldIndex("asof_v")))
+  }
+
+  test("multiple attached columns travel together from the same row") {
+    val left = Seq((1L, 300L, "p")).toDF("k", "t", "eid")
+    val right = Seq((1L, 100L, "a1", 10, "x1"), (1L, 200L, "a2", 20, "x2"))
+      .toDF("k", "t", "s", "n", "eid")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "t",
+      Seq(("s", "asof_s"), ("n", "asof_n")), "eid").collect().head
+    // both columns must come from the SAME (t=200) row
+    assert(got.getString(got.fieldIndex("asof_s")) == "a2")
+    assert(got.getInt(got.fieldIndex("asof_n")) == 20)
+  }
+}
