@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate, accumulated in double. */
+  /** Σ aᵢ·bᵢ — a native codegen'd Expression (the higher-order
+    * `aggregate(zip_with(...))` formulation is CodegenFallback, i.e.
+    * interpreted per element — too slow for the ANN hot loops; see
+    * [[graft.functions.expressions.DotProduct]]). Identical semantics
+    * and bit-identical results to [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.dotProduct(a, b)
+
+  /** The declarative higher-order formulation — kept as the reference
+    * implementation (and the shape the DuckDB oracle mirrors with
+    * `list_dot_product`). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)

@@ -29,4 +29,10 @@ object CatalystBridge {
 
   /** `c`'s value, or NULL if evaluation raises. */
   def safeValue(c: Column): Column = tryStruct(c).getField("v")
+
+  /** Native codegen'd Σ aᵢ·bᵢ (see graft.functions.expressions
+    * [[graft.functions.expressions.DotProduct]]). */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
