@@ -381,6 +381,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // batch tumbling windows over event time (epoch-µs bucket math —
+    // engine-portable; the streaming variant is ScdStream.eventCountsPerWindow)
+    "q_event_buckets" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(expr("ts_us div 3600000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("hour_bucket", "event_type")),
+
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
@@ -483,6 +493,15 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, bits = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // all Hamming-1 neighbor buckets probed too: recall approaches
+      // brute force while the corpus still joins bucket-locally
+      Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, bits = 8,
+        probes = 9)
         .orderBy("query_id", "rank")
     }),
 
@@ -846,6 +865,12 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_us, click_id FROM w WHERE side = 1
         |ORDER BY event_id""".stripMargin,
 
+    "q_event_buckets" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, user_id FROM events)
+        |SELECT us // 3600000000 AS hour_bucket, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM e GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |f AS (
@@ -1089,6 +1114,35 @@ object SparkEntry {
       s"""WITH $EmbCte,
          |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e),
          |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 10),
+         |s AS (
+         |  SELECT query_id, eb.vec_id AS neighbor_id,
+         |    round(${cosSql("qv", "eb.v")}, 6) AS cosine
+         |  FROM q JOIN eb USING (bucket) WHERE eb.vec_id <> q.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM s)
+         |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "sim_lsh_multiprobe" -> {
+      val bucket = (1 to 8).map(i =>
+        s"(CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      val probeSelects = (0 until 9).map {
+        case 0 => "SELECT query_id, qv, bucket FROM q0"
+        case i =>
+          val flip = s"substr(bucket, 1, ${i - 1}) || " +
+            s"(CASE WHEN substr(bucket, $i, 1) = '1' THEN '0' ELSE '1' END)" +
+            s" || substr(bucket, ${i + 1}, ${8 - i})"
+          s"SELECT query_id, qv, $flip AS bucket FROM q0"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $EmbCte,
+         |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+         |q0 AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 10),
+         |q AS (
+         |  $probeSelects),
          |s AS (
          |  SELECT query_id, eb.vec_id AS neighbor_id,
          |    round(${cosSql("qv", "eb.v")}, 6) AS cosine

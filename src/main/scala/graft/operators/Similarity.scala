@@ -36,12 +36,30 @@ object Similarity {
   /** Bucketed ANN: candidates = corpus vectors in the query's sign
     * bucket. Same output shape as bruteForceTopK; recall < 1 by
     * construction (bucket boundaries), which is the documented
-    * trade-off. */
+    * trade-off.
+    *
+    * `probes` is the multi-probe knob: 1 searches only the query's own
+    * bucket; `1 + bits` additionally probes every Hamming-1 neighbor
+    * bucket (each leading sign flipped once) — the standard multi-probe
+    * LSH recall/cost trade, still one equi-join (the query side just
+    * explodes `probes` rows per query; the CORPUS is never
+    * replicated). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 8, id: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= 1 + bits,
+      s"probes must be in [1, ${1 + bits}]: $probes")
+    val own = VectorFunctions.signBucket(col(vecCol), bits)
+    // probe i>0 flips sign-bit i-1 of the query's own bucket
+    val probeBuckets = array((0 until probes).map {
+      case 0 => own
+      case i => concat(
+        substring(own, 1, i - 1),
+        when(substring(own, i, 1) === "1", "0").otherwise("1"),
+        substring(own, i + 1, bits - i))
+    }: _*)
     val q = queries.select(col(id).as("query_id"), col(vecCol).as("qv"),
-      VectorFunctions.signBucket(col(vecCol), bits).as("bucket"))
+      explode(probeBuckets).as("bucket"))
     val c = corpus.select(col(id).as("neighbor_id"), col(vecCol).as("cv"),
       VectorFunctions.signBucket(col(vecCol), bits).as("bucket"))
     val scored = c.join(q, Seq("bucket"))
