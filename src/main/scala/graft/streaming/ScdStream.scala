@@ -90,6 +90,47 @@ object ScdStream {
     pruneVersions(spark, snapshotDir, keep = batchId)
   }
 
+  /** Streaming DML sink: statement lines arriving as a stream are
+    * appended to the table directory's `.updates` sidecar — the
+    * continuous-ingest face of the Type-7 abstraction (the log IS the
+    * stream; batch `ScdReader.read` immediately sees each new
+    * statement at its next invocation). Lines are validated by the
+    * parser BEFORE appending — a malformed statement fails the batch
+    * rather than poisoning the sidecar. The log is tiny by design, so
+    * the driver-side append is not a scale concern; `textCol` is the
+    * statement-line column. */
+  def dmlSink(lines: org.apache.spark.sql.Dataset[Row], textCol: String,
+      tableDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    lines.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stmts = batch.select(col(textCol)).collect().map(_.getString(0))
+        if (stmts.nonEmpty) appendStatements(batch.sparkSession, tableDir, stmts)
+      }
+
+  /** Validate + append statement lines to `dir/.updates` (atomic-ish:
+    * write whole new content to a temp sidecar, then rename). */
+  def appendStatements(spark: SparkSession, tableDir: String,
+      stmtLines: Seq[String]): Unit = {
+    val addition = stmtLines.mkString("", "\n", "\n")
+    val existing = graft.scd.ScdReader.readSidecar(spark, tableDir)
+      .getOrElse("")
+    val combined = existing + addition
+    // parse the WHOLE prospective log at an all-inclusive time: throws
+    // on malformed/incomplete/mixed-table input before anything lands
+    graft.scd.UpdatesParser.parse(combined, Long.MaxValue)
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tableDir, s".updates.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(combined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(tableDir, graft.scd.ScdReader.SidecarName)
+    fs.delete(target, false)
+    fs.rename(tmp, target)
+  }
+
   /** The newest committed snapshot version, if any. */
   def latestSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
     listVersions(spark, snapshotDir).sorted.lastOption.map(v =>

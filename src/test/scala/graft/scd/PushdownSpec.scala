@@ -53,4 +53,20 @@ class PushdownSpec extends SparkSpec {
     // "*(n)" prefixes mark whole-stage-codegen stages in toString
     assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
   }
+
+  test("partition pruning reaches PartitionFilters through the SCD view") {
+    val pdir = Files.createTempDirectory("scdpart").toString
+    (1 to 100).map(i => (i.toLong, i * 10.0, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "bal", "seg")
+      .write.mode("overwrite").partitionBy("seg").parquet(pdir)
+    Files.writeString(java.nio.file.Paths.get(pdir, ScdReader.SidecarName),
+      "UPDATE t SET bal = bal + 5 WHERE id > 50;\n")
+    val plan = planOf(ScdReader.read(spark, pdir).where(col("seg") === "A"))
+    assert(plan.contains("PartitionFilters: [isnotnull(seg"),
+      s"partition filter not pruned:\n$plan")
+    // only the A partition's rows survive, updates still applied
+    val rows = ScdReader.read(spark, pdir).where(col("seg") === "A").collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Long]("id") % 2 == 0))
+  }
 }

@@ -81,6 +81,34 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dmlSink — streamed DML lines land in the sidecar; reads see them") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.scd.ScdReader
+    val dir = Files.createTempDirectory("dmlsink").toString
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val ckpt = Files.createTempDirectory("dmlckpt").toString
+    val ms = MemoryStream[String]
+    val q = ScdStream.dmlSink(ms.toDF().toDF("stmt"), "stmt", dir, ckpt).start()
+    try {
+      ms.addData("UPDATE t SET v = 'upd' WHERE k = 2;")
+      q.processAllAvailable()
+      val afterOne = ScdReader.read(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(afterOne == Set((1, "x"), (2, "upd"), (3, "z")))
+      ms.addData("DELETE FROM t WHERE k = 1;")
+      q.processAllAvailable()
+      val afterTwo = ScdReader.read(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(afterTwo == Set((2, "upd"), (3, "z")))
+      // malformed DML must fail the batch, not poison the sidecar
+      ms.addData("DROP TABLE t;")
+      intercept[Exception](q.processAllAvailable())
+      assert(ScdReader.read(spark, dir).count() == 2)
+    } finally q.stop()
+  }
+
   test("upsertSink — foreachBatch maintains a parquet snapshot across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
