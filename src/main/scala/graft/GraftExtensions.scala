@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point: makes graft's native functions
+  * available to plain SQL. Usage:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)          // builder-time
+  * // or on an existing session:
+  * GraftExtensions.register(spark)                  // imperative
+  * spark.sql("SELECT dot_product(a, b) FROM vecs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      org.apache.spark.sql.graft.CatalystBridge.dotProductDescriptor)
+}
+
+object GraftExtensions {
+  /** Register on an already-built session (e.g. a notebook's). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.CatalystBridge.registerFunctions(spark)
+}

@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.TryEval
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, SparkSession}
 
 /** Minimal access shim into `private[sql]` Catalyst plumbing (hence the
   * `org.apache.spark.sql` subpackage — the standard extension-library
@@ -35,4 +35,26 @@ object CatalystBridge {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(graft.functions.expressions.DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  /** SQL-function descriptor for `dot_product`, consumed by
+    * `SparkSessionExtensions.injectFunction`. */
+  val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.DotProduct].getName, "dot_product"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"dot_product takes 2 arguments, got ${args.length}")
+      graft.functions.expressions.DotProduct(args.head, args(1))
+    })
+
+  /** Imperative registration on an existing session (the builder-time
+    * path is `withExtensions(new graft.GraftExtensions)`). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val (id, info, builder) = dotProductDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
 }
