@@ -63,6 +63,35 @@ class ScdCompatSpec extends SparkSpec {
     }
   }
 
+  test("replay handles types beyond the reference's limit (decimal/date/timestamp)") {
+    // the reference supports only int/long/float/double/boolean/string
+    // (README.md:248-252, decimal named as future work) — the compiled
+    // Spark replay is type-agnostic: SET casts back to the declared type
+    val extSchema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("price", DecimalType(10, 2)),
+      StructField("d", DateType),
+      StructField("ts", TimestampType)))
+    val df = spark.createDataFrame(
+      Seq(
+        Row(1, new java.math.BigDecimal("10.50"),
+          java.sql.Date.valueOf("2024-01-01"),
+          java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        Row(2, new java.math.BigDecimal("99.99"),
+          java.sql.Date.valueOf("2024-06-15"),
+          java.sql.Timestamp.valueOf("2024-06-15 12:30:00"))).asJava,
+      extSchema)
+    val log =
+      """UPDATE t SET price = price * 2, d = date_add(d, 10) WHERE k = 1;
+        |DELETE FROM t WHERE ts > timestamp'2024-06-01 00:00:00';
+        |""".stripMargin
+    val got = ScdReader.applyLogText(spark, df, log, None).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getDecimal(1) == new java.math.BigDecimal("21.00"))
+    assert(r.getDate(2) == java.sql.Date.valueOf("2024-01-11"))
+  }
+
   test("compat policy: NULL predicate still fires nothing") {
     val withNull = spark.createDataFrame(
       Seq(Row(1, 10), Row(2, null)).asJava, schema)
