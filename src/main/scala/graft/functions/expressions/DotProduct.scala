@@ -1,6 +1,5 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -90,15 +89,6 @@ case class DotProduct(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
-  }
-
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    if (a == null) null
-    else {
-      val b = right.eval(input)
-      if (b == null) null else nullSafeEval(a, b)
-    }
   }
 
   override protected def withNewChildrenInternal(

@@ -192,7 +192,8 @@ object Dedup {
 
   def simHash(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", bits: Int = 64): DataFrame = {
-    require(bits <= 128, s"md5 yields 128 bits, requested $bits")
+    require(bits >= 1 && bits <= 64,
+      s"packed-long signatures hold at most 64 bits, requested $bits")
     val nDigits = (bits + 3) / 4
     val spreadArr = array(NibbleSpread.map(lit): _*)
     // per token/digit: one instr (1-based: exactly v+1, the lookup

@@ -98,8 +98,14 @@ object Multimodal {
       val decode = decoder
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](1)
-        val (w, h, f) = decode(payload)
-        org.apache.spark.sql.Row(r.get(0), payload.length.toLong, w, h, f)
+        if (payload == null)
+          // NULL payload (the norm in scraped corpora) → NULL metadata,
+          // row preserved — matches the expression-based operators
+          org.apache.spark.sql.Row(r.get(0), null, null, null, null)
+        else {
+          val (w, h, f) = decode(payload)
+          org.apache.spark.sql.Row(r.get(0), payload.length.toLong, w, h, f)
+        }
       }
     }(enc)
   }

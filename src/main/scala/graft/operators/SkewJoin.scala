@@ -36,8 +36,11 @@ object SkewJoin {
       s"saltedJoin supports probe-preserving join types only, got $joinType")
     val replicated = build.withColumn("__salt",
       explode(array((0 until nSalt).map(lit): _*)))
+    // NULL salt column must not lose the row (crc32(NULL) = NULL would
+    // never equi-join): NULLs land deterministically in salt 0
     val salted = probe.withColumn("__salt",
-      pmod(crc32(col(probeSaltCol).cast("string")), lit(nSalt)).cast("int"))
+      pmod(coalesce(crc32(col(probeSaltCol).cast("string")), lit(0L)),
+        lit(nSalt)).cast("int"))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 }

@@ -43,19 +43,28 @@ object ScdReader {
       format: String = "parquet",
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty,
-      asOf: Option[String] = None): DataFrame = {
-    val base =
-      if (format.equalsIgnoreCase("avro"))
-        // no spark-avro connector in this environment: dedicated
-        // avro-mapred-backed source; "avroSchema" option carries the
-        // READER schema (defaults resolution, SURVEY §1.3)
-        graft.sources.AvroSource.read(spark, dir, options.get("avroSchema"))
-      else {
-        val base0 = spark.read.format(format).options(options)
-        schema.fold(base0)(base0.schema).load(dir)
-      }
-    applyLogFile(spark, base, dir, asOf)
-  }
+      asOf: Option[String] = None): DataFrame =
+    applyLogFile(spark, loadBase(spark, dir, format, schema, options),
+      dir, asOf)
+
+  /** Shared base-table loader for [[read]] / [[history]]. For Avro
+    * (no spark-avro connector here) the reader schema comes from the
+    * "avroSchema" option, else from a supplied StructType (converted
+    * through the reverse bridge), else the file's writer schema. */
+  private def loadBase(
+      spark: SparkSession,
+      dir: String,
+      format: String,
+      schema: Option[StructType],
+      options: Map[String, String]): DataFrame =
+    if (format.equalsIgnoreCase("avro")) {
+      val readerJson = options.get("avroSchema").orElse(schema.map(st =>
+        graft.sources.AvroSource.toAvroSchema(st, "record").toString))
+      graft.sources.AvroSource.read(spark, dir, readerJson)
+    } else {
+      val base0 = spark.read.format(format).options(options)
+      schema.fold(base0)(base0.schema).load(dir)
+    }
 
   /** Apply a directory's `.updates` sidecar (if any) to an
     * already-loaded DataFrame. */
@@ -120,8 +129,10 @@ object ScdReader {
   def history(
       spark: SparkSession,
       dir: String,
-      format: String = "parquet"): DataFrame = {
-    val base = spark.read.format(format).load(dir)
+      format: String = "parquet",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = loadBase(spark, dir, format, schema, options)
     readSidecar(spark, dir) match {
       case None => base
         .withColumn("valid_from_ms", functions.lit(0L))
@@ -158,10 +169,15 @@ object ScdReader {
       outFormat: String = "parquet",
       asOf: Option[String] = None): Unit = {
     val view = read(spark, dir, format, asOf = asOf)
-    if (outFormat.equalsIgnoreCase("avro"))
-      // reference-format round-trip (Avro dir in, compacted Avro dir out)
+    if (outFormat.equalsIgnoreCase("avro")) {
+      // reference-format round-trip (Avro dir in, compacted Avro dir
+      // out); saveAsNewAPIHadoopFile rejects an existing dir, so mirror
+      // the other branch's overwrite semantics explicitly
+      val out = new Path(outDir)
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true)
       graft.sources.AvroSource.write(view, outDir)
-    else
+    } else
       view.write.mode("overwrite").format(outFormat).save(outDir)
   }
 }

@@ -78,17 +78,29 @@ object ScdStream {
         mergeBatch(batch, key, ts, snapshotDir, batchId)
       }
 
-  /** One micro-batch merge (exposed for testing / batch backfill). */
+  /** One micro-batch merge (exposed for testing / batch backfill).
+    * Crash-safe: a version only becomes visible once its commit marker
+    * lands, so a partial v=N from a mid-write crash is invisible to the
+    * retry (which merges against the last COMMITTED version) and gets
+    * overwritten. Re-running an already-committed batch id is a no-op
+    * (foreachBatch is at-least-once). */
   def mergeBatch(batch: DataFrame, key: String, ts: String,
       snapshotDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    if (listVersions(spark, snapshotDir).contains(batchId)) return
     val merged = latestSnapshot(spark, snapshotDir) match {
       case Some(prev) => latestPerKey(prev.unionByName(batch), key, ts)
       case None => latestPerKey(batch, key, ts)
     }
-    merged.write.mode("overwrite").parquet(s"$snapshotDir/v=$batchId")
+    val vdir = s"$snapshotDir/v=$batchId"
+    merged.write.mode("overwrite").parquet(vdir)
+    val fs = new Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(vdir, CommitMarker), true).close()
     pruneVersions(spark, snapshotDir, keep = batchId)
   }
+
+  private val CommitMarker = "_GRAFT_COMMITTED"
 
   /** Streaming DML sink: statement lines arriving as a stream are
     * appended to the table directory's `.updates` sidecar — the
@@ -104,44 +116,70 @@ object ScdStream {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val stmts = batch.select(col(textCol)).collect().map(_.getString(0))
-        if (stmts.nonEmpty) appendStatements(batch.sparkSession, tableDir, stmts)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: an already-applied batch id
+        // must not append its statements a second time (a replayed
+        // `bal = bal + 100` would double-apply silently)
+        val spark = batch.sparkSession
+        if (lastAppliedBatch(spark, tableDir) < batchId) {
+          val stmts = batch.select(col(textCol)).collect().map(_.getString(0))
+          appendStatements(spark, tableDir, stmts, Some(batchId))
+        }
       }
 
-  /** Validate + append statement lines to `dir/.updates` (atomic-ish:
-    * write whole new content to a temp sidecar, then rename). */
+  /** Validate + append statement lines to `dir/.updates`: write the
+    * whole new content to a temp file, then rename OVER the live
+    * sidecar (FileContext overwrite-rename — no window in which a
+    * concurrent read sees no sidecar at all). */
   def appendStatements(spark: SparkSession, tableDir: String,
-      stmtLines: Seq[String]): Unit = {
-    val addition = stmtLines.mkString("", "\n", "\n")
+      stmtLines: Seq[String], batchId: Option[Long] = None): Unit = {
+    // the batch marker is an ordinary comment line INSIDE the sidecar
+    // (the parser's comment strip skips it), so statements + marker
+    // land in ONE atomic rename — a crash can never record the batch
+    // without its statements or vice versa
+    val marker = batchId.fold("")(id => s"$BatchMarkerPrefix$id\n")
+    val addition = stmtLines.mkString("", "\n", "\n") + marker
     val existing = graft.scd.ScdReader.readSidecar(spark, tableDir)
       .getOrElse("")
     val combined = existing + addition
     // parse the WHOLE prospective log at an all-inclusive time: throws
     // on malformed/incomplete/mixed-table input before anything lands
     graft.scd.UpdatesParser.parse(combined, Long.MaxValue)
-    val dir = new Path(tableDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(tableDir, s".updates.tmp")
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(tableDir, ".updates.tmp")
     val out = fs.create(tmp, true)
     try out.write(combined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val target = new Path(tableDir, graft.scd.ScdReader.SidecarName)
-    fs.delete(target, false)
-    fs.rename(tmp, target)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  private val BatchMarkerPrefix = "-- graft-batch="
+
+  private def lastAppliedBatch(spark: SparkSession, tableDir: String): Long =
+    graft.scd.ScdReader.readSidecar(spark, tableDir).fold(-1L) { text =>
+      text.linesIterator
+        .filter(_.startsWith(BatchMarkerPrefix))
+        .map(_.stripPrefix(BatchMarkerPrefix).trim.toLong)
+        .foldLeft(-1L)(math.max)
+    }
 
   /** The newest committed snapshot version, if any. */
   def latestSnapshot(spark: SparkSession, snapshotDir: String): Option[DataFrame] =
     listVersions(spark, snapshotDir).sorted.lastOption.map(v =>
       spark.read.parquet(s"$snapshotDir/v=$v"))
 
+  /** COMMITTED versions only (marker present). */
   private def listVersions(spark: SparkSession, dir: String): Seq[Long] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+        fs.exists(new Path(st.getPath, CommitMarker)))
       .map(_.getPath.getName.stripPrefix("v=").toLong)
   }
 

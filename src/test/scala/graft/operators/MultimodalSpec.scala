@@ -50,6 +50,12 @@ class MultimodalSpec extends SparkSpec {
       _ => (1, 2, 3)).select("width", "height", "n_frames")
       .distinct().collect()
     assert(fixed.length == 1 && fixed.head.getInt(0) == 1)
+    // NULL payload keeps the row with NULL metadata, no crash
+    val withNull = bins.unionByName(
+      Seq((9L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload"))
+    val nullRow = Multimodal.decodeBatched(withNull, "id", "payload")
+      .where(col("id") === 9L).collect().head
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
   }
 
   test("fakeEmbedding feeds the vector operators") {
