@@ -439,6 +439,21 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // whitespace vs BPE-ish token counts per document
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    // rolling-hash (winnowing) dedup groups
+    "dedup_winnow" -> ((s, dir) => {
+      val fp = t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.winnowFingerprint(col("text")).as("wkey"))
+      Dedup.exactGroups(fp, col("wkey")).orderBy("keep_id")
+    }),
+
     // corpus-level n-gram document frequency (top-k bigrams)
     "q_top_ngrams" -> ((s, dir) =>
       Dedup.shingles(t(s, dir, "documents"), w = 2)
@@ -981,6 +996,23 @@ object SparkEntry {
          |    + least(ttr * 2.0, 1.0) * 0.2, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT)
+         |    AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow" ->
+      """WITH fp AS (
+        |  SELECT doc_id, list_min(
+        |    [md5(substr(text, i * 4 + 1, 16))
+        |     for i in range(0, greatest((length(text) - 16) // 4, 0) + 1)])
+        |    AS dedup_key
+        |  FROM documents)
+        |SELECT dedup_key, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM fp GROUP BY dedup_key ORDER BY keep_id""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH toks AS (

@@ -109,6 +109,31 @@ object TextAnalysis {
           + least(ttr * 2.0, lit(1.0)) * 0.2, 4).as("quality"))
   }
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * punctuation marks — the splitting shape GPT-style BPE vocabularies
+    * tokenize over, kept simple enough to behave identically under
+    * Java regex and RE2 (so any engine replays it). */
+  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Token count under [[BpeishPattern]] — the "how many BPE-ish
+    * pieces" estimate, vs whitespace [[tokenCount]]. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Winnowing-style rolling fingerprint (Schleimer et al. 2003,
+    * SIGMOD — the min-hash-of-sliding-windows variant): the minimum
+    * md5 over k-char windows sampled at `stride`. Small edits change
+    * the fingerprint only if they touch the minimal window, making it
+    * the content-robust "rolling hash" dedup key. Per-row expression,
+    * no explode. */
+  def winnowFingerprint(text: Column, k: Int = 16, stride: Int = 4): Column = {
+    val lastIdx = greatest(
+      floor((length(text) - lit(k)).cast("double") / stride).cast("int"),
+      lit(0))
+    array_min(transform(sequence(lit(0), lastIdx),
+      i => md5(text.substr(i * stride + 1, lit(k)))))
+  }
+
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
     * Documents that differ only by token order/repetition collide —
     * the standard "near-exact" dedup key one step beyond raw-text
