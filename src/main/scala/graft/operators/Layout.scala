@@ -23,4 +23,15 @@ object Layout {
     df.repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").format(format).save(outDir)
+
+  /** Write `df` as a BUCKETED table: both sides of a recurring join
+    * bucketed by the join key with the same bucket count join with NO
+    * exchange — the pre-shuffled layout for the fact/dim joins that
+    * repeat every day at 100 TB (verified by LayoutSpec: the join plan
+    * contains zero Exchange operators). */
+  def bucketedWrite(df: DataFrame, key: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

@@ -45,4 +45,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(clustered).where(pred).count() ==
       spark.read.parquet(unclustered).where(pred).count())
   }
+
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    val facts = (1 to 20000).map(i => (i % 1000, i)).toDF("k", "v")
+    val dims = (0 until 1000).map(i => (i, s"d$i")).toDF("k", "name")
+    Layout.bucketedWrite(facts, "k", 8, "lay_facts")
+    Layout.bucketedWrite(dims, "k", 8, "lay_dims")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lay_facts")
+        .join(spark.table("lay_dims"), Seq("k"))
+      assert(joined.count() == 20000)
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on k with equal bucket counts: the
+      // sort-merge join consumes bucket layout directly — NO shuffle
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      prevThreshold)
+  }
 }
