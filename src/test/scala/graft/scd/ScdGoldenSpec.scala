@@ -2,6 +2,7 @@ package graft.scd
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import java.nio.file.Files
@@ -93,6 +94,15 @@ class ScdGoldenSpec extends SparkSpec {
     val out = Files.createTempDirectory("scdout").toString
     ScdReader.compact(spark, dir, out)
     assert(spark.read.parquet(out).count() == 10)
+    // dir-based history: 11 rows in [0, delete) + 10 rows open-ended
+    val hist = ScdReader.history(spark, dir)
+    assert(hist.count() == 21)
+    assert(hist.where(col("valid_to_ms").isNull).count() == 10)
+    // no sidecar -> single open-ended interval of raw rows
+    val rawHist = ScdReader.history(spark, out)
+    assert(rawHist.count() == 10)
+    assert(rawHist.where(col("valid_from_ms") === 0L &&
+      col("valid_to_ms").isNull).count() == 10)
   }
 
   test("historyText: one interval per effective time, SCD2-shaped") {

@@ -92,6 +92,27 @@ class AvroGoldenSpec extends SparkSpec {
     assert(ScdReader.applyLogText(spark, base, log, None).count() == 0)
   }
 
+  test("unsupported types are rejected explicitly (reference parity)") {
+    // nested Avro record: the reference throws UnsupportedOperationException
+    // (AvroSCDInputFormat.java:178); so do we, with the same scope note
+    val nested =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"inner","type":{"type":"record","name":"i",
+        |   "fields":[{"name":"x","type":"int"}]}}]}""".stripMargin
+    intercept[UnsupportedOperationException] {
+      AvroSource.toStructType(
+        new org.apache.avro.Schema.Parser().parse(nested))
+    }
+    // reverse bridge: array columns can't map to the flat-record model
+    intercept[UnsupportedOperationException] {
+      AvroSource.toAvroSchema(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType)))), "r")
+    }
+  }
+
   test("avro-to-avro compaction round-trips the as-of view (reference format)") {
     val out = Files.createTempDirectory("avrocompact").toString + "/snap"
     // compact the avro dir's as-of view back INTO avro
