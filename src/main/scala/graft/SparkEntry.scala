@@ -1007,8 +1007,8 @@ object SparkEntry {
     "dedup_winnow" ->
       """WITH fp AS (
         |  SELECT doc_id, list_min(
-        |    [md5(substr(text, i * 4 + 1, 16))
-        |     for i in range(0, greatest((length(text) - 16) // 4, 0) + 1)])
+        |    [md5(substr(text, i + 1, 16))
+        |     for i in range(0, greatest(length(text) - 16, 0) + 1)])
         |    AS dedup_key
         |  FROM documents)
         |SELECT dedup_key, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -109,24 +109,31 @@ object TextAnalysis {
           + least(ttr * 2.0, lit(1.0)) * 0.2, 4).as("quality"))
   }
 
-  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
-    * punctuation marks — the splitting shape GPT-style BPE vocabularies
-    * tokenize over, kept simple enough to behave identically under
-    * Java regex and RE2 (so any engine replays it). */
-  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  /** BPE-ish pre-tokenizer pattern: ASCII letter runs, digit runs, and
+    * single non-whitespace punctuation marks — the splitting shape
+    * GPT-style BPE vocabularies tokenize over. Deliberately
+    * ASCII-scoped: Unicode letter classes (`\p{L}`) differ subtly
+    * between Java regex and RE2, so non-ASCII letters count as
+    * punctuation here — a documented approximation that is identical
+    * in every engine that replays it. */
+  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   /** Token count under [[BpeishPattern]] — the "how many BPE-ish
     * pieces" estimate, vs whitespace [[tokenCount]]. */
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
 
-  /** Winnowing-style rolling fingerprint (Schleimer et al. 2003,
-    * SIGMOD — the min-hash-of-sliding-windows variant): the minimum
-    * md5 over k-char windows sampled at `stride`. Small edits change
-    * the fingerprint only if they touch the minimal window, making it
-    * the content-robust "rolling hash" dedup key. Per-row expression,
-    * no explode. */
-  def winnowFingerprint(text: Column, k: Int = 16, stride: Int = 4): Column = {
+  /** Rolling-hash fingerprint: the minimum md5 over the text's k-char
+    * windows. With the default `stride = 1` the windows are ALL
+    * character k-grams, so the fingerprint is shift-invariant — an
+    * insertion/deletion adds/removes a handful of k-grams and changes
+    * the fingerprint only if one of them becomes the new minimum (the
+    * min-hash half of Schleimer et al. 2003 winnowing). `stride > 1`
+    * is the cheaper sampled variant: ~stride× fewer hashes, but
+    * windows anchor at absolute offsets, so an indel that is not a
+    * stride multiple re-aligns every window — use it only where docs
+    * mutate by append. Per-row expression, no explode. */
+  def winnowFingerprint(text: Column, k: Int = 16, stride: Int = 1): Column = {
     val lastIdx = greatest(
       floor((length(text) - lit(k)).cast("double") / stride).cast("int"),
       lit(0))

@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(again == hs)
   }
 
+  test("winnowFingerprint = min md5 over ALL character k-grams (shift-invariant form)") {
+    import spark.implicits._
+    val s = "the quick brown fox jumps over the lazy dog"
+    val expected = (0 to s.length - 16).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.substring(i, i + 16).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).min
+    val got = Seq(s).toDF("text")
+      .select(TextAnalysis.winnowFingerprint(col("text")))
+      .collect().head.getString(0)
+    assert(got == expected)
+    // a pure append keeps every existing k-gram: fingerprint can only
+    // stay or become the min of a superset
+    val appended = Seq(s + " extra suffix").toDF("text")
+      .select(TextAnalysis.winnowFingerprint(col("text")))
+      .collect().head.getString(0)
+    assert(appended <= got)
+  }
+
   test("embeddingNearDups with default sign-LSH blocking finds near vectors") {
     import spark.implicits._
     val e = Seq(
