@@ -24,15 +24,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = Seq.newBuilder[String]
+    // steady-state measurement: one untimed warm-up execution per query
+    // (JIT + file-cache), then the timed run — the number that scales
+    // to a long-lived cluster. Disable with SPARK_GRAFT_WARMUP=0.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
+      try {
+        if (warmup) fn(spark, sfDir).count()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
+          name -> 0.0
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val fails = failed.result()
