@@ -141,6 +141,24 @@ object ScdReader {
     }
   }
 
+  /** Register the as-of view under a SQL-queryable name — the analogue
+    * of the reference's Hive table surface (`hive> SELECT * FROM
+    * doctors`, README.md:153-165): after registration, plain
+    * `spark.sql` queries the replayed view, and every Catalyst
+    * optimization applies through it. The view captures the sidecar AS
+    * OF registration time; re-register to pick up newly appended
+    * statements or a different scd.time. */
+  def createOrReplaceView(
+      spark: SparkSession,
+      name: String,
+      dir: String,
+      format: String = "parquet",
+      schema: Option[StructType] = None,
+      options: Map[String, String] = Map.empty,
+      asOf: Option[String] = None): Unit =
+    read(spark, dir, format, schema, options, asOf)
+      .createOrReplaceTempView(name)
+
   /** Driver-side sidecar probe + read (tiny file; O2). */
   def readSidecar(spark: SparkSession, dir: String): Option[String] = {
     val p = new Path(dir, SidecarName)

@@ -92,6 +92,24 @@ class AvroGoldenSpec extends SparkSpec {
     assert(ScdReader.applyLogText(spark, base, log, None).count() == 0)
   }
 
+  test("named-view registration mirrors the reference's Hive-table surface") {
+    ScdReader.createOrReplaceView(spark, "doctors", tableDir,
+      format = "avro", options = Map("avroSchema" -> readerSchema))
+    // `hive> SELECT * from doctors` (README.md:153-165): 10 rows as-of now
+    assert(spark.sql("SELECT count(*) AS n FROM doctors")
+      .collect().head.getLong(0) == 10L)
+    assert(spark.sql(
+      "SELECT number FROM doctors WHERE last_name = 'Troughton'")
+      .collect().head.getInt(0) == 12)
+    // `set scd.time=-1` analogue: re-register raw
+    ScdReader.createOrReplaceView(spark, "doctors", tableDir,
+      format = "avro", options = Map("avroSchema" -> readerSchema),
+      asOf = Some("-1"))
+    assert(spark.sql("SELECT count(*) FROM doctors")
+      .collect().head.getLong(0) == 11L)
+    spark.catalog.dropTempView("doctors")
+  }
+
   test("unsupported types are rejected explicitly (reference parity)") {
     // nested Avro record: the reference throws UnsupportedOperationException
     // (AvroSCDInputFormat.java:178); so do we, with the same scope note
