@@ -302,6 +302,16 @@ object SparkEntry {
     "scd_disabled" -> ((s, dir) =>
       asOfCustomer(s, dir, Some("-1")).orderBy("c_custkey")),
 
+    // reference golden setting #4 (README.md:214-217): a FUTURE scd.time
+    // previews pending updates — here a not-yet-effective segment rename
+    "scd_asof_future" -> ((s, dir) => {
+      val log = CustomerLog +
+        "-- time=2525-01-01\n" +
+        "UPDATE customer SET c_mktsegment = 'FUTURE' WHERE c_mktsegment = 'MACHINERY';\n"
+      ScdReader.applyLogText(s, t(s, dir, "customer"), log,
+        Some("2526-01-01")).orderBy("c_custkey")
+    }),
+
     "scd_fact_join" -> ((s, dir) => {
       val dim = asOfCustomer(s, dir, None)
       val o = t(s, dir, "orders")
@@ -793,6 +803,13 @@ object SparkEntry {
 
     "scd_disabled" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "scd_asof_future" ->
+      s"""WITH $AsOfNowCte
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |  CASE WHEN coalesce(c_mktsegment = 'MACHINERY', FALSE)
+         |       THEN 'FUTURE' ELSE c_mktsegment END AS c_mktsegment
+         |FROM asof_dim ORDER BY c_custkey""".stripMargin,
 
     "scd_fact_join" ->
       s"""WITH $AsOfNowCte
