@@ -68,7 +68,7 @@ object AsOfJoin {
     val carried = unioned.withColumn("__asof",
       last(col("__r"), ignoreNulls = true).over(w))
     carried.where(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map { case (_, alias) =>
+      .select(leftCols.toIndexedSeq.map(col) ++ rightCols.map { case (_, alias) =>
         col("__asof").getField(alias).as(alias) }: _*)
   }
 }

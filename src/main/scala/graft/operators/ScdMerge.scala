@@ -26,7 +26,7 @@ object ScdMerge {
     * key; new keys are inserted. Column sets must match. */
   def upsert(dim: DataFrame, staging: DataFrame, key: String): DataFrame =
     dim.join(staging.select(key), Seq(key), "left_anti")
-      .unionByName(staging.select(dim.columns.map(col): _*))
+      .unionByName(staging.select(dim.columns.toIndexedSeq.map(col): _*))
 
   /** Build SCD2 version intervals from a change log.
     *

@@ -33,8 +33,8 @@ object ScdStream {
   def latestPerKey(df: DataFrame, key: String, ts: String): DataFrame = {
     val others = df.columns.filterNot(_ == key)
     df.groupBy(col(key))
-      .agg(max_by(struct(others.map(col): _*), col(ts)).as("__latest"))
-      .select(col(key) +: others.map(c => col("__latest").getField(c).as(c)): _*)
+      .agg(max_by(struct(others.toIndexedSeq.map(col): _*), col(ts)).as("__latest"))
+      .select(col(key) +: others.toIndexedSeq.map(c => col("__latest").getField(c).as(c)): _*)
   }
 
   /** Latest row per key via explicit keyed state (`mapGroupsWithState`,
@@ -123,7 +123,7 @@ object ScdStream {
         val spark = batch.sparkSession
         if (lastAppliedBatch(spark, tableDir) < batchId) {
           val stmts = batch.select(col(textCol)).collect().map(_.getString(0))
-          appendStatements(spark, tableDir, stmts, Some(batchId))
+          appendStatements(spark, tableDir, stmts.toIndexedSeq, Some(batchId))
         }
       }
 
