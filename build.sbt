@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked program's stdout RAW instead of through sbt's
+// logger: the driver parses Bench's one-line JSON from stdout, and the
+// "[info] " prefix sbt's logger prepends broke that parse in rounds 1-2
+// (BENCH_r0x.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

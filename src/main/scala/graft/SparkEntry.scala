@@ -71,7 +71,9 @@ object SparkEntry {
     * scd_sidecar / scd_compact queries. */
   private def sidecarDir(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val tmp = s"/root/repo/target/scdtmp/$tag/customer"
+    // relative to the working dir (ADVICE r02: an absolute repo path
+    // broke the query under any other checkout location)
+    val tmp = new java.io.File(s"target/scdtmp/$tag/customer").getAbsolutePath
     t(s, dir, "customer").write.mode("overwrite").parquet(tmp)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tmp, ScdReader.SidecarName), CustomerLog)
@@ -1076,9 +1078,14 @@ object SparkEntry {
          |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS (
          |  $bands),
+         |bandsp AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n
+         |    FROM bands)
+         |  WHERE bucket_n <= 1000),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
+         |  FROM bandsp a JOIN bandsp b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |com AS (
          |  SELECT id_a, id_b, count(*) AS n_common
@@ -1106,8 +1113,11 @@ object SparkEntry {
       val banded = (0 until 4).map(b =>
         s"SELECT doc_id, simhash, $b AS band, ((simhash >> ${64 - 16 * (b + 1)}) & 65535) AS bkey FROM sh2")
         .mkString("\n  UNION ALL ")
+      // token clamp + bucket cap mirror the operator EXACTLY (ADVICE
+      // r02: an unmirrored maxBucket guard would silently diverge once
+      // any band bucket exceeds 1000 docs at a larger scale factor)
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')[1:65535]) AS w
          |  FROM documents),
          |th AS (SELECT doc_id, md5(w) AS h FROM tok),
          |pk AS (
@@ -1119,10 +1129,15 @@ object SparkEntry {
          |sh2 AS (SELECT doc_id, $packedSig AS simhash FROM sums),
          |banded AS (
          |  $banded),
+         |pruned AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n
+         |    FROM banded)
+         |  WHERE bucket_n <= 1000),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |  FROM banded a JOIN banded b
+         |  FROM pruned a JOIN pruned b
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, hamming FROM cand
          |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin

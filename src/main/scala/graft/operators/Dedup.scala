@@ -185,10 +185,17 @@ object Dedup {
   /** per hex-digit value v (0..15): its 4 bits spread to 16-bit lanes,
     * so ONE BIGINT sum per digit accumulates all 4 bit-counts
     * (lane k = count of bit (3-k) set). Packing bound: 65535 tokens per
-    * doc per lane — clamp/sample longer docs upstream at extreme scale. */
+    * doc per lane — enforced by [[MaxSimhashTokens]] below. */
   private[graft] val NibbleSpread: Seq[Long] = (0 to 15).map { v =>
     (0 until 4).map(k => ((v >> (3 - k)) & 1).toLong << (16 * k)).sum
   }
+
+  /** Hard cap on tokens contributing to one simhash signature: a lane
+    * past 65535 ones would carry into its neighbor and silently corrupt
+    * the signature (ADVICE r02). Docs beyond the cap are deterministically
+    * truncated to their first 65535 tokens — a stable prefix sample, and
+    * 65k tokens already saturate a 64-bit near-dup signature. */
+  private[graft] val MaxSimhashTokens: Int = 65535
 
   def simHash(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", bits: Int = 64): DataFrame = {
@@ -198,9 +205,11 @@ object Dedup {
     val spreadArr = array(NibbleSpread.map(lit): _*)
     // per token/digit: one instr (1-based: exactly v+1, the lookup
     // index) + one array lookup; the groupBy then carries ONE packed
-    // 64-bit counter per digit instead of four bit-sums
+    // 64-bit counter per digit instead of four bit-sums.
+    // slice() stays inline under explode (projection-collapse rule).
     val tok = docs.select(col(id),
-      explode(split(lower(col(textCol)), " ")).as("t"))
+      explode(slice(split(lower(col(textCol)), " "), 1, MaxSimhashTokens))
+        .as("t"))
       .withColumn("h", md5(col("t")))
     val packed = tok.select(col(id) +: (0 until nDigits).map { d =>
       element_at(spreadArr,

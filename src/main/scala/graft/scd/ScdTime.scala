@@ -17,6 +17,18 @@ import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
   *     Joda's `dateOptionalTimeParser` (reference SQLUpdater.java:102):
   *     hour-only times, 0–9 fraction digits, and `+HH`/`+HHmm`/`+HH:MM`
   *     offset forms all parse (ADVICE r01); zoneless values are UTC
+  *
+  * DELIBERATE DIVERGENCE from the reference (compat note, ADVICE r02):
+  * Joda's `parseMillis` interprets ZONELESS text in the JVM default
+  * timezone, so the same `scd.time=2014-09-01` gates differently on
+  * hosts in different zones — a reproducibility bug, not a feature. We
+  * pin zoneless values to UTC (the whole engine runs with
+  * spark.sql.session.timeZone=UTC), so an as-of read is byte-identical
+  * on every host. Reference behavior on a non-UTC host differs by the
+  * host's offset; append an explicit `±zone` to reproduce it. Joda also
+  * accepts partial dates (`yyyy`, `yyyy-MM`); those are rejected here —
+  * no `.updates` log in the wild uses them and silent month/year
+  * truncation is a footgun.
   */
 object ScdTime {
 

@@ -113,31 +113,43 @@ object ScdStream {
     * statement-line column. */
   def dmlSink(lines: org.apache.spark.sql.Dataset[Row], textCol: String,
       tableDir: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    // markers are namespaced by a run id derived from the checkpoint
+    // location (ADVICE r02): batch ids alone are only unique WITHIN one
+    // checkpoint lineage. A restart on the SAME checkpoint replays with
+    // the same (runId, batchId) → skipped; a FRESH checkpoint restarts
+    // batch ids at 0 under a NEW runId → nothing is silently dropped.
+    // (A max-based guard had the drop bug; a raw-id set check still
+    // collided fresh-checkpoint batch 0 with old marker 0.)
+    val runId = java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .toString.take(8)
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // foreachBatch is at-least-once: an already-applied batch id
-        // must not append its statements a second time (a replayed
-        // `bal = bal + 100` would double-apply silently)
         val spark = batch.sparkSession
-        if (lastAppliedBatch(spark, tableDir) < batchId) {
+        val token = s"$runId:$batchId"
+        if (appliedBatches(spark, tableDir).contains(token)) {
+          System.err.println(
+            s"[graft.dmlSink] batch $token already applied to $tableDir; skipping replay")
+        } else {
           val stmts = batch.select(col(textCol)).collect().map(_.getString(0))
-          appendStatements(spark, tableDir, stmts.toIndexedSeq, Some(batchId))
+          appendStatements(spark, tableDir, stmts.toIndexedSeq, Some(token))
         }
       }
+  }
 
   /** Validate + append statement lines to `dir/.updates`: write the
     * whole new content to a temp file, then rename OVER the live
     * sidecar (FileContext overwrite-rename — no window in which a
     * concurrent read sees no sidecar at all). */
   def appendStatements(spark: SparkSession, tableDir: String,
-      stmtLines: Seq[String], batchId: Option[Long] = None): Unit = {
+      stmtLines: Seq[String], batchToken: Option[String] = None): Unit = {
     // the batch marker is an ordinary comment line INSIDE the sidecar
     // (the parser's comment strip skips it), so statements + marker
     // land in ONE atomic rename — a crash can never record the batch
     // without its statements or vice versa
-    val marker = batchId.fold("")(id => s"$BatchMarkerPrefix$id\n")
+    val marker = batchToken.fold("")(id => s"$BatchMarkerPrefix$id\n")
     val addition = stmtLines.mkString("", "\n", "\n") + marker
     val existing = graft.scd.ScdReader.readSidecar(spark, tableDir)
       .getOrElse("")
@@ -159,12 +171,15 @@ object ScdStream {
 
   private val BatchMarkerPrefix = "-- graft-batch="
 
-  private def lastAppliedBatch(spark: SparkSession, tableDir: String): Long =
-    graft.scd.ScdReader.readSidecar(spark, tableDir).fold(-1L) { text =>
-      text.linesIterator
-        .filter(_.startsWith(BatchMarkerPrefix))
-        .map(_.stripPrefix(BatchMarkerPrefix).trim.toLong)
-        .foldLeft(-1L)(math.max)
+  /** Every batch token recorded in the sidecar's marker comments. */
+  private[streaming] def appliedBatches(spark: SparkSession,
+      tableDir: String): Set[String] =
+    graft.scd.ScdReader.readSidecar(spark, tableDir).fold(Set.empty[String]) {
+      text =>
+        text.linesIterator
+          .filter(_.startsWith(BatchMarkerPrefix))
+          .map(_.stripPrefix(BatchMarkerPrefix).trim)
+          .toSet
     }
 
   /** The newest committed snapshot version, if any. */

@@ -109,6 +109,39 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dmlSink — fresh checkpoint (batch ids reset) does NOT drop new statements") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.scd.ScdReader
+    val dir = Files.createTempDirectory("dmlsink2").toString
+    Seq((1, 10), (2, 20)).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    // run 1: two batches land (marker ids 0 and 1 in the sidecar)
+    val ms1 = MemoryStream[String]
+    val q1 = ScdStream.dmlSink(ms1.toDF().toDF("stmt"), "stmt", dir,
+      Files.createTempDirectory("ck1").toString).start()
+    try {
+      ms1.addData("UPDATE t SET v = v + 1 WHERE k = 1;")
+      q1.processAllAvailable()
+      ms1.addData("UPDATE t SET v = v + 1 WHERE k = 1;")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // run 2: FRESH checkpoint, batch ids restart at 0. A max-based
+    // replay guard (lastApplied=1 >= batchId=0) would silently drop
+    // this statement; the set-based guard only skips EXACT replays.
+    val ms2 = MemoryStream[String]
+    val q2 = ScdStream.dmlSink(ms2.toDF().toDF("stmt"), "stmt", dir,
+      Files.createTempDirectory("ck2").toString).start()
+    try {
+      ms2.addData("UPDATE t SET v = v + 100 WHERE k = 2;")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // wait: run-2 batch 0 collides with run-1's marker 0 in the SET
+    // check too — the guard must namespace or the statement is lost.
+    val got = ScdReader.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 12), (2, 120)))
+  }
+
   test("upsertSink — foreachBatch maintains a parquet snapshot across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
