@@ -503,6 +503,28 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"))
         .orderBy("id_a", "id_b")),
 
+    // near-dup CLUSTERS: transitive closure over the LSH pair list —
+    // the keep/drop decision (one canonical doc per component) that
+    // pair generation alone can't make
+    "dedup_cc" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(t(s, dir, "documents"), threshold = 0.8))
+        .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")),
+
+    // train/test contamination: test docs sharing any 8-gram with a
+    // train doc (deterministic hash split, selective n-gram join)
+    "contamination" -> ((s, dir) => {
+      val docs = Sampling.splitAssign(t(s, dir, "documents"), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      Dedup.crossOverlapPairs(
+        docs.where(col("split") === "test"),
+        docs.where(col("split") === "train"))
+        .select(col("probe_id").as("test_id"),
+          col("corpus_id").as("train_id"), col("n_common"))
+        .orderBy("test_id", "train_id")
+    }),
+
     "dedup_embedding" -> ((s, dir) =>
       // default sign-hyperplane LSH blocking (8 bits = 256 buckets);
       // bucket-local pairwise cosine — the 100 TB-safe shape
@@ -603,6 +625,40 @@ object SparkEntry {
       |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
       |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The full MinHash→LSH→verify pipeline as a CTE chain ending in
+    * `com` (candidate pairs + common-shingle counts) — shared by the
+    * dedup_minhash_lsh oracle and the dedup_cc closure on top of it.
+    * Mirrors Dedup.minhashLshPairs exactly (16 sub-hashes from 4 md5s,
+    * 4 bands, bucket cap 1000). */
+  private val MinhashComCtes: String = {
+    // 4 sub-hashes of 8 hex chars per md5 — mirrors minHashSignatures
+    val mins = (0 until 16)
+      .map(i => s"min(substr(md5('${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
+      .mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$ShingleCtes,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |bandsp AS (
+       |  SELECT * FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n
+       |    FROM bands)
+       |  WHERE bucket_n <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsp a JOIN bandsp b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |com AS (
+       |  SELECT id_a, id_b, count(*) AS n_common
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+       |    JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
+       |  GROUP BY id_a, id_b)""".stripMargin
+  }
 
   /** doubled-space padded text for standalone-word counting */
   private def wordCountSql(word: String): String =
@@ -1065,35 +1121,56 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |$JaccardSelect""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      // 4 sub-hashes of 8 hex chars per md5 — mirrors minHashSignatures
-      val mins = (0 until 16)
-        .map(i => s"min(substr(md5('${i / 4}|' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
-        .mkString(", ")
-      val bands = (0 until 4).map { b =>
-        val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band, md5($ms) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      s"""WITH $ShingleCtes,
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bands),
-         |bandsp AS (
+    "dedup_minhash_lsh" ->
+      s"""WITH $MinhashComCtes
+         |$JaccardSelect""".stripMargin,
+
+    "dedup_cc" ->
+      // transitive closure over the verified minhash-LSH pairs; the
+      // Spark side's pointer-jumping min-propagation must agree with
+      // this recursive-CTE reachability exactly
+      s"""WITH RECURSIVE $MinhashComCtes,
+         |jp AS (
+         |  SELECT id_a, id_b FROM com
+         |    JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM jp
+         |  UNION SELECT id_b, id_a FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "contamination" ->
+      // split thresholds mirror splitColumn's left-assoc cumulative
+      // sums; 8-gram windows and the corpus-df<=1000 boilerplate guard
+      // mirror crossOverlapPairs
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${md5FracSql("CAST(doc_id AS VARCHAR)")} < 0.8 THEN 'train'
+         |         WHEN ${md5FracSql("CAST(doc_id AS VARCHAR)")} < 0.8 + 0.1 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |toks8 AS (
+         |  SELECT doc_id, split, string_split(lower(text), ' ') AS t FROM d
+         |  WHERE len(string_split(lower(text), ' ')) >= 8),
+         |sh8 AS (
+         |  SELECT doc_id, split, unnest(list_distinct(
+         |    [array_to_string(list_slice(t, i, i + 7), ' ')
+         |     for i in range(1, len(t) - 6)])) AS s
+         |  FROM toks8),
+         |corp AS (
          |  SELECT * FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY band, bkey) AS bucket_n
-         |    FROM bands)
-         |  WHERE bucket_n <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bandsp a JOIN bandsp b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |com AS (
-         |  SELECT id_a, id_b, count(*) AS n_common
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a
-         |    JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
-         |  GROUP BY id_a, id_b)
-         |$JaccardSelect""".stripMargin
-    },
+         |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+         |    FROM sh8 WHERE split = 'train')
+         |  WHERE df <= 1000)
+         |SELECT p.doc_id AS test_id, corp.doc_id AS train_id,
+         |  count(*) AS n_common
+         |FROM sh8 p JOIN corp ON p.s = corp.s AND p.split = 'test'
+         |GROUP BY 1, 2 ORDER BY test_id, train_id""".stripMargin,
 
     "dedup_simhash" -> {
       // 64-bit simhash via the packed nibble-spread counters — mirrors

@@ -275,6 +275,95 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Connected components over near-duplicate candidate pairs — the
+    * clustering step every dedup pipeline needs after pair generation
+    * (pairs only say "a ≈ b"; the keep/drop decision needs the
+    * transitive closure: one canonical survivor per component).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * applies (1) a one-hop neighbor min — the component label flows
+    * across every edge — and (2) a pointer jump, label(v) :=
+    * label(label(v)), so label paths halve each round and convergence
+    * is O(log longest-chain) rounds instead of O(diameter) — the bound
+    * that matters when a boilerplate shingle chains thousands of docs
+    * into one component. Every round shuffles only (long, long) rows
+    * keyed by vertex id; the candidate-pair pipeline upstream (LSH
+    * etc.) is localCheckpoint'ed so it executes ONCE, and each round's
+    * labels are checkpointed to truncate the iterative lineage
+    * (otherwise the plan and its re-optimization grow superlinearly
+    * with rounds). The per-round driver action is the convergence
+    * probe, not data movement — the standard Pregel-style loop.
+    *
+    * Output: (vertex, component) for every vertex appearing in
+    * `pairs`; component = min vertex id in its connected component.
+    * Vertices in no pair are singletons by definition (component(v) =
+    * v) and are not emitted. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // label(v) starts at min(v, min neighbor); propagation only lowers
+    // it, and every label value is itself a vertex id (so the pointer
+    // jump's join on label = vertex always finds its target)
+    var labels = edges.groupBy(col("src").as("vertex"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("vertex"), least(col("vertex"), col("mn")).as("component"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val viaEdge = edges.join(labels, edges("src") === labels("vertex"))
+        .select(edges("dst").as("vertex"), col("component"))
+      val viaJump = labels.as("a")
+        .join(labels.as("b"), col("a.component") === col("b.vertex"))
+        .select(col("a.vertex").as("vertex"), col("b.component").as("component"))
+      val next = labels.union(viaEdge).union(viaJump)
+        .groupBy("vertex").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "vertex")
+        .where(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds " +
+        "(pathological chain longer than 2^maxIter? raise maxIter)")
+    labels
+  }
+
+  /** Cross-corpus n-gram overlap — the train/test contamination check:
+    * which probe (test) documents share at least `minCommon` distinct
+    * w-token shingles with which corpus (train) documents. With a wide
+    * window (default 8 tokens) a shared shingle is highly selective,
+    * so the shingle-equality join fans out only on genuine overlaps —
+    * this IS the scale path (the predicate is "any shared n-gram", not
+    * a Jaccard threshold, so no LSH detour is needed; benchmark
+    * decontamination pipelines use exactly this shape). `maxDf` drops
+    * shingles present in more than that many corpus docs — the
+    * boilerplate guard: one header shared by a million corpus docs
+    * would otherwise fan out m×n rows.
+    * Output: probe_id, corpus_id, n_common (distinct shared shingles). */
+  def crossOverlapPairs(probe: DataFrame, corpus: DataFrame,
+      id: String = "doc_id", textCol: String = "text", w: Int = 8,
+      minCommon: Long = 1, maxDf: Int = 1000): DataFrame = {
+    val p = shingles(probe, id, textCol, w)
+      .select(col(id).as("probe_id"), col("shingle"))
+    val c = shingles(corpus, id, textCol, w)
+      .select(col(id).as("corpus_id"), col("shingle"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDf).drop("df")
+    p.join(c, Seq("shingle"))
+      .groupBy("probe_id", "corpus_id")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+  }
+
   /** Embedding-cosine near-duplicate pairs. The DEFAULT blocking key is
     * `VectorFunctions.signBucket` — a sign-hyperplane LSH bucket, so
     * bucket sizes shrink geometrically with `bits` (n/2^bits expected)

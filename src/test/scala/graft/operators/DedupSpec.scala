@@ -89,6 +89,65 @@ class DedupSpec extends SparkSpec {
     assert(appended <= got)
   }
 
+  test("connectedComponents labels each component with its min id") {
+    import spark.implicits._
+    // components: chain {1-2-3-4-5}, pair {10,11}, triangle {20,21,22};
+    // the chain forces multi-round propagation (diameter 4)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: long chain converges (pointer jumping)") {
+    import spark.implicits._
+    // a 200-edge path has diameter 200: one-hop propagation alone
+    // would need 200 rounds, far beyond maxIter — the pointer jump
+    // must carry it in O(log n)
+    val pairs = (1L until 200L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 1L))
+  }
+
+  test("connectedComponents on no pairs returns no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
+  test("crossOverlapPairs finds cross-set overlaps only, maxDf guards") {
+    import spark.implicits._
+    val probe = Seq(
+      (100L, "one two three four five six seven eight nine ten"),
+      (101L, "totally distinct probe words nothing shared with corpus " +
+        "zeta theta iota kappa")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (200L, "one two three four five six seven eight extra tail here"),
+      (201L, "unrelated corpus document about completely other matters " +
+        "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.crossOverlapPairs(probe, corpus, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only (100, 200) share an 8-gram ("one two ... eight")
+    assert(got.toSeq == Seq((100L, 200L, 1L)))
+    // a boilerplate shingle shared by every corpus doc is dropped once
+    // the corpus df exceeds maxDf
+    val boiler = "common header line shared by every corpus document here"
+    val bigCorpus = (0L until 5L).map(i => (300L + i, boiler))
+      .toDF("doc_id", "text")
+    val probe2 = Seq((1L, boiler)).toDF("doc_id", "text")
+    assert(Dedup.crossOverlapPairs(probe2, bigCorpus, w = 8, maxDf = 4).isEmpty)
+    assert(Dedup.crossOverlapPairs(probe2, bigCorpus, w = 8, maxDf = 5)
+      .count() == 5)
+  }
+
   test("embeddingNearDups with default sign-LSH blocking finds near vectors") {
     import spark.implicits._
     val e = Seq(
