@@ -451,6 +451,14 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Gopher-style repetition filters (frequency concentration per doc)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // PII scrub: typed placeholder redaction + hit counts
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiScrub(t(s, dir, "documents")).orderBy("doc_id")),
+
     // whitespace vs BPE-ish token counts per document
     "q_token_counts" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1070,6 +1078,47 @@ object SparkEntry {
          |    + least(stopword_ratio * 4.0, 1.0) * 0.2
          |    + least(ttr * 2.0, 1.0) * 0.2, 4) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        |  FROM tc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+        |    for i in range(1, len(t))]) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents
+        |        WHERE len(string_split(lower(text), ' ')) >= 2)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_big_c
+        |  FROM bc GROUP BY doc_id)
+        |SELECT ta.doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(top_c AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+        |  round(CAST(dup_c AS DOUBLE) / n_tokens, 4) AS dup_token_frac,
+        |  round(coalesce(CAST(top_big_c AS DOUBLE) / n_bigrams, 0.0), 4)
+        |    AS top_bigram_frac
+        |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+        |ORDER BY ta.doc_id""".stripMargin,
+
+    "text_pii" -> {
+      // DuckDB string literals are escape-free: embed the Java-side
+      // pattern byte-for-byte (its single backslash-dot survives)
+      val em = TextAnalysis.EmailPattern
+      val num = TextAnalysis.LongNumberPattern
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_longnums,
+         |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
+         |    '$num', '[NUM]', 'g') AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin
     },
 
     "q_token_counts" ->

@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization stats, heuristic language ID, quality scoring, and
-  * document fingerprinting. All pure per-row Catalyst expressions —
+  * document fingerprinting. Pure per-row Catalyst expressions —
   * narrow, codegen'd, shuffle-free, and engine-portable (every
   * function used has an identical-semantics DuckDB counterpart, so
-  * the driver's oracle can replay them in SQL).
+  * the driver's oracle can replay them in SQL) — except
+  * [[repetitionStats]], which needs a within-document group-by and
+  * documents its own shape.
   */
 object TextAnalysis {
 
@@ -140,6 +142,75 @@ object TextAnalysis {
     array_min(transform(sequence(lit(0), lastIdx),
       i => md5(text.substr(i * stride + 1, lit(k)))))
   }
+
+  /** Gopher-style repetition signals — the quality-filter family that
+    * catches degenerate (looping / boilerplate-stuffed) documents:
+    * top_token_frac — share of the most frequent token;
+    * dup_token_frac — share of tokens whose value occurs >= 2 times;
+    * top_bigram_frac — share of the most frequent (non-distinct) bigram.
+    * NOT per-row like the rest of this file: frequency concentration
+    * needs a within-document group-by, so the shape is two
+    * (doc_id, gram)-keyed counts — map-side-combinable, narrow (gram
+    * strings never survive past the count), join keyed on doc_id. */
+  def repetitionStats(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tokCounts = docs
+      .select(col(id), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col(id), col("t")).agg(count(lit(1)).as("c"))
+    val tokAgg = tokCounts.groupBy(col(id)).agg(
+      sum("c").as("n_tokens"),
+      max("c").as("top_c"),
+      sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup_c"))
+    val bigramCounts = docs
+      .select(col(id), split(lower(col(textCol)), " ").as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(id), explode(expr(
+        "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .as("g"))
+      .groupBy(col(id), col("g")).agg(count(lit(1)).as("c"))
+    val bigramAgg = bigramCounts.groupBy(col(id)).agg(
+      sum("c").as("n_bigrams"), max("c").as("top_big_c"))
+    tokAgg.join(bigramAgg, Seq(id), "left").select(
+      col(id),
+      col("n_tokens").cast("long").as("n_tokens"),
+      round(col("top_c").cast("double") / col("n_tokens"), 4)
+        .as("top_token_frac"),
+      round(col("dup_c").cast("double") / col("n_tokens"), 4)
+        .as("dup_token_frac"),
+      round(coalesce(
+        col("top_big_c").cast("double") / col("n_bigrams"), lit(0.0)), 4)
+        .as("top_bigram_frac"))
+  }
+
+  /** Email address shape; deliberately simple so Java regex and RE2
+    * (DuckDB) agree byte-for-byte on every input. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit run (account / phone / SSN-ish payloads once separators
+    * are ignored). Kept separator-free: separator-tolerant phone
+    * patterns are where regex dialects diverge. */
+  val LongNumberPattern: String = "[0-9]{6,}"
+
+  /** PII-scrubbed text: emails then long digit runs replaced by typed
+    * placeholder tokens. Email first — a local-part digit run must not
+    * be half-replaced before the email match sees it. Pure per-row
+    * regexp_replace (codegen'd, shuffle-free); replacement is global in
+    * both Spark and DuckDB (`'g'` flag there). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"),
+      LongNumberPattern, "[NUM]")
+
+  /** Per-document PII hit counts + scrubbed text. */
+  def piiScrub(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(id),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long")
+        .as("n_emails"),
+      regexp_count(col(textCol), lit(LongNumberPattern)).cast("long")
+        .as("n_longnums"),
+      redactPii(col(textCol)).as("redacted"))
 
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
     * Documents that differ only by token order/repetition collide —

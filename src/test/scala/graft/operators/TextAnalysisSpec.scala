@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the per-document text-quality operators on
+  * crafted fixtures with hand-computed expectations. */
+class TextAnalysisSpec extends SparkSpec {
+
+  test("repetitionStats: fractions match hand-computed values") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 tokens: "a" x3, "b" x2, "c" x1; bigrams: "a a","a b","b a","a b"...
+      (1L, "a a b a b c"),
+      // fully repeated doc: one token repeated
+      (2L, "x x x x"),
+      // no repetition at all
+      (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: n=6; top token "a" 3/6=0.5; dup tokens (a:3 + b:2)/6=0.8333;
+    // bigrams of [a a b a b c] = [a a, a b, b a, a b, b c] -> top "a b" 2/5=0.4
+    assert(got(1L) == ((6L, 0.5, 0.8333, 0.4)))
+    // doc 2: n=4; all same token; bigrams all "x x" -> 1.0 everywhere
+    assert(got(2L) == ((4L, 1.0, 1.0, 1.0)))
+    // doc 3: no dup token, every bigram unique: top fractions are 1/n
+    assert(got(3L) == ((4L, 0.25, 0.0, 0.3333)))
+  }
+
+  test("repetitionStats: single-token doc has zero bigram fraction") {
+    import spark.implicits._
+    val got = TextAnalysis.repetitionStats(Seq((1L, "solo")).toDF("doc_id", "text"))
+      .collect().head
+    assert(got.getLong(1) == 1L && got.getDouble(4) == 0.0)
+  }
+
+  test("piiScrub: emails and long digit runs redacted, counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact jane.doe+test@example.co.uk or bob@corp.io today"),
+      (2L, "account 1234567890 pin 123 card 000111222333"),
+      (3L, "mixed: a1b2@mail.example.com then 9876543 end"),
+      (4L, "clean text with no sensitive payloads at all"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((2L, 0L, "contact [EMAIL] or [EMAIL] today")))
+    // "123" is below the 6-digit floor and survives
+    assert(got(2L) == ((0L, 2L, "account [NUM] pin 123 card [NUM]")))
+    // the email is consumed BEFORE the digit-run pass can split it
+    assert(got(3L) == ((1L, 1L, "mixed: [EMAIL] then [NUM] end")))
+    assert(got(4L) == ((0L, 0L, "clean text with no sensitive payloads at all")))
+  }
+
+  test("redactPii is idempotent") {
+    import spark.implicits._
+    val df = Seq("x 1234567 y a@b.com z").toDF("text")
+    val once = df.select(TextAnalysis.redactPii(col("text")).as("r"))
+    val twice = once.select(TextAnalysis.redactPii(col("r")))
+    assert(once.collect().head.getString(0) == twice.collect().head.getString(0))
+  }
+}
