@@ -459,6 +459,22 @@ object SparkEntry {
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiScrub(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // sequence packing: per-source cumulative-offset chunking into
+    // 512-token training windows (prefix sum per shard, no global sort)
+    "q_pack_chunks" -> ((s, dir) =>
+      Packing.packByOffset(t(s, dir, "documents"), col("source"),
+        col("doc_id"), maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("chunk_id"))
+        .orderBy("doc_id")),
+
+    "q_pack_stats" -> ((s, dir) => {
+      val packed = Packing.packByOffset(t(s, dir, "documents"),
+        col("source"), col("doc_id"), maxTokens = 512)
+      Packing.chunkStats(packed, col("source"), maxTokens = 512)
+        .orderBy("shard", "chunk_id")
+    }),
+
     // whitespace vs BPE-ish token counts per document
     "q_token_counts" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1120,6 +1136,36 @@ object SparkEntry {
          |    '$num', '[NUM]', 'g') AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_pack_chunks" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS nt,
+        |    sum(len(string_split(lower(text), ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(cum - nt AS BIGINT) AS start_offset,
+        |  CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS nt,
+        |    sum(len(string_split(lower(text), ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, nt, cum - nt AS off,
+        |    CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id
+        |  FROM p)
+        |SELECT source AS shard, chunk_id, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(min(off) AS BIGINT) AS first_offset,
+        |  CAST(greatest(min(off) + sum(nt) - (chunk_id + 1) * 512, 0)
+        |    AS BIGINT) AS overflow
+        |FROM q GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
 
     "q_token_counts" ->
       s"""SELECT doc_id,
