@@ -63,6 +63,19 @@ object ScdStream {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("n_events"))
 
+  /** Streaming exact dedup: drop re-occurrences of a key within the
+    * watermark horizon — the streaming face of `Dedup.exactGroups`
+    * for continuous document ingest (key = content fingerprint).
+    * State is BOUNDED by the watermark: exact dedup over an unbounded
+    * stream needs unbounded state, so the contract is "no duplicate
+    * admitted within `watermarkDelay` of event time"; periodic batch
+    * compaction (the batch dedup family) handles older re-occurrences.
+    * One hash shuffle on the key; state one row per key in horizon. */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** `foreachBatch` upsert sink: each micro-batch merges into a
     * versioned parquet snapshot under `snapshotDir/v=<epoch>`; the
     * newest version is the queryable dimension state and older versions

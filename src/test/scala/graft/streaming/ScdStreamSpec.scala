@@ -142,6 +142,30 @@ class ScdStreamSpec extends SparkSpec {
     assert(got == Set((1, 12), (2, 120)))
   }
 
+  test("dedupStream — duplicate fingerprints within the watermark are dropped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[(String, Timestamp)]
+    val out = ScdStream.dedupStream(
+      ms.toDF().toDF("fp", "ts"), Seq("fp"), "ts", "10 minutes")
+      .select(col("fp"), col("ts"))
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = Timestamp.valueOf("2024-01-01 00:01:00")
+      ms.addData(("docA", t0), ("docB", t0))
+      q.processAllAvailable()
+      // same fingerprint again, within the horizon: must NOT re-emit
+      ms.addData(("docA", t1), ("docC", t1))
+      q.processAllAvailable()
+      val got = spark.table("dedup").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("docA", "docB", "docC"))
+    } finally q.stop()
+  }
+
   test("upsertSink — foreachBatch maintains a parquet snapshot across batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
