@@ -475,6 +475,14 @@ object SparkEntry {
         .orderBy("shard", "chunk_id")
     }),
 
+    // data mixing: per-source downsampling to target mixture rates
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
+        col("source"), Map("src0" -> 0.2, "src1" -> 0.5))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy("source")),
+
     // whitespace vs BPE-ish token counts per document
     "q_token_counts" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1166,6 +1174,19 @@ object SparkEntry {
         |  CAST(greatest(min(off) + sum(nt) - (chunk_id + 1) * 512, 0)
         |    AS BIGINT) AS overflow
         |FROM q GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      // rate CASE mirrors stratifiedSample's sorted-key fold
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS frac
+         |  FROM documents)
+         |SELECT source, count(*) AS n, min(doc_id) AS min_id
+         |FROM f
+         |WHERE frac < (CASE WHEN source = 'src0' THEN 0.2
+         |                   WHEN source = 'src1' THEN 0.5
+         |                   ELSE 1.0 END)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_token_counts" ->
       s"""SELECT doc_id,

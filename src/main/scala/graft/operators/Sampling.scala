@@ -34,4 +34,23 @@ object Sampling {
   def splitAssign(df: DataFrame, idCol: Column,
       splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(idCol, splits))
+
+  /** Per-stratum deterministic sampling — the data-MIXING knob of a
+    * training pipeline: re-weight sources by downsampling each stratum
+    * at its own rate (keep iff the id-hash fraction falls below the
+    * stratum's rate; strata not listed keep `defaultRate`). Per-row
+    * expression, shuffle-free, stable across runs, partitionings, and
+    * engines — so a mixture is reproducible and incrementally
+    * extendable (new data joins the sample without reshuffling old
+    * membership). */
+  def stratifiedSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"rates must be in [0,1]: $rates / $defaultRate")
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate): Column) { case (acc, (k, v)) =>
+        when(stratumCol === k, v).otherwise(acc)
+      }
+    df.where(Sketch.md5Fraction(idCol) < rate)
+  }
 }

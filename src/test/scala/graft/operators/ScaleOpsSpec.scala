@@ -46,4 +46,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(counts.values.sum == 2000)
     assert(counts("train") > 1500 && counts("val") > 100 && counts("test") > 100)
   }
+
+  test("stratifiedSample downsamples each stratum at its own rate") {
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("src", concat(lit("s"), col("id") % 3))
+    val mixed = Sampling.stratifiedSample(df, col("id"), col("src"),
+      Map("s0" -> 0.2, "s1" -> 0.7))
+    val counts = mixed.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("s0") > 120 && counts("s0") < 280) // ~200 of 1000
+    assert(counts("s1") > 600 && counts("s1") < 800) // ~700
+    assert(counts("s2") == 1000) // defaultRate keeps everything
+    // rate 0 removes a stratum entirely; membership is hash-monotone
+    val none = Sampling.stratifiedSample(df, col("id"), col("src"),
+      Map("s0" -> 0.0))
+    assert(none.where(col("src") === "s0").isEmpty)
+    val small = Sampling.stratifiedSample(df, col("id"), col("src"),
+      Map("s0" -> 0.1)).where(col("src") === "s0")
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.stratifiedSample(df, col("id"), col("src"),
+      Map("s0" -> 0.2)).where(col("src") === "s0")
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
 }
