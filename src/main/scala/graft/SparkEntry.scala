@@ -559,8 +559,11 @@ object SparkEntry {
 
     "dedup_embedding" -> ((s, dir) =>
       // default sign-hyperplane LSH blocking (8 bits = 256 buckets);
-      // bucket-local pairwise cosine — the 100 TB-safe shape
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.9)
+      // bucket-local pairwise cosine — the 100 TB-safe shape. The
+      // synthetic embeddings carry no true near-dups (max within-label
+      // cosine ≈ 0.47), so the threshold is set where same-bucket pairs
+      // exist: a 0-row result would leave the verify path untested.
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
         .orderBy("id_a", "id_b")),
 
@@ -1347,7 +1350,7 @@ object SparkEntry {
          |    ${cosSql("a.v", "b.v")} AS cos
          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p
-         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+         |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
     },
 
     "sim_bruteforce_topk" ->
