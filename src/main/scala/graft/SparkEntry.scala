@@ -596,6 +596,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // k-means training loop itself as a query: final nearest-centroid
+    // assignment after 2 Lloyd iterations from deterministic seeds
+    "sim_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(e, k = 8, iters = 2)
+      Similarity.assignCells(e, cents)
+        .select(col("vec_id"), col("cid"), col("cosine"))
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup-style near-dup pruning: block on the LEARNED cluster id
+    // (higher within-block density than sign-hyperplane buckets), then
+    // bucket-local pairwise cosine — same 100 TB shape as
+    // dedup_embedding with a semantically tighter blocking key
+    "dedup_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(e, k = 8, iters = 2)
+      val withCid = Similarity.assignCells(e, cents)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      Dedup.embeddingNearDups(withCid, col("cid"), "vec_id", "embedding",
+        threshold = 0.35)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- multimodal plumbing (metadata over opaque content) -----------
     "mm_binary_meta" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -711,6 +736,37 @@ object SparkEntry {
 
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Nearest-centroid assignment CTE mirroring Similarity.assignCells:
+    * cosine argmin rounded to 6, cid tie-break. Carries v and the
+    * rounded cosine so downstream CTEs can pair or project. */
+  private def kmAssign(cprev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, cid, round(cos2, 6) AS cosine FROM (
+       |    SELECT e.vec_id, e.v, c.cid, ${cosSql("e.v", "c.cvec")} AS cos2,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 6) DESC, c.cid) AS rn
+       |    FROM e CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+
+  /** Centroid-update CTE mirroring Similarity.kmeansFit's mean step:
+    * floor-1e-4 quantization to exact longs, exact long sum, one double
+    * division — the arithmetic is bit-identical across engines. */
+  private def kmUpdate(aprev: String, name: String): String =
+    s"""$name AS (
+       |  SELECT cid, list(cv ORDER BY pos) AS cvec FROM (
+       |    SELECT cid, pos, CAST(sum(qv) AS DOUBLE) / (10000.0 * count(*)) AS cv FROM (
+       |      SELECT a.cid, t.pos, CAST(floor(a.v[t.pos] * 10000) AS BIGINT) AS qv
+       |      FROM $aprev a CROSS JOIN unnest(generate_series(1, len(a.v))) AS t(pos))
+       |    GROUP BY cid, pos)
+       |  GROUP BY cid)""".stripMargin
+
+  /** Unrolled 2-iteration Lloyd chain (seeds = k lowest-id vectors):
+    * c0 → a0 → c1 → a1 → c2 → a2 (final assignment). */
+  private def kmeansChain(k: Int): String = Seq(
+    s"c0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT $k)",
+    kmAssign("c0", "a0"), kmUpdate("a0", "c1"),
+    kmAssign("c1", "a1"), kmUpdate("a1", "c2"),
+    kmAssign("c2", "a2")).mkString(",\n")
 
   /** md5-derived hash fraction in [0,1) — mirrors Sketch.md5Fraction's
     * horner expansion exactly (left-assoc sum of exact-in-double terms) */
@@ -1444,6 +1500,21 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "sim_kmeans" ->
+      s"""WITH $EmbCte,
+         |${kmeansChain(8)}
+         |SELECT vec_id, cid, cosine FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "dedup_semdedup" ->
+      s"""WITH $EmbCte,
+         |${kmeansChain(8)},
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS cos2
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(cos2, 4) AS cosine FROM p
+         |WHERE cos2 >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id,

@@ -313,6 +313,15 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .select(col("vertex"), least(col("vertex"), col("mn")).as("component"))
       .localCheckpoint()
+    // labels only ever decrease, so the label-sum is a strictly
+    // decreasing convergence surrogate: unchanged sum == no label moved
+    // (one single-row agg per round instead of a join + isEmpty job)
+    // decimal(38,0) sum: exact and overflow-free for any id range
+    // (ANSI mode would throw on a long-sum overflow at large scale)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
@@ -324,9 +333,9 @@ object Dedup {
       val next = labels.union(viaEdge).union(viaJump)
         .groupBy("vertex").agg(min("component").as("component"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "vertex")
-        .where(col("n.component") =!= col("o.component"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       round += 1
     }

@@ -109,6 +109,72 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Nearest-centroid assignment: one pass over the corpus against a
+    * BROADCAST centroid table (cid, cvec) — k rows per corpus row, never
+    * a corpus shuffle. Argmin by cosine rounded to 6 with a cid
+    * tie-break so the choice replays identically in any engine.
+    * Output: (id, vecCol, cid, cosine). */
+  def assignCells(corpus: DataFrame, cents: DataFrame,
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("cosine").desc, col("cid"))
+    corpus.select(col(id), col(vecCol))
+      .join(broadcast(cents), lit(true))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col(vecCol), col("cvec")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(id), col(vecCol), col("cid"), col("cosine"))
+  }
+
+  /** Lloyd's k-means over the embedding column, expressed entirely in
+    * relational ops so Catalyst owns the plan and a SQL oracle can
+    * replay it bit-for-bit:
+    *
+    *   - init: the k lowest-id vectors (deterministic seeding — the
+    *     production swap-in is a sampled k-means++ job, everything
+    *     downstream unchanged);
+    *   - assign: `assignCells` (broadcast centroids, no corpus
+    *     shuffle);
+    *   - update: element-wise mean via an inline posexplode and one
+    *     map-side-combinable (cid, pos) groupBy — the only shuffle per
+    *     iteration, and it carries (long, long) pairs, not vectors.
+    *
+    * Cross-engine determinism of the mean: coordinates are quantized
+    * to a 1e-4 grid with floor() — exact in IEEE double, no
+    * round-half-tie ambiguity (a double→decimal cast has ties exactly
+    * on dyadic coordinates, which float inputs CAN hit) — summed as
+    * exact longs, divided once in double. Both engines produce the
+    * same centroid bits, so assignment argmins can never diverge.
+    *
+    * Output: (cid, cvec: array<double>) — feeds `assignCells`, an IVF
+    * probe table, or `Dedup.embeddingNearDups`'s block key
+    * (SemDeDup-style cluster-blocked near-dup pruning). */
+  def kmeansFit(corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.orderBy(col(id)).limit(k)
+      .select(col(id).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents, id, vecCol)
+      val quantized = assigned
+        .select(col("cid"), posexplode(col(vecCol)))
+        .select(col("cid"), col("pos"),
+          floor(col("col").cast("double") * 10000).cast("long").as("qv"))
+      val means = quantized.groupBy("cid", "pos")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          (col("s").cast("double") / (lit(10000.0) * col("n"))).as("cv"))
+      // k·dim rows: materialize per iteration so the next assignment
+      // reads a tiny table instead of re-deriving the whole lineage
+      cents = means.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
   /** rank by (cosine desc, neighbor_id) — the id tie-break keeps the
     * cut deterministic for the oracle compare */
   private def topK(scored: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for k-means centroid training on a fixture with
+  * two obvious cosine clusters — and deliberately bad seeds (both
+  * initial centroids inside cluster A) so the test proves Lloyd
+  * iteration actually moves centroids rather than echoing the seeds. */
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // cluster A (seed)
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // cluster A (seed)
+      (3L, Array(0.95f, 0.05f, 0.0f, 0.0f)), // cluster A
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // cluster B
+      (5L, Array(0.1f, 0.9f, 0.0f, 0.0f)), // cluster B
+      (6L, Array(0.0f, 0.95f, 0.05f, 0.0f))) // cluster B
+      .toDF("vec_id", "embedding")
+  }
+
+  test("kmeansFit separates the two cosine clusters from bad seeds") {
+    val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
+    assert(cents.count() == 2)
+    val byId = Similarity.assignCells(vecs, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(byId) .size == 1, "cluster A split")
+    assert(Set(4L, 5L, 6L).map(byId).size == 1, "cluster B split")
+    assert(byId(1L) != byId(4L), "clusters collapsed")
+  }
+
+  test("centroid coordinates are exact quantized means") {
+    // one iteration from one seed: centroid = mean of ALL vectors,
+    // computed as sum(floor(x*1e4))/(1e4*n) — exactly reproducible
+    val cents = Similarity.kmeansFit(vecs, k = 1, iters = 1)
+    val cvec = cents.select("cvec").head().getSeq[Double](0)
+    val cols = vecs.collect().map(_.getSeq[Float](1))
+    val want = (0 until 4).map { i =>
+      cols.map(v => math.floor(v(i).toDouble * 10000).toLong).sum
+        .toDouble / (10000.0 * cols.length)
+    }
+    assert(cvec == want)
+  }
+
+  test("assignCells broadcasts centroids — no corpus-side shuffle") {
+    val cents = Similarity.kmeansFit(vecs, k = 2, iters = 1)
+    val plan = Similarity.assignCells(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("cluster-blocked near-dups stay within clusters") {
+    val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
+    val withCid = Similarity.assignCells(vecs, cents)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val pairs = Dedup.embeddingNearDups(withCid, col("cid"), "vec_id",
+        "embedding", threshold = 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 5L)))
+    // cross-cluster pairs are never emitted, whatever their cosine
+    assert(pairs.forall { case (a, b) => (a <= 3L) == (b <= 3L) })
+  }
+}
