@@ -459,6 +459,10 @@ object SparkEntry {
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiScrub(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // composite C4/Gopher keep-drop verdict with per-rule audit reasons
+    "text_filter" -> ((s, dir) =>
+      TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
+
     // sequence packing: per-source cumulative-offset chunking into
     // 512-token training windows (prefix sum per shard, no global sort)
     "q_pack_chunks" -> ((s, dir) =>
@@ -1190,6 +1194,56 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+
+    "text_filter" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        |  FROM tc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+        |    for i in range(1, len(t))]) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents
+        |        WHERE len(string_split(lower(text), ' ')) >= 2)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_big_c
+        |  FROM bc GROUP BY doc_id),
+        |rep AS (
+        |  SELECT ta.doc_id,
+        |    CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(CAST(top_c AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+        |    round(CAST(dup_c AS DOUBLE) / n_tokens, 4) AS dup_token_frac,
+        |    round(coalesce(CAST(top_big_c AS DOUBLE) / n_bigrams, 0.0), 4)
+        |      AS top_bigram_frac
+        |  FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id),
+        |pr AS (
+        |  SELECT doc_id, round(length(replace(text, ' ', '')) * 1.0 /
+        |    greatest(len(string_split(lower(text), ' ')), 1), 4)
+        |    AS mean_word_len
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_tokens, mean_word_len, top_token_frac,
+        |    top_bigram_frac, dup_token_frac,
+        |    concat_ws(',',
+        |      CASE WHEN n_tokens < 25 THEN 'too_short' END,
+        |      CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+        |      CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0
+        |        THEN 'word_len' END,
+        |      CASE WHEN top_token_frac > 0.15 THEN 'repetitive_token' END,
+        |      CASE WHEN top_bigram_frac > 0.12 THEN 'repetitive_bigram' END,
+        |      CASE WHEN dup_token_frac > 0.95 THEN 'dup_heavy' END)
+        |      AS reasons
+        |  FROM pr JOIN rep USING (doc_id))
+        |SELECT doc_id, n_tokens, mean_word_len, top_token_frac,
+        |  top_bigram_frac, dup_token_frac, reasons,
+        |  CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "text_pii" -> {
       // DuckDB string literals are escape-free: embed the Java-side

@@ -218,4 +218,48 @@ object TextAnalysis {
     * equality. */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Composite C4/Gopher-style heuristic document filter. One row per
+    * doc: the load-bearing metrics, `keep` (1/0), and `reasons` — the
+    * failed rules comma-joined in a FIXED order, empty when kept — the
+    * audit shape a curation pipeline reports drop composition with.
+    *
+    * Rules (each a knob; defaults are Gopher-ish bounds):
+    *   - too_short / too_long: whitespace token count outside
+    *     [minTokens, maxTokens];
+    *   - word_len: mean word length outside
+    *     [minMeanWordLen, maxMeanWordLen];
+    *   - repetitive_token / repetitive_bigram: top token / bigram
+    *     frequency concentration above the cap;
+    *   - dup_heavy: fraction of tokens occurring >= 2 times above cap.
+    *
+    * All thresholds compare the ROUNDED (4 dp) published metrics, so
+    * the verdict replays identically from the metric columns alone.
+    * Cost: the repetitionStats groupBy is the only shuffle; everything
+    * else is per-row codegen. */
+  def heuristicFilter(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", minTokens: Int = 25, maxTokens: Int = 5000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxTopTokenFrac: Double = 0.15, maxTopBigramFrac: Double = 0.12,
+      maxDupTokenFrac: Double = 0.95): DataFrame = {
+    val text = col(textCol)
+    val nt = size(tokens(text)).cast("double")
+    val mwl = length(translate(text, " ", "")).cast("double") /
+      greatest(nt, lit(1.0))
+    val perRow = docs.select(col(id), round(mwl, 4).as("mean_word_len"))
+    val joined = perRow.join(repetitionStats(docs, id, textCol), Seq(id))
+    val reasons = concat_ws(",",
+      when(col("n_tokens") < minTokens, "too_short"),
+      when(col("n_tokens") > maxTokens, "too_long"),
+      when(col("mean_word_len") < minMeanWordLen ||
+        col("mean_word_len") > maxMeanWordLen, "word_len"),
+      when(col("top_token_frac") > maxTopTokenFrac, "repetitive_token"),
+      when(col("top_bigram_frac") > maxTopBigramFrac, "repetitive_bigram"),
+      when(col("dup_token_frac") > maxDupTokenFrac, "dup_heavy"))
+    joined.select(
+      col(id), col("n_tokens"), col("mean_word_len"),
+      col("top_token_frac"), col("top_bigram_frac"), col("dup_token_frac"),
+      reasons.as("reasons"),
+      when(reasons === "", 1L).otherwise(0L).as("keep"))
+  }
 }

@@ -55,6 +55,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, "clean text with no sensitive payloads at all")))
   }
 
+  test("heuristicFilter: rule verdicts and fixed-order reasons") {
+    import spark.implicits._
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, clean), // 30 varied tokens: keeps
+      (2L, "tiny doc"), // too_short
+      (3L, ("spam " * 30).trim), // short-circuit: every rep rule + dup
+      (4L, (1 to 30).map(_ => "ab").mkString(" "))) // word_len + repetition
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.heuristicFilter(docs)
+      .select("doc_id", "keep", "reasons").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L) == ((1L, "")))
+    assert(got(2L)._1 == 0L && got(2L)._2.contains("too_short"))
+    // reasons join in fixed rule order: token rule before bigram rule
+    assert(got(3L) ==
+      ((0L, "repetitive_token,repetitive_bigram,dup_heavy")))
+    assert(got(4L)._1 == 0L && got(4L)._2.startsWith("word_len"))
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
