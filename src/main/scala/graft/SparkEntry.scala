@@ -393,6 +393,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // wide-left variant: window sort sees only (uid,key,time); payload
+    // columns rejoin by event id — the shape to prefer on wide facts
+    "asof_join_slim" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_id").as("click_eid"))
+      AsOfJoin.asOfSlim(purchases, clicks, "user_id", "ts_us", "ts_us",
+        Seq(("click_eid", "click_id")), "event_id", uid = "event_id")
+        .orderBy("event_id")
+    }),
+
     // batch tumbling windows over event time (epoch-µs bucket math —
     // engine-portable; the streaming variant is ScdStream.eventCountsPerWindow)
     "q_event_buckets" -> ((s, dir) =>
@@ -1038,6 +1052,21 @@ object SparkEntry {
          |ORDER BY user_id""".stripMargin,
 
     "asof_join_events" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us, click_id FROM w WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // identical result contract to asof_join_events — the slim variant
+    // only changes the physical shape, never the rows
+    "asof_join_slim" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side

@@ -60,6 +60,37 @@ object AsOfJoin {
       .withColumn("__r", payload)
       .select(meta.map(col): _*)
     val unioned = leftSel.unionByName(rightSel, allowMissingColumns = true)
+    applyWindow(unioned, key, leftCols.toIndexedSeq, rightCols)
+  }
+
+  /** Wide-row variant: only (uid, key, time, tie-break) go through the
+    * window's shuffle + sort; the resolved as-of payload then joins
+    * back to the untouched left rows on `uid` (MUST be unique per left
+    * row — typically the event id already serving as tie-break).
+    *
+    * Why it exists: the base `asOf` sorts ENTIRE left rows inside the
+    * window partition, so at a wide fact schema the sort/spill cost is
+    * dominated by payload bytes that the as-of logic never looks at.
+    * Here the sort touches 4 narrow columns; the payload moves once,
+    * through a hash equi-join that AQE can plan (and skew-split). Same
+    * output and semantics as `asOf` — proven by equality in
+    * AsOfJoinSpec. Prefer this at 100 TB whenever left has more than a
+    * handful of columns; prefer `asOf` when left is already narrow
+    * (the rejoin's extra shuffle outweighs the slimmer sort). */
+  def asOfSlim(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[(String, String)], tieBreak: String,
+      uid: String): DataFrame = {
+    val slimCols = Seq(uid, key, leftTime, tieBreak).distinct
+    val attached = asOf(left.select(slimCols.map(col): _*), right, key,
+      leftTime, rightTime, rightCols, tieBreak)
+    val payload = attached.select((uid +: rightCols.map(_._2)).map(col): _*)
+    left.join(payload, Seq(uid))
+  }
+
+  private def applyWindow(unioned: DataFrame, key: String,
+      leftCols: Seq[String],
+      rightCols: Seq[(String, String)]): DataFrame = {
     // right rows sort before left rows at equal time (side 0 < 1): a
     // right row AT the probe's timestamp is already visible (<=)
     val w = Window.partitionBy(col(key))

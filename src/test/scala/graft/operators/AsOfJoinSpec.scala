@@ -36,6 +36,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("asof_v")))
   }
 
+  test("asOfSlim matches asOf row-for-row on a wide left table") {
+    val left = Seq(
+      (1L, 100L, "e1", "payload-a", 1.5), (1L, 200L, "e2", "payload-b", 2.5),
+      (2L, 50L, "e3", "payload-c", 3.5), (2L, 70L, "e4", "payload-d", 4.5))
+      .toDF("k", "t", "eid", "wide1", "wide2")
+    val right = Seq((1L, 100L, "r-a", "x1"), (1L, 150L, "r-b", "x2"),
+      (2L, 60L, "r-c", "x3")).toDF("k", "t", "v", "eid")
+    val cols = Seq("eid", "k", "t", "wide1", "wide2", "asof_v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.head, cols.tail: _*).orderBy("eid")
+        .collect().map(_.toSeq).toSeq
+    val base = rows(AsOfJoin.asOf(left, right, "k", "t", "t",
+      Seq(("v", "asof_v")), "eid"))
+    val slim = rows(AsOfJoin.asOfSlim(left, right, "k", "t", "t",
+      Seq(("v", "asof_v")), "eid", uid = "eid"))
+    assert(slim == base)
+    // the wide payload columns must NOT appear below the window sort
+    val plan = AsOfJoin.asOfSlim(left, right, "k", "t", "t",
+      Seq(("v", "asof_v")), "eid", uid = "eid")
+      .queryExecution.optimizedPlan.toString
+    val windowPart = plan.split("(?i)window").last // subtree under Window
+    assert(!windowPart.contains("wide1"), plan)
+  }
+
   test("multiple attached columns travel together from the same row") {
     val left = Seq((1L, 300L, "p")).toDF("k", "t", "eid")
     val right = Seq((1L, 100L, "a1", 10, "x1"), (1L, 200L, "a2", 20, "x2"))
