@@ -53,6 +53,79 @@ object ScdStream {
       }(enc, enc)
   }
 
+  /** One open gap-session per key — the custom state carried by
+    * [[sessionizeStream]]. Bounded by key cardinality, never by event
+    * volume. Times in epoch micros. */
+  case class OpenSession(start_us: Long, end_us: Long, n_events: Long)
+
+  /** A closed session emitted by [[sessionizeStream]] — same shape as
+    * the batch `Sessionize.sessions` aggregate. */
+  case class SessionRow(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Streaming gap sessionization via `flatMapGroupsWithState` — the
+    * streaming face of `Sessionize.sessions`, and the shape for any
+    * custom multi-row-emitting state machine. A session closes either
+    * when a later event of the same key arrives more than `gapSeconds`
+    * after the session's last event (emitted in that micro-batch), or
+    * when the event-time watermark passes last + gap with no successor
+    * (EventTimeTimeout fires and flushes it).
+    *
+    * `key` must be castable to long; `tsCol` a timestamp. Output
+    * (append mode): user_id, start_us, end_us, n_events. Scale: one
+    * hash shuffle on the key; state is ONE open session per key;
+    * late events beyond `watermarkDelay` are dropped by the watermark
+    * (the documented streaming/batch divergence — batch replays would
+    * include them). */
+  def sessionizeStream(df: DataFrame, key: String, tsCol: String,
+      gapSeconds: Long, watermarkDelay: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    // project/cast BEFORE the watermark: a cast after withWatermark
+    // mints a new attribute and silently drops the event-time tag
+    val typed = df
+      .select(col(key).cast("long").as("__k"),
+        col(tsCol).cast("timestamp").as("__t"))
+      .withWatermark("__t", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionRow(user, s.start_us, s.end_us, s.n_events))
+          } else {
+            val ts = events.map(_._2.getTime * 1000L).toArray.sorted
+            val closed = Seq.newBuilder[SessionRow]
+            var open = state.getOption
+            ts.foreach { t =>
+              open = open match {
+                case Some(s) if t - s.end_us <= gapUs => Some(OpenSession(
+                  math.min(s.start_us, t), math.max(s.end_us, t),
+                  s.n_events + 1))
+                case Some(s) =>
+                  closed += SessionRow(user, s.start_us, s.end_us, s.n_events)
+                  Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // the flush deadline; clamped above the current watermark
+              // (a stale deadline would be rejected by the state store)
+              state.setTimeoutTimestamp(math.max(
+                s.end_us / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }.toDF()
+  }
+
   /** Tumbling-window event counts with a watermark — the standard
     * windowed streaming aggregate over an event-time column. */
   def eventCountsPerWindow(df: DataFrame, tsCol: String,

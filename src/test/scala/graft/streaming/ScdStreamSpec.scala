@@ -81,6 +81,39 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream — gap-close in batch, watermark timeout flush") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, Timestamp)]
+    val out = ScdStream.sessionizeStream(
+      ms.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gapSeconds = 10, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    def sessions = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+        r.getLong(2) / 1000000L, r.getLong(3))).toSet
+    try {
+      // two sessions' worth in ONE batch: the gap closes the first
+      ms.addData((1L, t(1000)), (1L, t(1005)), (1L, t(1100)))
+      q.processAllAvailable()
+      assert(sessions == Set((1L, 1000L, 1005L, 2L)))
+      // next batch: gap again closes the open (1100) session
+      ms.addData((1L, t(1200)))
+      q.processAllAvailable()
+      assert(sessions == Set((1L, 1000L, 1005L, 2L), (1L, 1100L, 1100L, 1L)))
+      // another user far in the future advances the watermark past
+      // user 1's flush deadline; the NEXT batch fires the timeout
+      ms.addData((2L, t(5000)))
+      q.processAllAvailable()
+      ms.addData((2L, t(5001)))
+      q.processAllAvailable()
+      assert(sessions.contains((1L, 1200L, 1200L, 1L)),
+        s"timeout flush missing: $sessions")
+    } finally q.stop()
+  }
+
   test("dmlSink — streamed DML lines land in the sidecar; reads see them") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
