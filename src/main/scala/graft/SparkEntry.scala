@@ -477,6 +477,11 @@ object SparkEntry {
     "text_filter" -> ((s, dir) =>
       TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // top-5 characteristic terms per doc by smoothed tf-idf
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"))
+        .orderBy("doc_id", "rank")),
+
     // sequence packing: per-source cumulative-offset chunking into
     // 512-token training windows (prefix sum per shard, no global sort)
     "q_pack_chunks" -> ((s, dir) =>
@@ -1273,6 +1278,24 @@ object SparkEntry {
         |  top_bigram_frac, dup_token_frac, reasons,
         |  CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT doc_id, term, tf, df,
+        |    round(tf * ln((n_docs + 1.0) / (df + 1)), 4) AS tf_idf
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tf_idf DESC, term) AS rnk
+        |  FROM s)
+        |SELECT doc_id, rnk AS "rank", term, tf, df, tf_idf FROM r
+        |WHERE rnk <= 5 ORDER BY doc_id, "rank"""".stripMargin,
 
     "text_pii" -> {
       // DuckDB string literals are escape-free: embed the Java-side

@@ -219,6 +219,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Top-k characteristic terms per document by smoothed TF-IDF
+    * (`tf · ln((N+1)/(df+1))`). Plan shape at scale: explode → one
+    * map-side-combinable (doc, term) groupBy for tf; a term-keyed
+    * groupBy of THAT (already one row per (doc, term)) for df; the
+    * corpus size joins in as a broadcast 1-row aggregate — never a
+    * driver-side collect; then a per-doc window cut. Scores are
+    * rounded to 4 before ranking (term tie-break) so the cut is
+    * engine-replayable. */
+  def tfIdfTopTerms(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", k: Int = 5): DataFrame = {
+    val tf = docs.select(col(id), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "term").crossJoin(broadcast(n))
+      .withColumn("tf_idf", round(col("tf") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("tf_idf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(id), col("rank"), col("term"), col("tf"), col("df"),
+        col("tf_idf"))
+  }
+
   /** Composite C4/Gopher-style heuristic document filter. One row per
     * doc: the load-bearing metrics, `keep` (1/0), and `reasons` — the
     * failed rules comma-joined in a FIXED order, empty when kept — the
