@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** File-layout control for scan pruning — at 100 TB the cheapest query
@@ -23,6 +24,41 @@ object Layout {
     df.repartitionByRange(numFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write.mode("overwrite").format(format).save(outDir)
+
+  /** Z-order (Morton) key over non-negative integer columns, each
+    * truncated to `bits` bits: bit b of column i lands at position
+    * b·n + i. A pure bitwise expression tree (codegen'd, no UDF).
+    *
+    * Why: range clustering on (x, y) only prunes filters with an x
+    * prefix; clustering on the INTERLEAVED key gives every dimension
+    * locality, so a filter on y alone still skips most row groups —
+    * the multi-dimensional half that `clusteredWrite`'s lexicographic
+    * sort can't provide (LayoutSpec measures both). Callers with
+    * signed/unbounded domains normalize first (e.g. rank-bucket to
+    * 2^bits). */
+  def zOrderKey(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.length <= 63,
+      s"bits*cols must fit a signed long: $bits*${cols.length}")
+    val parts = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      b * cols.length + i)
+    parts.reduce(_.bitwiseOR(_))
+  }
+
+  /** `clusteredWrite` on the Morton key of `cols` — the plain-Spark
+    * analogue of a table format's Z-order clustering. The key column
+    * is layout-only: dropped after the range-partition + sort, before
+    * bytes hit disk (a projection preserves row order). */
+  def zOrderedWrite(df: DataFrame, cols: Seq[Column], bits: Int,
+      outDir: String, numFiles: Int): Unit =
+    df.withColumn("__z", zOrderKey(cols, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 
   /** Write `df` as a BUCKETED table: both sides of a recurring join
     * bucketed by the join key with the same bucket count join with NO

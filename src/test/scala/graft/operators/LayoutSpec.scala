@@ -46,6 +46,31 @@ class LayoutSpec extends SparkSpec {
       spark.read.parquet(unclustered).where(pred).count())
   }
 
+  test("z-order layout prunes on the NON-prefix dimension; linear sort cannot") {
+    // 64x64 grid: lexicographic (x, y) clustering gives y no locality
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x, y, x * 64 + y)).toDF("x", "y", "payload")
+    val linear = Files.createTempDirectory("lay_lin").toString
+    Layout.clusteredWrite(grid, Seq(col("x"), col("y")), linear,
+      numFiles = 16)
+    val zed = Files.createTempDirectory("lay_z").toString
+    Layout.zOrderedWrite(grid, Seq(col("x"), col("y")), bits = 6, zed,
+      numFiles = 16)
+
+    // filter on y ALONE — the dimension the linear sort subordinates
+    val pred = col("y") < 4
+    val linRows = scanOutputRows(spark.read.parquet(linear).where(pred))
+    val zRows = scanOutputRows(spark.read.parquet(zed).where(pred))
+    // every x-clustered row group spans all y: nothing skips; z-tiles
+    // confine y < 4 to the bottom row of tiles
+    assert(zRows < linRows / 2,
+      s"z-order did not prune: z=$zRows linear=$linRows")
+    assert(spark.read.parquet(zed).where(pred).count() ==
+      spark.read.parquet(linear).where(pred).count())
+    // the layout key is not persisted
+    assert(spark.read.parquet(zed).columns.toSet == Set("x", "y", "payload"))
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val facts = (1 to 20000).map(i => (i % 1000, i)).toDF("k", "v")
     val dims = (0 until 1000).map(i => (i, s"d$i")).toDF("k", "name")
