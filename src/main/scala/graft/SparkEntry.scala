@@ -482,6 +482,12 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"))
         .orderBy("doc_id", "rank")),
 
+    // per-doc OOV rate against the corpus top-20 vocabulary (the
+    // synthetic corpus has 31 distinct tokens, so the cut is live)
+    "text_vocab_oov" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), vocabSize = 20)
+        .orderBy("doc_id")),
+
     // sequence packing: per-source cumulative-offset chunking into
     // 512-token training windows (prefix sum per shard, no global sort)
     "q_pack_chunks" -> ((s, dir) =>
@@ -1296,6 +1302,21 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, rnk AS "rank", term, tf, df, tf_idf FROM r
         |WHERE rnk <= 5 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "text_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |vf AS (SELECT tok, count(*) AS freq FROM tok GROUP BY 1),
+        |v AS (SELECT tok FROM vf ORDER BY freq DESC, tok LIMIT 20),
+        |j AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN v ON t.tok = v.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_pii" -> {
       // DuckDB string literals are escape-free: embed the Java-side

@@ -244,6 +244,32 @@ object TextAnalysis {
         col("tf_idf"))
   }
 
+  /** Per-document coverage of the corpus' top-`vocabSize` token
+    * vocabulary: token total, out-of-vocabulary occurrences, and the
+    * OOV rate — what a tokenizer-training / data-mixing pipeline
+    * watches when sizing a vocabulary.
+    *
+    * Plan shape: one map-side-combinable token groupBy for corpus
+    * frequencies; the vocab cut is a distributed sort+limit
+    * (TakeOrdered — no single-partition window) with a (freq desc,
+    * token) tie-break so the cut replays identically anywhere; the
+    * vocab then BROADCASTS into a left join against the exploded
+    * tokens (vocabSize rows, never a corpus shuffle); one final doc
+    * groupBy. */
+  def vocabCoverage(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", vocabSize: Int = 65536): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens(col(textCol))).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+  }
+
   /** Composite C4/Gopher-style heuristic document filter. One row per
     * doc: the load-bearing metrics, `keep` (1/0), and `reasons` — the
     * failed rules comma-joined in a FIXED order, empty when kept — the
