@@ -106,6 +106,40 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H Q5 shape: the canonical multi-way star join — fact tables
+    // (orders, lineitem) shuffle on their join keys once each; every
+    // dimension (customer, supplier, nation, region) broadcasts, so
+    // the plan has exactly two fact exchanges at any scale
+    "q5_local_volume" -> ((s, dir) => {
+      val region = t(s, dir, "region").where(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val supplier = t(s, dir, "supplier")
+      val orders = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val lineitem = t(s, dir, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // pivot: per-year order totals fanned out by status column-wise
+    "q_pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy("order_year")),
+
     "q3_top_revenue" -> ((s, dir) => {
       val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
@@ -488,6 +522,14 @@ object SparkEntry {
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), vocabSize = 20)
         .orderBy("doc_id")),
 
+    // hashing-trick document vectors, flattened long-form so every
+    // component is oracle-checked (the array API feeds Similarity/Dedup)
+    "text_embed" -> ((s, dir) =>
+      TextAnalysis.hashEmbedding(t(s, dir, "documents"), dim = 16)
+        .select(col("doc_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .orderBy("doc_id", "pos")),
+
     // sequence packing: per-source cumulative-offset chunking into
     // 512-token training windows (prefix sum per shard, no global sort)
     "q_pack_chunks" -> ((s, dir) =>
@@ -816,6 +858,25 @@ object SparkEntry {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
 
     "q3_top_revenue" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
@@ -1302,6 +1363,27 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, rnk AS "rank", term, tf, df, tf_idf FROM r
         |WHERE rnk <= 5 ORDER BY doc_id, "rank"""".stripMargin,
+
+    "text_embed" -> {
+      val bfrac = md5FracSql("'b|' || tok")
+      val wfrac = md5FracSql("'w|' || tok")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, CAST(floor(($bfrac) * 16) AS INT) AS bk,
+         |    CAST(floor(($wfrac) * 2000000) AS BIGINT) - 1000000 AS w
+         |  FROM tok),
+         |s AS (SELECT doc_id, bk, sum(w) AS s FROM b GROUP BY 1, 2),
+         |g AS (
+         |  SELECT d.doc_id, t.i
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN unnest(generate_series(0, 15)) AS t(i))
+         |SELECT g.doc_id, CAST(g.i AS INT) AS pos,
+         |  CAST(coalesce(s.s, 0) AS DOUBLE) / 1000000.0 AS val
+         |FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bk = g.i
+         |ORDER BY g.doc_id, pos""".stripMargin
+    },
 
     "text_vocab_oov" ->
       """WITH tok AS (

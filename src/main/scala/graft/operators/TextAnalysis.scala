@@ -244,6 +244,38 @@ object TextAnalysis {
         col("tf_idf"))
   }
 
+  /** Deterministic hashing-trick document embedding (feature hashing /
+    * "hashing vectorizer"): every token lands in bucket
+    * `floor(md5frac("b|"+tok)·dim)` with a signed weight derived from a
+    * second salt, summed per bucket into a dense `dim`-vector. Bridges
+    * the text operators into the vector family (`Similarity`,
+    * `Dedup.embeddingNearDups`, `kmeansFit`) with no model artifact.
+    *
+    * Determinism discipline (same as kmeansFit): weights are QUANTIZED
+    * to integers (`floor(frac·2Q)−Q`), summed as exact longs, divided
+    * once in double — bucket sums can never diverge across engines by
+    * accumulation order. Plan: explode → one map-side-combinable
+    * (doc, bucket) groupBy → per-doc assembly via map lookup over a
+    * static sequence; no shuffle carries strings past the first
+    * groupBy. Output: (id, embedding array<double>). */
+  def hashEmbedding(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", dim: Int = 16): DataFrame = {
+    val Q = 1000000L
+    val tok = docs.select(col(id), explode(tokens(col(textCol))).as("tok"))
+    val bucketed = tok.select(col(id),
+      floor(Sketch.md5Fraction(concat(lit("b|"), col("tok"))) * dim)
+        .cast("int").as("bk"),
+      (floor(Sketch.md5Fraction(concat(lit("w|"), col("tok"))) * (2 * Q))
+        .cast("long") - Q).as("w"))
+    bucketed.groupBy(col(id), col("bk")).agg(sum("w").as("s"))
+      .groupBy(col(id))
+      .agg(map_from_entries(collect_list(struct(col("bk"), col("s"))))
+        .as("__m"))
+      .select(col(id), expr(
+        s"transform(sequence(0, ${dim - 1}), " +
+          s"i -> coalesce(__m[i], 0L) / ${Q}.0)").as("embedding"))
+  }
+
   /** Per-document coverage of the corpus' top-`vocabSize` token
     * vocabulary: token total, out-of-vocabulary occurrences, and the
     * OOV rate — what a tokenizer-training / data-mixing pipeline
