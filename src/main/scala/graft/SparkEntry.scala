@@ -554,6 +554,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("source")),
 
+    // temperature-style weighted sample: 20 docs per source, longer
+    // docs proportionally likelier, reproducible from ids alone
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), col("source"),
+        col("doc_id"), col("n_chars"), k = 20)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rank")),
+
     // whitespace vs BPE-ish token counts per document
     "q_token_counts" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1442,6 +1450,20 @@ object SparkEntry {
         |  CAST(greatest(min(off) + sum(nt) - (chunk_id + 1) * 512, 0)
         |    AS BIGINT) AS overflow
         |FROM q GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH b AS (
+         |  SELECT source, doc_id, n_chars,
+         |    pow(${md5FracSql("'ws|' || CAST(doc_id AS VARCHAR)")},
+         |        1.0 / n_chars) AS wkey
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY wkey DESC, doc_id) AS rnk
+         |  FROM b)
+         |SELECT source, rnk AS "rank", doc_id, n_chars FROM r
+         |WHERE rnk <= 20 ORDER BY source, "rank"""".stripMargin,
 
     "q_stratified_sample" ->
       // rate CASE mirrors stratifiedSample's sorted-key fold

@@ -53,4 +53,28 @@ object Sampling {
       }
     df.where(Sketch.md5Fraction(idCol) < rate)
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement, k per
+    * stratum (Efraimidis–Spirakis "A-Res"): each row draws
+    * key = u^(1/w) with u the row's id-hash fraction; the k largest
+    * keys per stratum are exactly a weighted sample. Replacing the
+    * RNG with hash randomness makes the sample a pure function of
+    * (ids, weights, k) — reproducible across runs, partitionings, and
+    * engines, and incrementally stable (a new row displaces at most
+    * one old member).
+    *
+    * This is the "temperature" mixing knob: w = quality score, doc
+    * length, or source_count^alpha. Cost: one per-stratum top-k
+    * (window cut after a hash shuffle on the stratum) — no global
+    * sort. Ties (prob ~2^-32) break by id. Output: input columns +
+    * `rank` (1-based per stratum by descending key). */
+  def weightedSample(df: DataFrame, strataCol: Column, idCol: Column,
+      weightCol: Column, k: Int): DataFrame = {
+    val u = Sketch.md5Fraction(concat(lit("ws|"), idCol.cast("string")))
+    val key = pow(u, lit(1.0) / weightCol.cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(key.desc, idCol)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }
