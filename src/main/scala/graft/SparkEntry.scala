@@ -455,6 +455,32 @@ object SparkEntry {
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
 
+    // equal-width value histogram (two map-side-combinable passes)
+    "q_histogram" -> ((s, dir) =>
+      Profile.histogram(events(s, dir), col("value"), 16)
+        .orderBy("bucket")),
+
+    // weekly retention cohorts: first-seen week x active week, pure
+    // integer epoch math (one user groupBy + one cohort groupBy)
+    "q_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), expr("ts_us div 604800000000").as("week"))
+      val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(cohorts, Seq("user_id"))
+        .groupBy("cohort_week", "week")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "week")
+    }),
+
+    // overlapping context-window chunks (stride 24, 8-token overlap);
+    // the md5 keeps the oracle row compact instead of shipping chunk text
+    "q_chunk_text" -> ((s, dir) =>
+      TextAnalysis.chunkText(t(s, dir, "documents"), maxTokens = 32,
+        overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // deterministic train/val/test assignment by id-hash fraction —
     // stable across runs, partitionings, and engines
     "q_split_assign" -> ((s, dir) =>
@@ -1164,6 +1190,51 @@ object SparkEntry {
         |SELECT us // 3600000000 AS hour_bucket, event_type,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (
+        |  SELECT min(CAST(value AS DOUBLE)) AS mn,
+        |    max(CAST(value AS DOUBLE)) AS mx FROM events),
+        |j AS (
+        |  SELECT coalesce(least(CAST(floor(
+        |      (CAST(value AS DOUBLE) - mn) / nullif((mx - mn) / 16, 0))
+        |      AS BIGINT), 15), 0) AS bucket, mn, mx
+        |  FROM events CROSS JOIN b)
+        |SELECT bucket,
+        |  round(mn + (mx - mn) / 16 * bucket, 6) AS lo,
+        |  round(mn + (mx - mn) / 16 * (bucket + 1), 6) AS hi,
+        |  count(*) AS n
+        |FROM j GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT cohort_week, week, count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week""".stripMargin,
+
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |    greatest(CAST(floor((len(toks) - 8 + 23) / 24.0) AS BIGINT), 1)
+        |      AS nc
+        |  FROM d),
+        |x AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_idx
+        |  FROM n),
+        |w AS (
+        |  SELECT doc_id, chunk_idx,
+        |    toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS win
+        |  FROM x)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(win) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(win, ' ')) AS chunk_md5
+        |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

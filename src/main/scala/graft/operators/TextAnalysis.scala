@@ -244,6 +244,36 @@ object TextAnalysis {
         col("tf_idf"))
   }
 
+  /** Split each document into overlapping token windows — the
+    * context-window prep step of a training pipeline (chunk i covers
+    * tokens [i·stride, i·stride + maxTokens), stride =
+    * maxTokens − overlap; every doc yields ≥ 1 chunk). Pure per-row
+    * generator expression: integer chunk-count math (no float ceil —
+    * engine-replayable), inline explode over the index sequence, slice
+    * + concat for the window. Output: id, chunk_idx, n_chunk_tokens,
+    * chunk_text. */
+  def chunkText(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", maxTokens: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens: $overlap / $maxTokens")
+    val stride = maxTokens - overlap
+    val toks = tokens(col(textCol))
+    // ceil((n - overlap) / stride) via floor of an exact small-int
+    // division (both engines IEEE-identical), min 1
+    val nChunks = greatest(
+      floor((size(toks) - overlap + (stride - 1)).cast("double") / stride)
+        .cast("long"), lit(1L))
+    val chunked = docs
+      .select(col(id), toks.as("__toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
+    val window = slice(col("__toks"),
+      (col("chunk_idx") * stride + 1).cast("int"), lit(maxTokens))
+    chunked.select(col(id), col("chunk_idx"),
+      size(window).cast("long").as("n_chunk_tokens"),
+      concat_ws(" ", window).as("chunk_text"))
+  }
+
   /** Deterministic hashing-trick document embedding (feature hashing /
     * "hashing vectorizer"): every token lands in bucket
     * `floor(md5frac("b|"+tok)·dim)` with a signed weight derived from a

@@ -75,6 +75,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._1 == 0L && got(4L)._2.startsWith("word_len"))
   }
 
+  test("chunkText: overlapping windows tile the doc; short docs yield one chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c")) // shorter than one window
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkText(docs, maxTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // stride 2: ceil((10-2)/2) = 4 chunks, each starting 2 later
+    assert(d1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10"))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
+  }
+
+  test("histogram: hand-computed equal-width buckets, max lands in last") {
+    import spark.implicits._
+    val df = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).toDF("v")
+    val got = Profile.histogram(df, col("v"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // width 2.5: [0,2.5)->{0,1}, [2.5,5)->{2.5}, [5,7.5)->{5},
+    // [7.5,10]->{9.9, 10 (clamped)}
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
