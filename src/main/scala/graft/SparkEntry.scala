@@ -460,6 +460,21 @@ object SparkEntry {
       Profile.histogram(events(s, dir), col("value"), 16)
         .orderBy("bucket")),
 
+    // interval join WITHOUT a cross product: events → their session's
+    // [start, end] via hour-cell bucketization + hash equi-join (a
+    // naive BETWEEN join plans as nested-loop — the range-join trap)
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("ts_us"))
+      val sess = Sessionize.sessions(events(s, dir), tsCol = "ts_us")
+        .select(col("user_id"), col("session_seq"),
+          col("start_us"), col("end_us"))
+      RangeJoin.pointInInterval(ev, "ts_us", sess, "start_us", "end_us",
+        bucketWidth = 3600000000L, extraKeys = Seq("user_id"))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_points"), min("ts_us").as("first_us"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // weekly retention cohorts: first-seen week x active week, pure
     // integer epoch math (one user groupBy + one cohort groupBy)
     "q_retention" -> ((s, dir) => {
@@ -1252,6 +1267,30 @@ object SparkEntry {
         |  round((max(us) - min(us)) / 1e6, 3) AS duration_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // sessions rebuilt as in the sessionize oracle, then a plain
+    // inequality join — the bucketized equi-join must match it exactly
+    "q_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_seq
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    min(us) AS start_us, max(us) AS end_us
+        |  FROM s GROUP BY user_id, session_seq)
+        |SELECT e.user_id, session_seq, count(*) AS n_points,
+        |  min(e.us) AS first_us
+        |FROM e JOIN sess ON e.user_id = sess.user_id
+        |  AND e.us BETWEEN sess.start_us AND sess.end_us
+        |GROUP BY e.user_id, session_seq
+        |ORDER BY e.user_id, session_seq""".stripMargin,
 
     "q_split_assign" -> {
       // thresholds as the SAME left-assoc cumulative sums the operator

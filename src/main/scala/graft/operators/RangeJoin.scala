@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Inequality (interval) joins without a cross product.
+  *
+  * A direct `p BETWEEN s AND e` join has no equi-key, so Spark plans a
+  * broadcast-nested-loop or cartesian product — O(|points|·|intervals|)
+  * work at scale, the classic range-join trap. The fix is the standard
+  * bucketization: quantize the time axis into `bucketWidth` cells, let
+  * each interval emit one row per covered cell (bounded fan-out when
+  * intervals are short relative to the width), compute the single cell
+  * of each point, and hash-equi-join on (keys…, cell). The inequality
+  * then runs as a cheap post-filter on matched cells only. RangeJoinSpec
+  * asserts the plan contains a hash join and no nested-loop/cartesian.
+  */
+object RangeJoin {
+
+  /** Join each point row to every interval row containing it
+    * (`start <= point <= end`, same `extraKeys`). Each qualifying pair
+    * matches in exactly ONE cell (the point's), so no dedup step is
+    * needed. Pick `bucketWidth` near the typical interval length: the
+    * interval fan-out is ceil(len/width)+1 rows.
+    *
+    * Output: extraKeys ++ point columns ++ interval columns. */
+  def pointInInterval(points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // integral `div` — epoch-micro longs exceed double's 2^53 mantissa,
+    // so float bucket math could mis-cell extreme timestamps
+    def cell(name: String): Column = expr(s"`$name` div ${bucketWidth}L")
+    val p = points.withColumn("__cell", cell(pointCol))
+    val iv = intervals.withColumn("__cell",
+      explode(sequence(cell(startCol), cell(endCol))))
+    p.join(iv, Seq("__cell") ++ extraKeys)
+      .where(col(pointCol) >= col(startCol) &&
+        col(pointCol) <= col(endCol))
+      .drop("__cell")
+  }
+}
