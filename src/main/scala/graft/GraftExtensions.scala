@@ -13,9 +13,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       org.apache.spark.sql.graft.CatalystBridge.dotProductDescriptor)
+    // pure range joins → cell-bucketized equi-joins (OFF until
+    // spark.graft.rangeJoin.cellWidth is set; see RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

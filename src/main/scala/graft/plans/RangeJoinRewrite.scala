@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a pure range join (`p BETWEEN s AND e` with
+  * NO equi conjunct — the shape Spark can only plan as a
+  * broadcast-nested-loop or cartesian product) into the cell-bucketized
+  * hash equi-join of `graft.operators.RangeJoin`, transparently:
+  *
+  * {{{
+  *   Join(L, R, p >= s && p <= e)
+  *     ⇒ Project(origOutput,
+  *         Filter(p >= s && p <= e,
+  *           Join(L + [__pcell = p div w],
+  *                Generate(explode(sequence(s div w, e div w)), R)
+  *                  as __icell,
+  *                __pcell = __icell)))
+  * }}}
+  *
+  * Cell membership uses integral `div` (truncating division is
+  * monotone, so every point in [s, e] lands in a cell of
+  * [s div w, e div w] — negatives included); the original predicate
+  * re-applies as a post-filter, so semantics are exact, including
+  * strict bounds. Each qualifying pair matches in exactly one cell
+  * (the point's), so no dedup is needed.
+  *
+  * OFF unless `spark.graft.rangeJoin.cellWidth` is set to a positive
+  * long (the width is workload knowledge — pick it near the typical
+  * interval length). Registered by `graft.GraftExtensions`
+  * (builder-time) or via `spark.experimental.extraOptimizations`. */
+class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val WidthKey = "spark.graft.rangeJoin.cellWidth"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    conf.getConfString(WidthKey, "").toLongOption.filter(_ > 0) match {
+      case None => plan
+      case Some(w) => plan.transformUp {
+        case j @ Join(left, right, Inner, Some(cond), hint) =>
+          rewrite(j, left, right, cond, hint, w).getOrElse(j)
+      }
+    }
+
+  /** (big, small) of an inequality conjunct — big >= small. */
+  private def bigSmall(e: Expression): Option[(Expression, Expression)] =
+    e match {
+      case GreaterThanOrEqual(a, b) => Some((a, b))
+      case GreaterThan(a, b) => Some((a, b))
+      case LessThanOrEqual(a, b) => Some((b, a))
+      case LessThan(a, b) => Some((b, a))
+      case _ => None
+    }
+
+  private def isIntegral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+      cond: Expression, hint: JoinHint, w: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.length != 2) return None // an equi key exists → Spark
+    // already hash-joins; only the pure-range shape needs rescue
+    val (c1, c2) = (conjuncts.head, conjuncts(1))
+    (bigSmall(c1), bigSmall(c2)) match {
+      case (Some((big1, small1)), Some((big2, small2))) =>
+        // the point appears as the BIG of one bound (p >= s) and the
+        // SMALL of the other (p <= e)
+        val candidates = Seq(
+          (big1, small1, small2, big2), // c1 lower, c2 upper
+          (big2, small2, small1, big1)) // c2 lower, c1 upper
+        candidates.collectFirst {
+          case (p1, s, p2, e)
+              if p1.canonicalized == p2.canonicalized &&
+                isIntegral(p1) && isIntegral(s) && isIntegral(e) &&
+                p1.deterministic && s.deterministic && e.deterministic &&
+                sidesSplit(p1, s, e, left, right) =>
+            build(j, left, right, p1, s, e, cond, hint, w)
+        }
+      case _ => None
+    }
+  }
+
+  /** point refs ⊆ left, both bounds' refs ⊆ right (the caller tries
+    * both orientations via the Join's own sides). */
+  private def sidesSplit(p: Expression, s: Expression, e: Expression,
+      left: LogicalPlan, right: LogicalPlan): Boolean =
+    (p.references.subsetOf(left.outputSet) &&
+      s.references.subsetOf(right.outputSet) &&
+      e.references.subsetOf(right.outputSet)) ||
+      (p.references.subsetOf(right.outputSet) &&
+        s.references.subsetOf(left.outputSet) &&
+        e.references.subsetOf(left.outputSet))
+
+  private def build(j: Join, left: LogicalPlan, right: LogicalPlan,
+      p: Expression, s: Expression, e: Expression, cond: Expression,
+      hint: JoinHint, w: Long): LogicalPlan = {
+    val pointOnLeft = p.references.subsetOf(left.outputSet)
+    val (pointSide, ivSide) = if (pointOnLeft) (left, right) else (right, left)
+    def cell(x: Expression): Expression =
+      IntegralDivide(Cast(x, LongType), Literal(w))
+    val pCell = Alias(cell(p), "__pcell")()
+    val newPoint = Project(pointSide.output :+ pCell, pointSide)
+    // Sequence is TimeZoneAware — without an explicit zone it stays
+    // unresolved and the optimizer rejects the rewritten plan
+    val gen = Explode(new Sequence(cell(s), cell(e), Some(Literal(1L)))
+      .withTimeZone(conf.sessionLocalTimeZone))
+    val el = gen.elementSchema.head
+    val iCell = AttributeReference("__icell", el.dataType, el.nullable)()
+    val newIv = Generate(gen, unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(iCell), child = ivSide)
+    val (nl, nr) = if (pointOnLeft) (newPoint, newIv) else (newIv, newPoint)
+    val joined = Join(nl, nr, Inner,
+      Some(EqualTo(pCell.toAttribute, iCell)), hint)
+    Project(j.output, Filter(cond, joined))
+  }
+}
