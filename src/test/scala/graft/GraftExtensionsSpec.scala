@@ -19,6 +19,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaExpr == 11.0)
   }
 
+  test("builder-time withExtensions wires function AND optimizer rule") {
+    // getOrCreate() returns the existing default session (extensions
+    // ignored) unless it's cleared first; the new session shares the
+    // SparkContext, so never stop() it — restore the originals instead
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.graft.rangeJoin.cellWidth", "100")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val pts = Seq((5L, 1.0)).toDF("p", "x")
+      val ivs = Seq((0L, 30L)).toDF("s", "e")
+      val plan = pts.join(ivs, pts("p") >= ivs("s") && pts("p") <= ivs("e"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("__pcell"), plan)
+      assert(s2.sql("SELECT dot_product(array(1.0D), array(2.0D))")
+        .collect().head.getDouble(0) == 2.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("wrong arity is rejected at analysis") {
     GraftExtensions.register(spark)
     Seq((Array(1.0f), 1)).toDF("a", "x").createOrReplaceTempView("vecs_ext2")
