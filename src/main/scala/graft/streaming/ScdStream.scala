@@ -72,7 +72,10 @@ object ScdStream {
     * (EventTimeTimeout fires and flushes it).
     *
     * `key` must be castable to long; `tsCol` a timestamp. Output
-    * (append mode): user_id, start_us, end_us, n_events. Scale: one
+    * (append mode): user_id, start_us, end_us, n_events — epoch-micro
+    * columns at MILLISECOND precision (java.sql.Timestamp.getTime;
+    * sub-ms digits are zero), vs the batch operator's full micros —
+    * a documented divergence. Scale: one
     * hash shuffle on the key; state is ONE open session per key;
     * late events beyond `watermarkDelay` are dropped by the watermark
     * (the documented streaming/batch divergence — batch replays would
