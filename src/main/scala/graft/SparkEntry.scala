@@ -716,6 +716,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF over TRAINED centroids: the production composition — fit on
+    // (a sample of) the corpus, then probe the learned cells
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(e, k = 8, iters = 2)
+      Similarity.ivfTopKWith(e, e.where(col("vec_id") < 10), 5, cents,
+        nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // k-means training loop itself as a query: final nearest-centroid
     // assignment after 2 Lloyd iterations from deterministic seeds
     "sim_kmeans" -> ((s, dir) => {
@@ -1846,6 +1856,29 @@ object SparkEntry {
       s"""WITH $EmbCte,
          |${kmeansChain(8)}
          |SELECT vec_id, cid, cosine FROM a2 ORDER BY vec_id""".stripMargin,
+
+    // a2 doubles as the corpus cell assignment over the TRAINED c2
+    "sim_ivf_kmeans" ->
+      s"""WITH $EmbCte,
+         |${kmeansChain(8)},
+         |p AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c2 c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2),
+         |sc AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |    round(${cosSql("qv", "a.v")}, 6) AS cosine
+         |  FROM a2 a JOIN p USING (cid) WHERE query_id <> a.vec_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "dedup_semdedup" ->
       s"""WITH $EmbCte,

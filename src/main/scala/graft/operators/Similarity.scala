@@ -86,9 +86,25 @@ object Similarity {
     * with `nProbe` (the standard IVF knob). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(corpus, queries, k,
+      corpus.orderBy(col(id)).limit(nCentroids)
+        .select(col(id).as("cid"), col(vecCol).as("cvec")),
+      nProbe, id, vecCol)
+
+  /** IVF probe against an EXPLICIT centroid table (cid, cvec) — e.g.
+    * the output of [[kmeansFit]]: the production composition the base
+    * overload's doc promises. Trained cells adapt to the data's
+    * cluster structure, improving recall per probed-candidate on
+    * clustered corpora; measured caveat: the synthetic bench
+    * embeddings are near-uniform (max pairwise cosine ≈ 0.47), where
+    * training only BALANCES cells — recall@5 there is 0.86 (k=8
+    * trained) vs 0.92 (16 lowest-id cells, whose skewed sizes probe
+    * more candidates). Pick k and nProbe for a candidate budget, not
+    * by assuming trained == better on unclustered data. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+      cents: DataFrame, nProbe: Int, id: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.orderBy(col(id)).limit(nCentroids)
-      .select(col(id).as("cid"), col(vecCol).as("cvec"))
     def nearestCells(df: DataFrame, outId: String, outVec: String, n: Int) = {
       val w = Window.partitionBy(outId)
         .orderBy(col("__ccos").desc, col("cid"))
