@@ -268,6 +268,33 @@ object Dedup {
   /** Hamming distance between packed signature longs: XOR + popcount. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Per-ROW simhash over a text column — identical signature to
+    * [[simHash]] (spec-asserted) but computed with higher-order array
+    * functions instead of a groupBy, so STREAMING inputs can sign
+    * without an aggregation (aggregation + downstream keyed state is
+    * stateful-on-stateful, unsupported in append mode). HOFs are
+    * CodegenFallback — prefer the aggregation form for batch. */
+  def simHashColumn(text: Column, bits: Int = 64): Column = {
+    require(bits >= 1 && bits <= 64,
+      s"packed-long signatures hold at most 64 bits, requested $bits")
+    val nDigits = (bits + 3) / 4
+    val spreadArr = array(NibbleSpread.map(lit): _*)
+    val hs = transform(
+      slice(split(lower(text), " "), 1, MaxSimhashTokens), t => md5(t))
+    val n = size(hs)
+    val lanes = (0 until nDigits).map { d =>
+      aggregate(hs, lit(0L), (acc, h) => acc + element_at(spreadArr,
+        instr(lit("0123456789abcdef"), substring(h, d + 1, 1))))
+    }
+    def ones(b: Int): Column =
+      shiftright(lanes(b / 4), 16 * (b % 4)).bitwiseAND(65535L)
+    (0 until bits).map { b =>
+      val weight =
+        if (b == 0 && bits == 64) Long.MinValue else 1L << (bits - 1 - b)
+      when(ones(b) * 2 >= n, lit(weight)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found by
     * banding the signature (pigeonhole over maxDist+1 bands). With the
     * 64-bit default, band keys are 16-bit slices of the packed long;

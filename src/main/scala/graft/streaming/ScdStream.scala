@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 
 /** Streaming face of the SCD engine (SURVEY.md §2.2 "streaming" row):
   * the `.updates` DML log is, at heart, a CDC feed — a stream of keyed
@@ -126,6 +126,69 @@ object ScdStream {
             }
             closed.result().iterator
           }
+      }.toDF()
+  }
+
+  /** Per-band state entry of [[nearDupStream]]: ring of recent
+    * (doc id, packed simhash) pairs sharing the band key. */
+  case class BandState(ids: List[Long], sigs: List[Long])
+
+  /** An emitted near-dup hit: the arriving doc and an earlier doc
+    * within `maxDist` Hamming bits of it. */
+  case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Long)
+
+  /** STREAMING near-duplicate detection — the stream face of
+    * `Dedup.simhashPairs`: each arriving doc's 64-bit simhash is
+    * banded (pigeonhole: Hamming ≤ maxDist ⇒ some band of maxDist+1
+    * equal), the BAND KEY is the groupBy key, and per-band state keeps
+    * the last `maxPerBand` (id, signature) pairs; an arrival emits one
+    * hit per stored signature within `maxDist` (dedup across bands is
+    * the caller's `dropDuplicates`, exactly like the batch operator's
+    * distinct). State is bounded by construction (maxPerBand ring per
+    * band bucket — the streaming analogue of the batch `maxBucket`
+    * skew guard) rather than by watermark: near-dup recall wants the
+    * longest affordable memory, not an event-time horizon.
+    *
+    * Input: (id long, textCol string). Output (append):
+    * doc_id, dup_of, hamming. */
+  def nearDupStream(df: DataFrame, id: String, textCol: String,
+      maxDist: Int = 3, maxPerBand: Int = 1000): DataFrame = {
+    import df.sparkSession.implicits._
+    val bands = maxDist + 1
+    val width = 64 / bands
+    // per-row signature (simHashColumn): the groupBy form would be a
+    // streaming aggregation, and aggregation + keyed state below is
+    // stateful-on-stateful — unsupported in append mode
+    val sh = df.select(col(id),
+      graft.operators.Dedup.simHashColumn(col(textCol)).as("simhash"))
+    def bkey(i: Int): Column =
+      shiftright(col("simhash"), 64 - width * (i + 1))
+        .bitwiseAND((1L << width) - 1)
+    val banded = sh.select(col(id).cast("long"), col("simhash"),
+      explode(array((0 until bands).map(i =>
+        concat_ws("|", lit(i), bkey(i))): _*)).as("band"))
+      .as[(Long, Long, String)]
+    banded.groupByKey(_._3)
+      .flatMapGroupsWithState[BandState, NearDupHit](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(Long, Long, String)],
+            state: GroupState[BandState]) =>
+          var st = state.getOption.getOrElse(BandState(Nil, Nil))
+          val out = Seq.newBuilder[NearDupHit]
+          // deterministic processing order within the micro-batch
+          rows.toSeq.sortBy(_._1).foreach { case (docId, sig, _) =>
+            st.ids.iterator.zip(st.sigs.iterator).foreach {
+              case (oldId, oldSig) =>
+                val d = java.lang.Long.bitCount(sig ^ oldSig)
+                if (d <= maxDist && oldId != docId)
+                  out += NearDupHit(docId, oldId, d.toLong)
+            }
+            st = BandState((docId :: st.ids).take(maxPerBand),
+              (sig :: st.sigs).take(maxPerBand))
+          }
+          state.update(st)
+          out.result().iterator
       }.toDF()
   }
 

@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
       pairs(Dedup.minhashLshPairs(docs, threshold = 0.8)))
   }
 
+  test("simHashColumn (per-row, streaming-safe) equals the groupBy simHash") {
+    val byAgg = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byRow = docs.select(col("doc_id"),
+        Dedup.simHashColumn(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byRow == byAgg)
+  }
+
   test("simHash packs to a long, deterministic, equal for identical docs") {
     val hs = Dedup.simHash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

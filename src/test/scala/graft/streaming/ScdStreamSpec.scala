@@ -114,6 +114,33 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream — near-dups found across micro-batches, distinct absent") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val ms = MemoryStream[(Long, String)]
+    // NB: chaining dropDuplicates after flatMapGroupsWithState is
+    // unsupported in append mode (stateful-on-stateful); the multi-band
+    // duplicate hits dedupe at the consumer, here via the result Set
+    val out = ScdStream.nearDupStream(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("ndup")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, base + "alpha beta gamma"),
+        (4L, "completely different words entirely unrelated painting " +
+          "sculpture architecture music dance poetry theatre cinema"))
+      q.processAllAvailable()
+      // a later batch carries the near-dup of doc 1
+      ms.addData((2L, base + "alpha beta delta"))
+      q.processAllAvailable()
+      val got = spark.table("ndup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((2L, 1L)), s"missing cross-batch hit: $got")
+      assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"false hit: $got")
+    } finally q.stop()
+  }
+
   test("dmlSink — streamed DML lines land in the sidecar; reads see them") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
