@@ -587,6 +587,28 @@ object SparkEntry {
         .orderBy("shard", "chunk_id")
     }),
 
+    // END-TO-END curation pipeline: quality filter → exact dedup →
+    // sequence packing, reported per source — the operators COMPOSE
+    // (each stage's output is the next one's input, one lineage)
+    "pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = TextAnalysis.heuristicFilter(docs)
+        .where(col("keep") === 1).select("doc_id")
+      val keptDocs = docs.join(kept, "doc_id")
+      val survivors = Dedup.exactGroups(
+        keptDocs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp")), col("fp"))
+        .select(col("keep_id").as("doc_id"))
+      val clean = keptDocs.join(survivors, "doc_id")
+      val packed = Packing.packByOffset(clean, col("source"),
+        col("doc_id"), maxTokens = 512)
+      packed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          (max(col("chunk_id")) + 1).as("n_chunks"))
+        .orderBy("source")
+    }),
+
     // data mixing: per-source downsampling to target mixture rates
     "q_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(t(s, dir, "documents"), col("doc_id"),
@@ -1570,6 +1592,60 @@ object SparkEntry {
         |  CAST(greatest(min(off) + sum(nt) - (chunk_id + 1) * 512, 0)
         |    AS BIGINT) AS overflow
         |FROM q GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
+
+    // keep-set and dedup survivors rebuilt from the text_filter /
+    // dedup_exact oracle pieces, then the q_pack_stats prefix sum
+    "pipeline_e2e" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_c,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        |  FROM tc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+        |    for i in range(1, len(t))]) AS g
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |        FROM documents
+        |        WHERE len(string_split(lower(text), ' ')) >= 2)),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (
+        |  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_big_c
+        |  FROM bc GROUP BY doc_id),
+        |kept AS (
+        |  SELECT ta.doc_id FROM ta
+        |  LEFT JOIN ba ON ta.doc_id = ba.doc_id
+        |  JOIN documents d ON d.doc_id = ta.doc_id
+        |  WHERE ta.n_tokens >= 25 AND ta.n_tokens <= 5000
+        |    AND round(length(replace(d.text, ' ', '')) * 1.0 /
+        |      greatest(len(string_split(lower(d.text), ' ')), 1), 4)
+        |      BETWEEN 3.0 AND 10.0
+        |    AND round(CAST(top_c AS DOUBLE) / ta.n_tokens, 4) <= 0.15
+        |    AND round(coalesce(CAST(top_big_c AS DOUBLE) / n_bigrams, 0.0), 4)
+        |      <= 0.12
+        |    AND round(CAST(dup_c AS DOUBLE) / ta.n_tokens, 4) <= 0.95),
+        |fp AS (
+        |  SELECT d.doc_id, md5(array_to_string(list_sort(list_distinct(
+        |    string_split(lower(d.text), ' '))), ' ')) AS k
+        |  FROM documents d JOIN kept USING (doc_id)),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY k),
+        |p AS (
+        |  SELECT d.doc_id, d.source,
+        |    len(string_split(lower(d.text), ' ')) AS nt,
+        |    sum(len(string_split(lower(d.text), ' '))) OVER (
+        |      PARTITION BY d.source ORDER BY d.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents d JOIN surv USING (doc_id)),
+        |q AS (
+        |  SELECT source, nt,
+        |    CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  max(chunk_id) + 1 AS n_chunks
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
 
     "q_weighted_sample" ->
       s"""WITH b AS (
