@@ -1243,9 +1243,9 @@ object SparkEntry {
         |  SELECT min(CAST(value AS DOUBLE)) AS mn,
         |    max(CAST(value AS DOUBLE)) AS mx FROM events),
         |j AS (
-        |  SELECT coalesce(least(CAST(floor(
+        |  SELECT least(coalesce(CAST(floor(
         |      (CAST(value AS DOUBLE) - mn) / nullif((mx - mn) / 16, 0))
-        |      AS BIGINT), 15), 0) AS bucket, mn, mx
+        |      AS BIGINT), 0), 15) AS bucket, mn, mx
         |  FROM events CROSS JOIN b)
         |SELECT bucket,
         |  round(mn + (mx - mn) / 16 * bucket, 6) AS lo,

@@ -24,12 +24,17 @@ object Profile {
       min(valueCol.cast("double")).as("__mn"),
       max(valueCol.cast("double")).as("__mx"))
     val width = (col("__mx") - col("__mn")) / nBuckets
+    // coalesce BEFORE least: least/greatest IGNORE null operands (in
+    // Spark and DuckDB alike), so a width-0 null bucket would otherwise
+    // come out as the max bucket instead of 0
     val bucket = least(
-      floor((valueCol.cast("double") - col("__mn")) /
-        nullif(width, lit(0.0))).cast("long"),
+      coalesce(
+        floor((valueCol.cast("double") - col("__mn")) /
+          nullif(width, lit(0.0))).cast("long"),
+        lit(0L)),
       lit(nBuckets - 1L))
     df.crossJoin(broadcast(bounds))
-      .withColumn("bucket", coalesce(bucket, lit(0L)))
+      .withColumn("bucket", bucket)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(first(col("__mn")) + first(width) * col("bucket"), 6).as("lo"),

@@ -47,6 +47,21 @@ class ScaleOpsSpec extends SparkSpec {
     assert(counts("train") > 1500 && counts("val") > 100 && counts("test") > 100)
   }
 
+  test("weightedSample: deterministic, partition-independent, k per stratum") {
+    val docs = (1 to 200).map(i =>
+      (s"s${i % 3}", i.toLong, (i % 17 + 1).toLong)).toDF("src", "id", "w")
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, col("src"), col("id"), col("w"), k = 10)
+        .select("src", "rank", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sample(docs)
+    assert(a == sample(docs.repartition(5)), "layout changed the sample")
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+    // weighting is real: the weighted sample differs from uniform (w=1)
+    val uniform = sample(docs.withColumn("w", lit(1L)))
+    assert(a.map(_._3) != uniform.map(_._3))
+  }
+
   test("stratifiedSample downsamples each stratum at its own rate") {
     val df = (1L to 3000L).toDF("id")
       .withColumn("src", concat(lit("s"), col("id") % 3))

@@ -53,6 +53,18 @@ class SimilaritySpec extends SparkSpec {
       plan.contains("BroadcastExchange"), plan)
   }
 
+  test("kmeansFit is partition-independent (quantized-mean determinism)") {
+    def fit(df: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansFit(df, k = 2, iters = 2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val a = fit(vecs)
+    val b = fit(vecs.repartition(7))
+    val c = fit(vecs.coalesce(1))
+    // bit-identical centroids whatever the physical layout — exact
+    // long sums have no accumulation order
+    assert(a == b && a == c)
+  }
+
   test("cluster-blocked near-dups stay within clusters") {
     val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
     val withCid = Similarity.assignCells(vecs, cents)

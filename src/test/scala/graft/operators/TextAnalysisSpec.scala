@@ -91,6 +91,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a b c")))
   }
 
+  test("histogram: degenerate all-equal column collapses to bucket 0") {
+    import spark.implicits._
+    val got = Profile.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), col("v"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 3L))) // width 0 must not divide-by-zero
+  }
+
   test("histogram: hand-computed equal-width buckets, max lands in last") {
     import spark.implicits._
     val df = Seq(0.0, 1.0, 2.5, 5.0, 9.9, 10.0).toDF("v")
