@@ -455,6 +455,30 @@ object SparkEntry {
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
 
+    // semi-structured: schema-on-read over the JSON props column
+    // (typed from_json struct, not string surgery)
+    "q_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // per-segment account-balance quartiles (ntile window)
+    "q_ntile" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_mktsegment", "quartile", "c_custkey")
+    }),
+
     // equal-width value histogram (two map-side-combinable passes)
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(events(s, dir), col("value"), 16)
@@ -1282,6 +1306,25 @@ object SparkEntry {
         |  CAST(len(win) AS BIGINT) AS n_chunk_tokens,
         |  md5(array_to_string(win, ' ')) AS chunk_md5
         |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the oracle replays the extraction with a regex — no dependence on
+    // the engine's JSON extension, same values
+    "q_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |FROM customer
+        |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin,
 
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
