@@ -441,6 +441,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward as-of: EARLIEST click at-or-after each purchase (the
+    // "next touchpoint" direction of pandas merge_asof)
+    "asof_join_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_id").as("click_eid"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", "ts_us",
+        Seq(("click_eid", "click_id")), "event_id", direction = "forward")
+        .orderBy("event_id")
+    }),
+
+    // nearest as-of: closer of the two directions, ties to backward —
+    // one shuffle + ONE sort (shared window spec, two frames)
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_id").as("click_eid"))
+      AsOfJoin.asOf(purchases, clicks, "user_id", "ts_us", "ts_us",
+        Seq(("click_eid", "click_id")), "event_id", direction = "nearest")
+        .orderBy("event_id")
+    }),
+
     // batch tumbling windows over event time (epoch-µs bucket math —
     // engine-portable; the streaming variant is ScdStream.eventCountsPerWindow)
     "q_event_buckets" -> ((s, dir) =>
@@ -1255,6 +1283,50 @@ object SparkEntry {
         |  FROM ev)
         |SELECT event_id, user_id, ts_us, click_id FROM w WHERE side = 1
         |ORDER BY event_id""".stripMargin,
+
+    // forward mirror: side DESC keeps equal-time clicks visible to the
+    // following frame, first-by-scan = smallest event id on time ties
+    "asof_join_fwd" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *, first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, side DESC, event_id
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS click_id
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us, click_id FROM w WHERE side = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // both carries replayed over the one ascending scan; the CASE is
+    // the exact tie rule of AsOfJoin (ties, incl. dist 0 → backward)
+    "asof_join_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_id,
+        |    last_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_ts,
+        |    first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_id,
+        |    first_value(CASE WHEN side = 0 THEN ts_us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_ts
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_us,
+        |  CASE WHEN f_ts IS NULL THEN b_id
+        |       WHEN b_ts IS NULL THEN f_id
+        |       WHEN (f_ts - ts_us) < (ts_us - b_ts) THEN f_id
+        |       ELSE b_id END AS click_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "q_event_buckets" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, user_id FROM events)

@@ -1,23 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** As-of (temporal) join: for each left row, the most recent right row
-  * with the same key and rightTime <= leftTime.
+/** As-of (temporal) join: for each left row, the matching right row by
+  * time with the same key — `backward` (most recent rightTime <=
+  * leftTime, the default), `forward` (earliest rightTime >= leftTime),
+  * or `nearest` (smaller absolute time gap; ties to backward) — the
+  * direction set of pandas `merge_asof`.
   *
   * Implementation is the union-tag pattern, not a range join: tag both
   * sides, union, and carry the latest right row forward with
-  * `last_value(..., ignoreNulls) OVER (PARTITION BY key ORDER BY time)`.
-  * One shuffle on the key (the union sorts within partitions), versus a
-  * range join's quadratic per-key blowup — this is the formulation that
-  * survives 100 TB: cost is sort + single pass, identical to what a
-  * dedicated MERGE_ASOF physical operator would do, expressed with
-  * built-ins so Catalyst/AQE stay in charge.
+  * `last_value(..., ignoreNulls) OVER (PARTITION BY key ORDER BY time)`
+  * (resp. `first_value` over the following frame for forward; both
+  * frames over ONE sort for nearest). One shuffle on the key (the
+  * union sorts within partitions), versus a range join's quadratic
+  * per-key blowup — this is the formulation that survives 100 TB: cost
+  * is sort + single pass, identical to what a dedicated MERGE_ASOF
+  * physical operator would do, expressed with built-ins so
+  * Catalyst/AQE stay in charge.
   */
 object AsOfJoin {
+
+  /** Internal struct field carrying the matched right row's time for
+    * `nearest` distance comparison (numeric time required there). */
+  private val RtField = "__graft_rt"
 
   /** @param left      probe side (e.g. fact events)
     * @param right     reference side whose latest-at-time row attaches
@@ -27,6 +36,14 @@ object AsOfJoin {
     * @param rightCols right columns to attach (renamed as given)
     * @param tieBreak  column making (key, time) total — keeps the
     *                  "latest" choice deterministic under time ties
+    * @param direction `backward` | `forward` | `nearest`. Backward
+    *                  attaches the LATEST right row at-or-before the
+    *                  probe time (ties on time: largest tieBreak);
+    *                  forward the EARLIEST at-or-after (ties: smallest
+    *                  tieBreak); nearest whichever of the two is closer
+    *                  in time, backward winning exact-distance ties.
+    *                  `nearest` requires a numeric (castable-to-long)
+    *                  time column — it subtracts timestamps.
     *
     * Output: all left columns + for each (rc, alias) the as-of value
     * (NULL when no right row precedes).
@@ -40,12 +57,24 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      rightCols: Seq[(String, String)], tieBreak: String): DataFrame = {
+      rightCols: Seq[(String, String)], tieBreak: String,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns
-    val payload = struct(rightCols.map { case (rc, alias) =>
-      col(rc).as(alias) }: _*)
-    val payloadType = StructType(rightCols.map { case (rc, alias) =>
-      StructField(alias, right.schema(rc).dataType, nullable = true) }.toArray)
+    // nearest carries the matched right time inside the payload struct
+    // so the projection can compare the two candidates' distances
+    val rtFields: Seq[(Column, StructField)] =
+      if (direction == "nearest")
+        Seq((col(rightTime).cast(LongType).as(RtField),
+          StructField(RtField, LongType, nullable = true)))
+      else Seq.empty
+    val payload = struct(rtFields.map(_._1) ++ rightCols.map {
+      case (rc, alias) => col(rc).as(alias) }: _*)
+    val payloadType = StructType((rtFields.map(_._2) ++ rightCols.map {
+      case (rc, alias) =>
+        StructField(alias, right.schema(rc).dataType, nullable = true)
+    }).toArray)
     val meta = Seq(key, "__t", "__side", "__tb", "__r")
     val leftSel = left
       .withColumn("__t", col(leftTime))
@@ -60,7 +89,7 @@ object AsOfJoin {
       .withColumn("__r", payload)
       .select(meta.map(col): _*)
     val unioned = leftSel.unionByName(rightSel, allowMissingColumns = true)
-    applyWindow(unioned, key, leftCols.toIndexedSeq, rightCols)
+    applyWindow(unioned, key, leftCols.toIndexedSeq, rightCols, direction)
   }
 
   /** Wide-row variant: only (uid, key, time, tie-break) go through the
@@ -80,24 +109,56 @@ object AsOfJoin {
   def asOfSlim(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[(String, String)], tieBreak: String,
-      uid: String): DataFrame = {
+      uid: String, direction: String = "backward"): DataFrame = {
     val slimCols = Seq(uid, key, leftTime, tieBreak).distinct
     val attached = asOf(left.select(slimCols.map(col): _*), right, key,
-      leftTime, rightTime, rightCols, tieBreak)
+      leftTime, rightTime, rightCols, tieBreak, direction)
     val payload = attached.select((uid +: rightCols.map(_._2)).map(col): _*)
     left.join(payload, Seq(uid))
   }
 
   private def applyWindow(unioned: DataFrame, key: String,
-      leftCols: Seq[String],
-      rightCols: Seq[(String, String)]): DataFrame = {
-    // right rows sort before left rows at equal time (side 0 < 1): a
-    // right row AT the probe's timestamp is already visible (<=)
-    val w = Window.partitionBy(col(key))
+      leftCols: Seq[String], rightCols: Seq[(String, String)],
+      direction: String): DataFrame = {
+    // ascending scan: right rows sort before left rows at equal time
+    // (side 0 < 1), so a right row AT the probe's timestamp is already
+    // visible to the backward carry (<= is inclusive)
+    val asc = Window.partitionBy(col(key))
       .orderBy(col("__t"), col("__side"), col("__tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__asof",
-      last(col("__r"), ignoreNulls = true).over(w))
+    val carried = direction match {
+      case "backward" =>
+        unioned.withColumn("__asof", last(col("__r"), ignoreNulls = true)
+          .over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case "forward" =>
+        // side DESC puts equal-time right rows AFTER the left row, so
+        // the following-frame carry sees them (>= stays inclusive);
+        // first-by-scan at the earliest qualifying time = smallest
+        // tieBreak — deterministic mirror of backward's largest
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("__t"), col("__side").desc, col("__tb"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        unioned.withColumn("__asof", first(col("__r"), ignoreNulls = true).over(w))
+      case "nearest" =>
+        // both frames over ONE ascending sort (a single WindowExec: the
+        // partition and order specs are shared, only the frames differ).
+        // An equal-time right row is only in the backward frame, but
+        // its distance is 0 so backward wins regardless — forward
+        // deliberately sees the strictly-later rows only.
+        val bwd = last(col("__r"), ignoreNulls = true)
+          .over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val fwd = first(col("__r"), ignoreNulls = true)
+          .over(asc.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        val withBoth = unioned
+          .withColumn("__bwd", bwd).withColumn("__fwd", fwd)
+        val lt = col("__t").cast(LongType)
+        val bt = col("__bwd").getField(RtField)
+        val ft = col("__fwd").getField(RtField)
+        val chosen = when(col("__fwd").isNull, col("__bwd"))
+          .when(col("__bwd").isNull, col("__fwd"))
+          .when(ft - lt < lt - bt, col("__fwd"))
+          .otherwise(col("__bwd")) // ties (incl. dist 0) → backward
+        withBoth.withColumn("__asof", chosen)
+    }
     carried.where(col("__side") === 1)
       .select(leftCols.toIndexedSeq.map(col) ++ rightCols.map { case (_, alias) =>
         col("__asof").getField(alias).as(alias) }: _*)
