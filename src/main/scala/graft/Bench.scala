@@ -41,16 +41,24 @@ object Bench {
           name -> 0.0
       }
     }
-    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // millisecond precision keeps the line short enough that the
+    // driver's bounded tail capture can't truncate it mid-JSON
+    // (r03 lesson), and the line is printed LAST — after spark.stop()
+    // — so no engine shutdown chatter follows it on stdout
+    def f3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", "}")
     val fails = failed.result()
     val failJson = fails.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failJson}"""
-    println(json)
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"queries":$qs}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json)
     spark.stop()
+    println(json)
+    Console.out.flush()
     if (fails.nonEmpty) sys.exit(1)
   }
 }

@@ -80,6 +80,26 @@ object SparkEntry {
     tmp
   }
 
+  /** Build a Hive-PARTITIONED SCD table directory under target/:
+    * customer partitioned by c_mktsegment, with a DIFFERENT `.updates`
+    * log inside two of the partition directories (no root log). */
+  private def partitionedScdDir(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val tmp =
+      new java.io.File(s"target/scdtmp/$tag/customer_part").getAbsolutePath
+    t(s, dir, "customer").write.mode("overwrite")
+      .partitionBy("c_mktsegment").parquet(tmp)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "c_mktsegment=BUILDING",
+        ScdReader.SidecarName),
+      "UPDATE customer SET c_acctbal = c_acctbal + 100;\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "c_mktsegment=MACHINERY",
+        ScdReader.SidecarName),
+      "-- time=2024-06-01\nDELETE FROM customer WHERE c_acctbal < 0;\n")
+    tmp
+  }
+
   /** Flagship: as-of SCD dimension joined to facts with an aggregate —
     * scan + SCD replay + join + agg in one plan. */
   def entry(spark: SparkSession): DataFrame =
@@ -309,13 +329,18 @@ object SparkEntry {
       Sketch.kmvDistinct(t(s, dir, "lineitem"), "l_returnflag", "l_partkey",
         k = 64).orderBy("l_returnflag")),
 
-    // production HLL sketch — mergeable partials, no per-group sort; no
-    // DuckDB oracle (HLL implementations differ across engines), the
-    // driver records the weaker rows-only check
+    // production HLL sketch — mergeable partials, no per-group sort.
+    // HLL estimates can't hash-match across engines, so the query emits
+    // a VERIFIABLE claim instead: the exact count plus a bound flag
+    // (|approx−exact| ≤ 5%·exact at rsd=0.01, a 5σ margin) that the
+    // oracle asserts as constant 1 — all three driver checks run.
     "q_approx_distinct_hll" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.05)).cast("long").as("within_bound"))
         .orderBy("l_returnflag")),
 
     "q_date_agg" -> ((s, dir) => {
@@ -364,6 +389,19 @@ object SparkEntry {
     // to a scratch dir, drop the DML sidecar next to it, read as-of
     "scd_sidecar" -> ((s, dir) =>
       ScdReader.read(s, sidecarDir(s, dir)).orderBy("c_custkey")),
+
+    // per-partition sidecars (reference SQLUpdater.java:107-119: the
+    // sidecar resolves against EACH split's directory, so a
+    // Hive-partitioned table carries an independent DML log per
+    // partition): a partitioned copy of customer where the BUILDING
+    // partition's log raises balances and the MACHINERY partition's
+    // log deletes negatives — each log must touch ONLY its partition
+    "scd_partitioned" -> ((s, dir) => {
+      val cols = t(s, dir, "customer").columns
+      ScdReader.read(s, partitionedScdDir(s, dir))
+        .select(cols.map(col).toIndexedSeq: _*)
+        .orderBy("c_custkey")
+    }),
 
     // compaction (README.md:239-244 pattern): materialize the as-of
     // view to an updates-free snapshot dir, then plain-read it back
@@ -616,11 +654,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // hashing-trick document vectors, flattened long-form so every
-    // component is oracle-checked (the array API feeds Similarity/Dedup)
+    // component is oracle-checked (the array API feeds Similarity/Dedup).
+    // The emitted value is the exact integer bucket sum (val = val_q/1e6
+    // in the array API) — hash-proof against engine float formatting.
     "text_embed" -> ((s, dir) =>
       TextAnalysis.hashEmbedding(t(s, dir, "documents"), dim = 16)
         .select(col("doc_id"),
           posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("doc_id"), col("pos"),
+          round(col("val") * 1000000).cast("long").as("val_q"))
         .orderBy("doc_id", "pos")),
 
     // sequence packing: per-source cumulative-offset chunking into
@@ -1147,6 +1189,16 @@ object SparkEntry {
          |        ELSE 63.0 / kth END, 4) AS est_distinct
          |FROM k ORDER BY l_returnflag""".stripMargin,
 
+    // HLL bound check: the oracle can't replay Spark's HLL, so it
+    // asserts the verifiable part — the exact count, plus the bound
+    // flag the Spark side computed, which must be constant 1.
+    "q_approx_distinct_hll" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_date_agg" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo,
@@ -1165,6 +1217,18 @@ object SparkEntry {
     "scd_compact" ->
       s"""WITH $AsOfNowCte
          |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    // per-partition logs: BUILDING's unqualified UPDATE is scoped to
+    // its partition; MACHINERY's DELETE likewise
+    "scd_partitioned" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING'
+        |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE NOT coalesce(c_mktsegment = 'MACHINERY' AND c_acctbal < 0,
+        |  FALSE)
+        |ORDER BY c_custkey""".stripMargin,
 
     "scd_asof_past" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -1342,7 +1406,7 @@ object SparkEntry {
         |  SELECT least(coalesce(CAST(floor(
         |      (CAST(value AS DOUBLE) - mn) / nullif((mx - mn) / 16, 0))
         |      AS BIGINT), 0), 15) AS bucket, mn, mx
-        |  FROM events CROSS JOIN b)
+        |  FROM events CROSS JOIN b WHERE value IS NOT NULL)
         |SELECT bucket,
         |  round(mn + (mx - mn) / 16 * bucket, 6) AS lo,
         |  round(mn + (mx - mn) / 16 * (bucket + 1), 6) AS hi,
@@ -1645,7 +1709,7 @@ object SparkEntry {
          |  FROM (SELECT DISTINCT doc_id FROM documents) d
          |  CROSS JOIN unnest(generate_series(0, 15)) AS t(i))
          |SELECT g.doc_id, CAST(g.i AS INT) AS pos,
-         |  CAST(coalesce(s.s, 0) AS DOUBLE) / 1000000.0 AS val
+         |  CAST(coalesce(s.s, 0) AS BIGINT) AS val_q
          |FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bk = g.i
          |ORDER BY g.doc_id, pos""".stripMargin
     },
@@ -1767,7 +1831,7 @@ object SparkEntry {
          |  SELECT source, doc_id, n_chars,
          |    pow(${md5FracSql("'ws|' || CAST(doc_id AS VARCHAR)")},
          |        1.0 / n_chars) AS wkey
-         |  FROM documents),
+         |  FROM documents WHERE n_chars > 0),
          |r AS (
          |  SELECT source, doc_id, n_chars,
          |    row_number() OVER (PARTITION BY source

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType,
+  LongType, ShortType, StructField, StructType}
 
 /** As-of (temporal) join: for each left row, the matching right row by
   * time with the same key — `backward` (most recent rightTime <=
@@ -61,6 +62,22 @@ object AsOfJoin {
       direction: String = "backward"): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got '$direction'")
+    // nearest compares long-cast time distances; a non-integral time
+    // column would cast to NULL and silently degrade to backward, and
+    // a timestamp would lose sub-second precision — enforce the
+    // documented contract instead (cast to epoch micros upstream)
+    if (direction == "nearest") {
+      def integral(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      val lt = left.schema(leftTime).dataType
+      val rt = right.schema(rightTime).dataType
+      require(integral(lt) && integral(rt),
+        "direction='nearest' requires integral time columns (cast " +
+          s"timestamps to epoch micros first); got $leftTime: $lt, " +
+          s"$rightTime: $rt")
+    }
     val leftCols = left.columns
     // nearest carries the matched right time inside the payload struct
     // so the projection can compare the two candidates' distances

@@ -33,7 +33,9 @@ object Profile {
           nullif(width, lit(0.0))).cast("long"),
         lit(0L)),
       lit(nBuckets - 1L))
-    df.crossJoin(broadcast(bounds))
+    // NULL values are excluded (min/max already ignore them); without
+    // this the width-0 coalesce would silently count NULLs in bucket 0
+    df.where(valueCol.isNotNull).crossJoin(broadcast(bounds))
       .withColumn("bucket", bucket)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),

@@ -71,10 +71,15 @@ object Sampling {
   def weightedSample(df: DataFrame, strataCol: Column, idCol: Column,
       weightCol: Column, k: Int): DataFrame = {
     val u = Sketch.md5Fraction(concat(lit("ws|"), idCol.cast("string")))
+    // contract: weights must be > 0 — w = 0 breaks the A-Res key
+    // (u^(1/0) = u^Inf = 0, deterministically last) and w < 0 inverts
+    // it (u^(1/w) > 1, outranking every valid row). Non-positive
+    // weights are "never sample": excluded, not silently misranked.
+    val weighted = df.where(weightCol.cast("double") > 0)
     val key = pow(u, lit(1.0) / weightCol.cast("double"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(key.desc, idCol)
-    df.withColumn("rank", row_number().over(w).cast("long"))
+    weighted.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
 }

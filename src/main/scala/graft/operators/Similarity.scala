@@ -105,16 +105,27 @@ object Similarity {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int, id: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // n=1 (the corpus-sized side) is a map-side-combinable max_by —
+    // one combined row per id leaves each map task, no k×-row sort;
+    // n>1 (the small query side) keeps the windowed top-n
     def nearestCells(df: DataFrame, outId: String, outVec: String, n: Int) = {
-      val w = Window.partitionBy(outId)
-        .orderBy(col("__ccos").desc, col("cid"))
-      df.select(col(id).as(outId), col(vecCol).as(outVec))
+      val scored = df.select(col(id).as(outId), col(vecCol).as(outVec))
         .join(broadcast(cents), lit(true))
         .withColumn("__ccos",
           round(VectorFunctions.cosine(col(outVec), col("cvec")), 6))
-        .withColumn("__crn", row_number().over(w))
-        .where(col("__crn") <= n)
-        .select(col(outId), col(outVec), col("cid"))
+      if (n == 1)
+        scored.groupBy(col(outId))
+          .agg(max_by(struct(col(outVec), col("cid")),
+            struct(col("__ccos"), negate(col("cid")))).as("__b"))
+          .select(col(outId), col(s"__b.$outVec").as(outVec),
+            col("__b.cid").as("cid"))
+      else {
+        val w = Window.partitionBy(outId)
+          .orderBy(col("__ccos").desc, col("cid"))
+        scored.withColumn("__crn", row_number().over(w))
+          .where(col("__crn") <= n)
+          .select(col(outId), col(outVec), col("cid"))
+      }
     }
     val assigned = nearestCells(corpus, "neighbor_id", "cv", 1)
     val probes = nearestCells(queries, "query_id", "qv", nProbe)
@@ -128,20 +139,23 @@ object Similarity {
   /** Nearest-centroid assignment: one pass over the corpus against a
     * BROADCAST centroid table (cid, cvec) — k rows per corpus row, never
     * a corpus shuffle. Argmin by cosine rounded to 6 with a cid
-    * tie-break so the choice replays identically in any engine.
+    * tie-break (cid must be numeric) so the choice replays identically
+    * in any engine. The argmin is a map-side-combinable `max_by` over
+    * the key (cosine, −cid) — each map task ships ONE combined row per
+    * id instead of sorting the k-expanded corpus under a window (this
+    * sits inside every kmeans iteration and IVF build).
     * Output: (id, vecCol, cid, cosine). */
   def assignCells(corpus: DataFrame, cents: DataFrame,
-      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("cosine").desc, col("cid"))
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     corpus.select(col(id), col(vecCol))
       .join(broadcast(cents), lit(true))
       .withColumn("cosine",
         round(VectorFunctions.cosine(col(vecCol), col("cvec")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(id), col(vecCol), col("cid"), col("cosine"))
-  }
+      .groupBy(col(id))
+      .agg(max_by(struct(col(vecCol), col("cid"), col("cosine")),
+        struct(col("cosine"), negate(col("cid")))).as("__b"))
+      .select(col(id), col(s"__b.$vecCol").as(vecCol),
+        col("__b.cid").as("cid"), col("__b.cosine").as("cosine"))
 
   /** Lloyd's k-means over the embedding column, expressed entirely in
     * relational ops so Catalyst owns the plan and a SQL oracle can

@@ -105,8 +105,13 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val newPoint = Project(pointSide.output :+ pCell, pointSide)
     // Sequence is TimeZoneAware — without an explicit zone it stays
     // unresolved and the optimizer rejects the rewritten plan
-    val gen = Explode(new Sequence(cell(s), cell(e), Some(Literal(1L)))
-      .withTimeZone(conf.sessionLocalTimeZone))
+    val seqExpr = new Sequence(cell(s), cell(e), Some(Literal(1L)))
+      .withTimeZone(conf.sessionLocalTimeZone)
+    // inverted intervals (e < s) matched nothing before the rewrite;
+    // Sequence would THROW on them, so guard to an empty cell list —
+    // a transparent rewrite must never change observable behavior
+    val gen = Explode(If(LessThanOrEqual(cell(s), cell(e)), seqExpr,
+      Literal.create(Seq.empty[Long], seqExpr.dataType)))
     val el = gen.elementSchema.head
     val iCell = AttributeReference("__icell", el.dataType, el.nullable)()
     val newIv = Generate(gen, unrequiredChildIndex = Nil, outer = false,

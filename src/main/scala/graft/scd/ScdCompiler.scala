@@ -1,6 +1,6 @@
 package graft.scd
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Compiles a parsed `.updates` log onto a DataFrame as a fold of
@@ -47,7 +47,16 @@ object ScdCompiler {
     apply(df, log.statements)
 
   def apply(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame =
-    stmts.foldLeft(df)(applyOne)
+    stmts.foldLeft(df)(applyOne(_, _))
+
+  /** Guarded replay: every statement fires only where `guard` holds —
+    * the per-partition-sidecar path (a partition directory's log must
+    * only touch that partition's rows). The guard ANDs into each
+    * statement's predicate, so the whole partitioned replay stays ONE
+    * narrow scan — no per-partition union, and partition pruning on
+    * the guard columns still reaches the source. */
+  def apply(df: DataFrame, stmts: Seq[ScdStatement], guard: Column): DataFrame =
+    stmts.foldLeft(df)(applyOne(_, _, guard))
 
   /** Reference-compat error policy (O13, SQLUpdater.java:171-174): the
     * reference catches any SQLException while replaying DML on a record
@@ -65,7 +74,8 @@ object ScdCompiler {
   private def pred(where: Option[String]) =
     where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
 
-  private[scd] def applyOne(df: DataFrame, stmt: ScdStatement): DataFrame =
+  private[scd] def applyOne(df: DataFrame, stmt: ScdStatement,
+      guard: Column = lit(true)): DataFrame =
     stmt match {
       case ScdUpdate(_, sets, where, _) =>
         // a SET column that resolves to nothing is a DML bug — fail like
@@ -77,7 +87,7 @@ object ScdCompiler {
               s"UPDATE SET references unknown column '$c' " +
                 s"(schema: ${df.schema.fieldNames.mkString(", ")})")
         }
-        val p = pred(where)
+        val p = guard && pred(where)
         val cols = df.schema.fields.map { f =>
           sets.collectFirst {
             case (c, e) if c.equalsIgnoreCase(f.name) => e
@@ -90,7 +100,7 @@ object ScdCompiler {
         }
         df.select(cols.toIndexedSeq: _*)
       case ScdDelete(_, where, _) =>
-        df.filter(!pred(where))
+        df.filter(!(guard && pred(where)))
     }
 
   private[scd] def applyOneCompat(df: DataFrame, stmt: ScdStatement): DataFrame = {

@@ -66,17 +66,45 @@ object ScdReader {
       schema.fold(base0)(base0.schema).load(dir)
     }
 
-  /** Apply a directory's `.updates` sidecar (if any) to an
-    * already-loaded DataFrame. */
+  /** Apply a table directory's `.updates` sidecars (if any) to an
+    * already-loaded DataFrame — the root sidecar plus one per
+    * partition directory (reference parity: SQLUpdater.java:107-119
+    * resolves `.updates` relative to EACH split's directory, so a
+    * Hive-partitioned table carries an independent DML log per
+    * partition). A partition's statements are compiled with the
+    * partition predicate ANDed in, so the whole replay is still ONE
+    * narrow scan — no per-partition union, and pruning on partition
+    * columns passes through. Logs from different partitions touch
+    * disjoint rows, so cross-log order is immaterial; within a log,
+    * file order is kept (O5). Root log applies first. */
   def applyLogFile(
       spark: SparkSession,
       base: DataFrame,
       dir: String,
-      asOf: Option[String]): DataFrame =
-    readSidecar(spark, dir) match {
-      case None => base
-      case Some(text) => applyLogText(spark, base, text, asOf)
+      asOf: Option[String]): DataFrame = {
+    val sidecars = readAllSidecars(spark, dir)
+    if (sidecars.isEmpty) base
+    else {
+      val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+      sidecars.foldLeft(base) { case (df, (spec, text)) =>
+        val log = UpdatesParser.parse(text, scdTime)
+        if (spec.isEmpty) ScdCompiler(df, log)
+        else ScdCompiler(df, log.statements, partitionGuard(spec))
+      }
     }
+  }
+
+  /** `col = value` conjunction for a partition spec; Hive renders a
+    * NULL partition value as the default-partition sentinel. Partition
+    * values come from the path as strings — compare through a string
+    * cast, which matches Hive/Spark's own path rendering for the
+    * scalar partition types. */
+  private def partitionGuard(
+      spec: Seq[(String, String)]): org.apache.spark.sql.Column =
+    spec.map { case (k, v) =>
+      if (v == "__HIVE_DEFAULT_PARTITION__") functions.col(k).isNull
+      else functions.col(k).cast("string") === functions.lit(v)
+    }.reduce(_ && _)
 
   /** Apply a `.updates` log given as text — the core entry point; used
     * directly when the log lives outside the data directory (e.g. a CDC
@@ -174,6 +202,53 @@ object ScdReader {
         Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
       } finally in.close()
     }
+  }
+
+  /** Discover every `.updates` sidecar at or below `dir`: the root's
+    * (empty spec) plus one per `k=v` partition directory, each paired
+    * with its accumulated partition spec. Only `k=v`-named
+    * subdirectories are walked (the Hive partition layout); ordering
+    * is root first, then depth-lexicographic, for a deterministic
+    * fold. Driver-side — partition counts are bounded by the
+    * catalog's own listing, and sidecars are tiny by design. */
+  def readAllSidecars(spark: SparkSession, dir: String)
+      : Seq[(Seq[(String, String)], String)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path, spec: Seq[(String, String)])
+        : Seq[(Seq[(String, String)], String)] = {
+      val here = readSidecar(spark, p.toString).map((spec, _)).toSeq
+      val kids =
+        if (!fs.getFileStatus(p).isDirectory) Seq.empty
+        else fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains('='))
+          .sortBy(_.getPath.getName)
+          .flatMap { st =>
+            val name = st.getPath.getName
+            val i = name.indexOf('=')
+            walk(st.getPath,
+              spec :+ (name.substring(0, i),
+                unescapePathName(name.substring(i + 1))))
+          }
+      here ++ kids
+    }
+    walk(root, Seq.empty)
+  }
+
+  /** Reverse of Hive's partition-path escaping (%XX hex escapes). */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        val code = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Compaction (reference README.md:239-244 recommended pattern):

@@ -43,11 +43,20 @@ object AvroSource {
     *
     * @param readerSchemaJson optional Avro READER schema; absent → the
     *                         writer schema of the first file found
+    * @param columns optional projection: only these fields survive into
+    *                the reader schema, so Avro's resolving decoder SKIPS
+    *                the rest at the byte level — untouched strings/bytes
+    *                are never materialized (the pruning the parquet path
+    *                gets from Catalyst, applied to the reference's own
+    *                format)
     */
   def read(spark: SparkSession, path: String,
-      readerSchemaJson: Option[String] = None): DataFrame = {
-    val schemaJson = readerSchemaJson.getOrElse(inferWriterSchema(spark, path))
-    val avroSchema = new Schema.Parser().parse(schemaJson)
+      readerSchemaJson: Option[String] = None,
+      columns: Option[Seq[String]] = None): DataFrame = {
+    val fullSchema = new Schema.Parser().parse(
+      readerSchemaJson.getOrElse(inferWriterSchema(spark, path)))
+    val avroSchema = columns.fold(fullSchema)(pruneSchema(fullSchema, _))
+    val schemaJson = avroSchema.toString
     val structType = toStructType(avroSchema)
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -66,6 +75,26 @@ object AvroSource {
         Row.fromSeq(vals.toIndexedSeq)
       }
     spark.createDataFrame(rdd, structType)
+  }
+
+  /** Projection pushdown for the reader schema: keep only `columns`
+    * (case-insensitive), preserving each kept field's schema and
+    * reader-default — schema-evolution defaults still resolve for kept
+    * fields, while dropped fields are byte-skipped by the resolving
+    * decoder instead of decoded. */
+  def pruneSchema(full: Schema, columns: Seq[String]): Schema = {
+    require(full.getType == Schema.Type.RECORD,
+      s"reader schema must be a record, got ${full.getType}")
+    val want = columns.map(_.toLowerCase).toSet
+    val all = full.getFields.asScala
+    val missing = want -- all.map(_.name.toLowerCase)
+    require(missing.isEmpty,
+      s"projected columns not in reader schema: ${missing.mkString(", ")}")
+    val kept = all.filter(f => want(f.name.toLowerCase)).map { f =>
+      new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)
+    }
+    Schema.createRecord(full.getName, full.getDoc, full.getNamespace,
+      false, java.util.Arrays.asList(kept.toSeq: _*))
   }
 
   /** Driver-side writer-schema sniff: first non-hidden `*.avro` (or

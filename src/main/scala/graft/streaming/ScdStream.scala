@@ -266,20 +266,26 @@ object ScdStream {
   def dmlSink(lines: org.apache.spark.sql.Dataset[Row], textCol: String,
       tableDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    // markers are namespaced by a run id derived from the checkpoint
-    // location (ADVICE r02): batch ids alone are only unique WITHIN one
-    // checkpoint lineage. A restart on the SAME checkpoint replays with
-    // the same (runId, batchId) → skipped; a FRESH checkpoint restarts
-    // batch ids at 0 under a NEW runId → nothing is silently dropped.
-    // (A max-based guard had the drop bug; a raw-id set check still
-    // collided fresh-checkpoint batch 0 with old marker 0.)
-    val runId = java.util.UUID.nameUUIDFromBytes(
+    // markers are namespaced by the streaming QUERY id (ADVICE r02/r03):
+    // batch ids alone are only unique WITHIN one checkpoint lineage.
+    // The query id is persisted in the checkpoint's metadata file, so a
+    // restart on the SAME checkpoint replays with the same
+    // (queryId, batchId) → skipped, while a wiped-and-recreated
+    // checkpoint — even at the SAME path — gets a fresh queryId, so its
+    // new batch 0 can't collide with the old lineage's marker 0 (a
+    // checkpoint-PATH hash had exactly that collision).
+    val fallbackId = java.util.UUID.nameUUIDFromBytes(
       checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .toString.take(8)
     lines.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // set by StreamExecution for every micro-batch job; fall back
+        // to the path hash only outside a real streaming run
+        val runId = Option(
+          spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+          .map(_.take(8)).getOrElse(fallbackId)
         val token = s"$runId:$batchId"
         if (appliedBatches(spark, tableDir).contains(token)) {
           System.err.println(

@@ -8,11 +8,9 @@ class EntrySmokeSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("every declared query has either an oracle or a doc'd reason") {
+  test("every declared query has an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the HLL sketch is the single intentionally-unoracled query
-    // (cross-engine HLL implementations differ)
-    assert(missing == Set("q_approx_distinct_hll"), s"unexpected: $missing")
+    assert(missing.isEmpty, s"unoracled queries: $missing")
     // no orphan oracle entries either
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

@@ -42,6 +42,43 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("asofSlim: the window sorts only the slim projection, never the payload") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    // a deliberately wide left column that must NOT ride the sort
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        concat_ws("-", col("props"), col("props"), col("props"))
+          .as("payload_wide"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_id").as("click_eid"))
+    def windowInputs(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.child.output.map(_.name)
+      }
+    val slim = operators.AsOfJoin.asOfSlim(purchases, clicks, "user_id",
+      "ts_us", "ts_us", Seq(("click_eid", "click_id")), "event_id",
+      uid = "event_id")
+    val slimIns = windowInputs(slim)
+    assert(slimIns.nonEmpty && slimIns.forall(!_.contains("payload_wide")),
+      s"slim window must not carry the payload: $slimIns")
+    // contrast: the plain union-tag asOf DOES sort the payload (the
+    // cost asofSlim exists to avoid) — if Catalyst ever learns to
+    // prune it, asOfSlim can retire
+    val wide = operators.AsOfJoin.asOf(purchases, clicks, "user_id",
+      "ts_us", "ts_us", Seq(("click_eid", "click_id")), "event_id")
+    assert(windowInputs(wide).exists(_.contains("payload_wide")))
+  }
+
+  test("contamination: shingle equi-join, no nested loop") {
+    val p = planOf("contamination")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {

@@ -1,0 +1,90 @@
+package graft.scd
+
+import graft.SparkSpec
+
+import java.nio.file.{Files, Paths}
+
+/** Per-partition `.updates` discovery (reference parity:
+  * SQLUpdater.java:107-119 resolves the sidecar against EACH split's
+  * directory, so a Hive-partitioned table carries an independent DML
+  * log per partition dir). The compiled replay scopes every
+  * partition-log statement to its own partition's rows and stays ONE
+  * narrow scan — no per-partition union. */
+class PartitionedSidecarSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** seg=A: ids 1,2 (v 10,20); seg=B: ids 3,4 (v 30,-5). */
+  private def writePartitioned(): String = {
+    val dir = Files.createTempDirectory("scd_part").toString
+    Seq((1L, 10L, "A"), (2L, 20L, "A"), (3L, 30L, "B"), (4L, -5L, "B"))
+      .toDF("id", "v", "seg")
+      .write.mode("overwrite").partitionBy("seg").parquet(dir)
+    dir
+  }
+
+  test("a partition's log only touches that partition's rows") {
+    val dir = writePartitioned()
+    // unqualified UPDATE — scoped to seg=A by the partition guard
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      "UPDATE t SET v = v + 100;\n")
+    // DELETE negatives — only seg=B's row 4 qualifies; a seg=A row
+    // with the same predicate value would be untouched
+    Files.writeString(Paths.get(dir, "seg=B", ".updates"),
+      "DELETE FROM t WHERE v < 0;\n")
+    val got = ScdReader.read(spark, dir)
+      .select("id", "v", "seg").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 110L, "A"), (2L, 120L, "A"), (3L, 30L, "B")))
+  }
+
+  test("root log applies first, then partition logs; time gates hold") {
+    val dir = writePartitioned()
+    Files.writeString(Paths.get(dir, ".updates"),
+      "UPDATE t SET v = v * 2;\n")
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      // sees the root-doubled value (root log applies first)
+      """UPDATE t SET v = v + 1 WHERE v = 20;
+        |-- time=2525-01-01
+        |DELETE FROM t WHERE id = 1;
+        |""".stripMargin)
+    val got = ScdReader.read(spark, dir)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 10*2=20 → +1=21; 20*2=40 (no match); B rows only doubled; the
+    // future-dated DELETE is gated out at scd.time = now
+    assert(got.toSeq == Seq((1L, 21L), (2L, 40L), (3L, 60L), (4L, -10L)))
+  }
+
+  test("discovery lists root and partition sidecars with their specs") {
+    val dir = writePartitioned()
+    Files.writeString(Paths.get(dir, ".updates"), "DELETE FROM t WHERE id = 0;\n")
+    Files.writeString(Paths.get(dir, "seg=B", ".updates"),
+      "DELETE FROM t WHERE id = 9;\n")
+    val found = ScdReader.readAllSidecars(spark, dir).map(_._1)
+    assert(found == Seq(Seq.empty, Seq("seg" -> "B")))
+  }
+
+  test("partitioned replay stays one scan and prunes partitions") {
+    val dir = writePartitioned()
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      "UPDATE t SET v = v + 100;\n")
+    val plan = ScdReader.read(spark, dir)
+      .where($"seg" === "B")
+      .queryExecution.executedPlan.toString
+    // one file scan, partition-pruned to seg=B
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("PartitionFilters:") &&
+      plan.contains("isnotnull(seg"), plan)
+  }
+
+  test("escaped partition values round-trip through discovery") {
+    val dir = writePartitioned()
+    // Hive-escape a space as %20 in the directory name
+    val sub = Paths.get(dir, "seg=has%20space")
+    Files.createDirectories(sub)
+    Files.writeString(sub.resolve(".updates"), "DELETE FROM t WHERE id = 0;\n")
+    val specs = ScdReader.readAllSidecars(spark, dir).map(_._1)
+    assert(specs.contains(Seq("seg" -> "has space")))
+  }
+}

@@ -68,6 +68,29 @@ class AvroGoldenSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq(d))
   }
 
+  test("projection pushdown: pruned reader schema decodes only the asked fields") {
+    // the pruned READER schema is what each task hands to Avro's
+    // resolving decoder — dropped fields are byte-skipped, not decoded
+    val full = new org.apache.avro.Schema.Parser().parse(readerSchema)
+    val pruned = AvroSource.pruneSchema(full, Seq("number", "extra_field"))
+    assert(pruned.getFields.size == 2)
+    assert(pruned.getField("extra_field").defaultVal() == d,
+      "kept fields must keep their reader-defaults")
+    // end-to-end: 2-column read matches the full read's projection,
+    // including the schema-evolution default of a kept field
+    val slim = AvroSource.read(spark, tableDir, Some(readerSchema),
+      columns = Some(Seq("number", "extra_field")))
+    assert(slim.schema.fieldNames.toSeq == Seq("number", "extra_field"))
+    val fullRead = AvroSource.read(spark, tableDir, Some(readerSchema))
+      .select("number", "extra_field").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val slimRead = slim.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(slimRead == fullRead && slimRead.size == 11)
+    // asking for a column the reader schema lacks fails fast
+    intercept[IllegalArgumentException] {
+      AvroSource.pruneSchema(full, Seq("number", "nope"))
+    }
+  }
+
   test("golden #1 — default time: 10 rows, Troughton 2→12, Colin gone (README.md:153-165)") {
     val got = readAsOf(None)
     val expected = rawSet - ((6, "Colin", "Baker", d)) -
