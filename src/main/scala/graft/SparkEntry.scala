@@ -1006,10 +1006,40 @@ object SparkEntry {
        |    GROUP BY cid, pos)
        |  GROUP BY cid)""".stripMargin
 
-  /** Unrolled 2-iteration Lloyd chain (seeds = k lowest-id vectors):
-    * c0 → a0 → c1 → a1 → c2 → a2 (final assignment). */
+  /** Seeding chain mirroring Similarity.kmeansPlusPlusInit: hash-rank
+    * the corpus, keep the smallest-`sampleN` sample, then k−1 unrolled
+    * greedy maximin steps (next seed = candidate minimizing its max
+    * round-6 cosine against the chosen set, ties to earlier sample
+    * rank). Ends in `c0 (cid, cvec)`. */
+  private def kppChainSql(k: Int, sampleN: Int): String = {
+    val frac = md5FracSql("'kpp|' || CAST(vec_id AS VARCHAR)")
+    val b = Seq.newBuilder[String]
+    // MATERIALIZED throughout: each ch{t} is referenced three times
+    // (NOT IN, the correlated maximin key, and ch{t+1}); plain CTE
+    // inlining would re-expand the whole chain 3^k times
+    b += s"""smp AS MATERIALIZED (
+       |  SELECT vec_id, v, rk FROM (
+       |    SELECT vec_id, v,
+       |      row_number() OVER (ORDER BY $frac, vec_id) AS rk
+       |    FROM e) WHERE rk <= $sampleN)""".stripMargin
+    b += "ch1 AS MATERIALIZED (SELECT vec_id, v, rk FROM smp WHERE rk = 1)"
+    for (t <- 1 until k) {
+      b += s"""n$t AS MATERIALIZED (
+         |  SELECT s.vec_id, s.v, s.rk FROM smp s
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM ch$t)
+         |  ORDER BY (SELECT max(round(${cosSql("s.v", "c.v")}, 6))
+         |            FROM ch$t c), s.rk
+         |  LIMIT 1)""".stripMargin
+      b += s"ch${t + 1} AS MATERIALIZED (SELECT * FROM ch$t UNION ALL SELECT * FROM n$t)"
+    }
+    b += s"c0 AS MATERIALIZED (SELECT vec_id AS cid, v AS cvec FROM ch$k)"
+    b.result().mkString(",\n")
+  }
+
+  /** Unrolled 2-iteration Lloyd chain over k-means++-style seeds:
+    * kpp → c0 → a0 → c1 → a1 → c2 → a2 (final assignment). */
   private def kmeansChain(k: Int): String = Seq(
-    s"c0 AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT $k)",
+    kppChainSql(k, 64),
     kmAssign("c0", "a0"), kmUpdate("a0", "c1"),
     kmAssign("c1", "a1"), kmUpdate("a1", "c2"),
     kmAssign("c2", "a2")).mkString(",\n")

@@ -157,13 +157,83 @@ object Similarity {
       .select(col(id), col(s"__b.$vecCol").as(vecCol),
         col("__b.cid").as("cid"), col("__b.cosine").as("cosine"))
 
+  /** Deterministic k-means++-style seeding: greedy farthest-point
+    * (maximin cosine distance) over a hash-sampled candidate set.
+    *
+    *   - sample: the `sampleN` corpus rows with the smallest
+    *     `md5Fraction("kpp|" || id)` — one distributed sort-limit, no
+    *     RNG, so the pick is a pure function of the ids and replays
+    *     identically in any engine;
+    *   - greedy: seed 1 = the smallest-hash row; each next seed is the
+    *     candidate minimizing its max cosine (rounded to 6, ties to
+    *     the earlier sample rank) against the seeds chosen so far —
+    *     the k-center maximin rule, which spreads seeds across the
+    *     data's clusters instead of crowding one (the recall failure
+    *     mode of naive lowest-id seeding).
+    *
+    * The greedy runs driver-local on the BOUNDED sample (sampleN ≤ a
+    * few hundred rows — the same sanctioned shape as MLlib kmeans||'s
+    * local finishing step); the corpus itself is only touched by the
+    * sort-limit. Output: (cid = seed's original id, cvec
+    * array<double>). */
+  def kmeansPlusPlusInit(corpus: DataFrame, k: Int, sampleN: Int = 64,
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && sampleN >= k, s"need sampleN >= k, got $sampleN < $k")
+    val spark = corpus.sparkSession
+    val sample = corpus.select(col(id),
+        col(vecCol).cast("array<double>").as("v"),
+        Sketch.md5Fraction(concat(lit("kpp|"), col(id).cast("string")))
+          .as("__h"))
+      .orderBy(col("__h"), col(id)).limit(sampleN)
+      .select(col(id), col("v")).collect()
+    require(sample.nonEmpty, "kmeansPlusPlusInit: empty corpus")
+    val vecs = sample.map(_.getSeq[Double](1).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map(v => math.sqrt(dot(v, v)))
+    // mirrors round(VectorFunctions.cosine, 6) bit-for-bit: left-assoc
+    // double dot, norm product, HALF_UP rounding
+    def cos6(i: Int, j: Int): Double =
+      BigDecimal.valueOf(dot(vecs(i), vecs(j)) / (norms(i) * norms(j)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kk = math.min(k, sample.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val taken = Array.fill(sample.length)(false)
+    taken(0) = true
+    while (chosen.size < kk) {
+      var best = -1; var bestKey = Double.PositiveInfinity
+      var s = 0
+      while (s < sample.length) {
+        if (!taken(s)) {
+          var mx = Double.NegativeInfinity
+          chosen.foreach { c => val x = cos6(s, c); if (x > mx) mx = x }
+          if (mx < bestKey) { bestKey = mx; best = s }
+        }
+        s += 1
+      }
+      chosen += best; taken(best) = true
+    }
+    val idType = sample.head.schema(0).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid", idType),
+      org.apache.spark.sql.types.StructField("cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val rows = chosen.toSeq.map(i =>
+      org.apache.spark.sql.Row(sample(i).get(0), vecs(i).toSeq))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Lloyd's k-means over the embedding column, expressed entirely in
     * relational ops so Catalyst owns the plan and a SQL oracle can
     * replay it bit-for-bit:
     *
-    *   - init: the k lowest-id vectors (deterministic seeding — the
-    *     production swap-in is a sampled k-means++ job, everything
-    *     downstream unchanged);
+    *   - init: [[kmeansPlusPlusInit]] — hash-sampled greedy maximin
+    *     seeding, deterministic and oracle-replayable;
     *   - assign: `assignCells` (broadcast centroids, no corpus
     *     shuffle);
     *   - update: element-wise mean via an inline posexplode and one
@@ -181,9 +251,9 @@ object Similarity {
     * probe table, or `Dedup.embeddingNearDups`'s block key
     * (SemDeDup-style cluster-blocked near-dup pruning). */
   def kmeansFit(corpus: DataFrame, k: Int = 8, iters: Int = 2,
-      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = corpus.orderBy(col(id)).limit(k)
-      .select(col(id).as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      id: String = "vec_id", vecCol: String = "embedding",
+      sampleN: Int = 64): DataFrame = {
+    var cents = kmeansPlusPlusInit(corpus, k, sampleN, id, vecCol)
     for (_ <- 0 until iters) {
       val assigned = assignCells(corpus, cents, id, vecCol)
       val quantized = assigned

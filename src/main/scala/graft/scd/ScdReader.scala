@@ -236,7 +236,7 @@ object ScdReader {
   }
 
   /** Reverse of Hive's partition-path escaping (%XX hex escapes). */
-  private def unescapePathName(s: String): String = {
+  private[graft] def unescapePathName(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

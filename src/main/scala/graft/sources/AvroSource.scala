@@ -77,6 +77,59 @@ object AvroSource {
     spark.createDataFrame(rdd, structType)
   }
 
+  /** Read a Hive-partitioned Avro table directory with PER-PARTITION
+    * reader-schema resolution — the reference's partition-info walk
+    * (AvroSCDInputFormat.java:70-99 matches each split's path into
+    * `pathToPartitionInfo` so every partition resolves its own Avro
+    * properties; `pathIsInPartition` :113-121).
+    *
+    *   - `readerSchemaFor`: relative partition path ("seg=A", or
+    *     "y=1/m=2" for nested partitioning) → that partition's reader
+    *     schema JSON;
+    *   - unmapped partitions fall back to `defaultReaderJson`, else to
+    *     their OWN writer schema — so a table whose partitions were
+    *     written under different schema versions unions cleanly with
+    *     no explicit schema at all;
+    *   - partition columns are attached from the path (as strings,
+    *     Hive-unescaped) and the per-partition frames union by name
+    *     with missing columns nulled.
+    *
+    * Plan shape: one narrow scan branch per partition directory (the
+    * same per-partition granularity Hive's split planning produces);
+    * each branch lists only its own directory. Partition counts are
+    * catalog-bounded — for very large P, resolve schemas in groups
+    * upstream and call [[read]] per group. */
+  def readPartitioned(spark: SparkSession, dir: String,
+      readerSchemaFor: Map[String, String] = Map.empty,
+      defaultReaderJson: Option[String] = None): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: Path, spec: Seq[(String, String)])
+        : Seq[(Path, Seq[(String, String)])] = {
+      val kids = fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.contains('='))
+        .sortBy(_.getPath.getName)
+      if (kids.isEmpty) Seq((p, spec))
+      else kids.toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        val i = n.indexOf('=')
+        leaves(st.getPath, spec :+
+          (n.substring(0, i),
+            graft.scd.ScdReader.unescapePathName(n.substring(i + 1))))
+      }
+    }
+    val parts = leaves(root, Seq.empty)
+    val frames = parts.map { case (p, spec) =>
+      val rel = spec.map { case (k, v) => s"$k=$v" }.mkString("/")
+      val reader = readerSchemaFor.get(rel).orElse(defaultReaderJson)
+      spec.foldLeft(read(spark, p.toString, reader)) {
+        case (df, (k, v)) =>
+          df.withColumn(k, org.apache.spark.sql.functions.lit(v))
+      }
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Projection pushdown for the reader schema: keep only `columns`
     * (case-insensitive), preserving each kept field's schema and
     * reader-default — schema-evolution defaults still resolve for kept

@@ -4,9 +4,10 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Behavioral specs for k-means centroid training on a fixture with
-  * two obvious cosine clusters — and deliberately bad seeds (both
-  * initial centroids inside cluster A) so the test proves Lloyd
-  * iteration actually moves centroids rather than echoing the seeds. */
+  * two obvious cosine clusters, adversarially id-ordered (the lowest
+  * ids all sit in cluster A, the failure mode of naive lowest-id
+  * seeding) — proving both the k-means++ maximin init and Lloyd
+  * iteration do real work. */
 class SimilaritySpec extends SparkSpec {
 
   private def vecs = {
@@ -30,6 +31,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Set(1L, 2L, 3L).map(byId) .size == 1, "cluster A split")
     assert(Set(4L, 5L, 6L).map(byId).size == 1, "cluster B split")
     assert(byId(1L) != byId(4L), "clusters collapsed")
+  }
+
+  test("k-means++ init spreads seeds across clusters (maximin recall)") {
+    val seeds = Similarity.kmeansPlusPlusInit(vecs, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds.size == 2)
+    // greedy maximin must land one seed per cluster whichever vector
+    // the hash rank picks first — lowest-id seeding would pick {1, 2}
+    assert(seeds.exists(_ <= 3L) && seeds.exists(_ >= 4L), s"seeds: $seeds")
+    // pure function of (ids, vectors): layout-independent
+    val again = Similarity.kmeansPlusPlusInit(vecs.repartition(5), k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(seeds == again)
   }
 
   test("centroid coordinates are exact quantized means") {

@@ -202,6 +202,58 @@ class ScdStreamSpec extends SparkSpec {
     assert(got == Set((1, 12), (2, 120)))
   }
 
+  test("dmlSink — restart re-delivery of a committed batch is exactly-once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.scd.ScdReader
+    val dir = Files.createTempDirectory("dmlsink3").toString
+    Seq((1, 10), (2, 20)).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val ckpt = Files.createTempDirectory("ck3").toString
+    // the JVM-wide metadata-log cache would mask the on-disk commit
+    // deletion below and mis-detect a concurrent writer
+    spark.conf.set("spark.sql.streaming.metadataCache.enabled", "false")
+    val ms = MemoryStream[String]
+    val q1 = ScdStream.dmlSink(ms.toDF().toDF("stmt"), "stmt", dir, ckpt).start()
+    try {
+      ms.addData("UPDATE t SET v = v + 1 WHERE k = 1;")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate a crash AFTER the sink appended but BEFORE the commit
+    // marker landed: on restart Spark re-delivers batch 0 with the
+    // same queryId — foreachBatch is at-least-once by contract
+    val commit0 = java.nio.file.Paths.get(ckpt, "commits", "0")
+    assert(Files.deleteIfExists(commit0), "expected a commit file for batch 0")
+    // the local FS keeps a checksum sibling; a stale one fails the
+    // re-written commit's atomic rename with FileAlreadyExists
+    Files.deleteIfExists(java.nio.file.Paths.get(ckpt, "commits", ".0.crc"))
+    val q2 = ScdStream.dmlSink(ms.toDF().toDF("stmt"), "stmt", dir, ckpt).start()
+    try q2.processAllAvailable() finally {
+      q2.stop()
+      spark.conf.unset("spark.sql.streaming.metadataCache.enabled")
+    }
+    // the replayed (queryId, 0) token matches the sidecar marker → the
+    // statement must appear exactly once and apply exactly once
+    val sidecar = ScdReader.readSidecar(spark, dir).get
+    assert("UPDATE t SET".r.findAllIn(sidecar).size == 1, sidecar)
+    val got = ScdReader.read(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 11), (2, 20)))
+  }
+
+  test("mergeBatch — re-running a committed batch id is a no-op") {
+    import spark.implicits._
+    val snap = Files.createTempDirectory("snap2").toString
+    val b0 = Seq((1L, 100L, "a"), (2L, 100L, "b")).toDF("k", "ts", "v")
+    ScdStream.mergeBatch(b0, "k", "ts", snap, batchId = 0)
+    // at-least-once re-delivery of batch 0 — even with different
+    // content, the committed version must win (the retry contract)
+    val replay = Seq((1L, 999L, "BAD")).toDF("k", "ts", "v")
+    ScdStream.mergeBatch(replay, "k", "ts", snap, batchId = 0)
+    val got = ScdStream.latestSnapshot(spark, snap).get.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
+
   test("dedupStream — duplicate fingerprints within the watermark are dropped") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
