@@ -253,6 +253,23 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
         .orderBy("l_returnflag")),
 
+    // production quantile sketch (t-digest-style approx_percentile) made
+    // verifiable the same way as the HLL query: emit the exact median
+    // plus a bound flag — the sketch's rank error at accuracy 10000 is
+    // ≤ 1e-4, so the estimate must lie between the exact 0.495 / 0.505
+    // quantiles (a 50× margin); the oracle asserts the flag is constant
+    "q_approx_quantile_bound" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__ap"),
+          expr("percentile(l_extendedprice, 0.495)").as("__lo"),
+          expr("percentile(l_extendedprice, 0.505)").as("__hi"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("__ap") >= col("__lo") && col("__ap") <= col("__hi"))
+            .cast("long").as("within_bound"))
+        .orderBy("l_returnflag")),
+
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -1149,6 +1166,15 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // sketch bound check: the oracle verifies the exact median and
+    // asserts the Spark-side bound flag held everywhere
+    "q_approx_quantile_bound" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT 'has_orders' AS kind, c_mktsegment, count(*) AS n FROM customer

@@ -36,6 +36,16 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val WidthKey = "spark.graft.rangeJoin.cellWidth"
 
+  /** Opt-in second gate: also rewrite range joins that DO carry equi
+    * conjuncts (`k = k AND p BETWEEN s AND e`). Spark hash-joins those
+    * on `k` alone and post-filters the range — per-key quadratic when
+    * `k` is low-cardinality or skewed (sessions per user, intervals
+    * per device). With this on, the cell key is APPENDED to the equi
+    * keys, bounding each hash group to one (key, cell). Off by
+    * default: with high-cardinality equi keys the plain hash join is
+    * already right, and the k× interval fan-out would only add work. */
+  val EquiKey = "spark.graft.rangeJoin.rewriteEquiJoins"
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     conf.getConfString(WidthKey, "").toLongOption.filter(_ > 0) match {
       case None => plan
@@ -61,9 +71,14 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint, w: Long): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    if (conjuncts.length != 2) return None // an equi key exists → Spark
-    // already hash-joins; only the pure-range shape needs rescue
-    val (c1, c2) = (conjuncts.head, conjuncts(1))
+    // cross-side equi conjuncts Spark can hash on; anything else left
+    // in `rest` must be exactly the two range bounds
+    val (equis, rest) = conjuncts.partition(isEquiAcross(_, left, right))
+    if (equis.nonEmpty &&
+      !conf.getConfString(EquiKey, "false").equalsIgnoreCase("true"))
+      return None // Spark already hash-joins on the equi key
+    if (rest.length != 2) return None
+    val (c1, c2) = (rest.head, rest(1))
     (bigSmall(c1), bigSmall(c2)) match {
       case (Some((big1, small1)), Some((big2, small2))) =>
         // the point appears as the BIG of one bound (p >= s) and the
@@ -77,10 +92,22 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
                 isIntegral(p1) && isIntegral(s) && isIntegral(e) &&
                 p1.deterministic && s.deterministic && e.deterministic &&
                 sidesSplit(p1, s, e, left, right) =>
-            build(j, left, right, p1, s, e, cond, hint, w)
+            build(j, left, right, p1, s, e, cond, hint, w, equis)
         }
       case _ => None
     }
+  }
+
+  /** `a = b` with one side's refs in each join child (either way) —
+    * the conjuncts Spark's ExtractEquiJoinKeys would hash on. */
+  private def isEquiAcross(c: Expression, left: LogicalPlan,
+      right: LogicalPlan): Boolean = c match {
+    case EqualTo(a, b) if c.deterministic =>
+      (a.references.subsetOf(left.outputSet) &&
+        b.references.subsetOf(right.outputSet)) ||
+        (a.references.subsetOf(right.outputSet) &&
+          b.references.subsetOf(left.outputSet))
+    case _ => false
   }
 
   /** point refs ⊆ left, both bounds' refs ⊆ right (the caller tries
@@ -96,7 +123,7 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def build(j: Join, left: LogicalPlan, right: LogicalPlan,
       p: Expression, s: Expression, e: Expression, cond: Expression,
-      hint: JoinHint, w: Long): LogicalPlan = {
+      hint: JoinHint, w: Long, equis: Seq[Expression]): LogicalPlan = {
     val pointOnLeft = p.references.subsetOf(left.outputSet)
     val (pointSide, ivSide) = if (pointOnLeft) (left, right) else (right, left)
     def cell(x: Expression): Expression =
@@ -117,8 +144,10 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val newIv = Generate(gen, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(iCell), child = ivSide)
     val (nl, nr) = if (pointOnLeft) (newPoint, newIv) else (newIv, newPoint)
-    val joined = Join(nl, nr, Inner,
-      Some(EqualTo(pCell.toAttribute, iCell)), hint)
+    // equi conjuncts ride along: the hash key becomes (equi…, cell)
+    val joinCond = (equis :+ (EqualTo(pCell.toAttribute, iCell): Expression))
+      .reduce(And(_, _))
+    val joined = Join(nl, nr, Inner, Some(joinCond), hint)
     Project(j.output, Filter(cond, joined))
   }
 }

@@ -194,6 +194,37 @@ object ScdStream {
 
   /** Tumbling-window event counts with a watermark — the standard
     * windowed streaming aggregate over an event-time column. */
+  /** Stream-stream interval join: each left event pairs with the right
+    * events sharing its key whose timestamp falls in
+    * `[leftTs − lookback, leftTs]` — attribution's "click within the
+    * N minutes before the purchase" shape, as a real two-stream join
+    * (both sides unbounded), not a stream-static lookup.
+    *
+    * Both sides carry a `lookback`-sized watermark and the join
+    * condition bounds the time skew, which is exactly what Spark's
+    * stream-stream join needs to EVICT state: each side buffers only
+    * a `lookback` window of rows per key, so state is bounded by rate
+    * × window, never by stream length. One hash shuffle per side on
+    * the key — the same plan a batch interval join gets.
+    *
+    * Column names must be disjoint apart from `key` (standard
+    * stream-join hygiene; alias upstream). Timestamps must be real
+    * TimestampType (watermarks require event-time columns). */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, lookback: String): DataFrame = {
+    // rename the right key BEFORE the watermark (rename is a
+    // projection; do it first so the event-time tag is applied last
+    // and survives — the cast-drops-the-tag lesson)
+    val rKey = s"__r_$key"
+    val l = left.withWatermark(leftTs, lookback)
+    val r = right.withColumnRenamed(key, rKey)
+      .withWatermark(rightTs, lookback)
+    l.join(r, col(key) === col(rKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+        col(rightTs) <= col(leftTs))
+      .drop(rKey)
+  }
+
   def eventCountsPerWindow(df: DataFrame, tsCol: String,
       windowDuration: String, watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

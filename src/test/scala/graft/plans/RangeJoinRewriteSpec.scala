@@ -53,6 +53,39 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(!plan.contains("__pcell"), plan)
   }
 
+  test("inverted intervals (e < s) neither crash nor match") {
+    // Sequence(s, e, 1) would THROW on e < s at runtime; the rewrite
+    // must keep the pre-rewrite behavior: zero matches
+    val bad = Seq((1L, 300L, 10L, "inv"), (1L, 0L, 30L, "ok"))
+      .toDF("k", "s", "e", "tag")
+    def joined = points.join(bad,
+      points("p") >= bad("s") && points("p") <= bad("e"))
+    val expected = joined.collect().map(_.toSeq).toSet
+    val got = withRule { joined.collect().map(_.toSeq).toSet }
+    assert(got == expected)
+    assert(got.forall(_.contains("ok")))
+  }
+
+  test("equi+range join: conf-gated rewrite hashes on (key, cell), rows identical") {
+    def joined = points.join(intervals,
+      points("k") === intervals("k") &&
+        points("p") >= intervals("s") && points("p") <= intervals("e"))
+    val expected = joined.collect().map(_.toSeq).toSet
+    val (got, plan) = withRule {
+      spark.conf.set("spark.graft.rangeJoin.rewriteEquiJoins", "true")
+      try {
+        val df = joined
+        (df.collect().map(_.toSeq).toSet,
+          df.queryExecution.executedPlan.toString)
+      } finally spark.conf.unset("spark.graft.rangeJoin.rewriteEquiJoins")
+    }
+    assert(got == expected)
+    // the hash join keys now include the cell next to the user key
+    assert(plan.contains("__pcell") && plan.contains("__icell"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("rule is inert without the width conf") {
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ new RangeJoinRewrite

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{timestamp_seconds, unix_timestamp}
 
 import java.nio.file.Files
 import java.sql.Timestamp
@@ -138,6 +139,37 @@ class ScdStreamSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.contains((2L, 1L)), s"missing cross-batch hit: $got")
       assert(!got.exists(p => p._1 == 4L || p._2 == 4L), s"false hit: $got")
+    } finally q.stop()
+  }
+
+  test("intervalJoinStream — stream-stream time-bounded join, state evicted") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(String, Long)]
+    val purchases = MemoryStream[(String, Long)]
+    val c = clicks.toDF().toDF("user", "c_sec")
+      .select($"user", timestamp_seconds($"c_sec").as("click_ts"))
+    val p = purchases.toDF().toDF("user", "p_sec")
+      .select($"user", timestamp_seconds($"p_sec").as("purchase_ts"))
+    val joined = ScdStream.intervalJoinStream(p, c, "user",
+      "purchase_ts", "click_ts", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      // click at t=100s, purchase at t=400s (5 min later: inside) and a
+      // second purchase at t=900s (13+ min after the click: outside)
+      clicks.addData(("u1", 100L), ("u2", 5000L))
+      purchases.addData(("u1", 400L), ("u1", 900L))
+      q.processAllAvailable()
+      // advance both watermarks far past the lookback so results flush
+      // (distinct keys so the advance rows cannot join each other)
+      clicks.addData(("wm_c", 100000L))
+      purchases.addData(("wm_p", 100000L))
+      q.processAllAvailable()
+      val got = spark.table("ivj")
+        .select($"user", unix_timestamp($"purchase_ts"), unix_timestamp($"click_ts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(("u1", 400L, 100L)))
     } finally q.stop()
   }
 
