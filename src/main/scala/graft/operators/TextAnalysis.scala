@@ -134,8 +134,19 @@ object TextAnalysis {
     * is the cheaper sampled variant: ~stride× fewer hashes, but
     * windows anchor at absolute offsets, so an indel that is not a
     * stride multiple re-aligns every window — use it only where docs
-    * mutate by append. Per-row expression, no explode. */
-  def winnowFingerprint(text: Column, k: Int = 16, stride: Int = 1): Column = {
+    * mutate by append. Per-row expression, no explode.
+    *
+    * Computed by the native one-pass [[graft.functions.expressions
+    * .WinnowMin]] (thread-local digest, raw-byte min, one hex encode
+    * per row); [[winnowFingerprintHof]] keeps the declarative twin the
+    * DuckDB oracle mirrors, and DedupSpec pins their equality. */
+  def winnowFingerprint(text: Column, k: Int = 16, stride: Int = 1): Column =
+    org.apache.spark.sql.graft.CatalystBridge.winnowMin(text, k, stride)
+
+  /** The declarative higher-order formulation of [[winnowFingerprint]]
+    * — the reference implementation (per-window interpreted Substring +
+    * Md5; the shape the oracle SQL replays). */
+  def winnowFingerprintHof(text: Column, k: Int = 16, stride: Int = 1): Column = {
     val lastIdx = greatest(
       floor((length(text) - lit(k)).cast("double") / stride).cast("int"),
       lit(0))

@@ -36,6 +36,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Native one-pass winnowing fingerprint (see
+    * [[graft.functions.expressions.WinnowMin]]). */
+  def winnowMin(text: Column, k: Int, stride: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.WinnowMin(
+      ExpressionUtils.expression(text), k, stride))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 

@@ -112,6 +112,24 @@ class DedupSpec extends SparkSpec {
     assert(appended <= got)
   }
 
+  test("native WinnowMin ≡ the declarative HOF twin (incl. short and non-ASCII)") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short", // < k: single whole-string window
+      "exactly sixteen!", // == k
+      "naïve café – ünïcode windows slide by chars not bytes, naïve café",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa") // degenerate repeats
+    for (stride <- Seq(1, 4)) {
+      val df = texts.toDF("text").select(
+        TextAnalysis.winnowFingerprint(col("text"), 16, stride).as("native"),
+        TextAnalysis.winnowFingerprintHof(col("text"), 16, stride).as("hof"))
+      val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.forall { case (n, h) => n == h },
+        s"stride=$stride: ${rows.mkString("; ")}")
+    }
+  }
+
   test("connectedComponents labels each component with its min id") {
     import spark.implicits._
     // components: chain {1-2-3-4-5}, pair {10,11}, triangle {20,21,22};
