@@ -19,9 +19,17 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Sketch {
 
   /** hash fraction in [0,1): first 8 hex chars of md5 as a 32-bit
-    * integer over 2^32 — manual per-digit horner so the exact same
-    * arithmetic runs in any engine. */
-  def md5Fraction(v: Column): Column = {
+    * integer over 2^32 — the engine's deterministic randomness source
+    * (minhash bands, simhash, embeddings, sampling, KMV). Computed by
+    * the native [[graft.functions.expressions.Md5Fraction]];
+    * [[md5FractionHof]] keeps the per-hex-digit horner twin the DuckDB
+    * oracle mirrors, and SketchSpec pins their equality. */
+  def md5Fraction(v: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.md5Fraction(v.cast("string"))
+
+  /** The declarative per-digit horner formulation of [[md5Fraction]] —
+    * the exact arithmetic any engine reruns (the oracle SQL's shape). */
+  def md5FractionHof(v: Column): Column = {
     val h = md5(v.cast("string"))
     val value = (0 until 8).map { i =>
       (instr(lit("0123456789abcdef"), substring(h, i + 1, 1)) - 1)

@@ -42,6 +42,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.WinnowMin(
       ExpressionUtils.expression(text), k, stride))
 
+  /** Native md5 hash fraction (see
+    * [[graft.functions.expressions.Md5Fraction]]). */
+  def md5Fraction(c: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.Md5Fraction(
+      ExpressionUtils.expression(c)))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
