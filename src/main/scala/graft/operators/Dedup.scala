@@ -112,7 +112,7 @@ object Dedup {
     val nSeeds = (numHashes + 3) / 4
     def hashed(src: DataFrame, keep: Column): DataFrame =
       src.select(keep +: (0 until nSeeds).map(sd =>
-        md5(concat(lit(s"$sd|"), col("shingle"))).as(s"h$sd")): _*)
+        Sketch.md5Hex(concat(lit(s"$sd|"), col("shingle"))).as(s"h$sd")): _*)
     // dictShingles: hash each DISTINCT shingle once, join the hash
     // columns back (same trade as simHash's dictVocab — use when the
     // shingle space is closed/small; identical output)
@@ -136,7 +136,7 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val bandKeys = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bkey"))
+      struct(lit(b).as("band"), Sketch.md5Hex(concat(parts: _*)).as("bkey"))
     }
     val exploded = sigs.select(col(id),
         explode(array(bandKeys: _*)).as("bk"))
@@ -236,7 +236,7 @@ object Dedup {
       explode(slice(split(lower(col(textCol)), " "), 1, MaxSimhashTokens))
         .as("t"))
     def digitPacks(src: DataFrame, keep: Column): DataFrame =
-      src.withColumn("h", md5(col("t")))
+      src.withColumn("h", Sketch.md5Hex(col("t")))
         .select(keep +: (0 until nDigits).map { d =>
           element_at(spreadArr,
             instr(lit("0123456789abcdef"), substring(col("h"), d + 1, 1)))
@@ -280,7 +280,8 @@ object Dedup {
     val nDigits = (bits + 3) / 4
     val spreadArr = array(NibbleSpread.map(lit): _*)
     val hs = transform(
-      slice(split(lower(text), " "), 1, MaxSimhashTokens), t => md5(t))
+      slice(split(lower(text), " "), 1, MaxSimhashTokens),
+      t => Sketch.md5Hex(t))
     val n = size(hs)
     val lanes = (0 until nDigits).map { d =>
       aggregate(hs, lit(0L), (acc, h) => acc + element_at(spreadArr,

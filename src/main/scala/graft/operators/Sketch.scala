@@ -27,6 +27,12 @@ object Sketch {
   def md5Fraction(v: Column): Column =
     org.apache.spark.sql.graft.CatalystBridge.md5Fraction(v.cast("string"))
 
+  /** `md5()` with a thread-local digest (identical output) — for the
+    * per-shingle/per-token hot paths; see
+    * [[graft.functions.expressions.Md5Hex]]. */
+  def md5Hex(v: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.md5Hex(v)
+
   /** The declarative per-digit horner formulation of [[md5Fraction]] —
     * the exact arithmetic any engine reruns (the oracle SQL's shape). */
   def md5FractionHof(v: Column): Column = {

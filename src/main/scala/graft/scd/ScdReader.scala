@@ -153,7 +153,10 @@ object ScdReader {
     snapshots.reduce(_ unionByName _)
   }
 
-  /** History export for a table directory (see [[historyText]]). */
+  /** History export for a table directory (see [[historyText]]) —
+    * partition-aware: per-partition sidecars contribute their
+    * statements under their partition guard, and the snapshot
+    * timeline is the union of ALL logs' distinct effective times. */
   def history(
       spark: SparkSession,
       dir: String,
@@ -161,11 +164,30 @@ object ScdReader {
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
     val base = loadBase(spark, dir, format, schema, options)
-    readSidecar(spark, dir) match {
-      case None => base
+    val parsed = readAllSidecars(spark, dir).map { case (spec, text) =>
+      (spec, UpdatesParser.parse(text, Long.MaxValue).statements)
+    }
+    if (parsed.isEmpty)
+      base
         .withColumn("valid_from_ms", functions.lit(0L))
         .withColumn("valid_to_ms", functions.lit(null).cast("long"))
-      case Some(text) => historyText(spark, base, text)
+    else {
+      val times =
+        (0L +: parsed.flatMap(_._2.map(_.timeMillis))).distinct.sorted
+      val snapshots = times.zipWithIndex.map { case (t, i) =>
+        val asOf = parsed.foldLeft(base) { case (df, (spec, stmts)) =>
+          val upTo = stmts.filter(_.timeMillis <= t)
+          if (spec.isEmpty) ScdCompiler(df, upTo)
+          else ScdCompiler(df, upTo, partitionGuard(spec))
+        }
+        val validTo =
+          if (i + 1 < times.length) functions.lit(times(i + 1))
+          else functions.lit(null).cast("long")
+        asOf
+          .withColumn("valid_from_ms", functions.lit(t))
+          .withColumn("valid_to_ms", validTo)
+      }
+      snapshots.reduce(_ unionByName _)
     }
   }
 

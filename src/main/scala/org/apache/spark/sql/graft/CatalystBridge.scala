@@ -48,6 +48,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.Md5Fraction(
       ExpressionUtils.expression(c)))
 
+  /** Native thread-local-digest md5 hex (see
+    * [[graft.functions.expressions.Md5Hex]]). */
+  def md5Hex(c: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.Md5Hex(
+      ExpressionUtils.expression(c)))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 

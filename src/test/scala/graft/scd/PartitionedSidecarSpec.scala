@@ -78,6 +78,24 @@ class PartitionedSidecarSpec extends SparkSpec {
       plan.contains("isnotnull(seg"), plan)
   }
 
+  test("history is partition-aware: per-partition statements gate by time and partition") {
+    val dir = writePartitioned()
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      "-- time=2020-01-01\nUPDATE t SET v = v + 100;\n")
+    Files.writeString(Paths.get(dir, "seg=B", ".updates"),
+      "-- time=2021-01-01\nDELETE FROM t WHERE v < 0;\n")
+    val h = ScdReader.history(spark, dir)
+      .select("id", "v", "valid_from_ms").orderBy("valid_from_ms", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val times = h.map(_._3).distinct
+    assert(times.length == 3) // epoch, 2020 update, 2021 delete
+    // epoch snapshot: pristine; 2020: A rows bumped; 2021: B's negative gone
+    val at = h.groupBy(_._3).view.mapValues(_.map(x => (x._1, x._2)).toSet)
+    assert(at(times(0)) == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, -5L)))
+    assert(at(times(1)) == Set((1L, 110L), (2L, 120L), (3L, 30L), (4L, -5L)))
+    assert(at(times(2)) == Set((1L, 110L), (2L, 120L), (3L, 30L)))
+  }
+
   test("escaped partition values round-trip through discovery") {
     val dir = writePartitioned()
     // Hive-escape a space as %20 in the directory name
