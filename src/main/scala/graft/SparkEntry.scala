@@ -784,6 +784,19 @@ object SparkEntry {
           col("n_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // incremental (nightly-crawl) near-dup: even ids play the standing
+    // corpus, odd ids the new batch — only pairs involving the batch
+    // come back; corpus-vs-corpus is never recomputed
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minhashLshPairsIncremental(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"))
         .orderBy("id_a", "id_b")),
@@ -1961,6 +1974,18 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $MinhashComCtes
          |$JaccardSelect""".stripMargin,
+
+    // incremental = the full-corpus pipeline minus its corpus-vs-corpus
+    // (both-even) pairs — band buckets are identical over the combined
+    // index, so the remaining pairs match exactly
+    "dedup_incremental" ->
+      s"""WITH $MinhashComCtes
+         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+         |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+         |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+         |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_cc" ->
       // transitive closure over the verified minhash-LSH pairs; the

@@ -133,14 +133,7 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, id: String = "doc_id",
       numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val bandKeys = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), Sketch.md5Hex(concat(parts: _*)).as("bkey"))
-    }
-    val exploded = sigs.select(col(id),
-        explode(array(bandKeys: _*)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val exploded = bandRows(sigs, id, numHashes, bands)
     val pruned = exploded
       .withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
@@ -151,6 +144,19 @@ object Dedup {
     l.join(r, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** (id, band, bkey) rows of a signature table — the band index a
+    * production deployment persists (bucketed by bkey) between runs. */
+  private def bandRows(sigs: DataFrame, id: String, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bandKeys = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), Sketch.md5Hex(concat(parts: _*)).as("bkey"))
+    }
+    sigs.select(col(id), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → minhash → band →
@@ -166,10 +172,16 @@ object Dedup {
     val cands = lshCandidates(
       minHashSignatures(sh, id, numHashes, dictShingles), id,
       numHashes, bands)
-    // verification joins the per-doc shingle ARRAYS to the (small)
-    // candidate set and intersects in-row — two joins keyed on doc id
-    // instead of a re-exploded shingle equi-join over the whole corpus
-    // (round-2 bench: the exploded verify join dominated the query)
+    verifyByArrays(cands, arr, id, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: joins the per-doc
+    * shingle ARRAYS to the (small) candidate set and intersects
+    * in-row — two joins keyed on doc id instead of a re-exploded
+    * shingle equi-join over the whole corpus (round-2 bench: the
+    * exploded verify join dominated the query). */
+  private def verifyByArrays(cands: DataFrame, arr: DataFrame,
+      id: String, threshold: Double): DataFrame = {
     val a = arr.select(col(id).as("id_a"), col("sharr").as("arr_a"))
     val b = arr.select(col(id).as("id_b"), col("sharr").as("arr_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -182,6 +194,48 @@ object Dedup {
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** INCREMENTAL MinHash-LSH near-dup — the nightly-crawl shape: only
+    * pairs involving the new `batchDocs` are generated (batch-vs-corpus
+    * and batch-vs-batch); the corpus-vs-corpus quadrant is never
+    * recomputed. Per-batch cost is O(batch shingles) plus the band
+    * equi-join against the corpus' signature index — pass the
+    * persisted index via `corpusSigs` ([[minHashSignatures]] output,
+    * ideally stored bucketed by band key) so the corpus is not even
+    * re-scanned; absent, it is derived from `corpusDocs` for
+    * self-containment. The bucket cap applies over the COMBINED band
+    * index, so the result equals full-corpus [[minhashLshPairs]] minus
+    * its corpus-vs-corpus pairs. Ids must be disjoint across the two
+    * inputs. Output like [[minhashLshPairs]]. */
+  def minhashLshPairsIncremental(corpusDocs: DataFrame,
+      batchDocs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", w: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.8, maxBucket: Int = 1000,
+      corpusSigs: Option[DataFrame] = None): DataFrame = {
+    val sigsC = corpusSigs.getOrElse(
+      minHashSignatures(shingles(corpusDocs, id, textCol, w), id, numHashes))
+    val sigsB =
+      minHashSignatures(shingles(batchDocs, id, textCol, w), id, numHashes)
+    val all = bandRows(sigsC, id, numHashes, bands)
+      .withColumn("__new", lit(0))
+      .unionByName(bandRows(sigsB, id, numHashes, bands)
+        .withColumn("__new", lit(1)))
+    val pruned = all
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bkey")))
+      .where(col("bucket_n") <= maxBucket)
+    val l = pruned.select(col("band"), col("bkey"), col(id).as("id_l"))
+    val r = pruned.where(col("__new") === 1)
+      .select(col("band"), col("bkey"), col(id).as("id_r"))
+    val cands = l.join(r, Seq("band", "bkey"))
+      .where(col("id_l") =!= col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"))
+      .distinct()
+    val arr = shingleArrays(corpusDocs.unionByName(batchDocs), id, textCol, w)
+    verifyByArrays(cands, arr, id, threshold)
   }
 
   /** SimHash over tokens: bit b is the sign of Σ_tokens (2·hbit−1)

@@ -130,6 +130,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash = full pipeline minus corpus-vs-corpus pairs") {
+    import spark.implicits._
+    // near-dup pairs across the even/odd boundary and inside each side
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // ~dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // = 1
+      (4L, "totally different content with no overlap at all here"),
+      (6L, "totally different content with no overlap at all here"), // = 4
+      (5L, "alpha beta gamma delta epsilon zeta eta theta")) // = 1
+      .toDF("doc_id", "text")
+    val full = Dedup.minhashLshPairs(docs, threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = Dedup.minhashLshPairsIncremental(
+      docs.where($"doc_id" % 2 === 0), docs.where($"doc_id" % 2 === 1),
+      threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filterNot { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    assert(inc == expected && inc.nonEmpty)
+    // the corpus-vs-corpus pair (4,6) is in full but never recomputed
+    assert(full.contains((4L, 6L)) && !inc.contains((4L, 6L)))
+    // passing the persisted corpus index yields the identical result
+    val sigs = Dedup.minHashSignatures(
+      Dedup.shingles(docs.where($"doc_id" % 2 === 0)))
+    val viaIndex = Dedup.minhashLshPairsIncremental(
+      docs.where($"doc_id" % 2 === 0), docs.where($"doc_id" % 2 === 1),
+      threshold = 0.8, corpusSigs = Some(sigs))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == inc)
+  }
+
   test("connectedComponents labels each component with its min id") {
     import spark.implicits._
     // components: chain {1-2-3-4-5}, pair {10,11}, triangle {20,21,22};
