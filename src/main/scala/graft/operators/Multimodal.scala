@@ -14,14 +14,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   * derived from content hashes that flows into the `VectorFunctions` /
   * `Similarity` operators.
   *
-  * What is STUBBED (clearly): actual media decode. No image/audio codec
-  * ships in this environment; at production scale the decode step is a
-  * `mapPartitions` over the binary column calling a native decoder with
-  * batch-sized partitions (`spark.sql.files.maxPartitionBytes` tuned so
-  * a partition of payloads fits executor memory) — the surrounding
-  * schema, partitioning, and per-row plumbing are exactly what this
-  * module implements; [[fakeEmbedding]] stands in for the decoder's
-  * feature output deterministically.
+  * IMAGE decode is REAL ([[decodeImages]]): the JDK's own
+  * `javax.imageio` codecs (PNG/JPEG/GIF/BMP) need no external library,
+  * so dimensions and pixel statistics come from actual decoding.
+  *
+  * What remains STUBBED (clearly): audio/video decode — no such codec
+  * ships in this environment; at production scale that step is the
+  * same `mapPartitions` shape with a native decoder injected
+  * ([[decodeBatched]]), batch-sized partitions
+  * (`spark.sql.files.maxPartitionBytes` tuned so a partition of
+  * payloads fits executor memory); [[fakeEmbedding]] stands in for the
+  * decoder's feature output deterministically.
   */
 object Multimodal {
 
@@ -116,6 +119,70 @@ object Multimodal {
     val h = java.util.Arrays.hashCode(payload)
     (640 + math.abs(h % 4) * 160, 360 + math.abs(h / 4 % 4) * 90,
       1 + math.abs(h / 16 % 300))
+  }
+
+  /** REAL image decode — for the formats the JDK itself ships codecs
+    * for (PNG/JPEG/GIF/BMP via `javax.imageio`, no external library):
+    * per row, (byte_len, width, height, mean_luma), where mean_luma is
+    * the Rec.601 luminance averaged over a bounded pixel grid (≤ 64×64
+    * samples, so a 10000×10000 payload costs the same as a thumbnail),
+    * rounded to 4. Undecodable or NULL payloads keep their row with
+    * NULL image columns — the norm in scraped corpora, and the honest
+    * behavior for the audio/video formats that still need an external
+    * codec (see [[decodeBatched]]'s injectable stub for those).
+    *
+    * Same batched plumbing as [[decodeBatched]]: one reader path per
+    * partition, rows streamed lazily, output schema declared up
+    * front. */
+  def decodeImages(df: DataFrame, id: String, binCol: String): DataFrame = {
+    val inSchema = df.select(col(id), col(binCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.head,
+      org.apache.spark.sql.types.StructField("byte_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("mean_luma",
+        org.apache.spark.sql.types.DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null)
+          org.apache.spark.sql.Row(r.get(0), null, null, null, null)
+        else {
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null)
+            org.apache.spark.sql.Row(r.get(0), payload.length.toLong,
+              null, null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val (sx, sy) = (math.max(w / 64, 1), math.max(h / 64, 1))
+            var sum = 0.0; var n = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += (0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            org.apache.spark.sql.Row(r.get(0), payload.length.toLong, w, h,
+              BigDecimal(sum / n)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+      }
+    }(enc)
   }
 
   /** Full multimodal prep pipeline over a table with a binary payload:

@@ -79,6 +79,12 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("incremental dedup: band equi-join only, no nested loop") {
+    val p = planOf("dedup_incremental")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {

@@ -58,6 +58,43 @@ class MultimodalSpec extends SparkSpec {
     assert(nullRow.isNullAt(1) && nullRow.isNullAt(2))
   }
 
+  test("decodeImages: REAL JDK ImageIO decode — dims + pixel stats; garbage → NULLs") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 6, 0xff0000)     // Rec.601 luma 0.299
+    val white = png(3, 3, 0xffffff)   // luma 1.0
+    val data = Seq(
+      (1L, red), (2L, white),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeImages(data.repartition(2), "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(2) == 8 && out(1L).getInt(3) == 6)
+    assert(out(1L).getDouble(4) == 0.299)
+    assert(out(2L).getInt(2) == 3 && out(2L).getDouble(4) == 1.0)
+    // garbage bytes: row kept, byte_len real, image columns NULL
+    assert(!out(3L).isNullAt(1) && out(3L).isNullAt(2) && out(3L).isNullAt(4))
+    // NULL payload: all NULL
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2))
+    // a JPEG round-trips through the same JDK codec path
+    val img = new java.awt.image.BufferedImage(5, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jr = Multimodal.decodeImages(
+      Seq((7L, bos.toByteArray)).toDF("id", "payload"), "id", "payload")
+      .collect().head
+    assert(jr.getInt(2) == 5 && jr.getInt(3) == 4)
+  }
+
   test("fakeEmbedding feeds the vector operators") {
     val e = bins.select(col("id").as("vec_id"),
       Multimodal.fakeEmbedding(col("payload"), 8).as("embedding"))
