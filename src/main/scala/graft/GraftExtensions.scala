@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(
-      org.apache.spark.sql.graft.CatalystBridge.dotProductDescriptor)
+    org.apache.spark.sql.graft.CatalystBridge.functionDescriptors
+      .foreach(ext.injectFunction)
     // pure range joins → cell-bucketized equi-joins (OFF until
     // spark.graft.rangeJoin.cellWidth is set; see RangeJoinRewrite)
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)

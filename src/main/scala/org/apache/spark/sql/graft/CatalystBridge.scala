@@ -69,10 +69,49 @@ object CatalystBridge {
       graft.functions.expressions.DotProduct(args.head, args(1))
     })
 
+  /** `md5_fraction(s)` — the deterministic hash-randomness source. */
+  val md5FractionDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("md5_fraction"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.Md5Fraction].getName, "md5_fraction"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"md5_fraction takes 1 argument, got ${args.length}")
+      graft.functions.expressions.Md5Fraction(args.head)
+    })
+
+  /** `winnow_min(s, k, stride)` — the winnowing fingerprint (k and
+    * stride must be integer literals). */
+  val winnowMinDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_min"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.WinnowMin].getName, "winnow_min"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"winnow_min takes (text, k, stride), got ${args.length} args")
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"winnow_min: $name must be an integer literal, got $other")
+      }
+      graft.functions.expressions.WinnowMin(args.head,
+        intLit(args(1), "k"), intLit(args(2), "stride"))
+    })
+
+  private def allDescriptors = Seq(
+    dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor)
+
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */
-  def registerFunctions(spark: SparkSession): Unit = {
-    val (id, info, builder) = dotProductDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def registerFunctions(spark: SparkSession): Unit =
+    allDescriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  /** All function descriptors, for `injectFunction`. */
+  def functionDescriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    allDescriptors
 }

@@ -19,6 +19,26 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaExpr == 11.0)
   }
 
+  test("md5_fraction and winnow_min are SQL-callable and match the APIs") {
+    GraftExtensions.register(spark)
+    Seq("the quick brown fox jumps over it").toDF("t")
+      .createOrReplaceTempView("texts_ext")
+    val row = spark.sql(
+      "SELECT md5_fraction(t) AS f, winnow_min(t, 16, 1) AS w FROM texts_ext")
+      .collect().head
+    val api = spark.table("texts_ext").select(
+      graft.operators.Sketch.md5Fraction(col("t")).as("f"),
+      graft.operators.TextAnalysis.winnowFingerprint(col("t")).as("w"))
+      .collect().head
+    assert(row.getDouble(0) == api.getDouble(0))
+    assert(row.getString(1) == api.getString(1))
+    // non-literal k is rejected with a clear message
+    val e = intercept[Exception](
+      spark.sql("SELECT winnow_min(t, length(t), 1) FROM texts_ext").collect())
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+
   test("builder-time withExtensions wires function AND optimizer rule") {
     // getOrCreate() returns the existing default session (extensions
     // ignored) unless it's cleared first; the new session shares the
