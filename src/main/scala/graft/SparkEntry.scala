@@ -563,6 +563,13 @@ object SparkEntry {
     }),
 
     // equal-width value histogram (two map-side-combinable passes)
+    // one-pass multi-column profiling sweep (source triage before
+    // mixing): counts, nulls, exact distincts, typed min/max
+    "q_profile" -> ((s, dir) =>
+      Profile.summarize(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
+        .orderBy("col_name")),
+
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(events(s, dir), col("value"), 16)
         .orderBy("bucket")),
@@ -1466,6 +1473,30 @@ object SparkEntry {
         |SELECT us // 3600000000 AS hour_bucket, event_type,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM lineitem""".stripMargin
+      Seq(num("l_quantity"), num("l_extendedprice"),
+        str("l_returnflag"), str("l_linestatus"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY col_name")
+    },
 
     "q_histogram" ->
       """WITH b AS (

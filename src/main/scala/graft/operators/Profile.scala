@@ -7,6 +7,48 @@ import org.apache.spark.sql.{Column, DataFrame}
   * computes over a new source before deciding how to mix/filter it. */
 object Profile {
 
+  /** Per-column summary statistics in ONE aggregation pass — the
+    * profiling sweep run over a new source before mixing it in:
+    * row count, null count, exact distinct count, and min/max (numeric
+    * columns as rounded doubles, everything else through its string
+    * form). All 6·k aggregates ride a single `agg` (map-side
+    * combinable; the multi-column distinct plans as one expand —
+    * k× map-side rows, still one pass over storage) and the 1-row
+    * result pivots to long form with `stack`, so no per-column job and
+    * no driver collect. Output: col_name, n, n_null, n_distinct,
+    * min_num, max_num, min_str, max_str. */
+  def summarize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summarize needs at least one column")
+    def numeric(c: String) = df.schema(c).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _ => false
+    }
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+      val mm =
+        if (numeric(c)) Seq(
+          round(min(col(c)).cast("double"), 4).as(s"__mn_$c"),
+          round(max(col(c)).cast("double"), 4).as(s"__mx_$c"),
+          lit(null).cast("string").as(s"__ms_$c"),
+          lit(null).cast("string").as(s"__xs_$c"))
+        else Seq(
+          lit(null).cast("double").as(s"__mn_$c"),
+          lit(null).cast("double").as(s"__mx_$c"),
+          min(col(c).cast("string")).as(s"__ms_$c"),
+          max(col(c).cast("string")).as(s"__xs_$c"))
+      base ++ mm
+    }
+    val stacked = cols.map(c =>
+      s"'$c', __n_$c, __nn_$c, __nd_$c, __mn_$c, __mx_$c, __ms_$c, __xs_$c")
+      .mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.length}, $stacked) AS " +
+        "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
+  }
+
   /** Equal-width histogram of a numeric column: global min/max via one
     * aggregate (broadcast back as a 1-row table — never a driver
     * collect), bucket index by floor((v − min)/width) clamped to the
