@@ -185,6 +185,57 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image resize — aspect-preserving thumbnail capped at
+    * `maxDim` on the long side, re-encoded as PNG, again through the
+    * JDK's own codecs (no external library). The preprocessing shape
+    * of a vision-training pipeline: decode → bilinear resize → encode,
+    * one codec path per partition, rows streamed lazily. Undecodable
+    * or NULL payloads keep their row with a NULL thumbnail. Output:
+    * id, width, height (thumbnail dims), thumb_png binary. */
+  def resizeImages(df: DataFrame, id: String, binCol: String,
+      maxDim: Int = 64): DataFrame = {
+    require(maxDim >= 1, s"maxDim must be >= 1: $maxDim")
+    val inSchema = df.select(col(id), col(binCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.head,
+      org.apache.spark.sql.types.StructField("width",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("height",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("thumb_png",
+        org.apache.spark.sql.types.BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) org.apache.spark.sql.Row(r.get(0), null, null, null)
+        else {
+          val scale =
+            math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+          val (w, h) = (math.max(1, math.round(img.getWidth * scale).toInt),
+            math.max(1, math.round(img.getHeight * scale).toInt))
+          val thumb = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(thumb, "png", bos)
+          org.apache.spark.sql.Row(r.get(0), w, h, bos.toByteArray)
+        }
+      }
+    }(enc)
+  }
+
   /** Full multimodal prep pipeline over a table with a binary payload:
     * metadata + chunk fingerprints + stub features, flattened for easy
     * downstream use. */

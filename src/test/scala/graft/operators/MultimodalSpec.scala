@@ -95,6 +95,30 @@ class MultimodalSpec extends SparkSpec {
     assert(jr.getInt(2) == 5 && jr.getInt(3) == 4)
   }
 
+  test("resizeImages: aspect-preserving thumbnail, decodable PNG out") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(100, 50,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 50; x <- 0 until 100) img.setRGB(x, y, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val data = Seq((1L, bos.toByteArray),
+      (2L, "garbage".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.resizeImages(data, "id", "payload", maxDim = 10)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 10 && out(1L).getInt(2) == 5)
+    // the thumbnail itself decodes back through the same codec path
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](3)))
+    assert(back.getWidth == 10 && back.getHeight == 5)
+    assert((back.getRGB(5, 2) & 0xff) > 200, "blue image stayed blue")
+    assert(out(2L).isNullAt(3))
+    // already-small images pass through at native size (no upscale)
+    val small = Multimodal.resizeImages(data.where($"id" === 1L),
+      "id", "payload", maxDim = 500).collect().head
+    assert(small.getInt(1) == 100 && small.getInt(2) == 50)
+  }
+
   test("fakeEmbedding feeds the vector operators") {
     val e = bins.select(col("id").as("vec_id"),
       Multimodal.fakeEmbedding(col("payload"), 8).as("embedding"))
