@@ -52,6 +52,27 @@ class AvroPartitionedSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "legacy"), (2L, "legacy"), (3L, "x")))
   }
 
+  test("full reference scenario: per-partition schemas AND per-partition DML compose") {
+    // the complete Hive shape the reference serves: a partitioned Avro
+    // table whose partitions differ in BOTH reader schema and sidecar
+    // log — readPartitioned resolves the schemas, applyLogFile scopes
+    // each partition's statements to its own rows
+    val dir = writeTable()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "seg=old", ".updates"),
+      "UPDATE t SET name = 'patched' WHERE id = 1;\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "seg=new", ".updates"),
+      "DELETE FROM t WHERE id = 3;\n")
+    val base = AvroSource.readPartitioned(spark, dir)
+    val view = graft.scd.ScdReader.applyLogFile(spark, base, dir, None)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("seg")))
+    // old partition's UPDATE fired on its row only; new partition's
+    // DELETE removed id 3; schema union (extra) intact throughout
+    assert(view.toSeq == Seq((1L, "patched", "old"), (2L, "b", "old")))
+  }
+
   test("unpartitioned directory degrades to a plain read") {
     val dir = s"${Files.createTempDirectory("avroflat")}/t"
     AvroSource.write(Seq((9L, "z")).toDF("id", "name").coalesce(1), dir)
