@@ -562,7 +562,6 @@ object SparkEntry {
         .orderBy("c_mktsegment", "quartile", "c_custkey")
     }),
 
-    // equal-width value histogram (two map-side-combinable passes)
     // one-pass multi-column profiling sweep (source triage before
     // mixing): counts, nulls, exact distincts, typed min/max
     "q_profile" -> ((s, dir) =>
@@ -570,6 +569,7 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"))
         .orderBy("col_name")),
 
+    // equal-width value histogram (two map-side-combinable passes)
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(events(s, dir), col("value"), 16)
         .orderBy("bucket")),
@@ -1058,7 +1058,8 @@ object SparkEntry {
        |  SELECT vec_id, v, rk FROM (
        |    SELECT vec_id, v,
        |      row_number() OVER (ORDER BY $frac, vec_id) AS rk
-       |    FROM e) WHERE rk <= $sampleN)""".stripMargin
+       |    FROM e WHERE list_dot_product(v, v) > 0)
+       |  WHERE rk <= $sampleN)""".stripMargin
     b += "ch1 AS MATERIALIZED (SELECT vec_id, v, rk FROM smp WHERE rk = 1)"
     for (t <- 1 until k) {
       b += s"""n$t AS MATERIALIZED (

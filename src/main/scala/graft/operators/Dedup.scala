@@ -202,9 +202,10 @@ object Dedup {
     * recomputed. Per-batch cost is O(batch shingles) plus the band
     * equi-join against the corpus' signature index — pass the
     * persisted index via `corpusSigs` ([[minHashSignatures]] output,
-    * ideally stored bucketed by band key) so the corpus is not even
-    * re-scanned; absent, it is derived from `corpusDocs` for
-    * self-containment. The bucket cap applies over the COMBINED band
+    * ideally stored bucketed by band key) so signature computation
+    * never re-reads the corpus; absent, it is derived from
+    * `corpusDocs` for self-containment. Verification re-shingles only
+    * the docs that appear in a candidate pair (semi-join pruned). The bucket cap applies over the COMBINED band
     * index, so the result equals full-corpus [[minhashLshPairs]] minus
     * its corpus-vs-corpus pairs. Ids must be disjoint across the two
     * inputs. Output like [[minhashLshPairs]]. */
@@ -234,8 +235,16 @@ object Dedup {
       .select(least(col("id_l"), col("id_r")).as("id_a"),
         greatest(col("id_l"), col("id_r")).as("id_b"))
       .distinct()
-    val arr = shingleArrays(corpusDocs.unionByName(batchDocs), id, textCol, w)
-    verifyByArrays(cands, arr, id, threshold)
+    // verification re-shingles only CANDIDATE docs: a semi-join on the
+    // (small by construction) candidate id set prunes the corpus scan
+    // before the tokenize+shingle work — per-batch cost stays
+    // O(batch + candidates), not O(corpus)
+    val candIds = cands.select(col("id_a").as(id))
+      .unionByName(cands.select(col("id_b").as(id))).distinct()
+    val touched = corpusDocs.unionByName(batchDocs)
+      .join(candIds, Seq(id), "left_semi")
+    verifyByArrays(cands, shingleArrays(touched, id, textCol, w), id,
+      threshold)
   }
 
   /** SimHash over tokens: bit b is the sign of Σ_tokens (2·hbit−1)

@@ -148,15 +148,21 @@ object Multimodal {
         org.apache.spark.sql.types.DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(col(id), col(binCol)).mapPartitions { rows =>
+      // in-memory decode: the default ImageIO file-cache spools every
+      // payload to a temp file first (per-partition setup; JVM-global)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](1)
         if (payload == null)
           org.apache.spark.sql.Row(r.get(0), null, null, null, null)
         else {
+          // JDK codecs throw RuntimeExceptions (CMMException, AIOOBE…)
+          // on corrupt payloads, not just IOException — any failure
+          // means "not decodable", never a failed task
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img == null)
             org.apache.spark.sql.Row(r.get(0), payload.length.toLong,
               null, null, null)
@@ -206,6 +212,7 @@ object Multimodal {
         org.apache.spark.sql.types.BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.select(col(id), col(binCol)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](1)
         val img =
@@ -213,7 +220,7 @@ object Multimodal {
           else
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) org.apache.spark.sql.Row(r.get(0), null, null, null)
         else {
           val scale =

@@ -23,28 +23,36 @@ object Profile {
       case _: org.apache.spark.sql.types.NumericType => true
       case _ => false
     }
-    val aggs = cols.flatMap { c =>
+    // positional internal aliases so arbitrary column names (dots,
+    // dashes, spaces, quotes) survive the generated stack() SQL; the
+    // original name only ever appears as an escaped string literal
+    val safe = cols.indices.map(i => s"__c$i")
+    val proj = df.select(cols.zip(safe).map { case (c, a) =>
+      df.col(s"`${c.replace("`", "``")}`").as(a)
+    }: _*)
+    val aggs = cols.zip(safe).flatMap { case (c, a) =>
       val base = Seq(
-        count(lit(1)).as(s"__n_$c"),
-        sum(col(c).isNull.cast("long")).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"))
+        count(lit(1)).as(s"__n_$a"),
+        sum(col(a).isNull.cast("long")).as(s"__nn_$a"),
+        countDistinct(col(a)).as(s"__nd_$a"))
       val mm =
         if (numeric(c)) Seq(
-          round(min(col(c)).cast("double"), 4).as(s"__mn_$c"),
-          round(max(col(c)).cast("double"), 4).as(s"__mx_$c"),
-          lit(null).cast("string").as(s"__ms_$c"),
-          lit(null).cast("string").as(s"__xs_$c"))
+          round(min(col(a)).cast("double"), 4).as(s"__mn_$a"),
+          round(max(col(a)).cast("double"), 4).as(s"__mx_$a"),
+          lit(null).cast("string").as(s"__ms_$a"),
+          lit(null).cast("string").as(s"__xs_$a"))
         else Seq(
-          lit(null).cast("double").as(s"__mn_$c"),
-          lit(null).cast("double").as(s"__mx_$c"),
-          min(col(c).cast("string")).as(s"__ms_$c"),
-          max(col(c).cast("string")).as(s"__xs_$c"))
+          lit(null).cast("double").as(s"__mn_$a"),
+          lit(null).cast("double").as(s"__mx_$a"),
+          min(col(a).cast("string")).as(s"__ms_$a"),
+          max(col(a).cast("string")).as(s"__xs_$a"))
       base ++ mm
     }
-    val stacked = cols.map(c =>
-      s"'$c', __n_$c, __nn_$c, __nd_$c, __mn_$c, __mx_$c, __ms_$c, __xs_$c")
-      .mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.zip(safe).map { case (c, a) =>
+      val label = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$label', __n_$a, __nn_$a, __nd_$a, __mn_$a, __mx_$a, __ms_$a, __xs_$a"
+    }.mkString(", ")
+    proj.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.length}, $stacked) AS " +
         "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
   }

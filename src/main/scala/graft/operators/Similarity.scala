@@ -180,10 +180,14 @@ object Similarity {
       id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && sampleN >= k, s"need sampleN >= k, got $sampleN < $k")
     val spark = corpus.sparkSession
+    // zero-norm vectors (empty docs hash-embedded to all-zero) have no
+    // defined cosine — they can never be seeds; without this filter the
+    // greedy's 0/0 would NaN (the declarative cosine NULLs them out)
     val sample = corpus.select(col(id),
         col(vecCol).cast("array<double>").as("v"),
         Sketch.md5Fraction(concat(lit("kpp|"), col(id).cast("string")))
           .as("__h"))
+      .where(VectorFunctions.dot(col("v"), col("v")) > 0)
       .orderBy(col("__h"), col(id)).limit(sampleN)
       .select(col(id), col("v")).collect()
     require(sample.nonEmpty, "kmeansPlusPlusInit: empty corpus")

@@ -74,9 +74,16 @@ object ScdReader {
     * partition). A partition's statements are compiled with the
     * partition predicate ANDed in, so the whole replay is still ONE
     * narrow scan — no per-partition union, and pruning on partition
-    * columns passes through. Logs from different partitions touch
-    * disjoint rows, so cross-log order is immaterial; within a log,
-    * file order is kept (O5). Root log applies first. */
+    * columns passes through.
+    *
+    * Cross-log composition order: with a SINGLE (root) log — the
+    * reference's own shape — statements replay in pure file order
+    * (O5). With multiple logs, statements merge in GLOBAL effective-
+    * time order (partition logs touch disjoint rows, but the root log
+    * overlaps every partition, so log-order replay would apply a
+    * later-dated root statement before an earlier-dated partition
+    * one); ties keep root-first log order, then file order (the merge
+    * is a stable sort). */
   def applyLogFile(
       spark: SparkSession,
       base: DataFrame,
@@ -86,13 +93,27 @@ object ScdReader {
     if (sidecars.isEmpty) base
     else {
       val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
-      sidecars.foldLeft(base) { case (df, (spec, text)) =>
-        val log = UpdatesParser.parse(text, scdTime)
-        if (spec.isEmpty) ScdCompiler(df, log)
-        else ScdCompiler(df, log.statements, partitionGuard(spec))
-      }
+      if (sidecars.length == 1 && sidecars.head._1.isEmpty)
+        ScdCompiler(base, UpdatesParser.parse(sidecars.head._2, scdTime))
+      else
+        mergedStatements(sidecars, scdTime).foldLeft(base) {
+          case (df, (None, stmt)) => ScdCompiler.applyOne(df, stmt)
+          case (df, (Some(g), stmt)) => ScdCompiler.applyOne(df, stmt, g)
+        }
     }
   }
+
+  /** All retained statements across the given sidecars, each paired
+    * with its partition guard, in global effective-time order (stable:
+    * equal times keep root-first log order, then file order). */
+  private def mergedStatements(
+      sidecars: Seq[(Seq[(String, String)], String)],
+      scdTime: Long)
+      : Seq[(Option[org.apache.spark.sql.Column], ScdStatement)] =
+    sidecars.flatMap { case (spec, text) =>
+      val guard = if (spec.isEmpty) None else Some(partitionGuard(spec))
+      UpdatesParser.parse(text, scdTime).statements.map((guard, _))
+    }.sortBy(_._2.timeMillis) // Seq.sortBy is a stable sort
 
   /** `col = value` conjunction for a partition spec; Hive renders a
     * NULL partition value as the default-partition sentinel. Partition
@@ -164,21 +185,22 @@ object ScdReader {
       schema: Option[StructType] = None,
       options: Map[String, String] = Map.empty): DataFrame = {
     val base = loadBase(spark, dir, format, schema, options)
-    val parsed = readAllSidecars(spark, dir).map { case (spec, text) =>
-      (spec, UpdatesParser.parse(text, Long.MaxValue).statements)
-    }
-    if (parsed.isEmpty)
+    val sidecars = readAllSidecars(spark, dir)
+    if (sidecars.isEmpty)
       base
         .withColumn("valid_from_ms", functions.lit(0L))
         .withColumn("valid_to_ms", functions.lit(null).cast("long"))
+    else if (sidecars.length == 1 && sidecars.head._1.isEmpty)
+      historyText(spark, base, sidecars.head._2)
     else {
-      val times =
-        (0L +: parsed.flatMap(_._2.map(_.timeMillis))).distinct.sorted
+      // same global-time merge as applyLogFile, so every snapshot is
+      // derivable from its predecessor by the statements between them
+      val merged = mergedStatements(sidecars, Long.MaxValue)
+      val times = (0L +: merged.map(_._2.timeMillis)).distinct.sorted
       val snapshots = times.zipWithIndex.map { case (t, i) =>
-        val asOf = parsed.foldLeft(base) { case (df, (spec, stmts)) =>
-          val upTo = stmts.filter(_.timeMillis <= t)
-          if (spec.isEmpty) ScdCompiler(df, upTo)
-          else ScdCompiler(df, upTo, partitionGuard(spec))
+        val asOf = merged.filter(_._2.timeMillis <= t).foldLeft(base) {
+          case (df, (None, stmt)) => ScdCompiler.applyOne(df, stmt)
+          case (df, (Some(g), stmt)) => ScdCompiler.applyOne(df, stmt, g)
         }
         val validTo =
           if (i + 1 < times.length) functions.lit(times(i + 1))

@@ -46,6 +46,17 @@ class SimilaritySpec extends SparkSpec {
     assert(seeds == again)
   }
 
+  test("k-means++ init survives zero-norm vectors and never seeds them") {
+    import spark.implicits._
+    val withZero = vecs.unionByName(
+      Seq((0L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    // id 0 hashes ahead of several rows — without the norm filter the
+    // driver greedy would compute 0/0 → NaN and crash
+    val seeds = Similarity.kmeansPlusPlusInit(withZero, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!seeds.contains(0L) && seeds.size == 2)
+  }
+
   test("centroid coordinates are exact quantized means") {
     // one iteration from one seed: centroid = mean of ALL vectors,
     // computed as sum(floor(x*1e4))/(1e4*n) — exactly reproducible

@@ -56,6 +56,27 @@ class PartitionedSidecarSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 21L), (2L, 40L), (3L, 60L), (4L, -10L)))
   }
 
+  test("cross-log statements merge in global effective-time order") {
+    val dir = writePartitioned()
+    // partition statement dated BEFORE the root statement: the correct
+    // timeline is (+1 at 2020) then (*2 at 2025) = 2v+2 — log-order
+    // replay would compute 2v+1
+    Files.writeString(Paths.get(dir, ".updates"),
+      "-- time=2025-01-01\nUPDATE t SET v = v * 2;\n")
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      "-- time=2020-01-01\nUPDATE t SET v = v + 1;\n")
+    val got = ScdReader.read(spark, dir)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 22L), (2L, 42L), (3L, 60L), (4L, -10L)))
+    // and history's 2025 snapshot derives from the 2020 snapshot
+    val h25 = ScdReader.history(spark, dir)
+      .where($"valid_to_ms".isNull)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h25.toSeq == got.toSeq)
+  }
+
   test("discovery lists root and partition sidecars with their specs") {
     val dir = writePartitioned()
     Files.writeString(Paths.get(dir, ".updates"), "DELETE FROM t WHERE id = 0;\n")
