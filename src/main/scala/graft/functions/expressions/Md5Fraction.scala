@@ -42,15 +42,8 @@ case class Md5Fraction(child: Expression) extends UnaryExpression {
 }
 
 object Md5Fraction {
-
-  private val digests =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   def compute(s: UTF8String): Double = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
+    val d = Md5Util.md5().digest(s.getBytes)
     val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
     v.toDouble / 4294967296.0

@@ -36,24 +36,6 @@ case class Md5Hex(child: Expression) extends UnaryExpression {
 }
 
 object Md5Hex {
-
-  private val digests =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  def compute(s: UTF8String): UTF8String = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(s.getBytes)
-    val out = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      out(2 * j) = HexChars((d(j) >> 4) & 0xf)
-      out(2 * j + 1) = HexChars(d(j) & 0xf)
-      j += 1
-    }
-    UTF8String.fromString(new String(out))
-  }
+  def compute(s: UTF8String): UTF8String =
+    UTF8String.fromString(Md5Util.hex(Md5Util.md5().digest(s.getBytes)))
 }

@@ -48,19 +48,13 @@ case class WinnowMin(child: Expression, k: Int, stride: Int)
 
 object WinnowMin {
 
-  private val digests =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
   /** One pass over the window positions; shared by eval and codegen. */
   def compute(s: UTF8String, k: Int, stride: Int): UTF8String = {
     val n = s.numChars()
     // mirrors greatest(floor((n-k)/stride), 0): any n < k collapses to
     // the single position 0 (md5 of the whole short string)
     val last = math.max((n - k) / stride, 0)
-    val md = digests.get()
+    val md = Md5Util.md5()
     var best: Array[Byte] = null
     var i = 0
     if (n == s.numBytes) {
@@ -76,7 +70,7 @@ object WinnowMin {
         if (best == null || unsignedLess(d, best)) best = d
         i += 1
       }
-      return hex(best)
+      return UTF8String.fromString(Md5Util.hex(best))
     }
     while (i <= last) {
       // substringSQL is the Substring expression's own kernel — same
@@ -87,18 +81,7 @@ object WinnowMin {
       if (best == null || unsignedLess(d, best)) best = d
       i += 1
     }
-    hex(best)
-  }
-
-  private def hex(digest: Array[Byte]): UTF8String = {
-    val out = new Array[Char](32)
-    var j = 0
-    while (j < 16) {
-      out(2 * j) = HexChars((digest(j) >> 4) & 0xf)
-      out(2 * j + 1) = HexChars(digest(j) & 0xf)
-      j += 1
-    }
-    UTF8String.fromString(new String(out))
+    UTF8String.fromString(Md5Util.hex(best))
   }
 
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {

@@ -168,7 +168,8 @@ object Multimodal {
               null, null, null)
           else {
             val (w, h) = (img.getWidth, img.getHeight)
-            val (sx, sy) = (math.max(w / 64, 1), math.max(h / 64, 1))
+            // ceil-division stride keeps the sample grid at ≤ 64×64
+            val (sx, sy) = ((w + 63) / 64, (h + 63) / 64)
             var sum = 0.0; var n = 0L
             var y = 0
             while (y < h) {

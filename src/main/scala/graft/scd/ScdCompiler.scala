@@ -75,7 +75,12 @@ object ScdCompiler {
     where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
 
   private[scd] def applyOne(df: DataFrame, stmt: ScdStatement,
-      guard: Column = lit(true)): DataFrame =
+      guard0: Column = lit(true)): DataFrame = {
+    // three-valued-logic hygiene: a partition guard comparing against
+    // a NULL partition value yields NULL, and filter(!NULL) would DROP
+    // the row — a seg=A log deleting the null-partition's rows. NULL
+    // guard must mean "not my partition", i.e. false.
+    val guard = coalesce(guard0, lit(false))
     stmt match {
       case ScdUpdate(_, sets, where, _) =>
         // a SET column that resolves to nothing is a DML bug — fail like
@@ -102,6 +107,7 @@ object ScdCompiler {
       case ScdDelete(_, where, _) =>
         df.filter(!(guard && pred(where)))
     }
+  }
 
   private[scd] def applyOneCompat(df: DataFrame, stmt: ScdStatement): DataFrame = {
     import org.apache.spark.sql.graft.CatalystBridge.{evalFails, safeValue}

@@ -50,7 +50,10 @@ object ScdReader {
   /** Shared base-table loader for [[read]] / [[history]]. For Avro
     * (no spark-avro connector here) the reader schema comes from the
     * "avroSchema" option, else from a supplied StructType (converted
-    * through the reverse bridge), else the file's writer schema. */
+    * through the reverse bridge), else the file's writer schema; a
+    * Hive-partitioned Avro directory routes through
+    * [[graft.sources.AvroSource.readPartitioned]], so partition
+    * columns resolve and per-partition sidecars can guard on them. */
   private def loadBase(
       spark: SparkSession,
       dir: String,
@@ -60,7 +63,14 @@ object ScdReader {
     if (format.equalsIgnoreCase("avro")) {
       val readerJson = options.get("avroSchema").orElse(schema.map(st =>
         graft.sources.AvroSource.toAvroSchema(st, "record").toString))
-      graft.sources.AvroSource.read(spark, dir, readerJson)
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val partitioned = fs.getFileStatus(p).isDirectory &&
+        partitionChildren(fs, p).nonEmpty
+      if (partitioned)
+        graft.sources.AvroSource.readPartitioned(spark, dir,
+          defaultReaderJson = readerJson)
+      else graft.sources.AvroSource.read(spark, dir, readerJson)
     } else {
       val base0 = spark.read.format(format).options(options)
       schema.fold(base0)(base0.schema).load(dir)
@@ -259,41 +269,43 @@ object ScdReader {
       : Seq[(Seq[(String, String)], String)] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def walk(p: Path, spec: Seq[(String, String)])
+    val rootIsDir = fs.getFileStatus(root).isDirectory
+    def walk(p: Path, spec: Seq[(String, String)], isDir: Boolean)
         : Seq[(Seq[(String, String)], String)] = {
       val here = readSidecar(spark, p.toString).map((spec, _)).toSeq
       val kids =
-        if (!fs.getFileStatus(p).isDirectory) Seq.empty
-        else fs.listStatus(p).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains('='))
-          .sortBy(_.getPath.getName)
-          .flatMap { st =>
-            val name = st.getPath.getName
-            val i = name.indexOf('=')
-            walk(st.getPath,
-              spec :+ (name.substring(0, i),
-                unescapePathName(name.substring(i + 1))))
-          }
+        if (!isDir) Seq.empty
+        // children from listStatus are directories by construction —
+        // no per-child getFileStatus round trip
+        else partitionChildren(fs, p).flatMap { case (child, kv) =>
+          walk(child, spec :+ kv, isDir = true)
+        }
       here ++ kids
     }
-    walk(root, Seq.empty)
+    walk(root, Seq.empty, rootIsDir)
   }
 
-  /** Reverse of Hive's partition-path escaping (%XX hex escapes). */
-  private[graft] def unescapePathName(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        val code = try Integer.parseInt(hex, 16) catch { case _: NumberFormatException => -1 }
-        if (code >= 0) { sb.append(code.toChar); i += 3 }
-        else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** The `k=v`-named child directories of `p` with their decoded
+    * partition key-values, name-sorted — the one Hive-layout walker
+    * shared by sidecar discovery and the partitioned Avro reader. */
+  private[graft] def partitionChildren(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[(Path, (String, String))] =
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains('='))
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val name = st.getPath.getName
+        val i = name.indexOf('=')
+        (st.getPath,
+          (name.substring(0, i), unescapePathName(name.substring(i + 1))))
+      }
+
+  /** Reverse of Hive's partition-path escaping — delegates to Spark's
+    * own implementation (the exact inverse of the escaping applied
+    * when these paths were written). */
+  private[graft] def unescapePathName(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(s)
 
   /** Compaction (reference README.md:239-244 recommended pattern):
     * materialize the as-of view into `outDir` as an updates-free

@@ -106,17 +106,9 @@ object AvroSource {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: Path, spec: Seq[(String, String)])
         : Seq[(Path, Seq[(String, String)])] = {
-      val kids = fs.listStatus(p)
-        .filter(st => st.isDirectory && st.getPath.getName.contains('='))
-        .sortBy(_.getPath.getName)
+      val kids = graft.scd.ScdReader.partitionChildren(fs, p)
       if (kids.isEmpty) Seq((p, spec))
-      else kids.toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        val i = n.indexOf('=')
-        leaves(st.getPath, spec :+
-          (n.substring(0, i),
-            graft.scd.ScdReader.unescapePathName(n.substring(i + 1))))
-      }
+      else kids.flatMap { case (child, kv) => leaves(child, spec :+ kv) }
     }
     val parts = leaves(root, Seq.empty)
     val frames = parts.map { case (p, spec) =>
@@ -131,10 +123,12 @@ object AvroSource {
   }
 
   /** Projection pushdown for the reader schema: keep only `columns`
-    * (case-insensitive), preserving each kept field's schema and
-    * reader-default — schema-evolution defaults still resolve for kept
-    * fields, while dropped fields are byte-skipped by the resolving
-    * decoder instead of decoded. */
+    * (case-insensitive), preserving each kept field's schema,
+    * reader-default, sort order, AND aliases (alias-based rename
+    * resolution must keep matching the writer's old field names) —
+    * schema-evolution still resolves for kept fields, while dropped
+    * fields are byte-skipped by the resolving decoder instead of
+    * decoded. */
   def pruneSchema(full: Schema, columns: Seq[String]): Schema = {
     require(full.getType == Schema.Type.RECORD,
       s"reader schema must be a record, got ${full.getType}")
@@ -144,7 +138,10 @@ object AvroSource {
     require(missing.isEmpty,
       s"projected columns not in reader schema: ${missing.mkString(", ")}")
     val kept = all.filter(f => want(f.name.toLowerCase)).map { f =>
-      new Schema.Field(f.name, f.schema, f.doc, f.defaultVal)
+      val nf = new Schema.Field(f.name, f.schema, f.doc, f.defaultVal,
+        f.order)
+      f.aliases.asScala.foreach(nf.addAlias)
+      nf
     }
     Schema.createRecord(full.getName, full.getDoc, full.getNamespace,
       false, java.util.Arrays.asList(kept.toSeq: _*))

@@ -192,8 +192,6 @@ object ScdStream {
       }.toDF()
   }
 
-  /** Tumbling-window event counts with a watermark — the standard
-    * windowed streaming aggregate over an event-time column. */
   /** Stream-stream interval join: each left event pairs with the right
     * events sharing its key whose timestamp falls in
     * `[leftTs − lookback, leftTs]` — attribution's "click within the
@@ -225,6 +223,8 @@ object ScdStream {
       .drop(rKey)
   }
 
+  /** Tumbling-window event counts with a watermark — the standard
+    * windowed streaming aggregate over an event-time column. */
   def eventCountsPerWindow(df: DataFrame, tsCol: String,
       windowDuration: String, watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)

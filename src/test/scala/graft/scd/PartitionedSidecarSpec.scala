@@ -117,6 +117,21 @@ class PartitionedSidecarSpec extends SparkSpec {
     assert(at(times(2)) == Set((1L, 110L), (2L, 120L), (3L, 30L)))
   }
 
+  test("a partition log's DELETE never leaks into the NULL partition") {
+    val dir = Files.createTempDirectory("scd_nullpart").toString
+    Seq((1L, -5L, Some("A")), (2L, -7L, Option.empty[String]))
+      .toDF("id", "v", "seg")
+      .write.mode("overwrite").partitionBy("seg").parquet(dir)
+    // seg=A's DELETE matches row 2's predicate too — but row 2 lives in
+    // the __HIVE_DEFAULT_PARTITION__ (NULL) partition, where the guard
+    // evaluates NULL; three-valued logic must keep the row
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      "DELETE FROM t WHERE v < 0;\n")
+    val got = ScdReader.read(spark, dir)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(2L), s"null-partition row must survive: ${got.toSeq}")
+  }
+
   test("escaped partition values round-trip through discovery") {
     val dir = writePartitioned()
     // Hive-escape a space as %20 in the directory name

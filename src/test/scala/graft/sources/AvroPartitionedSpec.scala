@@ -73,6 +73,41 @@ class AvroPartitionedSpec extends SparkSpec {
     assert(view.toSeq == Seq((1L, "patched", "old"), (2L, "b", "old")))
   }
 
+  test("ScdReader.read(format=avro) serves the partitioned table directly") {
+    // the main entry point, not the hand-composed form: loadBase must
+    // route partitioned Avro through readPartitioned so partition
+    // columns resolve and the per-partition guard can reference them
+    val dir = writeTable()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "seg=old", ".updates"),
+      "UPDATE t SET name = 'patched' WHERE id = 1;\n")
+    val view = graft.scd.ScdReader.read(spark, dir, format = "avro")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("seg")))
+    assert(view.toSeq == Seq((1L, "patched", "old"), (2L, "b", "old"),
+      (3L, "c", "new")))
+  }
+
+  test("pruned reader schema keeps field aliases (rename resolution)") {
+    val dir = writeTable() // writer field is `name`
+    val renames =
+      """{"type":"record","name":"record","namespace":"graft.avro",
+        |"fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"title","type":"string","aliases":["name"]}
+        |]}""".stripMargin
+    // unpruned: alias matches the writer's `name` data
+    val full = AvroSource.read(spark, s"$dir/seg=old", Some(renames))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(full.toSeq == Seq("a", "b"))
+    // pruned to the renamed column: the alias must survive pruning or
+    // the resolver silently stops matching the writer field
+    val pruned = AvroSource.read(spark, s"$dir/seg=old", Some(renames),
+      columns = Some(Seq("title")))
+      .collect().map(_.getString(0)).sorted
+    assert(pruned.toSeq == Seq("a", "b"))
+  }
+
   test("unpartitioned directory degrades to a plain read") {
     val dir = s"${Files.createTempDirectory("avroflat")}/t"
     AvroSource.write(Seq((9L, "z")).toDF("id", "name").coalesce(1), dir)
