@@ -192,6 +192,68 @@ object ScdStream {
       }.toDF()
   }
 
+  /** Band bits j of a 64-bit simhash under `maxDist+1`-band
+    * pigeonholing (shared by the index builder and the stream probe —
+    * the two sides MUST band identically). */
+  private def simhashBandBits(sig: Column, j: Int, width: Int): Column =
+    shiftright(sig, 64 - width * (j + 1)).bitwiseAND((1L << width) - 1)
+
+  /** Streaming corpus matcher — the streaming face of incremental
+    * dedup: incoming documents are probed against a STATIC corpus
+    * simhash index, emitting one hit row per (stream doc, corpus doc)
+    * pair within `maxDist` Hamming distance. Anti-joining the stream's
+    * sink on the hit ids de-duplicates a live crawl against the
+    * standing corpus.
+    *
+    * Entirely STATELESS: per-row simhash (the streaming-safe
+    * expression form), pigeonhole banding with `maxDist + 1` bands — a
+    * pair within `maxDist` must agree on at least one band — a
+    * stream-STATIC equi-join on the band key, and an exact
+    * xor-popcount verify. A pair agreeing on several bands would
+    * duplicate, so each hit is emitted only from the FIRST agreeing
+    * band (computable from the two signatures — no dedup state).
+    * `corpusIndex` is [[corpusSimhashIndex]] output, typically
+    * persisted and reloaded alongside the batch signature index.
+    * Output: id, corpus_id, hamming. */
+  def corpusMatchStream(stream: DataFrame, corpusIndex: DataFrame,
+      id: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands
+    val sh = stream.select(col(id),
+      graft.operators.Dedup.simHashColumn(col(textCol)).as("__sig"))
+    val probes = sh.select(col(id), col("__sig"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("j"),
+          concat_ws("|", lit(j), simhashBandBits(col("__sig"), j, width))
+            .as("bk"))): _*)).as("__b"))
+      .select(col(id), col("__sig"),
+        col("__b.j").as("__j"), col("__b.bk").as("__band"))
+    val firstAgree = (0 until bands).map(j =>
+      when(simhashBandBits(col("__sig"), j, width) ===
+        simhashBandBits(col("corpus_sig"), j, width), lit(j)))
+      .reduce(coalesce(_, _))
+    val dist = expr("bit_count(__sig ^ corpus_sig)")
+    probes.join(corpusIndex, probes("__band") === corpusIndex("band"))
+      .where(dist <= maxDist && col("__j") === firstAgree)
+      .select(col(id), col("corpus_id"), dist.cast("long").as("hamming"))
+  }
+
+  /** Static simhash band index of a corpus — the persisted artifact
+    * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one
+    * row per band per doc. Write it partitioned/bucketed by `band` so
+    * the stream-side join probes narrow slices. */
+  def corpusSimhashIndex(corpus: DataFrame, id: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val bands = maxDist + 1
+    val width = 64 / bands
+    corpus.select(col(id).as("corpus_id"),
+        graft.operators.Dedup.simHashColumn(col(textCol)).as("corpus_sig"))
+      .withColumn("band",
+        explode(array((0 until bands).map(j =>
+          concat_ws("|", lit(j),
+            simhashBandBits(col("corpus_sig"), j, width))): _*)))
+  }
+
   /** Stream-stream interval join: each left event pairs with the right
     * events sharing its key whose timestamp falls in
     * `[leftTs − lookback, leftTs]` — attribution's "click within the

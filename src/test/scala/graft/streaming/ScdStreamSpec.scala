@@ -142,6 +142,32 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusMatchStream — stream probes a static simhash index, exactly one hit per pair") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (200L, "completely unrelated corpus text about databases and query engines"))
+      .toDF("doc_id", "text")
+    val index = ScdStream.corpusSimhashIndex(corpus, "doc_id", "text")
+    val ms = MemoryStream[(Long, String)]
+    val matches = ScdStream.corpusMatchStream(
+      ms.toDF().toDF("doc_id", "text"), index, "doc_id", "text")
+    val q = matches.writeStream.format("memory").queryName("cms")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        // exact duplicate of corpus doc 100 (hamming 0 — agrees on
+        // EVERY band; the first-agreeing-band filter must emit ONE hit)
+        (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, "utterly novel document with nothing shared at all whatsoever"))
+      q.processAllAvailable()
+      val got = spark.table("cms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, 100L, 0L)), got.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("intervalJoinStream — stream-stream time-bounded join, state evicted") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
