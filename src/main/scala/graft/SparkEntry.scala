@@ -674,6 +674,12 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"))
         .orderBy("doc_id", "rank")),
 
+    // perplexity-proxy quality score (CCNet-style, unigram LM): high
+    // avg_neg_logp = token mix diverges from the corpus
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramLogLoss(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // per-doc OOV rate against the corpus top-20 vocabulary (the
     // synthetic corpus has 31 distinct tokens, so the cut is live)
     "text_vocab_oov" -> ((s, dir) =>
@@ -1782,6 +1788,24 @@ object SparkEntry {
         |  top_bigram_frac, dup_token_frac, reasons,
         |  CAST(CASE WHEN reasons = '' THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // quantized-long sum mirrors unigramLogLoss's determinism
+    // discipline (float sums have engine-dependent accumulation order)
+    "text_perplexity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |c AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total FROM c),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000) AS BIGINT)
+        |      AS qlp
+        |  FROM tok JOIN c USING (t) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(qlp) AS DOUBLE) / (1000000.0 * count(*)), 4)
+        |    AS avg_neg_logp
+        |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (

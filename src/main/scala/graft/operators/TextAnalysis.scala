@@ -255,6 +255,38 @@ object TextAnalysis {
         col("tf_idf"))
   }
 
+  /** Unigram log-loss per document — the perplexity-proxy quality
+    * filter (the CCNet recipe, with the LM reduced to the corpus' own
+    * unigram distribution so the score is fully relational and
+    * oracle-replayable): avg over a doc's tokens of
+    * −ln(count(token)/total_tokens). Documents whose token mix diverges
+    * from the corpus (boilerplate, wrong language, gibberish) score
+    * HIGH; fluent in-domain text scores low. In production the unigram
+    * table is swapped for a reference-corpus table — the plan is
+    * unchanged.
+    *
+    * Plan: one map-side-combinable token groupBy for corpus counts, a
+    * broadcast 1-row total, and a token equi-join folded back per doc
+    * — the tf-idf shape. Determinism discipline: per-token −ln p is
+    * QUANTIZED to a 1e-6 long grid before summation (a float sum's
+    * accumulation order differs across engines; exact long sums
+    * don't), one double divide at the end.
+    * Output: id, n_tokens, avg_neg_logp. */
+  def unigramLogLoss(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(id), explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    val qlp = floor(-log(col("c").cast("double") / col("total")) * 1000000)
+      .cast("long")
+    tok.join(counts, "t").crossJoin(broadcast(total))
+      .select(col(id), qlp.as("q"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
+  }
+
   /** Split each document into overlapping token windows — the
     * context-window prep step of a training pipeline (chunk i covers
     * tokens [i·stride, i·stride + maxTokens), stride =

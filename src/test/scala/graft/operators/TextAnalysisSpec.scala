@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
   * crafted fixtures with hand-computed expectations. */
 class TextAnalysisSpec extends SparkSpec {
 
+  test("unigramLogLoss: rare-token documents score higher than common-token ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the the the the the"), // all common tokens
+      (2L, "the the the the zyx qwv jkl pfd")) // half hapaxes
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogLoss(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(2L) > got(1L),
+      s"rare-token doc must score higher: $got")
+    // exact value for doc 1: every token is 'the' with count 12 of 16
+    val want = BigDecimal(
+      math.floor(-math.log(12.0 / 16.0) * 1e6) * 8 / (1e6 * 8))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == want, s"${got(1L)} != $want")
+  }
+
   test("repetitionStats: fractions match hand-computed values") {
     import spark.implicits._
     val docs = Seq(
