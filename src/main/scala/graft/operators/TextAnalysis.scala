@@ -270,7 +270,11 @@ object TextAnalysis {
     * — the tf-idf shape. Determinism discipline: per-token −ln p is
     * QUANTIZED to a 1e-6 long grid before summation (a float sum's
     * accumulation order differs across engines; exact long sums
-    * don't), one double divide at the end.
+    * don't), one double divide at the end. Residual risk: ln itself
+    * may differ by 1 ulp across libms, flipping a floor only when the
+    * value sits within ~1e-9 relative of a grid line — vanishingly
+    * rare but not impossible, unlike the sum-order hazard this
+    * eliminates.
     * Output: id, n_tokens, avg_neg_logp. */
   def unigramLogLoss(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {

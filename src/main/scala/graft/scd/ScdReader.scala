@@ -65,8 +65,11 @@ object ScdReader {
         graft.sources.AvroSource.toAvroSchema(st, "record").toString))
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // cheap probe (readPartitioned re-walks anyway — don't decode
+      // the whole child list twice on object stores)
       val partitioned = fs.getFileStatus(p).isDirectory &&
-        partitionChildren(fs, p).nonEmpty
+        fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.contains('='))
       if (partitioned)
         graft.sources.AvroSource.readPartitioned(spark, dir,
           defaultReaderJson = readerJson)

@@ -116,7 +116,14 @@ object AvroSource {
       val reader = readerSchemaFor.get(rel).orElse(defaultReaderJson)
       spec.foldLeft(read(spark, p.toString, reader)) {
         case (df, (k, v)) =>
-          df.withColumn(k, org.apache.spark.sql.functions.lit(v))
+          // the Hive default-partition sentinel means a NULL partition
+          // value — attach real NULL so downstream guards/filters
+          // (e.g. ScdReader.partitionGuard's isNull) see it as such
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__")
+              org.apache.spark.sql.functions.lit(null).cast("string")
+            else org.apache.spark.sql.functions.lit(v)
+          df.withColumn(k, value)
       }
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = true))

@@ -194,9 +194,14 @@ object ScdStream {
 
   /** Band bits j of a 64-bit simhash under `maxDist+1`-band
     * pigeonholing (shared by the index builder and the stream probe —
-    * the two sides MUST band identically). */
-  private def simhashBandBits(sig: Column, j: Int, width: Int): Column =
-    shiftright(sig, 64 - width * (j + 1)).bitwiseAND((1L << width) - 1)
+    * the two sides MUST band identically). width == 64 (maxDist = 0,
+    * one band) needs the all-ones mask: `(1L << 64) - 1` is 0 under
+    * JVM shift semantics, which would collapse every key to one
+    * bucket. */
+  private def simhashBandBits(sig: Column, j: Int, width: Int): Column = {
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    shiftright(sig, 64 - width * (j + 1)).bitwiseAND(mask)
+  }
 
   /** Streaming corpus matcher — the streaming face of incremental
     * dedup: incoming documents are probed against a STATIC corpus
@@ -232,7 +237,8 @@ object ScdStream {
       when(simhashBandBits(col("__sig"), j, width) ===
         simhashBandBits(col("corpus_sig"), j, width), lit(j)))
       .reduce(coalesce(_, _))
-    val dist = expr("bit_count(__sig ^ corpus_sig)")
+    val dist =
+      graft.operators.Dedup.hamming(col("__sig"), col("corpus_sig"))
     probes.join(corpusIndex, probes("__band") === corpusIndex("band"))
       .where(dist <= maxDist && col("__j") === firstAgree)
       .select(col(id), col("corpus_id"), dist.cast("long").as("hamming"))
@@ -246,8 +252,10 @@ object ScdStream {
       maxDist: Int = 3): DataFrame = {
     val bands = maxDist + 1
     val width = 64 / bands
-    corpus.select(col(id).as("corpus_id"),
-        graft.operators.Dedup.simHashColumn(col(textCol)).as("corpus_sig"))
+    // batch side: the codegen'd aggregation form (spec-asserted
+    // signature-identical to the streaming expression form)
+    graft.operators.Dedup.simHash(corpus, id, textCol)
+      .select(col(id).as("corpus_id"), col("simhash").as("corpus_sig"))
       .withColumn("band",
         explode(array((0 until bands).map(j =>
           concat_ws("|", lit(j),

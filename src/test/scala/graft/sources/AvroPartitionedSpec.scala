@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 import java.nio.file.Files
 
@@ -106,6 +107,27 @@ class AvroPartitionedSpec extends SparkSpec {
       columns = Some(Seq("title")))
       .collect().map(_.getString(0)).sorted
     assert(pruned.toSeq == Seq("a", "b"))
+  }
+
+  test("Hive default-partition sentinel reads back as real NULL; its sidecar fires") {
+    val dir = writeTable()
+    AvroSource.write(
+      Seq((9L, "z")).toDF("id", "name").coalesce(1),
+      s"$dir/seg=__HIVE_DEFAULT_PARTITION__")
+    val df = AvroSource.readPartitioned(spark, dir)
+    assert(df.where(col("seg").isNull).count() == 1,
+      "sentinel partition must surface as NULL, not as the literal string")
+    // and the NULL partition's own sidecar guards correctly (isNull)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "seg=__HIVE_DEFAULT_PARTITION__",
+        ".updates"),
+      "UPDATE t SET name = 'nulled' WHERE id = 9;\n")
+    val view = graft.scd.ScdReader.read(spark, dir, format = "avro")
+    assert(view.where(col("id") === 9L).select("name")
+      .collect().head.getString(0) == "nulled")
+    // other partitions untouched by that log
+    assert(view.where(col("id") === 1L).select("name")
+      .collect().head.getString(0) == "a")
   }
 
   test("unpartitioned directory degrades to a plain read") {

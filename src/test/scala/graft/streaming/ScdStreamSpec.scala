@@ -168,6 +168,34 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusMatchStream — maxDist=0 (single 64-bit band) keys stay selective") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (200L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val index = ScdStream.corpusSimhashIndex(corpus, "doc_id", "text",
+      maxDist = 0)
+    // a 64-bit band mask of (1L<<64)-1 would be 0 and collapse every
+    // key to one bucket; the index must carry 2 DISTINCT band keys
+    assert(index.select("band").distinct().count() == 2)
+    val ms = MemoryStream[(Long, String)]
+    val q = ScdStream.corpusMatchStream(ms.toDF().toDF("doc_id", "text"),
+        index, "doc_id", "text", maxDist = 0)
+      .writeStream.format("memory").queryName("cms0")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2L, "nothing like anything in the corpus at all honestly"))
+      q.processAllAvailable()
+      val got = spark.table("cms0").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, 100L, 0L)))
+    } finally q.stop()
+  }
+
   test("intervalJoinStream — stream-stream time-bounded join, state evicted") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
