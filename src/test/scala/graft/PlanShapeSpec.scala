@@ -85,6 +85,14 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("profiling sweep: ONE scan feeds all per-column aggregates") {
+    val p = planOf("q_profile")
+    // the multi-column exact distinct plans as one Expand over one
+    // FileScan — k columns must never mean k scans
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {
