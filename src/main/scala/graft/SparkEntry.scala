@@ -1491,7 +1491,7 @@ object SparkEntry {
     "q_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |  count(DISTINCT $c) AS n_distinct,
            |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
            |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
@@ -1500,7 +1500,7 @@ object SparkEntry {
            |FROM customer""".stripMargin
       def str(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |  count(DISTINCT $c) AS n_distinct,
            |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
            |  CAST(min($c) AS VARCHAR) AS min_str,

@@ -126,6 +126,26 @@ object Dedup {
     withH.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-safe bucket cap: drops every row of a key-group wider than
+    * `maxBucket`. A `count(*) OVER (PARTITION BY keys)` window would
+    * shuffle the ENTIRE degenerate bucket into one task before the
+    * filter drops it — the guard materializing the very skew it exists
+    * to kill (at 100× a boilerplate bucket with 10⁷ rows is one
+    * straggler/spill task). Instead: a map-side-combinable groupBy
+    * (one row per key per mapper reaches the shuffle) finds the
+    * over-cap keys — tiny by definition, each needs > maxBucket
+    * members — and a broadcast left-anti join drops their rows
+    * map-side, before any wide shuffle sees them. */
+  private def dropWideBuckets(rows: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val ks = keyCols.map(col)
+    val overCap = rows.groupBy(ks: _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .where(col("__bucket_n") > maxBucket)
+      .select(ks: _*)
+    rows.join(broadcast(overCap), keyCols, "left_anti")
+  }
+
   /** LSH banding: hash `rowsPerBand` consecutive signature components
     * per band; docs sharing any band key are candidates. Output:
     * id_a < id_b distinct candidate pairs. `maxBucket` drops
@@ -134,11 +154,7 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val exploded = bandRows(sigs, id, numHashes, bands)
-    val pruned = exploded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bkey")))
-      .where(col("bucket_n") <= maxBucket)
+    val pruned = dropWideBuckets(exploded, Seq("band", "bkey"), maxBucket)
     val l = pruned.select(col("band"), col("bkey"), col(id).as("id_a"))
     val r = pruned.select(col("band"), col("bkey"), col(id).as("id_b"))
     l.join(r, Seq("band", "bkey"))
@@ -222,11 +238,7 @@ object Dedup {
       .withColumn("__new", lit(0))
       .unionByName(bandRows(sigsB, id, numHashes, bands)
         .withColumn("__new", lit(1)))
-    val pruned = all
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bkey")))
-      .where(col("bucket_n") <= maxBucket)
+    val pruned = dropWideBuckets(all, Seq("band", "bkey"), maxBucket)
     val l = pruned.select(col("band"), col("bkey"), col(id).as("id_l"))
     val r = pruned.where(col("__new") === 1)
       .select(col("band"), col("bkey"), col(id).as("id_r"))
@@ -382,11 +394,7 @@ object Dedup {
         .as("bk"))
       .select(col(id), col("sh"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))
-    val pruned = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bkey")))
-      .where(col("bucket_n") <= maxBucket)
+    val pruned = dropWideBuckets(banded, Seq("band", "bkey"), maxBucket)
     val l = pruned.select(col("band"), col("bkey"), col(id).as("id_a"),
       col("sh").as("sh_a"))
     val r = pruned.select(col("band"), col("bkey"), col(id).as("id_b"),
@@ -486,11 +494,10 @@ object Dedup {
       minCommon: Long = 1, maxDf: Int = 1000): DataFrame = {
     val p = shingles(probe, id, textCol, w)
       .select(col(id).as("probe_id"), col("shingle"))
-    val c = shingles(corpus, id, textCol, w)
-      .select(col(id).as("corpus_id"), col("shingle"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .where(col("df") <= maxDf).drop("df")
+    val c = dropWideBuckets(
+      shingles(corpus, id, textCol, w)
+        .select(col(id).as("corpus_id"), col("shingle")),
+      Seq("shingle"), maxDf)
     p.join(c, Seq("shingle"))
       .groupBy("probe_id", "corpus_id")
       .agg(count(lit(1)).as("n_common"))

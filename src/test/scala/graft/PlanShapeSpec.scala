@@ -93,6 +93,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Expand"), p)
   }
 
+  test("bucket caps are aggregate+anti-join, never a window over the bucket key") {
+    // count(*) OVER (PARTITION BY band, bkey) would shuffle a whole
+    // degenerate bucket into ONE task before the cap filter drops it —
+    // the de-skewed shape (groupBy count → broadcast left-anti of the
+    // over-cap keys) must never regress back to a Window
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash",
+        "dedup_incremental", "contamination")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q reintroduced a Window:\n$p")
+      assert(p.contains("LeftAnti"), s"$q lost the over-cap anti-join:\n$p")
+    }
+  }
+
+  test("corpusMatchStream: stream-static equi-join, zero streaming state") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(col("value").as("doc_id"),
+        lit("alpha beta gamma delta").as("text"))
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(50)
+    val idx = streaming.ScdStream.corpusSimhashIndex(corpus, "doc_id", "text")
+    val out = streaming.ScdStream.corpusMatchStream(stream, idx, "doc_id", "text")
+    assert(out.isStreaming)
+    val lp = out.queryExecution.analyzed
+    // statelessness: no aggregation/dedup over the STREAMING side (the
+    // batch index side legitimately aggregates to build signatures)
+    assert(lp.collect {
+      case a: Aggregate if a.isStreaming => a
+      case d: Deduplicate if d.isStreaming => d
+    }.isEmpty, "corpusMatchStream grew streaming state")
+    // exactly one stream-static join: streaming left, batch right
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.exists(j => j.left.isStreaming != j.right.isStreaming),
+      "expected a stream-static join")
+    assert(!joins.exists(j => j.left.isStreaming && j.right.isStreaming),
+      "corpusMatchStream must not be stream-stream")
+  }
+
+  test("text_perplexity: 1-row total rides a broadcast, no cartesian") {
+    val p = planOf("text_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-total scalar joins via BroadcastNestedLoopJoin (the
+    // broadcast 1-row crossJoin shape), never a shuffled join
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {
