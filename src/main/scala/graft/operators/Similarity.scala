@@ -146,7 +146,15 @@ object Similarity {
     * sits inside every kmeans iteration and IVF build).
     * Output: (id, vecCol, cid, cosine). */
   def assignCells(corpus: DataFrame, cents: DataFrame,
-      id: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // the negate(cid) tie-break needs a numeric cid; fail here with a
+    // clear message instead of deep inside analysis with a type error
+    val cidType = cents.schema("cid").dataType
+    if (!cidType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      throw new IllegalArgumentException(
+        s"assignCells needs a NUMERIC centroid id for its deterministic " +
+          s"tie-break; got cid: ${cidType.simpleString}. Map string ids " +
+          "to a dense numeric cid first.")
     corpus.select(col(id), col(vecCol))
       .join(broadcast(cents), lit(true))
       .withColumn("cosine",
@@ -156,6 +164,7 @@ object Similarity {
         struct(col("cosine"), negate(col("cid")))).as("__b"))
       .select(col(id), col(s"__b.$vecCol").as(vecCol),
         col("__b.cid").as("cid"), col("__b.cosine").as("cosine"))
+  }
 
   /** Deterministic k-means++-style seeding: greedy farthest-point
     * (maximin cosine distance) over a hash-sampled candidate set.
@@ -190,7 +199,9 @@ object Similarity {
       .where(VectorFunctions.dot(col("v"), col("v")) > 0)
       .orderBy(col("__h"), col(id)).limit(sampleN)
       .select(col(id), col("v")).collect()
-    require(sample.nonEmpty, "kmeansPlusPlusInit: empty corpus")
+    require(sample.nonEmpty, "kmeansPlusPlusInit: no non-zero-norm " +
+      "vectors in the corpus (empty input, or every embedding is " +
+      "all-zero — zero vectors have no defined cosine and cannot seed)")
     val vecs = sample.map(_.getSeq[Double](1).toArray)
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0

@@ -117,16 +117,30 @@ object ScdReader {
   }
 
   /** All retained statements across the given sidecars, each paired
-    * with its partition guard, in global effective-time order (stable:
-    * equal times keep root-first log order, then file order). */
+    * with its partition guard, in global effective-time order.
+    *
+    * The sort key is the RUNNING MAX of `timeMillis` within each log,
+    * not the raw statement time: the reference replays a single log as
+    * a file-order fold — the time directive gates inclusion, it never
+    * reorders (SQLUpdater.java:130) — so a log whose `-- time=`
+    * directives are non-monotone must keep its file order here too
+    * (raw-time sorting would give a partitioned table a different
+    * replay than the same log on an unpartitioned one). The running
+    * max is non-decreasing per log, so the stable sort preserves each
+    * log's file order exactly and only interleaves statements ACROSS
+    * logs; ties keep root-first log order, then file order. */
   private def mergedStatements(
       sidecars: Seq[(Seq[(String, String)], String)],
       scdTime: Long)
       : Seq[(Option[org.apache.spark.sql.Column], ScdStatement)] =
     sidecars.flatMap { case (spec, text) =>
       val guard = if (spec.isEmpty) None else Some(partitionGuard(spec))
-      UpdatesParser.parse(text, scdTime).statements.map((guard, _))
-    }.sortBy(_._2.timeMillis) // Seq.sortBy is a stable sort
+      var runMax = Long.MinValue
+      UpdatesParser.parse(text, scdTime).statements.map { stmt =>
+        runMax = math.max(runMax, stmt.timeMillis)
+        (runMax, (guard, stmt))
+      }
+    }.sortBy(_._1).map(_._2) // Seq.sortBy is a stable sort
 
   /** `col = value` conjunction for a partition spec; Hive renders a
     * NULL partition value as the default-partition sentinel. Partition

@@ -108,7 +108,21 @@ object AvroSource {
         : Seq[(Path, Seq[(String, String)])] = {
       val kids = graft.scd.ScdReader.partitionChildren(fs, p)
       if (kids.isEmpty) Seq((p, spec))
-      else kids.flatMap { case (child, kv) => leaves(child, spec :+ kv) }
+      else {
+        // a mixed layout (data files beside k=v partition dirs) has no
+        // well-defined partition spec for the root files — fail loudly
+        // instead of silently dropping them from the scan
+        val strays = fs.listStatus(p).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        if (strays.nonEmpty) throw new IllegalStateException(
+          s"mixed partition layout under $p: data files " +
+            s"(${strays.map(_.getPath.getName).take(3).mkString(", ")}…) " +
+            "sit beside k=v partition directories; move them into a " +
+            "partition or read the directory as unpartitioned")
+        kids.flatMap { case (child, kv) => leaves(child, spec :+ kv) }
+      }
     }
     val parts = leaves(root, Seq.empty)
     val frames = parts.map { case (p, spec) =>

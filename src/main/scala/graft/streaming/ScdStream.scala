@@ -222,6 +222,11 @@ object ScdStream {
     * Output: id, corpus_id, hamming. */
   def corpusMatchStream(stream: DataFrame, corpusIndex: DataFrame,
       id: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    // maxDist >= 64 would make width = 64/bands = 0, collapsing every
+    // band key to "j|0" — still correct, but the join degenerates to a
+    // cross join of the stream against the whole corpus index
+    require(maxDist >= 0 && maxDist <= 63,
+      s"corpusMatchStream needs 0 <= maxDist <= 63, got $maxDist")
     val bands = maxDist + 1
     val width = 64 / bands
     val sh = stream.select(col(id),
@@ -250,6 +255,8 @@ object ScdStream {
     * the stream-side join probes narrow slices. */
   def corpusSimhashIndex(corpus: DataFrame, id: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 63,
+      s"corpusSimhashIndex needs 0 <= maxDist <= 63, got $maxDist")
     val bands = maxDist + 1
     val width = 64 / bands
     // batch side: the codegen'd aggregation form (spec-asserted

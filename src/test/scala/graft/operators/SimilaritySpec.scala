@@ -90,6 +90,26 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a == c)
   }
 
+  test("assignCells rejects a non-numeric centroid id up front") {
+    import spark.implicits._
+    val strCents = Seq(("a", Array(1.0, 0.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.assignCells(vecs, strCents)
+    }
+    assert(e.getMessage.contains("NUMERIC centroid id"), e.getMessage)
+  }
+
+  test("kmeansPlusPlusInit names the zero-norm failure, not 'empty corpus'") {
+    import spark.implicits._
+    val zeros = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansPlusPlusInit(zeros, k = 1)
+    }
+    assert(e.getMessage.contains("zero-norm"), e.getMessage)
+  }
+
   test("cluster-blocked near-dups stay within clusters") {
     val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
     val withCid = Similarity.assignCells(vecs, cents)

@@ -132,6 +132,104 @@ class PartitionedSidecarSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L), s"null-partition row must survive: ${got.toSeq}")
   }
 
+  test("non-monotone times WITHIN one log keep file order (reference fold)") {
+    val dir = writePartitioned()
+    // the reference replays a log in FILE order — time only gates
+    // (SQLUpdater.java:130). A later-then-earlier directive pair must
+    // not be re-sorted by the partitioned merge path: file order gives
+    // (v*2)+1; a raw-time sort would compute (v+1)*2
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      """-- time=3000
+        |UPDATE t SET v = v * 2;
+        |-- time=1000
+        |UPDATE t SET v = v + 1;
+        |""".stripMargin)
+    val got = ScdReader.read(spark, dir)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 21L), (2L, 41L), (3L, 30L), (4L, -5L)))
+  }
+
+  /** Pure-Scala model of the documented merge: per-log running-max
+    * sort key (preserves file order within a log), stable sort across
+    * logs (root-first tie-break). Statements restricted to the
+    * generator grammar below. */
+  private def simulate(
+      logs: Seq[(Option[String], Seq[(Long, String)])],
+      rows: Map[Long, (Long, String)]): Map[Long, (Long, String)] = {
+    val keyed = logs.flatMap { case (seg, stmts) =>
+      var runMax = Long.MinValue
+      stmts.map { case (t, sql) =>
+        runMax = math.max(runMax, t)
+        (runMax, (seg, sql))
+      }
+    }.sortBy(_._1).map(_._2)
+    keyed.foldLeft(rows) { case (rs, (seg, sql)) =>
+      val inScope = (r: (Long, (Long, String))) =>
+        seg.forall(_ == r._2._2)
+      sql match {
+        case s"UPDATE t SET v = v + $c WHERE id = $k" =>
+          rs.map { r =>
+            if (inScope(r) && r._1 == k.toLong)
+              r._1 -> (r._2._1 + c.toLong, r._2._2)
+            else r
+          }
+        case "UPDATE t SET v = v * 2" =>
+          rs.map(r => if (inScope(r)) r._1 -> (r._2._1 * 2, r._2._2) else r)
+        case s"DELETE FROM t WHERE id = $k" =>
+          rs.filterNot(r => inScope(r) && r._1 == k.toLong)
+        case other => sys.error(s"unsimulated: $other")
+      }
+    }
+  }
+
+  test("property: random logs replay in global-time order; disjoint logs commute") {
+    val initial = Map(1L -> (10L, "A"), 2L -> (20L, "A"),
+      3L -> (30L, "B"), 4L -> (-5L, "B"))
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      def genLog(): Seq[(Long, String)] =
+        (0 until rnd.nextInt(4)).map { _ =>
+          val t = Seq(1000L, 2000L, 3000L)(rnd.nextInt(3))
+          val sql = rnd.nextInt(3) match {
+            case 0 => s"UPDATE t SET v = v + ${rnd.nextInt(5) + 1} " +
+              s"WHERE id = ${rnd.nextInt(4) + 1}"
+            case 1 => "UPDATE t SET v = v * 2"
+            case 2 => s"DELETE FROM t WHERE id = ${rnd.nextInt(4) + 1}"
+          }
+          (t, sql)
+        }
+      val withRoot = rnd.nextBoolean()
+      val logA = genLog(); val logB = genLog()
+      val logRoot = if (withRoot) genLog() else Seq.empty
+      val dir = writePartitioned()
+      def render(stmts: Seq[(Long, String)]): String =
+        stmts.map { case (t, sql) => s"-- time=$t\n$sql;" }.mkString("\n") + "\n"
+      if (logRoot.nonEmpty)
+        Files.writeString(Paths.get(dir, ".updates"), render(logRoot))
+      if (logA.nonEmpty)
+        Files.writeString(Paths.get(dir, "seg=A", ".updates"), render(logA))
+      if (logB.nonEmpty)
+        Files.writeString(Paths.get(dir, "seg=B", ".updates"), render(logB))
+      // readAllSidecars order: root first, then partitions sorted
+      val logs = Seq((Option.empty[String], logRoot),
+        (Some("A"), logA), (Some("B"), logB)).filter(_._2.nonEmpty)
+      val expect = simulate(logs, initial)
+      val got = ScdReader.read(spark, dir)
+        .select("id", "v", "seg").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == expect, s"[seed=$seed root=$logRoot A=$logA B=$logB]")
+      // disjoint partition-only logs commute: the merged replay must
+      // equal folding each partition's log independently, regardless
+      // of how the merge interleaved them
+      if (logRoot.isEmpty) {
+        val perPart = simulate(Seq((Some("A"), logA)),
+          simulate(Seq((Some("B"), logB)), initial))
+        assert(got == perPart, s"[seed=$seed disjoint A=$logA B=$logB]")
+      }
+    }
+  }
+
   test("escaped partition values round-trip through discovery") {
     val dir = writePartitioned()
     // Hive-escape a space as %20 in the directory name

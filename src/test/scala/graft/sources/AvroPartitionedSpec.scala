@@ -136,4 +136,22 @@ class AvroPartitionedSpec extends SparkSpec {
     val df = AvroSource.readPartitioned(spark, dir)
     assert(df.columns.toSeq == Seq("id", "name") && df.count() == 1)
   }
+
+  test("mixed layout (root data files beside k=v dirs) fails loudly") {
+    val dir = writeTable()
+    // a stray root-level data file has no partition spec — silently
+    // dropping it from the scan would be data loss
+    AvroSource.write(Seq((9L, "z")).toDF("id", "name").coalesce(1),
+      s"$dir/__stray")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stray = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/__stray"))
+      .find(_.getPath.getName.endsWith(".avro")).get.getPath
+    fs.rename(stray, new org.apache.hadoop.fs.Path(s"$dir/stray.avro"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/__stray"), true)
+    val e = intercept[IllegalStateException] {
+      AvroSource.readPartitioned(spark, dir)
+    }
+    assert(e.getMessage.contains("mixed partition layout"), e.getMessage)
+  }
 }

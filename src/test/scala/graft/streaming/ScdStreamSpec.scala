@@ -142,6 +142,18 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusMatchStream — maxDist out of [0,63] is rejected (width-0 bands)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      ScdStream.corpusSimhashIndex(corpus, "doc_id", "text", maxDist = 64)
+    }
+    intercept[IllegalArgumentException] {
+      ScdStream.corpusMatchStream(corpus, corpus, "doc_id", "text",
+        maxDist = -1)
+    }
+  }
+
   test("corpusMatchStream — stream probes a static simhash index, exactly one hit per pair") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
