@@ -41,10 +41,6 @@ object Bench {
           name -> 0.0
       }
     }
-    // millisecond precision keeps the line short enough that the
-    // driver's bounded tail capture can't truncate it mid-JSON
-    // (r03 lesson), and the line is printed LAST — after spark.stop()
-    // — so no engine shutdown chatter follows it on stdout
     def f3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"$k\":${f3(v)}" }
@@ -52,12 +48,23 @@ object Bench {
     val fails = failed.result()
     val failJson = fails.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json =
+    val fullJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"queries":$qs}"""
     Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json)
+    Files.writeString(Paths.get("target/bench.json"), fullJson)
     spark.stop()
-    println(json)
+    // stdout layout for the driver's BOUNDED tail capture (r04: the
+    // ~2 KB full line front-truncated and parsed as null): the full
+    // per-query JSON prints first (greppable, may truncate), then a
+    // marker to the on-disk copy, and LAST a short self-contained JSON
+    // line — totals + failures + the 10 slowest queries — that always
+    // fits whole inside the tail window
+    println(fullJson)
+    println("BENCH_JSON=target/bench.json")
+    val top10 = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"n_queries":${results.size},"queries_truncated":true,"queries":$top10}""")
     Console.out.flush()
     if (fails.nonEmpty) sys.exit(1)
   }

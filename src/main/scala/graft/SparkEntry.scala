@@ -669,7 +669,11 @@ object SparkEntry {
     "text_filter" -> ((s, dir) =>
       TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
 
-    // top-5 characteristic terms per doc by smoothed tf-idf
+    // top-5 characteristic terms per doc by smoothed tf-idf.
+    // r4's +85% bench blip re-measured r5 in isolation at sf0.1:
+    // steady-state 0.80 s; running text_perplexity first makes this
+    // FASTER (warmer caches), so the regression was JVM/bench state in
+    // the 86-query run, not code or run-order interference
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"))
         .orderBy("doc_id", "rank")),
@@ -812,6 +816,25 @@ object SparkEntry {
       Dedup.minhashLshPairsIncremental(
         docs.where(col("doc_id") % 2 === 0),
         docs.where(col("doc_id") % 2 === 1), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the PRODUCTION shape of incremental dedup: the corpus signature
+    // index is computed ONCE and materialized (localCheckpoint stands
+    // in for the parquet artifact a nightly pipeline persists and
+    // reloads), then passed via `corpusSigs` — so the per-run cost is
+    // O(batch shingles) + the band join against the index, never a
+    // corpus re-shingle. Same output as dedup_incremental.
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val index = Dedup.minHashSignatures(Dedup.shingles(corpus))
+        .localCheckpoint()
+      Dedup.minhashLshPairsIncremental(
+        corpus, docs.where(col("doc_id") % 2 === 1), threshold = 0.8,
+        corpusSigs = Some(index))
         .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
           col("n_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
@@ -2042,6 +2065,17 @@ object SparkEntry {
     // (both-even) pairs — band buckets are identical over the combined
     // index, so the remaining pairs match exactly
     "dedup_incremental" ->
+      s"""WITH $MinhashComCtes
+         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+         |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+         |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+         |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical semantics to dedup_incremental — the persisted-index
+    // path must not change a single pair
+    "dedup_incremental_indexed" ->
       s"""WITH $MinhashComCtes
          |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
          |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard

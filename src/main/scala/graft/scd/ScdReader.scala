@@ -333,7 +333,8 @@ object ScdReader {
       outDir: String,
       format: String = "parquet",
       outFormat: String = "parquet",
-      asOf: Option[String] = None): Unit = {
+      asOf: Option[String] = None,
+      clearLog: Boolean = false): Unit = {
     val view = read(spark, dir, format, asOf = asOf)
     if (outFormat.equalsIgnoreCase("avro")) {
       // reference-format round-trip (Avro dir in, compacted Avro dir
@@ -345,5 +346,89 @@ object ScdReader {
       graft.sources.AvroSource.write(view, outDir)
     } else
       view.write.mode("overwrite").format(outFormat).save(outDir)
+    // log lifecycle (README.md:239-244's "periodically compact"): the
+    // statements the snapshot just consumed would otherwise replay
+    // forever against the source dir. Opt-in, and only after the
+    // snapshot landed — a write failure above leaves the log intact.
+    if (clearLog) truncateLog(spark, dir, asOf)
+  }
+
+  /** Truncate every `.updates` sidecar of `dir` (root + partition
+    * logs) to the statements NOT yet consumed by a compaction at
+    * `asOf`: a statement survives iff its effective time > asOf. The
+    * consumed prefix is archived next to each log as
+    * `.updates.archive-<asOfMillis>` (dot-file — invisible to data
+    * scans) unless `archive = false`. `-- graft-batch=` idempotence
+    * markers are preserved verbatim so a restarting DML stream still
+    * recognizes its committed batches. Rewrites are atomic
+    * (tmp + rename, same discipline as the streaming appender);
+    * statements are re-rendered in canonical form (one explicit
+    * `-- time=<millis>` directive per statement), which preserves
+    * replay semantics exactly though not comment bytes.
+    *
+    * NOTE the contract: after truncation the SOURCE dir's pre-asOf
+    * history is gone — the dir now replays only post-asOf statements
+    * over the original base. This is the right move when readers
+    * migrate to the compacted snapshot (the README pattern) or when
+    * the base files themselves are replaced by the snapshot; it is
+    * NOT a no-op for continued as-of reads of the old dir. */
+  def truncateLog(
+      spark: SparkSession,
+      dir: String,
+      asOf: Option[String] = None,
+      archive: Boolean = true): Unit = {
+    val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[Path] =
+      (if (fs.exists(new Path(p, SidecarName))) Seq(p) else Seq.empty) ++
+        partitionChildren(fs, p).flatMap { case (child, _) => walk(child) }
+    walk(new Path(dir)).foreach { tableDir =>
+      val text = readSidecar(spark, tableDir.toString).get
+      val all = UpdatesParser.rawStatements(text, scdTime,
+        strictCommentCompat = false, gateTime = Long.MaxValue)
+      val (consumed, kept) = all.partition(_._2 <= scdTime)
+      val markers = text.linesIterator
+        .filter(_.startsWith(BatchMarkerPrefix)).toSeq
+      def render(stmts: Seq[(String, Long)]): String =
+        stmts.map { case (sql, t) => s"-- time=$t\n$sql" }
+          .mkString("", "\n", "\n")
+      if (archive && consumed.nonEmpty)
+        writeSidecarAtomic(spark, tableDir.toString, render(consumed),
+          name = s"$SidecarName.archive-$scdTime")
+      if (kept.isEmpty && markers.isEmpty)
+        fs.delete(new Path(tableDir, SidecarName), false)
+      else {
+        val rewritten =
+          markers.mkString("", "\n", if (markers.isEmpty) "" else "\n") +
+            (if (kept.isEmpty) "" else render(kept))
+        // re-parse before landing: a render bug must never corrupt
+        // the log in place
+        UpdatesParser.parse(rewritten, Long.MaxValue)
+        writeSidecarAtomic(spark, tableDir.toString, rewritten)
+      }
+    }
+  }
+
+  private[graft] val BatchMarkerPrefix = "-- graft-batch="
+
+  /** Atomically replace a sidecar-family file under `dir`: write to a
+    * tmp sibling, then rename with OVERWRITE — readers see the old or
+    * the new content, never a torn write. */
+  private[graft] def writeSidecarAtomic(
+      spark: SparkSession,
+      dir: String,
+      text: String,
+      name: String = SidecarName): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dir, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new Path(dir, name)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

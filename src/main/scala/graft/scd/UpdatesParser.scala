@@ -50,7 +50,16 @@ object UpdatesParser {
   /** The line fold: returns retained (statementSql, effectiveTimeMillis)
     * pairs in file order. */
   private[scd] def rawStatements(text: String, scdTime: Long,
-      strictCommentCompat: Boolean): Seq[(String, Long)] = {
+      strictCommentCompat: Boolean): Seq[(String, Long)] =
+    rawStatements(text, scdTime, strictCommentCompat, gateTime = scdTime)
+
+  /** Variant with the retain gate decoupled from the empty-directive
+    * fallback time: `scdTime` resolves `-- time=` (no value) lines,
+    * `gateTime` decides retention — pass `Long.MaxValue` to enumerate
+    * EVERY statement with its effective time (the log-truncation path
+    * needs the full inventory, not the as-of subset). */
+  private[scd] def rawStatements(text: String, scdTime: Long,
+      strictCommentCompat: Boolean, gateTime: Long): Seq[(String, Long)] = {
     val out = Seq.newBuilder[(String, Long)]
     var currentTime = 0L
     var working: StringBuilder = null
@@ -58,7 +67,7 @@ object UpdatesParser {
       if (rawLine.toLowerCase.startsWith(TimePrefix)) {
         currentTime =
           ScdTime.parse(rawLine.substring(TimePrefix.length), scdTime)
-      } else if (currentTime <= scdTime) {
+      } else if (currentTime <= gateTime) {
         var line = rawLine.trim
         val ci =
           if (strictCommentCompat) line.indexOf("--")

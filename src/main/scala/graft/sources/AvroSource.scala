@@ -30,8 +30,12 @@ import scala.jdk.CollectionConverters._
   * Type bridge mirrors SURVEY.md §1.2's SQL_TYPES table
   * (AvroSCDInputFormat.java:156-163): BOOLEAN/INT/LONG/FLOAT/DOUBLE/
   * STRING plus 2-branch NULL unions; BYTES additionally maps to
-  * BinaryType (multimodal payload columns). Anything nested throws,
-  * like the reference's UnsupportedOperationException (:178).
+  * BinaryType (multimodal payload columns). Beyond the reference's
+  * map, the standard LOGICAL types are bridged — decimal(p,s) on
+  * bytes/fixed ↔ DecimalType, timestamp-millis/micros ↔ TimestampType,
+  * date ↔ DateType — covering the reference's own named future work
+  * (README.md:251-252). Anything nested still throws, like the
+  * reference's UnsupportedOperationException (:178).
   *
   * Scale: schema inference is one driver-side header read; record
   * decoding is per-task, narrow, and immediately converted to Rows
@@ -62,6 +66,10 @@ object AvroSource {
       spark.sparkContext.hadoopConfiguration)
     conf.set("avro.schema.input.key", schemaJson)
     val nFields = structType.fields.length
+    // per-field logical-type converter tags (Int/Int pairs serialize
+    // into the task closure; the Avro Schema object itself does not)
+    val tags = avroSchema.getFields.asScala
+      .map(f => logicalTag(f.schema())).toArray
     val rdd = spark.sparkContext
       .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
@@ -71,10 +79,39 @@ object AvroSource {
         val rec = k.datum()
         val vals = new Array[Any](nFields)
         var i = 0
-        while (i < nFields) { vals(i) = fromAvro(rec.get(i)); i += 1 }
+        while (i < nFields) {
+          vals(i) = fromAvro(rec.get(i), tags(i)._1, tags(i)._2)
+          i += 1
+        }
         Row.fromSeq(vals.toIndexedSeq)
       }
     spark.createDataFrame(rdd, structType)
+  }
+
+  // logical-type tags: 0 = plain, 1 = decimal(scale), 2 = ts-millis,
+  // 3 = ts-micros, 4 = date
+  private final val TagPlain = 0
+  private final val TagDecimal = 1
+  private final val TagTsMillis = 2
+  private final val TagTsMicros = 3
+  private final val TagDate = 4
+
+  /** (tag, scale) of a field schema, looking through a 2-branch NULL
+    * union like the type bridge does. */
+  private def logicalTag(s: Schema): (Int, Int) = {
+    val inner = s.getType match {
+      case Schema.Type.UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+        if (nonNull.size == 1) nonNull.head else s
+      case _ => s
+    }
+    inner.getLogicalType match {
+      case d: org.apache.avro.LogicalTypes.Decimal => (TagDecimal, d.getScale)
+      case _: org.apache.avro.LogicalTypes.TimestampMillis => (TagTsMillis, 0)
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => (TagTsMicros, 0)
+      case _: org.apache.avro.LogicalTypes.Date => (TagDate, 0)
+      case _ => (TagPlain, 0)
+    }
   }
 
   /** Read a Hive-partitioned Avro table directory with PER-PARTITION
@@ -203,6 +240,12 @@ object AvroSource {
       df.sparkSession.sparkContext.hadoopConfiguration)
     conf.set("avro.schema.output.key", schemaJson)
     val fields = df.schema.fields
+    val tags = fields.map(_.dataType match {
+      case d: DecimalType => (TagDecimal, d.scale)
+      case TimestampType => (TagTsMicros, 0)
+      case DateType => (TagDate, 0)
+      case _ => (TagPlain, 0)
+    })
     df.rdd.mapPartitions { rows =>
       // schema re-parsed per partition (Schema isn't serializable-safe
       // across all avro versions); records built positionally
@@ -211,7 +254,7 @@ object AvroSource {
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
         var i = 0
         while (i < fields.length) {
-          rec.put(i, toAvro(row.get(i)))
+          rec.put(i, toAvro(row.get(i), tags(i)._1, tags(i)._2))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -223,7 +266,12 @@ object AvroSource {
   }
 
   /** Spark StructType → Avro record schema (reverse of the §1.2 map;
-    * nullable fields become [null, T] unions). */
+    * nullable fields become [null, T] unions). Logical types — the
+    * reference's own named gap (README.md:251-252 lists decimal as
+    * future work): DecimalType → bytes+decimal(p,s); TimestampType →
+    * long+timestamp-micros (Spark timestamps carry µs — writing millis
+    * would silently truncate; the READ side accepts both millis and
+    * micros); DateType → int+date. */
   def toAvroSchema(st: StructType, recordName: String): Schema = {
     val fields = st.fields.map { f =>
       val base = f.dataType match {
@@ -234,6 +282,15 @@ object AvroSource {
         case DoubleType => Schema.create(Schema.Type.DOUBLE)
         case StringType => Schema.create(Schema.Type.STRING)
         case BinaryType => Schema.create(Schema.Type.BYTES)
+        case d: DecimalType =>
+          org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+            .addToSchema(Schema.create(Schema.Type.BYTES))
+        case TimestampType =>
+          org.apache.avro.LogicalTypes.timestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+        case DateType =>
+          org.apache.avro.LogicalTypes.date()
+            .addToSchema(Schema.create(Schema.Type.INT))
         case other => throw new UnsupportedOperationException(
           s"unsupported Spark type for Avro write: $other")
       }
@@ -250,10 +307,26 @@ object AvroSource {
   }
 
   /** Spark external row value → Avro runtime value. */
-  private def toAvro(v: Any): Any = v match {
-    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-    case other => other // String/Int/Long/Float/Double/Boolean/null as-is
-  }
+  private def toAvro(v: Any, tag: Int, scale: Int): Any =
+    if (v == null) null
+    else tag match {
+      case TagDecimal =>
+        // unscaled two's-complement bytes at the DECLARED scale (the
+        // Avro decimal contract: scale lives in the schema, not the
+        // payload); setScale is exact here — the value was written into
+        // a DecimalType(p, s) column, so it already fits scale s
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
+          .setScale(scale).unscaledValue().toByteArray)
+      case TagTsMicros =>
+        val ts = v.asInstanceOf[java.sql.Timestamp]
+        Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      case TagDate =>
+        v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+      case _ => v match {
+        case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+        case other => other // String/Int/Long/Float/Double/Boolean as-is
+      }
+    }
 
   /** Avro schema → Spark StructType (SURVEY.md §1.2 map). */
   def toStructType(s: Schema): StructType = {
@@ -266,6 +339,20 @@ object AvroSource {
   }
 
   private def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
+    // logical types first — decimal rides bytes/fixed, timestamps ride
+    // long, date rides int (the reference's named future work,
+    // README.md:251-252; SURVEY §1.2 sanctions supporting them here)
+    case Schema.Type.BYTES | Schema.Type.FIXED
+        if s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Decimal] =>
+      val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+      (DecimalType(d.getPrecision, d.getScale), false)
+    case Schema.Type.LONG
+        if s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.TimestampMillis] ||
+          s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.TimestampMicros] =>
+      (TimestampType, false)
+    case Schema.Type.INT
+        if s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Date] =>
+      (DateType, false)
     case Schema.Type.BOOLEAN => (BooleanType, false)
     case Schema.Type.INT => (IntegerType, false)
     case Schema.Type.LONG => (LongType, false)
@@ -286,7 +373,34 @@ object AvroSource {
       s"unsupported Avro type: $other (flat records only, README.md:248-252)")
   }
 
-  /** Avro runtime value → Spark external row value. */
+  /** Avro runtime value → Spark external row value, logical types
+    * decoded per the field's tag (GenericDatumReader hands back the
+    * RAW carrier — ByteBuffer/Fixed/Long/Int — no conversions
+    * registered). */
+  private def fromAvro(v: Any, tag: Int, scale: Int): Any =
+    if (v == null) null
+    else tag match {
+      case TagDecimal =>
+        val bytes = v match {
+          case b: java.nio.ByteBuffer =>
+            val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case other => throw new UnsupportedOperationException(
+            s"decimal carrier must be bytes/fixed, got ${other.getClass}")
+        }
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
+      case TagTsMillis => new java.sql.Timestamp(v.asInstanceOf[Long])
+      case TagTsMicros =>
+        val us = v.asInstanceOf[Long]
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case TagDate => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case _ => fromAvro(v)
+    }
+
+  /** Avro runtime value → Spark external row value (plain types). */
   private def fromAvro(v: Any): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString

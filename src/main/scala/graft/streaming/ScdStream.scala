@@ -423,19 +423,10 @@ object ScdStream {
     // parse the WHOLE prospective log at an all-inclusive time: throws
     // on malformed/incomplete/mixed-table input before anything lands
     graft.scd.UpdatesParser.parse(combined, Long.MaxValue)
-    val fs = new Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(tableDir, ".updates.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(combined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val target = new Path(tableDir, graft.scd.ScdReader.SidecarName)
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      target.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    graft.scd.ScdReader.writeSidecarAtomic(spark, tableDir, combined)
   }
 
-  private val BatchMarkerPrefix = "-- graft-batch="
+  private val BatchMarkerPrefix = graft.scd.ScdReader.BatchMarkerPrefix
 
   /** Every batch token recorded in the sidecar's marker comments. */
   private[streaming] def appliedBatches(spark: SparkSession,

@@ -230,6 +230,27 @@ class PartitionedSidecarSpec extends SparkSpec {
     }
   }
 
+  test("truncateLog clears consumed statements in root AND partition logs") {
+    val dir = writePartitioned()
+    Files.writeString(Paths.get(dir, ".updates"),
+      "-- time=2020-01-01\nUPDATE t SET v = v * 2;\n")
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      """-- time=2020-06-01
+        |UPDATE t SET v = v + 1;
+        |-- time=2525-01-01
+        |DELETE FROM t WHERE id = 1;
+        |""".stripMargin)
+    ScdReader.truncateLog(spark, dir, asOf = Some("2021-01-01"))
+    // root log fully consumed → deleted; partition log keeps only 2525
+    assert(ScdReader.readSidecar(spark, dir).isEmpty)
+    val kept = ScdReader.readSidecar(spark, s"$dir/seg=A").get
+    assert(kept.contains("DELETE") && !kept.contains("v + 1"), kept)
+    val got = ScdReader.read(spark, dir)
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, -5L)))
+  }
+
   test("escaped partition values round-trip through discovery") {
     val dir = writePartitioned()
     // Hive-escape a space as %20 in the directory name

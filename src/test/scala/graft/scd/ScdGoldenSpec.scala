@@ -105,6 +105,53 @@ class ScdGoldenSpec extends SparkSpec {
       col("valid_to_ms").isNull).count() == 10)
   }
 
+  test("compact(clearLog): consumed statements truncate, future ones replay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scdclear").toString
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    Files.writeString(java.nio.file.Paths.get(dir, ".updates"),
+      """UPDATE t SET v = v * 2;
+        |-- graft-batch=batch-7
+        |-- time=2020-01-01
+        |UPDATE t SET v = v + 1;
+        |-- time=2525-01-01
+        |DELETE FROM t WHERE id = 1;
+        |""".stripMargin)
+    val out = Files.createTempDirectory("scdclearout").toString
+    ScdReader.compact(spark, dir, out, asOf = Some("2021-01-01"),
+      clearLog = true)
+    // snapshot consumed the untimed double and the 2020 bump
+    val snap = spark.read.parquet(out).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(snap.toSeq == Seq((1L, 21L), (2L, 41L)))
+    // the OLD dir now replays ONLY the post-asOf statement: at `now`
+    // the 2525 delete is still gated → pristine base
+    val now = ScdReader.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(now.toSeq == Seq((1L, 10L), (2L, 20L)))
+    // …and past 2525 it fires
+    val later = ScdReader.read(spark, dir, asOf = Some("2525-01-02"))
+      .collect().map(_.getLong(0))
+    assert(later.toSeq == Seq(2L))
+    // batch idempotence marker survived the rewrite
+    val text = ScdReader.readSidecar(spark, dir).get
+    assert(text.contains("-- graft-batch=batch-7"), text)
+    assert(!text.contains("v * 2") && !text.contains("v + 1"), text)
+    // consumed prefix is archived as a dot-file (invisible to scans)
+    val archived = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".updates.archive-"))
+    assert(archived.length == 1, archived.toSeq)
+    assert(spark.read.parquet(dir).count() == 2) // scan still clean
+    // truncating everything deletes the log (markerless table)
+    val dir2 = Files.createTempDirectory("scdclear2").toString
+    Seq((1L, 10L)).toDF("id", "v").write.mode("overwrite").parquet(dir2)
+    Files.writeString(java.nio.file.Paths.get(dir2, ".updates"),
+      "UPDATE t SET v = 0;\n")
+    ScdReader.truncateLog(spark, dir2)
+    assert(ScdReader.readSidecar(spark, dir2).isEmpty)
+  }
+
   test("historyText: one interval per effective time, SCD2-shaped") {
     val h = ScdReader.historyText(spark, doctorsDf, updates)
     val rows = h.collect().map(r => (r.getAs[Long]("valid_from_ms"),

@@ -154,6 +154,71 @@ class AvroGoldenSpec extends SparkSpec {
     }
   }
 
+  test("logical types round-trip: decimal, timestamp (µs), date") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("avrological").toString + "/t"
+    val src = Seq(
+      (1L, "1234.56", "2024-03-01 12:34:56.789123", "2024-03-01"),
+      (2L, "-0.01", "1969-12-31 23:59:59.000001", "1969-12-31"))
+      .toDF("id", "amt", "ts", "d")
+      .select($"id", $"amt".cast("decimal(10,2)").as("amt"),
+        to_timestamp($"ts").as("ts"), to_date($"d").as("d"))
+    AvroSource.write(src, dir)
+    // schema survives the bridge both ways
+    val back = AvroSource.read(spark, dir)
+    assert(back.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("d").dataType == org.apache.spark.sql.types.DateType)
+    // values bit-exact, including sub-millisecond micros and the
+    // negative pre-epoch timestamp (floorDiv/floorMod path)
+    val got = back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDecimal(1).toPlainString,
+        r.getTimestamp(2).toInstant.toString, r.getDate(3).toString))
+    assert(got.toSeq == Seq(
+      (1L, "1234.56", "2024-03-01T12:34:56.789123Z", "2024-03-01"),
+      (2L, "-0.01", "1969-12-31T23:59:59.000001Z", "1969-12-31")))
+  }
+
+  test("timestamp-millis reader schema decodes (Hive-written tables)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // simulate a millis-written table: plain long column + a reader
+    // schema that declares timestamp-millis over it
+    val dir = Files.createTempDirectory("avromillis").toString + "/t"
+    AvroSource.write(Seq((1L, 1709295296789L)).toDF("id", "ts"), dir)
+    val reader =
+      """{"type":"record","name":"record","namespace":"graft.avro","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"ts","type":{"type":"long","logicalType":"timestamp-millis"}}
+        |]}""".stripMargin
+    val got = AvroSource.read(spark, dir, Some(reader))
+      .select(unix_millis($"ts")).head().getLong(0)
+    assert(got == 1709295296789L)
+  }
+
+  test("SCD UPDATE on a decimal column replays with decimal semantics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avrodecscd").toString + "/t"
+    val src = Seq((1L, "100.10"), (2L, "7.25"))
+      .toDF("id", "bal")
+      .select($"id",
+        $"bal".cast(org.apache.spark.sql.types.DecimalType(10, 2)).as("bal"))
+    AvroSource.write(src, dir)
+    Files.writeString(Paths.get(dir, ScdReader.SidecarName),
+      "UPDATE t SET bal = bal * 2 WHERE id = 1;\n" +
+        "UPDATE t SET bal = bal + 0.05;\n")
+    val view = ScdReader.read(spark, dir, format = "avro")
+    // the write-back cast keeps the ORIGINAL decimal(10,2) type (O11)
+    assert(view.schema("bal").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    val got = view.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toPlainString))
+    assert(got.toSeq == Seq((1L, "200.25"), (2L, "7.30")))
+  }
+
   test("avro-to-avro compaction round-trips the as-of view (reference format)") {
     val out = Files.createTempDirectory("avrocompact").toString + "/snap"
     // compact the avro dir's as-of view back INTO avro
