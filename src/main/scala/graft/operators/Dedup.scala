@@ -138,12 +138,21 @@ object Dedup {
     * map-side, before any wide shuffle sees them. */
   private def dropWideBuckets(rows: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
+    // lazy localCheckpoint: the rows feed THREE consumers (the over-cap
+    // count, and both sides of the downstream self-join) — without it
+    // each consumer would recompute the whole signature subtree (the
+    // r5 bench measured +30% on the minhash family). One compute, three
+    // cached reads; the I/O is the same order as the window's exchange
+    // wrote. Production note: this is exactly where a deployment
+    // persists its band index instead (bandRows scaladoc) — the
+    // checkpoint is the self-contained stand-in.
+    val cached = rows.localCheckpoint(false)
     val ks = keyCols.map(col)
-    val overCap = rows.groupBy(ks: _*)
+    val overCap = cached.groupBy(ks: _*)
       .agg(count(lit(1)).as("__bucket_n"))
       .where(col("__bucket_n") > maxBucket)
       .select(ks: _*)
-    rows.join(broadcast(overCap), keyCols, "left_anti")
+    cached.join(broadcast(overCap), keyCols, "left_anti")
   }
 
   /** LSH banding: hash `rowsPerBand` consecutive signature components
