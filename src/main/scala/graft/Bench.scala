@@ -64,7 +64,7 @@ object Bench {
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"n_queries":${results.size},"queries_truncated":true,"queries":$top10}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"n_queries":${results.size},"queries_truncated":${results.size > 10},"queries":$top10}""")
     Console.out.flush()
     if (fails.nonEmpty) sys.exit(1)
   }

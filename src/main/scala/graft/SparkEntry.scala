@@ -1005,6 +1005,18 @@ object SparkEntry {
       |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared oracle for dedup_incremental and dedup_incremental_indexed
+    * (identical-by-contract results: the persisted-index path must not
+    * change a single pair). */
+  private lazy val IncrementalOracle: String =
+    s"""WITH $MinhashComCtes
+       |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+       |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+       |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
+       |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** The full MinHash→LSH→verify pipeline as a CTE chain ending in
     * `com` (candidate pairs + common-shingle counts) — shared by the
     * dedup_minhash_lsh oracle and the dedup_cc closure on top of it.
@@ -2063,26 +2075,11 @@ object SparkEntry {
 
     // incremental = the full-corpus pipeline minus its corpus-vs-corpus
     // (both-even) pairs — band buckets are identical over the combined
-    // index, so the remaining pairs match exactly
-    "dedup_incremental" ->
-      s"""WITH $MinhashComCtes
-         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
-         |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
-         |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
-         |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // identical semantics to dedup_incremental — the persisted-index
-    // path must not change a single pair
-    "dedup_incremental_indexed" ->
-      s"""WITH $MinhashComCtes
-         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
-         |  round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
-         |FROM com JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8
-         |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
-         |ORDER BY id_a, id_b""".stripMargin,
+    // index, so the remaining pairs match exactly. ONE definition for
+    // both the inline and the persisted-index query: the two are
+    // declared pair-identical, so their oracles must never diverge
+    "dedup_incremental" -> IncrementalOracle,
+    "dedup_incremental_indexed" -> IncrementalOracle,
 
     "dedup_cc" ->
       // transitive closure over the verified minhash-LSH pairs; the

@@ -152,7 +152,12 @@ object Dedup {
       .agg(count(lit(1)).as("__bucket_n"))
       .where(col("__bucket_n") > maxBucket)
       .select(ks: _*)
-    cached.join(broadcast(overCap), keyCols, "left_anti")
+    // no broadcast() hint: the over-cap set is usually tiny (each key
+    // needs > maxBucket members) and AQE broadcasts it from its runtime
+    // size — but its worst case is rows/maxBucket keys, and a forced
+    // broadcast of a heavy-tailed shingle DF-cap list would OOM where
+    // the planner's shuffled anti-join degrades gracefully
+    cached.join(overCap, keyCols, "left_anti")
   }
 
   /** LSH banding: hash `rowsPerBand` consecutive signature components

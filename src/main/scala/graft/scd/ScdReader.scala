@@ -132,15 +132,39 @@ object ScdReader {
   private def mergedStatements(
       sidecars: Seq[(Seq[(String, String)], String)],
       scdTime: Long)
-      : Seq[(Option[org.apache.spark.sql.Column], ScdStatement)] =
-    sidecars.flatMap { case (spec, text) =>
+      : Seq[(Option[org.apache.spark.sql.Column], ScdStatement)] = {
+    // sort keys come from the FULL log (gateTime = MaxValue), not the
+    // retained subset: the running max over only-retained statements
+    // would give the same two statements a different relative order at
+    // different asOf times, making history()'s snapshots disagree with
+    // read()'s as-of views on non-monotone logs. Keys first, stable
+    // sort, THEN the retention filter — order is gate-independent.
+    val keyed = sidecars.flatMap { case (spec, text) =>
       val guard = if (spec.isEmpty) None else Some(partitionGuard(spec))
       var runMax = Long.MinValue
-      UpdatesParser.parse(text, scdTime).statements.map { stmt =>
-        runMax = math.max(runMax, stmt.timeMillis)
-        (runMax, (guard, stmt))
+      UpdatesParser.rawStatements(text, scdTime,
+        strictCommentCompat = false, gateTime = Long.MaxValue)
+        .map { case (sql, t) =>
+          runMax = math.max(runMax, t)
+          (runMax, sql, t, guard)
+        }
+    }.sortBy(_._1) // Seq.sortBy is a stable sort
+    val retained = keyed.filter(_._3 <= scdTime).map {
+      case (_, sql, t, guard) => (guard, UpdatesParser.classify(sql, t))
+    }
+    // the reference's one-table check (SQLUpdater.java:65-69), applied
+    // across ALL of the table dir's logs — root and partition sidecars
+    // address the same table by construction
+    retained.map(_._2).foldLeft(Option.empty[String]) { (acc, s) =>
+      acc match {
+        case Some(tb) if !tb.equalsIgnoreCase(s.table) =>
+          throw new IllegalStateException(
+            s"Multiple table names in DDL: $tb and ${s.table}")
+        case _ => Some(s.table)
       }
-    }.sortBy(_._1).map(_._2) // Seq.sortBy is a stable sort
+    }
+    retained
+  }
 
   /** `col = value` conjunction for a partition spec; Hive renders a
     * NULL partition value as the default-partition sentinel. Partition
@@ -326,7 +350,10 @@ object ScdReader {
 
   /** Compaction (reference README.md:239-244 recommended pattern):
     * materialize the as-of view into `outDir` as an updates-free
-    * snapshot. Plain `df.write` — distributed, no driver collect. */
+    * snapshot. Plain `df.write` — distributed, no driver collect.
+    * `clearLog = true` additionally truncates the source dir's logs to
+    * the unconsumed remainder — see [[truncateLog]] for the
+    * single-writer and non-monotone-log contract. */
   def compact(
       spark: SparkSession,
       dir: String,
@@ -335,7 +362,12 @@ object ScdReader {
       outFormat: String = "parquet",
       asOf: Option[String] = None,
       clearLog: Boolean = false): Unit = {
-    val view = read(spark, dir, format, asOf = asOf)
+    // resolve "now" ONCE: read() and truncateLog() each resolving
+    // independently would open a window in which a statement dated
+    // between the two resolutions is truncated as consumed without
+    // ever having been applied to the snapshot
+    val scdMillis = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    val view = read(spark, dir, format, asOf = Some(scdMillis.toString))
     if (outFormat.equalsIgnoreCase("avro")) {
       // reference-format round-trip (Avro dir in, compacted Avro dir
       // out); saveAsNewAPIHadoopFile rejects an existing dir, so mirror
@@ -350,7 +382,7 @@ object ScdReader {
     // statements the snapshot just consumed would otherwise replay
     // forever against the source dir. Opt-in, and only after the
     // snapshot landed — a write failure above leaves the log intact.
-    if (clearLog) truncateLog(spark, dir, asOf)
+    if (clearLog) truncateLogAt(spark, dir, scdMillis, archive = true)
   }
 
   /** Truncate every `.updates` sidecar of `dir` (root + partition
@@ -371,13 +403,35 @@ object ScdReader {
     * over the original base. This is the right move when readers
     * migrate to the compacted snapshot (the README pattern) or when
     * the base files themselves are replaced by the snapshot; it is
-    * NOT a no-op for continued as-of reads of the old dir. */
+    * NOT a no-op for continued as-of reads of the old dir.
+    *
+    * Concurrency: the rewrite is atomic per log, but there is NO
+    * coordination with a concurrently appending writer (a live
+    * [[graft.streaming.ScdStream.dmlSink]]): its read-modify-write can
+    * resurrect truncated statements or lose its own batch depending on
+    * rename order. Stop DML sinks on the table before compacting with
+    * `clearLog` — the same single-writer discipline the reference's
+    * append-a-line workflow assumes.
+    *
+    * Non-monotone logs: a statement is consumed iff its raw effective
+    * time <= asOf — the same gate the as-of read applied. If the
+    * consumed set is not a FILE-ORDER PREFIX of its log (a kept
+    * statement precedes a consumed one), snapshot-then-kept would
+    * replay in a different order than the original file fold, silently
+    * changing history — that cut is refused with an error instead. */
   def truncateLog(
       spark: SparkSession,
       dir: String,
       asOf: Option[String] = None,
-      archive: Boolean = true): Unit = {
-    val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+      archive: Boolean = true): Unit =
+    truncateLogAt(spark, dir,
+      ScdTime.resolve(asOf, spark.conf.getOption(ConfKey)), archive)
+
+  private def truncateLogAt(
+      spark: SparkSession,
+      dir: String,
+      scdTime: Long,
+      archive: Boolean): Unit = {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: Path): Seq[Path] =
@@ -388,6 +442,16 @@ object ScdReader {
       val all = UpdatesParser.rawStatements(text, scdTime,
         strictCommentCompat = false, gateTime = Long.MaxValue)
       val (consumed, kept) = all.partition(_._2 <= scdTime)
+      // refuse a non-prefix cut (see scaladoc): replaying kept over the
+      // snapshot must equal the original file-order fold
+      val firstKept = all.indexWhere(_._2 > scdTime)
+      if (firstKept >= 0 && all.drop(firstKept).exists(_._2 <= scdTime))
+        throw new IllegalStateException(
+          s"cannot truncate $tableDir/$SidecarName at $scdTime: consumed " +
+            "statements interleave with kept ones (non-monotone time " +
+            "directives), so the snapshot+remainder would replay in a " +
+            "different order than the original log. Compact at a time " +
+            ">= the log's max effective time, or leave the log intact.")
       val markers = text.linesIterator
         .filter(_.startsWith(BatchMarkerPrefix)).toSeq
       def render(stmts: Seq[(String, Long)]): String =

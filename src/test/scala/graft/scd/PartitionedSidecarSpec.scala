@@ -230,6 +230,29 @@ class PartitionedSidecarSpec extends SparkSpec {
     }
   }
 
+  test("read and history agree at every asOf on non-monotone multi-log tables") {
+    val dir = writePartitioned()
+    Files.writeString(Paths.get(dir, ".updates"),
+      "-- time=2000\nUPDATE t SET v = v * 2;\n")
+    // partition log: a LATER-dated no-op first, then an earlier-dated
+    // bump — its running-max key (3000) must come from the FULL log,
+    // not the per-asOf retained subset, or read(asOf=2000) would order
+    // [v+1, v*2] while history's t=2000 snapshot orders [v*2, v+1]
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      """-- time=3000
+        |DELETE FROM t WHERE id = 99;
+        |-- time=1000
+        |UPDATE t SET v = v + 1;
+        |""".stripMargin)
+    val atRead = ScdReader.read(spark, dir, asOf = Some("2000"))
+      .where($"id" === 1L).select("v").head().getLong(0)
+    val atHist = ScdReader.history(spark, dir)
+      .where($"valid_from_ms" === 2000L && $"id" === 1L)
+      .select("v").head().getLong(0)
+    assert(atRead == atHist, s"read=$atRead history=$atHist")
+    assert(atRead == 21L) // (10*2)+1: root@2000 first, then v+1 (key 3000)
+  }
+
   test("truncateLog clears consumed statements in root AND partition logs") {
     val dir = writePartitioned()
     Files.writeString(Paths.get(dir, ".updates"),

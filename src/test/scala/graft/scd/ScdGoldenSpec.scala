@@ -152,6 +152,27 @@ class ScdGoldenSpec extends SparkSpec {
     assert(ScdReader.readSidecar(spark, dir2).isEmpty)
   }
 
+  test("truncateLog refuses a non-prefix cut (non-monotone log)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("scdnonmono").toString
+    Seq((1L, 10L)).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    // kept (2525) precedes consumed (1000) in file order: snapshot +
+    // remainder would replay v+1 BEFORE v*2, the reverse of the
+    // original fold — must refuse rather than rewrite history
+    Files.writeString(java.nio.file.Paths.get(dir, ".updates"),
+      """-- time=2525-01-01
+        |UPDATE t SET v = v * 2;
+        |-- time=2020-01-01
+        |UPDATE t SET v = v + 1;
+        |""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      ScdReader.truncateLog(spark, dir, asOf = Some("2021-01-01"))
+    }
+    assert(e.getMessage.contains("non-monotone"), e.getMessage)
+    // the log is untouched after the refusal
+    assert(ScdReader.readSidecar(spark, dir).get.contains("v * 2"))
+  }
+
   test("historyText: one interval per effective time, SCD2-shaped") {
     val h = ScdReader.historyText(spark, doctorsDf, updates)
     val rows = h.collect().map(r => (r.getAs[Long]("valid_from_ms"),
