@@ -748,6 +748,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy("source")),
 
+    // mixture-targeting quota sample: ~200 docs at 50/20/20/10
+    // en/de/zh/fr; 'es' is unlisted and drops out entirely
+    "q_quota_mix" -> ((s, dir) =>
+      Sampling.quotaSample(t(s, dir, "documents"), col("doc_id"),
+        col("lang"),
+        Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.2, "fr" -> 0.1),
+        targetRows = 200L)
+        .select(col("doc_id"), col("lang"),
+          round(col("keep_rate"), 6).as("keep_rate"))
+        .orderBy("doc_id")),
+
     // temperature-style weighted sample: 20 docs per source, longer
     // docs proportionally likelier, reproducible from ids alone
     "q_weighted_sample" -> ((s, dir) =>
@@ -2006,6 +2017,30 @@ object SparkEntry {
          |  FROM b)
          |SELECT source, rnk AS "rank", doc_id, n_chars FROM r
          |WHERE rnk <= 20 ORDER BY source, "rank"""".stripMargin,
+
+    "q_quota_mix" ->
+      // keep rate = min(1, target·w/n) from per-stratum counts; all
+      // arithmetic forced to DOUBLE (DuckDB parses bare 0.5 as
+      // DECIMAL, whose division rounds differently than IEEE)
+      s"""WITH c AS (
+         |  SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+         |              WHEN 'de' THEN CAST(0.2 AS DOUBLE)
+         |              WHEN 'zh' THEN CAST(0.2 AS DOUBLE)
+         |              WHEN 'fr' THEN CAST(0.1 AS DOUBLE)
+         |              ELSE NULL END AS wt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    least(CAST(1 AS DOUBLE), CAST(200 AS DOUBLE) * wt / CAST(n AS DOUBLE)) AS keep_rate
+         |  FROM w JOIN c ON w.lang = c.g
+         |  WHERE wt IS NOT NULL)
+         |SELECT doc_id, lang, round(keep_rate, 6) AS keep_rate
+         |FROM r
+         |WHERE ${md5FracSql("CAST(doc_id AS VARCHAR)")} < keep_rate
+         |ORDER BY doc_id""".stripMargin,
 
     "q_stratified_sample" ->
       // rate CASE mirrors stratifiedSample's sorted-key fold

@@ -54,6 +54,44 @@ object Sampling {
     df.where(Sketch.md5Fraction(idCol) < rate)
   }
 
+  /** Mixture-targeting sampler — the dataset-MIXING step: downsample
+    * each stratum so the output approximates `targetRows` rows in the
+    * given `weights` proportions (e.g. 50% en / 20% de / …). The
+    * per-stratum keep rate `min(1, targetRows·w_g / n_g)` comes from a
+    * map-side-combined stratum count (tiny — one row per stratum —
+    * and broadcast back), then membership is the same id-hash
+    * Bernoulli keep as [[stratifiedSample]]: a pure function of
+    * (data, weights, target) — reproducible across runs, partitions,
+    * and engines, and NESTED (lowering targetRows keeps a subset of
+    * the larger sample, the property curriculum schedules need).
+    * Strata absent from `weights` are dropped. An under-populated
+    * stratum (n_g < targetRows·w_g) caps at rate 1 and under-delivers
+    * rather than over-sampling others — re-normalize upstream if hard
+    * totals matter. Output: input columns + `keep_rate`. */
+  def quotaSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      weights: Map[String, Double], targetRows: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w <= 1),
+      s"weights must be in [0,1]: $weights")
+    require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
+    val wcol = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double"): Column) { case (acc, (k, v)) =>
+        when(stratumCol === k, lit(v)).otherwise(acc)
+      }
+    val counts = df.groupBy(stratumCol.as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    // NB: least() IGNORES nulls (least(1.0, null) = 1.0), so the
+    // unlisted-stratum null must be reasserted around the cap
+    val rawRate = lit(targetRows.toDouble) * wcol / col("__n").cast("double")
+    df.withColumn("__g", stratumCol)
+      .join(broadcast(counts), "__g")
+      .withColumn("keep_rate",
+        when(rawRate.isNull, lit(null).cast("double"))
+          .otherwise(least(lit(1.0), rawRate)))
+      .where(col("keep_rate").isNotNull &&
+        Sketch.md5Fraction(idCol) < col("keep_rate"))
+      .drop("__g", "__n")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per
     * stratum (Efraimidis–Spirakis "A-Res"): each row draws
     * key = u^(1/w) with u the row's id-hash fraction; the k largest

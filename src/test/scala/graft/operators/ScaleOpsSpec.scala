@@ -84,4 +84,35 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(big))
   }
+
+  test("quotaSample hits target mixture, drops unlisted strata, nests") {
+    // strata of very different sizes: s0=1500, s1=1000, s2=500
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("src", when(col("id") <= 1500, "s0")
+        .when(col("id") <= 2500, "s1").otherwise("s2"))
+    val out = Sampling.quotaSample(df, col("id"), col("src"),
+      Map("s0" -> 0.25, "s1" -> 0.25, "s2" -> 0.5), targetRows = 800L)
+    val counts = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: 200/200/400 despite populations 1500/1000/500
+    assert(counts("s0") > 140 && counts("s0") < 260, counts.toString)
+    assert(counts("s1") > 140 && counts("s1") < 260, counts.toString)
+    assert(counts("s2") > 330 && counts("s2") < 470, counts.toString)
+    // under-populated stratum caps at rate 1 (never over-samples)
+    val capped = Sampling.quotaSample(df, col("id"), col("src"),
+      Map("s2" -> 1.0), targetRows = 2000L)
+    assert(capped.count() == 500)
+    assert(capped.agg(max("keep_rate")).head().getDouble(0) == 1.0)
+    // unlisted strata drop out
+    assert(out.where(!col("src").isin("s0", "s1", "s2")).isEmpty)
+    val only = Sampling.quotaSample(df, col("id"), col("src"),
+      Map("s1" -> 1.0), targetRows = 100L)
+    assert(only.where(col("src") =!= "s1").isEmpty)
+    // nesting: halving the target keeps a subset of the larger sample
+    val smaller = Sampling.quotaSample(df, col("id"), col("src"),
+      Map("s0" -> 0.25, "s1" -> 0.25, "s2" -> 0.5), targetRows = 400L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val larger = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(larger))
+  }
 }
