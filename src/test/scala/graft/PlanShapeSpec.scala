@@ -133,6 +133,15 @@ class PlanShapeSpec extends SparkSpec {
       "corpusMatchStream must not be stream-stream")
   }
 
+  test("q_quota_mix: stratum counts broadcast back, scans pruned to 2 cols") {
+    val p = planOf("q_quota_mix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastExchange"), p) // the per-stratum counts
+    // the count branch must read ONLY the stratum column
+    assert(p.contains("ReadSchema: struct<lang:string>"), p)
+  }
+
   test("text_perplexity: 1-row total rides a broadcast, no cartesian") {
     val p = planOf("text_perplexity")
     assert(!p.contains("CartesianProduct"), p)
