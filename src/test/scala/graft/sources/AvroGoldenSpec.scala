@@ -182,6 +182,40 @@ class AvroGoldenSpec extends SparkSpec {
       (2L, "-0.01", "1969-12-31T23:59:59.000001Z", "1969-12-31")))
   }
 
+  test("property: random decimals/timestamps/dates round-trip bit-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 200L).map { i =>
+      // decimal(12,3) across sign/magnitude, timestamps ±30 years of
+      // epoch at µs grain (exercises the negative floorDiv path), dates
+      // ±100 years
+      val unscaled = rnd.nextLong() % 1000000000L
+      val micros = rnd.nextLong() % (30L * 365 * 86400 * 1000000L)
+      val days = (rnd.nextInt(73000) - 36500).toLong
+      (i, new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(unscaled), 3),
+        java.time.Instant.EPOCH.plus(micros,
+          java.time.temporal.ChronoUnit.MICROS),
+        java.time.LocalDate.ofEpochDay(days))
+    }
+    val dir = Files.createTempDirectory("avroprop").toString + "/t"
+    // the encoder defaults BigDecimal to (38,18); declare the real type
+    val src = rows.toDF("id", "amt", "ts", "d")
+      .withColumn("amt", org.apache.spark.sql.functions.col("amt")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 3)))
+    assert(src.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 3))
+    AvroSource.write(src, dir)
+    val back = AvroSource.read(spark, dir).orderBy("id").collect()
+    val expect = rows.sortBy(_._1)
+    back.zip(expect).foreach { case (r, (i, amt, ts, d)) =>
+      assert(r.getLong(0) == i)
+      assert(r.getDecimal(1).compareTo(amt) == 0, s"row $i decimal")
+      assert(r.getTimestamp(2).toInstant == ts, s"row $i ts")
+      assert(r.getDate(3).toLocalDate == d, s"row $i date")
+    }
+  }
+
   test("timestamp-millis reader schema decodes (Hive-written tables)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
