@@ -133,9 +133,13 @@ object Dedup {
     * to kill (at 100× a boilerplate bucket with 10⁷ rows is one
     * straggler/spill task). Instead: a map-side-combinable groupBy
     * (one row per key per mapper reaches the shuffle) finds the
-    * over-cap keys — tiny by definition, each needs > maxBucket
-    * members — and a broadcast left-anti join drops their rows
-    * map-side, before any wide shuffle sees them. */
+    * over-cap keys — usually tiny, each needs > maxBucket members —
+    * and a left-anti join drops their rows. With AQE (on by default)
+    * the small key list broadcasts from its runtime size and the drop
+    * happens map-side before any wide shuffle; a pathologically large
+    * over-cap list (bounded by rows/maxBucket) degrades to a shuffled
+    * anti-join instead of an OOM — which is why the broadcast is NOT
+    * forced with a hint. */
   private def dropWideBuckets(rows: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
     // lazy localCheckpoint: the rows feed THREE consumers (the over-cap

@@ -139,6 +139,17 @@ object ScdReader {
     // different asOf times, making history()'s snapshots disagree with
     // read()'s as-of views on non-monotone logs. Keys first, stable
     // sort, THEN the retention filter — order is gate-independent.
+    //
+    // DOCUMENTED DIVERGENCE from the single-log path: whole-file
+    // assembly means a dangling unterminated tail throws here even
+    // when dated past asOf (the reference's line fold would silently
+    // skip its gated lines), and a `-- time=` directive BETWEEN
+    // continuation lines of one statement gates the whole assembled
+    // statement rather than its individual lines. Both only differ on
+    // pathological logs; the multi-log merge is itself an extension
+    // beyond the reference (which replays each split's log
+    // independently), and gate-independent ordering requires
+    // gate-independent assembly.
     val keyed = sidecars.flatMap { case (spec, text) =>
       val guard = if (spec.isEmpty) None else Some(partitionGuard(spec))
       var runMax = Long.MinValue
@@ -437,7 +448,15 @@ object ScdReader {
     def walk(p: Path): Seq[Path] =
       (if (fs.exists(new Path(p, SidecarName))) Seq(p) else Seq.empty) ++
         partitionChildren(fs, p).flatMap { case (child, _) => walk(child) }
-    walk(new Path(dir)).foreach { tableDir =>
+    def render(stmts: Seq[(String, Long)]): String =
+      stmts.map { case (sql, t) => s"-- time=$t\n$sql" }
+        .mkString("", "\n", "\n")
+    // PHASE 1 — validate every log and stage every rewrite, touching
+    // nothing: a refusal (non-prefix cut) or render bug on the LAST
+    // partition log must not leave earlier logs already truncated.
+    // (Phase 2's writes can still fail mid-way on I/O errors — that
+    // residual window is the filesystem's, not a validation order bug.)
+    val staged = walk(new Path(dir)).map { tableDir =>
       val text = readSidecar(spark, tableDir.toString).get
       val all = UpdatesParser.rawStatements(text, scdTime,
         strictCommentCompat = false, gateTime = Long.MaxValue)
@@ -451,25 +470,31 @@ object ScdReader {
             "statements interleave with kept ones (non-monotone time " +
             "directives), so the snapshot+remainder would replay in a " +
             "different order than the original log. Compact at a time " +
-            ">= the log's max effective time, or leave the log intact.")
+            ">= the log's max effective time, or leave the log intact. " +
+            "No log has been modified.")
       val markers = text.linesIterator
         .filter(_.startsWith(BatchMarkerPrefix)).toSeq
-      def render(stmts: Seq[(String, Long)]): String =
-        stmts.map { case (sql, t) => s"-- time=$t\n$sql" }
-          .mkString("", "\n", "\n")
+      val rewritten =
+        if (kept.isEmpty && markers.isEmpty) None
+        else {
+          val t = markers.mkString("", "\n",
+            if (markers.isEmpty) "" else "\n") +
+            (if (kept.isEmpty) "" else render(kept))
+          // re-parse before landing: a render bug must never corrupt
+          // a log in place — and must surface before ANY log is touched
+          UpdatesParser.parse(t, Long.MaxValue)
+          Some(t)
+        }
+      (tableDir, consumed, rewritten)
+    }
+    // PHASE 2 — apply
+    staged.foreach { case (tableDir, consumed, rewritten) =>
       if (archive && consumed.nonEmpty)
         writeSidecarAtomic(spark, tableDir.toString, render(consumed),
           name = s"$SidecarName.archive-$scdTime")
-      if (kept.isEmpty && markers.isEmpty)
-        fs.delete(new Path(tableDir, SidecarName), false)
-      else {
-        val rewritten =
-          markers.mkString("", "\n", if (markers.isEmpty) "" else "\n") +
-            (if (kept.isEmpty) "" else render(kept))
-        // re-parse before landing: a render bug must never corrupt
-        // the log in place
-        UpdatesParser.parse(rewritten, Long.MaxValue)
-        writeSidecarAtomic(spark, tableDir.toString, rewritten)
+      rewritten match {
+        case Some(t) => writeSidecarAtomic(spark, tableDir.toString, t)
+        case None => fs.delete(new Path(tableDir, SidecarName), false)
       }
     }
   }

@@ -274,6 +274,28 @@ class PartitionedSidecarSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, -5L)))
   }
 
+  test("truncateLog refusal on ANY log leaves EVERY log untouched") {
+    val dir = writePartitioned()
+    // root log is cleanly consumable; seg=A's is a non-prefix cut —
+    // validation must run over all logs BEFORE any rewrite, or the
+    // root log would already be truncated when the refusal fires
+    Files.writeString(Paths.get(dir, ".updates"),
+      "-- time=2020-01-01\nUPDATE t SET v = v * 2;\n")
+    Files.writeString(Paths.get(dir, "seg=A", ".updates"),
+      """-- time=2525-01-01
+        |UPDATE t SET v = v + 1;
+        |-- time=2020-06-01
+        |UPDATE t SET v = v + 100;
+        |""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      ScdReader.truncateLog(spark, dir, asOf = Some("2021-01-01"))
+    }
+    assert(e.getMessage.contains("non-monotone"), e.getMessage)
+    assert(ScdReader.readSidecar(spark, dir).get.contains("v * 2"))
+    assert(ScdReader.readSidecar(spark, s"$dir/seg=A").get
+      .contains("v + 100"))
+  }
+
   test("escaped partition values round-trip through discovery") {
     val dir = writePartitioned()
     // Hive-escape a space as %20 in the directory name

@@ -208,6 +208,8 @@ class AvroGoldenSpec extends SparkSpec {
     AvroSource.write(src, dir)
     val back = AvroSource.read(spark, dir).orderBy("id").collect()
     val expect = rows.sortBy(_._1)
+    assert(back.length == expect.length,
+      s"row count: ${back.length} != ${expect.length}")
     back.zip(expect).foreach { case (r, (i, amt, ts, d)) =>
       assert(r.getLong(0) == i)
       assert(r.getDecimal(1).compareTo(amt) == 0, s"row $i decimal")
