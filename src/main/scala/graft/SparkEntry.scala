@@ -767,6 +767,18 @@ object SparkEntry {
           round(col("keep_rate"), 6).as("keep_rate"))
         .orderBy("doc_id")),
 
+    // token-budgeted mixing: 50k chars at 60/40 en/de — en thins to
+    // ~0.47, de's demand exceeds supply and caps at rate 1
+    "q_quota_token_budget" -> ((s, dir) =>
+      Sampling.quotaSampleBy(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), Map("en" -> 0.6, "de" -> 0.4), target = 50000L,
+        sizeCol = col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_kept"),
+          round(max(col("keep_rate")), 6).as("keep_rate"))
+        .orderBy("lang")),
+
     // temperature-style weighted sample: 20 docs per source, longer
     // docs proportionally likelier, reproducible from ids alone
     "q_weighted_sample" -> ((s, dir) =>
@@ -2051,6 +2063,27 @@ object SparkEntry {
          |FROM r
          |WHERE ${md5FracSql("CAST(doc_id AS VARCHAR)")} < keep_rate
          |ORDER BY doc_id""".stripMargin,
+
+    "q_quota_token_budget" ->
+      s"""WITH c AS (
+         |  SELECT lang AS g, sum(n_chars) AS n FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    CASE lang WHEN 'en' THEN CAST(0.6 AS DOUBLE)
+         |              WHEN 'de' THEN CAST(0.4 AS DOUBLE)
+         |              ELSE NULL END AS wt
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, n_chars,
+         |    least(CAST(1 AS DOUBLE), CAST(50000 AS DOUBLE) * wt / CAST(n AS DOUBLE)) AS keep_rate
+         |  FROM w JOIN c ON w.lang = c.g
+         |  WHERE wt IS NOT NULL)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars_kept,
+         |  round(max(keep_rate), 6) AS keep_rate
+         |FROM r
+         |WHERE ${md5FracSql("CAST(doc_id AS VARCHAR)")} < keep_rate
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_stratified_sample" ->
       // rate CASE mirrors stratifiedSample's sorted-key fold

@@ -69,19 +69,31 @@ object Sampling {
     * rather than over-sampling others — re-normalize upstream if hard
     * totals matter. Output: input columns + `keep_rate`. */
   def quotaSample(df: DataFrame, idCol: Column, stratumCol: Column,
-      weights: Map[String, Double], targetRows: Long): DataFrame = {
+      weights: Map[String, Double], targetRows: Long): DataFrame =
+    quotaSampleBy(df, idCol, stratumCol, weights, targetRows, lit(1L))
+
+  /** [[quotaSample]] generalized to an arbitrary SIZE measure: the
+    * mixture is targeted in units of `sizeCol` (token counts, chars,
+    * bytes) instead of rows — the form a token-budgeted pretraining
+    * mix actually needs. Keep rate = min(1, target·w_g / Σ_g size);
+    * expected kept size per stratum = target·w_g exactly (membership
+    * stays per-ROW Bernoulli — unbiased for the total because the
+    * hash is independent of size). Sizes aggregate as exact longs. */
+  def quotaSampleBy(df: DataFrame, idCol: Column, stratumCol: Column,
+      weights: Map[String, Double], target: Long,
+      sizeCol: Column): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(w => w >= 0 && w <= 1),
       s"weights must be in [0,1]: $weights")
-    require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
+    require(target >= 0, s"target must be >= 0: $target")
     val wcol = weights.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("double"): Column) { case (acc, (k, v)) =>
         when(stratumCol === k, lit(v)).otherwise(acc)
       }
     val counts = df.groupBy(stratumCol.as("__g"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(sizeCol.cast("long")).as("__n"))
     // NB: least() IGNORES nulls (least(1.0, null) = 1.0), so the
     // unlisted-stratum null must be reasserted around the cap
-    val rawRate = lit(targetRows.toDouble) * wcol / col("__n").cast("double")
+    val rawRate = lit(target.toDouble) * wcol / col("__n").cast("double")
     df.withColumn("__g", stratumCol)
       .join(broadcast(counts), "__g")
       .withColumn("keep_rate",

@@ -115,4 +115,23 @@ class ScaleOpsSpec extends SparkSpec {
     val larger = out.select("id").collect().map(_.getLong(0)).toSet
     assert(smaller.subsetOf(larger))
   }
+
+  test("quotaSampleBy targets the SIZE measure, not row counts") {
+    // s0: 100 rows of size 100; s1: 1000 rows of size 10 — equal total
+    // mass (10k each); a 50/50 mix at target 10k should keep ~5k of
+    // EACH stratum's mass, i.e. ~50 s0 rows but ~500 s1 rows
+    val df = (1L to 1100L).toDF("id")
+      .withColumn("src", when(col("id") <= 100, "s0").otherwise("s1"))
+      .withColumn("sz", when(col("id") <= 100, 100L).otherwise(10L))
+    val out = Sampling.quotaSampleBy(df, col("id"), col("src"),
+      Map("s0" -> 0.5, "s1" -> 0.5), target = 10000L, sizeCol = col("sz"))
+    val mass = out.groupBy("src").agg(sum("sz").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mass("s0") > 3500 && mass("s0") < 6500, mass.toString)
+    assert(mass("s1") > 3500 && mass("s1") < 6500, mass.toString)
+    // row counts differ ~10x even though mass targets are equal
+    val rows = out.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("s1") > 5 * rows("s0"), rows.toString)
+  }
 }
