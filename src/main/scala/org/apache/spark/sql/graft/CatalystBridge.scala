@@ -100,8 +100,47 @@ object CatalystBridge {
         intLit(args(1), "k"), intLit(args(2), "stride"))
     })
 
+  /** Column tree → analyzable Catalyst Expression. The thin
+    * `ExpressionUtils.expression` wrapper is NOT enough for function
+    * builders: it leaves a lazy ColumnNodeExpression whose inner
+    * UnresolvedFunctions the analyzer never visits (they surface as
+    * INTERNAL_ERROR at codegen). The full converter lowers the node
+    * tree to real Catalyst nodes that resolve like any parsed SQL. */
+  private def lower(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** `simhash64(text)` — the packed-long 64-bit SimHash signature
+    * (identical to [[graft.operators.Dedup.simHashColumn]]; a SQL
+    * macro expanding to the per-row expression form, so plain-SQL
+    * users — the reference's own audience — can sign and band without
+    * the DataFrame API). */
+  val simhash64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo("graft.operators.Dedup", "simhash64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"simhash64 takes 1 argument, got ${args.length}")
+      lower(graft.operators.Dedup.simHashColumn(
+        ExpressionUtils.column(args.head)))
+    })
+
+  /** `hamming64(a, b)` — XOR + popcount distance between two packed
+    * signature longs. */
+  val hamming64Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming64"),
+    new ExpressionInfo("graft.operators.Dedup", "hamming64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"hamming64 takes 2 arguments, got ${args.length}")
+      lower(graft.operators.Dedup.hamming(
+        ExpressionUtils.column(args.head), ExpressionUtils.column(args(1))))
+    })
+
   private def allDescriptors = Seq(
-    dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor)
+    dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
+    simhash64Descriptor, hamming64Descriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

@@ -73,4 +73,26 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT dot_product(a) FROM vecs_ext2").collect()
     }
   }
+
+  test("simhash64/hamming64 in plain SQL match the DataFrame forms") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    Seq((1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox leaps"),
+      (3L, "completely different text entirely here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh FROM docs_sql""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = operators.Dedup.simHash(
+      spark.table("docs_sql"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sql == df)
+    val d = spark.sql(
+      """SELECT hamming64(simhash64(a.text), simhash64(b.text)) AS d
+        |FROM docs_sql a JOIN docs_sql b ON a.doc_id = 1 AND b.doc_id = 2
+        |""".stripMargin).head().getInt(0) // bit_count yields INT
+    assert(d == java.lang.Long.bitCount(sql(1L) ^ sql(2L)))
+    assert(d <= 16, s"near-identical docs should be close: $d")
+  }
 }
