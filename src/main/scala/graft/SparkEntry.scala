@@ -686,6 +686,22 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"))
         .orderBy("doc_id", "rank")),
 
+    // perplexity scored against an EXTERNAL LM: train-split unigram
+    // table scores the test split; OOV tokens charge a flat 20.0
+    // penalty — the production quality-filter shape (score incoming
+    // docs without re-deriving the LM from them)
+    "text_perplexity_ref" -> ((s, dir) => {
+      val withSplit = t(s, dir, "documents").withColumn("split",
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      val lm = TextAnalysis.unigramLm(
+        withSplit.where(col("split") === "train"))
+      TextAnalysis.unigramLogLossWith(
+        withSplit.where(col("split") === "test"), lm,
+        oovQMicros = 20000000L)
+        .orderBy("doc_id")
+    }),
+
     // perplexity-proxy quality score (CCNet-style, unigram LM): high
     // avg_neg_logp = token mix diverges from the corpus
     "text_perplexity" -> ((s, dir) =>
@@ -1859,6 +1875,36 @@ object SparkEntry {
 
     // quantized-long sum mirrors unigramLogLoss's determinism
     // discipline (float sums have engine-dependent accumulation order)
+    "text_perplexity_ref" ->
+      // split thresholds mirror splitColumn's left-assoc cumulative
+      // sums (same idiom as the contamination oracle)
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN ${md5FracSql("CAST(doc_id AS VARCHAR)")} < 0.8 THEN 'train'
+         |         WHEN ${md5FracSql("CAST(doc_id AS VARCHAR)")} < 0.8 + 0.1 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |tok_tr AS (
+         |  SELECT unnest(string_split(lower(text), ' ')) AS t
+         |  FROM d WHERE split = 'train'),
+         |c AS (SELECT t, count(*) AS c FROM tok_tr GROUP BY 1),
+         |tot AS (SELECT sum(c) AS total FROM c),
+         |lm AS (
+         |  SELECT t,
+         |    CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM c CROSS JOIN tot),
+         |tok_te AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |  FROM d WHERE split = 'test'),
+         |j AS (
+         |  SELECT doc_id, coalesce(q, 20000000) AS q
+         |  FROM tok_te LEFT JOIN lm USING (t))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
+         |    AS avg_neg_logp
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_perplexity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t

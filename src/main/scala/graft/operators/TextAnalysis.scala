@@ -276,6 +276,40 @@ object TextAnalysis {
     * rare but not impossible, unlike the sum-order hazard this
     * eliminates.
     * Output: id, n_tokens, avg_neg_logp. */
+  /** The unigram LM TABLE [[unigramLogLossWith]] scores against:
+    * (t, q) with q = the 1e-6-quantized −ln p(t) long — the persisted
+    * reference-corpus artifact the scaladoc below promises. One
+    * map-side-combinable token groupBy + a broadcast 1-row total. */
+  def unigramLm(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(explode(tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("t"),
+        floor(-log(col("c").cast("double") / col("total")) * 1000000)
+          .cast("long").as("q"))
+  }
+
+  /** [[unigramLogLoss]] against an EXTERNAL LM table ([[unigramLm]]
+    * output, typically trained on a reference corpus or the train
+    * split) — the production quality-filter shape: score incoming
+    * documents without re-deriving the distribution from them.
+    * Out-of-vocabulary tokens charge the flat `oovQMicros` penalty
+    * (quantized −ln p micros; pick ≈ −ln of a sub-vocabulary
+    * probability) via a left join — deterministic and replayable.
+    * Same output as [[unigramLogLoss]]. */
+  def unigramLogLossWith(docs: DataFrame, lm: DataFrame,
+      oovQMicros: Long, id: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(id), explode(tokens(col(textCol))).as("t"))
+      .join(lm, Seq("t"), "left")
+      .select(col(id), coalesce(col("q"), lit(oovQMicros)).as("q"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
+
   def unigramLogLoss(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(id), explode(tokens(col(textCol))).as("t"))

@@ -24,6 +24,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == want, s"${got(1L)} != $want")
   }
 
+  test("unigramLogLossWith: self-LM equals unigramLogLoss; OOV charges the flat penalty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta gamma alpha")).toDF("doc_id", "text")
+    val self = TextAnalysis.unigramLogLossWith(docs,
+        TextAnalysis.unigramLm(docs), oovQMicros = 999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = TextAnalysis.unigramLogLoss(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(self == base) // no OOV possible against the self LM
+    // score an unseen document: its OOV tokens each cost exactly the
+    // flat penalty (20.0 after the 1e-6 dequantize)
+    val unseen = Seq((9L, "zz yy")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogLossWith(unseen,
+        TextAnalysis.unigramLm(docs), oovQMicros = 20000000L)
+      .head()
+    assert(got.getLong(1) == 2L && got.getDouble(2) == 20.0, got.toString)
+  }
+
   test("repetitionStats: fractions match hand-computed values") {
     import spark.implicits._
     val docs = Seq(
