@@ -89,7 +89,13 @@ object Sampling {
       .foldLeft(lit(null).cast("double"): Column) { case (acc, (k, v)) =>
         when(stratumCol === k, lit(v)).otherwise(acc)
       }
-    val counts = df.groupBy(stratumCol.as("__g"))
+    // aggregate ONLY the listed strata: on a high-cardinality stratum
+    // column (domain, host) an unfiltered groupBy would broadcast
+    // millions of rows that the join discards anyway — the filter
+    // bounds the broadcast at |weights| rows
+    val counts = df
+      .where(stratumCol.isin(weights.keys.toSeq: _*))
+      .groupBy(stratumCol.as("__g"))
       .agg(sum(sizeCol.cast("long")).as("__n"))
     // NB: least() IGNORES nulls (least(1.0, null) = 1.0), so the
     // unlisted-stratum null must be reasserted around the cap

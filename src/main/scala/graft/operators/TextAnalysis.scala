@@ -280,8 +280,7 @@ object TextAnalysis {
     * (t, q) with q = the 1e-6-quantized −ln p(t) long — the persisted
     * reference-corpus artifact the scaladoc below promises. One
     * map-side-combinable token groupBy + a broadcast 1-row total. */
-  def unigramLm(docs: DataFrame, id: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+  def unigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tok = docs.select(explode(tokens(col(textCol))).as("t"))
     val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").as("total"))
@@ -311,19 +310,12 @@ object TextAnalysis {
           (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
 
   def unigramLogLoss(docs: DataFrame, id: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val tok = docs.select(col(id), explode(tokens(col(textCol))).as("t"))
-    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").as("total"))
-    val qlp = floor(-log(col("c").cast("double") / col("total")) * 1000000)
-      .cast("long")
-    tok.join(counts, "t").crossJoin(broadcast(total))
-      .select(col(id), qlp.as("q"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("q")).cast("double") /
-          (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
-  }
+      textCol: String = "text"): DataFrame =
+    // self-LM delegation: every scored token exists in the LM by
+    // construction, so the OOV penalty is unreachable (0 is a
+    // sentinel, not a tuning knob)
+    unigramLogLossWith(docs, unigramLm(docs, textCol),
+      oovQMicros = 0L, id, textCol)
 
   /** Split each document into overlapping token windows — the
     * context-window prep step of a training pipeline (chunk i covers
