@@ -548,6 +548,42 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("hour_bucket", "event_type")),
 
+    // time-series gap filling: the hourly count grid per event type
+    // with MISSING HOURS materialized as zero rows — the resample step
+    // every downstream window/trend computation assumes. The dense
+    // grid is (hours × types): generated from a broadcast 1-row
+    // min/max bound via sequence-explode crossed with the (tiny)
+    // distinct type set — the fact table is touched once, map-side
+    // aggregated
+    "q_resample_gaps" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(expr("ts_us div 3600000000").as("hb"), col("event_type"))
+      val counts = ev.groupBy("hb", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(min("hb").as("mn"), max("hb").as("mx"))
+      val grid = bounds
+        .select(explode(expr("sequence(mn, mx)")).as("hb"))
+        .crossJoin(broadcast(ev.select("event_type").distinct()))
+      grid.join(counts, Seq("hb", "event_type"), "left")
+        .select(col("hb").as("hour_bucket"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+
+    // per-user inter-event gaps via lag(): the dwell-time feature; the
+    // window partitions on user_id (high cardinality — no skew) and
+    // sorts only (ts_us, event_id)
+    "q_event_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .where(col("prev_us").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          (col("ts_us") - col("prev_us")).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "sessionize" -> ((s, dir) =>
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
@@ -1578,6 +1614,32 @@ object SparkEntry {
         |SELECT us // 3600000000 AS hour_bucket, event_type,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM e GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+
+    "q_resample_gaps" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS hb, event_type FROM events),
+        |c AS (SELECT hb, event_type, count(*) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT min(hb) AS mn, max(hb) AS mx FROM e),
+        |g AS (
+        |  SELECT gs.hb, t.event_type
+        |  FROM (SELECT unnest(generate_series(mn, mx)) AS hb FROM b) gs
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM e) t)
+        |SELECT g.hb AS hour_bucket, g.event_type AS event_type,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c ON g.hb = c.hb AND g.event_type = c.event_type
+        |ORDER BY hour_bucket, g.event_type""".stripMargin,
+
+    "q_event_gaps" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, us,
+        |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_us
+        |  FROM e)
+        |SELECT user_id, event_id, us - prev_us AS gap_us
+        |FROM w WHERE prev_us IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_profile" -> {
       def num(c: String) =
