@@ -744,6 +744,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bigram (conditional-probability) log-loss, self-corpus LM: word
+    // salad has fluent unigrams but garbage bigrams
+    "text_perplexity_bigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bigramLogLossWith(docs, TextAnalysis.bigramLm(docs),
+        oovQMicros = 0L)
+        .orderBy("doc_id")
+    }),
+
     // perplexity-proxy quality score (CCNet-style, unigram LM): high
     // avg_neg_logp = token mix diverges from the corpus
     "text_perplexity" -> ((s, dir) =>
@@ -1973,6 +1982,31 @@ object SparkEntry {
          |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
          |    AS avg_neg_logp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |p AS (
+        |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+        |    FROM toks)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(-ln(CAST(c12 AS DOUBLE) / c1) * 1000000) AS BIGINT)
+        |      AS q
+        |  FROM c12 JOIN c1 USING (w1)),
+        |j AS (
+        |  SELECT doc_id, coalesce(q, 0) AS q
+        |  FROM p LEFT JOIN lm USING (w1, w2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
+        |    AS avg_neg_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_perplexity" ->
       """WITH tok AS (

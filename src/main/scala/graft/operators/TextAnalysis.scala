@@ -309,6 +309,52 @@ object TextAnalysis {
         round(sum(col("q")).cast("double") /
           (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
 
+  /** (id?, w1, w2) bigram events of a text column — the inline
+    * generator shared by the bigram LM builder and scorer (same
+    * projection-collapse rule as [[Dedup.shingles]]: the transform
+    * stays under the explode). Docs shorter than 2 tokens emit
+    * nothing. */
+  private def bigramEvents(docs: DataFrame, keep: Seq[Column],
+      textCol: String): DataFrame =
+    docs.select(keep :+ split(lower(col(textCol)), " ").as("toks"): _*)
+      .where(size(col("toks")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("__b"): _*)
+      .select(keep :+ col("__b.w1").as("w1") :+ col("__b.w2").as("w2"): _*)
+
+  /** Bigram LM table: (w1, w2, q) with q the 1e-6-quantized
+    * −ln P(w2|w1), MLE over bigram events (the denominator is the sum
+    * of the w1 row-group — map-side-combinable groupBys joined on w1).
+    * The conditional-probability upgrade of [[unigramLm]]; same
+    * persistable-artifact contract. */
+  def bigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val c12 = bigramEvents(docs, Seq.empty, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        floor(-log(col("c12").cast("double") / col("c1")) * 1000000)
+          .cast("long").as("q"))
+  }
+
+  /** Per-document bigram log-loss against an external [[bigramLm]]
+    * table — the conditional-probability perplexity proxy (sharper
+    * than the unigram score on scrambled-but-common-token text: word
+    * SALAD has fluent unigrams and garbage bigrams). Unseen bigrams
+    * charge `oovQMicros` flat. Docs shorter than 2 tokens are absent
+    * from the output. Output: id, n_bigrams, avg_neg_logp. */
+  def bigramLogLossWith(docs: DataFrame, lm: DataFrame,
+      oovQMicros: Long, id: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    bigramEvents(docs, Seq(col(id)), textCol)
+      .join(lm, Seq("w1", "w2"), "left")
+      .select(col(id), coalesce(col("q"), lit(oovQMicros)).as("q"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
+
   def unigramLogLoss(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text"): DataFrame =
     // self-LM delegation: every scored token exists in the LM by

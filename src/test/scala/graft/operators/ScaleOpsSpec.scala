@@ -116,6 +116,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("hash sampling/splits are streaming-safe (pure per-row, no state)") {
+    // the sampling family is deterministic per-row expressions, so it
+    // must compose with readStream in append mode with ZERO streaming
+    // state — the property that lets a crawl pipeline mix/split on
+    // ingest (quotaSample, which aggregates counts, is batch-only by
+    // design)
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .select(col("value").as("id"),
+        concat(lit("s"), col("value") % 3).as("src"))
+    val out = Sampling.splitAssign(
+      Sampling.stratifiedSample(stream, col("id"), col("src"),
+        Map("s0" -> 0.5)),
+      col("id"), Seq("train" -> 0.9, "test" -> 0.1))
+    assert(out.isStreaming)
+    assert(out.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isEmpty, "sampling must stay stateless on streams")
+  }
+
   test("quotaSampleBy targets the SIZE measure, not row counts") {
     // s0: 100 rows of size 100; s1: 1000 rows of size 10 — equal total
     // mass (10k each); a 50/50 mix at target 10k should keep ~5k of

@@ -24,6 +24,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == want, s"${got(1L)} != $want")
   }
 
+  test("bigramLogLoss: word salad scores high where unigrams cannot tell") {
+    import spark.implicits._
+    // both docs have IDENTICAL token multisets — unigram log-loss ties
+    // by construction; only the bigram score separates fluent order
+    // from salad
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat sat on the mat"),
+      (2L, "mat the on sat cat the mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val uni = TextAnalysis.unigramLogLoss(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) == uni(2L), s"unigram must tie: $uni")
+    // LM trained on FLUENT text only (the reference-corpus shape):
+    // the salad's unseen transitions charge the OOV penalty
+    val lm = TextAnalysis.bigramLm(docs.where($"doc_id" === 1L))
+    val bi = TextAnalysis.bigramLogLossWith(docs, lm,
+        oovQMicros = 20000000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(1L) < bi(2L), s"salad must score higher: $bi")
+    // short doc exclusion + OOV penalty on an unseen-bigram doc
+    val scored = TextAnalysis.bigramLogLossWith(
+      Seq((8L, "solo"), (9L, "zz yy xx")).toDF("doc_id", "text"),
+      TextAnalysis.bigramLm(docs), oovQMicros = 20000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.toSeq == Seq((9L, 2L, 20.0)), scored.mkString(","))
+  }
+
   test("unigramLogLossWith: self-LM equals unigramLogLoss; OOV charges the flat penalty") {
     import spark.implicits._
     val docs = Seq(
