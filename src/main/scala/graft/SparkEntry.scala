@@ -744,6 +744,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // domain-drift gate: KL(en docs || non-en docs) over token
+    // distributions — the pre-merge distribution check for a new
+    // crawl batch (here the language split stands in for old/new)
+    "text_kl_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.tokenKlDivergence(
+        docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"))
+    }),
+
     // bigram (conditional-probability) log-loss, self-corpus LM: word
     // salad has fluent unigrams but garbage bigrams
     "text_perplexity_bigram" -> ((s, dir) => {
@@ -1982,6 +1992,35 @@ object SparkEntry {
          |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
          |    AS avg_neg_logp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_kl_drift" ->
+      // add-1 smoothing over the union vocab; per-term 1e-12 quantized
+      // longs mirror tokenKlDivergence's determinism discipline
+      """WITH cp AS (
+        |  SELECT t, count(*) AS cp FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE lang = 'en') GROUP BY 1),
+        |cq AS (
+        |  SELECT t, count(*) AS cq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE lang <> 'en') GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(cp.t, cq.t) AS t,
+        |    coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+        |  FROM cp FULL OUTER JOIN cq ON cp.t = cq.t),
+        |tot AS (
+        |  SELECT sum(cp) AS np, sum(cq) AS nq, count(*) AS v FROM j),
+        |terms AS (
+        |  SELECT v,
+        |    CAST(floor(
+        |      (CAST(cp + 1 AS DOUBLE) / (np + v)) *
+        |      ln((CAST(cp + 1 AS DOUBLE) / (np + v)) /
+        |         (CAST(cq + 1 AS DOUBLE) / (nq + v))) * 1e12)
+        |      AS BIGINT) AS term_q
+        |  FROM j CROSS JOIN tot)
+        |SELECT CAST(v AS BIGINT) AS n_vocab,
+        |  round(CAST(sum(term_q) AS DOUBLE) / 1e12, 6) AS kl_nats
+        |FROM terms GROUP BY v""".stripMargin,
 
     "text_perplexity_bigram" ->
       """WITH toks AS (

@@ -309,6 +309,41 @@ object TextAnalysis {
         round(sum(col("q")).cast("double") /
           (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
 
+  /** Token-distribution KL divergence D(P‖Q) between two corpora —
+    * the domain-drift check a curation pipeline runs before mixing a
+    * new crawl batch into the standing corpus (large KL = the batch's
+    * token mix diverges; route to review instead of auto-merge).
+    *
+    * Estimator: add-1 smoothing over the UNION vocabulary V, so both
+    * distributions are strictly positive and the divergence is finite:
+    * p_t = (cP_t + 1)/(NP + |V|), q_t likewise; D = Σ_t p_t ln(p_t/q_t).
+    * Determinism discipline: each term is quantized to a 1e-12 grid
+    * long before the sum (float accumulation order differs across
+    * engines; exact long sums don't — |term|·1e12 ≤ ~1e10 and vocab
+    * ≤ 1e6 keeps the sum far from overflow), one divide at the end.
+    * Plan: two token groupBys (map-side combined), a full-outer join
+    * on token, broadcast 1-row totals. Output one row:
+    * (n_vocab, kl_nats). */
+  def tokenKlDivergence(p: DataFrame, q: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as(as))
+    val joined = counts(p, "cp").join(counts(q, "cq"), Seq("t"), "full_outer")
+      .select(col("t"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+    val totals = joined.agg(sum("cp").as("np"), sum("cq").as("nq"),
+      count(lit(1)).as("v"))
+    val pt = (col("cp") + 1).cast("double") / (col("np") + col("v"))
+    val qt = (col("cq") + 1).cast("double") / (col("nq") + col("v"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("v"),
+        floor(pt * log(pt / qt) * 1e12).cast("long").as("term_q"))
+      .groupBy(col("v").as("n_vocab"))
+      .agg(round(sum(col("term_q")).cast("double") / 1e12, 6)
+        .as("kl_nats"))
+  }
+
   /** (id?, w1, w2) bigram events of a text column — the inline
     * generator shared by the bigram LM builder and scorer (same
     * projection-collapse rule as [[Dedup.shingles]]: the transform

@@ -24,6 +24,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == want, s"${got(1L)} != $want")
   }
 
+  test("tokenKlDivergence: zero on self, positive under drift") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha alpha beta gamma"),
+      (2L, "alpha beta beta gamma")).toDF("doc_id", "text")
+    val b = Seq((3L, "delta delta epsilon zeta"),
+      (4L, "delta epsilon epsilon zeta")).toDF("doc_id", "text")
+    val self = TextAnalysis.tokenKlDivergence(a, a).head()
+    assert(self.getDouble(1) == 0.0, self.toString) // p == q per term
+    val drift = TextAnalysis.tokenKlDivergence(a, b).head()
+    // disjoint vocab; add-1 smoothing bounds the tiny-corpus value
+    assert(drift.getDouble(1) > 0.5, drift.toString)
+    assert(drift.getLong(0) == 6L) // union vocabulary
+    // mild overlap sits between the extremes
+    val mixed = TextAnalysis.tokenKlDivergence(a,
+      Seq((5L, "alpha beta gamma delta")).toDF("doc_id", "text")).head()
+    assert(mixed.getDouble(1) > 0.0 && mixed.getDouble(1) < drift.getDouble(1))
+  }
+
   test("bigramLogLoss: word salad scores high where unigrams cannot tell") {
     import spark.implicits._
     // both docs have IDENTICAL token multisets — unigram log-loss ties
