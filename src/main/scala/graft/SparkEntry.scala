@@ -558,12 +558,16 @@ object SparkEntry {
     "q_resample_gaps" -> ((s, dir) => {
       val ev = events(s, dir)
         .select(expr("ts_us div 3600000000").as("hb"), col("event_type"))
+      // ONE fact scan: bounds and the distinct type set derive from
+      // the (tiny, hours×types) aggregate, lazily checkpointed so its
+      // three consumers don't re-run the scan
       val counts = ev.groupBy("hb", "event_type")
         .agg(count(lit(1)).as("n"))
-      val bounds = ev.agg(min("hb").as("mn"), max("hb").as("mx"))
+        .localCheckpoint(false)
+      val bounds = counts.agg(min("hb").as("mn"), max("hb").as("mx"))
       val grid = bounds
         .select(explode(expr("sequence(mn, mx)")).as("hb"))
-        .crossJoin(broadcast(ev.select("event_type").distinct()))
+        .crossJoin(broadcast(counts.select("event_type").distinct()))
       grid.join(counts, Seq("hb", "event_type"), "left")
         .select(col("hb").as("hour_bucket"), col("event_type"),
           coalesce(col("n"), lit(0L)).as("n"))
@@ -940,8 +944,11 @@ object SparkEntry {
     "dedup_incremental_indexed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val corpus = docs.where(col("doc_id") % 2 === 0)
-      val index = sigIndexCache.getOrElseUpdate(
-        (s.sparkContext.applicationId, dir),
+      // evict entries from dead SparkContexts so session-cycling JVMs
+      // (test harnesses, notebooks) don't pin stopped sessions forever
+      val appId = s.sparkContext.applicationId
+      sigIndexCache.filterInPlace((k, _) => k._1 == appId)
+      val index = sigIndexCache.getOrElseUpdate((appId, dir),
         Dedup.minHashSignatures(Dedup.shingles(corpus)).localCheckpoint())
       Dedup.minhashLshPairsIncremental(
         corpus, docs.where(col("doc_id") % 2 === 1), threshold = 0.8,

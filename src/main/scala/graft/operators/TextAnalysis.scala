@@ -329,9 +329,13 @@ object TextAnalysis {
     def counts(df: DataFrame, as: String): DataFrame =
       df.select(explode(tokens(col(textCol))).as("t"))
         .groupBy("t").agg(count(lit(1)).as(as))
+    // lazy checkpoint: the joined vocab table (bounded by |V|) feeds
+    // both the totals aggregate and the term computation — without it
+    // the two token groupBys + full-outer join execute twice
     val joined = counts(p, "cp").join(counts(q, "cq"), Seq("t"), "full_outer")
       .select(col("t"), coalesce(col("cp"), lit(0L)).as("cp"),
         coalesce(col("cq"), lit(0L)).as("cq"))
+      .localCheckpoint(false)
     val totals = joined.agg(sum("cp").as("np"), sum("cq").as("nq"),
       count(lit(1)).as("v"))
     val pt = (col("cp") + 1).cast("double") / (col("np") + col("v"))
@@ -351,7 +355,7 @@ object TextAnalysis {
     * nothing. */
   private def bigramEvents(docs: DataFrame, keep: Seq[Column],
       textCol: String): DataFrame =
-    docs.select(keep :+ split(lower(col(textCol)), " ").as("toks"): _*)
+    docs.select(keep :+ tokens(col(textCol)).as("toks"): _*)
       .where(size(col("toks")) >= 2)
       .select(keep :+ explode(expr(
         "transform(sequence(0, size(toks)-2), " +
