@@ -150,6 +150,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
   }
 
+  test("resample grid: no cartesian; grid sides broadcast") {
+    val p = planOf("q_resample_gaps")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row bounds and the tiny type set both ride broadcasts
+    assert(count(p, "BroadcastExchange") >= 1, p)
+  }
+
+  test("KL drift: single-row totals broadcast against the vocab table") {
+    val p = planOf("text_kl_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {
