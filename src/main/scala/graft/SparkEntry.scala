@@ -468,6 +468,15 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // CDC extract: which dim rows did the log touch between two
+    // scd.times — here raw (scd.time=-1) vs now. The BUILDING +100
+    // update surfaces as U rows; the negative-balance delete as D rows
+    // carrying the pre-image.
+    "scd_diff" -> ((s, dir) =>
+      ScdMerge.snapshotDiff(t(s, dir, "customer"),
+        asOfCustomer(s, dir, None), "c_custkey")
+        .orderBy("change_type", "c_custkey")),
+
     "scd2_reconstruct" -> ((s, dir) => {
       val ev = events(s, dir).select("user_id", "event_id", "ts_us")
       ScdMerge.scd2FromChangeLog(ev, "user_id", "ts_us", "event_id")
@@ -1542,6 +1551,34 @@ object SparkEntry {
         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM staging)
         |  UNION ALL SELECT * FROM staging)
         |ORDER BY c_custkey""".stripMargin,
+
+    // CDC diff raw vs as-of-now: the 'I' branch is dead here (a DML
+    // log never inserts) but the SQL classifies generically
+    "scd_diff" ->
+      s"""WITH $AsOfNowCte,
+         |d AS (
+         |  SELECT
+         |    CASE WHEN b.c_custkey IS NULL THEN 'I'
+         |         WHEN a.c_custkey IS NULL THEN 'D'
+         |         WHEN (b.c_name IS DISTINCT FROM a.c_name)
+         |           OR (b.c_nationkey IS DISTINCT FROM a.c_nationkey)
+         |           OR (b.c_acctbal IS DISTINCT FROM a.c_acctbal)
+         |           OR (b.c_mktsegment IS DISTINCT FROM a.c_mktsegment)
+         |           THEN 'U'
+         |    END AS change_type,
+         |    coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+         |    CASE WHEN a.c_custkey IS NULL THEN b.c_name
+         |         ELSE a.c_name END AS c_name,
+         |    CASE WHEN a.c_custkey IS NULL THEN b.c_nationkey
+         |         ELSE a.c_nationkey END AS c_nationkey,
+         |    CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal
+         |         ELSE a.c_acctbal END AS c_acctbal,
+         |    CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment
+         |         ELSE a.c_mktsegment END AS c_mktsegment
+         |  FROM customer b FULL OUTER JOIN asof_dim a
+         |    ON b.c_custkey = a.c_custkey)
+         |SELECT * FROM d WHERE change_type IS NOT NULL
+         |ORDER BY change_type, c_custkey""".stripMargin,
 
     "scd2_reconstruct" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
