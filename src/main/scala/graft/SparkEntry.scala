@@ -732,6 +732,15 @@ object SparkEntry {
     "text_filter" -> ((s, dir) =>
       TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
+    // in for lines on this single-line corpus; windows shared by >= 2
+    // docs (exact-dup and near-dup clones) are stripped everywhere and
+    // the docs reassembled in order
+    "text_line_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"),
+        Dedup.tokenWindows(col("text"), 8))
+        .orderBy("doc_id")),
+
     // top-5 characteristic terms per doc by smoothed tf-idf.
     // r4's +85% bench blip re-measured r5 in isolation at sf0.1:
     // steady-state 0.80 s; running text_perplexity first makes this
@@ -2145,6 +2154,41 @@ object SparkEntry {
          |FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bk = g.i
          |ORDER BY g.doc_id, pos""".stripMargin
     },
+
+    // line-level dedup: identical 8-token-window segmentation; the df
+    // count is on the raw segment (md5 on the Spark side is only a
+    // join-key compression)
+    "text_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    unnest(range(CAST(ceil(len(t) / 8.0) AS INT))) AS pos, t
+        |  FROM toks),
+        |seg2 AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(t[pos * 8 + 1 : pos * 8 + 8], ' ') AS seg
+        |  FROM segs),
+        |boiler AS (
+        |  SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM seg2)
+        |  GROUP BY seg HAVING count(*) >= 2),
+        |kept AS (
+        |  SELECT * FROM seg2
+        |  WHERE seg NOT IN (SELECT seg FROM boiler)),
+        |reass AS (
+        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(len(string_split(text, ' ')) / 8.0) AS BIGINT)
+        |      AS n_segments
+        |  FROM documents)
+        |SELECT b.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  b.n_segments,
+        |  b.n_segments - CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b LEFT JOIN reass r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_vocab_oov" ->
       """WITH tok AS (

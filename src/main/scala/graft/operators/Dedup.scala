@@ -69,6 +69,67 @@ object Dedup {
     docs.groupBy(key.as("dedup_key"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Non-overlapping w-token windows of the text as one ordered array —
+    * the segmentation `segmentDedup` uses on single-line corpora (the
+    * last window may be shorter than w). */
+  def tokenWindows(text: Column, w: Int): Column = {
+    require(w >= 1, s"tokenWindows needs w >= 1, got $w")
+    val toks = split(text, " ")
+    val nw = floor((size(toks) + lit(w - 1)).cast("double") / w).cast("int")
+    transform(sequence(lit(0), nw - 1),
+      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+  }
+
+  /** CCNet/RefinedWeb-style line-level corpus dedup: any segment
+    * occurring in >= `minDf` DISTINCT documents is boilerplate
+    * (navigation chrome, license headers, duplicated paragraphs) —
+    * EVERY occurrence is removed from every document, and the
+    * surviving segments are reassembled in original order.
+    * `segs` is the per-document ordered segment array (lines via
+    * [[lineDedup]], token windows via [[tokenWindows]]).
+    *
+    * Output: (id, clean_text, n_segments, n_removed); a fully-removed
+    * document survives with clean_text = "".
+    *
+    * Scale: segments travel the document-frequency path as md5 hashes
+    * (CCNet itself dedups line hashes) — the distinct + count pair is
+    * map-side combinable, so the shuffle carries one (hash, id) row
+    * per mapper per key, never the line text. The anti-join back is a
+    * hash-partitioned shuffle on the 16-byte key (the over-threshold
+    * list is corpus-sized in the worst case, so it is NOT broadcast by
+    * default); reassembly is one groupBy on the doc id. */
+  def segmentDedup(docs: DataFrame, segs: Column, id: String = "doc_id",
+      joinSep: String = " ", minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"segmentDedup needs minDf >= 2, got $minDf")
+    val segRows = docs
+      .select(col(id), posexplode(segs).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val boiler = segRows.select("h", id).distinct()
+      .groupBy("h").count()
+      .where(col("count") >= minDf)
+      .select("h")
+    val kept = segRows.join(boiler, Seq("h"), "left_anti")
+    val reassembled = kept.groupBy(col(id)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")),
+        joinSep).as("clean_text"),
+      count(lit(1)).as("__n_kept"))
+    docs.select(col(id), size(segs).cast("long").as("n_segments"))
+      .join(reassembled, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
+  /** [[segmentDedup]] over newline-separated lines — the production
+    * segmentation for real (multi-line) documents. */
+  def lineDedup(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", minDf: Int = 2): DataFrame =
+    segmentDedup(docs, split(col(textCol), "\n"), id, "\n", minDf)
+
   /** All candidate pairs' exact shingle-Jaccard similarity, restricted
     * to pairs sharing >= 1 shingle (the join prunes disjoint pairs).
     * Output: id_a < id_b, n_common, n_a, n_b, jaccard.
