@@ -699,6 +699,15 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // entity resolution: part-name pairs within edit distance 2, found
+    // by the COMPLETE SymSpell deletion-neighborhood blocking (the
+    // oracle replays the quadratic levenshtein over the distinct vocab)
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_name", maxDist = 2)
+        .select(col("s_a").as("name_a"), col("s_b").as("name_b"),
+          col("dist"))
+        .orderBy("name_a", "name_b")),
+
     // per-group above-average filter (scalar-subquery shape via window)
     "q_above_avg" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment")
@@ -1867,6 +1876,14 @@ object SparkEntry {
         |    round(avg(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg
         |  FROM customer)
         |WHERE c_acctbal > seg_avg ORDER BY c_custkey""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "text_stats" ->
       """WITH t AS (
