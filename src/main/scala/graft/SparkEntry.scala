@@ -601,6 +601,12 @@ object SparkEntry {
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
 
+    // ordered-step conversion funnel: each step's clock starts at the
+    // user's completion of the previous step
+    "q_funnel" -> ((s, dir) =>
+      Sessionize.funnelSummary(events(s, dir),
+        Seq("view", "click", "purchase")).orderBy("step_idx")),
+
     // semi-structured: schema-on-read over the JSON props column
     // (typed from_json struct, not string surgery)
     "q_json_props" -> ((s, dir) =>
@@ -1826,6 +1832,34 @@ object SparkEntry {
         |  round((max(us) - min(us)) / 1e6, 3) AS duration_s
         |FROM s GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s0 AS (
+        |  SELECT user_id, min(ts_us) AS t0 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, min(ts_us) AS t1
+        |  FROM e JOIN s0 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us >= t0 GROUP BY e.user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(ts_us) AS t2
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us >= t1
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT (SELECT count(*) FROM s0) AS n0,
+        |    (SELECT count(*) FROM s1) AS n1,
+        |    (SELECT count(*) FROM s2) AS n2)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |  CAST(n0 AS BIGINT) AS n_users, CAST(NULL AS DOUBLE) AS conv
+        |FROM c
+        |UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT),
+        |  CASE WHEN n0 > 0 THEN round(n1 * 1.0 / n0, 4) END FROM c
+        |UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+        |  CASE WHEN n1 > 0 THEN round(n2 * 1.0 / n1, 4) END FROM c
+        |ORDER BY step_idx""".stripMargin,
 
     // sessions rebuilt as in the sessionize oracle, then a plain
     // inequality join — the bucketized equi-join must match it exactly

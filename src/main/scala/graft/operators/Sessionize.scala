@@ -40,4 +40,51 @@ object Sessionize {
         max(us).as("end_us"),
         round((max(us) - min(us)) / 1e6, 3).as("duration_s"))
   }
+
+  /** Ordered-step funnel: per user, t_k = earliest `steps(k)` event at
+    * or after t_(k-1) (t_0 = earliest `steps(0)` event). A user appears
+    * with NULL t_k once a step is never completed in order.
+    *
+    * Scale: one groupBy + one shuffle join per step, all keyed on the
+    * user — each stage's left side is the per-user funnel table (one
+    * row per user who completed step 0), each right side the
+    * type-filtered event slice; nothing quadratic, no windows over the
+    * raw event stream. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ts = col(tsCol)
+    var cur = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(ts).as("t_0"))
+    for (k <- 1 until steps.size) {
+      val next = events.where(col(typeCol) === steps(k))
+        .select(col(userCol), ts)
+        .join(cur.select(col(userCol), col(s"t_${k - 1}")), Seq(userCol))
+        .where(ts >= col(s"t_${k - 1}"))
+        .groupBy(col(userCol)).agg(min(ts).as(s"t_$k"))
+      cur = cur.join(next, Seq(userCol), "left")
+    }
+    cur
+  }
+
+  /** Funnel stage counts + step-over-step conversion: one row per
+    * step — (step_idx, step, n_users, conv). The window runs over the
+    * `steps.size`-row summary, not the event stream. */
+  def funnelSummary(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    val perUser = funnel(events, steps, userCol, tsCol, typeCol)
+    val counts = perUser.agg(
+      count(col("t_0")).as("n_0"),
+      (1 until steps.size).map(k => count(col(s"t_$k")).as(s"n_$k")): _*)
+    val stackArgs = steps.indices
+      .map(k => s"CAST($k AS BIGINT), '${steps(k)}', n_$k").mkString(", ")
+    val stacked = counts.select(expr(
+      s"stack(${steps.size}, $stackArgs) AS (step_idx, step, n_users)"))
+    val w = Window.orderBy("step_idx")
+    val prev = lag(col("n_users"), 1).over(w)
+    stacked.withColumn("conv",
+      when(prev > 0, round(col("n_users").cast("double") / prev, 4)))
+  }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** `Sessionize.funnel` / `funnelSummary` — ordered-step conversion. */
+class FunnelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val events = Seq(
+    // user 1: completes the whole funnel in order
+    (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+    // user 2: click/purchase BEFORE the first view never count
+    (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 8L),
+    // user 3: stalls after view
+    (3L, "view", 10L),
+    // user 4: never views -> not in the funnel at all
+    (4L, "purchase", 5L),
+    // user 5: same-timestamp step completion counts (>=)
+    (5L, "view", 10L), (5L, "click", 10L), (5L, "purchase", 40L))
+    .toDF("user_id", "event_type", "ts_us")
+
+  test("per-user step times honor ordering") {
+    val f = Sessionize.funnel(events, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(f.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+    val u1 = f(0)
+    assert(u1.getLong(1) == 10L && u1.getLong(2) == 20L &&
+      u1.getLong(3) == 30L)
+    val u2 = f(1)
+    assert(u2.getLong(1) == 10L && u2.isNullAt(2) && u2.isNullAt(3))
+    val u5 = f(3)
+    assert(u5.getLong(2) == 10L && u5.getLong(3) == 40L)
+  }
+
+  test("summary counts and conversion rates") {
+    val s = Sessionize.funnelSummary(events, Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(s.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("view", 4L), ("click", 2L), ("purchase", 2L)))
+    assert(s(0).isNullAt(3))
+    assert(s(1).getDouble(3) == 0.5 && s(2).getDouble(3) == 1.0)
+  }
+}
