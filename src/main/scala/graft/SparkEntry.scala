@@ -747,6 +747,23 @@ object SparkEntry {
     "text_filter" -> ((s, dir) =>
       TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // fastText/DCLM-style classifier gate, trained RELATIONALLY: a
+    // hashed naive-Bayes model (two groupBys, no driver optimizer)
+    // DISTILLS the heuristic en-marker rule into a linear scorer —
+    // the real-world shape where a cheap heuristic labels the
+    // training set and the hashed model generalizes it
+    "text_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
+        .map(w => TextAnalysis.wordCount(col("text"), w))
+        .reduce(_ + _) > 0
+      val model = TextAnalysis.nbModel(docs, isEn, dim = 256)
+      TextAnalysis.nbScore(docs, model, dim = 256)
+        .join(docs.select(col("doc_id"),
+          isEn.cast("long").as("label")), Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
     // in for lines on this single-line corpus; windows shared by >= 2
     // docs (exact-dup and near-dup clones) are stripped everywhere and
@@ -2204,6 +2221,53 @@ object SparkEntry {
          |  CAST(coalesce(s.s, 0) AS BIGINT) AS val_q
          |FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.bk = g.i
          |ORDER BY g.doc_id, pos""".stripMargin
+    },
+
+    // naive-Bayes replay: same bucket hash, same add-1 smoothed
+    // log-likelihood-ratio weights, same quantized-long sums
+    "text_classify" -> {
+      val bfrac = md5FracSql("'b|' || tok")
+      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
+      s"""WITH $PaddedDocCte,
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+         |  FROM p),
+         |tok AS (
+         |  SELECT d.doc_id, lab.y,
+         |    unnest(string_split(lower(d.text), ' ')) AS tok
+         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, y, CAST(floor(($bfrac) * 256) AS INT) AS bk
+         |  FROM tok),
+         |counts AS (
+         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
+         |    CAST(sum(1 - y) AS BIGINT) AS cn
+         |  FROM b GROUP BY bk),
+         |dense AS (
+         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |  LEFT JOIN counts ON counts.bk = i),
+         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
+         |w AS (
+         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 256)) -
+         |    ln((cn + 1) / (nn + 256))) * 1e6) AS BIGINT) AS w_q
+         |  FROM dense CROSS JOIN tot),
+         |prior AS (
+         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
+         |    AS BIGINT) AS prior_q
+         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
+         |sc AS (
+         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
+         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id)
+         |SELECT sc.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round((s_q + prior_q) / 1e6, 6) AS score,
+         |  CAST(CASE WHEN s_q + prior_q > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS pred,
+         |  CAST(lab.y AS BIGINT) AS label
+         |FROM sc CROSS JOIN prior
+         |JOIN lab ON lab.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin
     },
 
     // line-level dedup: identical 8-token-window segmentation; the df

@@ -490,6 +490,78 @@ object TextAnalysis {
         round(col("n_oov").cast("double") / col("n_tokens"), 4))
   }
 
+  /** Hashed naive-Bayes text classifier MODEL, trained relationally —
+    * the fastText-style linear quality/language gate of a curation
+    * pipeline (DCLM-style classifier filtering) with the training loop
+    * replaced by two map-side-combinable groupBys: no driver-side
+    * optimizer, no model artifact beyond a (bucket, weight) table.
+    *
+    * Tokens hash into `dim` buckets (same `md5frac("b|"+tok)` bucket
+    * hash as [[hashEmbedding]]); per-bucket weight is the add-1
+    * smoothed class log-likelihood ratio
+    * `ln((cPos+1)/(nPos+dim)) − ln((cNeg+1)/(nNeg+dim))`, quantized to
+    * 1e-6 longs (the LM family's determinism discipline). The model is
+    * DENSE — all `dim` buckets are materialized so unseen-bucket
+    * smoothing mass is IN the table, not a scorer special case — plus
+    * a `bucket = -1` row carrying the doc-count class prior.
+    * Output: (bk, w_q). */
+  def nbModel(docs: DataFrame, isPos: Column, textCol: String = "text",
+      dim: Int = 1024): DataFrame = {
+    val base = docs.select(isPos.cast("long").as("y"),
+      col(textCol).as("__text"))
+    val tok = base.select(col("y"), explode(tokens(col("__text"))).as("tok"))
+    val counts = tok
+      .select(col("y"),
+        floor(Sketch.md5Fraction(concat(lit("b|"), col("tok"))) * dim)
+          .cast("int").as("bk"))
+      .groupBy("bk").agg(sum(col("y")).as("cp"),
+        sum(lit(1L) - col("y")).as("cn"))
+    val dense = docs.sparkSession.range(dim)
+      .select(col("id").cast("int").as("bk"))
+      .join(counts, Seq("bk"), "left")
+      .select(col("bk"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val totals = counts.agg(sum("cp").as("np"), sum("cn").as("nn"))
+    val w = dense.crossJoin(broadcast(totals)).select(col("bk"),
+      floor((log((col("cp") + 1).cast("double") / (col("np") + dim)) -
+        log((col("cn") + 1).cast("double") / (col("nn") + dim))) * 1e6)
+        .cast("long").as("w_q"))
+    val prior = base.agg(sum(col("y")).as("npos"),
+      sum(lit(1L) - col("y")).as("nneg"))
+      .select(lit(-1).as("bk"),
+        floor((log((col("npos") + 1).cast("double")) -
+          log((col("nneg") + 1).cast("double"))) * 1e6)
+          .cast("long").as("w_q"))
+    w.unionByName(prior)
+  }
+
+  /** Score documents against a [[nbModel]] table: per-token bucket
+    * weights summed as exact longs plus the prior, one divide at the
+    * end; `pred` = score > 0. The model (dim+1 rows) BROADCASTS into
+    * the exploded-token join — the corpus never shuffles for it; one
+    * doc groupBy ends the plan. Output: (id, n_tokens, score, pred). */
+  def nbScore(docs: DataFrame, model: DataFrame, id: String = "doc_id",
+      textCol: String = "text", dim: Int = 1024): DataFrame = {
+    val prior = model.where(col("bk") === -1)
+      .select(col("w_q").as("__prior_q"))
+    docs.select(col(id), explode(tokens(col(textCol))).as("tok"))
+      .select(col(id),
+        floor(Sketch.md5Fraction(concat(lit("b|"), col("tok"))) * dim)
+          .cast("int").as("bk"))
+      .join(broadcast(model.where(col("bk") >= 0)), Seq("bk"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_q")).as("__s_q"))
+      .crossJoin(broadcast(prior))
+      .select(col(id), col("n_tokens"),
+        // 6 dp = the quantization grid itself: scores are exact micros,
+        // so rounding any COARSER hits exact half-boundaries where
+        // Spark (shortest-decimal HALF_UP) and other engines (binary
+        // half-away) disagree
+        round((col("__s_q") + col("__prior_q")).cast("double") / 1e6, 6)
+          .as("score"),
+        (col("__s_q") + col("__prior_q") > 0).cast("long").as("pred"))
+  }
+
   /** Composite C4/Gopher-style heuristic document filter. One row per
     * doc: the load-bearing metrics, `keep` (1/0), and `reasons` — the
     * failed rules comma-joined in a FIXED order, empty when kept — the
