@@ -163,6 +163,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin") == 1, p)
   }
 
+  test("text_classify: the model broadcasts into the token explode") {
+    val p = planOf("text_classify")
+    assert(!p.contains("CartesianProduct"), p)
+    // model (dim+1 rows) and prior (1 row) must ride broadcasts — the
+    // exploded token table never shuffles toward them
+    assert(count(p, "BroadcastExchange") +
+      count(p, "BroadcastNestedLoopJoin") >= 2, p)
+  }
+
+  test("line dedup: boilerplate removal is equi-join based, no nested loop") {
+    val p = planOf("text_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("fuzzy pairs: deletion-key equi-join, never a cartesian verify") {
+    val p = planOf("q_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("scd_diff: one full-outer join on the key, nothing quadratic") {
+    val p = planOf("scd_diff")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {
