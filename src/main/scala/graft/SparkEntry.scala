@@ -705,6 +705,32 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // interval-OVERLAP join (the interval x interval sibling of
+    // q_interval_join's point-in-interval): same-part shipment windows
+    // [ship_day, ship_day + quantity] that intersect, counted per part.
+    // Each pair matches in exactly ONE cell (the intersection's first),
+    // so no dedup shuffle exists in the plan.
+    "q_interval_overlap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("s_day"),
+        (datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long") + col("l_quantity").cast("long")).as("e_day"))
+      val a = li.select(col("l_partkey"), col("l_orderkey").as("ok_a"),
+        col("l_linenumber").as("ln_a"), col("s_day").as("s_a"),
+        col("e_day").as("e_a"))
+      val b = li.select(col("l_partkey"), col("l_orderkey").as("ok_b"),
+        col("l_linenumber").as("ln_b"), col("s_day").as("s_b"),
+        col("e_day").as("e_b"))
+      RangeJoin.intervalOverlap(a, "s_a", "e_a", b, "s_b", "e_b",
+        bucketWidth = 16, extraKeys = Seq("l_partkey"))
+        .where(col("ok_a") < col("ok_b") ||
+          (col("ok_a") === col("ok_b") && col("ln_a") < col("ln_b")))
+        .groupBy("l_partkey").agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("l_partkey")
+    }),
+
     // entity resolution: part-name pairs within edit distance 2, found
     // by the COMPLETE SymSpell deletion-neighborhood blocking (the
     // oracle replays the quadratic levenshtein over the distinct vocab)
@@ -1927,6 +1953,20 @@ object SparkEntry {
         |    round(avg(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS seg_avg
         |  FROM customer)
         |WHERE c_acctbal > seg_avg ORDER BY c_custkey""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS s_day,
+        |    (CAST(l_shipdate AS DATE) - DATE '1970-01-01') +
+        |      CAST(l_quantity AS BIGINT) AS e_day
+        |  FROM lineitem)
+        |SELECT a.l_partkey, count(*) AS n_overlaps
+        |FROM li a JOIN li b ON a.l_partkey = b.l_partkey
+        |  AND (a.l_orderkey < b.l_orderkey OR
+        |    (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+        |  AND a.s_day <= b.e_day AND b.s_day <= a.e_day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_fuzzy_pairs" ->
       """WITH n AS (SELECT DISTINCT p_name AS s FROM part)

@@ -39,4 +39,31 @@ object RangeJoin {
         col(pointCol) <= col(endCol))
       .drop("__cell")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose intervals
+    * intersect (`ls <= re && rs <= le`, same `extraKeys`). Both sides
+    * explode to covered cells; a qualifying pair shares every cell of
+    * the intersection, so the join keeps ONLY the intersection's FIRST
+    * cell — `cell == max(cell(ls), cell(rs))`, true in exactly one
+    * matched cell per pair — instead of a dedup shuffle afterwards.
+    * Inverted intervals (end < start) are dropped up front (the same
+    * contract as the optimizer rewrite's guard — `sequence` would
+    * otherwise step BACKWARDS and fabricate cells).
+    *
+    * Output: extraKeys ++ left columns ++ right columns. */
+  def intervalOverlap(left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketWidth: Long, extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def cell(name: String): Column = expr(s"`$name` div ${bucketWidth}L")
+    val l = left.where(col(leftEnd) >= col(leftStart))
+      .withColumn("__cell", explode(sequence(cell(leftStart), cell(leftEnd))))
+    val r = right.where(col(rightEnd) >= col(rightStart))
+      .withColumn("__cell", explode(sequence(cell(rightStart), cell(rightEnd))))
+    l.join(r, Seq("__cell") ++ extraKeys)
+      .where(col(leftStart) <= col(rightEnd) &&
+        col(rightStart) <= col(leftEnd) &&
+        col("__cell") === greatest(cell(leftStart), cell(rightStart)))
+      .drop("__cell")
+  }
 }

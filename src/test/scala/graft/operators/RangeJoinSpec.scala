@@ -33,6 +33,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(!naive.exists(_._2 == 9999L))
   }
 
+  test("intervalOverlap matches the naive overlap join on random data") {
+    val rnd = new scala.util.Random(7)
+    val ivs = (1 to 120).map { i =>
+      val s = rnd.nextInt(400).toLong
+      (i.toLong, (i % 3).toLong, s, s + rnd.nextInt(60))
+    }.toDF("iid", "k", "s", "e")
+    val a = ivs.select(col("k"), col("iid").as("ia"), col("s").as("sa"),
+      col("e").as("ea"))
+    val b = ivs.select(col("k"), col("iid").as("ib"), col("s").as("sb"),
+      col("e").as("eb"))
+    val naive = a.join(b, a("k") === b("k") && col("ia") < col("ib") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RangeJoin.intervalOverlap(a, "sa", "ea", b, "sb", "eb",
+        bucketWidth = 50, extraKeys = Seq("k"))
+      .where(col("ia") < col("ib"))
+      .select("ia", "ib")
+    val gotRows = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // first-cell emission: each pair appears EXACTLY once (no dedup op)
+    assert(gotRows.length == gotRows.toSet.size)
+    assert(gotRows.toSet == naive)
+  }
+
+  test("intervalOverlap drops inverted intervals instead of fabricating cells") {
+    val a = Seq((1L, 10L, 5L)).toDF("ia", "sa", "ea") // end < start
+    val b = Seq((2L, 0L, 100L)).toDF("ib", "sb", "eb")
+    assert(RangeJoin.intervalOverlap(a, "sa", "ea", b, "sb", "eb",
+      bucketWidth = 10).isEmpty)
+  }
+
   test("key-less interval join: naive nested-loops, bucketized hash-joins") {
     // no equi component at all — the pure range-join trap
     val naivePlan = points.join(intervals,
