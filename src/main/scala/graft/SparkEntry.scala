@@ -646,6 +646,12 @@ object SparkEntry {
       Profile.histogram(events(s, dir), col("value"), 16)
         .orderBy("bucket")),
 
+    // key-skew probe: heaviest join keys + row share — the "salt or
+    // not" diagnostic before wiring a big join
+    "q_skew_stats" -> ((s, dir) =>
+      Profile.skewStats(t(s, dir, "lineitem"), col("l_partkey"), k = 10)
+        .orderBy("rank")),
+
     // interval join WITHOUT a cross product: events → their session's
     // [start, end] via hour-cell bucketization + hash equi-join (a
     // naive BETWEEN join plans as nested-loop — the range-join trap)
@@ -1809,6 +1815,19 @@ object SparkEntry {
         |  round(mn + (mx - mn) / 16 * (bucket + 1), 6) AS hi,
         |  count(*) AS n
         |FROM j GROUP BY bucket, mn, mx ORDER BY bucket""".stripMargin,
+
+    "q_skew_stats" ->
+      """WITH c AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS key_str, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+        |top AS (
+        |  SELECT key_str, CAST(cnt AS BIGINT) AS cnt FROM c
+        |  ORDER BY cnt DESC, key_str LIMIT 10)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key_str)
+        |    AS BIGINT) AS rank,
+        |  key_str, cnt, round(cnt * 1.0 / total, 6) AS share
+        |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (

@@ -94,4 +94,28 @@ object Profile {
           .as("hi"))
       .select(col("bucket"), col("lo"), col("hi"), col("n"))
   }
+
+  /** Key-skew diagnostics: the top-`k` heaviest keys with their share
+    * of all rows — the "does this join key need salting / AQE skew
+    * handling" probe run before wiring a big join.
+    *
+    * Plan: ONE map-side-combinable groupBy count; the top-k cut is a
+    * distributed sort-limit (TakeOrdered, (cnt desc, key) tie-break so
+    * it replays identically anywhere — no single-partition window over
+    * the key table); the 1-row total rides a broadcast. The final
+    * rank window runs over k rows only. Output: rank, key_str, cnt,
+    * share. */
+  def skewStats(df: DataFrame, key: Column, k: Int = 10): DataFrame = {
+    require(k >= 1, s"skewStats needs k >= 1, got $k")
+    val counts = df.groupBy(key.cast("string").as("key_str"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val top = counts.orderBy(col("cnt").desc, col("key_str")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key_str"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("key_str"), col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 6).as("share"))
+  }
 }

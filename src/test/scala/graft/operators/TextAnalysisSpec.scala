@@ -190,6 +190,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("skewStats ranks heavy keys with deterministic tie-break") {
+    import spark.implicits._
+    // key 7 -> 6 rows, key 3 -> 2, keys 1,2 -> 1 each (tie on cnt)
+    val df = (Seq.fill(6)(7) ++ Seq(3, 3, 1, 2)).toDF("k")
+    val got = Profile.skewStats(df, col("k"), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "7", 6L, 0.6),
+      (2L, "3", 2L, 0.2),
+      (3L, "1", 1L, 0.1))) // "1" < "2" breaks the tie
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
