@@ -477,6 +477,13 @@ object SparkEntry {
         asOfCustomer(s, dir, None), "c_custkey")
         .orderBy("change_type", "c_custkey")),
 
+    // dry-run the log before applying it: per-statement touched-row
+    // counts, sequential semantics (the DELETE counts post-update
+    // balances), one scan + one agg
+    "scd_log_stats" -> ((s, dir) =>
+      ScdReader.logStatsText(s, t(s, dir, "customer"), CustomerLog)
+        .orderBy("stmt_idx")),
+
     "scd2_reconstruct" -> ((s, dir) => {
       val ev = events(s, dir).select("user_id", "event_id", "ts_us")
       ScdMerge.scd2FromChangeLog(ev, "user_id", "ts_us", "event_id")
@@ -1624,6 +1631,19 @@ object SparkEntry {
         |  WHERE c_custkey NOT IN (SELECT c_custkey FROM staging)
         |  UNION ALL SELECT * FROM staging)
         |ORDER BY c_custkey""".stripMargin,
+
+    "scd_log_stats" ->
+      """SELECT CAST(0 AS BIGINT) AS stmt_idx, 'UPDATE' AS verb,
+        |  CAST((SELECT count(*) FROM customer
+        |    WHERE coalesce(c_mktsegment = 'BUILDING', FALSE)) AS BIGINT)
+        |    AS n_matched
+        |UNION ALL
+        |SELECT 1, 'DELETE',
+        |  CAST((SELECT count(*) FROM (
+        |    SELECT CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+        |           THEN c_acctbal + 100 ELSE c_acctbal END AS b
+        |    FROM customer) WHERE coalesce(b < 0, FALSE)) AS BIGINT)
+        |ORDER BY stmt_idx""".stripMargin,
 
     // CDC diff raw vs as-of-now: the 'I' branch is dead here (a DML
     // log never inserts) but the SQL classifies generically

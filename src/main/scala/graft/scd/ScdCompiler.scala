@@ -74,6 +74,45 @@ object ScdCompiler {
   private def pred(where: Option[String]) =
     where.map(w => coalesce(expr(w), lit(false))).getOrElse(lit(true))
 
+  /** DRY-RUN statistics: how many rows each statement would touch,
+    * honoring sequential composition (statement k's predicate runs
+    * against statement k-1's output; a DELETE's victims stop matching
+    * later statements). The whole probe is ONE narrow projection chain
+    * + ONE aggregation pass over the table — deletes become an
+    * `__alive` flag instead of filters, so no per-statement job and no
+    * second scan. Output: (stmt_idx, verb, n_matched). */
+  def stats(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame = {
+    val spark = df.sparkSession
+    if (stmts.isEmpty)
+      return spark.range(0).select(col("id").as("stmt_idx"),
+        lit("").as("verb"), col("id").as("n_matched"))
+    var cur = df.withColumn("__alive", lit(true))
+    stmts.zipWithIndex.foreach { case (stmt, i) =>
+      val where = stmt match {
+        case ScdUpdate(_, _, w, _) => w
+        case ScdDelete(_, w, _) => w
+      }
+      cur = cur.withColumn(s"__m_$i", col("__alive") && pred(where))
+      stmt match {
+        case u: ScdUpdate => cur = applyOne(cur, u, col(s"__m_$i"))
+        case _: ScdDelete =>
+          cur = cur.withColumn("__alive", col("__alive") && !col(s"__m_$i"))
+      }
+    }
+    val aggCols = stmts.indices.map(i =>
+      sum(when(col(s"__m_$i"), 1L).otherwise(0L)).as(s"n_$i"))
+    val one = cur.agg(aggCols.head, aggCols.drop(1): _*)
+    val verbs = stmts.map {
+      case _: ScdUpdate => "UPDATE"
+      case _: ScdDelete => "DELETE"
+    }
+    val stackArgs = stmts.indices
+      .map(i => s"CAST($i AS BIGINT), '${verbs(i)}', coalesce(n_$i, 0L)")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${stmts.size}, $stackArgs) AS (stmt_idx, verb, n_matched)"))
+  }
+
   private[scd] def applyOne(df: DataFrame, stmt: ScdStatement,
       guard0: Column = lit(true)): DataFrame = {
     // three-valued-logic hygiene: a partition guard comparing against

@@ -208,6 +208,21 @@ object ScdReader {
     else ScdCompiler(base, log)
   }
 
+  /** DRY-RUN the log at `asOf`: per retained statement, the number of
+    * rows it would touch — the ops probe before applying a nightly DML
+    * batch ("is this DELETE about to fire on half the table?"). One
+    * narrow pass + one aggregation (see [[ScdCompiler.stats]]); gated
+    * statements (time > asOf) are absent from the output, matching
+    * what `read` would replay. */
+  def logStatsText(
+      spark: SparkSession,
+      base: DataFrame,
+      logText: String,
+      asOf: Option[String] = None): DataFrame = {
+    val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    ScdCompiler.stats(base, UpdatesParser.parse(logText, scdTime).statements)
+  }
+
   /** Full Type-7 HISTORY export: the table's state over time as SCD2
     * validity intervals. The as-of view only changes at statement
     * effective times, so history = one snapshot per distinct effective
