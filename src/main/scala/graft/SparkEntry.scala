@@ -360,6 +360,19 @@ object SparkEntry {
       Sketch.kmvDistinct(t(s, dir, "lineitem"), "l_returnflag", "l_partkey",
         k = 64).orderBy("l_returnflag")),
 
+    // KMV set-operation sketch: distinct-shingle overlap between two
+    // hash-split, deliberately-overlapping crawl slices — |A|, |B|,
+    // |A∪B|, |A∩B| and Jaccard estimated from two 256-row sketches,
+    // never joining the shingle universes; one output row
+    "q_kmv_overlap" -> ((s, dir) => {
+      val sh = Dedup.shingles(t(s, dir, "documents"))
+      val f = Sketch.md5Fraction(col("doc_id"))
+      Sketch.kmvOverlap(
+        sh.where(f < 0.6).select("shingle"),
+        sh.where(f >= 0.4).select("shingle"),
+        "shingle", k = 256)
+    }),
+
     // production HLL sketch — mergeable partials, no per-group sort.
     // HLL estimates can't hash-match across engines, so the query emits
     // a VERIFIABLE claim instead: the exact count plus a bound flag
@@ -1060,6 +1073,32 @@ object SparkEntry {
         .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // near-dup clusters keep their highest-QUALITY member (tie: min
+    // id) — the RefinedWeb-style "keep the cleanest copy" collapse,
+    // instead of dedup_cc's arbitrary min-id canonicalization
+    "dedup_survivor" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.survivorSelection(docs,
+        Dedup.minhashLshPairs(docs, threshold = 0.8),
+        TextAnalysis.qualityScore(docs))
+        .withColumn("is_survivor", col("is_survivor").cast("long"))
+        .orderBy("doc_id")
+    }),
+
+    // cluster-level split assignment: the split hash keys on the CC
+    // cluster id, so near-duplicates can never straddle train/test —
+    // the leakage-safe version of q_split_assign
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.leakageSafeSplit(docs,
+        Dedup.minhashLshPairs(docs, threshold = 0.8),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("split")
+    }),
+
     // train/test contamination: test docs sharing any 8-gram with a
     // train doc (deterministic hash split, selective n-gram join)
     "contamination" -> ((s, dir) => {
@@ -1256,6 +1295,56 @@ object SparkEntry {
        |  FROM cand JOIN sh sa ON sa.doc_id = id_a
        |    JOIN sh sb ON sb.doc_id = id_b AND sb.s = sa.s
        |  GROUP BY id_a, id_b)""".stripMargin
+  }
+
+  /** Connected components over the verified minhash-LSH pairs as a CTE
+    * chain ending in `comp` (doc_id → cluster_id for every PAIRED doc;
+    * singletons absent) — shared by dedup_cc, dedup_survivor and
+    * q_leakage_split. Must follow a `WITH RECURSIVE` header. */
+  private lazy val MinhashCompCtes: String =
+    s"""$MinhashComCtes,
+       |jp AS (
+       |  SELECT id_a, id_b FROM com
+       |    JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM jp
+       |  UNION SELECT id_b, id_a FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (
+       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Quality-score CTE chain ending in `qm` (raw signals) and `qual`
+    * (doc_id, rounded quality) — mirrors TextAnalysis.qualityScore;
+    * shared by text_quality and dedup_survivor. */
+  private lazy val QualityCtes: String = {
+    val stopSum = Seq("the", "and", "of", "a", "to").map(wordCountSql)
+      .mkString("(", " + ", ")")
+    s"""qbase AS (
+       |  SELECT doc_id, text,
+       |    replace(' ' || lower(text) || ' ', ' ', '  ') AS p,
+       |    len(string_split(lower(text), ' ')) AS nt,
+       |    len(list_distinct(string_split(lower(text), ' '))) AS nd,
+       |    length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS na
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CASE WHEN nt >= 20 AND nt <= 2000 THEN 1.0
+       |         WHEN nt >= 5 THEN 0.5 ELSE 0.0 END AS len_score,
+       |    na / greatest(length(text), 1) AS punct_ratio,
+       |    $stopSum / greatest(CAST(nt AS DOUBLE), 1.0) AS stopword_ratio,
+       |    nd / greatest(CAST(nt AS DOUBLE), 1.0) AS ttr
+       |  FROM qbase),
+       |qual AS (
+       |  SELECT doc_id, round(len_score * 0.4
+       |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+       |    + least(stopword_ratio * 4.0, 1.0) * 0.2
+       |    + least(ttr * 2.0, 1.0) * 0.2, 4) AS quality
+       |  FROM qm)""".stripMargin
   }
 
   /** doubled-space padded text for standalone-word counting */
@@ -1520,6 +1609,49 @@ object SparkEntry {
          |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
          |        ELSE 63.0 / kth END, 4) AS est_distinct
          |FROM k ORDER BY l_returnflag""".stripMargin,
+
+    "q_kmv_overlap" ->
+      // full bit-for-bit replay of the KMV set-operation sketch: same
+      // md5-fraction hashes, same (hash, value) bottom-k tie-break,
+      // same estimator arithmetic — estimates included in the hash
+      s"""WITH $ShingleCtes,
+         |f AS (SELECT doc_id, ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS df
+         |  FROM documents),
+         |da AS (SELECT DISTINCT s AS v FROM sh JOIN f USING (doc_id)
+         |  WHERE df < 0.6),
+         |db AS (SELECT DISTINCT s AS v FROM sh JOIN f USING (doc_id)
+         |  WHERE df >= 0.4),
+         |ka AS (SELECT v, hfrac FROM (
+         |    SELECT v, ${md5FracSql("v")} AS hfrac FROM da)
+         |  ORDER BY hfrac, v LIMIT 256),
+         |kb AS (SELECT v, hfrac FROM (
+         |    SELECT v, ${md5FracSql("v")} AS hfrac FROM db)
+         |  ORDER BY hfrac, v LIMIT 256),
+         |ku AS (SELECT v, hfrac FROM (
+         |    SELECT DISTINCT v, hfrac FROM (
+         |      SELECT * FROM ka UNION ALL SELECT * FROM kb))
+         |  ORDER BY hfrac, v LIMIT 256),
+         |nc AS (SELECT count(*) AS n_common FROM ku
+         |  WHERE v IN (SELECT v FROM ka) AND v IN (SELECT v FROM kb)),
+         |aa AS (SELECT count(*) AS n_kept_a, max(hfrac) AS kth_a FROM ka),
+         |ab AS (SELECT count(*) AS n_kept_b, max(hfrac) AS kth_b FROM kb),
+         |au AS (SELECT count(*) AS n_kept_union, max(hfrac) AS kth_u
+         |  FROM ku)
+         |SELECT n_kept_a, n_kept_b, n_kept_union, n_common,
+         |  round(CASE WHEN n_kept_a < 256 THEN CAST(n_kept_a AS DOUBLE)
+         |    ELSE 255.0 / kth_a END, 4) AS est_a,
+         |  round(CASE WHEN n_kept_b < 256 THEN CAST(n_kept_b AS DOUBLE)
+         |    ELSE 255.0 / kth_b END, 4) AS est_b,
+         |  round(CASE WHEN n_kept_union < 256
+         |    THEN CAST(n_kept_union AS DOUBLE)
+         |    ELSE 255.0 / kth_u END, 4) AS est_union,
+         |  round(CAST(n_common AS DOUBLE) / greatest(n_kept_union, 1), 4)
+         |    AS est_jaccard,
+         |  round(CAST(n_common AS DOUBLE) / greatest(n_kept_union, 1)
+         |    * (CASE WHEN n_kept_union < 256
+         |       THEN CAST(n_kept_union AS DOUBLE)
+         |       ELSE 255.0 / kth_u END), 4) AS est_intersection
+         |FROM aa, ab, au, nc""".stripMargin,
 
     // HLL bound check: the oracle can't replay Spark's HLL, so it
     // asserts the verifiable part — the exact count, plus the bound
@@ -2053,35 +2185,17 @@ object SparkEntry {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
 
-    "text_quality" -> {
-      val stopSum = Seq("the", "and", "of", "a", "to").map(wordCountSql)
-        .mkString("(", " + ", ")")
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    replace(' ' || lower(text) || ' ', ' ', '  ') AS p,
-         |    len(string_split(lower(text), ' ')) AS nt,
-         |    len(list_distinct(string_split(lower(text), ' '))) AS nd,
-         |    length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS na
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |    CASE WHEN nt >= 20 AND nt <= 2000 THEN 1.0
-         |         WHEN nt >= 5 THEN 0.5 ELSE 0.0 END AS len_score,
-         |    na / greatest(length(text), 1) AS punct_ratio,
-         |    $stopSum / greatest(CAST(nt AS DOUBLE), 1.0) AS stopword_ratio,
-         |    nd / greatest(CAST(nt AS DOUBLE), 1.0) AS ttr
-         |  FROM base)
-         |SELECT doc_id,
+    "text_quality" ->
+      // signal CTEs shared with dedup_survivor (QualityCtes)
+      s"""WITH $QualityCtes
+         |SELECT qm.doc_id,
          |  round(len_score, 4) AS len_score,
          |  round(punct_ratio, 4) AS punct_ratio,
          |  round(stopword_ratio, 4) AS stopword_ratio,
          |  round(ttr, 4) AS type_token_ratio,
-         |  round(len_score * 0.4
-         |    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
-         |    + least(stopword_ratio * 4.0, 1.0) * 0.2
-         |    + least(ttr * 2.0, 1.0) * 0.2, 4) AS quality
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |  q.quality AS quality
+         |FROM qm JOIN qual q ON q.doc_id = qm.doc_id
+         |ORDER BY qm.doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH tok AS (
@@ -2633,20 +2747,48 @@ object SparkEntry {
       // transitive closure over the verified minhash-LSH pairs; the
       // Spark side's pointer-jumping min-propagation must agree with
       // this recursive-CTE reachability exactly
-      s"""WITH RECURSIVE $MinhashComCtes,
-         |jp AS (
-         |  SELECT id_a, id_b FROM com
-         |    JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-         |  WHERE n_common / (sa.sz + sb.sz - n_common) >= 0.8),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM jp
-         |  UNION SELECT id_b, id_a FROM jp),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $MinhashCompCtes
+         |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_survivor" ->
+      // CC reachability + the text_quality scoring chain; the window
+      // argmax (quality DESC, doc_id ASC) replays Spark's
+      // max_by(id, struct(quality, -id)) exactly — quality is rounded
+      // to 4dp identically on both sides, so the ordering agrees
+      s"""WITH RECURSIVE $MinhashCompCtes,
+         |$QualityCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |jq AS (
+         |  SELECT a.doc_id, a.cluster_id, q.quality
+         |  FROM allc a JOIN qual q ON q.doc_id = a.doc_id),
+         |win AS (
+         |  SELECT cluster_id, doc_id AS survivor_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM jq)
+         |SELECT j.doc_id, j.cluster_id, w.survivor_id,
+         |  CAST(j.doc_id = w.survivor_id AS BIGINT) AS is_survivor
+         |FROM jq j JOIN win w ON w.cluster_id = j.cluster_id AND w.rn = 1
+         |ORDER BY j.doc_id""".stripMargin,
+
+    "q_leakage_split" ->
+      // split hashed on the CLUSTER id: near-duplicates land in the
+      // same split by construction
+      s"""WITH RECURSIVE $MinhashCompCtes,
+         |allc AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+         |sdf AS (
+         |  SELECT doc_id, cluster_id,
+         |    CASE WHEN f < 0.8 THEN 'train'
+         |         WHEN f < 0.8 + 0.1 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, cluster_id,
+         |      ${md5FracSql("CAST(cluster_id AS VARCHAR)")} AS f FROM allc))
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT cluster_id) AS n_clusters
+         |FROM sdf GROUP BY split ORDER BY split""".stripMargin,
 
     "contamination" ->
       // split thresholds mirror splitColumn's left-assoc cumulative

@@ -556,6 +556,43 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware survivor selection — collapse each near-duplicate
+    * cluster to its BEST document instead of an arbitrary one (what
+    * RefinedWeb/FineWeb-style pipelines do: near-dup removal should
+    * keep the cleanest copy, not the lowest id). Composes
+    * [[connectedComponents]] over candidate `pairs` with a per-doc
+    * `quality` table; singleton docs (in no pair) are their own
+    * survivors.
+    *
+    * The per-cluster argmax is `max_by(id, struct(quality, -id))` — a
+    * map-side-combinable aggregate (one (cluster, best-so-far) row per
+    * mapper), NOT a window over the full table, so a degenerate
+    * mega-cluster never sorts in one task. Tie-break on equal quality
+    * is the smallest id — deterministic and engine-portable.
+    *
+    * Output: (doc_id, cluster_id, survivor_id, is_survivor) for every
+    * doc in `docs` — filter `is_survivor` for the deduped corpus, or
+    * join `survivor_id` to re-point references. */
+  def survivorSelection(docs: DataFrame, pairs: DataFrame,
+      quality: DataFrame, id: String = "doc_id",
+      qualityCol: String = "quality"): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val clustered = docs.select(col(id))
+      .join(cc, col(id) === cc("vertex"), "left")
+      .select(col(id),
+        coalesce(col("component"), col(id).cast("long")).as("cluster_id"))
+    val withQ = clustered.join(
+      quality.select(col(id).as("__qid"), col(qualityCol).as("__q")),
+      col(id) === col("__qid"))
+      .select(col(id), col("cluster_id"), col("__q"))
+    val winners = withQ.groupBy("cluster_id")
+      .agg(max_by(col(id),
+        struct(col("__q"), negate(col(id).cast("long")))).as("survivor_id"))
+    withQ.join(winners, Seq("cluster_id"))
+      .select(col(id), col("cluster_id"), col("survivor_id"),
+        (col(id) === col("survivor_id")).as("is_survivor"))
+  }
+
   /** Cross-corpus n-gram overlap — the train/test contamination check:
     * which probe (test) documents share at least `minCommon` distinct
     * w-token shingles with which corpus (train) documents. With a wide

@@ -35,6 +35,32 @@ object Sampling {
       splits: Seq[(String, Double)]): DataFrame =
     df.withColumn("split", splitColumn(idCol, splits))
 
+  /** Leakage-safe train/val/test split: assign splits per NEAR-DUP
+    * CLUSTER, not per document, so two near-duplicates can never land
+    * on opposite sides of a train/test boundary (per-doc hashing
+    * leaks: a test doc whose near-twin trained is contamination the
+    * [[graft.operators.Dedup.crossOverlapPairs]] check would then
+    * flag). Clusters come from [[Dedup.connectedComponents]] over the
+    * candidate `pairs`; docs in no pair are their own singleton
+    * cluster. The split hash keys on `cluster_id`, so the no-leak
+    * property holds by construction — same cluster → same hash → same
+    * split — and membership stays stable under re-runs and incremental
+    * growth exactly like [[splitAssign]].
+    *
+    * Output: `docs` + `cluster_id` + `split`. One CC label shuffle +
+    * one id join over [[splitAssign]]'s cost; the split itself remains
+    * a per-row expression. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Double)], id: String = "doc_id"): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs)
+    docs
+      .join(cc, col(id) === cc("vertex"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("component"), col(id).cast("long")))
+      .drop("vertex", "component")
+      .withColumn("split", splitColumn(col("cluster_id"), splits))
+  }
+
   /** Per-stratum deterministic sampling — the data-MIXING knob of a
     * training pipeline: re-weight sources by downsampling each stratum
     * at its own rate (keep iff the id-hash fraction falls below the

@@ -69,4 +69,70 @@ object Sketch {
           .otherwise(lit((k - 1).toDouble) / col("kth")), 4)
           .as("est_distinct"))
   }
+
+  /** KMV set-operation sketch (Bar-Yossef et al. 2002; Beyer et al.
+    * SIGMOD 2007 "On synopses for distinct value estimation"):
+    * estimate |A|, |B|, |A∪B|, |A∩B| and the Jaccard similarity of the
+    * DISTINCT value sets of two inputs WITHOUT joining them at full
+    * width — the corpus-overlap probe ("how much of this crawl do we
+    * already have?") at a scale where the exact distinct-join is the
+    * thing you cannot afford.
+    *
+    * Each side: distinct values → md5-fraction hash → global bottom-k
+    * by (hash, value). The bottom-k is a sort-limit, which Spark plans
+    * as TakeOrdered with per-partition partial top-k — no single-task
+    * window, no full sort, and the only shuffle per side is the
+    * distinct. Everything past the two k-row sketches is sketch-local
+    * (≤ 3k rows; the semi-joins and final cross-join all run against
+    * broadcast-sized one-row/k-row inputs).
+    *
+    * Estimators: est|X| = (k−1)/U_k with U_k the k-th smallest hash
+    * (exact n_kept when a side has < k distinct values); with
+    * K = bottom-k of S_A ∪ S_B, jaccard = |K ∩ S_A ∩ S_B| / |K| and
+    * est|A∩B| = jaccard · est|A∪B| — the standard KMV set-operation
+    * composition. All randomness is the md5 fraction with a (hash,
+    * value) tie-break, so any SQL engine replays the sketch — and the
+    * estimates — bit-for-bit (the DuckDB oracle recomputes them, not
+    * just the exact counts).
+    *
+    * Output: ONE row — n_kept_a, n_kept_b, n_kept_union, n_common,
+    * est_a, est_b, est_union, est_jaccard, est_intersection (estimates
+    * rounded to 4dp). */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")
+    // localCheckpoint: each sketch feeds the union AND a semi-join; at
+    // k rows the checkpoint is free and saves re-deriving the distinct
+    def sketch(df: DataFrame): DataFrame = df
+      .select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull).distinct()
+      .withColumn("hfrac", md5Fraction(col("v")))
+      .orderBy(col("hfrac"), col("v")).limit(k)
+      .localCheckpoint(false)
+    val sa = sketch(a)
+    val sb = sketch(b)
+    val su = sa.union(sb).distinct()
+      .orderBy(col("hfrac"), col("v")).limit(k)
+      .localCheckpoint(false)
+    val common = su
+      .join(sa.select("v"), Seq("v"), "left_semi")
+      .join(sb.select("v"), Seq("v"), "left_semi")
+    def est(n: Column, kth: Column): Column =
+      when(n < k, n.cast("double")).otherwise(lit((k - 1).toDouble) / kth)
+    val aggA = sa.agg(count(lit(1)).as("n_kept_a"), max("hfrac").as("kth_a"))
+    val aggB = sb.agg(count(lit(1)).as("n_kept_b"), max("hfrac").as("kth_b"))
+    val aggU = su.agg(count(lit(1)).as("n_kept_union"),
+      max("hfrac").as("kth_u"))
+    val aggC = common.agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common").cast("double") /
+      greatest(col("n_kept_union"), lit(1L)).cast("double")
+    aggA.crossJoin(aggB).crossJoin(aggU).crossJoin(aggC).select(
+      col("n_kept_a"), col("n_kept_b"), col("n_kept_union"), col("n_common"),
+      round(est(col("n_kept_a"), col("kth_a")), 4).as("est_a"),
+      round(est(col("n_kept_b"), col("kth_b")), 4).as("est_b"),
+      round(est(col("n_kept_union"), col("kth_u")), 4).as("est_union"),
+      round(jac, 4).as("est_jaccard"),
+      round(jac * est(col("n_kept_union"), col("kth_u")), 4)
+        .as("est_intersection"))
+  }
 }
