@@ -284,6 +284,34 @@ object SparkEntry {
             .cast("long").as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // bloom-pruned semi-join: every probe row is tested against the
+    // build side's bloom (scalar subquery, no exchange) BEFORE the
+    // shuffle, so only matches + false positives reach the exact
+    // semi-join — row-identical to the plain semi-join the oracle runs
+    "q_bloom_semi" -> ((s, dir) => {
+      val bldg = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      BloomPrune.bloomSemiJoin(t(s, dir, "orders"), bldg, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // the anti complement — "new keys only" (crawl minus already-seen):
+    // bloom "no" rows skip the exact join entirely (no false negatives)
+    "q_bloom_anti" -> ((s, dir) => {
+      val bldg = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      BloomPrune.bloomAntiJoin(t(s, dir, "orders"), bldg, "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_semi_anti" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -1540,6 +1568,23 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS within_bound
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_bloom_semi" ->
+      // the bloom is pure pruning — the result is the plain semi-join
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_bloom_anti" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_semi_anti" ->
       """SELECT 'has_orders' AS kind, c_mktsegment, count(*) AS n FROM customer

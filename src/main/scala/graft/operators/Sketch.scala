@@ -98,19 +98,25 @@ object Sketch {
     * Output: ONE row — n_kept_a, n_kept_b, n_kept_union, n_common,
     * est_a, est_b, est_union, est_jaccard, est_intersection (estimates
     * rounded to 4dp). */
+  /** The bottom-k KMV sketch of `df`'s distinct `valueCol` set as a
+    * k-row (v, hfrac) DataFrame — the persistable artifact a
+    * production deployment stores per corpus and feeds to
+    * [[kmvOverlap]]-style set operations without rescanning. Plans as
+    * TakeOrderedAndProject: per-partition partial top-k, no window,
+    * no full sort (PlanShapeSpec locks this). */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int): DataFrame = df
+    .select(col(valueCol).cast("string").as("v"))
+    .where(col("v").isNotNull).distinct()
+    .withColumn("hfrac", md5Fraction(col("v")))
+    .orderBy(col("hfrac"), col("v")).limit(k)
+
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")
     // localCheckpoint: each sketch feeds the union AND a semi-join; at
     // k rows the checkpoint is free and saves re-deriving the distinct
-    def sketch(df: DataFrame): DataFrame = df
-      .select(col(valueCol).cast("string").as("v"))
-      .where(col("v").isNotNull).distinct()
-      .withColumn("hfrac", md5Fraction(col("v")))
-      .orderBy(col("hfrac"), col("v")).limit(k)
-      .localCheckpoint(false)
-    val sa = sketch(a)
-    val sb = sketch(b)
+    val sa = kmvSketch(a, valueCol, k).localCheckpoint(false)
+    val sb = kmvSketch(b, valueCol, k).localCheckpoint(false)
     val su = sa.union(sb).distinct()
       .orderBy(col("hfrac"), col("v")).limit(k)
       .localCheckpoint(false)

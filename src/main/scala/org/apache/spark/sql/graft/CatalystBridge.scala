@@ -138,6 +138,34 @@ object CatalystBridge {
         ExpressionUtils.column(args.head), ExpressionUtils.column(args(1))))
     })
 
+  /** Bloom-filter aggregate over pre-hashed (xxhash64) long values —
+    * Catalyst's `BloomFilterAggregate`, the mergeable-partials sketch
+    * Spark's own `InjectRuntimeFilter` builds for runtime row-level
+    * pruning; there is no public `functions._` surface for it. */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(ExpressionUtils.expression(hashed),
+          expectedItems).toAggregateExpression())
+
+  /** `might_contain(bloom, xxhash64Value)` — the probe-side test for
+    * [[bloomFilterAgg]]'s sketch. The bloom side must be foldable or a
+    * scalar subquery ([[scalarSubquery]]). */
+  def bloomMightContain(bloom: Column, hashed: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom),
+        ExpressionUtils.expression(hashed)))
+
+  /** A one-row/one-column `df` as a scalar-subquery expression usable
+    * inside another Dataset's filter/select — the shape Spark's
+    * runtime-filter rule emits (the subquery executes once, its value
+    * is then available to every task). */
+  def scalarSubquery(df: org.apache.spark.sql.Dataset[_]): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        df.queryExecution.analyzed))
+
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor)

@@ -191,6 +191,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("FullOuter"), p)
   }
 
+  test("bloom semi-join: might_contain prunes the probe before the exchange") {
+    val p = planOf("q_bloom_semi")
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("kmv overlap: bottom-k is TakeOrdered partial top-k, no window") {
+    import org.apache.spark.sql.functions._
+    // the sketch subplan (checkpointed inside kmvOverlap, so asserted
+    // on the public kmvSketch builder): sort-limit must plan as
+    // TakeOrderedAndProject, never a global sort or window
+    val sh = operators.Dedup.shingles(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val sp = operators.Sketch.kmvSketch(sh, "shingle", 256)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("TakeOrderedAndProject"), sp)
+    assert(!sp.contains("Window"), sp)
+    // the composition itself stays broadcast-sized: no windows either
+    val p = planOf("q_kmv_overlap")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("survivor selection: per-cluster argmax is an aggregate, not a window") {
+    val p = planOf("dedup_survivor")
+    assert(p.contains("max_by") || p.contains("maxby") ||
+      p.contains("MaxBy"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {
