@@ -65,11 +65,15 @@ object AvroSource {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("avro.schema.input.key", schemaJson)
+    // decode into GenericData.Records; the default ReflectData model
+    // would try to resolve a Java CLASS per nested record schema (NPE)
+    conf.set("avro.serialization.data.model",
+      classOf[org.apache.avro.generic.GenericData].getName)
     val nFields = structType.fields.length
-    // per-field logical-type converter tags (Int/Int pairs serialize
-    // into the task closure; the Avro Schema object itself does not)
-    val tags = avroSchema.getFields.asScala
-      .map(f => logicalTag(f.schema())).toArray
+    // per-field converter trees (serializable case objects/classes ride
+    // the task closure; the Avro Schema object itself does not)
+    val convs = avroSchema.getFields.asScala
+      .map(f => convOf(f.schema())).toArray
     val rdd = spark.sparkContext
       .newAPIHadoopFile(path, classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]], classOf[NullWritable], conf)
@@ -80,7 +84,7 @@ object AvroSource {
         val vals = new Array[Any](nFields)
         var i = 0
         while (i < nFields) {
-          vals(i) = fromAvro(rec.get(i), tags(i)._1, tags(i)._2)
+          vals(i) = fromAvro(rec.get(i), convs(i))
           i += 1
         }
         Row.fromSeq(vals.toIndexedSeq)
@@ -88,30 +92,57 @@ object AvroSource {
     spark.createDataFrame(rdd, structType)
   }
 
-  // logical-type tags: 0 = plain, 1 = decimal(scale), 2 = ts-millis,
-  // 3 = ts-micros, 4 = date
-  private final val TagPlain = 0
-  private final val TagDecimal = 1
-  private final val TagTsMillis = 2
-  private final val TagTsMicros = 3
-  private final val TagDate = 4
+  /** Serializable per-field converter descriptor — the recursive
+    * replacement for flat logical-type tags (Avro `Schema` itself is
+    * not closure-safe, so the STRUCTURE serializes instead). One tree
+    * per top-level field rides the task closure; nested
+    * records/arrays/maps recurse. */
+  private sealed trait Conv extends Serializable
+  private case object Plain extends Conv
+  private final case class Dec(scale: Int) extends Conv
+  private case object TsMillis extends Conv
+  private case object TsMicros extends Conv
+  private case object DateDays extends Conv
+  private final case class RecConv(fields: Array[Conv]) extends Conv
+  private final case class ArrConv(elem: Conv) extends Conv
+  private final case class MapConv(value: Conv) extends Conv
 
-  /** (tag, scale) of a field schema, looking through a 2-branch NULL
-    * union like the type bridge does. */
-  private def logicalTag(s: Schema): (Int, Int) = {
-    val inner = s.getType match {
-      case Schema.Type.UNION =>
-        val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
-        if (nonNull.size == 1) nonNull.head else s
-      case _ => s
-    }
+  /** The non-NULL branch of a 2-branch NULL union (either order), like
+    * the reference's bridge; any other schema passes through. */
+  private def nonNullBranch(s: Schema): Schema = s.getType match {
+    case Schema.Type.UNION =>
+      val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      if (nonNull.size == 1) nonNull.head else s
+    case _ => s
+  }
+
+  /** Converter tree of a READ-side field schema. */
+  private def convOf(s: Schema): Conv = {
+    val inner = nonNullBranch(s)
     inner.getLogicalType match {
-      case d: org.apache.avro.LogicalTypes.Decimal => (TagDecimal, d.getScale)
-      case _: org.apache.avro.LogicalTypes.TimestampMillis => (TagTsMillis, 0)
-      case _: org.apache.avro.LogicalTypes.TimestampMicros => (TagTsMicros, 0)
-      case _: org.apache.avro.LogicalTypes.Date => (TagDate, 0)
-      case _ => (TagPlain, 0)
+      case d: org.apache.avro.LogicalTypes.Decimal => Dec(d.getScale)
+      case _: org.apache.avro.LogicalTypes.TimestampMillis => TsMillis
+      case _: org.apache.avro.LogicalTypes.TimestampMicros => TsMicros
+      case _: org.apache.avro.LogicalTypes.Date => DateDays
+      case _ => inner.getType match {
+        case Schema.Type.RECORD =>
+          RecConv(inner.getFields.asScala.map(f => convOf(f.schema())).toArray)
+        case Schema.Type.ARRAY => ArrConv(convOf(inner.getElementType))
+        case Schema.Type.MAP => MapConv(convOf(inner.getValueType))
+        case _ => Plain
+      }
     }
+  }
+
+  /** Converter tree of a WRITE-side Spark type. */
+  private def convOfSpark(dt: DataType): Conv = dt match {
+    case d: DecimalType => Dec(d.scale)
+    case TimestampType => TsMicros
+    case DateType => DateDays
+    case st: StructType => RecConv(st.fields.map(f => convOfSpark(f.dataType)))
+    case ArrayType(et, _) => ArrConv(convOfSpark(et))
+    case MapType(_, vt, _) => MapConv(convOfSpark(vt))
+    case _ => Plain
   }
 
   /** Read a Hive-partitioned Avro table directory with PER-PARTITION
@@ -239,13 +270,12 @@ object AvroSource {
     val conf = new org.apache.hadoop.conf.Configuration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     conf.set("avro.schema.output.key", schemaJson)
+    // we emit GenericData.Records; the default ReflectData model would
+    // try to resolve a Java CLASS per nested record schema and NPE
+    conf.set("avro.serialization.data.model",
+      classOf[org.apache.avro.generic.GenericData].getName)
     val fields = df.schema.fields
-    val tags = fields.map(_.dataType match {
-      case d: DecimalType => (TagDecimal, d.scale)
-      case TimestampType => (TagTsMicros, 0)
-      case DateType => (TagDate, 0)
-      case _ => (TagPlain, 0)
-    })
+    val convs = fields.map(f => convOfSpark(f.dataType))
     df.rdd.mapPartitions { rows =>
       // schema re-parsed per partition (Schema isn't serializable-safe
       // across all avro versions); records built positionally
@@ -254,7 +284,8 @@ object AvroSource {
         val rec = new org.apache.avro.generic.GenericData.Record(schema)
         var i = 0
         while (i < fields.length) {
-          rec.put(i, toAvro(row.get(i), tags(i)._1, tags(i)._2))
+          rec.put(i, toAvro(row.get(i), convs(i),
+            schema.getFields.get(i).schema()))
           i += 1
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
@@ -274,31 +305,8 @@ object AvroSource {
     * micros); DateType → int+date. */
   def toAvroSchema(st: StructType, recordName: String): Schema = {
     val fields = st.fields.map { f =>
-      val base = f.dataType match {
-        case BooleanType => Schema.create(Schema.Type.BOOLEAN)
-        case IntegerType => Schema.create(Schema.Type.INT)
-        case LongType => Schema.create(Schema.Type.LONG)
-        case FloatType => Schema.create(Schema.Type.FLOAT)
-        case DoubleType => Schema.create(Schema.Type.DOUBLE)
-        case StringType => Schema.create(Schema.Type.STRING)
-        case BinaryType => Schema.create(Schema.Type.BYTES)
-        case d: DecimalType =>
-          org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
-            .addToSchema(Schema.create(Schema.Type.BYTES))
-        case TimestampType =>
-          org.apache.avro.LogicalTypes.timestampMicros()
-            .addToSchema(Schema.create(Schema.Type.LONG))
-        case DateType =>
-          org.apache.avro.LogicalTypes.date()
-            .addToSchema(Schema.create(Schema.Type.INT))
-        case other => throw new UnsupportedOperationException(
-          s"unsupported Spark type for Avro write: $other")
-      }
-      val sch =
-        if (f.nullable)
-          Schema.createUnion(java.util.Arrays.asList(
-            Schema.create(Schema.Type.NULL), base))
-        else base
+      val base = typeToAvro(f.dataType, s"${recordName}_${f.name}")
+      val sch = wrapNullable(base, f.nullable)
       new Schema.Field(f.name, sch, null,
         if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
@@ -306,23 +314,88 @@ object AvroSource {
       java.util.Arrays.asList(fields: _*))
   }
 
-  /** Spark external row value → Avro runtime value. */
-  private def toAvro(v: Any, tag: Int, scale: Int): Any =
+  private def wrapNullable(s: Schema, nullable: Boolean): Schema =
+    if (nullable)
+      Schema.createUnion(java.util.Arrays.asList(
+        Schema.create(Schema.Type.NULL), s))
+    else s
+
+  /** One Spark type → Avro schema node; nested records get
+    * `name`-derived unique record names (Avro requires them). */
+  private def typeToAvro(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT))
+    case st: StructType => toAvroSchema(st, name)
+    case ArrayType(et, containsNull) =>
+      Schema.createArray(wrapNullable(
+        typeToAvro(et, s"${name}_item"), containsNull))
+    case MapType(StringType, vt, valueContainsNull) =>
+      Schema.createMap(wrapNullable(
+        typeToAvro(vt, s"${name}_value"), valueContainsNull))
+    case MapType(kt, _, _) => throw new UnsupportedOperationException(
+      s"Avro maps require string keys, got $kt")
+    case other => throw new UnsupportedOperationException(
+      s"unsupported Spark type for Avro write: $other")
+  }
+
+  /** Spark external row value → Avro runtime value. `s` is the field's
+    * schema node (nullability union looked through), needed to
+    * construct nested GenericRecords/arrays/maps. */
+  private def toAvro(v: Any, c: Conv, s: Schema): Any =
     if (v == null) null
-    else tag match {
-      case TagDecimal =>
+    else c match {
+      case Dec(scale) =>
         // unscaled two's-complement bytes at the DECLARED scale (the
         // Avro decimal contract: scale lives in the schema, not the
         // payload); setScale is exact here — the value was written into
         // a DecimalType(p, s) column, so it already fits scale s
         java.nio.ByteBuffer.wrap(v.asInstanceOf[java.math.BigDecimal]
           .setScale(scale).unscaledValue().toByteArray)
-      case TagTsMicros =>
+      case TsMicros =>
         val ts = v.asInstanceOf[java.sql.Timestamp]
         Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-      case TagDate =>
+      case TsMillis => v.asInstanceOf[java.sql.Timestamp].getTime
+      case DateDays =>
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
-      case _ => v match {
+      case RecConv(fs) =>
+        val rs = nonNullBranch(s)
+        val row = v.asInstanceOf[Row]
+        val rec = new org.apache.avro.generic.GenericData.Record(rs)
+        var i = 0
+        while (i < fs.length) {
+          rec.put(i, toAvro(row.get(i), fs(i), rs.getFields.get(i).schema()))
+          i += 1
+        }
+        rec
+      case ArrConv(e) =>
+        val as = nonNullBranch(s)
+        val out = new java.util.ArrayList[Any]()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(x => out.add(toAvro(x, e, as.getElementType)))
+        out
+      case MapConv(vc) =>
+        val ms = nonNullBranch(s)
+        val out = new java.util.HashMap[String, Any]()
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .foreach { case (k, x) =>
+            out.put(k, toAvro(x, vc, ms.getValueType))
+          }
+        out
+      case Plain => v match {
         case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
         case other => other // String/Int/Long/Float/Double/Boolean as-is
       }
@@ -369,18 +442,35 @@ object AvroSource {
         (toSparkType(nonNull.head)._1, true)
       else throw new UnsupportedOperationException(
         s"unsupported Avro union: $s")
+    // nested containers — BEYOND the reference's flat-record boundary
+    // (README.md:248-252 names nesting as its own future work; SURVEY
+    // §1.2 sanctions supporting it in Spark). DML stays flat: SET on a
+    // nested path doesn't resolve, nested columns pass through replay
+    // untouched — the same contract the reference would have.
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.map { f =>
+        val (dt, nullable) = toSparkType(f.schema())
+        StructField(f.name(), dt, nullable)
+      }.toArray), false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = toSparkType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = toSparkType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
+    case Schema.Type.ENUM => (StringType, false) // read-only: symbol name
     case other => throw new UnsupportedOperationException(
-      s"unsupported Avro type: $other (flat records only, README.md:248-252)")
+      s"unsupported Avro type: $other")
   }
 
   /** Avro runtime value → Spark external row value, logical types
     * decoded per the field's tag (GenericDatumReader hands back the
     * RAW carrier — ByteBuffer/Fixed/Long/Int — no conversions
     * registered). */
-  private def fromAvro(v: Any, tag: Int, scale: Int): Any =
+  private def fromAvro(v: Any, c: Conv): Any =
     if (v == null) null
-    else tag match {
-      case TagDecimal =>
+    else c match {
+      case Dec(scale) =>
         val bytes = v match {
           case b: java.nio.ByteBuffer =>
             val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
@@ -389,15 +479,31 @@ object AvroSource {
             s"decimal carrier must be bytes/fixed, got ${other.getClass}")
         }
         new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
-      case TagTsMillis => new java.sql.Timestamp(v.asInstanceOf[Long])
-      case TagTsMicros =>
+      case TsMillis => new java.sql.Timestamp(v.asInstanceOf[Long])
+      case TsMicros =>
         val us = v.asInstanceOf[Long]
         val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
         ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
         ts
-      case TagDate => java.sql.Date.valueOf(
+      case DateDays => java.sql.Date.valueOf(
         java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
-      case _ => fromAvro(v)
+      case RecConv(fs) =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val vals = new Array[Any](fs.length)
+        var i = 0
+        while (i < fs.length) {
+          vals(i) = fromAvro(rec.get(i), fs(i))
+          i += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
+      case ArrConv(e) =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(fromAvro(_, e)).toSeq
+      case MapConv(vc) =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+          case (k, mv) => k.toString -> fromAvro(mv, vc)
+        }.toMap
+      case Plain => fromAvro(v)
     }
 
   /** Avro runtime value → Spark external row value (plain types). */
@@ -407,6 +513,7 @@ object AvroSource {
     case s: CharSequence => s.toString
     case b: java.nio.ByteBuffer =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
     case other => other // Int/Long/Float/Double/Boolean box as-is
   }
 }

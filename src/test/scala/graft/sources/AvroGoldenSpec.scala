@@ -134,23 +134,25 @@ class AvroGoldenSpec extends SparkSpec {
   }
 
   test("unsupported types are rejected explicitly (reference parity)") {
-    // nested Avro record: the reference throws UnsupportedOperationException
-    // (AvroSCDInputFormat.java:178); so do we, with the same scope note
-    val nested =
+    // nested records/arrays/maps now bridge (beyond the reference,
+    // which throws at AvroSCDInputFormat.java:178 — see
+    // AvroNestedSpec); genuinely unsupported shapes still fail loudly:
+    // a multi-branch non-null union has no Spark type
+    val multiUnion =
       """{"type":"record","name":"r","fields":[
-        |  {"name":"inner","type":{"type":"record","name":"i",
-        |   "fields":[{"name":"x","type":"int"}]}}]}""".stripMargin
+        |  {"name":"u","type":["int","string","boolean"]}]}""".stripMargin
     intercept[UnsupportedOperationException] {
       AvroSource.toStructType(
-        new org.apache.avro.Schema.Parser().parse(nested))
+        new org.apache.avro.Schema.Parser().parse(multiUnion))
     }
-    // reverse bridge: array columns can't map to the flat-record model
+    // reverse bridge: non-string map keys can't map to Avro maps
     intercept[UnsupportedOperationException] {
       AvroSource.toAvroSchema(
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.IntegerType)))), "r")
+          org.apache.spark.sql.types.StructField("m",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.StringType)))), "r")
     }
   }
 
