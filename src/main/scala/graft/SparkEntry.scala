@@ -862,6 +862,17 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"))
         .orderBy("doc_id", "rank")),
 
+    // BM25 ranked retrieval: a 3-query batch against the corpus —
+    // seed-expansion / "find docs like this" over the derived
+    // inverted-index stats (broadcast-pruned posting join)
+    "text_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq((1L, "hash join merge"), (2L, "slow query scan"),
+        (3L, "stream window agg")).toDF("query_id", "qtext")
+      Retrieval.bm25TopK(t(s, dir, "documents"), q)
+        .orderBy("query_id", "rank")
+    }),
+
     // perplexity scored against an EXTERNAL LM: train-split unigram
     // table scores the test split; OOV tokens charge a flat 20.0
     // penalty — the production quality-filter shape (score incoming
@@ -1139,6 +1150,14 @@ object SparkEntry {
           col("corpus_id").as("train_id"), col("n_common"))
         .orderBy("test_id", "train_id")
     }),
+
+    // exact repeated-SPAN detection (Lee et al. 2022 substring dedup,
+    // fixed-width token windows): maximal per-doc token ranges whose
+    // every 6-token window recurs somewhere in the corpus — the ranges
+    // an exact-substring scrubber would cut
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"))
+        .orderBy("doc_id", "span_start")),
 
     "dedup_embedding" -> ((s, dir) =>
       // default sign-hyperplane LSH blocking (8 bits = 256 buckets);
@@ -2440,6 +2459,53 @@ object SparkEntry {
         |SELECT doc_id, rnk AS "rank", term, tf, df, tf_idf FROM r
         |WHERE rnk <= 5 ORDER BY doc_id, "rank"""".stripMargin,
 
+    "text_bm25" ->
+      // float literals CAST to DOUBLE (DuckDB parses bare decimals as
+      // DECIMAL and would do decimal arithmetic); parens mirror the
+      // Spark expression order exactly so both engines run the same
+      // IEEE double ops on the same operands
+      """WITH q(query_id, qtext) AS (
+        |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),
+        |         (CAST(2 AS BIGINT), 'slow query scan'),
+        |         (CAST(3 AS BIGINT), 'stream window agg')),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |  FROM tf GROUP BY 1),
+        |gl AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  avg(dl) AS avgdl FROM dl),
+        |qt AS (SELECT DISTINCT query_id,
+        |  unnest(string_split(lower(qtext), ' ')) AS t FROM q),
+        |qstats AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+        |  WHERE t IN (SELECT t FROM qt) GROUP BY 1),
+        |sc AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST(floor(ln(CAST(1 AS DOUBLE) +
+        |        (n_docs - df + CAST(0.5 AS DOUBLE)) /
+        |        (df + CAST(0.5 AS DOUBLE))) *
+        |      ((tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+        |        (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) -
+        |          CAST(0.75 AS DOUBLE) +
+        |          CAST(0.75 AS DOUBLE) * dl / avgdl))) *
+        |      CAST(1000000 AS DOUBLE)) AS BIGINT) AS w_q
+        |  FROM tf JOIN qt USING (t) JOIN qstats USING (t)
+        |    JOIN dl USING (doc_id) CROSS JOIN gl),
+        |agg AS (
+        |  SELECT query_id, doc_id, CAST(sum(w_q) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM sc GROUP BY 1, 2),
+        |r AS (
+        |  SELECT query_id, doc_id, s, n_terms, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+        |  FROM agg)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id,
+        |  round(CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) AS bm25,
+        |  n_terms
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
     "text_embed" -> {
       val bfrac = md5FracSql("'b|' || tok")
       val wfrac = md5FracSql("'w|' || tok")
@@ -2862,6 +2928,33 @@ object SparkEntry {
          |  count(*) AS n_common
          |FROM sh8 p JOIN corp ON p.s = corp.s AND p.split = 'test'
          |GROUP BY 1, 2 ORDER BY test_id, train_id""".stripMargin,
+
+    "dedup_spans" ->
+      // w=6 windows, positions kept (no list_distinct — within-doc
+      // repeats count); islands merge starts with gap <= 6
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 6),
+        |win AS (
+        |  SELECT doc_id, i AS pos,
+        |    substring(md5(array_to_string(t[i+1:i+6], ' ')), 1, 16) AS wkey
+        |  FROM toks, UNNEST(range(0, len(t) - 5)) AS u(i)),
+        |dup AS (SELECT wkey FROM win GROUP BY wkey HAVING count(*) >= 2),
+        |fl AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wkey)),
+        |brk AS (
+        |  SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) > 6 THEN 1 ELSE 0 END AS b
+        |  FROM fl),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(b) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM brk)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+        |  max(pos) + 5 - min(pos) + 1 AS span_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_simhash" -> {
       // 64-bit simhash via the packed nibble-spread counters — mirrors

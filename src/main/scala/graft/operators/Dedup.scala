@@ -645,4 +645,69 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Exact repeated-SPAN detection — the substring-dedup primitive
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022: remove substrings ≥ N tokens that occur more
+    * than once in the corpus), reduced to fixed-width token windows so
+    * the whole pass is relational. Every w-token window (stride 1,
+    * positions kept — unlike [[shingles]], repeats within a doc count)
+    * is keyed by a truncated md5 of its text; a window whose key
+    * occurs ≥ 2 times corpus-wide marks its start position as
+    * duplicated, and per document consecutive duplicated starts
+    * (gap ≤ w, i.e. overlapping or touching coverage) merge via
+    * gaps-and-islands into MAXIMAL spans — exactly the ranges an
+    * exact-substring scrubber would cut.
+    *
+    * `crossDocOnly = true` counts a key only when ≥ 2 DISTINCT docs
+    * share it (pure cross-doc contamination; within-doc boilerplate
+    * loops ignored) at the cost of a count-distinct shuffle.
+    *
+    * 100 TB shape: windows are (id, pos, 16-char key) rows — the only
+    * corpus-sized shuffles are the map-side-combinable key groupBy and
+    * the key equi-join back; the flagged set (actual duplicates) is
+    * small, and the islands window partitions per doc, bounded by doc
+    * length. A degenerate key (whole-corpus boilerplate like a run of
+    * one token) is a skewed join key — AQE skew-join splits it, and
+    * the key carries only 16 bytes. Collisions: 64-bit truncated md5
+    * over ~10¹² windows has ~birthday 3·10⁻² expected colliding PAIRS
+    * per 10¹² — a false duplicated span is possible but vanishingly
+    * rare, the standard hash-dedup trade.
+    *
+    * Output: id, span_start, span_end (token indices, inclusive),
+    * span_tokens, n_windows. */
+  def duplicateSpans(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", w: Int = 6,
+      crossDocOnly: Boolean = false): DataFrame = {
+    require(w >= 2, s"duplicateSpans: window width $w < 2")
+    val refs = (0 until w).map(k => s"toks[i+$k]").mkString(", ")
+    // positions kept: posexplode, no array_distinct (cf. shingles)
+    val wins = docs
+      .select(col(id), split(lower(col(textCol)), " ").as("toks"))
+      .where(size(col("toks")) >= w)
+      .select(col(id), posexplode(expr(
+        s"transform(sequence(0, size(toks)-$w), " +
+          s"i -> substring(md5(concat_ws(' ', $refs)), 1, 16))")))
+      .toDF(id, "pos", "wkey")
+    val dupKeys =
+      if (crossDocOnly)
+        wins.groupBy("wkey").agg(countDistinct(col(id)).as("nd"))
+          .where(col("nd") >= 2).select("wkey")
+      else
+        wins.groupBy("wkey").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2).select("wkey")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("pos"))
+    wins.join(dupKeys, "wkey")
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) > w, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wd))
+      .groupBy(col(id), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(id), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+  }
 }

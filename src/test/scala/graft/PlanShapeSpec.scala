@@ -106,6 +106,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("dedup_spans: window-key equi-joins only; islands window partitions per doc") {
+    val p = planOf("dedup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the only Window allowed is the per-doc islands pass — never one
+    // keyed on wkey (that would pin a degenerate boilerplate key's
+    // whole bucket in one task, the skew shape task 2 removed)
+    assert(!p.contains("windowspecdefinition(wkey"), p)
+  }
+
+  test("text_bm25: query terms + pruned df stats broadcast into the posting join") {
+    val p = planOf("text_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    // qterms, qstats, and the 1-row corpus stats each ride a broadcast;
+    // the corpus-sized tf table must never shuffle against them
+    assert(count(p, "BroadcastExchange") >= 3, p)
+  }
+
   test("corpusMatchStream: stream-static equi-join, zero streaming state") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}

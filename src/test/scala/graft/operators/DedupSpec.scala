@@ -233,4 +233,33 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("duplicateSpans merges a cross-doc shared run into one maximal span") {
+    import spark.implicits._
+    // s1..s8 shared between docs; every other token unique corpus-wide
+    val d = Seq(
+      (1L, "a1 a2 a3 a4 a5 s1 s2 s3 s4 s5 s6 s7 s8 b1 b2 b3 b4 b5"),
+      (2L, "c1 c2 s1 s2 s3 s4 s5 s6 s7 s8 d1 d2"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // doc 1: duplicated starts 5..9 merge -> [5, 12], 8 tokens, 5 windows
+    // doc 2: starts 2..6 merge -> [2, 9]
+    assert(spans == Set((1L, 5L, 12L, 8L, 5L), (2L, 2L, 9L, 8L, 5L)))
+  }
+
+  test("duplicateSpans counts within-doc repeats; crossDocOnly drops them") {
+    import spark.implicits._
+    // the r-run repeats INSIDE one doc only (gap 6 > w=4 -> two spans)
+    val d = Seq(
+      (1L, "r1 r2 r3 r4 z1 z2 r1 r2 r3 r4"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, w = 4)
+      .select("doc_id", "span_start", "span_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 0L, 3L), (1L, 6L, 9L)))
+    assert(Dedup.duplicateSpans(d, w = 4, crossDocOnly = true).isEmpty)
+  }
 }
