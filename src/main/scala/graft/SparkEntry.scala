@@ -1159,6 +1159,12 @@ object SparkEntry {
       Dedup.duplicateSpans(t(s, dir, "documents"))
         .orderBy("doc_id", "span_start")),
 
+    // the CUT step: duplicated spans removed, documents reassembled
+    // from the surviving tokens (full Lee et al. substring-dedup)
+    "dedup_scrub" -> ((s, dir) =>
+      Dedup.scrubSpans(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "dedup_embedding" -> ((s, dir) =>
       // default sign-hyperplane LSH blocking (8 bits = 256 buckets);
       // bucket-local pairwise cosine — the 100 TB-safe shape. The
@@ -2955,6 +2961,48 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_windows
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_scrub" ->
+      // covered positions from the flagged starts (union of [p, p+5]
+      // ≡ the merged islands' coverage); reassembly splits the
+      // ORIGINAL text so kept tokens keep their case
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 6),
+        |win AS (
+        |  SELECT doc_id, i AS pos,
+        |    substring(md5(array_to_string(t[i+1:i+6], ' ')), 1, 16) AS wkey
+        |  FROM toks, UNNEST(range(0, len(t) - 5)) AS u(i)),
+        |dup AS (SELECT wkey FROM win GROUP BY wkey HAVING count(*) >= 2),
+        |fl AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (wkey)),
+        |cov AS (
+        |  SELECT DISTINCT fl.doc_id, c.cp
+        |  FROM fl, UNNEST(range(fl.pos, fl.pos + 6)) AS c(cp)),
+        |tok AS (
+        |  SELECT doc_id, i AS pos, t[i+1] AS tk
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents) o,
+        |    UNNEST(range(0, len(t))) AS u(i)),
+        |keep AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tk
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.pos = cov.cp
+        |  WHERE cov.cp IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS clean_text
+        |  FROM keep GROUP BY doc_id),
+        |ncut AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN n.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(a.clean_text, '') END AS clean_text,
+        |  coalesce(n.n_removed, 0) AS n_removed
+        |FROM documents d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |LEFT JOIN ncut n ON d.doc_id = n.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_simhash" -> {
       // 64-bit simhash via the packed nibble-spread counters — mirrors

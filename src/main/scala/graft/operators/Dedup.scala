@@ -710,4 +710,38 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_windows"))
   }
+
+  /** The CUT step completing [[duplicateSpans]] into the full Lee et
+    * al. 2022 pipeline: remove every duplicated span's tokens and
+    * reassemble each document from the survivors, in order. Matching
+    * is case-insensitive (spans key on lowercased windows) but
+    * reassembly keeps the ORIGINAL tokens — both sides split on the
+    * same delimiter, so positions align. Documents with nothing
+    * duplicated pass through byte-identical; a fully-duplicated
+    * document becomes the empty string (count it, don't resurrect it).
+    *
+    * 100 TB shape: [[duplicateSpans]]'s cost plus one explode of the
+    * (small) span list to covered positions, a per-doc collect_set
+    * bounded by doc length, and a left join back to the corpus on the
+    * doc id. The token filter is a per-row higher-order function —
+    * no extra shuffle.
+    *
+    * Output: id, clean_text, n_removed (tokens cut). */
+  def scrubSpans(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", w: Int = 6,
+      crossDocOnly: Boolean = false): DataFrame = {
+    val cuts = duplicateSpans(docs, id, textCol, w, crossDocOnly)
+      .select(col(id),
+        explode(expr("sequence(span_start, span_end)")).as("cut_pos"))
+      .groupBy(col(id)).agg(collect_set(col("cut_pos")).as("cuts"))
+    docs.join(cuts, Seq(id), "left")
+      .select(col(id),
+        when(col("cuts").isNull, col(textCol)).otherwise(array_join(expr(
+          s"""transform(
+             |  filter(
+             |    transform(split($textCol, ' '), (x, i) -> struct(x AS x, i AS i)),
+             |    p -> NOT array_contains(cuts, CAST(p.i AS BIGINT))),
+             |  p -> p.x)""".stripMargin), " ")).as("clean_text"),
+        coalesce(size(col("cuts")), lit(0)).cast("long").as("n_removed"))
+  }
 }

@@ -262,4 +262,26 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((1L, 0L, 3L), (1L, 6L, 9L)))
     assert(Dedup.duplicateSpans(d, w = 4, crossDocOnly = true).isEmpty)
   }
+
+  test("scrubSpans cuts the duplicated run, keeps case, passes clean docs through") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "A1 a2 a3 a4 a5 S1 s2 s3 s4 s5 s6 s7 s8 b1 b2 b3 b4 b5"),
+      (2L, "c1 c2 s1 s2 s3 s4 s5 s6 s7 s8 d1 d2"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(d, w = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2))).toMap
+    // doc 1: positions 5..12 cut; original case survives elsewhere
+    assert(out(1L) == ("A1 a2 a3 a4 a5 b1 b2 b3 b4 b5", 8L))
+    assert(out(2L) == ("c1 c2 d1 d2", 8L))
+    assert(out(3L) == ("w1 w2 w3 w4 w5 w6 w7", 0L)) // untouched
+    // a fully-duplicated doc scrubs to the empty string, not a null
+    val dup = Seq((1L, "x1 x2 x3 x4"), (2L, "x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val gone = Dedup.scrubSpans(dup, w = 4).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(gone == Set(("", 4L)))
+  }
 }
