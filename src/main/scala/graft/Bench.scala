@@ -28,12 +28,25 @@ object Bench {
     // (JIT + file-cache), then the timed run — the number that scales
     // to a long-lived cluster. Disable with SPARK_GRAFT_WARMUP=0.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration only (the driver sets neither): run a subset —
+    // comma-separated names, or a name prefix like "dedup_"
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(o => o.contains(name) || o.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       try {
         if (warmup) fn(spark, sfDir).count()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
+        // min of 2 timed runs: a single sample is exposed to transient
+        // host stalls (an r5 full run recorded 133 s for a query that
+        // reproducibly takes 2.5 s — the stall lands on whichever query
+        // is running); the min is the steady-state number that scales
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

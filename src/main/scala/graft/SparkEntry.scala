@@ -1001,6 +1001,21 @@ object SparkEntry {
           round(max(col("keep_rate")), 6).as("keep_rate"))
         .orderBy("lang")),
 
+    // temperature mixing (alpha = 0.5): per-lang weights DERIVED from
+    // the corpus itself (∝ n_tokens^alpha — the multilingual
+    // flattening rule), 10k-token target; low-resource langs keep a
+    // higher rate than their proportional share
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), alpha = 0.5, target = 10000L,
+        sizeCol = TextAnalysis.tokenCount(col("text")).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens_kept"),
+          round(max(col("keep_rate")), 6).as("keep_rate"))
+        .orderBy("lang")),
+
     // temperature-style weighted sample: 20 docs per source, longer
     // docs proportionally likelier, reproducible from ids alone
     "q_weighted_sample" -> ((s, dir) =>
@@ -2783,6 +2798,35 @@ object SparkEntry {
          |  CAST(sum(n_chars) AS BIGINT) AS n_chars_kept,
          |  round(max(keep_rate), 6) AS keep_rate
          |FROM r
+         |WHERE ${md5FracSql("CAST(doc_id AS VARCHAR)")} < keep_rate
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_temperature_mix" ->
+      // n^alpha quantized to micros as DECIMAL(38,0) before the exact
+      // sum (double-sum order diverges across engines); the divide
+      // chain mirrors temperatureSample op-for-op
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS sz
+         |  FROM documents),
+         |c AS (SELECT lang AS g, CAST(sum(sz) AS BIGINT) AS n
+         |  FROM s GROUP BY 1),
+         |qz AS (
+         |  SELECT g, n,
+         |    CAST(floor(pow(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) *
+         |      CAST(1000000 AS DOUBLE)) AS DECIMAL(38,0)) AS q
+         |  FROM c),
+         |z AS (SELECT sum(q) AS zq FROM qz),
+         |r AS (
+         |  SELECT g, least(CAST(1 AS DOUBLE), CAST(10000 AS DOUBLE) *
+         |    (CAST(q AS DOUBLE) / CAST(1000000 AS DOUBLE)) /
+         |    (CAST(zq AS DOUBLE) / CAST(1000000 AS DOUBLE)) /
+         |    CAST(n AS DOUBLE)) AS keep_rate
+         |  FROM qz CROSS JOIN z)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz) AS BIGINT) AS n_tokens_kept,
+         |  round(max(keep_rate), 6) AS keep_rate
+         |FROM s JOIN r ON s.lang = r.g
          |WHERE ${md5FracSql("CAST(doc_id AS VARCHAR)")} < keep_rate
          |GROUP BY lang ORDER BY lang""".stripMargin,
 

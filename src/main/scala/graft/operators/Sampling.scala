@@ -136,6 +136,51 @@ object Sampling {
       .drop("__g", "__n")
   }
 
+  /** Temperature sampling — the multilingual-pretraining mixing rule
+    * (sample stratum g with probability ∝ n_g^alpha, alpha < 1
+    * flattening the head so low-resource strata survive): the
+    * per-stratum weights are DERIVED from the data itself, so unlike
+    * [[quotaSampleBy]] no driver-side weight map is needed and the
+    * stratum column may be high-cardinality (domain, host, source).
+    * Keep rate_g = min(1, target·(n_g^alpha / Σ_h n_h^alpha) / n_g);
+    * membership is the id-hash Bernoulli keep of the family —
+    * reproducible and nested. Sizes are measured by `sizeCol`
+    * (rows, tokens, bytes).
+    *
+    * Determinism discipline: each stratum's n^alpha is quantized to
+    * 1e-6 micros as DECIMAL(38,0) before the Σ (exact decimal sum —
+    * a double Σ's accumulation order diverges across engines, and
+    * micro-quantized longs could overflow 2^63 once strata sizes hit
+    * 10^12), one double divide chain at the end, mirrored
+    * op-for-op by the oracle.
+    *
+    * 100 TB shape: one map-side-combined stratum aggregate (one row
+    * per stratum), a 1-row quantized total, and a rates join back on
+    * the stratum key — deliberately NOT hint-broadcast: at domain
+    * cardinality the rates side may exceed broadcast limits, and AQE
+    * picks broadcast itself whenever it fits.
+    * Output: input columns + keep_rate. */
+  def temperatureSample(df: DataFrame, idCol: Column, stratumCol: Column,
+      alpha: Double, target: Long,
+      sizeCol: Column = lit(1L)): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1]: $alpha")
+    require(target >= 0, s"target must be >= 0: $target")
+    val counts = df.groupBy(stratumCol.as("__g"))
+      .agg(sum(sizeCol.cast("long")).as("__n"))
+    val qz = counts.withColumn("__q",
+      floor(pow(col("__n").cast("double"), lit(alpha)) * lit(1000000.0))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val z = qz.agg(sum(col("__q")).as("__z"))
+    val rates = qz.crossJoin(broadcast(z))
+      .select(col("__g"), least(lit(1.0),
+        lit(target.toDouble) * (col("__q").cast("double") / lit(1000000.0)) /
+          (col("__z").cast("double") / lit(1000000.0)) /
+          col("__n").cast("double")).as("keep_rate"))
+    df.withColumn("__g", stratumCol).join(rates, "__g")
+      .where(Sketch.md5Fraction(idCol) < col("keep_rate"))
+      .drop("__g")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per
     * stratum (Efraimidis–Spirakis "A-Res"): each row draws
     * key = u^(1/w) with u the row's id-hash fraction; the k largest

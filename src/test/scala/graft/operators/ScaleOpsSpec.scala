@@ -116,6 +116,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("temperatureSample: alpha<1 boosts small strata; alpha=1 is proportional") {
+    // big=2400, small=600 (4:1); alpha=0.5 → weights ∝ sqrt(n) = 2:1,
+    // so rates come out EXACTLY big 900·(2/3)/2400 = 0.25 and
+    // small 900·(1/3)/600 = 0.5
+    val df = (1L to 3000L).toDF("id")
+      .withColumn("src", when(col("id") <= 2400, "big").otherwise("small"))
+    val out = Sampling.temperatureSample(df, col("id"), col("src"),
+      alpha = 0.5, target = 900L)
+    val rates = out.groupBy("src").agg(max("keep_rate")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rates("big") - 0.25) < 1e-6, rates.toString)
+    assert(math.abs(rates("small") - 0.5) < 1e-6, rates.toString)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") > 520 && counts("big") < 680, counts.toString)
+    assert(counts("small") > 240 && counts("small") < 360, counts.toString)
+    // alpha=1 degenerates to proportional: identical rate everywhere
+    val prop = Sampling.temperatureSample(df, col("id"), col("src"),
+      alpha = 1.0, target = 900L)
+      .groupBy("src").agg(max("keep_rate")).collect().map(_.getDouble(1))
+    assert(math.abs(prop(0) - prop(1)) < 1e-9, prop.mkString(","))
+    // nested: halving the target keeps a subset
+    val smaller = Sampling.temperatureSample(df, col("id"), col("src"),
+      alpha = 0.5, target = 450L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val larger = out.select("id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(larger))
+  }
+
   test("hash sampling/splits are streaming-safe (pure per-row, no state)") {
     // the sampling family is deterministic per-row expressions, so it
     // must compose with readStream in append mode with ZERO streaming
