@@ -459,17 +459,28 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", bits: Int = 64,
       maxDist: Int = 3, maxBucket: Int = 1000,
-      dictVocab: Boolean = false): DataFrame = {
+      dictVocab: Boolean = false): DataFrame =
+    sigHammingPairs(simHash(docs, id, textCol, bits, dictVocab),
+      id, "simhash", bits, maxDist, maxBucket)
+
+  /** The banding+verify half of [[simhashPairs]], over ANY packed-long
+    * signature table (text simhash, image aHash, audio fingerprint):
+    * pigeonhole banding (maxDist+1 bands ⇒ a pair within maxDist
+    * shares at least one band), bucket-cap skew guard, exact Hamming
+    * verify on candidates. Output: id_a < id_b, hamming. */
+  def sigHammingPairs(sigs: DataFrame, id: String, sigCol: String,
+      bits: Int = 64, maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist < bits,
+      s"maxDist must be in [0, $bits): $maxDist")
     val bands = maxDist + 1
     val width = bits / bands
-    val sh = simHash(docs, id, textCol, bits, dictVocab)
     // band i = bit slice [bits-width*(i+1), bits-width*i): arithmetic
     // shift is fine — the mask keeps only the slice's bits
     def bkeyOf(sig: Column, i: Int): Column =
       shiftright(sig, bits - width * (i + 1)).bitwiseAND((1L << width) - 1)
-    val banded = sh.select(col(id), col("simhash").as("sh"),
+    val banded = sigs.select(col(id), col(sigCol).as("sh"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bkeyOf(col("simhash"), b).as("bkey"))): _*))
+        struct(lit(b).as("band"), bkeyOf(col(sigCol), b).as("bkey"))): _*))
         .as("bk"))
       .select(col(id), col("sh"), col("bk.band").as("band"),
         col("bk.bkey").as("bkey"))

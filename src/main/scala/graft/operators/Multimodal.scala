@@ -244,6 +244,82 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL perceptual image hash (average hash): decode → 8×8 bilinear
+    * grayscale thumbnail → 64-bit signature, bit = pixel luma at or
+    * above the thumbnail mean, packed row-major (pixel 0 → bit 63).
+    * Near-identical images — re-encodes, format changes, mild
+    * resizes/brightness shifts — land within a few Hamming bits, so
+    * the signature feeds the same pigeonhole-banding machinery as text
+    * SimHash ([[imageNearDups]]). Known aHash limit: uniform images
+    * all hash to the same all-ones signature regardless of color —
+    * block on `contentMeta`'s md5 first if exact-byte dups dominate.
+    * Undecodable or NULL payloads keep their row with a NULL hash.
+    * Output: id, byte_len, ahash (long). */
+  def imageAHash(df: DataFrame, id: String, binCol: String): DataFrame = {
+    val inSchema = df.select(col(id), col(binCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.head,
+      org.apache.spark.sql.types.StructField("byte_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ahash",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          org.apache.spark.sql.Row(r.get(0),
+            if (payload == null) null else payload.length.toLong, null)
+        else {
+          val thumb = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 8, 8, null)
+          g.dispose()
+          val luma = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            val rgb = thumb.getRGB(i % 8, i / 8)
+            luma(i) = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            i += 1
+          }
+          val mean = luma.sum / 64
+          var hash = 0L
+          i = 0
+          while (i < 64) {
+            if (luma(i) >= mean) hash |= (1L << (63 - i))
+            i += 1
+          }
+          org.apache.spark.sql.Row(r.get(0), payload.length.toLong, hash)
+        }
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate IMAGES via aHash + Hamming banding — the visual
+    * twin of text SimHash dedup, end-to-end real in this environment
+    * (JDK codecs): [[imageAHash]] per payload, then
+    * `Dedup.sigHammingPairs` bands the 64-bit signatures so only
+    * same-band candidates pair (never all-pairs). Undecodable payloads
+    * drop out (no signature → no pairs). Output: id_a < id_b,
+    * hamming. */
+  def imageNearDups(df: DataFrame, id: String, binCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame =
+    Dedup.sigHammingPairs(
+      imageAHash(df, id, binCol).where(col("ahash").isNotNull),
+      id, "ahash", 64, maxDist, maxBucket)
+
   /** Full multimodal prep pipeline over a table with a binary payload:
     * metadata + chunk fingerprints + stub features, flattened for easy
     * downstream use. */

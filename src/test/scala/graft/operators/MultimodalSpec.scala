@@ -119,6 +119,56 @@ class MultimodalSpec extends SparkSpec {
     assert(small.getInt(1) == 100 && small.getInt(2) == 50)
   }
 
+  test("imageAHash + imageNearDups: perceptual near-dup across encode/brightness") {
+    import spark.implicits._
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // a gradient-with-structure image; +delta = mildly brightened copy
+    def gradient(w: Int, h: Int, delta: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.min(255, (x * 255) / w + (if ((y / 8) % 2 == 0) 40 else 0)
+          + delta)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // an unrelated image: vertical instead of horizontal gradient
+    def vert(w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (y * 255) / h
+        img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | v)
+      }
+      img
+    }
+    val base = gradient(64, 64, 0)
+    val data = Seq(
+      (1L, encode(base, "png")),
+      (2L, encode(base, "bmp")),            // same pixels, other format
+      (3L, encode(gradient(64, 64, 6), "png")), // mildly brightened
+      (4L, encode(vert(64, 64), "png")),    // unrelated image
+      (5L, "garbage".getBytes("UTF-8")))    // undecodable
+      .toDF("id", "payload")
+    val hashes = Multimodal.imageAHash(data, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(hashes(1L).isDefined && hashes(1L) == hashes(2L),
+      "same pixels hash identically across formats")
+    assert(hashes(5L).isEmpty, "garbage payload yields NULL hash")
+    val pairs = Multimodal.imageNearDups(data, "id", "payload", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)), "brightened copy within maxDist")
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated image must not pair: $pairs")
+  }
+
   test("fakeEmbedding feeds the vector operators") {
     val e = bins.select(col("id").as("vec_id"),
       Multimodal.fakeEmbedding(col("payload"), 8).as("embedding"))
