@@ -844,6 +844,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // threshold sweep for the classifier gate: the precision/recall/F1
+    // curve the operating cutoff is read off of — corpus pass is ONE
+    // binning groupBy; the cumulative sweep runs on the 40-row bin
+    // table
+    "q_gate_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
+        .map(w => TextAnalysis.wordCount(col("text"), w))
+        .reduce(_ + _) > 0
+      val model = TextAnalysis.nbModel(docs, isEn, dim = 256)
+      val scored = TextAnalysis.nbScore(docs, model, dim = 256)
+        .join(docs.select(col("doc_id"),
+          isEn.cast("long").as("label")), Seq("doc_id"))
+      Eval.thresholdSweep(scored, col("score"), col("label"),
+        lo = -50.0, hi = 50.0, nBins = 40)
+    }),
+
     // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
     // in for lines on this single-line corpus; windows shared by >= 2
     // docs (exact-dup and near-dup clones) are stripped everywhere and
@@ -2593,6 +2610,72 @@ object SparkEntry {
          |FROM sc CROSS JOIN prior
          |JOIN lab ON lab.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin
+    },
+
+    "q_gate_calibration" -> {
+      // same model+score chain as text_classify, then the binned
+      // threshold sweep; "precision" needs quoting (DuckDB type
+      // keyword); bin/threshold float ops mirror Eval.thresholdSweep
+      val bfrac = md5FracSql("'b|' || tok")
+      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
+      s"""WITH $PaddedDocCte,
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+         |  FROM p),
+         |tok AS (
+         |  SELECT d.doc_id, lab.y,
+         |    unnest(string_split(lower(d.text), ' ')) AS tok
+         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, y, CAST(floor(($bfrac) * 256) AS INT) AS bk
+         |  FROM tok),
+         |counts AS (
+         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
+         |    CAST(sum(1 - y) AS BIGINT) AS cn
+         |  FROM b GROUP BY bk),
+         |dense AS (
+         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |  LEFT JOIN counts ON counts.bk = i),
+         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
+         |w AS (
+         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 256)) -
+         |    ln((cn + 1) / (nn + 256))) * 1e6) AS BIGINT) AS w_q
+         |  FROM dense CROSS JOIN tot),
+         |prior AS (
+         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
+         |    AS BIGINT) AS prior_q
+         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
+         |sc AS (
+         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
+         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
+         |scored AS (
+         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
+         |    lab.y
+         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |pb AS (
+         |  SELECT least(39, greatest(0, CAST(floor(
+         |      (score - CAST(-50 AS DOUBLE)) / CAST(2.5 AS DOUBLE))
+         |      AS INT))) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |  FROM scored GROUP BY 1),
+         |tpos AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM pb),
+         |cum AS (
+         |  SELECT bin,
+         |    CAST(sum(n) OVER (ORDER BY bin DESC) AS BIGINT) AS kept,
+         |    CAST(sum(n_pos) OVER (ORDER BY bin DESC) AS BIGINT) AS tp
+         |  FROM pb)
+         |SELECT round(CAST(-50 AS DOUBLE) +
+         |    CAST(bin AS DOUBLE) * CAST(2.5 AS DOUBLE), 6) AS threshold,
+         |  kept, tp,
+         |  round(CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE), 6)
+         |    AS "precision",
+         |  round(CAST(tp AS DOUBLE) / CAST(nullif(total_pos, 0) AS DOUBLE), 6)
+         |    AS recall,
+         |  round(CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE) /
+         |    CAST(kept + total_pos AS DOUBLE), 6) AS f1
+         |FROM cum CROSS JOIN tpos ORDER BY threshold""".stripMargin
     },
 
     // line-level dedup: identical 8-token-window segmentation; the df
