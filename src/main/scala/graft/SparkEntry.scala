@@ -844,6 +844,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization + registrable-domain: the crawl dedup key —
+    // tracking params, case, default ports, fragments collapse; the
+    // VALUES batch exercises every rule end-to-end
+    "q_url_canonical" -> ((s, dir) => {
+      import s.implicits._
+      val urls = Seq(
+        (1L, "https://example.com/a?x=1&y=2"),
+        (2L, "https://EXAMPLE.com/a?y=2&x=1&utm_campaign=spring"),
+        (3L, "https://example.com:443/a?x=1&y=2#section"),
+        (4L, "HTTP://Shop.Example.co.uk:80/b?fbclid=zz"),
+        (5L, "http://sub.a.news.example.org:8080/path/"),
+        (6L, "not a url")).toDF("url_id", "url")
+      urls.select(col("url_id"),
+          WebOps.canonicalizeUrl(col("url")).as("canon"),
+          WebOps.registrableDomain(WebOps.hostOf(col("url"))).as("domain"))
+        .orderBy("url_id")
+    }),
+
     // threshold sweep for the classifier gate: the precision/recall/F1
     // curve the operating cutoff is read off of — corpus pass is ONE
     // binning groupBy; the cumulative sweep runs on the 40-row bin
@@ -2610,6 +2628,65 @@ object SparkEntry {
          |FROM sc CROSS JOIN prior
          |JOIN lab ON lab.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin
+    },
+
+    "q_url_canonical" -> {
+      // expression-for-expression twin of WebOps.canonicalizeUrl /
+      // registrableDomain (RE2-safe regexes, list ops); tracking-param
+      // filter spelled out per WebOps.TrackingParams
+      val trackCond = graft.operators.WebOps.TrackingParams
+        .map(t => s"p = '$t' OR starts_with(p, '$t=')")
+        .mkString(" OR ")
+      s"""WITH u(url_id, url) AS (VALUES
+         |  (CAST(1 AS BIGINT), 'https://example.com/a?x=1&y=2'),
+         |  (CAST(2 AS BIGINT), 'https://EXAMPLE.com/a?y=2&x=1&utm_campaign=spring'),
+         |  (CAST(3 AS BIGINT), 'https://example.com:443/a?x=1&y=2#section'),
+         |  (CAST(4 AS BIGINT), 'HTTP://Shop.Example.co.uk:80/b?fbclid=zz'),
+         |  (CAST(5 AS BIGINT), 'http://sub.a.news.example.org:8080/path/'),
+         |  (CAST(6 AS BIGINT), 'not a url')),
+         |parts AS (
+         |  SELECT url_id, url,
+         |    lower(regexp_extract(url,
+         |      '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         |    lower(string_split(regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '@')[-1]) AS auth
+         |  FROM u),
+         |parts2 AS (
+         |  SELECT *, string_split(auth, ':')[1] AS host,
+         |    CASE WHEN contains(auth, ':') THEN string_split(auth, ':')[-1]
+         |         ELSE '' END AS port,
+         |    regexp_extract(url,
+         |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+         |  FROM parts),
+         |withq AS (
+         |  SELECT *, array_to_string(list_sort(list_filter(
+         |    string_split(rawq, '&'),
+         |    p -> NOT (starts_with(p, 'utm_') OR p = '' OR $trackCond))),
+         |    '&') AS kq
+         |  FROM parts2),
+         |canon AS (
+         |  SELECT url_id, host,
+         |    CASE WHEN scheme = '' THEN url ELSE
+         |      scheme || '://' || host ||
+         |      CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+         |             OR (scheme = 'https' AND port = '443'))
+         |           THEN ':' || port ELSE '' END ||
+         |      CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
+         |      CASE WHEN kq <> '' THEN '?' || kq ELSE '' END
+         |    END AS canon
+         |  FROM withq)
+         |SELECT url_id, canon,
+         |  CASE WHEN regexp_matches(host, '^[0-9.]+$$')
+         |         OR len(string_split(host, '.')) <= 2 THEN host
+         |       WHEN len(string_split(host, '.')) >= 3
+         |         AND string_split(host, '.')[-2] IN
+         |           ('co', 'com', 'ac', 'gov', 'org', 'net', 'edu')
+         |         AND length(string_split(host, '.')[-1]) = 2
+         |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+         |       ELSE array_to_string(string_split(host, '.')[-2:], '.')
+         |  END AS domain
+         |FROM canon ORDER BY url_id""".stripMargin
     },
 
     "q_gate_calibration" -> {

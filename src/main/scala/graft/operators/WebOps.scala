@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Crawl-side URL handling: canonicalization (the dedup key for web
+  * corpora — the same page arrives under utm-tagged, fragment-bearing,
+  * case-shifted URL variants), and a registrable-domain heuristic (the
+  * per-site grouping key for quotas, skew caps, robots bookkeeping).
+  *
+  * Everything is per-row `regexp_extract` / array expressions with
+  * exact DuckDB twins (no lookahead, no engine-specific classes), so
+  * the oracle replays byte-for-byte. A production deployment would
+  * swap [[registrableDomain]]'s small built-in second-level list for
+  * the full Public Suffix List (same expression shape, broadcast
+  * lookup); the heuristic is documented as such, not as PSL-complete.
+  */
+object WebOps {
+
+  /** Tracking parameters stripped by [[canonicalizeUrl]]: the
+    * analytics tags that vary per click without changing content. */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref")
+
+  private def schemeOf(url: Column): Column =
+    lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+
+  /** host[:port] with any userinfo@ stripped, lowercased. */
+  private def authorityOf(url: Column): Column = {
+    val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    lower(element_at(split(auth, "@"), -1))
+  }
+
+  /** Bare host: authority minus any :port suffix. */
+  def hostOf(url: Column): Column =
+    element_at(split(authorityOf(url), ":"), 1)
+
+  private def portOf(url: Column): Column = {
+    val a = authorityOf(url)
+    when(a.contains(":"), element_at(split(a, ":"), -1)).otherwise(lit(""))
+  }
+
+  private def pathOf(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  private def queryOf(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Canonical form for dedup keys:
+    *   - scheme + host lowercased, userinfo and fragment dropped;
+    *   - default ports stripped (http:80, https:443), others kept;
+    *   - tracking params ([[TrackingParams]] + any `utm_*`) removed,
+    *     survivors SORTED so param order never splits a dup group;
+    *   - empty path becomes "/".
+    * Non-URL strings (no scheme://) pass through unchanged — garbage
+    * keys group only with identical garbage, never crash the pass. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = schemeOf(url)
+    val host = hostOf(url)
+    val port = portOf(url)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path = when(pathOf(url) === "", "/").otherwise(pathOf(url))
+    val kept = array_sort(filter(split(queryOf(url), "&"), p =>
+      !(p.startsWith("utm_") || p === "" ||
+        TrackingParams.map(t => p === t || p.startsWith(t + "="))
+          .reduce(_ || _))))
+    val q = array_join(kept, "&")
+    when(scheme === "", url).otherwise(concat(
+      scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** Registrable-domain HEURISTIC: the last two host labels, or the
+    * last three when the second-to-last is a common second-level
+    * label (`co`, `com`, `ac`, `gov`, `org`, `net`, `edu`) under a
+    * 2-letter country TLD — so `shop.example.co.uk` → `example.co.uk`
+    * while `a.b.example.com` → `example.com`. Swap in the full Public
+    * Suffix List for production exactness. IPs and single-label hosts
+    * pass through whole. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val isIp = host.rlike("^[0-9.]+$")
+    val sld = element_at(labels, -2)
+    val tld = element_at(labels, -1)
+    val needThree = n >= 3 &&
+      sld.isin("co", "com", "ac", "gov", "org", "net", "edu") &&
+      length(tld) === 2
+    when(isIp || n <= 2, host)
+      .when(needThree, concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(concat_ws(".", slice(labels, -2, 2)))
+  }
+}

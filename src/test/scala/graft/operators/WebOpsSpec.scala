@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization / registrable-domain specs on hand-picked
+  * variants: the forms that must collapse, and the garbage that must
+  * pass through untouched. */
+class WebOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(WebOps.canonicalizeUrl(col("u")))
+      .collect().head.getString(0)
+
+  private def dom(host: String): String =
+    Seq(host).toDF("h").select(WebOps.registrableDomain(col("h")))
+      .collect().head.getString(0)
+
+  test("canonicalizeUrl collapses tracking/case/port/fragment variants") {
+    assert(canon("HTTPS://User@Example.COM:443/Path/Pg?utm_source=x&b=2&a=1#f")
+      == "https://example.com/Path/Pg?a=1&b=2") // path case PRESERVED
+    assert(canon("http://example.com:80/x") == "http://example.com/x")
+    assert(canon("http://example.com:8080") == "http://example.com:8080/")
+    assert(canon("https://example.com/?fbclid=abc") == "https://example.com/")
+    assert(canon("https://example.com?a=1") == "https://example.com/?a=1")
+    assert(canon("not a url") == "not a url") // garbage passes through
+  }
+
+  test("identical pages under URL variants share one canonical key") {
+    val urls = Seq(
+      "https://example.com/a?x=1&y=2",
+      "https://EXAMPLE.com/a?y=2&x=1&utm_campaign=spring",
+      "https://example.com:443/a?x=1&y=2#section")
+      .toDF("u")
+    val keys = urls.select(WebOps.canonicalizeUrl(col("u")))
+      .distinct().collect()
+    assert(keys.length == 1 &&
+      keys.head.getString(0) == "https://example.com/a?x=1&y=2")
+  }
+
+  test("registrableDomain heuristic: ccTLD second-level, IPs, bare hosts") {
+    assert(dom("shop.example.co.uk") == "example.co.uk")
+    assert(dom("a.b.example.com") == "example.com")
+    assert(dom("example.org") == "example.org")
+    assert(dom("localhost") == "localhost")
+    assert(dom("192.168.0.1") == "192.168.0.1")
+    assert(dom("news.bbc.ac.jp") == "bbc.ac.jp")
+  }
+}
