@@ -124,6 +124,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastExchange") >= 3, p)
   }
 
+  test("dedup_scrub: cut-position join is keyed on the doc id, nothing quadratic") {
+    val p = planOf("dedup_scrub")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_gate_calibration: the sweep window runs over the bin AGGREGATE, not the corpus") {
+    val q = SparkEntry.queries("q_gate_calibration")(spark, dir)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "sweep lost its cumulative window")
+    // every Window must sit above an Aggregate (the nBins-row bin
+    // table); a Window whose subtree has no Aggregate would be sorting
+    // corpus-sized input
+    windows.foreach { w =>
+      val hasAgg = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
+      assert(hasAgg, s"Window over non-aggregated input:\n$w")
+    }
+  }
+
   test("corpusMatchStream: stream-static equi-join, zero streaming state") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
