@@ -320,6 +320,32 @@ object Multimodal {
       imageAHash(df, id, binCol).where(col("ahash").isNotNull),
       id, "ahash", 64, maxDist, maxBucket)
 
+  /** Content-defined chunk fingerprints (Gear/FastCDC family, native
+    * codegen'd expression): boundaries depend on CONTENT, so an edit
+    * only perturbs the chunk it lands in — the storage/transfer dedup
+    * primitive fixed-stride [[sampleChunks]] can't be. Expected chunk
+    * ≈ 2^maskBits bytes. */
+  def cdcChunks(bin: Column, maskBits: Int = 10, minLen: Int = 64,
+      maxLen: Int = 65536): Column =
+    org.apache.spark.sql.graft.CatalystBridge
+      .gearChunks(bin, maskBits, minLen, maxLen)
+
+  /** Corpus-level chunk-dedup estimate — "how much smaller is this
+    * blob store with content-addressed chunks": one explode + one
+    * aggregate. Output 1 row: n_payloads, n_chunks, n_distinct_chunks,
+    * dedup_ratio (distinct/total, rounded 4). */
+  def chunkDedupStats(df: DataFrame, binCol: String,
+      maskBits: Int = 10, minLen: Int = 64, maxLen: Int = 65536): DataFrame =
+    df.select(explode(cdcChunks(col(binCol), maskBits, minLen, maxLen))
+        .as("ch"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("ch")).as("n_distinct_chunks"))
+      .crossJoin(broadcast(
+        df.agg(count(lit(1)).as("n_payloads"))))
+      .select(col("n_payloads"), col("n_chunks"), col("n_distinct_chunks"),
+        round(col("n_distinct_chunks").cast("double") /
+          col("n_chunks").cast("double"), 4).as("dedup_ratio"))
+
   /** Full multimodal prep pipeline over a table with a binary payload:
     * metadata + chunk fingerprints + stub features, flattened for easy
     * downstream use. */

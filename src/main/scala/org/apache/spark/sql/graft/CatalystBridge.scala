@@ -54,6 +54,13 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.Md5Hex(
       ExpressionUtils.expression(c)))
 
+  /** Native content-defined chunking over a binary column (see
+    * [[graft.functions.expressions.GearChunks]]). */
+  def gearChunks(bin: Column, maskBits: Int, minLen: Int,
+      maxLen: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.GearChunks(
+      ExpressionUtils.expression(bin), maskBits, minLen, maxLen))
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
