@@ -844,6 +844,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // epoch mixing: the UPSAMPLING half of the mix — de repeats 2x,
+    // zh 1.25x (hash-gated fractional copy), en thins to 0.5; per-row
+    // expressions only, no shuffle before the summary
+    "q_epoch_mix" -> ((s, dir) =>
+      Sampling.epochMix(t(s, dir, "documents"), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "de" -> 2.0, "zh" -> 1.25))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          max(col("copy")).as("max_copy"))
+        .orderBy("lang")),
+
     // URL canonicalization + registrable-domain: the crawl dedup key —
     // tracking params, case, default ports, fragments collapse; the
     // VALUES batch exercises every rule end-to-end
@@ -2628,6 +2640,31 @@ object SparkEntry {
          |FROM sc CROSS JOIN prior
          |JOIN lab ON lab.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin
+    },
+
+    "q_epoch_mix" -> {
+      val emfrac = md5FracSql("'em|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang WHEN 'de' THEN CAST(2.0 AS DOUBLE)
+         |              WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+         |              WHEN 'zh' THEN CAST(1.25 AS DOUBLE)
+         |              ELSE NULL END AS rate
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(rate) AS BIGINT) +
+         |      CASE WHEN ($emfrac) < rate - floor(rate) THEN 1 ELSE 0 END
+         |      AS nc
+         |  FROM r WHERE rate IS NOT NULL),
+         |e AS (
+         |  SELECT doc_id, lang,
+         |    unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS copy
+         |  FROM n WHERE nc > 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  CAST(max(copy) AS BIGINT) AS max_copy
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "q_url_canonical" -> {

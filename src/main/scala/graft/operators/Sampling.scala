@@ -181,6 +181,38 @@ object Sampling {
       .drop("__g")
   }
 
+  /** Epoch mixing — the missing HALF of the mixing story: every other
+    * sampler here only thins (rate ≤ 1), but a real pretraining mix
+    * also REPEATS rare high-quality strata (books ×3, a rare language
+    * ×1.5) while thinning the head. Each row emits
+    * floor(rate) copies plus one more when its id-hash falls below
+    * frac(rate) — so a stratum's expected output is exactly n·rate for
+    * ANY rate ≥ 0, deterministically (same ids always carry the extra
+    * copy; lowering a rate keeps a subset of the copies). The `copy`
+    * index (0-based) lets downstream shard/shuffle steps spread
+    * repeats apart instead of training on them back-to-back.
+    * Strata absent from `rates` are dropped (rate 0).
+    *
+    * 100 TB shape: pure per-row expressions + one generator — no
+    * shuffle, no aggregate, streaming-composable.
+    * Output: input columns + copy. */
+  def epochMix(df: DataFrame, idCol: Column, stratumCol: Column,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(_ >= 0),
+      s"rates must be >= 0: $rates")
+    val rcol = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double"): Column) { case (acc, (k, v)) =>
+        when(stratumCol === k, lit(v)).otherwise(acc)
+      }
+    val extra = when(
+      Sketch.md5Fraction(concat(lit("em|"), idCol.cast("string"))) <
+        rcol - floor(rcol), 1L).otherwise(0L)
+    df.withColumn("__n", (floor(rcol).cast("long") + extra))
+      .where(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement, k per
     * stratum (Efraimidis–Spirakis "A-Res"): each row draws
     * key = u^(1/w) with u the row's id-hash fraction; the k largest

@@ -145,6 +145,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("epochMix repeats whole epochs exactly, gates the fractional one, nests") {
+    val df = (1L to 300L).toDF("id")
+      .withColumn("src", when(col("id") <= 100, "a")
+        .when(col("id") <= 200, "b").otherwise("c"))
+    val out = Sampling.epochMix(df, col("id"), col("src"),
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 3.5))
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("a") == 200L, "integral rate is exact, not stochastic")
+    assert(counts("b") > 30 && counts("b") < 70, counts.toString)
+    assert(counts("c") > 320 && counts("c") < 380, counts.toString)
+    // every copy of a row is present: copy indices are dense 0..n-1
+    val copies = out.where(col("src") === "a").groupBy("id")
+      .agg(collect_set(col("copy")).as("cs")).collect()
+    assert(copies.forall(_.getSeq[Long](1).toSet == Set(0L, 1L)))
+    // unlisted strata drop
+    assert(Sampling.epochMix(df, col("id"), col("src"),
+      Map("a" -> 1.0)).where(col("src") =!= "a").isEmpty)
+    // nested: lowering c's fractional part keeps a subset of (id, copy)
+    val lower = Sampling.epochMix(df, col("id"), col("src"),
+      Map("c" -> 3.25)).select("id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val higher = out.where(col("src") === "c").select("id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lower.subsetOf(higher))
+  }
+
   test("hash sampling/splits are streaming-safe (pure per-row, no state)") {
     // the sampling family is deterministic per-row expressions, so it
     // must compose with readStream in append mode with ZERO streaming
