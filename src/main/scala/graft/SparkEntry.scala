@@ -415,6 +415,20 @@ object SparkEntry {
             col("exact_parts") * lit(0.05)).cast("long").as("within_bound"))
         .orderBy("l_returnflag")),
 
+    // native Misra–Gries heavy hitters — bounded k-entry state per
+    // partial (no per-distinct-token shuffle). Same oracle scheme as
+    // the HLL row: emit the exact counts of the guaranteed-found set
+    // (count > n/(k+1)) plus bound flags the oracle pins to 1.
+    "q_freq_topk" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .where(length(col("tok")) > 0)
+      Sketch.heavyHitters(toks, "tok", k = 256)
+        .select(col("v").as("token"), col("n_exact"),
+          col("mg_found").cast("long").as("mg_found"),
+          col("mg_within_bound").cast("long").as("mg_within_bound"))
+    }),
+
     "q_date_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(
@@ -1794,6 +1808,23 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS within_bound
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_freq_topk" ->
+      // exact replay of the guaranteed-found set (count > n/(k+1),
+      // k=256); the sketch-side flags are pinned to 1 — Misra–Gries
+      // guarantees presence and the bound for exactly this set
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT tok FROM tok WHERE len(tok) > 0),
+        |tot AS (SELECT count(*) AS n_total FROM tk),
+        |ex AS (SELECT tok, count(*) AS n_exact FROM tk GROUP BY tok)
+        |SELECT tok AS token, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(1 AS BIGINT) AS mg_found,
+        |  CAST(1 AS BIGINT) AS mg_within_bound
+        |FROM ex, tot
+        |WHERE n_exact * 257 > n_total
+        |ORDER BY n_exact DESC, token""".stripMargin,
 
     "q_date_agg" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,

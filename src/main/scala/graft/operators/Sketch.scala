@@ -110,6 +110,44 @@ object Sketch {
     .withColumn("hfrac", md5Fraction(col("v")))
     .orderBy(col("hfrac"), col("v")).limit(k)
 
+  /** Heavy hitters via the native Misra–Gries aggregate
+    * ([[graft.functions.expressions.MisraGries]]), verified against
+    * exact counts — the q_approx_distinct_hll scheme: emit the exact
+    * answer plus flags asserting the sketch honored its published
+    * bound, so the oracle fully verifies the row.
+    *
+    * Emits every value whose EXACT count strictly exceeds n/(k+1)
+    * (n = total non-null rows) — precisely the set Misra–Gries
+    * guarantees to surface — with `mg_found` (present in the sketch)
+    * and `mg_within_bound` (exact − n/(k+1) <= sketch <= exact). Both
+    * are always true when the sketch is correct; the oracle replays
+    * the exact side and pins the flags to literal true.
+    *
+    * Plan shape: ONE pass with bounded k-entry state builds the
+    * sketch (map-side combined, k rows per partition to one reducer);
+    * the exact side here exists only because this is the verification
+    * harness — production callers read the sketch map alone and never
+    * pay the per-distinct-value shuffle. All comparisons are exact
+    * long arithmetic (count·(k+1) vs n), no division. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+    val sketch = vals.agg(
+      count(lit(1)).as("n_total"),
+      org.apache.spark.sql.graft.CatalystBridge.freqItems(col("v"), k)
+        .as("mg"))
+    val exact = vals.groupBy("v").agg(count(lit(1)).as("n_exact"))
+    val mgCount = element_at(col("mg"), col("v"))
+    exact.crossJoin(broadcast(sketch))
+      .where(col("n_exact") * (k + 1) > col("n_total"))
+      .select(col("v"), col("n_exact"),
+        mgCount.isNotNull.as("mg_found"),
+        (mgCount.isNotNull && mgCount <= col("n_exact") &&
+          (col("n_exact") - mgCount) * (k + 1) <= col("n_total"))
+          .as("mg_within_bound"))
+      .orderBy(col("n_exact").desc, col("v"))
+  }
+
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")

@@ -61,6 +61,13 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.GearChunks(
       ExpressionUtils.expression(bin), maskBits, minLen, maxLen))
 
+  /** Misra–Gries heavy-hitters aggregate: bounded k-entry state per
+    * partial, mergeable (see
+    * [[graft.functions.expressions.MisraGries]]). */
+  def freqItems(c: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.MisraGries(
+      ExpressionUtils.expression(c), k).toAggregateExpression())
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -173,9 +180,28 @@ object CatalystBridge {
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         df.queryExecution.analyzed))
 
+  /** `freq_items(s, k)` — the Misra–Gries heavy-hitters aggregate in
+    * plain SQL (k must be an integer literal). The analyzer wraps the
+    * raw AggregateFunction, as with any built-in aggregate. */
+  val freqItemsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("freq_items"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.MisraGries].getName, "freq_items"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"freq_items takes (column, k), got ${args.length} args")
+      val k = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"freq_items: k must be an integer literal, got $other")
+      }
+      graft.functions.expressions.MisraGries(args.head, k)
+    })
+
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
-    simhash64Descriptor, hamming64Descriptor)
+    simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */
