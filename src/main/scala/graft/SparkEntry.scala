@@ -888,6 +888,25 @@ object SparkEntry {
         .orderBy("url_id")
     }),
 
+    // HTML → text extraction: documents deterministically wrapped in
+    // page chrome (script/style payloads, comments, tags, entities),
+    // then stripped back — both engines replay the same wrap + strip
+    // chain, so every regex/entity/whitespace rule is hash-verified
+    "text_html_extract" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">" +
+          "var x = 1 < 2;</script>"),
+        lit("<style>p { color: red; }</style></head><body><!-- nav -->"),
+        lit("<h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div>Tom &amp; Jerry &lt;3 &quot;ok&quot;&nbsp;&#39;" +
+          "</div></body></html>"))
+      d.select(col("doc_id"), WebOps.stripHtml(html).as("clean_text"))
+        .withColumn("n_chars", length(col("clean_text")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // threshold sweep for the classifier gate: the precision/recall/F1
     // curve the operating cutoff is read off of — corpus pass is ONE
     // binning groupBy; the cumulative sweep runs on the 40-row bin
@@ -2756,6 +2775,39 @@ object SparkEntry {
          |  END AS domain
          |FROM canon ORDER BY url_id""".stripMargin
     },
+
+    "text_html_extract" ->
+      // same wrap + strip chain as WebOps.stripHtml: script/style/
+      // comment blocks out first, then tags, entities (&amp; LAST —
+      // the double-escape rule), whitespace collapse; '' escapes a
+      // quote inside SQL literals
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 < 2;' ||
+        |    '</script><style>p { color: red; }</style></head><body>' ||
+        |    '<!-- nav --><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p>' || text ||
+        |    '</p><div>Tom &amp; Jerry &lt;3 &quot;ok&quot;&nbsp;&#39;' ||
+        |    '</div></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x,
+        |  '<[^>]+>', ' ', 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(x,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' ') AS x FROM s4),
+        |s6 AS (SELECT doc_id, trim(regexp_replace(
+        |  replace(x, '&amp;', '&'), '\s+', ' ', 'g')) AS clean_text
+        |  FROM s5)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(clean_text) AS BIGINT) AS n_chars
+        |FROM s6 ORDER BY doc_id""".stripMargin,
 
     "q_gate_calibration" -> {
       // same model+score chain as text_classify, then the binned

@@ -74,6 +74,38 @@ object WebOps {
       when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
+  /** HTML → text extraction — the step between the crawl and every
+    * text-analysis operator: drop script/style payloads and comments
+    * wholesale, strip remaining tags, decode the common entities,
+    * collapse whitespace. Per-row regex/replace chain (no parser
+    * state), codegen-friendly, with an exact DuckDB twin — Java regex
+    * and RE2 agree on every construct used here (inline `(?is)`
+    * flags, non-greedy repetition, `[^>]` classes, `\s`).
+    *
+    * Deliberately a TEXT EXTRACTOR, not a sanitizer: entity decoding
+    * follows tag stripping (so `&lt;script&gt;` renders as literal
+    * text exactly as a browser would) and `&amp;` decodes LAST (so
+    * `&amp;lt;` yields `&lt;`, the double-escape rule). Boilerplate
+    * REMOVAL (nav/footer pruning à la trafilatura) is a DOM problem
+    * out of scope here — compose with [[Dedup.segmentDedup]]-style
+    * line dedup for that, which is how the big crawl pipelines
+    * actually kill shared chrome. */
+  def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&apos;" -> "'", "&nbsp;" -> " ").foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    val amp = replace(decoded, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
   /** Registrable-domain HEURISTIC: the last two host labels, or the
     * last three when the second-to-last is a common second-level
     * label (`co`, `com`, `ac`, `gov`, `org`, `net`, `edu`) under a

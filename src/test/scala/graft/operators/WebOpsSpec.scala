@@ -48,4 +48,34 @@ class WebOpsSpec extends SparkSpec {
     assert(dom("192.168.0.1") == "192.168.0.1")
     assert(dom("news.bbc.ac.jp") == "bbc.ac.jp")
   }
+
+  private def strip(h: String): String = {
+    import spark.implicits._
+    Seq(h).toDF("h").select(WebOps.stripHtml(col("h"))).head().getString(0)
+  }
+
+  test("stripHtml: script/style payloads and comments vanish whole") {
+    assert(strip("<p>keep</p><script>var a = '<b>no</b>';</script>done")
+      == "keep done")
+    assert(strip("a<style type=\"text/css\">p { x: 1 }</style>b") == "a b")
+    assert(strip("x<!-- hidden <b>bold</b> -->y") == "x y")
+    // case-insensitive + multi-line blocks
+    assert(strip("a<SCRIPT>\nline1\nline2\n</SCRIPT>b") == "a b")
+  }
+
+  test("stripHtml: tags out, entities decoded, &amp; decodes last") {
+    assert(strip("<h1 class=\"t\">Title</h1><p>A &amp; B &lt;3</p>")
+      == "Title A & B <3")
+    assert(strip("&quot;q&quot; &#39;a&#39; &apos;b&apos;&nbsp;end")
+      == "\"q\" 'a' 'b' end")
+    // &amp;lt; is an ESCAPED entity: renders as literal "&lt;"
+    assert(strip("&amp;lt;") == "&lt;")
+    // entity-encoded markup is text, never re-parsed as a tag
+    assert(strip("&lt;script&gt;x&lt;/script&gt;") == "<script>x</script>")
+  }
+
+  test("stripHtml: whitespace collapses; plain text passes through") {
+    assert(strip("<div>\n  a\n\t b  </div>") == "a b")
+    assert(strip("already plain text") == "already plain text")
+  }
 }
