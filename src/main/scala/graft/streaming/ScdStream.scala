@@ -310,6 +310,33 @@ object ScdStream {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("n_events"))
 
+  /** Per-window frequent terms over a live stream — the
+    * boilerplate-surge monitor for continuous crawl ingest ("which
+    * strings suddenly dominate this hour's batch?"). Tokens from
+    * `textCol` feed the native Misra–Gries aggregate
+    * ([[graft.functions.expressions.MisraGries]]) inside a tumbling
+    * event-time window: state per window is the BOUNDED k-entry sketch
+    * buffer (serialized into the state store like any imperative
+    * aggregate — collect_set with a cap, effectively), never a
+    * per-distinct-token map, so a vocabulary explosion cannot blow the
+    * store. Watermark closes windows; the n/(k+1) guarantee is
+    * per-window (n = that window's token count, emitted alongside).
+    * Output: window_start, window_end, n_tokens, top (map token →
+    * lower-bound count). */
+  def freqTermsPerWindow(df: DataFrame, textCol: String, tsCol: String,
+      windowDuration: String, watermarkDelay: String,
+      k: Int = 256): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+      .groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        org.apache.spark.sql.graft.CatalystBridge.freqItems(col("tok"), k)
+          .as("top"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_tokens"), col("top"))
+
   /** Streaming exact dedup: drop re-occurrences of a key within the
     * watermark horizon — the streaming face of `Dedup.exactGroups`
     * for continuous document ingest (key = content fingerprint).
