@@ -888,6 +888,33 @@ object SparkEntry {
         .orderBy("url_id")
     }),
 
+    // robots-rule URL gate: longest-prefix-match, ties to allow; the
+    // rule table folds to one broadcast array row per host, the URL
+    // side is never shuffled (pure per-row HOF resolution)
+    "q_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("url_id"),
+        concat(lit("https://"),
+          when(col("p_partkey") % 3 === 0, "cdn.example.org")
+            .otherwise("shop.example.com"),
+          when(col("p_partkey") % 3 === 0,
+            concat(lit("/assets/"), (col("p_partkey") % 7).cast("string")))
+            .otherwise(concat(lit("/part/"),
+              (col("p_partkey") % 100).cast("string")))).as("url"))
+      val rules = Seq(
+        ("shop.example.com", "/part/1", false),
+        ("shop.example.com", "/part/12", true),
+        ("shop.example.com", "/private", false),
+        ("cdn.example.org", "/", false),
+        ("cdn.example.org", "/assets/3", true))
+        .toDF("domain", "path_prefix", "allow")
+      WebOps.robotsFilter(urls, rules)
+        .select(col("url_id"), col("url"),
+          col("allowed").cast("long").as("allowed"), col("matched_len"))
+        .orderBy("url_id")
+    }),
+
     // HTML → text extraction: documents deterministically wrapped in
     // page chrome (script/style payloads, comments, tags, entities),
     // then stripped back — both engines replay the same wrap + strip
@@ -2775,6 +2802,52 @@ object SparkEntry {
          |  END AS domain
          |FROM canon ORDER BY url_id""".stripMargin
     },
+
+    "q_robots_filter" ->
+      // longest-prefix-match replayed as a rank window (same result,
+      // different plan): l DESC then allow DESC = struct max on (l, a)
+      """WITH urls AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS url_id,
+        |    'https://' ||
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'cdn.example.org'
+        |         ELSE 'shop.example.com' END ||
+        |    CASE WHEN p_partkey % 3 = 0
+        |         THEN '/assets/' || CAST(p_partkey % 7 AS VARCHAR)
+        |         ELSE '/part/' || CAST(p_partkey % 100 AS VARCHAR)
+        |    END AS url
+        |  FROM part),
+        |rules(domain, path_prefix, allow) AS (VALUES
+        |  ('shop.example.com', '/part/1', false),
+        |  ('shop.example.com', '/part/12', true),
+        |  ('shop.example.com', '/private', false),
+        |  ('cdn.example.org', '/', false),
+        |  ('cdn.example.org', '/assets/3', true)),
+        |parts AS (
+        |  SELECT url_id, url,
+        |    string_split(lower(string_split(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '@')[-1]),
+        |      ':')[1] AS host,
+        |    CASE WHEN regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+        |      THEN '/'
+        |      ELSE regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |    END AS path
+        |  FROM urls),
+        |m AS (
+        |  SELECT p.url_id, r.allow, length(r.path_prefix) AS l
+        |  FROM parts p JOIN rules r ON r.domain = p.host
+        |    AND starts_with(p.path, r.path_prefix)),
+        |best AS (
+        |  SELECT url_id, allow, l, row_number() OVER (
+        |    PARTITION BY url_id ORDER BY l DESC, allow DESC) AS rn
+        |  FROM m)
+        |SELECT u.url_id, u.url,
+        |  CAST(coalesce(b.allow, true) AS BIGINT) AS allowed,
+        |  CAST(coalesce(b.l, -1) AS BIGINT) AS matched_len
+        |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  USING (url_id)
+        |ORDER BY url_id""".stripMargin,
 
     "text_html_extract" ->
       // same wrap + strip chain as WebOps.stripHtml: script/style/

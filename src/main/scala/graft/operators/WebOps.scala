@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Crawl-side URL handling: canonicalization (the dedup key for web
@@ -104,6 +104,44 @@ object WebOps {
     }
     val amp = replace(decoded, lit("&amp;"), lit("&"))
     trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** Robots-style URL rule filter: `rules(domain, path_prefix,
+    * allow)` resolved per URL with longest-prefix-match semantics,
+    * ties to allow — the Google-documented robots.txt resolution
+    * order. URLs on hosts with no rules, or matching no rule, are
+    * allowed (robots' own default).
+    *
+    * 100 TB shape: the rule table collapses to ONE array row per host
+    * (rules are small by definition — they're hand-written site
+    * policy), broadcast-joined to the URL stream; the winning rule is
+    * picked per row by `filter`/`transform`/`array_max` over that
+    * array — the URL table is never shuffled, grouped, or windowed.
+    * `array_max` on struct(l, a) is lexicographic: longest prefix
+    * first, then allow > disallow — exactly the tie rule.
+    *
+    * Output: input columns + `allowed` (boolean) + `matched_len`
+    * (length of the winning prefix, -1 when no rule matched). */
+  def robotsFilter(urls: DataFrame, rules: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val perHost = rules.groupBy(col("domain"))
+      .agg(collect_list(struct(col("path_prefix"), col("allow")))
+        .as("__rules"))
+    val rawPath = pathOf(col(urlCol))
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val matched = filter(col("__rules"),
+      r => path.startsWith(r.getField("path_prefix")))
+    val best = array_max(transform(matched, r =>
+      struct(length(r.getField("path_prefix")).as("l"),
+        r.getField("allow").as("a"))))
+    urls.withColumn("__host", hostOf(col(urlCol)))
+      .join(broadcast(perHost), col("__host") === perHost("domain"), "left")
+      .withColumn("__best", best)
+      .withColumn("allowed",
+        coalesce(col("__best").getField("a"), lit(true)))
+      .withColumn("matched_len",
+        coalesce(col("__best").getField("l").cast("long"), lit(-1L)))
+      .drop("__host", "domain", "__rules", "__best")
   }
 
   /** Registrable-domain HEURISTIC: the last two host labels, or the

@@ -49,6 +49,40 @@ class WebOpsSpec extends SparkSpec {
     assert(dom("news.bbc.ac.jp") == "bbc.ac.jp")
   }
 
+  test("robotsFilter: longest match wins, ties to allow, default allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("example.com", "/a", false),
+      ("example.com", "/a/b", true),
+      ("example.com", "/a/b", false), // tie with the allow above
+      ("blocked.org", "/", false)).toDF("domain", "path_prefix", "allow")
+    val urls = Seq(
+      (1L, "https://example.com/a/x"),      // /a disallow
+      (2L, "https://example.com/a/b/c"),    // /a/b: tie -> allow
+      (3L, "https://example.com/other"),    // no match -> allow
+      (4L, "https://blocked.org/anything"), // site-wide disallow
+      (5L, "https://example.com"),          // empty path -> "/", no match
+      (6L, "https://unlisted.net/x")        // no rules for host -> allow
+    ).toDF("url_id", "url")
+    val got = WebOps.robotsFilter(urls, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((false, 2L)), 2L -> ((true, 4L)), 3L -> ((true, -1L)),
+      4L -> ((false, 1L)), 5L -> ((true, -1L)), 6L -> ((true, -1L))))
+  }
+
+  test("robotsFilter plan: URL side broadcast-joined, never shuffled") {
+    import spark.implicits._
+    val rules = Seq(("example.com", "/", false))
+      .toDF("domain", "path_prefix", "allow")
+    val urls = Seq((1L, "https://example.com/x")).toDF("url_id", "url")
+    val plan = WebOps.robotsFilter(urls, rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Window"))
+  }
+
   private def strip(h: String): String = {
     import spark.implicits._
     Seq(h).toDF("h").select(WebOps.stripHtml(col("h"))).head().getString(0)
