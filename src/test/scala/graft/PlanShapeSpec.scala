@@ -29,6 +29,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("__cell"), p)
   }
 
+  test("interval overlap: first-cell equi-join, no nested loop") {
+    val p = planOf("q_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("__cell"), p)
+  }
+
+  test("q_freq_topk: the sketch is ONE partial-agg pass, broadcast back") {
+    val p = planOf("q_freq_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 1-row (n_total, mg) aggregate rides a broadcast into the
+    // exact side; the MG aggregate itself shows partial_freq_items
+    assert(p.contains("partial_freq_items"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("k-means assignment: centroids broadcast, corpus never shuffles for them") {
     val p = planOf("sim_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") ||
