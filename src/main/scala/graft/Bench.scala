@@ -41,11 +41,20 @@ object Bench {
         // host stalls (an r5 full run recorded 133 s for a query that
         // reproducibly takes 2.5 s — the stall lands on whichever query
         // is running); the min is the steady-state number that scales
-        val times = (1 to 2).map { _ =>
+        def timeOnce(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
+        val two = Seq(timeOnce(), timeOnce())
+        // stall signature: the two samples disagree wildly (another r5
+        // stall window covered BOTH runs of one query — 11.9 s for a
+        // reproducibly-1.4 s aggregate). Two extra samples land after
+        // most stall windows; the min stays the steady-state number.
+        val times =
+          if (two.max / math.max(two.min, 1e-9) > 2.0 && two.max - two.min > 1.0)
+            two ++ Seq(timeOnce(), timeOnce())
+          else two
         name -> times.min
       } catch {
         case e: Throwable =>
