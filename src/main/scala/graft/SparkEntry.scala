@@ -1160,6 +1160,12 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
+    // sentence segmentation: lookbehind-free terminator-run regex,
+    // replayed verbatim by the oracle
+    "text_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(t(s, dir, "documents"))
+        .orderBy("doc_id", "sent_idx")),
+
     // ---- dedup family over documents / embeddings ---------------------
     "dedup_exact" -> ((s, dir) => {
       val fp = t(s, dir, "documents").select(col("doc_id"),
@@ -3228,6 +3234,21 @@ object SparkEntry {
       """SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
         |  string_split(lower(text), ' '))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_sentences" ->
+      // same extract/trim/filter chain, 1-based i -> 0-based sent_idx
+      """WITH raw AS (
+        |  SELECT doc_id, list_filter(list_transform(
+        |    regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+        |    s -> s <> '') AS sl
+        |  FROM documents),
+        |i AS (
+        |  SELECT doc_id, sl, unnest(generate_series(1, len(sl))) AS i
+        |  FROM raw)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+        |  CAST(len(string_split(sl[i], ' ')) AS BIGINT) AS n_tokens,
+        |  sl[i] AS sentence
+        |FROM i ORDER BY doc_id, sent_idx""".stripMargin,
 
     "dedup_exact" ->
       """WITH fp AS (

@@ -223,6 +223,29 @@ object TextAnalysis {
         .as("n_longnums"),
       redactPii(col(textCol)).as("redacted"))
 
+  /** Sentence segmentation: maximal runs of non-terminator characters
+    * plus their trailing `.!?` runs, trimmed, empties dropped — the
+    * unit below [[graft.operators.Dedup.segmentDedup]]'s lines when
+    * boilerplate recurs at sentence granularity (nav snippets, cookie
+    * banners), and the natural input for sentence-level PII/quality
+    * passes. One per-row `regexp_extract_all` + array ops + a
+    * posexplode: shuffle-free, codegen-friendly. The pattern
+    * deliberately avoids lookbehind (RE2 has none) so the DuckDB
+    * oracle replays it verbatim; abbreviation handling ("Dr.") is a
+    * model problem, not a regex problem, and out of scope by design.
+    * Output: id, sent_idx (0-based), n_tokens, sentence. */
+  def sentences(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val parts = regexp_extract_all(col(textCol),
+      lit("[^.!?]+[.!?]*"), lit(0))
+    val cleaned = filter(transform(parts, s => trim(s)), s => s =!= "")
+    docs.select(col(id),
+        posexplode(cleaned).as(Seq("sent_idx", "sentence")))
+      .select(col(id), col("sent_idx").cast("long").as("sent_idx"),
+        size(split(col("sentence"), " ")).cast("long").as("n_tokens"),
+        col("sentence"))
+  }
+
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
     * Documents that differ only by token order/repetition collide —
     * the standard "near-exact" dedup key one step beyond raw-text

@@ -211,4 +211,21 @@ class TextAnalysisSpec extends SparkSpec {
     val twice = once.select(TextAnalysis.redactPii(col("r")))
     assert(once.collect().head.getString(0) == twice.collect().head.getString(0))
   }
+
+  test("sentences: terminator runs, trim, empties dropped, 0-based idx") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One two. Three!  Four? And no end"),
+      (2L, "..."), // terminators only: no sentences
+      (3L, "Just one line")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs)
+      .orderBy("doc_id", "sent_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 2L, "One two."),
+      (1L, 1L, 1L, "Three!"),
+      (1L, 2L, 1L, "Four?"),
+      (1L, 3L, 3L, "And no end"),
+      (3L, 0L, 3L, "Just one line")))
+  }
 }
