@@ -217,6 +217,19 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    // same top-5-per-priority answer as q_topk_per_group but via the
+    // bounded-heap AGGREGATE (map-side partial top-k, k rows per
+    // group per partition shuffled) instead of the window sort — the
+    // oracle replays the window form, pinning their equality
+    "q_group_topk" -> ((s, dir) =>
+      Rank.topKPerGroup(t(s, dir, "orders"), Seq("o_orderpriority"),
+          struct(col("o_totalprice"),
+            negate(col("o_orderkey")).as("neg_ok")), 5)
+        .select(col("o_orderpriority"), col("rank"),
+          negate(col("neg_ok")).cast("long").as("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy("o_orderpriority", "rank")),
+
     "q_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -1675,6 +1688,17 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders)
         |WHERE rnk <= 5 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q_group_topk" ->
+      // the WINDOW form of the bounded-heap aggregate's answer:
+      // row_number (total order) because the heap keeps exactly k
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank,
+        |  o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q_outer_join" ->
       """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,

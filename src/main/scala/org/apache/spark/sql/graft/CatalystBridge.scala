@@ -68,6 +68,14 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.MisraGries(
       ExpressionUtils.expression(c), k).toAggregateExpression())
 
+  /** Bounded per-group top-k aggregate over an orderable struct
+    * (score first, tie-breaks after) — the map-side-combinable
+    * replacement for window-rank top-N (see
+    * [[graft.functions.expressions.BoundedTopK]]). */
+  def topK(c: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.BoundedTopK(
+      ExpressionUtils.expression(c), k).toAggregateExpression())
+
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
@@ -199,9 +207,28 @@ object CatalystBridge {
       graft.functions.expressions.MisraGries(args.head, k)
     })
 
+  /** `top_k(struct_col, k)` — bounded per-group top-k in plain SQL
+    * (k must be an integer literal). */
+  val topKDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("top_k"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.BoundedTopK].getName, "top_k"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"top_k takes (struct, k), got ${args.length} args")
+      val k = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"top_k: k must be an integer literal, got $other")
+      }
+      graft.functions.expressions.BoundedTopK(args.head, k)
+    })
+
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
-    simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor)
+    simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
+    topKDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

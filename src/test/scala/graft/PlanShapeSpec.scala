@@ -46,6 +46,12 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_group_topk: bounded-heap aggregate, no window over the groups") {
+    val p = planOf("q_group_topk")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_top_k"), p)
+  }
+
   test("k-means assignment: centroids broadcast, corpus never shuffles for them") {
     val p = planOf("sim_kmeans")
     assert(p.contains("BroadcastNestedLoopJoin") ||
