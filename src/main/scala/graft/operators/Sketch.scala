@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -48,22 +47,25 @@ object Sketch {
     * distinct hash fraction, estimate = (k-1)/U_k; exact count when a
     * group has < k distinct values.
     *
-    * Plan shape: distinct (group, value) → hash → per-group rank →
-    * keep k smallest. The rank is a per-group sort of distinct hashes;
-    * at extreme scale prefer `approx_count_distinct` (no sort) — KMV's
-    * role here is the deterministic, engine-portable estimate.
-    * Output: group col, n_kept, est_distinct. */
+    * Plan shape: distinct (group, value) → hash → bounded-heap bottom-k
+    * per group ([[graft.functions.expressions.BoundedTopK]] on the
+    * negated hash — k-entry state, map-side partial, no per-group
+    * sort). The heap's descending array ends at its minimum, i.e. the
+    * k-th smallest hash — the only order statistic the estimator
+    * reads, so ties in hfrac (impossible for distinct md5 inputs
+    * anyway) cannot affect the output and the window-rank oracle
+    * replays it exactly. Output: group col, n_kept, est_distinct. */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
     val hashed = df.select(col(groupCol), col(valueCol)).distinct()
       .withColumn("hfrac", md5Fraction(col(valueCol)))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("hfrac"))
     hashed
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_kept"),
-        max(when(col("rn") === k, col("hfrac"))).as("kth"))
+      .agg(org.apache.spark.sql.graft.CatalystBridge.topK(
+        struct(negate(col("hfrac")).as("nh")), k).as("__bk"))
+      .select(col(groupCol),
+        size(col("__bk")).cast("long").as("n_kept"),
+        negate(element_at(col("__bk"), -1).getField("nh")).as("kth"))
       .select(col(groupCol), col("n_kept"),
         round(when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) / col("kth")), 4)
