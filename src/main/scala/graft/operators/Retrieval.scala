@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked retrieval over the document corpus — the "find me the
@@ -79,11 +78,16 @@ object Retrieval {
         .cast("long"))
     val byq = scored.groupBy(col(qid), col(id))
       .agg(sum(col("w_q")).as("score_q"), count(lit(1)).as("n_terms"))
-    val wq = Window.partitionBy(col(qid))
-      .orderBy(col("score_q").desc, col(id))
-    byq.withColumn("rank", row_number().over(wq).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qid), col("rank"), col(id),
+    // per-query cut via the bounded heap (score desc, doc id asc via
+    // the negated tie-break; n_terms rides as a passenger field) — a
+    // query matching half the corpus costs its scan, not a one-task
+    // sort; (score_q, id) is unique per row so the window-form oracle
+    // replays the cut exactly
+    Rank.topKPerGroup(byq, Seq(qid),
+        struct(col("score_q"), negate(col(id).cast("long")).as("__nid"),
+          col("n_terms")), k)
+      .select(col(qid), col("rank"),
+        negate(col("__nid")).as(id),
         round(col("score_q").cast("double") / 1000000.0, 4).as("bm25"),
         col("n_terms"))
   }
