@@ -291,12 +291,14 @@ object Similarity {
   }
 
   /** rank by (cosine desc, neighbor_id) — the id tie-break keeps the
-    * cut deterministic for the oracle compare */
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cosine")
-  }
+    * cut deterministic for the oracle compare. Bounded-heap top-k
+    * aggregate, not a window: a query whose candidate set blows up
+    * (hot LSH bucket, wide probe) costs its scan, never a one-task
+    * sort; identical rows to the window form under this total order. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    Rank.topKPerGroup(scored, Seq("query_id"),
+        struct(col("cosine"),
+          negate(col("neighbor_id").cast("long")).as("__nid")), k)
+      .select(col("query_id"), negate(col("__nid")).as("neighbor_id"),
+        col("rank"), col("cosine"))
 }
