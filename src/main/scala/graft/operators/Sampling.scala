@@ -223,9 +223,13 @@ object Sampling {
     * one old member).
     *
     * This is the "temperature" mixing knob: w = quality score, doc
-    * length, or source_count^alpha. Cost: one per-stratum top-k
-    * (window cut after a hash shuffle on the stratum) — no global
-    * sort. Ties (prob ~2^-32) break by id. Output: input columns +
+    * length, or source_count^alpha. Cost: one per-stratum top-k —
+    * the bounded-heap aggregate when the id is numeric and the schema
+    * orderable (k-entry state, map-side partial; a corpus-sized
+    * stratum costs its scan, not a one-task sort), the window cut
+    * otherwise (string ids have no invertible descending tie-break).
+    * Both produce identical rows — (key desc, id asc) is total. Ties
+    * in key (prob ~2^-32) break by id. Output: input columns +
     * `rank` (1-based per stratum by descending key). */
   def weightedSample(df: DataFrame, strataCol: Column, idCol: Column,
       weightCol: Column, k: Int): DataFrame = {
@@ -236,9 +240,26 @@ object Sampling {
     // weights are "never sample": excluded, not silently misranked.
     val weighted = df.where(weightCol.cast("double") > 0)
     val key = pow(u, lit(1.0) / weightCol.cast("double"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strataCol).orderBy(key.desc, idCol)
-    weighted.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
+    val idNumeric = df.select(idCol).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val rowOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(org.apache.spark.sql.types.StructType(df.schema.fields))
+    if (idNumeric && rowOrderable) {
+      // (key, -id) is already total, so the __row passenger field
+      // never participates in a comparison — it just travels
+      val packed = struct(key.as("__k"), negate(idCol).as("__nid"),
+        struct(weighted.columns.map(col): _*).as("__row"))
+      weighted.groupBy(strataCol.as("__g"))
+        .agg(org.apache.spark.sql.graft.CatalystBridge.topK(packed, k)
+          .as("__top"))
+        .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("__e.__row.*") +:
+          Seq((col("__pos") + 1).cast("long").as("rank")): _*)
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(strataCol).orderBy(key.desc, idCol)
+      weighted.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= k)
+    }
   }
 }

@@ -62,6 +62,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a.map(_._3) != uniform.map(_._3))
   }
 
+  test("weightedSample heap path == window path (string ids fall back)") {
+    val docs = (1 to 200).map(i =>
+      (s"s${i % 3}", i.toLong, (i % 17 + 1).toLong)).toDF("src", "id", "w")
+    // numeric id -> heap path
+    val heap = Sampling.weightedSample(docs, col("src"), col("id"),
+        col("w"), k = 10)
+      .select("src", "rank", "id", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // string id -> window fallback. cast("string") keeps the hash
+    // input text identical, so the A-Res keys — and therefore the
+    // sample and ranks — must match exactly (the id tie-break is
+    // never exercised: keys are distinct).
+    val sdocs = docs.withColumn("id", col("id").cast("string"))
+    val win = Sampling.weightedSample(sdocs, col("src"), col("id"),
+        col("w"), k = 10)
+      .select("src", "rank", "id", "w").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).toLong,
+        r.getLong(3)))
+      .toSet
+    assert(heap == win)
+    assert(heap.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("stratifiedSample downsamples each stratum at its own rate") {
     val df = (1L to 3000L).toDF("id")
       .withColumn("src", concat(lit("s"), col("id") % 3))
