@@ -1019,6 +1019,17 @@ object SparkEntry {
         docs.where(col("lang") =!= "en"))
     }),
 
+    // DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
+    // importance weights ln(p_target/p_pool) per doc + deterministic
+    // Gumbel-top-k — the published importance-resampling selector
+    // (target = the en slice, pool = the whole crawl), replayed
+    // exactly by the oracle including the selected set
+    "text_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.dsirWeights(docs, docs.where(col("lang") === "en"),
+        buckets = 4096, k = 50)
+    }),
+
     // bigram (conditional-probability) log-loss, self-corpus LM: word
     // salad has fluent unigrams but garbage bigrams
     "text_perplexity_bigram" -> ((s, dir) => {
@@ -2545,6 +2556,48 @@ object SparkEntry {
          |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
          |    AS avg_neg_logp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_dsir" ->
+      // DSIR replay: hashed-unigram buckets (md5 fraction · 4096), two
+      // add-1-smoothed bucket LMs, per-token 1e-6-quantized log-ratio
+      // longs, and the Gumbel-top-k selection from the id-hash draw —
+      // the full selected set is deterministic, not just the weights
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id,
+         |    CAST(floor(${md5FracSql("'ds|' || t")} * 4096) AS BIGINT) AS b
+         |  FROM tok),
+         |rc AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+         |tc AS (
+         |  SELECT CAST(floor(${md5FracSql("'ds|' || t")} * 4096) AS BIGINT)
+         |      AS b,
+         |    count(*) AS ct
+         |  FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS t
+         |    FROM documents WHERE lang = 'en')
+         |  GROUP BY 1),
+         |nr AS (SELECT sum(cr) AS nr FROM rc),
+         |ntt AS (SELECT sum(ct) AS nt FROM tc),
+         |w AS (
+         |  SELECT rc.b,
+         |    CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + 4096)) -
+         |                ln((cr + 1.0) / (nr + 4096))) * 1000000)
+         |      AS BIGINT) AS wq
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN ntt),
+         |s AS (
+         |  SELECT doc_id, count(*) AS n_tokens, sum(wq) AS swq
+         |  FROM tb JOIN w USING (b) GROUP BY 1),
+         |g AS (
+         |  SELECT doc_id, n_tokens, swq, swq + CAST(floor(-ln(-ln(
+         |      greatest(${md5FracSql("'dg|' || CAST(doc_id AS VARCHAR)")},
+         |        1.0 / 4294967296.0))) * 1000000) AS BIGINT) AS sq
+         |  FROM s)
+         |SELECT doc_id, n_tokens,
+         |  round(CAST(swq AS DOUBLE) / 1000000.0, 4) AS logw_nats,
+         |  round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS sel_score
+         |FROM g ORDER BY sq DESC, doc_id LIMIT 50""".stripMargin,
 
     "text_kl_drift" ->
       // add-1 smoothing over the union vocab; per-term 1e-12 quantized

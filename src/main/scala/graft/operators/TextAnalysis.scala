@@ -603,6 +603,103 @@ object TextAnalysis {
     * the verdict replays identically from the metric columns alone.
     * Cost: the repetitionStats groupBy is the only shuffle; everything
     * else is per-row codegen. */
+  /** token → hashed-unigram bucket in [0, buckets): the feature hash
+    * DSIR scores against. The "ds|" prefix decorrelates it from the
+    * engine's other md5-fraction draws (sampling "ws|"/"em|", minhash
+    * bands) so reusing one id/token column across operators never
+    * couples their randomness. */
+  private def dsirBucket(t: Column, buckets: Int): Column =
+    floor(Sketch.md5Fraction(concat(lit("ds|"), t)) * buckets).cast("long")
+
+  /** DSIR bucket-weight TABLE (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling"): for
+    * every hashed-unigram bucket b seen in the raw pool, the quantized
+    * log importance ratio
+    *
+    *   wq(b) = floor( [ ln p_tgt(b) − ln p_raw(b) ] · 1e6 )
+    *
+    * under two add-1-smoothed hashed bag-of-unigrams LMs:
+    * p(b) = (c(b)+1)/(N+B). This is the persistable artifact a
+    * production deployment trains ONCE (target = the trusted
+    * high-quality corpus, raw = the crawl pool — a sample of each
+    * suffices) and reuses to score every incoming batch via
+    * [[dsirWeights]]'s scoring join — the hashed-LM variant of the
+    * [[unigramLm]] / [[unigramLogLossWith]] split.
+    *
+    * Plan: one token-explode + bucket groupBy per side (map-side
+    * combinable — at most B partial rows per mapper), broadcast 1-row
+    * totals, and a left join of raw buckets against target buckets
+    * (both ≤ B rows). Output: (b, wq) with ≤ `buckets` rows — bounded
+    * by B regardless of corpus size, hence broadcastable at any scale.
+    * Determinism: the per-bucket term is quantized to a 1e-6 grid
+    * long; the only doubles that cross engines are ln() inputs built
+    * from exact integer counts. */
+  def dsirBucketWeights(raw: DataFrame, target: DataFrame,
+      buckets: Int = 4096, textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"dsir: buckets must be >= 2, got $buckets")
+    def bucketCounts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("t"))
+        .select(dsirBucket(col("t"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(as))
+    val rc = bucketCounts(raw, "cr")
+    val tc = bucketCounts(target, "ct")
+    val nr = rc.agg(sum("cr").as("nr"))
+    val nt = tc.agg(sum("ct").as("nt"))
+    rc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        floor((log((coalesce(col("ct"), lit(0L)) + 1.0) /
+            (col("nt") + buckets)) -
+          log((col("cr") + 1.0) / (col("nr") + buckets))) * 1000000)
+          .cast("long").as("wq"))
+  }
+
+  /** DSIR importance weights + deterministic Gumbel-top-k selection:
+    * score every raw-pool document by how target-like its hashed
+    * bag-of-unigrams is — logw(d) = Σ_tokens wq(bucket(t))/1e6 against
+    * [[dsirBucketWeights]] — and emit the k docs DSIR's importance
+    * resampling selects. Sampling WITHOUT replacement ∝ w(d) is
+    * exactly the Gumbel-top-k: sel(d) = logw(d) + G(d) with
+    * G = −ln(−ln u); replacing the RNG with the id-hash fraction u
+    * makes the selected set a pure function of (corpus, target, B, k)
+    * — reproducible across runs, partitionings, and engines (the
+    * DuckDB oracle replays the full selection).
+    *
+    * Plan: the ≤ B-row weight table broadcasts into one scoring scan
+    * (token explode → bucket → broadcast-hash join → per-doc sum of
+    * exact longs, map-side combined); the k-row cut is a global
+    * sort-limit, which Spark plans as TakeOrdered — per-partition
+    * partial top-k, no single-task sort. Nothing in the pipeline
+    * scales with corpus size except the one scan. Ties in the
+    * quantized score (prob ~2⁻³²) break by id, keeping the cut total.
+    *
+    * Output: id, n_tokens, logw_nats (4 dp), sel_score (4 dp), best
+    * first. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      k: Int = 50, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = dsirBucketWeights(raw, target, buckets, textCol)
+    // u = 0 (md5 prefix 00000000, prob 2^-32) would send -ln(-ln u)
+    // to ln(0), which Spark nulls and other engines -inf — pin the
+    // draw to the grid's smallest positive cell in BOTH engines
+    val u = greatest(
+      Sketch.md5Fraction(concat(lit("dg|"), col(id).cast("string"))),
+      lit(1.0 / 4294967296.0))
+    val gq = floor(negate(log(negate(log(u)))) * 1000000).cast("long")
+    raw.select(col(id), explode(tokens(col(textCol))).as("t"))
+      .select(col(id), dsirBucket(col("t"), buckets).as("b"))
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wq")).as("__swq"))
+      .select(col(id), col("n_tokens"), col("__swq"),
+        (col("__swq") + gq).as("__sq"))
+      .orderBy(col("__sq").desc, col(id))
+      .limit(k)
+      .select(col(id), col("n_tokens"),
+        round(col("__swq").cast("double") / 1000000.0, 4).as("logw_nats"),
+        round(col("__sq").cast("double") / 1000000.0, 4).as("sel_score"))
+  }
+
   def heuristicFilter(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", minTokens: Int = 25, maxTokens: Int = 5000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,

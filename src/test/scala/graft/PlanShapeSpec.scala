@@ -221,6 +221,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastExchange") >= 1, p)
   }
 
+  test("text_dsir: weight table rides a broadcast-hash join, cut is TakeOrdered") {
+    val p = planOf("text_dsir")
+    assert(!p.contains("CartesianProduct"), p)
+    // the <= B-row weight table must broadcast into the scoring scan —
+    // a shuffled join here would shuffle every token of the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the k-row selection is a global sort-limit: per-partition
+    // partial top-k, never a full sort or single-task window
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("KL drift: single-row totals broadcast against the vocab table") {
     val p = planOf("text_kl_drift")
     assert(!p.contains("CartesianProduct"), p)

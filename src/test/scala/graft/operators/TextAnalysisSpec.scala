@@ -228,4 +228,41 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 3L, 3L, "And no end"),
       (3L, 0L, 3L, "Just one line")))
   }
+
+  test("dsirWeights: target-like docs outweigh off-target; selection deterministic") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"), // pure target vocabulary
+      (2L, "zulu yankee zulu yankee"), // pure off-target vocabulary
+      (3L, "alpha beta zulu yankee"), // half and half
+      (4L, "alpha beta alpha beta"), // duplicate of 1's content
+      (5L, "zulu yankee zulu yankee"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta beta alpha"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dsirWeights(raw, target, buckets = 4096, k = 5)
+    val logw = got.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // same content ⇒ same weight; target vocab > mixed > off-target
+    assert(logw(1L) == logw(4L), logw.toString)
+    assert(logw(2L) == logw(5L), logw.toString)
+    assert(logw(1L) > logw(3L) && logw(3L) > logw(2L), logw.toString)
+    // pure function: identical output across executions, order included
+    val again = TextAnalysis.dsirWeights(raw, target, buckets = 4096, k = 5)
+    assert(got.collect().toSeq == again.collect().toSeq)
+    // the k cut keeps the highest gumbel-perturbed scores, best first
+    val scores = got.collect().map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, scores.toString)
+  }
+
+  test("dsirBucketWeights: bounded by buckets; signs follow the vocab split") {
+    import spark.implicits._
+    val raw = Seq((1L, "alpha beta zulu yankee")).toDF("doc_id", "text")
+    val target = Seq((2L, "alpha beta")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirBucketWeights(raw, target, buckets = 4096)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == 4) // 4 distinct tokens, no bucket collision here
+    // target-vocab buckets score positive, off-target negative
+    assert(w.values.count(_ > 0) == 2 && w.values.count(_ < 0) == 2,
+      w.toString)
+  }
 }
