@@ -1019,6 +1019,16 @@ object SparkEntry {
         docs.where(col("lang") =!= "en"))
     }),
 
+    // wordpiece tokenizer inference: greedy longest-match segmentation
+    // of every word against a fixed 256-piece vocabulary (derived
+    // deterministically from the corpus; production supplies its
+    // trained vocab) — native trie expression, per-row codegen
+    "text_wordpiece" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis.topWordVocab(docs, 256)
+      TextAnalysis.wordpieceSegment(docs, vocab).orderBy("doc_id")
+    }),
+
     // DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
     // importance weights ln(p_target/p_pool) per doc + deterministic
     // Gumbel-top-k — the published importance-resampling selector
@@ -2556,6 +2566,50 @@ object SparkEntry {
          |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
          |    AS avg_neg_logp
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_wordpiece" ->
+      // greedy max-munch replay: the recursive CTE advances one piece
+      // per iteration, picking the longest vocab piece matching at pos
+      // via a correlated top-1 over the vocab (ties impossible: equal-
+      // length matches at one position are the same string); unmatched
+      // positions take the single-character fallback. Piece positions
+      // and lengths are characters (DuckDB substr/len), matching the
+      // native trie's codepoint indexing.
+      """WITH RECURSIVE
+        |vocab AS (
+        |  SELECT t AS p FROM (
+        |    SELECT t, count(*) AS c FROM (
+        |      SELECT unnest(string_split(lower(text), ' ')) AS t
+        |      FROM documents)
+        |    WHERE len(t) >= 2 GROUP BY 1)
+        |  ORDER BY c DESC, t LIMIT 256),
+        |d AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, widx, ws[widx] AS word
+        |  FROM d CROSS JOIN unnest(generate_series(1, len(ws))) AS t(widx)),
+        |seg AS (
+        |  SELECT doc_id, widx, word, 0 AS pos, CAST('' AS VARCHAR) AS parts
+        |  FROM words
+        |  UNION ALL
+        |  SELECT doc_id, widx, word, pos + len(piece) AS pos,
+        |    CASE WHEN parts = '' THEN piece
+        |         ELSE parts || '|' || piece END AS parts
+        |  FROM (
+        |    SELECT s.doc_id, s.widx, s.word, s.pos, s.parts,
+        |      coalesce(
+        |        (SELECT v.p FROM vocab v
+        |         WHERE v.p = substr(s.word, s.pos + 1, len(v.p))
+        |         ORDER BY len(v.p) DESC LIMIT 1),
+        |        substr(s.word, s.pos + 1, 1)) AS piece
+        |    FROM seg s WHERE s.pos < len(s.word))),
+        |fin AS (SELECT doc_id, widx, parts FROM seg WHERE pos >= len(word)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(parts, ' ' ORDER BY widx) AS segmented
+        |  FROM fin GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  coalesce(segmented, '') AS segmented
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_dsir" ->
       // DSIR replay: hashed-unigram buckets (md5 fraction · 4096), two

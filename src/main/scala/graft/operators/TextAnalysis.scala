@@ -603,6 +603,46 @@ object TextAnalysis {
     * the verdict replays identically from the metric columns alone.
     * Cost: the repetitionStats groupBy is the only shuffle; everything
     * else is per-row codegen. */
+  /** Deterministic piece vocabulary for [[wordpieceSegment]]: the top
+    * `n` corpus words (≥ 2 codepoints — single codepoints are the
+    * tokenizer's implicit fallback) by (count desc, word asc). The
+    * bounded `n`-row collect is the sanctioned driver-local finish
+    * (kmeans++ precedent): a tokenizer vocabulary is a build-once
+    * artifact of bounded size, derived here so the whole query is a
+    * pure function of the corpus — production passes its own trained
+    * vocab straight to [[wordpieceSegment]] instead. The derivation is
+    * one map-side-combinable token groupBy + a TakeOrdered n-row cut. */
+  def topWordVocab(docs: DataFrame, n: Int,
+      textCol: String = "text"): Seq[String] =
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .where(length(col("t")) >= 2)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t"))
+      .limit(n)
+      .collect().map(_.getString(0)).toSeq
+
+  /** Wordpiece inference over every document: greedy longest-match
+    * segmentation of each whitespace word against `vocab`, single
+    * codepoint as the unmatched fallback — exact token counts and
+    * boundaries under a FIXED vocabulary, the tokenize step every
+    * training pipeline runs before packing. Executed by the native
+    * codegen'd [[graft.functions.expressions.WordpieceSegment]] (one
+    * codepoint-trie walk per row, whole-stage-codegen fused); the
+    * DuckDB oracle replays the same greedy semantics as a recursive
+    * per-position CTE. Purely per-row: no shuffle, no state — the
+    * vocab rides into codegen as a plan reference (broadcast-sized by
+    * construction).
+    *
+    * Output: id, n_words, segmented — pieces '|'-joined within words,
+    * words ' '-joined (space runs round-trip), so the full
+    * segmentation is one hash-checkable string. */
+  def wordpieceSegment(docs: DataFrame, vocab: Seq[String],
+      id: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(id),
+      size(tokens(col(textCol))).cast("long").as("n_words"),
+      org.apache.spark.sql.graft.CatalystBridge.wordpieceSegment(
+        lower(col(textCol)), vocab).as("segmented"))
+
   /** token → hashed-unigram bucket in [0, buckets): the feature hash
     * DSIR scores against. The "ds|" prefix decorrelates it from the
     * engine's other md5-fraction draws (sampling "ws|"/"em|", minhash

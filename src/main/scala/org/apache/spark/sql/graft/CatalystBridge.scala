@@ -61,6 +61,13 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.GearChunks(
       ExpressionUtils.expression(bin), maskBits, minLen, maxLen))
 
+  /** Native greedy longest-match wordpiece segmentation against a
+    * fixed vocabulary (see
+    * [[graft.functions.expressions.WordpieceSegment]]). */
+  def wordpieceSegment(text: Column, vocab: Seq[String]): Column =
+    ExpressionUtils.column(graft.functions.expressions.WordpieceSegment(
+      ExpressionUtils.expression(text), vocab))
+
   /** Misra–Gries heavy-hitters aggregate: bounded k-entry state per
     * partial, mergeable (see
     * [[graft.functions.expressions.MisraGries]]). */

@@ -233,6 +233,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("text_wordpiece: pure per-row codegen — no joins, no shuffle but the sort") {
+    // execute first so AQE finalizes and codegen spans materialize
+    val qe = SparkEntry.queries("text_wordpiece")(spark, dir).queryExecution
+    qe.toRdd.count()
+    // the adaptive plan prints final + initial; lock the final only
+    val p = qe.executedPlan.toString.split("== Initial Plan ==").head
+    // the vocab is a plan-build artifact (bounded collect), so the
+    // executed plan is scan → wordpiece project → output sort: the
+    // only Exchange is the orderBy's range partitioning
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(count(p, "Exchange rangepartitioning") <= 1, p)
+    // "*(n)" is the whole-stage-codegen span marker in tree format —
+    // the wordpiece project must sit inside one, fused with the scan
+    assert(p.contains("*(1) Project"), p)
+  }
+
   test("KL drift: single-row totals broadcast against the vocab table") {
     val p = planOf("text_kl_drift")
     assert(!p.contains("CartesianProduct"), p)

@@ -254,6 +254,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse, scores.toString)
   }
 
+  test("wordpieceSegment: greedy max-munch, char fallback, space runs, unicode") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "thecatx cat the"), // whole-word match beats prefix pieces
+      (2L, "catthe zz"), // concatenation splits; unknown falls to chars
+      (3L, "a  b"), // space run round-trips; 1-char words
+      (4L, ""), // empty text
+      (5L, "猫猫x 猫")) // non-ASCII codepoints
+      .toDF("doc_id", "text")
+    val vocab = Seq("cat", "the", "thecatx", "猫猫")
+    val got = TextAnalysis.wordpieceSegment(docs, vocab)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got(1L) == ((3L, "thecatx cat the")), got(1L).toString)
+    assert(got(2L) == ((2L, "cat|the z|z")), got(2L).toString)
+    assert(got(3L) == ((3L, "a  b")), got(3L).toString)
+    assert(got(4L) == ((1L, "")), got(4L).toString)
+    assert(got(5L) == ((2L, "猫猫|x 猫")), got(5L).toString)
+  }
+
+  test("topWordVocab: (count desc, word asc) cut, single chars excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "bb aa bb cc aa x")).toDF("doc_id", "text")
+    assert(TextAnalysis.topWordVocab(docs, 2) == Seq("aa", "bb"))
+    assert(TextAnalysis.topWordVocab(docs, 3) == Seq("aa", "bb", "cc"))
+  }
+
   test("dsirBucketWeights: bounded by buckets; signs follow the vocab split") {
     import spark.implicits._
     val raw = Seq((1L, "alpha beta zulu yankee")).toDF("doc_id", "text")
