@@ -694,31 +694,64 @@ object TextAnalysis {
           .cast("long").as("wq"))
   }
 
+  /** Driver-local [[graft.functions.expressions.DsirScorer]] from the
+    * same counts as [[dsirBucketWeights]], extended to ALL `buckets`
+    * slots (absent raw buckets take the cr = 0 default — required to
+    * score documents the raw sample never saw, i.e. the streaming
+    * gate). The two ≤ B-row collects are the sanctioned bounded
+    * driver-local finish; in production both sides are typically
+    * trained on samples. Arithmetic is kept in the exact op order of
+    * the relational formulation so the two paths stay bit-identical. */
+  def dsirScorer(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
+      textCol: String = "text")
+      : graft.functions.expressions.DsirScorer = {
+    require(buckets >= 2, s"dsir: buckets must be >= 2, got $buckets")
+    def bucketCounts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(tokens(col(textCol))).as("t"))
+        .select(dsirBucket(col("t"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val rc = bucketCounts(raw)
+    val tc = bucketCounts(target)
+    val nr = rc.values.sum
+    val nt = tc.values.sum
+    val w = Array.tabulate(buckets) { b =>
+      math.floor((math.log((tc.getOrElse(b, 0L) + 1.0) / (nt + buckets)) -
+        math.log((rc.getOrElse(b, 0L) + 1.0) / (nr + buckets))) *
+        1000000).toLong
+    }
+    graft.functions.expressions.DsirScorer(buckets, w)
+  }
+
   /** DSIR importance weights + deterministic Gumbel-top-k selection:
     * score every raw-pool document by how target-like its hashed
     * bag-of-unigrams is — logw(d) = Σ_tokens wq(bucket(t))/1e6 against
-    * [[dsirBucketWeights]] — and emit the k docs DSIR's importance
-    * resampling selects. Sampling WITHOUT replacement ∝ w(d) is
-    * exactly the Gumbel-top-k: sel(d) = logw(d) + G(d) with
+    * [[dsirScorer]]'s weight table — and emit the k docs DSIR's
+    * importance resampling selects. Sampling WITHOUT replacement
+    * ∝ w(d) is exactly the Gumbel-top-k: sel(d) = logw(d) + G(d) with
     * G = −ln(−ln u); replacing the RNG with the id-hash fraction u
     * makes the selected set a pure function of (corpus, target, B, k)
     * — reproducible across runs, partitionings, and engines (the
     * DuckDB oracle replays the full selection).
     *
-    * Plan: the ≤ B-row weight table broadcasts into one scoring scan
-    * (token explode → bucket → broadcast-hash join → per-doc sum of
-    * exact longs, map-side combined); the k-row cut is a global
-    * sort-limit, which Spark plans as TakeOrdered — per-partition
-    * partial top-k, no single-task sort. Nothing in the pipeline
-    * scales with corpus size except the one scan. Ties in the
-    * quantized score (prob ~2⁻³²) break by id, keeping the cut total.
+    * Plan: scoring is the native per-row
+    * [[graft.functions.expressions.DsirScore]] — the bounded weight
+    * table rides into codegen as a plan reference, so the scan has NO
+    * explode, NO join, and NO shuffle (the relational twin explodes a
+    * row per token and re-groups per doc; the oracle still replays
+    * that formulation and the spec pins equality). The k-row cut is a
+    * global sort-limit, which Spark plans as TakeOrdered —
+    * per-partition partial top-k, no single-task sort. Only the two
+    * bounded LM-count aggregations shuffle, and those move ≤ B rows
+    * per mapper. Ties in the quantized score (prob ~2⁻³²) break by
+    * id, keeping the cut total.
     *
     * Output: id, n_tokens, logw_nats (4 dp), sel_score (4 dp), best
     * first. */
   def dsirWeights(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       k: Int = 50, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val w = dsirBucketWeights(raw, target, buckets, textCol)
+    val sc = dsirScorer(raw, target, buckets, textCol)
     // u = 0 (md5 prefix 00000000, prob 2^-32) would send -ln(-ln u)
     // to ln(0), which Spark nulls and other engines -inf — pin the
     // draw to the grid's smallest positive cell in BOTH engines
@@ -726,11 +759,10 @@ object TextAnalysis {
       Sketch.md5Fraction(concat(lit("dg|"), col(id).cast("string"))),
       lit(1.0 / 4294967296.0))
     val gq = floor(negate(log(negate(log(u)))) * 1000000).cast("long")
-    raw.select(col(id), explode(tokens(col(textCol))).as("t"))
-      .select(col(id), dsirBucket(col("t"), buckets).as("b"))
-      .join(broadcast(w), Seq("b"))
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("wq")).as("__swq"))
+    raw.select(col(id),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        org.apache.spark.sql.graft.CatalystBridge.dsirScore(
+          lower(col(textCol)), sc).as("__swq"))
       .select(col(id), col("n_tokens"), col("__swq"),
         (col("__swq") + gq).as("__sq"))
       .orderBy(col("__sq").desc, col(id))

@@ -249,6 +249,35 @@ object ScdStream {
       .select(col(id), col("corpus_id"), dist.cast("long").as("hamming"))
   }
 
+  /** Streaming DSIR quality gate: score each incoming document's
+    * hashed bag-of-unigrams against a TRAINED
+    * [[graft.functions.expressions.DsirScorer]]
+    * ([[graft.operators.TextAnalysis.dsirScorer]] output — the
+    * persisted full-table artifact) and pass documents whose log
+    * importance weight clears `minLogwNats` — the "is this crawl page
+    * target-like enough to keep" admission check, applied in-flight.
+    *
+    * Entirely STATELESS: the scorer is a bounded plan reference inside
+    * one per-row codegen'd projection — no aggregation, no watermark,
+    * no state store — so it runs in append mode at any rate and
+    * restarts trivially (spec-locked: no stateful operator in the
+    * plan). Scores are bit-identical to the batch path
+    * ([[graft.operators.TextAnalysis.dsirWeights]]'s logw_nats):
+    * gate decisions replay exactly in a batch audit.
+    *
+    * Output (append): id, n_tokens, logw_nats (4 dp), gated to
+    * logw_nats >= minLogwNats. */
+  def dsirGateStream(stream: DataFrame,
+      scorer: graft.functions.expressions.DsirScorer,
+      minLogwNats: Double, id: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    stream.select(col(id),
+        size(split(lower(col(textCol)), " ")).cast("long").as("n_tokens"),
+        round(org.apache.spark.sql.graft.CatalystBridge.dsirScore(
+          lower(col(textCol)), scorer).cast("double") / 1000000.0, 4)
+          .as("logw_nats"))
+      .where(col("logw_nats") >= minLogwNats)
+
   /** Static simhash band index of a corpus — the persisted artifact
     * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one
     * row per band per doc. Write it partitioned/bucketed by `band` so

@@ -68,6 +68,13 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.WordpieceSegment(
       ExpressionUtils.expression(text), vocab))
 
+  /** Native per-row DSIR importance score against a fixed full-table
+    * scorer (see [[graft.functions.expressions.DsirScore]]). */
+  def dsirScore(textLower: Column,
+      scorer: graft.functions.expressions.DsirScorer): Column =
+    ExpressionUtils.column(graft.functions.expressions.DsirScore(
+      ExpressionUtils.expression(textLower), scorer))
+
   /** Misra–Gries heavy-hitters aggregate: bounded k-entry state per
     * partial, mergeable (see
     * [[graft.functions.expressions.MisraGries]]). */

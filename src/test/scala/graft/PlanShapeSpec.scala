@@ -221,12 +221,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastExchange") >= 1, p)
   }
 
-  test("text_dsir: weight table rides a broadcast-hash join, cut is TakeOrdered") {
+  test("text_dsir: scoring scan is join-free per-row codegen, cut is TakeOrdered") {
     val p = planOf("text_dsir")
-    assert(!p.contains("CartesianProduct"), p)
-    // the <= B-row weight table must broadcast into the scoring scan —
-    // a shuffled join here would shuffle every token of the corpus
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the full weight table rides into codegen as a plan reference —
+    // the scoring scan must carry NO join, NO token explode, and no
+    // shuffle of anything proportional to token count
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Generate"), p)
     // the k-row selection is a global sort-limit: per-partition
     // partial top-k, never a full sort or single-task window
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -281,6 +281,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.topWordVocab(docs, 3) == Seq("aa", "bb", "cc"))
   }
 
+  test("dsirScorer: native per-row score is bit-identical to the relational twin") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "zulu yankee zulu yankee"),
+      (3L, "alpha  beta"), // double space: empty token scores too
+      (4L, ""), // empty text = one empty token
+      (5L, "猫 alpha 猫猫")) // multibyte tokens
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha")).toDF("doc_id", "text")
+    val sc = TextAnalysis.dsirScorer(raw, target, buckets = 512)
+    val native = raw.select(col("doc_id"),
+      org.apache.spark.sql.graft.CatalystBridge.dsirScore(
+        lower(col("text")), sc).as("swq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // relational twin: explode -> bucket -> weight join -> sum (the
+    // oracle's formulation, over the partial seen-buckets table)
+    val w = TextAnalysis.dsirBucketWeights(raw, target, buckets = 512)
+    val twin = raw.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("t"))
+      .select(col("doc_id"),
+        floor(Sketch.md5Fraction(concat(lit("ds|"), col("t"))) * 512)
+          .cast("long").as("b"))
+      .join(w, Seq("b"))
+      .groupBy("doc_id").agg(sum("wq").as("swq"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == twin, s"native=$native twin=$twin")
+    // unseen-token default: a token absent from the raw corpus lands
+    // on the cr=0 slot — still a finite, deterministic weight
+    val unseen = Seq((9L, "qqqqxyz")).toDF("doc_id", "text")
+    val s9 = unseen.select(org.apache.spark.sql.graft.CatalystBridge
+      .dsirScore(lower(col("text")), sc)).collect().head.getLong(0)
+    assert(s9 != 0L) // some definite weight, computable without the corpus
+  }
+
   test("dsirBucketWeights: bounded by buckets; signs follow the vocab split") {
     import spark.implicits._
     val raw = Seq((1L, "alpha beta zulu yankee")).toDF("doc_id", "text")

@@ -176,6 +176,40 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirGateStream — stateless gate passes target-like docs, scores match batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "zulu yankee zulu yankee"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val scorer = graft.operators.TextAnalysis.dsirScorer(raw, target,
+      buckets = 512)
+    val ms = MemoryStream[(Long, String)]
+    val gated = ScdStream.dsirGateStream(ms.toDF().toDF("doc_id", "text"),
+      scorer, minLogwNats = 0.0)
+    // stateless by construction: no stateful operator may appear
+    assert(!gated.queryExecution.analyzed.toString.contains("State"))
+    val q = gated.writeStream.format("memory").queryName("dsirgate")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (5L, "alpha beta alpha"), // target-like: positive logw
+        (6L, "zulu yankee zulu"), // off-target: negative logw
+        (7L, "qqq unseen tokens")) // never-seen vocab: cr=0 default
+      q.processAllAvailable()
+      val got = spark.table("dsirgate")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(got.contains(5L) && got(5L) > 0.0, got.toString)
+      assert(!got.contains(6L), got.toString)
+      // the unseen-vocab doc gets the cr=0 slots: ln((nr+B)/(nt+B)) per
+      // token, positive here since nr > nt — and DEFINED, which is the
+      // point of the full-table scorer
+      assert(got.contains(7L), got.toString)
+    } finally q.stop()
+  }
+
   test("corpusMatchStream — maxDist out of [0,63] is rejected (width-0 bands)") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
