@@ -239,10 +239,40 @@ object CatalystBridge {
       graft.functions.expressions.BoundedTopK(args.head, k)
     })
 
+  /** `wordpiece(text, array('piece', ...))` — greedy longest-match
+    * segmentation in plain SQL. The vocab must be a foldable
+    * array<string> (an array literal or anything constant-folded to
+    * one): the trie is built once at plan time, not per row. */
+  val wordpieceDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("wordpiece"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.WordpieceSegment].getName,
+      "wordpiece"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"wordpiece takes (text, vocab_array), got ${args.length} args")
+      val vocab = args(1) match {
+        case e if e.foldable && e.dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType] =>
+          e.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                  .toString).toSeq
+            case _ => throw new IllegalArgumentException(
+              "wordpiece: vocab array evaluated to NULL")
+          }
+        case other => throw new IllegalArgumentException(
+          s"wordpiece: vocab must be a foldable array<string>, got $other")
+      }
+      graft.functions.expressions.WordpieceSegment(args.head, vocab)
+    })
+
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
-    topKDescriptor)
+    topKDescriptor, wordpieceDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

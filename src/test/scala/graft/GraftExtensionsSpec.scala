@@ -95,4 +95,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(d == java.lang.Long.bitCount(sql(1L) ^ sql(2L)))
     assert(d <= 16, s"near-identical docs should be close: $d")
   }
+
+  test("wordpiece in plain SQL: array-literal vocab, non-foldable rejected") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT wordpiece('catthe zz', array('cat', 'the')) AS s")
+      .head().getString(0)
+    assert(got == "cat|the z|z", got)
+    // the trie must come from plan-time folding — a per-row vocab has
+    // no single trie and is rejected at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT wordpiece(s, array(s)) AS x FROM (SELECT 'a' AS s)")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
 }
