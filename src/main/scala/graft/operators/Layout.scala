@@ -60,6 +60,31 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Write `df` as training shards in a deterministic pseudo-random
+    * GLOBAL order — the "global shuffle" step before serving data to
+    * a trainer, made reproducible: u = md5Fraction("sh|" + id) is the
+    * shuffle key, `repartitionByRange` gives each shard a disjoint
+    * u-range (≈ equal row mass by hash uniformity — no single-task
+    * global sort), and rows within a shard land in (u, id) order.
+    * Every rerun, restart, or engine replays the SAME order from the
+    * ids alone: epoch reproducibility without persisting a permutation
+    * table. Different epochs = different prefix (the caller varies
+    * `seed`), reusing nothing between epochs by construction.
+    *
+    * The key column is layout-only: dropped before bytes hit disk (a
+    * projection preserves row order). */
+  def shuffledShardWrite(df: DataFrame, idCol: Column, outDir: String,
+      nShards: Int, seed: String = "sh"): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val u = Sketch.md5Fraction(
+      concat(lit(seed + "|"), idCol.cast("string")))
+    df.withColumn("__u", u)
+      .repartitionByRange(nShards, col("__u"))
+      .sortWithinPartitions(col("__u"), idCol)
+      .drop("__u")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Write `df` as a BUCKETED table: both sides of a recurring join
     * bucketed by the join key with the same bucket count join with NO
     * exchange — the pre-shuffled layout for the fact/dim joins that

@@ -89,4 +89,47 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
       prevThreshold)
   }
+
+  test("shuffledShardWrite: reproducible global shuffle, balanced disjoint shards") {
+    val n = 20000
+    val nShards = 8
+    val df = (1 to n).map(i => (i.toLong, s"payload$i")).toDF("id", "pay")
+    val dir = Files.createTempDirectory("shards").toString + "/out"
+    Layout.shuffledShardWrite(df, col("id"), dir, nShards)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.length == nShards, s"${files.length} shard files")
+    // per-shard: rows arrive in (u, id) order; shard u-ranges disjoint
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s"sh|$id".getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v.toDouble / 4294967296.0
+    }
+    var all = List.empty[Long]
+    var prevMax = -1.0
+    var sizes = List.empty[Int]
+    files.foreach { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("id").collect().map(_.getLong(0)).toList
+      val us = ids.map(u)
+      assert(us == us.sorted, s"shard ${f.getName} not in shuffle order")
+      assert(us.head >= prevMax, "shard u-ranges overlap")
+      prevMax = us.last
+      sizes ::= ids.size
+      all = all ++ ids
+    }
+    // nothing lost or duplicated; shards statistically balanced
+    assert(all.sorted == (1 to n).map(_.toLong).toList)
+    assert(sizes.min > n / nShards / 2, s"unbalanced shards: $sizes")
+    // epoch key changes the order, same machinery (single shard file
+    // ⇒ one input partition ⇒ collect preserves on-disk row order)
+    val dir2 = Files.createTempDirectory("shards2").toString + "/out"
+    Layout.shuffledShardWrite(df, col("id"), dir2, 1, seed = "ep1")
+    val e1 = spark.read.parquet(dir2).select("id")
+      .collect().map(_.getLong(0)).toList
+    assert(e1.sorted == all.sorted && e1 != all,
+      "different epoch seed must permute the order")
+  }
 }
