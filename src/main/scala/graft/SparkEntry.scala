@@ -1274,6 +1274,21 @@ object SparkEntry {
         .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // INCREMENTAL clustering: yesterday's persisted cluster labels
+    // (as star edges) + today's new pairs → updated clusters, never
+    // re-deriving old pairs. Canonical min-id labels make the result
+    // IDENTICAL to a full recompute — so the oracle is dedup_cc's own
+    // full-reachability CTE over the union pair set
+    "dedup_cc_incremental" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"),
+        threshold = 0.8).localCheckpoint()
+      val isOld = pmod(col("id_a") + col("id_b"), lit(2)) === 0
+      val base = Dedup.connectedComponents(pairs.where(isOld))
+      Dedup.connectedComponentsIncremental(base, pairs.where(!isOld))
+        .select(col("vertex").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // near-dup clusters keep their highest-QUALITY member (tie: min
     // id) — the RefinedWeb-style "keep the cleanest copy" collapse,
     // instead of dedup_cc's arbitrary min-id canonicalization
@@ -3413,6 +3428,13 @@ object SparkEntry {
       // transitive closure over the verified minhash-LSH pairs; the
       // Spark side's pointer-jumping min-propagation must agree with
       // this recursive-CTE reachability exactly
+      s"""WITH RECURSIVE $MinhashCompCtes
+         |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_cc_incremental" ->
+      // incremental ≡ full recompute (canonical min-id labels): the
+      // oracle replays the FULL union-graph reachability — agreement
+      // proves the star-edge fold loses and invents nothing
       s"""WITH RECURSIVE $MinhashCompCtes
          |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin,
 

@@ -567,6 +567,35 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components — fold a new batch's candidate
+    * pairs into PERSISTED component labels without re-clustering the
+    * corpus (the nightly-crawl companion to
+    * [[minhashLshPairsIncremental]]: that op emits the new pairs, this
+    * one updates the cluster table they feed).
+    *
+    * Key fact: a (vertex, component) labeling IS a transitively-closed
+    * edge set — each vertex's star edge to its component label
+    * preserves exactly the old connectivity. So the update is
+    * [[connectedComponents]] over (star edges ∪ new pairs): cost
+    * scales with |labels| + |new pairs|, never with the original pair
+    * derivation, and stars have depth 1 so pointer jumping converges
+    * in O(log new-chain) rounds. Because labels are CANONICAL (min
+    * vertex id of the component), the result is IDENTICAL to a full
+    * recompute over the union pair set — new edges that merge two old
+    * clusters collapse both to the smaller label, exactly as a
+    * recompute would (property-tested; the declared query's oracle is
+    * dedup_cc's own full-recompute reachability).
+    *
+    * Output: (vertex, component) for every vertex in `components` or
+    * `newPairs` — the updated persistable cluster table. */
+  def connectedComponentsIncremental(components: DataFrame,
+      newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame =
+    connectedComponents(
+      components.select(col("vertex").as(idA), col("component").as(idB))
+        .union(newPairs.select(col(idA), col(idB))),
+      idA, idB, maxIter)
+
   /** Quality-aware survivor selection — collapse each near-duplicate
     * cluster to its BEST document instead of an arbitrary one (what
     * RefinedWeb/FineWeb-style pipelines do: near-dup removal should

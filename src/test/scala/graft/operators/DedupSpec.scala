@@ -195,6 +195,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).isEmpty)
   }
 
+  test("incremental CC ≡ full recompute on random graphs (incl. cluster merges)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small vertex domain forces old/new batches to share vertices and
+    // new edges to MERGE old clusters — the hard case
+    val genEdges: Gen[List[(Long, Long)]] = for {
+      n <- Gen.chooseNum(1, 16)
+      e <- Gen.listOfN(n,
+        Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    } yield e.filter { case (a, b) => a != b }
+    (1 to 15).foreach { seed =>
+      val edges = genEdges.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      if (edges.nonEmpty) {
+        val df = edges.toDF("id_a", "id_b")
+        val isOld = pmod(col("id_a") + col("id_b"), lit(2)) === 0
+        val base = Dedup.connectedComponents(df.where(isOld))
+        val inc = Dedup.connectedComponentsIncremental(base, df.where(!isOld))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = Dedup.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(inc == full, s"[seed=$seed] edges=$edges inc=$inc full=$full")
+      }
+    }
+  }
+
   test("crossOverlapPairs finds cross-set overlaps only, maxDf guards") {
     import spark.implicits._
     val probe = Seq(
