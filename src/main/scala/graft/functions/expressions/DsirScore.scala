@@ -19,6 +19,11 @@ final case class DsirScorer(buckets: Int, weights: Array[Long])
 
   require(weights.length == buckets,
     s"dsir scorer: ${weights.length} weights for $buckets buckets")
+  // above 2^21 the relational floor(v/2^32 · buckets) double product
+  // is no longer exact and the two paths could bucket boundary hashes
+  // differently — reject rather than silently break bit-equality
+  require(buckets >= 2 && buckets <= (1 << 21),
+    s"dsir scorer: buckets must be in [2, 2^21], got $buckets")
 
   private val prefix: Array[Byte] = Array('d', 's', '|')
 

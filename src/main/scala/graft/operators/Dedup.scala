@@ -587,12 +587,15 @@ object Dedup {
     * dedup_cc's own full-recompute reachability).
     *
     * Output: (vertex, component) for every vertex in `components` or
-    * `newPairs` — the updated persistable cluster table. */
+    * `newPairs` — the updated persistable cluster table.
+    * `vertexCol`/`componentCol` name the persisted table's columns
+    * (e.g. a dedup_cc dump persisted as (doc_id, cluster_id)). */
   def connectedComponentsIncremental(components: DataFrame,
       newPairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      vertexCol: String = "vertex", componentCol: String = "component",
       maxIter: Int = 20): DataFrame =
     connectedComponents(
-      components.select(col("vertex").as(idA), col("component").as(idB))
+      components.select(col(vertexCol).as(idA), col(componentCol).as(idB))
         .union(newPairs.select(col(idA), col(idB))),
       idA, idB, maxIter)
 

@@ -72,12 +72,16 @@ object Layout {
     * `seed`), reusing nothing between epochs by construction.
     *
     * The key column is layout-only: dropped before bytes hit disk (a
-    * projection preserves row order). */
+    * projection preserves row order). The draw is namespaced under the
+    * reserved "sf|" tag so no caller-chosen seed can collide with the
+    * engine's other md5-fraction prefixes ("ws|"/"em|"/"ds|"/"dg|") —
+    * a seed of "ws" must not sort epochs by the weighted-sampling
+    * randomness. */
   def shuffledShardWrite(df: DataFrame, idCol: Column, outDir: String,
-      nShards: Int, seed: String = "sh"): Unit = {
+      nShards: Int, seed: String = "ep0"): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val u = Sketch.md5Fraction(
-      concat(lit(seed + "|"), idCol.cast("string")))
+      concat(lit("sf|" + seed + "|"), idCol.cast("string")))
     df.withColumn("__u", u)
       .repartitionByRange(nShards, col("__u"))
       .sortWithinPartitions(col("__u"), idCol)

@@ -674,15 +674,20 @@ object TextAnalysis {
     * Determinism: the per-bucket term is quantized to a 1e-6 grid
     * long; the only doubles that cross engines are ln() inputs built
     * from exact integer counts. */
+  /** (bucket, count) of a corpus' tokens — the one count pipeline both
+    * the relational weight table and the driver-local scorer consume
+    * (a single definition keeps their bit-equality structural). */
+  private def dsirBucketCounts(df: DataFrame, buckets: Int,
+      textCol: String, as: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("t"))
+      .select(dsirBucket(col("t"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as(as))
+
   def dsirBucketWeights(raw: DataFrame, target: DataFrame,
       buckets: Int = 4096, textCol: String = "text"): DataFrame = {
     require(buckets >= 2, s"dsir: buckets must be >= 2, got $buckets")
-    def bucketCounts(df: DataFrame, as: String): DataFrame =
-      df.select(explode(tokens(col(textCol))).as("t"))
-        .select(dsirBucket(col("t"), buckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as(as))
-    val rc = bucketCounts(raw, "cr")
-    val tc = bucketCounts(target, "ct")
+    val rc = dsirBucketCounts(raw, buckets, textCol, "cr")
+    val tc = dsirBucketCounts(target, buckets, textCol, "ct")
     val nr = rc.agg(sum("cr").as("nr"))
     val nt = tc.agg(sum("ct").as("nt"))
     rc.join(tc, Seq("b"), "left")
@@ -705,14 +710,11 @@ object TextAnalysis {
   def dsirScorer(raw: DataFrame, target: DataFrame, buckets: Int = 4096,
       textCol: String = "text")
       : graft.functions.expressions.DsirScorer = {
-    require(buckets >= 2, s"dsir: buckets must be >= 2, got $buckets")
-    def bucketCounts(df: DataFrame): Map[Int, Long] =
-      df.select(explode(tokens(col(textCol))).as("t"))
-        .select(dsirBucket(col("t"), buckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
+    def collected(df: DataFrame): Map[Int, Long] =
+      dsirBucketCounts(df, buckets, textCol, "c")
         .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val rc = bucketCounts(raw)
-    val tc = bucketCounts(target)
+    val rc = collected(raw)
+    val tc = collected(target)
     val nr = rc.values.sum
     val nt = tc.values.sum
     val w = Array.tabulate(buckets) { b =>
@@ -759,7 +761,12 @@ object TextAnalysis {
       Sketch.md5Fraction(concat(lit("dg|"), col(id).cast("string"))),
       lit(1.0 / 4294967296.0))
     val gq = floor(negate(log(negate(log(u)))) * 1000000).cast("long")
-    raw.select(col(id),
+    // NULL text matches the relational/oracle semantics (explode of a
+    // null token array emits nothing): the doc is dropped, not ranked
+    // with null scores (DESC sorts nulls last — they'd pad a small
+    // corpus's selected set with garbage rows)
+    raw.where(col(textCol).isNotNull)
+      .select(col(id),
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         org.apache.spark.sql.graft.CatalystBridge.dsirScore(
           lower(col(textCol)), sc).as("__swq"))

@@ -253,13 +253,20 @@ object CatalystBridge {
       require(args.length == 2,
         s"wordpiece takes (text, vocab_array), got ${args.length} args")
       val vocab = args(1) match {
-        case e if e.foldable && e.dataType.isInstanceOf[
-            org.apache.spark.sql.types.ArrayType] =>
+        case e if e.foldable && (e.dataType match {
+              case org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.StringType, _) => true
+              case _ => false
+            }) =>
           e.eval() match {
             case a: org.apache.spark.sql.catalyst.util.ArrayData =>
               a.toObjectArray(org.apache.spark.sql.types.StringType)
-                .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-                  .toString).toSeq
+                .map {
+                  case null => throw new IllegalArgumentException(
+                    "wordpiece: vocab array must not contain NULL pieces")
+                  case u: org.apache.spark.unsafe.types.UTF8String =>
+                    u.toString
+                }.toSeq
             case _ => throw new IllegalArgumentException(
               "wordpiece: vocab array evaluated to NULL")
           }

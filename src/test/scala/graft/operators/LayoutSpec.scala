@@ -102,7 +102,7 @@ class LayoutSpec extends SparkSpec {
     // per-shard: rows arrive in (u, id) order; shard u-ranges disjoint
     def u(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val d = md.digest(s"sh|$id".getBytes("UTF-8"))
+      val d = md.digest(s"sf|ep0|$id".getBytes("UTF-8"))
       val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       v.toDouble / 4294967296.0

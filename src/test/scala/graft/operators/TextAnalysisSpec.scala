@@ -236,18 +236,22 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "zulu yankee zulu yankee"), // pure off-target vocabulary
       (3L, "alpha beta zulu yankee"), // half and half
       (4L, "alpha beta alpha beta"), // duplicate of 1's content
-      (5L, "zulu yankee zulu yankee"))
+      (5L, "zulu yankee zulu yankee"),
+      (6L, null.asInstanceOf[String])) // NULL text: dropped, never ranked
       .toDF("doc_id", "text")
     val target = Seq((10L, "alpha beta alpha beta beta alpha"))
       .toDF("doc_id", "text")
-    val got = TextAnalysis.dsirWeights(raw, target, buckets = 4096, k = 5)
+    val got = TextAnalysis.dsirWeights(raw, target, buckets = 4096, k = 6)
     val logw = got.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // the NULL-text doc is dropped (oracle semantics: explode emits
+    // nothing), not ranked with null scores padding the k-cut
+    assert(!logw.contains(6L), logw.toString)
     // same content ⇒ same weight; target vocab > mixed > off-target
     assert(logw(1L) == logw(4L), logw.toString)
     assert(logw(2L) == logw(5L), logw.toString)
     assert(logw(1L) > logw(3L) && logw(3L) > logw(2L), logw.toString)
     // pure function: identical output across executions, order included
-    val again = TextAnalysis.dsirWeights(raw, target, buckets = 4096, k = 5)
+    val again = TextAnalysis.dsirWeights(raw, target, buckets = 4096, k = 6)
     assert(got.collect().toSeq == again.collect().toSeq)
     // the k cut keeps the highest gumbel-perturbed scores, best first
     val scores = got.collect().map(_.getDouble(3)).toSeq

@@ -189,8 +189,6 @@ class ScdStreamSpec extends SparkSpec {
     val ms = MemoryStream[(Long, String)]
     val gated = ScdStream.dsirGateStream(ms.toDF().toDF("doc_id", "text"),
       scorer, minLogwNats = 0.0)
-    // stateless by construction: no stateful operator may appear
-    assert(!gated.queryExecution.analyzed.toString.contains("State"))
     val q = gated.writeStream.format("memory").queryName("dsirgate")
       .outputMode("append").start()
     try {
@@ -199,6 +197,11 @@ class ScdStreamSpec extends SparkSpec {
         (6L, "zulu yankee zulu"), // off-target: negative logw
         (7L, "qqq unseen tokens")) // never-seen vocab: cr=0 default
       q.processAllAvailable()
+      // stateless by construction: the RUNNING query must report zero
+      // state-store operators (the analyzed-plan string can't show
+      // state; progress reflects the actual executed micro-batch)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.mkString(","))
       val got = spark.table("dsirgate")
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
       assert(got.contains(5L) && got(5L) > 0.0, got.toString)
