@@ -846,6 +846,12 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // within-doc token-distribution Shannon entropy (information
+    // density gate) — per-row sort+fold, zero shuffle; the oracle
+    // replays the explode+groupBy twin
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(t(s, dir, "documents")).orderBy("doc_id")),
+
     // PII scrub: typed placeholder redaction + hit counts
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiScrub(t(s, dir, "documents")).orderBy("doc_id")),
@@ -2499,6 +2505,27 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
         |ORDER BY ta.doc_id""".stripMargin,
+
+    // replays tokenEntropy's explode+groupBy twin: qln(c)=floor(1e6·
+    // ln c) on exact counts, entropy = (n·qln(n) − Σ c·qln(c)) div n
+    // (numerator provably >= 0, so // == div)
+    "text_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |tc AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |ta AS (
+        |  SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS d,
+        |    CAST(sum(c * CAST(floor(1000000 * ln(c)) AS BIGINT))
+        |      AS BIGINT) AS s
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens, d AS n_distinct,
+        |  CAST((n * CAST(floor(1000000 * ln(n)) AS BIGINT) - s) // n
+        |    AS BIGINT) AS entropy_micro
+        |FROM ta ORDER BY doc_id""".stripMargin,
 
     "text_filter" ->
       """WITH tok AS (

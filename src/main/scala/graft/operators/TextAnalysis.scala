@@ -193,6 +193,81 @@ object TextAnalysis {
         .as("top_bigram_frac"))
   }
 
+  /** `floor(1e6·ln(c))` as an exact long — the file's standard ln
+    * quantization, applied only to exact integer counts so both
+    * engines feed ln() the same value. */
+  private def qlnSql(c: String): String =
+    s"CAST(floor(1000000 * ln($c)) AS BIGINT)"
+
+  /** Per-document Shannon entropy of the within-doc token distribution
+    * — the "information density" quality gate (near-zero entropy =
+    * keyword stuffing / boilerplate loops; uniform-random token salad
+    * maxes it out), standard alongside the Gopher repetition fractions
+    * ([[repetitionStats]] measures concentration of the top item; this
+    * measures the WHOLE distribution).
+    *
+    * Scale shape: a pure per-row fold — `array_sort` the token array,
+    * then one `aggregate` HOF pass accumulates run lengths (equal
+    * tokens are adjacent after the sort) into `Σ c·qln(c)` and the
+    * distinct count. No explode, no shuffle, no per-(doc,token) state
+    * off the row: a 100 TB corpus scans once, embarrassingly parallel.
+    * [[tokenEntropyRelational]] is the explode+groupBy twin the DuckDB
+    * oracle replays (equality spec-pinned).
+    *
+    * Determinism discipline: with `qln(c) = floor(1e6·ln c)` (ln of an
+    * exact integer count — the only double that crosses engines),
+    * `entropy_micro = (n·qln(n) − Σ c·qln(c)) div n`, all exact long
+    * arithmetic. `Σ c·qln(c) ≤ n·qln(n)` (qln is monotone, c ≤ n), so
+    * the numerator is never negative and trunc-div == floor-div in
+    * both engines. Identity: H = ln n − (1/n)·Σ c·ln c.
+    * NULL text is dropped (the relational twin's explode emits
+    * nothing for it — same rule as dsirWeights). */
+  def tokenEntropy(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val step = "CASE " +
+      "WHEN a.prev IS NULL THEN named_struct(" +
+      "'prev', x, 'run', 1L, 's', a.s, 'd', 1L) " +
+      "WHEN x = a.prev THEN named_struct(" +
+      "'prev', x, 'run', a.run + 1L, 's', a.s, 'd', a.d) " +
+      "ELSE named_struct('prev', x, 'run', 1L, " +
+      s"'s', a.s + a.run * ${qlnSql("a.run")}, 'd', a.d + 1L) END"
+    val fin = "CASE WHEN a.prev IS NULL " +
+      "THEN named_struct('s', 0L, 'd', 0L) " +
+      "ELSE named_struct(" +
+      s"'s', a.s + a.run * ${qlnSql("a.run")}, 'd', a.d) END"
+    docs.where(col(textCol).isNotNull)
+      .select(col(id), tokens(col(textCol)).as("__toks"))
+      .select(col(id), size(col("__toks")).cast("long").as("n_tokens"),
+        expr("aggregate(array_sort(__toks), " +
+          "named_struct('prev', CAST(NULL AS STRING), " +
+          "'run', 0L, 's', 0L, 'd', 0L), " +
+          s"(a, x) -> $step, a -> $fin)").as("__f"))
+      .select(col(id), col("n_tokens"),
+        col("__f.d").as("n_distinct"),
+        expr("CASE WHEN n_tokens <= 0 THEN 0L ELSE " +
+          s"(n_tokens * ${qlnSql("n_tokens")} - __f.s) div n_tokens END")
+          .as("entropy_micro"))
+  }
+
+  /** Oracle twin of [[tokenEntropy]]: the explode + (doc, token)
+    * groupBy form — identical math on exact longs (order-free sums),
+    * replayable in any SQL engine. The per-row fold is the production
+    * path; this shape shuffles every token and exists to make the
+    * entropy number independently checkable. */
+  def tokenEntropyRelational(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(id), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col(id), col("__t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(id)).agg(
+        sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr(s"c * ${qlnSql("c")}")).cast("long").as("__s"))
+      .select(col(id), col("n_tokens"), col("n_distinct"),
+        expr("CASE WHEN n_tokens <= 0 THEN 0L ELSE " +
+          s"(n_tokens * ${qlnSql("n_tokens")} - __s) div n_tokens END")
+          .as("entropy_micro"))
+
   /** Email address shape; deliberately simple so Java regex and RE2
     * (DuckDB) agree byte-for-byte on every input. */
   val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

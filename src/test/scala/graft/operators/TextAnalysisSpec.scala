@@ -24,6 +24,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == want, s"${got(1L)} != $want")
   }
 
+  test("tokenEntropy: per-row fold equals the relational twin, edges included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a"), // zero entropy: one token type
+      (2L, "a b c d e f"), // uniform: entropy = qln(6) exactly
+      (3L, "a a a b b c"), // mixed distribution
+      (4L, ""), // split('') = [""]: one empty token, entropy 0
+      (5L, "Zulu zulu ZULU x"), // case folds before counting
+      (6L, null.asInstanceOf[String])) // NULL text: dropped
+      .toDF("doc_id", "text")
+    val fold = TextAnalysis.tokenEntropy(docs).orderBy("doc_id").collect()
+    val rel = TextAnalysis.tokenEntropyRelational(docs)
+      .orderBy("doc_id").collect()
+    assert(fold.toSeq == rel.toSeq,
+      s"fold=${fold.toSeq} rel=${rel.toSeq}")
+    val byId = fold.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!byId.contains(6L), byId.toString)
+    assert(byId(1L) == ((6L, 1L, 0L)), byId.toString) // repeated: H=0
+    // uniform over n distinct: Σ c·qln(c) = 0, so H = qln(n) exactly
+    val qln6 = math.floor(1e6 * math.log(6.0)).toLong
+    assert(byId(2L) == ((6L, 6L, qln6)), byId.toString)
+    // mixed: hand-computed (6·qln(6) − 3·qln(3) − 2·qln(2)) div 6
+    val want3 = (6 * qln6 - 3 * math.floor(1e6 * math.log(3.0)).toLong -
+      2 * math.floor(1e6 * math.log(2.0)).toLong) / 6
+    assert(byId(3L) == ((6L, 3L, want3)), byId.toString)
+    assert(byId(4L) == ((1L, 1L, 0L)), byId.toString)
+    // lowercasing collapses the three zulus: 2 distinct, not 4
+    assert(byId(5L)._2 == 2L, byId.toString)
+    // order sanity: uniform > mixed > constant
+    assert(byId(2L)._3 > byId(3L)._3 && byId(3L)._3 > byId(1L)._3)
+  }
+
   test("tokenKlDivergence: zero on self, positive under drift") {
     import spark.implicits._
     val a = Seq((1L, "alpha alpha beta gamma"),
