@@ -249,6 +249,33 @@ object TextAnalysis {
           .as("entropy_micro"))
   }
 
+  /** Compression-ratio quality gate: per-document raw vs
+    * DEFLATE-compressed byte lengths and their ratio — the
+    * model-free junk detector curation pipelines run beside the
+    * entropy/repetition gates. Both tails are junk: template spam and
+    * boilerplate loops compress far below natural prose (ratio → 0),
+    * while base64 blobs / random payloads don't compress at all
+    * (ratio → 1+). Natural text sits in a band in between; the gate
+    * is two thresholds on `deflate_ratio`.
+    *
+    * Pure per-row native expression
+    * ([[graft.functions.expressions.DeflateLen]] — thread-local
+    * Deflater, O(8 KB) memory per thread): shuffle-free at any corpus
+    * size. Deterministic per (input, level) but NOT SQL-replayable
+    * (DuckDB has no deflate) — spec-pinned, not oracle-checked, the
+    * same declared boundary as the CDC chunker and image hashes. */
+  def compressionStats(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", level: Int = 6): DataFrame = {
+    val raw = octet_length(col(textCol))
+    val comp = org.apache.spark.sql.graft.CatalystBridge.deflateLen(
+      col(textCol), level)
+    docs.select(col(id),
+      raw.cast("long").as("raw_bytes"),
+      comp.cast("long").as("deflate_bytes"),
+      when(raw > 0, round(comp.cast("double") / raw, 4))
+        .otherwise(lit(null)).as("deflate_ratio"))
+  }
+
   /** Oracle twin of [[tokenEntropy]]: the explode + (doc, token)
     * groupBy form — identical math on exact longs (order-free sums),
     * replayable in any SQL engine. The per-row fold is the production

@@ -54,6 +54,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.Md5Hex(
       ExpressionUtils.expression(c)))
 
+  /** Native DEFLATE-compressed byte length (see
+    * [[graft.functions.expressions.DeflateLen]]). */
+  def deflateLen(c: Column, level: Int = 6): Column =
+    ExpressionUtils.column(graft.functions.expressions.DeflateLen(
+      ExpressionUtils.expression(c), level))
+
   /** Native content-defined chunking over a binary column (see
     * [[graft.functions.expressions.GearChunks]]). */
   def gearChunks(bin: Column, maskBits: Int, minLen: Int,
@@ -134,6 +140,24 @@ object CatalystBridge {
       }
       graft.functions.expressions.WinnowMin(args.head,
         intLit(args(1), "k"), intLit(args(2), "stride"))
+    })
+
+  /** `deflate_len(payload[, level])` — DEFLATE-compressed byte length
+    * (level an integer literal in [1, 9], default 6). */
+  val deflateLenDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("deflate_len"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.DeflateLen].getName, "deflate_len"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1 || args.length == 2,
+        s"deflate_len takes (payload[, level]), got ${args.length} args")
+      val level = if (args.length < 2) 6 else args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"deflate_len: level must be an integer literal, got $other")
+      }
+      graft.functions.expressions.DeflateLen(args.head, level)
     })
 
   /** Column tree → analyzable Catalyst Expression. The thin
@@ -279,7 +303,7 @@ object CatalystBridge {
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
-    topKDescriptor, wordpieceDescriptor)
+    topKDescriptor, wordpieceDescriptor, deflateLenDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */
