@@ -1407,6 +1407,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // PQ-ADC: the corpus is scanned only through its m-byte codes (the
+    // ANN memory-compression path — 64x smaller than raw doubles);
+    // distances are exact longs, so the oracle replays every ranking
+    "sim_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = Similarity.l2Normalize(e)
+      Similarity.pqTopK(n, n.where(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ with the production finish: compressed-domain shortlist, then
+    // exact cosine re-rank of the shortlist alone (recall 0.55 vs 0.12
+    // raw on this worst-case unclustered fixture — AnnRecallSpec)
+    "sim_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopKRerank(e, e.where(col("vec_id") < 10), 5,
+        shortlist = 25)
+        .orderBy("query_id", "rank")
+    }),
+
     // SemDeDup-style near-dup pruning: block on the LEARNED cluster id
     // (higher within-block density than sign-hyperplane buckets), then
     // bucket-local pairwise cosine — same 100 TB shape as
@@ -1661,6 +1681,54 @@ object SparkEntry {
     kmAssign("c0", "a0"), kmUpdate("a0", "c1"),
     kmAssign("c1", "a1"), kmUpdate("a1", "c2"),
     kmAssign("c2", "a2")).mkString(",\n")
+
+  /** `floor(1e6·‖a−b‖²)` as BIGINT via the dot-identity expansion —
+    * mirrors Similarity.l2SqMicro term for term (same left-assoc parse,
+    * same IEEE doubles), so the floor lands on the same long. */
+  private def pqMicroSql(a: String, b: String): String =
+    s"CAST(floor(1000000.0 * (list_dot_product($a, $a) - " +
+      s"2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))) AS BIGINT)"
+
+  /** PQ chain mirroring Similarity.pqCodebooks → pqEncode →
+    * pqDistanceTables → the ADC sum at m=8, k=16, dsub=8 over the
+    * L2-normalized corpus: `e` in, `sc (query_id, neighbor_id,
+    * adist_micro)` out for queries matching `qPred`. Every distance is
+    * an exact long, so rankings replay bit-for-bit. */
+  private def pqChainSql(qPred: String): String = {
+    def sl(v: String) = s"list_slice($v, sub * 8 + 1, sub * 8 + 8)"
+    def slb(v: String) = s"list_slice($v, b.sub * 8 + 1, b.sub * 8 + 8)"
+    val h = md5FracSql(
+      "'pq|' || CAST(sub AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)")
+    s"""n AS MATERIALIZED (
+       |  SELECT vec_id, CASE WHEN list_dot_product(v, v) > 0
+       |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+       |    ELSE v END AS v FROM e),
+       |subs AS (
+       |  SELECT sub, vec_id, ${sl("v")} AS cvec, $h AS hfrac
+       |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub)),
+       |books AS MATERIALIZED (
+       |  SELECT sub, CAST(rn - 1 AS INTEGER) AS code, cvec FROM (
+       |    SELECT sub, cvec,
+       |      row_number() OVER (PARTITION BY sub
+       |        ORDER BY hfrac, vec_id) AS rn
+       |    FROM subs) WHERE rn <= 16),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT nv.vec_id, b.sub, b.code,
+       |      row_number() OVER (PARTITION BY nv.vec_id, b.sub
+       |        ORDER BY ${pqMicroSql(slb("nv.v"), "b.cvec")}, b.code) AS rn
+       |    FROM n nv CROSS JOIN books b) WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, b.sub, b.code,
+       |    ${pqMicroSql(slb("q.v"), "b.cvec")} AS dm
+       |  FROM n q CROSS JOIN books b WHERE $qPred),
+       |sc AS (
+       |  SELECT dt.query_id, enc.vec_id AS neighbor_id,
+       |    CAST(sum(dt.dm) AS BIGINT) AS adist_micro
+       |  FROM enc JOIN dt USING (sub, code)
+       |  WHERE enc.vec_id <> dt.query_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   /** md5-derived hash fraction in [0,1) — mirrors Sketch.md5Fraction's
     * horner expansion exactly (left-assoc sum of exact-in-double terms) */
@@ -3781,6 +3849,40 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY cosine DESC, neighbor_id) AS "rank"
          |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "sim_pq_adc" ->
+      s"""WITH $EmbCte,
+         |${pqChainSql("q.vec_id < 10")},
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "sim_pq_rerank" ->
+      s"""WITH $EmbCte,
+         |${pqChainSql("q.vec_id < 10")},
+         |shr AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS srn
+         |  FROM sc),
+         |sc2 AS (
+         |  SELECT shr.query_id, shr.neighbor_id,
+         |    round(${cosSql("qe.v", "ne.v")}, 6) AS cosine
+         |  FROM shr
+         |  JOIN e ne ON ne.vec_id = shr.neighbor_id
+         |  JOIN e qe ON qe.vec_id = shr.query_id
+         |  WHERE shr.srn <= 25),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM sc2)
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 

@@ -295,6 +295,201 @@ object Similarity {
     * aggregate, not a window: a query whose candidate set blows up
     * (hot LSH bucket, wide probe) costs its scan, never a one-task
     * sort; identical rows to the window form under this total order. */
+  // ---- product quantization (the ANN memory-compression path) -------
+
+  /** `floor(1e6·‖a−b‖²)` as an exact long, with the squared distance
+    * expanded through the dot identity `a·a − 2a·b + b·b` — each dot
+    * is the native codegen'd [[VectorFunctions.dot]], the exact shape
+    * DuckDB's `list_dot_product` replays bit-for-bit, so the oracle
+    * reproduces every distance (and therefore every argmin and every
+    * ranking) without trusting float summation order. */
+  private def l2SqMicro(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(lit(1000000.0) *
+      (VectorFunctions.dot(a, a) - lit(2.0) * VectorFunctions.dot(a, b) +
+        VectorFunctions.dot(b, b))).cast("long")
+
+  /** Deterministic PQ codebooks without a training loop: for each of
+    * `m` subspaces, the `k` corpus sub-vectors with the lowest
+    * per-subspace hash rank become codewords `0..k-1` — i.e. a
+    * uniform random (but seeded and oracle-replayable) codeword
+    * sample, the PQ analogue of [[kmeansPlusPlusInit]]'s hash-ranked
+    * sample. Production swaps in per-subspace k-means codebooks
+    * trained offline; [[pqEncode]]/[[pqTopKWith]] take ANY
+    * `(sub, code, cvec)` table — the codebook is a swappable artifact
+    * exactly like the perplexity LM table and `ivfTopKWith`'s
+    * centroids.
+    *
+    * The per-sub cut is the bounded-heap top-k aggregate (map-side
+    * partial top-k — a 100 TB corpus never funnels into m window
+    * tasks). Requires a numeric id (the heap's invertible tie-break);
+    * fails fast otherwise. Output: (sub, code, cvec). */
+  def pqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= 1 && dim % m == 0,
+      s"need dim divisible by m: dim=$dim m=$m k=$k")
+    val idType = corpus.schema(id).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"pqCodebooks needs a numeric $id for the heap tie-break, " +
+        s"got ${idType.catalogString}")
+    val dsub = dim / m
+    val sub = corpus.select(col(id),
+        col(vecCol).cast("array<double>").as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col(id),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("cvec"),
+        Sketch.md5Fraction(concat(lit("pq|"), col("sub").cast("string"),
+          lit("|"), col(id).cast("string"))).as("__h"))
+    Rank.topKPerGroup(sub, Seq("sub"),
+        struct(negate(col("__h")).as("o1"), negate(col(id)).as("o2"),
+          col("cvec").as("cvec")), k)
+      .select(col("sub"), (col("rank") - 1).cast("int").as("code"),
+        col("cvec"))
+  }
+
+  /** PQ-encode the corpus: each vector becomes `m` small codes — the
+    * 100 TB memory story (m bytes/vector at k ≤ 256 vs 8·dim for raw
+    * doubles; 64× here). The codebook (m·k rows) folds into ONE
+    * broadcast array row; encoding is then a pure per-row expression —
+    * per subspace, an `aggregate`-HOF argmin over the k codewords on
+    * exact-long micro distances (ties → lowest code) — zero shuffle
+    * at any corpus size, the same plan shape as the robots-rule gate.
+    * Output: (id, codes: array<int>). */
+  def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 8,
+      k: Int = 16, dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= 1 && dim % m == 0,
+      s"need dim divisible by m: dim=$dim m=$m k=$k")
+    val dsub = dim / m
+    // (sub, code)-sorted dense array: codeword (s, c) sits at s·k+c
+    val folded = books
+      .select(struct(col("sub"), col("code"), col("cvec")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("__cb"))
+    val init = struct(lit(-1).cast("int").as("c"),
+      lit(Long.MaxValue).as("d"))
+    corpus.crossJoin(broadcast(folded))
+      .select(col(id), col(vecCol).cast("array<double>").as("__v"),
+        col("__cb"))
+      .select(col(id),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val sv = slice(col("__v"), s * dsub + 1, lit(dsub))
+          aggregate(sequence(lit(0), lit(k - 1)), init,
+            (a, c) => {
+              val cw = element_at(col("__cb"), (s * k + c + 1).cast("int"))
+                .getField("cvec")
+              val dm = l2SqMicro(sv, cw)
+              when(dm < a.getField("d"),
+                struct(c.cast("int").as("c"), dm.as("d"))).otherwise(a)
+            },
+            a => a.getField("c"))
+        }).as("codes"))
+  }
+
+  /** Per-query ADC distance tables: (query_id, dt) where
+    * `dt[s][c] = floor(1e6·‖q_s − codeword(s,c)‖²)` — m·k exact longs
+    * per query, built by a tiny broadcast join (queries × m·k
+    * codebook rows; the corpus is untouched). */
+  def pqDistanceTables(queries: DataFrame, books: DataFrame,
+      m: Int = 8, k: Int = 16, dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dsub = dim / m
+    queries.select(col(id).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(books))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2SqMicro(slice(col("qv"), col("sub") * dsub + 1, lit(dsub)),
+          col("cvec")).as("dm"))
+      .groupBy("query_id")
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("code"), col("dm")))).as("__t"))
+      .select(col("query_id"),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          transform(sequence(lit(0), lit(k - 1)), c =>
+            element_at(col("__t"), (s * k + c + 1).cast("int"))
+              .getField("dm"))).as("dt"))
+  }
+
+  /** ADC top-k over a PQ-encoded corpus: approximate distance =
+    * `Σ_s dt[s][codes[s]]` — m exact-long table lookups per
+    * (query, vector), no vector math in the scan. The per-query dt
+    * rows broadcast against the encoded corpus; the final cut is the
+    * bounded-heap top-k (ascending distance, neighbor-id tie-break).
+    * Self-matches excluded. Output: (query_id, neighbor_id, rank,
+    * adist_micro) — exact longs end to end, so the oracle replays
+    * the ranking bit-for-bit. */
+  def pqTopKWith(encoded: DataFrame, dts: DataFrame, topK: Int,
+      m: Int = 8, id: String = "vec_id"): DataFrame = {
+    val scored = encoded.join(broadcast(dts),
+        col("query_id") =!= col(id))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (a, s) =>
+          a + element_at(element_at(col("dt"), (s + 1).cast("int")),
+            element_at(col("codes"), (s + 1).cast("int")) + 1))
+          .as("adist_micro"))
+    Rank.topKPerGroup(scored, Seq("query_id"),
+        struct(negate(col("adist_micro")).as("o1"),
+          negate(col("neighbor_id")).as("o2")), topK)
+      .select(col("query_id"), negate(col("o2")).as("neighbor_id"),
+        col("rank"), negate(col("o1")).as("adist_micro"))
+  }
+
+  /** The full IVF-PQ-style composition with hash-sampled codebooks:
+    * build → encode → distance tables → ADC scan. Production calls
+    * the pieces with its own trained codebook and a PERSISTED encoded
+    * corpus (the whole point: re-encoding never repeats per query
+    * batch). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      m: Int = 8, k: Int = 16, dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val books = pqCodebooks(corpus, m, k, dim, id, vecCol)
+    val encoded = pqEncode(corpus, books, m, k, dim, id, vecCol)
+    val dts = pqDistanceTables(queries, books, m, k, dim, id, vecCol)
+    pqTopKWith(encoded, dts, topK, m, id)
+  }
+
+  /** L2-normalize the embedding column (zero-norm vectors pass through
+    * unchanged — they have no direction to normalize and downstream
+    * cosines NULL them out exactly as before). On normalized vectors
+    * L2 ordering coincides with cosine ordering (‖a−b‖² = 2 − 2·a·b),
+    * which is what makes the L2-metric PQ machinery rank like the
+    * cosine-metric exact baseline. Pure per-row expression; replays in
+    * SQL as a CASE + list_transform. */
+  def l2Normalize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn(vecCol,
+      when(VectorFunctions.dot(v, v) > 0,
+        transform(v, x => x / sqrt(VectorFunctions.dot(v, v))))
+        .otherwise(v))
+  }
+
+  /** PQ with the standard production finish: ADC over NORMALIZED
+    * vectors builds a `shortlist`-sized candidate set per query (the
+    * compressed-domain scan — the corpus is touched only through its
+    * m-byte codes), then the shortlist alone is re-ranked by EXACT
+    * cosine on the original vectors. Recall is governed by
+    * `shortlist/topK` (measured in AnnRecallSpec); the exact re-rank
+    * costs `|Q|·shortlist` vector reads — at 100 TB that's a selective
+    * semi-join-shaped fetch, never a corpus scan. Output matches the
+    * other ANN variants: (query_id, neighbor_id, rank, cosine). */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, topK: Int,
+      shortlist: Int = 25, m: Int = 8, k: Int = 16, dim: Int = 64,
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= topK,
+      s"shortlist must be >= topK: $shortlist < $topK")
+    val nc = l2Normalize(corpus, vecCol)
+    val nq = l2Normalize(queries, vecCol)
+    val short = pqTopK(nc, nq, shortlist, m, k, dim, id, vecCol)
+    val scored = short
+      .join(corpus.select(col(id).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")), "neighbor_id")
+      .join(broadcast(queries.select(col(id).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))), "query_id")
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
+    Similarity.topK(scored, topK)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame =
     Rank.topKPerGroup(scored, Seq("query_id"),
         struct(col("cosine"),

