@@ -43,6 +43,15 @@ object SparkEntry {
   private val sigIndexCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Per-(application, data-dir) memo of the PQ index artifacts —
+    * (codebook, PQ-encoded corpus) — for sim_pq_indexed: at 100 TB the
+    * corpus encode is a one-time WRITE (m bytes/vector), not a
+    * per-query-batch cost, so the declared query must charge each run
+    * only the distance-table build + the compressed-domain scan.
+    * Same contract and staleness semantics as [[sigIndexCache]]. */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, DataFrame)]
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
     * default; read it as raw nanos and expose epoch-micros `ts_us`
     * (integer division — ns values exceed double's 2^53 mantissa, so
@@ -773,6 +782,18 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy("split")),
 
+    // the reproducible global-shuffle order AS DATA: shard membership
+    // + within-shard position from the same "sf|seed|id" draw the
+    // shard writer sorts by — the one shuffle an engine must replay
+    // bit-for-bit for restartable training epochs (LayoutSpec pins
+    // that the written files follow this same global (u, id) order)
+    "q_shard_order" -> ((s, dir) =>
+      Layout.shardAssignment(t(s, dir, "documents"), col("doc_id"),
+        nShards = 8, seed = "ep0")
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("shard_rank"))
+        .orderBy("shard", "shard_rank")),
+
     // salted skew-join: result-identical to the plain join (the oracle
     // IS the plain join), hot probe keys spread over nSalt tasks
     "q_salted_join" -> ((s, dir) => {
@@ -1044,6 +1065,19 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       TextAnalysis.dsirWeights(docs, docs.where(col("lang") === "en"),
         buckets = 4096, k = 50)
+    }),
+
+    // the streaming DSIR admission gate's decision log, replayed in
+    // batch: the EXACT streaming projection (dsirGateStream is a
+    // stateless select + filter, so the same code runs on a batch DF)
+    // over the same trained scorer — the CORRECTNESS row behind the
+    // scaladoc claim "gate decisions replay exactly in a batch audit"
+    "text_dsir_gate_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sc = TextAnalysis.dsirScorer(docs,
+        docs.where(col("lang") === "en"))
+      graft.streaming.ScdStream.dsirGateStream(docs, sc,
+        minLogwNats = 0.0).orderBy("doc_id")
     }),
 
     // bigram (conditional-probability) log-loss, self-corpus LM: word
@@ -1427,6 +1461,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ over TRAINED codebooks: per-subspace Lloyd's k-means (all m
+    // subspaces batched into one job per iteration) from the
+    // hash-ranked init — the standard recall fix over sim_pq_adc's
+    // untrained sample, still exact-long ADC so the oracle replays
+    // every ranking including the training loop itself
+    "sim_pq_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = Similarity.l2Normalize(e)
+      val books = Similarity.pqCodebooksTrained(n, iters = 2)
+      val encoded = Similarity.pqEncode(n, books)
+      val dts = Similarity.pqDistanceTables(n.where(col("vec_id") < 10),
+        books)
+      Similarity.pqTopKWith(encoded, dts, 5).orderBy("query_id", "rank")
+    }),
+
+    // the PRODUCTION cost story for PQ serving: codebook + encoded
+    // corpus are persisted artifacts built ONCE per data dir
+    // (memoized like dedup_incremental_indexed's signature index), so
+    // each run pays only the per-query distance tables + the
+    // compressed-domain ADC scan — never a corpus re-encode
+    "sim_pq_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val n = Similarity.l2Normalize(e)
+      val appId = s.sparkContext.applicationId
+      pqIndexCache.filterInPlace((k, _) => k._1 == appId)
+      val (books, encoded) = pqIndexCache.getOrElseUpdate((appId, dir), {
+        val b = Similarity.pqCodebooks(n).localCheckpoint()
+        (b, Similarity.pqEncode(n, b).localCheckpoint())
+      })
+      val dts = Similarity.pqDistanceTables(n.where(col("vec_id") < 10),
+        books)
+      Similarity.pqTopKWith(encoded, dts, 5).orderBy("query_id", "rank")
+    }),
+
     // SemDeDup-style near-dup pruning: block on the LEARNED cluster id
     // (higher within-block density than sign-hyperplane buckets), then
     // bucket-local pairwise cosine — same 100 TB shape as
@@ -1689,21 +1757,54 @@ object SparkEntry {
     s"CAST(floor(1000000.0 * (list_dot_product($a, $a) - " +
       s"2.0 * list_dot_product($a, $b) + list_dot_product($b, $b))) AS BIGINT)"
 
-  /** PQ chain mirroring Similarity.pqCodebooks → pqEncode →
-    * pqDistanceTables → the ADC sum at m=8, k=16, dsub=8 over the
-    * L2-normalized corpus: `e` in, `sc (query_id, neighbor_id,
-    * adist_micro)` out for queries matching `qPred`. Every distance is
-    * an exact long, so rankings replay bit-for-bit. */
-  private def pqChainSql(qPred: String): String = {
+  /** PQ chain mirroring Similarity.pqCodebooks → [pqCodebooksTrained]
+    * → pqEncode → pqDistanceTables → the ADC sum at m=8, k=16, dsub=8
+    * over the L2-normalized corpus: `e` in, `sc (query_id,
+    * neighbor_id, adist_micro)` out for queries matching `qPred`.
+    * Every distance is an exact long, so rankings replay bit-for-bit.
+    *
+    * `trainIters > 0` appends that many Lloyd rounds over the
+    * hash-sampled init, mirroring pqCodebooksTrained term for term:
+    * per-(sub, vec) argmin on the exact-long micro distance (ties to
+    * the lowest code), then the kmeansFit mean discipline
+    * (floor-1e-4-quantized exact-long sums, one double division), with
+    * empty codes keeping their previous codeword via left join +
+    * coalesce. */
+  private def pqChainSql(qPred: String, trainIters: Int = 0): String = {
     def sl(v: String) = s"list_slice($v, sub * 8 + 1, sub * 8 + 8)"
     def slb(v: String) = s"list_slice($v, b.sub * 8 + 1, b.sub * 8 + 8)"
     val h = md5FracSql(
       "'pq|' || CAST(sub AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR)")
+    val train = (0 until trainIters).map { it =>
+      val prev = if (it == 0) "books" else s"pb$it"
+      s"""pasg$it AS (
+         |  SELECT sub, sv, code FROM (
+         |    SELECT s.sub, s.vec_id, s.cvec AS sv, b.code,
+         |      row_number() OVER (PARTITION BY s.sub, s.vec_id
+         |        ORDER BY ${pqMicroSql("s.cvec", "b.cvec")}, b.code) AS rn
+         |    FROM subs s JOIN $prev b USING (sub)) WHERE rn = 1),
+         |pupd$it AS (
+         |  SELECT sub, code, list(cv ORDER BY pos) AS cvec FROM (
+         |    SELECT sub, code, pos,
+         |      CAST(sum(qv) AS DOUBLE) / (10000.0 * count(*)) AS cv FROM (
+         |      SELECT a.sub, a.code, t.pos,
+         |        CAST(floor(a.sv[t.pos] * 10000) AS BIGINT) AS qv
+         |      FROM pasg$it a
+         |      CROSS JOIN unnest(generate_series(1, len(a.sv))) AS t(pos))
+         |    GROUP BY sub, code, pos)
+         |  GROUP BY sub, code),
+         |pb${it + 1} AS MATERIALIZED (
+         |  SELECT b.sub, b.code, coalesce(u.cvec, b.cvec) AS cvec
+         |  FROM $prev b LEFT JOIN pupd$it u
+         |    ON b.sub = u.sub AND b.code = u.code)""".stripMargin
+    }
+    val fb = if (trainIters == 0) "books" else s"pb$trainIters"
+    val trainCtes = if (train.isEmpty) "" else train.mkString(",\n") + ",\n"
     s"""n AS MATERIALIZED (
        |  SELECT vec_id, CASE WHEN list_dot_product(v, v) > 0
        |    THEN list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
        |    ELSE v END AS v FROM e),
-       |subs AS (
+       |subs AS MATERIALIZED (
        |  SELECT sub, vec_id, ${sl("v")} AS cvec, $h AS hfrac
        |  FROM n CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub)),
        |books AS MATERIALIZED (
@@ -1712,16 +1813,16 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY sub
        |        ORDER BY hfrac, vec_id) AS rn
        |    FROM subs) WHERE rn <= 16),
-       |enc AS (
+       |${trainCtes}enc AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT nv.vec_id, b.sub, b.code,
        |      row_number() OVER (PARTITION BY nv.vec_id, b.sub
        |        ORDER BY ${pqMicroSql(slb("nv.v"), "b.cvec")}, b.code) AS rn
-       |    FROM n nv CROSS JOIN books b) WHERE rn = 1),
+       |    FROM n nv CROSS JOIN $fb b) WHERE rn = 1),
        |dt AS (
        |  SELECT q.vec_id AS query_id, b.sub, b.code,
        |    ${pqMicroSql(slb("q.v"), "b.cvec")} AS dm
-       |  FROM n q CROSS JOIN books b WHERE $qPred),
+       |  FROM n q CROSS JOIN $fb b WHERE $qPred),
        |sc AS (
        |  SELECT dt.query_id, enc.vec_id AS neighbor_id,
        |    CAST(sum(dt.dm) AS BIGINT) AS adist_micro
@@ -2461,6 +2562,23 @@ object SparkEntry {
          |FROM f GROUP BY 1 ORDER BY split""".stripMargin
     },
 
+    "q_shard_order" -> {
+      // u is the exact md5-fraction grid (multiples of 2^-32), so
+      // floor(u*8) and the (u, id) sort replay identically; least()
+      // mirrors the operator's guard for the (unreachable at 8 shards)
+      // u = 1 edge
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    ${md5FracSql("'sf|ep0|' || CAST(doc_id AS VARCHAR)")} AS u
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(least(floor(u * 8), 7) AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY least(floor(u * 8), 7)
+         |    ORDER BY u, doc_id) AS BIGINT) AS shard_rank
+         |FROM f ORDER BY shard, shard_rank""".stripMargin
+    },
+
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total
@@ -2718,7 +2836,8 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(parts, ' ' ORDER BY widx) AS segmented
         |  FROM fin GROUP BY 1)
         |SELECT d.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-        |  coalesce(segmented, '') AS segmented
+        |  CASE WHEN ws IS NULL THEN NULL
+        |       ELSE coalesce(segmented, '') END AS segmented
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_dsir" ->
@@ -2762,6 +2881,42 @@ object SparkEntry {
          |  round(CAST(swq AS DOUBLE) / 1000000.0, 4) AS logw_nats,
          |  round(CAST(sq AS DOUBLE) / 1000000.0, 4) AS sel_score
          |FROM g ORDER BY sq DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_dsir_gate_audit" ->
+      // the same trained-LM weight table as text_dsir, but scored as
+      // the streaming gate does: every doc's logw, thresholded at 0 —
+      // no Gumbel draw, no top-k; NULL-text docs emit no tokens and
+      // thus no row (the gate's NULL >= 0 is false)
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id,
+         |    CAST(floor(${md5FracSql("'ds|' || t")} * 4096) AS BIGINT) AS b
+         |  FROM tok),
+         |rc AS (SELECT b, count(*) AS cr FROM tb GROUP BY 1),
+         |tc AS (
+         |  SELECT CAST(floor(${md5FracSql("'ds|' || t")} * 4096) AS BIGINT)
+         |      AS b,
+         |    count(*) AS ct
+         |  FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS t
+         |    FROM documents WHERE lang = 'en')
+         |  GROUP BY 1),
+         |nr AS (SELECT sum(cr) AS nr FROM rc),
+         |ntt AS (SELECT sum(ct) AS nt FROM tc),
+         |w AS (
+         |  SELECT rc.b,
+         |    CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + 4096)) -
+         |                ln((cr + 1.0) / (nr + 4096))) * 1000000)
+         |      AS BIGINT) AS wq
+         |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN nr CROSS JOIN ntt),
+         |s AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    round(CAST(sum(wq) AS DOUBLE) / 1000000.0, 4) AS logw_nats
+         |  FROM tb JOIN w USING (b) GROUP BY 1)
+         |SELECT doc_id, n_tokens, logw_nats FROM s
+         |WHERE logw_nats >= 0.0 ORDER BY doc_id""".stripMargin,
 
     "text_kl_drift" ->
       // add-1 smoothing over the union vocab; per-term 1e-12 quantized
@@ -3884,6 +4039,31 @@ object SparkEntry {
          |      ORDER BY cosine DESC, neighbor_id) AS "rank"
          |  FROM sc2)
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // identical chain to sim_pq_adc: the indexed query's persisted
+    // artifacts are bit-equal to an inline rebuild by construction
+    // (localCheckpoint changes cost, never values)
+    "sim_pq_indexed" ->
+      s"""WITH $EmbCte,
+         |${pqChainSql("q.vec_id < 10")},
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    "sim_pq_trained" ->
+      s"""WITH $EmbCte,
+         |${pqChainSql("q.vec_id < 10", trainIters = 2)},
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 
     "dedup_semdedup" ->

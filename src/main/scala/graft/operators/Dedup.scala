@@ -546,15 +546,39 @@ object Dedup {
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
+    // Per-round shuffle-mass trims (oracle output identical):
+    //   1. viaJump emits exactly one row per vertex with component' <=
+    //      component (labels are vertex ids, every vertex has a label,
+    //      labels only decrease) — so the old `labels` union branch was
+    //      pure redundancy; dropping it removes |V| rows per round.
+    //   2. viaEdge only needs the vertices whose label CHANGED last
+    //      round: an unchanged u already shipped comp(u) across every
+    //      incident edge in the round it last changed, and that value
+    //      is folded into each neighbor's min — re-sending it can never
+    //      lower anything. Round 1 seeds with every vertex. Stall
+    //      detection is unaffected: if no label changes in a round,
+    //      the delta invariant comp(w) <= comp(u) holds across every
+    //      edge in both directions, so labels are constant per
+    //      component and the fixpoint is reached — the same round the
+    //      full-edge loop would stall.
+    //      At 100 TB this is the win: after the first couple of rounds
+    //      only the long-chain frontier still moves, so the big
+    //      |E|-row join shrinks toward the frontier size.
+    var changed = labels
     while (!converged && round < maxIter) {
-      val viaEdge = edges.join(labels, edges("src") === labels("vertex"))
+      val viaEdge = edges.join(changed, edges("src") === changed("vertex"))
         .select(edges("dst").as("vertex"), col("component"))
       val viaJump = labels.as("a")
         .join(labels.as("b"), col("a.component") === col("b.vertex"))
         .select(col("a.vertex").as("vertex"), col("b.component").as("component"))
-      val next = labels.union(viaEdge).union(viaJump)
+      val next = viaEdge.union(viaJump)
         .groupBy("vertex").agg(min("component").as("component"))
         .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("vertex"), col("component").as("__prev")),
+          Seq("vertex"))
+        .where(col("component") < col("__prev"))
+        .select(col("vertex"), col("component"))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum

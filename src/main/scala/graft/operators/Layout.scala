@@ -60,33 +60,73 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** The deterministic shuffle key behind [[shuffledShardWrite]] and
+    * [[shardAssignment]]: u = md5Fraction("sf|" + seed + "|" + id).
+    * The draw is namespaced under the reserved "sf|" tag so no
+    * caller-chosen seed can collide with the engine's other
+    * md5-fraction prefixes ("ws|"/"em|"/"ds|"/"dg|") — a seed of "ws"
+    * must not sort epochs by the weighted-sampling randomness; and a
+    * seed containing '|' is rejected so (seed, id) pairs can never
+    * alias each other across the delimiter (seed "a" with id "b|c"
+    * vs seed "a|b" with id "c"). */
+  private def shuffleKey(idCol: Column, seed: String): Column = {
+    require(!seed.contains("|"),
+      s"shard seed must not contain '|' (delimiter aliasing): $seed")
+    Sketch.md5Fraction(concat(lit("sf|" + seed + "|"), idCol.cast("string")))
+  }
+
   /** Write `df` as training shards in a deterministic pseudo-random
     * GLOBAL order — the "global shuffle" step before serving data to
-    * a trainer, made reproducible: u = md5Fraction("sh|" + id) is the
-    * shuffle key, `repartitionByRange` gives each shard a disjoint
-    * u-range (≈ equal row mass by hash uniformity — no single-task
-    * global sort), and rows within a shard land in (u, id) order.
-    * Every rerun, restart, or engine replays the SAME order from the
-    * ids alone: epoch reproducibility without persisting a permutation
-    * table. Different epochs = different prefix (the caller varies
-    * `seed`), reusing nothing between epochs by construction.
+    * a trainer, made reproducible: u = md5Fraction("sf|" + seed + "|"
+    * + id) is the shuffle key, `repartitionByRange` gives each shard
+    * a disjoint u-range (≈ equal row mass by hash uniformity — no
+    * single-task global sort), and rows within a shard land in (u, id)
+    * order. Every rerun, restart, or engine replays the SAME order
+    * from the ids alone: epoch reproducibility without persisting a
+    * permutation table. Different epochs = different prefix (the
+    * caller varies `seed`), reusing nothing between epochs by
+    * construction.
     *
     * The key column is layout-only: dropped before bytes hit disk (a
-    * projection preserves row order). The draw is namespaced under the
-    * reserved "sf|" tag so no caller-chosen seed can collide with the
-    * engine's other md5-fraction prefixes ("ws|"/"em|"/"ds|"/"dg|") —
-    * a seed of "ws" must not sort epochs by the weighted-sampling
-    * randomness. */
+    * projection preserves row order). The concatenation of the shard
+    * files in partition order IS the global (u, id) sort — the order
+    * [[shardAssignment]] declares queryably (q_shard_order's oracle
+    * replays it in SQL). */
   def shuffledShardWrite(df: DataFrame, idCol: Column, outDir: String,
       nShards: Int, seed: String = "ep0"): Unit = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val u = Sketch.md5Fraction(
-      concat(lit("sf|" + seed + "|"), idCol.cast("string")))
-    df.withColumn("__u", u)
+    df.withColumn("__u", shuffleKey(idCol, seed))
       .repartitionByRange(nShards, col("__u"))
       .sortWithinPartitions(col("__u"), idCol)
       .drop("__u")
       .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** The QUERYABLE form of the reproducible global shuffle: every row's
+    * shard and within-shard position as data, derived from the same
+    * "sf|seed|id" draw as [[shuffledShardWrite]]. Shard membership here
+    * is the engine-independent equal-WIDTH u-bucket floor(u·nShards)
+    * (balanced by hash uniformity), where the writer's range partitioner
+    * samples equal-MASS boundaries of the same u — the global (u, id)
+    * order is identical in both forms; only the shard boundary
+    * positions differ (LayoutSpec pins the order equality). The rank is
+    * a per-shard window over hash-partitioned shards — at 100 TB each
+    * shard sorts independently, there is no global sort task.
+    *
+    * Output: input columns + shard (int) + shard_rank (1-based long).
+    * Fully relational ⇒ DuckDB-replayable, which makes the shuffle
+    * order itself oracle-checkable (q_shard_order). */
+  def shardAssignment(df: DataFrame, idCol: Column, nShards: Int,
+      seed: String = "ep0"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__u"), idCol)
+    df.withColumn("__u", shuffleKey(idCol, seed))
+      .withColumn("__shard",
+        least(floor(col("__u") * nShards), lit(nShards - 1)).cast("int"))
+      .withColumn("shard_rank", row_number().over(w).cast("long"))
+      .withColumn("shard", col("__shard"))
+      .drop("__u", "__shard")
   }
 
   /** Write `df` as a BUCKETED table: both sides of a recurring join

@@ -14,6 +14,27 @@ import org.apache.spark.sql.{Column, DataFrame}
   * of each point, and hash-equi-join on (keys…, cell). The inequality
   * then runs as a cheap post-filter on matched cells only. RangeJoinSpec
   * asserts the plan contains a hash join and no nested-loop/cartesian.
+  *
+  * ==Choosing `bucketWidth`==
+  * `bucketWidth` is a DATA-DEPENDENT knob, not a constant: an interval
+  * of length L emits ⌈L/width⌉+1 cell rows, so the exploded side
+  * carries ≈ n·(mean_len/width + 1) rows, while a wider cell packs
+  * more non-matching rows into each bucket for the post-filter to
+  * discard. The sweet spot is near the TYPICAL (e.g. median) interval
+  * length: fan-out stays O(1) per row and each cell's population stays
+  * proportional to the true match density. Rules of thumb at scale:
+  *   - width ≈ median interval length ⇒ ~2-3 rows per interval;
+  *   - width far below the median (width ≪ len) ⇒ fan-out explosion —
+  *     the shuffle carries len/width copies of every interval;
+  *   - width far above it ⇒ bucket skew — one cell aggregates most of
+  *     the data and the post-filter does the cross-product work the
+  *     rewrite exists to avoid;
+  *   - heavy-tailed lengths: pick width for the median, not the max —
+  *     the few long intervals fan out, the mass stays O(1) (AQE's
+  *     skew-join split absorbs the hot cells they create).
+  * Derive it from a one-pass `percentile_approx(end - start, 0.5)`
+  * over (a sample of) the interval side when the distribution is not
+  * known a priori (see SCALE.md §interval-joins).
   */
 object RangeJoin {
 

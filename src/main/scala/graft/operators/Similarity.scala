@@ -348,6 +348,78 @@ object Similarity {
         col("cvec"))
   }
 
+  /** TRAINED per-subspace PQ codebooks: Lloyd's k-means over every
+    * subspace AT ONCE. `sub` is just another grouping key, so all `m`
+    * codebooks train in ONE DataFrame program — one assignment join +
+    * one mean aggregation per iteration, never m separate jobs (the
+    * Spark-first batching of "run k-means per subspace").
+    *
+    *   - init: [[pqCodebooks]]'s hash-ranked codeword sample — the PQ
+    *     analogue of the random-sample init standard PQ training uses,
+    *     deterministic so the oracle replays it;
+    *   - assign: subvectors × BROADCAST codebook (m·k rows), argmin on
+    *     [[l2SqMicro]] exact longs via a map-side-combinable `max_by`
+    *     keyed (sub, id) — ties to the lowest code, engine-portable;
+    *   - update: the kmeansFit discipline — coordinates quantized to
+    *     the 1e-4 grid with floor() (exact in IEEE double), summed as
+    *     exact longs, divided once — so both engines compute the same
+    *     centroid bits and every later argmin agrees. Codes that
+    *     attract no vectors keep their previous codeword (left join +
+    *     coalesce), so the codebook stays exactly m·k rows and
+    *     [[pqEncode]]'s dense addressing (and its row-count guard)
+    *     always holds.
+    *
+    * Trained codebooks cut per-subspace quantization error vs the
+    * hash-sampled init, which is THE standard fix for PQ recall
+    * (measured in AnnRecallSpec against the same fixture). Per-round
+    * shuffles carry (sub, id)-keyed rows and (sub, code, pos) longs —
+    * the same 100 TB shape as [[kmeansFit]]; the corpus subvector
+    * table is localCheckpoint'ed so iterations never re-derive it.
+    * Output: (sub, code, cvec) — drop-in for [[pqEncode]] /
+    * [[pqDistanceTables]] / [[pqTopKWith]]. */
+  def pqCodebooksTrained(corpus: DataFrame, m: Int = 8, k: Int = 16,
+      dim: Int = 64, iters: Int = 2, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(m >= 1 && k >= 1 && dim % m == 0,
+      s"need dim divisible by m: dim=$dim m=$m k=$k")
+    val dsub = dim / m
+    val subvecs = corpus.select(col(id),
+        col(vecCol).cast("array<double>").as("v"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("sub"), col(id),
+        slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+      .localCheckpoint()
+    var books = pqCodebooks(corpus, m, k, dim, id, vecCol).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val assigned = subvecs.join(broadcast(books), Seq("sub"))
+        .withColumn("__dm", l2SqMicro(col("sv"), col("cvec")))
+        .groupBy(col("sub"), col(id))
+        .agg(max_by(struct(col("sv"), col("code")),
+          struct(negate(col("__dm")), negate(col("code")))).as("__b"))
+        .select(col("sub"), col("__b.sv").as("sv"), col("__b.code").as("code"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .select(col("sub"), col("code"), col("pos"),
+          floor(col("col") * 10000).cast("long").as("qv"))
+        .groupBy("sub", "code", "pos")
+        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"),
+          (col("s").cast("double") / (lit(10000.0) * col("n"))).as("cv"))
+        .groupBy("sub", "code")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("__new"))
+      // m·k rows: checkpoint per iteration so the next broadcast reads
+      // a tiny table, not the whole training lineage
+      books = books.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("__new"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    books
+  }
+
   /** PQ-encode the corpus: each vector becomes `m` small codes — the
     * 100 TB memory story (m bytes/vector at k ≤ 256 vs 8·dim for raw
     * doubles; 64× here). The codebook (m·k rows) folds into ONE
@@ -362,10 +434,20 @@ object Similarity {
     require(m >= 1 && k >= 1 && dim % m == 0,
       s"need dim divisible by m: dim=$dim m=$m k=$k")
     val dsub = dim / m
-    // (sub, code)-sorted dense array: codeword (s, c) sits at s·k+c
+    // (sub, code)-sorted dense array: codeword (s, c) sits at s·k+c.
+    // Fail fast on a malformed codebook (wrong row count ⇒ the dense
+    // addressing is silently wrong; a NaN/NULL embedding ⇒ every
+    // distance NULL and the argmin keeps its -1 sentinel, which
+    // pqTopKWith would only surface later as an opaque ANSI
+    // element_at error) — both checks ride inside the existing
+    // expressions, no extra job.
     val folded = books
       .select(struct(col("sub"), col("code"), col("cvec")).as("e"))
       .agg(array_sort(collect_list(col("e"))).as("__cb"))
+      .select(when(size(col("__cb")) === lit(m * k), col("__cb"))
+        .otherwise(raise_error(concat(
+          lit(s"pqEncode: codebook must have m*k = ${m * k} rows, got "),
+          size(col("__cb")).cast("string")))).as("__cb"))
     val init = struct(lit(-1).cast("int").as("c"),
       lit(Long.MaxValue).as("d"))
     corpus.crossJoin(broadcast(folded))
@@ -374,7 +456,7 @@ object Similarity {
       .select(col(id),
         transform(sequence(lit(0), lit(m - 1)), s => {
           val sv = slice(col("__v"), s * dsub + 1, lit(dsub))
-          aggregate(sequence(lit(0), lit(k - 1)), init,
+          val code = aggregate(sequence(lit(0), lit(k - 1)), init,
             (a, c) => {
               val cw = element_at(col("__cb"), (s * k + c + 1).cast("int"))
                 .getField("cvec")
@@ -383,6 +465,9 @@ object Similarity {
                 struct(c.cast("int").as("c"), dm.as("d"))).otherwise(a)
             },
             a => a.getField("c"))
+          when(code >= 0, code).otherwise(raise_error(lit(
+            "pqEncode: no codeword distance defined for a subvector " +
+              "(NaN or NULL embedding?)")).cast("int"))
         }).as("codes"))
   }
 
@@ -393,6 +478,8 @@ object Similarity {
   def pqDistanceTables(queries: DataFrame, books: DataFrame,
       m: Int = 8, k: Int = 16, dim: Int = 64, id: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && k >= 1 && dim % m == 0,
+      s"need dim divisible by m: dim=$dim m=$m k=$k")
     val dsub = dim / m
     queries.select(col(id).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
@@ -457,10 +544,15 @@ object Similarity {
     * SQL as a CASE + list_transform. */
   def l2Normalize(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    df.withColumn(vecCol,
-      when(VectorFunctions.dot(v, v) > 0,
-        transform(v, x => x / sqrt(VectorFunctions.dot(v, v))))
-        .otherwise(v))
+    // the norm is hoisted into its own column so the O(dim) dot runs
+    // ONCE per row, not once per element (an O(dim^2) trap when the
+    // transform lambda recomputes it); x / sqrt(dot) is bit-identical
+    // either way, so the oracle replay is unchanged
+    df.withColumn("__nrm", sqrt(VectorFunctions.dot(v, v)))
+      .withColumn(vecCol,
+        when(col("__nrm") > 0, transform(v, x => x / col("__nrm")))
+          .otherwise(v))
+      .drop("__nrm")
   }
 
   /** PQ with the standard production finish: ADC over NORMALIZED

@@ -164,4 +164,56 @@ object WebOps {
       .when(needThree, concat_ws(".", slice(labels, -3, 3)))
       .otherwise(concat_ws(".", slice(labels, -2, 2)))
   }
+
+  /** Registrable domain resolved against an EXPLICIT public-suffix
+    * rule table — the production-exact path [[registrableDomain]]'s
+    * scaladoc promises: load the real Public Suffix List as
+    * `suffixes(suffix)` (one row per rule, e.g. "com", "co.uk",
+    * "github.io") and the registrable domain is the winning suffix
+    * plus one label. Longest-match semantics, per the PSL algorithm;
+    * hosts matching no rule fall back to the last label as the
+    * suffix (the PSL's own "*" default), and IPs / single-label
+    * hosts pass through whole.
+    *
+    * 100 TB shape — identical to [[robotsFilter]]'s broadcast fold:
+    * the rule table (~9k rows for the real PSL) collapses to ONE
+    * array row, broadcast against the host stream; matching is a
+    * per-row `filter`/`array_max` over that array. The host table is
+    * never shuffled, grouped, or windowed, and the filter compares
+    * each rule against the host's label TAIL (never substrings), so
+    * "example.co" can't match host "bexample.co".
+    *
+    * Output: input columns + `registrable_domain`. Wildcard and
+    * exception PSL rules ("*.ck", "!www.ck") are intentionally out of
+    * scope (<0.5% of the list); pre-expand them into literal rows if
+    * a crawl needs those ccTLDs. */
+  def registrableDomainWith(hosts: DataFrame, suffixes: DataFrame,
+      hostCol: String = "host"): DataFrame = {
+    val folded = suffixes
+      .agg(collect_list(col("suffix")).as("__sfx"))
+    val host = col(hostCol)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val isIp = host.rlike("^[0-9.]+$")
+    // suffix rule s matches iff the host's label tail equals s and at
+    // least one label precedes it (a host that IS a public suffix has
+    // no registrable domain — emit the host itself, the PSL edge rule)
+    val matched = filter(col("__sfx"), s => {
+      val sn = size(split(s, "\\."))
+      n > sn && concat_ws(".", slice(labels, -sn, lit(100))) === s
+    })
+    // longest winning suffix, per PSL ("more labels beats fewer");
+    // ties impossible (suffixes are distinct, equal label-count tails
+    // of one host are equal strings)
+    val best = array_max(transform(matched, s =>
+      struct(size(split(s, "\\.")).as("l"), s.as("s"))))
+    val sfxLabels = coalesce(col("__best").getField("l"), lit(1))
+    hosts.crossJoin(broadcast(folded))
+      .withColumn("__best", best)
+      .withColumn("registrable_domain",
+        when(isIp || n <= 1, host)
+          .otherwise(concat_ws(".",
+            slice(labels, -least(sfxLabels + 1, n), lit(100)))))
+      .drop("__sfx", "__best")
+  }
 }

@@ -132,4 +132,35 @@ class LayoutSpec extends SparkSpec {
     assert(e1.sorted == all.sorted && e1 != all,
       "different epoch seed must permute the order")
   }
+
+  test("shardAssignment: queryable order equals the written global order") {
+    val n = 5000
+    val nShards = 4
+    val df = (1 to n).map(i => (i.toLong, s"p$i")).toDF("id", "pay")
+    val dir = Files.createTempDirectory("shard_asgn").toString + "/out"
+    Layout.shuffledShardWrite(df, col("id"), dir, nShards)
+    // written global order: shard files in partition order, each file
+    // already in (u, id) order with disjoint ascending u-ranges
+    val written = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .flatMap(f => spark.read.parquet(f.getPath)
+        .select("id").collect().map(_.getLong(0))).toList
+    // queryable order: equal-width u-bucket shards, rank within shard —
+    // both forms are the SAME global (u, id) sort, only the shard
+    // boundary positions differ (equal-mass sampled vs equal-width)
+    val assigned = Layout.shardAssignment(df, col("id"), nShards)
+    val logical = assigned.orderBy("shard", "shard_rank")
+      .select("id").collect().map(_.getLong(0)).toList
+    assert(logical == written,
+      "shardAssignment order diverged from the written shard order")
+    // hash-uniform u ⇒ equal-width buckets are balanced too
+    val sizes = assigned.groupBy("shard").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length == nShards && sizes.min > n / nShards / 2,
+      s"unbalanced shards: ${sizes.toList}")
+    // seed with the delimiter is rejected (namespace aliasing guard)
+    intercept[IllegalArgumentException] {
+      Layout.shardAssignment(df, col("id"), 2, seed = "a|b")
+    }
+  }
 }

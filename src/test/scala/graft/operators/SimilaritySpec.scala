@@ -185,6 +185,46 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  test("pqEncode fails fast on a malformed codebook") {
+    // wrong row count: the dense (sub, code) addressing would silently
+    // read the wrong codewords — must die with the row-count message
+    val short = Similarity.pqCodebooks(pqVecs, m = 2, k = 2, dim = 8).limit(3)
+    val e = intercept[Exception] {
+      Similarity.pqEncode(pqVecs, short, m = 2, k = 2, dim = 8).collect()
+    }
+    assert(e.getMessage.contains("m*k") ||
+      Option(e.getCause).exists(_.getMessage.contains("m*k")), e.getMessage)
+  }
+
+  test("pqCodebooksTrained: m*k rows kept, trained books re-encode exactly") {
+    val trained = Similarity.pqCodebooksTrained(pqVecs, m = 2, k = 2,
+      dim = 8, iters = 2)
+    val rows = trained.collect()
+    // Lloyd rounds must preserve the dense m*k layout (empty codes
+    // keep their previous codeword), or pqEncode's addressing breaks
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      (for (s <- 0 until 2; c <- 0 until 2) yield (s, c)).toSet)
+    // the trained centroid of each assigned group is the exact
+    // quantized mean: re-assigning with the trained books must agree
+    // with a driver-local replay of one more assignment
+    val bookMap = rows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    val enc = Similarity.pqEncode(pqVecs, trained, m = 2, k = 2, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val raw = pqVecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, v) <- raw; s <- 0 until 2) {
+      val sv = v.slice(s * 4, s * 4 + 4)
+      val want = (0 until 2).minBy(c => (microD(sv, bookMap((s, c))), c))
+      assert(enc(id)(s) == want, s"vec $id sub $s: ${enc(id)(s)} != $want")
+    }
+    // determinism: a second fit reproduces the same codebook bits
+    val again = Similarity.pqCodebooksTrained(pqVecs, m = 2, k = 2,
+      dim = 8, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    assert(again == bookMap)
+  }
+
   test("PQ encode is partition-independent") {
     val books = Similarity.pqCodebooks(pqVecs, m = 2, k = 2, dim = 8)
     def codes(df: org.apache.spark.sql.DataFrame) =

@@ -298,17 +298,22 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "catthe zz"), // concatenation splits; unknown falls to chars
       (3L, "a  b"), // space run round-trips; 1-char words
       (4L, ""), // empty text
-      (5L, "猫猫x 猫")) // non-ASCII codepoints
+      (5L, "猫猫x 猫"), // non-ASCII codepoints
+      (6L, null)) // NULL text: NULL n_words AND NULL segmented
       .toDF("doc_id", "text")
     val vocab = Seq("cat", "the", "thecatx", "猫猫")
-    val got = TextAnalysis.wordpieceSegment(docs, vocab)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
-      .toMap
+    val rows = TextAnalysis.wordpieceSegment(docs, vocab).collect()
+    val got = rows.filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     assert(got(1L) == ((3L, "thecatx cat the")), got(1L).toString)
     assert(got(2L) == ((2L, "cat|the z|z")), got(2L).toString)
     assert(got(3L) == ((3L, "a  b")), got(3L).toString)
     assert(got(4L) == ((1L, "")), got(4L).toString)
     assert(got(5L) == ((2L, "猫猫|x 猫")), got(5L).toString)
+    // NULL text propagates NULL through both columns — the oracle's
+    // CASE WHEN ws IS NULL mirrors exactly this (spark/oracle pinned)
+    val nullRow = rows.find(_.getLong(0) == 6L).get
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2), nullRow.toString)
   }
 
   test("topWordVocab: (count desc, word asc) cut, single chars excluded") {

@@ -49,6 +49,37 @@ class WebOpsSpec extends SparkSpec {
     assert(dom("news.bbc.ac.jp") == "bbc.ac.jp")
   }
 
+  test("registrableDomainWith: PSL table corrects the heuristic; label-tail matching") {
+    import spark.implicits._
+    // a PSL-shaped rule table: plain TLDs, a ccTLD second-level, and a
+    // PRIVATE multi-label suffix (github.io) the heuristic's fixed
+    // second-level list cannot know about
+    val psl = Seq("com", "uk", "co.uk", "io", "github.io", "jp",
+      "nagoya.jp").toDF("suffix")
+    val hosts = Seq(
+      "foo.github.io",      // heuristic says github.io — WRONG per PSL
+      "shop.example.co.uk", // both right (co is in the heuristic list)
+      "a.b.example.com",
+      "foo.example.nagoya.jp", // nagoya.jp rule: 3-label registrable
+      "bexample.co",        // must NOT substring-match rule "co"... tail only
+      "192.168.0.1",
+      "localhost").toDF("host")
+    val got = WebOps.registrableDomainWith(hosts, psl).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // the documented heuristic miss, fixed by the table path:
+    assert(dom("foo.github.io") == "github.io")
+    assert(got("foo.github.io") == "foo.github.io")
+    assert(got("shop.example.co.uk") == "example.co.uk")
+    assert(got("a.b.example.com") == "example.com")
+    // heuristic also misses the ccTLD second-level not in its list
+    assert(dom("foo.example.nagoya.jp") == "nagoya.jp")
+    assert(got("foo.example.nagoya.jp") == "example.nagoya.jp")
+    // no-rule fallback = last label as suffix; tails only, no substrings
+    assert(got("bexample.co") == "bexample.co")
+    assert(got("192.168.0.1") == "192.168.0.1")
+    assert(got("localhost") == "localhost")
+  }
+
   test("robotsFilter: longest match wins, ties to allow, default allow") {
     import spark.implicits._
     val rules = Seq(
