@@ -564,20 +564,27 @@ object Dedup {
     //      At 100 TB this is the win: after the first couple of rounds
     //      only the long-chain frontier still moves, so the big
     //      |E|-row join shrinks toward the frontier size.
+    //      The delta set costs nothing extra: viaJump already visits
+    //      every vertex exactly once with its previous label in hand
+    //      (a.component), so carrying it as a third column through the
+    //      SAME aggregation yields changed = {component < prev} with
+    //      zero additional joins, rows, or jobs.
     var changed = labels
     while (!converged && round < maxIter) {
       val viaEdge = edges.join(changed, edges("src") === changed("vertex"))
-        .select(edges("dst").as("vertex"), col("component"))
+        .select(edges("dst").as("vertex"), col("component"),
+          lit(null).cast("long").as("__prev"))
       val viaJump = labels.as("a")
         .join(labels.as("b"), col("a.component") === col("b.vertex"))
-        .select(col("a.vertex").as("vertex"), col("b.component").as("component"))
-      val next = viaEdge.union(viaJump)
-        .groupBy("vertex").agg(min("component").as("component"))
+        .select(col("a.vertex").as("vertex"),
+          col("b.component").as("component"),
+          col("a.component").as("__prev"))
+      val agg = viaEdge.union(viaJump)
+        .groupBy("vertex").agg(min("component").as("component"),
+          max("__prev").as("__prev"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("vertex"), col("component").as("__prev")),
-          Seq("vertex"))
-        .where(col("component") < col("__prev"))
+      val next = agg.select(col("vertex"), col("component"))
+      changed = agg.where(col("component") < col("__prev"))
         .select(col("vertex"), col("component"))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
