@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-factor amplifier for headroom benchmarking: replicate a
+  * driver-generated sf directory `factor`× with shifted keys, so the
+  * bench can measure one decade of scaling (e.g. sf0.1 → sf1) and
+  * SCALE.md can report measured exponents instead of plan-shape
+  * arguments.
+  *
+  * Replication preserves per-key DENSITY, which is what makes the
+  * timing comparable: every replica gets its own key space (ids
+  * shifted by k·10⁸), so per-customer order counts, per-user event
+  * rates, and per-doc duplicate-cluster sizes all stay constant while
+  * row counts grow `factor`×. Document texts in replicas k > 0 get a
+  * per-replica token suffix — WITHOUT it every doc would gain
+  * `factor − 1` exact copies and near-dup pair counts would grow
+  * quadratically in `factor`, measuring a data-density change rather
+  * than the engine's scaling. Dimension leaf tables (region, nation)
+  * stay single-copy; nationkey/regionkey references are left intact.
+  *
+  * Usage: ScaleGen <srcSfDir> <outDir> <factor>  (bench-only data —
+  * the DuckDB oracle gate stays on the driver-generated dirs). */
+object ScaleGen {
+  private val KeyOffset = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorS) = args.take(3)
+    val factor = factorS.toInt
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS): pass it through as
+      // raw nanos (BIGINT) — SparkEntry.events handles both encodings
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    /** `factor` stacked copies; each key column shifted by k·10⁸ in
+      * copy k so replicas never collide or cross-join. */
+    def replicate(df: DataFrame, keyCols: Seq[String],
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until factor).map { k =>
+        keyCols.foldLeft(perCopy(df, k)) { (d, c) =>
+          d.withColumn(c, col(c) + lit(k * KeyOffset))
+        }
+      }.reduce(_ unionByName _)
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+    write(replicate(read("customer"), Seq("c_custkey")), "customer")
+    write(replicate(read("supplier"), Seq("s_suppkey")), "supplier")
+    write(replicate(read("part"), Seq("p_partkey")), "part")
+    write(replicate(read("orders"), Seq("o_orderkey", "o_custkey")),
+      "orders")
+    write(replicate(read("lineitem"),
+      Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(replicate(read("events"), Seq("event_id", "user_id")), "events")
+    write(replicate(read("embeddings"), Seq("vec_id")), "embeddings")
+    // per-replica token suffix keeps cross-replica similarity at ~0:
+    // duplicate-cluster structure is preserved WITHIN each replica,
+    // so pair counts scale linearly with factor
+    write(replicate(read("documents"), Seq("doc_id"),
+      perCopy = (d, k) =>
+        if (k == 0) d
+        else d.withColumn("text",
+          when(col("text").isNull, col("text"))
+            .otherwise(array_join(
+              transform(split(col("text"), " "),
+                t => concat(t, lit(s"_r$k"))), " ")))), "documents")
+    spark.stop()
+  }
+}
