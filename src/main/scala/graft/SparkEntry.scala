@@ -52,16 +52,21 @@ object SparkEntry {
   private val pqIndexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (DataFrame, DataFrame)]
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read it as raw nanos and expose epoch-micros `ts_us`
-    * (integer division — ns values exceed double's 2^53 mantissa, so
-    * float math would corrupt them). Matches DuckDB's `epoch_us(ts)`
-    * truncation. */
+  /** events.parquet's `ts` encoding has varied across driver testdata
+    * generations — TIMESTAMP(NANOS) (which Spark 4 rejects by default;
+    * read as raw nanos via nanosAsLong and integer-divided — ns values
+    * exceed double's 2^53 mantissa, so float math would corrupt them),
+    * plain TIMESTAMP, and TIMESTAMP_NTZ (µs, no zone). Normalize all
+    * three to epoch-micros `ts_us`, matching DuckDB's `epoch_us(ts)`
+    * truncation; the NTZ→LTZ cast is wall-clock identity under the
+    * session's pinned UTC zone. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, dir, "events")
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
       case _ => unix_micros(col("ts"))
     }
     raw.withColumn("ts_us", tsUs)

@@ -120,13 +120,12 @@ object Layout {
       seed: String = "ep0"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__shard")).orderBy(col("__u"), idCol)
+      .partitionBy(col("shard")).orderBy(col("__u"), idCol)
     df.withColumn("__u", shuffleKey(idCol, seed))
-      .withColumn("__shard",
+      .withColumn("shard",
         least(floor(col("__u") * nShards), lit(nShards - 1)).cast("int"))
       .withColumn("shard_rank", row_number().over(w).cast("long"))
-      .withColumn("shard", col("__shard"))
-      .drop("__u", "__shard")
+      .drop("__u")
   }
 
   /** Write `df` as a BUCKETED table: both sides of a recurring join

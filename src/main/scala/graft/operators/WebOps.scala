@@ -183,37 +183,62 @@ object WebOps {
     * each rule against the host's label TAIL (never substrings), so
     * "example.co" can't match host "bexample.co".
     *
-    * Output: input columns + `registrable_domain`. Wildcard and
-    * exception PSL rules ("*.ck", "!www.ck") are intentionally out of
-    * scope (<0.5% of the list); pre-expand them into literal rows if
-    * a crawl needs those ccTLDs. */
+    * The FULL PSL rule grammar is supported: wildcard rules ("*.ck" —
+    * `*` matches exactly one label in that position) and exception
+    * rules ("!www.ck" — when matched, the public suffix is the rule
+    * minus its leftmost label, overriding every wildcard/literal
+    * match, per the PSL algorithm). Hosts are normalized before
+    * matching — lowercased, one trailing dot (FQDN form) stripped —
+    * so "WWW.Example.CO.UK." resolves like "www.example.co.uk"; the
+    * emitted `registrable_domain` is built from the normalized host.
+    *
+    * Output: input columns + `registrable_domain`. */
   def registrableDomainWith(hosts: DataFrame, suffixes: DataFrame,
       hostCol: String = "host"): DataFrame = {
     val folded = suffixes
       .agg(collect_list(col("suffix")).as("__sfx"))
-    val host = col(hostCol)
+    val host = lower(regexp_replace(col(hostCol), "\\.$", ""))
     val labels = split(host, "\\.")
     val n = size(labels)
     val isIp = host.rlike("^[0-9.]+$")
-    // suffix rule s matches iff the host's label tail equals s and at
-    // least one label precedes it (a host that IS a public suffix has
-    // no registrable domain — emit the host itself, the PSL edge rule)
+    // per rule s: strip a leading "!" (exception marker), then match
+    // the host's label TAIL label-by-label ("*" matches any ONE label,
+    // never substrings — "example.co" can't match host "bexample.co").
+    // A host that IS its winning suffix (n == sn) still matches; the
+    // final least(·, n) cap then emits the host itself — the PSL edge
+    // rule for hosts with no registrable domain.
+    def body(s: Column): Column =
+      when(substring(s, 1, 1) === "!", substring(s, 2, 1000)).otherwise(s)
     val matched = filter(col("__sfx"), s => {
-      val sn = size(split(s, "\\."))
-      n > sn && concat_ws(".", slice(labels, -sn, lit(100))) === s
+      val rl = split(body(s), "\\.")
+      val sn = size(rl)
+      n >= sn && forall(
+        zip_with(rl, slice(labels, -sn, lit(100)),
+          (r, h) => r === "*" || r === h), m => m)
     })
-    // longest winning suffix, per PSL ("more labels beats fewer");
-    // ties impossible (suffixes are distinct, equal label-count tails
-    // of one host are equal strings)
-    val best = array_max(transform(matched, s =>
-      struct(size(split(s, "\\.")).as("l"), s.as("s"))))
+    // winner, per PSL: an exception rule beats everything; otherwise
+    // more labels beats fewer. Effective suffix length: the rule's
+    // label count, minus one for an exception (its public suffix is
+    // the rule sans leftmost label, so the registrable domain is the
+    // exception rule itself). Ties impossible among literals (distinct
+    // rules, equal-length tails of one host are equal strings); a
+    // wildcard and a literal of equal length resolve identically.
+    val best = array_max(transform(matched, s => {
+      val isExc = substring(s, 1, 1) === "!"
+      val sn = size(split(body(s), "\\."))
+      struct(when(isExc, 1).otherwise(0).as("e"),
+        when(isExc, sn - 1).otherwise(sn).as("l"), s.as("s"))
+    }))
+    // no-rule fallback: the PSL's own "*" default — last label is the
+    // suffix
     val sfxLabels = coalesce(col("__best").getField("l"), lit(1))
     hosts.crossJoin(broadcast(folded))
       .withColumn("__best", best)
       .withColumn("registrable_domain",
         when(isIp || n <= 1, host)
           .otherwise(concat_ws(".",
-            slice(labels, -least(sfxLabels + 1, n), lit(100)))))
+            slice(labels, -greatest(least(sfxLabels + 1, n), lit(1)),
+              lit(100)))))
       .drop("__sfx", "__best")
   }
 }

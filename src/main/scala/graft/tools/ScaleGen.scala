@@ -66,7 +66,23 @@ object ScaleGen {
     write(replicate(read("lineitem"),
       Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
     write(replicate(read("events"), Seq("event_id", "user_id")), "events")
-    write(replicate(read("embeddings"), Seq("vec_id")), "embeddings")
+    // replica k > 0 vectors are circularly shifted by k coordinates: a
+    // coordinate permutation is orthogonal, so every WITHIN-replica dot
+    // product (and hence the duplicate-cluster structure) is preserved
+    // bit-for-bit, while cross-replica cosines drop to the ~N(0, 1/√dim)
+    // noise floor — without this every vector would gain factor−1 exact
+    // twins and embedding near-dup pair counts would grow quadratically
+    // in `factor` (the same density artifact the _r$k text suffix
+    // prevents for documents)
+    write(replicate(read("embeddings"), Seq("vec_id"),
+      perCopy = (d, k) =>
+        if (k == 0) d
+        else d.withColumn("embedding", {
+          val v = col("embedding")
+          val s = lit(k % 64)
+          when(v.isNull, v).otherwise(
+            concat(slice(v, s + 1, size(v) - s), slice(v, lit(1), s)))
+        })), "embeddings")
     // per-replica token suffix keeps cross-replica similarity at ~0:
     // duplicate-cluster structure is preserved WITHIN each replica,
     // so pair counts scale linearly with factor
@@ -74,7 +90,10 @@ object ScaleGen {
       perCopy = (d, k) =>
         if (k == 0) d
         else d.withColumn("text",
-          when(col("text").isNull, col("text"))
+          // empty (non-null) texts replicate unchanged — split("", " ")
+          // yields [""] and the suffix would turn an empty doc into a
+          // one-token doc, skewing per-replica token statistics
+          when(col("text").isNull || length(col("text")) === 0, col("text"))
             .otherwise(array_join(
               transform(split(col("text"), " "),
                 t => concat(t, lit(s"_r$k"))), " ")))), "documents")

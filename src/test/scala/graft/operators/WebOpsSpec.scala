@@ -80,6 +80,35 @@ class WebOpsSpec extends SparkSpec {
     assert(got("localhost") == "localhost")
   }
 
+  test("registrableDomainWith: wildcard + exception rules per the PSL algorithm") {
+    import spark.implicits._
+    // the canonical PSL pair: every label under ck is a public suffix
+    // EXCEPT www.ck, which is a registrable domain
+    val psl = Seq("com", "ck", "*.ck", "!www.ck").toDF("suffix")
+    val hosts = Seq(
+      "a.b.ck",    // *.ck -> suffix b.ck -> registrable a.b.ck
+      "b.ck",      // *.ck matches the whole host -> no registrable, host itself
+      "www.ck",    // exception: suffix ck -> registrable www.ck
+      "foo.www.ck", // exception beats *.ck -> registrable www.ck
+      "x.com").toDF("host")
+    val got = WebOps.registrableDomainWith(hosts, psl).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "a.b.ck" -> "a.b.ck", "b.ck" -> "b.ck", "www.ck" -> "www.ck",
+      "foo.www.ck" -> "www.ck", "x.com" -> "x.com"))
+  }
+
+  test("registrableDomainWith: host normalization (case, trailing dot)") {
+    import spark.implicits._
+    val psl = Seq("com", "uk", "co.uk").toDF("suffix")
+    val hosts = Seq("WWW.Example.CO.UK.", "Shop.EXAMPLE.com.").toDF("host")
+    val got = WebOps.registrableDomainWith(hosts, psl).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "WWW.Example.CO.UK." -> "example.co.uk",
+      "Shop.EXAMPLE.com." -> "example.com"))
+  }
+
   test("robotsFilter: longest match wins, ties to allow, default allow") {
     import spark.implicits._
     val rules = Seq(
