@@ -497,6 +497,25 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Persist the corpus minhash signature index as parquet — the
+    * artifact a nightly incremental-dedup pipeline builds once and
+    * reloads each run ([[minhashLshPairsIncremental]]'s `corpusSigs`
+    * input). One row per corpus doc with its packed signature words:
+    * tiny relative to the corpus (no shingle blow-up on disk), and the
+    * per-run cost against it is O(batch shingles) + the band join —
+    * never a corpus re-shingle. Plain parquet: outlives the writing
+    * application, no block-manager state. */
+  def signatureIndexWrite(corpusDocs: DataFrame, path: String,
+      id: String = "doc_id", textCol: String = "text", w: Int = 3,
+      numHashes: Int = 16): Unit =
+    minHashSignatures(shingles(corpusDocs, id, textCol, w), id, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[signatureIndexWrite]] artifact. Staleness contract: the
+    * caller rebuilds when the corpus files change. */
+  def signatureIndexRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
   /** Connected components over near-duplicate candidate pairs — the
     * clustering step every dedup pipeline needs after pair generation
     * (pairs only say "a ≈ b"; the keep/drop decision needs the

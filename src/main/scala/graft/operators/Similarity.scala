@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -520,6 +520,39 @@ object Similarity {
       .select(col("query_id"), negate(col("o2")).as("neighbor_id"),
         col("rank"), negate(col("o1")).as("adist_micro"))
   }
+
+  /** Build and PERSIST the PQ index artifacts as parquet — the real
+    * nightly-pipeline shape: `path/codebook` (m·k rows) and
+    * `path/encoded` ((id, codes) — m small ints per vector, the 100 TB
+    * compression story on disk, not just in memory). The corpus encode
+    * is the one-time WRITE job; every later serving run reads the
+    * artifact and pays only distance tables + the compressed-domain
+    * scan ([[pqTopKWith]] is artifact-agnostic by design). The encode
+    * runs against the READ-BACK codebook so the persisted bits are
+    * authoritative (parquet doubles are exact, so this equals the
+    * in-memory path bit-for-bit). Pass `books` to persist TRAINED
+    * codebooks ([[pqCodebooksTrained]]) instead of the hash-sampled
+    * default. */
+  def pqIndexWrite(corpus: DataFrame, path: String, m: Int = 8,
+      k: Int = 16, dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding", books: Option[DataFrame] = None): Unit = {
+    val spark = corpus.sparkSession
+    books.getOrElse(pqCodebooks(corpus, m, k, dim, id, vecCol))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    val persisted = spark.read.parquet(s"$path/codebook")
+    pqEncode(corpus, persisted, m, k, dim, id, vecCol)
+      .write.mode("overwrite").parquet(s"$path/encoded")
+  }
+
+  /** Load the persisted PQ index: (codebook, encoded corpus). The
+    * artifact is plain parquet — it outlives the writing application
+    * and carries no block-manager state, so a fresh SparkSession (or a
+    * different engine entirely) can serve from it. Staleness contract:
+    * like any persisted index, rebuilding is the caller's job when the
+    * underlying corpus files change. */
+  def pqIndexRead(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/encoded"))
 
   /** The full IVF-PQ-style composition with hash-sampled codebooks:
     * build → encode → distance tables → ADC scan. Production calls
