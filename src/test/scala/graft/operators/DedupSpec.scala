@@ -189,6 +189,41 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 200 && got.values.forall(_ == 1L))
   }
 
+  test("connectedComponents frontier: settled clump leaves the delta set; labels exact") {
+    import spark.implicits._
+    // frontier-heavy graph: a 100-edge chain (the only part that keeps
+    // moving) + a 500-leaf star clump that settles at initialization
+    val chain = (1L until 101L).map(i => (i + 1, i))
+    val clump = (1L to 500L).map(i => (1000L, 1000L + i))
+    val pairs = (chain ++ clump).toDF("id_a", "id_b")
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val got = Dedup.connectedComponents(pairs, maxIter = 12,
+      onRound = (r, c) => rounds += ((r, c)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // labels vs a driver-side union-find reference (the pre-delta
+    // full-edge implementation computes exactly this closure)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ clump).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(v => v -> find(v)).toMap
+    assert(got == expect)
+    // pointer jumping: O(log chain), not O(diameter)
+    assert(rounds.size <= 9, s"rounds: $rounds")
+    // the 501-vertex clump settles at init: from round 2 on, the
+    // changed set is at most the still-moving chain — the frontier the
+    // delta-join re-ships shrinks to it (measured here: the viaEdge
+    // input is `changed`, whose size is the previous round's count)
+    assert(rounds.drop(1).forall(_._2 <= 101), s"rounds: $rounds")
+    // and the final round moved nothing (fixpoint)
+    assert(rounds.last._2 == 0, s"rounds: $rounds")
+  }
+
   test("connectedComponents on no pairs returns no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
