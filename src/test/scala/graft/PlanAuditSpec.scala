@@ -1,0 +1,97 @@
+package graft
+
+/** Board-wide plan lints — every query SparkEntry declares is checked
+  * against the generic scale rules, so a NEW query (or a refactor of a
+  * shared helper) can never ship a quadratic plan without failing CI.
+  * PlanShapeSpec pins deep per-query shapes for the flagships; this
+  * spec is the wide net: the rules below hold for ALL 129+ queries.
+  *
+  *  1. No `CartesianProduct` anywhere — an unkeyed shuffled product is
+  *     never acceptable at 100 TB.
+  *  2. `BroadcastNestedLoopJoin` only where a documented broadcast
+  *     scalar fold (a 1-row aggregate riding into the row stream —
+  *     corpus totals, calibration constants, k-row centroid tables)
+  *     makes it the CORRECT plan; each such query is allowlisted with
+  *     the exact count so an extra one still fails.
+  *  3. The wide fact table (`lineitem`, 16 columns) is never scanned
+  *     at full width — column pruning must reach the parquet scan.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // query -> max BroadcastNestedLoopJoin occurrences (all are broadcast
+  // 1-row/centroid-table folds, grep-verified crossJoin(broadcast(...))
+  // call sites; VERDICT r6 re-audited the full list)
+  private val bnljBudget: Map[String, Int] = Map(
+    "dedup_semdedup" -> 2,      // centroid table + cluster-size fold
+    "q_freq_topk" -> 1,         // (n_total, mg sketch) 1-row fold
+    "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
+    "q_histogram" -> 1,         // (min, max) bounds fold
+    "q_kmv_overlap" -> 3,       // two kmv sketches + union sketch
+    "q_resample_gaps" -> 1,     // hour grid × broadcast type set
+    "q_skew_stats" -> 1,        // corpus moments fold
+    "q_temperature_mix" -> 1,   // stratum-weight normalizer fold
+    "sim_bruteforce_topk" -> 1, // 1-row query-vector fold
+    "sim_ivf_kmeans" -> 2,      // centroid table + query fold
+    "sim_ivf_topk" -> 2,        // centroid table + query fold
+    "sim_kmeans" -> 1,          // k-row centroid fold
+    "sim_pq_adc" -> 3,          // codebook + distance tables + query
+    "sim_pq_indexed" -> 2,      // distance tables + query fold
+    "sim_pq_rerank" -> 3,       // codebook + distance tables + query
+    "sim_pq_trained" -> 3,      // trained codebook + tables + query
+    "text_bm25" -> 1,           // (N, avgdl) corpus-stats fold
+    "text_classify" -> 3,       // model rows + prior + vocab-size folds
+    "text_kl_drift" -> 1,       // (total_p, total_q) fold
+    "text_perplexity" -> 1,     // corpus token-total fold
+    "text_perplexity_ref" -> 1, // reference-model total fold
+    "text_tfidf" -> 1           // corpus doc-count fold
+  ).withDefaultValue(0)
+
+  private lazy val plans: Map[String, String] = {
+    // print full metadata so ReadSchema/Location never truncate away
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    }
+  }
+
+  test("no query plans a CartesianProduct") {
+    val bad = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }
+    assert(bad.isEmpty, s"cartesian products in: ${bad.toSeq.sorted}")
+  }
+
+  test("BroadcastNestedLoopJoin only as allowlisted broadcast scalar folds") {
+    val over = plans.flatMap { case (n, p) =>
+      val c = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      if (c > bnljBudget(n)) Some(s"$n: $c (budget ${bnljBudget(n)})")
+      else None
+    }
+    assert(over.isEmpty, s"unbudgeted nested-loop joins:\n${over.toSeq.sorted.mkString("\n")}")
+  }
+
+  test("lineitem scans are column-pruned (never full 16-column width)") {
+    // depth-aware top-level field count of ReadSchema: struct<...>
+    def fields(s: String): Int = {
+      var depth = 0; var n = if (s.isEmpty) 0 else 1
+      s.foreach {
+        case '<' => depth += 1
+        case '>' => depth -= 1
+        case ',' if depth == 0 => n += 1
+        case _ =>
+      }
+      n
+    }
+    val scan = raw"FileScan parquet [^\n]*".r
+    val read = raw"ReadSchema: struct<([^\n]*)>".r
+    val bad = plans.flatMap { case (q, p) =>
+      scan.findAllIn(p).toSeq.collect {
+        case line if line.contains("lineitem") =>
+          read.findFirstMatchIn(line).map(m => fields(m.group(1)))
+      }.flatten.filter(_ >= 16).map(w => s"$q: lineitem scan reads $w cols")
+    }
+    assert(bad.isEmpty, bad.toSeq.sorted.mkString("\n"))
+  }
+}
