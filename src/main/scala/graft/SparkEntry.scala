@@ -941,6 +941,28 @@ object SparkEntry {
         .orderBy("url_id")
     }),
 
+    // PSL-table registrable domain: the production-exact path — rule
+    // table folds to ONE broadcast array row, per-host label-tail
+    // match via HOFs; the VALUES batch exercises every grammar rule
+    // (longest match, *.ck wildcard, !www.ck exception, host==suffix,
+    // no-substring, FQDN dot, uppercase, IP / single-label passthrough,
+    // no-rule fallback)
+    "q_registrable_domain" -> ((s, dir) => {
+      import s.implicits._
+      val hosts = Seq(
+        (1L, "shop.example.co.uk"), (2L, "WWW.Example.CO.UK."),
+        (3L, "a.b.example.com"), (4L, "foo.bar.ck"),
+        (5L, "www.ck"), (6L, "bexample.co"),
+        (7L, "example.co"), (8L, "192.168.0.1"),
+        (9L, "localhost"), (10L, "sub.test.github.io"),
+        (11L, "x.example.org.")).toDF("host_id", "host")
+      val rules = Seq("com", "org", "net", "co.uk", "uk", "io",
+        "github.io", "*.ck", "!www.ck", "example.co").toDF("suffix")
+      WebOps.registrableDomainWith(hosts, rules)
+        .select("host_id", "host", "registrable_domain")
+        .orderBy("host_id")
+    }),
+
     // robots-rule URL gate: longest-prefix-match, ties to allow; the
     // rule table folds to one broadcast array row per host, the URL
     // side is never shuffled (pure per-row HOF resolution)
@@ -3225,6 +3247,62 @@ object SparkEntry {
          |  END AS domain
          |FROM canon ORDER BY url_id""".stripMargin
     },
+
+    "q_registrable_domain" ->
+      // the PSL algorithm replayed relationally: normalize, match every
+      // rule's label tail ('*' = any ONE label), exception beats all,
+      // else most labels; suffix+1 labels capped to the host
+      """WITH hosts(host_id, host) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'shop.example.co.uk'),
+        |  (CAST(2 AS BIGINT), 'WWW.Example.CO.UK.'),
+        |  (CAST(3 AS BIGINT), 'a.b.example.com'),
+        |  (CAST(4 AS BIGINT), 'foo.bar.ck'),
+        |  (CAST(5 AS BIGINT), 'www.ck'),
+        |  (CAST(6 AS BIGINT), 'bexample.co'),
+        |  (CAST(7 AS BIGINT), 'example.co'),
+        |  (CAST(8 AS BIGINT), '192.168.0.1'),
+        |  (CAST(9 AS BIGINT), 'localhost'),
+        |  (CAST(10 AS BIGINT), 'sub.test.github.io'),
+        |  (CAST(11 AS BIGINT), 'x.example.org.')),
+        |rules(rule) AS (VALUES ('com'),('org'),('net'),('co.uk'),
+        |  ('uk'),('io'),('github.io'),('*.ck'),('!www.ck'),
+        |  ('example.co')),
+        |h AS (
+        |  SELECT host_id, host,
+        |    lower(regexp_replace(host, '\.$', '')) AS nh
+        |  FROM hosts),
+        |hl AS (
+        |  SELECT *, string_split(nh, '.') AS labels,
+        |    len(string_split(nh, '.')) AS n
+        |  FROM h),
+        |m AS (
+        |  SELECT hl.host_id, hl.labels, hl.n, r.rule,
+        |    (r.rule LIKE '!%') AS exc,
+        |    string_split(CASE WHEN r.rule LIKE '!%'
+        |      THEN substr(r.rule, 2) ELSE r.rule END, '.') AS rl
+        |  FROM hl CROSS JOIN rules r),
+        |mm AS (SELECT *, len(rl) AS sn FROM m),
+        |matched AS (
+        |  SELECT *, CASE WHEN exc THEN sn - 1 ELSE sn END AS efflen
+        |  FROM mm
+        |  WHERE n >= sn AND len(list_filter(range(1, sn + 1),
+        |    i -> rl[i] <> '*' AND rl[i] <> labels[n - sn + i])) = 0),
+        |best AS (
+        |  SELECT host_id, efflen,
+        |    row_number() OVER (PARTITION BY host_id
+        |      ORDER BY exc DESC, efflen DESC, rule) AS rn
+        |  FROM matched),
+        |j AS (
+        |  SELECT hl.host_id, hl.host, hl.nh, hl.labels, hl.n,
+        |    coalesce(b.efflen, 1) AS sfx
+        |  FROM hl LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |    USING (host_id))
+        |SELECT host_id, host,
+        |  CASE WHEN regexp_matches(nh, '^[0-9.]+$') OR n <= 1 THEN nh
+        |       ELSE array_to_string(
+        |         labels[n - greatest(least(sfx + 1, n), 1) + 1 : n], '.')
+        |  END AS registrable_domain
+        |FROM j ORDER BY host_id""".stripMargin,
 
     "q_robots_filter" ->
       // longest-prefix-match replayed as a rank window (same result,

@@ -29,6 +29,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
     "q_histogram" -> 1,         // (min, max) bounds fold
     "q_kmv_overlap" -> 3,       // two kmv sketches + union sketch
+    "q_registrable_domain" -> 1, // 1-row folded PSL rule array
     "q_resample_gaps" -> 1,     // hour grid × broadcast type set
     "q_skew_stats" -> 1,        // corpus moments fold
     "q_temperature_mix" -> 1,   // stratum-weight normalizer fold
