@@ -378,9 +378,11 @@ object Similarity {
     *
     * Trained codebooks cut per-subspace quantization error vs the
     * hash-sampled init, which is THE standard fix for PQ recall
-    * (measured in AnnRecallSpec against the same fixture). Per-round
-    * shuffles carry (sub, id)-keyed rows and (sub, code, pos) longs —
-    * the same 100 TB shape as [[kmeansFit]]; the corpus subvector
+    * (measured in AnnRecallSpec against the same fixture). The ONLY
+    * per-round shuffle is one map-side-combinable (sub, code) groupBy
+    * whose partials carry dsub quantized coordinate sums — the assign
+    * step is a zero-shuffle broadcast-codebook argmin, and no explode
+    * ever multiplies the corpus by dim; the corpus subvector
     * table is localCheckpoint'ed so iterations never re-derive it.
     * Output: (sub, code, cvec) — drop-in for [[pqEncode]] /
     * [[pqDistanceTables]] / [[pqTopKWith]]. */
@@ -416,18 +418,20 @@ object Similarity {
               "pqCodebooksTrained: no codeword distance defined for a " +
                 "subvector (NaN or NULL embedding?)")).cast("int")))
             .as("code"))
+      // element-wise mean WITHOUT the posexplode: dsub is small (dim/m),
+      // so the per-coordinate quantized sums are dsub map-side-combinable
+      // sum() columns in ONE (sub, code) groupBy — corpus×m rows shuffle
+      // once as partial sums instead of corpus×dim exploded rows twice;
+      // floor(·*10000) long math is unchanged, so books stay bit-identical
+      val sums = (1 to dsub).map(i =>
+        sum(floor(element_at(col("sv"), i) * 10000).cast("long"))
+          .as(s"__s$i"))
       val means = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .select(col("sub"), col("code"), col("pos"),
-          floor(col("col") * 10000).cast("long").as("qv"))
-        .groupBy("sub", "code", "pos")
-        .agg(sum("qv").as("s"), count(lit(1)).as("n"))
-        .select(col("sub"), col("code"), col("pos"),
-          (col("s").cast("double") / (lit(10000.0) * col("n"))).as("cv"))
         .groupBy("sub", "code")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("cv")))),
-          x => x.getField("cv")).as("__new"))
+        .agg(sums.head, sums.tail :+ count(lit(1)).as("__n"): _*)
+        .select(col("sub"), col("code"),
+          array((1 to dsub).map(i => col(s"__s$i").cast("double") /
+            (lit(10000.0) * col("__n"))): _*).as("__new"))
       // m·k rows: checkpoint per iteration so the next broadcast reads
       // a tiny table, not the whole training lineage
       books = books.join(means, Seq("sub", "code"), "left")
