@@ -172,4 +172,57 @@ class WebOpsSpec extends SparkSpec {
     assert(strip("<div>\n  a\n\t b  </div>") == "a b")
     assert(strip("already plain text") == "already plain text")
   }
+
+  test("registrableDomainWith: randomized hosts/rules match a naive PSL reference") {
+    import spark.implicits._
+    // plain-Scala reference of the documented PSL semantics — an
+    // implementation simple enough to audit by eye
+    def ref(rawHost: String, rules: Seq[String]): String = {
+      val host = rawHost.toLowerCase.stripSuffix(".")
+      val hl = host.split("\\.", -1).toSeq
+      val n = hl.length
+      if (host.matches("^[0-9.]+$") || n <= 1) return host
+      val winners = rules.flatMap { r =>
+        val exc = r.startsWith("!")
+        val rl = (if (exc) r.drop(1) else r).split("\\.", -1).toSeq
+        val sn = rl.length
+        val tail = hl.takeRight(sn)
+        if (n >= sn && rl.zip(tail).forall { case (a, b) => a == "*" || a == b })
+          Some((if (exc) 1 else 0, if (exc) sn - 1 else sn))
+        else None
+      }
+      val sfx = if (winners.isEmpty) 1 else winners.max._2
+      hl.takeRight(math.max(math.min(sfx + 1, n), 1)).mkString(".")
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val labels = Seq("a", "bb", "www", "example", "co", "uk", "io", "x9")
+    def mkHost(): String = {
+      val n = 1 + rnd.nextInt(5)
+      val base = Seq.fill(n)(labels(rnd.nextInt(labels.length))).mkString(".")
+      val cased = if (rnd.nextInt(4) == 0) base.toUpperCase else base
+      val dotted = if (rnd.nextInt(6) == 0) cased + "." else cased
+      if (rnd.nextInt(12) == 0) s"10.${rnd.nextInt(256)}.0.${rnd.nextInt(256)}"
+      else dotted
+    }
+    def mkRule(): String = {
+      val n = 1 + rnd.nextInt(3)
+      val body = Seq.fill(n)(labels(rnd.nextInt(labels.length)))
+        .updated(0, if (rnd.nextInt(5) == 0) "*"
+          else labels(rnd.nextInt(labels.length))).mkString(".")
+      if (rnd.nextInt(6) == 0 && n >= 2) "!" + body else body
+    }
+    for (round <- 1 to 3) {
+      val rules = Seq.fill(12)(mkRule()).distinct
+      val hosts = Seq.tabulate(100)(i => (i.toLong, mkHost()))
+      val got = WebOps.registrableDomainWith(
+          hosts.toDF("host_id", "host"), rules.toDF("suffix"))
+        .select("host_id", "host", "registrable_domain")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      got.foreach { case (id, h, d) =>
+        assert(d == ref(h, rules),
+          s"round $round host '$h' (id $id): got '$d', " +
+            s"reference '${ref(h, rules)}', rules=$rules")
+      }
+    }
+  }
 }
