@@ -807,6 +807,15 @@ object SparkEntry {
           col("shard_rank"))
         .orderBy("shard", "shard_rank")),
 
+    // the Z-order layout key itself, oracle-checked bit for bit: the
+    // clustering zOrderedWrite sorts by is exactly this Morton
+    // interleave, so pinning the key pins the layout
+    "q_zorder_key" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+        Layout.zOrderKey(Seq(col("p_partkey"), col("p_size")), 16)
+          .as("z_key"))
+        .orderBy("z_key", "p_partkey")),
+
     // salted skew-join: result-identical to the plain join (the oracle
     // IS the plain join), hot probe keys spread over nSalt tasks
     "q_salted_join" -> ((s, dir) => {
@@ -2620,6 +2629,18 @@ object SparkEntry {
          |    PARTITION BY least(floor(u * 8), 7)
          |    ORDER BY u, doc_id) AS BIGINT) AS shard_rank
          |FROM f ORDER BY shard, shard_rank""".stripMargin
+    },
+
+    "q_zorder_key" -> {
+      // the Morton interleave unrolled: bit b of column i lands at
+      // position b*ncols + i — same math as Layout.zOrderKey
+      val terms = (for {
+        b <- 0 until 16
+        (c, i) <- Seq("p_partkey", "p_size").zipWithIndex
+      } yield s"(((CAST($c AS BIGINT) >> $b) & 1) << ${b * 2 + i})")
+        .mkString(" | ")
+      s"""SELECT p_partkey, p_size, ($terms) AS z_key
+         |FROM part ORDER BY z_key, p_partkey""".stripMargin
     },
 
     "q_salted_join" ->
