@@ -79,7 +79,10 @@ object ScaleGen {
         if (k == 0) d
         else d.withColumn("embedding", {
           val v = col("embedding")
-          val s = lit(k % 64)
+          // shift mod the ACTUAL dim so any vector width is safe; a
+          // zero shift (k multiple of dim) still decorrelates nothing,
+          // but k < factor << dim in every real amplification
+          val s = pmod(lit(k), size(v))
           when(v.isNull, v).otherwise(
             concat(slice(v, s + 1, size(v) - s), slice(v, lit(1), s)))
         })), "embeddings")
