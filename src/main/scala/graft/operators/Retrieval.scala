@@ -47,6 +47,23 @@ object Retrieval {
     bm25TopKWith(tf, queries, k, k1, b, id, qid, qtextCol)
   }
 
+  /** Persist the (id, t, tf) inverted-index statistics as parquet —
+    * the one corpus-sized artifact [[bm25TopKWith]] serves from:
+    * built once per corpus (one tokenize + one map-side-combinable
+    * groupBy), reread per query batch. Plain parquet: outlives the
+    * writing application, no block-manager state — same contract as
+    * [[Similarity.pqIndexWrite]] / [[Dedup.signatureIndexWrite]]. */
+  def tfIndexWrite(docs: DataFrame, path: String, id: String = "doc_id",
+      textCol: String = "text"): Unit =
+    docs.select(col(id), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .groupBy(col(id), col("t")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[tfIndexWrite]] artifact. Staleness contract: the caller
+    * rebuilds when the corpus files change. */
+  def tfIndexRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(path)
+
   /** BM25 over a PERSISTED term-frequency index — the production
     * shape: `tf` is (id, t, tf), the one corpus-sized artifact
     * ([[bm25TopK]]'s first groupBy, written once); doc lengths, df and

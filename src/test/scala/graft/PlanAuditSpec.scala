@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_pq_rerank" -> 3,       // codebook + distance tables + query
     "sim_pq_trained" -> 3,      // trained codebook + tables + query
     "text_bm25" -> 1,           // (N, avgdl) corpus-stats fold
+    "text_bm25_indexed" -> 1,   // same fold over the persisted index
     "text_classify" -> 3,       // model rows + prior + vocab-size folds
     "text_kl_drift" -> 1,       // (total_p, total_q) fold
     "text_perplexity" -> 1,     // corpus token-total fold

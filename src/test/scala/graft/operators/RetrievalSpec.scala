@@ -71,4 +71,19 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSet
     assert(a == b)
   }
+
+  test("tf index parquet artifact: on-disk round-trip serves the inline answer") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tfidx").toString + "/tf"
+    Retrieval.tfIndexWrite(corpus, dir)
+    // drop every cached/persisted block: the artifact must carry the
+    // whole state on disk, like a fresh serving application
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val inline = Retrieval.bm25TopK(corpus, queryDf(1L -> "apple cherry"))
+      .collect().toSet
+    val served = Retrieval.bm25TopKWith(Retrieval.tfIndexRead(spark, dir),
+      queryDf(1L -> "apple cherry")).collect().toSet
+    assert(served == inline)
+  }
 }
