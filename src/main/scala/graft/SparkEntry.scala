@@ -1044,6 +1044,26 @@ object SparkEntry {
         lo = -50.0, hi = 50.0, nBins = 40)
     }),
 
+    // threshold-free gate quality: exact ROC AUC (midrank ties) of the
+    // NB en-gate on a 0.1-rounded score grid — rounding bounds the
+    // distinct-score table the rank window runs over, so the window
+    // never sees corpus-sized input
+    "q_gate_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
+        .map(w => TextAnalysis.wordCount(col("text"), w))
+        .reduce(_ + _) > 0
+      // dim 16 ON PURPOSE: heavy hash collisions make the gate
+      // imperfect (AUC ~0.71 at sf0.01), so the curve and the midrank
+      // tie handling are actually exercised — dim 256 separates its
+      // own training labels perfectly and the AUC degenerates to 1.0
+      val model = TextAnalysis.nbModel(docs, isEn, dim = 16)
+      val scored = TextAnalysis.nbScore(docs, model, dim = 16)
+        .join(docs.select(col("doc_id"),
+          isEn.cast("long").as("label")), Seq("doc_id"))
+      Eval.aucExact(scored, round(col("score"), 1), col("label"))
+    }),
+
     // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
     // in for lines on this single-line corpus; windows shared by >= 2
     // docs (exact-dup and near-dup clones) are stripped everywhere and
@@ -3505,6 +3525,69 @@ object SparkEntry {
          |  round(CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE) /
          |    CAST(kept + total_pos AS DOUBLE), 6) AS f1
          |FROM cum CROSS JOIN tpos ORDER BY threshold""".stripMargin
+    },
+
+    "q_gate_auc" -> {
+      // same scored chain as q_gate_calibration, then the Mann–Whitney
+      // rank-sum with doubled midranks (2·cum − n + 1 stays integer;
+      // HUGEINT sum mirrors the decimal(38,0) exactness)
+      val bfrac = md5FracSql("'b|' || tok")
+      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
+      s"""WITH $PaddedDocCte,
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+         |  FROM p),
+         |tok AS (
+         |  SELECT d.doc_id, lab.y,
+         |    unnest(string_split(lower(d.text), ' ')) AS tok
+         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, y, CAST(floor(($bfrac) * 16) AS INT) AS bk
+         |  FROM tok),
+         |counts AS (
+         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
+         |    CAST(sum(1 - y) AS BIGINT) AS cn
+         |  FROM b GROUP BY bk),
+         |dense AS (
+         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS i)
+         |  LEFT JOIN counts ON counts.bk = i),
+         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
+         |w AS (
+         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 16)) -
+         |    ln((cn + 1) / (nn + 16))) * 1e6) AS BIGINT) AS w_q
+         |  FROM dense CROSS JOIN tot),
+         |prior AS (
+         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
+         |    AS BIGINT) AS prior_q
+         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
+         |sc AS (
+         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
+         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
+         |scored AS (
+         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
+         |    lab.y
+         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |g AS (
+         |  SELECT round(score, 1) AS s, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS np
+         |  FROM scored GROUP BY 1),
+         |rk AS (
+         |  SELECT s, n, np,
+         |    CAST(sum(n) OVER (ORDER BY s) AS BIGINT) AS cum
+         |  FROM g),
+         |t AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS p,
+         |    CAST(sum(n - np) AS BIGINT) AS q,
+         |    sum(CAST(np * (2 * cum - n + 1) AS HUGEINT)) AS r2
+         |  FROM rk)
+         |SELECT p AS n_pos, q AS n_neg,
+         |  round((CAST(r2 AS DOUBLE) -
+         |      CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE)) /
+         |    (CAST(2 AS DOUBLE) * CAST(nullif(p, 0) AS DOUBLE) *
+         |      CAST(nullif(q, 0) AS DOUBLE)), 6) AS auc
+         |FROM t""".stripMargin
     },
 
     // line-level dedup: identical 8-token-window segmentation; the df

@@ -54,4 +54,55 @@ object Eval {
           (col("kept") + col("total_pos")).cast("double"), 6).as("f1"))
       .orderBy("threshold")
   }
+
+  /** Exact ROC AUC of a scored, labeled table — the threshold-free
+    * companion to [[thresholdSweep]] (one number to compare gate
+    * versions by, before picking an operating point). Mann–Whitney
+    * rank-sum identity with midrank tie handling:
+    *
+    *   AUC = (Σ_{pos} rank − nPos·(nPos+1)/2) / (nPos·nNeg)
+    *
+    * tied scores sharing their average rank — equal to P(random
+    * positive outranks random negative, ties ½), the trapezoidal area
+    * under the exact ROC curve.
+    *
+    * Exact-integer discipline: doubled ranks 2·avgRank = 2·cum − n + 1
+    * stay integers, and Σ np·rank2 accumulates as decimal(38,0), so no
+    * float ever sums across partitions — one division at the end.
+    *
+    * 100 TB shape: the corpus-sized pass is ONE map-side-combinable
+    * groupBy on the score value; the cumulative window runs over the
+    * DISTINCT-score table (ordered, single partition — deliberately,
+    * like [[thresholdSweep]]'s sweep). That is only safe while
+    * distinct scores ≪ corpus, which quantized gate scores give;
+    * round/bin a raw-double score column first.
+    *
+    * Output: 1 row — n_pos, n_neg, auc (NULL when either class is
+    * empty: AUC is undefined without both classes). */
+  def aucExact(scored: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val per = scored
+      .select(scoreCol.as("s"), labelCol.cast("long").as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = per
+      .withColumn("cum", sum(col("n")).over(w))
+      // ranks of this tied group are (cum−n+1)..cum; doubled average
+      // rank 2·cum − n + 1 keeps the math in exact integers
+      .withColumn("rank2", lit(2) * col("cum") - col("n") + lit(1))
+    ranked
+      .agg(
+        sum(col("np")).as("p"),
+        sum(col("n") - col("np")).as("q"),
+        sum((col("np") * col("rank2")).cast("decimal(38,0)")).as("r2"))
+      .select(col("p").as("n_pos"), col("q").as("n_neg"),
+        round(
+          (col("r2").cast("double") -
+            col("p").cast("double") * (col("p") + 1).cast("double")) /
+            (lit(2.0) * nullif(col("p"), lit(0)).cast("double") *
+              nullif(col("q"), lit(0)).cast("double")), 6)
+          .as("auc"))
+  }
 }

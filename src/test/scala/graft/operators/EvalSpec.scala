@@ -43,4 +43,40 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(4)), "recall must be NULL with no positives")
     assert(r.forall(_.getDouble(3) == 0.0))
   }
+
+  test("aucExact: hand case — perfect, inverted, and tied-class corners") {
+    def auc(rows: Seq[(Double, Long)]): Option[Double] = {
+      val r = Eval.aucExact(rows.toDF("score", "label"),
+        col("score"), col("label")).head()
+      if (r.isNullAt(2)) None else Some(r.getDouble(2))
+    }
+    // perfectly separated: every positive above every negative
+    assert(auc(Seq((0.1, 0L), (0.2, 0L), (0.8, 1L), (0.9, 1L))) ==
+      Some(1.0))
+    // perfectly inverted
+    assert(auc(Seq((0.9, 0L), (0.8, 0L), (0.1, 1L), (0.2, 1L))) ==
+      Some(0.0))
+    // all scores tied: every pos/neg pair counts 1/2
+    assert(auc(Seq((0.5, 0L), (0.5, 1L), (0.5, 0L), (0.5, 1L))) ==
+      Some(0.5))
+    // one class absent: undefined, NULL
+    assert(auc(Seq((0.5, 1L), (0.7, 1L))).isEmpty)
+  }
+
+  test("aucExact: randomized scores match naive pairwise counting") {
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 3) {
+      // coarse score grid on purpose: plenty of cross-class ties
+      val rows = Seq.fill(60)(
+        (rnd.nextInt(8) / 4.0, if (rnd.nextBoolean()) 1L else 0L))
+      val pos = rows.collect { case (s, 1L) => s }
+      val neg = rows.collect { case (s, 0L) => s }
+      val naive = pos.flatMap(p => neg.map(n =>
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+        (pos.size.toDouble * neg.size)
+      val got = Eval.aucExact(rows.toDF("score", "label"),
+        col("score"), col("label")).head().getDouble(2)
+      assert(math.abs(got - naive) < 1e-6, s"got $got expected $naive")
+    }
+  }
 }
