@@ -55,6 +55,45 @@ object Eval {
       .orderBy("threshold")
   }
 
+  /** Reliability (calibration) curve — before a gate's scores are used
+    * as sampling weights or mixed across sources, check that its
+    * predicted probabilities MEAN what they say: bin rows by predicted
+    * probability sigmoid(score) onto `nBins` equal-width [0,1) bins
+    * and compare each bin's average prediction against its observed
+    * positive rate (a calibrated gate tracks the diagonal; the gap is
+    * what temperature scaling would fix).
+    *
+    * Exact-integer discipline: each row's probability is quantized to
+    * a 1e-6 long before summation (decimal(38,0), overflow-free), one
+    * divide per bin at the end — no float accumulates across
+    * partitions. The whole pass is ONE map-side-combinable groupBy;
+    * output is ≤ nBins rows. Saturated scores are safe: exp overflow
+    * drives sigmoid to exactly 0/1 and the edge bin clamps.
+    *
+    * Output per occupied bin: p_lo (bin lower edge), n, avg_pred,
+    * pos_rate. */
+  def reliability(scored: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val prob = lit(1.0) / (lit(1.0) + exp(negate(scoreCol)))
+    scored
+      .select(
+        least(lit(nBins - 1), floor(prob * nBins).cast("int")).as("bin"),
+        floor(prob * 1e6).cast("long").as("pq"),
+        labelCol.cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pq").cast("decimal(38,0)")).as("spq"),
+        sum(col("y")).as("np"))
+      .select(
+        round(col("bin").cast("double") / nBins, 6).as("p_lo"),
+        col("n"),
+        round(col("spq").cast("double") / (lit(1e6) * col("n")), 6)
+          .as("avg_pred"),
+        round(col("np").cast("double") / col("n"), 6).as("pos_rate"))
+      .orderBy("p_lo")
+  }
+
   /** Exact ROC AUC of a scored, labeled table — the threshold-free
     * companion to [[thresholdSweep]] (one number to compare gate
     * versions by, before picking an operating point). Mann–Whitney

@@ -44,6 +44,22 @@ class EvalSpec extends SparkSpec {
     assert(r.forall(_.getDouble(3) == 0.0))
   }
 
+  test("reliability: sigmoid binning, exact per-bin means, edge clamp") {
+    // scores 0 -> prob .5 (bin 5); ±large saturate to bins 0/9
+    val rows = Seq(
+      (0.0, 1L), (0.0, 0L),        // bin 5: avg_pred .5, pos_rate .5
+      (1000.0, 1L),                // sigmoid 1.0 clamps into bin 9
+      (-1000.0, 0L), (-1000.0, 1L) // sigmoid 0.0 -> bin 0, rate .5
+    ).toDF("score", "label")
+    val got = Eval.reliability(rows, col("score"), col("label"), nBins = 10)
+      .collect().map(r => (r.getDouble(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0.0, 2L, 0.0, 0.5),
+      (0.5, 2L, 0.5, 0.5),
+      (0.9, 1L, 1.0, 1.0)))
+  }
+
   test("aucExact: hand case — perfect, inverted, and tied-class corners") {
     def auc(rows: Seq[(Double, Long)]): Option[Double] = {
       val r = Eval.aucExact(rows.toDF("score", "label"),
