@@ -959,6 +959,27 @@ object SparkEntry {
         .orderBy("url_id")
     }),
 
+    // Unicode NFC canonicalization ahead of hash-keyed dedup: composed
+    // and decomposed spellings of the same visible text collapse to one
+    // byte sequence (the VALUES batch carries both forms of é and ü);
+    // per-row native codegen'd Normalizer call, DuckDB nfc_normalize
+    // replays it exactly
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        (1L, "café"),        // composed é
+        (2L, "café"),       // decomposed e + U+0301
+        (3L, "noel"),             // already normal
+        (4L, "über"),       // decomposed u + U+0308
+        (5L, "über")         // composed ü
+      ).toDF("doc_id", "text")
+      rows.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"),
+          (TextAnalysis.normalizeText(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
+
     // PSL-table registrable domain: the production-exact path — rule
     // table folds to ONE broadcast array row, per-host label-tail
     // match via HOFs; the VALUES batch exercises every grammar rule
@@ -3341,6 +3362,19 @@ object SparkEntry {
          |  END AS domain
          |FROM canon ORDER BY url_id""".stripMargin
     },
+
+    "text_normalize" ->
+      // E'' escape strings carry the exact composed/decomposed code
+      // points; nfc_normalize is the same Unicode NFC the JDK applies
+      """WITH rows(doc_id, text) AS (VALUES
+        |  (CAST(1 AS BIGINT), E'café'),
+        |  (CAST(2 AS BIGINT), E'café'),
+        |  (CAST(3 AS BIGINT), 'noel'),
+        |  (CAST(4 AS BIGINT), E'über'),
+        |  (CAST(5 AS BIGINT), E'über'))
+        |SELECT doc_id, nfc_normalize(text) AS norm,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM rows ORDER BY doc_id""".stripMargin,
 
     "q_registrable_domain" ->
       // the PSL algorithm replayed relationally: normalize, match every

@@ -17,6 +17,21 @@ object TextAnalysis {
   /** whitespace tokens of the lowercased text */
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Unicode normalization — run BEFORE any hash-keyed operator
+    * (exact fingerprints, minhash shingles, token stats): composed
+    * "é" vs decomposed "e"+U+0301 are different bytes for the same
+    * visible text and silently defeat dedup. "NFC" (default) is the
+    * canonical lossless dedup key and has a DuckDB oracle twin
+    * (`nfc_normalize`); "NFKC" additionally folds compatibility
+    * variants (full-width forms, ligatures — lossy, what aggressive
+    * crawl dedup uses; spec-pinned, no SQL twin). Codegen'd native
+    * call, already-normal text pays one scan and no allocation
+    * ([[graft.functions.expressions.UnicodeNormalize]]); also in
+    * plain SQL as `unicode_normalize(s, 'NFC')`. */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.CatalystBridge.unicodeNormalize(
+      text, java.text.Normalizer.Form.valueOf(form.toUpperCase))
+
   /** token count without materializing the array: chars minus spaces
     * arithmetic is wrong for runs; prefer array size. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -54,6 +54,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.Md5Hex(
       ExpressionUtils.expression(c)))
 
+  /** Native Unicode normalization (see
+    * [[graft.functions.expressions.UnicodeNormalize]]). */
+  def unicodeNormalize(c: Column, form: java.text.Normalizer.Form): Column =
+    ExpressionUtils.column(graft.functions.expressions.UnicodeNormalize(
+      ExpressionUtils.expression(c), form))
+
   /** Native DEFLATE-compressed byte length (see
     * [[graft.functions.expressions.DeflateLen]]). */
   def deflateLen(c: Column, level: Int = 6): Column =
@@ -109,6 +115,27 @@ object CatalystBridge {
     (args: Seq[Expression]) => {
       require(args.length == 2, s"dot_product takes 2 arguments, got ${args.length}")
       graft.functions.expressions.DotProduct(args.head, args(1))
+    })
+
+  /** `unicode_normalize(s, 'NFC')` — Unicode normalization; the form
+    * must be a string literal naming a `java.text.Normalizer.Form`. */
+  val unicodeNormalizeDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unicode_normalize"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.UnicodeNormalize].getName,
+      "unicode_normalize"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"unicode_normalize takes (text, form), got ${args.length} args")
+      val form = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null =>
+          java.text.Normalizer.Form.valueOf(v.toString.toUpperCase)
+        case other => throw new IllegalArgumentException(
+          s"unicode_normalize: form must be a string literal, got $other")
+      }
+      graft.functions.expressions.UnicodeNormalize(args.head, form)
     })
 
   /** `md5_fraction(s)` — the deterministic hash-randomness source. */
@@ -303,7 +330,8 @@ object CatalystBridge {
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
-    topKDescriptor, wordpieceDescriptor, deflateLenDescriptor)
+    topKDescriptor, wordpieceDescriptor, deflateLenDescriptor,
+    unicodeNormalizeDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

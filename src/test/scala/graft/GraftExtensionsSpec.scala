@@ -110,4 +110,34 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
+
+  test("unicode_normalize in plain SQL: forms work, non-literal form rejected") {
+    GraftExtensions.register(spark)
+    // decomposed e + U+0301 composes under NFC
+    val nfc = spark.sql("SELECT unicode_normalize('café', 'NFC') AS s")
+      .head().getString(0)
+    assert(nfc == "café", nfc.map(_.toInt.toHexString).mkString(","))
+    // NFKC folds compatibility forms: full-width A, fi ligature
+    val nfkc = spark.sql(
+      "SELECT unicode_normalize('Ａ ﬁn', 'NFKC') AS s")
+      .head().getString(0)
+    assert(nfkc == "A fin", nfkc.map(_.toInt.toHexString).mkString(","))
+    // NFC leaves compatibility forms alone
+    val nfcK = spark.sql(
+      "SELECT unicode_normalize('Ａ', 'NFC') AS s").head().getString(0)
+    assert(nfcK == "Ａ")
+    // NULL propagates; idempotence
+    assert(spark.sql("SELECT unicode_normalize(CAST(NULL AS STRING), 'NFC')")
+      .head().isNullAt(0))
+    val twice = spark.sql(
+      "SELECT unicode_normalize(unicode_normalize('café', 'NFC'), 'NFC') AS s")
+      .head().getString(0)
+    assert(twice == "café")
+    // the form is a plan-time constant — a column is rejected
+    val e2 = intercept[Exception] {
+      spark.sql(
+        "SELECT unicode_normalize(s, s) FROM (SELECT 'NFC' AS s)").collect()
+    }
+    assert(e2.getMessage.contains("literal"), e2.getMessage)
+  }
 }
