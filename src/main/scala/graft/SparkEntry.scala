@@ -1101,6 +1101,20 @@ object SparkEntry {
       Eval.reliability(scored, col("score"), col("label"), nBins = 10)
     }),
 
+    // the calibration curve folded to its dashboard scalar (same bins,
+    // exact integer deviations)
+    "q_gate_ece" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
+        .map(w => TextAnalysis.wordCount(col("text"), w))
+        .reduce(_ + _) > 0
+      val model = TextAnalysis.nbModel(docs, isEn, dim = 16)
+      val scored = TextAnalysis.nbScore(docs, model, dim = 16)
+        .join(docs.select(col("doc_id"),
+          isEn.cast("long").as("label")), Seq("doc_id"))
+      Eval.calibrationError(scored, col("score"), col("label"), nBins = 10)
+    }),
+
     // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
     // in for lines on this single-line corpus; windows shared by >= 2
     // docs (exact-dup and near-dup clones) are stripped everywhere and
@@ -3697,6 +3711,69 @@ object SparkEntry {
          |    (CAST(1000000 AS DOUBLE) * count(*)), 6) AS avg_pred,
          |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
          |FROM g GROUP BY bin ORDER BY p_lo""".stripMargin
+    },
+
+    "q_gate_ece" -> {
+      // same dim-16 sigmoid bins; per-bin |sum(pq) - 1e6*sum(y)| stays
+      // in exact integers (HUGEINT), one divide at the end
+      val bfrac = md5FracSql("'b|' || tok")
+      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
+      s"""WITH $PaddedDocCte,
+         |lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+         |  FROM p),
+         |tok AS (
+         |  SELECT d.doc_id, lab.y,
+         |    unnest(string_split(lower(d.text), ' ')) AS tok
+         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, y, CAST(floor(($bfrac) * 16) AS INT) AS bk
+         |  FROM tok),
+         |counts AS (
+         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
+         |    CAST(sum(1 - y) AS BIGINT) AS cn
+         |  FROM b GROUP BY bk),
+         |dense AS (
+         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS i)
+         |  LEFT JOIN counts ON counts.bk = i),
+         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
+         |w AS (
+         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 16)) -
+         |    ln((cn + 1) / (nn + 16))) * 1e6) AS BIGINT) AS w_q
+         |  FROM dense CROSS JOIN tot),
+         |prior AS (
+         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
+         |    AS BIGINT) AS prior_q
+         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
+         |sc AS (
+         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
+         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
+         |scored AS (
+         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
+         |    lab.y
+         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |g AS (
+         |  SELECT least(9, CAST(floor(
+         |      (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-score))) *
+         |      CAST(10 AS DOUBLE)) AS INT)) AS bin,
+         |    CAST(floor(
+         |      (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-score))) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) AS pq,
+         |    y
+         |  FROM scored),
+         |pb AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(pq AS HUGEINT)) AS spq,
+         |    CAST(sum(y) AS BIGINT) AS np
+         |  FROM g GROUP BY bin)
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  round(CAST(sum(abs(spq - CAST(np AS HUGEINT) * 1000000))
+         |      AS DOUBLE) /
+         |    (CAST(1000000 AS DOUBLE) *
+         |      CAST(nullif(sum(n), 0) AS DOUBLE)), 6) AS ece
+         |FROM pb""".stripMargin
     },
 
     // line-level dedup: identical 8-token-window segmentation; the df

@@ -33,6 +33,8 @@ case class UnicodeNormalize(child: Expression, form: Normalizer.Form)
 
   override def dataType: DataType = StringType
 
+  override def prettyName: String = "unicode_normalize"
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

@@ -94,6 +94,37 @@ object Eval {
       .orderBy("p_lo")
   }
 
+  /** Expected calibration error — [[reliability]] folded to the one
+    * number dashboards track: ECE = Σ_b (n_b/N)·|avg_pred_b −
+    * pos_rate_b| over the same sigmoid-probability bins. Because each
+    * bin's contribution is n_b·|avg_pred − pos_rate| =
+    * |Σpq − 1e6·np| / 1e6, the whole statistic folds to EXACT integer
+    * sums (decimal(38,0)) with one divide at the end — no float
+    * crosses a partition, same discipline as [[aucExact]].
+    *
+    * Output: 1 row — n, ece (NULL on an empty input). */
+  def calibrationError(scored: DataFrame, scoreCol: Column,
+      labelCol: Column, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1: $nBins")
+    val prob = lit(1.0) / (lit(1.0) + exp(negate(scoreCol)))
+    scored
+      .select(
+        least(lit(nBins - 1), floor(prob * nBins).cast("int")).as("bin"),
+        floor(prob * 1e6).cast("long").as("pq"),
+        labelCol.cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pq").cast("decimal(38,0)")).as("spq"),
+        sum(col("y")).as("np"))
+      .agg(sum(col("n")).as("n_l"),
+        sum(abs(col("spq") - col("np").cast("decimal(38,0)") * lit(1000000)))
+          .as("dev"))
+      .select(col("n_l").as("n"),
+        round(col("dev").cast("double") /
+          (lit(1e6) * nullif(col("n_l"), lit(0)).cast("double")), 6)
+          .as("ece"))
+  }
+
   /** Exact ROC AUC of a scored, labeled table — the threshold-free
     * companion to [[thresholdSweep]] (one number to compare gate
     * versions by, before picking an operating point). Mann–Whitney

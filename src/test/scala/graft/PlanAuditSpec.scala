@@ -27,6 +27,7 @@ class PlanAuditSpec extends SparkSpec {
     "dedup_semdedup" -> 2,      // centroid table + cluster-size fold
     "q_freq_topk" -> 1,         // (n_total, mg sketch) 1-row fold
     "q_gate_auc" -> 3,          // NB model + prior + totals folds
+    "q_gate_ece" -> 3,          // same NB scored-chain folds
     "q_gate_reliability" -> 3,  // same NB scored-chain folds
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
     "q_histogram" -> 1,         // (min, max) bounds fold

@@ -60,6 +60,17 @@ class EvalSpec extends SparkSpec {
       (0.9, 1L, 1.0, 1.0)))
   }
 
+  test("calibrationError folds the reliability bins: hand case") {
+    val rows = Seq(
+      (0.0, 1L), (0.0, 0L),        // bin 5: |.5 - .5| -> 0
+      (1000.0, 1L),                // bin 9: |1 - 1|  -> 0
+      (-1000.0, 0L), (-1000.0, 1L) // bin 0: |0 - .5| -> 2 rows * .5
+    ).toDF("score", "label")
+    val r = Eval.calibrationError(rows, col("score"), col("label"),
+      nBins = 10).head()
+    assert(r.getLong(0) == 5L && r.getDouble(1) == 0.2, r)
+  }
+
   test("aucExact: hand case — perfect, inverted, and tied-class corners") {
     def auc(rows: Seq[(Double, Long)]): Option[Double] = {
       val r = Eval.aucExact(rows.toDF("score", "label"),
