@@ -1343,8 +1343,12 @@ object SparkEntry {
     // temperature-style weighted sample: 20 docs per source, longer
     // docs proportionally likelier, reproducible from ids alone
     "q_weighted_sample" -> ((s, dir) =>
-      Sampling.weightedSample(t(s, dir, "documents"), col("source"),
-        col("doc_id"), col("n_chars"), k = 20)
+      // project BEFORE sampling: weightedSample carries the whole row
+      // as a heap passenger, so an unpruned input would drag document
+      // text through the top-k state (and the scan would read it)
+      Sampling.weightedSample(
+        t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+        col("source"), col("doc_id"), col("n_chars"), k = 20)
         .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
         .orderBy("source", "rank")),
 

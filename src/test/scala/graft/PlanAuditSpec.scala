@@ -77,26 +77,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(over.isEmpty, s"unbudgeted nested-loop joins:\n${over.toSeq.sorted.mkString("\n")}")
   }
 
-  test("lineitem scans are column-pruned (never full 16-column width)") {
-    // depth-aware top-level field count of ReadSchema: struct<...>
-    def fields(s: String): Int = {
-      var depth = 0; var n = if (s.isEmpty) 0 else 1
-      s.foreach {
-        case '<' => depth += 1
-        case '>' => depth -= 1
-        case ',' if depth == 0 => n += 1
-        case _ =>
-      }
-      n
+  // depth-aware top-level field count of ReadSchema: struct<...>
+  private def fields(s: String): Int = {
+    var depth = 0; var n = if (s.isEmpty) 0 else 1
+    s.foreach {
+      case '<' => depth += 1
+      case '>' => depth -= 1
+      case ',' if depth == 0 => n += 1
+      case _ =>
     }
+    n
+  }
+
+  private def wideScans(table: String, fullWidth: Int,
+      allow: Set[String]): Seq[String] = {
     val scan = raw"FileScan parquet [^\n]*".r
     val read = raw"ReadSchema: struct<([^\n]*)>".r
-    val bad = plans.flatMap { case (q, p) =>
+    plans.toSeq.flatMap { case (q, p) =>
       scan.findAllIn(p).toSeq.collect {
-        case line if line.contains("lineitem") =>
+        case line if line.contains(table) && !allow(q) =>
           read.findFirstMatchIn(line).map(m => fields(m.group(1)))
-      }.flatten.filter(_ >= 16).map(w => s"$q: lineitem scan reads $w cols")
+      }.flatten.filter(_ >= fullWidth)
+        .map(w => s"$q: $table scan reads $w cols")
     }
-    assert(bad.isEmpty, bad.toSeq.sorted.mkString("\n"))
+  }
+
+  test("lineitem scans are column-pruned (never full 16-column width)") {
+    val bad = wideScans("lineitem", 16, Set.empty)
+    assert(bad.isEmpty, bad.sorted.mkString("\n"))
+  }
+
+  test("documents scans are column-pruned (never full 5-column width)") {
+    // q_profile IS the whole-table profiler — full width is its job
+    val bad = wideScans("documents", 5, allow = Set("q_profile"))
+    assert(bad.isEmpty, bad.sorted.mkString("\n"))
   }
 }
