@@ -1053,36 +1053,23 @@ object SparkEntry {
     // binning groupBy; the cumulative sweep runs on the 40-row bin
     // table
     "q_gate_calibration" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
-        .map(w => TextAnalysis.wordCount(col("text"), w))
-        .reduce(_ + _) > 0
-      val model = TextAnalysis.nbModel(docs, isEn, dim = 256)
-      val scored = TextAnalysis.nbScore(docs, model, dim = 256)
-        .join(docs.select(col("doc_id"),
-          isEn.cast("long").as("label")), Seq("doc_id"))
+      val scored = nbGateScored(s, dir, dim = 256)
       Eval.thresholdSweep(scored, col("score"), col("label"),
         lo = -50.0, hi = 50.0, nBins = 40)
     }),
 
     // threshold-free gate quality: exact ROC AUC (midrank ties) of the
-    // NB en-gate on a 0.1-rounded score grid — rounding bounds the
-    // distinct-score table the rank window runs over, so the window
-    // never sees corpus-sized input
+    // NB en-gate on a floor(score*10) grid — the coarse grid bounds the
+    // distinct-score table the rank window runs over, and FLOOR (not
+    // round) keeps half-boundary scores off the Spark-vs-DuckDB
+    // rounding divergence nbScore's scaladoc documents
     "q_gate_auc" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
-        .map(w => TextAnalysis.wordCount(col("text"), w))
-        .reduce(_ + _) > 0
       // dim 16 ON PURPOSE: heavy hash collisions make the gate
       // imperfect (AUC ~0.71 at sf0.01), so the curve and the midrank
       // tie handling are actually exercised — dim 256 separates its
       // own training labels perfectly and the AUC degenerates to 1.0
-      val model = TextAnalysis.nbModel(docs, isEn, dim = 16)
-      val scored = TextAnalysis.nbScore(docs, model, dim = 16)
-        .join(docs.select(col("doc_id"),
-          isEn.cast("long").as("label")), Seq("doc_id"))
-      Eval.aucExact(scored, round(col("score"), 1), col("label"))
+      val scored = nbGateScored(s, dir, dim = 16)
+      Eval.aucExact(scored, floor(col("score") * 10), col("label"))
     }),
 
     // calibration check on the same collision-heavy gate: is a doc the
@@ -1090,28 +1077,14 @@ object SparkEntry {
     // (the diagonal gap is what temperature scaling would fix before
     // scores become sampling weights)
     "q_gate_reliability" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
-        .map(w => TextAnalysis.wordCount(col("text"), w))
-        .reduce(_ + _) > 0
-      val model = TextAnalysis.nbModel(docs, isEn, dim = 16)
-      val scored = TextAnalysis.nbScore(docs, model, dim = 16)
-        .join(docs.select(col("doc_id"),
-          isEn.cast("long").as("label")), Seq("doc_id"))
+      val scored = nbGateScored(s, dir, dim = 16)
       Eval.reliability(scored, col("score"), col("label"), nBins = 10)
     }),
 
     // the calibration curve folded to its dashboard scalar (same bins,
     // exact integer deviations)
     "q_gate_ece" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
-        .map(w => TextAnalysis.wordCount(col("text"), w))
-        .reduce(_ + _) > 0
-      val model = TextAnalysis.nbModel(docs, isEn, dim = 16)
-      val scored = TextAnalysis.nbScore(docs, model, dim = 16)
-        .join(docs.select(col("doc_id"),
-          isEn.cast("long").as("label")), Seq("doc_id"))
+      val scored = nbGateScored(s, dir, dim = 16)
       Eval.calibrationError(scored, col("score"), col("label"), nBins = 10)
     }),
 
@@ -1826,6 +1799,22 @@ object SparkEntry {
        |  FROM qm)""".stripMargin
   }
 
+  /** Shared NB en-gate scoring chain behind the q_gate_* queries —
+    * (doc_id, score, label) with the en-marker self-label; mirrors
+    * the oracle-side [[nbScoredChainSql]] so query and oracle evolve
+    * together. */
+  private def nbGateScored(s: SparkSession, dir: String,
+      dim: Int): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val isEn = TextAnalysis.LangMarkers.toMap.apply("en")
+      .map(w => TextAnalysis.wordCount(col("text"), w))
+      .reduce(_ + _) > 0
+    val model = TextAnalysis.nbModel(docs, isEn, dim = dim)
+    TextAnalysis.nbScore(docs, model, dim = dim)
+      .join(docs.select(col("doc_id"),
+        isEn.cast("long").as("label")), Seq("doc_id"))
+  }
+
   /** doubled-space padded text for standalone-word counting */
   private def wordCountSql(word: String): String =
     s"CAST((length(p) - length(replace(p, ' $word ', ''))) / ${word.length + 2} AS BIGINT)"
@@ -1835,6 +1824,51 @@ object SparkEntry {
 
   private def langScoreSql(words: Seq[String]): String =
     words.map(wordCountSql).mkString("(", " + ", ")")
+
+  /** The NB en-gate scoring chain the q_gate_* oracles share —
+    * `scored(doc_id, score, y)` CTEs parameterized by the hashed model
+    * dim (mirrors [[nbGateScored]]; one definition so an oracle can't
+    * silently diverge from its siblings). Prepend `WITH $PaddedDocCte,`
+    * and append the consumer's own CTEs/SELECT. */
+  private def nbScoredChainSql(dim: Int): String = {
+    val bfrac = md5FracSql("'b|' || tok")
+    val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
+    s"""lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+       |  FROM p),
+       |tok AS (
+       |  SELECT d.doc_id, lab.y,
+       |    unnest(string_split(lower(d.text), ' ')) AS tok
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+       |b AS (
+       |  SELECT doc_id, y, CAST(floor(($bfrac) * $dim) AS INT) AS bk
+       |  FROM tok),
+       |counts AS (
+       |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
+       |    CAST(sum(1 - y) AS BIGINT) AS cn
+       |  FROM b GROUP BY bk),
+       |dense AS (
+       |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
+       |  FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS i)
+       |  LEFT JOIN counts ON counts.bk = i),
+       |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
+       |w AS (
+       |  SELECT bk, CAST(floor((ln((cp + 1) / (np + $dim)) -
+       |    ln((cn + 1) / (nn + $dim))) * 1e6) AS BIGINT) AS w_q
+       |  FROM dense CROSS JOIN tot),
+       |prior AS (
+       |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
+       |    AS BIGINT) AS prior_q
+       |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
+       |sc AS (
+       |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
+       |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
+       |scored AS (
+       |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
+       |    lab.y
+       |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id)""".stripMargin
+  }
 
   /** embeddings as DOUBLE[] + cosine expression */
   private val EmbCte =
@@ -3533,44 +3567,8 @@ object SparkEntry {
       // same model+score chain as text_classify, then the binned
       // threshold sweep; "precision" needs quoting (DuckDB type
       // keyword); bin/threshold float ops mirror Eval.thresholdSweep
-      val bfrac = md5FracSql("'b|' || tok")
-      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
       s"""WITH $PaddedDocCte,
-         |lab AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
-         |  FROM p),
-         |tok AS (
-         |  SELECT d.doc_id, lab.y,
-         |    unnest(string_split(lower(d.text), ' ')) AS tok
-         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
-         |b AS (
-         |  SELECT doc_id, y, CAST(floor(($bfrac) * 256) AS INT) AS bk
-         |  FROM tok),
-         |counts AS (
-         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
-         |    CAST(sum(1 - y) AS BIGINT) AS cn
-         |  FROM b GROUP BY bk),
-         |dense AS (
-         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
-         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
-         |  LEFT JOIN counts ON counts.bk = i),
-         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
-         |w AS (
-         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 256)) -
-         |    ln((cn + 1) / (nn + 256))) * 1e6) AS BIGINT) AS w_q
-         |  FROM dense CROSS JOIN tot),
-         |prior AS (
-         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
-         |    AS BIGINT) AS prior_q
-         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
-         |sc AS (
-         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
-         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
-         |scored AS (
-         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
-         |    lab.y
-         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |${nbScoredChainSql(256)},
          |pb AS (
          |  SELECT least(39, greatest(0, CAST(floor(
          |      (score - CAST(-50 AS DOUBLE)) / CAST(2.5 AS DOUBLE))
@@ -3599,46 +3597,11 @@ object SparkEntry {
       // same scored chain as q_gate_calibration, then the Mann–Whitney
       // rank-sum with doubled midranks (2·cum − n + 1 stays integer;
       // HUGEINT sum mirrors the decimal(38,0) exactness)
-      val bfrac = md5FracSql("'b|' || tok")
-      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
       s"""WITH $PaddedDocCte,
-         |lab AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
-         |  FROM p),
-         |tok AS (
-         |  SELECT d.doc_id, lab.y,
-         |    unnest(string_split(lower(d.text), ' ')) AS tok
-         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
-         |b AS (
-         |  SELECT doc_id, y, CAST(floor(($bfrac) * 16) AS INT) AS bk
-         |  FROM tok),
-         |counts AS (
-         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
-         |    CAST(sum(1 - y) AS BIGINT) AS cn
-         |  FROM b GROUP BY bk),
-         |dense AS (
-         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS i)
-         |  LEFT JOIN counts ON counts.bk = i),
-         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
-         |w AS (
-         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 16)) -
-         |    ln((cn + 1) / (nn + 16))) * 1e6) AS BIGINT) AS w_q
-         |  FROM dense CROSS JOIN tot),
-         |prior AS (
-         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
-         |    AS BIGINT) AS prior_q
-         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
-         |sc AS (
-         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
-         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
-         |scored AS (
-         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
-         |    lab.y
-         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |${nbScoredChainSql(16)},
          |g AS (
-         |  SELECT round(score, 1) AS s, CAST(count(*) AS BIGINT) AS n,
+         |  SELECT CAST(floor(score * 10) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n,
          |    CAST(sum(y) AS BIGINT) AS np
          |  FROM scored GROUP BY 1),
          |rk AS (
@@ -3648,7 +3611,8 @@ object SparkEntry {
          |t AS (
          |  SELECT CAST(sum(np) AS BIGINT) AS p,
          |    CAST(sum(n - np) AS BIGINT) AS q,
-         |    sum(CAST(np * (2 * cum - n + 1) AS HUGEINT)) AS r2
+         |    sum(CAST(np AS HUGEINT) *
+         |      (2 * CAST(cum AS HUGEINT) - n + 1)) AS r2
          |  FROM rk)
          |SELECT p AS n_pos, q AS n_neg,
          |  round((CAST(r2 AS DOUBLE) -
@@ -3662,44 +3626,8 @@ object SparkEntry {
       // same dim-16 scored chain, then sigmoid-binned calibration;
       // per-row prob quantized to 1e-6 longs before the bin sums so
       // both engines add the same integers
-      val bfrac = md5FracSql("'b|' || tok")
-      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
       s"""WITH $PaddedDocCte,
-         |lab AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
-         |  FROM p),
-         |tok AS (
-         |  SELECT d.doc_id, lab.y,
-         |    unnest(string_split(lower(d.text), ' ')) AS tok
-         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
-         |b AS (
-         |  SELECT doc_id, y, CAST(floor(($bfrac) * 16) AS INT) AS bk
-         |  FROM tok),
-         |counts AS (
-         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
-         |    CAST(sum(1 - y) AS BIGINT) AS cn
-         |  FROM b GROUP BY bk),
-         |dense AS (
-         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS i)
-         |  LEFT JOIN counts ON counts.bk = i),
-         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
-         |w AS (
-         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 16)) -
-         |    ln((cn + 1) / (nn + 16))) * 1e6) AS BIGINT) AS w_q
-         |  FROM dense CROSS JOIN tot),
-         |prior AS (
-         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
-         |    AS BIGINT) AS prior_q
-         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
-         |sc AS (
-         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
-         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
-         |scored AS (
-         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
-         |    lab.y
-         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |${nbScoredChainSql(16)},
          |g AS (
          |  SELECT least(9, CAST(floor(
          |      (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-score))) *
@@ -3720,44 +3648,8 @@ object SparkEntry {
     "q_gate_ece" -> {
       // same dim-16 sigmoid bins; per-bin |sum(pq) - 1e6*sum(y)| stays
       // in exact integers (HUGEINT), one divide at the end
-      val bfrac = md5FracSql("'b|' || tok")
-      val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
       s"""WITH $PaddedDocCte,
-         |lab AS (
-         |  SELECT doc_id,
-         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
-         |  FROM p),
-         |tok AS (
-         |  SELECT d.doc_id, lab.y,
-         |    unnest(string_split(lower(d.text), ' ')) AS tok
-         |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
-         |b AS (
-         |  SELECT doc_id, y, CAST(floor(($bfrac) * 16) AS INT) AS bk
-         |  FROM tok),
-         |counts AS (
-         |  SELECT bk, CAST(sum(y) AS BIGINT) AS cp,
-         |    CAST(sum(1 - y) AS BIGINT) AS cn
-         |  FROM b GROUP BY bk),
-         |dense AS (
-         |  SELECT i AS bk, coalesce(cp, 0) AS cp, coalesce(cn, 0) AS cn
-         |  FROM (SELECT unnest(generate_series(0, 15)) AS i)
-         |  LEFT JOIN counts ON counts.bk = i),
-         |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM counts),
-         |w AS (
-         |  SELECT bk, CAST(floor((ln((cp + 1) / (np + 16)) -
-         |    ln((cn + 1) / (nn + 16))) * 1e6) AS BIGINT) AS w_q
-         |  FROM dense CROSS JOIN tot),
-         |prior AS (
-         |  SELECT CAST(floor((ln(npos + 1.0) - ln(nneg + 1.0)) * 1e6)
-         |    AS BIGINT) AS prior_q
-         |  FROM (SELECT sum(y) AS npos, sum(1 - y) AS nneg FROM lab)),
-         |sc AS (
-         |  SELECT b.doc_id, count(*) AS n_tokens, sum(w_q) AS s_q
-         |  FROM b JOIN w USING (bk) GROUP BY b.doc_id),
-         |scored AS (
-         |  SELECT sc.doc_id, round((s_q + prior_q) / 1e6, 6) AS score,
-         |    lab.y
-         |  FROM sc CROSS JOIN prior JOIN lab ON lab.doc_id = sc.doc_id),
+         |${nbScoredChainSql(16)},
          |g AS (
          |  SELECT least(9, CAST(floor(
          |      (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-score))) *

@@ -72,8 +72,12 @@ object Eval {
     *
     * Output per occupied bin: p_lo (bin lower edge), n, avg_pred,
     * pos_rate. */
-  def reliability(scored: DataFrame, scoreCol: Column, labelCol: Column,
-      nBins: Int = 10): DataFrame = {
+  /** Shared binned aggregate behind [[reliability]] and
+    * [[calibrationError]]: sigmoid-probability bins with per-bin
+    * (n, Σ quantized-prob, Σ positives) — the curve and its scalar
+    * must read the SAME bins or they silently disagree. */
+  private def sigmoidBins(scored: DataFrame, scoreCol: Column,
+      labelCol: Column, nBins: Int): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1: $nBins")
     val prob = lit(1.0) / (lit(1.0) + exp(negate(scoreCol)))
     scored
@@ -85,6 +89,11 @@ object Eval {
       .agg(count(lit(1)).as("n"),
         sum(col("pq").cast("decimal(38,0)")).as("spq"),
         sum(col("y")).as("np"))
+  }
+
+  def reliability(scored: DataFrame, scoreCol: Column, labelCol: Column,
+      nBins: Int = 10): DataFrame = {
+    sigmoidBins(scored, scoreCol, labelCol, nBins)
       .select(
         round(col("bin").cast("double") / nBins, 6).as("p_lo"),
         col("n"),
@@ -105,17 +114,7 @@ object Eval {
     * Output: 1 row — n, ece (NULL on an empty input). */
   def calibrationError(scored: DataFrame, scoreCol: Column,
       labelCol: Column, nBins: Int = 10): DataFrame = {
-    require(nBins >= 1, s"nBins must be >= 1: $nBins")
-    val prob = lit(1.0) / (lit(1.0) + exp(negate(scoreCol)))
-    scored
-      .select(
-        least(lit(nBins - 1), floor(prob * nBins).cast("int")).as("bin"),
-        floor(prob * 1e6).cast("long").as("pq"),
-        labelCol.cast("long").as("y"))
-      .groupBy("bin")
-      .agg(count(lit(1)).as("n"),
-        sum(col("pq").cast("decimal(38,0)")).as("spq"),
-        sum(col("y")).as("np"))
+    sigmoidBins(scored, scoreCol, labelCol, nBins)
       .agg(sum(col("n")).as("n_l"),
         sum(abs(col("spq") - col("np").cast("decimal(38,0)") * lit(1000000)))
           .as("dev"))
@@ -166,7 +165,11 @@ object Eval {
       .agg(
         sum(col("np")).as("p"),
         sum(col("n") - col("np")).as("q"),
-        sum((col("np") * col("rank2")).cast("decimal(38,0)")).as("r2"))
+        // cast each factor BEFORE the multiply: a long*long product
+        // overflows silently past ~2^63 (np and rank2 both scale with
+        // corpus size); decimal(38,0)*decimal(38,0) stays exact
+        sum(col("np").cast("decimal(38,0)") *
+          col("rank2").cast("decimal(38,0)")).as("r2"))
       .select(col("p").as("n_pos"), col("q").as("n_neg"),
         round(
           (col("r2").cast("double") -
