@@ -55,23 +55,6 @@ object Eval {
       .orderBy("threshold")
   }
 
-  /** Reliability (calibration) curve — before a gate's scores are used
-    * as sampling weights or mixed across sources, check that its
-    * predicted probabilities MEAN what they say: bin rows by predicted
-    * probability sigmoid(score) onto `nBins` equal-width [0,1) bins
-    * and compare each bin's average prediction against its observed
-    * positive rate (a calibrated gate tracks the diagonal; the gap is
-    * what temperature scaling would fix).
-    *
-    * Exact-integer discipline: each row's probability is quantized to
-    * a 1e-6 long before summation (decimal(38,0), overflow-free), one
-    * divide per bin at the end — no float accumulates across
-    * partitions. The whole pass is ONE map-side-combinable groupBy;
-    * output is ≤ nBins rows. Saturated scores are safe: exp overflow
-    * drives sigmoid to exactly 0/1 and the edge bin clamps.
-    *
-    * Output per occupied bin: p_lo (bin lower edge), n, avg_pred,
-    * pos_rate. */
   /** Shared binned aggregate behind [[reliability]] and
     * [[calibrationError]]: sigmoid-probability bins with per-bin
     * (n, Σ quantized-prob, Σ positives) — the curve and its scalar
@@ -91,6 +74,23 @@ object Eval {
         sum(col("y")).as("np"))
   }
 
+  /** Reliability (calibration) curve — before a gate's scores are used
+    * as sampling weights or mixed across sources, check that its
+    * predicted probabilities MEAN what they say: bin rows by predicted
+    * probability sigmoid(score) onto `nBins` equal-width [0,1) bins
+    * and compare each bin's average prediction against its observed
+    * positive rate (a calibrated gate tracks the diagonal; the gap is
+    * what temperature scaling would fix).
+    *
+    * Exact-integer discipline: each row's probability is quantized to
+    * a 1e-6 long before summation (decimal(38,0), overflow-free), one
+    * divide per bin at the end — no float accumulates across
+    * partitions. The whole pass is ONE map-side-combinable groupBy;
+    * output is ≤ nBins rows. Saturated scores are safe: exp overflow
+    * drives sigmoid to exactly 0/1 and the edge bin clamps.
+    *
+    * Output per occupied bin: p_lo (bin lower edge), n, avg_pred,
+    * pos_rate. */
   def reliability(scored: DataFrame, scoreCol: Column, labelCol: Column,
       nBins: Int = 10): DataFrame = {
     sigmoidBins(scored, scoreCol, labelCol, nBins)
