@@ -21,9 +21,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = Seq.newBuilder[String]
+    // run-condition stamp (VERDICT r7 "What's missing #4"): ambient vs
+    // quiet host is machine-readable in the artifact itself, so a +-15%
+    // board move can be attributed without re-litigating noise
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
+    // per-query min-of-N spread (max-min over the timed samples): the
+    // second half of the stamp — a wide spread marks the queries whose
+    // recorded min met a stall window
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // steady-state measurement: one untimed warm-up execution per query
     // (JIT + file-cache), then the timed run — the number that scales
     // to a long-lived cluster. Disable with SPARK_GRAFT_WARMUP=0.
@@ -71,6 +83,7 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(true))
         System.gc()
+        spreads(name) = times.max - times.min
         name -> times.min
       } catch {
         case e: Throwable =>
@@ -86,8 +99,12 @@ object Bench {
     val fails = failed.result()
     val failJson = fails.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val spreadJson = spreads.map { case (k, v) => s"\"$k\":${f3(v)}" }
+      .mkString("{", ",", "}")
+    val conditions =
+      s"""{"load_avg_1m_start":${f3(loadStart)},"load_avg_1m_end":${f3(loadAvg())},"cpus":${Runtime.getRuntime.availableProcessors},"samples_per_query":3,"stat":"min"}"""
     val fullJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"queries":$qs}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","run_conditions":$conditions,"failed":$failJson,"queries":$qs,"query_spreads":$spreadJson}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), fullJson)
     // ALSO at the repo root, where end-of-round commits pick it up:
@@ -107,7 +124,7 @@ object Bench {
     val top10 = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","failed":$failJson,"n_queries":${results.size},"queries_truncated":${results.size > 10},"queries":$top10}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","run_conditions":$conditions,"failed":$failJson,"n_queries":${results.size},"queries_truncated":${results.size > 10},"queries":$top10}""")
     Console.out.flush()
     if (fails.nonEmpty) sys.exit(1)
   }

@@ -19,6 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pure range joins → cell-bucketized equi-joins (OFF until
     // spark.graft.rangeJoin.cellWidth is set; see RangeJoinRewrite)
     ext.injectOptimizerRule(_ => new graft.plans.RangeJoinRewrite)
+    // format("scd") native path: rewrite the DSv2 relation into the
+    // compiled replay plan at analysis, so pushdown reaches the files
+    // (without this, the format still works through its V1Scan
+    // fallback — see graft.sources.ScdDataSource)
+    ext.injectResolutionRule(session =>
+      new org.apache.spark.sql.graft.ScdRelationRewrite(session))
   }
 }
 

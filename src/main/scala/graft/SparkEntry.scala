@@ -520,6 +520,37 @@ object SparkEntry {
     "scd_sidecar" -> ((s, dir) =>
       ScdReader.read(s, sidecarDir(s, dir)).orderBy("c_custkey")),
 
+    // the SQL-only surface (VERDICT r7 #1): the same Type-7 view through
+    // `spark.read.format("scd")` — no Scala API, matching the
+    // reference's plain-HiveQL UX (README.md:169-170). With
+    // GraftExtensions installed (Verify/Bench sessions) the DSv2 node
+    // is rewritten to the native replay plan at analysis.
+    "scd_sql_source" -> ((s, dir) =>
+      s.read.format("scd").load(sidecarDir(s, dir)).orderBy("c_custkey")),
+
+    // pure-SQL registration (the reference's `doctors.hql` one-time
+    // CREATE, example/doctors.hql:1-36): a TEMPORARY VIEW ... USING scd
+    // with an asOf option, then a plain SELECT over it
+    "scd_sql_view" -> ((s, dir) => {
+      val src = sidecarDir(s, dir)
+      s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW scd_sql_customer
+                |USING scd OPTIONS (path '$src', asOf '2024-01-01')
+                |""".stripMargin)
+      s.sql("SELECT * FROM scd_sql_customer ORDER BY c_custkey")
+    }),
+
+    // session-conf default (reference `SET scd.time=...`,
+    // README.md:172-217): no asOf anywhere in the query — the view's
+    // as-of time comes from spark.graft.scd.time alone. load() resolves
+    // the conf eagerly, so the finally-reset cannot leak into the plan
+    // or into later queries.
+    "scd_sql_conf" -> ((s, dir) => {
+      val src = sidecarDir(s, dir)
+      s.conf.set(ScdReader.ConfKeyGraft, "2024-01-01")
+      try s.read.format("scd").load(src).orderBy("c_custkey")
+      finally s.conf.unset(ScdReader.ConfKeyGraft)
+    }),
+
     // per-partition sidecars (reference SQLUpdater.java:107-119: the
     // sidecar resolves against EACH split's directory, so a
     // Hive-partitioned table carries an independent DML log per
@@ -2365,6 +2396,28 @@ object SparkEntry {
     "scd_sidecar" ->
       s"""WITH $AsOfNowCte
          |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    // format("scd") replays the identical as-of view (SQL-only surface)
+    "scd_sql_source" ->
+      s"""WITH $AsOfNowCte
+         |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    // TEMP VIEW ... USING scd OPTIONS(asOf '2024-01-01'): the UPDATE
+    // (epoch 0) applies, the 2024-06-01 DELETE is still gated
+    "scd_sql_view" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+        |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // spark.graft.scd.time session conf at the same as-of
+    "scd_sql_conf" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+        |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "scd_compact" ->
       s"""WITH $AsOfNowCte

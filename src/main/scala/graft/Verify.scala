@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the deployment conf every graft cluster sets
+      // (spark.sql.extensions=graft.GraftExtensions): native functions
+      // in SQL + the format("scd") analysis rewrite
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -70,6 +70,18 @@ class RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint, w: Long): Option[LogicalPlan] = {
+    // IDEMPOTENCE GUARD: never re-match a join this rule produced. The
+    // rewrite leaves the original range predicate as a post-filter;
+    // when the rule runs inside the operator-optimization fixed point
+    // (injectOptimizerRule), PushPredicateThroughJoin folds that filter
+    // straight back into the join condition — without this guard the
+    // two rules feed each other a conjunction that doubles every
+    // iteration (observed as a StackOverflowError in
+    // splitConjunctivePredicates with rewriteEquiJoins on). The cell
+    // attributes are this rule's own private names, so their presence
+    // in the condition marks the join as already rewritten.
+    if (cond.references.exists(a =>
+        a.name == "__pcell" || a.name == "__icell")) return None
     val conjuncts = splitConjunctivePredicates(cond)
     // cross-side equi conjuncts Spark can hash on; anything else left
     // in `rest` must be exactly the two range bounds

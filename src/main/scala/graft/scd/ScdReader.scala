@@ -26,7 +26,16 @@ import java.nio.charset.StandardCharsets
 object ScdReader {
 
   val ConfKey = "spark.scd.time"
+  /** Namespaced alias for [[ConfKey]] (wins when both are set) — the
+    * session-conf default behind the SQL-only `format("scd")` surface,
+    * mirroring the reference's `SET scd.time=...` session knob
+    * (README.md:172-217). */
+  val ConfKeyGraft = "spark.graft.scd.time"
   val SidecarName = ".updates"
+
+  /** Session-conf scd.time: `spark.graft.scd.time` > `spark.scd.time`. */
+  private def confTime(spark: SparkSession): Option[String] =
+    spark.conf.getOption(ConfKeyGraft).orElse(spark.conf.getOption(ConfKey))
 
   /** Read the as-of view of an SCD table directory.
     *
@@ -105,7 +114,7 @@ object ScdReader {
     val sidecars = readAllSidecars(spark, dir)
     if (sidecars.isEmpty) base
     else {
-      val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+      val scdTime = ScdTime.resolve(asOf, confTime(spark))
       if (sidecars.length == 1 && sidecars.head._1.isEmpty)
         ScdCompiler(base, UpdatesParser.parse(sidecars.head._2, scdTime))
       else
@@ -202,7 +211,7 @@ object ScdReader {
       logText: String,
       asOf: Option[String] = None,
       errorSkipCompat: Boolean = false): DataFrame = {
-    val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    val scdTime = ScdTime.resolve(asOf, confTime(spark))
     val log = UpdatesParser.parse(logText, scdTime)
     if (errorSkipCompat) ScdCompiler.compat(base, log.statements)
     else ScdCompiler(base, log)
@@ -219,7 +228,7 @@ object ScdReader {
       base: DataFrame,
       logText: String,
       asOf: Option[String] = None): DataFrame = {
-    val scdTime = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    val scdTime = ScdTime.resolve(asOf, confTime(spark))
     ScdCompiler.stats(base, UpdatesParser.parse(logText, scdTime).statements)
   }
 
@@ -392,7 +401,7 @@ object ScdReader {
     // independently would open a window in which a statement dated
     // between the two resolutions is truncated as consumed without
     // ever having been applied to the snapshot
-    val scdMillis = ScdTime.resolve(asOf, spark.conf.getOption(ConfKey))
+    val scdMillis = ScdTime.resolve(asOf, confTime(spark))
     val view = read(spark, dir, format, asOf = Some(scdMillis.toString))
     if (outFormat.equalsIgnoreCase("avro")) {
       // reference-format round-trip (Avro dir in, compacted Avro dir
@@ -451,7 +460,7 @@ object ScdReader {
       asOf: Option[String] = None,
       archive: Boolean = true): Unit =
     truncateLogAt(spark, dir,
-      ScdTime.resolve(asOf, spark.conf.getOption(ConfKey)), archive)
+      ScdTime.resolve(asOf, confTime(spark)), archive)
 
   private def truncateLogAt(
       spark: SparkSession,
