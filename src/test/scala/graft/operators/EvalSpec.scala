@@ -106,4 +106,83 @@ class EvalSpec extends SparkSpec {
       assert(math.abs(got - naive) < 1e-6, s"got $got expected $naive")
     }
   }
+
+  test("aucExact: raw un-binned doubles — thousands of distinct scores, exact") {
+    // VERDICT r7 hazard: raw model scores used to imply a
+    // corpus-cardinality single-task window; now they are the normal
+    // case. 5000 rows, label-shifted gaussians, nearly all distinct.
+    val rnd = new scala.util.Random(11L)
+    val rows = Seq.fill(5000) {
+      val y = if (rnd.nextBoolean()) 1L else 0L
+      (rnd.nextGaussian() + (if (y == 1L) 0.7 else 0.0), y)
+    }
+    val pos = rows.collect { case (s, 1L) => s }.sorted
+    val neg = rows.collect { case (s, 0L) => s }.sorted
+    // O(n log n) exact reference: for each positive, negatives below it
+    var i = 0; var acc = 0.0
+    for (p <- pos) {
+      while (i < neg.length && neg(i) < p) i += 1
+      var ties = 0
+      var j = i
+      while (j < neg.length && neg(j) == p) { ties += 1; j += 1 }
+      acc += i + ties / 2.0
+    }
+    val naive = acc / (pos.length.toDouble * neg.length)
+    val got = Eval.aucExact(rows.toDF("score", "label"),
+      col("score"), col("label")).head().getDouble(2)
+    assert(math.abs(got - naive) < 1e-6, s"got $got expected $naive")
+  }
+
+  test("aucExact: no corpus-sized single-partition window for numeric scores") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = Eval.aucExact(
+      Seq((0.1, 0L), (0.9, 1L)).toDF("score", "label"),
+      col("score"), col("label"))
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      if (w.partitionSpec.isEmpty) {
+        // a global window is only legal over the constant-bounded
+        // bucket rollup (its subtree aggregates on the __b cell)
+        val boundedInput = w.child.collect {
+          case a: Aggregate if a.groupingExpressions.exists(
+            _.references.exists(_.name == "__b")) => a
+        }
+        assert(boundedInput.nonEmpty,
+          s"global window over a non-constant input:\n$w")
+      }
+    }
+  }
+
+  test("aucExact: NaN, infinities, and NULL scores neither crash nor corrupt") {
+    // Spark sort order: NULL first, then -Inf ... finite ... +Inf, NaN
+    // last. Midranks follow that order; label mix keeps AUC defined.
+    val rows = Seq(
+      (Some(Double.NaN), 1L), (Some(Double.PositiveInfinity), 1L),
+      (Some(Double.NegativeInfinity), 0L), (None, 0L),
+      (Some(1.0), 1L), (Some(-1.0), 0L), (Some(1.0), 0L))
+    val df = rows.map { case (s, y) => (s.getOrElse(null.asInstanceOf[Double]), s.isDefined, y) }
+      .toDF("raw", "def", "label")
+      .select(when(col("def"), col("raw")).as("score"), col("label"))
+    val r = Eval.aucExact(df, col("score"), col("label")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    // exact reference by Spark's ordering: null(0) < -Inf(0) < -1(0) <
+    // 1(1&0 tie) < +Inf(1) < NaN(1); positives ranks: 4.5, 6, 7 (sum
+    // 17.5) -> auc = (17.5 - 3*4/2) / (3*4) = 11.5/12
+    assert(math.abs(r.getDouble(2) - 11.5 / 12) < 1e-6, r)
+  }
+
+  test("aucExact: one ulp apart / single distinct score stay exact") {
+    val tiny = Seq((1.0, 1L), (math.nextUp(1.0), 1L), (1.0, 0L))
+    val r = Eval.aucExact(tiny.toDF("score", "label"),
+      col("score"), col("label")).head()
+    // neg(1.0) vs pos(1.0) tie=0.5, vs pos(nextUp) below=1 -> auc .75
+    assert(math.abs(r.getDouble(2) - 0.75) < 1e-6, r)
+    val single = Eval.aucExact(
+      Seq((2.0, 1L), (2.0, 0L)).toDF("score", "label"),
+      col("score"), col("label")).head()
+    assert(single.getDouble(2) == 0.5)
+  }
 }
