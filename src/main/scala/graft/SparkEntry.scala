@@ -69,6 +69,29 @@ object SparkEntry {
   private def indexPath(kind: String, appId: String, dir: String): String =
     s"target/graft-index/$kind-$appId-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
 
+  /** Evict other applications' `kind` entries from `cache` AND their
+    * on-disk artifact directories (ADVICE r7: filterInPlace alone let
+    * target/graft-index grow one dir set per bench/test run, unbounded
+    * across rounds). A dead app's dir is only reclaimed once its mtime
+    * is > 2 h old — a CONCURRENT sibling JVM (sbt test beside a bench
+    * run) is minutes old and must not lose its live artifact. */
+  private def evictDeadApps(
+      cache: scala.collection.concurrent.TrieMap[(String, String), String],
+      kind: String, appId: String): Unit = {
+    cache.filterInPlace((k, _) => k._1 == appId)
+    val root = new java.io.File("target/graft-index")
+    val live = s"$kind-$appId-"
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Option(root.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith(s"$kind-") && !f.getName.startsWith(live) &&
+        f.lastModified() < cutoff) rm(f)
+    })
+  }
+
   /** events.parquet's `ts` encoding has varied across driver testdata
     * generations — TIMESTAMP(NANOS) (which Spark 4 rejects by default;
     * read as raw nanos via nanosAsLong and integer-divided — ns values
@@ -1155,7 +1178,7 @@ object SparkEntry {
     "text_bm25_indexed" -> ((s, dir) => {
       import s.implicits._
       val appId = s.sparkContext.applicationId
-      tfIndexCache.filterInPlace((k, _) => k._1 == appId)
+      evictDeadApps(tfIndexCache, "tf", appId)
       val path = tfIndexCache.getOrElseUpdate((appId, dir), {
         val p = indexPath("tf", appId, dir)
         Retrieval.tfIndexWrite(t(s, dir, "documents"), p)
@@ -1442,7 +1465,7 @@ object SparkEntry {
       // evict entries from dead applications so session-cycling JVMs
       // (test harnesses, notebooks) don't pin dead paths forever
       val appId = s.sparkContext.applicationId
-      sigIndexCache.filterInPlace((k, _) => k._1 == appId)
+      evictDeadApps(sigIndexCache, "sig", appId)
       val path = sigIndexCache.getOrElseUpdate((appId, dir), {
         val p = indexPath("sig", appId, dir)
         Dedup.signatureIndexWrite(corpus, p)
@@ -1642,7 +1665,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val n = Similarity.l2Normalize(e)
       val appId = s.sparkContext.applicationId
-      pqIndexCache.filterInPlace((k, _) => k._1 == appId)
+      evictDeadApps(pqIndexCache, "pq", appId)
       val path = pqIndexCache.getOrElseUpdate((appId, dir), {
         val p = indexPath("pq", appId, dir)
         Similarity.pqIndexWrite(n, p)
@@ -3484,7 +3507,13 @@ object SparkEntry {
     "q_registrable_domain" ->
       // the PSL algorithm replayed relationally: normalize, match every
       // rule's label tail ('*' = any ONE label), exception beats all,
-      // else most labels; suffix+1 labels capped to the host
+      // else most labels; suffix+1 labels capped to the host.
+      // INVARIANT (ADVICE r7): the tie-break on (exc, efflen) ties is
+      // `rule DESC` — the lexicographically LARGEST rule — matching
+      // Spark's array_max over the (e, l, s) struct in
+      // WebOps.registrableDomainWith. Today tied rules share efflen so
+      // the output can't differ, but any future column derived from the
+      // winning RULE itself must keep the two directions aligned.
       """WITH hosts(host_id, host) AS (VALUES
         |  (CAST(1 AS BIGINT), 'shop.example.co.uk'),
         |  (CAST(2 AS BIGINT), 'WWW.Example.CO.UK.'),
@@ -3523,7 +3552,7 @@ object SparkEntry {
         |best AS (
         |  SELECT host_id, efflen,
         |    row_number() OVER (PARTITION BY host_id
-        |      ORDER BY exc DESC, efflen DESC, rule) AS rn
+        |      ORDER BY exc DESC, efflen DESC, rule DESC) AS rn
         |  FROM matched),
         |j AS (
         |  SELECT hl.host_id, hl.host, hl.nh, hl.labels, hl.n,

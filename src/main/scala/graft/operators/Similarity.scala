@@ -402,9 +402,18 @@ object Similarity {
     var books = pqCodebooks(corpus, m, k, dim, id, vecCol).localCheckpoint()
     val init = struct(lit(-1).cast("int").as("c"), lit(Long.MaxValue).as("d"))
     for (_ <- 0 until iters) {
+      // same fail-fast as pqEncode (ADVICE r7): the dense sub*k+code
+      // addressing below silently reads the WRONG codeword on a ragged
+      // codebook (a subspace that sampled < k codewords, or a
+      // caller-supplied books table) — raise instead
       val folded = books
         .select(struct(col("sub"), col("code"), col("cvec")).as("e"))
         .agg(array_sort(collect_list(col("e"))).as("__cb"))
+        .select(when(size(col("__cb")) === lit(m * k), col("__cb"))
+          .otherwise(raise_error(concat(
+            lit(s"pqCodebooksTrained: codebook must have m*k = ${m * k} " +
+              "rows, got "),
+            size(col("__cb")).cast("string")))).as("__cb"))
       val assigned = subvecs.crossJoin(broadcast(folded))
         .select(col("sub"), col("sv"),
           aggregate(sequence(lit(0), lit(k - 1)), init, (a, c) => {

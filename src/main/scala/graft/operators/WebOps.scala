@@ -223,6 +223,11 @@ object WebOps {
     // exception rule itself). Ties impossible among literals (distinct
     // rules, equal-length tails of one host are equal strings); a
     // wildcard and a literal of equal length resolve identically.
+    // TIE-BREAK INVARIANT (ADVICE r7): on an (e, l) tie array_max
+    // picks the lexicographically LARGEST rule string; the DuckDB
+    // oracle orders `rule DESC` to match. Output today depends only on
+    // `l`, but anything future that emits the winning rule itself must
+    // keep both engines on this direction.
     val best = array_max(transform(matched, s => {
       val isExc = substring(s, 1, 1) === "!"
       val sn = size(split(body(s), "\\."))
