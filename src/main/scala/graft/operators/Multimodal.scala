@@ -18,10 +18,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * `javax.imageio` codecs (PNG/JPEG/GIF/BMP) need no external library,
   * so dimensions and pixel statistics come from actual decoding.
   *
-  * What remains STUBBED (clearly): audio/video decode — no such codec
-  * ships in this environment; at production scale that step is the
-  * same `mapPartitions` shape with a native decoder injected
-  * ([[decodeBatched]]), batch-sized partitions
+  * AUDIO decode is REAL for the formats the JDK itself parses
+  * ([[decodeAudio]]): WAV/AIFF/AU PCM via `javax.sound.sampled`, no
+  * external codec — sample rate, channels, duration, and a bounded
+  * RMS come from actual decoding.
+  *
+  * What remains STUBBED (clearly): COMPRESSED audio (mp3/aac/ogg) and
+  * video decode — no such codec ships in this environment; at
+  * production scale that step is the same `mapPartitions` shape with a
+  * native decoder injected ([[decodeBatched]]), batch-sized partitions
   * (`spark.sql.files.maxPartitionBytes` tuned so a partition of
   * payloads fits executor memory); [[fakeEmbedding]] stands in for the
   * decoder's feature output deterministically.
@@ -119,6 +124,118 @@ object Multimodal {
     val h = java.util.Arrays.hashCode(payload)
     (640 + math.abs(h % 4) * 160, 360 + math.abs(h / 4 % 4) * 90,
       1 + math.abs(h / 16 % 300))
+  }
+
+  /** REAL audio decode — for the formats the JDK itself parses
+    * (WAV/AIFF/AU carrying PCM, via `javax.sound.sampled`; no external
+    * codec): per row, (byte_len, sample_rate, channels, duration_ms,
+    * rms), where rms is the full-scale-normalized root-mean-square over
+    * a BOUNDED prefix of the PCM stream (`maxSampleBytes`, default
+    * 1 MiB — an hour-long payload costs the same as a clip, the audio
+    * analogue of [[decodeImages]]' 64×64 pixel grid), rounded to 4.
+    * Undecodable payloads (compressed codecs, corrupt bytes) and NULLs
+    * keep their row with NULL audio columns — the honest behavior for
+    * what still needs an external decoder ([[decodeBatched]]).
+    *
+    * Same batched plumbing as [[decodeBatched]]: decode per partition,
+    * rows streamed lazily, output schema declared up front. */
+  def decodeAudio(df: DataFrame, id: String, binCol: String,
+      maxSampleBytes: Int = 1 << 20): DataFrame = {
+    val inSchema = df.select(col(id), col(binCol)).schema
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      inSchema.head,
+      StructField("byte_len", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("rms", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val maxBytes = maxSampleBytes
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null)
+          org.apache.spark.sql.Row(r.get(0), null, null, null, null, null)
+        else {
+          val decoded =
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val fmt = in.getFormat
+                val frames = in.getFrameLength
+                val durationMs: Any =
+                  if (frames >= 0 && fmt.getFrameRate > 0)
+                    (frames * 1000.0 / fmt.getFrameRate).toLong
+                  else null
+                val rms = pcmRms(in, fmt, maxBytes)
+                  .map(v => math.rint(v * 10000) / 10000)
+                  .map(Double.box).orNull
+                Some(org.apache.spark.sql.Row(r.get(0),
+                  payload.length.toLong, fmt.getSampleRate.toInt,
+                  fmt.getChannels, durationMs, rms))
+              } finally in.close()
+            } catch {
+              // UnsupportedAudioFileException for non-WAV/AIFF/AU,
+              // anything else for corrupt headers: "not decodable",
+              // never a failed task
+              case scala.util.control.NonFatal(_) => None
+            }
+          decoded.getOrElse(org.apache.spark.sql.Row(r.get(0),
+            payload.length.toLong, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
+  /** Full-scale-normalized RMS over the first `maxBytes` of a PCM
+    * stream; None for encodings the JVM can't hand us as 8/16-bit PCM
+    * (a-law, float, 24-bit...) or an empty stream. All channels pool
+    * into one statistic. */
+  private def pcmRms(in: javax.sound.sampled.AudioInputStream,
+      fmt: javax.sound.sampled.AudioFormat, maxBytes: Int)
+      : Option[Double] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val bits = fmt.getSampleSizeInBits
+    val ok = (fmt.getEncoding == Encoding.PCM_SIGNED ||
+      fmt.getEncoding == Encoding.PCM_UNSIGNED) && (bits == 8 || bits == 16)
+    if (!ok) return None
+    val buf = new Array[Byte](65536)
+    var sumSq = 0.0
+    var count = 0L
+    var readTotal = 0
+    var n = in.read(buf, 0, math.min(buf.length, maxBytes))
+    while (n > 0) {
+      // truncate to whole samples (a read can split a 16-bit sample)
+      val step = bits / 8
+      val whole = n - n % step
+      var i = 0
+      while (i < whole) {
+        val v: Double =
+          if (bits == 8) {
+            if (fmt.getEncoding == Encoding.PCM_UNSIGNED)
+              ((buf(i) & 0xff) - 128) / 128.0
+            else buf(i) / 128.0
+          } else {
+            val (lo, hi) = if (fmt.isBigEndian) (i + 1, i) else (i, i + 1)
+            val s = ((buf(hi) << 8) | (buf(lo) & 0xff)).toShort
+            val centered =
+              if (fmt.getEncoding == Encoding.PCM_UNSIGNED)
+                ((s & 0xffff) - 32768).toShort.toInt
+              else s.toInt
+            centered / 32768.0
+          }
+        sumSq += v * v
+        count += 1
+        i += step
+      }
+      readTotal += n
+      n =
+        if (readTotal >= maxBytes) -1
+        else in.read(buf, 0, math.min(buf.length, maxBytes - readTotal))
+    }
+    if (count == 0) None else Some(math.sqrt(sumSq / count))
   }
 
   /** REAL image decode — for the formats the JDK itself ships codecs

@@ -169,6 +169,75 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated image must not pair: $pairs")
   }
 
+  test("decodeAudio: REAL JDK WAV/PCM decode — rate, duration, RMS; garbage → NULLs") {
+    import javax.sound.sampled._
+    // generate a 0.5 s 440 Hz sine, 16-bit signed mono PCM @ 8 kHz,
+    // amplitude 0.6 → expected RMS = 0.6/√2
+    def wav(seconds: Double, hz: Double, amp: Double, rate: Float,
+        channels: Int): Array[Byte] = {
+      val nFrames = (seconds * rate).toInt
+      val bytes = new Array[Byte](nFrames * 2 * channels)
+      for (i <- 0 until nFrames; c <- 0 until channels) {
+        val v = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toShort
+        val off = (i * channels + c) * 2
+        bytes(off) = (v & 0xff).toByte          // little-endian
+        bytes(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, channels, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val mono = wav(0.5, 440, 0.6, 8000f, 1)
+    val stereo = wav(0.25, 220, 0.4, 16000f, 2)
+    val rows = Seq(
+      (1L, mono), (2L, stereo),
+      (3L, "definitely not audio".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = Multimodal.decodeAudio(rows, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // mono: 8000 Hz, 1 ch, 500 ms, RMS ≈ 0.6/√2
+    assert(got(1L).getInt(2) == 8000 && got(1L).getInt(3) == 1)
+    assert(got(1L).getLong(4) == 500L)
+    assert(math.abs(got(1L).getDouble(5) - 0.6 / math.sqrt(2)) < 1e-3,
+      got(1L).toString)
+    // stereo: 16 kHz, 2 ch, 250 ms, RMS ≈ 0.4/√2 pooled across channels
+    assert(got(2L).getInt(2) == 16000 && got(2L).getInt(3) == 2)
+    assert(got(2L).getLong(4) == 250L)
+    assert(math.abs(got(2L).getDouble(5) - 0.4 / math.sqrt(2)) < 1e-3,
+      got(2L).toString)
+    // garbage: row kept, byte_len real, audio columns NULL
+    assert(got(3L).getLong(1) > 0 && got(3L).isNullAt(2) &&
+      got(3L).isNullAt(4) && got(3L).isNullAt(5))
+    // NULL payload: everything NULL, row kept
+    assert(got(4L).isNullAt(1) && got(4L).isNullAt(2))
+  }
+
+  test("decodeAudio: RMS prefix bound caps the scan, not the metadata") {
+    import javax.sound.sampled._
+    // constant full-scale signal: RMS over ANY prefix is 1.0, so the
+    // bound changes cost only; duration still reads the full header
+    val rate = 8000f
+    val nFrames = 4 * rate.toInt // 4 s -> 64 KB of PCM
+    val bytes = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      bytes(i * 2) = 0xff.toByte; bytes(i * 2 + 1) = 0x7f.toByte // 32767
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val df = Seq((1L, out.toByteArray)).toDF("id", "payload")
+    val r = Multimodal.decodeAudio(df, "id", "payload",
+      maxSampleBytes = 1024).collect().head
+    assert(r.getLong(4) == 4000L, "duration must come from the header")
+    assert(math.abs(r.getDouble(5) - 1.0) < 1e-3)
+  }
+
   test("fakeEmbedding feeds the vector operators") {
     val e = bins.select(col("id").as("vec_id"),
       Multimodal.fakeEmbedding(col("payload"), 8).as("embedding"))
