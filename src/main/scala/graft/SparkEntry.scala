@@ -1444,8 +1444,16 @@ object SparkEntry {
       Dedup.exactGroups(fp, col("fpkey")).orderBy("keep_id")
     }),
 
-    "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), threshold = 0.8)
+    // exact all-pairs Jaccard — the ORACLE TWIN of dedup_minhash_lsh
+    // (O(pairs-with-overlap) by construction, never the scale path).
+    // Board hygiene (VERDICT r7 #3): the input is CAPPED at 1000 docs —
+    // the bound is in the query name — so the one deliberately
+    // non-scale-shaped plan on the board is also bounded-cost at any
+    // SF; the uncapped form lives in DedupSpec where exactness is the
+    // point.
+    "dedup_jaccard_pairs_1k" -> ((s, dir) =>
+      Dedup.jaccardPairs(
+        t(s, dir, "documents").where(col("doc_id") < 1000), threshold = 0.8)
         .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
           col("n_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
@@ -1814,15 +1822,20 @@ object SparkEntry {
       |  WHERE NOT coalesce(c_acctbal < 0, FALSE))""".stripMargin
 
   /** distinct 3-token shingles + per-doc set sizes */
-  private val ShingleCtes =
-    """toks AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-      |  WHERE len(string_split(lower(text), ' ')) >= 3),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
-      |  FROM toks),
-      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+  /** Shared shingle CTEs over `src` (a table name or a parenthesized
+    * subquery + alias) — the capped jaccard-pairs oracle restricts its
+    * source without duplicating the chain. */
+  private def shingleCtes(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src
+       |  WHERE len(string_split(lower(text), ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS s
+       |  FROM toks),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val ShingleCtes = shingleCtes("documents")
 
   private val JaccardSelect =
     """SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
@@ -4142,8 +4155,8 @@ object SparkEntry {
         |SELECT dedup_key, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM fp GROUP BY dedup_key ORDER BY keep_id""".stripMargin,
 
-    "dedup_jaccard_pairs" ->
-      s"""WITH $ShingleCtes,
+    "dedup_jaccard_pairs_1k" ->
+      s"""WITH ${shingleCtes("(SELECT * FROM documents WHERE doc_id < 1000) dcap")},
          |com AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
