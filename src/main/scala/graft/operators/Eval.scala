@@ -177,12 +177,21 @@ object Eval {
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val cum = if (numeric) {
       val B = RankBuckets
+      // materialize the distinct-score table ONCE (eager
+      // localCheckpoint — the connected-components pattern): bounds,
+      // the bucketed main path, and the offset rollup below all
+      // re-read it, and without the checkpoint each reference inlines
+      // the full upstream corpus groupBy into the physical plan — the
+      // r8 plan audit counted the corpus pass FOUR times in one plan.
+      // Size is the distinct-score count: the quantity this whole
+      // branch already bounds the window work by.
+      val perCk = per.localCheckpoint()
       // clamp to finite doubles, monotone under Spark's sort order
       // (NaN > +Inf > MaxValue, so both land in the top bucket)
       val sd = col("s").cast("double")
       val sc = least(greatest(nanvl(sd, lit(Double.MaxValue)),
         lit(Double.MinValue)), lit(Double.MaxValue))
-      val bounds = per.agg(min(sc).as("__lo"), max(sc).as("__hi"))
+      val bounds = perCk.agg(min(sc).as("__lo"), max(sc).as("__hi"))
       // hi == lo (single distinct value) must not divide — ANSI throws
       // DIVIDE_BY_ZERO even for doubles; the double-domain clamp BELOW
       // then folds any residual NaN/Inf into the edge cells, so
@@ -193,7 +202,7 @@ object Eval {
         .otherwise(lit(0.0))
       val bucket = when(col("s").isNull, lit(-1)).otherwise(
         floor(least(lit(B - 1.0), greatest(lit(0.0), ratio))).cast("int"))
-      val bucketed = per.crossJoin(broadcast(bounds))
+      val bucketed = perCk.crossJoin(broadcast(bounds))
         .withColumn("__b", bucket)
       val offsets = bucketed.groupBy("__b").agg(sum(col("n")).as("__bn"))
         .withColumn("__off",

@@ -26,7 +26,12 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljBudget: Map[String, Int] = Map(
     "dedup_semdedup" -> 2,      // centroid table + cluster-size fold
     "q_freq_topk" -> 1,         // (n_total, mg sketch) 1-row fold
-    "q_gate_auc" -> 3,          // NB model + prior + totals folds
+    "q_gate_auc" -> 2,          // 2× 1-row bounds fold (bucketed path
+                                // read twice: main + offset rollup).
+                                // The NB-chain folds execute inside
+                                // the distinct-score localCheckpoint,
+                                // which keeps the corpus pass
+                                // single-execution in this plan
     "q_gate_ece" -> 3,          // same NB scored-chain folds
     "q_gate_reliability" -> 3,  // same NB scored-chain folds
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
@@ -41,10 +46,12 @@ class PlanAuditSpec extends SparkSpec {
     "sim_ivf_topk" -> 2,        // centroid table + query fold
     "sim_kmeans" -> 1,          // k-row centroid fold
     "sim_pq_adc" -> 3,          // codebook + distance tables + query
+    "sim_pq_appended" -> 2,     // same serving folds as sim_pq_indexed
     "sim_pq_indexed" -> 2,      // distance tables + query fold
     "sim_pq_rerank" -> 3,       // codebook + distance tables + query
     "sim_pq_trained" -> 3,      // trained codebook + tables + query
     "text_bm25" -> 1,           // (N, avgdl) corpus-stats fold
+    "text_bm25_appended" -> 1,  // same fold over the appended index
     "text_bm25_indexed" -> 1,   // same fold over the persisted index
     "text_classify" -> 3,       // model rows + prior + vocab-size folds
     "text_kl_drift" -> 1,       // (total_p, total_q) fold
