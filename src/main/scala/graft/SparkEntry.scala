@@ -1126,6 +1126,20 @@ object SparkEntry {
       Eval.aucExact(scored, floor(col("score") * 10), col("label"))
     }),
 
+    // the closed r7 API hazard, demonstrated end-to-end: RAW un-binned
+    // double scores (corpus-cardinality distinct values — one per doc,
+    // more than the 4096 rank buckets) through the distributed
+    // two-level midrank. The score is the engine's md5 uniform shifted
+    // by the label, so both engines group identical doubles; no
+    // corpus-sized window task exists (plan lint + EvalSpec pin it)
+    "q_gate_auc_raw" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        (Sketch.md5Fraction(col("doc_id")) +
+          when(col("doc_id") % 7 === 0, 0.25).otherwise(0.0)).as("score"),
+        (col("doc_id") % 7 === 0).cast("int").as("label"))
+      Eval.aucExact(scored, col("score"), col("label"))
+    }),
+
     // calibration check on the same collision-heavy gate: is a doc the
     // gate calls 80%-likely-English actually English 80% of the time?
     // (the diagonal gap is what temperature scaling would fix before
@@ -1758,6 +1772,13 @@ object SparkEntry {
         books)
       Similarity.pqTopKWith(encoded, dts, 5).orderBy("query_id", "rank")
     }),
+
+    // Johnson–Lindenstrauss sign-projection reduction (64 → 16 dims):
+    // ONE broadcast deterministic sign matrix, per-row codegen'd fold —
+    // the pre-ANN dimensionality cut; no shuffle anywhere
+    "sim_rp_project" -> ((s, dir) =>
+      Similarity.randomProjection(t(s, dir, "embeddings"), outDim = 16)
+        .orderBy("vec_id")),
 
     // SemDeDup-style near-dup pruning: block on the LEARNED cluster id
     // (higher within-block density than sign-hyperplane buckets), then
@@ -3801,6 +3822,37 @@ object SparkEntry {
          |FROM t""".stripMargin
     },
 
+    "q_gate_auc_raw" -> {
+      // raw-double scores: grouped by the exact md5-uniform value, no
+      // binning anywhere — the oracle's single window stands in for
+      // the engine's bucketized distributed midrank
+      s"""WITH s AS (
+         |  SELECT ${md5FracSql("CAST(doc_id AS VARCHAR)")} +
+         |      CASE WHEN doc_id % 7 = 0 THEN 0.25 ELSE 0.0 END AS sc,
+         |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |g AS (
+         |  SELECT sc, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS np
+         |  FROM s GROUP BY 1),
+         |rk AS (
+         |  SELECT sc, n, np,
+         |    CAST(sum(n) OVER (ORDER BY sc) AS BIGINT) AS cum
+         |  FROM g),
+         |t AS (
+         |  SELECT CAST(sum(np) AS BIGINT) AS p,
+         |    CAST(sum(n - np) AS BIGINT) AS q,
+         |    sum(CAST(np AS HUGEINT) *
+         |      (2 * CAST(cum AS HUGEINT) - n + 1)) AS r2
+         |  FROM rk)
+         |SELECT p AS n_pos, q AS n_neg,
+         |  round((CAST(r2 AS DOUBLE) -
+         |      CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE)) /
+         |    (CAST(2 AS DOUBLE) * CAST(nullif(p, 0) AS DOUBLE) *
+         |      CAST(nullif(q, 0) AS DOUBLE)), 6) AS auc
+         |FROM t""".stripMargin
+    },
+
     "q_gate_reliability" -> {
       // same dim-16 scored chain, then sigmoid-binned calibration;
       // per-row prob quantized to 1e-6 longs before the bin sums so
@@ -4390,6 +4442,16 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cos, 4) AS cosine FROM p
          |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "sim_rp_project" ->
+      s"""WITH $EmbCte,
+         |sg AS (SELECT list(CASE WHEN substr(md5('jl_' || i::VARCHAR), 1, 1)
+         |    IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
+         |  ORDER BY i) AS s FROM range(0, 1024) t(i))
+         |SELECT vec_id,
+         |  [round(list_dot_product(s[j*64+1 : j*64+64], v) / sqrt(16.0), 6)
+         |   FOR j IN range(16)] AS reduced
+         |FROM e, sg ORDER BY vec_id""".stripMargin,
 
     "sim_bruteforce_topk" ->
       s"""WITH $EmbCte,

@@ -647,6 +647,54 @@ object Similarity {
       .drop("__nrm")
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce `dim`-wide
+    * embeddings to `outDim` via a DETERMINISTIC ±1 sign matrix
+    * (Achlioptas' database-friendly construction — signs, not
+    * Gaussians, so the matrix is replayable from a hash with no RNG
+    * state). Entry (j, i) is +1 iff the first hex digit of
+    * md5("<seed>_<j·dim+i>") is even; projection is
+    * yⱼ = (1/√outDim)·Σᵢ sign(j,i)·xᵢ, which preserves pairwise
+    * distances in expectation (E‖y_a − y_b‖² = ‖x_a − x_b‖²,
+    * RandomProjectionSpec measures the concentration).
+    *
+    * This is the pre-reduction step ahead of LSH/brute-force ANN when
+    * the raw dimension is large: cut d once per row, then every
+    * downstream distance costs outDim ≪ dim.
+    *
+    * 100 TB shape: the sign matrix (outDim·dim entries) folds to ONE
+    * broadcast array row — built from a `spark.range`, never a
+    * driver-side RNG — and the projection itself is a per-row
+    * codegen'd fold over that array: no shuffle, no state, the
+    * corpus is touched exactly once. Each output component is
+    * `round(·, 6)` so the DuckDB oracle replays bit-for-bit.
+    *
+    * Output: (id, reduced array<double> of outDim). */
+  def randomProjection(df: DataFrame, outDim: Int, dim: Int = 64,
+      id: String = "vec_id", vecCol: String = "embedding",
+      seed: String = "jl"): DataFrame = {
+    require(outDim >= 1 && dim >= 1, s"bad dims: $outDim x $dim")
+    val spark = df.sparkSession
+    val hexEven = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val signRow = spark.range(outDim.toLong * dim)
+      .select(col("id"),
+        when(substring(md5(concat(lit(s"${seed}_"),
+          col("id").cast("string"))), 1, 1).isin(hexEven: _*), 1.0)
+          .otherwise(-1.0).as("sgn"))
+      // ordered fold to one array row: array_sort on (id, sgn) structs
+      // orders by id, then the projection below indexes j·dim + i
+      .agg(transform(
+        array_sort(collect_list(struct(col("id"), col("sgn")))),
+        s => s.getField("sgn")).as("__sgn"))
+    val vec = col(vecCol).cast("array<double>")
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    df.crossJoin(broadcast(signRow))
+      .select(col(id),
+        transform(sequence(lit(0), lit(outDim - 1)), j =>
+          round(graft.functions.VectorFunctions.dot(
+            slice(col("__sgn"), j * lit(dim) + lit(1), lit(dim)), vec)
+            * lit(inv), 6)).as("reduced"))
+  }
+
   /** PQ with the standard production finish: ADC over NORMALIZED
     * vectors builds a `shortlist`-sized candidate set per query (the
     * compressed-domain scan — the corpus is touched only through its

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
                                 // the distinct-score localCheckpoint,
                                 // which keeps the corpus pass
                                 // single-execution in this plan
+    "q_gate_auc_raw" -> 2,      // same 2× bounds fold, raw-score form
     "q_gate_ece" -> 3,          // same NB scored-chain folds
     "q_gate_reliability" -> 3,  // same NB scored-chain folds
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
@@ -47,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_kmeans" -> 1,          // k-row centroid fold
     "sim_pq_adc" -> 3,          // codebook + distance tables + query
     "sim_pq_appended" -> 2,     // same serving folds as sim_pq_indexed
+    "sim_rp_project" -> 1,      // 1-row folded JL sign-matrix array
     "sim_pq_indexed" -> 2,      // distance tables + query fold
     "sim_pq_rerank" -> 3,       // codebook + distance tables + query
     "sim_pq_trained" -> 3,      // trained codebook + tables + query
