@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators._
-import graft.scd.ScdReader
+import graft.scd.{ScdLogFeed, ScdReader}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -573,6 +573,24 @@ object SparkEntry {
       try s.read.format("scd").load(src).orderBy("c_custkey")
       finally s.conf.unset(ScdReader.ConfKeyGraft)
     }),
+
+    // the DML log itself as a queryable feed (round 8): the batch form
+    // of the streaming tail `readStream.format("scd").option("feed",
+    // "log")` — one row per retained statement, in replay order. The
+    // log is metadata (KB of SQL over TB of data), so the driver-side
+    // parse is the 100 TB plan, like Delta's transaction-log read.
+    "scd_log_feed" -> ((s, dir) =>
+      s.read.format("scd").option("feed", "log")
+        .load(sidecarDir(s, dir)).orderBy("seq")),
+
+    // incremental CDC in log-seq coordinates (round 8): the change set
+    // of statement 2 alone — cdcBetween(1, 2) diffs the seq-replay
+    // views around the DELETE, so its D rows carry the POST-statement-1
+    // pre-image (BUILDING balances already +100). This is the
+    // foreachBatch body of a streaming log-feed consumer.
+    "scd_cdc_stmt" -> ((s, dir) =>
+      ScdLogFeed.cdcBetween(s, sidecarDir(s, dir), 1, 2, "c_custkey")
+        .orderBy("c_custkey")),
 
     // per-partition sidecars (reference SQLUpdater.java:107-119: the
     // sidecar resolves against EACH split's directory, so a
@@ -2560,6 +2578,33 @@ object SparkEntry {
     "scd_compact" ->
       s"""WITH $AsOfNowCte
          |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    // the DML log feed: CustomerLog's two statements, literal — the
+    // feed IS the fixture's metadata (2024-06-01T00:00:00Z =
+    // 1717200000000 ms, matching the scd_history constant)
+    "scd_log_feed" ->
+      """SELECT CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS effective_ms,
+        |  'UPDATE' AS verb, 'customer' AS target_table,
+        |  'UPDATE customer SET c_acctbal = c_acctbal + 100 WHERE c_mktsegment = ''BUILDING'';'
+        |    AS stmt
+        |UNION ALL
+        |SELECT 1, 1717200000000, 'DELETE', 'customer',
+        |  'DELETE FROM customer WHERE c_acctbal < 0;'
+        |ORDER BY seq""".stripMargin,
+
+    // statement 2's change set alone: D rows whose pre-image is the
+    // POST-statement-1 state (BUILDING balances already raised)
+    "scd_cdc_stmt" ->
+      """WITH s1 AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+        |         THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer)
+        |SELECT 'D' AS change_type, c_custkey, c_name, c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM s1 WHERE coalesce(c_acctbal < 0, FALSE)
+        |ORDER BY c_custkey""".stripMargin,
 
     // per-partition logs: BUILDING's unqualified UPDATE is scoped to
     // its partition; MACHINERY's DELETE likewise

@@ -67,19 +67,24 @@ class ScdDataSource extends TableProvider with RelationProvider
   // by construction — O11 typed write-back — so view schema == base)
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ScdDataSource.view(SparkSession.active,
-      ScdDataSource.params(options), None).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = ScdDataSource.params(options)
+    if (p.logFeed) graft.scd.ScdLogFeed.schema
+    else ScdDataSource.view(SparkSession.active, p, None).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    ScdTable(schema,
-      ScdDataSource.params(new CaseInsensitiveStringMap(properties)))
+      properties: java.util.Map[String, String]): Table = {
+    val p = ScdDataSource.params(new CaseInsensitiveStringMap(properties))
+    if (p.logFeed) ScdLogTable(p.path) else ScdTable(schema, p)
+  }
 
   // ---- V1 surface (CREATE [TEMPORARY] VIEW/TABLE ... USING scd) ------
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val p = ScdDataSource.params(parameters)
+    if (p.logFeed)
+      return ScdLogFeedRelation(sqlContext, p.path)
     val schema =
       ScdDataSource.view(sqlContext.sparkSession, p, None).schema
     ScdScanRelation(sqlContext, p, schema, userSchema = None,
@@ -96,11 +101,12 @@ class ScdDataSource extends TableProvider with RelationProvider
 object ScdDataSource {
 
   /** Resolved reader parameters. `extra` is passed through to the inner
-    * DataSource reader (e.g. `avroSchema`). */
+    * DataSource reader (e.g. `avroSchema`); `logFeed` selects the DML
+    * log feed ([[ScdLogTable]]) instead of the as-of data view. */
   case class ScdParams(path: String, format: String, asOf: Option[String],
-      extra: Map[String, String])
+      extra: Map[String, String], logFeed: Boolean = false)
 
-  private val Reserved = Set("path", "paths", "format", "asof")
+  private val Reserved = Set("path", "paths", "format", "asof", "feed")
 
   private[graft] def params(options: CaseInsensitiveStringMap): ScdParams = {
     import scala.jdk.CollectionConverters._
@@ -111,11 +117,18 @@ object ScdDataSource {
     val ci = options.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
     val path = ci.getOrElse("path", throw new IllegalArgumentException(
       "format(\"scd\") requires a path: .load(dir) or OPTIONS (path '...')"))
+    val logFeed = ci.get("feed") match {
+      case None => false
+      case Some("log") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"format(\"scd\"): unknown feed '$other' (supported: 'log')")
+    }
     ScdParams(path,
       ci.getOrElse("format", "parquet"),
       ci.get("asof"),
       options.filterNot { case (k, _) =>
-        Reserved(k.toLowerCase(java.util.Locale.ROOT)) })
+        Reserved(k.toLowerCase(java.util.Locale.ROOT)) },
+      logFeed)
   }
 
   /** The as-of view behind every path of this source — exactly
@@ -206,6 +219,15 @@ case class ScdScanRelation(sqlContext: SQLContext,
     // zero-column projection (SELECT count(*)) is a valid DataFrame
     filtered.select(cols.toIndexedSeq.map(df0.col): _*).rdd
   }
+}
+
+/** V1 relation for `CREATE ... USING scd OPTIONS (feed 'log')` — the
+  * DML log feed through the SQL-DDL surface. */
+case class ScdLogFeedRelation(sqlContext: SQLContext, dir: String)
+    extends BaseRelation with TableScan {
+  override def schema: StructType = graft.scd.ScdLogFeed.schema
+  override def buildScan(): RDD[Row] =
+    graft.scd.ScdLogFeed.feed(sqlContext.sparkSession, dir).rdd
 }
 
 object ScdScanRelation {
