@@ -75,6 +75,12 @@ object ScdLogFeed {
           e.stmt)), numSlices = 1),
       schema)
 
+  /** Feed entries back to compiled-replay form — the bridge a feed
+    * consumer needs to APPLY what it read (e.g. the incremental
+    * materializer, [[graft.streaming.ScdStream.materializeFromLog]]). */
+  def toStatements(entries: Seq[Entry]): Seq[ScdStatement] =
+    entries.map(e => UpdatesParser.classify(e.stmt, e.effective_ms))
+
   /** The as-of view by STATEMENT COUNT instead of time: the base table
     * with the first `n` log statements applied, in file order. This is
     * the replay coordinate a log-feed consumer has (its offset is a

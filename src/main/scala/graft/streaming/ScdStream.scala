@@ -418,6 +418,101 @@ object ScdStream {
 
   private val CommitMarker = "_GRAFT_COMMITTED"
 
+  /** Continuously-maintained Type-7 materialized view: tail the table's
+    * `.updates` log (`format("scd").option("feed","log")`) and fold each
+    * micro-batch of NEW statements onto the previous committed snapshot
+    * — the streaming analogue of `ScdReader.compact`, kept current
+    * without ever re-replaying the whole log.
+    *
+    * {{{
+    * ScdStream.materializeFromLog(spark, tableDir, snapDir, ckptDir)
+    *   .trigger(...).start()
+    * // any time later, from any session:
+    * ScdStream.latestSnapshot(spark, snapDir)   // == asOfSeq(applied)
+    * }}}
+    *
+    * Exactly-once by SEQ, not by batch id: each committed snapshot
+    * version records the highest statement seq folded into it, and a
+    * batch applies only statements ABOVE that watermark. DML replay is
+    * not idempotent (`bal = bal + 100` twice is wrong), so at-least-once
+    * `foreachBatch` replays, checkpoint/snapshot mismatches, even a
+    * wiped-and-recreated checkpoint all land on the seq gate and apply
+    * nothing twice. Crash-safety is [[mergeBatch]]'s scheme: a version
+    * is visible only once its commit marker lands.
+    *
+    * Scale shape: the statement fold is [[graft.scd.ScdCompiler]]'s
+    * narrow projection chain over the previous snapshot — one
+    * distributed parquet read + write per trigger, no shuffle; the
+    * statements themselves are KB-scale driver metadata. */
+  def materializeFromLog(spark: SparkSession, tableDir: String,
+      snapshotDir: String, checkpointDir: String,
+      format: String = "parquet")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    spark.readStream.format("scd").option("feed", "log").load(tableDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLogBatch(batch, tableDir, snapshotDir, batchId, format)
+      }
+
+  /** One micro-batch fold (exposed for testing / batch catch-up). */
+  def applyLogBatch(batch: DataFrame, tableDir: String,
+      snapshotDir: String, batchId: Long,
+      format: String = "parquet"): Unit = {
+    val spark = batch.sparkSession
+    // tiny by design: a micro-batch of the log feed is SQL text rows
+    val entries = batch
+      .select("seq", "effective_ms", "verb", "target_table", "stmt")
+      .orderBy("seq").collect()
+      .map(r => graft.scd.ScdLogFeed.Entry(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4))).toIndexedSeq
+    if (entries.isEmpty) return
+    val applied = snapshotMaxSeq(spark, snapshotDir)
+    val fresh = entries.filter(_.seq > applied)
+    if (fresh.isEmpty) return
+    val base = latestSnapshot(spark, snapshotDir)
+      .getOrElse(spark.read.format(format).load(tableDir))
+    val next = graft.scd.ScdCompiler(base,
+      graft.scd.ScdLogFeed.toStatements(fresh))
+    // versions are named by the SEQ WATERMARK, not the batch id:
+    // version order == application order even across checkpoint
+    // lineages (a fresh checkpoint restarts batch ids at 0, which would
+    // make the newest version sort lowest), and a replayed batch
+    // rewrites its own version dir instead of minting a bogus one
+    val maxSeq = fresh.last.seq
+    val vdir = s"$snapshotDir/v=$maxSeq"
+    next.write.mode("overwrite").parquet(vdir)
+    val fs = new Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the marker carries the same watermark — snapshot + the record of
+    // what it contains commit in one file create; an EMPTY marker marks
+    // a mergeBatch/upsertSink dir, which snapshotMaxSeq refuses to mix
+    val out = fs.create(new Path(vdir, CommitMarker), true)
+    try out.write(maxSeq.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    pruneVersions(spark, snapshotDir, keep = maxSeq)
+  }
+
+  /** Highest statement seq folded into the latest committed snapshot;
+    * -1 when no snapshot exists. */
+  private[streaming] def snapshotMaxSeq(spark: SparkSession,
+      snapshotDir: String): Long =
+    listVersions(spark, snapshotDir).sorted.lastOption.fold(-1L) { v =>
+      val p = new Path(s"$snapshotDir/v=$v", CommitMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      // empty marker = a version written by the upsert path (mergeBatch)
+      // — no seq coordinate; refuse to mix the two sinks on one dir
+      if (text.isEmpty) throw new IllegalStateException(
+        s"$snapshotDir/v=$v has no seq watermark: this snapshot dir " +
+          "was written by upsertSink/mergeBatch, not materializeFromLog " +
+          "— the two sinks cannot share a snapshot directory")
+      else text.toLong
+    }
+
   /** Streaming DML sink: statement lines arriving as a stream are
     * appended to the table directory's `.updates` sidecar — the
     * continuous-ingest face of the Type-7 abstraction (the log IS the
