@@ -136,37 +136,48 @@ object SparkEntry {
 
   /** Build a real SCD table directory under target/: customer parquet
     * plus the `.updates` sidecar — the filesystem-backed path for the
-    * scd_sidecar / scd_compact queries. */
-  private def sidecarDir(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // relative to the working dir (ADVICE r02: an absolute repo path
-    // broke the query under any other checkout location)
-    val tmp = new java.io.File(s"target/scdtmp/$tag/customer").getAbsolutePath
-    t(s, dir, "customer").write.mode("overwrite").parquet(tmp)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tmp, ScdReader.SidecarName), CustomerLog)
-    tmp
-  }
+    * scd_sidecar / scd_compact queries. Built ONCE per (application,
+    * data-dir): the fixture is a pure function of the source table and
+    * [[CustomerLog]], and no board query mutates it (scd_compact runs
+    * with clearLog=false), so per-invocation rebuilds only charged a
+    * fixture write to every scd_* timed run. */
+  private val sidecarDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def sidecarDir(s: SparkSession, dir: String): String =
+    sidecarDirCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // relative to the working dir (ADVICE r02: an absolute repo path
+      // broke the query under any other checkout location)
+      val tmp = new java.io.File(s"target/scdtmp/$tag/customer").getAbsolutePath
+      t(s, dir, "customer").write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tmp, ScdReader.SidecarName), CustomerLog)
+      tmp
+    })
 
   /** Build a Hive-PARTITIONED SCD table directory under target/:
     * customer partitioned by c_mktsegment, with a DIFFERENT `.updates`
     * log inside two of the partition directories (no root log). */
-  private def partitionedScdDir(s: SparkSession, dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val tmp =
-      new java.io.File(s"target/scdtmp/$tag/customer_part").getAbsolutePath
-    t(s, dir, "customer").write.mode("overwrite")
-      .partitionBy("c_mktsegment").parquet(tmp)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tmp, "c_mktsegment=BUILDING",
-        ScdReader.SidecarName),
-      "UPDATE customer SET c_acctbal = c_acctbal + 100;\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tmp, "c_mktsegment=MACHINERY",
-        ScdReader.SidecarName),
-      "-- time=2024-06-01\nDELETE FROM customer WHERE c_acctbal < 0;\n")
-    tmp
-  }
+  private val partitionedScdDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def partitionedScdDir(s: SparkSession, dir: String): String =
+    partitionedScdDirCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp =
+          new java.io.File(s"target/scdtmp/$tag/customer_part").getAbsolutePath
+        t(s, dir, "customer").write.mode("overwrite")
+          .partitionBy("c_mktsegment").parquet(tmp)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "c_mktsegment=BUILDING",
+            ScdReader.SidecarName),
+          "UPDATE customer SET c_acctbal = c_acctbal + 100;\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "c_mktsegment=MACHINERY",
+            ScdReader.SidecarName),
+          "-- time=2024-06-01\nDELETE FROM customer WHERE c_acctbal < 0;\n")
+        tmp
+      })
 
   /** Flagship: as-of SCD dimension joined to facts with an aggregate —
     * scan + SCD replay + join + agg in one plan. */
