@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,6 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the seq coordinate system — like any log-tailing source, a stream
   * must be restarted with a fresh checkpoint after the log is rewritten
   * (a shrunken log yields an empty batch, never a crash or a re-emit).
+  *
+  * Streaming options:
+  *   - `startingSeq` (default 0): first statement seq a FRESH
+  *     checkpoint emits — the log-feed analogue of Kafka's
+  *     startingOffsets, for consumers attaching to a log whose prefix
+  *     is already folded into a snapshot.
+  *   - `maxStatementsPerTrigger` (default unlimited): admission
+  *     control — a bulk-authored log drains in bounded micro-batches.
   */
 case class ScdLogTable(dir: String) extends Table with SupportsRead {
 
@@ -52,7 +60,16 @@ case class ScdLogTable(dir: String) extends Table with SupportsRead {
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ScdLogScan(dir)
+    () => new ScdLogScan(dir,
+      startingSeq = longOpt(options, "startingseq", 0L),
+      maxPerTrigger = longOpt(options, "maxstatementspertrigger", Long.MaxValue))
+
+  private def longOpt(options: CaseInsensitiveStringMap, key: String,
+      dflt: Long): Long = {
+    val v = Option(options.get(key)).fold(dflt)(_.toLong)
+    require(v >= 0, s"format(\"scd\") option $key must be >= 0: $v")
+    v
+  }
 }
 
 /** One scan serving both forms: batch (the whole current log) and
@@ -60,12 +77,14 @@ case class ScdLogTable(dir: String) extends Table with SupportsRead {
   * driver at PLAN time; executors receive the already-sliced entries
   * inside their [[InputPartition]] — no filesystem access from tasks,
   * so the source works unmodified on any cluster. */
-class ScdLogScan(dir: String) extends Scan {
+class ScdLogScan(dir: String, startingSeq: Long = 0L,
+    maxPerTrigger: Long = Long.MaxValue) extends Scan {
 
   override def readSchema(): StructType = ScdLogFeed.schema
 
   override def description(): String = s"ScdLogScan $dir"
 
+  // batch ignores the streaming-only options: the whole current log
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       Array(ScdLogPartition(current().toArray))
@@ -74,7 +93,7 @@ class ScdLogScan(dir: String) extends Scan {
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ScdLogMicroBatchStream(dir)
+    new ScdLogMicroBatchStream(dir, startingSeq, maxPerTrigger)
 
   private def current(): Seq[ScdLogFeed.Entry] =
     ScdLogFeed.entries(SparkSession.active, dir)
@@ -85,13 +104,52 @@ case class ScdLogOffset(seq: Long) extends Offset {
   override def json: String = s"""{"seq":$seq}"""
 }
 
-class ScdLogMicroBatchStream(dir: String) extends MicroBatchStream {
+class ScdLogMicroBatchStream(dir: String, startingSeq: Long = 0L,
+    maxPerTrigger: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = ScdLogOffset(0L)
+  // Trigger.AvailableNow end-bound, captured ONCE at query start.
+  // Implemented directly (not via Spark's AvailableNowDataStreamWrapper)
+  // because the wrapper discards read limits for wrapped sources —
+  // maxStatementsPerTrigger must keep bounding batches while the
+  // available-now run drains to this frozen end.
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(ScdLogFeed.entries(spark, dir).length.toLong)
+
+  /** `startingSeq` skips statements already consumed elsewhere (the
+    * log-feed analogue of Kafka's startingOffsets) — only for a FRESH
+    * checkpoint; a recovered stream resumes from its own offsets. */
+  override def initialOffset(): Offset = ScdLogOffset(startingSeq)
 
   override def latestOffset(): Offset =
+    ScdLogOffset(ScdLogFeed.entries(spark, dir).length.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxPerTrigger)
+
+  /** Admission control: cap each micro-batch at `maxStatementsPerTrigger`
+    * statements, so a bulk-authored log (a migration appending thousands
+    * of DML lines) drains in bounded batches instead of one giant
+    * replay-compile. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val current = ScdLogFeed.entries(spark, dir).length.toLong
+    // under AvailableNow, never read past the end frozen at query start
+    val avail = availableNowEnd.fold(current)(math.min(current, _))
+    val s = start.asInstanceOf[ScdLogOffset].seq
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(avail, s + r.maxRows())
+      case _ => avail
+    }
+    ScdLogOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset =
     ScdLogOffset(ScdLogFeed.entries(spark, dir).length.toLong)
 
   override def deserializeOffset(json: String): Offset = {

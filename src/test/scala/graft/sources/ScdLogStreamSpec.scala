@@ -139,6 +139,41 @@ class ScdLogStreamSpec extends SparkSpec {
     // 45 = 50 'A'-updated rows minus the 5 even ids in 91..100
   }
 
+  test("startingSeq skips the consumed prefix; maxStatementsPerTrigger bounds batches") {
+    val dir = mkDir()
+    writeLog(dir, Stmt1, "-- time=2024-06-01", Stmt2, Stmt3)
+
+    // startingSeq=2: a fresh checkpoint emits only the unconsumed tail
+    val ckptA = Files.createTempDirectory("scdlogA").toString
+    val seqsA = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val qA = spark.readStream.format("scd").option("feed", "log")
+      .option("startingSeq", "2").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seqsA ++= b.collect().map(_.getAs[Long]("seq")); ()
+      }
+      .option("checkpointLocation", ckptA)
+      .trigger(Trigger.AvailableNow()).start()
+    qA.awaitTermination(60000)
+    assert(seqsA.sorted.toSeq == Seq(2L))
+
+    // maxStatementsPerTrigger=1: the 3-statement log drains one per batch
+    val ckptB = Files.createTempDirectory("scdlogB").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val qB = spark.readStream.format("scd").option("feed", "log")
+      .option("maxStatementsPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s = b.collect().map(_.getAs[Long]("seq")).toSeq
+        if (s.nonEmpty) batches += s
+        ()
+      }
+      .option("checkpointLocation", ckptB)
+      .trigger(Trigger.AvailableNow()).start()
+    qB.awaitTermination(60000)
+    assert(batches.toSeq == Seq(Seq(0L), Seq(1L), Seq(2L)))
+  }
+
   test("streaming tail + cdcBetween in foreachBatch is incremental CDC") {
     val dir = mkDir()
     writeLog(dir, Stmt1, "-- time=2024-06-01", Stmt2)
