@@ -1214,6 +1214,36 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // retrieval-quality eval (round 8): NDCG@5 + MRR of the BM25
+    // ranking against graded relevance (rel = total query-term
+    // occurrences bucketed >=14 -> 3, >=8 -> 2, else 1 — deliberately
+    // NOT BM25's own ordering: BM25 saturates tf and normalizes by
+    // length, so the ranking and the ideal diverge and the metric is
+    // non-degenerate: 0.88/0.43/0.62 on the sf0.01 fixture)
+    // — the retrieval face of the gate-eval family (AUC/ECE grade
+    // classifiers; this grades the ranker). Exact-integer DCG core:
+    // gains and 1e-6-quantized discounts sum as longs; the discount
+    // constants are interpolated into the oracle, so no transcendental
+    // runs in two engines.
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      import s.implicits._
+      val q = Seq((1L, "hash join merge"), (2L, "slow query scan"),
+        (3L, "stream window agg")).toDF("query_id", "qtext")
+      val docs = t(s, dir, "documents")
+      val results = Retrieval.bm25TopK(docs, q)
+        .select("query_id", "rank", "doc_id")
+      val tf = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy("doc_id", "t").count()
+      val qt = q.select(col("query_id"),
+        explode(split(lower(col("qtext")), " ")).as("t")).distinct()
+      val rel = tf.join(qt, "t").groupBy("query_id", "doc_id")
+        .agg(when(sum(col("count")) >= 14, 3)
+          .when(sum(col("count")) >= 8, 2).otherwise(1)
+          .cast("int").as("rel"))
+      Eval.retrievalEval(results, rel, 5).orderBy("query_id")
+    }),
+
     // BM25 served from the PERSISTED inverted-index artifact — the
     // production split: tfIndexWrite once per corpus, then each query
     // batch pays the broadcast-pruned posting join against on-disk
@@ -2233,7 +2263,17 @@ object SparkEntry {
     * expression order exactly so both engines run the same IEEE double
     * ops on the same operands. */
   private lazy val bm25OracleSql: String =
-    """WITH q(query_id, qtext) AS (
+    s"""WITH $bm25CtesSql
+      |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id,
+      |  round(CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) AS bm25,
+      |  n_terms
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+
+  /** The BM25 replay CTE chain (everything up to the ranked table `r`)
+    * — shared by text_bm25 / text_bm25_indexed and the NDCG eval that
+    * grades the same ranking. */
+  private lazy val bm25CtesSql: String =
+    """q(query_id, qtext) AS (
       |  VALUES (CAST(1 AS BIGINT), 'hash join merge'),
       |         (CAST(2 AS BIGINT), 'slow query scan'),
       |         (CAST(3 AS BIGINT), 'stream window agg')),
@@ -2269,11 +2309,7 @@ object SparkEntry {
       |r AS (
       |  SELECT query_id, doc_id, s, n_terms, row_number() OVER (
       |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
-      |  FROM agg)
-      |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id,
-      |  round(CAST(s AS DOUBLE) / CAST(1000000 AS DOUBLE), 4) AS bm25,
-      |  n_terms
-      |FROM r WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
+      |  FROM agg)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -3504,6 +3540,51 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY doc_id, "rank"""".stripMargin,
 
     "text_bm25" -> bm25OracleSql,
+
+    // NDCG@5 + MRR over the same BM25 replay CTEs; the disc(rnk, w)
+    // table is Eval.ndcgDiscountMicros interpolated — both engines
+    // multiply/sum the SAME integers
+    "q_retrieval_ndcg" -> {
+      val discVals = Eval.ndcgDiscountMicros(5).zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH $bm25CtesSql,
+         |res AS (SELECT query_id, rnk, doc_id FROM r WHERE rnk <= 5),
+         |rel AS (SELECT qt.query_id, tf.doc_id,
+         |    CAST(CASE WHEN sum(tf.tf) >= 14 THEN 3
+         |              WHEN sum(tf.tf) >= 8 THEN 2 ELSE 1 END AS INT)
+         |      AS rel
+         |  FROM tf JOIN qt USING (t) GROUP BY 1, 2),
+         |gained AS (
+         |  SELECT res.query_id, res.rnk, coalesce(rel.rel, 0) AS rel
+         |  FROM res LEFT JOIN rel
+         |    ON res.query_id = rel.query_id AND res.doc_id = rel.doc_id),
+         |disc(rnk, w) AS (VALUES $discVals),
+         |dcg AS (
+         |  SELECT query_id,
+         |    CAST(sum(((1 << rel) - 1) * w) AS BIGINT) AS dcg_micros,
+         |    min(CASE WHEN rel > 0 THEN rnk END) AS first_rel,
+         |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel_retrieved
+         |  FROM gained JOIN disc USING (rnk) GROUP BY 1),
+         |ideal AS (
+         |  SELECT query_id, rel, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rnk
+         |  FROM rel WHERE rel > 0),
+         |idcg AS (
+         |  SELECT query_id,
+         |    CAST(sum(((1 << rel) - 1) * w) AS BIGINT) AS idcg_micros
+         |  FROM ideal JOIN disc USING (rnk) WHERE rnk <= 5 GROUP BY 1)
+         |SELECT dcg.query_id,
+         |  CASE WHEN idcg_micros IS NULL OR idcg_micros = 0
+         |       THEN CAST(0 AS DOUBLE)
+         |       ELSE round(CAST(dcg_micros AS DOUBLE) /
+         |         CAST(idcg_micros AS DOUBLE), 4) END AS ndcg,
+         |  CASE WHEN first_rel IS NULL THEN CAST(0 AS DOUBLE)
+         |       ELSE round(CAST(1 AS DOUBLE) / first_rel, 4) END AS mrr,
+         |  n_rel_retrieved
+         |FROM dcg LEFT JOIN idcg ON dcg.query_id = idcg.query_id
+         |ORDER BY dcg.query_id""".stripMargin
+    },
 
     // identical scores by construction: the persisted index IS
     // bm25TopK's first groupBy, so the indexed path replays the same

@@ -243,4 +243,69 @@ object Eval {
               nullif(col("q"), lit(0)).cast("double")), 6)
           .as("auc"))
   }
+
+  /** NDCG rank discounts 1/log2(r+1) for ranks 1..k, quantized to
+    * exact 1e-6 longs. Computed ONCE here and interpolated as integer
+    * literals into the DuckDB oracle at declaration time, so no
+    * transcendental function is ever evaluated by two engines — the
+    * repo-wide cross-engine float discipline. */
+  def ndcgDiscountMicros(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e6 * math.log(2.0) / math.log(r + 1.0)).toLong).toIndexedSeq
+
+  /** Retrieval-quality evaluation: NDCG@k + MRR of a ranked result list
+    * against graded relevance — the retrieval face of the gate-eval
+    * family (AUC/ECE grade classifiers; this grades rankers: BM25,
+    * ANN, any (query_id, rank, doc_id) producer).
+    *
+    * @param results   (query_id, rank, doc_id), rank 1-based, <= k rows
+    *                  per query (a top-k output)
+    * @param relevance (query_id, doc_id, rel) graded relevance,
+    *                  rel >= 1 (absent pairs are irrelevant)
+    *
+    * Exact-integer core: gain (2^rel − 1) and the 1e-6-quantized
+    * discounts multiply and sum as longs, so no float crosses a
+    * partition boundary; the two final divisions (ndcg, mrr) are
+    * single double ops on exact operands.
+    *
+    * Scale shape: DCG is a left join of the TINY result list (k rows
+    * per query) against relevance on (query, doc) + one groupBy; IDCG
+    * ranks relevance per query through the bounded-heap
+    * [[Rank.topKPerGroup]] (no per-query window sort over an unbounded
+    * relevant set). Output: one row per query — ndcg, mrr (0.0 when no
+    * relevant doc was retrieved / exists), n_rel_retrieved. */
+  def retrievalEval(results: DataFrame, relevance: DataFrame,
+      k: Int = 5): DataFrame = {
+    val disc = ndcgDiscountMicros(k)
+    def discOf(rank: Column): Column =
+      element_at(array(disc.map(lit): _*), rank.cast("int"))
+    def gain(rel: Column): Column =
+      // 2^rel − 1 exactly: integer powers of two are exact doubles and
+      // rel is a small grade, so the cast back to long is lossless
+      pow(lit(2.0), rel.cast("double")).cast("long") - lit(1L)
+    val gained = results
+      .select(col("query_id"), col("rank"), col("doc_id"))
+      .join(relevance, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val dcg = gained.groupBy("query_id").agg(
+      sum(gain(col("rel")) * discOf(col("rank"))).as("dcg_micros"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_retrieved"))
+    val ideal = Rank.topKPerGroup(
+      relevance.where(col("rel") > 0)
+        .select(col("query_id"), col("rel"), col("doc_id")),
+      Seq("query_id"),
+      struct(col("rel"), (-col("doc_id")).as("__negid")), k)
+    val idcg = ideal.groupBy("query_id").agg(
+      sum(gain(col("rel")) * discOf(col("rank"))).as("idcg_micros"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        when(col("idcg_micros").isNull || col("idcg_micros") === 0, lit(0.0))
+          .otherwise(round(col("dcg_micros").cast("double") /
+            col("idcg_micros").cast("double"), 4)).as("ndcg"),
+        when(col("first_rel").isNull, lit(0.0))
+          .otherwise(round(lit(1.0) / col("first_rel").cast("double"), 4))
+          .as("mrr"),
+        col("n_rel_retrieved"))
+  }
 }

@@ -185,4 +185,43 @@ class EvalSpec extends SparkSpec {
       col("score"), col("label")).head()
     assert(single.getDouble(2) == 0.5)
   }
+
+  test("ndcgDiscountMicros: exact 1e-6 grid of 1/log2(r+1)") {
+    assert(Eval.ndcgDiscountMicros(5) ==
+      IndexedSeq(1000000L, 630929L, 500000L, 430676L, 386852L))
+  }
+
+  test("retrievalEval: hand-computed NDCG/MRR incl. every edge case") {
+    // q1: retrieved rels (3,0,1) of ideal (3,2,1) -> ndcg < 1, mrr 1
+    // q2: nothing relevant retrieved but relevance exists -> ndcg 0
+    //     via dcg=0 (mrr 0 too)
+    // q3: NO relevance rows at all -> idcg empty -> ndcg 0, mrr 0
+    // q4: first relevant at rank 2 -> mrr 0.5
+    val results = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L),
+      (3L, 1L, 30L),
+      (4L, 1L, 40L), (4L, 2L, 41L))
+      .toDF("query_id", "rank", "doc_id")
+    val relevance = Seq(
+      (1L, 10L, 3), (1L, 12L, 1), (1L, 99L, 2),
+      (2L, 98L, 2),
+      (4L, 41L, 1))
+      .toDF("query_id", "doc_id", "rel")
+    val out = Eval.retrievalEval(results, relevance, k = 3)
+      .orderBy("query_id").collect()
+    val d = Eval.ndcgDiscountMicros(3)
+    // q1: dcg = 7*d(1) + 0 + 1*d(3); idcg = 7*d(1) + 3*d(2) + 1*d(3)
+    val exp1 = (7 * d(0) + d(2)).toDouble / (7 * d(0) + 3 * d(1) + d(2))
+    assert(out(0).getDouble(1) ==
+      BigDecimal(exp1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getDouble(2) == 1.0 && out(0).getLong(3) == 2L)
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
+    assert(out(2).getDouble(1) == 0.0 && out(2).getDouble(2) == 0.0)
+    assert(out(3).getDouble(2) == 0.5 && out(3).getLong(3) == 1L)
+    // q4 ndcg: dcg = 1*d(2), idcg = 1*d(1)
+    assert(out(3).getDouble(1) ==
+      BigDecimal(d(1).toDouble / d(0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
