@@ -1322,6 +1322,17 @@ object SparkEntry {
       TextAnalysis.wordpieceSegment(docs, vocab).orderBy("doc_id")
     }),
 
+    // BPE merge TRAINING (round 8) — the learning half of tokenization
+    // (wordpiece above is inference under a fixed vocab): 3 Sennrich
+    // merge rules learned from the corpus. One corpus pass (the
+    // word-frequency groupBy); iterations run over the distinct-word
+    // table. The oracle replays every iteration — pair counts, argmax
+    // with the lexicographic tie-break, and the greedy non-overlapping
+    // merge application — on a '|sym|'-encoded string column.
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), merges = 3)
+        .orderBy("step")),
+
     // DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
     // importance weights ln(p_target/p_pool) per doc + deterministic
     // Gumbel-top-k — the published importance-resampling selector
@@ -3372,6 +3383,49 @@ object SparkEntry {
         |  CASE WHEN ws IS NULL THEN NULL
         |       ELSE coalesce(segmented, '') END AS segmented
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // BPE training replay: each iteration's pair counts + argmax (tie:
+    // l, r lexicographic) + greedy merge application. Segmentations
+    // ride as '|a||b||c|' strings — non-overlapping left-to-right
+    // replace('|l||r|' -> '|lr|') is exactly the Spark HOF fold
+    // (shared boundary pipes make aaaa -> aa,aa, never aa,a,a), and
+    // the [a-z0-9] word alphabet guarantees '|' never collides
+    "text_bpe_train" -> {
+      val iters = 3
+      val head =
+        """w0 AS (
+          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+          |    SELECT regexp_replace(
+          |      unnest(string_split(lower(text), ' ')),
+          |      '[^a-z0-9]', '', 'g') AS w
+          |    FROM documents)
+          |  WHERE length(w) >= 2 GROUP BY 1),
+          |seg0 AS (SELECT freq,
+          |  regexp_replace(w, '(.)', '|\1|', 'g') AS seg FROM w0)""".stripMargin
+      val steps = (1 to iters).map { i =>
+        s"""sp$i AS (SELECT freq,
+           |  string_split(trim(seg, '|'), '||') AS syms
+           |  FROM seg${i - 1}),
+           |px$i AS (SELECT freq, syms, g.i
+           |  FROM sp$i CROSS JOIN
+           |    unnest(generate_series(1, len(syms) - 1)) AS g(i)
+           |  WHERE len(syms) >= 2),
+           |p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+           |    CAST(sum(freq) AS BIGINT) AS c
+           |  FROM px$i GROUP BY 1, 2),
+           |b$i AS (SELECT l, r, l || r AS m, c FROM p$i
+           |  ORDER BY c DESC, l, r LIMIT 1),
+           |seg$i AS (SELECT freq,
+           |  replace(seg, '|' || b$i.l || '||' || b$i.r || '|',
+           |    '|' || b$i.m || '|') AS seg
+           |  FROM seg${i - 1}, b$i)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to iters).map(i =>
+        s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, " +
+          s"m AS merged, c AS pair_count FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"WITH $head,\n$steps\n$rows\nORDER BY step"
+    },
 
     "text_dsir" ->
       // DSIR replay: hashed-unigram buckets (md5 fraction · 4096), two

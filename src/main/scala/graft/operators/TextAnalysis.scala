@@ -760,6 +760,97 @@ object TextAnalysis {
       org.apache.spark.sql.graft.CatalystBridge.wordpieceSegment(
         lower(col(textCol)), vocab).as("segmented"))
 
+  /** Byte-pair-encoding MERGE TRAINING — the learning half of the
+    * tokenization story ([[wordpieceSegment]] is inference under a
+    * fixed vocab; this derives the vocab's merge rules from the corpus
+    * itself, the Sennrich et al. 2016 algorithm).
+    *
+    * Scale shape (the same split every production BPE trainer uses —
+    * sentencepiece, HF tokenizers): the CORPUS-proportional work is one
+    * pass — a word-frequency groupBy — and every training iteration
+    * runs over the DISTINCT-WORD table, which Zipf keeps orders of
+    * magnitude smaller than the corpus. Per iteration: one
+    * map-side-combinable pair-count groupBy over the vocab, a 1-row
+    * argmax fetch (the bounded driver finish, like k-means centroids),
+    * and one per-word HOF fold applying the merge — no shuffle beyond
+    * the pair groupBy, no window anywhere. `merges` sequential jobs are
+    * inherent to BPE (rule i+1's counts depend on rule i's rewrite).
+    *
+    * Merge application is the standard greedy single pass,
+    * left-to-right, non-overlapping (aaaa + (a,a) → aa,aa — not
+    * aa,a,a), via an `aggregate` HOF whose accumulator rebuilds the
+    * symbol array. Ties on pair count break lexicographically (l, r) —
+    * deterministic cross-engine; the DuckDB oracle replays every
+    * iteration on a '|sym|'-encoded string whose non-overlapping
+    * left-to-right `replace` is semantically identical to the fold.
+    *
+    * Words: whitespace-split, lowercased, restricted to [a-z0-9] (the
+    * alphabet guarantee the oracle's encoding relies on), length >= 2.
+    *
+    * Output: one row per learned rule — (step, lhs, rhs, merged,
+    * pair_count), in training order. */
+  def bpeTrain(docs: DataFrame, merges: Int, textCol: String = "text",
+      minWordLen: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .where(length(col("w")) >= minWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // initial segmentation: one symbol per character
+    var seg = words
+      .select(col("freq"), split(col("w"), "(?!^)(?=.)").as("syms"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val best = seg.where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val r = best(0).getString(1)
+        val c = best(0).getLong(2)
+        val m = l + r
+        out += ((step, l, r, m, c))
+        seg = seg
+          .withColumn("syms", bpeApplyOne(col("syms"), l, r))
+          .localCheckpoint() // one execution per round + flat lineage
+        step += 1
+      }
+    }
+    out.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** One BPE merge rule applied to a symbol array — greedy
+    * left-to-right single pass, non-overlapping (the merged symbol
+    * never re-merges with its left neighbor in the same pass). */
+  def bpeApplyOne(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        // try_element_at: NULL (not ANSI error) on the empty
+        // accumulator; NULL condition falls through to otherwise
+        when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Segment one (lowercased, [a-z0-9]) word column with a learned
+    * merge list, in training order — BPE inference as a pure per-row
+    * expression chain (rule i's fold feeds rule i+1's). */
+  def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "(?!^)(?=.)")) {
+      case (syms, (l, r)) => bpeApplyOne(syms, l, r)
+    }
+
   /** token → hashed-unigram bucket in [0, buckets): the feature hash
     * DSIR scores against. The "ds|" prefix decorrelates it from the
     * engine's other md5-fraction draws (sampling "ws|"/"em|", minhash

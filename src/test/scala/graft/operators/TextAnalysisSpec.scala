@@ -369,4 +369,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w.values.count(_ > 0) == 2 && w.values.count(_ < 0) == 2,
       w.toString)
   }
+
+  test("bpeTrain: hand-computed merges, weighted counts, early stop") {
+    import spark.implicits._
+    // words: aa x3, ab x2, b x1 (dropped: len < 2)
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa b"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, merges = 5)
+      .orderBy("step").collect()
+    // iter1: (a,a)=3 beats (a,b)=2; iter2: only (a,b)=2 remains
+    // (aa fully merged); iter3: no pairs left -> early stop at 2 rows
+    assert(m.length == 2)
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) ==
+      ("a", "a", 3L))
+    assert((m(1).getString(1), m(1).getString(2), m(1).getString(3),
+      m(1).getLong(4)) == ("a", "b", "ab", 2L))
+  }
+
+  test("bpeTrain: greedy non-overlapping application + lexicographic ties") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, merges = 2)
+      .orderBy("step").collect()
+    // iter1: (a,a) appears 3x in aaaa + 2x in aaa = 5; greedy single
+    // pass rewrites aaaa -> [aa,aa] (NOT [aa,a,a]) and aaa -> [aa,a]
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) ==
+      ("a", "a", 5L))
+    // iter2: pairs (aa,aa)=1 vs (aa,a)=1 — tie breaks to (aa,a)
+    assert((m(1).getString(1), m(1).getString(2), m(1).getString(3)) ==
+      ("aa", "a", "aaa"))
+  }
+
+  test("bpeApply segments a new word with the learned rules in order") {
+    import spark.implicits._
+    val seg = Seq(("banana")).toDF("w")
+      .select(TextAnalysis.bpeApply(col("w"),
+        Seq(("a", "n"), ("an", "an"))).as("s"))
+      .head.getSeq[String](0)
+    // a|n|a|n|a -> b,an,an,a -> b,anan,a
+    assert(seg == Seq("b", "anan", "a"))
+  }
 }
