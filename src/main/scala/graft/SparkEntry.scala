@@ -585,6 +585,18 @@ object SparkEntry {
       finally s.conf.unset(ScdReader.ConfKeyGraft)
     }),
 
+    // native SQL time travel through the path-based DSv2 catalog
+    // (round 8): VERSION AS OF n = the first n log statements applied
+    // (the log-seq coordinate; TIMESTAMP AS OF covers the scd.time
+    // coordinate, ScdCatalogSpec) — the Delta-style UX over the
+    // Type-7 log. VERSION AS OF 1 applies the UPDATE, gates the DELETE.
+    "scd_catalog_travel" -> ((s, dir) => {
+      val src = sidecarDir(s, dir)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.ScdCatalog].getName)
+      s.sql(s"SELECT * FROM graft.`$src` VERSION AS OF 1 ORDER BY c_custkey")
+    }),
+
     // the DML log itself as a queryable feed (round 8): the batch form
     // of the streaming tail `readStream.format("scd").option("feed",
     // "log")` — one row per retained statement, in replay order. The
@@ -2636,6 +2648,15 @@ object SparkEntry {
     "scd_compact" ->
       s"""WITH $AsOfNowCte
          |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
+
+    // VERSION AS OF 1: statement 1 (the UPDATE) applied, statement 2
+    // (the DELETE) not yet — same view as the asOf-2024 gate
+    "scd_catalog_travel" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+        |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // the DML log feed: CustomerLog's two statements, literal — the
     // feed IS the fixture's metadata (2024-06-01T00:00:00Z =

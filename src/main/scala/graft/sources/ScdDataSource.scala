@@ -102,9 +102,13 @@ object ScdDataSource {
 
   /** Resolved reader parameters. `extra` is passed through to the inner
     * DataSource reader (e.g. `avroSchema`); `logFeed` selects the DML
-    * log feed ([[ScdLogTable]]) instead of the as-of data view. */
+    * log feed ([[ScdLogTable]]) instead of the as-of data view;
+    * `asOfSeq` replays the first n log statements instead of
+    * time-gating (the `VERSION AS OF` coordinate — see
+    * [[ScdCatalog]]). */
   case class ScdParams(path: String, format: String, asOf: Option[String],
-      extra: Map[String, String], logFeed: Boolean = false)
+      extra: Map[String, String], logFeed: Boolean = false,
+      asOfSeq: Option[Long] = None)
 
   private val Reserved = Set("path", "paths", "format", "asof", "feed")
 
@@ -132,11 +136,17 @@ object ScdDataSource {
   }
 
   /** The as-of view behind every path of this source — exactly
-    * [[ScdReader.read]]. Public: the analysis rewrite rule lives in the
+    * [[ScdReader.read]] (time coordinate) or
+    * [[graft.scd.ScdLogFeed.asOfSeq]] (statement-seq coordinate).
+    * Public: the analysis rewrite rule lives in the
     * `org.apache.spark.sql.graft` bridge package. */
   def view(spark: SparkSession, p: ScdParams,
       schema: Option[StructType]): DataFrame =
-    ScdReader.read(spark, p.path, p.format, schema, p.extra, p.asOf)
+    p.asOfSeq match {
+      case Some(n) => graft.scd.ScdLogFeed.asOfSeq(spark, p.path, n, p.format)
+      case None =>
+        ScdReader.read(spark, p.path, p.format, schema, p.extra, p.asOf)
+    }
 }
 
 /** DSv2 table handle: pure metadata — with the extension installed it
