@@ -174,6 +174,29 @@ class ScdLogStreamSpec extends SparkSpec {
     assert(batches.toSeq == Seq(Seq(0L), Seq(1L), Seq(2L)))
   }
 
+  test("cdc composition: applying the change set to view@from gives view@to") {
+    val dir = mkDir()
+    writeLog(dir, Stmt1, "-- time=2024-06-01", Stmt2, Stmt3)
+    for ((from, to) <- Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))) {
+      val before = ScdLogFeed.asOfSeq(spark, dir, from)
+      val after = ScdLogFeed.asOfSeq(spark, dir, to)
+      val cdc = ScdLogFeed.cdcBetween(spark, dir, from, to, "id")
+      val cols = before.columns.toIndexedSeq
+      val dKeys = cdc.where($"change_type" === "D").select("id")
+      val uRows = cdc.where($"change_type" === "U")
+        .select(cols.map(col): _*)
+      val iRows = cdc.where($"change_type" === "I")
+        .select(cols.map(col): _*)
+      val applied = before
+        .join(dKeys, Seq("id"), "left_anti")
+        .join(uRows.select("id"), Seq("id"), "left_anti")
+        .unionByName(uRows).unionByName(iRows)
+      assert(applied.orderBy("id").collect().toSeq ==
+        after.orderBy("id").collect().toSeq,
+        s"cdc ($from,$to] did not compose")
+    }
+  }
+
   test("streaming tail + cdcBetween in foreachBatch is incremental CDC") {
     val dir = mkDir()
     writeLog(dir, Stmt1, "-- time=2024-06-01", Stmt2)
