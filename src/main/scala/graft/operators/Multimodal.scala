@@ -23,8 +23,13 @@ import org.apache.spark.sql.{Column, DataFrame}
   * external codec — sample rate, channels, duration, and a bounded
   * RMS come from actual decoding.
   *
+  * FRAME SAMPLING is REAL for multi-frame containers the JDK decodes
+  * ([[sampleFrames]]): animated GIF frames are actually decoded —
+  * frame count probe, even sampling, per-frame dims + luma.
+  *
   * What remains STUBBED (clearly): COMPRESSED audio (mp3/aac/ogg) and
-  * video decode — no such codec ships in this environment; at
+  * compressed video (mp4/webm) decode — no such codec ships in this
+  * environment; at
   * production scale that step is the same `mapPartitions` shape with a
   * native decoder injected ([[decodeBatched]]), batch-sized partitions
   * (`spark.sql.files.maxPartitionBytes` tuned so a partition of
@@ -283,27 +288,100 @@ object Multimodal {
           if (img == null)
             org.apache.spark.sql.Row(r.get(0), payload.length.toLong,
               null, null, null)
-          else {
-            val (w, h) = (img.getWidth, img.getHeight)
-            // ceil-division stride keeps the sample grid at ≤ 64×64
-            val (sx, sy) = ((w + 63) / 64, (h + 63) / 64)
-            var sum = 0.0; var n = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += (0.299 * ((rgb >> 16) & 0xff) +
-                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
-                n += 1
-                x += sx
-              }
-              y += sy
+          else
+            org.apache.spark.sql.Row(r.get(0), payload.length.toLong,
+              img.getWidth, img.getHeight, meanLuma(img))
+        }
+      }
+    }(enc)
+  }
+
+  /** Sampled mean luma of a decoded frame (≤ 64×64 grid). */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sx, sy) = ((w + 63) / 64, (h + 63) / 64)
+    var sum = 0.0; var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += (0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+        n += 1
+        x += sx
+      }
+      y += sy
+    }
+    BigDecimal(sum / n).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+  }
+
+  /** REAL frame sampling for multi-frame containers the JDK decodes
+    * itself — animated GIF, the one video-ish format with a pure-JVM
+    * codec: up to `maxFrames` frames sampled EVENLY across the
+    * animation (first frame always included), each actually decoded
+    * and reduced to per-frame stats. This is the video-preprocessing
+    * shape (probe frame count → sample → decode → featurize) running
+    * on real frames; compressed video (mp4/webm) stays in the
+    * documented [[decodeBatched]] injectable slot — same mapPartitions
+    * shape, a native decoder swapped in.
+    *
+    * Single-frame images yield one sampled frame; NULL/undecodable
+    * payloads keep their row with NULL stats (never a failed task).
+    * GIF delta frames decode at their own (possibly smaller) raster
+    * dims — the honest per-frame numbers.
+    *
+    * Output: id, n_frames, frames array<struct<frame_idx, width,
+    * height, mean_luma>> (≤ maxFrames elements). */
+  def sampleFrames(df: DataFrame, id: String, binCol: String,
+      maxFrames: Int = 4): DataFrame = {
+    require(maxFrames >= 1, s"maxFrames must be >= 1: $maxFrames")
+    import org.apache.spark.sql.types._
+    val inSchema = df.select(col(id), col(binCol)).schema
+    val frameT = StructType(Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val outSchema = StructType(Seq(
+      inSchema.head,
+      StructField("n_frames", IntegerType),
+      StructField("frames", ArrayType(frameT))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val decoded: Option[(Int, Seq[org.apache.spark.sql.Row])] =
+          if (payload == null) None
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) None
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val picks =
+                  if (n <= maxFrames) 0 until n
+                  // even sampling, first frame anchored
+                  else (0 until maxFrames).map(i => i * n / maxFrames)
+                val frames = picks.map { idx =>
+                  val img = reader.read(idx)
+                  org.apache.spark.sql.Row(idx, img.getWidth,
+                    img.getHeight, meanLuma(img))
+                }
+                Some((n, frames))
+              } finally reader.dispose()
             }
-            org.apache.spark.sql.Row(r.get(0), payload.length.toLong, w, h,
-              BigDecimal(sum / n)
-                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((n, frames)) =>
+            org.apache.spark.sql.Row(r.get(0), n, frames)
+          case None => org.apache.spark.sql.Row(r.get(0), null, null)
         }
       }
     }(enc)

@@ -238,6 +238,55 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - 1.0) < 1e-3)
   }
 
+  test("sampleFrames: REAL animated-GIF frame decode — count, sampling, luma") {
+    import spark.implicits._
+    // animated GIF written through the JDK's own GIF writer: one
+    // IIOImage appended per frame (no external library)
+    def animatedGif(lumas: Seq[Int]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      lumas.foreach { v =>
+        val img = new java.awt.image.BufferedImage(8, 6,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(v, v, v))
+        g.fillRect(0, 0, 8, 6); g.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      bos.toByteArray
+    }
+    val gif5 = animatedGif(Seq(0, 64, 128, 192, 255))
+    val png1 = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val df = Seq((1L, gif5), (2L, png1), (3L, Array[Byte](1, 2, 3)),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val out = Multimodal.sampleFrames(df, "id", "payload", maxFrames = 3)
+      .orderBy("id").collect()
+    // 5 frames, sampled evenly to 3: indices 0, 1, 3 (i*5/3)
+    assert(out(0).getInt(1) == 5)
+    val frames = out(0).getSeq[org.apache.spark.sql.Row](2)
+    assert(frames.map(_.getInt(0)) == Seq(0, 1, 3))
+    assert(frames.forall(f => f.getInt(1) == 8 && f.getInt(2) == 6))
+    // luma tracks the painted gray levels, monotone across sampled frames
+    val lumas = frames.map(_.getDouble(3))
+    assert(lumas(0) < 0.1 && lumas(1) < lumas(2), lumas.toString)
+    // single-frame image: one frame, full count 1
+    assert(out(1).getInt(1) == 1 &&
+      out(1).getSeq[org.apache.spark.sql.Row](2).length == 1)
+    // garbage and NULL payloads: row kept, stats NULL
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1))
+  }
+
   test("fakeEmbedding feeds the vector operators") {
     val e = bins.select(col("id").as("vec_id"),
       Multimodal.fakeEmbedding(col("payload"), 8).as("embedding"))
