@@ -106,6 +106,38 @@ class MaterializeFromLogSpec extends SparkSpec {
     assert(first.count(_.getAs[String]("seg") == "A") == 50)
   }
 
+  test("closed loop: dmlSink ingest -> log feed -> materialized view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = mkDir()
+    val snap = Files.createTempDirectory("mvloop-snap").toString
+    val mvCkpt = Files.createTempDirectory("mvloop-mv").toString
+    val dmlCkpt = Files.createTempDirectory("mvloop-dml").toString
+
+    // stage 1: stream DML statements INTO the table's log (the
+    // continuous-ingest face), then fold the log into the snapshot
+    implicit val sqlCtx = spark.sqlContext
+    val lines = MemoryStream[String]
+    val dml = ScdStream.dmlSink(lines.toDF().toDF("stmt"), "stmt", dir,
+      dmlCkpt).trigger(Trigger.AvailableNow())
+    lines.addData(Stmt1)
+    val q1 = dml.start(); q1.awaitTermination(60000)
+    runOnce(dir, snap, mvCkpt)
+    val s1 = ScdStream.latestSnapshot(spark, snap).get
+    assert(s1.where($"seg" === "A" && $"bal" % 10 === 0).count() == 50)
+    assert(ScdStream.snapshotMaxSeq(spark, snap) == 0L)
+
+    // stage 2: more DML arrives; the view catches up incrementally
+    lines.addData(Stmt2)
+    val q2 = dml.start(); q2.awaitTermination(60000)
+    runOnce(dir, snap, mvCkpt)
+    val s2 = ScdStream.latestSnapshot(spark, snap).get
+    assert(s2.count() == 90)
+    assert(ScdStream.snapshotMaxSeq(spark, snap) == 1L)
+    // the whole loop equals the batch as-of read of the same dir
+    assert(sorted(s2) ==
+      sorted(ScdReader.read(spark, dir, asOf = Some("2031-01-01"))))
+  }
+
   test("mixing materializeFromLog with an upsertSink snapshot dir refuses") {
     val dir = mkDir()
     writeLog(dir, Stmt1)
