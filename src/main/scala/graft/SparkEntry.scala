@@ -64,10 +64,43 @@ object SparkEntry {
   private val tfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
+  /** Per-(application, data-dir) memo of the Z-ORDERED LINEITEM COPY +
+    * its zone-map and bloom manifests (q_zonemap_scan /
+    * q_bloomskip_point): at 100 TB clustering + manifest build is the
+    * one-time layout job; the declared queries charge each run only
+    * the manifest probe + the scan of the files the manifest could not
+    * rule out. Same contract and staleness semantics as
+    * [[sigIndexCache]]. */
+  private val zlFixtureCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
   /** Stable filesystem-safe artifact directory for a (kind, data-dir)
     * pair, per application. */
   private def indexPath(kind: String, appId: String, dir: String): String =
     s"target/graft-index/$kind-$appId-${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** Build (once per application) the file-skipping fixture: lineitem
+    * projected to 4 columns, Z-ordered on (l_partkey, l_suppkey) into
+    * 16 files, plus a zone-map manifest on the clustered dims and a
+    * bloom manifest on the UNCLUSTERED l_orderkey — the two manifest
+    * kinds cover the two probe shapes (range on clustered, point on
+    * anything). */
+  private def zlFixture(s: SparkSession, dir: String): String = {
+    val appId = s.sparkContext.applicationId
+    evictDeadApps(zlFixtureCache, "zl", appId)
+    zlFixtureCache.getOrElseUpdate((appId, dir), {
+      val p = indexPath("zl", appId, dir)
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      Layout.zOrderedWrite(li, Seq(col("l_partkey"), col("l_suppkey")),
+        bits = 20, s"$p/data", numFiles = 16)
+      Layout.zoneMapWrite(s, s"$p/data", Seq("l_partkey", "l_suppkey"),
+        s"$p/zm")
+      Layout.bloomManifestWrite(s, s"$p/data", "l_orderkey",
+        expectedItemsPerFile = 65536, s"$p/bloom")
+      p
+    })
+  }
 
   /** Evict other applications' `kind` entries from `cache` AND their
     * on-disk artifact directories (ADVICE r7: filterInPlace alone let
@@ -919,6 +952,37 @@ object SparkEntry {
         Layout.zOrderKey(Seq(col("p_partkey"), col("p_size")), 16)
           .as("z_key"))
         .orderBy("z_key", "p_partkey")),
+
+    // FILE-LEVEL data skipping through the persisted zone-map
+    // manifest: the range probe rules out every Z-tile file whose
+    // (l_partkey, l_suppkey) min/max box misses the query box, the
+    // scan opens only the survivors, and the residual re-check makes
+    // the result EXACTLY the full-scan filter (the oracle is that full
+    // scan — pruning is an I/O statement, never a semantic one;
+    // LayoutSpec pins the strict-subset file count)
+    "q_zonemap_scan" -> ((s, dir) => {
+      val p = zlFixture(s, dir)
+      val man = s.read.parquet(s"$p/zm")
+      val keep = col("l_partkey_min") <= 140L &&
+        col("l_partkey_max") >= 100L &&
+        col("l_suppkey_min") <= 40L && col("l_suppkey_max") >= 1L
+      Layout.skipScan(s, s"$p/data", man, keep,
+        col("l_partkey").between(100L, 140L) &&
+          col("l_suppkey").between(1L, 40L))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
+    // point lookup through the persisted per-file BLOOM manifest on a
+    // key the layout does NOT cluster (Z-order on partkey/suppkey
+    // scatters orderkeys): min/max stats cannot skip here, the bloom
+    // still opens only the files that might hold the key, and the
+    // exact residual `l_orderkey = 7` eats any false positive
+    "q_bloomskip_point" -> ((s, dir) => {
+      val p = zlFixture(s, dir)
+      Layout.bloomSkipScan(s, s"$p/data", s.read.parquet(s"$p/bloom"),
+        "l_orderkey", lit(7L))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
 
     // salted skew-join: result-identical to the plain join (the oracle
     // IS the plain join), hot probe keys spread over nSalt tasks
@@ -3143,6 +3207,19 @@ object SparkEntry {
       s"""SELECT p_partkey, p_size, ($terms) AS z_key
          |FROM part ORDER BY z_key, p_partkey""".stripMargin
     },
+
+    // pruning is I/O-only: the manifest-skipped scan must equal the
+    // full-table filter bit for bit
+    "q_zonemap_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 140 AND l_suppkey BETWEEN 1 AND 40
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    "q_bloomskip_point" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem WHERE l_orderkey = 7
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** File-layout control for scan pruning — at 100 TB the cheapest query
   * is the one that never opens most files. Parquet footers carry
@@ -138,4 +139,129 @@ object Layout {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+
+  // --------------------------------------------------------------------
+  // File-level scan skipping: zone-map and bloom manifests.
+  //
+  // Clustering ([[zOrderedWrite]]/[[clusteredWrite]]) makes per-file
+  // stats TIGHT; the manifests below make them QUERYABLE ahead of the
+  // scan, so a selective query at 100 TB opens the handful of files
+  // that can match instead of planning a full-table scan and relying
+  // on row-group-level footer pruning inside every opened file. This
+  // is the table-format "data skipping" idea (zone maps / min-max
+  // indexes + bloom indexes) expressed with plain Spark primitives:
+  // the manifest is an ordinary parquet table, one row per data FILE,
+  // built once per corpus like the other persisted index artifacts
+  // (tf/sig/pq) and appended incrementally as files arrive.
+  // --------------------------------------------------------------------
+
+  /** Per-file zone map over `cols`: one row per data file with
+    * `<c>_min` / `<c>_max` per column plus a row count. One
+    * column-pruned pass over the table (only `cols` are read), grouped
+    * on `input_file_name()` — map-side combinable, output cardinality
+    * = file count. */
+  def zoneMapBuild(spark: SparkSession, dataDir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMapBuild needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("rows")
+    spark.read.parquet(dataDir)
+      .select(input_file_name().as("file") +: cols.map(col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Persist a zone map beside the data (the manifest is KB-scale —
+    * one row per file — so a single output file keeps the probe a
+    * one-task read). */
+  def zoneMapWrite(spark: SparkSession, dataDir: String,
+      cols: Seq[String], manifestPath: String): Unit =
+    zoneMapBuild(spark, dataDir, cols)
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+
+  /** Incremental manifest growth: stats for files present in `dataDir`
+    * but absent from the manifest are computed and appended — adding a
+    * day's files to a 100 TB table re-reads only the new files, never
+    * the corpus. Appended ≡ rebuilt exactly (per-file rows are
+    * independent). */
+  def zoneMapAppend(spark: SparkSession, dataDir: String,
+      cols: Seq[String], manifestPath: String): Unit = {
+    val known = spark.read.parquet(manifestPath).select("file")
+    val fresh = zoneMapBuild(spark, dataDir, cols)
+      .join(broadcast(known), Seq("file"), "left_anti")
+    fresh.coalesce(1).write.mode("append").parquet(manifestPath)
+  }
+
+  /** The file paths a manifest predicate cannot rule out. `keep` is a
+    * predicate over the manifest's stat columns (e.g.
+    * `col("k_min") <= hi && col("k_max") >= lo` for `k BETWEEN lo AND
+    * hi`); rows where it is NULL (all-NULL file stats) are KEPT —
+    * skipping is only sound on a provable non-match.
+    *
+    * Driver-side by design: the result is the file LIST (paths only,
+    * O(files) strings) that parameterizes the scan — the same bounded
+    * driver-side finish Spark's own FileIndex listing performs before
+    * every read. No data rows cross the driver. */
+  def prunedFiles(manifest: DataFrame, keep: Column): Seq[String] =
+    manifest.where(coalesce(keep, lit(true)))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Scan only the files `keep` cannot rule out, then apply the exact
+    * row predicate `residual` — results are identical to
+    * `spark.read.parquet(dataDir).where(residual)` whenever `keep` is
+    * implied by `residual` (the manifest is consulted for SKIPPING
+    * only; `residual` re-checks every surviving row, so a too-loose
+    * `keep` — e.g. a bloom false positive — costs I/O, never
+    * correctness). Zero qualifying files → empty result with the
+    * table's schema. */
+  def skipScan(spark: SparkSession, dataDir: String, manifest: DataFrame,
+      keep: Column, residual: Column): DataFrame = {
+    val files = prunedFiles(manifest, keep)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.where(residual)
+  }
+
+  /** Per-file bloom index over `key`: one row per data file with the
+    * serialized bloom of the file's xxhash64(key) set. The point-lookup
+    * complement of [[zoneMapBuild]] — min/max can only skip on
+    * CLUSTERED columns; a bloom skips on any column, clustered or not,
+    * at `fpp` extra-file overhead. `expectedItemsPerFile` sizes each
+    * bloom (bits ∝ items); the manifest stays file-count-bounded.
+    *
+    * NULL keys are not inserted (SQL `=` never matches NULL); a file
+    * of all-NULL keys gets an empty bloom and is skipped for every
+    * probe, correctly. */
+  def bloomManifestBuild(spark: SparkSession, dataDir: String,
+      key: String, expectedItemsPerFile: Long): DataFrame =
+    spark.read.parquet(dataDir)
+      .select(input_file_name().as("file"), col(key))
+      .where(col(key).isNotNull)
+      .groupBy("file")
+      .agg(CatalystBridge.bloomFilterAgg(xxhash64(col(key)),
+        expectedItemsPerFile).as("bloom"))
+
+  /** Persist a bloom manifest (see [[zoneMapWrite]]). */
+  def bloomManifestWrite(spark: SparkSession, dataDir: String,
+      key: String, expectedItemsPerFile: Long, manifestPath: String): Unit =
+    bloomManifestBuild(spark, dataDir, key, expectedItemsPerFile)
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+
+  /** Point-lookup scan through a bloom manifest: open only files whose
+    * bloom might contain `value`, then re-check `key = value` exactly
+    * on the surviving rows (false positives cost I/O, never wrong
+    * rows — see [[skipScan]]).
+    *
+    * `value` must be CAST TO THE KEY COLUMN'S TYPE by the caller
+    * (xxhash64 is type-sensitive: the probe hash must reproduce the
+    * build-side `xxhash64(col(key))` bit-for-bit — `lit(5)` probes an
+    * int hash, a bigint key needs `lit(5L)`). A file absent from the
+    * manifest contributes nothing; keep manifests complete via
+    * [[zoneMapAppend]]-style appends or rebuild. */
+  def bloomSkipScan(spark: SparkSession, dataDir: String,
+      manifest: DataFrame, key: String, value: Column): DataFrame =
+    skipScan(spark, dataDir, manifest,
+      CatalystBridge.bloomContains(col("bloom"), xxhash64(value)),
+      col(key) === value)
 }

@@ -36,6 +36,14 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Per-ROW bloom membership test over a manifest of serialized
+    * blooms (see [[graft.functions.expressions.BloomContains]] — the
+    * per-FILE index probe Spark's own `might_contain` cannot express). */
+  def bloomContains(bloomBytes: Column, hashed: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.BloomContains(
+      ExpressionUtils.expression(bloomBytes),
+      ExpressionUtils.expression(hashed)))
+
   /** Native one-pass winnowing fingerprint (see
     * [[graft.functions.expressions.WinnowMin]]). */
   def winnowMin(text: Column, k: Int, stride: Int): Column =

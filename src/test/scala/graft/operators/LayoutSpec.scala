@@ -133,6 +133,96 @@ class LayoutSpec extends SparkSpec {
       "different epoch seed must permute the order")
   }
 
+  test("zone-map manifest: skipScan opens a strict file subset, results exact") {
+    val n = 40000
+    val df = (1 to n).map(i => ((i * 48271) % n, i)).toDF("id", "payload")
+    val dir = Files.createTempDirectory("zm_data").toString + "/t"
+    Layout.clusteredWrite(df, Seq(col("id")), dir, numFiles = 8)
+    val man = Files.createTempDirectory("zm_man").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), man)
+    val manifest = spark.read.parquet(man)
+    val total = manifest.count()
+    assert(total == 8, s"one manifest row per file, got $total")
+    assert(manifest.agg(sum($"rows")).head.getLong(0) == n)
+
+    val (lo, hi) = (100, 600)
+    val keep = col("id_min") <= hi && col("id_max") >= lo
+    val kept = Layout.prunedFiles(manifest, keep)
+    assert(kept.size < total,
+      s"no file-level pruning: kept ${kept.size} of $total")
+    val residual = col("id").between(lo, hi)
+    val pruned = Layout.skipScan(spark, dir, manifest, keep, residual)
+      .select("id", "payload").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val full = spark.read.parquet(dir).where(residual)
+      .select("id", "payload").collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(pruned.sorted.toList == full.sorted.toList)
+
+    // zero qualifying files → empty result, schema preserved
+    val none = Layout.skipScan(spark, dir, manifest,
+      col("id_min") > n * 2, col("id") === n * 2)
+    assert(none.count() == 0 &&
+      none.columns.toSet == Set("id", "payload"))
+  }
+
+  test("zone-map append: new files' stats only; appended == rebuilt") {
+    val dir = Files.createTempDirectory("zma_data").toString + "/t"
+    val a = (1 to 1000).map(i => (i, i)).toDF("id", "payload")
+    Layout.clusteredWrite(a, Seq(col("id")), dir, numFiles = 4)
+    val man = Files.createTempDirectory("zma_man").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), man)
+    // a new batch of files arrives in the same table directory
+    val b = (2001 to 2500).map(i => (i, i)).toDF("id", "payload")
+    b.repartition(2).write.mode("append").parquet(dir)
+    Layout.zoneMapAppend(spark, dir, Seq("id"), man)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("file", "id_min", "id_max", "rows").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .sortBy(_._1).toList
+    val appended = rows(spark.read.parquet(man))
+    val rebuilt = rows(Layout.zoneMapBuild(spark, dir, Seq("id")))
+    assert(appended == rebuilt, "appended manifest diverged from rebuild")
+    assert(appended.size == 6, s"4 + 2 files, got ${appended.size}")
+  }
+
+  test("bloom manifest: point lookup opens few files on an UNCLUSTERED key") {
+    val n = 40000
+    // random layout: min/max zone maps are useless for this key —
+    // every file spans nearly the full id range; blooms still skip
+    val df = (1 to n).map(i => ((i.toLong * 48271) % n, i))
+      .toDF("id", "payload")
+    val dir = Files.createTempDirectory("bm_data").toString + "/t"
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    val man = Files.createTempDirectory("bm_man").toString + "/m"
+    Layout.bloomManifestWrite(spark, dir, "id", n / 16 * 2, man)
+    val manifest = spark.read.parquet(man)
+    assert(manifest.count() == 16)
+
+    val probe = lit(4242L) // matches the bigint key type (xxhash64!)
+    val kept = Layout.prunedFiles(manifest,
+      org.apache.spark.sql.graft.CatalystBridge.bloomContains(col("bloom"),
+        xxhash64(probe)))
+    assert(kept.size < 8, s"bloom did not prune: kept ${kept.size}/16")
+    val got = Layout.bloomSkipScan(spark, dir, manifest, "id", probe)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toList
+    val want = spark.read.parquet(dir).where(col("id") === 4242L)
+      .select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toList
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloom_contains: NULL bloom yields NULL; garbage bytes raise") {
+    val df = Seq((Option.empty[Array[Byte]], 1L)).toDF("bloom", "h")
+    val out = df.select(org.apache.spark.sql.graft.CatalystBridge.bloomContains(
+      col("bloom"), col("h")).as("c")).head
+    assert(out.isNullAt(0))
+    intercept[Exception] {
+      Seq((Array[Byte](1, 2, 3), 1L)).toDF("bloom", "h")
+        .select(org.apache.spark.sql.graft.CatalystBridge.bloomContains(
+          col("bloom"), col("h"))).collect()
+    }
+  }
+
   test("shardAssignment: queryable order equals the written global order") {
     val n = 5000
     val nShards = 4
