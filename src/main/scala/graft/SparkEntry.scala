@@ -1261,6 +1261,16 @@ object SparkEntry {
       Eval.calibrationError(scored, col("score"), col("label"), nBins = 10)
     }),
 
+    // the chosen operating point as a single aggregate row: confusion
+    // matrix + precision/recall/F1/accuracy of the same collision-heavy
+    // gate at threshold 0 (log-odds sign) — one map-side-combinable
+    // pass, the per-deploy gate report beside q_gate_calibration's
+    // full curve
+    "q_gate_confusion" -> ((s, dir) => {
+      val scored = nbGateScored(s, dir, dim = 16)
+      Eval.confusion(scored, col("score"), col("label"), threshold = 0.0)
+    }),
+
     // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
     // in for lines on this single-line corpus; windows shared by >= 2
     // docs (exact-dup and near-dup clones) are stripped everywhere and
@@ -1808,6 +1818,23 @@ object SparkEntry {
       Similarity.lshTopK(e, e.where(col("vec_id") < 10), 5, bits = 8,
         probes = 9)
         .orderBy("query_id", "rank")
+    }),
+
+    // the ANN quality loop closed AS A QUERY: recall@5 of the IVF
+    // shortcut against the brute-force truth, per query — the number
+    // that decides nCentroids/nProbe before an index ships (0.92 mean
+    // on this corpus; sign-LSH at 8 bits scores 0.02 on the same
+    // near-orthogonal synthetic vectors, which is exactly the decision
+    // this metric exists to force). Joins two 5-rows-per-query lists;
+    // the corpus is only touched by the two top-k producers themselves
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      Eval.recallAtK(
+        Similarity.ivfTopK(e, q, 5, nCentroids = 16, nProbe = 2),
+        Similarity.bruteForceTopK(e, q, 5),
+        queryCol = "query_id", idCol = "neighbor_id")
+        .orderBy("query_id")
     }),
 
     "sim_ivf_topk" -> ((s, dir) => {
@@ -4192,6 +4219,34 @@ object SparkEntry {
          |FROM pb""".stripMargin
     },
 
+    "q_gate_confusion" -> {
+      // same dim-16 scored chain; exact long counts, ratios NULL on a
+      // zero denominator ("undefined", never a fake 0.0)
+      s"""WITH $PaddedDocCte,
+         |${nbScoredChainSql(16)},
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT tp, fp, fn, tn,
+         |  round(CAST(tp AS DOUBLE) /
+         |    CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS "precision",
+         |  round(CAST(tp AS DOUBLE) /
+         |    CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall,
+         |  round(2.0 * CAST(tp AS DOUBLE) /
+         |    CAST(nullif(2 * tp + fp + fn, 0) AS DOUBLE), 6) AS f1,
+         |  round(CAST(tp + tn AS DOUBLE) /
+         |    CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS accuracy
+         |FROM c""".stripMargin
+    },
+
     // line-level dedup: identical 8-token-window segmentation; the df
     // count is on the raw segment (md5 on the Spark side is only a
     // join-key compression)
@@ -4803,6 +4858,58 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "q_ann_recall" -> {
+      // both top-5 sets replayed (brute over e; IVF via the same
+      // assign/probe chain as sim_ivf_topk), then per-query
+      // |ivf ∩ brute| / 5
+      s"""WITH $EmbCte,
+         |c AS (SELECT vec_id AS cid, v AS cvec FROM e ORDER BY vec_id LIMIT 16),
+         |a AS (
+         |  SELECT neighbor_id, cv, cid FROM (
+         |    SELECT e.vec_id AS neighbor_id, e.v AS cv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |p AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.v", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM e CROSS JOIN c WHERE e.vec_id < 10)
+         |  WHERE rn <= 2),
+         |lx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM (
+         |      SELECT query_id, neighbor_id,
+         |        round(${cosSql("qv", "cv")}, 6) AS cosine
+         |      FROM a JOIN p USING (cid) WHERE query_id <> neighbor_id))
+         |  WHERE rnk <= 5),
+         |bx AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rnk
+         |    FROM (
+         |      SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        round(${cosSql("q.qv", "e.v")}, 6) AS cosine
+         |      FROM (SELECT vec_id AS query_id, v AS qv FROM e
+         |            WHERE vec_id < 10) q
+         |      JOIN e ON e.vec_id <> q.query_id))
+         |  WHERE rnk <= 5)
+         |SELECT query_id,
+         |  CAST(sum(CASE WHEN lx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS hits,
+         |  round(CAST(sum(CASE WHEN lx.neighbor_id IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM bx LEFT JOIN lx USING (query_id, neighbor_id)
+         |GROUP BY query_id ORDER BY query_id""".stripMargin
     },
 
     "sim_ivf_topk" ->

@@ -244,6 +244,66 @@ object Eval {
           .as("auc"))
   }
 
+  /** Confusion matrix of a thresholded gate at ONE operating point —
+    * the companion of [[thresholdSweep]] once the cutoff is chosen:
+    * a single map-side-combinable aggregate over the corpus (no
+    * window, no join), one output row with exact long counts and the
+    * derived ratios. Predicted positive iff score >= threshold.
+    *
+    * precision/recall/f1/accuracy are NULL when their denominator is
+    * zero (no predicted positives / no true positives / empty corpus)
+    * rather than a fake 0.0 — the caller must see "undefined", not
+    * "bad". */
+  def confusion(scored: DataFrame, scoreCol: Column, labelCol: Column,
+      threshold: Double): DataFrame = {
+    val p = (scoreCol >= lit(threshold)).cast("long")
+    val y = labelCol.cast("long")
+    scored.select(p.as("p"), y.as("y"))
+      .agg(
+        coalesce(sum(col("p") * col("y")), lit(0L)).as("tp"),
+        coalesce(sum(col("p") * (lit(1L) - col("y"))), lit(0L)).as("fp"),
+        coalesce(sum((lit(1L) - col("p")) * col("y")), lit(0L)).as("fn"),
+        coalesce(sum((lit(1L) - col("p")) * (lit(1L) - col("y"))), lit(0L))
+          .as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
+          .as("precision"),
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 6)
+          .as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          nullif(lit(2L) * col("tp") + col("fp") + col("fn"), lit(0L))
+            .cast("double"), 6).as("f1"),
+        round((col("tp") + col("tn")).cast("double") /
+          nullif(col("tp") + col("fp") + col("fn") + col("tn"), lit(0L))
+            .cast("double"), 6).as("accuracy"))
+  }
+
+  /** Recall of an APPROXIMATE top-k result list against the EXACT one —
+    * the metric that justifies every ANN shortcut (LSH buckets, IVF
+    * probes, PQ codes): what fraction of the true neighbors did the
+    * shortcut keep? Per query: hits = |approx ∩ exact|, recall =
+    * hits / |exact| (queries with an empty exact list are absent — no
+    * denominator, no row).
+    *
+    * Scale shape: one equi-join on (query, id) between two k-rows-per-
+    * query tables + one groupBy — never touches the corpus the result
+    * lists came from. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      queryCol: String = "query_id", idCol: String = "doc_id"): DataFrame = {
+    val a = approx.select(col(queryCol), col(idCol))
+      .withColumn("__hit", lit(1L))
+    exact.select(col(queryCol), col(idCol))
+      .join(a, Seq(queryCol, idCol), "left")
+      .groupBy(queryCol)
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col(queryCol), col("hits"),
+        round(col("hits").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** NDCG rank discounts 1/log2(r+1) for ranks 1..k, quantized to
     * exact 1e-6 longs. Computed ONCE here and interpolated as integer
     * literals into the DuckDB oracle at declaration time, so no

@@ -186,6 +186,47 @@ class EvalSpec extends SparkSpec {
     assert(single.getDouble(2) == 0.5)
   }
 
+  test("confusion: hand case, boundary on the threshold, zero-denominator NULLs") {
+    // threshold 0.5; score == threshold predicts POSITIVE (>=)
+    val scored = Seq(
+      (0.9, 1), (0.5, 1), // tp x2 (one exactly at the threshold)
+      (0.7, 0),           // fp
+      (0.1, 1), (0.2, 1), (0.3, 1), // fn x3
+      (0.0, 0), (0.4, 0)) // tn x2
+      .toDF("score", "label")
+    val r = Eval.confusion(scored, col("score"), col("label"), 0.5).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 3L, 2L)))
+    assert(r.getDouble(4) == 0.666667) // precision 2/3
+    assert(r.getDouble(5) == 0.4)      // recall 2/5
+    assert(r.getDouble(6) == 0.5)      // f1 = 4/(4+1+3)
+    assert(r.getDouble(7) == 0.5)      // accuracy 4/8
+    // nothing predicted positive -> precision NULL, recall 0
+    val low = Eval.confusion(scored, col("score"), col("label"), 99.0).head
+    assert(low.isNullAt(4) && low.getDouble(5) == 0.0)
+    // no positives at all -> recall NULL; f1 still defined (0.0) while
+    // any predicted positive keeps its denominator nonzero
+    val neg = Eval.confusion(scored.where(col("label") === 0),
+      col("score"), col("label"), 0.5).head
+    assert(neg.isNullAt(5) && neg.getDouble(6) == 0.0)
+    // predicted-all-negative of a no-positive corpus: f1 NULL too
+    val none = Eval.confusion(scored.where(col("label") === 0),
+      col("score"), col("label"), 99.0).head
+    assert(none.isNullAt(4) && none.isNullAt(5) && none.isNullAt(6))
+  }
+
+  test("recallAtK: per-query intersection over the exact list") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "doc_id")
+    val approx = Seq((1L, 11L), (1L, 12L), (1L, 99L), // 2 of 3
+      (2L, 7L), (2L, 8L), // 0 of 2
+      (3L, 1L)) // query absent from exact: NO row (no denominator)
+      .toDF("query_id", "doc_id")
+    val out = Eval.recallAtK(approx, exact).orderBy("query_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toList == List((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+  }
+
   test("ndcgDiscountMicros: exact 1e-6 grid of 1/log2(r+1)") {
     assert(Eval.ndcgDiscountMicros(5) ==
       IndexedSeq(1000000L, 630929L, 500000L, 430676L, 386852L))
