@@ -682,6 +682,26 @@ object SparkEntry {
       ScdReader.historyText(s, t(s, dir, "customer"), CustomerLog)
         .orderBy("valid_from_ms", "c_custkey")),
 
+    // the TEMPORAL enrichment join: every event sees the customer
+    // dimension as of ITS OWN timestamp (batch jobs pin one as-of; a
+    // fact stream carries a different as-of per row, so the lookup
+    // targets the SCD2 interval containing the event time — same
+    // operator ScdStreamSpec drives on a live stream). Half the events
+    // are shifted past the 2024-06-01 DELETE so all three outcomes
+    // occur: pre-update interval, post-update interval, deleted (NULL)
+    "scd_enrich_asof" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        (expr("ts_us div 1000") +
+          (col("event_id") % 2) * lit(12960000000L)).as("ts_ms"))
+      val hist = ScdReader.historyText(s, t(s, dir, "customer"),
+        CustomerLog)
+      graft.streaming.ScdStream.enrichAsOf(ev, hist,
+        "user_id", "c_custkey", "ts_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
     "scd_merge_upsert" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val changed = c.where(col("c_custkey") % 10 === 0).select(
@@ -2842,6 +2862,31 @@ object SparkEntry {
          |  CAST(NULL AS BIGINT) AS valid_to_ms FROM upd
          |WHERE NOT coalesce(c_acctbal < 0, FALSE)
          |ORDER BY valid_from_ms, c_custkey""".stripMargin,
+
+    "scd_enrich_asof" ->
+      s"""WITH upd AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    CASE WHEN coalesce(c_mktsegment = 'BUILDING', FALSE)
+         |         THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
+         |    c_mktsegment
+         |  FROM customer),
+         |hist AS (
+         |  SELECT *, CAST(0 AS BIGINT) AS vf,
+         |    CAST(1717200000000 AS BIGINT) AS vt FROM upd
+         |  UNION ALL
+         |  SELECT *, CAST(1717200000000 AS BIGINT) AS vf,
+         |    CAST(NULL AS BIGINT) AS vt FROM upd
+         |  WHERE NOT coalesce(c_acctbal < 0, FALSE)),
+         |ev AS (
+         |  SELECT event_id, user_id,
+         |    CAST(epoch_us(ts) // 1000 +
+         |      (event_id % 2) * 12960000000 AS BIGINT) AS ts_ms
+         |  FROM events)
+         |SELECT e.event_id, e.user_id, e.ts_ms,
+         |  h.c_name, h.c_acctbal, h.c_mktsegment
+         |FROM ev e LEFT JOIN hist h ON e.user_id = h.c_custkey
+         |  AND e.ts_ms >= h.vf AND (h.vt IS NULL OR e.ts_ms < h.vt)
+         |ORDER BY event_id""".stripMargin,
 
     "scd_merge_upsert" ->
       """WITH staging AS (

@@ -329,6 +329,59 @@ object ScdStream {
       .drop(rKey)
   }
 
+  /** Enrich a STREAM of facts with the dimension attributes valid AT
+    * each event's own timestamp — the streaming face of the Type-7
+    * temporal join: batch jobs read one as-of snapshot
+    * (`ScdReader.read`); a stream carries a DIFFERENT as-of per row,
+    * so the lookup targets the SCD2 validity interval
+    * (`ScdReader.history`) containing the event time.
+    *
+    * Stream-static LEFT join on the key plus the interval residual
+    * `valid_from_ms <= ts < valid_to_ms` — an equi-join with a range
+    * post-condition, the same hash-join plan a batch as-of-interval
+    * lookup gets (never a nested loop), one shuffle on the key. A key
+    * deleted by the log simply has no interval covering later events:
+    * those enrich to NULL, faithfully (deletion is absence, not a
+    * tombstone value).
+    *
+    * Freshness contract: the dimension's `.updates` statements are
+    * parsed at PLAN time (driver-side sidecar read), so a running
+    * query serves the log as of query START; statements appended later
+    * are picked up on restart — same semantics as the batch view, per
+    * plan. Callers needing per-batch log refresh compose
+    * [[ScdStream.applyLogBatch]]/`foreachBatch` and rebuild the
+    * history frame inside the batch function.
+    *
+    * @param stream    streaming facts
+    * @param history   SCD2 interval frame (`ScdReader.history(spark,
+    *                  dir)`) — or any frame with `valid_from_ms` /
+    *                  `valid_to_ms` (ms epoch, null to = open)
+    * @param streamKey fact-side key column
+    * @param dimKey    dimension-side key column (kept distinct: fact
+    *                  and dim names usually differ; both retained in
+    *                  the output — `dimKey` is NULL for misses)
+    * @param tsMsCol   fact-side event time, ms epoch (long)
+    */
+  def enrichAsOf(stream: DataFrame, history: DataFrame, streamKey: String,
+      dimKey: String, tsMsCol: String): DataFrame = {
+    val ts = stream.col(tsMsCol)
+    stream.join(history,
+      stream.col(streamKey) === history.col(dimKey) &&
+        ts >= history.col("valid_from_ms") &&
+        (history.col("valid_to_ms").isNull ||
+          ts < history.col("valid_to_ms")),
+      "left")
+      .drop("valid_from_ms", "valid_to_ms")
+  }
+
+  /** [[enrichAsOf]] against a table DIRECTORY: builds the SCD2 history
+    * from the dir's base files + `.updates` sidecars at plan time. */
+  def enrichAsOf(stream: DataFrame, tableDir: String, streamKey: String,
+      dimKey: String, tsMsCol: String): DataFrame =
+    enrichAsOf(stream,
+      graft.scd.ScdReader.history(stream.sparkSession, tableDir),
+      streamKey, dimKey, tsMsCol)
+
   /** Tumbling-window event counts with a watermark — the standard
     * windowed streaming aggregate over an event-time column. */
   def eventCountsPerWindow(df: DataFrame, tsCol: String,

@@ -15,6 +15,68 @@ class ScdStreamSpec extends SparkSpec {
   private def changes3 = Seq(
     (1L, 100L, "a"), (2L, 100L, "b"), (1L, 200L, "a2"))
 
+  test("enrichAsOf — each event sees the dimension as of ITS OWN timestamp") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // dimension: id 1 renamed at t=1000, id 2 deleted at t=2000
+    val dir = Files.createTempDirectory("enrich_dim").toString
+    Seq((1L, "one_v0"), (2L, "two_v0")).toDF("id", "name")
+      .write.mode("overwrite").parquet(dir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, ".updates"),
+      """-- time=1000
+        |UPDATE dim SET name = 'one_v1' WHERE id = 1;
+        |-- time=2000
+        |DELETE FROM dim WHERE id = 2;
+        |""".stripMargin)
+    val ms = MemoryStream[(Long, Long, String)] // (key, ts_ms, payload)
+    val out = ScdStream.enrichAsOf(
+      ms.toDF().toDF("k", "ts_ms", "payload"), dir, "k", "id", "ts_ms")
+    val q = out.writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, 500L, "a"),  // before the rename -> one_v0
+        (1L, 1500L, "b"), // after the rename  -> one_v1
+        (2L, 1500L, "c"), // before the delete -> two_v0
+        (2L, 2500L, "d"), // after the delete  -> NULL (absence)
+        (9L, 100L, "e"))  // never existed     -> NULL
+      q.processAllAvailable()
+      val got = spark.table("enr")
+        .select("k", "ts_ms", "payload", "name").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSet
+      assert(got == Set(
+        (1L, 500L, "a", "one_v0"),
+        (1L, 1500L, "b", "one_v1"),
+        (2L, 1500L, "c", "two_v0"),
+        (2L, 2500L, "d", null),
+        (9L, 100L, "e", null)))
+      // no nested-loop plan: equi key + interval residual hash-joins
+      val plans = q.asInstanceOf[org.apache.spark.sql.execution.streaming
+        .runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(!plans.toString.contains("BroadcastNestedLoopJoin"),
+        s"interval lookup fell to a nested loop:\n$plans")
+    } finally q.stop()
+    // restart visibility: a statement appended after the first query's
+    // plan is served by the NEXT query (plan-time log capture, as
+    // documented)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, ".updates"),
+      "-- time=3000\nUPDATE dim SET name = 'one_v2' WHERE id = 1;\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    val ms2 = MemoryStream[(Long, Long, String)]
+    val q2 = ScdStream.enrichAsOf(
+      ms2.toDF().toDF("k", "ts_ms", "payload"), dir, "k", "id", "ts_ms")
+      .writeStream.format("memory").queryName("enr2")
+      .outputMode("append").start()
+    try {
+      ms2.addData((1L, 3500L, "f"))
+      q2.processAllAvailable()
+      assert(spark.table("enr2").select("name").head.getString(0) ==
+        "one_v2")
+    } finally q2.stop()
+  }
+
   test("latestPerKey — streaming aggregation, complete mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
