@@ -1281,6 +1281,17 @@ object SparkEntry {
       Eval.calibrationError(scored, col("score"), col("label"), nBins = 10)
     }),
 
+    // the class-imbalance-honest scalar beside q_gate_auc: exact
+    // average precision (step-interpolated PR-AUC) on the same
+    // floor(score*10) grid — same two-level distributed rank
+    // machinery, descending sweep, per-group 1e-6 quantization so only
+    // integers cross partitions
+    "q_gate_pr" -> ((s, dir) => {
+      val scored = nbGateScored(s, dir, dim = 16)
+      Eval.averagePrecision(scored, floor(col("score") * 10),
+        col("label"))
+    }),
+
     // the chosen operating point as a single aggregate row: confusion
     // matrix + precision/recall/F1/accuracy of the same collision-heavy
     // gate at threshold 0 (log-odds sign) — one map-side-combinable
@@ -4262,6 +4273,35 @@ object SparkEntry {
          |    (CAST(1000000 AS DOUBLE) *
          |      CAST(nullif(sum(n), 0) AS DOUBLE)), 6) AS ece
          |FROM pb""".stripMargin
+    },
+
+    "q_gate_pr" -> {
+      // descending threshold sweep over the floor(score*10) groups;
+      // each group's term floor-quantized to 1e-6 before the sum —
+      // identical association order to the Spark side, so the one
+      // inexact op (the division) is IEEE-identical
+      s"""WITH $PaddedDocCte,
+         |${nbScoredChainSql(16)},
+         |per AS (
+         |  SELECT CAST(floor(score * 10) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+         |  FROM scored GROUP BY 1),
+         |c AS (
+         |  SELECT s, n, np,
+         |    sum(n) OVER (ORDER BY s DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cn,
+         |    sum(np) OVER (ORDER BY s DESC
+         |      ROWS UNBOUNDED PRECEDING) AS cnp
+         |  FROM per)
+         |SELECT (SELECT sum(np) FROM per) AS n_pos,
+         |  (SELECT sum(n) - sum(np) FROM per) AS n_neg,
+         |  round(CAST(sum(CASE WHEN np > 0 THEN CAST(floor(
+         |      CAST(np AS DOUBLE) * CAST(cnp AS DOUBLE) /
+         |        CAST(cn AS DOUBLE) * 1000000.0) AS BIGINT)
+         |    ELSE 0 END) AS DOUBLE) /
+         |    (1000000.0 * CAST(nullif((SELECT sum(np) FROM per), 0)
+         |      AS DOUBLE)), 6) AS ap
+         |FROM c""".stripMargin
     },
 
     "q_gate_confusion" -> {

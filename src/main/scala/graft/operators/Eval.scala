@@ -169,13 +169,44 @@ object Eval {
     * empty: AUC is undefined without both classes). */
   def aucExact(scored: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
+    val ranked = cumByScore(scored, scoreCol, labelCol)
+      // ranks of this tied group are (cum−n+1)..cum; doubled average
+      // rank 2·cum − n + 1 keeps the math in exact integers
+      .withColumn("rank2", lit(2) * col("cum") - col("n") + lit(1))
+    ranked
+      .agg(
+        sum(col("np")).as("p"),
+        sum(col("n") - col("np")).as("q"),
+        // cast each factor BEFORE the multiply: a long*long product
+        // overflows silently past ~2^63 (np and rank2 both scale with
+        // corpus size); decimal(38,0)*decimal(38,0) stays exact
+        sum(col("np").cast("decimal(38,0)") *
+          col("rank2").cast("decimal(38,0)")).as("r2"))
+      .select(col("p").as("n_pos"), col("q").as("n_neg"),
+        round(
+          (col("r2").cast("double") -
+            col("p").cast("double") * (col("p") + 1).cast("double")) /
+            (lit(2.0) * nullif(col("p"), lit(0)).cast("double") *
+              nullif(col("q"), lit(0)).cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** Shared distributed rank machinery behind [[aucExact]] and
+    * [[averagePrecision]]: one distinct-score row per group with
+    * (n, np) counts and ASCENDING cumulative totals `cum` (rows) and
+    * `cumnp` (positives). Numeric scores take the two-level bucketed
+    * prefix sum (see [[aucExact]]'s scaladoc for the full scale
+    * argument); orderable non-numeric scores keep the single global
+    * window, their distinct cardinality being the caller's contract. */
+  private def cumByScore(scored: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
     val per = scored
       .select(scoreCol.as("s"), labelCol.cast("long").as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
     val numeric = per.schema("s").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val cum = if (numeric) {
+    if (numeric) {
       val B = RankBuckets
       // materialize the distinct-score table ONCE (eager
       // localCheckpoint — the connected-components pattern): bounds,
@@ -204,44 +235,79 @@ object Eval {
         floor(least(lit(B - 1.0), greatest(lit(0.0), ratio))).cast("int"))
       val bucketed = perCk.crossJoin(broadcast(bounds))
         .withColumn("__b", bucket)
-      val offsets = bucketed.groupBy("__b").agg(sum(col("n")).as("__bn"))
-        .withColumn("__off",
-          sum(col("__bn")).over(Window.orderBy(col("__b"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            - col("__bn"))
-        .drop("__bn")
+      val windowedBucket = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offsets = bucketed.groupBy("__b")
+        .agg(sum(col("n")).as("__bn"), sum(col("np")).as("__bnp"))
+        .withColumn("__off", sum(col("__bn")).over(windowedBucket)
+          - col("__bn"))
+        .withColumn("__offnp", sum(col("__bnp")).over(windowedBucket)
+          - col("__bnp"))
+        .drop("__bn", "__bnp")
       val wLocal = Window.partitionBy(col("__b")).orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       bucketed
         .withColumn("__cum", sum(col("n")).over(wLocal))
+        .withColumn("__cumnp", sum(col("np")).over(wLocal))
         .join(broadcast(offsets), "__b")
         .withColumn("cum", col("__cum") + col("__off"))
-        .select("s", "n", "np", "cum")
+        .withColumn("cumnp", col("__cumnp") + col("__offnp"))
+        .select("s", "n", "np", "cum", "cumnp")
     } else {
       val w = Window.orderBy(col("s"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       per.withColumn("cum", sum(col("n")).over(w))
+        .withColumn("cumnp", sum(col("np")).over(w))
     }
-    val ranked = cum
-      // ranks of this tied group are (cum−n+1)..cum; doubled average
-      // rank 2·cum − n + 1 keeps the math in exact integers
-      .withColumn("rank2", lit(2) * col("cum") - col("n") + lit(1))
-    ranked
-      .agg(
-        sum(col("np")).as("p"),
-        sum(col("n") - col("np")).as("q"),
-        // cast each factor BEFORE the multiply: a long*long product
-        // overflows silently past ~2^63 (np and rank2 both scale with
-        // corpus size); decimal(38,0)*decimal(38,0) stays exact
-        sum(col("np").cast("decimal(38,0)") *
-          col("rank2").cast("decimal(38,0)")).as("r2"))
+  }
+
+  /** Exact average precision (area under the precision-recall curve,
+    * step interpolation) — the class-imbalance-honest companion to
+    * [[aucExact]]: with positives rare (the usual gate situation at
+    * 100 TB), ROC AUC barely moves when false positives grow by 10×;
+    * AP does. Thresholds sweep the distinct scores DESCENDING:
+    *
+    *   AP = Σ_groups (np_g / P) · precision_g,
+    *   precision_g = cnp_g / cn_g
+    *
+    * where cn/cnp are rows/positives with score >= the group's (the
+    * descending cumulatives, derived from [[cumByScore]]'s ascending
+    * ones and the broadcast totals). Ties collapse into one threshold
+    * group, matching the curve a deployed `score >= t` gate can
+    * actually realize.
+    *
+    * Cross-engine float discipline: all inputs to the one division are
+    * exact integers; each group's term quantizes to 1e-6 longs
+    * (floor(np·cnp/cn · 1e6)) BEFORE the sum, so only integers cross
+    * partitions and the oracle replays bit-for-bit regardless of
+    * summation order. Same two-level distributed prefix machinery as
+    * [[aucExact]] — no corpus-cardinality window task for numeric
+    * scores.
+    *
+    * Output: 1 row — n_pos, n_neg, ap (NULL when no positives; a
+    * no-negative corpus yields ap = 1 exactly). */
+  def averagePrecision(scored: DataFrame, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    // checkpoint the distinct-score table (bounded by construction):
+    // totals and the per-group sweep below both read it, and without
+    // the cut each reference would inline the whole corpus pass —
+    // same lesson as aucExact's perCk
+    val cum = cumByScore(scored, scoreCol, labelCol).localCheckpoint()
+    val totals = cum.agg(sum(col("n")).as("__N"), sum(col("np")).as("__P"))
+    val withTot = cum.crossJoin(broadcast(totals))
+      .withColumn("cn", col("__N") - col("cum") + col("n"))
+      .withColumn("cnp", col("__P") - col("cumnp") + col("np"))
+    val term = floor(col("np").cast("double") *
+      col("cnp").cast("double") / col("cn").cast("double") * lit(1e6))
+      .cast("long")
+    withTot
+      .agg(sum(when(col("np") > 0, term).otherwise(lit(0L)))
+        .as("__ap_micros"),
+        max(col("__P")).as("p"), max(col("__N") - col("__P")).as("q"))
       .select(col("p").as("n_pos"), col("q").as("n_neg"),
-        round(
-          (col("r2").cast("double") -
-            col("p").cast("double") * (col("p") + 1).cast("double")) /
-            (lit(2.0) * nullif(col("p"), lit(0)).cast("double") *
-              nullif(col("q"), lit(0)).cast("double")), 6)
-          .as("auc"))
+        round(col("__ap_micros").cast("double") /
+          (lit(1e6) * nullif(col("p"), lit(0)).cast("double")), 6)
+          .as("ap"))
   }
 
   /** Confusion matrix of a thresholded gate at ONE operating point —

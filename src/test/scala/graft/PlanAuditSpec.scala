@@ -36,6 +36,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_gate_ece" -> 3,          // same NB scored-chain folds
     "q_gate_reliability" -> 3,  // same NB scored-chain folds
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
+    "q_gate_confusion" -> 3,    // same NB scored-chain folds
+    "q_gate_pr" -> 1,           // totals fold over the checkpointed
+                                // distinct-score table (NB folds +
+                                // bounds live behind the checkpoint)
+    "q_ann_recall" -> 3,        // ivf centroid table + query fold (2)
+                                // + brute-force query fold (1)
     "q_histogram" -> 1,         // (min, max) bounds fold
     "q_kmv_overlap" -> 3,       // two kmv sketches + union sketch
     "q_registrable_domain" -> 1, // 1-row folded PSL rule array

@@ -186,6 +186,49 @@ class EvalSpec extends SparkSpec {
     assert(single.getDouble(2) == 0.5)
   }
 
+  test("averagePrecision: hand case with a tie group, plus class-edge corners") {
+    // scores desc: [9 -> (pos)], [7,7 -> (pos, neg) tie], [3 -> neg]
+    // groups: s=9 np=1 cn=1 cnp=1 -> term 1*1/1
+    //         s=7 np=1 cn=3 cnp=2 -> term 1*2/3
+    //         s=3 np=0 -> 0
+    // AP = (1 + 2/3) / P=2 = 0.833333 (floor at 1e-6)
+    val df = Seq((9, 1), (7, 1), (7, 0), (3, 0)).toDF("s", "y")
+    val r = Eval.averagePrecision(df, col("s"), col("y")).head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.833333)
+    // no positives -> AP undefined (NULL), not 0
+    val neg = Eval.averagePrecision(df.where(col("y") === 0),
+      col("s"), col("y")).head
+    assert(neg.isNullAt(2))
+    // all positives -> AP exactly 1
+    val pos = Eval.averagePrecision(df.where(col("y") === 1),
+      col("s"), col("y")).head
+    assert(pos.getDouble(2) == 1.0)
+  }
+
+  test("averagePrecision: randomized scores match naive descending sweep") {
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 800).map(_ => (rnd.nextInt(25), rnd.nextInt(2)))
+    val got = Eval.averagePrecision(rows.toDF("s", "y"),
+      col("s"), col("y")).head
+    // naive: distinct scores descending, step-interpolated AP with the
+    // same per-group 1e-6 quantization
+    val groups = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.size.toLong, g.count(_._2 == 1).toLong)
+    }.toSeq.sortBy(-_._1)
+    val p = groups.map(_._3).sum
+    var cn = 0L; var cnp = 0L; var micros = 0L
+    groups.foreach { case (_, n, np) =>
+      cn += n; cnp += np
+      if (np > 0)
+        micros += math.floor(np.toDouble * cnp.toDouble / cn.toDouble
+          * 1e6).toLong
+    }
+    val want = BigDecimal(micros.toDouble / (1e6 * p))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == p && got.getDouble(2) == want)
+  }
+
   test("confusion: hand case, boundary on the threshold, zero-denominator NULLs") {
     // threshold 0.5; score == threshold predicts POSITIVE (>=)
     val scored = Seq(
