@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CatalystBridge
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -221,6 +222,64 @@ object Layout {
       if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
       else spark.read.parquet(files: _*)
     base.where(residual)
+  }
+
+  /** Table maintenance: compact a directory's accumulated small files
+    * into size-targeted, Z-ordered files — the OPTIMIZE every
+    * streaming/append ingest needs at 100 TB, where a million
+    * kilobyte-files make listing and task scheduling the bottleneck
+    * long before data volume does.
+    *
+    * Output file count = ceil(total data bytes / targetBytes)
+    * (override with `numFiles`), derived from the driver-side file
+    * listing — bounded by file count, the listing Spark performs for
+    * any read. The rewrite is one distributed job
+    * ([[zOrderedWrite]] → range shuffle on the Morton key), so
+    * compaction CLUSTERS while it compacts: the rewritten files carry
+    * tight min/max stats on `cols` for free.
+    *
+    * Swap protocol (crash-safe to recoverability, not atomicity —
+    * documented, as for any direct-filesystem table): new files land
+    * in a hidden `.optimize-tmp/` (invisible to Spark listings), the
+    * old data files move to `.optimize-backup/`, the new files move
+    * up, and the two hidden dirs are dropped. A crash mid-swap leaves
+    * every original row in the backup dir; nothing is deleted before
+    * its replacement is fully written. Hidden files (`.updates`
+    * sidecars, `_SUCCESS`) are untouched — but an SCD dir should
+    * [[graft.scd.ScdReader.compact]] its LOG first: this op rewrites
+    * base bytes only, and statement replay composes with either
+    * layout. Existing zone-map/bloom manifests describe the OLD files;
+    * rebuild them after (staleness contract of every persisted index).
+    *
+    * @return (filesBefore, filesAfter) */
+  def optimize(spark: SparkSession, dir: String, cols: Seq[Column],
+      bits: Int = 20, targetBytes: Long = 128L << 20,
+      numFiles: Option[Int] = None): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
+    val hPath = new Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    val files = fs.listStatus(hPath)
+      .filter(s => s.isFile && visible(s.getPath))
+    require(files.nonEmpty, s"optimize: no data files under $dir")
+    val total = files.map(_.getLen).sum
+    val n = numFiles.getOrElse(
+      math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)
+    val tmp = new Path(hPath, ".optimize-tmp")
+    val backup = new Path(hPath, ".optimize-backup")
+    fs.delete(tmp, true); fs.delete(backup, true)
+    zOrderedWrite(spark.read.parquet(dir), cols, bits, tmp.toString, n)
+    fs.mkdirs(backup)
+    files.foreach(s =>
+      fs.rename(s.getPath, new Path(backup, s.getPath.getName)))
+    val fresh = fs.listStatus(tmp)
+      .filter(s => s.isFile && visible(s.getPath))
+    fresh.foreach(s =>
+      fs.rename(s.getPath, new Path(hPath, s.getPath.getName)))
+    fs.delete(tmp, true)
+    fs.delete(backup, true)
+    (files.length, fresh.length)
   }
 
   /** Per-file bloom index over `key`: one row per data file with the

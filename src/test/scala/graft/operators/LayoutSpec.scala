@@ -184,6 +184,35 @@ class LayoutSpec extends SparkSpec {
     assert(appended.size == 6, s"4 + 2 files, got ${appended.size}")
   }
 
+  test("optimize: small files compact into few z-ordered files, rows intact") {
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x, y, x * 64 + y)).toDF("x", "y", "payload")
+    val dir = Files.createTempDirectory("opt").toString + "/t"
+    grid.repartition(64).write.mode("overwrite").parquet(dir)
+    // a sidecar-like hidden file must survive the swap untouched
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".updates"), "-- log\n")
+    val before = spark.read.parquet(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val (was, now) = Layout.optimize(spark, dir,
+      Seq(col("x"), col("y")), bits = 6, numFiles = Some(4))
+    assert(was == 64 && now == 4)
+    val dataFiles = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    assert(dataFiles.length == 4, s"left ${dataFiles.length} data files")
+    assert(new java.io.File(dir, ".updates").exists())
+    assert(!new java.io.File(dir, ".optimize-tmp").exists() &&
+      !new java.io.File(dir, ".optimize-backup").exists())
+    val after = spark.read.parquet(dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(after.sorted.toList == before.sorted.toList)
+    // compaction clustered while it compacted: a y-filter now skips
+    val yRows = scanOutputRows(spark.read.parquet(dir)
+      .where(col("y") < 4))
+    assert(yRows < 64 * 64 / 2, s"no clustering after optimize: $yRows")
+  }
+
   test("bloom manifest: point lookup opens few files on an UNCLUSTERED key") {
     val n = 40000
     // random layout: min/max zone maps are useless for this key —
