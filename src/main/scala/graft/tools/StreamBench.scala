@@ -114,7 +114,33 @@ object StreamBench {
       .cache()
     corpusIndex.count() // materialize outside the timed window
 
+    // SCD2 history for the temporal-enrichment path: real customer
+    // table + a 2-statement .updates log, intervals cached outside the
+    // timed window (the production shape — history builds once, every
+    // micro-batch pays only the interval hash-join)
+    val dimDir = java.nio.file.Files.createTempDirectory("sb_dim").toString
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.mode("overwrite").parquet(dimDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dimDir, ".updates"),
+      """UPDATE customer SET c_acctbal = c_acctbal + 100 WHERE c_mktsegment = 'BUILDING';
+        |-- time=2024-06-01
+        |DELETE FROM customer WHERE c_acctbal < 0;
+        |""".stripMargin)
+    val hist = graft.scd.ScdReader.history(spark, dimDir).cache()
+    val custKeys = hist.agg(max(col("c_custkey"))).head.getLong(0) + 1
+
     val paths: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("enrich_asof", "append", (src: DataFrame) =>
+        ScdStream.enrichAsOf(
+          src.select(pmod(col("value"), lit(custKeys)).as("k"),
+            // events alternate one day before/after the DELETE
+            // boundary so both intervals and the deleted-absence
+            // branch are exercised every batch
+            (lit(1717200000000L) +
+              (pmod(col("value"), lit(2L)) * 2 - 1) * lit(86400000L))
+              .as("ts_ms")),
+          hist, "k", "c_custkey", "ts_ms")),
       ("sessionize", "append", (src: DataFrame) =>
         ScdStream.sessionizeStream(
           src.select(pmod(col("value"), lit(20000L)).as("user_id"),
