@@ -1004,6 +1004,26 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
     }),
 
+    // DYNAMIC file skipping for a join — file-level DPP: the selective
+    // dim lookup's keys (a customer's ~15 orders) probe the per-file
+    // blooms BEFORE the scan, so only files that might hold those
+    // orderkeys open; the exact join re-checks every surviving row
+    // (bloom false positives cost I/O, never rows)
+    "q_dynamic_file_prune" -> ((s, dir) => {
+      val p = zlFixture(s, dir)
+      val keys = t(s, dir, "orders").where(col("o_custkey") === 5L)
+        .select(col("o_orderkey").as("l_orderkey"))
+      val files = Layout.prunedFilesForKeys(
+        s.read.parquet(s"$p/bloom"), keys, "l_orderkey")
+      val base =
+        if (files.isEmpty) s.read.parquet(s"$p/data").where(lit(false))
+        else s.read.option("basePath", s"$p/data").parquet(files: _*)
+      base.join(broadcast(keys), Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    }),
+
     // salted skew-join: result-identical to the plain join (the oracle
     // IS the plain join), hot probe keys spread over nSalt tasks
     "q_salted_join" -> ((s, dir) => {
@@ -3302,6 +3322,13 @@ object SparkEntry {
     "q_bloomskip_point" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
         |FROM lineitem WHERE l_orderkey = 7
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    "q_dynamic_file_prune" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |      WHERE o_custkey = 5) o ON l_orderkey = o_orderkey
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     "q_salted_join" ->

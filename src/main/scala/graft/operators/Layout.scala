@@ -220,8 +220,48 @@ object Layout {
     val files = prunedFiles(manifest, keep)
     val base =
       if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
-      else spark.read.parquet(files: _*)
+      // basePath keeps hive-partition columns alive under an explicit
+      // file list (without it a partitioned table's k=v dirs would
+      // vanish from the schema when individual files are named)
+      else spark.read.option("basePath", dataDir).parquet(files: _*)
     base.where(residual)
+  }
+
+  /** DYNAMIC file skipping for a join: the files that might contain
+    * ANY of `keys` — the file-level analogue of Spark's runtime
+    * row-level bloom pruning, decided BEFORE the scan instead of
+    * inside it. `keys` must be the join's small side after its own
+    * filters (a selective dim lookup — the standard DPP situation);
+    * it is collapsed to its distinct values and broadcast across the
+    * manifest, so cost is |files| × |keys| bloom probes on
+    * file-count-bounded rows. Key values must already have the
+    * build-side column's exact type (xxhash64 type-sensitivity, as
+    * with [[bloomSkipScan]]).
+    *
+    * Returns the pruned file list; compose with
+    * `spark.read.option("basePath", dir).parquet(files: _*)` and the
+    * exact join — the join re-checks every surviving row, so bloom
+    * false positives cost I/O, never wrong rows. */
+  def prunedFilesForKeys(manifest: DataFrame, keys: DataFrame,
+      keyCol: String): Seq[String] = {
+    val k = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+      .distinct()
+    manifest.join(broadcast(k),
+      CatalystBridge.bloomContains(col("bloom"), xxhash64(col(keyCol))),
+      "left_semi")
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Incremental bloom-manifest growth — the [[zoneMapAppend]] twin:
+    * blooms for files present in `dataDir` but absent from the
+    * manifest are built and appended; appended ≡ rebuilt exactly
+    * (per-file rows are independent). */
+  def bloomManifestAppend(spark: SparkSession, dataDir: String,
+      key: String, expectedItemsPerFile: Long, manifestPath: String): Unit = {
+    val known = spark.read.parquet(manifestPath).select("file")
+    bloomManifestBuild(spark, dataDir, key, expectedItemsPerFile)
+      .join(broadcast(known), Seq("file"), "left_anti")
+      .coalesce(1).write.mode("append").parquet(manifestPath)
   }
 
   /** Table maintenance: compact a directory's accumulated small files

@@ -240,6 +240,88 @@ class LayoutSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("prunedFilesForKeys: a key SET prunes files; bloom append == rebuild") {
+    val n = 20000
+    val df = (1 to n).map(i => ((i.toLong * 48271) % n, i))
+      .toDF("id", "payload")
+    val dir = Files.createTempDirectory("dyn_data").toString + "/t"
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    val man = Files.createTempDirectory("dyn_man").toString + "/m"
+    // manifest built on HALF the files, the rest appended
+    Layout.bloomManifestWrite(spark, dir, "id", 4096, man)
+    val more = (100001 to 100500).map(i => (i.toLong, i))
+      .toDF("id", "payload")
+    more.repartition(2).write.mode("append").parquet(dir)
+    Layout.bloomManifestAppend(spark, dir, "id", 4096, man)
+    val manifest = spark.read.parquet(man)
+    assert(manifest.count() == 18)
+    // appended == rebuilt (bit-for-bit per file)
+    val rebuilt = Layout.bloomManifestBuild(spark, dir, "id", 4096)
+    def asMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => r.getString(0) ->
+        r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(asMap(manifest) == asMap(rebuilt))
+
+    val keys = Seq(77L, 4242L, 100100L).toDF("id")
+    val kept = Layout.prunedFilesForKeys(manifest, keys, "id")
+    assert(kept.nonEmpty && kept.size < 18,
+      s"dynamic pruning kept ${kept.size}/18")
+    val got = spark.read.option("basePath", dir).parquet(kept: _*)
+      .join(keys, Seq("id")).select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toList
+    val want = spark.read.parquet(dir)
+      .join(keys, Seq("id")).select("id", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toList
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("skipScan keeps hive-partition columns alive (basePath)") {
+    val df = (1 to 2000).map(i => (i, i % 4, i * 2))
+      .toDF("id", "pt", "payload")
+    val dir = Files.createTempDirectory("zm_part").toString + "/t"
+    df.write.mode("overwrite").partitionBy("pt").parquet(dir)
+    val man = Files.createTempDirectory("zm_part_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), man)
+    val manifest = spark.read.parquet(man)
+    val out = Layout.skipScan(spark, dir, manifest,
+      col("id_min") <= 100 && col("id_max") >= 50,
+      col("id").between(50, 100))
+    // the partition column survives the explicit-file-list read
+    assert(out.columns.toSet == Set("id", "pt", "payload"))
+    val got = out.select("id", "pt").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toList
+    val want = spark.read.parquet(dir).where(col("id").between(50, 100))
+      .select("id", "pt").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toList
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("property: random data + random range probes, pruned == full scan") {
+    val rnd = new scala.util.Random(4242)
+    val n = 5000
+    val df = (1 to n).map(_ => (rnd.nextInt(1000), rnd.nextInt()))
+      .toDF("k", "payload")
+    val dir = Files.createTempDirectory("zm_prop").toString + "/t"
+    Layout.clusteredWrite(df, Seq(col("k")), dir, numFiles = 8)
+    val man = Files.createTempDirectory("zm_prop_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), man)
+    val manifest = spark.read.parquet(man).cache()
+    (1 to 12).foreach { _ =>
+      val a = rnd.nextInt(1200) - 100 // ranges may miss entirely
+      val b = a + rnd.nextInt(300)
+      val keep = col("k_min") <= b && col("k_max") >= a
+      val res = col("k").between(a, b)
+      val pruned = Layout.skipScan(spark, dir, manifest, keep, res)
+        .select("k", "payload").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toList
+      val full = spark.read.parquet(dir).where(res)
+        .select("k", "payload").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toList
+      assert(pruned == full, s"range [$a,$b] diverged")
+    }
+    manifest.unpersist()
+  }
+
   test("bloom_contains: NULL bloom yields NULL; garbage bytes raise") {
     val df = Seq((Option.empty[Array[Byte]], 1L)).toDF("bloom", "h")
     val out = df.select(org.apache.spark.sql.graft.CatalystBridge.bloomContains(
