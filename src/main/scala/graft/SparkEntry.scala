@@ -1470,6 +1470,19 @@ object SparkEntry {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), merges = 3)
         .orderBy("step")),
 
+    // BPE INFERENCE under the merges just trained — the serving half:
+    // the 3-row merge table is a driver-local constant (like kmeans
+    // centroids), each word segments through the per-row expression
+    // chain, docs reassemble in word order. The oracle re-trains the
+    // merges relationally and replays the apply on every word instance
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.bpeTrain(docs, merges = 3)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+    }),
+
     // DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
     // importance weights ln(p_target/p_pool) per doc + deterministic
     // Gumbel-top-k — the published importance-resampling selector
@@ -2257,6 +2270,45 @@ object SparkEntry {
   }
 
   /** embeddings as DOUBLE[] + cosine expression */
+  /** Shared BPE-oracle CTEs (text_bpe_train / text_bpe_encode): the
+    * cleaned word-frequency table and its '|sym|'-encoded initial
+    * segmentation. */
+  private val BpeHeadCte =
+    """w0 AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT regexp_replace(
+      |      unnest(string_split(lower(text), ' ')),
+      |      '[^a-z0-9]', '', 'g') AS w
+      |    FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY 1),
+      |seg0 AS (SELECT freq,
+      |  regexp_replace(w, '(.)', '|\1|', 'g') AS seg FROM w0)""".stripMargin
+
+  /** One CTE chain per training iteration: pair counts over the
+    * current segmentation, argmax with the lexicographic tie-break
+    * (b_i), and the greedy non-overlapping merge application (seg_i) —
+    * the '|l||r|' → '|lr|' string replace IS left-to-right
+    * non-overlapping, matching bpeApplyOne's fold exactly. */
+  private def bpeStepCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""sp$i AS (SELECT freq,
+         |  string_split(trim(seg, '|'), '||') AS syms
+         |  FROM seg${i - 1}),
+         |px$i AS (SELECT freq, syms, g.i
+         |  FROM sp$i CROSS JOIN
+         |    unnest(generate_series(1, len(syms) - 1)) AS g(i)
+         |  WHERE len(syms) >= 2),
+         |p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS c
+         |  FROM px$i GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, l || r AS m, c FROM p$i
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |seg$i AS (SELECT freq,
+         |  replace(seg, '|' || b$i.l || '||' || b$i.r || '|',
+         |    '|' || b$i.m || '|') AS seg
+         |  FROM seg${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+
   private val EmbCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)"
 
@@ -3600,39 +3652,46 @@ object SparkEntry {
     // the [a-z0-9] word alphabet guarantees '|' never collides
     "text_bpe_train" -> {
       val iters = 3
-      val head =
-        """w0 AS (
-          |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-          |    SELECT regexp_replace(
-          |      unnest(string_split(lower(text), ' ')),
-          |      '[^a-z0-9]', '', 'g') AS w
-          |    FROM documents)
-          |  WHERE length(w) >= 2 GROUP BY 1),
-          |seg0 AS (SELECT freq,
-          |  regexp_replace(w, '(.)', '|\1|', 'g') AS seg FROM w0)""".stripMargin
-      val steps = (1 to iters).map { i =>
-        s"""sp$i AS (SELECT freq,
-           |  string_split(trim(seg, '|'), '||') AS syms
-           |  FROM seg${i - 1}),
-           |px$i AS (SELECT freq, syms, g.i
-           |  FROM sp$i CROSS JOIN
-           |    unnest(generate_series(1, len(syms) - 1)) AS g(i)
-           |  WHERE len(syms) >= 2),
-           |p$i AS (SELECT syms[i] AS l, syms[i + 1] AS r,
-           |    CAST(sum(freq) AS BIGINT) AS c
-           |  FROM px$i GROUP BY 1, 2),
-           |b$i AS (SELECT l, r, l || r AS m, c FROM p$i
-           |  ORDER BY c DESC, l, r LIMIT 1),
-           |seg$i AS (SELECT freq,
-           |  replace(seg, '|' || b$i.l || '||' || b$i.r || '|',
-           |    '|' || b$i.m || '|') AS seg
-           |  FROM seg${i - 1}, b$i)""".stripMargin
-      }.mkString(",\n")
       val rows = (1 to iters).map(i =>
         s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, " +
           s"m AS merged, c AS pair_count FROM b$i")
         .mkString("\nUNION ALL ")
-      s"WITH $head,\n$steps\n$rows\nORDER BY step"
+      s"WITH $BpeHeadCte,\n${bpeStepCtes(iters)}\n$rows\nORDER BY step"
+    },
+
+    "text_bpe_encode" -> {
+      // serve the 3 trained merges back over every word INSTANCE (the
+      // same '|sym|' replace trick the training CTEs use), reassemble
+      // per doc in word order; '||'→'|' collapses the symbol encoding
+      // to the operator's piece delimiter
+      val iters = 3
+      val apply = (1 to iters).map(i =>
+        s"""e$i AS (SELECT doc_id, widx,
+           |  replace(seg, '|' || b$i.l || '||' || b$i.r || '|',
+           |    '|' || b$i.m || '|') AS seg
+           |  FROM e${i - 1}, b$i)""".stripMargin).mkString(",\n")
+      s"""WITH $BpeHeadCte,
+         |${bpeStepCtes(iters)},
+         |wd AS (
+         |  SELECT doc_id, widx,
+         |    regexp_replace(ws[widx], '[^a-z0-9]', '', 'g') AS w
+         |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+         |        FROM documents) d
+         |  CROSS JOIN unnest(generate_series(1, len(ws))) AS g(widx)),
+         |e0 AS (
+         |  SELECT doc_id, widx,
+         |    regexp_replace(w, '(.)', '|\\1|', 'g') AS seg
+         |  FROM wd WHERE length(w) >= 2),
+         |$apply,
+         |fin AS (
+         |  SELECT doc_id, widx, trim(seg, '|') AS sp,
+         |    len(string_split(trim(seg, '|'), '||')) AS np
+         |  FROM e$iters)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  string_agg(replace(sp, '||', '|'), ' ' ORDER BY widx)
+         |    AS segmented
+         |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "text_dsir" ->

@@ -851,6 +851,37 @@ object TextAnalysis {
       case (syms, (l, r)) => bpeApplyOne(syms, l, r)
     }
 
+  /** Corpus BPE INFERENCE under a learned merge list — the serving
+    * half of [[bpeTrain]] (train once, encode every ingest batch):
+    * per document, the word stream is cleaned exactly as training
+    * cleaned it, each word segmented by [[bpeApply]]'s per-row
+    * expression chain (no join, no shuffle in the scan — the merges
+    * are plan constants, the natural shape for a ≤ vocab-size rule
+    * list), and the document reassembled in word order.
+    *
+    * Output: (idCol, n_words, n_pieces, segmented) — segmented joins
+    * each word's pieces with '|' and words with ' '. Documents with
+    * no retained word (all words under `minWordLen` after cleaning)
+    * are absent, like an empty GROUP BY group. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id",
+      minWordLen: Int = 2): DataFrame = {
+    val w = docs
+      .select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w0")))
+      .select(col(idCol), col("pos"),
+        regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .where(length(col("w")) >= minWordLen)
+      .withColumn("pieces", bpeApply(col("w"), merges))
+    w.groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).as("n_pieces"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            array_join(col("pieces"), "|").as("seg")))),
+          s => s.getField("seg"))).as("segmented"))
+  }
+
   /** token → hashed-unigram bucket in [0, buckets): the feature hash
     * DSIR scores against. The "ds|" prefix decorrelates it from the
     * engine's other md5-fraction draws (sampling "ws|"/"em|", minhash

@@ -400,6 +400,24 @@ class TextAnalysisSpec extends SparkSpec {
       ("aa", "a", "aaa"))
   }
 
+  test("bpeEncode: docs reassemble in word order; short words dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab x aa!b aa"), (2L, "x y")).toDF("doc_id", "text")
+    // merges learned elsewhere: (a,a) then (aa,b)
+    val out = TextAnalysis.bpeEncode(docs,
+      Seq(("a", "a"), ("aa", "b"))).orderBy("doc_id").collect()
+    // doc 1: "aab"->[aab], "x" dropped (len<2), "aa!b"->"aab"->[aab],
+    //        "aa"->[aa]; order preserved
+    assert(out.length == 1) // doc 2 has no word >= 2 chars -> absent
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getString(3)) == ((1L, 3L, 3L, "aab aab aa")))
+    // piece delimiter visible when a word does NOT fully merge
+    val part = TextAnalysis.bpeEncode(
+      Seq((1L, "aac")).toDF("doc_id", "text"), Seq(("a", "a")))
+      .head.getString(3)
+    assert(part == "aa|c")
+  }
+
   test("bpeApply segments a new word with the learned rules in order") {
     import spark.implicits._
     val seg = Seq(("banana")).toDF("w")
