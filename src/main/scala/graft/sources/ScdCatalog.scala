@@ -3,7 +3,8 @@ package graft.sources
 import graft.sources.ScdDataSource.ScdParams
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,7 +40,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * With [[graft.GraftExtensions]] installed the loaded [[ScdTable]] is
   * rewritten to the compiled replay plan at analysis (full pushdown);
   * without it the V1Scan fallback serves, correct either way. */
-class ScdCatalog extends TableCatalog {
+class ScdCatalog extends TableCatalog with ProcedureCatalog {
+
+  /** Maintenance procedures, SQL-callable (`CALL graft.compact(...)`,
+    * `CALL graft.optimize(...)`, `CALL graft.zone_map(...)`,
+    * `CALL graft.bloom_manifest(...)`) — see [[ScdProcedures]]. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    ScdProcedures.all.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new RuntimeException(
+        s"no such procedure: ${ident.name()} " +
+          s"(have: ${ScdProcedures.all.keys.toSeq.sorted.mkString(", ")})"))
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    ScdProcedures.all.keys.toArray.sorted
+      .map(Identifier.of(namespace, _))
 
   private var catalogName: String = "graft"
   private var defaults: Map[String, String] = Map.empty

@@ -1,0 +1,161 @@
+package graft.sources
+
+import graft.operators.Layout
+import graft.scd.ScdReader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for table maintenance — the DSv2 stored
+  * procedures [[ScdCatalog]] serves, so the jobs every table needs at
+  * 100 TB (log compaction, small-file OPTIMIZE, skipping-manifest
+  * builds) are reachable from pure SQL, like any lakehouse format:
+  *
+  * {{{
+  * SET spark.sql.catalog.graft = graft.sources.ScdCatalog;
+  * CALL graft.compact('/data/customer', '/data/customer_snap');
+  * CALL graft.optimize('/data/events', 'user_id,ts_day');
+  * CALL graft.zone_map('/data/events', 'user_id,ts_day', '/idx/zm');
+  * CALL graft.bloom_manifest('/data/events', 'user_id', 65536, '/idx/bm');
+  * }}}
+  *
+  * Each procedure is one distributed job plus a 1-row result scan
+  * (what happened, in numbers) returned through `LocalScan`. All are
+  * `isDeterministic = false` — they read and mutate external state.
+  */
+object ScdProcedures {
+
+  /** Shared plumbing: an unbound procedure that binds to itself and
+    * returns a single result row through a LocalScan. */
+  sealed abstract class GraftProcedure(
+      procName: String, procDesc: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDesc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    protected def resultSchema: StructType
+    protected def run(spark: SparkSession, in: InternalRow): InternalRow
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row = run(SparkSession.active, input)
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+      }
+      java.util.List.of(scan).iterator()
+    }
+  }
+
+  private def in(n: String, t: DataType) = ProcedureParameter.in(n, t).build()
+  private def inDefault(n: String, t: DataType, sql: String) =
+    ProcedureParameter.in(n, t).defaultValue(sql).build()
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+  private def utf8(s: String) = UTF8String.fromString(s)
+  private def cols(csv: String) = csv.split(",").map(_.trim).filter(_.nonEmpty)
+
+  /** `CALL graft.compact(dir, out_dir [, as_of [, clear_log]])` —
+    * materialize the as-of view as an updates-free snapshot
+    * ([[ScdReader.compact]]); `clear_log` additionally truncates the
+    * source log to the unconsumed remainder. Returns the snapshot row
+    * count (one count scan of what was just written). */
+  object Compact extends GraftProcedure("compact",
+    "Materialize an SCD dir's as-of view into an updates-free snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("out_dir", StringType),
+      inDefault("as_of", StringType, "NULL"),
+      inDefault("clear_log", BooleanType, "false"))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_dir", StringType),
+        StructField("rows", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 1)
+      ScdReader.compact(spark, str(r, 0), out,
+        asOf = if (r.isNullAt(2)) None else Some(str(r, 2)),
+        clearLog = !r.isNullAt(3) && r.getBoolean(3))
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(out).count()))
+    }
+  }
+
+  /** `CALL graft.optimize(dir, zorder_cols [, target_bytes [, bits]])`
+    * — [[Layout.optimize]]: compact small files into size-targeted
+    * Z-ordered files. Returns (files_before, files_after). */
+  object Optimize extends GraftProcedure("optimize",
+    "Compact a dir's small files into size-targeted Z-ordered files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("zorder_cols", StringType),
+      inDefault("target_bytes", LongType, (128L << 20).toString),
+      inDefault("zorder_bits", IntegerType, "20"))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("files_before", IntegerType),
+        StructField("files_after", IntegerType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val (before, after) = Layout.optimize(spark, str(r, 0),
+        cols(str(r, 1)).toSeq.map(col),
+        bits = if (r.isNullAt(3)) 20 else r.getInt(3),
+        targetBytes = if (r.isNullAt(2)) 128L << 20 else r.getLong(2))
+      new GenericInternalRow(Array[Any](before, after))
+    }
+  }
+
+  /** `CALL graft.zone_map(dir, cols, manifest_path)` —
+    * [[Layout.zoneMapWrite]] when no manifest exists at the path,
+    * [[Layout.zoneMapAppend]] (new files only) when one does. Returns
+    * the manifest's file count after the write. */
+  object ZoneMap extends GraftProcedure("zone_map",
+    "Build or incrementally extend a per-file min/max zone-map manifest") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("cols", StringType),
+      in("manifest_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("manifest_path", StringType),
+        StructField("files", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val (dir, cs, man) = (str(r, 0), cols(str(r, 1)).toSeq, str(r, 2))
+      val fs = new org.apache.hadoop.fs.Path(man)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new org.apache.hadoop.fs.Path(man)))
+        Layout.zoneMapAppend(spark, dir, cs, man)
+      else Layout.zoneMapWrite(spark, dir, cs, man)
+      new GenericInternalRow(Array[Any](utf8(man),
+        spark.read.parquet(man).count()))
+    }
+  }
+
+  /** `CALL graft.bloom_manifest(dir, key, expected_items, manifest_path)`
+    * — [[Layout.bloomManifestWrite]] / [[Layout.bloomManifestAppend]]
+    * with the same exists-check as [[ZoneMap]]. */
+  object BloomManifest extends GraftProcedure("bloom_manifest",
+    "Build or incrementally extend a per-file bloom manifest on a key") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("key", StringType),
+      in("expected_items", LongType), in("manifest_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("manifest_path", StringType),
+        StructField("files", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val (dir, key, n, man) =
+        (str(r, 0), str(r, 1), r.getLong(2), str(r, 3))
+      val fs = new org.apache.hadoop.fs.Path(man)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(new org.apache.hadoop.fs.Path(man)))
+        Layout.bloomManifestAppend(spark, dir, key, n, man)
+      else Layout.bloomManifestWrite(spark, dir, key, n, man)
+      new GenericInternalRow(Array[Any](utf8(man),
+        spark.read.parquet(man).count()))
+    }
+  }
+
+  val all: Map[String, UnboundProcedure] = Map(
+    "compact" -> Compact, "optimize" -> Optimize,
+    "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest)
+}

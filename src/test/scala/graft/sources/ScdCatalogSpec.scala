@@ -69,6 +69,54 @@ class ScdCatalogSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("CALL graft.compact materializes the snapshot and reports rows") {
+    val snap = Files.createTempDirectory("scdcat_snap").toString + "/s"
+    val out = spark.sql(
+      s"CALL graft.compact('$dir', '$snap', '2031-01-01', false)")
+      .collect()
+    assert(out.length == 1 && out(0).getLong(1) == 90) // DELETE applied
+    assert(spark.read.parquet(snap).count() == 90)
+    // the source log is intact (clear_log = false)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, ScdReader.SidecarName)))
+  }
+
+  test("CALL graft.optimize + zone_map + bloom_manifest round-trip in SQL") {
+    val d = Files.createTempDirectory("scdcat_opt").toString + "/t"
+    (1 to 5000).map(i => (i.toLong, i * 3))
+      .toDF("id", "payload").repartition(32)
+      .write.mode("overwrite").parquet(d)
+    val opt = spark.sql(
+      s"CALL graft.optimize('$d', 'id', ${4L << 10}, 20)").collect()
+    assert(opt(0).getInt(0) == 32 && opt(0).getInt(1) < 32,
+      s"optimize reported ${opt.toList}")
+    assert(spark.read.parquet(d).count() == 5000)
+    val man = Files.createTempDirectory("scdcat_zm").toString + "/m"
+    val zm = spark.sql(s"CALL graft.zone_map('$d', 'id', '$man')")
+      .collect()
+    assert(zm(0).getLong(1) == opt(0).getInt(1).toLong)
+    // second CALL with new files appended = incremental manifest
+    (9001 to 9100).map(i => (i.toLong, i)).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(d)
+    val zm2 = spark.sql(s"CALL graft.zone_map('$d', 'id', '$man')")
+      .collect()
+    assert(zm2(0).getLong(1) == zm(0).getLong(1) + 1)
+    val bm = Files.createTempDirectory("scdcat_bm").toString + "/b"
+    val b = spark.sql(
+      s"CALL graft.bloom_manifest('$d', 'id', 4096, '$bm')").collect()
+    assert(b(0).getLong(1) == zm2(0).getLong(1))
+    // unknown procedure fails at load (the catalog's message, listing
+    // what exists, rides the FAILED_TO_LOAD_ROUTINE cause chain)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.vacuum('$d')").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(chain.contains("FAILED_TO_LOAD_ROUTINE") &&
+      chain.contains("no such procedure") && chain.contains("optimize"),
+      chain)
+  }
+
   test("missing dir, bad version, and DDL all fail clearly") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM graft.`/no/such/dir`").collect()
