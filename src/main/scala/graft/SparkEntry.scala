@@ -983,9 +983,8 @@ object SparkEntry {
     "q_zonemap_scan" -> ((s, dir) => {
       val p = zlFixture(s, dir)
       val man = s.read.parquet(s"$p/zm")
-      val keep = col("l_partkey_min") <= 140L &&
-        col("l_partkey_max") >= 100L &&
-        col("l_suppkey_min") <= 40L && col("l_suppkey_max") >= 1L
+      val keep = Layout.rangeKeep("l_partkey", lit(100L), lit(140L)) &&
+        Layout.rangeKeep("l_suppkey", lit(1L), lit(40L))
       Layout.skipScan(s, s"$p/data", man, keep,
         col("l_partkey").between(100L, 140L) &&
           col("l_suppkey").between(1L, 40L))

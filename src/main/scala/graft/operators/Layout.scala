@@ -165,12 +165,26 @@ object Layout {
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "zoneMapBuild needs at least one column")
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"))) :+
       count(lit(1)).as("rows")
     spark.read.parquet(dataDir)
       .select(input_file_name().as("file") +: cols.map(col): _*)
       .groupBy("file").agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Null-safe `keep` predicates over a zone map's stat columns.
+    * min/max are computed over NON-null values, so an all-NULL file
+    * has NULL stats — [[prunedFiles]]' keep-on-NULL policy would keep
+    * it forever. These fold the tri-state away:
+    *  - [[rangeKeep]] is FALSE (skip) for an all-NULL file — no
+    *    non-null value can match a range;
+    *  - [[nullKeep]] keeps exactly the files with at least one NULL —
+    *    the `IS NULL` probe min/max alone cannot answer. */
+  def rangeKeep(c: String, lo: Column, hi: Column): Column =
+    coalesce(col(s"${c}_min") <= hi && col(s"${c}_max") >= lo, lit(false))
+
+  def nullKeep(c: String): Column = col(s"${c}_nulls") > 0
 
   /** Persist a zone map beside the data (the manifest is KB-scale —
     * one row per file — so a single output file keeps the probe a

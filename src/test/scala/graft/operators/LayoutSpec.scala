@@ -296,6 +296,36 @@ class LayoutSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("null-aware zone map: all-NULL file skipped by rangeKeep, found by nullKeep") {
+    // nulls sort first under repartitionByRange -> the first file is
+    // all-NULL on k
+    val rows = (1 to 4000).map(i =>
+      (if (i <= 500) None else Some(i), i)) // 500 NULL keys
+    val df = rows.toDF("k", "payload")
+    val dir = Files.createTempDirectory("zm_null").toString + "/t"
+    Layout.clusteredWrite(df, Seq(col("k")), dir, numFiles = 8)
+    val man = Files.createTempDirectory("zm_null_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), man)
+    val manifest = spark.read.parquet(man)
+    assert(manifest.agg(sum($"k_nulls")).head.getLong(0) == 500)
+    // naive NULL-keep policy keeps the all-NULL file; rangeKeep skips it
+    val naive = Layout.prunedFiles(manifest,
+      col("k_min") <= 600 && col("k_max") >= 501)
+    val strict = Layout.prunedFiles(manifest,
+      Layout.rangeKeep("k", lit(501), lit(600)))
+    assert(strict.size < naive.size,
+      s"all-NULL file not skipped: strict=${strict.size} naive=${naive.size}")
+    val got = Layout.skipScan(spark, dir, manifest,
+      Layout.rangeKeep("k", lit(501), lit(600)),
+      col("k").between(501, 600)).count()
+    assert(got == 100)
+    // the IS NULL probe goes straight to the files holding nulls
+    val nullFiles = Layout.prunedFiles(manifest, Layout.nullKeep("k"))
+    assert(nullFiles.size < 8)
+    assert(Layout.skipScan(spark, dir, manifest, Layout.nullKeep("k"),
+      col("k").isNull).count() == 500)
+  }
+
   test("property: random data + random range probes, pruned == full scan") {
     val rnd = new scala.util.Random(4242)
     val n = 5000
