@@ -1883,6 +1883,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training data prep:
+    // each anchor's nearest neighbors that carry a DIFFERENT label
+    // (closest-but-wrong = the informative negatives), re-ranked among
+    // themselves. Pure composition: top-25 candidate pool per anchor,
+    // label join, window over the ≤25-row groups — the corpus is only
+    // touched by the top-k producer
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 10)
+      val pool = Similarity.bruteForceTopK(e, q, 25)
+      val ql = q.select(col("vec_id").as("query_id"),
+        col("label").as("q_label"))
+      val nl = e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      pool.join(broadcast(ql), "query_id").join(nl, "neighbor_id")
+        .where(col("n_label") =!= col("q_label"))
+        .withColumn("neg_rank", row_number().over(w))
+        .where(col("neg_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("neg_rank").cast("long").as("neg_rank"), col("cosine"),
+          col("n_label"))
+        .orderBy("query_id", "neg_rank")
+    }),
+
     // the ANN quality loop closed AS A QUERY: recall@5 of the IVF
     // shortcut against the brute-force truth, per query — the number
     // that decides nCentroids/nProbe before an index ships (0.92 mean
@@ -5028,6 +5054,30 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "q_hard_negatives" -> {
+      // brute top-25 pool, label filter, re-rank among the negatives
+      s"""WITH $EmbCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, label AS q_label
+         |      FROM e WHERE vec_id < 10),
+         |pool AS (
+         |  SELECT query_id, neighbor_id, q_label, n_label, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM (
+         |    SELECT query_id, e.vec_id AS neighbor_id, q_label,
+         |      e.label AS n_label, round(${cosSql("qv", "e.v")}, 6) AS cosine
+         |    FROM q JOIN e ON e.vec_id <> q.query_id)),
+         |negs AS (
+         |  SELECT query_id, neighbor_id, cosine, n_label,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rnk)
+         |      AS neg_rank
+         |  FROM pool WHERE rnk <= 25 AND n_label <> q_label)
+         |SELECT query_id, neighbor_id, CAST(neg_rank AS BIGINT)
+         |    AS neg_rank, cosine, n_label
+         |FROM negs WHERE neg_rank <= 5
+         |ORDER BY query_id, neg_rank""".stripMargin
     },
 
     "q_ann_recall" -> {

@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkSpec {
                                 // bounds live behind the checkpoint)
     "q_ann_recall" -> 3,        // ivf centroid table + query fold (2)
                                 // + brute-force query fold (1)
+    "q_hard_negatives" -> 1,    // brute-force 1-row query-vector fold
     "q_histogram" -> 1,         // (min, max) bounds fold
     "q_kmv_overlap" -> 3,       // two kmv sketches + union sketch
     "q_registrable_domain" -> 1, // 1-row folded PSL rule array
