@@ -1469,6 +1469,14 @@ object SparkEntry {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), merges = 3)
         .orderBy("step")),
 
+    // exact PHRASE search — the positional-index plan: the token
+    // stream filters to the phrase's 2-term vocabulary BEFORE anything
+    // wide, then terms chain through (id, pos−offset) equi-joins;
+    // overlapping occurrences counted (token-space, not substring)
+    "text_phrase_match" -> ((s, dir) =>
+      Retrieval.phraseMatch(t(s, dir, "documents"), "hash join")
+        .orderBy("doc_id")),
+
     // BPE INFERENCE under the merges just trained — the serving half:
     // the 3-row merge table is a driver-local constant (like kmeans
     // centroids), each word segments through the per-row expression
@@ -3683,6 +3691,22 @@ object SparkEntry {
         .mkString("\nUNION ALL ")
       s"WITH $BpeHeadCte,\n${bpeStepCtes(iters)}\n$rows\nORDER BY step"
     },
+
+    "text_phrase_match" ->
+      // positional replay: consecutive token positions, overlap-safe
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, g.i, ts[i] AS t
+        |  FROM toks CROSS JOIN
+        |    unnest(generate_series(1, len(ts))) AS g(i)
+        |  WHERE ts[i] IN ('hash', 'join'))
+        |SELECT p0.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM p p0 JOIN p p1 ON p0.doc_id = p1.doc_id
+        |  AND p1.i = p0.i + 1 AND p1.t = 'join'
+        |WHERE p0.t = 'hash'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_bpe_encode" -> {
       // serve the 3 trained merges back over every word INSTANCE (the

@@ -137,4 +137,39 @@ object Retrieval {
         round(col("score_q").cast("double") / 1000000.0, 4).as("bm25"),
         col("n_terms"))
   }
+
+  /** Exact PHRASE matching — the "find this literal n-gram" primitive
+    * (eval-set leakage hunts, quote tracing, boilerplate audits) that
+    * bag-of-words BM25 cannot answer. Token-space positional
+    * semantics: the phrase matches wherever its terms occupy
+    * CONSECUTIVE token positions, overlapping occurrences counted
+    * (the phrase "a a" occurs twice in "a a a" — substring counting
+    * undercounts exactly these).
+    *
+    * 100 TB shape: a positional posting list (id, pos) is built per
+    * phrase TERM only — the corpus token stream is filtered to the
+    * phrase's vocabulary before anything wide happens (the rarest-term
+    * posting bounds all the joins) — then terms chain through
+    * (id, pos − offset) equi-joins, the classic positional-index
+    * phrase plan. Output: (idCol, n_occurrences), docs without the
+    * phrase absent. */
+  def phraseMatch(docs: DataFrame, phrase: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val terms = phrase.toLowerCase(java.util.Locale.ROOT)
+      .split(" ").filter(_.nonEmpty)
+    require(terms.nonEmpty, "phraseMatch needs a non-empty phrase")
+    val termSet = terms.toSet.toSeq
+    val pos = docs
+      .select(col(idCol),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("p", "t")))
+      .where(col("t").isin(termSet: _*))
+    val anchors = pos.where(col("t") === terms.head)
+      .select(col(idCol), col("p"))
+    terms.zipWithIndex.tail
+      .foldLeft(anchors) { case (acc, (term, i)) =>
+        acc.join(pos.where(col("t") === term)
+          .select(col(idCol), (col("p") - i).as("p")), Seq(idCol, "p"))
+      }
+      .groupBy(idCol).agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -86,4 +86,27 @@ class RetrievalSpec extends SparkSpec {
       queryDf(1L -> "apple cherry")).collect().toSet
     assert(served == inline)
   }
+
+  test("phraseMatch: consecutive positions, overlap counting, 3-term chain") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),              // "a a" twice (OVERLAPPING)
+      (2L, "x a y a"),            // terms present, never adjacent
+      (3L, "big hash join now hash join"), // 2 occurrences
+      (4L, "hash Join day"),      // case-folds -> 1
+      (5L, "join hash"))          // wrong order -> 0
+      .toDF("doc_id", "text")
+    val aa = Retrieval.phraseMatch(docs, "a a").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aa == Set((1L, 2L)))
+    val hj = Retrieval.phraseMatch(docs, "Hash Join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hj == Set((3L, 2L), (4L, 1L)))
+    // 3-term chain anchors every term at its offset
+    val three = Retrieval.phraseMatch(docs, "big hash join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(three == Set((3L, 1L)))
+    // absent phrase -> empty, not an error
+    assert(Retrieval.phraseMatch(docs, "never here").count() == 0)
+  }
 }
