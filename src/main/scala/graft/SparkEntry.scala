@@ -1891,6 +1891,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // deterministic UNIFORM negative sampling — the random-negatives
+    // companion to q_hard_negatives below: k consistent-hash draws per
+    // anchor (nearest corpus point within the dart's bucket),
+    // same-label positives anti-joined away, reproducible from the ids
+    // alone — rerun, restart, or the DuckDB oracle re-derive the same
+    // negative set
+    "q_negative_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val anchors = e.where(col("vec_id") < 10)
+      val corpus = e.select(col("vec_id").as("neg_id"), col("label"))
+      val positives = anchors.select(col("vec_id"), col("label"))
+        .join(corpus, "label").select(col("vec_id"), col("neg_id"))
+      Sampling.negativeSample(anchors, "vec_id", corpus, "neg_id",
+        positives, k = 5)
+        .orderBy("vec_id", "draw")
+    }),
+
     // HARD-NEGATIVE MINING — the contrastive-training data prep:
     // each anchor's nearest neighbors that carry a DIFFERENT label
     // (closest-but-wrong = the informative negatives), re-ranked among
@@ -5078,6 +5095,44 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, neighbor_id, "rank", cosine FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    "q_negative_sample" -> {
+      // full consistent-hash replay: placement, darts, per-dart
+      // nearest-in-bucket argmin, same-label exclusion, first-k cut
+      val uId = md5FracSql("'ng|' || CAST(vec_id AS VARCHAR)")
+      val tDart =
+        md5FracSql("'ng|' || CAST(a AS VARCHAR) || '|' || CAST(g.i AS VARCHAR)")
+      s"""WITH a AS (
+         |  SELECT vec_id AS a, label AS al FROM embeddings
+         |  WHERE vec_id < 10),
+         |placed AS (
+         |  SELECT neg_id, nl, u,
+         |    least(CAST(floor(u * 64) AS INT), 63) AS b
+         |  FROM (SELECT vec_id AS neg_id, label AS nl, $uId AS u
+         |        FROM embeddings)),
+         |d AS (
+         |  SELECT a, al, g.i, $tDart AS t
+         |  FROM a CROSS JOIN unnest(generate_series(0, 14)) AS g(i)),
+         |d2 AS (SELECT *, least(CAST(floor(t * 64) AS INT), 63) AS b
+         |  FROM d),
+         |cand AS (
+         |  SELECT a, al, i, neg_id, nl FROM (
+         |    SELECT d2.a, d2.al, d2.i, placed.neg_id, placed.nl,
+         |      row_number() OVER (PARTITION BY d2.a, d2.i
+         |        ORDER BY abs(u - t), neg_id) AS rn
+         |    FROM d2 JOIN placed USING (b))
+         |  WHERE rn = 1),
+         |np AS (
+         |  SELECT a, neg_id, min(i) AS i FROM cand
+         |  WHERE nl <> al GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT a AS vec_id, neg_id,
+         |    row_number() OVER (PARTITION BY a ORDER BY i, neg_id)
+         |      AS draw
+         |  FROM np)
+         |SELECT vec_id, neg_id, CAST(draw AS BIGINT) AS draw
+         |FROM fin WHERE draw <= 5 ORDER BY vec_id, draw""".stripMargin
     },
 
     "q_hard_negatives" -> {

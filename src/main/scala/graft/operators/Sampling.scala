@@ -262,4 +262,69 @@ object Sampling {
         .where(col("rank") <= k)
     }
   }
+
+  /** Deterministic UNIFORM negative sampling for contrastive training
+    * pairs — the random-negatives companion to hard-negative mining:
+    * k corpus ids per anchor, pseudo-uniform, reproducible from the
+    * ids alone (consistent hashing, the engine-wide md5 discipline —
+    * rerun, restart, or another engine re-derives the same negatives).
+    *
+    * Mechanics: corpus ids sit on the unit hash circle once
+    * (u = md5Frac("ng|" + id), bucketed to `buckets` cells); each
+    * anchor throws `k·overdraw` darts (t = md5Frac("ng|" + a + "|" +
+    * i)) and takes the nearest corpus point WITHIN the dart's bucket
+    * (argmin |u − t|, tie on id). Positives (and self-pairs, if the
+    * caller lists them) are anti-joined away, per-anchor duplicate
+    * candidates collapse to their first draw, and the first k
+    * survivors by draw order win.
+    *
+    * 100 TB shape: corpus placement is one projection; candidate
+    * volume is |anchors|·k·overdraw·(corpus/buckets) — size `buckets`
+    * ∝ corpus so the per-dart bucket is a constant; the only windows
+    * run over ≤ k·overdraw rows per anchor. Near-uniform, not exactly
+    * uniform (nearest-on-circle weights an id by its hash gap — the
+    * standard consistent-hashing caveat, irrelevant for negatives).
+    * An empty bucket loses its dart; `overdraw` absorbs that and
+    * positive/duplicate removal. Anchors with fewer than k survivors
+    * emit what they have.
+    *
+    * @param positives (anchorCol, negIdCol) pairs to exclude — include
+    *                  (a, a) self-pairs when anchor and corpus share an
+    *                  id space. */
+  def negativeSample(anchors: DataFrame, anchorCol: String,
+      corpus: DataFrame, negIdCol: String, positives: DataFrame,
+      k: Int, buckets: Int = 64, overdraw: Int = 3): DataFrame = {
+    require(k >= 1 && overdraw >= 1 && buckets >= 1,
+      s"need k, overdraw, buckets >= 1: $k, $overdraw, $buckets")
+    val m = k * overdraw
+    val placed = corpus
+      .select(col(negIdCol), Sketch.md5Fraction(
+        concat(lit("ng|"), col(negIdCol).cast("string"))).as("__u"))
+      .withColumn("__b",
+        least(floor(col("__u") * buckets), lit(buckets - 1)).cast("int"))
+    val draws = anchors.select(col(anchorCol))
+      .select(col(anchorCol),
+        explode(sequence(lit(0), lit(m - 1))).as("__i"))
+      .withColumn("__t", Sketch.md5Fraction(concat(lit("ng|"),
+        col(anchorCol).cast("string"), lit("|"),
+        col("__i").cast("string"))))
+      .withColumn("__b",
+        least(floor(col("__t") * buckets), lit(buckets - 1)).cast("int"))
+    val cand = draws.join(placed, Seq("__b"))
+      .groupBy(col(anchorCol), col("__i"))
+      .agg(min(struct(abs(col("__u") - col("__t")).as("__d"),
+        col(negIdCol).as("__id"))).as("__best"))
+      .select(col(anchorCol), col("__i"),
+        col("__best").getField("__id").as(negIdCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(anchorCol).orderBy("__i", negIdCol)
+    cand
+      .join(positives.select(col(anchorCol), col(negIdCol)),
+        Seq(anchorCol, negIdCol), "left_anti")
+      .groupBy(col(anchorCol), col(negIdCol))
+      .agg(min(col("__i")).as("__i"))
+      .withColumn("draw", row_number().over(w).cast("long"))
+      .where(col("draw") <= k)
+      .select(col(anchorCol), col(negIdCol), col("draw"))
+  }
 }

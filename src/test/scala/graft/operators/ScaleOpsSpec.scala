@@ -234,4 +234,32 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows("s1") > 5 * rows("s0"), rows.toString)
   }
+
+  test("negativeSample: k per anchor, positives excluded, reruns identical") {
+    val corpus = (1L to 400L).map(i => (i, (i % 4).toInt))
+      .toDF("neg_id", "label")
+    val anchors = Seq((1L, 1), (2L, 2)).toDF("vec_id", "label")
+    // positives = same label (incl. the self pair by construction)
+    val positives = anchors.join(corpus, "label")
+      .select(col("vec_id"), col("neg_id"))
+    def run() = graft.operators.Sampling.negativeSample(
+      anchors, "vec_id", corpus.select("neg_id"), "neg_id",
+      positives, k = 7, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toList
+    val a = run()
+    assert(a == run(), "negative draws must be reproducible")
+    val byAnchor = a.groupBy(_._1)
+    assert(byAnchor.keySet == Set(1L, 2L) &&
+      byAnchor.values.forall(_.size == 7), a.toString)
+    // no positive leaked: anchor 1's negatives never have label 1
+    val pos = positives.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.forall { case (an, n, _) => !pos.contains((an, n)) })
+    // draws are 1..k dense per anchor; per-anchor negatives distinct
+    byAnchor.values.foreach { g =>
+      assert(g.map(_._3).sorted == (1L to 7L).toList)
+      assert(g.map(_._2).distinct.size == 7)
+    }
+  }
 }
