@@ -207,6 +207,35 @@ object Layout {
     fresh.coalesce(1).write.mode("append").parquet(manifestPath)
   }
 
+  /** Staleness audit for a persisted zone map — every manifest is
+    * stale-by-design the moment files are rewritten without a rebuild
+    * (the repo-wide persisted-index contract); this is the detector
+    * that turns "trust me" into a checkable table. Recomputes per-file
+    * stats and full-outer-diffs them against the manifest. One row per
+    * file seen on either side:
+    *  - `ok`        — manifest row matches the file's current stats;
+    *  - `stale`     — file exists but its stats drifted (rewritten in
+    *                  place);
+    *  - `missing`   — manifest names a file no longer on disk;
+    *  - `unindexed` — file on disk, absent from the manifest (run
+    *                  [[zoneMapAppend]]).
+    * Cost = one manifest-build pass; run it like any fsck. */
+  def zoneMapVerify(spark: SparkSession, dataDir: String,
+      cols: Seq[String], manifestPath: String): DataFrame = {
+    val fresh = zoneMapBuild(spark, dataDir, cols)
+    val statCols = fresh.columns.filterNot(_ == "file").toSeq
+    val f = fresh.select(col("file"),
+      struct(statCols.map(col): _*).as("__disk"))
+    val m = spark.read.parquet(manifestPath).select(col("file"),
+      struct(statCols.map(col): _*).as("__man"))
+    f.join(m, Seq("file"), "full_outer")
+      .select(col("file"),
+        when(col("__disk").isNull, lit("missing"))
+          .when(col("__man").isNull, lit("unindexed"))
+          .when(col("__disk") <=> col("__man"), lit("ok"))
+          .otherwise(lit("stale")).as("status"))
+  }
+
   /** The file paths a manifest predicate cannot rule out. `keep` is a
     * predicate over the manifest's stat columns (e.g.
     * `col("k_min") <= hi && col("k_max") >= lo` for `k BETWEEN lo AND

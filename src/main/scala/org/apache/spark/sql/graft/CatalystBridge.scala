@@ -335,11 +335,26 @@ object CatalystBridge {
       graft.functions.expressions.WordpieceSegment(args.head, vocab)
     })
 
+  /** `bloom_contains(bloom, xxhash64(v))` — SQL probe for the per-file
+    * bloom manifests `CALL graft.bloom_manifest(...)` builds, so file
+    * skipping composes in pure SQL: filter the manifest, read the
+    * surviving paths. */
+  val bloomContainsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo("graft.functions.expressions.BloomContains",
+      "bloom_contains"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"bloom_contains takes 2 arguments, got ${args.length}")
+      graft.functions.expressions.BloomContains(args.head, args(1))
+    })
+
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
     topKDescriptor, wordpieceDescriptor, deflateLenDescriptor,
-    unicodeNormalizeDescriptor)
+    unicodeNormalizeDescriptor, bloomContainsDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

@@ -96,6 +96,30 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(d <= 16, s"near-identical docs should be close: $d")
   }
 
+  test("bloom_contains in plain SQL probes a built manifest") {
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bc_sql")
+      .toString + "/t"
+    (1L to 2000L).map(i => (i, i)).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    graft.operators.Layout.bloomManifestWrite(spark, dir, "id", 1024,
+      dir + "_man")
+    spark.read.parquet(dir + "_man").createOrReplaceTempView("bc_man")
+    // the SQL file-skipping composition: filter the manifest, read
+    // the survivors
+    val kept = spark.sql(
+      "SELECT file FROM bc_man WHERE bloom_contains(bloom, xxhash64(42L))")
+      .collect().map(_.getString(0))
+    assert(kept.nonEmpty && kept.length < 4)
+    val got = spark.read.parquet(kept: _*)
+      .where($"id" === 42L).count()
+    assert(got == 1)
+    // type errors are analysis-time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bloom_contains('notbinary', 1L)").collect()
+    }
+  }
+
   test("wordpiece in plain SQL: array-literal vocab, non-foldable rejected") {
     GraftExtensions.register(spark)
     val got = spark.sql(

@@ -296,14 +296,50 @@ class LayoutSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("zoneMapVerify: ok / unindexed / missing / stale all detected") {
+    val dir = Files.createTempDirectory("zmv").toString + "/t"
+    (1 to 1000).map(i => (i, i)).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val man = Files.createTempDirectory("zmv_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), man)
+    def statuses() = Layout.zoneMapVerify(spark, dir, Seq("id"), man)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses() == Map("ok" -> 4L))
+    // new files land without a manifest append -> unindexed
+    (2001 to 2100).map(i => (i, i)).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(statuses() == Map("ok" -> 4L, "unindexed" -> 1L))
+    Layout.zoneMapAppend(spark, dir, Seq("id"), man)
+    assert(statuses() == Map("ok" -> 5L))
+    // doctor one manifest row -> stale; drop a data file -> missing
+    val doctored = spark.read.parquet(man).collect()
+    val first = doctored.head.getString(0)
+    spark.read.parquet(man)
+      .withColumn("id_min", when(col("file") === first, lit(-999))
+        .otherwise(col("id_min")))
+      .coalesce(1).write.mode("overwrite").parquet(man + "2")
+    val dropped = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !first.endsWith(f.getName))
+      .head
+    assert(dropped.delete())
+    val s2 = Layout.zoneMapVerify(spark, dir, Seq("id"), man + "2")
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s2 == Map("ok" -> 3L, "stale" -> 1L, "missing" -> 1L), s2.toString)
+  }
+
   test("null-aware zone map: all-NULL file skipped by rangeKeep, found by nullKeep") {
-    // nulls sort first under repartitionByRange -> the first file is
-    // all-NULL on k
-    val rows = (1 to 4000).map(i =>
-      (if (i <= 500) None else Some(i), i)) // 500 NULL keys
-    val df = rows.toDF("k", "payload")
+    // the all-NULL file is written explicitly (repartitionByRange
+    // SAMPLES its boundaries, so "nulls sort first" does not guarantee
+    // a nulls-only file across runs)
     val dir = Files.createTempDirectory("zm_null").toString + "/t"
-    Layout.clusteredWrite(df, Seq(col("k")), dir, numFiles = 8)
+    Layout.clusteredWrite(
+      (501 to 4000).map(i => (Some(i), i)).toDF("k", "payload"),
+      Seq(col("k")), dir, numFiles = 7)
+    (1 to 500).map(i => (Option.empty[Int], i)).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
     val man = Files.createTempDirectory("zm_null_m").toString + "/m"
     Layout.zoneMapWrite(spark, dir, Seq("k"), man)
     val manifest = spark.read.parquet(man)
