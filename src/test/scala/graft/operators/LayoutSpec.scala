@@ -207,10 +207,14 @@ class LayoutSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
     assert(after.sorted.toList == before.sorted.toList)
-    // compaction clustered while it compacted: a y-filter now skips
+    // compaction clustered while it compacted: a y-filter now skips.
+    // Granularity bound: 4 files ≈ the 4 Morton quadrants, and y < 4
+    // intersects the two y-low quadrants (2048 rows), plus slop from
+    // repartitionByRange's SAMPLED boundaries — so assert strictly
+    // better than 3 of 4 quadrants, not an exact tile count
     val yRows = scanOutputRows(spark.read.parquet(dir)
       .where(col("y") < 4))
-    assert(yRows < 64 * 64 / 2, s"no clustering after optimize: $yRows")
+    assert(yRows < 64 * 64 * 3 / 4, s"no clustering after optimize: $yRows")
   }
 
   test("bloom manifest: point lookup opens few files on an UNCLUSTERED key") {
