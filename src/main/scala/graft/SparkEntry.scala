@@ -982,10 +982,11 @@ object SparkEntry {
     // LayoutSpec pins the strict-subset file count)
     "q_zonemap_scan" -> ((s, dir) => {
       val p = zlFixture(s, dir)
-      val man = s.read.parquet(s"$p/zm")
-      val keep = Layout.rangeKeep("l_partkey", lit(100L), lit(140L)) &&
-        Layout.rangeKeep("l_suppkey", lit(1L), lit(40L))
-      Layout.skipScan(s, s"$p/data", man, keep,
+      // ONE predicate: the manifest keep is DERIVED from the residual
+      // (autoKeep walks the predicate tree — the BETWEENs become
+      // min/max probes; anything it couldn't read would keep its
+      // files, costing I/O never rows)
+      Layout.skipScanAuto(s, s"$p/data", s.read.parquet(s"$p/zm"),
         col("l_partkey").between(100L, 140L) &&
           col("l_suppkey").between(1L, 40L))
         .orderBy("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")

@@ -186,6 +186,28 @@ object Layout {
 
   def nullKeep(c: String): Column = col(s"${c}_nulls") > 0
 
+  /** Derive the manifest `keep` FROM the row-level predicate itself:
+    * the residual's expression tree (=, <, <=, >, >=, IN, BETWEEN,
+    * IS [NOT] NULL, AND, OR — both operand orders) translates to
+    * min/max/nulls probes over the manifest's stat columns; any term
+    * the walker doesn't understand keeps its files (over-approximate
+    * by construction — unknown predicates cost I/O, never rows). Only
+    * columns with `<c>_min`/`<c>_max` in the manifest participate. */
+  def autoKeep(manifest: DataFrame, residual: Column): Column = {
+    val cols = manifest.columns.toSet
+    CatalystBridge.manifestKeep(residual,
+      stat = c => cols(s"${c}_min") && cols(s"${c}_max"),
+      nulls = c => cols(s"${c}_nulls"),
+      hasRows = cols("rows"))
+  }
+
+  /** [[skipScan]] with the keep predicate derived automatically from
+    * `residual` via [[autoKeep]] — the one-predicate UX. */
+  def skipScanAuto(spark: SparkSession, dataDir: String,
+      manifest: DataFrame, residual: Column): DataFrame =
+    skipScan(spark, dataDir, manifest, autoKeep(manifest, residual),
+      residual)
+
   /** Persist a zone map beside the data (the manifest is KB-scale —
     * one row per file — so a single output file keeps the probe a
     * one-task read). */

@@ -335,6 +335,100 @@ object CatalystBridge {
       graft.functions.expressions.WordpieceSegment(args.head, vocab)
     })
 
+  /** The catalyst expression behind a Column — for tests and
+    * diagnostics outside the org.apache.spark.sql package. */
+  def expressionOf(c: Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
+
+  /** Derive a zone-map `keep` predicate FROM a row-level residual
+    * filter's expression tree — the translation behind
+    * `Layout.skipScanAuto`, so callers write ONE predicate and the
+    * manifest probe falls out. Sound by construction: every
+    * translation is an over-approximation (a file is kept whenever the
+    * residual COULD match a row in it), and any conjunct the walker
+    * doesn't understand folds to `keep = true` for that term —
+    * unknown predicates cost I/O, never rows. Handled shapes (both
+    * operand orders): =, <=>, <, <=, >, >=, IN, BETWEEN (arrives as
+    * And(>=, <=)), IS NULL / IS NOT NULL, AND, OR. Supported only for
+    * columns whose `<c>_min`/`<c>_max` (and `<c>_nulls` for the null
+    * probes) exist in the manifest — `stat`/`nulls` report that;
+    * `hasRows` gates the IS-NOT-NULL all-null-file skip on the `rows`
+    * column.
+    *
+    * The residual must be UNANALYZED column algebra over the data
+    * schema (the normal `col("k") > lit(5)` shape) — attribute nodes
+    * are matched by name. */
+  def manifestKeep(residual: Column, stat: String => Boolean,
+      nulls: String => Boolean, hasRows: Boolean): Column = {
+    import org.apache.spark.sql.internal.{ColumnNode, UnresolvedFunction, UnresolvedAttribute, Literal => NLit}
+    object C { // a manifest-covered data column
+      def unapply(n: ColumnNode): Option[String] = n match {
+        case u: UnresolvedAttribute
+            if u.nameParts.length == 1 && stat(u.nameParts.head) =>
+          Some(u.nameParts.head)
+        case _ => None
+      }
+    }
+    object L { // a non-null literal, rewrapped as a Column
+      def unapply(n: ColumnNode): Option[Column] = n match {
+        case l: NLit if l.value != null => Some(Column(l))
+        case _ => None
+      }
+    }
+    object NullLit {
+      def unapply(n: ColumnNode): Boolean = n match {
+        case l: NLit => l.value == null
+        case _ => false
+      }
+    }
+    object F { // an UnresolvedFunction as (lowercased name, args)
+      def unapply(n: ColumnNode): Option[(String, Seq[ColumnNode])] =
+        n match {
+          case f: UnresolvedFunction => Some((
+            f.functionName.toLowerCase(java.util.Locale.ROOT),
+            f.arguments))
+          case _ => None
+        }
+    }
+    def lo(c: String) = col(s"${c}_min")
+    def hi(c: String) = col(s"${c}_max")
+    def eq(c: String, v: Column) =
+      coalesce(lo(c) <= v && hi(c) >= v, lit(false))
+    def nullsKeep(c: String) =
+      if (nulls(c)) col(s"${c}_nulls") > 0 else lit(true)
+    def notNullKeep(c: String) =
+      if (nulls(c) && hasRows) col(s"${c}_nulls") < col("rows")
+      else lit(true)
+    def walk(n: ColumnNode): Column = n match {
+      case F("and", Seq(a, b)) => walk(a) && walk(b)
+      case F("or", Seq(a, b)) => walk(a) || walk(b)
+      case F("=" | "==", Seq(C(c), L(v))) => eq(c, v)
+      case F("=" | "==", Seq(L(v), C(c))) => eq(c, v)
+      case F("<=>", Seq(C(c), L(v))) => eq(c, v)
+      case F("<=>", Seq(L(v), C(c))) => eq(c, v)
+      case F("<=>", Seq(C(c), NullLit())) => nullsKeep(c)
+      case F("<=>", Seq(NullLit(), C(c))) => nullsKeep(c)
+      case F(">", Seq(C(c), L(v))) => coalesce(hi(c) > v, lit(false))
+      case F(">", Seq(L(v), C(c))) => coalesce(lo(c) < v, lit(false))
+      case F(">=", Seq(C(c), L(v))) => coalesce(hi(c) >= v, lit(false))
+      case F(">=", Seq(L(v), C(c))) => coalesce(lo(c) <= v, lit(false))
+      case F("<", Seq(C(c), L(v))) => coalesce(lo(c) < v, lit(false))
+      case F("<", Seq(L(v), C(c))) => coalesce(hi(c) > v, lit(false))
+      case F("<=", Seq(C(c), L(v))) => coalesce(lo(c) <= v, lit(false))
+      case F("<=", Seq(L(v), C(c))) => coalesce(hi(c) >= v, lit(false))
+      case F("in", C(c) +: vs)
+          if vs.nonEmpty && vs.forall(L.unapply(_).isDefined) =>
+        vs.map(v => eq(c, L.unapply(v).get)).reduce(_ || _)
+      case F("isnull", Seq(C(c))) => nullsKeep(c)
+      case F("isnotnull", Seq(C(c))) => notNullKeep(c)
+      case F("between", Seq(C(c), L(a), L(b))) =>
+        coalesce(lo(c) <= b && hi(c) >= a, lit(false))
+      case _ => lit(true) // unknown term: keep — I/O, never rows
+    }
+    walk(residual.node)
+  }
+
   /** `bloom_contains(bloom, xxhash64(v))` — SQL probe for the per-file
     * bloom manifests `CALL graft.bloom_manifest(...)` builds, so file
     * skipping composes in pure SQL: filter the manifest, read the

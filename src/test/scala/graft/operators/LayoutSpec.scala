@@ -366,6 +366,49 @@ class LayoutSpec extends SparkSpec {
       col("k").isNull).count() == 500)
   }
 
+  test("skipScanAuto: keep derived from the residual itself, every shape") {
+    val dir = Files.createTempDirectory("zm_auto").toString + "/t"
+    Layout.clusteredWrite(
+      (101 to 4000).map(i => (Some(i), i % 7, i)).toDF("k", "m", "payload"),
+      Seq(col("k")), dir, numFiles = 7)
+    (1 to 100).map(i => (Option.empty[Int], i % 7, i))
+      .toDF("k", "m", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val man = Files.createTempDirectory("zm_auto_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), man)
+    val manifest = spark.read.parquet(man).cache()
+    val full = spark.read.parquet(dir)
+    def check(residual: org.apache.spark.sql.Column,
+        expectPrune: Boolean = true): Unit = {
+      val kept = Layout.prunedFiles(manifest,
+        Layout.autoKeep(manifest, residual))
+      if (expectPrune) assert(kept.size < 8, s"$residual kept all 8")
+      val got = Layout.skipScanAuto(spark, dir, manifest, residual)
+        .select("payload").collect().map(_.getInt(0)).sorted.toList
+      val want = full.where(residual)
+        .select("payload").collect().map(_.getInt(0)).sorted.toList
+      assert(got == want && want.nonEmpty, s"$residual diverged")
+    }
+    check(col("k") === 333)
+    check(lit(333) === col("k"))
+    check(col("k") < 200)
+    check(col("k") >= 3900)
+    check(lit(300) > col("k")) // flipped: k < 300
+    check(col("k").between(500, 600))
+    check(col("k").isin(250, 3999))
+    check(col("k").isNull)
+    check(col("k") === 333 || col("k") === 3999)
+    // unknown term (m has no stats) is conservative: correct, no prune
+    check(col("m") === 3, expectPrune = false)
+    // mixed: the k-term prunes even with an unknown conjunct beside it
+    check(col("k") < 200 && col("m") === 3)
+    // IS NOT NULL skips the all-NULL file
+    val kept = Layout.prunedFiles(manifest,
+      Layout.autoKeep(manifest, col("k").isNotNull))
+    assert(kept.size == 7, s"all-NULL file not dropped: ${kept.size}")
+    manifest.unpersist()
+  }
+
   test("property: random data + random range probes, pruned == full scan") {
     val rnd = new scala.util.Random(4242)
     val n = 5000
