@@ -155,7 +155,34 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.verify_zone_map(dir, cols, manifest_path)` —
+    * [[Layout.zoneMapVerify]] folded to its status counts: one row of
+    * (ok, stale, missing, unindexed) file counts, the health check to
+    * schedule beside the builds. */
+  object VerifyZoneMap extends GraftProcedure("verify_zone_map",
+    "Audit a zone-map manifest against the directory's current files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("cols", StringType),
+      in("manifest_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("ok", LongType),
+        StructField("stale", LongType), StructField("missing", LongType),
+        StructField("unindexed", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val counts = Layout.zoneMapVerify(spark, str(r, 0),
+        cols(str(r, 1)).toSeq, str(r, 2))
+        .groupBy("status").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      new GenericInternalRow(Array[Any](
+        counts.getOrElse("ok", 0L), counts.getOrElse("stale", 0L),
+        counts.getOrElse("missing", 0L),
+        counts.getOrElse("unindexed", 0L)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact, "optimize" -> Optimize,
-    "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest)
+    "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
+    "verify_zone_map" -> VerifyZoneMap)
 }

@@ -105,6 +105,11 @@ class ScdCatalogSpec extends SparkSpec {
     val b = spark.sql(
       s"CALL graft.bloom_manifest('$d', 'id', 4096, '$bm')").collect()
     assert(b(0).getLong(1) == zm2(0).getLong(1))
+    // the fsck: everything the two zone_map CALLs indexed is ok
+    val v = spark.sql(
+      s"CALL graft.verify_zone_map('$d', 'id', '$man')").collect()
+    assert((v(0).getLong(0), v(0).getLong(1), v(0).getLong(2),
+      v(0).getLong(3)) == ((zm2(0).getLong(1), 0L, 0L, 0L)), v.toList)
     // unknown procedure fails at load (the catalog's message, listing
     // what exists, rides the FAILED_TO_LOAD_ROUTINE cause chain)
     val e = intercept[Exception] {
