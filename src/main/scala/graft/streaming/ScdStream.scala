@@ -382,6 +382,27 @@ object ScdStream {
       graft.scd.ScdReader.history(stream.sparkSession, tableDir),
       streamKey, dimKey, tsMsCol)
 
+  /** [[enrichAsOf]] with PER-BATCH log refresh — the freshness
+    * contract the plan-time variant can't give: each micro-batch
+    * re-reads the dir's `.updates` sidecars and rebuilds the SCD2
+    * history plan, so statements appended while the query runs are
+    * visible from the NEXT trigger without a restart. The sidecar
+    * parse is a KB-scale driver read per trigger (the same cost every
+    * `ScdReader.read` pays once); the per-batch join is the identical
+    * interval hash join. `sink(enrichedBatch, batchId)` is the
+    * caller's output step — returns the writer, ready to `.start()`. */
+  def enrichAsOfRefreshing(stream: DataFrame, tableDir: String,
+      streamKey: String, dimKey: String, tsMsCol: String)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val hist = graft.scd.ScdReader.history(
+          batch.sparkSession, tableDir)
+        sink(enrichAsOf(batch.toDF(), hist, streamKey, dimKey, tsMsCol),
+          id)
+    }
+
   /** Tumbling-window event counts with a watermark — the standard
     * windowed streaming aggregate over an event-time column. */
   def eventCountsPerWindow(df: DataFrame, tsCol: String,

@@ -77,6 +77,38 @@ class ScdStreamSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("enrichAsOfRefreshing — a mid-stream log append is served WITHOUT restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("enrich_ref").toString
+    Seq((1L, "v0")).toDF("id", "name").write.mode("overwrite").parquet(dir)
+    val ms = MemoryStream[(Long, Long, String)]
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String)]
+    val q = ScdStream.enrichAsOfRefreshing(
+      ms.toDF().toDF("k", "ts_ms", "payload"), dir, "k", "id", "ts_ms") {
+      (batch, _) =>
+        buf.synchronized {
+          buf ++= batch.select("k", "ts_ms", "name").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        }
+    }.start()
+    try {
+      ms.addData((1L, 500L, "a"))
+      q.processAllAvailable()
+      // the log grows while the query RUNS — no restart
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, ".updates"),
+        "-- time=1000\nUPDATE dim SET name = 'v1' WHERE id = 1;\n")
+      ms.addData((1L, 1500L, "b"), (1L, 600L, "c"))
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == Set(
+        (1L, 500L, "v0"),  // batch 1: pre-append log
+        (1L, 1500L, "v1"), // batch 2: new statement applies at its time
+        (1L, 600L, "v0"))) // batch 2: pre-statement event still sees v0
+    } finally q.stop()
+  }
+
   test("latestPerKey — streaming aggregation, complete mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
