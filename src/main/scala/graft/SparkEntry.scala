@@ -4471,9 +4471,11 @@ object SparkEntry {
          |    CAST(sum(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END)
          |      AS BIGINT) AS fn,
          |    CAST(sum(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS tn
+         |      AS BIGINT) AS tn,
+         |    CAST(sum(CASE WHEN score IS NULL OR y IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_null
          |  FROM scored)
-         |SELECT tp, fp, fn, tn,
+         |SELECT tp, fp, fn, tn, n_null,
          |  round(CAST(tp AS DOUBLE) /
          |    CAST(nullif(tp + fp, 0) AS DOUBLE), 6) AS "precision",
          |  round(CAST(tp AS DOUBLE) /

@@ -60,3 +60,49 @@ case class BloomContains(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomContains =
     copy(left = newLeft, right = newRight)
 }
+
+/** `bloom_contains_any(bloomBytes, hashes)` — does the bloom possibly
+  * contain ANY of the xxhash64 values? The batched form behind
+  * dynamic file skipping: one `BloomFilter.readFrom` deserialization
+  * per manifest ROW (not per (row, key) pair — the [[BloomContains]]
+  * join-condition shape would re-parse the full serialized bloom for
+  * every key of every file), then k cheap probes against the parsed
+  * filter. NULL bloom or NULL array → NULL; NULL elements are skipped
+  * (a NULL key can never equi-join anyway). */
+case class BloomContainsAny(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bloom_contains_any"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_contains_any needs (binary, array<bigint>), got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+  }
+
+  override def nullSafeEval(bloomBytes: Any, hashes: Any): Any = {
+    val bf = BloomFilter.readFrom(bloomBytes.asInstanceOf[Array[Byte]])
+    val arr = hashes
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && bf.mightContainLong(arr.getLong(i)))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContainsAny =
+    copy(left = newLeft, right = newRight)
+}

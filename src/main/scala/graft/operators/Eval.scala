@@ -319,7 +319,9 @@ object Eval {
     * precision/recall/f1/accuracy are NULL when their denominator is
     * zero (no predicted positives / no true positives / empty corpus)
     * rather than a fake 0.0 — the caller must see "undefined", not
-    * "bad". */
+    * "bad". Rows with a NULL score or label belong to no cell; they
+    * are counted in `n_null` instead of silently shrinking the corpus
+    * (tp+fp+fn+tn+n_null = input rows, always). */
   def confusion(scored: DataFrame, scoreCol: Column, labelCol: Column,
       threshold: Double): DataFrame = {
     val p = (scoreCol >= lit(threshold)).cast("long")
@@ -330,8 +332,9 @@ object Eval {
         coalesce(sum(col("p") * (lit(1L) - col("y"))), lit(0L)).as("fp"),
         coalesce(sum((lit(1L) - col("p")) * col("y")), lit(0L)).as("fn"),
         coalesce(sum((lit(1L) - col("p")) * (lit(1L) - col("y"))), lit(0L))
-          .as("tn"))
-      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          .as("tn"),
+        count(when(col("p").isNull || col("y").isNull, 1)).as("n_null"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"), col("n_null"),
         round(col("tp").cast("double") /
           nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
           .as("precision"),
@@ -358,9 +361,12 @@ object Eval {
     * lists came from. */
   def recallAtK(approx: DataFrame, exact: DataFrame,
       queryCol: String = "query_id", idCol: String = "doc_id"): DataFrame = {
-    val a = approx.select(col(queryCol), col(idCol))
+    // SET semantics enforced: duplicate (query, id) rows on either
+    // side would fan the left join out and inflate both hits and the
+    // denominator (recall > 1 from a tie-emitting approx producer)
+    val a = approx.select(col(queryCol), col(idCol)).distinct()
       .withColumn("__hit", lit(1L))
-    exact.select(col(queryCol), col(idCol))
+    exact.select(col(queryCol), col(idCol)).distinct()
       .join(a, Seq(queryCol, idCol), "left")
       .groupBy(queryCol)
       .agg(count(lit(1)).as("n_exact"),

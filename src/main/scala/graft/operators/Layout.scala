@@ -162,27 +162,55 @@ object Layout {
     * on `input_file_name()` — map-side combinable, output cardinality
     * = file count. */
   def zoneMapBuild(spark: SparkSession, dataDir: String,
-      cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "zoneMapBuild needs at least one column")
+      cols: Seq[String]): DataFrame =
+    zoneMapOf(spark.read.parquet(dataDir), cols)
+
+  private def zoneMapOf(data: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zone map needs at least one column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
         count(when(col(c).isNull, 1)).as(s"${c}_nulls"))) :+
       count(lit(1)).as("rows")
-    spark.read.parquet(dataDir)
+    data
       .select(input_file_name().as("file") +: cols.map(col): _*)
       .groupBy("file").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Visible data files of `dataDir` NOT yet named by the manifest at
+    * `manifestPath` — the driver-side listing diff behind the
+    * incremental appends (paths compared scheme-insensitively:
+    * `input_file_name()` renders `file:///…` where Hadoop listings
+    * render `file:/…`). */
+  private def freshFiles(spark: SparkSession, dataDir: String,
+      manifestPath: String): Seq[String] = {
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val known = spark.read.parquet(manifestPath)
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    val dirPath = new Path(dataDir)
+    val fs = dirPath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.listStatus(dirPath)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+      .filterNot(p => known(norm(p))).toSeq
+  }
+
   /** Null-safe `keep` predicates over a zone map's stat columns.
-    * min/max are computed over NON-null values, so an all-NULL file
-    * has NULL stats — [[prunedFiles]]' keep-on-NULL policy would keep
-    * it forever. These fold the tri-state away:
-    *  - [[rangeKeep]] is FALSE (skip) for an all-NULL file — no
-    *    non-null value can match a range;
+    * Skipping must only ever fire on a PROVABLE non-match, and a NULL
+    * comparison proves nothing — it can mean an all-NULL file (min/max
+    * skip nulls) or a failed cross-type cast (string stats probed with
+    * a numeric literal casts to NULL at the boundary even though the
+    * row-level predicate matches after its own cast). So:
+    *  - [[rangeKeep]] skips only when `min > hi` or `max < lo` is
+    *    provably TRUE, or when the null counts prove the file is
+    *    all-NULL on `c` (no non-null value can match a range);
     *  - [[nullKeep]] keeps exactly the files with at least one NULL —
     *    the `IS NULL` probe min/max alone cannot answer. */
   def rangeKeep(c: String, lo: Column, hi: Column): Column =
-    coalesce(col(s"${c}_min") <= hi && col(s"${c}_max") >= lo, lit(false))
+    !(coalesce(CatalystBridge.tryEval(col(s"${c}_min") > hi), lit(false)) ||
+      coalesce(CatalystBridge.tryEval(col(s"${c}_max") < lo), lit(false))) &&
+      col(s"${c}_nulls") < col("rows")
 
   def nullKeep(c: String): Column = col(s"${c}_nulls") > 0
 
@@ -216,17 +244,19 @@ object Layout {
     zoneMapBuild(spark, dataDir, cols)
       .coalesce(1).write.mode("overwrite").parquet(manifestPath)
 
-  /** Incremental manifest growth: stats for files present in `dataDir`
-    * but absent from the manifest are computed and appended — adding a
-    * day's files to a 100 TB table re-reads only the new files, never
-    * the corpus. Appended ≡ rebuilt exactly (per-file rows are
-    * independent). */
+  /** Incremental manifest growth: the dir listing is diffed against
+    * the manifest DRIVER-SIDE (file paths only), and stats are
+    * computed over an explicit read of just the new files — adding a
+    * day's files to a 100 TB table reads only those files, never the
+    * corpus. Appended ≡ rebuilt exactly (per-file rows are
+    * independent); no new files → no write. */
   def zoneMapAppend(spark: SparkSession, dataDir: String,
       cols: Seq[String], manifestPath: String): Unit = {
-    val known = spark.read.parquet(manifestPath).select("file")
-    val fresh = zoneMapBuild(spark, dataDir, cols)
-      .join(broadcast(known), Seq("file"), "left_anti")
-    fresh.coalesce(1).write.mode("append").parquet(manifestPath)
+    val fresh = freshFiles(spark, dataDir, manifestPath)
+    if (fresh.nonEmpty)
+      zoneMapOf(spark.read.option("basePath", dataDir)
+        .parquet(fresh: _*), cols)
+        .coalesce(1).write.mode("append").parquet(manifestPath)
   }
 
   /** Staleness audit for a persisted zone map — every manifest is
@@ -297,9 +327,12 @@ object Layout {
     * row-level bloom pruning, decided BEFORE the scan instead of
     * inside it. `keys` must be the join's small side after its own
     * filters (a selective dim lookup — the standard DPP situation);
-    * it is collapsed to its distinct values and broadcast across the
-    * manifest, so cost is |files| × |keys| bloom probes on
-    * file-count-bounded rows. Key values must already have the
+    * it is collapsed to its distinct xxhash64 values, folded to ONE
+    * broadcast array row, and probed per manifest row via
+    * `bloom_contains_any` — one bloom DESERIALIZATION per file plus
+    * |keys| cheap probes against the parsed filter (a per-(file, key)
+    * join condition would re-parse the serialized bloom
+    * |files| × |keys| times). Key values must already have the
     * build-side column's exact type (xxhash64 type-sensitivity, as
     * with [[bloomSkipScan]]).
     *
@@ -309,24 +342,28 @@ object Layout {
     * false positives cost I/O, never wrong rows. */
   def prunedFilesForKeys(manifest: DataFrame, keys: DataFrame,
       keyCol: String): Seq[String] = {
-    val k = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
+    val hs = keys.select(col(keyCol)).where(col(keyCol).isNotNull)
       .distinct()
-    manifest.join(broadcast(k),
-      CatalystBridge.bloomContains(col("bloom"), xxhash64(col(keyCol))),
-      "left_semi")
+      .agg(collect_list(xxhash64(col(keyCol))).as("__hs"))
+    manifest.crossJoin(broadcast(hs))
+      .where(CatalystBridge.bloomContainsAny(col("bloom"), col("__hs")))
       .select("file").collect().map(_.getString(0)).toSeq
   }
 
   /** Incremental bloom-manifest growth — the [[zoneMapAppend]] twin:
-    * blooms for files present in `dataDir` but absent from the
-    * manifest are built and appended; appended ≡ rebuilt exactly
-    * (per-file rows are independent). */
+    * the dir listing is diffed against the manifest driver-side and
+    * blooms are built over an explicit read of just the new files;
+    * appended ≡ rebuilt exactly (per-file rows are independent). Note
+    * all-NULL-keyed new files still produce no row (see
+    * [[bloomManifestBuild]]) and will reappear in every diff — benign,
+    * but rewrite such files if the repeat read bothers you. */
   def bloomManifestAppend(spark: SparkSession, dataDir: String,
       key: String, expectedItemsPerFile: Long, manifestPath: String): Unit = {
-    val known = spark.read.parquet(manifestPath).select("file")
-    bloomManifestBuild(spark, dataDir, key, expectedItemsPerFile)
-      .join(broadcast(known), Seq("file"), "left_anti")
-      .coalesce(1).write.mode("append").parquet(manifestPath)
+    val fresh = freshFiles(spark, dataDir, manifestPath)
+    if (fresh.nonEmpty)
+      bloomManifestOf(spark.read.option("basePath", dataDir)
+        .parquet(fresh: _*), key, expectedItemsPerFile)
+        .coalesce(1).write.mode("append").parquet(manifestPath)
   }
 
   /** Table maintenance: compact a directory's accumulated small files
@@ -373,6 +410,18 @@ object Layout {
       math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)
     val tmp = new Path(hPath, ".optimize-tmp")
     val backup = new Path(hPath, ".optimize-backup")
+    // a non-empty backup dir means a PRIOR run crashed mid-swap and
+    // some original files live only there — deleting it here would be
+    // silent data loss; refuse and make the operator restore first.
+    // (A leftover tmp WITHOUT a backup is just an incomplete prior
+    // OUTPUT — the originals are all still visible — safe to clear.)
+    val leftover =
+      if (fs.exists(backup)) fs.listStatus(backup)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    require(leftover.isEmpty,
+      s"optimize: $backup holds ${leftover.length} file(s) from an " +
+        s"interrupted run — move them back into $dir before re-running" +
+        "; nothing has been touched")
     fs.delete(tmp, true); fs.delete(backup, true)
     zOrderedWrite(spark.read.parquet(dir), cols, bits, tmp.toString, n)
     fs.mkdirs(backup)
@@ -395,11 +444,19 @@ object Layout {
     * bloom (bits ∝ items); the manifest stays file-count-bounded.
     *
     * NULL keys are not inserted (SQL `=` never matches NULL); a file
-    * of all-NULL keys gets an empty bloom and is skipped for every
-    * probe, correctly. */
+    * whose keys are ALL NULL therefore gets NO manifest row at all
+    * (the null filter precedes the grouping). Point-lookup skipping
+    * stays sound — files are only ever scanned FROM the manifest, and
+    * no probe value can match a NULL — but such a file is
+    * indistinguishable from an unindexed one to completeness audits. */
   def bloomManifestBuild(spark: SparkSession, dataDir: String,
       key: String, expectedItemsPerFile: Long): DataFrame =
-    spark.read.parquet(dataDir)
+    bloomManifestOf(spark.read.parquet(dataDir), key,
+      expectedItemsPerFile)
+
+  private def bloomManifestOf(data: DataFrame, key: String,
+      expectedItemsPerFile: Long): DataFrame =
+    data
       .select(input_file_name().as("file"), col(key))
       .where(col(key).isNotNull)
       .groupBy("file")

@@ -161,7 +161,10 @@ object Retrieval {
     val termSet = terms.toSet.toSeq
     val pos = docs
       .select(col(idCol),
-        posexplode(split(lower(col(textCol)), " ")).as(Seq("p", "t")))
+        // the module-wide token space (TextAnalysis.tokens) — phrase
+        // positions must not desynchronize from the BM25 posting lists
+        posexplode(graft.operators.TextAnalysis.tokens(col(textCol)))
+          .as(Seq("p", "t")))
       .where(col("t").isin(termSet: _*))
     val anchors = pos.where(col("t") === terms.head)
       .select(col(idCol), col("p"))

@@ -44,6 +44,14 @@ object CatalystBridge {
       ExpressionUtils.expression(bloomBytes),
       ExpressionUtils.expression(hashed)))
 
+  /** Batched per-row bloom probe: ANY of the hashes, one
+    * deserialization per row (see
+    * [[graft.functions.expressions.BloomContainsAny]]). */
+  def bloomContainsAny(bloomBytes: Column, hashes: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.BloomContainsAny(
+      ExpressionUtils.expression(bloomBytes),
+      ExpressionUtils.expression(hashes)))
+
   /** Native one-pass winnowing fingerprint (see
     * [[graft.functions.expressions.WinnowMin]]). */
   def winnowMin(text: Column, k: Int, stride: Int): Column =
@@ -393,13 +401,26 @@ object CatalystBridge {
     }
     def lo(c: String) = col(s"${c}_min")
     def hi(c: String) = col(s"${c}_max")
-    def eq(c: String, v: Column) =
-      coalesce(lo(c) <= v && hi(c) >= v, lit(false))
-    def nullsKeep(c: String) =
-      if (nulls(c)) col(s"${c}_nulls") > 0 else lit(true)
-    def notNullKeep(c: String) =
+    // skipping only on a PROVABLE non-match: a comparison that yields
+    // NULL or ERRORS proves nothing (all-NULL file stats; a
+    // cross-type probe — string stats vs a numeric literal — is a
+    // NULL cast pre-ANSI and a raise under ANSI), so every term is
+    // "NOT provably disjoint" via tryEval, with the all-NULL case
+    // skipped through the null COUNTS when the manifest carries them.
+    // One asymmetry, documented: a file whose castable min/max prove
+    // disjointness is skipped even if an interior row would fail the
+    // row-level ANSI cast — the pruned scan can SUCCEED where the
+    // full scan would raise; it can never return different rows.
+    def notAllNull(c: String) =
       if (nulls(c) && hasRows) col(s"${c}_nulls") < col("rows")
       else lit(true)
+    def prove(disjoint: Column) = !coalesce(tryEval(disjoint), lit(false))
+    def eq(c: String, v: Column) =
+      prove(lo(c) > v) && prove(hi(c) < v) && notAllNull(c)
+    def rangeK(c: String, a: Column, b: Column) =
+      prove(lo(c) > b) && prove(hi(c) < a) && notAllNull(c)
+    def nullsKeep(c: String) =
+      if (nulls(c)) col(s"${c}_nulls") > 0 else lit(true)
     def walk(n: ColumnNode): Column = n match {
       case F("and", Seq(a, b)) => walk(a) && walk(b)
       case F("or", Seq(a, b)) => walk(a) || walk(b)
@@ -409,21 +430,20 @@ object CatalystBridge {
       case F("<=>", Seq(L(v), C(c))) => eq(c, v)
       case F("<=>", Seq(C(c), NullLit())) => nullsKeep(c)
       case F("<=>", Seq(NullLit(), C(c))) => nullsKeep(c)
-      case F(">", Seq(C(c), L(v))) => coalesce(hi(c) > v, lit(false))
-      case F(">", Seq(L(v), C(c))) => coalesce(lo(c) < v, lit(false))
-      case F(">=", Seq(C(c), L(v))) => coalesce(hi(c) >= v, lit(false))
-      case F(">=", Seq(L(v), C(c))) => coalesce(lo(c) <= v, lit(false))
-      case F("<", Seq(C(c), L(v))) => coalesce(lo(c) < v, lit(false))
-      case F("<", Seq(L(v), C(c))) => coalesce(hi(c) > v, lit(false))
-      case F("<=", Seq(C(c), L(v))) => coalesce(lo(c) <= v, lit(false))
-      case F("<=", Seq(L(v), C(c))) => coalesce(hi(c) >= v, lit(false))
+      case F(">", Seq(C(c), L(v))) => prove(hi(c) <= v) && notAllNull(c)
+      case F(">", Seq(L(v), C(c))) => prove(lo(c) >= v) && notAllNull(c)
+      case F(">=", Seq(C(c), L(v))) => prove(hi(c) < v) && notAllNull(c)
+      case F(">=", Seq(L(v), C(c))) => prove(lo(c) > v) && notAllNull(c)
+      case F("<", Seq(C(c), L(v))) => prove(lo(c) >= v) && notAllNull(c)
+      case F("<", Seq(L(v), C(c))) => prove(hi(c) <= v) && notAllNull(c)
+      case F("<=", Seq(C(c), L(v))) => prove(lo(c) > v) && notAllNull(c)
+      case F("<=", Seq(L(v), C(c))) => prove(hi(c) < v) && notAllNull(c)
       case F("in", C(c) +: vs)
           if vs.nonEmpty && vs.forall(L.unapply(_).isDefined) =>
         vs.map(v => eq(c, L.unapply(v).get)).reduce(_ || _)
       case F("isnull", Seq(C(c))) => nullsKeep(c)
-      case F("isnotnull", Seq(C(c))) => notNullKeep(c)
-      case F("between", Seq(C(c), L(a), L(b))) =>
-        coalesce(lo(c) <= b && hi(c) >= a, lit(false))
+      case F("isnotnull", Seq(C(c))) => notAllNull(c)
+      case F("between", Seq(C(c), L(a), L(b))) => rangeK(c, a, b)
       case _ => lit(true) // unknown term: keep — I/O, never rows
     }
     walk(residual.node)

@@ -240,22 +240,32 @@ class EvalSpec extends SparkSpec {
     val r = Eval.confusion(scored, col("score"), col("label"), 0.5).head
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
       ((2L, 1L, 3L, 2L)))
-    assert(r.getDouble(4) == 0.666667) // precision 2/3
-    assert(r.getDouble(5) == 0.4)      // recall 2/5
-    assert(r.getDouble(6) == 0.5)      // f1 = 4/(4+1+3)
-    assert(r.getDouble(7) == 0.5)      // accuracy 4/8
+    assert(r.getLong(4) == 0L)         // no null rows
+    assert(r.getDouble(5) == 0.666667) // precision 2/3
+    assert(r.getDouble(6) == 0.4)      // recall 2/5
+    assert(r.getDouble(7) == 0.5)      // f1 = 4/(4+1+3)
+    assert(r.getDouble(8) == 0.5)      // accuracy 4/8
     // nothing predicted positive -> precision NULL, recall 0
     val low = Eval.confusion(scored, col("score"), col("label"), 99.0).head
-    assert(low.isNullAt(4) && low.getDouble(5) == 0.0)
+    assert(low.isNullAt(5) && low.getDouble(6) == 0.0)
     // no positives at all -> recall NULL; f1 still defined (0.0) while
     // any predicted positive keeps its denominator nonzero
     val neg = Eval.confusion(scored.where(col("label") === 0),
       col("score"), col("label"), 0.5).head
-    assert(neg.isNullAt(5) && neg.getDouble(6) == 0.0)
+    assert(neg.isNullAt(6) && neg.getDouble(7) == 0.0)
     // predicted-all-negative of a no-positive corpus: f1 NULL too
     val none = Eval.confusion(scored.where(col("label") === 0),
       col("score"), col("label"), 99.0).head
-    assert(none.isNullAt(4) && none.isNullAt(5) && none.isNullAt(6))
+    assert(none.isNullAt(5) && none.isNullAt(6) && none.isNullAt(7))
+    // NULL score/label rows land in n_null, not silently nowhere:
+    // cells still sum with n_null to the input row count
+    val withNulls = Seq((Some(0.9), Some(1)), (None, Some(1)),
+      (Some(0.1), None)).toDF("score", "label")
+    val nr = Eval.confusion(withNulls, col("score"), col("label"), 0.5)
+      .head
+    assert(nr.getLong(4) == 2L &&
+      nr.getLong(0) + nr.getLong(1) + nr.getLong(2) + nr.getLong(3) +
+        nr.getLong(4) == 3L)
   }
 
   test("recallAtK: per-query intersection over the exact list") {
@@ -267,6 +277,12 @@ class EvalSpec extends SparkSpec {
       .toDF("query_id", "doc_id")
     val out = Eval.recallAtK(approx, exact).orderBy("query_id").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toList == List((1L, 2L, 0.666667), (2L, 0L, 0.0)))
+    // duplicate (query, id) rows on either side must not fan the join
+    // out (recall could exceed 1): set semantics enforced
+    val dupd = Eval.recallAtK(approx.unionAll(approx),
+      exact.unionAll(exact)).orderBy("query_id").collect()
+    assert(dupd.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toList == List((1L, 2L, 0.666667), (2L, 0L, 0.0)))
   }
 

@@ -217,6 +217,50 @@ class LayoutSpec extends SparkSpec {
     assert(yRows < 64 * 64 * 3 / 4, s"no clustering after optimize: $yRows")
   }
 
+  test("optimize refuses to run over a non-empty crash backup") {
+    val dir = Files.createTempDirectory("opt_crash").toString + "/t"
+    (1 to 100).map(i => (i, i)).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    // simulate a mid-swap crash: one original lives only in the backup
+    val backup = new java.io.File(dir, ".optimize-backup")
+    assert(backup.mkdirs())
+    val moved = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(moved.renameTo(new java.io.File(backup, moved.getName)))
+    val before = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val e = intercept[IllegalArgumentException] {
+      Layout.optimize(spark, dir, Seq(col("id")), numFiles = Some(2))
+    }
+    assert(e.getMessage.contains("interrupted run"), e.getMessage)
+    // NOTHING was touched: data files and the backup are intact
+    assert(new java.io.File(dir).listFiles().map(_.getName).toSet ==
+      before)
+    assert(new java.io.File(backup, moved.getName).exists())
+  }
+
+  test("cross-type probe: NULL/erroring casts never skip — probe keeps the file") {
+    // STRING stats probed with a NUMERIC literal: comparing "zzz" to 5
+    // raises under ANSI (NULL pre-ANSI) — neither proves disjointness,
+    // so the probe must KEEP both files (the old coalesce(keep, false)
+    // form skipped them; the raw comparison would crash the probe)
+    val dir = Files.createTempDirectory("zm_xtype").toString + "/t"
+    Seq(("5", 1), ("abc", 2)).toDF("k", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq(("zzz", 3)).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val man = Files.createTempDirectory("zm_xtype_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), man)
+    val manifest = spark.read.parquet(man)
+    val kept = Layout.prunedFiles(manifest,
+      Layout.autoKeep(manifest, col("k") === 5))
+    assert(kept.size == 2,
+      s"cross-type probe must keep every unprovable file: $kept")
+    // same-type probe on the same manifest still prunes normally
+    val keptStr = Layout.prunedFiles(manifest,
+      Layout.autoKeep(manifest, col("k") === "5"))
+    assert(keptStr.size == 1, s"same-type pruning broke: $keptStr")
+  }
+
   test("bloom manifest: point lookup opens few files on an UNCLUSTERED key") {
     val n = 40000
     // random layout: min/max zone maps are useless for this key —
