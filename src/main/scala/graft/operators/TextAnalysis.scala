@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -850,6 +850,29 @@ object TextAnalysis {
     merges.foldLeft(split(word, "(?!^)(?=.)")) {
       case (syms, (l, r)) => bpeApplyOne(syms, l, r)
     }
+
+  /** Persist a trained BPE merge table — the tokenizer artifact of the
+    * build-once/serve-cheap family (tf/sig/pq indexes): train pays the
+    * corpus passes once, every ingest batch [[bpeEncodeWith]]s against
+    * the parquet merge table. The table is merge-count-sized (KB). */
+  def bpeIndexWrite(docs: DataFrame, merges: Int, path: String,
+      textCol: String = "text"): Unit =
+    bpeTrain(docs, merges, textCol)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted merge table in training order — a driver-local
+    * finish bounded by the MERGE COUNT (tokenizer vocabularies are
+    * plan constants, like kmeans centroids). */
+  def bpeIndexRead(spark: SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("step")
+      .select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** [[bpeEncode]] against a persisted merge table. */
+  def bpeEncodeWith(docs: DataFrame, indexPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    bpeEncode(docs, bpeIndexRead(docs.sparkSession, indexPath),
+      textCol, idCol)
 
   /** Corpus BPE INFERENCE under a learned merge list — the serving
     * half of [[bpeTrain]] (train once, encode every ingest batch):
