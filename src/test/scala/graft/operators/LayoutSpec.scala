@@ -453,6 +453,46 @@ class LayoutSpec extends SparkSpec {
     manifest.unpersist()
   }
 
+  test("property: random predicate trees, skipScanAuto == full scan") {
+    val rnd = new scala.util.Random(90210)
+    // k is indexed (with NULLs so the null branches execute);
+    // m is NOT in the manifest — its terms must be conservative
+    val rows = (1 to 3000).map { i =>
+      (if (i % 17 == 0) None else Some(rnd.nextInt(500)),
+        rnd.nextInt(10), i)
+    }
+    val df = rows.toDF("k", "m", "payload")
+    val dir = Files.createTempDirectory("zm_fuzz").toString + "/t"
+    Layout.clusteredWrite(df, Seq(col("k")), dir, numFiles = 6)
+    val man = Files.createTempDirectory("zm_fuzz_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), man)
+    val manifest = spark.read.parquet(man).cache()
+    val full = spark.read.parquet(dir)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(8) match {
+      case 0 => col("k") === rnd.nextInt(600)
+      case 1 => col("k") < rnd.nextInt(600)
+      case 2 => col("k") >= rnd.nextInt(600)
+      case 3 => lit(rnd.nextInt(600)) > col("k")
+      case 4 => col("k").isin(rnd.nextInt(600), rnd.nextInt(600))
+      case 5 => col("k").isNull
+      case 6 => col("k").isNotNull
+      case 7 => col("m") === rnd.nextInt(10) // unindexed: no pruning
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else if (rnd.nextBoolean()) tree(depth - 1) && tree(depth - 1)
+      else tree(depth - 1) || tree(depth - 1)
+    (1 to 40).foreach { _ =>
+      val p = tree(2)
+      val got = Layout.skipScanAuto(spark, dir, manifest, p)
+        .select("payload").collect().map(_.getInt(0)).sorted.toList
+      val want = full.where(p)
+        .select("payload").collect().map(_.getInt(0)).sorted.toList
+      assert(got == want, s"predicate $p diverged")
+    }
+    manifest.unpersist()
+  }
+
   test("property: random data + random range probes, pruned == full scan") {
     val rnd = new scala.util.Random(4242)
     val n = 5000
