@@ -1235,6 +1235,35 @@ object SparkEntry {
         .orderBy("url_id")
     }),
 
+    // FULL RFC 9309 robots matching (the pattern-grammar upgrade of
+    // q_robots_filter's prefix rules): '*' wildcards, '$' end anchors,
+    // longest-pattern-wins with ties to allow — '/part/12$' (allow, 9)
+    // beats '/part/1*' (deny, 8) exactly on /part/12; '/part/*3'
+    // denies every 3-bearing path the allow doesn't rescue
+    "q_robots_patterns" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("url_id"),
+        concat(lit("https://"),
+          when(col("p_partkey") % 3 === 0, "cdn.example.org")
+            .otherwise("shop.example.com"),
+          when(col("p_partkey") % 3 === 0,
+            concat(lit("/assets/"), (col("p_partkey") % 7).cast("string")))
+            .otherwise(concat(lit("/part/"),
+              (col("p_partkey") % 100).cast("string")))).as("url"))
+      val rules = Seq(
+        ("shop.example.com", "/part/1*", false),
+        ("shop.example.com", "/part/12$", true),
+        ("shop.example.com", "/part/*3", false),
+        ("cdn.example.org", "/assets/*", false),
+        ("cdn.example.org", "/assets/3$", true))
+        .toDF("domain", "path_pattern", "allow")
+      WebOps.robotsFilterPatterns(urls, rules)
+        .select(col("url_id"), col("url"),
+          col("allowed").cast("long").as("allowed"), col("matched_len"))
+        .orderBy("url_id")
+    }),
+
     // HTML → text extraction: documents deterministically wrapped in
     // page chrome (script/style payloads, comments, tags, entities),
     // then stripped back — both engines replay the same wrap + strip
@@ -4280,6 +4309,62 @@ object SparkEntry {
         |  SELECT p.url_id, r.allow, length(r.path_prefix) AS l
         |  FROM parts p JOIN rules r ON r.domain = p.host
         |    AND starts_with(p.path, r.path_prefix)),
+        |best AS (
+        |  SELECT url_id, allow, l, row_number() OVER (
+        |    PARTITION BY url_id ORDER BY l DESC, allow DESC) AS rn
+        |  FROM m)
+        |SELECT u.url_id, u.url,
+        |  CAST(coalesce(b.allow, true) AS BIGINT) AS allowed,
+        |  CAST(coalesce(b.l, -1) AS BIGINT) AS matched_len
+        |FROM urls u LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  USING (url_id)
+        |ORDER BY url_id""".stripMargin,
+
+    "q_robots_patterns" ->
+      // same regex compilation as the operator: strip the trailing
+      // anchor, escape metachars (not '*'), '*' -> '.*', '^' prefix,
+      // anchor restored; longest pattern wins, ties to allow
+      """WITH urls AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS url_id,
+        |    'https://' ||
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'cdn.example.org'
+        |         ELSE 'shop.example.com' END ||
+        |    CASE WHEN p_partkey % 3 = 0
+        |         THEN '/assets/' || CAST(p_partkey % 7 AS VARCHAR)
+        |         ELSE '/part/' || CAST(p_partkey % 100 AS VARCHAR)
+        |    END AS url
+        |  FROM part),
+        |rules(domain, path_pattern, allow) AS (VALUES
+        |  ('shop.example.com', '/part/1*', false),
+        |  ('shop.example.com', '/part/12$', true),
+        |  ('shop.example.com', '/part/*3', false),
+        |  ('cdn.example.org', '/assets/*', false),
+        |  ('cdn.example.org', '/assets/3$', true)),
+        |rx AS (
+        |  SELECT domain, allow, length(path_pattern) AS l,
+        |    '^' || replace(regexp_replace(
+        |      CASE WHEN path_pattern LIKE '%$'
+        |           THEN substr(path_pattern, 1, length(path_pattern) - 1)
+        |           ELSE path_pattern END,
+        |      '([.?+(){}\[\]^$|\\])', '\\\1', 'g'), '*', '.*') ||
+        |    CASE WHEN path_pattern LIKE '%$' THEN '$' ELSE '' END AS rxp
+        |  FROM rules),
+        |parts AS (
+        |  SELECT url_id, url,
+        |    string_split(lower(string_split(regexp_extract(url,
+        |      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), '@')[-1]),
+        |      ':')[1] AS host,
+        |    CASE WHEN regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+        |      THEN '/'
+        |      ELSE regexp_extract(url,
+        |        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+        |    END AS path
+        |  FROM urls),
+        |m AS (
+        |  SELECT p.url_id, r.allow, r.l
+        |  FROM parts p JOIN rx r ON r.domain = p.host
+        |    AND regexp_matches(p.path, r.rxp)),
         |best AS (
         |  SELECT url_id, allow, l, row_number() OVER (
         |    PARTITION BY url_id ORDER BY l DESC, allow DESC) AS rn

@@ -131,6 +131,38 @@ class WebOpsSpec extends SparkSpec {
       4L -> ((false, 1L)), 5L -> ((true, -1L)), 6L -> ((true, -1L))))
   }
 
+  test("robotsFilterPatterns: wildcards, end anchors, metachar escaping") {
+    import spark.implicits._
+    val rules = Seq(
+      ("e.com", "/a*", false),        // wildcard prefix, len 3
+      ("e.com", "/a/b$", true),       // exact-only allow, len 5
+      ("e.com", "/*.pdf$", false),    // extension block ('.' must be
+                                      // LITERAL: /axpdf must not match)
+      ("e.com", "/q?x=1", false))     // '?' literal, not regex any-char
+      .toDF("domain", "path_pattern", "allow")
+    val urls = Seq(
+      (1L, "https://e.com/a/c"),     // /a* deny (anchor rule needs exact)
+      (2L, "https://e.com/a/b"),     // /a/b$ exact: allow beats /a* on length
+      (3L, "https://e.com/a/b/c"),   // NOT exact: anchor rule out -> deny
+      (4L, "https://e.com/doc.pdf"), // *.pdf$ deny
+      (5L, "https://e.com/docxpdf"), // '.' escaped: NOT denied by *.pdf$
+      (6L, "https://e.com/z"))       // no match -> allow
+      .toDF("url_id", "url")
+    val got = WebOps.robotsFilterPatterns(urls, rules).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((false, 3L)), 2L -> ((true, 5L)), 3L -> ((false, 3L)),
+      4L -> ((false, 7L)), 5L -> ((true, -1L)), 6L -> ((true, -1L))),
+      got.toString)
+    // the literal-'?' rule: '?' begins the query string, which pathOf
+    // strips — so a '?' pattern can only match if treated literally
+    // against the PATH; /q alone must not match /q?x=1's pattern
+    val q = WebOps.robotsFilterPatterns(
+      Seq((7L, "https://e.com/q")).toDF("url_id", "url"), rules)
+      .collect().head
+    assert(q.getBoolean(2), "bare /q wrongly matched the '/q?x=1' rule")
+  }
+
   test("robotsFilter plan: URL side broadcast-joined, never shuffled") {
     import spark.implicits._
     val rules = Seq(("example.com", "/", false))
