@@ -181,8 +181,32 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.bpe_index(docs_dir, text_col, merges, out_path)` —
+    * train a BPE merge table over a parquet corpus and persist it
+    * ([[graft.operators.TextAnalysis.bpeIndexWrite]]): tokenizer
+    * training as one SQL statement, the artifact then served by
+    * `bpeEncodeWith`. Returns the merge count actually learned (early
+    * stop can yield fewer than requested). */
+  object BpeIndex extends GraftProcedure("bpe_index",
+    "Train and persist a BPE merge table over a parquet corpus") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("docs_dir", StringType), in("text_col", StringType),
+      in("merges", IntegerType), in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("merges", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 3)
+      graft.operators.TextAnalysis.bpeIndexWrite(
+        spark.read.parquet(str(r, 0)), r.getInt(2), out, str(r, 1))
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(out).count()))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
-    "verify_zone_map" -> VerifyZoneMap)
+    "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex)
 }

@@ -418,6 +418,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(part == "aa|c")
   }
 
+  test("bpeIndexWrite/Read round-trip: persisted merges == trained merges") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa b")).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("bpeidx")
+      .toString + "/m"
+    TextAnalysis.bpeIndexWrite(docs, merges = 5, p)
+    val persisted = TextAnalysis.bpeIndexRead(spark, p)
+    val trained = TextAnalysis.bpeTrain(docs, merges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(persisted == trained && persisted.nonEmpty)
+    // artifact-served encode == inline encode
+    val a = TextAnalysis.bpeEncodeWith(docs, p).orderBy("doc_id")
+      .collect().toSeq
+    val b = TextAnalysis.bpeEncode(docs, trained).orderBy("doc_id")
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("bpeApply segments a new word with the learned rules in order") {
     import spark.implicits._
     val seg = Seq(("banana")).toDF("w")

@@ -110,6 +110,16 @@ class ScdCatalogSpec extends SparkSpec {
       s"CALL graft.verify_zone_map('$d', 'id', '$man')").collect()
     assert((v(0).getLong(0), v(0).getLong(1), v(0).getLong(2),
       v(0).getLong(3)) == ((zm2(0).getLong(1), 0L, 0L, 0L)), v.toList)
+    // tokenizer training as one SQL statement
+    val docsDir = Files.createTempDirectory("scdcat_bpe").toString + "/d"
+    Seq((1L, "aa ab aa"), (2L, "ab aa b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(docsDir)
+    val bpeOut = Files.createTempDirectory("scdcat_bpeo").toString + "/m"
+    val bp = spark.sql(
+      s"CALL graft.bpe_index('$docsDir', 'text', 5, '$bpeOut')").collect()
+    assert(bp(0).getLong(1) == 2L, bp.toList) // early stop at 2 merges
+    assert(graft.operators.TextAnalysis.bpeIndexRead(spark, bpeOut)
+      .head == ("a", "a"))
     // unknown procedure fails at load (the catalog's message, listing
     // what exists, rides the FAILED_TO_LOAD_ROUTINE cause chain)
     val e = intercept[Exception] {
