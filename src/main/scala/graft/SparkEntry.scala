@@ -195,6 +195,32 @@ object SparkEntry {
       tmp
     })
 
+  /** Build an SCD table dir whose log is authored ENTIRELY through
+    * `CALL graft.add_update` (round 9): base customer parquet with no
+    * sidecar, then two CALLs — the batch-SQL write UX matching the
+    * reference's "append a line to `.updates`" (README.md:127-144).
+    * The authored log is [[CustomerLog]] with the DELETE's effective
+    * time moved to 2030-01-01, so an as-of-2031 read must equal the
+    * fixture's now-time view. */
+  private val addUpdateDirCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+  private def addUpdateDir(s: SparkSession, dir: String): String =
+    addUpdateDirCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, dir), {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val tmp = new java.io.File(
+          s"target/scdtmp/$tag/customer_authored").getAbsolutePath
+        t(s, dir, "customer").write.mode("overwrite").parquet(tmp)
+        s.conf.set("spark.sql.catalog.graft",
+          classOf[graft.sources.ScdCatalog].getName)
+        s.sql(s"CALL graft.add_update('$tmp', 'UPDATE customer SET " +
+          "c_acctbal = c_acctbal + 100 WHERE c_mktsegment = " +
+          "''BUILDING'';')").collect()
+        s.sql(s"CALL graft.add_update('$tmp', 'DELETE FROM customer " +
+          "WHERE c_acctbal < 0;', '2030-01-01')").collect()
+        tmp
+      })
+
   /** Build a Hive-PARTITIONED SCD table directory under target/:
     * customer partitioned by c_mktsegment, with a DIFFERENT `.updates`
     * log inside two of the partition directories (no root log). */
@@ -635,6 +661,19 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.graft",
         classOf[graft.sources.ScdCatalog].getName)
       s.sql(s"SELECT * FROM graft.`$src` VERSION AS OF 1 ORDER BY c_custkey")
+    }),
+
+    // batch-SQL AUTHORING (round 9): the log is written by two `CALL
+    // graft.add_update` statements (no Scala, no hand-edited sidecar —
+    // the reference's write UX from pure SQL), then read back with
+    // TIMESTAMP AS OF past both effective times. dmlSink's validation
+    // runs inside the CALL: malformed DML can never land.
+    "scd_sql_add_update" -> ((s, dir) => {
+      val src = addUpdateDir(s, dir)
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.ScdCatalog].getName)
+      s.sql(s"SELECT * FROM graft.`$src` TIMESTAMP AS OF '2031-01-01' " +
+        "ORDER BY c_custkey")
     }),
 
     // the DML log itself as a queryable feed (round 8): the batch form
@@ -2118,8 +2157,15 @@ object SparkEntry {
     // ONE broadcast deterministic sign matrix, per-row codegen'd fold —
     // the pre-ANN dimensionality cut; no shuffle anywhere
     "sim_rp_project" -> ((s, dir) =>
+      // scalar (vec_id, j, component) shape: one row per output
+      // dimension so the result is hashable by a tabular differ —
+      // the array form is the operator's API, this is its board view
       Similarity.randomProjection(t(s, dir, "embeddings"), outDim = 16)
-        .orderBy("vec_id")),
+        .select(col("vec_id"),
+          posexplode(col("reduced")).as(Seq("j", "component")))
+        .select(col("vec_id"), col("j").cast("long").as("j"),
+          col("component"))
+        .orderBy("vec_id", "j")),
 
     // SemDeDup-style near-dup pruning: block on the LEARNED cluster id
     // (higher within-block density than sign-hyperplane buckets), then
@@ -2992,6 +3038,13 @@ object SparkEntry {
         |       THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal,
         |  c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // CALL-authored log at as-of-2031 = the now-time CustomerLog view
+    // (same two statements; only the DELETE's effective time differs,
+    // and 2031 is past both)
+    "scd_sql_add_update" ->
+      s"""WITH $AsOfNowCte
+         |SELECT * FROM asof_dim ORDER BY c_custkey""".stripMargin,
 
     // the DML log feed: CustomerLog's two statements, literal — the
     // feed IS the fixture's metadata (2024-06-01T00:00:00Z =
@@ -4567,8 +4620,8 @@ object SparkEntry {
          |    sum(np) OVER (ORDER BY s DESC
          |      ROWS UNBOUNDED PRECEDING) AS cnp
          |  FROM per)
-         |SELECT (SELECT sum(np) FROM per) AS n_pos,
-         |  (SELECT sum(n) - sum(np) FROM per) AS n_neg,
+         |SELECT CAST((SELECT sum(np) FROM per) AS BIGINT) AS n_pos,
+         |  CAST((SELECT sum(n) - sum(np) FROM per) AS BIGINT) AS n_neg,
          |  round(CAST(sum(CASE WHEN np > 0 THEN CAST(floor(
          |      CAST(np AS DOUBLE) * CAST(cnp AS DOUBLE) /
          |        CAST(cn AS DOUBLE) * 1000000.0) AS BIGINT)
@@ -5153,10 +5206,10 @@ object SparkEntry {
          |sg AS (SELECT list(CASE WHEN substr(md5('jl_' || i::VARCHAR), 1, 1)
          |    IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END
          |  ORDER BY i) AS s FROM range(0, 1024) t(i))
-         |SELECT vec_id,
-         |  [round(list_dot_product(s[j*64+1 : j*64+64], v) / sqrt(16.0), 6)
-         |   FOR j IN range(16)] AS reduced
-         |FROM e, sg ORDER BY vec_id""".stripMargin,
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |  round(list_dot_product(s[j*64+1 : j*64+64], v) / sqrt(16.0), 6)
+         |    AS component
+         |FROM e, sg, range(0, 16) t(j) ORDER BY vec_id, j""".stripMargin,
 
     "sim_bruteforce_topk" ->
       s"""WITH $EmbCte,

@@ -180,7 +180,12 @@ object Layout {
     * `manifestPath` — the driver-side listing diff behind the
     * incremental appends (paths compared scheme-insensitively:
     * `input_file_name()` renders `file:///…` where Hadoop listings
-    * render `file:/…`). */
+    * render `file:/…`). RECURSIVE: hive-partitioned tables put new
+    * files in `k=v/` subdirs, and a flat listing would silently leave
+    * them unindexed — which [[skipScan]] (which only ever opens
+    * manifest-named files) would then silently drop. Hidden
+    * (`.`/`_`-prefixed) path segments are pruned at every level, so
+    * `.optimize-tmp`/`.optimize-backup` contents never leak in. */
   private def freshFiles(spark: SparkSession, dataDir: String,
       manifestPath: String): Seq[String] = {
     def norm(s: String): String = new Path(s).toUri.getPath
@@ -189,11 +194,23 @@ object Layout {
     val dirPath = new Path(dataDir)
     val fs = dirPath.getFileSystem(
       spark.sessionState.newHadoopConf())
-    fs.listStatus(dirPath)
-      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !s.getPath.getName.startsWith("_"))
-      .map(_.getPath.toString)
-      .filterNot(p => known(norm(p))).toSeq
+    visibleDataFiles(fs, dirPath).map(_.getPath.toString)
+      .filterNot(p => known(norm(p)))
+  }
+
+  /** All visible data files under `dir`, descending into visible
+    * subdirectories (hive partition layout) but never into hidden
+    * ones. Driver-side, O(files) — the same bounded listing Spark's
+    * own FileIndex performs. */
+  private def visibleDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    fs.listStatus(dir).toSeq.filter(s => visible(s.getPath)).flatMap {
+      s =>
+        if (s.isDirectory) visibleDataFiles(fs, s.getPath)
+        else Seq(s)
+    }
   }
 
   /** Null-safe `keep` predicates over a zone map's stat columns.
@@ -366,6 +383,85 @@ object Layout {
         .coalesce(1).write.mode("append").parquet(manifestPath)
   }
 
+  /** Reconcile a persisted manifest with the directory's CURRENT
+    * files: rows naming dead files are dropped, files the manifest
+    * doesn't know get fresh rows (stats computed over an explicit read
+    * of just those files — never the corpus). This is what heals a
+    * manifest after [[optimize]] rewrote the layout: append alone
+    * would leave rows pointing at replaced files, and [[skipScan]]
+    * (which opens exactly the manifest-named files) would read
+    * nothing. A no-op when the manifest already matches the listing.
+    *
+    * In-place rows for files that still exist are TRUSTED — a file
+    * rewritten under the same name (not the optimize protocol, which
+    * always renames) keeps its old stats; [[zoneMapVerify]] is the
+    * detector for that class.
+    *
+    * Swap is write-tmp → delete → rename: a crash between the last
+    * two leaves no manifest (rebuildable), never a corrupt one. */
+  def zoneMapRefresh(spark: SparkSession, dataDir: String,
+      manifestPath: String, cols: Seq[String] = Nil): Unit =
+    manifestRefresh(spark, dataDir, manifestPath) { (man, freshDf) =>
+      val cs =
+        if (cols.nonEmpty) cols
+        else man.columns.filter(_.endsWith("_min"))
+          .map(_.stripSuffix("_min")).toSeq
+      zoneMapOf(freshDf, cs)
+    }
+
+  /** [[zoneMapRefresh]] for bloom manifests — `key` and
+    * `expectedItemsPerFile` cannot be derived from the manifest's
+    * (file, bloom) schema, so the caller restates them. */
+  def bloomManifestRefresh(spark: SparkSession, dataDir: String,
+      key: String, expectedItemsPerFile: Long,
+      manifestPath: String): Unit =
+    manifestRefresh(spark, dataDir, manifestPath)((_, freshDf) =>
+      bloomManifestOf(freshDf, key, expectedItemsPerFile))
+
+  /** Shared refresh plumbing: diff the manifest's file list against
+    * the recursive dir listing (driver-side, O(files) — the manifest
+    * is one row per file by construction), keep live rows, compute
+    * stats for unknown files via `statsOf(manifest, freshRead)`, and
+    * atomically swap the merged manifest in. */
+  private def manifestRefresh(spark: SparkSession, dataDir: String,
+      manifestPath: String)(
+      statsOf: (DataFrame, DataFrame) => DataFrame): Unit = {
+    def norm(s: String): String = new Path(s).toUri.getPath
+    val manPath = new Path(manifestPath)
+    val fs = manPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val man = spark.read.parquet(manifestPath)
+    val manFiles = man.select("file").collect().map(_.getString(0))
+    val onDisk = visibleDataFiles(fs, new Path(dataDir))
+      .map(s => s.getPath.toString)
+    val onDiskNorm = onDisk.map(norm).toSet
+    val dead = manFiles.filterNot(f => onDiskNorm(norm(f)))
+    val knownNorm = manFiles.map(norm).toSet
+    val freshPaths = onDisk.filterNot(p => knownNorm(norm(p)))
+    if (dead.isEmpty && freshPaths.isEmpty) return
+    val kept =
+      if (dead.isEmpty) man
+      else {
+        import spark.implicits._
+        man.join(broadcast(dead.toSeq.toDF("file")), Seq("file"),
+          "left_anti")
+      }
+    val merged =
+      if (freshPaths.isEmpty) kept
+      else kept.unionByName(statsOf(man,
+        spark.read.option("basePath", dataDir)
+          .parquet(freshPaths: _*)))
+    val tmp = new Path(manPath.getParent,
+      "." + manPath.getName + ".refresh-tmp")
+    fs.delete(tmp, true)
+    // writing tmp materializes `merged` BEFORE the old manifest goes
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(manPath, true)
+    if (!fs.rename(tmp, manPath))
+      throw new IllegalStateException(
+        s"manifest refresh: rename $tmp -> $manPath failed; " +
+          s"rebuilt manifest left at $tmp")
+  }
+
   /** Table maintenance: compact a directory's accumulated small files
     * into size-targeted, Z-ordered files — the OPTIMIZE every
     * streaming/append ingest needs at 100 TB, where a million
@@ -390,13 +486,33 @@ object Layout {
     * sidecars, `_SUCCESS`) are untouched — but an SCD dir should
     * [[graft.scd.ScdReader.compact]] its LOG first: this op rewrites
     * base bytes only, and statement replay composes with either
-    * layout. Existing zone-map/bloom manifests describe the OLD files;
-    * rebuild them after (staleness contract of every persisted index).
+    * layout.
     *
+    * Concurrent ingest: the input set is PINNED — the rewrite reads
+    * exactly the files captured by the initial listing (not a re-list
+    * at job start), so a file another writer appends mid-run is
+    * neither compacted nor moved; it simply survives beside the new
+    * files, and no row is ever duplicated. (Concurrent DELETION of a
+    * listed file still fails the read, as it should.)
+    *
+    * Persisted-index lifecycle: a zone-map / bloom manifest built
+    * before this call describes the OLD files — pass its path via
+    * `zoneMapManifest` / `bloomManifest` and optimize refreshes it
+    * in the same call ([[zoneMapRefresh]] / [[bloomManifestRefresh]]:
+    * dead rows dropped, the new files indexed), so `skipScan` keeps
+    * working with no manual re-build. Unnamed manifests stay stale by
+    * design ([[zoneMapVerify]] detects them).
+    *
+    * @param zoneMapManifest  zone-map manifest path to refresh after
+    *                         the swap (cols derived from its schema)
+    * @param bloomManifest    (manifestPath, key, expectedItemsPerFile)
+    *                         bloom manifest to refresh after the swap
     * @return (filesBefore, filesAfter) */
   def optimize(spark: SparkSession, dir: String, cols: Seq[Column],
       bits: Int = 20, targetBytes: Long = 128L << 20,
-      numFiles: Option[Int] = None): (Int, Int) = {
+      numFiles: Option[Int] = None,
+      zoneMapManifest: Option[String] = None,
+      bloomManifest: Option[(String, String, Long)] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be > 0: $targetBytes")
     val hPath = new Path(dir)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -423,7 +539,12 @@ object Layout {
         s"interrupted run — move them back into $dir before re-running" +
         "; nothing has been touched")
     fs.delete(tmp, true); fs.delete(backup, true)
-    zOrderedWrite(spark.read.parquet(dir), cols, bits, tmp.toString, n)
+    // PIN the input to the captured listing — reading the dir again
+    // here would re-list at job start and compact (then duplicate) any
+    // file a concurrent writer appended since `files` was taken.
+    zOrderedWrite(
+      spark.read.parquet(files.map(_.getPath.toString).toSeq: _*),
+      cols, bits, tmp.toString, n)
     fs.mkdirs(backup)
     files.foreach(s =>
       fs.rename(s.getPath, new Path(backup, s.getPath.getName)))
@@ -433,6 +554,9 @@ object Layout {
       fs.rename(s.getPath, new Path(hPath, s.getPath.getName)))
     fs.delete(tmp, true)
     fs.delete(backup, true)
+    zoneMapManifest.foreach(m => zoneMapRefresh(spark, dir, m))
+    bloomManifest.foreach { case (m, key, items) =>
+      bloomManifestRefresh(spark, dir, key, items, m) }
     (files.length, fresh.length)
   }
 

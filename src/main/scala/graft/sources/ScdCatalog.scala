@@ -48,9 +48,16 @@ class ScdCatalog extends TableCatalog with ProcedureCatalog {
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     ScdProcedures.all.getOrElse(
       ident.name().toLowerCase(java.util.Locale.ROOT),
-      throw new RuntimeException(
-        s"no such procedure: ${ident.name()} " +
-          s"(have: ${ScdProcedures.all.keys.toSeq.sorted.mkString(", ")})"))
+      // typed analysis-time error (this Spark build has no
+      // NoSuchProcedureException class; ROUTINE_NOT_FOUND is its
+      // error condition for missing callables), so `CALL
+      // graft.typo(...)` surfaces as a catchable AnalysisException,
+      // not an internal error
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (ident.name() +
+            s" (have: ${ScdProcedures.all.keys.toSeq.sorted.mkString(", ")})"))))
 
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =

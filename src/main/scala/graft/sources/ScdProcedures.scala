@@ -83,34 +83,53 @@ object ScdProcedures {
     }
   }
 
-  /** `CALL graft.optimize(dir, zorder_cols [, target_bytes [, bits]])`
-    * — [[Layout.optimize]]: compact small files into size-targeted
-    * Z-ordered files. Returns (files_before, files_after). */
+  /** `CALL graft.optimize(dir, zorder_cols [, target_bytes [, bits
+    * [, zone_map_manifest [, bloom_key, bloom_items,
+    * bloom_manifest]]]])` — [[Layout.optimize]]: compact small files
+    * into size-targeted Z-ordered files. Naming a manifest refreshes
+    * it in the same call ([[Layout.zoneMapRefresh]] /
+    * [[Layout.bloomManifestRefresh]]), so skipping keeps working with
+    * no follow-up CALL. Returns (files_before, files_after). */
   object Optimize extends GraftProcedure("optimize",
     "Compact a dir's small files into size-targeted Z-ordered files") {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("dir", StringType), in("zorder_cols", StringType),
       inDefault("target_bytes", LongType, (128L << 20).toString),
-      inDefault("zorder_bits", IntegerType, "20"))
+      inDefault("zorder_bits", IntegerType, "20"),
+      inDefault("zone_map_manifest", StringType, "NULL"),
+      inDefault("bloom_key", StringType, "NULL"),
+      inDefault("bloom_items", LongType, "NULL"),
+      inDefault("bloom_manifest", StringType, "NULL"))
     override protected val resultSchema: StructType =
       StructType(Seq(StructField("files_before", IntegerType),
         StructField("files_after", IntegerType)))
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
+      val bloom =
+        if (r.isNullAt(7)) None
+        else {
+          require(!r.isNullAt(5) && !r.isNullAt(6),
+            "optimize: bloom_manifest needs bloom_key and bloom_items")
+          Some((str(r, 7), str(r, 5), r.getLong(6)))
+        }
       val (before, after) = Layout.optimize(spark, str(r, 0),
         cols(str(r, 1)).toSeq.map(col),
         bits = if (r.isNullAt(3)) 20 else r.getInt(3),
-        targetBytes = if (r.isNullAt(2)) 128L << 20 else r.getLong(2))
+        targetBytes = if (r.isNullAt(2)) 128L << 20 else r.getLong(2),
+        zoneMapManifest = if (r.isNullAt(4)) None else Some(str(r, 4)),
+        bloomManifest = bloom)
       new GenericInternalRow(Array[Any](before, after))
     }
   }
 
   /** `CALL graft.zone_map(dir, cols, manifest_path)` —
     * [[Layout.zoneMapWrite]] when no manifest exists at the path,
-    * [[Layout.zoneMapAppend]] (new files only) when one does. Returns
-    * the manifest's file count after the write. */
+    * [[Layout.zoneMapRefresh]] when one does (files no longer on disk
+    * drop out, new files get rows — so re-CALLing after any layout
+    * change, including OPTIMIZE, heals the manifest). Returns the
+    * manifest's file count after the write. */
   object ZoneMap extends GraftProcedure("zone_map",
-    "Build or incrementally extend a per-file min/max zone-map manifest") {
+    "Build or refresh a per-file min/max zone-map manifest") {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("dir", StringType), in("cols", StringType),
       in("manifest_path", StringType))
@@ -123,7 +142,7 @@ object ScdProcedures {
       val fs = new org.apache.hadoop.fs.Path(man)
         .getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(new org.apache.hadoop.fs.Path(man)))
-        Layout.zoneMapAppend(spark, dir, cs, man)
+        Layout.zoneMapRefresh(spark, dir, man, cs)
       else Layout.zoneMapWrite(spark, dir, cs, man)
       new GenericInternalRow(Array[Any](utf8(man),
         spark.read.parquet(man).count()))
@@ -131,10 +150,11 @@ object ScdProcedures {
   }
 
   /** `CALL graft.bloom_manifest(dir, key, expected_items, manifest_path)`
-    * — [[Layout.bloomManifestWrite]] / [[Layout.bloomManifestAppend]]
-    * with the same exists-check as [[ZoneMap]]. */
+    * — [[Layout.bloomManifestWrite]] / [[Layout.bloomManifestRefresh]]
+    * with the same exists-check (and the same heal-on-re-CALL
+    * contract) as [[ZoneMap]]. */
   object BloomManifest extends GraftProcedure("bloom_manifest",
-    "Build or incrementally extend a per-file bloom manifest on a key") {
+    "Build or refresh a per-file bloom manifest on a key") {
     override def parameters(): Array[ProcedureParameter] = Array(
       in("dir", StringType), in("key", StringType),
       in("expected_items", LongType), in("manifest_path", StringType))
@@ -148,7 +168,7 @@ object ScdProcedures {
       val fs = new org.apache.hadoop.fs.Path(man)
         .getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(new org.apache.hadoop.fs.Path(man)))
-        Layout.bloomManifestAppend(spark, dir, key, n, man)
+        Layout.bloomManifestRefresh(spark, dir, key, n, man)
       else Layout.bloomManifestWrite(spark, dir, key, n, man)
       new GenericInternalRow(Array[Any](utf8(man),
         spark.read.parquet(man).count()))
@@ -205,8 +225,52 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.add_update(dir, stmt [, time])` — author the
+    * `.updates` log from pure SQL: the reference's write UX ("append a
+    * line to the sidecar", README.md:127-144 / SQLUpdater.java:107-119)
+    * without leaving the SQL shell. Reuses the streaming `dmlSink`'s
+    * validation + atomic overwrite-rename
+    * ([[graft.streaming.ScdStream.appendStatements]]): the WHOLE
+    * prospective log is parsed before anything lands, so a malformed
+    * statement, a non-UPDATE/DELETE verb, a second table name, or a
+    * bad `time` value rejects the CALL and leaves the sidecar
+    * untouched.
+    *
+    * `time` (numeric epoch-millis or ISO timestamp) is emitted as a
+    * `-- time=<t>` directive line before the statement. Directive
+    * scope is the LOG FORMAT's (reference O4 semantics): it also
+    * governs any later statement appended without its own time — pass
+    * time on every CALL if each statement carries its own effective
+    * time.
+    *
+    * Returns the dir and the total statement count now in the log. */
+  object AddUpdate extends GraftProcedure("add_update",
+    "Validate and append an UPDATE/DELETE statement to a dir's .updates log") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("stmt", StringType),
+      inDefault("time", StringType, "NULL"))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("dir", StringType),
+        StructField("statements", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val (dir, stmt) = (str(r, 0), str(r, 1).trim)
+      require(stmt.nonEmpty, "add_update: empty statement")
+      val lines =
+        if (r.isNullAt(2)) Seq(stmt)
+        else Seq(s"-- time=${str(r, 2).trim}", stmt)
+      graft.streaming.ScdStream.appendStatements(spark, dir, lines)
+      val total = graft.scd.ScdReader.readSidecar(spark, dir)
+        .map(t => graft.scd.UpdatesParser
+          .parse(t, Long.MaxValue).statements.size.toLong)
+        .getOrElse(0L)
+      new GenericInternalRow(Array[Any](utf8(dir), total))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
-    "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex)
+    "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex,
+    "add_update" -> AddUpdate)
 }

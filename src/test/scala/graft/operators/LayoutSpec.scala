@@ -344,6 +344,69 @@ class LayoutSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("zone-map append on a hive-partitioned dir: files in NEW k=v subdirs are indexed") {
+    // regression (ADVICE r08): freshFiles listed only the top level,
+    // so appends into partition subdirs were silently unindexed and
+    // skipScan silently dropped their rows
+    val dir = Files.createTempDirectory("zma_part").toString + "/t"
+    (1 to 1000).map(i => (i, i % 2, i)).toDF("id", "pt", "payload")
+      .repartition(2).write.mode("overwrite").partitionBy("pt")
+      .parquet(dir)
+    val man = Files.createTempDirectory("zma_part_m").toString + "/m"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), man)
+    val baseFiles = spark.read.parquet(man).count()
+    // new batch lands in BOTH an existing partition and a brand-new one
+    (2001 to 2400).map(i => (i, if (i % 2 == 0) 2 else 1, i))
+      .toDF("id", "pt", "payload")
+      .coalesce(1).write.mode("append").partitionBy("pt").parquet(dir)
+    Layout.zoneMapAppend(spark, dir, Seq("id"), man)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("file", "id_min", "id_max", "rows").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+        .sortBy(_._1).toList
+    val appended = rows(spark.read.parquet(man))
+    val rebuilt = rows(Layout.zoneMapBuild(spark, dir, Seq("id")))
+    assert(appended == rebuilt, "partitioned append diverged from rebuild")
+    assert(appended.size > baseFiles, "no new files were indexed")
+    // and skipScan over the refreshed manifest finds the NEW rows
+    val manifest = spark.read.parquet(man)
+    val got = Layout.skipScan(spark, dir, manifest,
+      Layout.rangeKeep("id", lit(2001), lit(2400)),
+      col("id").between(2001, 2400)).count()
+    assert(got == 400L, s"skipScan lost appended-partition rows: $got")
+  }
+
+  test("optimize refreshes named zone-map + bloom manifests; verify reads all-ok") {
+    val dir = Files.createTempDirectory("opt_man").toString + "/t"
+    (1 to 4000).map(i => (i, i % 97, i)).toDF("id", "k", "payload")
+      .repartition(16).write.mode("overwrite").parquet(dir)
+    val zm = Files.createTempDirectory("opt_man_zm").toString + "/zm"
+    val bm = Files.createTempDirectory("opt_man_bm").toString + "/bm"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), zm)
+    Layout.bloomManifestWrite(spark, dir, "k", 1024, bm)
+    val (was, now) = Layout.optimize(spark, dir, Seq(col("id")),
+      numFiles = Some(2), zoneMapManifest = Some(zm),
+      bloomManifest = Some((bm, "k", 1024L)))
+    assert(was == 16 && now == 2)
+    // the refreshed zone map matches the post-optimize layout exactly
+    val statuses = Layout.zoneMapVerify(spark, dir, Seq("id"), zm)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses == Map("ok" -> 2L), statuses.toString)
+    // both refreshed manifests still serve exact scans
+    val zmGot = Layout.skipScan(spark, dir, spark.read.parquet(zm),
+      Layout.rangeKeep("id", lit(10), lit(20)),
+      col("id").between(10, 20)).count()
+    assert(zmGot == 11L, s"zone-map skipScan after optimize: $zmGot")
+    val hits = Layout.prunedFilesForKeys(spark.read.parquet(bm),
+      Seq(42).toDF("k"), "k")
+    val bmGot = spark.read.parquet(hits: _*)
+      .where(col("k") === 42).count()
+    val want = spark.read.parquet(dir).where(col("k") === 42).count()
+    assert(bmGot == want && want > 0,
+      s"bloom manifest after optimize: $bmGot vs $want")
+  }
+
   test("zoneMapVerify: ok / unindexed / missing / stale all detected") {
     val dir = Files.createTempDirectory("zmv").toString + "/t"
     (1 to 1000).map(i => (i, i)).toDF("id", "payload")

@@ -120,16 +120,62 @@ class ScdCatalogSpec extends SparkSpec {
     assert(bp(0).getLong(1) == 2L, bp.toList) // early stop at 2 merges
     assert(graft.operators.TextAnalysis.bpeIndexRead(spark, bpeOut)
       .head == ("a", "a"))
-    // unknown procedure fails at load (the catalog's message, listing
-    // what exists, rides the FAILED_TO_LOAD_ROUTINE cause chain)
+    // unknown procedure is a TYPED analysis-time error
+    // (ROUTINE_NOT_FOUND — this Spark build has no
+    // NoSuchProcedureException class), with the available names listed
     val e = intercept[Exception] {
       spark.sql(s"CALL graft.vacuum('$d')").collect()
     }
     val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).toList
+    val msgs = chain.map(_.getMessage).mkString(" | ")
+    assert(chain.exists(
+      _.isInstanceOf[org.apache.spark.sql.AnalysisException]), msgs)
+    assert(msgs.contains("ROUTINE_NOT_FOUND") ||
+      msgs.contains("FAILED_TO_LOAD_ROUTINE"), msgs)
+    assert(msgs.contains("optimize"), msgs)
+  }
+
+  test("CALL graft.add_update authors the log; bad DML is rejected untouched") {
+    val d = Files.createTempDirectory("scdcat_au").toString
+    (1 to 50).map(i => (i.toLong, i * 10.0)).toDF("id", "bal")
+      .write.mode("overwrite").parquet(d)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[ScdCatalog].getName)
+    // author two statements from pure SQL, the second time-stamped
+    val r1 = spark.sql(
+      s"CALL graft.add_update('$d', 'UPDATE t SET bal = bal * 2 WHERE id <= 10;')")
+      .collect()
+    assert(r1(0).getLong(1) == 1L, r1.toList)
+    val r2 = spark.sql(
+      s"CALL graft.add_update('$d', 'DELETE FROM t WHERE id > 40;', '2030-01-01')")
+      .collect()
+    assert(r2(0).getLong(1) == 2L, r2.toList)
+    // read back: now-time (2026) sees only the un-timed UPDATE;
+    // post-2030 sees the DELETE too
+    val now = ScdReader.read(spark, d)
+    assert(now.count() == 50L)
+    assert(now.where(col("id") === 1).select("bal").head.getDouble(0)
+      == 20.0)
+    val later = ScdReader.read(spark, d, asOf = Some("2031-01-01"))
+    assert(later.count() == 40L)
+    // a non-DML verb rejects the CALL and leaves the sidecar as-was
+    val before = ScdReader.readSidecar(spark, d).get
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL graft.add_update('$d', 'INSERT INTO t VALUES (1);')")
+        .collect()
+    }
+    val badChain = Iterator.iterate(bad: Throwable)(_.getCause)
       .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
-    assert(chain.contains("FAILED_TO_LOAD_ROUTINE") &&
-      chain.contains("no such procedure") && chain.contains("optimize"),
-      chain)
+    assert(badChain.toLowerCase.contains("unsupported dml"), badChain)
+    assert(ScdReader.readSidecar(spark, d).get == before)
+    // a second table name rejects too (single-table log contract)
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graft.add_update('$d', 'UPDATE other SET bal = 0 WHERE id = 1;')")
+        .collect()
+    }
+    assert(ScdReader.readSidecar(spark, d).get == before)
   }
 
   test("missing dir, bad version, and DDL all fail clearly") {
