@@ -979,6 +979,32 @@ object SparkEntry {
         .orderBy("cohort_week", "week")
     }),
 
+    // ---- link-graph analytics (Graph) -----------------------------
+    // PageRank over a deterministic event-derived link graph (src =
+    // user bucket, dst = md5-fraction bucket of the event id, 'gr|'
+    // namespace): the web-curation quality prior, computed in exact
+    // integer micro-units so the oracle replays all 3 rounds as
+    // unrolled CTEs — the iteration STATE matches, not just the shape
+    "q_graph_pagerank" -> ((s, dir) =>
+      Graph.pageRank(graphEdges(s, dir), iters = 3).orderBy("node")),
+
+    // TrustRank-style personalization: teleport mass pinned to seed
+    // nodes 0..19; unreachable components must hold exactly zero
+    "q_graph_ppr" -> ((s, dir) =>
+      Graph.personalizedPageRank(graphEdges(s, dir),
+        s.range(0, 20).select(col("id").as("node")), iters = 3)
+        .orderBy("node")),
+
+    // the pre-iteration shape probe: per-node in/out degree
+    "q_graph_degree" -> ((s, dir) =>
+      Graph.degreeStats(graphEdges(s, dir)).orderBy("node")),
+
+    // HITS hubs/authorities (max-normalized integer micro-units, every
+    // half-step's state oracle-replayed) — the directory-vs-content
+    // split PageRank's single score can't express
+    "q_graph_hits" -> ((s, dir) =>
+      Graph.hits(graphEdges(s, dir), iters = 2).orderBy("node")),
+
     // overlapping context-window chunks (stride 24, 8-token overlap);
     // the md5 keeps the oracle row compact instead of shipping chunk text
     "q_chunk_text" -> ((s, dir) =>
@@ -2673,6 +2699,100 @@ object SparkEntry {
       |  n_terms
       |FROM r WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin
 
+  /** Deterministic event-derived link graph for the q_graph_* family:
+    * src = user bucket, dst = md5-fraction bucket of the event id
+    * (the 'gr|' hash namespace) — both engines rebuild the identical
+    * edge list from the same parquet. */
+  private def graphEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select((col("user_id") % 200).as("src"),
+        floor(Sketch.md5Fraction(concat(lit("gr|"),
+          col("event_id").cast("string"))) * 200).cast("long").as("dst"))
+
+  /** The graph oracle's shared CTE prefix: `ed` = the distinct edge
+    * list exactly as [[graphEdges]] emits it (degree stats read this),
+    * `e` = self-loops removed (the PageRank input), `nodes`, and the
+    * out-degree table. */
+  private lazy val graphEdgeCtesSql: String =
+    s"""ed AS (
+       |  SELECT DISTINCT user_id % 200 AS src,
+       |    CAST(floor((${md5FracSql("'gr|' || CAST(event_id AS VARCHAR)")}) * 200) AS BIGINT) AS dst
+       |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+       |e AS (SELECT src, dst FROM ed WHERE src <> dst),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)""".stripMargin
+
+  /** Unroll `iters` PageRank rounds as CTE pairs (c_k, r_k) — the
+    * IDENTICAL integer micro-unit recurrence [[Graph.pageRank]] runs:
+    * per-edge contribution `(rank_u * 85) // (outdeg * 100)`, long
+    * sum per dst, teleport floor `150000 // N`. Personalized variant
+    * pins teleport to `seed` flags with fixed mass denominator `k`. */
+  private def pageRankUnrollSql(iters: Int): String = {
+    val r0 = "r0 AS (SELECT node, 1000000 // (SELECT count(*) FROM nodes) AS rank_u FROM nodes)"
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst, sum((r.rank_u * 85) // (od.outdeg * 100)) AS s
+         |  FROM e JOIN r${k - 1} r ON e.src = r.node
+         |    JOIN od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT nodes.node,
+         |    (150000 // (SELECT count(*) FROM nodes)) + coalesce(c$k.s, 0)
+         |      AS rank_u
+         |  FROM nodes LEFT JOIN c$k ON nodes.node = c$k.dst)""".stripMargin
+    }
+    (r0 +: rounds).mkString(",\n")
+  }
+
+  private def pprUnrollSql(iters: Int, seedMax: Int,
+      seedCount: Int): String = {
+    val ns =
+      s"""ns AS (SELECT node,
+         |  CASE WHEN node < $seedMax THEN 1 ELSE 0 END AS seed
+         |  FROM nodes),
+         |p0 AS (SELECT node, seed,
+         |  seed * (1000000 // $seedCount) AS rank_u FROM ns)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""pc$k AS (
+         |  SELECT e.dst, sum((r.rank_u * 85) // (od.outdeg * 100)) AS s
+         |  FROM e JOIN p${k - 1} r ON e.src = r.node
+         |    JOIN od ON od.src = e.src
+         |  GROUP BY e.dst),
+         |p$k AS (
+         |  SELECT ns.node, ns.seed,
+         |    ns.seed * (150000 // $seedCount) + coalesce(pc$k.s, 0)
+         |      AS rank_u
+         |  FROM ns LEFT JOIN pc$k ON ns.node = pc$k.dst)""".stripMargin
+    }
+    (ns +: rounds).mkString(",\n")
+  }
+
+  /** Unroll `iters` HITS rounds — each round is two normalized
+    * half-steps (auth from hub, hub from auth), max-renormalized via
+    * a scalar-subquery integer division, exactly as [[Graph.hits]]
+    * computes them. */
+  private def hitsUnrollSql(iters: Int): String = {
+    val init = "h0 AS (SELECT node, 1000000 AS hub_u FROM nodes)"
+    val rounds = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT e.dst AS node, sum(h.hub_u) AS r
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+         |an$k AS (SELECT nodes.node, coalesce(ar$k.r, 0) AS r
+         |  FROM nodes LEFT JOIN ar$k ON nodes.node = ar$k.node),
+         |a$k AS (SELECT node,
+         |  (r * 1000000) // (SELECT max(r) FROM an$k) AS auth_u
+         |  FROM an$k),
+         |hr$k AS (SELECT e.src AS node, sum(a.auth_u) AS r
+         |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+         |hn$k AS (SELECT nodes.node, coalesce(hr$k.r, 0) AS r
+         |  FROM nodes LEFT JOIN hr$k ON nodes.node = hr$k.node),
+         |h$k AS (SELECT node,
+         |  (r * 1000000) // (SELECT max(r) FROM hn$k) AS hub_u
+         |  FROM hn$k)""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** The BM25 replay CTE chain (everything up to the ranked table `r`)
     * — shared by text_bm25 / text_bm25_indexed and the NDCG eval that
     * grades the same ranking. */
@@ -3404,6 +3524,42 @@ object SparkEntry {
         |SELECT cohort_week, week, count(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week""".stripMargin,
+
+    // three unrolled integer-exact PageRank rounds — the oracle
+    // replays the full fixed-point state, so a drift in ANY round
+    // (not just the final ranks) fails the hash
+    "q_graph_pagerank" ->
+      s"""WITH $graphEdgeCtesSql,
+         |${pageRankUnrollSql(3)}
+         |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"
+         |FROM r3 ORDER BY node""".stripMargin,
+
+    // personalized teleport to seeds 0..19 (mass denominator fixed at
+    // the seed-set size, matching Graph.personalizedPageRank)
+    "q_graph_ppr" ->
+      s"""WITH $graphEdgeCtesSql,
+         |${pprUnrollSql(3, seedMax = 20, seedCount = 20)}
+         |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"
+         |FROM p3 ORDER BY node""".stripMargin,
+
+    "q_graph_hits" ->
+      s"""WITH $graphEdgeCtesSql,
+         |${hitsUnrollSql(2)}
+         |SELECT a.node, round(a.auth_u / 1000000.0, 6) AS auth,
+         |  round(h.hub_u / 1000000.0, 6) AS hub
+         |FROM a2 a JOIN h2 h USING (node) ORDER BY node""".stripMargin,
+
+    "q_graph_degree" ->
+      s"""WITH $graphEdgeCtesSql,
+         |dn AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+         |o AS (SELECT src AS node, count(*) AS od FROM ed GROUP BY 1),
+         |i AS (SELECT dst AS node, count(*) AS idg FROM ed GROUP BY 1)
+         |SELECT dn.node,
+         |  CAST(coalesce(o.od, 0) AS BIGINT) AS out_deg,
+         |  CAST(coalesce(i.idg, 0) AS BIGINT) AS in_deg
+         |FROM dn LEFT JOIN o ON dn.node = o.node
+         |  LEFT JOIN i ON dn.node = i.node
+         |ORDER BY dn.node""".stripMargin,
 
     "q_chunk_text" ->
       """WITH d AS (

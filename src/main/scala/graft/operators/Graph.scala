@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Link-graph analytics for corpus curation — at web scale the
+  * strongest document-quality prior is the GRAPH (which domains link
+  * which), not the text: crawl pipelines rank pages/domains and feed
+  * the rank into sampling weights and quality gates.
+  *
+  * Everything here follows the engine's exact-replay discipline: rank
+  * mass lives in integer MICRO-UNITS (1e-6) end to end — per-edge
+  * contributions are integer division, per-node sums are long sums —
+  * so every iteration is bit-reproducible on any SQL engine and the
+  * DuckDB oracle replays the whole fixed-point loop, not just the
+  * final shape. One final division renders the ranks as doubles.
+  */
+object Graph {
+
+  /** PageRank (Page et al. 1999), the simplified no-dangling-
+    * redistribution form (mass flowing into sink nodes is dropped,
+    * as in the classic Pregel/GraphX formulation): for damping d,
+    *
+    *   rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u)
+    *
+    * computed entirely in integer micro-units: rank_u(v) starts at
+    * `1e6 div N`, each edge carries `(rank_u(u) * dampingPct) div
+    * (outdeg(u) * 100)`, and the per-node fold is a long sum — no
+    * float crosses an aggregation, so iteration k's state is
+    * IDENTICAL across engines and the oracle can replay k rounds as
+    * unrolled CTEs. `dampingPct` is the damping factor in percent
+    * (85 = the canonical 0.85) to keep the arithmetic integral.
+    *
+    * 100 TB shape: `edges` is deduped, gets its out-degree attached
+    * ONCE, is hash-partitioned by `src`, and is localCheckpointed —
+    * the |E|-row table never moves again. Each iteration then costs
+    * two |V|-bounded shuffles: the rank table (one row per node)
+    * hashes to meet the edge partitioning for the src join, and the
+    * contribution sum shuffles on dst with map-side partials.
+    * localCheckpoint per round cuts the lineage so round k's plan
+    * never re-derives rounds 1..k-1 (the [[Dedup.connectedComponents]]
+    * pattern). Driver holds nothing but the node count.
+    *
+    * Output: (node, rank) with rank = micro-units / 1e6 rounded to 6
+    * decimals. Ranks sum to ≤ 1 (dangling loss + floor truncation —
+    * ~|V| micro-units of deterministic rounding deficit). */
+  def pageRank(edges: DataFrame, src: String = "src",
+      dst: String = "dst", iters: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    val spark = edges.sparkSession
+    val e = edges
+      .select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    // out-degree rides the edge row so the per-iteration join brings
+    // everything a contribution needs in one probe
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(outdeg, "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val initU = 1000000L / n                          // 1e6 div N
+    val baseU = (100L - dampingPct) * 10000L / n      // (1-d)*1e6 div N
+    var ranks = nodes.select(col("node"),
+      lit(initU).as("rank_u"))
+    for (_ <- 1 to iters) {
+      val contribs = eo.join(ranks, eo("src") === ranks("node"))
+        // integer division throughout: exact, engine-independent
+        .select(eo("dst"),
+          expr(s"(rank_u * $dampingPct) div (outdeg * 100)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(contribs, nodes("node") === contribs("dst"),
+          "left")
+        .select(nodes("node"),
+          (lit(baseU) + coalesce(col("s"), lit(0L))).as("rank_u"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"),
+      round(col("rank_u") / 1e6, 6).as("rank"))
+  }
+
+  /** Personalized PageRank: identical micro-unit loop, but the
+    * teleport mass lands ONLY on `seeds` (split evenly) instead of
+    * uniformly — the "rank relative to a trusted set" variant
+    * curation uses to score pages by proximity to known-good sources
+    * (TrustRank, Gyöngyi et al. 2004). `seeds` is a 1-column frame of
+    * node ids; non-seed nodes start (and teleport) at 0. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      src: String = "src", dst: String = "dst", iters: Int = 5,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges
+      .select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    // seeds normalized to the node-id type; broadcast-joined onto the
+    // |V| rank table (the seed set is small by definition)
+    val seedCol = seeds.columns.head
+    val sd = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().localCheckpoint()
+    val k = sd.count()
+    require(k >= 1, "personalizedPageRank: empty seed set")
+    val nodesAll = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(broadcast(sd.select(col("node"), lit(1L).as("__seed"))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = e.join(outdeg, "src").repartition(col("src"))
+      .localCheckpoint()
+    val initU = 1000000L / k
+    val baseU = (100L - dampingPct) * 10000L / k
+    var ranks = nodesAll.select(col("node"), col("seed"),
+      (col("seed") * initU).as("rank_u"))
+    for (_ <- 1 to iters) {
+      val contribs = eo.join(ranks, eo("src") === ranks("node"))
+        .select(eo("dst"),
+          expr(s"(rank_u * $dampingPct) div (outdeg * 100)").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      ranks = nodesAll.join(contribs,
+          nodesAll("node") === contribs("dst"), "left")
+        .select(nodesAll("node"), nodesAll("seed"),
+          (col("seed") * baseU + coalesce(col("s"), lit(0L)))
+            .as("rank_u"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"),
+      round(col("rank_u") / 1e6, 6).as("rank"))
+  }
+
+  /** HITS (Kleinberg 1999): mutually-recursive hub/authority scores —
+    * the "good directory page vs good content page" split PageRank's
+    * single score can't express (crawl frontier scheduling wants
+    * hubs; corpus quality weighting wants authorities).
+    *
+    *   auth(v) = Σ_{u→v} hub(u);   hub(u) = Σ_{u→v} auth(v)
+    *
+    * each half-step renormalized so the MAX score is 1 — in integer
+    * micro-units: `(raw * 1e6) div max(raw)`, where the max is a
+    * one-row broadcast fold (the allowlisted scalar-fold crossJoin
+    * shape), so the whole loop stays engine-exact and the oracle
+    * unrolls it. Same per-iteration cost as [[pageRank]]: two
+    * |V|-bounded shuffles against the pinned edge table.
+    *
+    * Output: (node, auth, hub), max of each column = 1.0. */
+  def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges
+      .select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // one half-step: fold `scoreCol` across edges from `fromSide` to
+    // `toSide`, zero-fill, renormalize to max = 1e6
+    def halfStep(scores: DataFrame, scoreCol: String, fromSide: String,
+        toSide: String, outCol: String): DataFrame = {
+      val raw = e.join(scores, e(fromSide) === scores("node"))
+        .groupBy(e(toSide).as("node"))
+        .agg(sum(col(scoreCol)).as("r"))
+      val filled = nodes.join(raw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("r"), lit(0L)).as("r"))
+      val mx = filled.agg(max(col("r")).as("mx"))
+      filled.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(r * 1000000) div mx").as(outCol))
+    }
+    var auth = nodes.select(col("node"), lit(1000000L).as("auth_u"))
+    var hub = nodes.select(col("node"), lit(1000000L).as("hub_u"))
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "hub_u", "src", "dst", "auth_u")
+        .localCheckpoint()
+      hub = halfStep(auth, "auth_u", "dst", "src", "hub_u")
+        .localCheckpoint()
+    }
+    auth.join(hub, Seq("node"))
+      .select(col("node"), round(col("auth_u") / 1e6, 6).as("auth"),
+        round(col("hub_u") / 1e6, 6).as("hub"))
+  }
+
+  /** Per-node degree profile of a directed edge list — the cheap
+    * graph-shape probe run before anything iterative (skew detection:
+    * a follower-graph hub with 10^8 in-edges needs salting before any
+    * per-node fold). One dedup + two map-side-combined aggregations,
+    * full-outer-merged on the node id. */
+  def degreeStats(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    val e = edges
+      .select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val out = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+}

@@ -503,6 +503,11 @@ object Layout {
     * working with no manual re-build. Unnamed manifests stay stale by
     * design ([[zoneMapVerify]] detects them).
     *
+    * Hive-partitioned roots compact per LEAF partition directory
+    * (boundaries preserved, one independent swap per leaf, manifests
+    * refreshed once at the end); `cols` must then be data columns —
+    * partition-path columns don't exist inside the leaf files.
+    *
     * @param zoneMapManifest  zone-map manifest path to refresh after
     *                         the swap (cols derived from its schema)
     * @param bloomManifest    (manifestPath, key, expectedItemsPerFile)
@@ -518,8 +523,33 @@ object Layout {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     def visible(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
-    val files = fs.listStatus(hPath)
+    // hive-partitioned root: no top-level data files, visible k=v
+    // subdirs — compact each LEAF directory as its own unit (the
+    // OPTIMIZE-per-partition shape every lakehouse uses: partition
+    // boundaries are preserved, each leaf swap is independent, a crash
+    // affects at most the one leaf mid-swap). Partition-path columns
+    // don't exist in the leaf files, so `cols` must be data columns.
+    val topFiles = fs.listStatus(hPath)
       .filter(s => s.isFile && visible(s.getPath))
+    val subDirs = fs.listStatus(hPath)
+      .filter(s => s.isDirectory && visible(s.getPath))
+    if (topFiles.isEmpty && subDirs.nonEmpty) {
+      def leaves(p: Path): Seq[Path] = {
+        val st = fs.listStatus(p).filter(s => visible(s.getPath))
+        val dirs = st.filter(_.isDirectory).map(_.getPath).toSeq
+        if (dirs.isEmpty) Seq(p) else dirs.flatMap(leaves)
+      }
+      val results = subDirs.map(_.getPath).toSeq.flatMap(leaves)
+        .sortBy(_.toString)
+        .map(leaf => optimize(spark, leaf.toString, cols, bits,
+          targetBytes, numFiles))
+      // refresh once, after every leaf swapped (recursive diff)
+      zoneMapManifest.foreach(m => zoneMapRefresh(spark, dir, m))
+      bloomManifest.foreach { case (m, key, items) =>
+        bloomManifestRefresh(spark, dir, key, items, m) }
+      return (results.map(_._1).sum, results.map(_._2).sum)
+    }
+    val files = topFiles
     require(files.nonEmpty, s"optimize: no data files under $dir")
     val total = files.map(_.getLen).sum
     val n = numFiles.getOrElse(

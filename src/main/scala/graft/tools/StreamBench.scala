@@ -93,15 +93,29 @@ object StreamBench {
     val seconds = args.lift(1).map(_.toInt).getOrElse(15)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
+    // keyed-state paths checkpoint every batch; RocksDB is the
+    // production at-scale store (incremental changelog commits vs the
+    // default store's full-map snapshot per batch). SPARK_GRAFT_STATE
+    // _STORE=rocksdb switches so both can be measured — SCALE.md
+    // records the delta on the commit-bound neardup path.
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_STATE_STORE", "hdfs")
+      .toLowerCase
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // keyed-state paths checkpoint every batch; RocksDB is the
-      // at-scale store, the default HDFS-backed store is fine for a
-      // throughput probe (state here is bounded by construction)
-      .getOrCreate()
+    if (stateStore == "rocksdb") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      // changelog checkpointing: per-batch commit cost ∝ the batch's
+      // state DELTA, not the full store — the knob that matters for
+      // high-rate keyed state
+      builder.config("spark.sql.streaming.stateStore.rocksdb." +
+        "changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.streaming.ScdStream
 
@@ -162,7 +176,12 @@ object StreamBench {
 
     def f1(d: Double) = f"$d%.1f"
     val rates = Seq(baseRate, baseRate * 10)
-    val out = paths.map { case (name, mode, build) =>
+    // SPARK_GRAFT_STREAM_ONLY=neardup,sessionize limits the run (the
+    // Bench SPARK_GRAFT_ONLY convention)
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = paths.filter(p => only.forall(_.contains(p._1)))
+    val out = selected.map { case (name, mode, build) =>
       val rows = rates.map { r =>
         val st = run(build, rateSource(spark, r, cpus), r, seconds, mode)
         System.err.println(s"[streambench] $name @ $r rows/s: " +
@@ -178,6 +197,7 @@ object StreamBench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val json = s"""{"metric":"stream_throughput","unit":"rows_per_sec",""" +
       s""""base_rate":$baseRate,"seconds_per_run":$seconds,"cpus":$cpus,""" +
+      s""""state_store":"$stateStore",""" +
       s""""load_avg_1m_end":${f1(load)},"paths":{${out.mkString(",")}}}"""
     println(json)
     spark.stop()

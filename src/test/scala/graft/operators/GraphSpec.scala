@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Graph]]: PageRank in exact micro-units — pinned against a
+  * driver-side integer replay of the same recurrence (the same
+  * arithmetic the DuckDB oracle runs), plus the structural properties
+  * a rank must satisfy. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference implementation: the identical integer micro-unit
+    * recurrence, computed in plain Scala maps. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      dampingPct: Int): Map[Long, Double] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val initU = 1000000L / n
+    val baseU = (100L - dampingPct) * 10000L / n
+    var ranks = nodes.map(_ -> initU).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2)
+      ranks = nodes.map { v =>
+        val s = in.getOrElse(v, Nil).map { case (u, _) =>
+          ranks(u) * dampingPct / (outdeg(u) * 100)
+        }.sum
+        v -> (baseU + s)
+      }.toMap
+    }
+    ranks.map { case (k, u) =>
+      k -> BigDecimal(u / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  test("pageRank equals the integer replay on a known graph") {
+    // 1 and 2 cite each other; both cite 3 (a sink); 4 cites 1
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (4L, 1L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, iters = 5, dampingPct = 85)
+    assert(got == want, s"got $got want $want")
+    // sink 3 collects the most rank; 4 (no in-links) the least
+    assert(got(3L) > got(1L) && got(1L) > got(4L), got.toString)
+    // duplicate edges and self-loops change nothing
+    val noisy = edges ++ Seq((1L, 2L), (3L, 3L))
+    val got2 = Graph.pageRank(noisy.toDF("src", "dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("pageRank structural properties on a hash-derived graph") {
+    val edges = (0 until 400).map { i =>
+      val h = s"g$i".hashCode
+      ((h & 0x7fffffff) % 50L, ((h >> 8) & 0x7fffffff) % 50L)
+    }.filter(p => p._1 != p._2)
+    val df = Graph.pageRank(edges.toDF("src", "dst"), iters = 4)
+    val rows = df.collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(rows.length == nodes.size, "one rank per node")
+    assert(rows.forall(_._2 > 0), "every rank positive (teleport floor)")
+    // total mass <= 1 (dangling loss + floor truncation only)
+    assert(rows.map(_._2).sum <= 1.0 + 1e-9)
+    assert(rows.toMap == refPageRank(edges, 4, 85))
+  }
+
+  test("personalizedPageRank: mass concentrates near the seed set") {
+    // a 0->1->2->3->4 chain plus a disconnected 10->11: seeding {0}
+    // must rank the chain and zero out the far component's teleport
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L))
+    val pr = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+      Seq(0L).toDF("node"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L) && pr(1L) > pr(2L), pr.toString)
+    assert(pr(10L) == 0.0 && pr(11L) == 0.0,
+      s"unreachable nodes must hold zero mass: $pr")
+    // uniform-seed personalization over ALL nodes == plain pageRank
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val uni = Graph.personalizedPageRank(edges.toDF("src", "dst"),
+      nodes.toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Graph.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni == plain, s"uniform seeds diverged: $uni vs $plain")
+  }
+
+  test("hits: integer replay, max-normalized, hub/authority split") {
+    // 1 and 2 both point at 3 and 4 (hubs); 3,4 point nowhere
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (5L, 1L))
+    def refHits(iters: Int): Map[Long, (Double, Double)] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var hub = nodes.map(_ -> 1000000L).toMap
+      var auth = nodes.map(_ -> 1000000L).toMap
+      def norm(m: Map[Long, Long]): Map[Long, Long] = {
+        val mx = m.values.max
+        m.map { case (k, v) => k -> v * 1000000L / mx }
+      }
+      for (_ <- 1 to iters) {
+        auth = norm(nodes.map(v =>
+          v -> edges.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+        hub = norm(nodes.map(v =>
+          v -> edges.filter(_._1 == v).map(e => auth(e._2)).sum).toMap)
+      }
+      def d6(u: Long) = BigDecimal(u / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      nodes.map(v => v -> (d6(auth(v)), d6(hub(v)))).toMap
+    }
+    val got = Graph.hits(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r =>
+        r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got == refHits(2), s"got $got want ${refHits(2)}")
+    // 3/4 are the top authorities; 1/2 the top hubs; max of each = 1
+    assert(got(3L)._1 == 1.0 && got(4L)._1 == 1.0)
+    assert(got(1L)._2 == 1.0 && got(2L)._2 == 1.0)
+    assert(got(5L)._1 < got(3L)._1 && got(5L)._2 < got(1L)._2)
+  }
+
+  test("degreeStats: full-outer merge, zero-filled") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.degreeStats(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      .toList
+    assert(got == List((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)), got)
+  }
+}

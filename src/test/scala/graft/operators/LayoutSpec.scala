@@ -407,6 +407,36 @@ class LayoutSpec extends SparkSpec {
       s"bloom manifest after optimize: $bmGot vs $want")
   }
 
+  test("optimize on a hive-partitioned root: per-leaf compaction, manifest healed") {
+    val dir = Files.createTempDirectory("opt_part").toString + "/t"
+    (1 to 3000).map(i => (i, i % 3, i)).toDF("id", "pt", "payload")
+      .repartition(8).write.mode("overwrite").partitionBy("pt")
+      .parquet(dir)
+    val zm = Files.createTempDirectory("opt_part_zm").toString + "/zm"
+    Layout.zoneMapWrite(spark, dir, Seq("id"), zm)
+    val before = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toList
+    val (was, now) = Layout.optimize(spark, dir, Seq(col("id")),
+      numFiles = Some(1), zoneMapManifest = Some(zm))
+    assert(was == 24 && now == 3, s"($was, $now)") // 8 files × 3 parts → 1 × 3
+    // rows and the partition column survive
+    val after = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toList
+    assert(after == before)
+    // partition boundaries preserved: each k=v dir holds exactly 1 file
+    for (p <- 0 until 3) {
+      val leaf = new java.io.File(dir, s"pt=$p").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_"))
+      assert(leaf.length == 1, s"pt=$p has ${leaf.length} files")
+    }
+    // the named manifest was refreshed across all leaves: all-ok fsck
+    val statuses = Layout.zoneMapVerify(spark, dir, Seq("id"), zm)
+      .groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses == Map("ok" -> 3L), statuses.toString)
+  }
+
   test("zoneMapVerify: ok / unindexed / missing / stale all detected") {
     val dir = Files.createTempDirectory("zmv").toString + "/t"
     (1 to 1000).map(i => (i, i)).toDF("id", "payload")
