@@ -70,6 +70,8 @@ object SparkEntry {
     * semantics as [[sigIndexCache]]. */
   private val bpeIndexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
+  private val uniIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
 
   /** Per-(application, data-dir) memo of the Z-ORDERED LINEITEM COPY +
     * its zone-map and bloom manifests (q_zonemap_scan /
@@ -1423,6 +1425,19 @@ object SparkEntry {
       Eval.confusion(scored, col("score"), col("label"), threshold = 0.0)
     }),
 
+    // chance-corrected agreement of the same gate — the honest number
+    // on a skewed label base rate, from the one-pass confusion counts
+    "q_gate_kappa" -> ((s, dir) =>
+      Eval.cohensKappa(nbGateScored(s, dir, dim = 16), col("score"),
+        col("label"), threshold = 0.0)),
+
+    // the PUBLISHED Gopher web-filter recipe (Rae et al. 2021 A1.1),
+    // per rule per document — audit why a doc fell, not just that it
+    // fell; pure per-row expressions over the scan
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // CCNet/RefinedWeb line-level corpus dedup: 8-token windows stand
     // in for lines on this single-line corpus; windows shared by >= 2
     // docs (exact-dup and near-dup clones) are stripped everywhere and
@@ -1607,6 +1622,32 @@ object SparkEntry {
       })
       TextAnalysis.bpeEncodeWith(t(s, dir, "documents"), path)
         .orderBy("doc_id")
+    }),
+
+    // unigram-LM (SentencePiece, Kudo 2018) tokenizer — the third
+    // tokenizer family beside BPE and wordpiece: deterministic hard-EM
+    // training in integer micro-nats; the WHOLE loop (substring seed →
+    // Viterbi segmentation of the distinct-word table → usage
+    // re-estimation) is replayed by the oracle, every DP cell integer
+    "text_unigram_train" -> ((s, dir) =>
+      UnigramTokenizer.unigramTrain(t(s, dir, "documents"),
+        vocabSize = 40, iters = 1, maxWordLen = 12)
+        .orderBy("piece")),
+
+    // inference from the persisted piece table (the bpe_indexed
+    // artifact shape): per-word Viterbi as a plan-constant per-row
+    // codegen'd expression — no join, no shuffle in the corpus scan
+    "text_unigram_encode" -> ((s, dir) => {
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(uniIndexCache, "uni", appId)
+      val path = uniIndexCache.getOrElseUpdate((appId, dir), {
+        val p = indexPath("uni", appId, dir)
+        UnigramTokenizer.unigramIndexWrite(t(s, dir, "documents"),
+          vocabSize = 40, iters = 1, path = p, maxWordLen = 12)
+        p
+      })
+      UnigramTokenizer.unigramEncodeWith(t(s, dir, "documents"), path,
+        maxWordLen = 12).orderBy("doc_id")
     }),
 
     // DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
@@ -2484,6 +2525,131 @@ object SparkEntry {
          |    '|' || b$i.m || '|') AS seg
          |  FROM seg${i - 1}, b$i)""".stripMargin
     }.mkString(",\n")
+
+  // ---- unigram-LM tokenizer oracle (integer Viterbi, unrolled) -----
+  //
+  // Replays graft.operators.UnigramTokenizer exactly: word counts →
+  // substring seed (top-40 multi + all singles) → micro-nat scores →
+  // one hard-EM round (unrolled integer DP + longest-piece backtrack
+  // over the distinct-word table) → re-estimated scores; the encode
+  // oracle runs a SECOND unrolled segmentation under the trained
+  // table and reassembles per-document strings. W = max word length
+  // (12, the board-side bound), P = 4 = max piece length,
+  // 25000000 = the OOV single-codepoint cost.
+  private val UnigramW = 12
+
+  private lazy val unigramHeadSql: String =
+    s"""uw AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT regexp_replace(
+       |      unnest(string_split(lower(text), ' ')),
+       |      '[^a-z0-9]', '', 'g') AS w
+       |    FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $UnigramW GROUP BY 1),
+       |usub AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+       |    sum(n) AS freq
+       |  FROM uw, range(1, ${UnigramW + 1}) ti(i), range(1, 5) tl(l)
+       |  WHERE i <= length(w) AND i + l - 1 <= length(w)
+       |  GROUP BY 1),
+       |umlt AS MATERIALIZED (
+       |  SELECT piece, freq,
+       |    row_number() OVER (ORDER BY freq DESC, piece) AS rk
+       |  FROM usub WHERE length(piece) > 1),
+       |uv0 AS MATERIALIZED (
+       |  SELECT piece, freq FROM umlt WHERE rk <= 40
+       |  UNION ALL
+       |  SELECT piece, freq FROM usub WHERE length(piece) = 1),
+       |us0 AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(-ln(CAST(freq AS DOUBLE) /
+       |    (SELECT CAST(sum(freq) AS DOUBLE) FROM uv0)) * 1000000)
+       |    AS BIGINT) AS cost
+       |  FROM uv0)""".stripMargin
+
+  /** Forward DP: `${p}d0..${p}dW` (min cost to cover the first i
+    * codepoints of each word under score table `sTab`) + the unified
+    * `${p}da` lookup. Integer-only: costs are BIGINT, sums BIGINT. */
+  private def unigramDpSql(sTab: String, p: String): String = {
+    val d0 = s"${p}d0 AS MATERIALIZED (SELECT w, n, CAST(0 AS BIGINT) AS c FROM uw)"
+    val steps = (1 to UnigramW).map { i =>
+      val l1 =
+        s"""    SELECT d.w, d.n, d.c + coalesce(s.cost, 25000000) AS c
+           |    FROM ${p}d${i - 1} d LEFT JOIN $sTab s
+           |      ON s.piece = substr(d.w, $i, 1)
+           |    WHERE length(d.w) >= $i""".stripMargin
+      val ls = (2 to 4).filter(_ <= i).map { l =>
+        s"""    SELECT d.w, d.n, d.c + s.cost AS c
+           |    FROM ${p}d${i - l} d JOIN $sTab s
+           |      ON s.piece = substr(d.w, ${i - l + 1}, $l)
+           |    WHERE length(d.w) >= $i""".stripMargin
+      }
+      s"""${p}d$i AS MATERIALIZED (
+         |  SELECT w, n, min(c) AS c FROM (
+         |${(l1 +: ls).mkString("\n    UNION ALL\n")}
+         |  ) GROUP BY w, n)""".stripMargin
+    }
+    val da = s"""${p}da AS MATERIALIZED (
+       |  SELECT w, n, 0 AS pos, CAST(0 AS BIGINT) AS c FROM uw
+       |${(1 to UnigramW).map(i =>
+           s"  UNION ALL SELECT w, n, $i, c FROM ${p}d$i").mkString("\n")})"""
+      .stripMargin
+    (d0 +: steps :+ da).mkString(",\n")
+  }
+
+  /** Backtrack: `${p}b0, ${p}x1/${p}p1/${p}e1, …` — at each step the
+    * LONGEST piece whose predecessor state reproduces the DP optimum
+    * (the expression's tie rule); `${p}ea` unions the emitted pieces
+    * with their reverse-order step index t. */
+  private def unigramBacktrackSql(sTab: String, p: String): String = {
+    val b0 = s"${p}b0 AS MATERIALIZED (SELECT w, n, length(w) AS pos FROM uw)"
+    val steps = (1 to UnigramW).map { t =>
+      s"""${p}x$t AS MATERIALIZED (
+         |  SELECT b.w, b.n, b.pos, CAST(tl.l AS INT) AS l,
+         |    dp.c + CASE WHEN tl.l = 1
+         |      THEN coalesce(s.cost, 25000000) ELSE s.cost END AS tot,
+         |    dc.c AS target
+         |  FROM ${p}b${t - 1} b
+         |  CROSS JOIN range(1, 5) tl(l)
+         |  JOIN ${p}da dp ON dp.w = b.w AND dp.pos = b.pos - tl.l
+         |  JOIN ${p}da dc ON dc.w = b.w AND dc.pos = b.pos
+         |  LEFT JOIN $sTab s
+         |    ON s.piece = substr(b.w, CAST(b.pos - tl.l + 1 AS INT),
+         |      CAST(tl.l AS INT))
+         |  WHERE tl.l <= b.pos AND (tl.l = 1 OR s.cost IS NOT NULL)),
+         |${p}p$t AS MATERIALIZED (
+         |  SELECT w, n, pos, max(l) AS l FROM ${p}x$t
+         |  WHERE tot = target GROUP BY 1, 2, 3),
+         |${p}e$t AS MATERIALIZED (
+         |  SELECT w, n, $t AS t,
+         |    substr(w, pos - l + 1, l) AS piece, pos - l AS rest
+         |  FROM ${p}p$t),
+         |${p}b$t AS MATERIALIZED (SELECT w, n, rest AS pos FROM ${p}e$t
+         |  WHERE rest > 0)""".stripMargin
+    }
+    val ea = s"""${p}ea AS MATERIALIZED (
+       |${(1 to UnigramW).map(t =>
+           s"  SELECT w, n, t, piece FROM ${p}e$t").mkString("\n  UNION ALL\n")})"""
+      .stripMargin
+    (b0 +: steps :+ ea).mkString(",\n")
+  }
+
+  /** The full training chain up to the re-estimated table `us1`. */
+  private lazy val unigramTrainCtesSql: String =
+    s"""$unigramHeadSql,
+       |${unigramDpSql("us0", "t")},
+       |${unigramBacktrackSql("us0", "t")},
+       |uuse AS MATERIALIZED (SELECT piece, sum(n) AS u FROM tea GROUP BY 1),
+       |uf1 AS MATERIALIZED (
+       |  SELECT us0.piece,
+       |    coalesce(uuse.u, 0) +
+       |      CASE WHEN length(us0.piece) = 1 THEN 1 ELSE 0 END AS f
+       |  FROM us0 LEFT JOIN uuse ON uuse.piece = us0.piece),
+       |ur1 AS MATERIALIZED (SELECT piece, f FROM uf1 WHERE f > 0),
+       |us1 AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(-ln(CAST(f AS DOUBLE) /
+       |    (SELECT CAST(sum(f) AS DOUBLE) FROM ur1)) * 1000000)
+       |    AS BIGINT) AS cost
+       |  FROM ur1)""".stripMargin
 
   /** Shared by text_bpe_encode and text_bpe_indexed (the persisted
     * merge table IS bpeTrain's output, so both serving paths replay
@@ -4032,6 +4198,39 @@ object SparkEntry {
     // train-inline encode
     "text_bpe_indexed" -> bpeEncodeOracleSql,
 
+    // unigram-LM tokenizer: the trained piece table after one hard-EM
+    // round — seeding, every Viterbi DP cell, the backtrack choices,
+    // and the re-estimation all replayed in integer arithmetic
+    "text_unigram_train" ->
+      s"""WITH $unigramTrainCtesSql
+         |SELECT piece, cost AS cost_micro FROM us1
+         |ORDER BY piece""".stripMargin,
+
+    // corpus inference under the trained table: a SECOND unrolled
+    // segmentation block (prefix q) against us1, reassembled per doc
+    "text_unigram_encode" ->
+      s"""WITH $unigramTrainCtesSql,
+         |${unigramDpSql("us1", "q")},
+         |${unigramBacktrackSql("us1", "q")},
+         |usegw AS (
+         |  SELECT w, string_agg(piece, '|' ORDER BY t DESC) AS seg,
+         |    CAST(count(*) AS BIGINT) AS np
+         |  FROM qea GROUP BY w),
+         |utok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+         |  FROM documents),
+         |udw AS (
+         |  SELECT doc_id, g.i AS pos,
+         |    regexp_replace(ts[g.i], '[^a-z0-9]', '', 'g') AS w
+         |  FROM utok CROSS JOIN
+         |    unnest(generate_series(1, len(ts))) AS g(i)),
+         |udf AS (SELECT doc_id, pos, w FROM udw
+         |  WHERE length(w) BETWEEN 1 AND $UnigramW)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(sw.np) AS BIGINT) AS n_pieces,
+         |  md5(string_agg(sw.seg, ' ' ORDER BY pos)) AS seg_md5
+         |FROM udf JOIN usegw sw ON sw.w = udf.w
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // the persisted-artifact serving path replays identically: the
     // merge table on disk IS bpeTrain's output, so the oracle is the
     // train-inline encode
@@ -4816,6 +5015,98 @@ object SparkEntry {
          |    CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS accuracy
          |FROM c""".stripMargin
     },
+
+    "q_gate_kappa" -> {
+      // κ from the same exact confusion counts; po/pe/κ are single
+      // final divisions on identical integers (pe spelled identically
+      // everywhere so both engines run the same IEEE ops)
+      s"""WITH $PaddedDocCte,
+         |${nbScoredChainSql(16)},
+         |c AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score >= 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM scored)
+         |SELECT CAST(tp + fp + fn + tn AS BIGINT) AS n,
+         |  tp, fp, fn, tn,
+         |  round(CAST(tp + tn AS DOUBLE) /
+         |    CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS po,
+         |  round(CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+         |      AS DOUBLE) /
+         |    CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn), 0)
+         |      AS DOUBLE), 6) AS pe,
+         |  round((CAST(tp + tn AS DOUBLE) /
+         |      CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE) -
+         |    CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+         |        AS DOUBLE) /
+         |      CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn), 0)
+         |        AS DOUBLE)) /
+         |    nullif(1.0 -
+         |      CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+         |          AS DOUBLE) /
+         |        CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn),
+         |          0) AS DOUBLE), 0.0), 6) AS kappa
+         |FROM c""".stripMargin
+    },
+
+    // Gopher rules: the same per-row arithmetic on the lowercased
+    // text; every ratio a single division on exact integers
+    "text_gopher_rules" ->
+      """WITH g AS (
+        |  SELECT doc_id, lower(text) AS tx,
+        |    list_filter(string_split(lower(text), ' '), w -> w <> '')
+        |      AS ws,
+        |    string_split(lower(text), chr(10)) AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, w -> length(w)))
+        |        AS DOUBLE) /
+        |      CAST(nullif(len(ws), 0) AS DOUBLE) AS mean_word_len,
+        |    CAST((length(tx) - length(replace(tx, '#', ''))) +
+        |        CAST((length(tx) - length(replace(tx, '...', ''))) / 3
+        |          AS BIGINT) AS DOUBLE) /
+        |      CAST(nullif(len(ws), 0) AS DOUBLE) AS symbol_ratio,
+        |    CAST(len(list_filter(ls, l -> starts_with(l, '-')
+        |        OR starts_with(l, '•'))) AS DOUBLE) /
+        |      CAST(nullif(len(ls), 0) AS DOUBLE) AS bullet_line_ratio,
+        |    CAST(len(list_filter(ls, l -> ends_with(l, '...')))
+        |        AS DOUBLE) /
+        |      CAST(nullif(len(ls), 0) AS DOUBLE) AS ellipsis_line_ratio,
+        |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |        AS DOUBLE) /
+        |      CAST(nullif(len(ws), 0) AS DOUBLE) AS alpha_word_ratio,
+        |    CAST(list_contains(ws, 'the') AS BIGINT) +
+        |      CAST(list_contains(ws, 'be') AS BIGINT) +
+        |      CAST(list_contains(ws, 'to') AS BIGINT) +
+        |      CAST(list_contains(ws, 'of') AS BIGINT) +
+        |      CAST(list_contains(ws, 'and') AS BIGINT) +
+        |      CAST(list_contains(ws, 'that') AS BIGINT) +
+        |      CAST(list_contains(ws, 'have') AS BIGINT) +
+        |      CAST(list_contains(ws, 'with') AS BIGINT) AS n_stop_hits
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 4) AS mean_word_len,
+        |  round(symbol_ratio, 4) AS symbol_ratio,
+        |  round(bullet_line_ratio, 4) AS bullet_line_ratio,
+        |  round(ellipsis_line_ratio, 4) AS ellipsis_line_ratio,
+        |  round(alpha_word_ratio, 4) AS alpha_word_ratio,
+        |  n_stop_hits,
+        |  coalesce(n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1
+        |    AND bullet_line_ratio <= 0.9
+        |    AND ellipsis_line_ratio <= 0.3
+        |    AND alpha_word_ratio >= 0.8
+        |    AND n_stop_hits >= 2, false) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // line-level dedup: identical 8-token-window segmentation; the df
     // count is on the raw segment (md5 on the Spark side is only a

@@ -349,6 +349,54 @@ object Eval {
             .cast("double"), 6).as("accuracy"))
   }
 
+  /** Cohen's kappa between the thresholded gate and the labels —
+    * chance-corrected agreement, the number to report when the label
+    * base rate is skewed enough that raw accuracy flatters a constant
+    * classifier (the usual state of a quality-gate corpus). From the
+    * same one-pass confusion counts as [[confusion]]:
+    *
+    *   po = (tp+tn)/n,  pe = ((tp+fp)(tp+fn) + (fn+tn)(fp+tn))/n²,
+    *   κ = (po − pe)/(1 − pe)   (NULL when pe = 1 — degenerate table)
+    *
+    * Counts are exact longs; the three ratios are single final
+    * divisions on identical integers, so any engine replays them. */
+  def cohensKappa(scored: DataFrame, scoreCol: Column, labelCol: Column,
+      threshold: Double): DataFrame = {
+    val p = (scoreCol >= lit(threshold)).cast("long")
+    val y = labelCol.cast("long")
+    scored.select(p.as("p"), y.as("y"))
+      .agg(
+        coalesce(sum(col("p") * col("y")), lit(0L)).as("tp"),
+        coalesce(sum(col("p") * (lit(1L) - col("y"))), lit(0L)).as("fp"),
+        coalesce(sum((lit(1L) - col("p")) * col("y")), lit(0L)).as("fn"),
+        coalesce(sum((lit(1L) - col("p")) * (lit(1L) - col("y"))), lit(0L))
+          .as("tn"))
+      .select(
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
+        col("tp"), col("fp"), col("fn"), col("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          nullif(col("n"), lit(0L)).cast("double"), 6).as("po"),
+        round(((col("tp") + col("fp")) * (col("tp") + col("fn")) +
+          (col("fn") + col("tn")) * (col("fp") + col("tn")))
+          .cast("double") /
+          nullif(col("n") * col("n"), lit(0L)).cast("double"), 6)
+          .as("pe"),
+        round(
+          ((col("tp") + col("tn")).cast("double") /
+            nullif(col("n"), lit(0L)).cast("double") -
+            ((col("tp") + col("fp")) * (col("tp") + col("fn")) +
+              (col("fn") + col("tn")) * (col("fp") + col("tn")))
+              .cast("double") /
+              nullif(col("n") * col("n"), lit(0L)).cast("double")) /
+            nullif(lit(1.0) -
+              ((col("tp") + col("fp")) * (col("tp") + col("fn")) +
+                (col("fn") + col("tn")) * (col("fp") + col("tn")))
+                .cast("double") /
+                nullif(col("n") * col("n"), lit(0L)).cast("double"),
+              lit(0.0)), 6).as("kappa"))
+  }
+
   /** Recall of an APPROXIMATE top-k result list against the EXACT one —
     * the metric that justifies every ANN shortcut (LSH buckets, IVF
     * probes, PQ codes): what fraction of the true neighbors did the

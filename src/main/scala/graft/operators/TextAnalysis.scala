@@ -126,6 +126,67 @@ object TextAnalysis {
           + least(ttr * 2.0, lit(1.0)) * 0.2, 4).as("quality"))
   }
 
+  /** The Gopher quality rules (Rae et al. 2021, appendix A1.1) as one
+    * per-row expression projection — the PUBLISHED web-filter recipe,
+    * reported per rule so a pipeline can audit WHY a document fell:
+    *
+    *  - `n_words` in [50, 100000]
+    *  - `mean_word_len` in [3, 10]
+    *  - `symbol_ratio` ('#' or '…' per word) ≤ 0.1
+    *  - `bullet_line_ratio` (lines starting '-'/'•') ≤ 0.9
+    *  - `ellipsis_line_ratio` (lines ending '...') ≤ 0.3
+    *  - `alpha_word_ratio` (words containing [a-z]) ≥ 0.8
+    *  - `n_stop_hits` (of the 8 published stop words) ≥ 2
+    *
+    * `passes` folds all seven. Zero-word docs get NULL ratios and
+    * fail via the word-count rule (`coalesce(..., false)`). Pure
+    * per-row arithmetic on the lowercased text — no shuffle, no UDF;
+    * every ratio replays in any SQL engine. */
+  def gopherRules(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val text = lower(col(textCol))
+    val words = filter(tokens(text), w => w =!= "")
+    val nWords = size(words).cast("long")
+    val nWordsD = nullif(nWords, lit(0L)).cast("double")
+    val charSum = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    val meanLen = charSum.cast("double") / nWordsD
+    val hashes = (length(text) - length(replace(text, lit("#"), lit(""))))
+      .cast("long")
+    val ellipses = ((length(text) -
+      length(replace(text, lit("..."), lit("")))) / lit(3)).cast("long")
+    val symbolRatio = (hashes + ellipses).cast("double") / nWordsD
+    val lines = split(text, "\n")
+    val nLines = nullif(size(lines).cast("long"), lit(0L)).cast("double")
+    val bulletRatio = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("•")))
+      .cast("double") / nLines
+    val ellipsisRatio = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[a-z]")))
+      .cast("double") / nWordsD
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(sw => when(array_contains(words, sw), 1L)
+      .otherwise(0L)).reduce(_ + _)
+    docs.select(
+      col(id), nWords.as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletRatio, 4).as("bullet_line_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_line_ratio"),
+      round(alphaRatio, 4).as("alpha_word_ratio"),
+      stopHits.as("n_stop_hits"),
+      coalesce(
+        nWords.between(50L, 100000L) &&
+          meanLen.between(3.0, 10.0) &&
+          (symbolRatio <= 0.1) &&
+          (bulletRatio <= 0.9) &&
+          (ellipsisRatio <= 0.3) &&
+          (alphaRatio >= 0.8) &&
+          (stopHits >= 2L),
+        lit(false)).as("passes"))
+  }
+
   /** BPE-ish pre-tokenizer pattern: ASCII letter runs, digit runs, and
     * single non-whitespace punctuation marks — the splitting shape
     * GPT-style BPE vocabularies tokenize over. Deliberately

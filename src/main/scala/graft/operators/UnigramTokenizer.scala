@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Unigram-LM tokenizer (Kudo 2018 — the SentencePiece "unigram"
+  * model), completing the tokenizer triad next to BPE
+  * ([[TextAnalysis.bpeTrain]]) and WordPiece
+  * ([[TextAnalysis.wordpieceSegment]]): BPE grows pieces bottom-up by
+  * pair frequency, unigram starts from a LARGE substring seed and
+  * keeps the pieces a probabilistic model actually uses — the
+  * T5/ALBERT/XLNet family's tokenizer.
+  *
+  * This is the deterministic hard-EM (Viterbi) variant, built on the
+  * engine's exact-replay discipline:
+  *  - piece scores are integer MICRO-NATS (`floor(−ln(F/T)·1e6)`, the
+  *    [[TextAnalysis.unigramLm]] quantization);
+  *  - the Viterbi DP is integer-only end to end (long costs, long
+  *    sums, longest-piece tie-break), so the chosen segmentation —
+  *    and therefore each EM iteration's usage counts, and therefore
+  *    the TRAINED TABLE — is bit-identical on any engine. The DuckDB
+  *    oracle replays the full loop: seeding, one unrolled-DP
+  *    segmentation pass per iteration, and the re-estimation.
+  *
+  * 100 TB shape (the [[TextAnalysis.bpeTrain]] cost model): ONE corpus
+  * pass builds the word-count table; seeding is one substring explode
+  * + groupBy over DISTINCT WORDS (heavy-tailed, ≪ corpus); each EM
+  * iteration segments the distinct-word table with a per-row codegen'd
+  * expression (vocabulary = plan constant, no join) and folds usage in
+  * one map-side-combinable groupBy; the M-step is a vocab-bounded
+  * driver finish (tokenizer vocabularies are plan constants, like
+  * k-means centroids and BPE merge tables). Encoding touches the
+  * corpus exactly once, shuffle-free in the scan. */
+object UnigramTokenizer {
+
+  /** Fallback cost of an out-of-vocabulary single codepoint, in
+    * micro-nats (≈ e^-25 — strictly worse than any trained piece, so
+    * the fallback only fires when nothing in the vocab covers a
+    * position). */
+  val OovCostMicro = 25000000L
+
+  /** Maximum piece length (codepoints) enumerated at seeding. */
+  val MaxPieceLen = 4
+
+  /** Corpus word counts, cleaned exactly as BPE training cleans
+    * (lowercase, space-split, [a-z0-9] kept): (w, n). `maxWordLen`
+    * bounds the oracle's DP unroll; words past it are dropped from
+    * TRAINING (they still encode fine — the DP has no length limit at
+    * inference). */
+  private[operators] def wordCounts(docs: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .where(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Substring seed vocabulary: every substring of length
+    * 1..[[MaxPieceLen]] of every distinct word, weighted by word count
+    * PER OCCURRENCE; the top `vocabSize` multi-character pieces by
+    * (freq DESC, piece ASC) — a TakeOrdered, never a global window —
+    * plus ALL single characters (the coverage floor). Output:
+    * (piece, freq). */
+  private[operators] def seedVocab(words: DataFrame,
+      vocabSize: Int): DataFrame = {
+    val subs = words
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("n"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("w")) - col("i") + 1)))
+          .as("l"))
+      .select(expr("substr(w, i, l)").as("piece"), col("n"))
+      .groupBy("piece").agg(sum(col("n")).as("freq"))
+    val multi = subs.where(length(col("piece")) > 1)
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(vocabSize)
+    val singles = subs.where(length(col("piece")) === 1)
+    multi.unionByName(singles)
+  }
+
+  /** micro-nat scores from (piece, F) counts: cost = floor(−ln(F/T)·1e6)
+    * with T = ΣF — the one float op in the trainer, applied to exact
+    * integer inputs (the [[TextAnalysis.unigramLm]] precedent the
+    * oracle's `ln` replays). Driver-side: the vocab is bounded. */
+  private def toScores(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val t = counts.map(_._2).sum.toDouble
+    counts.map { case (p, f) =>
+      p -> math.floor(-math.log(f.toDouble / t) * 1e6).toLong
+    }
+  }
+
+  /** Train: seed → `iters` hard-EM rounds (Viterbi-segment the
+    * distinct-word table, fold usage, re-estimate). Returns the
+    * artifact: (piece, cost_micro), the pieces the model kept.
+    *
+    * M-step contract (oracle-replayed): usage U(p) = Σ word-count over
+    * best segmentations; F(p) = U(p) + 1 for single characters (never
+    * pruned — coverage), F(p) = U(p) for longer pieces; pieces with
+    * F = 0 are pruned; scores re-quantized from F/ΣF. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int, iters: Int = 1,
+      textCol: String = "text", maxWordLen: Int = 16): DataFrame = {
+    require(vocabSize >= 1 && iters >= 0,
+      s"bad unigram params: v=$vocabSize iters=$iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordCounts(docs, textCol, maxWordLen).localCheckpoint()
+    val seed = seedVocab(words, vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var scores = toScores(seed)
+    for (_ <- 1 to iters) {
+      val seg = CatalystBridge.unigramSegment(col("w"), scores,
+        OovCostMicro)
+      val usage = words
+        .select(col("n"), explode(split(seg, "\\|")).as("piece"))
+        .groupBy("piece").agg(sum(col("n")).as("u"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = scores.map { case (p, _) =>
+        val f = usage.getOrElse(p, 0L) + (if (p.length == 1) 1L else 0L)
+        p -> f
+      }.filter(_._2 > 0)
+      scores = toScores(counts)
+    }
+    scores.toDF("piece", "cost_micro")
+  }
+
+  /** Persist / load the trained piece table (KB-scale artifact, the
+    * bpeIndex pattern). */
+  def unigramIndexWrite(docs: DataFrame, vocabSize: Int, iters: Int,
+      path: String, textCol: String = "text",
+      maxWordLen: Int = 16): Unit =
+    unigramTrain(docs, vocabSize, iters, textCol, maxWordLen)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  def unigramIndexRead(spark: SparkSession,
+      path: String): Seq[(String, Long)] =
+    spark.read.parquet(path).orderBy("piece")
+      .select("piece", "cost_micro").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Corpus inference under a trained table: every word Viterbi-
+    * segmented by the per-row expression (scores are plan constants —
+    * no join, no shuffle in the scan), documents reassembled in word
+    * order. Output: (idCol, n_words, n_pieces, seg_md5) — seg_md5
+    * hashes the '|'-within-word, ' '-between-words segmentation
+    * string, keeping the board row compact. Words are cleaned exactly
+    * as training cleaned them; `maxWordLen` only bounds which words
+    * the BOARD query segments (must match the oracle's unroll) — pass
+    * Int.MaxValue for unbounded production encoding. */
+  def unigramEncode(docs: DataFrame, scores: Seq[(String, Long)],
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordLen: Int = Int.MaxValue): DataFrame = {
+    val w = docs
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "w0")))
+      .select(col(idCol), col("pos"),
+        regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .where(length(col("w")).between(1, maxWordLen))
+      .withColumn("seg",
+        CatalystBridge.unigramSegment(col("w"), scores, OovCostMicro))
+    w.groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(split(col("seg"), "\\|"))).as("n_pieces"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")))).as("seg_md5"))
+  }
+
+  /** [[unigramEncode]] against a persisted index. */
+  def unigramEncodeWith(docs: DataFrame, indexPath: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxWordLen: Int = Int.MaxValue): DataFrame =
+    unigramEncode(docs,
+      unigramIndexRead(docs.sparkSession, indexPath), textCol, idCol,
+      maxWordLen)
+}

@@ -96,6 +96,14 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.WordpieceSegment(
       ExpressionUtils.expression(text), vocab))
 
+  /** Native unigram-LM Viterbi segmentation of one word against a
+    * fixed scored piece table (see
+    * [[graft.functions.expressions.UnigramSegment]]). */
+  def unigramSegment(word: Column, vocab: Seq[(String, Long)],
+      oovCostMicro: Long): Column =
+    ExpressionUtils.column(graft.functions.expressions.UnigramSegment(
+      ExpressionUtils.expression(word), vocab, oovCostMicro))
+
   /** Native per-row DSIR importance score against a fixed full-table
     * scorer (see [[graft.functions.expressions.DsirScore]]). */
   def dsirScore(textLower: Column,

@@ -324,4 +324,29 @@ class EvalSpec extends SparkSpec {
       BigDecimal(d(1).toDouble / d(0))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("cohensKappa: textbook table, perfect, and chance-level agreement") {
+    import spark.implicits._
+    // tp=40 fp=10 fn=20 tn=30: po=0.7, pe=(50·60+50·40)/100²=0.5, κ=0.4
+    def mk(tp: Int, fp: Int, fn: Int, tn: Int) =
+      (Seq.fill(tp)((1.0, 1L)) ++ Seq.fill(fp)((1.0, 0L)) ++
+        Seq.fill(fn)((-1.0, 1L)) ++ Seq.fill(tn)((-1.0, 0L)))
+        .toDF("score", "label")
+    val r = Eval.cohensKappa(mk(40, 10, 20, 30), col("score"),
+      col("label"), 0.0).head
+    assert(r.getLong(0) == 100L && r.getDouble(5) == 0.7 &&
+      r.getDouble(6) == 0.5 && r.getDouble(7) == 0.4, r.toString)
+    // perfect agreement → κ = 1
+    val p = Eval.cohensKappa(mk(50, 0, 0, 50), col("score"),
+      col("label"), 0.0).head
+    assert(p.getDouble(7) == 1.0, p.toString)
+    // independence (pe == po) → κ = 0
+    val c = Eval.cohensKappa(mk(25, 25, 25, 25), col("score"),
+      col("label"), 0.0).head
+    assert(c.getDouble(7) == 0.0, c.toString)
+    // degenerate all-one-cell table: pe = 1 → κ NULL, never 0/0
+    val dgen = Eval.cohensKappa(mk(100, 0, 0, 0), col("score"),
+      col("label"), 0.0).head
+    assert(dgen.isNullAt(7), dgen.toString)
+  }
 }

@@ -446,4 +446,30 @@ class TextAnalysisSpec extends SparkSpec {
     // a|n|a|n|a -> b,an,an,a -> b,anan,a
     assert(seg == Seq("b", "anan", "a"))
   }
+
+  test("gopherRules: each published rule trips on its own violation") {
+    import spark.implicits._
+    val good = (("the quick brown alpha beta gamma delta " * 8) +
+      "that have with and be to of end").trim // 64 words, stopword-rich
+    val docs = Seq(
+      (1L, good),                                   // passes all
+      (2L, "too short that the"),                   // n_words < 50
+      (3L, ("### " * 60) + good),                   // symbol ratio
+      (4L, (1 to 60).map(_ => "12345").mkString(" ") +
+        " the that"),                               // alpha ratio (+len)
+      (5L, (1 to 12).map(_ => "- bullet line the that")
+        .mkString("\n"))                            // bullets (60 words)
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    assert(r(0).getBoolean(8), r(0).toString)
+    assert(!r(1).getBoolean(8) && r(1).getLong(1) < 50, r(1).toString)
+    assert(!r(2).getBoolean(8) &&
+      r(2).getDouble(3) > 0.1, r(2).toString)       // symbol_ratio
+    assert(!r(3).getBoolean(8) &&
+      r(3).getDouble(6) < 0.8, r(3).toString)       // alpha_word_ratio
+    assert(!r(4).getBoolean(8) &&
+      r(4).getDouble(4) > 0.9, r(4).toString)       // bullet_line_ratio
+    // stop-hit counting is exact distinct-of-8
+    assert(r(0).getLong(7) == 8L, r(0).toString)
+  }
 }
