@@ -322,8 +322,11 @@ object Eval {
     * "bad". Rows with a NULL score or label belong to no cell; they
     * are counted in `n_null` instead of silently shrinking the corpus
     * (tp+fp+fn+tn+n_null = input rows, always). */
-  def confusion(scored: DataFrame, scoreCol: Column, labelCol: Column,
-      threshold: Double): DataFrame = {
+  /** The one-pass 2×2 counts both [[confusion]] and [[cohensKappa]]
+    * derive from — one counting convention, shared (NULL score/label
+    * rows land in n_null only, never a cell). */
+  private def confusionCounts(scored: DataFrame, scoreCol: Column,
+      labelCol: Column, threshold: Double): DataFrame = {
     val p = (scoreCol >= lit(threshold)).cast("long")
     val y = labelCol.cast("long")
     scored.select(p.as("p"), y.as("y"))
@@ -334,6 +337,11 @@ object Eval {
         coalesce(sum((lit(1L) - col("p")) * (lit(1L) - col("y"))), lit(0L))
           .as("tn"),
         count(when(col("p").isNull || col("y").isNull, 1)).as("n_null"))
+  }
+
+  def confusion(scored: DataFrame, scoreCol: Column, labelCol: Column,
+      threshold: Double): DataFrame = {
+    confusionCounts(scored, scoreCol, labelCol, threshold)
       .select(col("tp"), col("fp"), col("fn"), col("tn"), col("n_null"),
         round(col("tp").cast("double") /
           nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
@@ -362,15 +370,7 @@ object Eval {
     * divisions on identical integers, so any engine replays them. */
   def cohensKappa(scored: DataFrame, scoreCol: Column, labelCol: Column,
       threshold: Double): DataFrame = {
-    val p = (scoreCol >= lit(threshold)).cast("long")
-    val y = labelCol.cast("long")
-    scored.select(p.as("p"), y.as("y"))
-      .agg(
-        coalesce(sum(col("p") * col("y")), lit(0L)).as("tp"),
-        coalesce(sum(col("p") * (lit(1L) - col("y"))), lit(0L)).as("fp"),
-        coalesce(sum((lit(1L) - col("p")) * col("y")), lit(0L)).as("fn"),
-        coalesce(sum((lit(1L) - col("p")) * (lit(1L) - col("y"))), lit(0L))
-          .as("tn"))
+    confusionCounts(scored, scoreCol, labelCol, threshold)
       .select(
         (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
         col("tp"), col("fp"), col("fn"), col("tn"))

@@ -37,55 +37,34 @@ object Graph {
     * two |V|-bounded shuffles: the rank table (one row per node)
     * hashes to meet the edge partitioning for the src join, and the
     * contribution sum shuffles on dst with map-side partials.
-    * localCheckpoint per round cuts the lineage so round k's plan
-    * never re-derives rounds 1..k-1 (the [[Dedup.connectedComponents]]
-    * pattern). Driver holds nothing but the node count.
+    * Lineage is cut every `checkpointInterval` rounds (the
+    * [[Dedup.connectedComponents]] pattern) — short runs stay ONE
+    * pipelined job (no per-round materialization tax), long runs
+    * never hand the optimizer an unbounded plan. Driver holds nothing
+    * but the node count.
     *
     * Output: (node, rank) with rank = micro-units / 1e6 rounded to 6
     * decimals. Ranks sum to ≤ 1 (dangling loss + floor truncation —
     * ~|V| micro-units of deterministic rounding deficit). */
   def pageRank(edges: DataFrame, src: String = "src",
       dst: String = "dst", iters: Int = 5,
-      dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
+      dampingPct: Int = 85, checkpointInterval: Int = 4): DataFrame = {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct out of range: $dampingPct")
-    val spark = edges.sparkSession
-    val e = edges
-      .select(col(src).cast("long").as("src"),
-        col(dst).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
+    val e = cleanEdges(edges, src, dst)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
-    // out-degree rides the edge row so the per-iteration join brings
-    // everything a contribution needs in one probe
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(outdeg, "src")
-      .repartition(col("src"))
-      .localCheckpoint()
-    val initU = 1000000L / n                          // 1e6 div N
-    val baseU = (100L - dampingPct) * 10000L / n      // (1-d)*1e6 div N
-    var ranks = nodes.select(col("node"),
-      lit(initU).as("rank_u"))
-    for (_ <- 1 to iters) {
-      val contribs = eo.join(ranks, eo("src") === ranks("node"))
-        // integer division throughout: exact, engine-independent
-        .select(eo("dst"),
-          expr(s"(rank_u * $dampingPct) div (outdeg * 100)").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contribs, nodes("node") === contribs("dst"),
-          "left")
-        .select(nodes("node"),
-          (lit(baseU) + coalesce(col("s"), lit(0L))).as("rank_u"))
-        .localCheckpoint()
-    }
-    ranks.select(col("node"),
-      round(col("rank_u") / 1e6, 6).as("rank"))
+    require(n > 0,
+      "pageRank: empty graph after null/self-loop filtering " +
+        "(no (src, dst) pair with src <> dst)")
+    // uniform teleport = personalization with every node a seed; one
+    // shared loop keeps the two variants provably in sync (GraphSpec
+    // pins uniform-seed PPR == pageRank)
+    rankLoop(nodes.select(col("node"), lit(1L).as("seed")),
+      edgesWithOutdeg(e), n, iters, dampingPct, checkpointInterval)
   }
 
   /** Personalized PageRank: identical micro-unit loop, but the
@@ -96,14 +75,8 @@ object Graph {
     * node ids; non-seed nodes start (and teleport) at 0. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       src: String = "src", dst: String = "dst", iters: Int = 5,
-      dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges
-      .select(col(src).cast("long").as("src"),
-        col(dst).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
+      dampingPct: Int = 85, checkpointInterval: Int = 4): DataFrame = {
+    val e = cleanEdges(edges, src, dst)
     // seeds normalized to the node-id type; broadcast-joined onto the
     // |V| rank table (the seed set is small by definition)
     val seedCol = seeds.columns.head
@@ -118,24 +91,54 @@ object Graph {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
       .localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = e.join(outdeg, "src").repartition(col("src"))
+    rankLoop(nodesAll, edgesWithOutdeg(e), k, iters, dampingPct,
+      checkpointInterval)
+  }
+
+  /** Deduped, null-free, self-loop-free long-typed edge list. */
+  private def cleanEdges(edges: DataFrame, src: String,
+      dst: String): DataFrame =
+    edges
+      .select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+
+  /** Out-degree attached to every edge row, hash-partitioned by src
+    * and pinned — the |E|-row table every iteration probes without
+    * moving it again. */
+  private def edgesWithOutdeg(e: DataFrame): DataFrame =
+    e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
       .localCheckpoint()
+
+  /** The shared PageRank fixed-point loop over (node, seed) rows with
+    * teleport-mass denominator `k`: per-edge contribution
+    * `(rank_u · dampingPct) div (outdeg · 100)`, long sum per dst,
+    * teleport floor `seed · ((100−d)·1e4 div k)`. Integer-only;
+    * lineage cut every `checkpointInterval` rounds. */
+  private def rankLoop(nodesSeed: DataFrame, eo: DataFrame, k: Long,
+      iters: Int, dampingPct: Int, checkpointInterval: Int): DataFrame = {
+    require(iters >= 1 && checkpointInterval >= 1,
+      s"bad rank params: iters=$iters interval=$checkpointInterval")
     val initU = 1000000L / k
     val baseU = (100L - dampingPct) * 10000L / k
-    var ranks = nodesAll.select(col("node"), col("seed"),
+    var ranks = nodesSeed.select(col("node"), col("seed"),
       (col("seed") * initU).as("rank_u"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
+        // integer division throughout: exact, engine-independent
         .select(eo("dst"),
           expr(s"(rank_u * $dampingPct) div (outdeg * 100)").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
-      ranks = nodesAll.join(contribs,
-          nodesAll("node") === contribs("dst"), "left")
-        .select(nodesAll("node"), nodesAll("seed"),
+      ranks = nodesSeed.join(contribs,
+          nodesSeed("node") === contribs("dst"), "left")
+        .select(nodesSeed("node"), nodesSeed("seed"),
           (col("seed") * baseU + coalesce(col("s"), lit(0L)))
             .as("rank_u"))
-        .localCheckpoint()
+      if (round % checkpointInterval == 0 && round < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"),
       round(col("rank_u") / 1e6, 6).as("rank"))
@@ -159,12 +162,7 @@ object Graph {
   def hits(edges: DataFrame, src: String = "src", dst: String = "dst",
       iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges
-      .select(col(src).cast("long").as("src"),
-        col(dst).cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull &&
-        col("src") =!= col("dst"))
-      .distinct()
+    val e = cleanEdges(edges, src, dst)
       .repartition(col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
@@ -188,6 +186,10 @@ object Graph {
     var auth = nodes.select(col("node"), lit(1000000L).as("auth_u"))
     var hub = nodes.select(col("node"), lit(1000000L).as("hub_u"))
     for (_ <- 1 to iters) {
+      // EVERY half-step materializes: the max-normalization embeds its
+      // input twice (once under `filled`, once under the scalar fold),
+      // so a lazy chain would double the plan per half-step — 2^(2k)
+      // growth, not the linear chain pageRank's loop gets away with
       auth = halfStep(hub, "hub_u", "src", "dst", "auth_u")
         .localCheckpoint()
       hub = halfStep(auth, "auth_u", "dst", "src", "hub_u")

@@ -534,13 +534,21 @@ object Layout {
     val subDirs = fs.listStatus(hPath)
       .filter(s => s.isDirectory && visible(s.getPath))
     if (topFiles.isEmpty && subDirs.nonEmpty) {
+      // a "leaf" is any dir that OWNS visible data files: mixed dirs
+      // (files + sub-partitions) compact their own files as one unit
+      // and recurse, file-less dirs (e.g. a partition created by a
+      // crashed writer) are skipped rather than failing the whole run
       def leaves(p: Path): Seq[Path] = {
         val st = fs.listStatus(p).filter(s => visible(s.getPath))
         val dirs = st.filter(_.isDirectory).map(_.getPath).toSeq
-        if (dirs.isEmpty) Seq(p) else dirs.flatMap(leaves)
+        val own = if (st.exists(_.isFile)) Seq(p) else Nil
+        own ++ dirs.flatMap(leaves)
       }
-      val results = subDirs.map(_.getPath).toSeq.flatMap(leaves)
+      val leafDirs = subDirs.map(_.getPath).toSeq.flatMap(leaves)
         .sortBy(_.toString)
+      require(leafDirs.nonEmpty,
+        s"optimize: no data files under any partition of $dir")
+      val results = leafDirs
         .map(leaf => optimize(spark, leaf.toString, cols, bits,
           targetBytes, numFiles))
       // refresh once, after every leaf swapped (recursive diff)

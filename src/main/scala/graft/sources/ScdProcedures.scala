@@ -225,6 +225,33 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.unigram_index(docs_dir, text_col, vocab, iters,
+    * out_path)` — train a unigram-LM (SentencePiece) piece table over
+    * a parquet corpus and persist it
+    * ([[graft.operators.UnigramTokenizer.unigramIndexWrite]]) — the
+    * [[BpeIndex]] twin for the second trained-tokenizer family.
+    * Returns the piece count actually kept (EM pruning can drop
+    * unused seed pieces). */
+  object UnigramIndex extends GraftProcedure("unigram_index",
+    "Train and persist a unigram-LM piece table over a parquet corpus") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("docs_dir", StringType), in("text_col", StringType),
+      in("vocab", IntegerType), in("iters", IntegerType),
+      in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("pieces", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 4)
+      graft.operators.UnigramTokenizer.unigramIndexWrite(
+        spark.read.parquet(str(r, 0)), r.getInt(2), r.getInt(3), out,
+        str(r, 1))
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(out).count()))
+    }
+  }
+
   /** `CALL graft.add_update(dir, stmt [, time])` — author the
     * `.updates` log from pure SQL: the reference's write UX ("append a
     * line to the sidecar", README.md:127-144 / SQLUpdater.java:107-119)
@@ -256,9 +283,37 @@ object ScdProcedures {
         r: InternalRow): InternalRow = {
       val (dir, stmt) = (str(r, 0), str(r, 1).trim)
       require(stmt.nonEmpty, "add_update: empty statement")
-      val lines =
-        if (r.isNullAt(2)) Seq(stmt)
-        else Seq(s"-- time=${str(r, 2).trim}", stmt)
+      // ONE statement per CALL, enforced on the argument itself (the
+      // whole-log parse would happily accept a smuggled second
+      // statement or an embedded `-- time=` directive line)
+      val alone = graft.scd.UpdatesParser.parse(stmt, Long.MaxValue)
+      require(alone.statements.size == 1,
+        s"add_update: exactly one statement per CALL, got " +
+          s"${alone.statements.size}")
+      // the log's line fold keeps an inner ';' (two statements pasted
+      // on ONE line would land as a single unexecutable statement) —
+      // require exactly one terminator outside string literals
+      val semis = {
+        var inQ = false; var c = 0
+        stmt.foreach { ch =>
+          if (ch == '\'') inQ = !inQ
+          else if (ch == ';' && !inQ) c += 1
+        }
+        c
+      }
+      require(semis == 1 && stmt.endsWith(";"),
+        "add_update: statement must end with its single ';' terminator")
+      require(!stmt.linesIterator.exists(
+          _.trim.toLowerCase(java.util.Locale.ROOT)
+            .startsWith("-- time=")),
+        "add_update: embed no time directive in stmt; use the time arg")
+      val time = if (r.isNullAt(2)) None else Some(str(r, 2).trim)
+      time.foreach { t =>
+        require(!t.exists(c => c == '\n' || c == '\r') &&
+          !t.contains("--"),
+          s"add_update: time must be a bare timestamp, got '$t'")
+      }
+      val lines = time.fold(Seq(stmt))(t => Seq(s"-- time=$t", stmt))
       graft.streaming.ScdStream.appendStatements(spark, dir, lines)
       val total = graft.scd.ScdReader.readSidecar(spark, dir)
         .map(t => graft.scd.UpdatesParser
@@ -272,5 +327,5 @@ object ScdProcedures {
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
     "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex,
-    "add_update" -> AddUpdate)
+    "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate)
 }

@@ -437,6 +437,20 @@ class LayoutSpec extends SparkSpec {
     assert(statuses == Map("ok" -> 3L), statuses.toString)
   }
 
+  test("partitioned optimize: empty leaf dirs skipped, mixed dirs compact their own files") {
+    val dir = Files.createTempDirectory("opt_mixed").toString + "/t"
+    (1 to 1000).map(i => (i, i % 2, i)).toDF("id", "pt", "payload")
+      .repartition(4).write.mode("overwrite").partitionBy("pt")
+      .parquet(dir)
+    // an empty partition dir (crashed writer) must not abort the run
+    assert(new java.io.File(dir, "pt=9").mkdirs())
+    val before = spark.read.parquet(dir).count()
+    val (was, now) = Layout.optimize(spark, dir, Seq(col("id")),
+      numFiles = Some(1))
+    assert(was == 8 && now == 2, s"($was, $now)")
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
   test("zoneMapVerify: ok / unindexed / missing / stale all detected") {
     val dir = Files.createTempDirectory("zmv").toString + "/t"
     (1 to 1000).map(i => (i, i)).toDF("id", "payload")

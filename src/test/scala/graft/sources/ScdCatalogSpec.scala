@@ -136,6 +136,27 @@ class ScdCatalogSpec extends SparkSpec {
     assert(msgs.contains("optimize"), msgs)
   }
 
+  test("CALL graft.unigram_index trains and persists the piece table") {
+    val docsDir = Files.createTempDirectory("scdcat_uni").toString + "/d"
+    Seq("the cat sat on the mat", "a cat and a mat", "that cat sat")
+      .toDF("text").write.mode("overwrite").parquet(docsDir)
+    val out = Files.createTempDirectory("scdcat_uni_o").toString + "/idx"
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[ScdCatalog].getName)
+    val r = spark.sql(
+      s"CALL graft.unigram_index('$docsDir', 'text', 8, 1, '$out')")
+      .collect()
+    assert(r(0).getString(0) == out && r(0).getLong(1) > 0, r.toList)
+    val table = graft.operators.UnigramTokenizer
+      .unigramIndexRead(spark, out)
+    assert(table.map(_._1).distinct.size == table.size)
+    // the persisted artifact serves encoding
+    val enc = graft.operators.UnigramTokenizer.unigramEncodeWith(
+      spark.read.parquet(docsDir).withColumn("doc_id",
+        monotonically_increasing_id()), out)
+    assert(enc.count() == 3)
+  }
+
   test("CALL graft.add_update authors the log; bad DML is rejected untouched") {
     val d = Files.createTempDirectory("scdcat_au").toString
     (1 to 50).map(i => (i.toLong, i * 10.0)).toDF("id", "bal")
@@ -173,6 +194,24 @@ class ScdCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(
         s"CALL graft.add_update('$d', 'UPDATE other SET bal = 0 WHERE id = 1;')")
+        .collect()
+    }
+    assert(ScdReader.readSidecar(spark, d).get == before)
+    // injection guards: a smuggled second statement, a newline in the
+    // time arg, and an embedded time directive all reject untouched
+    intercept[Exception] {
+      spark.sql(s"CALL graft.add_update('$d', " +
+        "'DELETE FROM t WHERE id = 1; DELETE FROM t WHERE id = 2;')")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL graft.add_update('$d', " +
+        "'DELETE FROM t WHERE id = 1;', '2030-01-01\nUPDATE t SET bal = 0 WHERE true;')")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL graft.add_update('$d', " +
+        "'-- time=2020-01-01\nDELETE FROM t WHERE id = 1;')")
         .collect()
     }
     assert(ScdReader.readSidecar(spark, d).get == before)

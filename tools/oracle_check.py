@@ -40,6 +40,8 @@ def norm(v):
         if v != v:
             return "NaN"
         f = float(v)
+        if f in (float("inf"), float("-inf")):
+            return str(f)
         return f"{f:.1f}" if f == int(f) and abs(f) < 1e15 else f"{f:.9g}"
     if isinstance(v, (np.bool_, bool)):
         return str(bool(v))
