@@ -1634,6 +1634,13 @@ object SparkEntry {
         vocabSize = 40, iters = 1, maxWordLen = 12)
         .orderBy("piece")),
 
+    // the 2-round trained table: EM convergence, not just round 1,
+    // replayed to the last micro-nat
+    "text_unigram_train2" -> ((s, dir) =>
+      UnigramTokenizer.unigramTrain(t(s, dir, "documents"),
+        vocabSize = 40, iters = 2, maxWordLen = 12)
+        .orderBy("piece")),
+
     // inference from the persisted piece table (the bpe_indexed
     // artifact shape): per-word Viterbi as a plan-constant per-row
     // codegen'd expression — no join, no shuffle in the corpus scan
@@ -2633,23 +2640,30 @@ object SparkEntry {
     (b0 +: steps :+ ea).mkString(",\n")
   }
 
+  /** One hard-EM round: segment (`p`-prefixed DP + backtrack blocks
+    * against `sIn`), fold usage, re-estimate into `sOut`. */
+  private def unigramEmRoundSql(sIn: String, sOut: String,
+      p: String): String =
+    s"""${unigramDpSql(sIn, p)},
+       |${unigramBacktrackSql(sIn, p)},
+       |${p}use AS MATERIALIZED (SELECT piece, sum(n) AS u
+       |  FROM ${p}ea GROUP BY 1),
+       |${p}f AS MATERIALIZED (
+       |  SELECT $sIn.piece,
+       |    coalesce(${p}use.u, 0) +
+       |      CASE WHEN length($sIn.piece) = 1 THEN 1 ELSE 0 END AS f
+       |  FROM $sIn LEFT JOIN ${p}use ON ${p}use.piece = $sIn.piece),
+       |${p}r AS MATERIALIZED (SELECT piece, f FROM ${p}f WHERE f > 0),
+       |$sOut AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(-ln(CAST(f AS DOUBLE) /
+       |    (SELECT CAST(sum(f) AS DOUBLE) FROM ${p}r)) * 1000000)
+       |    AS BIGINT) AS cost
+       |  FROM ${p}r)""".stripMargin
+
   /** The full training chain up to the re-estimated table `us1`. */
   private lazy val unigramTrainCtesSql: String =
     s"""$unigramHeadSql,
-       |${unigramDpSql("us0", "t")},
-       |${unigramBacktrackSql("us0", "t")},
-       |uuse AS MATERIALIZED (SELECT piece, sum(n) AS u FROM tea GROUP BY 1),
-       |uf1 AS MATERIALIZED (
-       |  SELECT us0.piece,
-       |    coalesce(uuse.u, 0) +
-       |      CASE WHEN length(us0.piece) = 1 THEN 1 ELSE 0 END AS f
-       |  FROM us0 LEFT JOIN uuse ON uuse.piece = us0.piece),
-       |ur1 AS MATERIALIZED (SELECT piece, f FROM uf1 WHERE f > 0),
-       |us1 AS MATERIALIZED (
-       |  SELECT piece, CAST(floor(-ln(CAST(f AS DOUBLE) /
-       |    (SELECT CAST(sum(f) AS DOUBLE) FROM ur1)) * 1000000)
-       |    AS BIGINT) AS cost
-       |  FROM ur1)""".stripMargin
+       |${unigramEmRoundSql("us0", "us1", "t")}""".stripMargin
 
   /** Shared by text_bpe_encode and text_bpe_indexed (the persisted
     * merge table IS bpeTrain's output, so both serving paths replay
@@ -4204,6 +4218,15 @@ object SparkEntry {
     "text_unigram_train" ->
       s"""WITH $unigramTrainCtesSql
          |SELECT piece, cost AS cost_micro FROM us1
+         |ORDER BY piece""".stripMargin,
+
+    // EM CONVERGENCE pinned cross-engine: a second full hard-EM round
+    // (segment under us1, re-estimate) — the iterated state us2, not
+    // just round 1, must match to the last micro-nat
+    "text_unigram_train2" ->
+      s"""WITH $unigramTrainCtesSql,
+         |${unigramEmRoundSql("us1", "us2", "v")}
+         |SELECT piece, cost AS cost_micro FROM us2
          |ORDER BY piece""".stripMargin,
 
     // corpus inference under the trained table: a SECOND unrolled

@@ -351,6 +351,64 @@ object CatalystBridge {
       graft.functions.expressions.WordpieceSegment(args.head, vocab)
     })
 
+  /** `unigram_segment(word, array(pieces...), array(costs...)
+    * [, oov_cost])` — minimum-cost unigram-LM Viterbi segmentation in
+    * plain SQL (the [[wordpieceDescriptor]] twin for the trained
+    * tokenizer family). Both arrays must be foldable and equal-length:
+    * piece i costs costs[i] micro-nats; the optional 4th arg overrides
+    * the OOV single-codepoint fallback cost. */
+  val unigramSegmentDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("unigram_segment"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.UnigramSegment].getName,
+      "unigram_segment"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3 || args.length == 4,
+        s"unigram_segment takes (word, pieces, costs [, oov_cost]), " +
+          s"got ${args.length} args")
+      def foldArray(e: Expression, et: org.apache.spark.sql.types.DataType,
+          what: String): Array[AnyRef] = e match {
+        case f if f.foldable && (f.dataType match {
+              case org.apache.spark.sql.types.ArrayType(t, _) => t == et
+              case _ => false
+            }) =>
+          f.eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              a.toObjectArray(et).map {
+                case null => throw new IllegalArgumentException(
+                  s"unigram_segment: $what array must not contain NULL")
+                case v => v
+              }
+            case _ => throw new IllegalArgumentException(
+              s"unigram_segment: $what array evaluated to NULL")
+          }
+        case other => throw new IllegalArgumentException(
+          s"unigram_segment: $what must be a foldable array, got $other")
+      }
+      val pieces = foldArray(args(1),
+        org.apache.spark.sql.types.StringType, "pieces")
+        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .toString)
+      val costs = foldArray(args(2),
+        org.apache.spark.sql.types.LongType, "costs")
+        .map(_.asInstanceOf[java.lang.Long].longValue())
+      require(pieces.length == costs.length,
+        s"unigram_segment: ${pieces.length} pieces vs " +
+          s"${costs.length} costs")
+      val oov = args.lift(3).map {
+        case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Long, _) => v
+        case org.apache.spark.sql.catalyst.expressions
+              .Literal(v: Int, _) => v.toLong
+        case other => throw new IllegalArgumentException(
+          s"unigram_segment: oov_cost must be an integer literal, " +
+            s"got $other")
+      }.getOrElse(graft.operators.UnigramTokenizer.OovCostMicro)
+      graft.functions.expressions.UnigramSegment(args.head,
+        pieces.zip(costs).toSeq, oov)
+    })
+
   /** The catalyst expression behind a Column — for tests and
     * diagnostics outside the org.apache.spark.sql package. */
   def expressionOf(c: Column)
@@ -475,8 +533,9 @@ object CatalystBridge {
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
-    topKDescriptor, wordpieceDescriptor, deflateLenDescriptor,
-    unicodeNormalizeDescriptor, bloomContainsDescriptor)
+    topKDescriptor, wordpieceDescriptor, unigramSegmentDescriptor,
+    deflateLenDescriptor, unicodeNormalizeDescriptor,
+    bloomContainsDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

@@ -135,6 +135,32 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("foldable"), e.getMessage)
   }
 
+  test("unigram_segment in plain SQL: scored vocab, optimality, guards") {
+    GraftExtensions.register(spark)
+    // 'ab'+'cd' (cost 6) beats greedy 'abc'+'d' (cost 19)
+    val got = spark.sql(
+      "SELECT unigram_segment('abcd', array('abc', 'ab', 'cd', 'd')," +
+        " array(10L, 3L, 3L, 9L)) AS s").head().getString(0)
+    assert(got == "ab|cd", got)
+    // custom OOV cost as the 4th literal
+    val oov = spark.sql(
+      "SELECT unigram_segment('ax', array('a'), array(1L), 5000000L)" +
+        " AS s").head().getString(0)
+    assert(oov == "a|x", oov)
+    // length-mismatched tables rejected at analysis
+    val e = intercept[Exception] {
+      spark.sql("SELECT unigram_segment('a', array('a', 'b')," +
+        " array(1L)) AS s").collect()
+    }
+    assert(e.getMessage.contains("pieces"), e.getMessage)
+    // non-foldable vocab rejected (plan-time table, like wordpiece)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT unigram_segment(s, array(s), array(1L)) AS x" +
+        " FROM (SELECT 'a' AS s)").collect()
+    }
+    assert(e2.getMessage.contains("foldable"), e2.getMessage)
+  }
+
   test("unicode_normalize in plain SQL: forms work, non-literal form rejected") {
     GraftExtensions.register(spark)
     // decomposed e + U+0301 composes under NFC
