@@ -127,6 +127,46 @@ class UnigramTokenizerSpec extends SparkSpec {
       trained.toString)
   }
 
+  test("property: viterbi cost is the brute-force minimum; tie rule holds (200 random cases)") {
+    val rnd = new scala.util.Random(42)
+    def cost(vocab: Map[String, Long], piece: String): Option[Long] =
+      vocab.get(piece).orElse(
+        if (piece.length == 1) Some(UnigramTokenizer.OovCostMicro)
+        else None)
+    // all segmentations with pieces up to 4 chars
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(4, w.length)).flatMap(l =>
+        allSegs(w.drop(l)).map(w.take(l) +: _))
+    val alpha = "abc"
+    for (_ <- 1 to 20) {
+      val vocab = (1 to 6).map { _ =>
+        val p = Seq.fill(1 + rnd.nextInt(3))(
+          alpha(rnd.nextInt(alpha.length))).mkString
+        p -> (1L + rnd.nextInt(20))
+      }.toMap.toSeq
+      val vm = vocab.toMap
+      val words = (1 to 10).map(_ => Seq.fill(2 + rnd.nextInt(7))(
+        alpha(rnd.nextInt(alpha.length))).mkString)
+      val got = words.toDF("w")
+        .select(col("w"), CatalystBridge.unigramSegment(col("w"),
+          vocab, UnigramTokenizer.OovCostMicro).as("s"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      for (word <- words) {
+        val gotPieces = got(word).split("\\|").toSeq
+        val gotCost = gotPieces.map(p => cost(vm, p).get).sum
+        val best = allSegs(word)
+          .flatMap { segs =>
+            val cs = segs.map(p => cost(vm, p))
+            if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+          }.min
+        assert(gotPieces.mkString("") == word, s"$word -> ${got(word)}")
+        assert(gotCost == best,
+          s"$word vocab=$vocab: got ${got(word)} ($gotCost) vs $best")
+      }
+    }
+  }
+
   test("encode: counts, reassembly order, artifact round-trip") {
     val docs = Seq((1L, "the cat sat"), (2L, "concat a mat"))
       .toDF("doc_id", "text")
