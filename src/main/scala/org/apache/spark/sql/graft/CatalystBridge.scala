@@ -314,6 +314,52 @@ object CatalystBridge {
       graft.functions.expressions.BoundedTopK(args.head, k)
     })
 
+  /** Shared plan-time extraction for SQL-facing piece tables: a
+    * FOLDABLE array argument (an array literal or anything constant
+    * folding collapses) evaluated once at analysis — NULL elements
+    * and per-row (non-foldable) arrays rejected with the function's
+    * own name in the message. */
+  private def foldArray(fn: String, e: Expression,
+      et: org.apache.spark.sql.types.DataType,
+      what: String): Array[AnyRef] = e match {
+    case f if f.foldable && (f.dataType match {
+          case org.apache.spark.sql.types.ArrayType(t, _) => t == et
+          case _ => false
+        }) =>
+      f.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(et).map {
+            case null => throw new IllegalArgumentException(
+              s"$fn: $what array must not contain NULL")
+            case v => v
+          }
+        case _ => throw new IllegalArgumentException(
+          s"$fn: $what array evaluated to NULL")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a foldable array of " +
+        s"${et.catalogString}, got $other")
+  }
+
+  private def foldStringArray(fn: String, e: Expression,
+      what: String): Seq[String] =
+    foldArray(fn, e, org.apache.spark.sql.types.StringType, what)
+      .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString).toSeq
+
+  /** Long array, with the natural `array(3, 3)` int spelling widened
+    * instead of rejected. */
+  private def foldLongArray(fn: String, e: Expression,
+      what: String): Seq[Long] = e.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, _) =>
+      foldArray(fn, e, org.apache.spark.sql.types.IntegerType, what)
+        .map(_.asInstanceOf[java.lang.Integer].longValue()).toSeq
+    case _ =>
+      foldArray(fn, e, org.apache.spark.sql.types.LongType, what)
+        .map(_.asInstanceOf[java.lang.Long].longValue()).toSeq
+  }
+
   /** `wordpiece(text, array('piece', ...))` — greedy longest-match
     * segmentation in plain SQL. The vocab must be a foldable
     * array<string> (an array literal or anything constant-folded to
@@ -327,35 +373,16 @@ object CatalystBridge {
     (args: Seq[Expression]) => {
       require(args.length == 2,
         s"wordpiece takes (text, vocab_array), got ${args.length} args")
-      val vocab = args(1) match {
-        case e if e.foldable && (e.dataType match {
-              case org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.StringType, _) => true
-              case _ => false
-            }) =>
-          e.eval() match {
-            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-              a.toObjectArray(org.apache.spark.sql.types.StringType)
-                .map {
-                  case null => throw new IllegalArgumentException(
-                    "wordpiece: vocab array must not contain NULL pieces")
-                  case u: org.apache.spark.unsafe.types.UTF8String =>
-                    u.toString
-                }.toSeq
-            case _ => throw new IllegalArgumentException(
-              "wordpiece: vocab array evaluated to NULL")
-          }
-        case other => throw new IllegalArgumentException(
-          s"wordpiece: vocab must be a foldable array<string>, got $other")
-      }
-      graft.functions.expressions.WordpieceSegment(args.head, vocab)
+      graft.functions.expressions.WordpieceSegment(args.head,
+        foldStringArray("wordpiece", args(1), "vocab"))
     })
 
   /** `unigram_segment(word, array(pieces...), array(costs...)
     * [, oov_cost])` — minimum-cost unigram-LM Viterbi segmentation in
     * plain SQL (the [[wordpieceDescriptor]] twin for the trained
     * tokenizer family). Both arrays must be foldable and equal-length:
-    * piece i costs costs[i] micro-nats; the optional 4th arg overrides
+    * piece i costs costs[i] micro-nats (int literals widen); the
+    * optional 4th arg — any foldable integer expression — overrides
     * the OOV single-codepoint fallback cost. */
   val unigramSegmentDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -367,46 +394,29 @@ object CatalystBridge {
       require(args.length == 3 || args.length == 4,
         s"unigram_segment takes (word, pieces, costs [, oov_cost]), " +
           s"got ${args.length} args")
-      def foldArray(e: Expression, et: org.apache.spark.sql.types.DataType,
-          what: String): Array[AnyRef] = e match {
-        case f if f.foldable && (f.dataType match {
-              case org.apache.spark.sql.types.ArrayType(t, _) => t == et
-              case _ => false
-            }) =>
-          f.eval() match {
-            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-              a.toObjectArray(et).map {
-                case null => throw new IllegalArgumentException(
-                  s"unigram_segment: $what array must not contain NULL")
-                case v => v
-              }
-            case _ => throw new IllegalArgumentException(
-              s"unigram_segment: $what array evaluated to NULL")
-          }
-        case other => throw new IllegalArgumentException(
-          s"unigram_segment: $what must be a foldable array, got $other")
-      }
-      val pieces = foldArray(args(1),
-        org.apache.spark.sql.types.StringType, "pieces")
-        .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-          .toString)
-      val costs = foldArray(args(2),
-        org.apache.spark.sql.types.LongType, "costs")
-        .map(_.asInstanceOf[java.lang.Long].longValue())
+      val pieces = foldStringArray("unigram_segment", args(1), "pieces")
+      val costs = foldLongArray("unigram_segment", args(2), "costs")
       require(pieces.length == costs.length,
         s"unigram_segment: ${pieces.length} pieces vs " +
           s"${costs.length} costs")
-      val oov = args.lift(3).map {
-        case org.apache.spark.sql.catalyst.expressions
-              .Literal(v: Long, _) => v
-        case org.apache.spark.sql.catalyst.expressions
-              .Literal(v: Int, _) => v.toLong
-        case other => throw new IllegalArgumentException(
-          s"unigram_segment: oov_cost must be an integer literal, " +
-            s"got $other")
+      // same foldable contract as the arrays (a bare literal is just
+      // the common case of a foldable integer expression)
+      val oov = args.lift(3).map { e =>
+        val ok = e.foldable && (e.dataType ==
+          org.apache.spark.sql.types.LongType ||
+          e.dataType == org.apache.spark.sql.types.IntegerType)
+        if (!ok) throw new IllegalArgumentException(
+          s"unigram_segment: oov_cost must be a foldable integer, " +
+            s"got $e")
+        e.eval() match {
+          case v: java.lang.Long => v.longValue()
+          case v: java.lang.Integer => v.longValue()
+          case null => throw new IllegalArgumentException(
+            "unigram_segment: oov_cost evaluated to NULL")
+        }
       }.getOrElse(graft.operators.UnigramTokenizer.OovCostMicro)
       graft.functions.expressions.UnigramSegment(args.head,
-        pieces.zip(costs).toSeq, oov)
+        pieces.zip(costs), oov)
     })
 
   /** The catalyst expression behind a Column — for tests and

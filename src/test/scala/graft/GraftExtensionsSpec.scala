@@ -142,10 +142,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT unigram_segment('abcd', array('abc', 'ab', 'cd', 'd')," +
         " array(10L, 3L, 3L, 9L)) AS s").head().getString(0)
     assert(got == "ab|cd", got)
-    // custom OOV cost as the 4th literal
-    val oov = spark.sql(
-      "SELECT unigram_segment('ax', array('a'), array(1L), 5000000L)" +
+    // the natural int spelling widens instead of rejecting
+    val ints = spark.sql(
+      "SELECT unigram_segment('abcd', array('ab', 'cd'), array(3, 3))" +
         " AS s").head().getString(0)
+    assert(ints == "ab|cd", ints)
+    // custom OOV cost: any foldable integer, not just a bare literal
+    val oov = spark.sql(
+      "SELECT unigram_segment('ax', array('a'), array(1L)," +
+        " CAST(5000000 AS BIGINT)) AS s").head().getString(0)
     assert(oov == "a|x", oov)
     // length-mismatched tables rejected at analysis
     val e = intercept[Exception] {

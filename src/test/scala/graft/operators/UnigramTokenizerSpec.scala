@@ -155,14 +155,26 @@ class UnigramTokenizerSpec extends SparkSpec {
       for (word <- words) {
         val gotPieces = got(word).split("\\|").toSeq
         val gotCost = gotPieces.map(p => cost(vm, p).get).sum
-        val best = allSegs(word)
-          .flatMap { segs =>
-            val cs = segs.map(p => cost(vm, p))
-            if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
-          }.min
+        val valid = allSegs(word).flatMap { segs =>
+          val cs = segs.map(p => cost(vm, p))
+          if (cs.forall(_.isDefined)) Some(segs -> cs.flatten.sum)
+          else None
+        }
+        val best = valid.map(_._2).min
         assert(gotPieces.mkString("") == word, s"$word -> ${got(word)}")
         assert(gotCost == best,
           s"$word vocab=$vocab: got ${got(word)} ($gotCost) vs $best")
+        // the tie rule, replayed brute-force: among ALL optimal-cost
+        // segmentations, backtracking longest-piece-first from the end
+        // selects the lexicographic maximum of the REVERSED piece-
+        // length sequence — the exact ordering the oracle's max(l)
+        // steps induce
+        import scala.math.Ordering.Implicits.seqOrdering
+        val expected = valid.filter(_._2 == best).map(_._1)
+          .maxBy(segs => segs.map(_.length).reverse.toSeq)
+        assert(gotPieces == expected,
+          s"$word vocab=$vocab: tie-break got ${got(word)} vs " +
+            s"${expected.mkString("|")}")
       }
     }
   }
