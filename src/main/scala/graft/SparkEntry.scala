@@ -1007,6 +1007,12 @@ object SparkEntry {
     "q_graph_hits" -> ((s, dir) =>
       Graph.hits(graphEdges(s, dir), iters = 2).orderBy("node")),
 
+    // triangle census via degree-ordered orientation: out-degree
+    // bounded by O(√|E|) so the wedge join survives power-law hubs —
+    // the clustering-structure probe (spam rings are triangle-dense)
+    "q_graph_triangles" -> ((s, dir) =>
+      Graph.triangles(graphEdges(s, dir))),
+
     // overlapping context-window chunks (stride 24, 8-token overlap);
     // the md5 keeps the oracle row compact instead of shipping chunk text
     "q_chunk_text" -> ((s, dir) =>
@@ -3728,6 +3734,31 @@ object SparkEntry {
          |SELECT a.node, round(a.auth_u / 1000000.0, 6) AS auth,
          |  round(h.hub_u / 1000000.0, 6) AS hub
          |FROM a2 a JOIN h2 h USING (node) ORDER BY node""".stripMargin,
+
+    // undirected simple graph from the same edge fixture; identical
+    // degree-ordered orientation, wedge join, and closing probe
+    "q_graph_triangles" ->
+      s"""WITH $graphEdgeCtesSql,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE src <> dst),
+         |dg AS (SELECT node, count(*) AS d FROM (
+         |    SELECT a AS node FROM und
+         |    UNION ALL SELECT b FROM und) GROUP BY 1),
+         |ori AS (
+         |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b
+         |    END AS u,
+         |    CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a
+         |    END AS v,
+         |    CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d
+         |    END AS vd
+         |  FROM und u JOIN dg da ON da.node = u.a
+         |    JOIN dg db ON db.node = u.b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+         |  CAST(count(e.u) AS BIGINT) AS n_triangles
+         |FROM ori p JOIN ori q ON p.u = q.u
+         |  AND (p.vd, p.v) < (q.vd, q.v)
+         |LEFT JOIN ori e ON e.u = p.v AND e.v = q.v""".stripMargin,
 
     "q_graph_degree" ->
       s"""WITH $graphEdgeCtesSql,

@@ -200,6 +200,64 @@ object Graph {
         round(col("hub_u") / 1e6, 6).as("hub"))
   }
 
+  /** Triangle census of the UNDIRECTED simple graph underlying an
+    * edge list — the clustering-structure probe (spam farms and link
+    * rings are triangle-dense; organic link graphs are locally
+    * sparse), and the classic "will it scale" graph benchmark.
+    *
+    * Algorithm: degree-ordered edge orientation (each undirected edge
+    * points from its (degree, id)-smaller endpoint), then one wedge
+    * self-join on the source + one closing-edge probe. The
+    * orientation bounds every node's OUT-degree by O(√|E|)
+    * (arboricity bound), so the wedge join's fan-out is bounded even
+    * on a power-law graph where a naive neighbor join on a hub would
+    * be quadratic — this is why the orientation exists. All
+    * comparisons are exact integer/tuple orders; the oracle replays
+    * the whole census.
+    *
+    * Output: one row (n_wedges, n_triangles) — wedges are the
+    * ordered open candidates probed, triangles the closed ones; their
+    * ratio is the global clustering coefficient's numerator/
+    * denominator in oriented form. */
+  def triangles(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    val und = edges
+      .select(col(src).cast("long").as("x"),
+        col(dst).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+    val aFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("vd"))
+      .localCheckpoint()
+    val p = oriented.select(col("u"), col("v").as("pv"),
+      col("vd").as("pvd"))
+    val q = oriented.select(col("u"), col("v").as("qv"),
+      col("vd").as("qvd"))
+    val wedges = p.join(q, Seq("u"))
+      .where(struct(col("pvd"), col("pv")) <
+        struct(col("qvd"), col("qv")))
+      .select(col("pv"), col("qv"))
+    // the closing edge, if present, is oriented pv -> qv (same order)
+    val closing = oriented
+      .select(col("u").as("pv"), col("v").as("qv"), lit(1L).as("__hit"))
+    wedges.join(closing, Seq("pv", "qv"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        count(col("__hit")).as("n_triangles"))
+  }
+
   /** Per-node degree profile of a directed edge list — the cheap
     * graph-shape probe run before anything iterative (skew detection:
     * a follower-graph hub with 10^8 in-edges needs salting before any

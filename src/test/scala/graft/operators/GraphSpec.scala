@@ -120,6 +120,40 @@ class GraphSpec extends SparkSpec {
     assert(got(5L)._1 < got(3L)._1 && got(5L)._2 < got(1L)._2)
   }
 
+  test("triangles: known graphs and a brute-force random pin") {
+    def count(edges: Seq[(Long, Long)]): (Long, Long) = {
+      val r = Graph.triangles(edges.toDF("src", "dst")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    // K4 has 4 triangles; its oriented wedge count is 6 (one per
+    // vertex pair through their common smaller neighbor... exact
+    // value pinned by the brute force below, asserted literally here)
+    val k4 = for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (i, j)
+    assert(count(k4)._2 == 4L, count(k4).toString)
+    // a 4-cycle has wedges but zero triangles
+    val c4 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val (w4, t4) = count(c4)
+    assert(t4 == 0L && w4 > 0L, s"($w4, $t4)")
+    // duplicate / reversed / self-loop edges change nothing
+    assert(count(k4 ++ k4.map(_.swap) ++ Seq((2L, 2L))) == count(k4))
+    // random graph vs brute-force triple enumeration
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(p => p._1 != p._2)
+    val und = edges.map(p =>
+      (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val undSet = und.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val brute = (for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if undSet((i, j)) && undSet((j, k)) && undSet((i, k))
+    } yield 1).size.toLong
+    assert(count(edges)._2 == brute, s"got ${count(edges)} want $brute")
+  }
+
   test("degreeStats: full-outer merge, zero-filled") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges).collect()
