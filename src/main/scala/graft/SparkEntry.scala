@@ -1013,6 +1013,11 @@ object SparkEntry {
     "q_graph_triangles" -> ((s, dir) =>
       Graph.triangles(graphEdges(s, dir))),
 
+    // per-node clustering: lcc = 2T(v)/(d(v)(d(v)-1)), NULL under
+    // degree 2 — the per-node face of the same census
+    "q_graph_clustering" -> ((s, dir) =>
+      Graph.localClustering(graphEdges(s, dir)).orderBy("node")),
+
     // overlapping context-window chunks (stride 24, 8-token overlap);
     // the md5 keeps the oracle row compact instead of shipping chunk text
     "q_chunk_text" -> ((s, dir) =>
@@ -3759,6 +3764,43 @@ object SparkEntry {
          |FROM ori p JOIN ori q ON p.u = q.u
          |  AND (p.vd, p.v) < (q.vd, q.v)
          |LEFT JOIN ori e ON e.u = p.v AND e.v = q.v""".stripMargin,
+
+    // per-node census face: triangle corners credited via a 3-way
+    // union, one exact division per node
+    "q_graph_clustering" ->
+      s"""WITH $graphEdgeCtesSql,
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM ed WHERE src <> dst),
+         |dg AS (SELECT node, count(*) AS d FROM (
+         |    SELECT a AS node FROM und
+         |    UNION ALL SELECT b FROM und) GROUP BY 1),
+         |ori AS (
+         |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b
+         |    END AS u,
+         |    CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a
+         |    END AS v,
+         |    CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d
+         |    END AS vd
+         |  FROM und u JOIN dg da ON da.node = u.a
+         |    JOIN dg db ON db.node = u.b),
+         |trs AS (
+         |  SELECT p.u, p.v AS pv, q.v AS qv
+         |  FROM ori p JOIN ori q ON p.u = q.u
+         |    AND (p.vd, p.v) < (q.vd, q.v)
+         |  JOIN ori e ON e.u = p.v AND e.v = q.v),
+         |tc AS (SELECT node, count(*) AS t FROM (
+         |    SELECT u AS node FROM trs
+         |    UNION ALL SELECT pv FROM trs
+         |    UNION ALL SELECT qv FROM trs) GROUP BY 1)
+         |SELECT dg.node, CAST(dg.d AS BIGINT) AS degree,
+         |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN dg.d >= 2 THEN
+         |    round(2.0 * CAST(coalesce(tc.t, 0) AS DOUBLE) /
+         |      CAST(dg.d * (dg.d - 1) AS DOUBLE), 6)
+         |  END AS lcc
+         |FROM dg LEFT JOIN tc ON tc.node = dg.node
+         |ORDER BY dg.node""".stripMargin,
 
     "q_graph_degree" ->
       s"""WITH $graphEdgeCtesSql,

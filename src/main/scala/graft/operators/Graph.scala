@@ -221,6 +221,48 @@ object Graph {
     * denominator in oriented form. */
   def triangles(edges: DataFrame, src: String = "src",
       dst: String = "dst"): DataFrame = {
+    val (_, oriented) = orientedParts(edges, src, dst)
+    val wedges = orientedWedges(oriented).select(col("pv"), col("qv"))
+    // the closing edge, if present, is oriented pv -> qv (same order)
+    val closing = oriented
+      .select(col("u").as("pv"), col("v").as("qv"), lit(1L).as("__hit"))
+    wedges.join(closing, Seq("pv", "qv"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        count(col("__hit")).as("n_triangles"))
+  }
+
+  /** Per-node local clustering coefficient — "how clique-like is
+    * each node's neighborhood": lcc(v) = 2·T(v) / (d(v)·(d(v)−1)),
+    * NULL when d(v) < 2 (undefined, never a fake 0). Per-node
+    * triangle counts come from the same degree-ordered census as
+    * [[triangles]] (each closed triangle credits its three corners —
+    * one explode + one map-side-combinable count), so the cost bound
+    * is identical; the final ratio is one exact-integer division.
+    * Output: (node, degree, n_triangles, lcc). */
+  def localClustering(edges: DataFrame, src: String = "src",
+      dst: String = "dst"): DataFrame = {
+    val (deg, oriented) = orientedParts(edges, src, dst)
+    val closing = oriented.select(col("u").as("pv"),
+      col("v").as("qv"), lit(1L).as("__hit"))
+    val tri = orientedWedges(oriented)
+      .join(closing, Seq("pv", "qv"))
+      .select(explode(array(col("u"), col("pv"), col("qv")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2L,
+          round(lit(2.0) * coalesce(col("t"), lit(0L)).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double"), 6))
+          .as("lcc"))
+  }
+
+  /** Undirected degree table + degree-ordered oriented edge list
+    * (u, v, vd) — the shared prep of [[triangles]] and
+    * [[localClustering]]. */
+  private def orientedParts(edges: DataFrame, src: String,
+      dst: String): (DataFrame, DataFrame) = {
     val und = edges
       .select(col(src).cast("long").as("x"),
         col(dst).cast("long").as("y"))
@@ -242,20 +284,20 @@ object Graph {
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("vd"))
       .localCheckpoint()
+    (deg, oriented)
+  }
+
+  /** Ordered open wedges (u, pv, qv) of the oriented list — the
+    * candidate set every triangle probe closes against. */
+  private def orientedWedges(oriented: DataFrame): DataFrame = {
     val p = oriented.select(col("u"), col("v").as("pv"),
       col("vd").as("pvd"))
     val q = oriented.select(col("u"), col("v").as("qv"),
       col("vd").as("qvd"))
-    val wedges = p.join(q, Seq("u"))
+    p.join(q, Seq("u"))
       .where(struct(col("pvd"), col("pv")) <
         struct(col("qvd"), col("qv")))
-      .select(col("pv"), col("qv"))
-    // the closing edge, if present, is oriented pv -> qv (same order)
-    val closing = oriented
-      .select(col("u").as("pv"), col("v").as("qv"), lit(1L).as("__hit"))
-    wedges.join(closing, Seq("pv", "qv"), "left")
-      .agg(count(lit(1)).as("n_wedges"),
-        count(col("__hit")).as("n_triangles"))
+      .select(col("u"), col("pv"), col("qv"))
   }
 
   /** Per-node degree profile of a directed edge list — the cheap

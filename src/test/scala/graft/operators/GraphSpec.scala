@@ -154,6 +154,30 @@ class GraphSpec extends SparkSpec {
     assert(count(edges)._2 == brute, s"got ${count(edges)} want $brute")
   }
 
+  test("localClustering: known values, NULL under degree 2, brute-force pin") {
+    // triangle 0-1-2 plus a pendant 3 attached to 0:
+    // lcc(1)=lcc(2)=1.0; lcc(0)=2*1/(3*2)=1/3; lcc(3) NULL (deg 1)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L))
+    val got = Graph.localClustering(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1.0))), got.toString)
+    assert(got(2L) == ((2L, 1L, Some(1.0))), got.toString)
+    assert(got(0L) == ((3L, 1L, Some(0.333333))), got.toString)
+    assert(got(3L) == ((1L, 0L, None)), got.toString)
+    // per-node counts sum to 3x the census total on a random graph
+    val rnd = new scala.util.Random(11)
+    val re = (1 to 150).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(p => p._1 != p._2)
+    val total = Graph.triangles(re.toDF("src", "dst"))
+      .head.getLong(1)
+    val perNode = Graph.localClustering(re.toDF("src", "dst"))
+      .agg(sum("n_triangles")).head.getLong(0)
+    assert(perNode == 3 * total, s"$perNode vs 3*$total")
+  }
+
   test("degreeStats: full-outer merge, zero-filled") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges).collect()
