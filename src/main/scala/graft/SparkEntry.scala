@@ -1883,6 +1883,15 @@ object SparkEntry {
           col("n_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // EXACT Jaccard join at scale: prefix-filtered (AllPairs/PPJoin) —
+    // uncapped, unlike the brute twin above; each doc posts only its
+    // (1−τ)-fraction rarest shingles as join keys
+    "dedup_jaccard_join" -> ((s, dir) =>
+      Dedup.jaccardJoin(t(s, dir, "documents"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // incremental (nightly-crawl) near-dup: even ids play the standing
     // corpus, odd ids the new batch — only pairs involving the batch
     // come back; corpus-vs-corpus is never recomputed. At bench scale
@@ -5518,6 +5527,17 @@ object SparkEntry {
 
     "dedup_minhash_lsh" ->
       s"""WITH $MinhashComCtes
+         |$JaccardSelect""".stripMargin,
+
+    // exact join ≡ brute share-a-shingle at the same threshold (the
+    // prefix-filter candidate set provably loses no qualifying pair,
+    // so the oracle states the SPEC, not the algorithm)
+    "dedup_jaccard_join" ->
+      s"""WITH $ShingleCtes,
+         |com AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
          |$JaccardSelect""".stripMargin,
 
     // incremental = the full-corpus pipeline minus its corpus-vs-corpus

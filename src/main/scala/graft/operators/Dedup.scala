@@ -156,6 +156,71 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard similarity join via global-frequency prefix
+    * filtering — the scale path when the answer must be exact (MinHash
+    * banding is probabilistic; [[jaccardPairs]] is O(pairs-sharing-any
+    * -shingle), which boilerplate shingles make quadratic). The
+    * AllPairs/PPJoin family result (Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08 — public algorithms, reimplemented on DataFrames):
+    * order every doc's shingle set by GLOBAL document frequency
+    * ascending (rarest first, shingle string as tie-break), and emit
+    * only the first `sz − ⌈τ·sz⌉ + 1` shingles as join keys. Any pair
+    * with Jaccard ≥ τ must share ≥ ⌈τ·max(n_a,n_b)⌉ shingles, and two
+    * sets sharing that much overlap must collide inside these prefixes
+    * under any common total order — so the candidate join loses
+    * nothing, while each doc posts only ~(1−τ)·sz keys and those keys
+    * are its RAREST shingles (tiny buckets where [[jaccardPairs]]'
+    * share-any-shingle join explodes on boilerplate). A length filter
+    * (`1000·min ≥ tn·max`) prunes size-incompatible candidates before
+    * the distinct; exact verification then intersects the per-doc
+    * arrays for candidate pairs only.
+    *
+    * τ is carried as the exact rational `tn/1000` (tn = round(τ·1000))
+    * so the prefix length uses pure integer ceil-division — a floating
+    * ⌈0.8·n⌉ rounds wrong at exact multiples. Output identical to
+    * [[jaccardPairs]] at the same threshold: (id_a < id_b, n_common,
+    * n_a, n_b, jaccard).
+    *
+    * Scale: one shingle DF groupBy (map-side combined), one join to
+    * rank, one per-doc sort (doc-length bounded), and a prefix
+    * equi-join whose buckets are rare-shingle-sized. The only
+    * corpus-quadratic case is a corpus of near-identical docs — where
+    * the OUTPUT is Ω(n²) pairs regardless of algorithm. */
+  def jaccardJoin(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccardJoin needs 0 < threshold <= 1, got $threshold")
+    val tn = math.round(threshold * 1000).toInt
+    val sh = shingles(docs, id, textCol, w)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // per-doc shingle array in (df, shingle) order + set size; lazily
+    // checkpointed — it feeds the prefix explode AND both verify sides
+    val ordered = sh.join(dfreq, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("ord"))
+      .select(col(id),
+        expr("transform(ord, x -> x.shingle)").as("sharr"),
+        size(col("ord")).cast("long").as("sz"))
+      .localCheckpoint(false)
+    val pre = ordered.select(col(id), col("sz"),
+      explode(expr(
+        s"slice(sharr, 1, size(sharr) - CAST(($tn * size(sharr) + 999) DIV 1000 AS INT) + 1)"))
+        .as("shingle"))
+    val l = pre.select(col("shingle"), col(id).as("id_a"),
+      col("sz").as("sz_a"))
+    val r = pre.select(col("shingle"), col(id).as("id_b"),
+      col("sz").as("sz_b"))
+    val cands = l.join(r, Seq("shingle"))
+      .where(col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")) * 1000 >=
+          greatest(col("sz_a"), col("sz_b")) * tn)
+      .select("id_a", "id_b").distinct()
+    verifyByArrays(cands, ordered.select(col(id), col("sharr")), id,
+      threshold)
+  }
+
   /** MinHash signatures: numHashes independent permutations simulated
     * by per-shingle hashes, min-aggregated per doc. Output: id,
     * m0..m{k-1}. One groupBy over the exploded shingles; each min is

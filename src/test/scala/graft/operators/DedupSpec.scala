@@ -52,6 +52,46 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("jaccardJoin ≡ brute jaccardPairs on the fixture (full rows)") {
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "n_common", "n_a", "n_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(rows(Dedup.jaccardJoin(docs, threshold = 0.8)) ==
+      rows(Dedup.jaccardPairs(docs, threshold = 0.8)))
+  }
+
+  test("jaccardJoin ≡ brute on random corpora at several thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    // small vocab + shared stems -> plenty of partial overlap
+    val corpus = (0L until 60L).map { i =>
+      val stem = Seq.fill(10)(vocab(rnd.nextInt(8)))
+      val tail = Seq.fill(rnd.nextInt(8) + 3)(vocab(rnd.nextInt(26)))
+      (i, (stem ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.8, 0.95)) {
+      def rows(f: org.apache.spark.sql.DataFrame) =
+        f.select("id_a", "id_b", "n_common").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(Dedup.jaccardJoin(corpus, threshold = tau)) ==
+        rows(Dedup.jaccardPairs(corpus, threshold = tau)),
+        s"diverged at tau=$tau")
+    }
+  }
+
+  test("jaccardJoin keeps the exact-boundary pair (rational prefix math)") {
+    import spark.implicits._
+    // token sets (w=1): |A|=|B|=9, overlap 8 -> J = 8/10 = 0.8 exactly
+    val a = (1 to 9).map(i => s"t$i").mkString(" ")
+    val b = ((1 to 8).map(i => s"t$i") :+ "other").mkString(" ")
+    val two = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val at08 = Dedup.jaccardJoin(two, w = 1, threshold = 0.8).collect()
+    assert(at08.length == 1 && at08.head.getAs[Long]("n_common") == 8L)
+    assert(Dedup.jaccardJoin(two, w = 1, threshold = 0.801).isEmpty)
+  }
+
   test("simhashPairs: exact dup at hamming 0; unrelated docs absent") {
     val got = Dedup.simhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
