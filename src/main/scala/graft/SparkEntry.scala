@@ -1018,6 +1018,12 @@ object SparkEntry {
     "q_graph_clustering" -> ((s, dir) =>
       Graph.localClustering(graphEdges(s, dir)).orderBy("node")),
 
+    // dense-nucleus extraction: the maximal 62-core of the link graph
+    // (62 peels the fixture in 3 rounds — constant documented in
+    // FIXTURES.md; the oracle unrolls 6 rounds, trailing no-ops)
+    "q_graph_kcore" -> ((s, dir) =>
+      Graph.kCore(graphEdges(s, dir), k = 62).orderBy("node")),
+
     // overlapping context-window chunks (stride 24, 8-token overlap);
     // the md5 keeps the oracle row compact instead of shipping chunk text
     "q_chunk_text" -> ((s, dir) =>
@@ -2923,6 +2929,34 @@ object SparkEntry {
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)""".stripMargin
 
+  /** Unroll `rounds` parallel-peel rounds of the k-core fixpoint as
+    * MATERIALIZED CTE pairs (d_i, k_i) — each round recomputes the
+    * degree table and drops every node under `k` from the edge list;
+    * a round past the fixpoint is the identity, so `rounds` only
+    * needs to be ≥ the fixture's peel depth (FIXTURES.md). */
+  private def kCoreUnrollSql(k: Int, rounds: Int): String = {
+    val init =
+      """k0 AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE src <> dst)""".stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""d${i - 1} AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+         |    SELECT a AS node FROM k${i - 1}
+         |    UNION ALL SELECT b FROM k${i - 1}) GROUP BY 1),
+         |k$i AS MATERIALIZED (
+         |  SELECT a, b FROM k${i - 1}
+         |  WHERE a NOT IN (SELECT node FROM d${i - 1} WHERE d < $k)
+         |    AND b NOT IN (SELECT node FROM d${i - 1} WHERE d < $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtesSql,
+       |$init,
+       |$peels
+       |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT a AS node FROM k$rounds
+       |  UNION ALL SELECT b FROM k$rounds)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
   /** Unroll `iters` PageRank rounds as CTE pairs (c_k, r_k) — the
     * IDENTICAL integer micro-unit recurrence [[Graph.pageRank]] runs:
     * per-edge contribution `(rank_u * 85) // (outdeg * 100)`, long
@@ -3810,6 +3844,11 @@ object SparkEntry {
          |  END AS lcc
          |FROM dg LEFT JOIN tc ON tc.node = dg.node
          |ORDER BY dg.node""".stripMargin,
+
+    // parallel peel unrolled: each round drops every node under
+    // degree k; rounds beyond the fixture's 3-round fixpoint are
+    // identity (low set empty), so 6 is safe slack
+    "q_graph_kcore" -> kCoreUnrollSql(k = 62, rounds = 6),
 
     "q_graph_degree" ->
       s"""WITH $graphEdgeCtesSql,

@@ -258,6 +258,61 @@ object Graph {
           .as("lcc"))
   }
 
+  /** Maximal k-core of the undirected simple graph — the standard
+    * "dense nucleus" extractor (spam/link-farm rings and genuinely
+    * authoritative cores both live in high-k cores; crawl curation
+    * reads core membership as a structural quality prior). Parallel
+    * peeling: each round removes EVERY node whose current degree is
+    * below k, until none remains — the fixpoint is the unique maximal
+    * subgraph where all degrees are ≥ k, independent of removal
+    * order, so the unrolled-round oracle replays it exactly.
+    *
+    * 100 TB shape: the edge list is deduped + localCheckpointed once,
+    * then each round is one map-side-combinable degree count
+    * (|V|-bounded shuffle) and two anti-joins that SHRINK the edge
+    * table; the convergence probe is a 1-row driver action per round
+    * (the [[Dedup.connectedComponents]] convention). Round count is
+    * the peel depth of the graph — power-law web graphs converge in a
+    * handful of rounds; a k=2 peel of a pure path degenerates to
+    * O(|V|) rounds, which `maxRounds` turns into a loud failure
+    * instead of an unbounded driver loop.
+    *
+    * Output: (node, degree) for the surviving nodes, degree measured
+    * INSIDE the core (all ≥ k); empty when no k-core exists. */
+  def kCore(edges: DataFrame, k: Int, src: String = "src",
+      dst: String = "dst", maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    def degreesOf(und: DataFrame): DataFrame =
+      und.select(col("a").as("node"))
+        .unionByName(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+    var cur = edges
+      .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      val low = degreesOf(cur).where(col("d") < k).select("node")
+      if (low.isEmpty) converged = true
+      else {
+        require(rounds < maxRounds,
+          s"kCore(k=$k) not converged after $maxRounds rounds — raise maxRounds")
+        cur = cur
+          .join(low.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(low.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .select("a", "b")
+          .localCheckpoint()
+        rounds += 1
+      }
+    }
+    degreesOf(cur).select(col("node"), col("d").cast("long").as("degree"))
+  }
+
   /** Undirected degree table + degree-ordered oriented edge list
     * (u, v, vd) — the shared prep of [[triangles]] and
     * [[localClustering]]. */

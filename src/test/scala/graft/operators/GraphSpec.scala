@@ -178,6 +178,42 @@ class GraphSpec extends SparkSpec {
     assert(perNode == 3 * total, s"$perNode vs 3*$total")
   }
 
+  test("kCore: multi-round peel, empty core, brute-force random pin") {
+    // K4 (nodes 0-3) + a tail 3-4-5-6: k=3 keeps exactly the K4, and
+    // the tail peels over MULTIPLE rounds (6 first, then 5, then 4)
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val tail = Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (k4 ++ tail).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), got.toString)
+    // no 4-core exists -> empty result
+    assert(Graph.kCore(edges, k = 4).isEmpty)
+    // brute-force pin on a random multigraph (dups + self-loops mixed in)
+    val rnd = new scala.util.Random(23)
+    val re = (1 to 120).map(_ =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    def brute(k: Int): Map[Long, Long] = {
+      var es = re.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+        val low = deg.filter(_._2 < k).keySet
+        changed = low.nonEmpty
+        es = es.filter(e => !low(e._1) && !low(e._2))
+      }
+      es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, v) => n -> v.size.toLong }
+    }
+    for (k <- Seq(2, 4, 6)) {
+      val spark_ = Graph.kCore(re.toDF("src", "dst"), k = k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(spark_ == brute(k), s"k=$k: $spark_ vs ${brute(k)}")
+    }
+  }
+
   test("degreeStats: full-outer merge, zero-filled") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges).collect()
