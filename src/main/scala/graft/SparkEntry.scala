@@ -1448,6 +1448,26 @@ object SparkEntry {
       Eval.cohensKappa(nbGateScored(s, dir, dim = 16), col("score"),
         col("label"), threshold = 0.0)),
 
+    // multi-rater agreement: 3 deterministic judges (md5 'fk|'
+    // namespace) vote one of 3 categories per doc — 70% follow a
+    // shared per-doc base category, 30% draw rater noise — Fleiss'
+    // kappa over the panel, exact integer numerators both engines
+    "q_gate_fleiss" -> ((s, dir) => {
+      val did = col("doc_id").cast("string")
+      val ratings = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("sequence(1, 3)")).as("rater"))
+        .select(col("doc_id"), col("rater"),
+          when(Sketch.md5Fraction(concat(lit("fk|n|"), did, lit("|"),
+            col("rater").cast("string"))) < 0.3,
+            floor(Sketch.md5Fraction(concat(lit("fk|r|"), did, lit("|"),
+              col("rater").cast("string"))) * 3))
+            .otherwise(floor(
+              Sketch.md5Fraction(concat(lit("fk|b|"), did)) * 3))
+            .cast("long").as("cat"))
+      Eval.fleissKappa(ratings, col("doc_id"), col("cat"),
+        ratersPerItem = 3)
+    }),
+
     // the PUBLISHED Gopher web-filter recipe (Rae et al. 2021 A1.1),
     // per rule per document — audit why a doc fell, not just that it
     // fell; pure per-row expressions over the scan
@@ -5197,6 +5217,59 @@ object SparkEntry {
          |        CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn),
          |          0) AS DOUBLE), 0.0), 6) AS kappa
          |FROM c""".stripMargin
+    },
+
+    // Fleiss: same md5-derived 3-rater panel; A and B are integer
+    // sums, κ is ONE rational division (A·D2 − B·D1)/(D1·(D2−B)) —
+    // HUGEINT here, decimal(38,0) on the Spark side, same integers
+    "q_gate_fleiss" -> {
+      val fn = md5FracSql(
+        "'fk|n|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")
+      val fr = md5FracSql(
+        "'fk|r|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")
+      val fb = md5FracSql("'fk|b|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id, rater,
+         |    CASE WHEN ($fn) < 0.3
+         |      THEN CAST(floor(($fr) * 3) AS BIGINT)
+         |      ELSE CAST(floor(($fb) * 3) AS BIGINT) END AS cat
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS rater) rt),
+         |cell AS (
+         |  SELECT doc_id, cat, count(*) AS nij FROM r
+         |  WHERE doc_id IS NOT NULL AND cat IS NOT NULL GROUP BY 1, 2),
+         |items AS (
+         |  SELECT doc_id, sum(nij) AS ntot, sum(nij * nij) AS sq
+         |  FROM cell GROUP BY 1),
+         |ist AS (
+         |  SELECT
+         |    CAST(coalesce(count(*) FILTER (WHERE ntot = 3), 0) AS BIGINT)
+         |      AS n_items,
+         |    CAST(coalesce(count(*) FILTER (WHERE ntot <> 3), 0) AS BIGINT)
+         |      AS n_dropped,
+         |    CAST(coalesce(sum(sq - 3) FILTER (WHERE ntot = 3), 0)
+         |      AS HUGEINT) AS a_sum
+         |  FROM items),
+         |cst AS (
+         |  SELECT CAST(coalesce(sum(CAST(cj AS HUGEINT) * cj), 0)
+         |    AS HUGEINT) AS b_sum
+         |  FROM (
+         |    SELECT cat, sum(nij) AS cj FROM cell
+         |    WHERE doc_id IN (SELECT doc_id FROM items WHERE ntot = 3)
+         |    GROUP BY cat)),
+         |d AS (
+         |  SELECT n_items, n_dropped, a_sum, b_sum,
+         |    CAST(n_items AS HUGEINT) * 3 * 2 AS d1,
+         |    CAST(n_items AS HUGEINT) * 3 * n_items * 3 AS d2
+         |  FROM ist CROSS JOIN cst)
+         |SELECT n_items, n_dropped,
+         |  round(CAST(a_sum AS DOUBLE) /
+         |    CAST(nullif(d1, 0) AS DOUBLE), 6) AS p_bar,
+         |  round(CAST(b_sum AS DOUBLE) /
+         |    CAST(nullif(d2, 0) AS DOUBLE), 6) AS p_e_bar,
+         |  round(CAST(a_sum * d2 - b_sum * d1 AS DOUBLE) /
+         |    CAST(nullif(d1 * (d2 - b_sum), 0) AS DOUBLE), 6) AS kappa
+         |FROM d""".stripMargin
     },
 
     // Gopher rules: the same per-row arithmetic on the lowercased

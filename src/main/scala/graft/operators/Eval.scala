@@ -397,6 +397,79 @@ object Eval {
               lit(0.0)), 6).as("kappa"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a
+    * FIXED number of raters per item over any number of categories:
+    * the statistic labeling pipelines report when k annotators (or k
+    * teacher models / k prompted judges) vote on the same corpus.
+    * With n_ij = raters putting item i in category j, n raters/item,
+    * N items and c_j = Σ_i n_ij:
+    *
+    *   P̄  = Σ_i (Σ_j n_ij² − n) / (N·n·(n−1))
+    *   P̄e = Σ_j c_j² / (N·n)²
+    *   κ  = (P̄ − P̄e)/(1 − P̄e)
+    *
+    * Both numerators are pure INTEGER sums, so the whole statistic is
+    * the rational (A·D2 − B·D1)/(D1·(D2 − B)) evaluated in one final
+    * division — exact-replay across engines like [[cohensKappa]].
+    * Products are carried as decimal(38,0): c_j² overflows a long
+    * once N·n exceeds ~3·10⁹ ratings, which a 100 TB corpus does.
+    *
+    * Items with a rating count ≠ `ratersPerItem` (partial annotation,
+    * duplicated votes) are EXCLUDED and reported in `n_dropped` —
+    * classic Fleiss is undefined on ragged panels, and silently
+    * keeping them would bias both P̄ and the category priors. NULL
+    * item/category rows are dropped up front. κ is NULL when P̄e = 1
+    * (every used rating in one category — agreement is vacuous).
+    *
+    * Scale: one groupBy to the (item, category) cells, one item-level
+    * fold, one category-level fold (both map-side combinable; the
+    * category table is k rows), and a 1-row × 1-row broadcast join —
+    * nothing wider than the cell table ever shuffles.
+    *
+    * Output (1 row): n_items, n_dropped, p_bar, p_e_bar, kappa. */
+  def fleissKappa(ratings: DataFrame, itemCol: Column, catCol: Column,
+      ratersPerItem: Int): DataFrame = {
+    require(ratersPerItem >= 2,
+      s"fleissKappa needs >= 2 raters per item, got $ratersPerItem")
+    val n = ratersPerItem.toLong
+    val cell = ratings
+      .where(itemCol.isNotNull && catCol.isNotNull)
+      .groupBy(itemCol.as("item"), catCol.as("cat"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(false) // feeds the item fold AND the cat fold
+    val items = cell.groupBy("item")
+      .agg(sum("nij").as("ntot"),
+        sum(col("nij") * col("nij")).as("sq"))
+    val itemStats = items.agg(
+      coalesce(sum(when(col("ntot") === n, 1L)), lit(0L)).as("n_items"),
+      coalesce(sum(when(col("ntot") =!= n, 1L)), lit(0L)).as("n_dropped"),
+      coalesce(sum(when(col("ntot") === n, col("sq") - n)), lit(0L))
+        .as("a_sum"))
+    val catStats = cell
+      .join(items.where(col("ntot") === n).select("item"), Seq("item"),
+        "left_semi")
+      .groupBy("cat").agg(sum("nij").as("cj"))
+      .agg(coalesce(sum(col("cj").cast("decimal(38,0)") * col("cj")),
+        lit(0L).cast("decimal(38,0)")).as("b_sum"))
+    val dec = "decimal(38,0)"
+    itemStats.crossJoin(broadcast(catStats))
+      .select(col("n_items"), col("n_dropped"), col("a_sum"),
+        col("b_sum"),
+        (col("n_items").cast(dec) * n * (n - 1)).as("d1"),
+        (col("n_items").cast(dec) * n * col("n_items") * n).as("d2"))
+      .select(col("n_items"), col("n_dropped"),
+        round(col("a_sum").cast("double") /
+          nullif(col("d1"), lit(0L).cast(dec)).cast("double"), 6)
+          .as("p_bar"),
+        round(col("b_sum").cast("double") /
+          nullif(col("d2"), lit(0L).cast(dec)).cast("double"), 6)
+          .as("p_e_bar"),
+        round((col("a_sum").cast(dec) * col("d2") -
+          col("b_sum") * col("d1")).cast("double") /
+          nullif(col("d1") * (col("d2") - col("b_sum")),
+            lit(0L).cast(dec)).cast("double"), 6).as("kappa"))
+  }
+
   /** Recall of an APPROXIMATE top-k result list against the EXACT one —
     * the metric that justifies every ANN shortcut (LSH buckets, IVF
     * probes, PQ codes): what fraction of the true neighbors did the

@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
     "q_gate_confusion" -> 3,    // same NB scored-chain folds
     "q_gate_kappa" -> 3,        // same NB scored-chain folds
+    "q_gate_fleiss" -> 1,       // 1-row item-stats × cat-stats fold
     "q_gate_pr" -> 1,           // totals fold over the checkpointed
                                 // distinct-score table (NB folds +
                                 // bounds live behind the checkpoint)

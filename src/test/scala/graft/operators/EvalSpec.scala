@@ -349,4 +349,46 @@ class EvalSpec extends SparkSpec {
       col("label"), 0.0).head
     assert(dgen.isNullAt(7), dgen.toString)
   }
+
+  test("fleissKappa: Fleiss 1971 table, perfect, degenerate, ragged drop") {
+    import spark.implicits._
+    // the canonical 10-item / 14-rater / 5-category table:
+    // P̄ = 688/1820, P̄e = 4170/19600, κ = 5895400/28082600 ≈ 0.209931
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val rows = for {
+      (cats, i) <- table.zipWithIndex
+      (cnt, j) <- cats.zipWithIndex
+      _ <- 0 until cnt
+    } yield (i.toLong, j.toLong)
+    val r = Eval.fleissKappa(rows.toDF("item", "cat"), col("item"),
+      col("cat"), ratersPerItem = 14).head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 0L, r.toString)
+    assert(r.getDouble(2) == 0.378022 && r.getDouble(3) == 0.212755 &&
+      r.getDouble(4) == 0.209931, r.toString)
+    // perfect agreement across 2 categories → κ = 1
+    val perfect = (0L until 6L).flatMap(i =>
+      Seq.fill(3)((i, i % 2))).toDF("item", "cat")
+    val p = Eval.fleissKappa(perfect, col("item"), col("cat"), 3).head
+    assert(p.getDouble(4) == 1.0, p.toString)
+    // every rating one category: P̄e = 1 → κ NULL, never 0/0
+    val dgen = (0L until 5L).flatMap(i =>
+      Seq.fill(3)((i, 0L))).toDF("item", "cat")
+    val d = Eval.fleissKappa(dgen, col("item"), col("cat"), 3).head
+    assert(d.getDouble(3) == 1.0 && d.isNullAt(4), d.toString)
+    // ragged panels excluded from EVERY term: items 0-3 have 3 votes,
+    // item 9 has 2 — result must equal the clean-panel recompute
+    val ragged = ((0L until 4L).flatMap(i => Seq.fill(3)((i, i % 3))) ++
+      Seq((9L, 0L), (9L, 1L))).toDF("item", "cat")
+    val g = Eval.fleissKappa(ragged, col("item"), col("cat"), 3).head
+    val clean = Eval.fleissKappa(
+      (0L until 4L).flatMap(i => Seq.fill(3)((i, i % 3)))
+        .toDF("item", "cat"), col("item"), col("cat"), 3).head
+    assert(g.getLong(0) == 4L && g.getLong(1) == 1L, g.toString)
+    assert(g.getDouble(2) == clean.getDouble(2) &&
+      g.getDouble(3) == clean.getDouble(3), s"$g vs $clean")
+  }
 }
