@@ -1018,6 +1018,13 @@ object SparkEntry {
     "q_graph_clustering" -> ((s, dir) =>
       Graph.localClustering(graphEdges(s, dir)).orderBy("node")),
 
+    // DeepWalk-style embedding corpus: 2 seeded walks of length 4
+    // from every node — pure function of graph + 'gw|' seeds, so the
+    // oracle replays every hop
+    "q_graph_walks" -> ((s, dir) =>
+      Graph.randomWalks(graphEdges(s, dir), length = 4, walksPerNode = 2)
+        .orderBy("start", "rep")),
+
     // dense-nucleus extraction: the maximal 62-core of the link graph
     // (62 peels the fixture in 3 rounds — constant documented in
     // FIXTURES.md; the oracle unrolls 6 rounds, trailing no-ops)
@@ -2949,6 +2956,39 @@ object SparkEntry {
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)""".stripMargin
 
+  /** Unroll `length − 1` seeded walk hops as CTEs — each step is the
+    * IDENTICAL left join [[Graph.randomWalks]] performs: neighbor
+    * index = floor(md5frac('gw|start|rep|t|cur') · odeg) over the
+    * dst-ordered out-edge list; sinks keep their path. */
+  private def walkUnrollSql(length: Int, walksPerNode: Int): String = {
+    val reps = (1 to walksPerNode).mkString(", ")
+    val steps = (1 until length).map { t =>
+      val seed = md5FracSql("'gw|' || CAST(w.start AS VARCHAR) || '|' || " +
+        s"CAST(w.rep AS VARCHAR) || '|$t|' || CAST(w.cur AS VARCHAR)")
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.start, w.rep, nb.dst AS cur,
+         |    CASE WHEN nb.dst IS NULL THEN w.path
+         |      ELSE w.path || ' ' || CAST(nb.dst AS VARCHAR) END AS path
+         |  FROM w${t - 1} w LEFT JOIN nbr nb
+         |    ON nb.src = w.cur
+         |    AND nb.idx = CAST(floor(($seed) * nb.odeg) AS BIGINT))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtesSql,
+       |nbr AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY src) AS odeg
+       |  FROM e),
+       |w0 AS (
+       |  SELECT node AS start, rep, node AS cur,
+       |    CAST(node AS VARCHAR) AS path
+       |  FROM nodes CROSS JOIN (SELECT unnest([$reps]) AS rep) r),
+       |$steps
+       |SELECT start, CAST(rep AS BIGINT) AS rep,
+       |  CAST(len(string_split(path, ' ')) AS BIGINT) AS len, path
+       |FROM w${length - 1} ORDER BY start, rep""".stripMargin
+  }
+
   /** Unroll `rounds` parallel-peel rounds of the k-core fixpoint as
     * MATERIALIZED CTE pairs (d_i, k_i) — each round recomputes the
     * degree table and drops every node under `k` from the edge list;
@@ -3869,6 +3909,10 @@ object SparkEntry {
     // degree k; rounds beyond the fixture's 3-round fixpoint are
     // identity (low set empty), so 6 is safe slack
     "q_graph_kcore" -> kCoreUnrollSql(k = 62, rounds = 6),
+
+    // every hop replayed: indexed neighbor pick via the same 'gw|'
+    // md5 draw over dst-ordered out-edges
+    "q_graph_walks" -> walkUnrollSql(length = 4, walksPerNode = 2),
 
     "q_graph_degree" ->
       s"""WITH $graphEdgeCtesSql,

@@ -258,6 +258,70 @@ object Graph {
           .as("lcc"))
   }
 
+  /** Deterministic random walks over the directed edge list — the
+    * corpus generator for DeepWalk/node2vec-style graph embeddings
+    * (each walk is a "sentence" of node tokens the skip-gram trainer
+    * consumes). `walksPerNode` walks of up to `length` nodes start at
+    * every node; at each step the next hop is chosen by a SEEDED md5
+    * draw (`gw|start|rep|step|cur` — the reserved `gw|` namespace)
+    * over the node's out-neighbors ordered by dst, so both engines —
+    * and every rerun — produce the IDENTICAL corpus: there is no RNG
+    * state, the walk is a pure function of the graph and the seed
+    * strings. A walk reaching a sink (no out-edges) simply ends.
+    *
+    * 100 TB shape: the neighbor table gets its per-source index
+    * (row_number within src — degree-bounded partitions) and
+    * out-degree attached ONCE and is localCheckpointed; each step is
+    * then one hash equi-join of the |V|·walksPerNode frontier against
+    * it on `cur = src` (the index pick is a residual predicate, each
+    * frontier row matches exactly one edge row). Paths travel as
+    * strings, bounded by `length`, never exploded.
+    *
+    * Output: (start, rep, len, path) with path the space-joined node
+    * sequence, 1 ≤ len ≤ length. */
+  def randomWalks(edges: DataFrame, src: String = "src",
+      dst: String = "dst", length: Int = 4,
+      walksPerNode: Int = 1): DataFrame = {
+    require(length >= 1, s"randomWalks needs length >= 1, got $length")
+    require(walksPerNode >= 1,
+      s"randomWalks needs walksPerNode >= 1, got $walksPerNode")
+    val e = cleanEdges(edges, src, dst)
+    val nbr = e
+      .withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")) - 1)
+      .join(e.groupBy("src").agg(count(lit(1)).as("odeg")), Seq("src"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var walks = nodes
+      .select(col("node").as("start"),
+        explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($walksPerNode AS BIGINT))"))
+          .as("rep"),
+        col("node").as("cur"),
+        col("node").cast("string").as("path"))
+    for (t <- 1 until length) {
+      // fresh column names per step — the same nbr table joins the
+      // frontier once per hop, so reuse of raw attribute ids would
+      // trip the self-join ambiguity check
+      val nb = nbr.select(col("src").as("__s"), col("dst").as("__d"),
+        col("idx").as("__i"), col("odeg").as("__o"))
+      val draw = floor(Sketch.md5Fraction(concat(lit("gw|"),
+        col("start").cast("string"), lit("|"),
+        col("rep").cast("string"), lit("|"), lit(t.toString), lit("|"),
+        col("cur").cast("string"))) * col("__o")).cast("long")
+      walks = walks
+        .join(nb, col("cur") === col("__s") && col("__i") === draw,
+          "left")
+        .select(col("start"), col("rep"), col("__d").as("cur"),
+          when(col("__d").isNotNull,
+            concat(col("path"), lit(" "), col("__d").cast("string")))
+            .otherwise(col("path")).as("path"))
+    }
+    walks.select(col("start"), col("rep"),
+      size(split(col("path"), " ")).cast("long").as("len"), col("path"))
+  }
+
   /** Maximal k-core of the undirected simple graph — the standard
     * "dense nucleus" extractor (spam/link-farm rings and genuinely
     * authoritative cores both live in high-k cores; crawl curation

@@ -214,6 +214,41 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("randomWalks: edges followed, sinks end walks, fully deterministic") {
+    // 1 -> {2, 3}, 2 -> 4; 3 and 4 are sinks
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.randomWalks(edges, length = 3, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got.size == 8) // 4 nodes x 2 reps
+    // sinks never move
+    assert(got((3L, 1L)) == ((1L, "3")) && got((4L, 2L)) == ((1L, "4")))
+    // every consecutive hop is a real edge, first token is the start
+    val edgeSet = Set((1L, 2L), (1L, 3L), (2L, 4L))
+    got.foreach { case ((start, _), (len, path)) =>
+      val ns = path.split(" ").map(_.toLong)
+      assert(ns.length == len && ns.head == start, path)
+      ns.sliding(2).filter(_.length == 2).foreach(p =>
+        assert(edgeSet((p(0), p(1))), s"bogus hop in $path"))
+    }
+    // a walk from 2 must reach 4 (single out-edge) then stop
+    assert(got((2L, 1L)) == ((2L, "2 4")))
+    // rerun is bit-identical (no RNG state anywhere)
+    val again = Graph.randomWalks(edges, length = 3, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(again == got)
+    // larger hash-shaped graph: reps diverge somewhere (draws differ)
+    val rnd = new scala.util.Random(5)
+    val re = (1 to 200).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val w = Graph.randomWalks(re, length = 5, walksPerNode = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3))
+    val byStart = w.groupBy(_._1._1).view.mapValues(_.map(_._2).distinct)
+    assert(byStart.values.exists(_.size > 1), "all reps identical — draws not rep-seeded")
+  }
+
   test("degreeStats: full-outer merge, zero-filled") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges).collect()
