@@ -1031,6 +1031,14 @@ object SparkEntry {
     "q_graph_kcore" -> ((s, dir) =>
       Graph.kCore(graphEdges(s, dir), k = 62).orderBy("node")),
 
+    // community detection: 3 SYNCHRONOUS label-propagation rounds,
+    // min-label tiebreak — a deterministic total order, so the oracle
+    // replays every round's assignment (not just the final shape);
+    // per round one adjacency join + two map-side-combinable folds
+    "q_graph_labelprop" -> ((s, dir) =>
+      Graph.labelPropagation(graphEdges(s, dir), iters = 3)
+        .orderBy("node")),
+
     // overlapping context-window chunks (stride 24, 8-token overlap);
     // the md5 keeps the oracle row compact instead of shipping chunk text
     "q_chunk_text" -> ((s, dir) =>
@@ -3017,6 +3025,38 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY node""".stripMargin
   }
 
+  /** Unroll `iters` synchronous label-propagation rounds — each is
+    * the IDENTICAL (neighbor-label count, max-count-min-label argmax)
+    * step [[Graph.labelPropagation]] performs; the oracle's
+    * window-rank argmax and Spark's max(struct(c, -lbl)) fold pick
+    * the same row because (c, lbl) is unique within a node group. */
+  private def labelPropUnrollSql(iters: Int): String = {
+    val init =
+      """und AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM ed WHERE src <> dst),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS node, b AS nbr FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""cnt$k AS (
+         |  SELECT adj.node, l.lbl, count(*) AS c
+         |  FROM adj JOIN l${k - 1} l ON l.node = adj.nbr
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM cnt$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtesSql,
+       |$init,
+       |$rounds
+       |SELECT node, CAST(lbl AS BIGINT) AS community
+       |FROM l$iters ORDER BY node""".stripMargin
+  }
+
   /** Unroll `iters` PageRank rounds as CTE pairs (c_k, r_k) — the
     * IDENTICAL integer micro-unit recurrence [[Graph.pageRank]] runs:
     * per-edge contribution `(rank_u * 85) // (outdeg * 100)`, long
@@ -3909,6 +3949,9 @@ object SparkEntry {
     // degree k; rounds beyond the fixture's 3-round fixpoint are
     // identity (low set empty), so 6 is safe slack
     "q_graph_kcore" -> kCoreUnrollSql(k = 62, rounds = 6),
+
+    // every round's synchronous (count, min-label) adoption replayed
+    "q_graph_labelprop" -> labelPropUnrollSql(3),
 
     // every hop replayed: indexed neighbor pick via the same 'gw|'
     // md5 draw over dst-ordered out-edges

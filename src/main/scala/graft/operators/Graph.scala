@@ -419,6 +419,60 @@ object Graph {
       .select(col("u"), col("pv"), col("qv"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the undirected simple graph: every node starts
+    * as its own community, then each round SIMULTANEOUSLY adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * smallest label — a deterministic total order, so iteration k's
+    * assignment is a pure function of the graph and the oracle
+    * replays every round (the async/random-order variant converges
+    * faster but is irreproducible; curation pipelines want the
+    * replayable one). Fixed `iters` rather than convergence: the
+    * synchronous update can 2-cycle on bipartite structures, so a
+    * fixpoint probe would not terminate — fixed rounds are the
+    * documented semantics, as with [[hits]].
+    *
+    * 100 TB shape: the both-directions adjacency is built and
+    * hash-partitioned by `nbr` ONCE and localCheckpointed; each round
+    * costs one |V|-row label-table join against it, one map-side-
+    * combinable (node, label) count, and one max_by-style argmax —
+    * `max(struct(count, -label))` — which combines map-side too, so
+    * no round shuffles more than |V| × neighbor-label-variety rows
+    * and nothing is ever windowed or sorted.
+    *
+    * Output: (node, community) — community is the adopted label. */
+  def labelPropagation(edges: DataFrame, src: String = "src",
+      dst: String = "dst", iters: Int = 3,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(iters >= 1 && checkpointInterval >= 1,
+      s"bad labelPropagation params: iters=$iters interval=$checkpointInterval")
+    val und = edges
+      .select(col(src).cast("long").as("x"), col(dst).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(und.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr"))
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (round <- 1 to iters) {
+      val lb = labels.select(col("node").as("__n"), col("lbl").as("__l"))
+      labels = adj.join(lb, adj("nbr") === col("__n"))
+        .groupBy(adj("node"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("__c"), (-col("__l")).as("__neg"))).as("__m"))
+        .select(col("node"), (-col("__m.__neg")).as("lbl"))
+      if (round % checkpointInterval == 0 && round < iters)
+        labels = labels.localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
   /** Per-node degree profile of a directed edge list — the cheap
     * graph-shape probe run before anything iterative (skew detection:
     * a follower-graph hub with 10^8 in-edges needs salting before any

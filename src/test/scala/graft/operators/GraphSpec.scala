@@ -249,6 +249,49 @@ class GraphSpec extends SparkSpec {
     assert(byStart.values.exists(_.size > 1), "all reps identical — draws not rep-seeded")
   }
 
+  test("labelPropagation: known communities, replay pin, determinism") {
+    // two triangles bridged by 3-4: LPA must split them
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-replayed synchronous rounds (min-label tiebreak):
+    // l3 = {1,2,3}->1, {4,5,6}->3
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), got.toString)
+
+    // brute-force replay on a random graph: the identical synchronous
+    // recurrence in plain Scala maps
+    def brute(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val und = es.filter(p => p._1 != p._2)
+        .map(p => (p._1 min p._2, p._1 max p._2)).distinct
+      val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+        .map { case (n, v) => n -> v.map(_._2) }
+      var lbl = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lbl = adj.map { case (n, nbrs) =>
+          val counts = nbrs.map(lbl).groupBy(identity)
+            .map { case (l, v) => (l, v.size) }
+          n -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      lbl
+    }
+    val rnd = new scala.util.Random(31)
+    val re = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    for (iters <- Seq(1, 2, 4)) {
+      val sp = Graph.labelPropagation(re.toDF("src", "dst"), iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sp == brute(re, iters), s"iters=$iters")
+    }
+    // rerun + repartition invariance (no order-dependence anywhere)
+    val again = Graph.labelPropagation(
+      re.toDF("src", "dst").repartition(13), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == brute(re, 4))
+  }
+
   test("degreeStats: full-outer merge, zero-filled") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges).collect()
