@@ -575,6 +575,25 @@ object SparkEntry {
           col("mg_within_bound").cast("long").as("mg_within_bound"))
     }),
 
+    // native Count-Min sketch: a fixed 4×64 long grid per partial (no
+    // per-distinct-key shuffle; per-shard grids ADD), counters pure
+    // per-cell sums over the 'cm|' md5 cells — fully ORDER-INDEPENDENT,
+    // so the oracle replays every counter and the exact estimates,
+    // not just a bound. Probes = suppkeys 1..20; est >= true always
+    "q_cms_point" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("string").as("k"))
+        .where(col("k").isNotNull)
+      val sk = vals.agg(Sketch.countMin(col("k"), 4, 64).as("sk"))
+      val truth = vals.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+        .where(col("k").cast("long") <= 20)
+      truth.crossJoin(broadcast(sk))
+        .select(col("k").cast("long").as("suppkey"), col("true_cnt"),
+          Sketch.countMinEstimate(col("sk"), col("k"), 4, 64).as("est"))
+        .withColumn("overcount", col("est") - col("true_cnt"))
+        .orderBy("suppkey")
+    }),
+
     "q_date_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(
@@ -3442,6 +3461,33 @@ object SparkEntry {
         |FROM ex, tot
         |WHERE n_exact * 257 > n_total
         |ORDER BY n_exact DESC, token""".stripMargin,
+
+    // full counter replay: the grid is a pure function of the key
+    // multiset (per-cell sums over the same 'cm|j|' md5 cells), so
+    // both engines build the identical 4×64 grid and the min-of-cells
+    // estimate matches exactly
+    "q_cms_point" -> {
+      val cellOfK = md5FracSql("'cm|' || CAST(j AS VARCHAR) || '|' || k")
+      val cellOfP = md5FracSql("'cm|' || CAST(ct.j AS VARCHAR) || '|' || p.k")
+      s"""WITH keys AS (
+         |  SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS c
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+         |grid AS (
+         |  SELECT j, CAST(floor(($cellOfK) * 64) AS BIGINT) AS cell, c
+         |  FROM keys CROSS JOIN (SELECT unnest(range(4)) AS j)),
+         |counters AS (SELECT j, cell, sum(c) AS cnt FROM grid GROUP BY 1, 2),
+         |probes AS (SELECT k, c AS true_cnt FROM keys
+         |  WHERE CAST(k AS BIGINT) <= 20),
+         |est AS (
+         |  SELECT p.k, p.true_cnt, min(ct.cnt) AS est
+         |  FROM probes p JOIN counters ct
+         |    ON ct.cell = CAST(floor(($cellOfP) * 64) AS BIGINT)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(k AS BIGINT) AS suppkey,
+         |  CAST(true_cnt AS BIGINT) AS true_cnt, CAST(est AS BIGINT) AS est,
+         |  CAST(est - true_cnt AS BIGINT) AS overcount
+         |FROM est ORDER BY suppkey""".stripMargin
+    },
 
     "q_date_agg" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,

@@ -150,6 +150,31 @@ object Sketch {
       .orderBy(col("n_exact").desc, col("v"))
   }
 
+  /** The native Count-Min sketch aggregate
+    * ([[graft.functions.expressions.CountMin]]): a depth×width long
+    * grid, order-independent (pure per-cell sums over the md5 `cm|`
+    * cell assignment), mergeable by addition — per-shard sketches
+    * roll up to the corpus sketch without rescanning. */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graft.CatalystBridge.countMin(c, depth, width)
+
+  /** Point-frequency estimate from a [[countMin]] grid: `min` over the
+    * key's `depth` cells — plain codegen'd column functions
+    * (element_at + the native md5 fraction), no UDF. `key` must be the
+    * SAME string rendering the sketch was built over. Always ≥ the
+    * true count; the overshoot is other keys' mass colliding into the
+    * key's cells. */
+  def countMinEstimate(sketch: Column, key: Column, depth: Int,
+      width: Int): Column = {
+    val cells = (0 until depth).map { j =>
+      element_at(sketch,
+        (lit(j * width) +
+          floor(md5Fraction(concat(lit(s"cm|$j|"), key)) * width))
+          .cast("int") + 1)
+    }
+    if (cells.length == 1) cells.head else least(cells: _*)
+  }
+
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")

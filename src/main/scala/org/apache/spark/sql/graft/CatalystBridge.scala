@@ -118,6 +118,14 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.MisraGries(
       ExpressionUtils.expression(c), k).toAggregateExpression())
 
+  /** Count-Min sketch aggregate: fixed depth×width long grid,
+    * order-independent (pure per-cell sums, md5-cell assignment),
+    * merges by pointwise addition (see
+    * [[graft.functions.expressions.CountMin]]). */
+  def countMin(c: Column, depth: Int, width: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.CountMin(
+      ExpressionUtils.expression(c), depth, width).toAggregateExpression())
+
   /** Bounded per-group top-k aggregate over an orderable struct
     * (score first, tie-breaks after) — the map-side-combinable
     * replacement for window-rank top-N (see
@@ -294,6 +302,25 @@ object CatalystBridge {
           s"freq_items: k must be an integer literal, got $other")
       }
       graft.functions.expressions.MisraGries(args.head, k)
+    })
+
+  /** `count_min(s, depth, width)` — the Count-Min sketch aggregate in
+    * plain SQL (depth and width must be integer literals). */
+  val countMinDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("count_min"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.CountMin].getName, "count_min"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"count_min takes (column, depth, width), got ${args.length} args")
+      def intLit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"count_min: $name must be an integer literal, got $other")
+      }
+      graft.functions.expressions.CountMin(args.head,
+        intLit(args(1), "depth"), intLit(args(2), "width"))
     })
 
   /** `top_k(struct_col, k)` — bounded per-group top-k in plain SQL
@@ -543,7 +570,8 @@ object CatalystBridge {
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
-    topKDescriptor, wordpieceDescriptor, unigramSegmentDescriptor,
+    countMinDescriptor, topKDescriptor, wordpieceDescriptor,
+    unigramSegmentDescriptor,
     deflateLenDescriptor, unicodeNormalizeDescriptor,
     bloomContainsDescriptor)
 

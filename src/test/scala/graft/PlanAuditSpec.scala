@@ -25,6 +25,7 @@ class PlanAuditSpec extends SparkSpec {
   // call sites; VERDICT r6 re-audited the full list)
   private val bnljBudget: Map[String, Int] = Map(
     "dedup_semdedup" -> 2,      // centroid table + cluster-size fold
+    "q_cms_point" -> 1,         // 1-row count-min grid fold
     "q_freq_topk" -> 1,         // (n_total, mg sketch) 1-row fold
     "q_gate_auc" -> 2,          // 2× 1-row bounds fold (bucketed path
                                 // read twice: main + offset rollup).
