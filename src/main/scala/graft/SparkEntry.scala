@@ -3133,14 +3133,16 @@ object SparkEntry {
          |an$k AS (SELECT nodes.node, coalesce(ar$k.r, 0) AS r
          |  FROM nodes LEFT JOIN ar$k ON nodes.node = ar$k.node),
          |a$k AS (SELECT node,
-         |  (r * 1000000) // (SELECT max(r) FROM an$k) AS auth_u
+         |  (CAST(r AS HUGEINT) * 1000000) // (SELECT max(r) FROM an$k)
+         |    AS auth_u
          |  FROM an$k),
          |hr$k AS (SELECT e.src AS node, sum(a.auth_u) AS r
          |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
          |hn$k AS (SELECT nodes.node, coalesce(hr$k.r, 0) AS r
          |  FROM nodes LEFT JOIN hr$k ON nodes.node = hr$k.node),
          |h$k AS (SELECT node,
-         |  (r * 1000000) // (SELECT max(r) FROM hn$k) AS hub_u
+         |  (CAST(r AS HUGEINT) * 1000000) // (SELECT max(r) FROM hn$k)
+         |    AS hub_u
          |  FROM hn$k)""".stripMargin
     }
     (init +: rounds).mkString(",\n")
@@ -5314,9 +5316,10 @@ object SparkEntry {
     },
 
     "q_gate_kappa" -> {
-      // κ from the same exact confusion counts; po/pe/κ are single
-      // final divisions on identical integers (pe spelled identically
-      // everywhere so both engines run the same IEEE ops)
+      // κ from the same exact confusion counts; unrounded po/pe are
+      // computed ONCE and κ derived from them — the same IEEE ops as
+      // the Spark side. Marginal products ride HUGEINT, mirroring the
+      // decimal(38,0) overflow guard in Eval.cohensKappa (ADVICE r9)
       s"""WITH $PaddedDocCte,
          |${nbScoredChainSql(16)},
          |c AS (
@@ -5329,27 +5332,21 @@ object SparkEntry {
          |      AS BIGINT) AS fn,
          |    CAST(sum(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END)
          |      AS BIGINT) AS tn
-         |  FROM scored)
-         |SELECT CAST(tp + fp + fn + tn AS BIGINT) AS n,
-         |  tp, fp, fn, tn,
-         |  round(CAST(tp + tn AS DOUBLE) /
-         |    CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE), 6) AS po,
-         |  round(CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
-         |      AS DOUBLE) /
-         |    CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn), 0)
-         |      AS DOUBLE), 6) AS pe,
-         |  round((CAST(tp + tn AS DOUBLE) /
-         |      CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE) -
-         |    CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
-         |        AS DOUBLE) /
-         |      CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn), 0)
-         |        AS DOUBLE)) /
-         |    nullif(1.0 -
-         |      CAST((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
-         |          AS DOUBLE) /
-         |        CAST(nullif((tp + fp + fn + tn) * (tp + fp + fn + tn),
-         |          0) AS DOUBLE), 0.0), 6) AS kappa
-         |FROM c""".stripMargin
+         |  FROM scored),
+         |r AS (
+         |  SELECT CAST(tp + fp + fn + tn AS BIGINT) AS n,
+         |    tp, fp, fn, tn,
+         |    CAST(tp + tn AS DOUBLE) /
+         |      CAST(nullif(tp + fp + fn + tn, 0) AS DOUBLE) AS upo,
+         |    CAST(CAST(tp + fp AS HUGEINT) * (tp + fn) +
+         |        CAST(fn + tn AS HUGEINT) * (fp + tn) AS DOUBLE) /
+         |      CAST(nullif(CAST(tp + fp + fn + tn AS HUGEINT) *
+         |        (tp + fp + fn + tn), 0) AS DOUBLE) AS upe
+         |  FROM c)
+         |SELECT n, tp, fp, fn, tn,
+         |  round(upo, 6) AS po, round(upe, 6) AS pe,
+         |  round((upo - upe) / nullif(1.0 - upe, 0.0), 6) AS kappa
+         |FROM r""".stripMargin
     },
 
     // Fleiss: same md5-derived 3-rater panel; A and B are integer

@@ -175,9 +175,11 @@ object Dedup {
     * the distinct; exact verification then intersects the per-doc
     * arrays for candidate pairs only.
     *
-    * τ is carried as the exact rational `tn/1000` (tn = round(τ·1000))
-    * so the prefix length uses pure integer ceil-division — a floating
-    * ⌈0.8·n⌉ rounds wrong at exact multiples. Output identical to
+    * τ is carried as the exact rational `tn/1000` (tn = ⌊τ·1000⌋ — an
+    * UNDER-approximation, so the candidate filters can only widen, and
+    * exact verification restores τ) and the prefix length uses pure
+    * integer ceil-division — a floating ⌈0.8·n⌉ rounds wrong at exact
+    * multiples. Output identical to
     * [[jaccardPairs]] at the same threshold: (id_a < id_b, n_common,
     * n_a, n_b, jaccard).
     *
@@ -191,7 +193,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccardJoin needs 0 < threshold <= 1, got $threshold")
-    val tn = math.round(threshold * 1000).toInt
+    // FLOOR, not round (ADVICE r9): the prefix/length filters prune at
+    // tn/1000, so the rational must UNDER-approximate τ — rounding up
+    // (0.8006 → 801) would make both filters stricter than τ and
+    // silently drop pairs with Jaccard in [τ, tn/1000). Flooring only
+    // admits extra candidates; exact array verification re-applies the
+    // true threshold, so the result is exact for ANY τ.
+    val tn = math.max(1, math.floor(threshold * 1000).toInt)
     val sh = shingles(docs, id, textCol, w)
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // per-doc shingle array in (df, shingle) order + set size; lazily

@@ -370,31 +370,29 @@ object Eval {
     * divisions on identical integers, so any engine replays them. */
   def cohensKappa(scored: DataFrame, scoreCol: Column, labelCol: Column,
       threshold: Double): DataFrame = {
+    val dec = "decimal(38,0)"
     confusionCounts(scored, scoreCol, labelCol, threshold)
       .select(
         (col("tp") + col("fp") + col("fn") + col("tn")).as("n"),
         col("tp"), col("fp"), col("fn"), col("tn"))
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
-        round((col("tp") + col("tn")).cast("double") /
-          nullif(col("n"), lit(0L)).cast("double"), 6).as("po"),
-        round(((col("tp") + col("fp")) * (col("tp") + col("fn")) +
-          (col("fn") + col("tn")) * (col("fp") + col("tn")))
+        // marginal products and n² carried as decimal(38,0) (ADVICE
+        // r9): the long products overflow silently past ~3e9 rows —
+        // the same overflow class fleissKappa guards against. The
+        // unrounded ratios feed κ so the IEEE ops stay identical to
+        // the oracle's repeated-expression form.
+        ((col("tp") + col("tn")).cast("double") /
+          nullif(col("n"), lit(0L)).cast("double")).as("__po"),
+        (((col("tp") + col("fp")).cast(dec) * (col("tp") + col("fn")) +
+          (col("fn") + col("tn")).cast(dec) * (col("fp") + col("tn")))
           .cast("double") /
-          nullif(col("n") * col("n"), lit(0L)).cast("double"), 6)
-          .as("pe"),
-        round(
-          ((col("tp") + col("tn")).cast("double") /
-            nullif(col("n"), lit(0L)).cast("double") -
-            ((col("tp") + col("fp")) * (col("tp") + col("fn")) +
-              (col("fn") + col("tn")) * (col("fp") + col("tn")))
-              .cast("double") /
-              nullif(col("n") * col("n"), lit(0L)).cast("double")) /
-            nullif(lit(1.0) -
-              ((col("tp") + col("fp")) * (col("tp") + col("fn")) +
-                (col("fn") + col("tn")) * (col("fp") + col("tn")))
-                .cast("double") /
-                nullif(col("n") * col("n"), lit(0L)).cast("double"),
-              lit(0.0)), 6).as("kappa"))
+          nullif(col("n").cast(dec) * col("n"), lit(0L).cast(dec))
+            .cast("double")).as("__pe"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("__po"), 6).as("po"),
+        round(col("__pe"), 6).as("pe"),
+        round((col("__po") - col("__pe")) /
+          nullif(lit(1.0) - col("__pe"), lit(0.0)), 6).as("kappa"))
   }
 
   /** Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among a

@@ -82,8 +82,6 @@ object Graph {
     val seedCol = seeds.columns.head
     val sd = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
-    val k = sd.count()
-    require(k >= 1, "personalizedPageRank: empty seed set")
     val nodesAll = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -91,6 +89,14 @@ object Graph {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(0L)).as("seed"))
       .localCheckpoint()
+    // teleport denominator = seeds PRESENT in the graph (ADVICE r9): a
+    // seed id absent from the edge list receives no rank row, so
+    // dividing by the raw seed count would silently discard its share
+    // of teleport mass — renormalize over the seeds that get mass
+    val k = nodesAll.agg(coalesce(sum(col("seed")), lit(0L)))
+      .head().getLong(0)
+    require(k >= 1, "personalizedPageRank: no seed id appears in the " +
+      "graph — teleport mass would have nowhere to land")
     rankLoop(nodesAll, edgesWithOutdeg(e), k, iters, dampingPct,
       checkpointInterval)
   }
@@ -179,9 +185,14 @@ object Graph {
       val filled = nodes.join(raw, Seq("node"), "left")
         .select(col("node"), coalesce(col("r"), lit(0L)).as("r"))
       val mx = filled.agg(max(col("r")).as("mx"))
+      // overflow-safe renormalization (ADVICE r9): r is a per-node sum
+      // of up-to-1e6 micro-unit scores over in-edges, so r*1e6 wraps a
+      // long once in-degree passes ~9.2M — a real web hub. decimal(38,0)
+      // carries the product exactly (r ≤ ~1e15 at 1e9-degree hubs →
+      // product ≤ 1e21 ≪ 1e38); the integral div lands back in a long.
       filled.crossJoin(broadcast(mx))
         .select(col("node"),
-          expr(s"(r * 1000000) div mx").as(outCol))
+          expr(s"(CAST(r AS DECIMAL(38,0)) * 1000000) div mx").as(outCol))
     }
     var auth = nodes.select(col("node"), lit(1000000L).as("auth_u"))
     var hub = nodes.select(col("node"), lit(1000000L).as("hub_u"))

@@ -523,17 +523,20 @@ object Layout {
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     def visible(p: Path): Boolean =
       !p.getName.startsWith(".") && !p.getName.startsWith("_")
-    // hive-partitioned root: no top-level data files, visible k=v
-    // subdirs — compact each LEAF directory as its own unit (the
-    // OPTIMIZE-per-partition shape every lakehouse uses: partition
-    // boundaries are preserved, each leaf swap is independent, a crash
-    // affects at most the one leaf mid-swap). Partition-path columns
-    // don't exist in the leaf files, so `cols` must be data columns.
+    // partitioned (or mixed) root: visible subdirs present — compact
+    // each LEAF directory as its own unit (the OPTIMIZE-per-partition
+    // shape every lakehouse uses: partition boundaries are preserved,
+    // each leaf swap is independent, a crash affects at most the one
+    // leaf mid-swap). A MIXED root (top-level files AND k=v subdirs)
+    // compacts its own files as one more unit (ADVICE r9: they were
+    // silently the ONLY thing compacted before, ignoring all partition
+    // data). Partition-path columns don't exist in the leaf files, so
+    // `cols` must be data columns.
     val topFiles = fs.listStatus(hPath)
       .filter(s => s.isFile && visible(s.getPath))
     val subDirs = fs.listStatus(hPath)
       .filter(s => s.isDirectory && visible(s.getPath))
-    if (topFiles.isEmpty && subDirs.nonEmpty) {
+    if (subDirs.nonEmpty) {
       // a "leaf" is any dir that OWNS visible data files: mixed dirs
       // (files + sub-partitions) compact their own files as one unit
       // and recurse, file-less dirs (e.g. a partition created by a
@@ -544,12 +547,12 @@ object Layout {
         val own = if (st.exists(_.isFile)) Seq(p) else Nil
         own ++ dirs.flatMap(leaves)
       }
-      val leafDirs = subDirs.map(_.getPath).toSeq.flatMap(leaves)
-        .sortBy(_.toString)
+      val leafDirs = (if (topFiles.nonEmpty) Seq(hPath) else Nil) ++
+        subDirs.map(_.getPath).toSeq.flatMap(leaves).sortBy(_.toString)
       require(leafDirs.nonEmpty,
         s"optimize: no data files under any partition of $dir")
       val results = leafDirs
-        .map(leaf => optimize(spark, leaf.toString, cols, bits,
+        .map(leaf => optimizeFlat(spark, fs, leaf, cols, bits,
           targetBytes, numFiles))
       // refresh once, after every leaf swapped (recursive diff)
       zoneMapManifest.foreach(m => zoneMapRefresh(spark, dir, m))
@@ -557,8 +560,26 @@ object Layout {
         bloomManifestRefresh(spark, dir, key, items, m) }
       return (results.map(_._1).sum, results.map(_._2).sum)
     }
-    val files = topFiles
-    require(files.nonEmpty, s"optimize: no data files under $dir")
+    val result = optimizeFlat(spark, fs, hPath, cols, bits, targetBytes,
+      numFiles)
+    zoneMapManifest.foreach(m => zoneMapRefresh(spark, dir, m))
+    bloomManifest.foreach { case (m, key, items) =>
+      bloomManifestRefresh(spark, dir, key, items, m) }
+    result
+  }
+
+  /** The single-directory compaction unit of [[optimize]]: pins this
+    * dir's OWN visible top-level files (subdirs untouched), rewrites
+    * them z-ordered through the `.optimize-tmp`/`.optimize-backup`
+    * swap, and returns (filesBefore, filesAfter). */
+  private def optimizeFlat(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, hPath: Path, cols: Seq[Column],
+      bits: Int, targetBytes: Long, numFiles: Option[Int]): (Int, Int) = {
+    def visible(p: Path): Boolean =
+      !p.getName.startsWith(".") && !p.getName.startsWith("_")
+    val files = fs.listStatus(hPath)
+      .filter(s => s.isFile && visible(s.getPath))
+    require(files.nonEmpty, s"optimize: no data files under $hPath")
     val total = files.map(_.getLen).sum
     val n = numFiles.getOrElse(
       math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)
@@ -574,8 +595,8 @@ object Layout {
       else Array.empty[org.apache.hadoop.fs.FileStatus]
     require(leftover.isEmpty,
       s"optimize: $backup holds ${leftover.length} file(s) from an " +
-        s"interrupted run — move them back into $dir before re-running" +
-        "; nothing has been touched")
+        s"interrupted run — move them back into $hPath before " +
+        "re-running; nothing has been touched")
     fs.delete(tmp, true); fs.delete(backup, true)
     // PIN the input to the captured listing — reading the dir again
     // here would re-list at job start and compact (then duplicate) any
@@ -592,9 +613,6 @@ object Layout {
       fs.rename(s.getPath, new Path(hPath, s.getPath.getName)))
     fs.delete(tmp, true)
     fs.delete(backup, true)
-    zoneMapManifest.foreach(m => zoneMapRefresh(spark, dir, m))
-    bloomManifest.foreach { case (m, key, items) =>
-      bloomManifestRefresh(spark, dir, key, items, m) }
     (files.length, fresh.length)
   }
 

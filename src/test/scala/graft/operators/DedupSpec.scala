@@ -92,6 +92,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardJoin(two, w = 1, threshold = 0.801).isEmpty)
   }
 
+  test("jaccardJoin: non-3-decimal threshold floors, never drops a pair") {
+    import spark.implicits._
+    // τ = 0.8006 is NOT a 3-decimal multiple: rounding tn up to 801
+    // would make the length filter (1000·min ≥ tn·max) stricter than τ
+    // and drop this pair (ADVICE r9) — tn must floor to 800. B ⊂ A with
+    // |A| = 5000 shingles, |B| = 4003 → J = 4003/5000 = 0.8006 = τ
+    // exactly (both sides land on the same IEEE double).
+    val toks = (0 until 5002).map(i => f"t$i%05d")
+    val docs = Seq((1L, toks.mkString(" ")),
+      (2L, toks.take(4005).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(docs, threshold = 0.8006).collect()
+    assert(got.length == 1, s"boundary pair dropped: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("n_common") == 4003L &&
+      r.getAs[Long]("n_a") == 5000L && r.getAs[Long]("n_b") == 4003L, r)
+    // the exact verify still applies the TRUE threshold: nothing below
+    // τ sneaks in through the floored candidate filters
+    assert(Dedup.jaccardJoin(docs, threshold = 0.8007).isEmpty)
+  }
+
   test("simhashPairs: exact dup at hamming 0; unrelated docs absent") {
     val got = Dedup.simhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -292,6 +292,44 @@ class GraphSpec extends SparkSpec {
     assert(again == brute(re, 4))
   }
 
+  test("personalizedPageRank: absent seed ids don't swallow teleport mass") {
+    // seed 777 appears nowhere in the graph — the teleport denominator
+    // must renormalize over the PRESENT seeds ({0}), not the raw seed
+    // count, or 777's share of mass silently vanishes (ADVICE r9)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    def run(seeds: Seq[Long]) =
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        seeds.toDF("node"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(run(Seq(0L, 777L)) == run(Seq(0L)),
+      "ghost seed changed the rank distribution")
+    // an all-absent seed set is an error, not a silent zero field
+    val err = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("src", "dst"),
+        Seq(777L).toDF("node"), iters = 1).collect()
+    }
+    assert(err.getMessage.contains("no seed id"), err.getMessage)
+  }
+
+  test("hits: renormalization survives a hub with >9.2M in-edges") {
+    // r·1e6 wraps a signed long once a node's summed in-score passes
+    // ~9.22e12 — i.e. in-degree ≳ 9.22M at the 1e6 micro-unit ceiling.
+    // 9.3M distinct sources all pointing at node 0 cross that line on
+    // the very first half-step; the decimal(38,0) renorm (ADVICE r9)
+    // must keep every score in [0, 1] with the hub's auth exactly 1.
+    val hubEdges = spark.range(9300000L)
+      .select((col("id") + 10).as("src"), lit(0L).as("dst"))
+    val res = Graph.hits(hubEdges, iters = 1).localCheckpoint(false)
+    val r = res.agg(min(col("auth")), max(col("auth")), min(col("hub")),
+      max(col("hub"))).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0,
+      s"auth out of [0,1]: $r")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(3) <= 1.0,
+      s"hub out of [0,1]: $r")
+    val hub0 = res.where(col("node") === 0L).head()
+    assert(hub0.getDouble(1) == 1.0, s"hub node auth != 1: $hub0")
+  }
+
   test("degreeStats: full-outer merge, zero-filled") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
     val got = Graph.degreeStats(edges).collect()

@@ -451,6 +451,34 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == before)
   }
 
+  test("optimize on a MIXED root compacts its own files AND every partition leaf") {
+    // top-level data files + k=v subdirs in one root: before ADVICE r9
+    // only the top-level files were compacted and all partition data
+    // was silently ignored — both must now be rewritten
+    val dir = Files.createTempDirectory("opt_mixedroot").toString + "/t"
+    (1 to 1000).map(i => (i, i)).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    (2001 to 3000).map(i => (i, i)).toDF("id", "payload")
+      .repartition(4).write.mode("overwrite").parquet(dir + "/pt=1")
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_"))
+    val (was, now) = Layout.optimize(spark, dir, Seq(col("id")),
+      numFiles = Some(1))
+    assert(was == 8 && now == 2, s"($was, $now)")
+    assert(dataFiles(dir).length == 1 &&
+      dataFiles(dir + "/pt=1").length == 1,
+      "each unit must compact to one file")
+    // every row survives, in its original location
+    val topIds = spark.read.parquet(
+        dataFiles(dir).map(_.toString).toSeq: _*)
+      .select("id").collect().map(_.getInt(0)).sorted.toList
+    val leafIds = spark.read.parquet(dir + "/pt=1")
+      .select("id").collect().map(_.getInt(0)).sorted.toList
+    assert(topIds == (1 to 1000).toList, "root rows lost")
+    assert(leafIds == (2001 to 3000).toList, "partition rows lost")
+  }
+
   test("zoneMapVerify: ok / unindexed / missing / stale all detected") {
     val dir = Files.createTempDirectory("zmv").toString + "/t"
     (1 to 1000).map(i => (i, i)).toDF("id", "payload")
