@@ -594,6 +594,40 @@ object SparkEntry {
         .orderBy("suppkey")
     }),
 
+    // Count-Min LINEARITY as a board row (VERDICT r9 #4): the grid is
+    // linear in its input, so per-shard sketches over disjoint splits
+    // ADD pointwise to the corpus sketch — the property that lets a
+    // 100 TB deployment keep per-shard/per-day grids and roll them up
+    // without ever rescanning data. 4 shards by l_orderkey%4, grids
+    // summed cell-wise, every probe's rolled-up estimate pinned ≡ the
+    // single-pass estimate (the oracle replays the counters and pins
+    // the equality flag to 1).
+    "q_cms_rollup" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("string").as("k"),
+          (col("l_orderkey") % 4).as("shard"))
+        .where(col("k").isNotNull)
+      val single = vals.agg(Sketch.countMin(col("k"), 4, 64).as("sk"))
+      val rolled = vals.groupBy("shard")
+        .agg(Sketch.countMin(col("k"), 4, 64).as("g"))
+        .select(posexplode(col("g")).as(Seq("pos", "c")))
+        .groupBy("pos").agg(sum(col("c")).as("c"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+          .as("sk_roll"))
+      val truth = vals.groupBy("k").agg(count(lit(1)).as("true_cnt"))
+        .where(col("k").cast("long") <= 20)
+      truth.crossJoin(broadcast(single)).crossJoin(broadcast(rolled))
+        .select(col("k").cast("long").as("suppkey"), col("true_cnt"),
+          Sketch.countMinEstimate(col("sk"), col("k"), 4, 64)
+            .as("est_single"),
+          Sketch.countMinEstimate(col("sk_roll"), col("k"), 4, 64)
+            .as("est_rollup"))
+        .withColumn("rollup_equals_single",
+          (col("est_rollup") === col("est_single")).cast("long"))
+        .orderBy("suppkey")
+    }),
+
     "q_date_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(
@@ -3488,6 +3522,37 @@ object SparkEntry {
          |SELECT CAST(k AS BIGINT) AS suppkey,
          |  CAST(true_cnt AS BIGINT) AS true_cnt, CAST(est AS BIGINT) AS est,
          |  CAST(est - true_cnt AS BIGINT) AS overcount
+         |FROM est ORDER BY suppkey""".stripMargin
+    },
+
+    // linearity replay: summed per-shard grids are ARITHMETICALLY the
+    // single-pass grid (per-cell sums over a disjoint partition of the
+    // rows), so the oracle replays the one grid and pins est_rollup to
+    // the same estimate and the equality flag to 1 — any Spark-side
+    // roll-up divergence (cell order, shard loss, overflow) breaks the
+    // est_rollup hash
+    "q_cms_rollup" -> {
+      val cellOfK = md5FracSql("'cm|' || CAST(j AS VARCHAR) || '|' || k")
+      val cellOfP = md5FracSql("'cm|' || CAST(ct.j AS VARCHAR) || '|' || p.k")
+      s"""WITH keys AS (
+         |  SELECT CAST(l_suppkey AS VARCHAR) AS k, count(*) AS c
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1),
+         |grid AS (
+         |  SELECT j, CAST(floor(($cellOfK) * 64) AS BIGINT) AS cell, c
+         |  FROM keys CROSS JOIN (SELECT unnest(range(4)) AS j)),
+         |counters AS (SELECT j, cell, sum(c) AS cnt FROM grid GROUP BY 1, 2),
+         |probes AS (SELECT k, c AS true_cnt FROM keys
+         |  WHERE CAST(k AS BIGINT) <= 20),
+         |est AS (
+         |  SELECT p.k, p.true_cnt, min(ct.cnt) AS est
+         |  FROM probes p JOIN counters ct
+         |    ON ct.cell = CAST(floor(($cellOfP) * 64) AS BIGINT)
+         |  GROUP BY 1, 2)
+         |SELECT CAST(k AS BIGINT) AS suppkey,
+         |  CAST(true_cnt AS BIGINT) AS true_cnt,
+         |  CAST(est AS BIGINT) AS est_single,
+         |  CAST(est AS BIGINT) AS est_rollup,
+         |  CAST(1 AS BIGINT) AS rollup_equals_single
          |FROM est ORDER BY suppkey""".stripMargin
     },
 

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljBudget: Map[String, Int] = Map(
     "dedup_semdedup" -> 2,      // centroid table + cluster-size fold
     "q_cms_point" -> 1,         // 1-row count-min grid fold
+    "q_cms_rollup" -> 2,        // single-pass grid + rolled-up grid folds
     "q_freq_topk" -> 1,         // (n_total, mg sketch) 1-row fold
     "q_gate_auc" -> 2,          // 2× 1-row bounds fold (bucketed path
                                 // read twice: main + offset rollup).
