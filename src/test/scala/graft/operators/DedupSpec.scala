@@ -112,6 +112,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardJoin(docs, threshold = 0.8007).isEmpty)
   }
 
+  test("jaccard index: indexed ≡ inline, incremental ≡ brute batch pairs, append ≡ rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'z').map(_.toString)
+    val corpus = (0L until 40L).map { i =>
+      val stem = Seq.fill(10)(vocab(rnd.nextInt(8)))
+      val tail = Seq.fill(rnd.nextInt(8) + 3)(vocab(rnd.nextInt(26)))
+      (i, (stem ++ tail).mkString(" "))
+    }.toDF("doc_id", "text").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("jidx").toString
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "n_common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val even = corpus.where(col("doc_id") % 2 === 0)
+    val odd = corpus.where(col("doc_id") % 2 === 1)
+    val inlineFull = rows(Dedup.jaccardJoin(corpus, threshold = 0.5))
+    // served-from-artifact ≡ inline, pair for pair
+    Dedup.jaccardIndexWrite(corpus, s"$dir/full")
+    assert(rows(Dedup.jaccardJoinIndexed(spark, s"$dir/full",
+      threshold = 0.5)) == inlineFull)
+    // incremental vs an even-only index = brute minus both-even pairs
+    Dedup.jaccardIndexWrite(even, s"$dir/even")
+    val inc = rows(Dedup.jaccardJoinIncremental(odd, s"$dir/even",
+      threshold = 0.5))
+    val want = rows(Dedup.jaccardPairs(corpus, threshold = 0.5))
+      .filterNot(p => p._1 % 2 == 0 && p._2 % 2 == 0)
+    assert(inc == want, s"incremental diverged: ${inc.diff(want)} / ${want.diff(inc)}")
+    // frozen-df append: the grown index serves the SAME pairs a full
+    // rebuild would — the common total order changed, the output can't
+    Dedup.jaccardIndexAppend(odd, s"$dir/even")
+    assert(rows(Dedup.jaccardJoinIndexed(spark, s"$dir/even",
+      threshold = 0.5)) == inlineFull)
+    // overlapping ids are rejected before any write
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardIndexAppend(odd, s"$dir/even")
+    }
+  }
+
   test("simhashPairs: exact dup at hamming 0; unrelated docs absent") {
     val got = Dedup.simhashPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
