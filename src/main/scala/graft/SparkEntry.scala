@@ -80,6 +80,13 @@ object SparkEntry {
   private val jacIndexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
+  /** Per-(application, data-dir) memo of the ON-DISK PageRank warm
+    * artifact PATH (Graph.pageRankIndexWrite: adjacency index + exact
+    * 2-round micro-unit state) for q_graph_pagerank_warm. Same
+    * contract and staleness semantics as [[sigIndexCache]]. */
+  private val grIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
   /** Per-(application, data-dir) memo of the Z-ORDERED LINEITEM COPY +
     * its zone-map and bloom manifests (q_zonemap_scan /
     * q_bloomskip_point): at 100 TB clustering + manifest build is the
@@ -1049,6 +1056,24 @@ object SparkEntry {
     // unrolled CTEs — the iteration STATE matches, not just the shape
     "q_graph_pagerank" -> ((s, dir) =>
       Graph.pageRank(graphEdges(s, dir), iters = 3).orderBy("node")),
+
+    // WARM-START PageRank (VERDICT r9 #3): the adjacency index + the
+    // exact 2-round micro-unit state are persisted ONCE per data dir
+    // (Graph.pageRankIndexWrite — the nightly build, amortized); the
+    // query resumes ONE more round from the stored state. Because the
+    // state is integer-exact, warm(1) over the 2-round artifact is
+    // BIT-IDENTICAL to cold(3) — the oracle replays the full 3-round
+    // unroll, so any resume drift fails the hash
+    "q_graph_pagerank_warm" -> ((s, dir) => {
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(grIndexCache, "gr", appId)
+      val path = grIndexCache.getOrElseUpdate((appId, dir), {
+        val p = indexPath("gr", appId, dir)
+        Graph.pageRankIndexWrite(graphEdges(s, dir), p, iters = 2)
+        p
+      })
+      Graph.pageRankResume(s, path, iters = 1).orderBy("node")
+    }),
 
     // TrustRank-style personalization: teleport mass pinned to seed
     // nodes 0..19; unreachable components must hold exactly zero
@@ -4025,6 +4050,14 @@ object SparkEntry {
     // replays the full fixed-point state, so a drift in ANY round
     // (not just the final ranks) fails the hash
     "q_graph_pagerank" ->
+      s"""WITH $graphEdgeCtesSql,
+         |${pageRankUnrollSql(3)}
+         |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"
+         |FROM r3 ORDER BY node""".stripMargin,
+
+    // warm(1) over the persisted 2-round state ≡ cold(3): the oracle
+    // IS the cold 3-round unroll — identical to q_graph_pagerank's
+    "q_graph_pagerank_warm" ->
       s"""WITH $graphEdgeCtesSql,
          |${pageRankUnrollSql(3)}
          |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"

@@ -126,12 +126,27 @@ object Graph {
     * lineage cut every `checkpointInterval` rounds. */
   private def rankLoop(nodesSeed: DataFrame, eo: DataFrame, k: Long,
       iters: Int, dampingPct: Int, checkpointInterval: Int): DataFrame = {
-    require(iters >= 1 && checkpointInterval >= 1,
-      s"bad rank params: iters=$iters interval=$checkpointInterval")
+    require(iters >= 1,
+      s"bad rank params: iters=$iters")
     val initU = 1000000L / k
-    val baseU = (100L - dampingPct) * 10000L / k
-    var ranks = nodesSeed.select(col("node"), col("seed"),
+    val init = nodesSeed.select(col("node"), col("seed"),
       (col("seed") * initU).as("rank_u"))
+    renderRanks(rankRounds(init, nodesSeed, eo, k, iters, dampingPct,
+      checkpointInterval))
+  }
+
+  /** `iters` micro-unit rounds from an arbitrary (node, seed, rank_u)
+    * state — the resumable core of [[rankLoop]]: checkpoint boundaries
+    * are value-neutral, so round j's state is identical whether the
+    * loop ran j rounds in one process or j−i here on a persisted
+    * i-round state ([[pageRankResume]]). */
+  private def rankRounds(init: DataFrame, nodesSeed: DataFrame,
+      eo: DataFrame, k: Long, iters: Int, dampingPct: Int,
+      checkpointInterval: Int): DataFrame = {
+    require(iters >= 0 && checkpointInterval >= 1,
+      s"bad rank params: iters=$iters interval=$checkpointInterval")
+    val baseU = (100L - dampingPct) * 10000L / k
+    var ranks = init
     for (round <- 1 to iters) {
       val contribs = eo.join(ranks, eo("src") === ranks("node"))
         // integer division throughout: exact, engine-independent
@@ -146,8 +161,75 @@ object Graph {
       if (round % checkpointInterval == 0 && round < iters)
         ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("node"),
+    ranks
+  }
+
+  /** Final render: micro-units → 6-decimal double ranks. */
+  private def renderRanks(state: DataFrame): DataFrame =
+    state.select(col("node"),
       round(col("rank_u") / 1e6, 6).as("rank"))
+
+  /** Persist the PageRank serving artifact (VERDICT r9 #3 — the
+    * nightly-crawl warm-start story the dedup family already has):
+    * under `path`,
+    *   - `edges`: the cleaned, deduped, out-degree-annotated edge list
+    *     — the |E|-row adjacency index every iteration probes, so a
+    *     resume never re-pays the edge clean + degree shuffle;
+    *   - `nodes`: (node, seed) — uniform seed flags (1 per node);
+    *   - `ranks`: the exact integer micro-unit state (node, seed,
+    *     rank_u) after `iters` rounds.
+    * Because the state is integer-exact, a later [[pageRankResume]] of
+    * k rounds produces BIT-IDENTICAL ranks to a cold (iters+k)-round
+    * run — warm-starting is a pure cost optimization, never an
+    * approximation. Plain parquet (a deployment would bucket `edges`
+    * by src); staleness contract as any persisted index: rebuild when
+    * the edge snapshot changes. `dampingPct` must match at resume (it
+    * parameterizes the recurrence, not the artifact). */
+  def pageRankIndexWrite(edges: DataFrame, path: String, iters: Int,
+      src: String = "src", dst: String = "dst", dampingPct: Int = 85,
+      checkpointInterval: Int = 4): Unit = {
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    val e = cleanEdges(edges, src, dst)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRankIndexWrite: empty graph after " +
+      "null/self-loop filtering")
+    val nodesSeed = nodes.select(col("node"), lit(1L).as("seed"))
+    val eo = edgesWithOutdeg(e)
+    eo.write.mode("overwrite").parquet(s"$path/edges")
+    nodesSeed.write.mode("overwrite").parquet(s"$path/nodes")
+    val init = nodesSeed.select(col("node"), col("seed"),
+      (col("seed") * (1000000L / n)).as("rank_u"))
+    rankRounds(init, nodesSeed, eo, n, iters, dampingPct,
+      checkpointInterval)
+      .write.mode("overwrite").parquet(s"$path/ranks")
+  }
+
+  /** Resume PageRank from a [[pageRankIndexWrite]] artifact: `iters`
+    * MORE rounds on the persisted micro-unit state against the stored
+    * adjacency index — warm(k) over an i-round artifact ≡ cold(i+k),
+    * exactly (GraphSpec pins it; the board oracle replays the full
+    * i+k unroll). Per-run cost: the parquet reads + k |V|-bounded
+    * iteration shuffles — no edge clean, no degree shuffle, no
+    * restart from round 0. `iters = 0` just renders the stored
+    * state. */
+  def pageRankResume(spark: org.apache.spark.sql.SparkSession,
+      path: String, iters: Int, dampingPct: Int = 85,
+      checkpointInterval: Int = 4): DataFrame = {
+    val eo = spark.read.parquet(s"$path/edges")
+      .repartition(col("src"))
+      .localCheckpoint()
+    val nodesSeed = spark.read.parquet(s"$path/nodes")
+    val state = spark.read.parquet(s"$path/ranks")
+    val k = nodesSeed.agg(coalesce(sum(col("seed")), lit(0L)))
+      .head().getLong(0)
+    require(k >= 1, s"pageRankResume: empty node table at $path/nodes")
+    renderRanks(rankRounds(state, nodesSeed, eo, k, iters, dampingPct,
+      checkpointInterval))
   }
 
   /** HITS (Kleinberg 1999): mutually-recursive hub/authority scores —

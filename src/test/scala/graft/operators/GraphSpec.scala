@@ -292,6 +292,27 @@ class GraphSpec extends SparkSpec {
     assert(again == brute(re, 4))
   }
 
+  test("pageRank warm-start: resume(k) over an i-round artifact ≡ cold(i+k)") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 300).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2)
+    val dir = java.nio.file.Files.createTempDirectory("pridx").toString
+    Graph.pageRankIndexWrite(edges.toDF("src", "dst"), dir, iters = 2)
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // integer-exact state → bit-identical continuation, several k
+    for (k <- Seq(0, 1, 3)) {
+      val warm = ranks(Graph.pageRankResume(spark, dir, iters = k))
+      val cold = ranks(Graph.pageRank(edges.toDF("src", "dst"),
+        iters = 2 + k))
+      assert(warm == cold, s"warm($k) != cold(${2 + k})")
+    }
+    // resume(0) just renders the stored state — covered above (k = 0
+    // matches cold(2)); a crossing checkpoint boundary (k = 3 spans
+    // round 4) must not change values either (asserted above)
+  }
+
   test("personalizedPageRank: absent seed ids don't swallow teleport mass") {
     // seed 777 appears nowhere in the graph — the teleport denominator
     // must renormalize over the PRESENT seeds ({0}), not the raw seed
