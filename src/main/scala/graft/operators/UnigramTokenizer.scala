@@ -98,11 +98,38 @@ object UnigramTokenizer {
     * M-step contract (oracle-replayed): usage U(p) = Σ word-count over
     * best segmentations; F(p) = U(p) + 1 for single characters (never
     * pruned — coverage), F(p) = U(p) for longer pieces; pieces with
-    * F = 0 are pruned; scores re-quantized from F/ΣF. */
+    * F = 0 are pruned; scores re-quantized from F/ΣF.
+    *
+    * `pruneTo = Some(k)` adds Kudo's LIKELIHOOD-DELTA pruning
+    * (VERDICT r9 #5) after each round's E-step: for every used
+    * multi-character piece p, the loss of dropping it is
+    *
+    *   L(p) = U(p) · (altCost(p) − cost(p))
+    *
+    * where altCost(p) is the integer Viterbi cost of segmenting the
+    * STRING p under the current table WITHOUT p (other scores held
+    * fixed — the hard-EM local approximation of SentencePiece's prune
+    * step; at realistic vocab sizes the F = 0-only rule keeps junk
+    * pieces whose uses re-segment almost for free, which this rank
+    * drops). Only the k highest-loss multi pieces survive
+    * (tie-break: loss DESC, piece ASC — a total order), singles are
+    * never pruned, and the M-step re-estimates over the survivors.
+    * All integer micro-nats; the oracle replays the per-piece
+    * alternative DP and the rank cutoff exactly. */
   def unigramTrain(docs: DataFrame, vocabSize: Int, iters: Int = 1,
-      textCol: String = "text", maxWordLen: Int = 16): DataFrame = {
+      textCol: String = "text", maxWordLen: Int = 16,
+      pruneTo: Option[Int] = None): DataFrame = {
     require(vocabSize >= 1 && iters >= 0,
       s"bad unigram params: v=$vocabSize iters=$iters")
+    // the M-step is a vocab-bounded driver finish (tokenizer vocabs
+    // are plan constants, the k-means-centroid precedent) — bound it
+    // so a caller can't collect an unbounded piece table (VERDICT r9
+    // nit #2); 2^16 pieces ≈ a real SentencePiece vocab ceiling
+    require(vocabSize <= (1 << 16),
+      s"unigramTrain: vocabSize $vocabSize exceeds the 65536 driver-" +
+        "side piece-table bound — the trainer collects the vocab")
+    pruneTo.foreach(k => require(k >= 1,
+      s"unigramTrain: pruneTo must be >= 1, got $k"))
     val spark = docs.sparkSession
     import spark.implicits._
     val words = wordCounts(docs, textCol, maxWordLen).localCheckpoint()
@@ -120,9 +147,43 @@ object UnigramTokenizer {
         val f = usage.getOrElse(p, 0L) + (if (p.length == 1) 1L else 0L)
         p -> f
       }.filter(_._2 > 0)
-      scores = toScores(counts)
+      val kept = pruneTo match {
+        case Some(k) =>
+          val costMap = scores.toMap
+          val losses = counts.filter(_._1.length > 1).map {
+            case (p, f) =>
+              val alt = viterbiCostExcluding(p, costMap)
+              (p, f, f * (alt - costMap(p)))
+          }
+          losses.sortBy { case (p, _, l) => (-l, p) }.take(k)
+            .map { case (p, f, _) => p -> f } ++
+            counts.filter(_._1.length == 1)
+        case None => counts
+      }
+      scores = toScores(kept)
     }
     scores.toDF("piece", "cost_micro")
+  }
+
+  /** Driver-side integer Viterbi over ONE piece string with `target`
+    * itself excluded from the table — the alternative-encoding cost
+    * Kudo's prune rank needs. Bounded work: |target| ≤ [[MaxPieceLen]]
+    * and the table is the plan-constant vocab. Mirrored cell for cell
+    * by the oracle's pt0..pt4 DP. */
+  private def viterbiCostExcluding(target: String,
+      cost: Map[String, Long]): Long = {
+    val n = target.length
+    val d = Array.fill(n + 1)(Long.MaxValue / 4)
+    d(0) = 0L
+    for (i <- 1 to n; l <- 1 to math.min(MaxPieceLen, i)) {
+      val piece = target.substring(i - l, i)
+      val c =
+        if (piece == target) None
+        else cost.get(piece)
+          .orElse(if (l == 1) Some(OovCostMicro) else None)
+      c.foreach(cv => d(i) = math.min(d(i), d(i - l) + cv))
+    }
+    d(n)
   }
 
   /** Persist / load the trained piece table (KB-scale artifact, the
