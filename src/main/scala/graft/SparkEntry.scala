@@ -1116,6 +1116,26 @@ object SparkEntry {
     "q_graph_kcore" -> ((s, dir) =>
       Graph.kCore(graphEdges(s, dir), k = 62).orderBy("node")),
 
+    // multi-source BFS: hop distance from the trusted seed set —
+    // frontier-delta rounds (each node shuffled once across ALL
+    // rounds), the TrustRank-neighborhood quality prior; the oracle
+    // unrolls every level's discover-then-anti-join
+    "q_graph_bfs" -> ((s, dir) =>
+      Graph.bfsHops(graphEdges(s, dir),
+        s.range(0, 5).select(col("id").as("node")), maxHops = 4)
+        .orderBy("node")),
+
+    // weighted shortest paths (Bellman-Ford, delta frontier): exact
+    // integer distances under deterministic per-edge weights; the
+    // oracle replays the full min-fold round by round, so the delta
+    // frontier must be provably equivalent to the dense relaxation
+    "q_graph_sssp" -> ((s, dir) =>
+      Graph.ssspWeighted(
+        graphEdges(s, dir).select(col("src"), col("dst"),
+          (pmod(col("src") * 31 + col("dst"), lit(7)) + 1).as("w")),
+        s.range(0, 3).select(col("id").as("node")), rounds = 6)
+        .orderBy("node")),
+
     // community detection: 3 SYNCHRONOUS label-propagation rounds,
     // min-label tiebreak — a deterministic total order, so the oracle
     // replays every round's assignment (not just the final shape);
@@ -1776,6 +1796,17 @@ object SparkEntry {
     "text_unigram_train2" -> ((s, dir) =>
       UnigramTokenizer.unigramTrain(t(s, dir, "documents"),
         vocabSize = 40, iters = 2, maxWordLen = 12)
+        .orderBy("piece")),
+
+    // Kudo's likelihood-delta pruning (VERDICT r9 #5): each EM round
+    // ranks used multi pieces by U(p)·(altCost(p) − cost(p)) — the
+    // integer Viterbi cost of re-segmenting p WITHOUT itself — and
+    // keeps only the top `pruneTo`; the oracle replays the per-piece
+    // alternative DP and the rank cutoff for BOTH rounds
+    "text_unigram_train3" -> ((s, dir) =>
+      UnigramTokenizer.unigramTrain(t(s, dir, "documents"),
+        vocabSize = 40, iters = 2, maxWordLen = 12,
+        pruneTo = Some(10))
         .orderBy("piece")),
 
     // inference from the persisted piece table (the bpe_indexed
@@ -2848,6 +2879,72 @@ object SparkEntry {
        |    AS BIGINT) AS cost
        |  FROM ${p}r)""".stripMargin
 
+  /** One hard-EM round WITH Kudo's likelihood-delta pruning
+    * (UnigramTokenizer.unigramTrain pruneTo path): after the usage
+    * fold, every used multi piece p gets an alternative-encoding cost
+    * alt(p) — an unrolled integer Viterbi over p's OWN string under
+    * `sIn` with p itself excluded (`s.piece <> d.tw`; a proper
+    * substring can never equal the whole, so the guard only bites on
+    * the full-length piece option), l = 1 falling back to the
+    * 25000000 OOV cost exactly as the word DP does. Loss = f·(alt −
+    * cost); only the `k` highest-loss multi pieces survive (loss
+    * DESC, piece ASC — the trainer's total order), singles are never
+    * pruned, and the re-estimate runs over the survivors. */
+  private def unigramEmRoundPrunedSql(sIn: String, sOut: String,
+      p: String, k: Int): String = {
+    val altSteps = (1 to 4).map { i =>
+      val l1 =
+        s"""    SELECT d.tw, d.f, d.c + coalesce(s.cost, 25000000) AS c
+           |    FROM ${p}a${i - 1} d LEFT JOIN $sIn s
+           |      ON s.piece = substr(d.tw, $i, 1)
+           |    WHERE length(d.tw) >= $i""".stripMargin
+      val ls = (2 to 4).filter(_ <= i).map { l =>
+        s"""    SELECT d.tw, d.f, d.c + s.cost AS c
+           |    FROM ${p}a${i - l} d JOIN $sIn s
+           |      ON s.piece = substr(d.tw, ${i - l + 1}, $l)
+           |    WHERE length(d.tw) >= $i AND s.piece <> d.tw""".stripMargin
+      }
+      s"""${p}a$i AS MATERIALIZED (
+         |  SELECT tw, f, min(c) AS c FROM (
+         |${(l1 +: ls).mkString("\n    UNION ALL\n")}
+         |  ) GROUP BY tw, f)""".stripMargin
+    }.mkString(",\n")
+    s"""${unigramDpSql(sIn, p)},
+       |${unigramBacktrackSql(sIn, p)},
+       |${p}use AS MATERIALIZED (SELECT piece, sum(n) AS u
+       |  FROM ${p}ea GROUP BY 1),
+       |${p}f AS MATERIALIZED (
+       |  SELECT $sIn.piece,
+       |    coalesce(${p}use.u, 0) +
+       |      CASE WHEN length($sIn.piece) = 1 THEN 1 ELSE 0 END AS f
+       |  FROM $sIn LEFT JOIN ${p}use ON ${p}use.piece = $sIn.piece),
+       |${p}r AS MATERIALIZED (SELECT piece, f FROM ${p}f WHERE f > 0),
+       |${p}a0 AS MATERIALIZED (
+       |  SELECT piece AS tw, f, CAST(0 AS BIGINT) AS c FROM ${p}r
+       |  WHERE length(piece) > 1),
+       |$altSteps,
+       |${p}alt AS MATERIALIZED (
+       |  SELECT tw, f, c AS alt FROM (
+       |${(1 to 4).map(i =>
+           s"    SELECT tw, f, $i AS pos, c FROM ${p}a$i")
+           .mkString("\n    UNION ALL\n")}
+       |  ) WHERE pos = length(tw)),
+       |${p}keep AS MATERIALIZED (
+       |  SELECT piece, f FROM (
+       |    SELECT a.tw AS piece, a.f,
+       |      row_number() OVER (
+       |        ORDER BY a.f * (a.alt - s.cost) DESC, a.tw) AS rk
+       |    FROM ${p}alt a JOIN $sIn s ON s.piece = a.tw)
+       |  WHERE rk <= $k
+       |  UNION ALL
+       |  SELECT piece, f FROM ${p}r WHERE length(piece) = 1),
+       |$sOut AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(-ln(CAST(f AS DOUBLE) /
+       |    (SELECT CAST(sum(f) AS DOUBLE) FROM ${p}keep)) * 1000000)
+       |    AS BIGINT) AS cost
+       |  FROM ${p}keep)""".stripMargin
+  }
+
   /** The full training chain up to the re-estimated table `us1`. */
   private lazy val unigramTrainCtesSql: String =
     s"""$unigramHeadSql,
@@ -3150,6 +3247,62 @@ object SparkEntry {
        |  SELECT a AS node FROM k$rounds
        |  UNION ALL SELECT b FROM k$rounds)
        |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  /** Unroll `maxHops` BFS levels — each is the IDENTICAL
+    * discover-then-anti-join step [[Graph.bfsHops]] performs: level h
+    * = distinct out-neighbors of level h−1 minus everything already
+    * visited. Seeds 0..`seeds`−1 at hop 0; `e` is the self-loop-free
+    * distinct edge list (Graph.cleanEdges). */
+  private def bfsUnrollSql(seeds: Int, maxHops: Int): String = {
+    val init =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT CAST(si AS BIGINT) AS node, CAST(0 AS INT) AS hop
+         |  FROM range(0, $seeds) t(si)),
+         |f0 AS (SELECT node FROM v0)""".stripMargin
+    val levels = (1 to maxHops).map { h =>
+      s"""f$h AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM f${h - 1} f JOIN e ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM v${h - 1})),
+         |v$h AS MATERIALIZED (
+         |  SELECT node, hop FROM v${h - 1}
+         |  UNION ALL SELECT node, CAST($h AS INT) FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtesSql,
+       |$init,
+       |$levels
+       |SELECT node, hop FROM v$maxHops ORDER BY node""".stripMargin
+  }
+
+  /** Unroll `rounds` DENSE Bellman-Ford relaxations — round r
+    * min-folds dist(r−1) with every edge's dist(src)+w. Equivalent to
+    * [[Graph.ssspWeighted]]'s delta-frontier variant (a non-improved
+    * node's out-contributions were folded the round after it last
+    * improved, and the fold is monotone), so the oracle proves the
+    * frontier optimization lossless, not just plausible. Weights are
+    * the board's deterministic (src·31 + dst) mod 7 + 1. */
+  private def ssspUnrollSql(seeds: Int, rounds: Int): String = {
+    val init =
+      s"""ew AS MATERIALIZED (
+         |  SELECT src, dst, (src * 31 + dst) % 7 + 1 AS w FROM e),
+         |s0 AS MATERIALIZED (
+         |  SELECT CAST(si AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM range(0, $seeds) t(si))""".stripMargin
+    val folds = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM s${r - 1}
+         |    UNION ALL
+         |    SELECT ew.dst AS node, s.dist + ew.w AS dist
+         |    FROM s${r - 1} s JOIN ew ON ew.src = s.node
+         |  ) GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphEdgeCtesSql,
+       |$init,
+       |$folds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM s$rounds
+       |ORDER BY node""".stripMargin
   }
 
   /** Unroll `iters` synchronous label-propagation rounds — each is
@@ -4145,6 +4298,12 @@ object SparkEntry {
     // identity (low set empty), so 6 is safe slack
     "q_graph_kcore" -> kCoreUnrollSql(k = 62, rounds = 6),
 
+    // every BFS level's discover/anti-join replayed
+    "q_graph_bfs" -> bfsUnrollSql(seeds = 5, maxHops = 4),
+
+    // DENSE Bellman-Ford unroll — pins the delta frontier lossless
+    "q_graph_sssp" -> ssspUnrollSql(seeds = 3, rounds = 6),
+
     // every round's synchronous (count, min-label) adoption replayed
     "q_graph_labelprop" -> labelPropUnrollSql(3),
 
@@ -4650,6 +4809,17 @@ object SparkEntry {
       s"""WITH $unigramTrainCtesSql,
          |${unigramEmRoundSql("us1", "us2", "v")}
          |SELECT piece, cost AS cost_micro FROM us2
+         |ORDER BY piece""".stripMargin,
+
+    // likelihood-delta pruning replayed for BOTH EM rounds: the
+    // per-piece alternative DP (piece re-segmented without itself),
+    // the f·(alt−cost) rank, the top-10 cutoff (it BITES: the F>0 rule
+    // alone keeps 17 multi pieces here), singles kept
+    "text_unigram_train3" ->
+      s"""WITH $unigramHeadSql,
+         |${unigramEmRoundPrunedSql("us0", "up1", "g", 10)},
+         |${unigramEmRoundPrunedSql("up1", "up2", "h", 10)}
+         |SELECT piece, cost AS cost_micro FROM up2
          |ORDER BY piece""".stripMargin,
 
     // corpus inference under the trained table: a SECOND unrolled

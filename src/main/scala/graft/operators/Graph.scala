@@ -587,4 +587,127 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
   }
+
+  /** Multi-source BFS: hop distance from any node in `seeds`,
+    * following edges src→dst. Output (node, hop) — every seed id at
+    * hop 0 (a node is at distance 0 from itself whether or not it has
+    * edges), discovered nodes at their FIRST hop; nodes unreached
+    * within `maxHops` are absent.
+    *
+    * Frontier-delta rounds: hop h joins ONLY the hop-(h−1) frontier
+    * against the edge list and anti-joins the visited set, so each
+    * node enters the frontier at most once and the total shuffled
+    * volume across all rounds is O(|E| + |V|) — the textbook
+    * level-synchronous BFS, not |V|·rounds. Per round: one
+    * frontier⋈edges equi-join (frontier-sized build side early on —
+    * AQE broadcasts it), one distinct, one anti-join against visited.
+    * Early-exits on an empty frontier, so `maxHops` is a cap, not a
+    * cost. The 100 TB story: the frontier peaks at the largest BFS
+    * level, never the corpus; visited is (node, hop) — 16 bytes/node.
+    *
+    * Curation use: "crawl distance from the trusted seed list"
+    * (the TrustRank neighborhood, hop-bounded) as a quality prior. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, src: String = "src",
+      dst: String = "dst", maxHops: Int = 4,
+      checkpointInterval: Int = 4): DataFrame = {
+    require(maxHops >= 0, s"bfsHops: maxHops must be >= 0, got $maxHops")
+    val e = cleanEdges(edges, src, dst).localCheckpoint(false)
+    val seedCol = seeds.columns.head
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("node"))
+      .where(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited.select("node")
+    var h = 0
+    var done = maxHops == 0
+    while (!done) {
+      h += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+      // eager per round: `next` seeds both the union and the next
+      // frontier, and the emptiness probe needs it anyway
+      val nextC = next.localCheckpoint()
+      if (nextC.isEmpty || h >= maxHops) done = true
+      visited = visited.unionByName(nextC)
+      if (h % checkpointInterval == 0 && !done)
+        visited = visited.localCheckpoint()
+      frontier = nextC.select("node")
+    }
+    visited
+  }
+
+  /** Single/multi-source shortest paths with non-negative integer
+    * edge weights (Bellman-Ford with a delta frontier): dist(v) =
+    * min total weight of a ≤`rounds`-edge path from any seed. Output
+    * (node, dist) — seeds at 0; nodes unreached within `rounds` edges
+    * absent. With `rounds` ≥ the graph's hop diameter this is exact
+    * SSSP (documented per call site; rounds is a hard cap like
+    * PageRank's iters, so the job count is plan-constant).
+    *
+    * Each round relaxes ONLY edges out of nodes whose distance
+    * improved last round (the delta frontier), then min-folds into
+    * the running table: shuffle volume per round tracks the frontier's
+    * out-edges, and a node re-enters the frontier only when a strictly
+    * shorter path arrives — on weighted graphs that is the classic
+    * Bellman-Ford bound (≤ |V| improvements per node overall, few in
+    * practice), on unit weights it degenerates to [[bfsHops]]'s
+    * visit-once. The min-fold is a map-side-combinable groupBy, never
+    * a window. Weights are validated non-negative up front (one
+    * aggregate over the edge scan) — a negative weight would make the
+    * early frontier-exit unsound. */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame,
+      src: String = "src", dst: String = "dst", weight: String = "w",
+      rounds: Int = 6, checkpointInterval: Int = 4): DataFrame = {
+    require(rounds >= 0, s"ssspWeighted: rounds must be >= 0, got $rounds")
+    val e = edges
+      .select(col(src).cast("long").as("src"),
+        col(dst).cast("long").as("dst"),
+        col(weight).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .localCheckpoint(false)
+    val minW = e.agg(coalesce(min(col("w")), lit(0L))).head().getLong(0)
+    require(minW >= 0L,
+      s"ssspWeighted: negative edge weight $minW — Bellman-Ford with " +
+        "a frontier exit needs non-negative weights")
+    val seedCol = seeds.columns.head
+    var dist = seeds
+      .select(col(seedCol).cast("long").as("node"))
+      .where(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var r = 0
+    var done = rounds == 0
+    while (!done) {
+      r += 1
+      val relaxed = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node"),
+          (frontier("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+      val next = dist.withColumnRenamed("dist", "old")
+        .join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("old"), col("dist")),
+            coalesce(col("dist"), col("old"))).as("dist"),
+          (col("old").isNull ||
+            (col("dist").isNotNull && col("dist") < col("old")))
+            .as("improved"))
+      val nextC = next.localCheckpoint()
+      val newFrontier = nextC.where(col("improved"))
+        .select("node", "dist")
+      if (newFrontier.isEmpty || r >= rounds) done = true
+      dist = nextC.select("node", "dist")
+      if (r % checkpointInterval == 0 && !done)
+        dist = dist.localCheckpoint()
+      frontier = newFrontier
+    }
+    dist
+  }
 }

@@ -358,4 +358,102 @@ class GraphSpec extends SparkSpec {
       .toList
     assert(got == List((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)), got)
   }
+
+  test("bfsHops: level order, first-hop wins, maxHops cap, isolated seed") {
+    // 0→1→2→3→4 chain plus shortcut 0→3; node 9 is a seed with no
+    // edges; 7→8 is unreachable from the seeds
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (7L, 8L)).toDF("src", "dst")
+    val seeds = Seq(0L, 9L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 4).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is reached at hop 1 through the shortcut, never re-labeled 3
+    assert(got == Map(0L -> 0, 9L -> 0, 1L -> 1, 3L -> 1, 2L -> 2,
+      4L -> 2), got.toString)
+    // cap: with maxHops = 1 only the first level appears
+    val capped = Graph.bfsHops(edges, seeds, maxHops = 1).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped == Map(0L -> 0, 9L -> 0, 1L -> 1, 3L -> 1),
+      capped.toString)
+    // maxHops = 0: just the seeds
+    val zero = Graph.bfsHops(edges, seeds, maxHops = 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(zero == Map(0L -> 0, 9L -> 0), zero.toString)
+  }
+
+  test("bfsHops: brute-force random pin (frontier ≡ dense levels)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val seeds = Seq(0L, 1L)
+      // dense reference: level-by-level set expansion
+      var vis = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to 5) {
+        val next = edges.filter(e => frontier.contains(e._1)).map(_._2)
+          .toSet -- vis.keySet
+        vis = vis ++ next.map(_ -> h)
+        frontier = next
+      }
+      val got = Graph.bfsHops(edges.toDF("src", "dst"),
+        seeds.toDF("node"), maxHops = 5).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == vis, s"trial $trial: $got vs $vis")
+    }
+  }
+
+  test("ssspWeighted: cheaper long path beats expensive shortcut; unreached absent") {
+    // 0→3 direct costs 10; 0→1→2→3 costs 1+1+1 = 3 but needs 3 rounds
+    val edges = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L),
+      (2L, 3L, 1L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(0L).toDF("node")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.ssspWeighted(edges, seeds, rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after 1 round only the direct relaxations exist
+    assert(run(1) == Map(0L -> 0L, 3L -> 10L, 1L -> 1L), run(1).toString)
+    // converged: the 3-edge path wins; 8,9 never reached
+    assert(run(6) == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L),
+      run(6).toString)
+    // parallel edges keep the min weight
+    val multi = Seq((0L, 1L, 5L), (0L, 1L, 2L)).toDF("src", "dst", "w")
+    assert(Graph.ssspWeighted(multi, seeds, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 1L -> 2L))
+    // negative weights rejected up front
+    val neg = Seq((0L, 1L, -1L)).toDF("src", "dst", "w")
+    assertThrows[IllegalArgumentException] {
+      Graph.ssspWeighted(neg, seeds, rounds = 2)
+    }
+  }
+
+  test("ssspWeighted: brute-force random pin (delta ≡ dense Bellman-Ford)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 15
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, (1L + rnd.nextInt(9)).toLong))
+        .filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s, d), g) => (s, d, g.map(_._3).min) }.toSeq
+      val seeds = Seq(0L, 5L)
+      val rounds = 4
+      // dense reference: full relaxation each round
+      var dist = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        val relax = edges.flatMap { case (s, d, w) =>
+          dist.get(s).map(ds => d -> (ds + w))
+        }
+        dist = (dist.toSeq ++ relax).groupBy(_._1)
+          .map { case (k, g) => k -> g.map(_._2).min }
+      }
+      val got = Graph.ssspWeighted(edges.toDF("src", "dst", "w"),
+        seeds.toDF("node"), rounds = rounds).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == dist, s"trial $trial: $got vs $dist")
+    }
+  }
 }

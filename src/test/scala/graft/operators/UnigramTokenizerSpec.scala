@@ -127,6 +127,113 @@ class UnigramTokenizerSpec extends SparkSpec {
       trained.toString)
   }
 
+  /** Independent replay of the pruneTo path: same E-step as
+    * [[refTrain]], then Kudo's rank — loss = f·(alt − cost) with alt
+    * the brute-force minimum segmentation cost of the piece's own
+    * string under the current table WITHOUT the piece itself. */
+  private def refTrainPruned(docs: Seq[String], vocabSize: Int,
+      iters: Int, maxWordLen: Int, k: Int): Map[String, Long] = {
+    val words = docs.flatMap(_.toLowerCase.split(" ", -1))
+      .map(_.replaceAll("[^a-z0-9]", ""))
+      .filter(w => w.nonEmpty && w.length <= maxWordLen)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val subs = words.toSeq.flatMap { case (w, n) =>
+      for {
+        i <- 1 to w.length
+        l <- 1 to math.min(UnigramTokenizer.MaxPieceLen, w.length - i + 1)
+      } yield (w.substring(i - 1, i - 1 + l), n)
+    }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val multi = subs.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, f) => (-f, p) }.take(vocabSize)
+    val seed = multi ++ subs.filter(_._1.length == 1).toSeq
+    def toScores(cs: Seq[(String, Long)]): Map[String, Long] = {
+      val t = cs.map(_._2).sum.toDouble
+      cs.map { case (p, f) =>
+        p -> math.floor(-math.log(f / t) * 1e6).toLong
+      }.toMap
+    }
+    var scores = toScores(seed)
+    for (_ <- 1 to iters) {
+      def pieceCost(piece: String, excl: Option[String]): Long =
+        if (excl.contains(piece)) -1L
+        else scores.get(piece).getOrElse(
+          if (piece.length == 1) UnigramTokenizer.OovCostMicro else -1L)
+      def minCost(w: String, excl: Option[String]): Long = {
+        val INF = Long.MaxValue / 4
+        val dp = Array.fill(w.length + 1)(INF); dp(0) = 0
+        for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+          val c = pieceCost(w.substring(i - l, i), excl)
+          if (c >= 0 && dp(i - l) < INF) dp(i) = math.min(dp(i), dp(i - l) + c)
+        }
+        dp(w.length)
+      }
+      def segment(w: String): Seq[String] = {
+        val dpn = minCost(w, None)
+        var pos = w.length
+        var acc = List.empty[String]
+        while (pos > 0) {
+          var chosen = -1
+          for (l <- 1 to math.min(4, pos)) {
+            val c = pieceCost(w.substring(pos - l, pos), None)
+            if (c >= 0 &&
+                minCost(w.substring(0, pos - l), None) + c ==
+                  minCost(w.substring(0, pos), None))
+              chosen = l
+          }
+          acc = w.substring(pos - chosen, pos) :: acc
+          pos -= chosen
+        }
+        assert(acc.map(p => pieceCost(p, None)).sum == dpn)
+        acc
+      }
+      val usage = words.toSeq.flatMap { case (w, n) =>
+        segment(w).map(_ -> n)
+      }.groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+      val counts = scores.keys.toSeq.sorted.map { p =>
+        p -> (usage.getOrElse(p, 0L) + (if (p.length == 1) 1L else 0L))
+      }.filter(_._2 > 0)
+      val losses = counts.filter(_._1.length > 1).map { case (p, f) =>
+        (p, f, f * (minCost(p, Some(p)) - scores(p)))
+      }
+      val kept = losses.sortBy { case (p, _, l) => (-l, p) }.take(k)
+        .map { case (p, f, _) => p -> f } ++
+        counts.filter(_._1.length == 1)
+      scores = toScores(kept)
+    }
+    scores
+  }
+
+  test("pruneTo: trainer equals the independent pruning replay; singles survive") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cats sat", "a mat on a cat",
+      "concat that mat", "sat sat sat on that cat")
+    val df = docs.toDF("text")
+    for (iters <- Seq(1, 2); k <- Seq(2, 4)) {
+      val got = UnigramTokenizer
+        .unigramTrain(df, vocabSize = 12, iters = iters, maxWordLen = 12,
+          pruneTo = Some(k))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = refTrainPruned(docs, 12, iters, 12, k)
+      assert(got == want, s"iters=$iters k=$k\n got=$got\nwant=$want")
+      // invariants: at most k multi pieces; every single char that
+      // appears in the corpus survives every round
+      assert(got.keys.count(_.length > 1) <= k)
+      val corpusChars = docs.flatMap(_.toLowerCase.filter(c =>
+        c.isLetterOrDigit)).map(_.toString).toSet
+      assert(corpusChars.subsetOf(got.keySet))
+    }
+    // pruning is strictly stronger than the F=0 rule here: with a
+    // small k the multi-piece set shrinks below the unpruned one
+    val unpruned = UnigramTokenizer
+      .unigramTrain(df, vocabSize = 12, iters = 1, maxWordLen = 12)
+      .collect().map(_.getString(0)).count(_.length > 1)
+    val pruned = UnigramTokenizer
+      .unigramTrain(df, vocabSize = 12, iters = 1, maxWordLen = 12,
+        pruneTo = Some(2))
+      .collect().map(_.getString(0)).count(_.length > 1)
+    assert(pruned == 2 && unpruned > pruned, s"$unpruned vs $pruned")
+  }
+
   test("property: viterbi cost is the brute-force minimum; tie rule holds (200 random cases)") {
     val rnd = new scala.util.Random(42)
     def cost(vocab: Map[String, Long], piece: String): Option[Long] =
