@@ -2049,6 +2049,16 @@ object SparkEntry {
           col("n_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // ASYMMETRIC exact near-dup: |A∩B|/|A| ≥ τ — the superset-
+    // duplication case Jaccard dilutes (small doc quoted inside a
+    // large one); one-sided prefix filtering (probe prefix vs full
+    // inverted index), directed output
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentJoin(t(s, dir, "documents"), threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")),
+
     // the exact join's build-once/serve-cheap split (VERDICT r9 #1):
     // the DF-ordered per-doc arrays + df table are persisted ONCE per
     // data dir (Dedup.jaccardIndexWrite — amortized across nightly
@@ -6109,6 +6119,22 @@ object SparkEntry {
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |$JaccardSelect""".stripMargin,
+
+    // directed brute-force spec: every shingle-sharing ordered pair's
+    // exact containment n_common/|A| — the prefix-filtered join must
+    // reproduce it pair for pair
+    "dedup_containment" ->
+      s"""WITH $ShingleCtes,
+         |com AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+         |  round(n_common / sa.sz, 4) AS containment
+         |FROM com JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |WHERE n_common / sa.sz >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // persisted-index exact join ≡ inline exact join ≡ brute at the
     // same threshold: ONE spec-level oracle for all three (the index

@@ -203,6 +203,64 @@ object Dedup {
       threshold)
   }
 
+  /** EXACT containment join — the ASYMMETRIC near-dup relation
+    * C(A→B) = |A ∩ B| / |A| ≥ τ ("τ of A's shingles live inside B"),
+    * which catches the superset-duplication [[jaccardJoin]]'s
+    * symmetric measure dilutes: a paragraph quoted whole inside a
+    * 100× longer page has containment ≈ 1 but Jaccard ≈ 0.01 (the
+    * Lee et al. 2022 motivation for substring-level dedup, at
+    * shingle-set granularity). Output: DIRECTED pairs
+    * (id_a, id_b, n_common, n_a, n_b, containment) with id_a the
+    * contained side, id_a ≠ id_b; both directions may appear.
+    *
+    * One-sided prefix filtering (the overlap-join corollary of the
+    * AllPairs prefix theorem): a qualifying pair shares ≥ ⌈τ·|A|⌉
+    * elements of A, so A must collide with B inside A's first
+    * |A| − ⌈τ·|A|⌉ + 1 df-ordered shingles — the probe side posts
+    * only that prefix (rarest shingles first), while the index side
+    * posts ALL its shingles (an inverted index, the BM25 shape —
+    * containment admits |B| ≫ |A|, so no symmetric prefix exists).
+    * The size filter `tn·|A| ≤ 1000·|B|` (⟺ ⌈τ·|A|⌉ ≤ |B|, exactly,
+    * in integers) prunes pairs whose overlap target exceeds B before
+    * the distinct; exact array verification re-applies the true τ
+    * over n_a (tn = ⌊τ·1000⌋ under-approximates as in
+    * [[jaccardJoin]], so the filters only widen).
+    *
+    * Scale: candidate volume = Σ over probe-prefix shingles of
+    * df(shingle) — prefixes are df-ASCENDING so each probe key hits
+    * the smallest buckets its doc owns; the full posting side is
+    * O(corpus shingles) but map-side (hash-join build on the prefix
+    * stream). The quadratic case is again only a corpus of mutually
+    * contained docs, where the OUTPUT is quadratic. */
+  def containmentJoin(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val tn = tnOf(threshold)
+    val sh = shingles(docs, id, textCol, w)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ordered = dfOrderedArrays(sh, dfreq, id, frozen = false)
+      .localCheckpoint(false)
+    val pre = prefixRows(ordered, id, tn)
+      .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
+    val post = ordered.select(col(id).as("id_b"),
+      col("sz").as("sz_b"), explode(col("sharr")).as("shingle"))
+    val cands = pre.join(post, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_a") * tn <= col("sz_b") * 1000)
+      .select("id_a", "id_b").distinct()
+    val a = ordered.select(col(id).as("id_a"), col("sharr").as("arr_a"))
+    val b = ordered.select(col(id).as("id_b"), col("sharr").as("arr_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("n_common"),
+        size(col("arr_a")).cast("long").as("n_a"),
+        size(col("arr_b")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .where(col("containment") >= threshold)
+  }
+
   /** τ as the exact under-approximating rational tn/1000 (ADVICE r9):
     * the prefix/length filters prune at tn/1000, so FLOOR — rounding
     * up (0.8006 → 801) would make both filters stricter than τ and

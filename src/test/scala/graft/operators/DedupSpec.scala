@@ -112,6 +112,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardJoin(docs, threshold = 0.8007).isEmpty)
   }
 
+  test("containmentJoin: quoted-paragraph case, directedness, brute equality") {
+    import spark.implicits._
+    // doc 1 = a short paragraph; doc 2 = the same paragraph inside a
+    // much longer page. C(1→2) ≈ 1 but Jaccard is tiny — the
+    // asymmetric relation must fire where the symmetric one cannot.
+    val para = (1 to 12).map(i => s"p$i").mkString(" ")
+    val page = ((1 to 12).map(i => s"p$i") ++
+      (1 to 80).map(i => s"x$i")).mkString(" ")
+    val two = Seq((1L, para), (2L, page)).toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(two, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("containment")))
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((1L, 2L)),
+      got.toSeq.toString) // directed: only small-into-large
+    assert(got.head._3 == 1.0, got.head.toString)
+    assert(Dedup.jaccardJoin(two, threshold = 0.8).isEmpty)
+  }
+
+  test("containmentJoin ≡ directed brute force on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'z').map(_.toString)
+    val corpus = (0L until 50L).map { i =>
+      val stem = Seq.fill(8)(vocab(rnd.nextInt(6)))
+      val tail = Seq.fill(rnd.nextInt(10) + 3)(vocab(rnd.nextInt(26)))
+      (i, (stem ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    def shingleSets(df: org.apache.spark.sql.DataFrame) =
+      Dedup.shingles(df).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    for (tau <- Seq(0.6, 0.8, 0.95)) {
+      val sets = shingleSets(corpus)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        common = (sa & sb).size
+        if common.toDouble / sa.size >= tau
+      } yield (a, b, common.toLong)).toSet
+      val got = Dedup.containmentJoin(corpus, threshold = tau)
+        .select("id_a", "id_b", "n_common").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"tau=$tau: missing=${want -- got} " +
+        s"extra=${got -- want}")
+    }
+  }
+
   test("jaccard index: indexed ≡ inline, incremental ≡ brute batch pairs, append ≡ rebuild") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
