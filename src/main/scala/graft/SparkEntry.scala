@@ -1588,6 +1588,28 @@ object SparkEntry {
         ratersPerItem = 3)
     }),
 
+    // Krippendorff's α on a RAGGED panel (5 potential raters, ~70 %
+    // presence, items with < 2 ratings dropped) — the missing-data
+    // agreement statistic Fleiss can't express; exact rational via
+    // per-rating-count folds + HUGEINT replay
+    "q_gate_krippendorff" -> ((s, dir) => {
+      val did = col("doc_id").cast("string")
+      val rid = col("rater").cast("string")
+      val ratings = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr("sequence(1, 5)")).as("rater"))
+        .where(Sketch.md5Fraction(concat(lit("ka|p|"), did, lit("|"),
+          rid)) < 0.7)
+        .select(col("doc_id"), col("rater"),
+          when(Sketch.md5Fraction(concat(lit("ka|n|"), did, lit("|"),
+            rid)) < 0.3,
+            floor(Sketch.md5Fraction(concat(lit("ka|r|"), did, lit("|"),
+              rid)) * 3))
+            .otherwise(floor(
+              Sketch.md5Fraction(concat(lit("ka|b|"), did)) * 3))
+            .cast("long").as("cat"))
+      Eval.krippendorffAlpha(ratings, col("doc_id"), col("cat"))
+    }),
+
     // the PUBLISHED Gopher web-filter recipe (Rae et al. 2021 A1.1),
     // per rule per document — audit why a doc fell, not just that it
     // fell; pure per-row expressions over the scan
@@ -5738,6 +5760,70 @@ object SparkEntry {
          |  round(CAST(a_sum * d2 - b_sum * d1 AS DOUBLE) /
          |    CAST(nullif(d1 * (d2 - b_sum), 0) AS DOUBLE), 6) AS kappa
          |FROM d""".stripMargin
+    },
+
+    // Krippendorff's α replay: ragged-panel coincidence arithmetic —
+    // per-rating-count sums T_m, the Π(m−1) common denominator
+    // (product() over ≤ 4 small distinct factors: exact), one HUGEINT
+    // rational at the end
+    "q_gate_krippendorff" -> {
+      val fp = md5FracSql(
+        "'ka|p|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")
+      val fn = md5FracSql(
+        "'ka|n|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")
+      val fr = md5FracSql(
+        "'ka|r|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")
+      val fb = md5FracSql("'ka|b|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r AS (
+         |  SELECT doc_id, rater,
+         |    CASE WHEN ($fn) < 0.3
+         |      THEN CAST(floor(($fr) * 3) AS BIGINT)
+         |      ELSE CAST(floor(($fb) * 3) AS BIGINT) END AS cat
+         |  FROM documents
+         |  CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5]) AS rater) rt
+         |  WHERE ($fp) < 0.7),
+         |cell AS MATERIALIZED (
+         |  SELECT doc_id, cat, count(*) AS nij FROM r
+         |  WHERE doc_id IS NOT NULL AND cat IS NOT NULL GROUP BY 1, 2),
+         |items AS MATERIALIZED (
+         |  SELECT doc_id, sum(nij) AS ntot,
+         |    sum(nij * (nij - 1)) AS same
+         |  FROM cell GROUP BY 1),
+         |ist AS (
+         |  SELECT
+         |    CAST(coalesce(count(*) FILTER (WHERE ntot >= 2), 0)
+         |      AS BIGINT) AS n_items,
+         |    CAST(coalesce(count(*) FILTER (WHERE ntot < 2), 0)
+         |      AS BIGINT) AS n_dropped,
+         |    CAST(coalesce(sum(ntot) FILTER (WHERE ntot >= 2), 0)
+         |      AS HUGEINT) AS n
+         |  FROM items),
+         |tm AS (
+         |  SELECT ntot AS m,
+         |    CAST(sum(ntot * (ntot - 1) - same) AS HUGEINT) AS t
+         |  FROM items WHERE ntot >= 2 GROUP BY 1),
+         |pp AS (
+         |  SELECT CAST(coalesce(product(m - 1), 1) AS HUGEINT) AS p
+         |  FROM (SELECT DISTINCT m FROM tm)),
+         |nm AS (
+         |  SELECT CAST(coalesce(sum(t * (pp.p // (m - 1))), 0)
+         |    AS HUGEINT) AS num
+         |  FROM tm CROSS JOIN pp),
+         |cst AS (
+         |  SELECT CAST(coalesce(sum(CAST(cj AS HUGEINT) * cj), 0)
+         |    AS HUGEINT) AS ssq
+         |  FROM (
+         |    SELECT cat, sum(nij) AS cj FROM cell
+         |    WHERE doc_id IN (SELECT doc_id FROM items WHERE ntot >= 2)
+         |    GROUP BY cat))
+         |SELECT n_items, n_dropped, CAST(n AS BIGINT) AS n_values,
+         |  round(CAST(num AS DOUBLE) /
+         |    CAST(nullif(n * p, 0) AS DOUBLE), 6) AS d_o,
+         |  round(CAST(n * n - ssq AS DOUBLE) /
+         |    CAST(nullif(n * (n - 1), 0) AS DOUBLE), 6) AS d_e,
+         |  round(1.0 - CAST((n - 1) * num AS DOUBLE) /
+         |    CAST(nullif(p * (n * n - ssq), 0) AS DOUBLE), 6) AS alpha
+         |FROM ist CROSS JOIN pp CROSS JOIN nm CROSS JOIN cst""".stripMargin
     },
 
     // Gopher rules: the same per-row arithmetic on the lowercased

@@ -559,4 +559,94 @@ object Eval {
           .as("mrr"),
         col("n_rel_retrieved"))
   }
+
+  /** Krippendorff's α (nominal data) — the agreement coefficient that
+    * completes the [[cohensKappa]]/[[fleissKappa]] family for the
+    * annotation shape real labeling jobs produce: a VARYING number of
+    * raters per item with missing ratings, which classic Fleiss is
+    * undefined on (this module drops ragged items there; α is the
+    * statistic that was DESIGNED for them — Krippendorff 2004).
+    *
+    * With coincidence-matrix marginals over pairable items (≥ 2
+    * ratings): n_c = Σ_u n_uc, n = Σ_c n_c, and per-item mismatch
+    * A_u = n_u(n_u−1) − Σ_c n_uc(n_uc−1),
+    *
+    *   D_o = (1/n)·Σ_u A_u/(n_u−1)
+    *   D_e = (n² − Σ_c n_c²) / (n(n−1))
+    *   α   = 1 − D_o/D_e
+    *
+    * Exactness: A_u terms are grouped BY RATING COUNT m — the per-m
+    * sums T_m are exact decimal(38,0) folds, and the ≤-maxRaters-row
+    * (m, T_m) table is a driver finish (the k-means-centroid/unigram-
+    * vocab precedent, guarded at 64 rows): with P = Π(m−1) over the
+    * observed m, Σ T_m·(P/(m−1)) is pure BigInt, so the whole
+    * statistic is ONE rational — α = 1 − (n−1)·num / (P·(n²−Σn_c²)) —
+    * and the oracle replays it in HUGEINT (its product() over the ≤ 4
+    * distinct small factors is an exact double). α is NULL when
+    * every pairable rating lands in one category (D_e = 0).
+    *
+    * Scale: one groupBy to the (item, cat) cells, one item fold, one
+    * m-fold (≤ maxRaters rows), one category fold (k rows) — nothing
+    * wider than the cell table shuffles; the collect is plan-constant
+    * sized. Output (1 row): n_items, n_dropped, n_values, d_o, d_e,
+    * alpha. */
+  def krippendorffAlpha(ratings: DataFrame, itemCol: Column,
+      catCol: Column): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val cell = ratings
+      .where(itemCol.isNotNull && catCol.isNotNull)
+      .groupBy(itemCol.as("item"), catCol.as("cat"))
+      .agg(count(lit(1)).as("nij"))
+      .localCheckpoint(false) // feeds the item fold AND the cat fold
+    val items = cell.groupBy("item")
+      .agg(sum("nij").as("ntot"),
+        sum(col("nij") * (col("nij") - 1)).as("same"))
+      .localCheckpoint(false) // feeds the m-fold AND the drop counts
+    val pair = items.where(col("ntot") >= 2)
+    val counts = items.agg(
+      coalesce(sum(when(col("ntot") >= 2, 1L)), lit(0L)),
+      coalesce(sum(when(col("ntot") < 2, 1L)), lit(0L)),
+      coalesce(sum(when(col("ntot") >= 2, col("ntot"))), lit(0L))
+        .cast(dec)).head()
+    val (nItems, nDropped) = (counts.getLong(0), counts.getLong(1))
+    val nBig = BigInt(counts.getDecimal(2).toBigInteger)
+    val tm = pair
+      .select(col("ntot").as("m"),
+        (col("ntot") * (col("ntot") - 1) - col("same")).cast(dec)
+          .as("a"))
+      .groupBy("m").agg(sum(col("a")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+    require(tm.length <= 64,
+      s"krippendorffAlpha: ${tm.length} distinct per-item rating " +
+        "counts exceed the 64-row driver-finish bound")
+    val sumSq = BigInt(cell
+      .join(pair.select("item"), Seq("item"), "left_semi")
+      .groupBy("cat").agg(sum("nij").as("cj"))
+      .agg(coalesce(sum(col("cj").cast(dec) * col("cj")),
+        lit(0L).cast(dec)))
+      .head().getDecimal(0).toBigInteger)
+    val p = tm.map { case (m, _) => BigInt(m - 1) }
+      .foldLeft(BigInt(1))(_ * _)
+    val num = tm.map { case (m, t) => t * (p / BigInt(m - 1)) }.sum
+    val eNum = nBig * nBig - sumSq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val dO: Option[Double] =
+      if (nBig == 0) None
+      else Some(r6(num.toDouble / (nBig * p).toDouble))
+    val dE: Option[Double] =
+      if (nBig < 2) None
+      else Some(r6(eNum.toDouble / (nBig * (nBig - 1)).toDouble))
+    val alpha: Option[Double] =
+      if (nBig < 2 || eNum == 0) None
+      else Some(r6(1.0 - ((nBig - 1) * num).toDouble /
+        (p * eNum).toDouble))
+    Seq((nItems, nDropped, counts.getDecimal(2).longValueExact(), dO,
+      dE, alpha))
+      .toDF("n_items", "n_dropped", "n_values", "d_o", "d_e", "alpha")
+  }
 }

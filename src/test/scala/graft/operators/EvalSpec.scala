@@ -391,4 +391,68 @@ class EvalSpec extends SparkSpec {
     assert(g.getDouble(2) == clean.getDouble(2) &&
       g.getDouble(3) == clean.getDouble(3), s"$g vs $clean")
   }
+
+  /** Independent α replay from the definition: exact BigInt rational
+    * over per-item fractions A_u/(n_u − 1) brought to the common
+    * denominator Π(n_u − 1) over DISTINCT counts. */
+  private def refAlpha(rows: Seq[(Long, Long)])
+      : (Long, Long, Option[Double]) = {
+    val byItem = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val pair = byItem.filter(_._2.size >= 2)
+    val dropped = (byItem.size - pair.size).toLong
+    if (pair.isEmpty) return (0L, dropped, None)
+    val n = BigInt(pair.values.map(_.size).sum)
+    val nc = pair.values.flatten.groupBy(identity)
+      .map { case (_, g) => BigInt(g.size) }
+    val eNum = n * n - nc.map(c => c * c).sum
+    val ms = pair.values.map(_.size).toSet.toSeq
+    val p = ms.map(m => BigInt(m - 1)).product
+    val num = pair.values.map { cats =>
+      val m = cats.size
+      val same = cats.groupBy(identity).values
+        .map(g => BigInt(g.size) * (g.size - 1)).sum
+      (BigInt(m) * (m - 1) - same) * (p / BigInt(m - 1))
+    }.sum
+    val alpha =
+      if (eNum == 0) None
+      else Some(BigDecimal(
+        1.0 - ((n - 1) * num).toDouble / (p * eNum).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    (pair.size.toLong, dropped, alpha)
+  }
+
+  test("krippendorffAlpha: hand cases, ragged drop, brute replay") {
+    // perfect agreement on 2 items -> alpha = 1
+    val perf = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))
+      .toDF("item", "cat")
+    val p = Eval.krippendorffAlpha(perf, col("item"), col("cat")).head
+    assert(p.getLong(0) == 2L && p.getDouble(5) == 1.0, p.toString)
+    // one item, full disagreement -> D_o = D_e -> alpha = 0
+    val dis = Seq((1L, 0L), (1L, 1L)).toDF("item", "cat")
+    val d = Eval.krippendorffAlpha(dis, col("item"), col("cat")).head
+    assert(d.getDouble(5) == 0.0, d.toString)
+    // single category everywhere -> D_e = 0 -> alpha NULL
+    val one = Seq((1L, 0L), (1L, 0L), (2L, 0L)).toDF("item", "cat")
+    val o = Eval.krippendorffAlpha(one, col("item"), col("cat")).head
+    assert(o.isNullAt(5), o.toString)
+    // single-rating items dropped and counted
+    val ragged = Seq((1L, 0L), (1L, 0L), (2L, 1L)).toDF("item", "cat")
+    val g = Eval.krippendorffAlpha(ragged, col("item"), col("cat")).head
+    assert(g.getLong(0) == 1L && g.getLong(1) == 1L &&
+      g.getLong(2) == 2L, g.toString)
+    // random ragged panels vs the independent exact replay
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 5) {
+      val rows = (0L until 40L).flatMap { item =>
+        (1 to rnd.nextInt(6)).map(_ => (item, rnd.nextInt(4).toLong))
+      }
+      val got = Eval.krippendorffAlpha(rows.toDF("item", "cat"),
+        col("item"), col("cat")).head
+      val (wi, wd, wa) = refAlpha(rows)
+      assert(got.getLong(0) == wi && got.getLong(1) == wd,
+        s"trial $trial: $got vs ($wi,$wd,$wa)")
+      val gotA = if (got.isNullAt(5)) None else Some(got.getDouble(5))
+      assert(gotA == wa, s"trial $trial: $gotA vs $wa")
+    }
+  }
 }
