@@ -1184,6 +1184,16 @@ object SparkEntry {
           .as("z_key"))
         .orderBy("z_key", "p_partkey")),
 
+    // Hilbert curve position (the better-locality sibling of the
+    // Morton key: consecutive positions are always grid-adjacent, so
+    // range-clustered files prune more for the same zone maps);
+    // the canonical xy2d recurrence unrolled, replayed step for step
+    "q_hilbert_key" -> ((s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"), col("p_size"),
+        Layout.hilbertKey(pmod(col("p_partkey"), lit(65536)),
+          pmod(col("p_size"), lit(65536)), 16).as("h_key"))
+        .orderBy("h_key", "p_partkey")),
+
     // FILE-LEVEL data skipping through the persisted zone-map
     // manifest: the range probe rules out every Z-tile file whose
     // (l_partkey, l_suppkey) min/max box misses the query box, the
@@ -4516,6 +4526,40 @@ object SparkEntry {
         .mkString(" | ")
       s"""SELECT p_partkey, p_size, ($terms) AS z_key
          |FROM part ORDER BY z_key, p_partkey""".stripMargin
+    },
+
+    // the canonical Hilbert xy2d loop as 16 chained integer CTE steps
+    // (rx/ry quadrant bits, d += s²·((3rx)⊕ry), n−1 reflection + swap)
+    "q_hilbert_key" -> {
+      val init =
+        """hi AS (
+          |  SELECT p_partkey, p_size,
+          |    CAST(p_partkey % 65536 AS BIGINT) AS x,
+          |    CAST(p_size % 65536 AS BIGINT) AS y,
+          |    CAST(0 AS BIGINT) AS d
+          |  FROM part)""".stripMargin
+      val steps = ((16 - 1) to 0 by -1).map { b =>
+        val s = 1L << b
+        val ss = s * s
+        val prev = if (b == 15) "hi" else s"hs${b + 1}"
+        s"""hs$b AS MATERIALIZED (
+           |  SELECT p_partkey, p_size,
+           |    CASE WHEN ry = 0 THEN
+           |      CASE WHEN rx = 1 THEN 65535 - y ELSE y END
+           |    ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN
+           |      CASE WHEN rx = 1 THEN 65535 - x ELSE x END
+           |    ELSE y END AS y,
+           |    d + CAST($ss AS BIGINT) * xor(rx * 3, ry) AS d
+           |  FROM (SELECT p_partkey, p_size, x, y, d,
+           |      CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |      CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |    FROM $prev))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $init,
+         |$steps
+         |SELECT p_partkey, p_size, d AS h_key FROM hs0
+         |ORDER BY h_key, p_partkey""".stripMargin
     },
 
     // pruning is I/O-only: the manifest-skipped scan must equal the

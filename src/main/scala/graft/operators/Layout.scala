@@ -62,6 +62,63 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** 2-D Hilbert curve position of (x, y) on the 2^bits × 2^bits
+    * grid — the space-filling key with STRICTLY better locality than
+    * [[zOrderKey]]'s Morton interleave: consecutive curve positions
+    * are always grid-adjacent (no Z-shape jumps across half the
+    * plane), so a rectangular query box touches fewer key ranges and
+    * a range-clustered file layout prunes more files for the same
+    * zone maps (why Delta Lake's OPTIMIZE grew `CLUSTER BY` Hilbert
+    * next to Z-order).
+    *
+    * The classic bit-level recurrence (top bit down; rotate/reflect
+    * the lower quadrant) as one codegen'd `aggregate`-HOF fold per
+    * row — zero shuffle, exactly like the Morton key; the oracle
+    * replays the identical integer steps. Inputs must lie in
+    * [0, 2^bits) — same contract as zOrderKey (mask/offset wider
+    * domains first). Output in [0, 4^bits). */
+  def hilbertKey(xCol: Column, yCol: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && 2 * bits <= 62,
+      s"2*bits must fit a signed long: $bits")
+    // the canonical xy2d recurrence: reflection uses the FULL grid
+    // width n−1 (an all-ones mask, so no borrow crosses into the low
+    // bits later steps read) — reflecting with s−1 would go negative
+    // whenever the coordinate still carries bit s
+    // The fold runs as a RUNTIME `aggregate` HOF over the descending
+    // s values (ONE lambda in the plan) — a plan-build foldLeft would
+    // copy the state struct into every reference and grow the
+    // expression tree ~6^bits (it OOM'd the analyzer at bits = 16).
+    val n = 1L << bits
+    val svals = array(((bits - 1) to 0 by -1).map(b => lit(1L << b)): _*)
+    val init = struct(xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"), lit(0L).as("d"))
+    aggregate(svals, init, (st, s) => {
+      val x = st.getField("x")
+      val y = st.getField("y")
+      val d = st.getField("d")
+      val rx = when(x.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val ry = when(y.bitwiseAND(s) > 0, 1L).otherwise(0L)
+      val d2 = d + s * s * (rx * 3).bitwiseXOR(ry)
+      // lower-quadrant rotation: when ry = 0, reflect on rx = 1 then
+      // swap the axes; upper quadrants pass through
+      val xr = when(ry === 0,
+        when(rx === 1, lit(n - 1) - y).otherwise(y)).otherwise(x)
+      val yr = when(ry === 0,
+        when(rx === 1, lit(n - 1) - x).otherwise(x)).otherwise(y)
+      struct(xr.as("x"), yr.as("y"), d2.as("d"))
+    }, st => st.getField("d"))
+  }
+
+  /** [[zOrderedWrite]] on the Hilbert key — range-partition + sort by
+    * curve position, key dropped before bytes hit disk. */
+  def hilbertOrderedWrite(df: DataFrame, xCol: Column, yCol: Column,
+      bits: Int, outDir: String, numFiles: Int): Unit =
+    df.withColumn("__h", hilbertKey(xCol, yCol, bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(outDir)
+
   /** The deterministic shuffle key behind [[shuffledShardWrite]] and
     * [[shardAssignment]]: u = md5Fraction("sf|" + seed + "|" + id).
     * The draw is namespaced under the reserved "sf|" tag so no

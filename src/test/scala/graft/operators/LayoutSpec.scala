@@ -71,6 +71,82 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zed).columns.toSet == Set("x", "y", "payload"))
   }
 
+  test("hilbertKey: bijection, curve adjacency, canonical-C replay, locality beats Morton") {
+    // plain-Scala canonical xy2d (the Wikipedia C loop, verbatim)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      val n = 1L << bits
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    // bits = 3: full 8x8 grid — bijection onto 0..63 AND the Hilbert
+    // property: consecutive curve positions are grid-adjacent
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = grid.select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), bits = 3).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got.values.toSeq.sorted == (0L until 64L).toSeq)
+    val byD = got.map(_.swap)
+    for (d <- 0L until 63L) {
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+    // bits = 16: match the canonical C loop on random coordinates
+    val rnd = new scala.util.Random(9)
+    val pts = (1 to 200).map(_ =>
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got16 = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), bits = 16).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for ((x, y) <- pts)
+      assert(got16((x, y)) == xy2d(16, x, y), s"($x,$y)")
+    // locality: total curve length (sum of |key delta| between grid
+    // neighbors) — Hilbert's bounded rotations beat the Morton Z-jumps
+    def cost(keyOf: (Long, Long) => Long): Long =
+      (for { x <- 0L until 8L; y <- 0L until 7L }
+        yield math.abs(keyOf(x, y + 1) - keyOf(x, y))).sum
+    val mort = grid.select(col("x"), col("y"),
+        Layout.zOrderKey(Seq(col("x"), col("y")), bits = 3).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(cost((a, b) => got((a, b))) < cost((a, b) => mort((a, b))),
+      "hilbert locality not better than morton")
+  }
+
+  test("hilbertOrderedWrite prunes a query box at least as well as z-order") {
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x, y, x * 64 + y)).toDF("x", "y", "payload")
+    val zed = Files.createTempDirectory("lay_z2").toString
+    Layout.zOrderedWrite(grid, Seq(col("x"), col("y")), bits = 6, zed,
+      numFiles = 16)
+    val hil = Files.createTempDirectory("lay_h").toString
+    Layout.hilbertOrderedWrite(grid, col("x"), col("y"), bits = 6, hil,
+      numFiles = 16)
+    val pred = col("y") < 4
+    val zRows = scanOutputRows(spark.read.parquet(zed).where(pred))
+    val hRows = scanOutputRows(spark.read.parquet(hil).where(pred))
+    assert(hRows <= zRows, s"hilbert=$hRows morton=$zRows")
+    assert(spark.read.parquet(hil).where(pred).count() ==
+      spark.read.parquet(zed).where(pred).count())
+    assert(spark.read.parquet(hil).columns.toSet ==
+      Set("x", "y", "payload"))
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     val facts = (1 to 20000).map(i => (i % 1000, i)).toDF("k", "v")
     val dims = (0 until 1000).map(i => (i, s"d$i")).toDF("k", "name")
