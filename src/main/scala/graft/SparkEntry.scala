@@ -87,6 +87,13 @@ object SparkEntry {
   private val grIndexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
+  /** Per-(application, data-dir) memo of the ON-DISK SQ8 index PATH
+    * (Similarity.sqIndexWrite: per-dim grid + byte-coded corpus) for
+    * sim_sq8_indexed. Same contract and staleness semantics as
+    * [[sigIndexCache]]. */
+  private val sqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
   /** Per-(application, data-dir) memo of the Z-ORDERED LINEITEM COPY +
     * its zone-map and bloom manifests (q_zonemap_scan /
     * q_bloomskip_point): at 100 TB clustering + manifest build is the
@@ -2427,6 +2434,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 serving from the persisted artifact (grid + byte-coded
+    // corpus written once per data dir): the query pays only the
+    // compressed-domain scan — bit-equal to the inline build, so the
+    // same oracle pins the artifact path
+    "sim_sq8_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(sqIndexCache, "sq", appId)
+      val path = sqIndexCache.getOrElseUpdate((appId, dir), {
+        val p = indexPath("sq", appId, dir)
+        Similarity.sqIndexWrite(e, p)
+        p
+      })
+      val (grid, encoded) = Similarity.sqIndexRead(s, path)
+      Similarity.sqTopKWith(encoded, grid, e.where(col("vec_id") < 10),
+        5).orderBy("query_id", "rank")
+    }),
+
     // PQ with the production finish: compressed-domain shortlist, then
     // exact cosine re-rank of the shortlist alone (recall 0.55 vs 0.12
     // raw on this worst-case unclustered fixture — AnnRecallSpec)
@@ -3039,6 +3064,42 @@ object SparkEntry {
        |    AS segmented
        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared by sim_sq8_topk and sim_sq8_indexed (the persisted
+    * grid/codes ARE the inline build outputs). */
+  private lazy val sq8OracleSql: String =
+    s"""WITH $EmbCte,
+         |g AS MATERIALIZED (
+         |  SELECT CAST(i - 1 AS INT) AS d,
+         |    min(v[CAST(i AS INT)]) AS lo, max(v[CAST(i AS INT)]) AS hi
+         |  FROM e, range(1, 65) t(i) GROUP BY 1),
+         |c AS MATERIALIZED (
+         |  SELECT e.vec_id, g.d,
+         |    CASE WHEN g.hi = g.lo THEN 0
+         |      ELSE greatest(0, least(255, CAST(floor(
+         |        (e.v[g.d + 1] - g.lo) / (g.hi - g.lo) * 256) AS INT)))
+         |    END AS cd
+         |  FROM e CROSS JOIN g),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id < 10),
+         |tm AS MATERIALIZED (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    CAST(floor(1000000.0 *
+         |      (q.qv[c.d + 1] - (g.lo + (c.cd + 0.5) * (g.hi - g.lo) / 256)) *
+         |      (q.qv[c.d + 1] - (g.lo + (c.cd + 0.5) * (g.hi - g.lo) / 256)))
+         |      AS BIGINT) AS term
+         |  FROM q JOIN c ON c.vec_id <> q.query_id
+         |  JOIN g ON g.d = c.d),
+         |sc8 AS (SELECT query_id, neighbor_id,
+         |    CAST(sum(term) AS BIGINT) AS adist_micro
+         |  FROM tm GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist_micro,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist_micro, neighbor_id) AS "rank"
+         |  FROM sc8)
+         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
+         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin
 
   private val EmbCte =
     "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings)"
@@ -6775,39 +6836,11 @@ object SparkEntry {
     // SQ8 replay: per-dim min/max grid, byte codes, midpoint
     // reconstruction, per-dim floor'd micro terms summed as BIGINT —
     // the identical IEEE-double expression per dimension, integer sum
-    "sim_sq8_topk" ->
-      s"""WITH $EmbCte,
-         |g AS MATERIALIZED (
-         |  SELECT CAST(i - 1 AS INT) AS d,
-         |    min(v[CAST(i AS INT)]) AS lo, max(v[CAST(i AS INT)]) AS hi
-         |  FROM e, range(1, 65) t(i) GROUP BY 1),
-         |c AS MATERIALIZED (
-         |  SELECT e.vec_id, g.d,
-         |    CASE WHEN g.hi = g.lo THEN 0
-         |      ELSE greatest(0, least(255, CAST(floor(
-         |        (e.v[g.d + 1] - g.lo) / (g.hi - g.lo) * 256) AS INT)))
-         |    END AS cd
-         |  FROM e CROSS JOIN g),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
-         |  WHERE vec_id < 10),
-         |tm AS MATERIALIZED (
-         |  SELECT q.query_id, c.vec_id AS neighbor_id,
-         |    CAST(floor(1000000.0 *
-         |      (q.qv[c.d + 1] - (g.lo + (c.cd + 0.5) * (g.hi - g.lo) / 256)) *
-         |      (q.qv[c.d + 1] - (g.lo + (c.cd + 0.5) * (g.hi - g.lo) / 256)))
-         |      AS BIGINT) AS term
-         |  FROM q JOIN c ON c.vec_id <> q.query_id
-         |  JOIN g ON g.d = c.d),
-         |sc8 AS (SELECT query_id, neighbor_id,
-         |    CAST(sum(term) AS BIGINT) AS adist_micro
-         |  FROM tm GROUP BY 1, 2),
-         |r AS (
-         |  SELECT query_id, neighbor_id, adist_micro,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adist_micro, neighbor_id) AS "rank"
-         |  FROM sc8)
-         |SELECT query_id, neighbor_id, "rank", adist_micro FROM r
-         |WHERE "rank" <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "sim_sq8_topk" -> sq8OracleSql,
+
+    // artifact serving is bit-equal to the inline build by
+    // construction (parquet round-trip of exact ints/doubles)
+    "sim_sq8_indexed" -> sq8OracleSql,
 
     "sim_pq_rerank" ->
       s"""WITH $EmbCte,

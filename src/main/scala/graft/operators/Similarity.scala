@@ -796,7 +796,16 @@ object Similarity {
       dim: Int = 64, id: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val grid = sqGrid(corpus, vecCol).localCheckpoint(false)
-    val enc = sqEncode(corpus, grid, dim, id, vecCol)
+    sqTopKWith(sqEncode(corpus, grid, dim, id, vecCol), grid, queries,
+      topK, dim, id, vecCol)
+  }
+
+  /** The SQ8 serving scan alone: a pre-encoded corpus + its grid
+    * (typically [[sqIndexRead]] artifacts) against raw queries —
+    * identical math to [[sqTopK]]'s inline form. */
+  def sqTopKWith(enc: DataFrame, grid: DataFrame, queries: DataFrame,
+      topK: Int, dim: Int = 64, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val qs = queries.select(col(id).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = enc.join(broadcast(qs), col("query_id") =!= col(id))
@@ -819,4 +828,24 @@ object Similarity {
       .select(col("query_id"), negate(col("o2")).as("neighbor_id"),
         col("rank"), negate(col("o1")).as("adist_micro"))
   }
+
+  /** Persist the SQ8 index artifacts — `path/grid` (dim rows) and
+    * `path/encoded` ((id, codes): the 8×-compressed corpus on disk).
+    * The build is the one-time WRITE job; serving reads only the
+    * artifacts ([[pqIndexWrite]]'s nightly-pipeline shape). Staleness
+    * contract as every persisted index: rebuild when the corpus
+    * snapshot changes. */
+  def sqIndexWrite(corpus: DataFrame, path: String, dim: Int = 64,
+      id: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val grid = sqGrid(corpus, vecCol).localCheckpoint(false)
+    grid.coalesce(1).write.mode("overwrite").parquet(s"$path/grid")
+    sqEncode(corpus, grid, dim, id, vecCol)
+      .write.mode("overwrite").parquet(s"$path/encoded")
+  }
+
+  /** Load the persisted SQ8 index: (grid, encoded corpus). */
+  def sqIndexRead(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/grid"),
+      spark.read.parquet(s"$path/encoded"))
 }

@@ -293,6 +293,25 @@ class SimilaritySpec extends SparkSpec {
       s"$sqTop1 vs $exact")
   }
 
+  test("SQ8 index: artifact round-trip serves bit-equal to the inline build") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (0L until 25L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq_idx").toString + "/idx"
+    Similarity.sqIndexWrite(df, dir, dim = 6)
+    val (grid, enc) = Similarity.sqIndexRead(spark, dir)
+    val served = Similarity.sqTopKWith(enc, grid,
+        df.where(col("vec_id") < 3), 4, dim = 6)
+      .collect().map(_.toString).sorted.toList
+    val inline = Similarity.sqTopK(df, df.where(col("vec_id") < 3), 4,
+        dim = 6)
+      .collect().map(_.toString).sorted.toList
+    assert(served == inline)
+  }
+
   test("cluster-blocked near-dups stay within clusters") {
     val cents = Similarity.kmeansFit(vecs, k = 2, iters = 2)
     val withCid = Similarity.assignCells(vecs, cents)
