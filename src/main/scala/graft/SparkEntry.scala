@@ -1897,6 +1897,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // interpolated Kneser–Ney (D = 3/4): the published smoothing —
+    // unseen bigrams back off to history promiscuity × continuation
+    // probability as ONE integer rational per event; trained on the
+    // even-doc split so the odd docs exercise the backoff and OOV
+    // paths, every term replayed
+    "text_perplexity_kn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.kneserNeyLogLoss(docs,
+        docs.where(col("doc_id") % 2 === 0), oovQMicros = 25000000L)
+        .orderBy("doc_id")
+    }),
+
     // perplexity-proxy quality score (CCNet-style, unigram LM): high
     // avg_neg_logp = token mix diverges from the corpus
     "text_perplexity" -> ((s, dir) =>
@@ -5125,6 +5137,47 @@ object SparkEntry {
         |j AS (
         |  SELECT doc_id, coalesce(q, 0) AS q
         |  FROM p LEFT JOIN lm USING (w1, w2))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
+        |    AS avg_neg_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // interpolated KN replay: train-split bigram/history/continuation
+    // counts, the single-rational event probability
+    // (max(4c−3,0)·B + 3·N1v·N1w)/(4·c1·B), backoff/OOV branches
+    "text_perplexity_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 2),
+        |p AS MATERIALIZED (
+        |  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS b
+        |    FROM toks)),
+        |c12 AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c12 FROM p
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1v
+        |  FROM c12 GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS n1w FROM c12 GROUP BY 1),
+        |bt AS (SELECT count(*) AS b FROM c12),
+        |j AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN c1.c1 IS NULL OR
+        |        (greatest(4 * coalesce(c12.c12, 0) - 3, 0) * bt.b
+        |          + 3 * c1.n1v * coalesce(cont.n1w, 0)) = 0
+        |      THEN CAST(25000000 AS BIGINT)
+        |      ELSE CAST(floor(-ln(
+        |        CAST(greatest(4 * coalesce(c12.c12, 0) - 3, 0) * bt.b
+        |          + 3 * c1.n1v * coalesce(cont.n1w, 0) AS DOUBLE) /
+        |        CAST(4 * c1.c1 * bt.b AS DOUBLE)) * 1000000) AS BIGINT)
+        |    END AS q
+        |  FROM p
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN c1 USING (w1)
+        |  LEFT JOIN cont USING (w2)
+        |  CROSS JOIN bt)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(CAST(sum(q) AS DOUBLE) / (1000000.0 * count(*)), 4)
         |    AS avg_neg_logp

@@ -603,6 +603,66 @@ object TextAnalysis {
     unigramLogLossWith(docs, unigramLm(docs, textCol),
       oovQMicros = 0L, id, textCol)
 
+  /** Interpolated Kneser–Ney bigram log-loss — THE standard n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form), upgrading [[bigramLogLossWith]]'s flat OOV
+    * penalty to the principled backoff: an unseen bigram is scored by
+    * how promiscuous its history is (λ(v) = D·N1+(v·)/c(v)) times how
+    * many contexts its target CONTINUES (P_cont(w) = N1+(·w)/N1+(··))
+    * — "san francisco" inflates c(francisco) but not its continuation
+    * count, which is the whole point.
+    *
+    *   P(w|v) = max(c(vw) − D, 0)/c(v) + D·N1+(v·)/c(v) · N1+(·w)/B
+    *
+    * with D = 3/4 and B = N1+(··). With the discount a small rational
+    * the whole probability is ONE integer rational,
+    *
+    *   P = (max(4·c(vw) − 3, 0)·B + 3·N1+(v·)·N1+(·w)) / (4·c(v)·B),
+    *
+    * so the per-event charge q = ⌊−ln(num/den)·1e6⌋ is one double
+    * division + one ln over exact longs — the [[unigramLm]]
+    * quantization discipline, replayed term for term by the oracle.
+    * (num/den carried as longs: 4·c(v)·B must stay under 2^63 — holds
+    * to ~10^9 distinct bigrams × 10^9-count histories; shard-train
+    * beyond that.) Events whose HISTORY is unseen in `trainDocs` (or
+    * whose target never continues anything, making the interpolated
+    * mass exactly zero) charge the flat `oovQMicros` — the one place
+    * a flat penalty is still honest.
+    *
+    * Trained on `trainDocs`, scores `scoreDocs` (the
+    * text_perplexity_ref split shape). Plan: three map-side-combined
+    * groupBys over train bigrams (pair, history, continuation), a
+    * broadcast 1-row B, three equi-joins onto score events, one
+    * per-doc fold. Output: id, n_bigrams, avg_neg_logp. */
+  def kneserNeyLogLoss(scoreDocs: DataFrame, trainDocs: DataFrame,
+      oovQMicros: Long, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val c12 = bigramEvents(trainDocs, Seq.empty, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false) // feeds c1, cont, B AND the score join
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1v"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1w"))
+    val bTot = c12.agg(count(lit(1)).as("b"))
+    val num = greatest(lit(4) * coalesce(col("c12"), lit(0L)) - 3,
+      lit(0L)) * col("b") +
+      lit(3) * col("n1v") * coalesce(col("n1w"), lit(0L))
+    val den = lit(4) * col("c1") * col("b")
+    bigramEvents(scoreDocs, Seq(col(id)), textCol)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(bTot))
+      .select(col(id),
+        when(col("c1").isNull || num === 0, lit(oovQMicros))
+          .otherwise(floor(-log(num.cast("double") /
+            den.cast("double")) * 1000000).cast("long")).as("q"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("q")).cast("double") /
+          (lit(1000000.0) * count(lit(1))), 4).as("avg_neg_logp"))
+  }
+
   /** Split each document into overlapping token windows — the
     * context-window prep step of a training pipeline (chunk i covers
     * tokens [i·stride, i·stride + maxTokens), stride =

@@ -472,4 +472,67 @@ class TextAnalysisSpec extends SparkSpec {
     // stop-hit counting is exact distinct-of-8
     assert(r(0).getLong(7) == 8L, r(0).toString)
   }
+
+  test("kneserNeyLogLoss: plain-Scala replay, backoff beats flat-OOV, sums to 1") {
+    import spark.implicits._
+    val train = Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the dog sat on a log"),
+      (4L, "a cat and a dog"))
+    val score = train ++ Seq(
+      (1L, "the cat sat"),          // all bigrams seen
+      (3L, "the mat sat"),          // 'mat sat' unseen: backoff fires
+      (5L, "zzz qqq"))              // unseen history: flat OOV
+    val docs = score.toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyLogLoss(docs,
+        docs.where(col("doc_id") % 2 === 0), oovQMicros = 25000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // independent replay
+    def bigrams(t: String): Seq[(String, String)] = {
+      val w = t.toLowerCase.split(" ", -1).toSeq
+      if (w.size < 2) Nil else w.zip(w.tail)
+    }
+    val trainEv = train.flatMap { case (_, t) => bigrams(t) }
+    val c12 = trainEv.groupBy(identity).map { case (k, g) =>
+      k -> g.size.toLong }
+    val c1 = trainEv.groupBy(_._1).map { case (k, g) =>
+      k -> g.size.toLong }
+    val n1v = c12.keys.toSeq.groupBy(_._1).map { case (k, g) =>
+      k -> g.size.toLong }
+    val n1w = c12.keys.toSeq.groupBy(_._2).map { case (k, g) =>
+      k -> g.size.toLong }
+    val b = c12.size.toLong
+    def q(v: String, w: String): Long =
+      if (!c1.contains(v)) 25000000L
+      else {
+        val num = math.max(4 * c12.getOrElse((v, w), 0L) - 3, 0L) * b +
+          3 * n1v(v) * n1w.getOrElse(w, 0L)
+        if (num == 0) 25000000L
+        else math.floor(-math.log(num.toDouble /
+          (4 * c1(v) * b).toDouble) * 1e6).toLong
+      }
+    for ((id, t) <- score) {
+      val ev = bigrams(t)
+      val want = BigDecimal(ev.map { case (v, w) => q(v, w) }.sum
+        .toDouble / (1e6 * ev.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((ev.size.toLong, want)),
+        s"doc $id: ${got(id)} vs ($want)")
+    }
+    // doc 3's backoff charge must be cheaper than a flat OOV penalty
+    // but costlier than doc 1's all-seen bigrams
+    assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < 25.0, got.toString)
+    assert(got(5L)._2 == 25.0, got.toString) // pure OOV
+    // KN normalization, exactly: for every seen history v,
+    // sum over the continuation vocab of num(v,w) == den(v)
+    for (v <- c1.keys) {
+      val den = 4 * c1(v) * b
+      val tot = n1w.keys.toSeq.map { w =>
+        math.max(4 * c12.getOrElse((v, w), 0L) - 3, 0L) * b +
+          3 * n1v(v) * n1w(w)
+      }.sum
+      assert(tot == den, s"history '$v': $tot != $den")
+    }
+  }
 }
