@@ -2110,6 +2110,23 @@ object SparkEntry {
           col("n_b"), round(col("containment"), 4).as("containment"))
         .orderBy("id_a", "id_b")),
 
+    // containment served from the SAME persisted jaccard artifact
+    // (one nightly build, two joins): no re-shingle, no df groupBy,
+    // no per-doc sorts — pair-identical, same oracle
+    "dedup_containment_indexed" -> ((s, dir) => {
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(jacIndexCache, "jac", appId)
+      val path = jacIndexCache.getOrElseUpdate((appId, dir), {
+        val p = indexPath("jac", appId, dir)
+        Dedup.jaccardIndexWrite(t(s, dir, "documents"), p)
+        p
+      })
+      Dedup.containmentJoinIndexed(s, path, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // the exact join's build-once/serve-cheap split (VERDICT r9 #1):
     // the DF-ordered per-doc arrays + df table are persisted ONCE per
     // data dir (Dedup.jaccardIndexWrite — amortized across nightly
@@ -2627,6 +2644,21 @@ object SparkEntry {
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
   private val ShingleCtes = shingleCtes("documents")
+
+  /** Shared by dedup_containment and dedup_containment_indexed
+    * (the persisted arrays ARE the inline build outputs). */
+  private lazy val containmentOracleSql: String =
+    s"""WITH $ShingleCtes,
+         |com AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+         |  round(n_common / sa.sz, 4) AS containment
+         |FROM com JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |WHERE n_common / sa.sz >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
 
   private val JaccardSelect =
     """SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
@@ -6367,18 +6399,10 @@ object SparkEntry {
     // directed brute-force spec: every shingle-sharing ordered pair's
     // exact containment n_common/|A| — the prefix-filtered join must
     // reproduce it pair for pair
-    "dedup_containment" ->
-      s"""WITH $ShingleCtes,
-         |com AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
-         |  round(n_common / sa.sz, 4) AS containment
-         |FROM com JOIN sz sa ON sa.doc_id = id_a
-         |  JOIN sz sb ON sb.doc_id = id_b
-         |WHERE n_common / sa.sz >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" -> containmentOracleSql,
+
+    // artifact serving is pair-identical by contract
+    "dedup_containment_indexed" -> containmentOracleSql,
 
     // persisted-index exact join ≡ inline exact join ≡ brute at the
     // same threshold: ONE spec-level oracle for all three (the index

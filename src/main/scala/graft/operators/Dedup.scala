@@ -390,6 +390,38 @@ object Dedup {
       threshold)
   }
 
+  /** [[containmentJoin]] served from the SAME persisted
+    * [[jaccardIndexWrite]] artifact (one nightly build feeds both the
+    * symmetric and the asymmetric join — the df-ordered arrays are
+    * the only state either needs): probe prefixes and the full
+    * posting side both come from `path/docs`; no re-shingle, no df
+    * groupBy, no per-doc sorts. Pair-identical to the inline form. */
+  def containmentJoinIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, id: String = "doc_id",
+      threshold: Double = 0.8): DataFrame = {
+    val tn = tnOf(threshold)
+    val ordered = spark.read.parquet(s"$path/docs")
+    val pre = prefixRows(ordered, id, tn)
+      .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
+    val post = ordered.select(col(id).as("id_b"),
+      col("sz").as("sz_b"), explode(col("sharr")).as("shingle"))
+    val cands = pre.join(post, Seq("shingle"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_a") * tn <= col("sz_b") * 1000)
+      .select("id_a", "id_b").distinct()
+    val a = ordered.select(col(id).as("id_a"), col("sharr").as("arr_a"))
+    val b = ordered.select(col(id).as("id_b"), col("sharr").as("arr_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
+          .as("n_common"),
+        size(col("arr_a")).cast("long").as("n_a"),
+        size(col("arr_b")).cast("long").as("n_b"))
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_a"))
+      .where(col("containment") >= threshold)
+  }
+
   /** INCREMENTAL exact-Jaccard join — the nightly-crawl shape
     * ([[minhashLshPairsIncremental]]'s contract, exact instead of
     * banded): only pairs involving `batchDocs` are returned

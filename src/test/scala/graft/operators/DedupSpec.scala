@@ -158,6 +158,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoinIndexed: served from the jaccard artifact, pair-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = ('a' to 'z').map(_.toString)
+    val corpus = (0L until 40L).map { i =>
+      val stem = Seq.fill(7)(vocab(rnd.nextInt(6)))
+      val tail = Seq.fill(rnd.nextInt(8) + 3)(vocab(rnd.nextInt(26)))
+      (i, (stem ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("cont_idx").toString + "/idx"
+    Dedup.jaccardIndexWrite(corpus, dir)
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "n_common", "n_a", "n_b").collect()
+        .map(_.toString).sorted.toList
+    assert(rows(Dedup.containmentJoinIndexed(spark, dir,
+        threshold = 0.7)) ==
+      rows(Dedup.containmentJoin(corpus, threshold = 0.7)))
+  }
+
   test("jaccard index: indexed ≡ inline, incremental ≡ brute batch pairs, append ≡ rebuild") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
