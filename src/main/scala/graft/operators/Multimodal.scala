@@ -502,6 +502,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL difference hash (dHash) — [[imageAHash]]'s gradient
+    * sibling: 9×8 bilinear grayscale, bit = luma[x] < luma[x+1] per
+    * row (64 horizontal gradients), packed row-major. Gradients
+    * survive global brightness/contrast shifts that move aHash's mean
+    * threshold, and a uniform image hashes to all-zeros instead of
+    * aHash's degenerate all-ones — the standard production pairing is
+    * "band on dHash, verify on aHash ∧ dHash". Same plumbing,
+    * same NULL contract. Output: id, byte_len, dhash (long). */
+  def imageDHash(df: DataFrame, id: String, binCol: String): DataFrame = {
+    val inSchema = df.select(col(id), col(binCol)).schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      inSchema.head,
+      org.apache.spark.sql.types.StructField("byte_len",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dhash",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          org.apache.spark.sql.Row(r.get(0),
+            if (payload == null) null else payload.length.toLong, null)
+        else {
+          val thumb = new java.awt.image.BufferedImage(9, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = thumb.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, 9, 8, null)
+          g.dispose()
+          def luma(x: Int, y: Int): Double = {
+            val rgb = thumb.getRGB(x, y)
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            val (x, y) = (i % 8, i / 8)
+            if (luma(x, y) < luma(x + 1, y)) hash |= (1L << (63 - i))
+            i += 1
+          }
+          org.apache.spark.sql.Row(r.get(0), payload.length.toLong, hash)
+        }
+      }
+    }(enc)
+  }
+
   /** Near-duplicate IMAGES via aHash + Hamming banding — the visual
     * twin of text SimHash dedup, end-to-end real in this environment
     * (JDK codecs): [[imageAHash]] per payload, then
@@ -514,6 +571,119 @@ object Multimodal {
     Dedup.sigHammingPairs(
       imageAHash(df, id, binCol).where(col("ahash").isNotNull),
       id, "ahash", 64, maxDist, maxBucket)
+
+  /** Per-frame audio features over REAL WAV/AIFF PCM — the
+    * VAD/silence-detection prep a speech-curation pipeline runs
+    * before segmenting: fixed `frameMs` windows, per frame the
+    * full-scale RMS and the zero-crossing RATE (fraction of adjacent
+    * sample pairs that change sign — high for noise/fricatives, low
+    * for voiced speech/silence; RMS ≈ 0 marks trimmable silence).
+    * Channels pool into one statistic per frame (the [[pcmRms]]
+    * convention); trailing partial frames are emitted with their true
+    * n_samples. Same batched one-reader-per-partition plumbing as
+    * [[decodeAudio]]; non-PCM/undecodable payloads emit NO frame rows
+    * (join back to [[decodeAudio]] for their NULL-metadata row).
+    * Output: id, frame_idx, n_samples, rms, zcr (both rounded 4). */
+  def audioFrameFeatures(df: DataFrame, id: String, binCol: String,
+      frameMs: Int = 25, maxSampleBytes: Int = 1 << 20): DataFrame = {
+    require(frameMs >= 1, s"frameMs must be >= 1: $frameMs")
+    val inSchema = df.select(col(id), col(binCol)).schema
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      inSchema.head,
+      StructField("frame_idx", LongType),
+      StructField("n_samples", LongType),
+      StructField("rms", DoubleType),
+      StructField("zcr", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val maxBytes = maxSampleBytes
+    val fMs = frameMs
+    df.select(col(id), col(binCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        if (payload == null) Iterator.empty
+        else
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            try {
+              val fmt = in.getFormat
+              pcmSamples(in, fmt, maxBytes) match {
+                case None => Iterator.empty
+                case Some(samples) =>
+                  val perFrame = math.max(1,
+                    (fmt.getSampleRate * fmt.getChannels * fMs / 1000.0)
+                      .toInt)
+                  samples.grouped(perFrame).zipWithIndex.map {
+                    case (fr, idx) =>
+                      val n = fr.length
+                      val rms = math.sqrt(fr.map(v => v * v).sum / n)
+                      val crossings = fr.iterator.sliding(2)
+                        .withPartial(false)
+                        .count(p => (p.head < 0) != (p(1) < 0))
+                      val zcr =
+                        if (n < 2) 0.0
+                        else crossings.toDouble / (n - 1)
+                      org.apache.spark.sql.Row(r.get(0), idx.toLong,
+                        n.toLong, math.rint(rms * 10000) / 10000,
+                        math.rint(zcr * 10000) / 10000)
+                  }.toVector.iterator
+              }
+            } finally in.close()
+          } catch {
+            case scala.util.control.NonFatal(_) => Iterator.empty
+          }
+      }
+    }(enc)
+  }
+
+  /** Full-scale-normalized samples (all channels interleaved) of the
+    * first `maxBytes` of an 8/16-bit PCM stream — the decode loop of
+    * [[pcmRms]] factored to a sample vector for framewise features.
+    * None for unsupported encodings or an empty stream. */
+  private def pcmSamples(in: javax.sound.sampled.AudioInputStream,
+      fmt: javax.sound.sampled.AudioFormat, maxBytes: Int)
+      : Option[Vector[Double]] = {
+    import javax.sound.sampled.AudioFormat.Encoding
+    val bits = fmt.getSampleSizeInBits
+    val ok = (fmt.getEncoding == Encoding.PCM_SIGNED ||
+      fmt.getEncoding == Encoding.PCM_UNSIGNED) && (bits == 8 || bits == 16)
+    if (!ok) return None
+    val buf = new Array[Byte](65536)
+    val out = Vector.newBuilder[Double]
+    var readTotal = 0
+    var count = 0L
+    var n = in.read(buf, 0, math.min(buf.length, maxBytes))
+    while (n > 0) {
+      val step = bits / 8
+      val whole = n - n % step
+      var i = 0
+      while (i < whole) {
+        val v: Double =
+          if (bits == 8) {
+            if (fmt.getEncoding == Encoding.PCM_UNSIGNED)
+              ((buf(i) & 0xff) - 128) / 128.0
+            else buf(i) / 128.0
+          } else {
+            val (lo, hi) = if (fmt.isBigEndian) (i + 1, i) else (i, i + 1)
+            val s = ((buf(hi) << 8) | (buf(lo) & 0xff)).toShort
+            val centered =
+              if (fmt.getEncoding == Encoding.PCM_UNSIGNED)
+                ((s & 0xffff) - 32768).toShort.toInt
+              else s.toInt
+            centered / 32768.0
+          }
+        out += v
+        count += 1
+        i += step
+      }
+      readTotal += n
+      n =
+        if (readTotal >= maxBytes) -1
+        else in.read(buf, 0, math.min(buf.length, maxBytes - readTotal))
+    }
+    if (count == 0) None else Some(out.result())
+  }
 
   /** Content-defined chunk fingerprints (Gear/FastCDC family, native
     * codegen'd expression): boundaries depend on CONTENT, so an edit

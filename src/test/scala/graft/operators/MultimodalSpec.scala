@@ -295,4 +295,91 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(norms.forall(n => n > 0 && n < math.sqrt(8.0) + 1e-9))
   }
+
+  test("imageDHash: gradient bits, brightness invariance, uniform → 0") {
+    import spark.implicits._
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def gradient(delta: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = math.min(255, x * 4 + delta)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val uni = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) uni.setRGB(x, y, 0x808080)
+    val data = Seq(
+      (1L, encode(gradient(0))),
+      (2L, encode(gradient(40))), // brightened copy
+      (3L, encode(uni)),
+      (4L, "junk".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = Multimodal.imageDHash(data, "id", "payload")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // left-to-right increasing luma: every gradient bit fires
+    assert(got(1L).contains(-1L), got(1L).toString) // 64 ones
+    // global brightness shift preserves the gradients exactly (the
+    // aHash mean threshold would move; dHash must not)
+    assert(got(1L) == got(2L))
+    // uniform image: no gradients — all-zeros, not aHash's all-ones
+    assert(got(3L).contains(0L))
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+  }
+
+  test("audioFrameFeatures: framewise RMS/ZCR on a real sine, silence, partial tail") {
+    import javax.sound.sampled._
+    def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        bytes(i * 2) = (samples(i) & 0xff).toByte
+        bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length.toLong), AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rate = 8000f
+    // 0.26 s of 440 Hz at amp 0.6 → 2080 samples = 10 full 25 ms
+    // frames (200 samples) + one 80-sample tail
+    val sine = Array.tabulate((0.26 * rate).toInt)(i =>
+      (0.6 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    val silence = Array.fill(400)(0.toShort)
+    val rows = Seq(
+      (1L, wav(sine, rate)), (2L, wav(silence, rate)),
+      (3L, "not audio".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.audioFrameFeatures(rows, "id", "payload",
+        frameMs = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val sineFrames = got.keys.filter(_._1 == 1L).map(_._2)
+    assert(sineFrames.size == 11 && sineFrames.max == 10L)
+    // full frames: 11 cycles of the sine each → RMS ≈ 0.6/√2, ZCR ≈
+    // 2 crossings/cycle × 440 Hz / 8 kHz = 0.11
+    for (f <- 0L until 10L) {
+      val (n, rms, zcr) = got((1L, f))
+      assert(n == 200L)
+      assert(math.abs(rms - 0.6 / math.sqrt(2)) < 0.01, s"frame $f rms $rms")
+      assert(math.abs(zcr - 0.11) < 0.02, s"frame $f zcr $zcr")
+    }
+    // the partial tail keeps its true sample count
+    assert(got((1L, 10L))._1 == 80L)
+    // silence: RMS 0, no sign changes
+    val (sn, srms, szcr) = got((2L, 0L))
+    assert(sn == 200L && srms == 0.0 && szcr == 0.0)
+    // undecodable payloads contribute no frame rows
+    assert(!got.keys.exists(_._1 == 3L))
+  }
 }
