@@ -1089,6 +1089,17 @@ object SparkEntry {
         s.range(0, 20).select(col("id").as("node")), iters = 3)
         .orderBy("node")),
 
+    // edge-WEIGHTED PageRank (anchor-count/link-multiplicity prior):
+    // contribution ∝ weight share of the source's out-weight, every
+    // integer round replayed
+    "q_graph_pagerank_w" -> ((s, dir) =>
+      Graph.pageRankWeighted(
+        graphEdges(s, dir).distinct()
+          .select(col("src"), col("dst"),
+            (pmod(col("src") * 31 + col("dst"), lit(7)) + 1).as("w")),
+        iters = 3)
+        .orderBy("node")),
+
     // the pre-iteration shape probe: per-node in/out degree
     "q_graph_degree" -> ((s, dir) =>
       Graph.degreeStats(graphEdges(s, dir)).orderBy("node")),
@@ -4373,6 +4384,34 @@ object SparkEntry {
          |${pageRankUnrollSql(3)}
          |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"
          |FROM r3 ORDER BY node""".stripMargin,
+
+    // weighted rounds: per-edge (rank·85·w) div (wsum·100), every
+    // round's integer state replayed
+    "q_graph_pagerank_w" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""wc$k AS (
+           |  SELECT ew.dst,
+           |    sum((r.rank_u * 85 * ew.w) // (ws.wsum * 100)) AS s
+           |  FROM ew JOIN w${k - 1} r ON ew.src = r.node
+           |    JOIN ws ON ws.src = ew.src
+           |  GROUP BY ew.dst),
+           |w$k AS (
+           |  SELECT nodes.node,
+           |    (150000 // (SELECT count(*) FROM nodes)) +
+           |      coalesce(wc$k.s, 0) AS rank_u
+           |  FROM nodes LEFT JOIN wc$k ON nodes.node = wc$k.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $graphEdgeCtesSql,
+         |ew AS (SELECT src, dst, (src * 31 + dst) % 7 + 1 AS w FROM e),
+         |ws AS (SELECT src, sum(w) AS wsum FROM ew GROUP BY 1),
+         |w0 AS (SELECT node,
+         |  1000000 // (SELECT count(*) FROM nodes) AS rank_u
+         |  FROM nodes),
+         |$rounds
+         |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"
+         |FROM w3 ORDER BY node""".stripMargin
+    },
 
     // personalized teleport to seeds 0..19 (mass denominator fixed at
     // the seed-set size, matching Graph.personalizedPageRank)

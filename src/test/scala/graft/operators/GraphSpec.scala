@@ -359,6 +359,45 @@ class GraphSpec extends SparkSpec {
     assert(got == List((1L, 2L, 0L), (2L, 1L, 1L), (3L, 0L, 2L)), got)
   }
 
+  test("pageRankWeighted: uniform weights ≡ pageRank; replay pin; parallel edges sum") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L))
+      .toDF("src", "dst")
+    val uni = edges.withColumn("w", lit(5L))
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // equal weights cancel: wsum = outdeg·w, contribution identical
+    assert(rows(Graph.pageRankWeighted(uni, iters = 3)) ==
+      rows(Graph.pageRank(edges, iters = 3)))
+    // weighted replay against plain-Scala integer recurrence
+    val we = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 2L, 2L),
+      (2L, 0L, 4L), (3L, 2L, 1L))
+    val got = rows(Graph.pageRankWeighted(we.toDF("src", "dst", "w"),
+      iters = 3))
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val wsum = we.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    var rank = nodes.map(_ -> 1000000L / 4).toMap
+    for (_ <- 1 to 3) {
+      val contrib = we.map { case (s, d, w) =>
+        d -> (rank(s) * 85 * w) / (wsum(s) * 100)
+      }.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+      rank = nodes.map(n =>
+        n -> (150000L / 4 + contrib.getOrElse(n, 0L))).toMap
+    }
+    val want = rank.map { case (k, v) =>
+      k -> BigDecimal(v / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got == want, s"$got vs $want")
+    // parallel edges sum their weights; w <= 0 dropped
+    val par = Seq((0L, 1L, 2L), (0L, 1L, 1L), (0L, 2L, 3L),
+      (1L, 0L, 1L), (2L, 0L, 0L))
+    val got2 = rows(Graph.pageRankWeighted(par.toDF("src", "dst", "w"),
+      iters = 2))
+    val merged = Seq((0L, 1L, 3L), (0L, 2L, 3L), (1L, 0L, 1L))
+    assert(got2 == rows(Graph.pageRankWeighted(
+      merged.toDF("src", "dst", "w"), iters = 2)))
+  }
+
   test("bfsHops: level order, first-hop wins, maxHops cap, isolated seed") {
     // 0→1→2→3→4 chain plus shortcut 0→3; node 9 is a seed with no
     // edges; 7→8 is unreachable from the seeds
