@@ -649,6 +649,34 @@ object SparkEntry {
         .orderBy("suppkey")
     }),
 
+    // KMV mergeability as a board row (the countMin rollup's order-
+    // statistics twin): 4 per-shard bottom-64 sketches re-cut to the
+    // corpus sketch — rank-for-rank identical to the single-pass
+    // sketch, pinned per row
+    "q_kmv_rollup" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .select(col("l_partkey").cast("string").as("v"),
+          (col("l_orderkey") % 4).as("shard"))
+        .where(col("v").isNotNull)
+      val single = Sketch.kmvSketch(vals, "v", 64)
+      val merged = Sketch.kmvMerge(
+        (0 until 4).map(sh =>
+          Sketch.kmvSketch(vals.where(col("shard") === sh), "v", 64))
+          .reduce(_ unionByName _), 64)
+      // the rank window runs over the 64-row sketches only (bounded)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("hfrac"), col("v"))
+      def ranked(df: DataFrame, vOut: String) = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("rk"), col("v").cast("long").as(vOut))
+      ranked(merged, "partkey")
+        .join(ranked(single, "v_single"), "rk")
+        .select(col("rk"), col("partkey"),
+          (col("partkey") === col("v_single")).cast("long")
+            .as("rollup_equals_single"))
+        .orderBy("rk")
+    }),
+
     "q_date_agg" -> ((s, dir) => {
       t(s, dir, "orders")
         .groupBy(
@@ -3823,6 +3851,31 @@ object SparkEntry {
          |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
          |        ELSE 63.0 / kth END, 4) AS est_distinct
          |FROM k ORDER BY l_returnflag""".stripMargin,
+
+    // per-shard bottom-64s re-cut ≡ the single-pass sketch, rank for
+    // rank (the proof that the union loses nothing is replayed, not
+    // asserted)
+    "q_kmv_rollup" ->
+      s"""WITH vals AS (
+         |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v,
+         |    l_orderkey % 4 AS shard
+         |  FROM lineitem WHERE l_partkey IS NOT NULL),
+         |h AS (SELECT v, shard, ${md5FracSql("v")} AS hf FROM vals),
+         |pers AS (SELECT v, hf FROM (
+         |    SELECT v, hf, row_number() OVER (PARTITION BY shard
+         |      ORDER BY hf, v) AS rn FROM h)
+         |  WHERE rn <= 64),
+         |mtop AS (SELECT v, hf,
+         |    row_number() OVER (ORDER BY hf, v) AS rk
+         |  FROM (SELECT DISTINCT v, hf FROM pers) QUALIFY rk <= 64),
+         |stop AS (SELECT v,
+         |    row_number() OVER (ORDER BY hf, v) AS rk
+         |  FROM (SELECT DISTINCT v, hf FROM h) QUALIFY rk <= 64)
+         |SELECT mtop.rk AS rk, CAST(mtop.v AS BIGINT) AS partkey,
+         |  CAST(CASE WHEN mtop.v = stop.v THEN 1 ELSE 0 END AS BIGINT)
+         |    AS rollup_equals_single
+         |FROM mtop JOIN stop ON mtop.rk = stop.rk
+         |ORDER BY rk""".stripMargin,
 
     "q_kmv_overlap" ->
       // full bit-for-bit replay of the KMV set-operation sketch: same

@@ -112,6 +112,20 @@ object Sketch {
     .withColumn("hfrac", md5Fraction(col("v")))
     .orderBy(col("hfrac"), col("v")).limit(k)
 
+  /** Merge KMV sketches: bottom-k of the DISTINCT union of sketch
+    * rows. EXACTLY the corpus sketch — every global bottom-k value is
+    * in its own shard's bottom-k (its hash ranks at least as well
+    * within a subset), so the union loses nothing and re-cutting
+    * restores the invariant: bottomk(∪ₛ bottomkₛ) = bottomk(∪ₛ Sₛ).
+    * The mergeability contract that lets per-shard sketches persist
+    * and roll up nightly without re-reading any shard (the
+    * [[countMin]] rollup's order-statistics twin — there the grids
+    * ADD, here the bottom-k re-cuts). Input: unioned (v, hfrac) rows
+    * from [[kmvSketch]] calls. */
+  def kmvMerge(sketches: DataFrame, k: Int): DataFrame =
+    sketches.select(col("v"), col("hfrac")).distinct()
+      .orderBy(col("hfrac"), col("v")).limit(k)
+
   /** Heavy hitters via the native Misra–Gries aggregate
     * ([[graft.functions.expressions.MisraGries]]), verified against
     * exact counts — the q_approx_distinct_hll scheme: emit the exact

@@ -121,4 +121,25 @@ class SurvivorSpec extends SparkSpec {
     assert(within(r.getAs[Double]("est_jaccard"), 1.0 / 3, 0.35))
     assert(within(r.getAs[Double]("est_intersection"), 2000, 0.45))
   }
+
+  test("kmvMerge: per-shard bottom-ks re-cut EXACTLY to the corpus sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // duplicate values across shards on purpose: the distinct-union
+    // must collapse them before the re-cut
+    val vals = (1 to 3000).map(_ => rnd.nextInt(800))
+      .zipWithIndex.map { case (v, i) => (v.toString, i % 5) }
+      .toDF("v", "shard")
+    for (k <- Seq(16, 64)) {
+      def rows(f: org.apache.spark.sql.DataFrame) =
+        f.orderBy("hfrac", "v").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toList
+      val single = rows(Sketch.kmvSketch(vals, "v", k))
+      val merged = rows(Sketch.kmvMerge(
+        (0 until 5).map(sh => Sketch.kmvSketch(
+          vals.where(col("shard") === sh), "v", k))
+          .reduce(_ unionByName _), k))
+      assert(merged == single, s"k=$k diverged")
+    }
+  }
 }
