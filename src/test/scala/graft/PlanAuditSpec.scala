@@ -72,6 +72,7 @@ class PlanAuditSpec extends SparkSpec {
     "text_classify" -> 3,       // model rows + prior + vocab-size folds
     "text_kl_drift" -> 1,       // (total_p, total_q) fold
     "text_perplexity" -> 1,     // corpus token-total fold
+    "text_perplexity_kn" -> 1,  // 1-row distinct-bigram-total (B) fold
     "text_perplexity_ref" -> 1, // reference-model total fold
     "text_tfidf" -> 1           // corpus doc-count fold
   ).withDefaultValue(0)
