@@ -240,13 +240,30 @@ object Dedup {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ordered = dfOrderedArrays(sh, dfreq, id, frozen = false)
       .localCheckpoint(false)
+    containmentCandidatesVerify(ordered, id, tn, threshold)
+  }
+
+  /** Shared candidate join + verify of [[containmentJoin]] and
+    * [[containmentJoinIndexed]], with PPJoin's POSITIONAL filter: for
+    * a qualifying pair, the FIRST common element (positions i in A,
+    * j in B under the shared order) bounds the overlap by
+    * 1 + min(|A|−i−1, |B|−j−1) ≥ c = ⌈τ·|A|⌉, so keeping only
+    * collision rows with `|B| − j ≥ c` loses no pair (the probe
+    * prefix already guarantees `|A| − i ≥ c`) — a posting deep in a
+    * LARGE B can never be the first common element of a qualifying
+    * pair, which prunes exactly the high-fan-out tail of the
+    * inverted index before the distinct and the verify join. */
+  private def containmentCandidatesVerify(ordered: DataFrame,
+      id: String, tn: Int, threshold: Double): DataFrame = {
     val pre = prefixRows(ordered, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
     val post = ordered.select(col(id).as("id_b"),
-      col("sz").as("sz_b"), explode(col("sharr")).as("shingle"))
+        col("sz").as("sz_b"),
+        posexplode(col("sharr")).as(Seq("pos_b", "shingle")))
     val cands = pre.join(post, Seq("shingle"))
       .where(col("id_a") =!= col("id_b") &&
-        col("sz_a") * tn <= col("sz_b") * 1000)
+        col("sz_a") * tn <= col("sz_b") * 1000 &&
+        (col("sz_b") - col("pos_b")) * 1000 >= col("sz_a") * tn)
       .select("id_a", "id_b").distinct()
     val a = ordered.select(col(id).as("id_a"), col("sharr").as("arr_a"))
     val b = ordered.select(col(id).as("id_b"), col("sharr").as("arr_b"))
@@ -398,29 +415,9 @@ object Dedup {
     * groupBy, no per-doc sorts. Pair-identical to the inline form. */
   def containmentJoinIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, id: String = "doc_id",
-      threshold: Double = 0.8): DataFrame = {
-    val tn = tnOf(threshold)
-    val ordered = spark.read.parquet(s"$path/docs")
-    val pre = prefixRows(ordered, id, tn)
-      .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
-    val post = ordered.select(col(id).as("id_b"),
-      col("sz").as("sz_b"), explode(col("sharr")).as("shingle"))
-    val cands = pre.join(post, Seq("shingle"))
-      .where(col("id_a") =!= col("id_b") &&
-        col("sz_a") * tn <= col("sz_b") * 1000)
-      .select("id_a", "id_b").distinct()
-    val a = ordered.select(col(id).as("id_a"), col("sharr").as("arr_a"))
-    val b = ordered.select(col(id).as("id_b"), col("sharr").as("arr_b"))
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
-          .as("n_common"),
-        size(col("arr_a")).cast("long").as("n_a"),
-        size(col("arr_b")).cast("long").as("n_b"))
-      .withColumn("containment",
-        col("n_common").cast("double") / col("n_a"))
-      .where(col("containment") >= threshold)
-  }
+      threshold: Double = 0.8): DataFrame =
+    containmentCandidatesVerify(spark.read.parquet(s"$path/docs"), id,
+      tnOf(threshold), threshold)
 
   /** INCREMENTAL exact-Jaccard join — the nightly-crawl shape
     * ([[minhashLshPairsIncremental]]'s contract, exact instead of
