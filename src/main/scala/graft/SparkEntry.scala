@@ -3094,7 +3094,8 @@ object SparkEntry {
        |  SELECT piece, f FROM (
        |    SELECT a.tw AS piece, a.f,
        |      row_number() OVER (
-       |        ORDER BY a.f * (a.alt - s.cost) DESC, a.tw) AS rk
+       |        ORDER BY CAST(a.f AS HUGEINT) * (a.alt - s.cost) DESC,
+       |          a.tw) AS rk
        |    FROM ${p}alt a JOIN $sIn s ON s.piece = a.tw)
        |  WHERE rk <= $k
        |  UNION ALL

@@ -150,12 +150,18 @@ object UnigramTokenizer {
       val kept = pruneTo match {
         case Some(k) =>
           val costMap = scores.toMap
+          // loss in BigInt: f is a corpus-scale usage count and the
+          // cost delta is up to ~len·OOV micro-nats, so the product
+          // overflows a long past ~1e11 uses (the oracle carries the
+          // same rank key as HUGEINT)
           val losses = counts.filter(_._1.length > 1).map {
             case (p, f) =>
               val alt = viterbiCostExcluding(p, costMap)
-              (p, f, f * (alt - costMap(p)))
+              (p, f, BigInt(f) * BigInt(alt - costMap(p)))
           }
-          losses.sortBy { case (p, _, l) => (-l, p) }.take(k)
+          losses.sortWith { case ((p1, _, l1), (p2, _, l2)) =>
+            l1 > l2 || (l1 == l2 && p1 < p2)
+          }.take(k)
             .map { case (p, f, _) => p -> f } ++
             counts.filter(_._1.length == 1)
         case None => counts
