@@ -772,8 +772,13 @@ object Similarity {
           val lo = g.getField("lo")
           val hi = g.getField("hi")
           val x = element_at(col("__v"), (d + 1).cast("int"))
-          when(hi === lo, lit(0)).otherwise(
-            greatest(lit(0), least(lit(255),
+          // fail fast on NULL/NaN coordinates (pqEncode discipline):
+          // Spark's least() SKIPS nulls, so a NULL here would
+          // otherwise silently encode as a full-scale 255
+          when(x.isNull || isnan(x), raise_error(lit(
+            "sqEncode: NULL or NaN embedding coordinate")).cast("int"))
+            .when(hi === lo, lit(0))
+            .otherwise(greatest(lit(0), least(lit(255),
               floor((x - lo) / (hi - lo) * lit(256)).cast("int"))))
         }).as("codes"))
 

@@ -293,6 +293,18 @@ class SimilaritySpec extends SparkSpec {
       s"$sqTop1 vs $exact")
   }
 
+  test("SQ8 encode fails fast on NULL/NaN coordinates (never a silent 255)") {
+    import spark.implicits._
+    val bad = Seq((1L, Array(0.5f, Float.NaN)), (2L, Array(0.1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val clean = bad.where(col("vec_id") === 2L)
+    val e = intercept[Exception] {
+      Similarity.sqEncode(bad, Similarity.sqGrid(clean), dim = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("NULL or NaN"), e.getMessage)
+  }
+
   test("SQ8 index: artifact round-trip serves bit-equal to the inline build") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
