@@ -1666,6 +1666,17 @@ object SparkEntry {
       Eval.krippendorffAlpha(ratings, col("doc_id"), col("cat"))
     }),
 
+    // Poisson-bootstrap CI on a corpus mean (Chamandy et al. 2012):
+    // 64 deterministic resamples in ONE corpus pass (per-row md5
+    // inverse-CDF Poisson(1) weights), percentile cut over the
+    // 64-row replicate-mean table; every weight and every replicate
+    // mean replayed
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Eval.bootstrapMeanCI(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_tokens")),
+        col("n_tokens"), col("doc_id"))),
+
     // the PUBLISHED Gopher web-filter recipe (Rae et al. 2021 A1.1),
     // per rule per document — audit why a doc fell, not just that it
     // fell; pure per-row expressions over the scan
@@ -6107,6 +6118,44 @@ object SparkEntry {
          |  round(1.0 - CAST((n - 1) * num AS DOUBLE) /
          |    CAST(nullif(p * (n * n - ssq), 0) AS DOUBLE), 6) AS alpha
          |FROM ist CROSS JOIN pp CROSS JOIN nm CROSS JOIN cst""".stripMargin
+    },
+
+    // 64 Poisson(1) resamples replayed weight for weight: the same
+    // inverse-CDF double literals, exact integer (Σw·m, Σw) folds,
+    // rank-2/rank-63 percentile cut
+    "q_bootstrap_ci" -> {
+      val cdf = Eval.bootstrapCdf
+      val u = md5FracSql(
+        "'bs|' || CAST(r.r AS VARCHAR) || '|' || b.id")
+      val wCase = ("CASE " + cdf.zipWithIndex.map { case (t, k) =>
+        s"WHEN ($u) < $t THEN $k"
+      }.mkString(" ") + " ELSE 5 END")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS m
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL
+         |    AND len(string_split(lower(text), ' ')) IS NOT NULL),
+         |wt AS MATERIALIZED (
+         |  SELECT r.r, b.m, $wCase AS w
+         |  FROM base b CROSS JOIN range(0, 64) r(r)),
+         |means AS (
+         |  SELECT r, CAST(sum(w * m) AS DOUBLE) / sum(w) AS rmean
+         |  FROM wt GROUP BY r HAVING sum(w) > 0),
+         |rkd AS (
+         |  SELECT r, rmean,
+         |    row_number() OVER (ORDER BY rmean, r) AS rk FROM means),
+         |ci AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS replicates_used,
+         |    max(CASE WHEN rk = 2 THEN rmean END) AS lo,
+         |    max(CASE WHEN rk = 63 THEN rmean END) AS hi
+         |  FROM rkd),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    sum(m) AS sm FROM base)
+         |SELECT n_rows, replicates_used,
+         |  round(CAST(sm AS DOUBLE) / n_rows, 6) AS mean,
+         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM ov CROSS JOIN ci""".stripMargin
     },
 
     // Gopher rules: the same per-row arithmetic on the lowercased

@@ -590,6 +590,89 @@ object Eval {
     * wider than the cell table shuffles; the collect is plan-constant
     * sized. Output (1 row): n_items, n_dropped, n_values, d_o, d_e,
     * alpha. */
+  /** Poisson-bootstrap confidence interval for the MEAN of an integer
+    * per-row metric (token counts, quality scores in micros, …) —
+    * the error bar a curation dashboard needs on "mean doc quality
+    * moved from 0.61 to 0.63" before anyone acts on it. The classic
+    * one-pass trick (Poisson(1) approximates multinomial resampling;
+    * Chamandy et al., Google 2012 "Estimating uncertainty for massive
+    * data streams"): each row draws an independent Poisson(1) weight
+    * PER REPLICATE from a deterministic md5 fraction (inverse-CDF
+    * thresholds for k = 0..4, then a capped 5 — the tail mass past 5
+    * is 6·10⁻⁴ and the cap keeps the weight expression closed-form
+    * and oracle-replayable), so all `replicates` resamples ride ONE
+    * corpus pass: explode ×B, one map-side-combinable groupBy to B
+    * weighted (Σw·m, Σw) rows, exact integer sums. The CI is the
+    * percentile cut over the B replicate means — a window over the
+    * B-row table only. Empty-resample replicates (possible only on
+    * tiny inputs) drop out and `replicates_used` reports the loss.
+    *
+    * Output (1 row): n_rows, replicates_used, mean (exact-sum /
+    * count), ci_lo, ci_hi (the floor((B−1)·α) / ceil((B−1)·(1−α))
+    * order statistics of the replicate means, tie-broken by replicate
+    * id — with B = 64 and α = 0.025 that is ranks 2 and 63). All
+    * doubles ratios of exact longs, rounded to 6 — bit-replayable. */
+  def bootstrapMeanCI(rows: DataFrame, metricCol: Column,
+      idCol: Column, replicates: Int = 64,
+      alphaPermille: Int = 25, seed: String = "bs"): DataFrame = {
+    require(replicates >= 4 && replicates <= 256,
+      s"replicates must be in [4, 256]: $replicates")
+    require(alphaPermille >= 1 && alphaPermille < 500,
+      s"alphaPermille must be in [1, 500): $alphaPermille")
+    require(!seed.contains("|"),
+      s"bootstrap seed must not contain '|': $seed")
+    // cumulative Poisson(1) CDF thresholds for k = 0..4 — the SAME
+    // double literals ride into the oracle via [[bootstrapCdf]]
+    val cum = bootstrapCdf
+    val base = rows
+      .select(metricCol.cast("long").as("m"), idCol.cast("string").as("id"))
+      .where(col("m").isNotNull && col("id").isNotNull)
+      .localCheckpoint(false) // feeds the replicate fold AND the mean
+    val u = graft.operators.Sketch.md5Fraction(concat(
+      lit(seed + "|"), col("r").cast("string"), lit("|"), col("id")))
+    val w = cum.zipWithIndex.reverse
+      .foldLeft(lit(5L): Column) { case (acc, (t, k)) =>
+        when(u < t, k.toLong).otherwise(acc)
+      }
+    val means = base
+      .select(col("m"), col("id"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("w", w)
+      .groupBy("r")
+      .agg(sum(col("w") * col("m")).as("wm"), sum(col("w")).as("wn"))
+      .where(col("wn") > 0)
+      .select(col("r"),
+        (col("wm").cast("double") / col("wn")).as("rmean"))
+    // 1-based ranks of the floor((B−1)·α) / ceil((B−1)·(1−α)) order
+    // statistics; ceil(a − x) = a − floor(x) for integer a
+    val loIdx = ((replicates - 1) * alphaPermille) / 1000 + 1
+    val hiIdx = replicates - ((replicates - 1) * alphaPermille) / 1000
+    val ranked = means.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rmean"), col("r"))))
+    val ci = ranked.agg(
+      count(lit(1)).as("replicates_used"),
+      max(when(col("rk") === math.min(loIdx, replicates), col("rmean")))
+        .as("lo"),
+      max(when(col("rk") === math.min(hiIdx, replicates), col("rmean")))
+        .as("hi"))
+    val overall = base.agg(count(lit(1)).as("n_rows"),
+      sum(col("m")).as("sm"))
+    overall.crossJoin(broadcast(ci))
+      .select(col("n_rows"), col("replicates_used"),
+        round(col("sm").cast("double") / col("n_rows"), 6).as("mean"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+  }
+
+  /** Cumulative Poisson(1) CDF at k = 0..4, as the exact double
+    * literals both the operator and the oracle use. */
+  private[graft] val bootstrapCdf: Seq[Double] = {
+    val p = (0 to 4).map(k =>
+      math.exp(-1.0) / (1 to k).map(_.toDouble).product)
+    p.scanLeft(0.0)(_ + _).drop(1)
+  }
+
   def krippendorffAlpha(ratings: DataFrame, itemCol: Column,
       catCol: Column): DataFrame = {
     val spark = ratings.sparkSession

@@ -65,6 +65,7 @@ class PlanAuditSpec extends SparkSpec {
     "sim_pq_trained" -> 3,      // trained codebook + tables + query
     "sim_sq8_topk" -> 3,        // grid fold ×2 (encode + scan) + query
     "sim_sq8_indexed" -> 2,     // grid fold (scan only) + query
+    "q_bootstrap_ci" -> 1,      // 64-row replicate-CI fold onto totals
     "q_retrieval_ndcg" -> 1,    // bm25TopK's (N, avgdl) fold, inherited
     "text_bm25" -> 1,           // (N, avgdl) corpus-stats fold
     "text_bm25_appended" -> 1,  // same fold over the appended index

@@ -421,6 +421,50 @@ class EvalSpec extends SparkSpec {
     (pair.size.toLong, dropped, alpha)
   }
 
+  test("bootstrapMeanCI: exact replay of weights/means/percentiles; determinism") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val data = (0L until 60L).map(i => (i, 10L + (i * 7) % 23))
+    val df = data.toDF("id", "m")
+    val b = 16
+    val got = Eval.bootstrapMeanCI(df, col("m"), col("id"),
+      replicates = b, alphaPermille = 25).head
+    // independent replay: pull the SAME md5 fractions through a tiny
+    // frame, then do the whole bootstrap in plain Scala
+    val us = data.map(_._1).flatMap(id => (0 until b).map(r => (id, r)))
+      .toDF("id", "r")
+      .select(col("id"), col("r"),
+        Sketch.md5Fraction(concat(lit("bs|"), col("r").cast("string"),
+          lit("|"), col("id").cast("string"))).as("u"))
+      .collect().map(row => (row.getLong(0), row.getInt(1)) ->
+        row.getDouble(2)).toMap
+    val cdf = Eval.bootstrapCdf
+    def weight(u: Double): Long =
+      cdf.indexWhere(u < _) match { case -1 => 5L; case k => k.toLong }
+    val means = (0 until b).flatMap { r =>
+      val ws = data.map { case (id, m) => (weight(us((id, r))), m) }
+      val wn = ws.map(_._1).sum
+      if (wn == 0) None
+      else Some(r -> ws.map { case (w, m) => w * m }.sum.toDouble / wn)
+    }
+    val sorted = means.sortBy { case (r, mn) => (mn, r) }.map(_._2)
+    val loIdx = ((b - 1) * 25) / 1000 + 1          // rank 1
+    val hiIdx = b - ((b - 1) * 25) / 1000           // rank 16
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) == 60L && got.getLong(1) == means.size.toLong)
+    assert(got.getDouble(2) ==
+      r6(data.map(_._2).sum.toDouble / data.size))
+    assert(got.getDouble(3) == r6(sorted(loIdx - 1)), got.toString)
+    assert(got.getDouble(4) == r6(sorted(hiIdx - 1)), got.toString)
+    // deterministic across partitionings
+    val again = Eval.bootstrapMeanCI(df.repartition(7), col("m"),
+      col("id"), replicates = b, alphaPermille = 25).head
+    assert(again.toString == got.toString)
+    // CI brackets the point estimate on this well-behaved fixture
+    assert(got.getDouble(3) <= got.getDouble(2) &&
+      got.getDouble(2) <= got.getDouble(4))
+  }
+
   test("krippendorffAlpha: hand cases, ragged drop, brute replay") {
     // perfect agreement on 2 items -> alpha = 1
     val perf = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))
