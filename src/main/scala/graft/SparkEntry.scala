@@ -1128,6 +1128,17 @@ object SparkEntry {
         iters = 3)
         .orderBy("node")),
 
+    // bipartite co-occurrence projection: the weighted item–item
+    // graph (co-citation/co-click) that pageRankWeighted and
+    // labelPropagation consume — hub actors capped (skew guard),
+    // min-support filtered
+    "q_graph_coproject" -> ((s, dir) =>
+      Graph.cooccurrenceProjection(
+        graphEdges(s, dir).select(col("src").as("actor"),
+          col("dst").as("item")),
+        minCount = 3)
+        .orderBy("a", "b")),
+
     // the pre-iteration shape probe: per-node in/out degree
     "q_graph_degree" -> ((s, dir) =>
       Graph.degreeStats(graphEdges(s, dir)).orderBy("node")),
@@ -4562,6 +4573,20 @@ object SparkEntry {
 
     // every BFS level's discover/anti-join replayed
     "q_graph_bfs" -> bfsUnrollSql(seeds = 5, maxHops = 4),
+
+    // the bipartite projection replayed: distinct incidence, degree
+    // cap, ordered pair fold, min-support cut
+    "q_graph_coproject" ->
+      s"""WITH $graphEdgeCtesSql,
+         |inc AS (SELECT DISTINCT src AS u, dst AS i FROM ed),
+         |dg2 AS (SELECT u, count(*) AS d FROM inc GROUP BY 1),
+         |kept AS (
+         |  SELECT inc.u, inc.i FROM inc JOIN dg2 USING (u)
+         |  WHERE dg2.d <= 1000)
+         |SELECT l.i AS a, r.i AS b, CAST(count(*) AS BIGINT) AS w
+         |FROM kept l JOIN kept r ON l.u = r.u AND l.i < r.i
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY a, b""".stripMargin,
 
     // DENSE Bellman-Ford unroll — pins the delta frontier lossless
     "q_graph_sssp" -> ssspUnrollSql(seeds = 3, rounds = 6),

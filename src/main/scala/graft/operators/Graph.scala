@@ -161,6 +161,47 @@ object Graph {
     ranks.select(col("node"), round(col("rank_u") / 1e6, 6).as("rank"))
   }
 
+  /** Bipartite co-occurrence projection: from (actor, item) incidence
+    * rows, the weighted item–item graph whose edge (a < b, w) counts
+    * the actors touching BOTH — co-citation / co-click / co-link
+    * graphs, the standard input to [[pageRankWeighted]] and
+    * [[labelPropagation]] ("items that share audiences").
+    *
+    * Skew guard, NOT an option: a single hub actor with d items emits
+    * d·(d−1)/2 pairs — one 10⁶-item crawler account would produce
+    * 5·10¹¹ rows from one group. Actors with more than `maxDegree`
+    * DISTINCT items are dropped whole (the standard practice in
+    * co-occurrence mining: a hub's co-incidences are near-noise
+    * anyway) and reported via the `droppedActors` hook so the cap is
+    * observable, never silent. Per surviving actor the pair explode
+    * is ≤ maxDegree²/2 — bounded fan-out, map-side combinable count
+    * fold; `minCount` prunes the long noise tail before the result
+    * materializes. Output: (a, b, w) with a < b. */
+  def cooccurrenceProjection(incidence: DataFrame,
+      actor: String = "actor", item: String = "item",
+      maxDegree: Int = 1000, minCount: Long = 1L,
+      droppedActors: Long => Unit = _ => ()): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2: $maxDegree")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val inc = incidence
+      .select(col(actor).cast("long").as("u"),
+        col(item).cast("long").as("i"))
+      .where(col("u").isNotNull && col("i").isNotNull)
+      .distinct()
+    val deg = inc.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(false) // feeds the drop count AND the anti-join
+    droppedActors(deg.where(col("d") > maxDegree).count())
+    val kept = inc.join(
+      deg.where(col("d") > maxDegree).select("u"), Seq("u"),
+      "left_anti")
+    val l = kept.select(col("u"), col("i").as("a"))
+    val r = kept.select(col("u"), col("i").as("b"))
+    l.join(r, Seq("u"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      .where(col("w") >= minCount)
+  }
+
   /** Deduped, null-free, self-loop-free long-typed edge list. */
   private def cleanEdges(edges: DataFrame, src: String,
       dst: String): DataFrame =

@@ -398,6 +398,35 @@ class GraphSpec extends SparkSpec {
       merged.toDF("src", "dst", "w"), iters = 2)))
   }
 
+  test("cooccurrenceProjection: pair counts, hub cap, min support, hook") {
+    // users 1,2 share items {10,11}; user 3 touches {10,12};
+    // user 9 is a hub over {20..24} and must be dropped at maxDegree 4
+    val inc = (Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 12L)) ++ (20L to 24L).map(i => (9L, i)))
+      .toDF("actor", "item")
+    var dropped = -1L
+    val got = Graph.cooccurrenceProjection(inc, maxDegree = 4,
+        minCount = 1, droppedActors = dropped = _)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(dropped == 1L)
+    // hub pairs absent; co-counts exact
+    assert(got == Map((10L, 11L) -> 2L, (10L, 12L) -> 1L),
+      got.toString)
+    assert(!got.keys.exists { case (a, b) => a >= 20L || b >= 20L })
+    // min support prunes the singleton pair
+    val strict = Graph.cooccurrenceProjection(inc, maxDegree = 4,
+        minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((10L, 11L)))
+    // duplicate incidence rows don't inflate counts
+    val dup = Graph.cooccurrenceProjection(
+      inc.unionByName(inc), maxDegree = 4, minCount = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(dup == got)
+  }
+
   test("bfsHops: level order, first-hop wins, maxHops cap, isolated seed") {
     // 0→1→2→3→4 chain plus shortcut 0→3; node 9 is a seed with no
     // edges; 7→8 is unreachable from the seeds
