@@ -649,6 +649,67 @@ object SparkEntry {
         .orderBy("suppkey")
     }),
 
+    // Log-linear quantile sketch (HdrHistogram/DDSketch family,
+    // Sketch.hdrKey): doc-length quantiles p50/p90/p99 from a
+    // ≤ ~1 920-bucket histogram built in ONE map-side-combined pass.
+    // Pure integer base-2 bucketing (length(bin(x)) - floor(log2) -
+    // never a float log), so the DuckDB oracle re-derives every
+    // bucket, rank, and midpoint bit-for-bit. The exact side (value-
+    // domain histogram — window over DISTINCT lengths, bounded by the
+    // domain, not the corpus) exists only to pin `in_bucket`: the true
+    // rank-r value provably lands in the answer bucket (rel err
+    // ≤ 2^-6 at subBits=5).
+    "q_hdr_quantile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").as("x")).where(col("x") >= 0)
+      val quants =
+        Sketch.hdrQuantiles(Sketch.hdrSketch(docs, "x", 5), 5,
+          Seq(500, 900, 990))
+      val wv = org.apache.spark.sql.expressions.Window.orderBy("x")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val hc = docs.groupBy("x").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wv))
+      val total = docs.agg(count(lit(1)).as("n"))
+      val ranks = quants.select("q_mil").crossJoin(broadcast(total))
+        .select(col("q_mil"),
+          greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
+      val exact = broadcast(ranks).join(hc, col("cum") >= col("r"))
+        .groupBy("q_mil").agg(min("x").as("exact_q"))
+      quants.join(exact, "q_mil")
+        .select(col("q_mil"), col("key"), col("low"), col("width"),
+          col("est_x2"), col("exact_q"),
+          (col("exact_q") >= col("low") &&
+            col("exact_q") <= col("low") + col("width") - 1)
+            .cast("long").as("in_bucket"))
+        .orderBy("q_mil")
+    }),
+
+    // Quantile-sketch mergeability as a board row (the countMin
+    // rollup's order-statistics cousin for QUANTILES): 5 per-shard
+    // histograms ADD per bucket to exactly the single-pass corpus
+    // sketch — the property that lets per-shard/per-day length
+    // histograms persist and roll up nightly without rescanning.
+    "q_hdr_rollup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").as("x"), (col("doc_id") % 5).as("shard"))
+        .where(col("x") >= 0)
+      val single = Sketch.hdrSketch(docs, "x", 5)
+      val merged = Sketch.hdrMerge(
+        (0 until 5).map(sh =>
+          Sketch.hdrSketch(docs.where(col("shard") === sh), "x", 5))
+          .reduce(_ unionByName _))
+      single.as("sg").join(merged.as("mg"), Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("sg.cnt"), lit(0L)).as("cnt_single"),
+          coalesce(col("mg.cnt"), lit(0L)).as("cnt_merged"),
+          (coalesce(col("sg.cnt"), lit(-1L)) ===
+            coalesce(col("mg.cnt"), lit(-2L)))
+            .cast("long").as("rollup_equals_single"))
+        .orderBy("key")
+    }),
+
     // KMV mergeability as a board row (the countMin rollup's order-
     // statistics twin): 4 per-shard bottom-64 sketches re-cut to the
     // corpus sketch — rank-for-rank identical to the single-pass
@@ -3878,6 +3939,65 @@ object SparkEntry {
     // per-shard bottom-64s re-cut ≡ the single-pass sketch, rank for
     // rank (the proof that the union loses nothing is replayed, not
     // asserted)
+    "q_hdr_quantile" ->
+      // full integer replay of the log-linear quantile sketch: base-2
+      // bucket keys via length(bin(x)) (no float log), exact ceil-rank
+      // arithmetic, bucket-bounds inversion, and the exact rank-r
+      // value from the value-domain histogram
+      s"""WITH d AS (SELECT n_chars AS x FROM documents
+         |  WHERE n_chars >= 0),
+         |sk AS (SELECT CASE WHEN x < 32 THEN x
+         |    ELSE (x >> (length(bin(x)) - 6))
+         |      + (length(bin(x)) - 6) * 32 END AS key,
+         |    count(*) AS cnt FROM d GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+         |cum AS (SELECT key, sum(cnt) OVER (ORDER BY key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sk),
+         |qs(q_mil) AS (VALUES (500), (900), (990)),
+         |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+         |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT)) AS r
+         |  FROM qs, n),
+         |pick AS (SELECT q_mil, min(key) AS key FROM r
+         |  JOIN cum ON cum.cum >= r.r GROUP BY q_mil),
+         |b AS (SELECT q_mil, key,
+         |    CASE WHEN key < 32 THEN key
+         |      ELSE (key - ((key >> 5) - 1) * 32) << ((key >> 5) - 1)
+         |      END AS low,
+         |    CASE WHEN key < 32 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) << ((key >> 5) - 1) END AS width
+         |  FROM pick),
+         |hx AS (SELECT x, count(*) AS c FROM d GROUP BY x),
+         |hc AS (SELECT x, sum(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM hx),
+         |ex AS (SELECT q_mil, min(x) AS exact_q FROM r
+         |  JOIN hc ON hc.cum >= r.r GROUP BY q_mil)
+         |SELECT b.q_mil AS q_mil, CAST(key AS BIGINT) AS key,
+         |  CAST(low AS BIGINT) AS low, CAST(width AS BIGINT) AS width,
+         |  CAST(2 * low + width - 1 AS BIGINT) AS est_x2,
+         |  CAST(exact_q AS BIGINT) AS exact_q,
+         |  CAST(CASE WHEN exact_q BETWEEN low AND low + width - 1
+         |    THEN 1 ELSE 0 END AS BIGINT) AS in_bucket
+         |FROM b JOIN ex USING (q_mil) ORDER BY q_mil""".stripMargin,
+
+    "q_hdr_rollup" ->
+      s"""WITH d AS (SELECT n_chars AS x, doc_id % 5 AS shard
+         |  FROM documents WHERE n_chars >= 0),
+         |k AS (SELECT shard, CASE WHEN x < 32 THEN x
+         |    ELSE (x >> (length(bin(x)) - 6))
+         |      + (length(bin(x)) - 6) * 32 END AS key FROM d),
+         |per AS (SELECT shard, key, count(*) AS cnt FROM k
+         |  GROUP BY shard, key),
+         |m AS (SELECT key, sum(cnt) AS cnt FROM per GROUP BY key),
+         |s AS (SELECT key, count(*) AS cnt FROM k GROUP BY key)
+         |SELECT CAST(key AS BIGINT) AS key,
+         |  CAST(coalesce(s.cnt, 0) AS BIGINT) AS cnt_single,
+         |  CAST(coalesce(m.cnt, 0) AS BIGINT) AS cnt_merged,
+         |  CAST(CASE WHEN coalesce(s.cnt, -1) = coalesce(m.cnt, -2)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS rollup_equals_single
+         |FROM s FULL OUTER JOIN m USING (key) ORDER BY key""".stripMargin,
+
     "q_kmv_rollup" ->
       s"""WITH vals AS (
          |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v,

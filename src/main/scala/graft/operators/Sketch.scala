@@ -189,6 +189,110 @@ object Sketch {
     if (cells.length == 1) cells.head else least(cells: _*)
   }
 
+  // ---- log-linear quantile sketch (HdrHistogram / DDSketch family) ----
+
+  /** Bucket key of the log-linear quantile sketch — the quantile twin
+    * of [[countMin]] (frequencies) and [[kmvSketch]] (cardinality).
+    *
+    * Design (HdrHistogram, Tene; DDSketch, Masson et al. VLDB'19 —
+    * same guarantee, base-2 + integer arithmetic instead of a float
+    * `log_gamma` so ANY engine re-derives identical buckets):
+    * non-negative integer `x` maps to
+    *
+    *   x < 2^b            key = x                       (exact, width 1)
+    *   x ≥ 2^b, e=⌊log₂x⌋  key = (x >> (e−b)) + (e−b)·2^b
+    *
+    * Each power-of-two decade [2^e, 2^{e+1}) splits into 2^b equal
+    * sub-buckets of width 2^{e−b}, so a bucket's relative width is
+    * ≤ 2^{−b} and the midpoint estimate has relative error ≤ 2^{−b−1}.
+    * The `(e−b)·2^b` offset tiles decades contiguously: key is
+    * MONOTONE in x (SketchSpec pins it), so rank queries walk keys in
+    * value order. ⌊log₂x⌋ is `length(bin(x)) − 1` — pure integer
+    * string/bit ops, bit-identical in Spark and DuckDB (no float log
+    * whose last ulp could flip a boundary bucket cross-engine).
+    *
+    * 100 TB shape: the sketch is `groupBy(key).count` — ONE map-side-
+    * combined pass; ≤ (64−b)·2^b + 2^b buckets ever exist (b=5 →
+    * ≤ 1 920) regardless of corpus size, and per-shard sketches ADD
+    * ([[hdrMerge]]) like the Count-Min grids, so shards persist their
+    * histograms and nightly roll-ups never rescan data. Negative
+    * inputs would alias positive buckets silently — callers filter or
+    * fail; the board row filters with `x >= 0`. */
+  def hdrKey(x: Column, subBits: Int): Column = {
+    require(subBits >= 1 && subBits <= 20,
+      s"hdrKey: subBits must be in [1,20], got $subBits")
+    val xl = x.cast("long")
+    val e = (length(bin(xl)) - 1).cast("int")
+    val s = e - lit(subBits)
+    when(xl < (1L << subBits), xl)
+      .otherwise(call_function("shiftright", xl, s).cast("long") +
+        s.cast("long") * lit(1L << subBits))
+  }
+
+  /** Inverse of [[hdrKey]]: the bucket's inclusive integer range as
+    * `struct(low, width)` — covered values are [low, low+width−1].
+    * Integer shift arithmetic only (see [[hdrKey]]'s key layout: for
+    * key ≥ 2^b, shift = (key >> b) − 1 and mantissa = key − shift·2^b). */
+  def hdrBounds(key: Column, subBits: Int): Column = {
+    val k = key.cast("long")
+    val s = (call_function("shiftright", k, lit(subBits)) - 1L).cast("int")
+    val m = k - s.cast("long") * lit(1L << subBits)
+    val low = when(k < (1L << subBits), k)
+      .otherwise(call_function("shiftleft", m, s).cast("long"))
+    val width = when(k < (1L << subBits), lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L), s).cast("long"))
+    struct(low.as("low"), width.as("width"))
+  }
+
+  /** One-pass sketch build: (key, cnt) rows, ≤ ~(64−b)·2^b of them. */
+  def hdrSketch(df: DataFrame, valueCol: String, subBits: Int): DataFrame =
+    df.select(hdrKey(col(valueCol), subBits).as("key"))
+      .where(col("key").isNotNull)
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+
+  /** Merge per-shard [[hdrSketch]]s: buckets ADD — exactly the corpus
+    * sketch (sum is associative/commutative per key; q_dd_rollup pins
+    * merged ≡ single-pass key-for-key). */
+  def hdrMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("key").agg(sum("cnt").as("cnt"))
+
+  /** Type-1 (lower) quantile estimates from a sketch: for each q‰ the
+    * target rank is r = max(1, ⌈q·n/1000⌉) in exact integer arithmetic
+    * and the answer bucket is the least key whose cumulative count
+    * reaches r. Emits (q_mil, key, low, width, est_x2) where est_x2 =
+    * 2·low + width − 1 is TWICE the bucket midpoint (kept integer; the
+    * true rank-r value provably lies in [low, low+width−1], so the
+    * midpoint's relative error is ≤ 2^{−b−1}).
+    *
+    * Plan shape: the rank scan is a window + non-equi broadcast join
+    * over SKETCH rows only (≤ ~1 920 × |qs| — constant, never corpus);
+    * the 1-row total joins in by broadcast. */
+  def hdrQuantiles(sketch: DataFrame, subBits: Int,
+      qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"hdrQuantiles: q_mil values must be in [0,1000], got $qMils")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = sketch
+      .withColumn("cum", sum("cnt").over(w))
+    val total = sketch.agg(sum("cnt").as("n"))
+    val qs = qMils.toDF("q_mil")
+    val ranked = qs.crossJoin(broadcast(total))
+      .select(col("q_mil").cast("long").as("q_mil"),
+        greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
+    val hit = broadcast(ranked)
+      .join(cum, col("cum") >= col("r"))
+      .groupBy("q_mil").agg(min("key").as("key"))
+    val b = hdrBounds(col("key"), subBits)
+    hit.select(col("q_mil"), col("key"),
+        b.getField("low").as("low"), b.getField("width").as("width"))
+      .withColumn("est_x2", col("low") * 2 + col("width") - 1)
+  }
+
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")

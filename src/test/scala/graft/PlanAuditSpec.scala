@@ -66,6 +66,11 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sq8_topk" -> 3,        // grid fold ×2 (encode + scan) + query
     "sim_sq8_indexed" -> 2,     // grid fold (scan only) + query
     "q_bootstrap_ci" -> 1,      // 64-row replicate-CI fold onto totals
+    "q_hdr_quantile" -> 6,      // 3-row q-list × (≤1 920-bucket sketch,
+                                // domain-bounded exact histogram) rank
+                                // scans + 1-row total folds, ×2 (quants
+                                // reused by the exact side) — never
+                                // corpus-sized on either input
     "q_retrieval_ndcg" -> 1,    // bm25TopK's (N, avgdl) fold, inherited
     "text_bm25" -> 1,           // (N, avgdl) corpus-stats fold
     "text_bm25_appended" -> 1,  // same fold over the appended index

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The log-linear quantile sketch ([[Sketch.hdrKey]] family): key
+  * monotonicity, bucket containment, mergeability, and the rank-query
+  * error bound — the invariants the q_hdr_* oracle rows replay. */
+class HdrSketchSpec extends SparkSpec {
+
+  private val b = 5 // subBits used by the board rows
+
+  // edge cases around every power-of-two boundary + large values
+  private def edgeValues: Seq[Long] = {
+    val around = (0 to 40).flatMap { e =>
+      val p = 1L << e
+      Seq(p - 1, p, p + 1)
+    }
+    (Seq(0L, 1L, 2L, 3L) ++ around ++
+      Seq((1L << 40) + 12345L, (1L << 52) + 999L, (1L << 61) + 7L))
+      .distinct.filter(_ >= 0).sorted
+  }
+
+  test("hdrKey: monotone in x, and every x lies in its own bucket") {
+    import spark.implicits._
+    val df = edgeValues.toDF("x")
+      .withColumn("key", Sketch.hdrKey(col("x"), b))
+    val withBounds = df
+      .withColumn("bd", Sketch.hdrBounds(col("key"), b))
+      .select(col("x"), col("key"),
+        col("bd.low").as("low"), col("bd.width").as("width"))
+      .orderBy("x")
+      .collect()
+    // containment: low <= x <= low + width - 1
+    withBounds.foreach { r =>
+      val (x, low, width) =
+        (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(low <= x && x <= low + width - 1,
+        s"x=$x outside bucket [$low, ${low + width - 1}]")
+      // relative bucket width bound: width <= max(1, x >> b)
+      assert(width <= math.max(1L, x >> b) || x < (1L << b),
+        s"x=$x width=$width violates 2^-b relative width")
+    }
+    // monotonicity: keys non-decreasing in x
+    val keys = withBounds.map(_.getLong(1))
+    assert(keys.zip(keys.tail).forall { case (a, c) => a <= c })
+  }
+
+  test("hdrKey: exact (width-1) buckets below 2^b and at decade starts") {
+    import spark.implicits._
+    val got = Seq(0L, 1L, 31L, 32L, 63L).toDF("x")
+      .withColumn("key", Sketch.hdrKey(col("x"), b))
+      .withColumn("bd", Sketch.hdrBounds(col("key"), b))
+      .select(col("x"), col("key"), col("bd.low"), col("bd.width"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((0L, 0L, 1L)))
+    assert(got(1L) == ((1L, 1L, 1L)))
+    assert(got(31L) == ((31L, 31L, 1L)))
+    // first log decade (e = b) still has width-1 buckets
+    assert(got(32L) == ((32L, 32L, 1L)))
+    assert(got(63L) == ((63L, 63L, 1L)))
+  }
+
+  test("hdrMerge: per-shard sketches add to the single-pass sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.tabulate(5000)(i =>
+      (i.toLong, math.abs(rnd.nextLong()) % (if (i % 7 == 0) 10L else 100000L)))
+      .toDF("id", "x")
+    val single = Sketch.hdrSketch(vals, "x", b)
+    val merged = Sketch.hdrMerge(
+      (0 until 4).map(sh =>
+        Sketch.hdrSketch(vals.where(col("id") % 4 === sh), "x", b))
+        .reduce(_ unionByName _))
+    val diff = single.as("s").join(merged.as("m"), Seq("key"), "full_outer")
+      .where(coalesce(col("s.cnt"), lit(-1L)) =!=
+        coalesce(col("m.cnt"), lit(-2L)))
+    assert(diff.count() == 0)
+  }
+
+  test("hdrQuantiles: true rank-r value lands in the answer bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.fill(3000)(math.abs(rnd.nextLong()) % 50000L) ++
+      Seq.fill(100)(0L) // heavy mass at zero exercises the exact tier
+    val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("id", "x")
+    val qMils = Seq(10, 250, 500, 900, 990, 1000)
+    val quants = Sketch
+      .hdrQuantiles(Sketch.hdrSketch(df, "x", b), b, qMils)
+      .collect().map(r => r.getAs[Long]("q_mil") ->
+        (r.getAs[Long]("low"), r.getAs[Long]("width"))).toMap
+    val sorted = xs.sorted
+    val n = sorted.length
+    qMils.foreach { q =>
+      val r = math.max(1L, (n.toLong * q + 999) / 1000).toInt
+      val exact = sorted(r - 1)
+      val (low, width) = quants(q.toLong)
+      assert(low <= exact && exact <= low + width - 1,
+        s"q=$q exact=$exact not in [$low, ${low + width - 1}]")
+      // midpoint relative error bound 2^-(b+1) (+1 for integer midpoint)
+      val est = (2.0 * low + width - 1) / 2.0
+      if (exact > 0)
+        assert(math.abs(est - exact) / exact.toDouble <=
+          math.pow(2.0, -(b + 1)) + 1.0 / exact,
+          s"q=$q est=$est exact=$exact exceeds relative error bound")
+    }
+  }
+
+  test("hdrSketch: bucket count stays bounded regardless of input size") {
+    import spark.implicits._
+    val wide = Seq.tabulate(20000)(i => ((i.toLong * 2654435761L) &
+      Long.MaxValue) % (1L << 45)).toDF("x")
+    val nBuckets = Sketch.hdrSketch(wide, "x", b).count()
+    assert(nBuckets <= (64 - b).toLong * (1L << b) + (1L << b),
+      s"bucket count $nBuckets exceeds the design bound")
+  }
+}
