@@ -1815,6 +1815,44 @@ object SparkEntry {
       Eval.retrievalEval(results, rel, 5).orderBy("query_id")
     }),
 
+    // HYBRID retrieval via Reciprocal Rank Fusion: seed docs 1-3
+    // retrieve "more like this" through BOTH rankers — lexical BM25
+    // (query = the seed's own text, self dropped and ranks compacted)
+    // and dense cosine over the id-aligned embeddings (self excluded
+    // by construction) — fused on the exact 1e-12 integer RRF grid.
+    // The per-source rank columns ride along (0 = that ranker didn't
+    // return the doc), so the oracle verifies both input runs AND the
+    // fusion arithmetic per row.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lexRaw = Retrieval.bm25TopK(docs,
+          docs.where(col("doc_id").between(1, 3))
+            .select(col("doc_id").as("query_id"),
+              col("text").as("qtext")), k = 8)
+        .where(col("doc_id") =!= col("query_id"))
+      // compact ranks after dropping self (window over <= 8 rows/query)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")
+      val lex = lexRaw
+        .select(col("query_id"), col("doc_id"),
+          row_number().over(wq).cast("long").as("rank"))
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.where(col("vec_id").between(1, 3)), k = 8)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(Seq("bm25" -> lex, "cos" -> dense), k = 5)
+        .join(lex.withColumnRenamed("rank", "bm25_rank"),
+          Seq("query_id", "doc_id"), "left")
+        .join(dense.withColumnRenamed("rank", "cos_rank"),
+          Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("rrf_e12"), col("n_sources"),
+          coalesce(col("bm25_rank"), lit(0L)).as("bm25_rank"),
+          coalesce(col("cos_rank"), lit(0L)).as("cos_rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // BM25 served from the PERSISTED inverted-index artifact — the
     // production split: tfIndexWrite once per corpus, then each query
     // batch pays the broadcast-pruned posting join against on-disk
@@ -5503,6 +5541,84 @@ object SparkEntry {
     // NDCG@5 + MRR over the same BM25 replay CTEs; the disc(rnk, w)
     // table is Eval.ndcgDiscountMicros interpolated — both engines
     // multiply/sum the SAME integers
+    "q_rrf_fusion" -> {
+      // full replay of BOTH runs (BM25 with seed-doc queries, k=8,
+      // self dropped + ranks compacted; cosine brute top-8) and the
+      // integer RRF grid: addend = 1000000000000 // (60 + rank)
+      s"""WITH q AS (SELECT doc_id AS query_id, text AS qtext
+         |  FROM documents WHERE doc_id BETWEEN 1 AND 3),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |  FROM tf GROUP BY 1),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT DISTINCT query_id,
+         |  unnest(string_split(lower(qtext), ' ')) AS t FROM q),
+         |qstats AS (
+         |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+         |  WHERE t IN (SELECT t FROM qt) GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    CAST(floor(ln(CAST(1 AS DOUBLE) +
+         |        (n_docs - df + CAST(0.5 AS DOUBLE)) /
+         |        (df + CAST(0.5 AS DOUBLE))) *
+         |      ((tf * (CAST(1.2 AS DOUBLE) + CAST(1 AS DOUBLE))) /
+         |        (tf + CAST(1.2 AS DOUBLE) * (CAST(1 AS DOUBLE) -
+         |          CAST(0.75 AS DOUBLE) +
+         |          CAST(0.75 AS DOUBLE) * dl / avgdl))) *
+         |      CAST(1000000 AS DOUBLE)) AS BIGINT) AS w_q
+         |  FROM tf JOIN qt USING (t) JOIN qstats USING (t)
+         |    JOIN dl USING (doc_id) CROSS JOIN gl),
+         |agg AS (
+         |  SELECT query_id, doc_id, CAST(sum(w_q) AS BIGINT) AS s
+         |  FROM sc GROUP BY 1, 2),
+         |rb AS (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+         |  FROM agg),
+         |lex AS (
+         |  SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rnk) AS lrank
+         |  FROM rb WHERE rnk <= 8 AND doc_id <> query_id),
+         |$EmbCte,
+         |qv AS (SELECT vec_id AS query_id, v AS qvec FROM e
+         |  WHERE vec_id BETWEEN 1 AND 3),
+         |sden AS (
+         |  SELECT query_id, e.vec_id AS doc_id,
+         |    round(${cosSql("qvec", "v")}, 6) AS cosine
+         |  FROM qv JOIN e ON e.vec_id <> qv.query_id),
+         |den AS (
+         |  SELECT query_id, doc_id, rnk AS drank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+         |    FROM sden)
+         |  WHERE rnk <= 8),
+         |u AS (
+         |  SELECT query_id, doc_id, lrank AS rank FROM lex
+         |  UNION ALL SELECT query_id, doc_id, drank FROM den),
+         |f AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(1000000000000 // (60 + rank)) AS BIGINT)
+         |      AS rrf_e12,
+         |    CAST(count(*) AS BIGINT) AS n_sources
+         |  FROM u GROUP BY 1, 2),
+         |fr AS (
+         |  SELECT query_id, doc_id, rrf_e12, n_sources,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_e12 DESC, doc_id) AS r
+         |  FROM f)
+         |SELECT query_id, CAST(r AS BIGINT) AS "rank", doc_id,
+         |  rrf_e12, n_sources,
+         |  CAST(coalesce(lrank, 0) AS BIGINT) AS bm25_rank,
+         |  CAST(coalesce(drank, 0) AS BIGINT) AS cos_rank
+         |FROM fr LEFT JOIN lex USING (query_id, doc_id)
+         |  LEFT JOIN den USING (query_id, doc_id)
+         |WHERE r <= 5 ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "q_retrieval_ndcg" -> {
       val discVals = Eval.ndcgDiscountMicros(5).zipWithIndex
         .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")

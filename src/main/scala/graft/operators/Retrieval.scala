@@ -138,6 +138,59 @@ object Retrieval {
         col("n_terms"))
   }
 
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * — combine ranked runs from DIFFERENT retrievers (lexical BM25,
+    * dense cosine, …) without score calibration: each run contributes
+    * 1/(rrfK + rank) per document, fused score = the sum. RRF is the
+    * standard hybrid-retrieval combiner precisely because raw scores
+    * from different systems are incommensurable but RANKS always
+    * compose.
+    *
+    * Exact-arithmetic discipline: the addend is ⌊10¹² / (rrfK+rank)⌋
+    * — pure integer division, bit-identical in any engine. The 1e-12
+    * grid cannot flip an ordering: two distinct rational RRF sums over
+    * ranks ≤ 1000 differ by ≥ 1/(rrfK+1000)² ≫ the ≤ |runs|·10⁻¹²
+    * quantization slack (q_rrf_fusion replays every addend).
+    *
+    * 100 TB shape: inputs are top-k runs — ALREADY small per query
+    * (k·|queries| rows, never corpus-sized); the fuse is one
+    * map-side-combinable groupBy + the bounded-heap top-k cut
+    * ([[Rank.topKPerGroup]]), so a million-query batch fuses with one
+    * shuffle of k·|Q|·|runs| rows partitioned by query.
+    *
+    * Contract: each run carries one row per (query, doc) — ranks from
+    * a per-query top-k cut satisfy this; duplicate (query, doc) rows
+    * within a run would double-count. Doc ids must be numeric (the
+    * unique descending tie-break negates them, the
+    * [[bm25TopKWith]] pattern). Ties in fused score break toward the
+    * smaller doc id.
+    *
+    * @param runs (sourceName, ranking) pairs; each ranking has
+    *             columns (`qid`, `id`, `rank`) with rank 1-based
+    * @return query_id, rank (fused, 1-based), doc id, `rrf_e12`
+    *         (fused score on the 1e-12 integer grid), `n_sources`
+    *         (how many runs returned the doc) */
+  def rrfFuse(runs: Seq[(String, DataFrame)], k: Int, rrfK: Int = 60,
+      qid: String = "query_id", id: String = "doc_id"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse: need at least one run")
+    require(k >= 1 && rrfK >= 1,
+      s"rrfFuse: k and rrfK must be >= 1: $k, $rrfK")
+    val tagged = runs.map { case (_, df) =>
+      df.select(col(qid), col(id).cast("long").as(id),
+        col("rank").cast("long").as("rank"))
+    }.reduce(_ unionByName _)
+    val byq = tagged
+      .withColumn("__w", expr(
+        s"CAST(1000000000000 AS BIGINT) div (CAST($rrfK AS BIGINT) + rank)"))
+      .groupBy(col(qid), col(id))
+      .agg(sum(col("__w")).as("rrf_e12"), count(lit(1)).as("n_sources"))
+    Rank.topKPerGroup(byq, Seq(qid),
+        struct(col("rrf_e12"), negate(col(id)).as("__nid"),
+          col("n_sources")), k)
+      .select(col(qid), col("rank"), negate(col("__nid")).as(id),
+        col("rrf_e12"), col("n_sources"))
+  }
+
   /** Exact PHRASE matching — the "find this literal n-gram" primitive
     * (eval-set leakage hunts, quote tracing, boilerplate audits) that
     * bag-of-words BM25 cannot answer. Token-space positional

@@ -72,6 +72,11 @@ class PlanAuditSpec extends SparkSpec {
                                 // reused by the exact side) — never
                                 // corpus-sized on either input
     "q_retrieval_ndcg" -> 1,    // bm25TopK's (N, avgdl) fold, inherited
+    "q_rrf_fusion" -> 4,        // bm25 (N, avgdl) fold + the 3-seed-row
+                                // broadcast brute-cosine join, each
+                                // planned twice (runs feed the fuse AND
+                                // the per-source rank join-back) —
+                                // query side always the seed batch
     "text_bm25" -> 1,           // (N, avgdl) corpus-stats fold
     "text_bm25_appended" -> 1,  // same fold over the appended index
     "text_bm25_indexed" -> 1,   // same fold over the persisted index

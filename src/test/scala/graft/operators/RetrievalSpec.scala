@@ -109,4 +109,38 @@ class RetrievalSpec extends SparkSpec {
     // absent phrase -> empty, not an error
     assert(Retrieval.phraseMatch(docs, "never here").count() == 0)
   }
+
+  test("rrfFuse: integer grid addends, both-runs docs outrank, id tie-break") {
+    import spark.implicits._
+    def run(rows: (Long, Long, Long)*) =
+      rows.toDF("query_id", "doc_id", "rank")
+    // doc 20 is rank 2 in BOTH runs; docs 10/30 are rank 1 in one run
+    val a = run((1L, 10L, 1L), (1L, 20L, 2L), (1L, 40L, 3L))
+    val b = run((1L, 30L, 1L), (1L, 20L, 2L), (1L, 50L, 3L))
+    val got = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), k = 5)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_e12"), r.getAs[Long]("n_sources")))
+    val w = (r: Long) => 1000000000000L / (60L + r)
+    // 20: 2/(60+2); beats a single rank-1 doc: 2/62 > 1/61
+    assert(got.head == ((1L, 20L, 2 * w(2), 2L)))
+    // 10 vs 30: identical score 1/61 -> smaller doc id first
+    assert(got(1) == ((2L, 10L, w(1), 1L)))
+    assert(got(2) == ((3L, 30L, w(1), 1L)))
+    assert(got(3) == ((4L, 40L, w(3), 1L)))
+    assert(got(4) == ((5L, 50L, w(3), 1L)))
+  }
+
+  test("rrfFuse: single run preserves its ranking order") {
+    import spark.implicits._
+    val a = Seq((1L, 7L, 1L), (1L, 3L, 2L), (1L, 9L, 3L),
+      (2L, 5L, 1L), (2L, 6L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq("only" -> a), k = 10)
+      .select("query_id", "rank", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 7L), (1L, 2L, 3L), (1L, 3L, 9L),
+      (2L, 1L, 5L), (2L, 2L, 6L)))
+  }
 }
