@@ -710,6 +710,41 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // The quantile sketch's PERSISTED + INCREMENTAL path: artifact
+    // written from 80 % of the corpus, the rest hdrIndexAppend'ed
+    // (histograms are additive, so append needs NO disjointness
+    // precondition — unlike the tf/signature artifacts), then served
+    // rows pinned key-for-key against a from-scratch rebuild. The
+    // nightly-growth story: O(batch) per day, quantile reads touch
+    // ≤ ~1 920 rows.
+    "q_hdr_incremental" -> ((s, dir) => {
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(tfIndexCache, "hdr", appId)
+      val path = tfIndexCache.getOrElseUpdate((appId, s"hdr:$dir"), {
+        val p = indexPath("hdr", appId, dir)
+        val docs = t(s, dir, "documents")
+          .select(col("n_chars").as("x"), col("doc_id"))
+          .where(col("x") >= 0)
+        Sketch.hdrIndexWrite(docs.where(col("doc_id") % 5 =!= 0),
+          "x", 5, p)
+        Sketch.hdrIndexAppend(docs.where(col("doc_id") % 5 === 0),
+          "x", 5, p)
+        p
+      })
+      val served = Sketch.hdrIndexRead(s, path)
+      val rebuilt = Sketch.hdrSketch(
+        t(s, dir, "documents").select(col("n_chars").as("x"))
+          .where(col("x") >= 0), "x", 5)
+      served.as("sv").join(rebuilt.as("rb"), Seq("key"), "full_outer")
+        .select(col("key"),
+          coalesce(col("sv.cnt"), lit(0L)).as("cnt_served"),
+          coalesce(col("rb.cnt"), lit(0L)).as("cnt_rebuilt"),
+          (coalesce(col("sv.cnt"), lit(-1L)) ===
+            coalesce(col("rb.cnt"), lit(-2L)))
+            .cast("long").as("append_equals_rebuild"))
+        .orderBy("key")
+    }),
+
     // KMV mergeability as a board row (the countMin rollup's order-
     // statistics twin): 4 per-shard bottom-64 sketches re-cut to the
     // corpus sketch — rank-for-rank identical to the single-pass
@@ -4035,6 +4070,26 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(s.cnt, -1) = coalesce(m.cnt, -2)
          |    THEN 1 ELSE 0 END AS BIGINT) AS rollup_equals_single
          |FROM s FULL OUTER JOIN m USING (key) ORDER BY key""".stripMargin,
+
+    "q_hdr_incremental" ->
+      // the append path is ALGEBRA, not state: histogram(80 %) +
+      // histogram(20 %) summed per bucket ≡ histogram(all) — the
+      // oracle replays both sides and pins per-key equality
+      s"""WITH d AS (SELECT n_chars AS x, doc_id FROM documents
+         |  WHERE n_chars >= 0),
+         |k AS (SELECT doc_id, CASE WHEN x < 32 THEN x
+         |    ELSE (x >> (length(bin(x)) - 6))
+         |      + (length(bin(x)) - 6) * 32 END AS key FROM d),
+         |part AS (SELECT CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+         |    AS b, key, count(*) AS cnt FROM k GROUP BY 1, 2),
+         |sv AS (SELECT key, sum(cnt) AS cnt FROM part GROUP BY key),
+         |rb AS (SELECT key, count(*) AS cnt FROM k GROUP BY key)
+         |SELECT CAST(key AS BIGINT) AS key,
+         |  CAST(coalesce(sv.cnt, 0) AS BIGINT) AS cnt_served,
+         |  CAST(coalesce(rb.cnt, 0) AS BIGINT) AS cnt_rebuilt,
+         |  CAST(CASE WHEN coalesce(sv.cnt, -1) = coalesce(rb.cnt, -2)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS append_equals_rebuild
+         |FROM sv FULL OUTER JOIN rb USING (key) ORDER BY key""".stripMargin,
 
     "q_kmv_rollup" ->
       s"""WITH vals AS (

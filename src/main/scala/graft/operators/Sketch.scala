@@ -293,6 +293,34 @@ object Sketch {
       .withColumn("est_x2", col("low") * 2 + col("width") - 1)
   }
 
+  /** Persist a [[hdrSketch]] as parquet (key, cnt) — the build-once/
+    * serve-cheap split ([[Retrieval.tfIndexWrite]] pattern): the
+    * corpus pays ONE histogram pass, every later quantile query reads
+    * ≤ ~1 920 rows. Staleness contract as the other artifacts: rebuild
+    * (or [[hdrIndexAppend]]) when the corpus changes. */
+  def hdrIndexWrite(df: DataFrame, valueCol: String, subBits: Int,
+      path: String): Unit =
+    hdrSketch(df, valueCol, subBits)
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a persisted histogram, re-merged per key — partial rows from
+    * appended batches collapse here, so readers always see ONE row per
+    * bucket regardless of append history. */
+  def hdrIndexRead(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    hdrMerge(spark.read.parquet(path))
+
+  /** Incrementally append a batch: histogram the NEW rows only and
+    * parquet-append their (key, cnt) rows. Unlike the tf/signature
+    * artifacts there is NO disjointness precondition — histograms are
+    * additive in their input multiset, so re-appending any rows just
+    * adds their counts, and appended ≡ rebuilt unconditionally
+    * (q_hdr_incremental pins it). Nightly growth costs O(batch). */
+  def hdrIndexAppend(newRows: DataFrame, valueCol: String, subBits: Int,
+      path: String): Unit =
+    hdrSketch(newRows, valueCol, subBits)
+      .write.mode("append").parquet(path)
+
   def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")

@@ -440,6 +440,31 @@ object ScdStream {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("n_tokens"), col("top"))
 
+  /** Per-window log-linear value histogram over a live stream — the
+    * streaming face of [[graft.operators.Sketch.hdrSketch]], for
+    * continuous quantile monitoring ("this hour's doc-length p99")
+    * on crawl ingest. State per (window, bucket) is ONE count and the
+    * bucket space is bounded by construction (≤ ~1 920 at subBits=5),
+    * so the store holds windows·buckets rows at ANY input rate —
+    * quantiles over an unbounded stream with provably bounded state.
+    * Emitted (window, key, cnt) rows are additive exactly like the
+    * batch sketch: late re-emissions, shard unions, and day-over-day
+    * roll-ups all merge by summing, and
+    * [[graft.operators.Sketch.hdrQuantiles]] serves quantiles from
+    * any such union (HdrStreamSpec pins stream ≡ batch bucket-for-
+    * bucket and quantile-for-quantile). */
+  def valueHistogramPerWindow(df: DataFrame, valueCol: String,
+      tsCol: String, windowDuration: String, watermarkDelay: String,
+      subBits: Int = 5): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol),
+        graft.operators.Sketch.hdrKey(col(valueCol), subBits).as("key"))
+      .where(col("key").isNotNull)
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("key"), col("cnt"))
+
   /** Streaming exact dedup: drop re-occurrences of a key within the
     * watermark horizon — the streaming face of `Dedup.exactGroups`
     * for continuous document ingest (key = content fingerprint).

@@ -108,6 +108,25 @@ class HdrSketchSpec extends SparkSpec {
     }
   }
 
+  test("hdr artifact: write + append (no disjointness needed) serves rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hdr-idx").toString
+    val all = Seq.tabulate(2000)(i => (i.toLong, (i * 37L) % 9999L))
+      .toDF("id", "x")
+    Sketch.hdrIndexWrite(all.where(col("id") < 1500), "x", b, dir)
+    Sketch.hdrIndexAppend(all.where(col("id") >= 1500), "x", b, dir)
+    val served = Sketch.hdrIndexRead(spark, dir)
+    val rebuilt = Sketch.hdrSketch(all, "x", b)
+    val diff = served.as("s").join(rebuilt.as("r"), Seq("key"), "full_outer")
+      .where(coalesce(col("s.cnt"), lit(-1L)) =!=
+        coalesce(col("r.cnt"), lit(-2L)))
+    assert(diff.count() == 0)
+    // additivity means re-appending rows is well-defined: counts add
+    Sketch.hdrIndexAppend(all.where(col("id") < 100), "x", b, dir)
+    val total = Sketch.hdrIndexRead(spark, dir).agg(sum("cnt")).head.getLong(0)
+    assert(total == 2100L)
+  }
+
   test("hdrSketch: bucket count stays bounded regardless of input size") {
     import spark.implicits._
     val wide = Seq.tabulate(20000)(i => ((i.toLong * 2654435761L) &

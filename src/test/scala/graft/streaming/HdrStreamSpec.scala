@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.operators.Sketch
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming quantile monitoring: the per-window log-linear histogram
+  * must agree with the batch sketch bucket-for-bucket, and quantiles
+  * served from the streamed rows must equal batch quantiles. */
+class HdrStreamSpec extends SparkSpec {
+
+  test("valueHistogramPerWindow: stream buckets == batch sketch per window") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Timestamp, Long)]
+    val out = ScdStream.valueHistogramPerWindow(
+      ms.toDF().toDF("ts", "x"), "x", "ts", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("hist")
+      .outputMode("complete").start()
+    try {
+      val w1 = (1 to 40).map(i =>
+        (Timestamp.valueOf("2024-01-01 00:03:00"), (i * 97L) % 5000L))
+      val w2 = (1 to 25).map(i =>
+        (Timestamp.valueOf("2024-01-01 00:14:00"), (i * 131L) % 800L))
+      ms.addData(w1 ++ w2)
+      q.processAllAvailable()
+      val got = spark.table("hist")
+        .select(col("window_start").cast("string").as("w"),
+          col("key"), col("cnt"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      def batch(rows: Seq[(Timestamp, Long)], w: String) =
+        Sketch.hdrSketch(rows.map(_._2).toDF("x"), "x", 5)
+          .collect().map(r => (w, r.getLong(0)) -> r.getLong(1)).toMap
+      val want = batch(w1, "2024-01-01 00:00:00") ++
+        batch(w2, "2024-01-01 00:10:00")
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("streamed rows are additive: quantiles served from the union == batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Timestamp, Long)]
+    val out = ScdStream.valueHistogramPerWindow(
+      ms.toDF().toDF("ts", "x"), "x", "ts", "10 minutes", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("hist2")
+      .outputMode("complete").start()
+    try {
+      val xs = (1 to 300).map(i => (i * 61L) % 20000L)
+      // same window, fed in two batches — counts must merge by addition
+      ms.addData(xs.take(180).map(x =>
+        (Timestamp.valueOf("2024-01-01 00:02:00"), x)))
+      q.processAllAvailable()
+      ms.addData(xs.drop(180).map(x =>
+        (Timestamp.valueOf("2024-01-01 00:07:00"), x)))
+      q.processAllAvailable()
+      // roll all emitted windows up (here: one) and serve quantiles
+      val rolled = Sketch.hdrMerge(
+        spark.table("hist2").select(col("key"), col("cnt")))
+      val servedQ = Sketch.hdrQuantiles(rolled, 5, Seq(500, 990))
+        .select("q_mil", "key").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchQ = Sketch.hdrQuantiles(
+          Sketch.hdrSketch(xs.toDF("x"), "x", 5), 5, Seq(500, 990))
+        .select("q_mil", "key").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(servedQ == batchQ)
+    } finally q.stop()
+  }
+}
