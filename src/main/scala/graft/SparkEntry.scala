@@ -2110,6 +2110,25 @@ object SparkEntry {
       TextAnalysis.unigramLogLoss(t(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // Curriculum tiers: per-doc integer unigram log-loss micros
+    // (floor(Σq/n) — the CCNet difficulty proxy in exact arithmetic),
+    // cut into 3 quantile bands by the hdr sketch (cuts = bucket LOW
+    // edges of the 333‰/666‰ answer buckets) — no corpus sort, one
+    // histogram pass + a broadcast 2-cut fold. The oracle replays the
+    // score, the sketch, both cuts, and every tier assignment.
+    "q_curriculum_tiers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = TextAnalysis.unigramLm(docs)
+      val d = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+        .join(lm, Seq("t"))
+        .groupBy("doc_id")
+        .agg(expr("CAST(sum(q) div count(*) AS BIGINT)").as("d_micros"))
+      Sampling.curriculumTiers(d, "d_micros", nTiers = 3)
+        .select(col("doc_id"), col("d_micros"), col("tier"))
+        .orderBy("doc_id")
+    }),
+
     // per-doc OOV rate against the corpus top-20 vocabulary (the
     // synthetic corpus has 31 distinct tokens, so the cut is live)
     "text_vocab_oov" -> ((s, dir) =>
@@ -5572,6 +5591,46 @@ object SparkEntry {
         |  round(CAST(sum(qlp) AS DOUBLE) / (1000000.0 * count(*)), 4)
         |    AS avg_neg_logp
         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_curriculum_tiers" ->
+      // difficulty replay (the text_perplexity CTEs, integer-avg'd),
+      // then the hdr-sketch cut replay (q_hdr_quantile math at
+      // 333/666 mils) and the per-doc tier count
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+         |  FROM documents),
+         |c AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS total FROM c),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor(-ln(CAST(c AS DOUBLE) / total) * 1000000)
+         |      AS BIGINT) AS qlp
+         |  FROM tok JOIN c USING (t) CROSS JOIN tot),
+         |d AS (SELECT doc_id,
+         |    CAST(sum(qlp) // count(*) AS BIGINT) AS d_micros
+         |  FROM q GROUP BY doc_id),
+         |sk AS (SELECT CASE WHEN d_micros < 32 THEN d_micros
+         |    ELSE (d_micros >> (length(bin(d_micros)) - 6))
+         |      + (length(bin(d_micros)) - 6) * 32 END AS key,
+         |    count(*) AS cnt FROM d GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+         |cum AS (SELECT key, sum(cnt) OVER (ORDER BY key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sk),
+         |qs(q_mil) AS (VALUES (333), (666)),
+         |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+         |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT)) AS r
+         |  FROM qs, n),
+         |pick AS (SELECT q_mil, min(key) AS key FROM r
+         |  JOIN cum ON cum.cum >= r.r GROUP BY q_mil),
+         |cuts AS (SELECT CASE WHEN key < 32 THEN key
+         |    ELSE (key - ((key >> 5) - 1) * 32) << ((key >> 5) - 1)
+         |    END AS low FROM pick),
+         |ca AS (SELECT list_sort(list(low)) AS cl FROM cuts)
+         |SELECT doc_id, d_micros,
+         |  CAST(len(list_filter(cl, x -> d_micros >= x)) AS BIGINT)
+         |    AS tier
+         |FROM d, ca ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (

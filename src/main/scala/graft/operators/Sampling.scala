@@ -327,4 +327,41 @@ object Sampling {
       .where(col("draw") <= k)
       .select(col(anchorCol), col(negIdCol), col("draw"))
   }
+
+  /** Curriculum / difficulty tiers: cut a scored corpus into `nTiers`
+    * quantile bands — the binning step of curriculum schedules
+    * ("train easy → hard") and difficulty-stratified data mixes. The
+    * score is any non-negative integer difficulty (the board row uses
+    * integer unigram log-loss micros, the CCNet perplexity proxy).
+    *
+    * Cuts come from the [[Sketch.hdrSketch]] quantile sketch, NOT an
+    * exact sort: cut_i = the LOW edge of the ⌊i·1000/nTiers⌋‰ answer
+    * bucket, so tier boundaries are within the sketch's 2^−b relative
+    * band of the true quantiles — exactly the tolerance a curriculum
+    * needs, at histogram cost (no corpus sort, no full shuffle:
+    * ONE map-side-combined histogram pass + a broadcast ≤ nTiers-row
+    * cut array folded per row). tier = #cuts ≤ score, 0-based
+    * (0 = easiest band). Equal cut values (two quantiles in one
+    * bucket) legitimately leave a tier empty.
+    *
+    * Output: the input row + `tier` (long). Fully integer arithmetic
+    * — the oracle replays sketch, cuts, and every tier assignment. */
+  def curriculumTiers(scored: DataFrame, scoreCol: String,
+      nTiers: Int, subBits: Int = 5): DataFrame = {
+    require(nTiers >= 2 && nTiers <= 1000,
+      s"curriculumTiers: nTiers must be in [2,1000], got $nTiers")
+    val sk = Sketch.hdrSketch(
+      scored.select(col(scoreCol).as("x")), "x", subBits)
+    val qMils = (1 until nTiers).map(i => (i * 1000) / nTiers)
+    val cutRow = Sketch.hdrQuantiles(sk, subBits, qMils)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(q_mil, low))), s -> s.low)")
+        .as("__cuts"))
+    scored.crossJoin(broadcast(cutRow))
+      .withColumn("tier", expr(
+        s"""CAST(aggregate(__cuts, 0L,
+           |  (acc, c) -> acc + CASE WHEN $scoreCol >= c
+           |    THEN 1L ELSE 0L END) AS BIGINT)""".stripMargin))
+      .drop("__cuts")
+  }
 }

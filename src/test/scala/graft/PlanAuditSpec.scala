@@ -66,6 +66,10 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sq8_topk" -> 3,        // grid fold ×2 (encode + scan) + query
     "sim_sq8_indexed" -> 2,     // grid fold (scan only) + query
     "q_bootstrap_ci" -> 1,      // 64-row replicate-CI fold onto totals
+    "q_curriculum_tiers" -> 6,  // unigramLm's 1-row total fold +
+                                // hdrQuantiles' 2-row q-list × sketch
+                                // rank scan + the ≤2-cut array fold —
+                                // all sketch- or 1-row-bounded sides
     "q_hdr_quantile" -> 6,      // 3-row q-list × (≤1 920-bucket sketch,
                                 // domain-bounded exact histogram) rank
                                 // scans + 1-row total folds, ×2 (quants

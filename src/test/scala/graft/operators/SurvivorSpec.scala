@@ -142,4 +142,27 @@ class SurvivorSpec extends SparkSpec {
       assert(merged == single, s"k=$k diverged")
     }
   }
+
+  test("curriculumTiers: monotone in score, 0-based, bands near n/tiers") {
+    import spark.implicits._
+    // scores 0..899 uniformly: cuts land near 300 and 600 (within the
+    // sketch's bucket-low tolerance), tiers monotone in the score
+    val scored = (0 until 900).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "d")
+    val got = Sampling.curriculumTiers(scored, "d", nTiers = 3)
+      .select("d", "tier").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(got.map(_._2).distinct.sorted.sameElements(Array(0L, 1L, 2L)))
+    // monotone: tier never decreases as the score grows
+    assert(got.map(_._2).zip(got.map(_._2).tail).forall(p => p._1 <= p._2))
+    // each band holds n/3 within the 2^-b relative cut tolerance
+    val sizes = got.groupBy(_._2).view.mapValues(_.length).toMap
+    sizes.values.foreach(n => assert(math.abs(n - 300) <= 300 / 16,
+      s"band sizes $sizes stray past the sketch tolerance"))
+    // degenerate corpus: every score equal -> everything in the top tier
+    val flat = (0 until 50).map(i => (i.toLong, 7L)).toDF("doc_id", "d")
+    val tiers = Sampling.curriculumTiers(flat, "d", nTiers = 3)
+      .select("tier").distinct().collect().map(_.getLong(0)).toSet
+    assert(tiers == Set(2L))
+  }
 }
