@@ -1101,6 +1101,16 @@ object SparkEntry {
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
 
+    // MAD robust-z rate monitor over hourly event counts: median and
+    // MAD in exact integer rank arithmetic on the domain-bounded
+    // bucket table, z in signed mils, the anomaly decision compared
+    // multiplicatively so no division rounding sits on the boundary
+    "q_rate_anomaly" -> ((s, dir) =>
+      Sessionize.rateAnomalies(events(s, dir), "ts_us",
+          bucketUs = 3600000000L, zMilThreshold = 3500L)
+        .withColumnRenamed("bucket", "hour_bucket")
+        .orderBy("hour_bucket")),
+
     // ordered-step conversion funnel: each step's clock starts at the
     // user's completion of the previous step
     "q_funnel" -> ((s, dir) =>
@@ -4603,6 +4613,31 @@ object SparkEntry {
         |  CAST(coalesce(n, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c ON g.hb = c.hb AND g.event_type = c.event_type
         |ORDER BY hour_bucket, g.event_type""".stripMargin,
+
+    "q_rate_anomaly" ->
+      // integer replay: type-1 lower medians at rank (n+1)//2 with
+      // the same (value, bucket) tie order, magnitude-only division
+      """WITH e AS (
+        |  SELECT epoch_us(ts) // 3600000000 AS bucket FROM events),
+        |c AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |rm AS (SELECT c AS med FROM (
+        |    SELECT c, row_number() OVER (ORDER BY c, bucket) AS rn
+        |    FROM c), n
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT bucket, c, med, abs(c - med) AS dev FROM c, rm),
+        |rmad AS (SELECT dev AS mad FROM (
+        |    SELECT dev, bucket, row_number() OVER (ORDER BY dev, bucket)
+        |      AS rn FROM d), n
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT bucket AS hour_bucket, c AS n_events, med,
+        |  mad,
+        |  CAST((CASE WHEN c >= med THEN 1 ELSE -1 END) *
+        |    ((abs(c - med) * 1000) // greatest(mad, 1)) AS BIGINT)
+        |    AS z_mil,
+        |  CAST(CASE WHEN abs(c - med) * 1000 >= 3500 * greatest(mad, 1)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM d, rmad ORDER BY hour_bucket""".stripMargin,
 
     "q_event_gaps" ->
       """WITH e AS (

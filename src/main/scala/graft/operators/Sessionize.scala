@@ -87,4 +87,57 @@ object Sessionize {
     stacked.withColumn("conv",
       when(prev > 0, round(col("n_users").cast("double") / prev, 4)))
   }
+
+  /** Robust rate-anomaly detection over an event stream: per-bucket
+    * counts scored by the MAD robust z — the ingest monitor ("which
+    * hours spiked / went dark?") that survives exactly the outliers
+    * that poison mean/σ control charts (a one-hour 100× spike drags
+    * the mean; the median shrugs).
+    *
+    * Pure integer arithmetic, type-1 lower medians (rank ⌈n/2⌉):
+    *   M = median(bucket counts); MAD = median(|c − M|)
+    *   z_mil = sign(c − M) · (|c − M|·1000 div max(MAD,1))
+    * and the flag compares MULTIPLICATIVELY (|c−M|·1000 ≥ thr·max(MAD,1))
+    * so no division rounding sits on the decision boundary. The
+    * division runs on the non-negative magnitude only — floor and
+    * truncate agree there, so any engine replays z_mil bit-for-bit.
+    *
+    * 100 TB shape: the corpus pays ONE map-side-combined groupBy to
+    * the bucket table; medians, deviations and scores all run on that
+    * table, which is bounded by the TIME DOMAIN (~9 k hourly buckets
+    * per retention year), never by corpus rows — the rank windows are
+    * single-partition but domain-bounded (the q_resample precedent).
+    *
+    * Output: bucket, n_events, med, mad, z_mil, is_anomaly. */
+  def rateAnomalies(events: DataFrame, tsUsCol: String, bucketUs: Long,
+      zMilThreshold: Long): DataFrame = {
+    require(bucketUs > 0 && zMilThreshold > 0,
+      s"rateAnomalies: bucketUs and zMilThreshold must be > 0: " +
+        s"$bucketUs, $zMilThreshold")
+    val counts = events
+      .select(expr(s"$tsUsCol div ${bucketUs}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false) // tiny; feeds 3 consumers below
+    val n = counts.agg(count(lit(1)).as("n"))
+    def rankPick(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.orderBy(col(v), col("bucket"))
+      df.withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(n))
+        .where(col("__rn") === expr("(n + 1) div 2"))
+        .select(col(v).as(out))
+    }
+    val med = rankPick(counts, "c", "med")
+    val d = counts.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("c") - col("med")))
+    val mad = rankPick(d, "dev", "mad")
+    d.crossJoin(broadcast(mad))
+      .select(col("bucket"), col("c").as("n_events"),
+        col("med"), col("mad"),
+        (when(col("c") >= col("med"), 1L).otherwise(-1L) *
+          expr("(abs(c - med) * 1000) div greatest(mad, 1L)"))
+          .cast("long").as("z_mil"),
+        (abs(col("c") - col("med")) * 1000 >=
+          lit(zMilThreshold) * greatest(col("mad"), lit(1L)))
+          .cast("long").as("is_anomaly"))
+  }
 }

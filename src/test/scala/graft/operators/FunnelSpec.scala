@@ -41,4 +41,29 @@ class FunnelSpec extends SparkSpec {
     assert(s(0).isNullAt(3))
     assert(s(1).getDouble(3) == 0.5 && s(2).getDouble(3) == 1.0)
   }
+
+  test("rateAnomalies: spike and dark hour flag, steady hours don't") {
+    import spark.implicits._
+    // 9 steady hours at ~10/h (9..11), one 100x spike, one near-dark
+    val perHour = Seq(10, 11, 9, 10, 11, 9, 10, 11, 10, 1000, 1)
+    val rows = perHour.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h * 3600000000L + i * 1000L, 1L))
+    }.toDF("ts_us", "x")
+    val got = Sessionize.rateAnomalies(rows, "ts_us",
+        bucketUs = 3600000000L, zMilThreshold = 3500L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // n=11 buckets, counts sorted: 1,9,9,10,10,10,10,11,11,11,1000
+    // median = rank-6 value = 10; deviations sorted: 0,0,0,0,1,1,1,1,1,9,990
+    // MAD = rank-6 value = 1
+    assert(got.forall(r => r._3 == 10L && r._4 == 1L))
+    val spike = got(9); val dark = got(10)
+    assert(spike._5 == 990000L && spike._6 == 1L) // (1000-10)*1000/1
+    assert(dark._5 == -9000L && dark._6 == 1L)    // sign respected
+    // steady hours: |z| <= 1000, unflagged
+    got.take(9).foreach { r =>
+      assert(math.abs(r._5) <= 1000L && r._6 == 0L)
+    }
+  }
 }
