@@ -710,6 +710,33 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Stratified quantiles: p50/p99 doc length PER LANGUAGE in one
+    // histogram pass — the corpus-report shape. The rank scan is an
+    // equi-join on stratum (hash join, no nested loop); q-list
+    // attaches by explode, not join.
+    "q_hdr_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("n_chars").as("x"))
+        .where(col("x") >= 0 && col("lang").isNotNull)
+      Sketch.hdrQuantilesBy(
+          Sketch.hdrSketchBy(docs, col("lang"), "x", 5), 5,
+          Seq(500, 990))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang", "q_mil")
+    }),
+
+    // WEIGHTED quantiles: the byte-mass median/p99 — "half the corpus
+    // BYTES live in docs shorter than est" (value = length, weight =
+    // length). Same hdrQuantiles serving, mass instead of row count.
+    "q_hdr_weighted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").as("x")).where(col("x") >= 0)
+      Sketch.hdrQuantiles(
+          Sketch.hdrSketchWeighted(docs, "x", "x", 5), 5,
+          Seq(500, 990))
+        .orderBy("q_mil")
+    }),
+
     // The quantile sketch's PERSISTED + INCREMENTAL path: artifact
     // written from 80 % of the corpus, the rest hdrIndexAppend'ed
     // (histograms are additive, so append needs NO disjointness
@@ -4099,6 +4126,67 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(s.cnt, -1) = coalesce(m.cnt, -2)
          |    THEN 1 ELSE 0 END AS BIGINT) AS rollup_equals_single
          |FROM s FULL OUTER JOIN m USING (key) ORDER BY key""".stripMargin,
+
+    "q_hdr_by_lang" ->
+      s"""WITH d AS (SELECT lang, n_chars AS x FROM documents
+         |  WHERE n_chars >= 0 AND lang IS NOT NULL),
+         |sk AS (SELECT lang, CASE WHEN x < 32 THEN x
+         |    ELSE (x >> (length(bin(x)) - 6))
+         |      + (length(bin(x)) - 6) * 32 END AS key,
+         |    count(*) AS cnt FROM d GROUP BY 1, 2),
+         |n AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM sk
+         |  GROUP BY lang),
+         |cum AS (SELECT lang, key, sum(cnt) OVER (PARTITION BY lang
+         |    ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) AS cum FROM sk),
+         |qs(q_mil) AS (VALUES (500), (990)),
+         |r AS (SELECT lang, CAST(q_mil AS BIGINT) AS q_mil,
+         |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT)) AS r
+         |  FROM n, qs),
+         |pick AS (SELECT r.lang, q_mil, min(key) AS key FROM r
+         |  JOIN cum ON cum.lang = r.lang AND cum.cum >= r.r
+         |  GROUP BY 1, 2),
+         |b AS (SELECT lang, q_mil, key,
+         |    CASE WHEN key < 32 THEN key
+         |      ELSE (key - ((key >> 5) - 1) * 32) << ((key >> 5) - 1)
+         |      END AS low,
+         |    CASE WHEN key < 32 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) << ((key >> 5) - 1) END AS width
+         |  FROM pick)
+         |SELECT lang, q_mil, CAST(key AS BIGINT) AS key,
+         |  CAST(low AS BIGINT) AS low, CAST(width AS BIGINT) AS width,
+         |  CAST(2 * low + width - 1 AS BIGINT) AS est_x2
+         |FROM b ORDER BY lang, q_mil""".stripMargin,
+
+    "q_hdr_weighted" ->
+      s"""WITH d AS (SELECT n_chars AS x FROM documents
+         |  WHERE n_chars >= 0),
+         |sk AS (SELECT CASE WHEN x < 32 THEN x
+         |    ELSE (x >> (length(bin(x)) - 6))
+         |      + (length(bin(x)) - 6) * 32 END AS key,
+         |    CAST(sum(x) AS BIGINT) AS cnt FROM d WHERE x > 0
+         |  GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+         |cum AS (SELECT key, sum(cnt) OVER (ORDER BY key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sk),
+         |qs(q_mil) AS (VALUES (500), (990)),
+         |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+         |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT)) AS r
+         |  FROM qs, n),
+         |pick AS (SELECT q_mil, min(key) AS key FROM r
+         |  JOIN cum ON cum.cum >= r.r GROUP BY q_mil),
+         |b AS (SELECT q_mil, key,
+         |    CASE WHEN key < 32 THEN key
+         |      ELSE (key - ((key >> 5) - 1) * 32) << ((key >> 5) - 1)
+         |      END AS low,
+         |    CASE WHEN key < 32 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) << ((key >> 5) - 1) END AS width
+         |  FROM pick)
+         |SELECT q_mil, CAST(key AS BIGINT) AS key,
+         |  CAST(low AS BIGINT) AS low, CAST(width AS BIGINT) AS width,
+         |  CAST(2 * low + width - 1 AS BIGINT) AS est_x2
+         |FROM b ORDER BY q_mil""".stripMargin,
 
     "q_hdr_incremental" ->
       // the append path is ALGEBRA, not state: histogram(80 %) +

@@ -256,6 +256,62 @@ object Sketch {
   def hdrMerge(sketches: DataFrame): DataFrame =
     sketches.groupBy("key").agg(sum("cnt").as("cnt"))
 
+  /** WEIGHTED histogram: bucket mass = Σ weight instead of row count
+    * — "half the corpus BYTES live in docs shorter than X" (value =
+    * doc length, weight = doc length), token-budget percentiles
+    * (weight = token count), dedup-cluster-size mass.
+    * [[hdrQuantiles]] serves weighted quantiles from it unchanged:
+    * rank r = ⌈q·W/1000⌉ over total mass W. Weights must be
+    * non-negative integers; zero-weight rows carry no mass and are
+    * dropped. Same one-pass/mergeable/bounded-bucket shape. */
+  def hdrSketchWeighted(df: DataFrame, valueCol: String,
+      weightCol: String, subBits: Int): DataFrame =
+    df.select(hdrKey(col(valueCol), subBits).as("key"),
+        col(weightCol).cast("long").as("__w"))
+      .where(col("key").isNotNull && col("__w") > 0)
+      .groupBy("key").agg(sum("__w").as("cnt"))
+
+  /** Per-stratum histograms — "p99 doc length PER LANGUAGE" in one
+    * pass: groupBy (stratum, bucket). Bucket space stays bounded per
+    * stratum, so the output is |strata|·≤ ~1 920 rows. */
+  def hdrSketchBy(df: DataFrame, strataCol: Column, valueCol: String,
+      subBits: Int): DataFrame =
+    df.select(strataCol.as("stratum"),
+        hdrKey(col(valueCol), subBits).as("key"))
+      .where(col("key").isNotNull)
+      .groupBy("stratum", "key").agg(count(lit(1)).as("cnt"))
+
+  /** Per-stratum quantiles from a [[hdrSketchBy]] sketch — the
+    * stratified twin of [[hdrQuantiles]]. Join-shape note: the q-list
+    * attaches by EXPLODE (a literal array per stratum row, no join at
+    * all) and the rank scan is an equi-join ON STRATUM with a residual
+    * cum ≥ r filter — hash join, never a nested loop, so a
+    * million-stratum report parallelizes like any aggregation. The
+    * cum window partitions by stratum (≤ ~1 920 rows each). */
+  def hdrQuantilesBy(sketch: DataFrame, subBits: Int,
+      qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"hdrQuantilesBy: q_mil values must be in [0,1000], got $qMils")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = sketch.withColumn("cum", sum("cnt").over(w))
+    val ranked = sketch.groupBy("stratum").agg(sum("cnt").as("n"))
+      .withColumn("q_mil",
+        explode(typedLit(qMils.map(_.toLong))))
+      .select(col("stratum"), col("q_mil"),
+        greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
+    val hit = ranked.join(cum, Seq("stratum"))
+      .where(col("cum") >= col("r"))
+      .groupBy("stratum", "q_mil").agg(min("key").as("key"))
+    val b = hdrBounds(col("key"), subBits)
+    hit.select(col("stratum"), col("q_mil"), col("key"),
+        b.getField("low").as("low"), b.getField("width").as("width"))
+      .withColumn("est_x2", col("low") * 2 + col("width") - 1)
+  }
+
   /** Type-1 (lower) quantile estimates from a sketch: for each q‰ the
     * target rank is r = max(1, ⌈q·n/1000⌉) in exact integer arithmetic
     * and the answer bucket is the least key whose cumulative count

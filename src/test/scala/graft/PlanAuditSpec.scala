@@ -70,6 +70,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // hdrQuantiles' 2-row q-list × sketch
                                 // rank scan + the ≤2-cut array fold —
                                 // all sketch- or 1-row-bounded sides
+    "q_hdr_weighted" -> 2,      // hdrQuantiles' 1-row mass-total fold +
+                                // 2-row q-list × ≤1 920-bucket rank scan
+                                // (q_hdr_by_lang needs NO budget — its
+                                // stratified path is equi-join only)
     "q_hdr_quantile" -> 6,      // 3-row q-list × (≤1 920-bucket sketch,
                                 // domain-bounded exact histogram) rank
                                 // scans + 1-row total folds, ×2 (quants

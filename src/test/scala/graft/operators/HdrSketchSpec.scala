@@ -127,6 +127,43 @@ class HdrSketchSpec extends SparkSpec {
     assert(total == 2100L)
   }
 
+  test("hdrSketchWeighted: bucket mass is summed weight; ranks use mass") {
+    import spark.implicits._
+    // values 100 (w=1) and 4096 (w=99): 99% of the mass sits at 4096,
+    // so even the p50 answers 4096's bucket; zero-weight rows vanish
+    val df = Seq((100L, 1L), (4096L, 99L), (7L, 0L)).toDF("x", "w")
+    val sk = Sketch.hdrSketchWeighted(df, "x", "w", b)
+    assert(sk.agg(sum("cnt")).head.getLong(0) == 100L)
+    assert(sk.count() == 2)
+    val p50 = Sketch.hdrQuantiles(sk, b, Seq(500))
+      .select("low", "width").head
+    val (low, width) = (p50.getLong(0), p50.getLong(1))
+    assert(low <= 4096L && 4096L <= low + width - 1)
+  }
+
+  test("hdrQuantilesBy: per-stratum answers equal per-stratum global runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.tabulate(4000) { i =>
+      val g = s"g${i % 3}"
+      (g, math.abs(rnd.nextLong()) % (if (g == "g0") 500L else 70000L))
+    }.toDF("g", "x")
+    val got = Sketch.hdrQuantilesBy(
+        Sketch.hdrSketchBy(df, col("g"), "x", b), b, Seq(500, 990))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("q_mil")) ->
+        r.getAs[Long]("key")).toMap
+    (0 until 3).foreach { gi =>
+      val g = s"g$gi"
+      val solo = Sketch.hdrQuantiles(
+          Sketch.hdrSketch(df.where(col("g") === g), "x", b), b,
+          Seq(500, 990))
+        .collect().map(r => r.getAs[Long]("q_mil") ->
+          r.getAs[Long]("key")).toMap
+      assert(got((g, 500L)) == solo(500L) && got((g, 990L)) == solo(990L))
+    }
+  }
+
   test("hdrSketch: bucket count stays bounded regardless of input size") {
     import spark.implicits._
     val wide = Seq.tabulate(20000)(i => ((i.toLong * 2654435761L) &
