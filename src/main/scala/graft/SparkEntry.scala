@@ -710,6 +710,32 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // Distribution drift SKETCH-vs-SKETCH: PSI + KS between persisted
+    // histogram artifacts, no corpus rescan. Two regimes in one row
+    // set: 'same' (an 80/20 split of one distribution) and 'shifted'
+    // (the 20 % side length-tripled) — shifted scores ~4× the same-
+    // split PSI and ~12× its KS. (At sf0.01 the 100-doc batch keeps
+    // add-1 smoothing visible in the ABSOLUTE PSI; the relative
+    // separation is the signal, and smoothing vanishes as N grows.)
+    "q_hdr_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("n_chars").as("x"), col("doc_id"))
+        .where(col("x") >= 0)
+      val ref = Sketch.hdrSketch(
+        docs.where(col("doc_id") % 5 =!= 0).select("x"), "x", 5)
+      val bat = Sketch.hdrSketch(
+        docs.where(col("doc_id") % 5 === 0).select("x"), "x", 5)
+      val shf = Sketch.hdrSketch(
+        docs.where(col("doc_id") % 5 === 0)
+          .select((col("x") * 3).as("x")), "x", 5)
+      Sketch.hdrDrift(ref, bat).withColumn("cmp", lit("same"))
+        .unionByName(
+          Sketch.hdrDrift(ref, shf).withColumn("cmp", lit("shifted")))
+        .select(col("cmp"), col("n_buckets"), col("psi_e12"),
+          col("ks_mil"))
+        .orderBy("cmp")
+    }),
+
     // Stratified quantiles: p50/p99 doc length PER LANGUAGE in one
     // histogram pass — the corpus-report shape. The rank scan is an
     // equi-join on stratum (hash join, no nested loop); q-list
@@ -4126,6 +4152,50 @@ object SparkEntry {
          |  CAST(CASE WHEN coalesce(s.cnt, -1) = coalesce(m.cnt, -2)
          |    THEN 1 ELSE 0 END AS BIGINT) AS rollup_equals_single
          |FROM s FULL OUTER JOIN m USING (key) ORDER BY key""".stripMargin,
+
+    "q_hdr_drift" -> {
+      def key(x: String) =
+        s"CASE WHEN $x < 32 THEN $x ELSE ($x >> (length(bin($x)) - 6))" +
+          s" + (length(bin($x)) - 6) * 32 END"
+      def drift(pref: String, pq: String, label: String,
+          sfx: String) =
+        s"""j$sfx AS (
+           |  SELECT coalesce($pref.cnt, 0) AS cp,
+           |    coalesce($pq.cnt, 0) AS cq,
+           |    coalesce($pref.key, $pq.key) AS key
+           |  FROM $pref FULL OUTER JOIN $pq ON $pref.key = $pq.key),
+           |t$sfx AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+           |  CAST(sum(cq) AS BIGINT) AS nq,
+           |  CAST(count(*) AS BIGINT) AS k FROM j$sfx),
+           |c$sfx AS (SELECT key, cp, cq,
+           |  sum(cp) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
+           |    PRECEDING AND CURRENT ROW) AS cump,
+           |  sum(cq) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED
+           |    PRECEDING AND CURRENT ROW) AS cumq FROM j$sfx),
+           |r$sfx AS (
+           |  SELECT '$label' AS cmp, k AS n_buckets,
+           |    CAST(sum(CAST(floor(
+           |      ((cp + 1.0) / (np + k) - (cq + 1.0) / (nq + k)) *
+           |      ln(((cp + 1.0) / (np + k)) / ((cq + 1.0) / (nq + k)))
+           |      * 1e12) AS BIGINT)) AS BIGINT) AS psi_e12,
+           |    CAST((max(abs(CAST(cump AS HUGEINT) * nq -
+           |      CAST(cumq AS HUGEINT) * np)) * 1000) //
+           |      (CAST(np AS HUGEINT) * nq) AS BIGINT) AS ks_mil
+           |  FROM c$sfx, t$sfx GROUP BY k, np, nq)""".stripMargin
+      s"""WITH d AS (SELECT n_chars AS x, doc_id FROM documents
+         |  WHERE n_chars >= 0),
+         |ref AS (SELECT ${key("x")} AS key, count(*) AS cnt FROM d
+         |  WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |bat AS (SELECT ${key("x")} AS key, count(*) AS cnt FROM d
+         |  WHERE doc_id % 5 = 0 GROUP BY 1),
+         |shf AS (SELECT ${key("(x * 3)")} AS key, count(*) AS cnt
+         |  FROM d WHERE doc_id % 5 = 0 GROUP BY 1),
+         |${drift("ref", "bat", "same", "1")},
+         |${drift("ref", "shf", "shifted", "2")}
+         |SELECT cmp, n_buckets, psi_e12, ks_mil FROM r1
+         |UNION ALL SELECT cmp, n_buckets, psi_e12, ks_mil FROM r2
+         |ORDER BY cmp""".stripMargin
+    },
 
     "q_hdr_by_lang" ->
       s"""WITH d AS (SELECT lang, n_chars AS x FROM documents

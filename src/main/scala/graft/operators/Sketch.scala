@@ -349,6 +349,56 @@ object Sketch {
       .withColumn("est_x2", col("low") * 2 + col("width") - 1)
   }
 
+  /** Distribution drift between two [[hdrSketch]] histograms — PSI
+    * (the industry-standard population-stability index) and the KS
+    * statistic, computed SKETCH-vs-SKETCH: two nightly ≤ ~1 920-row
+    * artifacts compare without rescanning either corpus ("did this
+    * week's crawl shift the doc-length distribution?" costs two
+    * parquet reads), the payoff of keeping histograms persisted.
+    *
+    *   PSI = Σ_i (p_i − q_i)·ln(p_i/q_i), add-1 smoothed over the
+    *   UNION bucket set (both sides strictly positive, PSI finite);
+    *   KS  = max_i |cdfP_i − cdfQ_i| over the same buckets.
+    *
+    * Determinism discipline: PSI terms quantized to the 1e-12 long
+    * grid before summing (the [[TextAnalysis.tokenKlDivergence]]
+    * contract, same ln-ulp caveat); KS runs in EXACT integer
+    * cross-multiplication — |cumP·NQ − cumQ·NP| in decimal(38,0)
+    * (corpus-scale products overflow Long — the fleissKappa guard) —
+    * with ONE floor to mils at the end. Convention: PSI < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Output one row: n_buckets, psi_e12, ks_mil. */
+  def hdrDrift(skP: DataFrame, skQ: DataFrame): DataFrame = {
+    val joined = skP.select(col("key"), col("cnt").as("cp"))
+      .join(skQ.select(col("key"), col("cnt").as("cq")),
+        Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+      .localCheckpoint(false) // ≤ ~1 920 rows, feeds totals + terms
+    val totals = joined.agg(sum("cp").as("np"), sum("cq").as("nq"),
+      count(lit(1)).as("k"))
+    val pt = (col("cp") + 1).cast("double") / (col("np") + col("k"))
+    val qt = (col("cq") + 1).cast("double") / (col("nq") + col("k"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    joined.crossJoin(broadcast(totals))
+      .withColumn("psi_term",
+        floor((pt - qt) * log(pt / qt) * 1e12).cast("long"))
+      .withColumn("cump", sum("cp").over(w))
+      .withColumn("cumq", sum("cq").over(w))
+      .withColumn("d", abs(col("cump").cast("decimal(38,0)") *
+        col("nq").cast("decimal(38,0)") -
+        col("cumq").cast("decimal(38,0)") *
+          col("np").cast("decimal(38,0)")))
+      .groupBy(col("k").as("n_buckets"))
+      .agg(sum("psi_term").as("psi_e12"),
+        expr("CAST((max(d) * 1000) div (CAST(max(np) AS DECIMAL(38,0))" +
+          " * CAST(max(nq) AS DECIMAL(38,0))) AS BIGINT)").as("ks_mil"))
+  }
+
   /** Persist a [[hdrSketch]] as parquet (key, cnt) — the build-once/
     * serve-cheap split ([[Retrieval.tfIndexWrite]] pattern): the
     * corpus pays ONE histogram pass, every later quantile query reads

@@ -70,6 +70,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // hdrQuantiles' 2-row q-list × sketch
                                 // rank scan + the ≤2-cut array fold —
                                 // all sketch- or 1-row-bounded sides
+    "q_hdr_drift" -> 2,         // one 1-row (np, nq, k) totals fold per
+                                // compared pair onto ≤1 920 bucket rows
     "q_hdr_weighted" -> 2,      // hdrQuantiles' 1-row mass-total fold +
                                 // 2-row q-list × ≤1 920-bucket rank scan
                                 // (q_hdr_by_lang needs NO budget — its

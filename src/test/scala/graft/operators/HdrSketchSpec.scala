@@ -164,6 +164,23 @@ class HdrSketchSpec extends SparkSpec {
     }
   }
 
+  test("hdrDrift: identical sketches score 0; disjoint ranges max KS out") {
+    import spark.implicits._
+    val a = Sketch.hdrSketch(
+      Seq.tabulate(500)(i => (i * 13L) % 3000L).toDF("x"), "x", b)
+    val zero = Sketch.hdrDrift(a, a).head
+    assert(zero.getAs[Long]("psi_e12") == 0L &&
+      zero.getAs[Long]("ks_mil") == 0L)
+    // disjoint supports: every cum step disagrees maximally -> KS 1000
+    val lowS = Sketch.hdrSketch(
+      Seq.tabulate(200)(i => i.toLong % 100L).toDF("x"), "x", b)
+    val highS = Sketch.hdrSketch(
+      Seq.tabulate(200)(i => 1000000L + i * 7L).toDF("x"), "x", b)
+    val far = Sketch.hdrDrift(lowS, highS).head
+    assert(far.getAs[Long]("ks_mil") == 1000L)
+    assert(far.getAs[Long]("psi_e12") > zero.getAs[Long]("psi_e12"))
+  }
+
   test("hdrSketch: bucket count stays bounded regardless of input size") {
     import spark.implicits._
     val wide = Seq.tabulate(20000)(i => ((i.toLong * 2654435761L) &
