@@ -1215,6 +1215,15 @@ object SparkEntry {
       Profile.skewStats(t(s, dir, "lineitem"), col("l_partkey"), k = 10)
         .orderBy("rank")),
 
+    // Pareto coverage: which sources carry 90 % of corpus bytes —
+    // shares in exact integer mils, the needed-prefix decision
+    // cross-multiplied so no division rounding sits on the boundary
+    "q_source_pareto" -> ((s, dir) =>
+      Profile.paretoCoverage(t(s, dir, "documents"), col("source"),
+          col("n_chars"), coverMil = 900L)
+        .orderBy(col("w").desc, col("stratum"))
+        .withColumnRenamed("stratum", "source")),
+
     // interval join WITHOUT a cross product: events → their session's
     // [start, end] via hour-cell bucketization + hash equi-join (a
     // naive BETWEEN join plans as nested-loop — the range-join trap)
@@ -4860,6 +4869,22 @@ object SparkEntry {
         |    AS BIGINT) AS rank,
         |  key_str, cnt, round(cnt * 1.0 / total, 6) AS share
         |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
+
+    "q_source_pareto" ->
+      """WITH g AS (
+        |  SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tt FROM g),
+        |c AS (SELECT stratum, w,
+        |    sum(w) OVER (ORDER BY w DESC, stratum ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM g)
+        |SELECT stratum AS source, w,
+        |  CAST((w * 1000) // tt AS BIGINT) AS share_mil,
+        |  CAST((cum * 1000) // tt AS BIGINT) AS cum_mil,
+        |  CAST(CASE WHEN (cum - w) * 1000 < 900 * tt THEN 1 ELSE 0 END
+        |    AS BIGINT) AS needed
+        |FROM c CROSS JOIN t ORDER BY w DESC, source""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (

@@ -118,4 +118,42 @@ object Profile {
       .select(col("rank"), col("key_str"), col("cnt"),
         round(col("cnt").cast("double") / col("__total"), 6).as("share"))
   }
+
+  /** Pareto coverage report: which strata (sources, languages, crawls)
+    * carry `coverMil`‰ of the corpus mass — the "top 12 sources are
+    * 90 % of the bytes" table that drives mixing and licensing
+    * decisions. Strata sort by descending mass (stratum ascending on
+    * ties), shares in exact integer mils (w·1000 div W), and `needed`
+    * marks the minimal descending prefix reaching coverage: a stratum
+    * is needed iff the mass BEFORE it is still short of coverMil‰,
+    * compared cross-multiplied ((cum−w)·1000 < coverMil·W — no
+    * division on the decision boundary). Overflow headroom: mass·1000
+    * must fit a Long, i.e. total mass < 9.2e15 (petabyte-scale byte
+    * counts; use token counts or switch the fold to decimal beyond).
+    *
+    * Plan: ONE map-side-combined groupBy to the strata table, a 1-row
+    * total fold, and a window over |strata| rows (domain-bounded —
+    * sources/langs, not corpus rows).
+    * Output: stratum, w, share_mil, cum_mil, needed — ordered by the
+    * Pareto rank. */
+  def paretoCoverage(df: DataFrame, strataCol: Column, weight: Column,
+      coverMil: Long = 900L): DataFrame = {
+    require(coverMil >= 1 && coverMil <= 1000,
+      s"paretoCoverage: coverMil must be in [1,1000], got $coverMil")
+    val g = df.groupBy(strataCol.as("stratum"))
+      .agg(sum(weight.cast("long")).as("w"))
+    val total = g.agg(sum("w").as("__t"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w").desc, col("stratum"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    g.crossJoin(broadcast(total))
+      .withColumn("__cum", sum("w").over(win))
+      .select(col("stratum"), col("w"),
+        expr("(w * 1000) div __t").as("share_mil"),
+        expr("(__cum * 1000) div __t").as("cum_mil"),
+        ((col("__cum") - col("w")) * 1000 < lit(coverMil) * col("__t"))
+          .cast("long").as("needed"))
+  }
 }

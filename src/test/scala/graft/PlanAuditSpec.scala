@@ -81,6 +81,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // scans + 1-row total folds, ×2 (quants
                                 // reused by the exact side) — never
                                 // corpus-sized on either input
+    "q_source_pareto" -> 1,     // 1-row total-mass fold onto the
+                                // domain-bounded strata table
     "q_rate_anomaly" -> 3,      // 1-row n/median/MAD folds onto the
                                 // domain-bounded hourly bucket table
     "q_retrieval_ndcg" -> 1,    // bm25TopK's (N, avgdl) fold, inherited

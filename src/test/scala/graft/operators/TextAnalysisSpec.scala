@@ -237,6 +237,24 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "1", 1L, 0.1))) // "1" < "2" breaks the tie
   }
 
+  test("paretoCoverage: exact mil shares, minimal needed prefix, boundary") {
+    import spark.implicits._
+    // masses 600/300/80/20 of 1000: cum 600, 900, 980, 1000. At 900‰
+    // cover, "b" is needed (prev cum 600 < 900) but "c" is NOT (prev
+    // cum 900 — the boundary case: ALREADY covered, strict <)
+    val df = Seq(("a", 600L), ("b", 300L), ("c", 80L), ("d", 20L))
+      .flatMap { case (s, n) => Seq((s, n)) }.toDF("src", "m")
+    val got = Profile.paretoCoverage(df, col("src"), col("m"), 900L)
+      .orderBy(col("w").desc, col("stratum")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("a", 600L, 600L, 600L, 1L),
+      ("b", 300L, 300L, 900L, 1L),
+      ("c", 80L, 80L, 980L, 0L),
+      ("d", 20L, 20L, 1000L, 0L)))
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
