@@ -315,6 +315,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_hdr_quantile: scan pruned to the value column; no cartesian") {
+    val p = planOf("q_hdr_quantile")
+    assert(!p.contains("CartesianProduct"), p)
+    // column pruning pushes through the sketch: the documents scan
+    // reads ONLY n_chars (a full-width read would drag text/lang/
+    // source bytes through a histogram that needs one long)
+    val reads = "ReadSchema: struct<[^>]*>".r.findAllIn(p).toList
+    assert(reads.nonEmpty && reads.forall(_ == "ReadSchema: struct<n_chars:bigint>"),
+      s"unpruned documents scan:\n${reads.mkString("\n")}")
+  }
+
+  test("q_hdr_by_lang: stratified rank scan is equi-join only, no nested loop") {
+    val p = planOf("q_hdr_by_lang")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_curriculum_tiers: tier fold is an aggregate HOF over broadcast cuts") {
+    val p = planOf("q_curriculum_tiers")
+    assert(!p.contains("CartesianProduct"), p)
+    // per-doc tier = aggregate() HOF over the broadcast cut array —
+    // a codegen'd projection, never a corpus sort/window (the only
+    // Window in this plan is hdrQuantiles' cumsum over sketch rows)
+    assert(p.contains("aggregate(__cuts"), s"tier HOF missing:\n$p")
+  }
+
   test("flagship queries keep whole-stage codegen in the scan-side hot path") {
     // a non-codegen expression in the per-row path would drop these spans
     for (q <- Seq("q1_pricing_summary", "text_stats", "text_langid")) {
