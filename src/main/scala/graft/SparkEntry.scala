@@ -1845,6 +1845,26 @@ object SparkEntry {
       Eval.krippendorffAlpha(ratings, col("doc_id"), col("cat"))
     }),
 
+    // Spearman rank correlation (tie-correct, Pearson on doubled
+    // average ranks), two regimes: chars-vs-tokens (ρ ≈ 1 — the
+    // signals are interchangeable as filters) and quantity-vs-price
+    // (ρ ≈ 0 — the synthetic price is independent, and the metric
+    // says so). Ranks from the value-domain histogram (no corpus
+    // sort), sums in decimal(38,0), BigInt driver assembly, one sqrt.
+    "q_rank_corr" -> ((s, dir) => {
+      val strong = Eval.spearman(
+        t(s, dir, "documents").select(col("n_chars"),
+          size(split(col("text"), " ")).as("toks")),
+        col("n_chars"), col("toks"))
+        .withColumn("pair", lit("chars_vs_tokens"))
+      val weak = Eval.spearman(t(s, dir, "lineitem"),
+          col("l_quantity"), floor(col("l_extendedprice")))
+        .withColumn("pair", lit("qty_vs_price"))
+      strong.unionByName(weak)
+        .select(col("pair"), col("n"), col("spearman_rho"))
+        .orderBy("pair")
+    }),
+
     // Poisson-bootstrap CI on a corpus mean (Chamandy et al. 2012):
     // 64 deterministic resamples in ONE corpus pass (per-row md5
     // inverse-CDF Poisson(1) weights), percentile cut over the
@@ -6653,6 +6673,51 @@ object SparkEntry {
     // per-rating-count sums T_m, the Π(m−1) common denominator
     // (product() over ≤ 4 small distinct factors: exact), one HUGEINT
     // rational at the end
+    "q_rank_corr" -> {
+      // HUGEINT replay of the doubled-average-rank Pearson: identical
+      // r2 = 2·cum − cnt + 1 ranks, identical sums, one double sqrt
+      def chain(src: String, label: String, sfx: String) =
+        s"""hx$sfx AS (SELECT x, count(*) AS cnt FROM r$sfx GROUP BY x),
+           |rx$sfx AS (SELECT x, 2 * sum(cnt) OVER (ORDER BY x ROWS
+           |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+           |    AS r_x FROM hx$sfx),
+           |hy$sfx AS (SELECT y, count(*) AS cnt FROM r$sfx GROUP BY y),
+           |ry$sfx AS (SELECT y, 2 * sum(cnt) OVER (ORDER BY y ROWS
+           |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+           |    AS r_y FROM hy$sfx),
+           |j$sfx AS (SELECT r_x, r_y FROM r$sfx
+           |  JOIN rx$sfx USING (x) JOIN ry$sfx USING (y)),
+           |s$sfx AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sx,
+           |    CAST(sum(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sy,
+           |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
+           |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
+           |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
+           |  FROM j$sfx),
+           |o$sfx AS (SELECT '$label' AS pair, CAST(n AS BIGINT) AS n,
+           |  CASE WHEN (n * sxx - sx * sx) = 0
+           |      OR (n * syy - sy * sy) = 0 THEN NULL
+           |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+           |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+           |    AS spearman_rho
+           |  FROM s$sfx)""".stripMargin
+      s"""WITH r1 AS (
+         |  SELECT n_chars AS x, len(string_split(text, ' ')) AS y
+         |  FROM documents
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |r2 AS (
+         |  SELECT l_quantity AS x, floor(l_extendedprice) AS y
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |${chain("documents", "chars_vs_tokens", "1")},
+         |${chain("lineitem", "qty_vs_price", "2")}
+         |SELECT pair, n, spearman_rho FROM o1
+         |UNION ALL SELECT pair, n, spearman_rho FROM o2
+         |ORDER BY pair""".stripMargin
+    },
+
     "q_gate_krippendorff" -> {
       val fp = md5FracSql(
         "'ka|p|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")

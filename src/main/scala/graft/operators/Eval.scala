@@ -673,6 +673,71 @@ object Eval {
     p.scanLeft(0.0)(_ + _).drop(1)
   }
 
+  /** Spearman rank correlation between two columns — "does the quality
+    * score actually track perplexity?" / "is length a proxy for
+    * price?": the monotonic-association check run before trusting one
+    * signal as a filter for another. Pearson on AVERAGE ranks (the
+    * tie-correct formulation; the naive 6Σd² form is biased under
+    * ties).
+    *
+    * Exactness: average ranks are half-integers, so everything rides
+    * DOUBLED ranks r2 = 2·cum − cnt + 1 (integers), the five sums
+    * accumulate in decimal(38,0) (r2 ≤ 2n ⇒ Σr2² ≤ 4n³ < 10³⁸ to
+    * n = 10¹²), and the Pearson assembly n·Σxy − Σx·Σy runs in BigInt
+    * on the driver over the ONE collected row (n·Σ ≤ 4n⁴ exceeds any
+    * SQL decimal at corpus scale — the krippendorff driver-finish
+    * precedent). One double division against one IEEE sqrt at the
+    * end; the oracle replays in HUGEINT to the same rounding.
+    *
+    * Plan: ranks come from the VALUE-DOMAIN histogram (groupBy value →
+    * cumsum over DISTINCT values), joined back by value — no corpus
+    * sort. The rank windows are bounded by the distinct-value count;
+    * for continuous near-unique columns pre-quantize (e.g.
+    * [[Sketch.hdrKey]] buckets or cents) to keep the domain bounded —
+    * ranks then tie within buckets, the standard binned-Spearman
+    * trade. Output one row: n, spearman_rho (null when either column
+    * is constant — zero rank variance has no defined correlation). */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val rows = df.select(xCol.as("x"), yCol.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .localCheckpoint(false) // feeds two histograms + the rank join
+    def ranks(v: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(v)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      rows.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(w))
+        .select(col(v), (col("cum") * 2 - col("cnt") + 1).as(s"r_$v"))
+    }
+    val ranked = rows.join(ranks("x"), "x").join(ranks("y"), "y")
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("r_x").cast(dec)).as("sx"),
+      sum(col("r_y").cast(dec)).as("sy"),
+      sum(col("r_x").cast(dec) * col("r_y").cast(dec)).as("sxy"),
+      sum(col("r_x").cast(dec) * col("r_x").cast(dec)).as("sxx"),
+      sum(col("r_y").cast(dec) * col("r_y").cast(dec)).as("syy"))
+      .head()
+    val n = s.getLong(0)
+    def bi(i: Int): BigInt =
+      if (s.isNullAt(i)) BigInt(0) else BigInt(s.getDecimal(i).toBigInteger)
+    val (sx, sy, sxy, sxx, syy) = (bi(1), bi(2), bi(3), bi(4), bi(5))
+    val nB = BigInt(n)
+    val num = nB * sxy - sx * sy
+    val d1 = nB * sxx - sx * sx
+    val d2 = nB * syy - sy * sy
+    val rho: Option[Double] =
+      if (d1 == 0 || d2 == 0) None
+      else Some(BigDecimal(num.toDouble /
+          math.sqrt(d1.toDouble * d2.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    Seq((n, rho)).toDF("n", "spearman_rho")
+  }
+
   def krippendorffAlpha(ratings: DataFrame, itemCol: Column,
       catCol: Column): DataFrame = {
     val spark = ratings.sparkSession

@@ -499,4 +499,38 @@ class EvalSpec extends SparkSpec {
       assert(gotA == wa, s"trial $trial: $gotA vs $wa")
     }
   }
+
+  test("spearman: +1 on monotone, -1 on reversed, null on a constant") {
+    import spark.implicits._
+    val xs = Seq(3L, 9L, 1L, 7L, 5L, 11L)
+    val up = xs.map(x => (x, x * x)).toDF("x", "y")     // monotone map
+    val dn = xs.map(x => (x, 1000L - x)).toDF("x", "y") // reversed
+    val ct = xs.map(x => (x, 42L)).toDF("x", "y")       // zero variance
+    assert(Eval.spearman(up, col("x"), col("y")).head.getDouble(1) == 1.0)
+    assert(Eval.spearman(dn, col("x"), col("y")).head.getDouble(1) == -1.0)
+    assert(Eval.spearman(ct, col("x"), col("y")).head.isNullAt(1))
+  }
+
+  test("spearman: tie-correct average ranks match a plain-Scala Pearson") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(12).toLong))
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+      sorted.groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2).sum / g.size
+      }
+    }
+    val (rxM, ryM) = (avgRanks(rows.map(_._1)), avgRanks(rows.map(_._2)))
+    val (rx, ry) = (rows.map(r => rxM(r._1)), rows.map(r => ryM(r._2)))
+    val n = rows.size.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum - sx * sy
+    val d1 = n * rx.map(a => a * a).sum - sx * sx
+    val d2 = n * ry.map(a => a * a).sum - sy * sy
+    val want = num / math.sqrt(d1 * d2)
+    val got = Eval.spearman(rows.toDF("x", "y"), col("x"), col("y"))
+      .head.getDouble(1)
+    assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+  }
 }
