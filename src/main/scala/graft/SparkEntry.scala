@@ -2189,6 +2189,15 @@ object SparkEntry {
     // probability as ONE integer rational per event; trained on the
     // even-doc split so the odd docs exercise the backoff and OOV
     // paths, every term replayed
+    // TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    // adjacent-word co-occurrence graph, words densely id'd through
+    // the vocab table so the exact micro-unit rounds replay — the
+    // oracle reruns vocab ids, the symmetric edge set, all 3 rounds,
+    // and the top-20 cut
+    "q_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(t(s, dir, "documents"),
+        iters = 3, k = 20).orderBy("kw_rank")),
+
     "text_perplexity_kn" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis.kneserNeyLogLoss(docs,
@@ -5776,6 +5785,45 @@ object SparkEntry {
     // interpolated KN replay: train-split bigram/history/continuation
     // counts, the single-rational event probability
     // (max(4c−3,0)·B + 3·N1v·N1w)/(4·c1·B), backoff/OOV branches
+    "q_textrank" ->
+      // word graph: same tokenize/minLen filter, same vocab-id
+      // window, symmetric distinct edges, then the SAME 3-round
+      // micro-unit PageRank unroll the q_graph_* oracles use
+      s"""WITH toks0 AS (
+         |  SELECT list_filter(string_split(lower(text), ' '),
+         |    t -> length(t) >= 2) AS t
+         |  FROM documents),
+         |toks AS (SELECT t FROM toks0 WHERE len(t) >= 2),
+         |p AS MATERIALIZED (
+         |  SELECT b['a'] AS a, b['b'] AS b2 FROM (
+         |    SELECT unnest(
+         |      [{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))])
+         |      AS b
+         |    FROM toks)),
+         |pp AS (SELECT a, b2 AS b FROM p WHERE a <> b2),
+         |vocab AS MATERIALIZED (
+         |  SELECT word, row_number() OVER (ORDER BY word) AS wid
+         |  FROM (SELECT a AS word FROM pp UNION SELECT b FROM pp)),
+         |idp AS (SELECT va.wid AS sa, vb.wid AS sb FROM pp
+         |  JOIN vocab va ON va.word = pp.a
+         |  JOIN vocab vb ON vb.word = pp.b),
+         |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+         |    SELECT sa AS src, sb AS dst FROM idp
+         |    UNION ALL SELECT sb, sa FROM idp)
+         |  WHERE src <> dst),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |${pageRankUnrollSql(3)},
+         |res AS (SELECT node, round(rank_u / 1000000.0, 6) AS score
+         |  FROM r3),
+         |cut AS (SELECT w.word, res.score,
+         |    row_number() OVER (ORDER BY res.score DESC, w.word)
+         |      AS kw_rank
+         |  FROM res JOIN vocab w ON w.wid = res.node)
+         |SELECT CAST(kw_rank AS BIGINT) AS kw_rank, word, score
+         |FROM cut WHERE kw_rank <= 20 ORDER BY kw_rank""".stripMargin,
+
     "text_perplexity_kn" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t

@@ -549,6 +549,62 @@ object TextAnalysis {
         .as("kl_nats"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    * PageRank over the word co-occurrence graph — the unsupervised
+    * "what is this corpus about" tagger. Adjacent-token pairs (window
+    * 2) become UNDIRECTED edges (both directions, distinct), words map
+    * to dense integer ids through the vocab table (PageRank's node
+    * space is integral), and [[Graph.pageRank]] runs its exact
+    * integer micro-unit rounds — so the oracle replays every round of
+    * the word graph, not just the final cut.
+    *
+    * 100 TB shape: the bigram explode is one corpus scan collapsing
+    * straight into a vocab²-bounded DISTINCT edge set; everything
+    * after is vocab-bounded, not corpus-bounded (the vocab-id window
+    * runs over distinct words — bounded like the tokenizer builders).
+    * Hub words are the quality knob, not a scale hazard: `minLen`
+    * drops 1-char noise here, and production adds a stopword list /
+    * min-df cut before the graph (same plan).
+    *
+    * Output: kw_rank (1..k by descending score, word ascending on
+    * ties), word, score (the 6-decimal PageRank). */
+  def textRankKeywords(docs: DataFrame, textCol: String = "text",
+      iters: Int = 3, k: Int = 20, minLen: Int = 2): DataFrame = {
+    require(iters >= 1 && k >= 1 && minLen >= 1,
+      s"textRankKeywords: iters, k, minLen must be >= 1: " +
+        s"$iters, $k, $minLen")
+    val toks = docs
+      .select(tokens(col(textCol)).as("__t"))
+      .select(expr(s"filter(__t, t -> length(t) >= $minLen)")
+        .as("toks"))
+      .where(size(col("toks")) >= 2)
+    val pairs = toks.select(explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .where(col("a") =!= col("b"))
+      .localCheckpoint(false) // feeds the vocab AND two id joins
+    val w = org.apache.spark.sql.expressions.Window.orderBy("word")
+    val vocab = pairs.select(col("a").as("word"))
+      .union(pairs.select(col("b").as("word"))).distinct()
+      .withColumn("wid", row_number().over(w).cast("long"))
+      .localCheckpoint(false)
+    val ids = pairs
+      .join(vocab.select(col("word").as("a"), col("wid").as("sa")), "a")
+      .join(vocab.select(col("word").as("b"), col("wid").as("sb")), "b")
+    val edges = ids.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(ids.select(col("sb").as("src"), col("sa").as("dst")))
+      .distinct()
+    val pr = Graph.pageRank(edges, iters = iters)
+    val cut = pr.join(vocab.select(col("wid").as("node"), col("word")),
+        "node")
+      .orderBy(col("rank").desc, col("word")).limit(k)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rank").desc, col("word"))
+    cut.withColumn("kw_rank", row_number().over(wr).cast("long"))
+      .select(col("kw_rank"), col("word"), col("rank").as("score"))
+  }
+
   /** (id?, w1, w2) bigram events of a text column — the inline
     * generator shared by the bigram LM builder and scorer (same
     * projection-collapse rule as [[Dedup.shingles]]: the transform

@@ -255,6 +255,22 @@ class TextAnalysisSpec extends SparkSpec {
       ("d", 20L, 20L, 1000L, 0L)))
   }
 
+  test("textRank: the co-occurrence hub ranks first; minLen drops noise") {
+    import spark.implicits._
+    // "spark" neighbors 6 distinct words; everything else is a chain
+    // leaf. Single-char tokens ("a") must not enter the graph.
+    val docs = Seq(
+      "spark shuffle a spark join a spark agg",
+      "spark window a spark sort",
+      "spark cache",
+      "lonely pair").toDF("text")
+    val got = TextAnalysis.textRankKeywords(docs, iters = 3, k = 5)
+      .orderBy("kw_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.head == ((1L, "spark")), got.mkString(","))
+    assert(!got.map(_._2).contains("a"))
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
