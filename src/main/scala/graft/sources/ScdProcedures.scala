@@ -252,6 +252,34 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.hdr_index(dir, value_col, sub_bits, out_path)` —
+    * build and persist the log-linear quantile histogram
+    * ([[graft.operators.Sketch.hdrIndexWrite]]) over a parquet corpus
+    * from pure SQL — the quantile member of the CALL-artifact family
+    * (zone_map / bloom_manifest / unigram_index). Re-CALL to rebuild
+    * after the corpus changes (same staleness contract); readers
+    * serve quantiles from the ≤ ~1 920-row parquet with
+    * `Sketch.hdrIndexRead`/`hdrQuantiles`, or in pure SQL by
+    * histogramming probes with the registered `hdr_key` function
+    * against the artifact. Returns out_path and the bucket count. */
+  object HdrIndex extends GraftProcedure("hdr_index",
+    "Build and persist the log-linear quantile histogram over a parquet corpus") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("value_col", StringType),
+      in("sub_bits", IntegerType), in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("buckets", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 3)
+      graft.operators.Sketch.hdrIndexWrite(
+        spark.read.parquet(str(r, 0)), str(r, 1), r.getInt(2), out)
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(out).count()))
+    }
+  }
+
   /** `CALL graft.add_update(dir, stmt [, time])` — author the
     * `.updates` log from pure SQL: the reference's write UX ("append a
     * line to the sidecar", README.md:127-144 / SQLUpdater.java:107-119)
@@ -327,5 +355,6 @@ object ScdProcedures {
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
     "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex,
-    "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate)
+    "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate,
+    "hdr_index" -> HdrIndex)
 }

@@ -567,13 +567,47 @@ object CatalystBridge {
       graft.functions.expressions.BloomContains(args.head, args(1))
     })
 
+  /** `hdr_key(x, subBits)` — the log-linear quantile-sketch bucket key
+    * ([[graft.operators.Sketch.hdrKey]]) as a SQL function, so
+    * pure-SQL pipelines histogram with the same integer bucketing the
+    * `CALL graft.hdr_index` artifact uses. `subBits` must be an
+    * integer literal (it shapes the expression tree at resolution
+    * time, like winnow_min's k/stride). */
+  val hdrKeyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hdr_key"),
+    new ExpressionInfo("graft.operators.Sketch", "hdr_key"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"hdr_key takes (x, subBits), got ${args.length} args")
+      val bits = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"hdr_key: subBits must be an integer literal, got $other")
+      }
+      require(bits >= 1 && bits <= 20,
+        s"hdr_key: subBits must be in [1,20], got $bits")
+      // the catalyst tree mirroring Sketch.hdrKey exactly (built
+      // directly — a Column wrapper would arrive as an unresolvable
+      // ColumnNodeExpression in the function-registry path)
+      import org.apache.spark.sql.catalyst.expressions.{Add, Bin, CaseWhen, Cast, Length, LessThan, Literal, Multiply, ShiftRight, Subtract}
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val x = Cast(args.head, LongType)
+      val e = Cast(Subtract(Length(Bin(x)), Literal(1)), IntegerType)
+      val s = Subtract(e, Literal(bits))
+      val big = Add(
+        Cast(ShiftRight(x, s), LongType),
+        Multiply(Cast(s, LongType), Literal(1L << bits)))
+      CaseWhen(Seq((LessThan(x, Literal(1L << bits)), x)), Some(big))
+    })
+
   private def allDescriptors = Seq(
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
     countMinDescriptor, topKDescriptor, wordpieceDescriptor,
     unigramSegmentDescriptor,
     deflateLenDescriptor, unicodeNormalizeDescriptor,
-    bloomContainsDescriptor)
+    bloomContainsDescriptor, hdrKeyDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

@@ -120,6 +120,24 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hdr_key in plain SQL matches the Column API; literal subBits enforced") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val xs = (Seq(0L, 1L, 31L, 32L, 33L, 1023L, 4096L) ++
+      (1 to 50).map(i => (i * 997L) % 100000L)).distinct
+    xs.toDF("x").createOrReplaceTempView("hk_vals")
+    val viaSql = spark.sql("SELECT x, hdr_key(x, 5) AS k FROM hk_vals")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = xs.toDF("x")
+      .select($"x", graft.operators.Sketch.hdrKey($"x", 5).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi)
+    val e = intercept[Exception] {
+      spark.sql("SELECT hdr_key(x, x) FROM hk_vals").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("wordpiece in plain SQL: array-literal vocab, non-foldable rejected") {
     GraftExtensions.register(spark)
     val got = spark.sql(

@@ -233,4 +233,31 @@ class ScdCatalogSpec extends SparkSpec {
     assert(ddl.getMessage.contains("read-only") ||
       ddl.getMessage.toLowerCase.contains("not support"), ddl.getMessage)
   }
+
+  test("CALL graft.hdr_index builds the quantile artifact; re-CALL heals") {
+    val d = Files.createTempDirectory("scdcat_hdr").toString + "/t"
+    (1 to 3000).map(i => (i.toLong, (i * 37L) % 9999L))
+      .toDF("id", "x").write.mode("overwrite").parquet(d)
+    val out = Files.createTempDirectory("scdcat_hdri").toString + "/h"
+    val res = spark.sql(s"CALL graft.hdr_index('$d', 'x', 5, '$out')")
+      .collect()
+    assert(res.length == 1 && res(0).getString(0) == out)
+    val served = graft.operators.Sketch.hdrIndexRead(spark, out)
+    assert(res(0).getLong(1) == served.count())
+    // artifact == direct sketch, and quantiles serve from it
+    val direct = graft.operators.Sketch.hdrSketch(
+      spark.read.parquet(d), "x", 5)
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val p50 = graft.operators.Sketch.hdrQuantiles(served, 5, Seq(500))
+      .head
+    assert(p50.getAs[Long]("low") > 0)
+    // corpus changed -> re-CALL rebuilds (overwrite semantics)
+    (3001 to 4000).map(i => (i.toLong, 200000L + i))
+      .toDF("id", "x").write.mode("append").parquet(d)
+    spark.sql(s"CALL graft.hdr_index('$d', 'x', 5, '$out')").collect()
+    val total = graft.operators.Sketch.hdrIndexRead(spark, out)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
+    assert(total == 4000L)
+  }
 }
