@@ -1215,6 +1215,14 @@ object SparkEntry {
       Profile.skewStats(t(s, dir, "lineitem"), col("l_partkey"), k = 10)
         .orderBy("rank")),
 
+    // χ² independence audit (+ Cramér's V effect size): is language
+    // independent of source? Contingency cells are one map-side
+    // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
+    // assemble in BigInt on the driver (krippendorff precedent)
+    "q_chi2_indep" -> ((s, dir) =>
+      Profile.chiSquareIndependence(t(s, dir, "documents"),
+        col("lang"), col("source"))),
+
     // Pareto coverage: which sources carry 90 % of corpus bytes —
     // shares in exact integer mils, the needed-prefix decision
     // cross-multiplied so no division rounding sits on the boundary
@@ -4898,6 +4906,39 @@ object SparkEntry {
         |    AS BIGINT) AS rank,
         |  key_str, cnt, round(cnt * 1.0 / total, 6) AS share
         |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
+
+    "q_chi2_indep" ->
+      // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;
+      // the engine's BigInt assembly has no bound), absent cells
+      // included via the margin cross product
+      """WITH d AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS c FROM d GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(sum(c) AS HUGEINT) AS r FROM cells
+        |  GROUP BY a),
+        |cm AS (SELECT b, CAST(sum(c) AS HUGEINT) AS cc FROM cells
+        |  GROUP BY b),
+        |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+        |grid AS (SELECT a, b, r, cc FROM rm CROSS JOIN cm),
+        |terms AS (SELECT (n * coalesce(c, 0) - r * cc) AS dd,
+        |    n * r * cc AS den
+        |  FROM grid LEFT JOIN cells USING (a, b) CROSS JOIN nn),
+        |s AS (SELECT CAST(sum(
+        |    (dd * dd * CAST(1000000000000 AS HUGEINT)) // den)
+        |    AS HUGEINT) AS chi_e12 FROM terms),
+        |meta AS (SELECT (SELECT n FROM nn) AS n,
+        |  (SELECT count(*) FROM rm) AS nr,
+        |  (SELECT count(*) FROM cm) AS nc)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nr AS BIGINT) AS n_rows,
+        |  CAST(nc AS BIGINT) AS n_cols,
+        |  CAST(greatest(0, (nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+        |  round(CAST(chi_e12 AS DOUBLE) / 1e12, 6) AS chi2,
+        |  CASE WHEN (nr - 1) * (nc - 1) = 0 OR n = 0 THEN NULL
+        |    ELSE round(sqrt((CAST(chi_e12 AS DOUBLE) / 1e12) /
+        |      (CAST(n AS DOUBLE) * least(nr - 1, nc - 1))), 6) END
+        |    AS cramers_v
+        |FROM s, meta""".stripMargin,
 
     "q_source_pareto" ->
       """WITH g AS (

@@ -119,6 +119,68 @@ object Profile {
         round(col("cnt").cast("double") / col("__total"), 6).as("share"))
   }
 
+  /** χ² test of independence between two categorical columns — "is
+    * language independent of source?" / "did the dedup pass skew the
+    * lang×domain mix?": the corpus-audit significance check behind
+    * mixing decisions. Also emits Cramér's V (the [0,1] effect size —
+    * χ² alone grows with n and can't be compared across corpora).
+    *
+    * Exactness: ONE map-side-combined groupBy to the contingency
+    * cells (bounded by the category-domain product, never corpus
+    * rows), then the assembly runs in BigInt on the driver over the
+    * collected cells (the krippendorff driver-finish precedent) —
+    * each cell contributes the EXACT integer
+    * term_e12 = (n·O_ij − R_i·C_j)² · 10¹² div (n·R_i·C_j) (n·O ≤
+    * 10²⁴ at corpus scale exceeds every SQL decimal; BigInt doesn't
+    * care), χ² = Σ/10¹² rounded to 6. The oracle replays the same
+    * quantized terms in HUGEINT (exact to ~10⁹ rows — the engine side
+    * has no such bound). Cells are guarded to ≤ 10 000 — a χ² over
+    * more categories than that is a modeling smell, not a scale need.
+    *
+    * Output one row: n, n_rows, n_cols, dof, chi2 (6 dp),
+    * cramers_v (6 dp; null when dof = 0). */
+  def chiSquareIndependence(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.where(aCol.isNotNull && bCol.isNotNull)
+      .groupBy(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(cells.length <= 10000,
+      s"chiSquareIndependence: ${cells.length} contingency cells " +
+        "exceed the 10k driver-finish bound — reduce the category " +
+        "domains (bucket or top-k them) first")
+    val n = BigInt(cells.map(_._3).sum)
+    val rowM = cells.groupBy(_._1).view
+      .mapValues(g => BigInt(g.map(_._3).sum)).toMap
+    val colM = cells.groupBy(_._2).view
+      .mapValues(g => BigInt(g.map(_._3).sum)).toMap
+    val (nr, nc) = (rowM.size.toLong, colM.size.toLong)
+    val dof = math.max(0L, (nr - 1) * (nc - 1))
+    val e12 = BigInt(10).pow(12)
+    // absent cells (O=0) still contribute E_ij = R·C/n — iterate the
+    // full cross product of observed margins
+    val cellMap = cells.map(t => (t._1, t._2) -> BigInt(t._3)).toMap
+    val chiE12 = (for {
+      (ra, rm) <- rowM.toSeq
+      (cb, cm) <- colM.toSeq
+    } yield {
+      val o = cellMap.getOrElse((ra, cb), BigInt(0))
+      val d = n * o - rm * cm
+      (d * d * e12) / (n * rm * cm)
+    }).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r6(chiE12.toDouble / 1e12)
+    val v: Option[Double] =
+      if (dof == 0 || n == 0) None
+      else Some(r6(math.sqrt((chiE12.toDouble / 1e12) /
+        (n.toDouble * math.min(nr - 1, nc - 1)))))
+    Seq((n.toLong, nr, nc, dof, chi2, v))
+      .toDF("n", "n_rows", "n_cols", "dof", "chi2", "cramers_v")
+  }
+
   /** Pareto coverage report: which strata (sources, languages, crawls)
     * carry `coverMil`‰ of the corpus mass — the "top 12 sources are
     * 90 % of the bytes" table that drives mixing and licensing

@@ -271,6 +271,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.map(_._2).contains("a"))
   }
 
+  test("chiSquareIndependence: 0 on exact independence, V=1 on a bijection") {
+    import spark.implicits._
+    // perfectly independent 2x2: every cell = R*C/n exactly
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 10 } yield (a, b)).toDF("a", "b")
+    val gi = Profile.chiSquareIndependence(indep, col("a"), col("b")).head
+    assert(gi.getLong(0) == 40L && gi.getLong(3) == 1L)
+    assert(gi.getDouble(4) == 0.0 && gi.getDouble(5) == 0.0)
+    // perfect dependence (a determines b): chi2 = n*(k-1), V = 1
+    val dep = (for { a <- Seq("x", "y", "z"); _ <- 1 to 7 }
+      yield (a, a.toUpperCase)).toDF("a", "b")
+    val gd = Profile.chiSquareIndependence(dep, col("a"), col("b")).head
+    assert(gd.getLong(3) == 4L)
+    assert(math.abs(gd.getDouble(4) - 21.0 * 2) < 1e-6) // n*(min-1)... n*(k-1)=42
+    assert(math.abs(gd.getDouble(5) - 1.0) < 1e-6)
+    // single-category column -> dof 0, V null
+    val flat = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val gf = Profile.chiSquareIndependence(flat, col("a"), col("b")).head
+    assert(gf.getLong(3) == 0L && gf.isNullAt(5))
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
