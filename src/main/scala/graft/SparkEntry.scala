@@ -1154,6 +1154,14 @@ object SparkEntry {
       Sessionize.sessions(events(s, dir), tsCol = "ts_us")
         .orderBy("user_id", "session_seq")),
 
+    // Rate autocorrelation at lags 1/6/24 over hourly buckets — the
+    // seasonality diagnostic (daily cycle shows at lag 24); missing
+    // hours densify to zero so lags never misalign
+    "q_rate_acf" -> ((s, dir) =>
+      Sessionize.rateAutocorrelation(events(s, dir), "ts_us",
+          bucketUs = 3600000000L, lags = Seq(1, 6, 24))
+        .orderBy("lag")),
+
     // MAD robust-z rate monitor over hourly event counts: median and
     // MAD in exact integer rank arithmetic on the domain-bounded
     // bucket table, z in signed mils, the anomaly decision compared
@@ -4817,6 +4825,41 @@ object SparkEntry {
         |  CAST(coalesce(n, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c ON g.hb = c.hb AND g.event_type = c.event_type
         |ORDER BY hour_bucket, g.event_type""".stripMargin,
+
+    "q_rate_acf" -> {
+      def lagCte(k: Int) =
+        s"""s$k AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |    CAST(sum(CAST(a.c AS HUGEINT)) AS HUGEINT) AS sx,
+           |    CAST(sum(CAST(b.c AS HUGEINT)) AS HUGEINT) AS sy,
+           |    CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS sxy,
+           |    CAST(sum(CAST(a.c AS HUGEINT) * a.c) AS HUGEINT) AS sxx,
+           |    CAST(sum(CAST(b.c AS HUGEINT) * b.c) AS HUGEINT) AS syy
+           |  FROM dense a JOIN dense b ON b.bucket = a.bucket + $k),
+           |o$k AS (SELECT CAST($k AS BIGINT) AS lag,
+           |    CAST(n AS BIGINT) AS n_pairs,
+           |    CASE WHEN (n * sxx - sx * sx) = 0
+           |        OR (n * syy - sy * sy) = 0 THEN NULL
+           |      ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+           |        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+           |          CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS acf
+           |  FROM s$k)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS bucket FROM events),
+         |c0 AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+         |b AS (SELECT min(bucket) AS mn, max(bucket) AS mx FROM c0),
+         |dense AS MATERIALIZED (
+         |  SELECT g.bucket, coalesce(c0.c, 0) AS c
+         |  FROM (SELECT unnest(generate_series(mn, mx)) AS bucket
+         |    FROM b) g
+         |  LEFT JOIN c0 USING (bucket)),
+         |${lagCte(1)},
+         |${lagCte(6)},
+         |${lagCte(24)}
+         |SELECT lag, n_pairs, acf FROM o1
+         |UNION ALL SELECT lag, n_pairs, acf FROM o6
+         |UNION ALL SELECT lag, n_pairs, acf FROM o24
+         |ORDER BY lag""".stripMargin
+    },
 
     "q_rate_anomaly" ->
       // integer replay: type-1 lower medians at rank (n+1)//2 with

@@ -88,6 +88,60 @@ object Sessionize {
       when(prev > 0, round(col("n_users").cast("double") / prev, 4)))
   }
 
+  /** Autocorrelation of the event rate at chosen lags — the
+    * seasonality diagnostic behind alert thresholds and traffic
+    * models ("is there a daily cycle?" = ACF at lag 24 on hourly
+    * buckets). Missing buckets count as ZERO events (a dark hour is
+    * data, and skipping it would misalign every lag), so the series
+    * densifies over the full [min, max] bucket range first.
+    *
+    * Exact arithmetic: per-lag Pearson over (c_t, c_{t+k}) pairs with
+    * all five sums in decimal(38,0) (bucket counts ≤ corpus rows;
+    * n·Σxy stays under 10³⁸ for any realistic retention), one double
+    * division against one IEEE sqrt, rounded to 6 — the engine's
+    * correlation discipline ([[graft.operators.Eval.spearman]]).
+    * acf is null for a constant series (zero variance).
+    *
+    * 100 TB shape: ONE map-side-combined groupBy to the bucket
+    * table; the dense grid, self-joins, and sums are all bounded by
+    * the TIME DOMAIN (~9 k hourly buckets/yr), never corpus rows.
+    * Output: one row per lag — lag, n_pairs, acf. */
+  def rateAutocorrelation(events: DataFrame, tsUsCol: String,
+      bucketUs: Long, lags: Seq[Int]): DataFrame = {
+    require(bucketUs > 0 && lags.nonEmpty && lags.forall(_ >= 1),
+      s"rateAutocorrelation: bucketUs > 0 and lags >= 1: " +
+        s"$bucketUs, $lags")
+    val dec = "decimal(38,0)"
+    val counts = events
+      .select(expr(s"$tsUsCol div ${bucketUs}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("bucket").as("mn"), max("bucket").as("mx"))
+    val dense = bounds
+      .select(explode(expr("sequence(mn, mx)")).as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(false) // domain-bounded; feeds every lag join
+    val perLag = lags.map { k =>
+      val lead = dense.select((col("bucket") - k).as("bucket"),
+        col("c").as("y"))
+      dense.join(lead, "bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum(col("c").cast(dec) * col("y").cast(dec)).as("sxy"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("sxx"),
+          sum(col("y").cast(dec) * col("y").cast(dec)).as("syy"))
+        .select(lit(k.toLong).as("lag"), col("n_pairs"),
+          expr("""CASE WHEN (n_pairs * sxx - sx * sx) = 0
+                |  OR (n_pairs * syy - sy * sy) = 0 THEN NULL
+                |ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+                |  sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+                |    CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+                |END""".stripMargin).as("acf"))
+    }
+    perLag.reduce(_ unionByName _)
+  }
+
   /** Robust rate-anomaly detection over an event stream: per-bucket
     * counts scored by the MAD robust z — the ingest monitor ("which
     * hours spiked / went dark?") that survives exactly the outliers

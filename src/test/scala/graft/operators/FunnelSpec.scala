@@ -66,4 +66,32 @@ class FunnelSpec extends SparkSpec {
       assert(math.abs(r._5) <= 1000L && r._6 == 0L)
     }
   }
+
+  test("rateAutocorrelation: period-4 series peaks at lag 4, nulls on flat") {
+    import spark.implicits._
+    // counts cycle 10,2,10,2,... over 40 hours -> acf(4)=1, acf(1)<0.
+    // Hour 7 has ZERO events (absent rows) - densification keeps the
+    // cycle aligned only if the gap counts as a real 0... use a clean
+    // periodic series with no gap for the exact +1/-1 pins.
+    val perHour = (0 until 40).map(h => if (h % 2 == 0) 10 else 2)
+    val rows = perHour.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h * 3600000000L + i * 1000L, 1L))
+    }.toDF("ts_us", "x")
+    val got = Sessionize.rateAutocorrelation(rows, "ts_us",
+        3600000000L, Seq(1, 2)).orderBy("lag").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(2L) == 1.0, got)   // period 2: perfect at lag 2
+    assert(got(1L) == -1.0, got)  // anti-phase at lag 1
+    // constant series: zero variance -> null
+    val flat = (0 until 10).flatMap(h =>
+      (0 until 5).map(i => (h * 3600000000L + i, 1L))).toDF("ts_us", "x")
+    assert(Sessionize.rateAutocorrelation(flat, "ts_us", 3600000000L,
+      Seq(1)).head.isNullAt(2))
+    // gap densification: an absent bucket is a 0, not a skip
+    val gappy = Seq(0, 1, 3).flatMap(h =>
+      (0 until 4).map(i => (h * 3600000000L + i, 1L))).toDF("ts_us", "x")
+    val g1 = Sessionize.rateAutocorrelation(gappy, "ts_us",
+      3600000000L, Seq(1)).head
+    assert(g1.getLong(1) == 3L) // buckets 0..3 dense -> 3 lag-1 pairs
+  }
 }
