@@ -1223,6 +1223,15 @@ object SparkEntry {
       Profile.skewStats(t(s, dir, "lineitem"), col("l_partkey"), k = 10)
         .orderBy("rank")),
 
+    // Cross-source quantile normalization: per-source doc-length
+    // ranks mapped onto the global length distribution — one
+    // calibrated threshold then means the same thing in every source
+    "q_quantile_norm" -> ((s, dir) =>
+      Sampling.quantileNormalize(t(s, dir, "documents"),
+          col("source"), col("n_chars"))
+        .withColumnRenamed("stratum", "source")
+        .orderBy("source", "v")),
+
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
     // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
@@ -4949,6 +4958,33 @@ object SparkEntry {
         |    AS BIGINT) AS rank,
         |  key_str, cnt, round(cnt * 1.0 / total, 6) AS share
         |FROM top CROSS JOIN t ORDER BY rank""".stripMargin,
+
+    "q_quantile_norm" ->
+      // integer replay: upper ranks per (source, v), ceil rank
+      // transfer rg = (cum_s*n_g + n_s - 1) // n_s, least global
+      // value with cum_g >= rg
+      """WITH r0 AS (SELECT source AS stratum, n_chars AS v
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |sh AS (SELECT stratum, v, count(*) AS cnt FROM r0
+        |  GROUP BY 1, 2),
+        |shc AS (SELECT stratum, v, cnt, sum(cnt) OVER (
+        |    PARTITION BY stratum ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cum_s FROM sh),
+        |st AS (SELECT stratum, CAST(sum(cnt) AS BIGINT) AS n_s
+        |  FROM sh GROUP BY stratum),
+        |gh AS (SELECT v AS gv, sum(gc) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g FROM (
+        |    SELECT v, count(*) AS gc FROM r0 GROUP BY v)),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM r0),
+        |rk AS (SELECT stratum, v, cnt,
+        |    (cum_s * n_g + n_s - 1) // n_s AS rg
+        |  FROM shc JOIN st USING (stratum) CROSS JOIN gt)
+        |SELECT stratum AS source, v, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(min(gv) AS BIGINT) AS norm_v
+        |FROM rk JOIN gh ON gh.cum_g >= rk.rg
+        |GROUP BY stratum, v, cnt
+        |ORDER BY source, v""".stripMargin,
 
     "q_chi2_indep" ->
       // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;

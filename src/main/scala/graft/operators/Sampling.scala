@@ -328,6 +328,62 @@ object Sampling {
       .select(col(anchorCol), col(negIdCol), col("draw"))
   }
 
+  /** Cross-stratum quantile normalization — make scores COMPARABLE
+    * across heterogeneous sources before applying one global
+    * threshold: a raw quality score of 0.7 means different things
+    * from different domains, but "the p90 of its own source" maps to
+    * the same calibrated value everywhere. Each within-stratum rank
+    * fraction maps to the GLOBAL distribution's value at that
+    * fraction (the bioinformatics quantile-normalization recipe,
+    * rank-based and monotone within each stratum).
+    *
+    * Exact integer mapping: per (stratum, value), the upper rank
+    * cum_s becomes the global target rank
+    *   rg = ⌈cum_s · n_g / n_s⌉ = (cum_s·n_g + n_s − 1) div n_s
+    * and the calibrated value is the least global value whose
+    * cumulative count reaches rg. Ties share a value and therefore a
+    * calibrated value — normalization never reorders within a
+    * stratum (spec-pinned monotone).
+    *
+    * 100 TB shape: two value-domain histograms (map-side-combined
+    * groupBys), windows over DISTINCT values per stratum, and the
+    * pick join runs (stratum-distinct values) × (global distinct
+    * values) — domain-bounded on both sides, never corpus rows;
+    * pre-quantize continuous scores ([[Sketch.hdrKey]]) to bound the
+    * domains, exactly the [[graft.operators.Eval.spearman]] note.
+    *
+    * Output: one row per (stratum, v) — stratum, v, cnt, norm_v. */
+  def quantileNormalize(df: DataFrame, strataCol: Column,
+      scoreCol: Column): DataFrame = {
+    val rows = df.select(strataCol.as("stratum"), scoreCol.as("v"))
+      .where(col("stratum").isNotNull && col("v").isNotNull)
+      .localCheckpoint(false) // feeds both histograms
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val sHist = rows.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_s", sum("cnt").over(ws))
+    val sTot = sHist.groupBy("stratum").agg(sum("cnt").as("n_s"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val gHist = rows.groupBy("v").agg(count(lit(1)).as("gc"))
+      .withColumn("cum_g", sum("gc").over(wg))
+      .select(col("v").as("gv"), col("cum_g"))
+    val gTot = rows.agg(count(lit(1)).as("n_g"))
+    val ranked = sHist.join(sTot, "stratum")
+      .crossJoin(broadcast(gTot))
+      .withColumn("rg",
+        expr("(cum_s * n_g + n_s - 1) div n_s"))
+    ranked.join(gHist, col("cum_g") >= col("rg"))
+      .groupBy("stratum", "v", "cnt")
+      .agg(min("gv").as("norm_v"))
+      .select(col("stratum"), col("v"), col("cnt"), col("norm_v"))
+  }
+
   /** Curriculum / difficulty tiers: cut a scored corpus into `nTiers`
     * quantile bands — the binning step of curriculum schedules
     * ("train easy → hard") and difficulty-stratified data mixes. The

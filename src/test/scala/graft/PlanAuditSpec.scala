@@ -83,6 +83,9 @@ class PlanAuditSpec extends SparkSpec {
                                 // corpus-sized on either input
     "q_source_pareto" -> 1,     // 1-row total-mass fold onto the
                                 // domain-bounded strata table
+    "q_quantile_norm" -> 2,     // 1-row global-total fold + the rank-
+                                // transfer pick join — value-DOMAIN-
+                                // bounded on both sides, never corpus
     "q_rate_anomaly" -> 3,      // 1-row n/median/MAD folds onto the
                                 // domain-bounded hourly bucket table
     "q_retrieval_ndcg" -> 1,    // bm25TopK's (N, avgdl) fold, inherited

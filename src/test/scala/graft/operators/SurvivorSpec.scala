@@ -165,4 +165,26 @@ class SurvivorSpec extends SparkSpec {
       .select("tier").distinct().collect().map(_.getLong(0)).toSet
     assert(tiers == Set(2L))
   }
+
+  test("quantileNormalize: monotone per stratum, extremes map to extremes") {
+    import spark.implicits._
+    // source A scores 1..10, source B scores 101..200: after
+    // normalization both spread over the GLOBAL value range
+    val rows = ((1 to 10).map(v => ("A", v.toLong)) ++
+      (101 to 200).map(v => ("B", v.toLong))).toDF("src", "v")
+    val got = Sampling.quantileNormalize(rows, col("src"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // each stratum's max sits at rank fraction 1 -> global max (200)
+    assert(got(("A", 10L)) == 200L && got(("B", 200L)) == 200L)
+    // monotone within each stratum
+    for (s <- Seq("A", "B")) {
+      val vs = got.keys.filter(_._1 == s).map(_._2).toSeq.sorted
+      val ns = vs.map(v => got((s, v)))
+      assert(ns.zip(ns.tail).forall(p => p._1 <= p._2), s"$s: $ns")
+    }
+    // A's median (rank 5/10) lands at the global ~50th percentile
+    // value: rg = ceil(5 * 110 / 10) = 55 -> global value #55 = 145
+    assert(got(("A", 5L)) == 145L)
+  }
 }
