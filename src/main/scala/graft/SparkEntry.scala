@@ -1870,6 +1870,13 @@ object SparkEntry {
       Eval.krippendorffAlpha(ratings, col("doc_id"), col("cat"))
     }),
 
+    // Mann–Whitney U: are 'en' docs longer than 'zh' docs? auc is the
+    // probability a random en doc outranks a random zh doc (the ROC
+    // identity); z is the tie-corrected normal approximation
+    "q_mwu_test" -> ((s, dir) =>
+      Eval.mannWhitneyU(t(s, dir, "documents"),
+        col("lang"), col("n_chars"), "en", "zh")),
+
     // Spearman rank correlation (tie-correct, Pearson on doubled
     // average ranks), two regimes: chars-vs-tokens (ρ ≈ 1 — the
     // signals are interchangeable as filters) and quantity-vs-price
@@ -6841,6 +6848,40 @@ object SparkEntry {
     // per-rating-count sums T_m, the Π(m−1) common denominator
     // (product() over ≤ 4 small distinct factors: exact), one HUGEINT
     // rational at the end
+    "q_mwu_test" ->
+      // HUGEINT replay: doubled average ranks over the combined
+      // value histogram, U1*2 = R1*2 - n1(n1+1), tie-corrected sigma
+      """WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS g, n_chars AS v
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')),
+        |h AS (SELECT v, count(*) AS cnt,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca
+        |  FROM r0 GROUP BY v),
+        |hr AS (SELECT v, cnt, ca,
+        |    2 * sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
+        |  FROM h),
+        |s AS (SELECT CAST(sum(ca) AS HUGEINT) AS n1,
+        |    CAST(sum(cnt - ca) AS HUGEINT) AS n2,
+        |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |      AS HUGEINT) AS ties
+        |  FROM hr),
+        |f AS (SELECT n1, n2, n1 + n2 AS n,
+        |    r1x2 - n1 * (n1 + 1) AS u1x2,
+        |    n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1)
+        |      - ties) AS varnum
+        |  FROM s)
+        |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        |  round(CAST(u1x2 AS DOUBLE) /
+        |    (2.0 * CAST(n1 * n2 AS DOUBLE)), 6) AS auc,
+        |  CASE WHEN n < 2 OR varnum = 0 THEN NULL
+        |    ELSE round((CAST(u1x2 - n1 * n2 AS DOUBLE) / 2.0) /
+        |      sqrt(CAST(varnum AS DOUBLE) /
+        |        (12.0 * CAST(n * (n - 1) AS DOUBLE))), 6) END AS z
+        |FROM f""".stripMargin,
+
     "q_rank_corr" -> {
       // HUGEINT replay of the doubled-average-rank Pearson: identical
       // r2 = 2·cum − cnt + 1 ranks, identical sums, one double sqrt

@@ -738,6 +738,75 @@ object Eval {
     Seq((n, rho)).toDF("n", "spearman_rho")
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — "did the
+    * new crawl shift the quality-score distribution?" on ORDINAL
+    * scores where a t-test's normality assumption is wrong. Emits the
+    * rank-biserial effect through `auc` = U/(n₁n₂) — literally the
+    * probability a random A-value outranks a random B-value (the ROC
+    * AUC identity) — and the tie-corrected normal z.
+    *
+    * Exactness: the combined value-domain histogram carries per-value
+    * counts and A's share; doubled average ranks r2 = 2·cum − cnt + 1
+    * (the [[spearman]] construction), R₁·2 = Σ ca·r2 and the tie term
+    * Σ(t³ − t) ride decimal(38,0), and U₁·2 = R₁·2 − n₁(n₁+1),
+    * μ, σ² assemble in BigInt on the driver (n₁n₂ and t³ exceed SQL
+    * decimals at corpus scale). One sqrt; z and auc rounded to 6.
+    * z is null when σ = 0 (every value tied). The oracle replays in
+    * HUGEINT (exact to ~10⁹ rows; the BigInt side has no bound).
+    *
+    * Plan: one map-side-combined histogram groupBy; the rank window
+    * runs over DISTINCT values (pre-quantize continuous scores — the
+    * [[spearman]] note). Output one row:
+    * n_a, n_b, auc, z. */
+  def mannWhitneyU(df: DataFrame, groupCol: Column, valueCol: Column,
+      groupA: String, groupB: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val g = groupCol.cast("string")
+    val rows = df.select(g.as("g"), valueCol.as("v"))
+      .where(col("v").isNotNull &&
+        (col("g") === groupA || col("g") === groupB))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val hist = rows.groupBy("v")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"))
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("r2", col("cum") * 2 - col("cnt") + 1)
+    val s = hist.agg(
+      sum("ca").as("n1"),
+      sum(col("cnt") - col("ca")).as("n2"),
+      sum(col("ca").cast(dec) * col("r2").cast(dec)).as("r1x2"),
+      sum(col("cnt").cast(dec) * col("cnt").cast(dec) *
+        col("cnt").cast(dec) - col("cnt").cast(dec)).as("ties"))
+      .head()
+    val n1 = BigInt(s.getLong(0)); val n2 = BigInt(s.getLong(1))
+    require(n1 >= 1 && n2 >= 1,
+      s"mannWhitneyU: both groups need rows — " +
+        s"'$groupA': $n1, '$groupB': $n2")
+    val r1x2 = BigInt(s.getDecimal(2).toBigInteger)
+    val ties = BigInt(s.getDecimal(3).toBigInteger)
+    val n = n1 + n2
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val auc = r6(u1x2.toDouble / (2.0 * (n1 * n2).toDouble))
+    // σ² = n1·n2·[(n+1)n(n−1) − Σ(t³−t)] / (12·n·(n−1)), exact pieces
+    val varNum = n1 * n2 * ((n + 1) * n * (n - 1) - ties)
+    val z: Option[Double] =
+      if (n < 2 || varNum == 0) None
+      else {
+        val sigma = math.sqrt(varNum.toDouble /
+          (12.0 * (n * (n - 1)).toDouble))
+        Some(r6(((u1x2 - n1 * n2).toDouble / 2.0) / sigma))
+      }
+    Seq((n1.toLong, n2.toLong, auc, z)).toDF("n_a", "n_b", "auc", "z")
+  }
+
   def krippendorffAlpha(ratings: DataFrame, itemCol: Column,
       catCol: Column): DataFrame = {
     val spark = ratings.sparkSession

@@ -500,6 +500,34 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("mannWhitneyU: dominance gives auc 1, identical samples auc 0.5") {
+    import spark.implicits._
+    val dom = ((1 to 20).map(v => ("A", 100L + v)) ++
+      (1 to 30).map(v => ("B", v.toLong))).toDF("g", "v")
+    val d = Eval.mannWhitneyU(dom, col("g"), col("v"), "A", "B").head
+    assert(d.getLong(0) == 20L && d.getLong(1) == 30L)
+    assert(d.getDouble(2) == 1.0 && d.getDouble(3) > 5.0)
+    // same multiset in both groups: U1 = n1*n2/2 exactly -> auc 0.5, z 0
+    val same = (1 to 15).flatMap(v =>
+      Seq(("A", v.toLong), ("B", v.toLong))).toDF("g", "v")
+    val s = Eval.mannWhitneyU(same, col("g"), col("v"), "A", "B").head
+    assert(s.getDouble(2) == 0.5 && s.getDouble(3) == 0.0)
+    // all values tied across both groups: sigma = 0 -> z null
+    val flat = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("g", "v")
+    val f = Eval.mannWhitneyU(flat, col("g"), col("v"), "A", "B").head
+    assert(f.getDouble(2) == 0.5 && f.isNullAt(3))
+  }
+
+  test("mannWhitneyU: hand-computed U with ties") {
+    import spark.implicits._
+    // A = [1, 3, 3], B = [2, 3]: pairwise A-over-B wins =
+    // (1v2:0)(1v3:0)(3v2:1)(3v3:.5)(3v2:1)(3v3:.5) = 3.0 -> auc 3/6
+    val df = Seq(("A", 1L), ("A", 3L), ("A", 3L), ("B", 2L),
+      ("B", 3L)).toDF("g", "v")
+    val r = Eval.mannWhitneyU(df, col("g"), col("v"), "A", "B").head
+    assert(r.getDouble(2) == 0.5, r)
+  }
+
   test("spearman: +1 on monotone, -1 on reversed, null on a constant") {
     import spark.implicits._
     val xs = Seq(3L, 9L, 1L, 7L, 5L, 11L)
