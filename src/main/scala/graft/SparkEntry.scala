@@ -2080,6 +2080,21 @@ object SparkEntry {
         docs.where(col("lang") =!= "en"))
     }),
 
+    // the SYMMETRIC bounded drift metric (JS ∈ [0, ln 2]) — one fixed
+    // alert threshold works for any corpus pair, unlike raw KL
+    "text_js_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.jsDivergence(
+        docs.where(col("lang") === "en"),
+        docs.where(col("lang") =!= "en"))
+    }),
+
+    // Gini concentration of source byte mass — the single-number
+    // release-over-release companion to the q_source_pareto table
+    "q_source_gini" -> ((s, dir) =>
+      Profile.giniConcentration(t(s, dir, "documents"),
+        col("source"), col("n_chars"))),
+
     // wordpiece tokenizer inference: greedy longest-match segmentation
     // of every word against a fixed 256-piece vocabulary (derived
     // deterministically from the corpus; production supplies its
@@ -5854,6 +5869,58 @@ object SparkEntry {
          |  FROM tb JOIN w USING (b) GROUP BY 1)
          |SELECT doc_id, n_tokens, logw_nats FROM s
          |WHERE logw_nats >= 0.0 ORDER BY doc_id""".stripMargin,
+
+    "text_js_drift" ->
+      // both KL halves share the joined vocab; per-half terms
+      // quantized to the 1e-12 grid, halved once at the end
+      """WITH cp AS (
+        |  SELECT t, count(*) AS cp FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE lang = 'en') GROUP BY 1),
+        |cq AS (
+        |  SELECT t, count(*) AS cq FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS t
+        |    FROM documents WHERE lang <> 'en') GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(cp, 0) AS cp, coalesce(cq, 0) AS cq
+        |  FROM cp FULL OUTER JOIN cq ON cp.t = cq.t),
+        |tot AS (
+        |  SELECT sum(cp) AS np, sum(cq) AS nq, count(*) AS v FROM j),
+        |terms AS (
+        |  SELECT v,
+        |    CAST(floor(
+        |      (CAST(cp + 1 AS DOUBLE) / (np + v)) *
+        |      ln((CAST(cp + 1 AS DOUBLE) / (np + v)) /
+        |         (((CAST(cp + 1 AS DOUBLE) / (np + v)) +
+        |           (CAST(cq + 1 AS DOUBLE) / (nq + v))) / 2)) * 1e12)
+        |      AS BIGINT) +
+        |    CAST(floor(
+        |      (CAST(cq + 1 AS DOUBLE) / (nq + v)) *
+        |      ln((CAST(cq + 1 AS DOUBLE) / (nq + v)) /
+        |         (((CAST(cp + 1 AS DOUBLE) / (np + v)) +
+        |           (CAST(cq + 1 AS DOUBLE) / (nq + v))) / 2)) * 1e12)
+        |      AS BIGINT) AS term_q
+        |  FROM j CROSS JOIN tot)
+        |SELECT CAST(v AS BIGINT) AS n_vocab,
+        |  round(CAST(sum(term_q) AS DOUBLE) / 2e12, 6) AS js_nats
+        |FROM terms GROUP BY v""".stripMargin,
+
+    "q_source_gini" ->
+      """WITH g AS (
+        |  SELECT source AS stratum, CAST(sum(n_chars) AS HUGEINT) AS w
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT w,
+        |    CAST(row_number() OVER (ORDER BY w, stratum) AS HUGEINT)
+        |      AS i
+        |  FROM g),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS k,
+        |    CAST(sum(w) AS HUGEINT) AS sw,
+        |    CAST(sum(i * w) AS HUGEINT) AS siw FROM r)
+        |SELECT CAST(k AS BIGINT) AS n_strata,
+        |  CASE WHEN sw = 0 THEN NULL
+        |    ELSE round(CAST(2 * siw - (k + 1) * sw AS DOUBLE) /
+        |      CAST(k * sw AS DOUBLE), 6) END AS gini
+        |FROM s""".stripMargin,
 
     "text_kl_drift" ->
       // add-1 smoothing over the union vocab; per-term 1e-12 quantized

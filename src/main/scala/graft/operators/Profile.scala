@@ -119,6 +119,40 @@ object Profile {
         round(col("cnt").cast("double") / col("__total"), 6).as("share"))
   }
 
+  /** Gini coefficient of mass concentration across strata — the
+    * single-number companion to [[paretoCoverage]]'s table: 0 = every
+    * source carries equal mass, (k−1)/k = one source carries
+    * everything. The standard "how skewed is our source mix"
+    * indicator tracked release over release.
+    *
+    * Exact rational form over ascending-sorted strata (i = 1..k):
+    *   G = (2·Σ i·w_i − (k+1)·Σw) / (k·Σw)
+    * computed with decimal(38,0) sums in-frame (i ≤ k strata,
+    * i·w ≤ k·mass — fine to petabyte byte-masses) and ONE rounded
+    * division. Ties in mass order by stratum — any total order gives
+    * the same G (the formula depends on masses only through their
+    * sorted multiset). Null when total mass is 0.
+    *
+    * Plan: one map-side-combined groupBy + a window over the
+    * domain-bounded strata table. Output: (n_strata, gini). */
+  def giniConcentration(df: DataFrame, strataCol: Column,
+      weight: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = df.groupBy(strataCol.as("stratum"))
+      .agg(sum(weight.cast("long")).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("w"), col("stratum"))
+    g.withColumn("i", row_number().over(win).cast("long"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("w").cast(dec)).as("sw"),
+        sum(col("i").cast(dec) * col("w").cast(dec)).as("siw"))
+      .select(col("n_strata"),
+        expr("""CASE WHEN sw = 0 THEN NULL
+              |ELSE round(CAST(2 * siw - (n_strata + 1) * sw AS DOUBLE)
+              |  / CAST(n_strata * sw AS DOUBLE), 6)
+              |END""".stripMargin).as("gini"))
+  }
+
   /** χ² test of independence between two categorical columns — "is
     * language independent of source?" / "did the dedup pass skew the
     * lang×domain mix?": the corpus-audit significance check behind

@@ -549,6 +549,40 @@ object TextAnalysis {
         .as("kl_nats"))
   }
 
+  /** Jensen–Shannon divergence between two corpora's token
+    * distributions — [[tokenKlDivergence]]'s SYMMETRIC, BOUNDED
+    * sibling: JS = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2, always in
+    * [0, ln 2], so one fixed alert threshold works for every corpus
+    * pair (raw KL is unbounded and asymmetric — fine for "batch vs
+    * standing corpus", wrong for "corpus A vs corpus B" comparisons).
+    * Same add-1 smoothing over the union vocabulary and the same
+    * 1e-12-grid per-term quantization (both KL terms share one pass
+    * over the joined vocab table). Output one row:
+    * (n_vocab, js_nats). */
+  def jsDivergence(p: DataFrame, q: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as(as))
+    val joined = counts(p, "cp")
+      .join(counts(q, "cq"), Seq("t"), "full_outer")
+      .select(coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+      .localCheckpoint(false)
+    val totals = joined.agg(sum("cp").as("np"), sum("cq").as("nq"),
+      count(lit(1)).as("v"))
+    val pt = (col("cp") + 1).cast("double") / (col("np") + col("v"))
+    val qt = (col("cq") + 1).cast("double") / (col("nq") + col("v"))
+    val mt = (pt + qt) / 2
+    joined.crossJoin(broadcast(totals))
+      .select(col("v"),
+        (floor(pt * log(pt / mt) * 1e12).cast("long") +
+          floor(qt * log(qt / mt) * 1e12).cast("long")).as("term_q"))
+      .groupBy(col("v").as("n_vocab"))
+      .agg(round(sum(col("term_q")).cast("double") / 2e12, 6)
+        .as("js_nats"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
     * PageRank over the word co-occurrence graph — the unsupervised
     * "what is this corpus about" tagger. Adjacent-token pairs (window

@@ -98,6 +98,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_bm25_appended" -> 1,  // same fold over the appended index
     "text_bm25_indexed" -> 1,   // same fold over the persisted index
     "text_classify" -> 3,       // model rows + prior + vocab-size folds
+    "text_js_drift" -> 1,       // (total_p, total_q, v) fold — the KL
+                                // shape, both halves share one pass
     "text_kl_drift" -> 1,       // (total_p, total_q) fold
     "text_perplexity" -> 1,     // corpus token-total fold
     "text_perplexity_kn" -> 1,  // 1-row distinct-bigram-total (B) fold

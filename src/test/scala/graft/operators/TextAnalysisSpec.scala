@@ -271,6 +271,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got.map(_._2).contains("a"))
   }
 
+  test("jsDivergence: 0 on identical corpora, symmetric, under ln 2") {
+    import spark.implicits._
+    val a = Seq("x y z", "x x y").toDF("text")
+    val b = Seq("p q", "p p p q r").toDF("text")
+    assert(TextAnalysis.jsDivergence(a, a).head.getDouble(1) == 0.0)
+    val ab = TextAnalysis.jsDivergence(a, b).head.getDouble(1)
+    val ba = TextAnalysis.jsDivergence(b, a).head.getDouble(1)
+    assert(ab == ba, s"asymmetric: $ab vs $ba")
+    assert(ab > 0.0 && ab <= math.log(2.0) + 1e-9)
+  }
+
+  test("giniConcentration: 0 on equal masses, (k-1)/k on total concentration") {
+    import spark.implicits._
+    val equal = (for { s <- Seq("a", "b", "c", "d"); _ <- 1 to 5 }
+      yield (s, 10L)).toDF("s", "m")
+    assert(Profile.giniConcentration(equal, col("s"), col("m"))
+      .head.getDouble(1) == 0.0)
+    // one stratum has all the mass, three have (near) none -> this
+    // formula needs w > 0 rows; use 1 vs huge for the limit check
+    val conc = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1000000L))
+      .toDF("s", "m")
+    val g = Profile.giniConcentration(conc, col("s"), col("m"))
+      .head.getDouble(1)
+    assert(g > 0.74 && g < 0.75, s"expected ~3/4, got $g")
+  }
+
   test("chiSquareIndependence: 0 on exact independence, V=1 on a bijection") {
     import spark.implicits._
     // perfectly independent 2x2: every cell = R*C/n exactly
