@@ -41,6 +41,44 @@ class HdrStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-window histograms vs a reference sketch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // reference distribution: lengths ~ (i*61) % 20000
+    val ref = Sketch.hdrSketch(
+      (1 to 500).map(i => (i * 61L) % 20000L).toDF("x"), "x", 5)
+    val ms = MemoryStream[(Timestamp, Long)]
+    val out = ScdStream.valueHistogramPerWindow(
+      ms.toDF().toDF("ts", "x"), "x", "ts", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("drift_hist")
+      .outputMode("complete").start()
+    try {
+      // window 1 draws from the reference distribution; window 2 is
+      // shifted 30x — the drift monitor must separate them
+      ms.addData((1 to 300).map(i =>
+        (Timestamp.valueOf("2024-01-01 00:02:00"), (i * 61L) % 20000L)))
+      ms.addData((1 to 300).map(i =>
+        (Timestamp.valueOf("2024-01-01 00:12:00"),
+          ((i * 61L) % 20000L) * 30L)))
+      q.processAllAvailable()
+      def windowSketch(start: String) = spark.table("drift_hist")
+        .where(col("window_start").cast("string").startsWith(start))
+        .select("key", "cnt")
+      val same = Sketch.hdrDrift(ref,
+        windowSketch("2024-01-01 00:00")).head
+      val shifted = Sketch.hdrDrift(ref,
+        windowSketch("2024-01-01 00:10")).head
+      val (psiSame, psiShift) = (same.getAs[Long]("psi_e12"),
+        shifted.getAs[Long]("psi_e12"))
+      val (ksSame, ksShift) = (same.getAs[Long]("ks_mil"),
+        shifted.getAs[Long]("ks_mil"))
+      assert(psiShift > 4 * math.max(psiSame, 1L),
+        s"psi same=$psiSame shifted=$psiShift")
+      assert(ksShift > 3 * math.max(ksSame, 1L) && ksShift >= 900,
+        s"ks same=$ksSame shifted=$ksShift")
+    } finally q.stop()
+  }
+
   test("streamed rows are additive: quantiles served from the union == batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
