@@ -134,7 +134,10 @@ object Profile {
     * sorted multiset). Null when total mass is 0.
     *
     * Plan: one map-side-combined groupBy + a window over the
-    * domain-bounded strata table. Output: (n_strata, gini). */
+    * domain-bounded strata table. Output: (n_strata, gini) — null on
+    * zero total mass AND on any negative stratum mass (masses are
+    * counts/bytes by contract; a negative sum means upstream
+    * corruption and a silently-wrong G would hide it). */
   def giniConcentration(df: DataFrame, strataCol: Column,
       weight: Column): DataFrame = {
     val dec = "decimal(38,0)"
@@ -145,9 +148,10 @@ object Profile {
     g.withColumn("i", row_number().over(win).cast("long"))
       .agg(count(lit(1)).as("n_strata"),
         sum(col("w").cast(dec)).as("sw"),
-        sum(col("i").cast(dec) * col("w").cast(dec)).as("siw"))
+        sum(col("i").cast(dec) * col("w").cast(dec)).as("siw"),
+        min(col("w")).as("__mnw"))
       .select(col("n_strata"),
-        expr("""CASE WHEN sw = 0 THEN NULL
+        expr("""CASE WHEN sw = 0 OR __mnw < 0 THEN NULL
               |ELSE round(CAST(2 * siw - (n_strata + 1) * sw AS DOUBLE)
               |  / CAST(n_strata * sw AS DOUBLE), 6)
               |END""".stripMargin).as("gini"))

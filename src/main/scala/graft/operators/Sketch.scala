@@ -216,15 +216,18 @@ object Sketch {
     * ≤ 1 920) regardless of corpus size, and per-shard sketches ADD
     * ([[hdrMerge]]) like the Count-Min grids, so shards persist their
     * histograms and nightly roll-ups never rescan data. Negative
-    * inputs would alias positive buckets silently — callers filter or
-    * fail; the board row filters with `x >= 0`. */
+    * inputs map to NULL (two's-complement bin() would alias them into
+    * the TOP positive buckets and silently corrupt every quantile) —
+    * the sketch builders' isNotNull filter drops them, so corrupt
+    * rows cost coverage, never wrong answers. */
   def hdrKey(x: Column, subBits: Int): Column = {
     require(subBits >= 1 && subBits <= 20,
       s"hdrKey: subBits must be in [1,20], got $subBits")
     val xl = x.cast("long")
     val e = (length(bin(xl)) - 1).cast("int")
     val s = e - lit(subBits)
-    when(xl < (1L << subBits), xl)
+    when(xl < 0L, lit(null).cast("long"))
+      .when(xl < (1L << subBits), xl)
       .otherwise(call_function("shiftright", xl, s).cast("long") +
         s.cast("long") * lit(1L << subBits))
   }

@@ -598,7 +598,9 @@ object CatalystBridge {
       val big = Add(
         Cast(ShiftRight(x, s), LongType),
         Multiply(Cast(s, LongType), Literal(1L << bits)))
-      CaseWhen(Seq((LessThan(x, Literal(1L << bits)), x)), Some(big))
+      CaseWhen(Seq(
+        (LessThan(x, Literal(0L)), Literal(null, LongType)),
+        (LessThan(x, Literal(1L << bits)), x)), Some(big))
     })
 
   private def allDescriptors = Seq(

@@ -56,6 +56,9 @@ class HdrSketchSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got(0L) == ((0L, 0L, 1L)))
     assert(got(1L) == ((1L, 1L, 1L)))
+    // negative input -> NULL key (never a silent top-bucket alias)
+    assert(Seq(-5L).toDF("x")
+      .select(Sketch.hdrKey(col("x"), b).as("k")).head.isNullAt(0))
     assert(got(31L) == ((31L, 31L, 1L)))
     // first log decade (e = b) still has width-1 buckets
     assert(got(32L) == ((32L, 32L, 1L)))

@@ -295,6 +295,11 @@ class TextAnalysisSpec extends SparkSpec {
     val g = Profile.giniConcentration(conc, col("s"), col("m"))
       .head.getDouble(1)
     assert(g > 0.74 && g < 0.75, s"expected ~3/4, got $g")
+    // a negative stratum mass means upstream corruption -> null, not
+    // a silently-wrong G
+    val bad = Seq(("a", 10L), ("b", -3L)).toDF("s", "m")
+    assert(Profile.giniConcentration(bad, col("s"), col("m"))
+      .head.isNullAt(1))
   }
 
   test("chiSquareIndependence: 0 on exact independence, V=1 on a bijection") {
