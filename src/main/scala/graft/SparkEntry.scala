@@ -736,6 +736,16 @@ object SparkEntry {
         .orderBy("cmp")
     }),
 
+    // Winsorize doc lengths to [p05, p99] sketch buckets — outlier
+    // clipping before mean/σ stats, at histogram cost (no sort);
+    // every clip point and clamped value replays in the oracle
+    "q_winsorize" -> ((s, dir) =>
+      Sketch.winsorize(
+          t(s, dir, "documents").select(col("doc_id"),
+            col("n_chars")).where(col("n_chars") >= 0),
+          "n_chars", loMil = 50, hiMil = 990, subBits = 5)
+        .orderBy("doc_id")),
+
     // Stratified quantiles: p50/p99 doc length PER LANGUAGE in one
     // histogram pass — the corpus-report shape. The rank scan is an
     // equi-join on stratum (hash join, no nested loop); q-list
@@ -4281,6 +4291,39 @@ object SparkEntry {
          |UNION ALL SELECT cmp, n_buckets, psi_e12, ks_mil FROM r2
          |ORDER BY cmp""".stripMargin
     },
+
+    "q_winsorize" ->
+      s"""WITH d AS (SELECT doc_id, n_chars FROM documents
+         |  WHERE n_chars >= 0),
+         |sk AS (SELECT CASE WHEN n_chars < 32 THEN n_chars
+         |    ELSE (n_chars >> (length(bin(n_chars)) - 6))
+         |      + (length(bin(n_chars)) - 6) * 32 END AS key,
+         |    count(*) AS cnt FROM d GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+         |cum AS (SELECT key, sum(cnt) OVER (ORDER BY key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sk),
+         |qs(q_mil) AS (VALUES (50), (990)),
+         |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+         |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT)) AS r
+         |  FROM qs, n),
+         |pick AS (SELECT q_mil, min(key) AS key FROM r
+         |  JOIN cum ON cum.cum >= r.r GROUP BY q_mil),
+         |b AS (SELECT q_mil, key,
+         |    CASE WHEN key < 32 THEN key
+         |      ELSE (key - ((key >> 5) - 1) * 32) << ((key >> 5) - 1)
+         |      END AS low,
+         |    CASE WHEN key < 32 THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(1 AS BIGINT) << ((key >> 5) - 1) END AS width
+         |  FROM pick),
+         |cuts AS (SELECT
+         |    min(CASE WHEN q_mil = 50 THEN low END) AS lo,
+         |    min(CASE WHEN q_mil = 990 THEN low + width - 1 END) AS hi
+         |  FROM b)
+         |SELECT doc_id, n_chars,
+         |  CAST(greatest(lo, least(hi, n_chars)) AS BIGINT)
+         |    AS n_chars_clip
+         |FROM d, cuts ORDER BY doc_id""".stripMargin,
 
     "q_hdr_by_lang" ->
       s"""WITH d AS (SELECT lang, n_chars AS x FROM documents

@@ -352,6 +352,33 @@ object Sketch {
       .withColumn("est_x2", col("low") * 2 + col("width") - 1)
   }
 
+  /** Winsorize (quantile-clip) a column against its own sketch —
+    * outlier taming before means/σ-based stats or length-capped
+    * training batches: values below the lo‰ bucket's LOW edge clamp
+    * up to it, values above the hi‰ bucket's HIGH edge (low+width−1)
+    * clamp down. Clip points come from [[hdrQuantiles]], so they sit
+    * within 2^−b of the true quantiles at histogram cost (no corpus
+    * sort), and clipping is idempotent by construction (SketchSpec
+    * pins it). One extra column, one broadcast 2-row fold — the
+    * corpus is scanned twice total (histogram + clip).
+    *
+    * Output: the input rows + `<valueCol>_clip` (long). */
+  def winsorize(df: DataFrame, valueCol: String, loMil: Int,
+      hiMil: Int, subBits: Int): DataFrame = {
+    require(loMil >= 0 && hiMil <= 1000 && loMil < hiMil,
+      s"winsorize: need 0 <= loMil < hiMil <= 1000: $loMil, $hiMil")
+    val sk = hdrSketch(df.select(col(valueCol).as("x")), "x", subBits)
+    val cuts = hdrQuantiles(sk, subBits, Seq(loMil, hiMil))
+      .agg(min(when(col("q_mil") === loMil, col("low"))).as("__lo"),
+        min(when(col("q_mil") === hiMil,
+          col("low") + col("width") - 1)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_clip",
+        greatest(col("__lo"),
+          least(col("__hi"), col(valueCol).cast("long"))))
+      .drop("__lo", "__hi")
+  }
+
   /** Distribution drift between two [[hdrSketch]] histograms — PSI
     * (the industry-standard population-stability index) and the KS
     * statistic, computed SKETCH-vs-SKETCH: two nightly ≤ ~1 920-row

@@ -86,6 +86,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_quantile_norm" -> 2,     // 1-row global-total fold + the rank-
                                 // transfer pick join — value-DOMAIN-
                                 // bounded on both sides, never corpus
+    "q_winsorize" -> 3,         // hdrQuantiles' 2 sketch-bounded folds
+                                // + the 1-row clip-cuts fold per row
     "q_rate_anomaly" -> 3,      // 1-row n/median/MAD folds onto the
                                 // domain-bounded hourly bucket table
     "q_retrieval_ndcg" -> 1,    // bm25TopK's (N, avgdl) fold, inherited

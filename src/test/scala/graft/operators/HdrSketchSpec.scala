@@ -184,6 +184,25 @@ class HdrSketchSpec extends SparkSpec {
     assert(far.getAs[Long]("psi_e12") > zero.getAs[Long]("psi_e12"))
   }
 
+  test("winsorize: clamps both tails to sketch cuts, idempotent") {
+    import spark.implicits._
+    val df = ((1 to 98).map(i => (i.toLong, 1000L + i)) ++
+      Seq((99L, 5L), (100L, 9999999L))).toDF("id", "v")
+    val clipped = Sketch.winsorize(df, "v", 50, 990, b)
+    val got = clipped.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the low outlier rises, the high outlier drops, mids untouched
+    assert(got(99L) > 5L && got(100L) < 9999999L)
+    assert(got(50L) == 1050L)
+    // idempotent: clipping the clipped column changes nothing
+    val twice = Sketch.winsorize(
+      clipped.select(col("id"), col("v_clip").as("v")), "v", 50, 990, b)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val once = clipped.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(twice == once)
+  }
+
   test("hdrSketch: bucket count stays bounded regardless of input size") {
     import spark.implicits._
     val wide = Seq.tabulate(20000)(i => ((i.toLong * 2654435761L) &
