@@ -4186,9 +4186,6 @@ object SparkEntry {
          |        ELSE 63.0 / kth END, 4) AS est_distinct
          |FROM k ORDER BY l_returnflag""".stripMargin,
 
-    // per-shard bottom-64s re-cut ≡ the single-pass sketch, rank for
-    // rank (the proof that the union loses nothing is replayed, not
-    // asserted)
     "q_hdr_quantile" ->
       // full integer replay of the log-linear quantile sketch: base-2
       // bucket keys via length(bin(x)) (no float log), exact ceil-rank
@@ -4406,6 +4403,9 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END AS BIGINT) AS append_equals_rebuild
          |FROM sv FULL OUTER JOIN rb USING (key) ORDER BY key""".stripMargin,
 
+    // per-shard bottom-64s re-cut ≡ the single-pass sketch, rank for
+    // rank (the proof that the union loses nothing is replayed, not
+    // asserted)
     "q_kmv_rollup" ->
       s"""WITH vals AS (
          |  SELECT DISTINCT CAST(l_partkey AS VARCHAR) AS v,
@@ -6019,9 +6019,6 @@ object SparkEntry {
         |    AS avg_neg_logp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // interpolated KN replay: train-split bigram/history/continuation
-    // counts, the single-rational event probability
-    // (max(4c−3,0)·B + 3·N1v·N1w)/(4·c1·B), backoff/OOV branches
     "q_textrank" ->
       // word graph: same tokenize/minLen filter, same vocab-id
       // window, symmetric distinct edges, then the SAME 3-round
@@ -6061,6 +6058,9 @@ object SparkEntry {
          |SELECT CAST(kw_rank AS BIGINT) AS kw_rank, word, score
          |FROM cut WHERE kw_rank <= 20 ORDER BY kw_rank""".stripMargin,
 
+    // interpolated KN replay: train-split bigram/history/continuation
+    // counts, the single-rational event probability
+    // (max(4c−3,0)·B + 3·N1v·N1w)/(4·c1·B), backoff/OOV branches
     "text_perplexity_kn" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS t
@@ -7122,11 +7122,17 @@ object SparkEntry {
          |rkd AS (
          |  SELECT r, rmean,
          |    row_number() OVER (ORDER BY rmean, r) AS rk FROM means),
-         |ci AS (
+         |ci0 AS (
          |  SELECT CAST(count(*) AS BIGINT) AS replicates_used,
-         |    max(CASE WHEN rk = 2 THEN rmean END) AS lo,
-         |    max(CASE WHEN rk = 63 THEN rmean END) AS hi
+         |    max(CASE WHEN rk = 2 THEN rmean END) AS lo_at,
+         |    max(CASE WHEN rk = 63 THEN rmean END) AS hi_at,
+         |    max(rmean) AS mx
          |  FROM rkd),
+         |ci AS (
+         |  SELECT replicates_used,
+         |    CASE WHEN replicates_used >= 2 THEN lo_at ELSE mx END AS lo,
+         |    CASE WHEN replicates_used >= 63 THEN hi_at ELSE mx END AS hi
+         |  FROM ci0),
          |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |    sum(m) AS sm FROM base)
          |SELECT n_rows, replicates_used,

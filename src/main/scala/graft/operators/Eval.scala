@@ -560,36 +560,6 @@ object Eval {
         col("n_rel_retrieved"))
   }
 
-  /** Krippendorff's α (nominal data) — the agreement coefficient that
-    * completes the [[cohensKappa]]/[[fleissKappa]] family for the
-    * annotation shape real labeling jobs produce: a VARYING number of
-    * raters per item with missing ratings, which classic Fleiss is
-    * undefined on (this module drops ragged items there; α is the
-    * statistic that was DESIGNED for them — Krippendorff 2004).
-    *
-    * With coincidence-matrix marginals over pairable items (≥ 2
-    * ratings): n_c = Σ_u n_uc, n = Σ_c n_c, and per-item mismatch
-    * A_u = n_u(n_u−1) − Σ_c n_uc(n_uc−1),
-    *
-    *   D_o = (1/n)·Σ_u A_u/(n_u−1)
-    *   D_e = (n² − Σ_c n_c²) / (n(n−1))
-    *   α   = 1 − D_o/D_e
-    *
-    * Exactness: A_u terms are grouped BY RATING COUNT m — the per-m
-    * sums T_m are exact decimal(38,0) folds, and the ≤-maxRaters-row
-    * (m, T_m) table is a driver finish (the k-means-centroid/unigram-
-    * vocab precedent, guarded at 64 rows): with P = Π(m−1) over the
-    * observed m, Σ T_m·(P/(m−1)) is pure BigInt, so the whole
-    * statistic is ONE rational — α = 1 − (n−1)·num / (P·(n²−Σn_c²)) —
-    * and the oracle replays it in HUGEINT (its product() over the ≤ 4
-    * distinct small factors is an exact double). α is NULL when
-    * every pairable rating lands in one category (D_e = 0).
-    *
-    * Scale: one groupBy to the (item, cat) cells, one item fold, one
-    * m-fold (≤ maxRaters rows), one category fold (k rows) — nothing
-    * wider than the cell table shuffles; the collect is plan-constant
-    * sized. Output (1 row): n_items, n_dropped, n_values, d_o, d_e,
-    * alpha. */
   /** Poisson-bootstrap confidence interval for the MEAN of an integer
     * per-row metric (token counts, quality scores in micros, …) —
     * the error bar a curation dashboard needs on "mean doc quality
@@ -605,7 +575,10 @@ object Eval {
     * weighted (Σw·m, Σw) rows, exact integer sums. The CI is the
     * percentile cut over the B replicate means — a window over the
     * B-row table only. Empty-resample replicates (possible only on
-    * tiny inputs) drop out and `replicates_used` reports the loss.
+    * tiny inputs) drop out, `replicates_used` reports the loss, and
+    * the percentile ranks CLAMP to the surviving count (the CI edge
+    * degrades to the max surviving mean instead of silently NULL —
+    * ADVICE r11).
     *
     * Output (1 row): n_rows, replicates_used, mean (exact-sum /
     * count), ci_lo, ci_hi (the floor((B−1)·α) / ceil((B−1)·(1−α))
@@ -650,12 +623,23 @@ object Eval {
     val ranked = means.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("rmean"), col("r"))))
+    // ranks run over SURVIVING replicates only, so clamp the nominal
+    // percentile ranks against replicates_used (ADVICE r11): when a
+    // tiny input drops replicates below hiIdx/loIdx, the CI edge is
+    // the max surviving mean — an adjusted percentile, never a silent
+    // NULL (EvalSpec "bootstrap CI survives dropped replicates")
     val ci = ranked.agg(
       count(lit(1)).as("replicates_used"),
       max(when(col("rk") === math.min(loIdx, replicates), col("rmean")))
-        .as("lo"),
+        .as("__lo_at"),
       max(when(col("rk") === math.min(hiIdx, replicates), col("rmean")))
-        .as("hi"))
+        .as("__hi_at"),
+      max(col("rmean")).as("__mx"))
+      .select(col("replicates_used"),
+        when(col("replicates_used") >= loIdx, col("__lo_at"))
+          .otherwise(col("__mx")).as("lo"),
+        when(col("replicates_used") >= hiIdx, col("__hi_at"))
+          .otherwise(col("__mx")).as("hi"))
     val overall = base.agg(count(lit(1)).as("n_rows"),
       sum(col("m")).as("sm"))
     overall.crossJoin(broadcast(ci))
@@ -807,6 +791,36 @@ object Eval {
     Seq((n1.toLong, n2.toLong, auc, z)).toDF("n_a", "n_b", "auc", "z")
   }
 
+  /** Krippendorff's α (nominal data) — the agreement coefficient that
+    * completes the [[cohensKappa]]/[[fleissKappa]] family for the
+    * annotation shape real labeling jobs produce: a VARYING number of
+    * raters per item with missing ratings, which classic Fleiss is
+    * undefined on (this module drops ragged items there; α is the
+    * statistic that was DESIGNED for them — Krippendorff 2004).
+    *
+    * With coincidence-matrix marginals over pairable items (≥ 2
+    * ratings): n_c = Σ_u n_uc, n = Σ_c n_c, and per-item mismatch
+    * A_u = n_u(n_u−1) − Σ_c n_uc(n_uc−1),
+    *
+    *   D_o = (1/n)·Σ_u A_u/(n_u−1)
+    *   D_e = (n² − Σ_c n_c²) / (n(n−1))
+    *   α   = 1 − D_o/D_e
+    *
+    * Exactness: A_u terms are grouped BY RATING COUNT m — the per-m
+    * sums T_m are exact decimal(38,0) folds, and the ≤-maxRaters-row
+    * (m, T_m) table is a driver finish (the k-means-centroid/unigram-
+    * vocab precedent, guarded at 64 rows): with P = Π(m−1) over the
+    * observed m, Σ T_m·(P/(m−1)) is pure BigInt, so the whole
+    * statistic is ONE rational — α = 1 − (n−1)·num / (P·(n²−Σn_c²)) —
+    * and the oracle replays it in HUGEINT (its product() over the ≤ 4
+    * distinct small factors is an exact double). α is NULL when
+    * every pairable rating lands in one category (D_e = 0).
+    *
+    * Scale: one groupBy to the (item, cat) cells, one item fold, one
+    * m-fold (≤ maxRaters rows), one category fold (k rows) — nothing
+    * wider than the cell table shuffles; the collect is plan-constant
+    * sized. Output (1 row): n_items, n_dropped, n_values, d_o, d_e,
+    * alpha. */
   def krippendorffAlpha(ratings: DataFrame, itemCol: Column,
       catCol: Column): DataFrame = {
     val spark = ratings.sparkSession

@@ -181,14 +181,19 @@ object Profile {
       bCol: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val cells = df.where(aCol.isNotNull && bCol.isNotNull)
+    // bound BEFORE materializing (ADVICE r11): limit(10001) caps what
+    // the driver ever holds, so a high-cardinality category pair
+    // (domain×url at corpus scale) raises the error instead of
+    // OOM-ing the driver on the way to the require
+    val probe = df.where(aCol.isNotNull && bCol.isNotNull)
       .groupBy(aCol.cast("string").as("a"), bCol.cast("string").as("b"))
       .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    require(cells.length <= 10000,
-      s"chiSquareIndependence: ${cells.length} contingency cells " +
+      .limit(10001).collect()
+    require(probe.length <= 10000,
+      s"chiSquareIndependence: more than 10000 contingency cells " +
         "exceed the 10k driver-finish bound — reduce the category " +
         "domains (bucket or top-k them) first")
+    val cells = probe.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val n = BigInt(cells.map(_._3).sum)
     val rowM = cells.groupBy(_._1).view
       .mapValues(g => BigInt(g.map(_._3).sum)).toMap

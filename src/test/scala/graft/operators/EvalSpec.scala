@@ -465,6 +465,21 @@ class EvalSpec extends SparkSpec {
       got.getDouble(2) <= got.getDouble(4))
   }
 
+  test("bootstrapMeanCI: dropped replicates clamp the CI ranks, never NULL (ADVICE r11)") {
+    // ONE input row: a replicate survives only when its Poisson(1)
+    // weight is > 0 (P ≈ 0.632), so replicates_used < the nominal
+    // hi rank 63 — the ranks must clamp to the surviving count and
+    // the CI degrade to the max surviving mean, not silently NULL
+    val df = Seq((1L, 42L)).toDF("id", "m")
+    val got = Eval.bootstrapMeanCI(df, col("m"), col("id")).head
+    val used = got.getLong(1)
+    assert(used < 63L && used >= 2L,
+      s"fixture must drop replicates below the hi rank, used=$used")
+    assert(!got.isNullAt(3) && !got.isNullAt(4), got.toString)
+    // every surviving replicate resamples the single row -> mean 42
+    assert(got.getDouble(3) == 42.0 && got.getDouble(4) == 42.0)
+  }
+
   test("krippendorffAlpha: hand cases, ragged drop, brute replay") {
     // perfect agreement on 2 items -> alpha = 1
     val perf = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))

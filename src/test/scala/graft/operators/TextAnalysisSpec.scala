@@ -323,6 +323,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gf.getLong(3) == 0L && gf.isNullAt(5))
   }
 
+  test("chiSquareIndependence: >10k cells raise before materializing (ADVICE r11)") {
+    import spark.implicits._
+    // 101x101 = 10201 distinct cells: the guard must fire off the
+    // limit(10001) probe — the driver never holds the full cell table
+    val big = spark.range(10201).select(
+      (col("id") % 101).cast("string").as("a"),
+      (col("id") / 101).cast("string").as("b"))
+    val e = intercept[IllegalArgumentException] {
+      Profile.chiSquareIndependence(big, col("a"), col("b"))
+    }
+    assert(e.getMessage.contains("10k driver-finish bound"), e.getMessage)
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
