@@ -736,6 +736,26 @@ object SparkEntry {
         .orderBy("cmp")
     }),
 
+    // STRATIFIED drift (VERDICT r11 #5): per-language PSI/KS between
+    // the standing corpus and the batch, zh lengths tripled in the
+    // batch — zh must light up while the other languages read stable;
+    // totals equi-join on stratum, cum windows partition by stratum
+    "q_hdr_drift_by" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("n_chars").as("x"), col("doc_id"))
+        .where(col("x") >= 0 && col("lang").isNotNull)
+      val ref = Sketch.hdrSketchBy(
+        docs.where(col("doc_id") % 5 =!= 0), col("lang"), "x", 5)
+      val bat = Sketch.hdrSketchBy(
+        docs.where(col("doc_id") % 5 === 0)
+          .select(col("lang"), when(col("lang") === "zh",
+            col("x") * 3).otherwise(col("x")).as("x")),
+        col("lang"), "x", 5)
+      Sketch.hdrDriftBy(ref, bat)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")
+    }),
+
     // Winsorize doc lengths to [p05, p99] sketch buckets — outlier
     // clipping before mean/σ stats, at histogram cost (no sort);
     // every clip point and clamped value replays in the oracle
@@ -1241,6 +1261,20 @@ object SparkEntry {
           col("source"), col("n_chars"))
         .withColumnRenamed("stratum", "source")
         .orderBy("source", "v")),
+
+    // quantile normalization's r11 hazard case: RAW continuous scores
+    // (distinct ≈ corpus), per-language shift — the per-stratum AND
+    // global rank cumsum both ride the distributed two-level prefix
+    // sum, and the rank transfer is the rank-space bucket equi-join
+    // (the old cum_g >= rg pick join would be quadratic here)
+    "q_quantile_norm_raw" -> ((s, dir) =>
+      Sampling.quantileNormalize(
+        t(s, dir, "documents").select(col("lang"),
+          (Sketch.md5Fraction(col("doc_id")) +
+            when(col("lang") === "en", 0.5).otherwise(0.0)).as("score")),
+          col("lang"), col("score"))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang", "v")),
 
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
@@ -1887,6 +1921,30 @@ object SparkEntry {
       Eval.mannWhitneyU(t(s, dir, "documents"),
         col("lang"), col("n_chars"), "en", "zh")),
 
+    // the r11 hazard case closed (q_gate_auc_raw precedent): MWU on
+    // its HEADLINE input — RAW un-binned continuous scores, one
+    // distinct double per doc, far more than the 4096 rank buckets —
+    // through Ranks.cumOver's distributed two-level midrank. en docs
+    // ride the md5 uniform +0.1, zh unshifted, so auc > 0.5 by
+    // construction and both engines group identical doubles
+    "q_mwu_raw" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (Sketch.md5Fraction(col("doc_id")) +
+          when(col("lang") === "en", 0.1).otherwise(0.0)).as("score"))
+      Eval.mannWhitneyU(d, col("lang"), col("score"), "en", "zh")
+    }),
+
+    // STRATIFIED MWU (VERDICT r11 #5): "are src0 docs longer than
+    // src1 docs, per language?" — one test per stratum in one pass,
+    // rank machinery equi-joined on stratum, assembly in-frame (no
+    // driver finish: strata-many safe); degenerate strata report
+    // NULLs instead of failing the whole monitor
+    "q_mwu_by_lang" -> ((s, dir) =>
+      Eval.mannWhitneyUBy(t(s, dir, "documents"), col("lang"),
+          col("source"), col("n_chars"), "src0", "src1")
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")),
+
     // Spearman rank correlation (tie-correct, Pearson on doubled
     // average ranks), two regimes: chars-vs-tokens (ρ ≈ 1 — the
     // signals are interchangeable as filters) and quantity-vs-price
@@ -1905,6 +1963,19 @@ object SparkEntry {
       strong.unionByName(weak)
         .select(col("pair"), col("n"), col("spearman_rho"))
         .orderBy("pair")
+    }),
+
+    // Spearman's r11 hazard case: BOTH columns raw continuous doubles
+    // (distinct ≈ corpus on each side — two distributed rank passes),
+    // y = x + independent uniform noise so ρ ≈ 1/√2 — the metric must
+    // see the monotone association through corpus-cardinality ranks
+    "q_rank_corr_raw" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        Sketch.md5Fraction(col("doc_id")).as("x"),
+        (Sketch.md5Fraction(concat(lit("rc|"),
+          col("doc_id").cast("string"))) +
+          Sketch.md5Fraction(col("doc_id"))).as("y"))
+      Eval.spearman(d, col("x"), col("y"))
     }),
 
     // Poisson-bootstrap CI on a corpus mean (Chamandy et al. 2012):
@@ -2494,6 +2565,28 @@ object SparkEntry {
         p
       })
       Dedup.containmentJoinIndexed(s, path, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
+          col("n_b"), round(col("containment"), 4).as("containment"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // incremental containment (VERDICT r11 #3): even ids the indexed
+    // standing corpus (the SAME even-ids jaccard artifact the
+    // symmetric incremental query serves from — one nightly build,
+    // four join flavors), odd ids tonight's batch — only
+    // batch-involving DIRECTED pairs return, in both directions
+    // across the boundary; corpus-vs-corpus never recomputed
+    "dedup_containment_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(jacIndexCache, "jace", appId)
+      val path = jacIndexCache.getOrElseUpdate((appId, s"even:$dir"), {
+        val p = indexPath("jace", appId, dir)
+        Dedup.jaccardIndexWrite(docs.where(col("doc_id") % 2 === 0), p)
+        p
+      })
+      Dedup.containmentJoinIncremental(
+          docs.where(col("doc_id") % 2 === 1), path, threshold = 0.8)
         .select(col("id_a"), col("id_b"), col("n_common"), col("n_a"),
           col("n_b"), round(col("containment"), 4).as("containment"))
         .orderBy("id_a", "id_b")
@@ -4289,6 +4382,49 @@ object SparkEntry {
          |ORDER BY cmp""".stripMargin
     },
 
+    // per-language drift replay: same PSI term grid / KS
+    // cross-multiplication, windows partitioned by lang
+    "q_hdr_drift_by" -> {
+      def key(x: String) =
+        s"CASE WHEN $x < 32 THEN $x ELSE ($x >> (length(bin($x)) - 6))" +
+          s" + (length(bin($x)) - 6) * 32 END"
+      s"""WITH d AS (SELECT lang, n_chars AS x, doc_id FROM documents
+         |  WHERE n_chars >= 0 AND lang IS NOT NULL),
+         |ref AS (SELECT lang, ${key("x")} AS key, count(*) AS cnt
+         |  FROM d WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+         |bat AS (SELECT lang,
+         |    ${key("(CASE WHEN lang = 'zh' THEN x * 3 ELSE x END)")}
+         |      AS key, count(*) AS cnt
+         |  FROM d WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |j AS (SELECT coalesce(ref.lang, bat.lang) AS lang,
+         |    coalesce(ref.key, bat.key) AS key,
+         |    coalesce(ref.cnt, 0) AS cp, coalesce(bat.cnt, 0) AS cq
+         |  FROM ref FULL OUTER JOIN bat
+         |    ON ref.lang = bat.lang AND ref.key = bat.key),
+         |t AS (SELECT lang, CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cq) AS BIGINT) AS nq,
+         |    CAST(count(*) AS BIGINT) AS k
+         |  FROM j GROUP BY lang),
+         |c AS (SELECT lang, key, cp, cq,
+         |    sum(cp) OVER (PARTITION BY lang ORDER BY key ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cump,
+         |    sum(cq) OVER (PARTITION BY lang ORDER BY key ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumq
+         |  FROM j)
+         |SELECT c.lang, k AS n_buckets,
+         |  CAST(sum(CAST(floor(
+         |    ((cp + 1.0) / (np + k) - (cq + 1.0) / (nq + k)) *
+         |    ln(((cp + 1.0) / (np + k)) / ((cq + 1.0) / (nq + k)))
+         |    * 1e12) AS BIGINT)) AS BIGINT) AS psi_e12,
+         |  CASE WHEN max(np) = 0 OR max(nq) = 0 THEN NULL
+         |    ELSE CAST((max(abs(CAST(cump AS HUGEINT) * nq -
+         |      CAST(cumq AS HUGEINT) * np)) * 1000) //
+         |      (CAST(max(np) AS HUGEINT) * max(nq)) AS BIGINT)
+         |    END AS ks_mil
+         |FROM c JOIN t USING (lang)
+         |GROUP BY c.lang, k, np, nq ORDER BY lang""".stripMargin
+    },
+
     "q_winsorize" ->
       s"""WITH d AS (SELECT doc_id, n_chars FROM documents
          |  WHERE n_chars >= 0),
@@ -5050,6 +5186,40 @@ object SparkEntry {
         |FROM rk JOIN gh ON gh.cum_g >= rk.rg
         |GROUP BY stratum, v, cnt
         |ORDER BY source, v""".stripMargin,
+
+    // raw-double replay: identical rank-transfer arithmetic, but the
+    // least-gv-with-cum_g>=rg pick runs as an ASOF join on the
+    // interval's exclusive lower bound (quadratic pick join would be
+    // corpus² here; the engine side uses the rank-space bucket join)
+    "q_quantile_norm_raw" ->
+      s"""WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum,
+        |    ${md5FracSql("CAST(doc_id AS VARCHAR)")} +
+        |      CASE WHEN lang = 'en' THEN 0.5 ELSE 0.0 END AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |sh AS (SELECT stratum, v, count(*) AS cnt FROM r0
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |shc AS (SELECT stratum, v, cnt, sum(cnt) OVER (
+        |    PARTITION BY stratum ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cum_s FROM sh),
+        |st AS (SELECT stratum, CAST(sum(cnt) AS BIGINT) AS n_s
+        |  FROM sh GROUP BY stratum),
+        |gh AS (SELECT gv, cum_g - gc + 1 AS pv1, gv2 FROM (
+        |    SELECT v AS gv, v AS gv2, gc, sum(gc) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_g FROM (
+        |      SELECT v, count(*) AS gc FROM r0
+        |      WHERE v IS NOT NULL GROUP BY v))),
+        |gt AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM r0
+        |  WHERE v IS NOT NULL),
+        |rk AS (SELECT stratum, v, cnt,
+        |    (cum_s * n_g + n_s - 1) // n_s AS rg
+        |  FROM shc JOIN st USING (stratum) CROSS JOIN gt)
+        |SELECT stratum AS lang, v, CAST(cnt AS BIGINT) AS cnt,
+        |  gv2 AS norm_v
+        |FROM rk ASOF JOIN gh ON rk.rg >= gh.pv1
+        |ORDER BY lang, v""".stripMargin,
 
     "q_chi2_indep" ->
       // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;
@@ -6992,6 +7162,43 @@ object SparkEntry {
         |        (12.0 * CAST(n * (n - 1) AS DOUBLE))), 6) END AS z
         |FROM f""".stripMargin,
 
+    // same rank-sum replay on raw continuous doubles — the oracle's
+    // single window stands in for the engine's bucketized distributed
+    // midrank (value-domain math is plan-independent)
+    "q_mwu_raw" ->
+      s"""WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS g,
+        |    ${md5FracSql("CAST(doc_id AS VARCHAR)")} +
+        |      CASE WHEN lang = 'en' THEN 0.1 ELSE 0.0 END AS v
+        |  FROM documents
+        |  WHERE lang IN ('en', 'zh')),
+        |h AS (SELECT v, count(*) AS cnt,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca
+        |  FROM r0 WHERE v IS NOT NULL GROUP BY v),
+        |hr AS (SELECT v, cnt, ca,
+        |    2 * sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - cnt + 1 AS r2
+        |  FROM h),
+        |s AS (SELECT CAST(sum(ca) AS HUGEINT) AS n1,
+        |    CAST(sum(cnt - ca) AS HUGEINT) AS n2,
+        |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |      AS HUGEINT) AS ties
+        |  FROM hr),
+        |f AS (SELECT n1, n2, n1 + n2 AS n,
+        |    r1x2 - n1 * (n1 + 1) AS u1x2,
+        |    n1 * n2 * ((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1)
+        |      - ties) AS varnum
+        |  FROM s)
+        |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        |  round(CAST(u1x2 AS DOUBLE) /
+        |    (2.0 * CAST(n1 * n2 AS DOUBLE)), 6) AS auc,
+        |  CASE WHEN n < 2 OR varnum = 0 THEN NULL
+        |    ELSE round((CAST(u1x2 - n1 * n2 AS DOUBLE) / 2.0) /
+        |      sqrt(CAST(varnum AS DOUBLE) /
+        |        (12.0 * CAST(n * (n - 1) AS DOUBLE))), 6) END AS z
+        |FROM f""".stripMargin,
+
     "q_rank_corr" -> {
       // HUGEINT replay of the doubled-average-rank Pearson: identical
       // r2 = 2·cum − cnt + 1 ranks, identical sums, one double sqrt
@@ -7035,6 +7242,86 @@ object SparkEntry {
          |SELECT pair, n, spearman_rho FROM o1
          |UNION ALL SELECT pair, n, spearman_rho FROM o2
          |ORDER BY pair""".stripMargin
+    },
+
+    // per-stratum rank-sum replay: same HUGEINT doubled ranks
+    // partitioned by language, same double σ factoring as the engine
+    // ((n1·n2)·t1 / (12·n(n−1)) — the product order is pinned)
+    "q_mwu_by_lang" ->
+      """WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum,
+        |    CAST(source AS VARCHAR) AS g, n_chars AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND source IN ('src0', 'src1')),
+        |h AS (SELECT stratum, v, count(*) AS cnt,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca
+        |  FROM r0 GROUP BY 1, 2),
+        |hr AS (SELECT stratum, v, cnt, ca,
+        |    2 * sum(cnt) OVER (PARTITION BY stratum ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - cnt + 1 AS r2
+        |  FROM h),
+        |s AS (SELECT stratum,
+        |    CAST(sum(ca) AS HUGEINT) AS n1,
+        |    CAST(sum(cnt - ca) AS HUGEINT) AS n2,
+        |    CAST(sum(CAST(ca AS HUGEINT) * r2) AS HUGEINT) AS r1x2,
+        |    CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt - cnt)
+        |      AS HUGEINT) AS ties
+        |  FROM hr GROUP BY stratum),
+        |f AS (SELECT stratum, n1, n2, n1 + n2 AS n,
+        |    r1x2 - n1 * (n1 + 1) AS u1x2,
+        |    (n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1) - ties AS t1
+        |  FROM s)
+        |SELECT stratum AS lang, CAST(n1 AS BIGINT) AS n_a,
+        |  CAST(n2 AS BIGINT) AS n_b,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE round(CAST(u1x2 AS DOUBLE) /
+        |      (2.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6)
+        |    END AS auc,
+        |  CASE WHEN n1 = 0 OR n2 = 0 OR n < 2 OR t1 = 0 THEN NULL
+        |    ELSE round(((CAST(u1x2 AS DOUBLE) -
+        |        CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) / 2.0) /
+        |      sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) *
+        |        CAST(t1 AS DOUBLE) /
+        |        (12.0 * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))),
+        |      6) END AS z
+        |FROM f ORDER BY lang""".stripMargin,
+
+    // doubled-average-rank Pearson on raw continuous doubles — the
+    // oracle's global rank windows stand in for the engine's two
+    // distributed bucketized rank passes (identical value-domain math)
+    "q_rank_corr_raw" -> {
+      val f1 = md5FracSql("CAST(doc_id AS VARCHAR)")
+      val f2 = md5FracSql("'rc|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r1 AS (
+         |  SELECT $f1 AS x, $f2 + $f1 AS y
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |hx AS (SELECT x, count(*) AS cnt FROM r1 GROUP BY x),
+         |rx AS (SELECT x, 2 * sum(cnt) OVER (ORDER BY x ROWS
+         |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+         |    AS r_x FROM hx),
+         |hy AS (SELECT y, count(*) AS cnt FROM r1 GROUP BY y),
+         |ry AS (SELECT y, 2 * sum(cnt) OVER (ORDER BY y ROWS
+         |    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+         |    AS r_y FROM hy),
+         |j AS (SELECT r_x, r_y FROM r1
+         |  JOIN rx USING (x) JOIN ry USING (y)),
+         |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
+         |  FROM j)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (n * sxx - sx * sx) = 0
+         |      OR (n * syy - sy * sy) = 0 THEN NULL
+         |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+         |    AS spearman_rho
+         |FROM s""".stripMargin
     },
 
     "q_gate_krippendorff" -> {
@@ -7528,6 +7815,23 @@ object SparkEntry {
 
     // artifact serving is pair-identical by contract
     "dedup_containment_indexed" -> containmentOracleSql,
+
+    // incremental containment = the directed brute pairs at τ minus
+    // the both-even (corpus-vs-corpus) quadrant — the spec, not the
+    // algorithm (the jaccard-incremental oracle shape)
+    "dedup_containment_incremental" ->
+      s"""WITH $ShingleCtes,
+         |com AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, sa.sz AS n_a, sb.sz AS n_b,
+         |  round(n_common / sa.sz, 4) AS containment
+         |FROM com JOIN sz sa ON sa.doc_id = id_a
+         |  JOIN sz sb ON sb.doc_id = id_b
+         |WHERE n_common / sa.sz >= 0.8
+         |  AND NOT (id_a % 2 = 0 AND id_b % 2 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // persisted-index exact join ≡ inline exact join ≡ brute at the
     // same threshold: ONE spec-level oracle for all three (the index

@@ -257,16 +257,36 @@ object Dedup {
       id: String, tn: Int, threshold: Double): DataFrame = {
     val pre = prefixRows(ordered, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
-    val post = ordered.select(col(id).as("id_b"),
-        col("sz").as("sz_b"),
-        posexplode(col("sharr")).as(Seq("pos_b", "shingle")))
+    val post = containmentPostings(ordered, id)
     val cands = pre.join(post, Seq("shingle"))
-      .where(col("id_a") =!= col("id_b") &&
-        col("sz_a") * tn <= col("sz_b") * 1000 &&
-        (col("sz_b") - col("pos_b")) * 1000 >= col("sz_a") * tn)
+      .where(containmentCandFilter(tn))
       .select("id_a", "id_b").distinct()
-    val a = ordered.select(col(id).as("id_a"), col("sharr").as("arr_a"))
-    val b = ordered.select(col(id).as("id_b"), col("sharr").as("arr_b"))
+    containmentVerify(cands, ordered.select(col(id), col("sharr")), id,
+      threshold)
+  }
+
+  /** Inverted-index posting rows of the containment join's B side —
+    * EVERY element with its position (the positional filter needs
+    * pos_b; see [[containmentCandidatesVerify]]). */
+  private def containmentPostings(ordered: DataFrame,
+      id: String): DataFrame =
+    ordered.select(col(id).as("id_b"), col("sz").as("sz_b"),
+      posexplode(col("sharr")).as(Seq("pos_b", "shingle")))
+
+  /** Size + positional candidate filters of the containment join, in
+    * exact integers (tn = ⌊τ·1000⌋): ⌈τ·|A|⌉ ≤ |B| and PPJoin's
+    * first-common-element bound |B| − j ≥ ⌈τ·|A|⌉. */
+  private def containmentCandFilter(tn: Int): Column =
+    col("id_a") =!= col("id_b") &&
+      col("sz_a") * tn <= col("sz_b") * 1000 &&
+      (col("sz_b") - col("pos_b")) * 1000 >= col("sz_a") * tn
+
+  /** Exact array verification of directed containment candidates —
+    * shared by the inline, indexed, and incremental forms. */
+  private def containmentVerify(cands: DataFrame, arrs: DataFrame,
+      id: String, threshold: Double): DataFrame = {
+    val a = arrs.select(col(id).as("id_a"), col("sharr").as("arr_a"))
+    val b = arrs.select(col(id).as("id_b"), col("sharr").as("arr_b"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
@@ -455,6 +475,59 @@ object Dedup {
     val arrs = corpus.select(col(id), col("sharr"))
       .unionByName(orderedB.select(col(id), col("sharr")))
     verifyByArrays(cands, arrs, id, threshold)
+  }
+
+  /** INCREMENTAL exact containment join (VERDICT r11 #3 — closes the
+    * asymmetric join's nightly-crawl quadrants, the
+    * [[jaccardJoinIncremental]] contract on DIRECTED pairs): only
+    * pairs involving `batchDocs` return — batch→corpus ("tonight's
+    * paragraph is quoted inside an old page"), corpus→batch ("an old
+    * paragraph lives inside tonight's page") and batch→batch; the
+    * corpus-vs-corpus quadrant is never recomputed. The corpus side is
+    * served entirely from the shared [[jaccardIndexWrite]] artifact —
+    * one nightly build feeds the symmetric, asymmetric, indexed AND
+    * incremental joins:
+    *
+    *  - a=batch: batch prefix rows probe the posting explode of
+    *    corpus ∪ batch arrays (the BM25-shaped inverted index — the
+    *    one-sided prefix theorem needs the FULL posting side, so the
+    *    stored-array explode is the irreducible per-batch corpus cost;
+    *    it is a scan of the artifact, never a re-shingle/df/sort);
+    *  - a=corpus: the STORED corpus prefix rows probe the batch-only
+    *    postings — a hash join whose build side is the batch.
+    *
+    * Batch arrays ride the FROZEN df order ([[jaccardIndexAppend]]'s
+    * exactness argument: any common total order preserves the prefix
+    * theorem). PPJoin's positional filter prunes both candidate
+    * streams before the distinct. Ids must be disjoint across index
+    * and batch. Output like [[containmentJoin]], restricted to
+    * batch-involving directed pairs (DedupSpec pins ≡ inline minus
+    * the corpus-vs-corpus quadrant). */
+  def containmentJoinIncremental(batchDocs: DataFrame,
+      indexPath: String, id: String = "doc_id",
+      textCol: String = "text", w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val tn = tnOf(threshold)
+    val corpus = spark.read.parquet(s"$indexPath/docs")
+    val dfreq = spark.read.parquet(s"$indexPath/df")
+    // lazy checkpoint: batch arrays feed prefixes, postings AND verify
+    val orderedB = dfOrderedArrays(shingles(batchDocs, id, textCol, w),
+      dfreq, id, frozen = true).localCheckpoint(false)
+    def pre(src: DataFrame) = prefixRows(src, id, tn)
+      .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
+    val corpusCols = orderedB.columns.map(col(_))
+    val batchA = pre(orderedB).join(
+      containmentPostings(corpus.select(corpusCols: _*)
+        .unionByName(orderedB), id), Seq("shingle"))
+    val corpusA = pre(corpus).join(containmentPostings(orderedB, id),
+      Seq("shingle"))
+    val cands = batchA.unionByName(corpusA)
+      .where(containmentCandFilter(tn))
+      .select("id_a", "id_b").distinct()
+    val arrs = corpus.select(col(id), col("sharr"))
+      .unionByName(orderedB.select(col(id), col("sharr")))
+    containmentVerify(cands, arrs, id, threshold)
   }
 
   /** MinHash signatures: numHashes independent permutations simulated

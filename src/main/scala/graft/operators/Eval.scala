@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
 object Eval {
 
   /** Range-bucket count for [[aucExact]]'s distributed midrank — the
-    * constant that bounds its only single-partition window. */
-  val RankBuckets = 4096
+    * constant that bounds its only single-partition window. Since r12
+    * the machinery lives in [[Ranks.cumOver]]; this alias keeps the
+    * documented name. */
+  val RankBuckets: Int = Ranks.Buckets
 
   /** Threshold sweep over a scored, labeled table: bucket scores onto
     * a fixed `nBins` grid over [lo, hi) (out-of-range scores clamp to
@@ -162,8 +164,10 @@ object Eval {
     * degrades toward one bucket — never worse than the pre-r8
     * single-partition form, and correct either way.
     *
-    * Non-numeric (but orderable) score types keep the single global
-    * window: their distinct cardinality is the caller's contract.
+    * String scores distribute too (first-8-byte monotone proxy —
+    * [[Ranks.cumOver]]); other orderable score types keep the single
+    * global window, their distinct cardinality being the caller's
+    * contract.
     *
     * Output: 1 row — n_pos, n_neg, auc (NULL when either class is
     * empty: AUC is undefined without both classes). */
@@ -194,71 +198,21 @@ object Eval {
   /** Shared distributed rank machinery behind [[aucExact]] and
     * [[averagePrecision]]: one distinct-score row per group with
     * (n, np) counts and ASCENDING cumulative totals `cum` (rows) and
-    * `cumnp` (positives). Numeric scores take the two-level bucketed
-    * prefix sum (see [[aucExact]]'s scaladoc for the full scale
-    * argument); orderable non-numeric scores keep the single global
-    * window, their distinct cardinality being the caller's contract. */
+    * `cumnp` (positives). Numeric (and, since r12, string) scores
+    * take [[Ranks.cumOver]]'s two-level bucketed prefix sum (see
+    * [[aucExact]]'s scaladoc for the full scale argument — the
+    * machinery was factored out of this method, which proved it, to
+    * serve every rank statistic); other orderable score types keep
+    * the single global window, their distinct cardinality being the
+    * caller's contract. */
   private def cumByScore(scored: DataFrame, scoreCol: Column,
       labelCol: Column): DataFrame = {
     val per = scored
       .select(scoreCol.as("s"), labelCol.cast("long").as("y"))
       .groupBy("s")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
-    val numeric = per.schema("s").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    if (numeric) {
-      val B = RankBuckets
-      // materialize the distinct-score table ONCE (eager
-      // localCheckpoint — the connected-components pattern): bounds,
-      // the bucketed main path, and the offset rollup below all
-      // re-read it, and without the checkpoint each reference inlines
-      // the full upstream corpus groupBy into the physical plan — the
-      // r8 plan audit counted the corpus pass FOUR times in one plan.
-      // Size is the distinct-score count: the quantity this whole
-      // branch already bounds the window work by.
-      val perCk = per.localCheckpoint()
-      // clamp to finite doubles, monotone under Spark's sort order
-      // (NaN > +Inf > MaxValue, so both land in the top bucket)
-      val sd = col("s").cast("double")
-      val sc = least(greatest(nanvl(sd, lit(Double.MaxValue)),
-        lit(Double.MinValue)), lit(Double.MaxValue))
-      val bounds = perCk.agg(min(sc).as("__lo"), max(sc).as("__hi"))
-      // hi == lo (single distinct value) must not divide — ANSI throws
-      // DIVIDE_BY_ZERO even for doubles; the double-domain clamp BELOW
-      // then folds any residual NaN/Inf into the edge cells, so
-      // floor/cast stay in [0, B-1] under ANSI
-      val ratio = when(col("__hi") > col("__lo"),
-        (sc - col("__lo")) /
-          ((col("__hi") - col("__lo")) / lit(B.toDouble)))
-        .otherwise(lit(0.0))
-      val bucket = when(col("s").isNull, lit(-1)).otherwise(
-        floor(least(lit(B - 1.0), greatest(lit(0.0), ratio))).cast("int"))
-      val bucketed = perCk.crossJoin(broadcast(bounds))
-        .withColumn("__b", bucket)
-      val windowedBucket = Window.orderBy(col("__b"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offsets = bucketed.groupBy("__b")
-        .agg(sum(col("n")).as("__bn"), sum(col("np")).as("__bnp"))
-        .withColumn("__off", sum(col("__bn")).over(windowedBucket)
-          - col("__bn"))
-        .withColumn("__offnp", sum(col("__bnp")).over(windowedBucket)
-          - col("__bnp"))
-        .drop("__bn", "__bnp")
-      val wLocal = Window.partitionBy(col("__b")).orderBy(col("s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bucketed
-        .withColumn("__cum", sum(col("n")).over(wLocal))
-        .withColumn("__cumnp", sum(col("np")).over(wLocal))
-        .join(broadcast(offsets), "__b")
-        .withColumn("cum", col("__cum") + col("__off"))
-        .withColumn("cumnp", col("__cumnp") + col("__offnp"))
-        .select("s", "n", "np", "cum", "cumnp")
-    } else {
-      val w = Window.orderBy(col("s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      per.withColumn("cum", sum(col("n")).over(w))
-        .withColumn("cumnp", sum(col("np")).over(w))
-    }
+    Ranks.cumOver(per, "s", Nil, Seq("n" -> "cum", "np" -> "cumnp"))
+      .select("s", "n", "np", "cum", "cumnp")
   }
 
   /** Exact average precision (area under the precision-recall curve,
@@ -675,12 +629,12 @@ object Eval {
     *
     * Plan: ranks come from the VALUE-DOMAIN histogram (groupBy value →
     * cumsum over DISTINCT values), joined back by value — no corpus
-    * sort. The rank windows are bounded by the distinct-value count;
-    * for continuous near-unique columns pre-quantize (e.g.
-    * [[Sketch.hdrKey]] buckets or cents) to keep the domain bounded —
-    * ranks then tie within buckets, the standard binned-Spearman
-    * trade. Output one row: n, spearman_rho (null when either column
-    * is constant — zero rank variance has no defined correlation). */
+    * sort — and the cumsum itself is [[Ranks.cumOver]]'s DISTRIBUTED
+    * two-level prefix sum, so raw continuous near-unique columns
+    * (distinct ≈ corpus) never funnel one task (VERDICT r11 #1; the
+    * hazard board row is q_rank_corr_raw). Output one row: n,
+    * spearman_rho (null when either column is constant — zero rank
+    * variance has no defined correlation). */
   def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -688,15 +642,11 @@ object Eval {
     val rows = df.select(xCol.as("x"), yCol.as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
       .localCheckpoint(false) // feeds two histograms + the rank join
-    def ranks(v: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(v)
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      rows.groupBy(col(v)).agg(count(lit(1)).as("cnt"))
-        .withColumn("cum", sum("cnt").over(w))
+    def ranks(v: String): DataFrame =
+      Ranks.cumOver(
+        rows.groupBy(col(v)).agg(count(lit(1)).as("cnt")),
+        v, Nil, Seq("cnt" -> "cum"))
         .select(col(v), (col("cum") * 2 - col("cnt") + 1).as(s"r_$v"))
-    }
     val ranked = rows.join(ranks("x"), "x").join(ranks("y"), "y")
     val s = ranked.agg(
       count(lit(1)).as("n"),
@@ -738,9 +688,11 @@ object Eval {
     * z is null when σ = 0 (every value tied). The oracle replays in
     * HUGEINT (exact to ~10⁹ rows; the BigInt side has no bound).
     *
-    * Plan: one map-side-combined histogram groupBy; the rank window
-    * runs over DISTINCT values (pre-quantize continuous scores — the
-    * [[spearman]] note). Output one row:
+    * Plan: one map-side-combined histogram groupBy; the rank cumsum
+    * is [[Ranks.cumOver]]'s distributed two-level prefix sum over the
+    * DISTINCT values, so the operator's headline input — raw
+    * continuous scores, distinct ≈ corpus — never funnels one task
+    * (VERDICT r11 #1; hazard board row q_mwu_raw). Output one row:
     * n_a, n_b, auc, z. */
   def mannWhitneyU(df: DataFrame, groupCol: Column, valueCol: Column,
       groupA: String, groupB: String): DataFrame = {
@@ -751,14 +703,11 @@ object Eval {
     val rows = df.select(g.as("g"), valueCol.as("v"))
       .where(col("v").isNotNull &&
         (col("g") === groupA || col("g") === groupB))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val hist = rows.groupBy("v")
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"))
-      .withColumn("cum", sum("cnt").over(w))
+    val hist = Ranks.cumOver(
+      rows.groupBy("v")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca")),
+      "v", Nil, Seq("cnt" -> "cum"))
       .withColumn("r2", col("cum") * 2 - col("cnt") + 1)
     val s = hist.agg(
       sum("ca").as("n1"),
@@ -789,6 +738,74 @@ object Eval {
         Some(r6(((u1x2 - n1 * n2).toDouble / 2.0) / sigma))
       }
     Seq((n1.toLong, n2.toLong, auc, z)).toDF("n_a", "n_b", "auc", "z")
+  }
+
+  /** STRATIFIED Mann–Whitney U — the production-monitoring shape
+    * (VERDICT r11 #5): "did the new crawl shift the score
+    * distribution PER LANGUAGE / PER SOURCE?", one test per stratum
+    * in one pass. Same statistic as [[mannWhitneyU]]; the machinery
+    * differs where strata-many scale demands it:
+    *
+    *  - the rank cumsum runs per stratum through [[Ranks.cumOver]]
+    *    (partitioned by (stratum, bucket) — a single giant stratum
+    *    with raw continuous scores still parallelizes), and every
+    *    later step is an equi-join / groupBy ON STRATUM — hash
+    *    shuffles, never a nested loop (the [[Sketch.hdrQuantilesBy]]
+    *    join-shape rule);
+    *  - assembly stays IN-FRAME (no BigInt driver finish — a
+    *    million-stratum table must not collect): exact parts ride
+    *    decimal(38,0) — R₁·2, U₁·2 ≤ 2n², tie term
+    *    t1 = (n+1)n(n−1) − Σ(t³−t) ≤ n³, fine to n ≈ 3·10¹² PER
+    *    STRATUM — and σ factors to doubles BEFORE the n₁n₂·t1
+    *    product (which would overflow decimals past n ≈ 10¹¹⋅⁵):
+    *    z = ((U·2 − n₁n₂)/2) / √((n₁n₂)·t1 / (12·n(n−1))). The
+    *    oracle replays the identical double ops on HUGEINT-exact
+    *    operands.
+    *
+    * Degenerate strata REPORT rather than fail (a monitoring table
+    * must not die on one bad stratum, unlike the single-stratum
+    * require): a stratum missing group A or B emits its counts with
+    * NULL auc/z; all-tied values emit NULL z.
+    *
+    * Output: one row per stratum — stratum, n_a, n_b, auc, z. */
+  def mannWhitneyUBy(df: DataFrame, strataCol: Column,
+      groupCol: Column, valueCol: Column, groupA: String,
+      groupB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = groupCol.cast("string")
+    val rows = df
+      .select(strataCol.as("stratum"), g.as("g"), valueCol.as("v"))
+      .where(col("stratum").isNotNull && col("v").isNotNull &&
+        (col("g") === groupA || col("g") === groupB))
+    val hist = Ranks.cumOver(
+      rows.groupBy("stratum", "v")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca")),
+      "v", Seq("stratum"), Seq("cnt" -> "cum"))
+      .withColumn("r2", col("cum") * 2 - col("cnt") + 1)
+    val s = hist.groupBy("stratum").agg(
+      sum("ca").as("n1"),
+      sum(col("cnt") - col("ca")).as("n2"),
+      sum(col("ca").cast(dec) * col("r2").cast(dec)).as("r1x2"),
+      sum(col("cnt").cast(dec) * col("cnt").cast(dec) *
+        col("cnt").cast(dec) - col("cnt").cast(dec)).as("ties"))
+    val nD = col("n1").cast(dec) + col("n2").cast(dec)
+    val u1x2 = col("r1x2") -
+      col("n1").cast(dec) * (col("n1").cast(dec) + 1)
+    val t1 = (nD + 1) * nD * (nD - 1) - col("ties")
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    s.select(col("stratum"), col("n1").as("n_a"), col("n2").as("n_b"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round(u1x2.cast("double") / (lit(2.0) * (n1d * n2d)), 6))
+          .as("auc"),
+        when(col("n1") > 0 && col("n2") > 0 &&
+            col("n1") + col("n2") >= 2 && t1 =!= 0,
+          round(((u1x2.cast("double") - n1d * n2d) / lit(2.0)) /
+            sqrt((n1d * n2d) * t1.cast("double") /
+              (lit(12.0) * (nd * (nd - lit(1.0))))), 6))
+          .as("z"))
   }
 
   /** Krippendorff's α (nominal data) — the agreement coefficient that

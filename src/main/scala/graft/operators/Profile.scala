@@ -133,8 +133,12 @@ object Profile {
     * the same G (the formula depends on masses only through their
     * sorted multiset). Null when total mass is 0.
     *
-    * Plan: one map-side-combined groupBy + a window over the
-    * domain-bounded strata table. Output: (n_strata, gini) — null on
+    * Plan: one map-side-combined groupBy, then the ascending-mass
+    * rank i comes from [[Ranks.cumOver]]'s distributed two-level
+    * prefix sum (ones-cum ordered by (w, stratum) ≡ row_number) — so
+    * even a pathological million-stratum table never funnels one
+    * window task (ADVICE r11; the strata table is usually tiny, but
+    * nothing enforced that). Output: (n_strata, gini) — null on
     * zero total mass AND on any negative stratum mass (masses are
     * counts/bytes by contract; a negative sum means upstream
     * corruption and a silently-wrong G would hide it). */
@@ -143,9 +147,10 @@ object Profile {
     val dec = "decimal(38,0)"
     val g = df.groupBy(strataCol.as("stratum"))
       .agg(sum(weight.cast("long")).as("w"))
-    val win = org.apache.spark.sql.expressions.Window
-      .orderBy(col("w"), col("stratum"))
-    g.withColumn("i", row_number().over(win).cast("long"))
+      .withColumn("__one", lit(1L))
+    Ranks.cumOver(g, "w", Nil, Seq("__one" -> "i"),
+        tieCols = Seq("stratum"))
+      .drop("__one")
       .agg(count(lit(1)).as("n_strata"),
         sum(col("w").cast(dec)).as("sw"),
         sum(col("i").cast(dec) * col("w").cast(dec)).as("siw"),

@@ -345,43 +345,65 @@ object Sampling {
     * calibrated value — normalization never reorders within a
     * stratum (spec-pinned monotone).
     *
-    * 100 TB shape: two value-domain histograms (map-side-combined
-    * groupBys), windows over DISTINCT values per stratum, and the
-    * pick join runs (stratum-distinct values) × (global distinct
-    * values) — domain-bounded on both sides, never corpus rows;
-    * pre-quantize continuous scores ([[Sketch.hdrKey]]) to bound the
-    * domains, exactly the [[graft.operators.Eval.spearman]] note.
+    * 100 TB shape (VERDICT r11 #1 — this operator's windows AND its
+    * pick join must survive raw continuous scores, where distinct ≈
+    * corpus): both value-domain histograms take [[Ranks.cumOver]]'s
+    * distributed two-level prefix sum (the per-stratum one partitions
+    * by (stratum, bucket) — a single giant stratum parallelizes too),
+    * and the rank transfer is an EQUI-join in rank space, not a
+    * cum ≥ r nested loop: target ranks rg live on a constant
+    * [[Ranks.Buckets]]-cell grid over [1, n_g] (rank space is dense
+    * integers — the grid is perfectly balanced by construction), each
+    * global value covers the rank interval (cum_g − gc, cum_g] and
+    * posts one row per grid cell it overlaps (≤ distinct + Buckets
+    * rows total), and each rg matches EXACTLY ONE interval, so the
+    * residual range predicate after the bucket equi-join is a filter,
+    * not a fan-out, and no groupBy-min is needed. Cross-multiplied
+    * rank arithmetic rides decimal(38,0) (cum_s·n_g exceeds a long
+    * past ~3·10⁹ rows); the per-row quotient is ≤ n_g, back in long
+    * range. The hazard board row is q_quantile_norm_raw.
     *
     * Output: one row per (stratum, v) — stratum, v, cnt, norm_v. */
   def quantileNormalize(df: DataFrame, strataCol: Column,
       scoreCol: Column): DataFrame = {
+    val RB = graft.operators.Ranks.Buckets
     val rows = df.select(strataCol.as("stratum"), scoreCol.as("v"))
       .where(col("stratum").isNotNull && col("v").isNotNull)
       .localCheckpoint(false) // feeds both histograms
-    val ws = org.apache.spark.sql.expressions.Window
-      .partitionBy("stratum").orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val sHist = rows.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("cum_s", sum("cnt").over(ws))
-    val sTot = sHist.groupBy("stratum").agg(sum("cnt").as("n_s"))
-    val wg = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val gHist = rows.groupBy("v").agg(count(lit(1)).as("gc"))
-      .withColumn("cum_g", sum("gc").over(wg))
-      .select(col("v").as("gv"), col("cum_g"))
+    val sHist0 = rows.groupBy("stratum", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds cumOver's three reads + sTot
+    val sHist = graft.operators.Ranks.cumOver(sHist0, "v",
+      Seq("stratum"), Seq("cnt" -> "cum_s"), checkpoint = false)
+    val sTot = sHist0.groupBy("stratum").agg(sum("cnt").as("n_s"))
+    val gHist0 = rows.groupBy("v").agg(count(lit(1)).as("gc"))
+      .localCheckpoint(false)
+    val gHist = graft.operators.Ranks.cumOver(gHist0, "v", Nil,
+      Seq("gc" -> "cum_g"), checkpoint = false)
+      .select(col("v").as("gv"), col("gc"), col("cum_g"))
     val gTot = rows.agg(count(lit(1)).as("n_g"))
     val ranked = sHist.join(sTot, "stratum")
       .crossJoin(broadcast(gTot))
-      .withColumn("rg",
-        expr("(cum_s * n_g + n_s - 1) div n_s"))
-    ranked.join(gHist, col("cum_g") >= col("rg"))
-      .groupBy("stratum", "v", "cnt")
-      .agg(min("gv").as("norm_v"))
-      .select(col("stratum"), col("v"), col("cnt"), col("norm_v"))
+      .withColumn("rg", expr(
+        "CAST((CAST(cum_s AS DECIMAL(38,0)) * n_g + n_s - 1) DIV n_s" +
+          " AS BIGINT)"))
+      .withColumn("__rb", expr(
+        s"CAST((CAST(rg - 1 AS DECIMAL(38,0)) * $RB) DIV n_g AS INT)"))
+    // each global value's rank interval (prev, cum_g], exploded to the
+    // grid cells it overlaps — a value spanning many ranks posts at
+    // most Buckets rows, and Σ over values is ≤ distinct + Buckets
+    val gBuck = gHist.crossJoin(broadcast(gTot))
+      .withColumn("__prev", col("cum_g") - col("gc"))
+      .withColumn("__rb", explode(expr(
+        s"""sequence(
+           |  CAST((CAST(__prev AS DECIMAL(38,0)) * $RB) DIV n_g AS INT),
+           |  CAST((CAST(cum_g - 1 AS DECIMAL(38,0)) * $RB) DIV n_g AS INT))"""
+          .stripMargin)))
+      .select(col("__rb"), col("gv"), col("__prev"),
+        col("cum_g").as("__cg"))
+    ranked.join(gBuck, Seq("__rb"))
+      .where(col("rg") > col("__prev") && col("rg") <= col("__cg"))
+      .select(col("stratum"), col("v"), col("cnt"),
+        col("gv").as("norm_v"))
   }
 
   /** Curriculum / difficulty tiers: cut a scored corpus into `nTiers`

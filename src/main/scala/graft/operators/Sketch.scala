@@ -429,6 +429,61 @@ object Sketch {
           " * CAST(max(nq) AS DECIMAL(38,0))) AS BIGINT)").as("ks_mil"))
   }
 
+  /** STRATIFIED drift — [[hdrDrift]] per stratum between two
+    * [[hdrSketchBy]] artifacts (VERDICT r11 #5: production gates
+    * compare "did the crawl shift doc length PER LANGUAGE / SOURCE",
+    * not corpus-global). One row per stratum, same PSI/KS arithmetic;
+    * the join shape follows the [[hdrQuantilesBy]] rule — totals
+    * attach by EQUI-join on stratum (hash, AQE broadcasts small
+    * strata tables; never a nested loop) and the cum window
+    * partitions by stratum (≤ ~1 920 rows each), so a million-stratum
+    * report parallelizes like any aggregation.
+    *
+    * Strata present on only ONE side still report (that is exactly
+    * the alert — a language appeared in or vanished from the batch):
+    * the missing side contributes zero counts, add-1 smoothing keeps
+    * PSI finite, and ks_mil is NULL (KS against an empty distribution
+    * is undefined — the cross-multiplied integer form would divide by
+    * zero, so the NULL is explicit, not an error).
+    *
+    * Output: stratum, n_buckets, psi_e12, ks_mil. */
+  def hdrDriftBy(skP: DataFrame, skQ: DataFrame): DataFrame = {
+    val joined = skP
+      .select(col("stratum"), col("key"), col("cnt").as("cp"))
+      .join(skQ.select(col("stratum"), col("key"),
+        col("cnt").as("cq")), Seq("stratum", "key"), "full_outer")
+      .select(col("stratum"), col("key"),
+        coalesce(col("cp"), lit(0L)).as("cp"),
+        coalesce(col("cq"), lit(0L)).as("cq"))
+      .localCheckpoint(false) // |strata|·≤1 920 rows: totals + terms
+    val totals = joined.groupBy("stratum")
+      .agg(sum("cp").as("np"), sum("cq").as("nq"),
+        count(lit(1)).as("k"))
+    val pt = (col("cp") + 1).cast("double") / (col("np") + col("k"))
+    val qt = (col("cq") + 1).cast("double") / (col("nq") + col("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("stratum").orderBy("key")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    joined.join(totals, Seq("stratum"))
+      .withColumn("psi_term",
+        floor((pt - qt) * log(pt / qt) * 1e12).cast("long"))
+      .withColumn("cump", sum("cp").over(w))
+      .withColumn("cumq", sum("cq").over(w))
+      .withColumn("d", abs(col("cump").cast("decimal(38,0)") *
+        col("nq").cast("decimal(38,0)") -
+        col("cumq").cast("decimal(38,0)") *
+          col("np").cast("decimal(38,0)")))
+      .groupBy(col("stratum"), col("k").as("n_buckets"))
+      .agg(sum("psi_term").as("psi_e12"),
+        expr("""CASE WHEN max(np) = 0 OR max(nq) = 0 THEN NULL
+              |ELSE CAST((max(d) * 1000) div
+              |  (CAST(max(np) AS DECIMAL(38,0)) *
+              |   CAST(max(nq) AS DECIMAL(38,0))) AS BIGINT)
+              |END""".stripMargin).as("ks_mil"))
+  }
+
   /** Persist a [[hdrSketch]] as parquet (key, cnt) — the build-once/
     * serve-cheap split ([[Retrieval.tfIndexWrite]] pattern): the
     * corpus pays ONE histogram pass, every later quantile query reads

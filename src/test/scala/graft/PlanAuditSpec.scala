@@ -83,9 +83,19 @@ class PlanAuditSpec extends SparkSpec {
                                 // corpus-sized on either input
     "q_source_pareto" -> 1,     // 1-row total-mass fold onto the
                                 // domain-bounded strata table
-    "q_quantile_norm" -> 2,     // 1-row global-total fold + the rank-
-                                // transfer pick join — value-DOMAIN-
-                                // bounded on both sides, never corpus
+    "q_mwu_by_lang" -> 2,       // 2× Ranks.cumOver bounds fold on the
+                                // per-stratum value histogram
+    "q_quantile_norm" -> 6,     // 2× bounds fold per Ranks.cumOver
+                                // (per-stratum + global hist = 4) +
+                                // the 1-row n_g fold onto the stratum
+                                // ranks AND onto the rank-space bucket
+                                // explode (2) — all 1-row broadcasts;
+                                // the rank transfer itself is an
+                                // EQUI-join since r12
+    "q_quantile_norm_raw" -> 6, // same folds, raw-score hazard form
+    "q_source_gini" -> 2,       // 2× Ranks.cumOver bounds fold
+                                // (bucketed strata table read twice:
+                                // main + offset rollup)
     "q_winsorize" -> 3,         // hdrQuantiles' 2 sketch-bounded folds
                                 // + the 1-row clip-cuts fold per row
     "q_rate_anomaly" -> 3,      // 1-row n/median/MAD folds onto the
@@ -109,13 +119,67 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf" -> 1           // corpus doc-count fold
   ).withDefaultValue(0)
 
-  private lazy val plans: Map[String, String] = {
+  private case class Audit(plan: String, maxUnpartWin: Int)
+
+  // One construction pass for every lint below. A registered
+  // QueryExecutionListener additionally captures CONSTRUCTION-TIME
+  // executions (driver-finish statistics — mannWhitneyU, spearman,
+  // chi², krippendorff — run their whole pipeline inside query
+  // construction and return a LocalRelation; without the listener
+  // their plans would be invisible to every audit here, which is
+  // exactly how the r11 single-task rank windows shipped unseen).
+  private lazy val audits: Map[String, Audit] = {
     // print full metadata so ReadSchema/Location never truncate away
     spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
-    SparkEntry.queries.map { case (name, fn) =>
-      name -> fn(spark, dir).queryExecution.executedPlan.toString
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.execution.QueryExecution]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        captured.synchronized { captured += qe; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
     }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries.map { case (name, fn) =>
+        captured.synchronized(captured.clear())
+        val finalPlan = fn(spark, dir).queryExecution.executedPlan
+        org.apache.spark.sql.graft.TestBridge.waitListenerBus(spark)
+        val all = captured.synchronized(captured.toList)
+          .map(_.executedPlan) :+ finalPlan
+        name -> Audit(finalPlan.toString,
+          all.map(unpartitionedWindows).max)
+      }
+    } finally spark.listenerManager.unregister(listener)
   }
+
+  private lazy val plans: Map[String, String] =
+    audits.view.mapValues(_.plan).toMap
+
+  /** Every node of a physical plan, descending through the AQE
+    * wrapper (its pre-adaptive inputPlan — partitionSpec is decided
+    * at planning; AQE never changes it) and into subqueries. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case _ => p.children
+    }
+    (p +: kids.flatMap(allNodes)) ++ p.subqueries.flatMap(allNodes)
+  }
+
+  private def unpartitionedWindows(
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    allNodes(p).count {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }
 
   test("no query plans a CartesianProduct") {
     val bad = plans.collect {
@@ -131,6 +195,73 @@ class PlanAuditSpec extends SparkSpec {
       else None
     }
     assert(over.isEmpty, s"unbudgeted nested-loop joins:\n${over.toSeq.sorted.mkString("\n")}")
+  }
+
+  // query -> max partition-less WindowExec occurrences in any single
+  // executed plan (constructed OR construction-time — see `audits`).
+  // VERDICT r11 #2: a window with NO partitionSpec funnels its whole
+  // input through ONE task, so each one here must be justified by a
+  // bounded-by-construction input; an extra one fails the board.
+  // Corpus-sized rank work belongs in Ranks.cumOver's two-level form,
+  // whose only partition-less window is its ≤Buckets-row (4096)
+  // offset rollup — that rollup IS most of this list.
+  private val unpartWinBudget: Map[String, Int] = Map(
+    "q_bootstrap_ci" -> 1,      // rank over the ≤64-row replicate
+                                // means table (B is a constant)
+    "q_curriculum_tiers" -> 1,  // hdrQuantiles cum over the ≤1 920-row
+                                // sketch
+    "q_funnel" -> 1,            // cum over the |steps|-row funnel
+                                // summary (Sessionize.scala:85)
+    "q_gate_auc" -> 1,          // Ranks.cumOver offset rollup (≤4096
+                                // bucket rows) — the two-level form's
+                                // one by-design constant-size window
+    "q_gate_auc_raw" -> 1,      // same rollup, raw-score hazard row
+    "q_gate_pr" -> 1,           // same rollup (averagePrecision)
+    "q_gate_calibration" -> 1,  // thresholdSweep's cum over ≤nBins
+                                // bin rows (deliberate — Eval.scala
+                                // scaladoc)
+    "q_hdr_drift" -> 2,         // cum over the two ≤1 920-bucket
+                                // joined sketch tables (same+shifted
+                                // halves union into one plan)
+    "q_hdr_quantile" -> 3,      // rank scans over the ≤1 920-row
+                                // sketch AND the domain-bounded exact
+                                // histogram (sketch reused)
+    "q_hdr_weighted" -> 1,      // rank scan over the ≤1 920-row sketch
+    "q_kmv_rollup" -> 2,        // bottom-64 re-cuts: windows over ≤k
+                                // (64) kept hashes, per-shard + merged
+    "q_mwu_test" -> 1,          // Ranks.cumOver offset rollup — the
+                                // r11 single-task corpus window is
+                                // GONE; this is its 4096-row residue
+    "q_mwu_raw" -> 1,           // same, on raw continuous scores
+    "q_quantile_norm" -> 1,     // global-histogram cumOver rollup (the
+                                // per-stratum one partitions by
+                                // stratum and doesn't count)
+    "q_quantile_norm_raw" -> 1, // same, raw-score hazard row
+    "q_rank_corr" -> 2,         // two rank passes (x and y) → two
+                                // cumOver offset rollups in one plan
+    "q_rank_corr_raw" -> 2,     // same, both columns raw doubles
+    "q_rate_anomaly" -> 3,      // median/MAD rank windows over the
+                                // domain-bounded hourly bucket table
+                                // (Sessionize.scala:177)
+    "q_skew_stats" -> 1,        // rank over the k-row top-k cut
+    "q_source_gini" -> 1,       // cumOver rollup over strata buckets
+    "q_source_pareto" -> 1,     // Pareto rank over the |strata| table
+    "q_textrank" -> 1,          // kw_rank over the k-row cut (final
+                                // plan) / vocab-id cumOver rollup
+                                // (construction plan) — max 1 per
+                                // plan; the r11 vocab-sized
+                                // row_number window is gone
+    "q_winsorize" -> 1          // hdrQuantiles cum over the sketch
+  ).withDefaultValue(0)
+
+  test("partition-less WindowExec only over domain-bounded tables (allowlisted, exact counts)") {
+    val over = audits.flatMap { case (n, a) =>
+      if (a.maxUnpartWin > unpartWinBudget(n))
+        Some(f""""$n" -> ${a.maxUnpartWin},""")
+      else None
+    }
+    assert(over.isEmpty,
+      s"unbudgeted partition-less windows:\n${over.toSeq.sorted.mkString("\n")}")
   }
 
   // depth-aware top-level field count of ReadSchema: struct<...>

@@ -178,6 +178,47 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.containmentJoin(corpus, threshold = 0.7)))
   }
 
+  test("containmentJoinIncremental ≡ inline minus the corpus-vs-corpus quadrant (directed)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val vocab = ('a' to 'z').map(_.toString)
+    // mixed sizes so both directions cross the batch boundary: short
+    // stems quoted inside longer docs in both parities
+    val planted = Seq(
+      // odd short quoted inside even long (id_a odd -> id_b even)
+      (101L, "qa qb qc qd qe qf qg"),
+      (100L, "qa qb qc qd qe qf qg rx ry rz rw rv"),
+      // even short quoted inside odd long (id_a even -> id_b odd)
+      (102L, "za zb zc zd ze zf zg"),
+      (103L, "za zb zc zd ze zf zg sx sy sz sw sv"))
+    val corpus = ((0L until 50L).map { i =>
+      val stem = Seq.fill(6)(vocab(rnd.nextInt(5)))
+      val tail = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(26)))
+      (i, (stem ++ tail).mkString(" "))
+    } ++ planted).toDF("doc_id", "text").localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("cont_inc").toString + "/idx"
+    Dedup.jaccardIndexWrite(corpus.where(col("doc_id") % 2 === 0), dir)
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "n_common", "n_a", "n_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    for (tau <- Seq(0.6, 0.8)) {
+      val inc = rows(Dedup.containmentJoinIncremental(
+        corpus.where(col("doc_id") % 2 === 1), dir, threshold = tau))
+      val want = rows(Dedup.containmentJoin(corpus, threshold = tau))
+        .filterNot(p => p._1 % 2 == 0 && p._2 % 2 == 0)
+      assert(inc == want, s"tau=$tau: missing=${want -- inc} " +
+        s"extra=${inc -- want}")
+      // both directions across the boundary must actually occur for
+      // the fixture to prove anything
+      if (tau == 0.6) {
+        assert(want.exists(p => p._1 % 2 == 1 && p._2 % 2 == 0))
+        assert(want.exists(p => p._1 % 2 == 0 && p._2 % 2 == 1))
+      }
+    }
+  }
+
   test("jaccard index: indexed ≡ inline, incremental ≡ brute batch pairs, append ≡ rebuild") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -480,6 +480,40 @@ class EvalSpec extends SparkSpec {
     assert(got.getDouble(3) == 42.0 && got.getDouble(4) == 42.0)
   }
 
+  test("mannWhitneyUBy: per-stratum ≡ single-stratum MWU; degenerate strata report NULLs") {
+    val rnd = new scala.util.Random(7)
+    val rows = (for {
+      st <- Seq("en", "zh", "de"); i <- 0 until 120
+    } yield (st, if (i % 2 == 0) "a" else "b",
+      (rnd.nextInt(40) + (if (st == "en" && i % 2 == 0) 15 else 0)).toLong))
+      .toDF("stratum", "g", "v")
+      // a stratum with ONLY group a -> must emit NULL auc/z, not fail
+      .unionByName(Seq(("solo", "a", 5L), ("solo", "a", 9L))
+        .toDF("stratum", "g", "v"))
+    val got = Eval.mannWhitneyUBy(rows, col("stratum"), col("g"),
+      col("v"), "a", "b").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("en", "zh", "de", "solo"))
+    // by ≡ single, stratum for stratum (same auc; z differs only in
+    // double-op ordering — assert to 1e-9, both round to 6dp anyway)
+    for (st <- Seq("en", "zh", "de")) {
+      val single = Eval.mannWhitneyU(rows.where(col("stratum") === st),
+        col("g"), col("v"), "a", "b").head
+      val by = got(st)
+      assert(by.getLong(1) == single.getLong(0) &&
+        by.getLong(2) == single.getLong(1), s"$st counts")
+      assert(math.abs(by.getDouble(3) - single.getDouble(2)) < 1e-9,
+        s"$st auc: $by vs $single")
+      assert(math.abs(by.getDouble(4) - single.getDouble(3)) < 1e-9,
+        s"$st z: $by vs $single")
+    }
+    val solo = got("solo")
+    assert(solo.getLong(1) == 2L && solo.getLong(2) == 0L &&
+      solo.isNullAt(3) && solo.isNullAt(4), solo.toString)
+    // the shifted stratum must actually detect the shift
+    assert(got("en").getDouble(3) > 0.55)
+  }
+
   test("krippendorffAlpha: hand cases, ragged drop, brute replay") {
     // perfect agreement on 2 items -> alpha = 1
     val perf = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))

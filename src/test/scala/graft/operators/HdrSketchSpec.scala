@@ -184,6 +184,41 @@ class HdrSketchSpec extends SparkSpec {
     assert(far.getAs[Long]("psi_e12") > zero.getAs[Long]("psi_e12"))
   }
 
+  test("hdrDriftBy: per-stratum ≡ hdrDrift of the filtered sketches; one-sided stratum reports ks NULL") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (for {
+      st <- Seq("en", "zh"); i <- 0 until 400
+    } yield (st, (rnd.nextInt(500) + 1).toLong)).toDF("s", "x")
+    def skBy(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hdrSketchBy(df, col("s"), "x", b)
+    val p = rows
+    val q = rows.select(col("s"),
+      when(col("s") === "zh", col("x") * 4).otherwise(col("x")).as("x"))
+    val by = Sketch.hdrDriftBy(skBy(p), skBy(q)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (st <- Seq("en", "zh")) {
+      val single = Sketch.hdrDrift(
+        Sketch.hdrSketch(p.where(col("s") === st).select("x"), "x", b),
+        Sketch.hdrSketch(q.where(col("s") === st).select("x"), "x", b))
+        .head
+      val g = by(st)
+      assert(g.getLong(1) == single.getLong(0), s"$st n_buckets")
+      assert(g.getLong(2) == single.getLong(1), s"$st psi")
+      assert(g.getLong(3) == single.getLong(2), s"$st ks")
+    }
+    assert(by("zh").getLong(3) > by("en").getLong(3),
+      "shifted stratum must out-drift the stable one")
+    // a stratum present on ONE side only: psi finite, ks NULL (the
+    // exact-integer KS would divide by zero against an empty side)
+    val qPlus = skBy(q.unionByName(
+      Seq(("new", 42L), ("new", 99L)).toDF("s", "x")))
+    val oneSided = Sketch.hdrDriftBy(skBy(p), qPlus).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(oneSided("new").isNullAt(3) && !oneSided("new").isNullAt(2))
+    assert(oneSided("en").getLong(3) == by("en").getLong(3))
+  }
+
   test("winsorize: clamps both tails to sketch cuts, idempotent") {
     import spark.implicits._
     val df = ((1 to 98).map(i => (i.toLong, 1000L + i)) ++
