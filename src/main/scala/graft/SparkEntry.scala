@@ -1276,6 +1276,16 @@ object SparkEntry {
         .withColumnRenamed("stratum", "lang")
         .orderBy("lang", "v")),
 
+    // percentile-rank (ECDF) mapping on raw continuous scores — the
+    // calibration primitive under quantile normalization: monotone
+    // mid-rank percentiles on the exact 1e-6 integer grid, one
+    // distributed rank pass over corpus-cardinality distinct values
+    "q_pct_rank" -> ((s, dir) =>
+      Sampling.percentileRank(
+        t(s, dir, "documents")
+          .select(Sketch.md5Fraction(col("doc_id")).as("score")),
+        col("score")).orderBy("v")),
+
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
     // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
@@ -1945,6 +1955,31 @@ object SparkEntry {
         .withColumnRenamed("stratum", "lang")
         .orderBy("lang")),
 
+    // exact two-sample KS on the q_mwu_test fixture — the SHAPE
+    // companion (a variance blowup moves D while MWU's auc sits at
+    // 0.5); D from cross-multiplied integers on the value-domain
+    // histogram, both CDFs in ONE distributed cum pass
+    "q_ks_test" -> ((s, dir) =>
+      Eval.ksTest(t(s, dir, "documents"), col("lang"),
+        col("n_chars"), "en", "zh")),
+
+    // KS's hazard case (the q_mwu_raw fixture): raw continuous
+    // scores, distinct ≈ corpus, through the bucketed machinery
+    "q_ks_raw" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        (Sketch.md5Fraction(col("doc_id")) +
+          when(col("lang") === "en", 0.1).otherwise(0.0)).as("score"))
+      Eval.ksTest(d, col("lang"), col("score"), "en", "zh")
+    }),
+
+    // stratified KS: per-language src0-vs-src1 shape test (the
+    // q_mwu_by_lang companion); degenerate strata report NULLs
+    "q_ks_by_lang" -> ((s, dir) =>
+      Eval.ksTestBy(t(s, dir, "documents"), col("lang"),
+          col("source"), col("n_chars"), "src0", "src1")
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")),
+
     // Spearman rank correlation (tie-correct, Pearson on doubled
     // average ranks), two regimes: chars-vs-tokens (ρ ≈ 1 — the
     // signals are interchangeable as filters) and quantity-vs-price
@@ -1988,6 +2023,18 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           size(split(lower(col("text")), " ")).as("n_tokens")),
         col("n_tokens"), col("doc_id"))),
+
+    // per-language bootstrap error bars in ONE corpus pass — the
+    // dashboard shape ("which per-source mean moves are real?");
+    // same md5 weights as q_bootstrap_ci, so By ≡ single per stratum
+    // (EvalSpec pins it); rank windows partition by stratum
+    "q_bootstrap_ci_by" -> ((s, dir) =>
+      Eval.bootstrapMeanCIBy(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          size(split(lower(col("text")), " ")).as("n_tokens")),
+        col("lang"), col("n_tokens"), col("doc_id"))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")),
 
     // the PUBLISHED Gopher web-filter recipe (Rae et al. 2021 A1.1),
     // per rule per document — audit why a doc fell, not just that it
@@ -5221,6 +5268,23 @@ object SparkEntry {
         |FROM rk ASOF JOIN gh ON rk.rg >= gh.pv1
         |ORDER BY lang, v""".stripMargin,
 
+    // mid-rank ECDF replay: pct_e6 = ((2·cum − cnt)·5·10⁵) // n on
+    // the value-domain histogram, HUGEINT exact
+    "q_pct_rank" ->
+      s"""WITH r0 AS (
+        |  SELECT ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (SELECT v, count(*) AS cnt FROM r0
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |c AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM r0
+        |  WHERE v IS NOT NULL)
+        |SELECT v, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(((CAST(cum AS HUGEINT) * 2 - cnt) * 500000) // n
+        |    AS BIGINT) AS pct_e6
+        |FROM c, t ORDER BY v""".stripMargin,
+
     "q_chi2_indep" ->
       // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;
       // the engine's BigInt assembly has no bound), absent cells
@@ -7288,6 +7352,125 @@ object SparkEntry {
         |      6) END AS z
         |FROM f ORDER BY lang""".stripMargin,
 
+    // exact two-sample KS: both ECDFs on the value-domain histogram,
+    // D = max cross-multiplied |cuma·n2 − cumb·n1| in HUGEINT, one
+    // floor to the 1e-6 grid, z with the engine's pinned double ops
+    "q_ks_test" ->
+      """WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS g, n_chars AS v
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')),
+        |h AS (SELECT v,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END) AS cb
+        |  FROM r0 GROUP BY v),
+        |c AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM h),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2
+        |  FROM r0),
+        |m AS (SELECT n1, n2,
+        |    max(abs(CAST(cuma AS HUGEINT) * n2 -
+        |      CAST(cumb AS HUGEINT) * n1)) AS d
+        |  FROM c, t GROUP BY n1, n2)
+        |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE CAST((d * 1000000) // (n1 * n2) AS BIGINT) END AS d_e6,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE round((CAST(d AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+        |      sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+        |    END AS z
+        |FROM m""".stripMargin,
+
+    // same KS replay on the raw md5-uniform scores
+    "q_ks_raw" ->
+      s"""WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS g,
+        |    ${md5FracSql("CAST(doc_id AS VARCHAR)")} +
+        |      CASE WHEN lang = 'en' THEN 0.1 ELSE 0.0 END AS v
+        |  FROM documents
+        |  WHERE lang IN ('en', 'zh')),
+        |h AS (SELECT v,
+        |    sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END) AS cb
+        |  FROM r0 WHERE v IS NOT NULL GROUP BY v),
+        |c AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumb
+        |  FROM h),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n1,
+        |    CAST(sum(CASE WHEN g = 'zh' THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS n2
+        |  FROM r0 WHERE v IS NOT NULL),
+        |m AS (SELECT n1, n2,
+        |    max(abs(CAST(cuma AS HUGEINT) * n2 -
+        |      CAST(cumb AS HUGEINT) * n1)) AS d
+        |  FROM c, t GROUP BY n1, n2)
+        |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE CAST((d * 1000000) // (n1 * n2) AS BIGINT) END AS d_e6,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE round((CAST(d AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+        |      sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+        |    END AS z
+        |FROM m""".stripMargin,
+
+    // per-language KS replay: windows and totals partition/group by
+    // stratum; degenerate strata surface as NULLs, never errors
+    "q_ks_by_lang" ->
+      """WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum,
+        |    CAST(source AS VARCHAR) AS g, n_chars AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND source IN ('src0', 'src1')),
+        |h AS (SELECT stratum, v,
+        |    sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS cb
+        |  FROM r0 GROUP BY 1, 2),
+        |c AS (SELECT stratum, v, ca, cb,
+        |    sum(ca) OVER (PARTITION BY stratum ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (PARTITION BY stratum ORDER BY v ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM h),
+        |t AS (SELECT stratum,
+        |    CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS n1,
+        |    CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS n2
+        |  FROM r0 GROUP BY stratum),
+        |m AS (SELECT stratum, n1, n2,
+        |    max(abs(CAST(cuma AS HUGEINT) * n2 -
+        |      CAST(cumb AS HUGEINT) * n1)) AS d
+        |  FROM c JOIN t USING (stratum) GROUP BY stratum, n1, n2)
+        |SELECT stratum AS lang, CAST(n1 AS BIGINT) AS n_a,
+        |  CAST(n2 AS BIGINT) AS n_b,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE CAST((d * 1000000) // (n1 * n2) AS BIGINT) END AS d_e6,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |    ELSE round((CAST(d AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+        |      sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) /
+        |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
+        |    END AS z
+        |FROM m ORDER BY lang""".stripMargin,
+
     // doubled-average-rank Pearson on raw continuous doubles — the
     // oracle's global rank windows stand in for the engine's two
     // distributed bucketized rank passes (identical value-domain math)
@@ -7426,6 +7609,51 @@ object SparkEntry {
          |  round(CAST(sm AS DOUBLE) / n_rows, 6) AS mean,
          |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
          |FROM ov CROSS JOIN ci""".stripMargin
+    },
+
+    // per-language replay of the SAME weights (the hash ignores the
+    // stratum), ranks/clamp/means partitioned or grouped by lang
+    "q_bootstrap_ci_by" -> {
+      val cdf = Eval.bootstrapCdf
+      val u = md5FracSql(
+        "'bs|' || CAST(r.r AS VARCHAR) || '|' || b.id")
+      val wCase = ("CASE " + cdf.zipWithIndex.map { case (t, k) =>
+        s"WHEN ($u) < $t THEN $k"
+      }.mkString(" ") + " ELSE 5 END")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(lang AS VARCHAR) AS lang,
+         |    CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS m
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+         |    AND len(string_split(lower(text), ' ')) IS NOT NULL),
+         |wt AS MATERIALIZED (
+         |  SELECT b.lang, r.r, b.m, $wCase AS w
+         |  FROM base b CROSS JOIN range(0, 64) r(r)),
+         |means AS (
+         |  SELECT lang, r, CAST(sum(w * m) AS DOUBLE) / sum(w) AS rmean
+         |  FROM wt GROUP BY lang, r HAVING sum(w) > 0),
+         |rkd AS (
+         |  SELECT lang, r, rmean,
+         |    row_number() OVER (PARTITION BY lang ORDER BY rmean, r)
+         |      AS rk FROM means),
+         |ci0 AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS replicates_used,
+         |    max(CASE WHEN rk = 2 THEN rmean END) AS lo_at,
+         |    max(CASE WHEN rk = 63 THEN rmean END) AS hi_at,
+         |    max(rmean) AS mx
+         |  FROM rkd GROUP BY lang),
+         |ci AS (
+         |  SELECT lang, replicates_used,
+         |    CASE WHEN replicates_used >= 2 THEN lo_at ELSE mx END AS lo,
+         |    CASE WHEN replicates_used >= 63 THEN hi_at ELSE mx END AS hi
+         |  FROM ci0),
+         |ov AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+         |    sum(m) AS sm FROM base GROUP BY lang)
+         |SELECT lang, n_rows, replicates_used,
+         |  round(CAST(sm AS DOUBLE) / n_rows, 6) AS mean,
+         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM ov JOIN ci USING (lang) ORDER BY lang""".stripMargin
     },
 
     // Gopher rules: the same per-row arithmetic on the lowercased

@@ -603,6 +603,78 @@ object Eval {
         round(col("hi"), 6).as("ci_hi"))
   }
 
+  /** STRATIFIED Poisson-bootstrap CI — [[bootstrapMeanCI]] per
+    * stratum in one pass: the per-language/per-source error bars a
+    * curation dashboard actually shows ("mean quality moved per
+    * SOURCE — which moves are real?"). Same one-pass trick and the
+    * SAME per-(replicate, id) md5 weights as the single-stratum form
+    * (the weight hash does not involve the stratum, so By ≡ single
+    * stratum-for-stratum — spec-pinned); the rank window partitions
+    * by stratum (≤ `replicates` rows each), CI/totals equi-join on
+    * stratum, and the clamp rule for dropped replicates matches
+    * [[bootstrapMeanCI]]. Strata-many safe: no driver finish, no
+    * partition-less window, nothing wider than the
+    * (stratum × replicate) table shuffles.
+    *
+    * Output: one row per stratum — stratum, n_rows, replicates_used,
+    * mean, ci_lo, ci_hi. */
+  def bootstrapMeanCIBy(rows: DataFrame, strataCol: Column,
+      metricCol: Column, idCol: Column, replicates: Int = 64,
+      alphaPermille: Int = 25, seed: String = "bs"): DataFrame = {
+    require(replicates >= 4 && replicates <= 256,
+      s"replicates must be in [4, 256]: $replicates")
+    require(alphaPermille >= 1 && alphaPermille < 500,
+      s"alphaPermille must be in [1, 500): $alphaPermille")
+    require(!seed.contains("|"),
+      s"bootstrap seed must not contain '|': $seed")
+    val cum = bootstrapCdf
+    val base = rows
+      .select(strataCol.as("stratum"), metricCol.cast("long").as("m"),
+        idCol.cast("string").as("id"))
+      .where(col("stratum").isNotNull && col("m").isNotNull &&
+        col("id").isNotNull)
+      .localCheckpoint(false) // feeds the replicate fold AND the means
+    val u = graft.operators.Sketch.md5Fraction(concat(
+      lit(seed + "|"), col("r").cast("string"), lit("|"), col("id")))
+    val w = cum.zipWithIndex.reverse
+      .foldLeft(lit(5L): Column) { case (acc, (t, k)) =>
+        when(u < t, k.toLong).otherwise(acc)
+      }
+    val means = base
+      .select(col("stratum"), col("m"), col("id"),
+        explode(sequence(lit(0), lit(replicates - 1))).as("r"))
+      .withColumn("w", w)
+      .groupBy("stratum", "r")
+      .agg(sum(col("w") * col("m")).as("wm"), sum(col("w")).as("wn"))
+      .where(col("wn") > 0)
+      .select(col("stratum"), col("r"),
+        (col("wm").cast("double") / col("wn")).as("rmean"))
+    val loIdx = ((replicates - 1) * alphaPermille) / 1000 + 1
+    val hiIdx = replicates - ((replicates - 1) * alphaPermille) / 1000
+    val ranked = means.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("stratum").orderBy(col("rmean"), col("r"))))
+    val ci = ranked.groupBy("stratum").agg(
+      count(lit(1)).as("replicates_used"),
+      max(when(col("rk") === math.min(loIdx, replicates), col("rmean")))
+        .as("__lo_at"),
+      max(when(col("rk") === math.min(hiIdx, replicates), col("rmean")))
+        .as("__hi_at"),
+      max(col("rmean")).as("__mx"))
+      .select(col("stratum"), col("replicates_used"),
+        when(col("replicates_used") >= loIdx, col("__lo_at"))
+          .otherwise(col("__mx")).as("lo"),
+        when(col("replicates_used") >= hiIdx, col("__hi_at"))
+          .otherwise(col("__mx")).as("hi"))
+    val overall = base.groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"), sum(col("m")).as("sm"))
+    overall.join(ci, Seq("stratum"))
+      .select(col("stratum"), col("n_rows"), col("replicates_used"),
+        round(col("sm").cast("double") / col("n_rows"), 6).as("mean"),
+        round(col("lo"), 6).as("ci_lo"),
+        round(col("hi"), 6).as("ci_hi"))
+  }
+
   /** Cumulative Poisson(1) CDF at k = 0..4, as the exact double
     * literals both the operator and the oracle use. */
   private[graft] val bootstrapCdf: Seq[Double] = {
@@ -806,6 +878,84 @@ object Eval {
             sqrt((n1d * n2d) * t1.cast("double") /
               (lit(12.0) * (nd * (nd - lit(1.0))))), 6))
           .as("z"))
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov test — [[mannWhitneyU]]'s
+    * SHAPE-change companion: MWU sees location shifts (a stochastic
+    * ordering), KS sees ANY distribution change — a variance blowup
+    * or a bimodal split moves D while U sits at 0.5. Together they
+    * are the "did the batch change the score distribution" pair;
+    * [[graft.operators.Sketch.hdrDrift]] is the sketch-resolution
+    * sibling when only persisted histograms remain.
+    *
+    *   D = max_v |F_A(v) − F_B(v)|, exact over the raw values (not
+    *   sketch buckets): cross-multiplied integers
+    *   |cuma·n_b − cumb·n_a| in decimal(38,0) (corpus-scale cum·n
+    *   overflows Long — the hdrDrift discipline), ONE floor to 1e-6
+    *   grid at the end (d_e6 = ⌊D·10⁶⌋). z = D·√(n_a·n_b/(n_a+n_b)),
+    *   the statistic the Kolmogorov asymptotic takes (z > 1.36 ≈
+    *   two-sided 5 %); one double division + one sqrt, rounded to 6.
+    *
+    * Plan: one map-side-combined two-count histogram groupBy; both
+    * cumulative CDFs ride ONE [[Ranks.cumOver]] pass (two sum
+    * columns), so raw continuous scores — the natural input —
+    * distribute exactly like [[aucExact]]'s; the totals fold is a
+    * 1-row broadcast. Empty groups emit NULL d_e6/z (in-frame — no
+    * require, the [[mannWhitneyUBy]] degenerate-stratum rule);
+    * an empty INPUT emits zero rows.
+    *
+    * Output one row: n_a, n_b, d_e6, z. */
+  def ksTest(df: DataFrame, groupCol: Column, valueCol: Column,
+      groupA: String, groupB: String): DataFrame =
+    ksBy(df, None, groupCol, valueCol, groupA, groupB)
+      .select("n_a", "n_b", "d_e6", "z")
+
+  /** STRATIFIED exact KS — one [[ksTest]] per stratum in one pass
+    * ("did the crawl change the score distribution per language?",
+    * the [[mannWhitneyUBy]]/[[graft.operators.Sketch.hdrDriftBy]]
+    * monitoring shape): rank cums partition by (stratum, bucket),
+    * totals equi-join on stratum, strata missing a group report NULL
+    * d_e6/z. Output: stratum, n_a, n_b, d_e6, z. */
+  def ksTestBy(df: DataFrame, strataCol: Column, groupCol: Column,
+      valueCol: Column, groupA: String, groupB: String): DataFrame =
+    ksBy(df, Some(strataCol), groupCol, valueCol, groupA, groupB)
+
+  private def ksBy(df: DataFrame, strataCol: Option[Column],
+      groupCol: Column, valueCol: Column, groupA: String,
+      groupB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = groupCol.cast("string")
+    val stratum = strataCol.map(c => Seq(c.as("stratum")))
+      .getOrElse(Seq(lit(0L).as("stratum")))
+    val parts = Seq("stratum")
+    val rows = df
+      .select(stratum ++ Seq(g.as("g"), valueCol.as("v")): _*)
+      .where(col("stratum").isNotNull && col("v").isNotNull &&
+        (col("g") === groupA || col("g") === groupB))
+      .localCheckpoint(false) // feeds the histogram AND the totals
+    val hist = Ranks.cumOver(
+      rows.groupBy("stratum", "v").agg(
+        sum(when(col("g") === groupA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === groupB, 1L).otherwise(0L)).as("cb")),
+      "v", parts, Seq("ca" -> "cuma", "cb" -> "cumb"))
+    val tot = rows.groupBy("stratum").agg(
+      sum(when(col("g") === groupA, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === groupB, 1L).otherwise(0L)).as("n2"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val dD = col("d").cast("double") / (n1d * n2d)
+    hist.join(tot, parts)
+      .select(col("stratum"), col("n1"), col("n2"),
+        abs(col("cuma").cast(dec) * col("n2").cast(dec) -
+          col("cumb").cast(dec) * col("n1").cast(dec)).as("dd"))
+      .groupBy("stratum", "n1", "n2").agg(max("dd").as("d"))
+      .select(col("stratum"), col("n1").as("n_a"),
+        col("n2").as("n_b"),
+        when(col("n1") > 0 && col("n2") > 0, expr(
+          "CAST((d * 1000000) DIV (CAST(n1 AS DECIMAL(38,0)) * n2)" +
+            " AS BIGINT)")).as("d_e6"),
+        when(col("n1") > 0 && col("n2") > 0,
+          round(dD * sqrt((n1d * n2d) / (n1d + n2d)), 6)).as("z"))
   }
 
   /** Krippendorff's α (nominal data) — the agreement coefficient that

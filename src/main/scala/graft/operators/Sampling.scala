@@ -406,6 +406,41 @@ object Sampling {
         col("gv").as("norm_v"))
   }
 
+  /** Empirical-CDF (percentile-rank) transform — the calibration
+    * PRIMITIVE under [[quantileNormalize]]: map every score to its
+    * corpus percentile so thresholds read "keep the top 20 %" instead
+    * of "keep score ≥ 0.7314" (which silently re-tightens every time
+    * the scorer is retrained). Mid-rank (Hazen-type) percentile on
+    * the 1e-6 integer grid:
+    *
+    *   pct_e6 = ⌊(2·cum − cnt)·5·10⁵ / n⌋
+    *
+    * — ties share one percentile, the transform is monotone by
+    * construction, and everything is exact integer arithmetic
+    * (doubled mid-rank 2·cum − cnt ≤ 2n; the product rides
+    * decimal(38,0)).
+    *
+    * Plan: one map-side-combined histogram groupBy, the cumulative
+    * through [[Ranks.cumOver]]'s distributed two-level prefix sum
+    * (raw continuous scores — THE input for score calibration —
+    * never funnel one task), one 1-row broadcast total. Output is the
+    * VALUE-DOMAIN mapping table (v, cnt, pct_e6) — join it back by
+    * value, or feed it to a monotone threshold directly; like
+    * [[quantileNormalize]] the mapping grows with the distinct count,
+    * which is the operator's contract. */
+  def percentileRank(df: DataFrame, scoreCol: Column): DataFrame = {
+    val rows = df.select(scoreCol.as("v")).where(col("v").isNotNull)
+      .localCheckpoint(false) // feeds the histogram AND the total
+    val hist = graft.operators.Ranks.cumOver(
+      rows.groupBy("v").agg(count(lit(1)).as("cnt")),
+      "v", Nil, Seq("cnt" -> "cum"))
+    val tot = rows.agg(count(lit(1)).as("n"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("v"), col("cnt"), expr(
+        "CAST(((CAST(cum AS DECIMAL(38,0)) * 2 - cnt) * 500000)" +
+          " DIV n AS BIGINT)").as("pct_e6"))
+  }
+
   /** Curriculum / difficulty tiers: cut a scored corpus into `nTiers`
     * quantile bands — the binning step of curriculum schedules
     * ("train easy → hard") and difficulty-stratified data mixes. The

@@ -85,6 +85,12 @@ class PlanAuditSpec extends SparkSpec {
                                 // domain-bounded strata table
     "q_mwu_by_lang" -> 2,       // 2× Ranks.cumOver bounds fold on the
                                 // per-stratum value histogram
+    "q_ks_test" -> 2,           // 2× cumOver bounds fold (one pass
+                                // carries BOTH ECDF cums)
+    "q_ks_raw" -> 2,            // same, raw-score hazard form
+    "q_ks_by_lang" -> 2,        // same, stratified
+    "q_pct_rank" -> 3,          // 2× cumOver bounds fold + the 1-row
+                                // corpus-total fold onto the mapping
     "q_quantile_norm" -> 6,     // 2× bounds fold per Ranks.cumOver
                                 // (per-stratum + global hist = 4) +
                                 // the 1-row n_g fold onto the stratum
@@ -233,6 +239,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // r11 single-task corpus window is
                                 // GONE; this is its 4096-row residue
     "q_mwu_raw" -> 1,           // same, on raw continuous scores
+    "q_pct_rank" -> 1,          // cumOver offset rollup over the
+                                // raw-score histogram's 4096 buckets
     "q_quantile_norm" -> 1,     // global-histogram cumOver rollup (the
                                 // per-stratum one partitions by
                                 // stratum and doesn't count)

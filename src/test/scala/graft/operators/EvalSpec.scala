@@ -514,6 +514,82 @@ class EvalSpec extends SparkSpec {
     assert(got("en").getDouble(3) > 0.55)
   }
 
+  test("ksTest: hand case, shape-vs-location split vs MWU, brute ECDF replay") {
+    // hand case: A = {1,2,3}, B = {2,3,4} -> ECDFs differ by 1/3 at
+    // v=1 (1/3 vs 0), v=2 (2/3 vs 1/3), v=3 (1 vs 2/3); D = 1/3
+    val hand = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val h = Eval.ksTest(hand, col("g"), col("v"), "a", "b").head
+    assert(h.getLong(0) == 3L && h.getLong(1) == 3L)
+    assert(h.getLong(2) == 333333L, h.toString) // floor(1e6/3)
+    // brute replay on random data: D from a plain Scala ECDF scan
+    val rnd = new scala.util.Random(3)
+    val data = (0 until 500).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        rnd.nextInt(60).toLong + (if (i % 2 == 0) 5 else 0)))
+    val got = Eval.ksTest(data.toDF("g", "v"), col("g"), col("v"),
+      "a", "b").head
+    val as = data.filter(_._1 == "a").map(_._2)
+    val bs = data.filter(_._1 == "b").map(_._2)
+    val dBrute = (as ++ bs).distinct.map { v =>
+      math.abs(as.count(_ <= v).toLong * bs.size -
+        bs.count(_ <= v).toLong * as.size)
+    }.max
+    assert(got.getLong(2) ==
+      dBrute * 1000000L / (as.size.toLong * bs.size), got.toString)
+    // a pure VARIANCE change: MWU reads ~no location shift while KS
+    // fires — the reason both tests exist
+    val sym = (0 until 400).flatMap { i =>
+      val x = (i % 100).toLong
+      Seq(("a", 50L + (if (x < 50) x else -(x - 50))),
+        ("b", 50L + (if (x < 50) 3 * x else -3 * (x - 50))))
+    }.toDF("g", "v")
+    val mwu = Eval.mannWhitneyU(sym, col("g"), col("v"), "a", "b").head
+    val ks = Eval.ksTest(sym, col("g"), col("v"), "a", "b").head
+    assert(math.abs(mwu.getDouble(2) - 0.5) < 0.02,
+      s"MWU should sit near 0.5 on the symmetric spread: $mwu")
+    assert(ks.getLong(2) > 300000L,
+      s"KS must see the variance blowup: $ks")
+  }
+
+  test("ksTestBy: per-stratum ≡ single; missing group reports NULLs") {
+    val rnd = new scala.util.Random(17)
+    val rows = (for {
+      st <- Seq("en", "zh"); i <- 0 until 200
+    } yield (st, if (i % 2 == 0) "a" else "b",
+      rnd.nextInt(50).toLong + (if (st == "en" && i % 2 == 0) 10 else 0)))
+      .toDF("stratum", "g", "v")
+      .unionByName(Seq(("solo", "a", 5L)).toDF("stratum", "g", "v"))
+    val by = Eval.ksTestBy(rows, col("stratum"), col("g"), col("v"),
+      "a", "b").collect().map(r => r.getString(0) -> r).toMap
+    for (st <- Seq("en", "zh")) {
+      val single = Eval.ksTest(rows.where(col("stratum") === st),
+        col("g"), col("v"), "a", "b").head
+      assert(by(st).getLong(3) == single.getLong(2), s"$st d_e6")
+      assert(by(st).getDouble(4) == single.getDouble(3), s"$st z")
+    }
+    assert(by("solo").isNullAt(3) && by("solo").isNullAt(4))
+  }
+
+  test("bootstrapMeanCIBy: stratum-for-stratum ≡ single (same md5 weights)") {
+    val data = (0L until 90L).map(i =>
+      (Seq("x", "y", "z")(i.toInt % 3), i, 10L + (i * 11) % 37))
+      .toDF("s", "id", "m")
+    val by = Eval.bootstrapMeanCIBy(data, col("s"), col("m"),
+      col("id"), replicates = 16).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (st <- Seq("x", "y", "z")) {
+      val single = Eval.bootstrapMeanCI(data.where(col("s") === st),
+        col("m"), col("id"), replicates = 16).head
+      val g = by(st)
+      assert(g.getLong(1) == single.getLong(0) &&
+        g.getLong(2) == single.getLong(1), s"$st counts")
+      assert(g.getDouble(3) == single.getDouble(2) &&
+        g.getDouble(4) == single.getDouble(3) &&
+        g.getDouble(5) == single.getDouble(4), s"$st: $g vs $single")
+    }
+  }
+
   test("krippendorffAlpha: hand cases, ragged drop, brute replay") {
     // perfect agreement on 2 items -> alpha = 1
     val perf = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))

@@ -187,4 +187,24 @@ class SurvivorSpec extends SparkSpec {
     // value: rg = ceil(5 * 110 / 10) = 55 -> global value #55 = 145
     assert(got(("A", 5L)) == 145L)
   }
+
+  test("percentileRank: exact mid-rank percentiles, ties share, monotone") {
+    import spark.implicits._
+    // 1,2,2,3: average ranks 1, 2.5, 2.5, 4; Hazen pct = (r̄−½)/n
+    // -> 12.5 %, 50 % (the tied pair), 87.5 %
+    val got = Sampling.percentileRank(
+      Seq(1L, 2L, 2L, 3L).toDF("v"), col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (1L, 125000L), got.toString)   // (2*1-1)*5e5/4
+    assert(got(2L) == (2L, 500000L), got.toString)   // (2*3-2)*5e5/4
+    assert(got(3L) == (1L, 875000L), got.toString)   // (2*4-1)*5e5/4
+    // monotone + bounded on a random column with duplicates
+    val rnd = new scala.util.Random(5)
+    val vals = (0 until 700).map(_ => rnd.nextInt(90).toLong)
+    val pr = Sampling.percentileRank(vals.toDF("v"), col("v"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pr.map(_._2).zip(pr.map(_._2).tail).forall(p => p._1 < p._2))
+    assert(pr.forall(p => p._2 >= 0L && p._2 < 1000000L))
+  }
 }
