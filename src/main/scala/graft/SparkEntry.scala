@@ -665,18 +665,10 @@ object SparkEntry {
       val quants =
         Sketch.hdrQuantiles(Sketch.hdrSketch(docs, "x", 5), 5,
           Seq(500, 900, 990))
-      val wv = org.apache.spark.sql.expressions.Window.orderBy("x")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val hc = docs.groupBy("x").agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(wv))
-      val total = docs.agg(count(lit(1)).as("n"))
-      val ranks = quants.select("q_mil").crossJoin(broadcast(total))
-        .select(col("q_mil"),
-          greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
-      val exact = broadcast(ranks).join(hc, col("cum") >= col("r"))
-        .groupBy("q_mil").agg(min("x").as("exact_q"))
+      // exact side through the public operator (r12 — previously an
+      // inline global window over the domain-bounded histogram)
+      val exact = Sketch.exactQuantiles(docs, "x", Seq(500, 900, 990))
+        .withColumnRenamed("v", "exact_q")
       quants.join(exact, "q_mil")
         .select(col("q_mil"), col("key"), col("low"), col("width"),
           col("est_x2"), col("exact_q"),
@@ -1285,6 +1277,23 @@ object SparkEntry {
         t(s, dir, "documents")
           .select(Sketch.md5Fraction(col("doc_id")).as("score")),
         col("score")).orderBy("v")),
+
+    // EXACT p50/p90/p99 on a raw continuous column — the input a
+    // percentile_disc corpus sort (or the pre-r12 global cum window)
+    // would single-task; least value reaching the exact ceil-rank
+    "q_exact_quantile" -> ((s, dir) =>
+      Sketch.exactQuantiles(
+        t(s, dir, "documents")
+          .select(Sketch.md5Fraction(col("doc_id")).as("score")),
+        "score", Seq(500, 900, 990)).orderBy("q_mil")),
+
+    // per-language exact p50/p99 doc length — rank pick equi-joined
+    // on stratum (hash join, never a nested loop)
+    "q_exact_quantile_by" -> ((s, dir) =>
+      Sketch.exactQuantilesBy(t(s, dir, "documents"), col("lang"),
+          "n_chars", Seq(500, 990))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang", "q_mil")),
 
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
@@ -5284,6 +5293,47 @@ object SparkEntry {
         |  CAST(((CAST(cum AS HUGEINT) * 2 - cnt) * 500000) // n
         |    AS BIGINT) AS pct_e6
         |FROM c, t ORDER BY v""".stripMargin,
+
+    // exact ceil-rank pick over the raw-score value-domain histogram
+    "q_exact_quantile" ->
+      s"""WITH r0 AS (
+        |  SELECT ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (SELECT v, count(*) AS c FROM r0
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |c AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0
+        |  WHERE v IS NOT NULL),
+        |qs(q_mil) AS (VALUES (500), (900), (990)),
+        |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+        |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT))
+        |      AS r
+        |  FROM qs, t)
+        |SELECT q_mil, min(v) AS v
+        |FROM r JOIN c ON c.cum >= r.r
+        |GROUP BY q_mil ORDER BY q_mil""".stripMargin,
+
+    // per-stratum exact ranks: windows/totals partition by lang
+    "q_exact_quantile_by" ->
+      """WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum, n_chars AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |h AS (SELECT stratum, v, count(*) AS c FROM r0 GROUP BY 1, 2),
+        |c AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS cum FROM h),
+        |t AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM r0
+        |  GROUP BY stratum),
+        |qs(q_mil) AS (VALUES (500), (990)),
+        |r AS (SELECT stratum, CAST(q_mil AS BIGINT) AS q_mil,
+        |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT))
+        |      AS r
+        |  FROM t, qs)
+        |SELECT r.stratum AS lang, q_mil, CAST(min(v) AS BIGINT) AS v
+        |FROM r JOIN c ON c.stratum = r.stratum AND c.cum >= r.r
+        |GROUP BY r.stratum, q_mil ORDER BY lang, q_mil""".stripMargin,
 
     "q_chi2_indep" ->
       // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;

@@ -352,6 +352,66 @@ object Sketch {
       .withColumn("est_x2", col("low") * 2 + col("width") - 1)
   }
 
+  /** EXACT type-1 quantiles over raw values — the [[hdrQuantiles]]
+    * family's exact twin for when the 2^−b bucket band isn't good
+    * enough (billing cutoffs, SLA percentiles, contract thresholds):
+    * for each q‰ the answer is the LEAST value whose cumulative count
+    * reaches r = max(1, ⌈q·n/1000⌉), exactly — no sketch, no sort.
+    *
+    * Plan: one map-side-combined value histogram, the cumulative
+    * through [[graft.operators.Ranks.cumOver]]'s distributed
+    * two-level prefix sum (raw continuous domains — distinct ≈
+    * corpus — never funnel one task; a `sort().limit(r)` or
+    * percentile_disc would pay a corpus sort), then the rank pick is
+    * a broadcast ≤|q|-row non-equi join + min — each histogram row
+    * meets only the constant q-list ([[hdrQuantiles]]' join shape).
+    *
+    * Output: one row per q — (q_mil, v); v keeps the input type. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"exactQuantiles: q_mil values must be in [0,1000], got $qMils")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(valueCol).as("v"))
+      .where(col("v").isNotNull)
+      .localCheckpoint(false) // feeds the histogram AND the total
+    val hist = graft.operators.Ranks.cumOver(
+      rows.groupBy("v").agg(count(lit(1)).as("cnt")),
+      "v", Nil, Seq("cnt" -> "cum"))
+    val total = rows.agg(count(lit(1)).as("n"))
+    val ranked = qMils.toDF("q_mil").crossJoin(broadcast(total))
+      .select(col("q_mil").cast("long").as("q_mil"),
+        greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
+    broadcast(ranked).join(hist, col("cum") >= col("r"))
+      .groupBy("q_mil").agg(min("v").as("v"))
+  }
+
+  /** STRATIFIED exact quantiles — [[exactQuantiles]] per stratum in
+    * one pass (the [[hdrQuantilesBy]] join-shape rule: the q-list
+    * attaches by explode, the rank pick is an equi-join ON STRATUM
+    * with a residual cum ≥ r filter — hash join, never a nested
+    * loop; per-stratum cums partition by (stratum, bucket)).
+    * Output: (stratum, q_mil, v). */
+  def exactQuantilesBy(df: DataFrame, strataCol: Column,
+      valueCol: String, qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"exactQuantilesBy: q_mil values must be in [0,1000], got $qMils")
+    val rows = df.select(strataCol.as("stratum"), col(valueCol).as("v"))
+      .where(col("stratum").isNotNull && col("v").isNotNull)
+      .localCheckpoint(false)
+    val hist = graft.operators.Ranks.cumOver(
+      rows.groupBy("stratum", "v").agg(count(lit(1)).as("cnt")),
+      "v", Seq("stratum"), Seq("cnt" -> "cum"))
+    val ranked = rows.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .withColumn("q_mil", explode(typedLit(qMils.map(_.toLong))))
+      .select(col("stratum"), col("q_mil"),
+        greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
+    ranked.join(hist, Seq("stratum"))
+      .where(col("cum") >= col("r"))
+      .groupBy("stratum", "q_mil").agg(min("v").as("v"))
+  }
+
   /** Winsorize (quantile-clip) a column against its own sketch —
     * outlier taming before means/σ-based stats or length-capped
     * training batches: values below the lo‰ bucket's LOW edge clamp

@@ -76,11 +76,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // 2-row q-list × ≤1 920-bucket rank scan
                                 // (q_hdr_by_lang needs NO budget — its
                                 // stratified path is equi-join only)
-    "q_hdr_quantile" -> 6,      // 3-row q-list × (≤1 920-bucket sketch,
-                                // domain-bounded exact histogram) rank
-                                // scans + 1-row total folds, ×2 (quants
-                                // reused by the exact side) — never
-                                // corpus-sized on either input
+    "q_hdr_quantile" -> 6,      // 3-row q-list × ≤1 920-bucket sketch
+                                // rank scan + exactQuantiles' bounds/
+                                // total folds + its broadcast rank
+                                // pick — never corpus-sized sides
     "q_source_pareto" -> 1,     // 1-row total-mass fold onto the
                                 // domain-bounded strata table
     "q_mwu_by_lang" -> 2,       // 2× Ranks.cumOver bounds fold on the
@@ -89,6 +88,11 @@ class PlanAuditSpec extends SparkSpec {
                                 // carries BOTH ECDF cums)
     "q_ks_raw" -> 2,            // same, raw-score hazard form
     "q_ks_by_lang" -> 2,        // same, stratified
+    "q_exact_quantile" -> 4,    // 2x cumOver bounds fold + 1-row total
+                                // fold + the broadcast <=|q|-row rank
+                                // pick (hdrQuantiles' join shape)
+    "q_exact_quantile_by" -> 2, // 2x cumOver bounds fold (rank pick is
+                                // an equi-join on stratum)
     "q_pct_rank" -> 3,          // 2× cumOver bounds fold + the 1-row
                                 // corpus-total fold onto the mapping
     "q_quantile_norm" -> 6,     // 2× bounds fold per Ranks.cumOver
@@ -229,9 +233,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_hdr_drift" -> 2,         // cum over the two ≤1 920-bucket
                                 // joined sketch tables (same+shifted
                                 // halves union into one plan)
-    "q_hdr_quantile" -> 3,      // rank scans over the ≤1 920-row
-                                // sketch AND the domain-bounded exact
-                                // histogram (sketch reused)
+    "q_hdr_quantile" -> 2,      // sketch rank scan over ≤1 920 rows +
+                                // exactQuantiles' cumOver offset
+                                // rollup (was 3 pre-r12: the exact
+                                // side's inline global window is gone)
     "q_hdr_weighted" -> 1,      // rank scan over the ≤1 920-row sketch
     "q_kmv_rollup" -> 2,        // bottom-64 re-cuts: windows over ≤k
                                 // (64) kept hashes, per-shard + merged
@@ -239,6 +244,9 @@ class PlanAuditSpec extends SparkSpec {
                                 // r11 single-task corpus window is
                                 // GONE; this is its 4096-row residue
     "q_mwu_raw" -> 1,           // same, on raw continuous scores
+    "q_exact_quantile" -> 1,    // cumOver offset rollup over the
+                                // raw-score histogram buckets (the
+                                // rank pick has no window)
     "q_pct_rank" -> 1,          // cumOver offset rollup over the
                                 // raw-score histogram's 4096 buckets
     "q_quantile_norm" -> 1,     // global-histogram cumOver rollup (the

@@ -184,6 +184,33 @@ class HdrSketchSpec extends SparkSpec {
     assert(far.getAs[Long]("psi_e12") > zero.getAs[Long]("psi_e12"))
   }
 
+  test("exactQuantiles: ceil-rank order statistics, exact; By ≡ single per stratum") {
+    import spark.implicits._
+    // 1..100: p50 -> rank 50 -> value 50; p99 -> rank 99; p0 -> rank 1
+    val df = (1L to 100L).toDF("x")
+    val q = Sketch.exactQuantiles(df, "x", Seq(0, 500, 990, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q == Map(0L -> 1L, 500L -> 50L, 990L -> 99L, 1000L -> 100L), q.toString)
+    // ties: the least value REACHING the rank
+    val tied = Seq(1L, 2L, 2L, 2L, 9L).toDF("x")
+    val qt = Sketch.exactQuantiles(tied, "x", Seq(500)).head.getLong(1)
+    assert(qt == 2L) // rank ceil(2.5)=3, cum(2)=4 >= 3
+    // stratified ≡ per-stratum single runs
+    val rnd = new scala.util.Random(29)
+    val rows = (for { st <- Seq("a", "b"); _ <- 0 until 300 }
+      yield (st, rnd.nextInt(1000).toLong)).toDF("s", "x")
+    val by = Sketch.exactQuantilesBy(rows, col("s"), "x", Seq(500, 990))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (st <- Seq("a", "b")) {
+      val single = Sketch.exactQuantiles(
+        rows.where(col("s") === st), "x", Seq(500, 990))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(by((st, 500L)) == single(500L) &&
+        by((st, 990L)) == single(990L), s"$st: $by vs $single")
+    }
+  }
+
   test("hdrDriftBy: per-stratum ≡ hdrDrift of the filtered sketches; one-sided stratum reports ks NULL") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
