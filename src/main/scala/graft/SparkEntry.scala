@@ -1295,6 +1295,13 @@ object SparkEntry {
         .withColumnRenamed("stratum", "lang")
         .orderBy("lang", "q_mil")),
 
+    // exact BYTE-MASS percentiles: "half the corpus bytes live in
+    // docs shorter than X", exactly — value = weight = n_chars, rank
+    // over total mass (the hdrSketchWeighted symmetry, exact twin)
+    "q_exact_quantile_w" -> ((s, dir) =>
+      Sketch.exactQuantilesWeighted(t(s, dir, "documents"),
+        "n_chars", "n_chars", Seq(500, 900)).orderBy("q_mil")),
+
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
     // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
@@ -5334,6 +5341,24 @@ object SparkEntry {
         |SELECT r.stratum AS lang, q_mil, CAST(min(v) AS BIGINT) AS v
         |FROM r JOIN c ON c.stratum = r.stratum AND c.cum >= r.r
         |GROUP BY r.stratum, q_mil ORDER BY lang, q_mil""".stripMargin,
+
+    // mass-weighted exact ranks over total byte mass W
+    "q_exact_quantile_w" ->
+      """WITH r0 AS (
+        |  SELECT n_chars AS v, n_chars AS w FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |h AS (SELECT v, sum(w) AS c FROM r0 GROUP BY v),
+        |c AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS n FROM r0),
+        |qs(q_mil) AS (VALUES (500), (900)),
+        |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+        |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT))
+        |      AS r
+        |  FROM qs, t)
+        |SELECT q_mil, CAST(min(v) AS BIGINT) AS v
+        |FROM r JOIN c ON c.cum >= r.r
+        |GROUP BY q_mil ORDER BY q_mil""".stripMargin,
 
     "q_chi2_indep" ->
       // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;

@@ -371,19 +371,47 @@ object Sketch {
       qMils: Seq[Int]): DataFrame = {
     require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
       s"exactQuantiles: q_mil values must be in [0,1000], got $qMils")
-    val spark = df.sparkSession
-    import spark.implicits._
     val rows = df.select(col(valueCol).as("v"))
       .where(col("v").isNotNull)
       .localCheckpoint(false) // feeds the histogram AND the total
-    val hist = graft.operators.Ranks.cumOver(
-      rows.groupBy("v").agg(count(lit(1)).as("cnt")),
-      "v", Nil, Seq("cnt" -> "cum"))
-    val total = rows.agg(count(lit(1)).as("n"))
+    exactPick(rows.groupBy("v").agg(count(lit(1)).as("cnt")),
+      rows.agg(count(lit(1)).as("n")), qMils)
+  }
+
+  /** WEIGHTED exact quantiles — [[exactQuantiles]] over MASS instead
+    * of row count (the [[hdrSketchWeighted]] symmetry): "half the
+    * corpus BYTES live in docs shorter than X", exactly. Rank
+    * r = max(1, ⌈q·W/1000⌉) over total mass W; weights must be
+    * non-negative integers, zero-weight rows carry no mass and are
+    * dropped. Same histogram + distributed-cum + broadcast-pick plan.
+    * Output: (q_mil, v). */
+  def exactQuantilesWeighted(df: DataFrame, valueCol: String,
+      weightCol: String, qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"exactQuantilesWeighted: q_mil values must be in [0,1000]," +
+        s" got $qMils")
+    val rows = df.select(col(valueCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("v").isNotNull && col("w") > 0)
+      .localCheckpoint(false)
+    exactPick(rows.groupBy("v").agg(sum("w").as("cnt")),
+      rows.agg(sum("w").as("n")), qMils)
+  }
+
+  /** Shared ceil-rank pick of the exact-quantile family: least v
+    * whose cumulative `cnt` reaches r = max(1, ⌈q·n/1000⌉), the
+    * cumulative distributed through [[graft.operators.Ranks.cumOver]]
+    * and the ≤\|q\|-row rank list broadcast. */
+  private def exactPick(hist: DataFrame, total: DataFrame,
+      qMils: Seq[Int]): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val cum = graft.operators.Ranks.cumOver(hist, "v", Nil,
+      Seq("cnt" -> "cum"))
     val ranked = qMils.toDF("q_mil").crossJoin(broadcast(total))
       .select(col("q_mil").cast("long").as("q_mil"),
         greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
-    broadcast(ranked).join(hist, col("cum") >= col("r"))
+    broadcast(ranked).join(cum, col("cum") >= col("r"))
       .groupBy("q_mil").agg(min("v").as("v"))
   }
 

@@ -465,6 +465,30 @@ object ScdStream {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("key"), col("cnt"))
 
+  /** STRATIFIED [[valueHistogramPerWindow]] — one log-linear
+    * histogram per (window, stratum): the streaming input of
+    * [[graft.operators.Sketch.hdrDriftBy]], closing the monitoring
+    * loop "which LANGUAGE drifted in the last hour" (r12 — the
+    * per-stratum twin of the streaming drift monitor HdrStreamSpec
+    * pins). State per window is |strata|·≤ ~(64−b)·2^b bucket rows —
+    * corpus-independent per stratum; rows stay additive per
+    * (stratum, key), so shard unions / late re-emissions merge by
+    * summing and per-stratum quantiles serve from any union via
+    * [[graft.operators.Sketch.hdrQuantilesBy]]. */
+  def valueHistogramPerWindowBy(df: DataFrame, strataCol: Column,
+      valueCol: String, tsCol: String, windowDuration: String,
+      watermarkDelay: String, subBits: Int = 5): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), strataCol.as("stratum"),
+        graft.operators.Sketch.hdrKey(col(valueCol), subBits).as("key"))
+      .where(col("key").isNotNull && col("stratum").isNotNull)
+      .groupBy(window(col(tsCol), windowDuration).as("w"),
+        col("stratum"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("stratum"), col("key"),
+        col("cnt"))
+
   /** Streaming exact dedup: drop re-occurrences of a key within the
     * watermark horizon — the streaming face of `Dedup.exactGroups`
     * for continuous document ingest (key = content fingerprint).

@@ -93,6 +93,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // pick (hdrQuantiles' join shape)
     "q_exact_quantile_by" -> 2, // 2x cumOver bounds fold (rank pick is
                                 // an equi-join on stratum)
+    "q_exact_quantile_w" -> 4,  // same folds as q_exact_quantile,
+                                // mass-weighted
     "q_pct_rank" -> 3,          // 2× cumOver bounds fold + the 1-row
                                 // corpus-total fold onto the mapping
     "q_quantile_norm" -> 6,     // 2× bounds fold per Ranks.cumOver
@@ -247,6 +249,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_exact_quantile" -> 1,    // cumOver offset rollup over the
                                 // raw-score histogram buckets (the
                                 // rank pick has no window)
+    "q_exact_quantile_w" -> 1,  // same rollup, mass-weighted
     "q_pct_rank" -> 1,          // cumOver offset rollup over the
                                 // raw-score histogram's 4096 buckets
     "q_quantile_norm" -> 1,     // global-histogram cumOver rollup (the

@@ -79,6 +79,52 @@ class HdrStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stratified streaming drift: per-(window, lang) histograms vs per-lang reference — only the shifted lang fires") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def mk(lang: String, f: Long => Long) =
+      (1 to 300).map(i => (lang, f((i * 61L) % 20000L)))
+    // per-lang reference sketches from the standing corpus
+    val ref = Sketch.hdrSketchBy(
+      (mk("en", identity) ++ mk("zh", identity)).toDF("lang", "x"),
+      col("lang"), "x", 5)
+      .withColumnRenamed("lang", "stratum")
+    val ms = MemoryStream[(Timestamp, String, Long)]
+    val out = ScdStream.valueHistogramPerWindowBy(
+      ms.toDF().toDF("ts", "lang", "x"), col("lang"), "x", "ts",
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("hist_by")
+      .outputMode("complete").start()
+    try {
+      // the batch window: en draws from the reference distribution,
+      // zh arrives 30x longer — only zh must light up
+      val ts = Timestamp.valueOf("2024-01-01 00:02:00")
+      ms.addData((mk("en", identity) ++ mk("zh", _ * 30L))
+        .map { case (l, x) => (ts, l, x) })
+      q.processAllAvailable()
+      // stream buckets == batch hdrSketchBy, stratum for stratum
+      val streamed = spark.table("hist_by")
+        .select(col("stratum"), col("key"), col("cnt"))
+      val gotBuckets = streamed.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val wantBuckets = Sketch.hdrSketchBy(
+          (mk("en", identity) ++ mk("zh", _ * 30L)).toDF("lang", "x"),
+          col("lang"), "x", 5)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(gotBuckets == wantBuckets)
+      // score the window against the reference per stratum
+      val drift = Sketch.hdrDriftBy(ref, streamed).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val (ksEn, ksZh) = (drift("en").getAs[Long]("ks_mil"),
+        drift("zh").getAs[Long]("ks_mil"))
+      assert(ksZh >= 900 && ksZh > 3 * math.max(ksEn, 1L),
+        s"ks en=$ksEn zh=$ksZh")
+      assert(drift("zh").getAs[Long]("psi_e12") >
+        4 * math.max(drift("en").getAs[Long]("psi_e12"), 1L))
+    } finally q.stop()
+  }
+
   test("streamed rows are additive: quantiles served from the union == batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
