@@ -2016,6 +2016,17 @@ object SparkEntry {
         .orderBy("pair")
     }),
 
+    // per-language Spearman: chars-vs-tokens must correlate within
+    // EVERY language, not just corpus-wide (the Simpson's-reversal
+    // guard a per-source monitor exists for); per-stratum distributed
+    // ranks, BigInt driver finish limit-probed at 10k strata
+    "q_rank_corr_by" -> ((s, dir) =>
+      Eval.spearmanBy(
+        t(s, dir, "documents").select(col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("toks")),
+        col("lang"), col("n_chars"), col("toks"))
+        .withColumnRenamed("stratum", "lang")),
+
     // Spearman's r11 hazard case: BOTH columns raw continuous doubles
     // (distinct ≈ corpus on each side — two distributed rank passes),
     // y = x + independent uniform noise so ρ ≈ 1/√2 — the metric must
@@ -7545,6 +7556,43 @@ object SparkEntry {
         |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))), 6)
         |    END AS z
         |FROM m ORDER BY lang""".stripMargin,
+
+    // per-stratum doubled-average-rank Pearson: windows partition by
+    // lang, HUGEINT sums per lang, same one-sqrt assembly
+    "q_rank_corr_by" ->
+      """WITH r1 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum, n_chars AS x,
+        |    len(string_split(text, ' ')) AS y
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |hx AS (SELECT stratum, x, count(*) AS cnt FROM r1
+        |  GROUP BY 1, 2),
+        |rx AS (SELECT stratum, x, 2 * sum(cnt) OVER (PARTITION BY
+        |    stratum ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) - cnt + 1 AS r_x FROM hx),
+        |hy AS (SELECT stratum, y, count(*) AS cnt FROM r1
+        |  GROUP BY 1, 2),
+        |ry AS (SELECT stratum, y, 2 * sum(cnt) OVER (PARTITION BY
+        |    stratum ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) - cnt + 1 AS r_y FROM hy),
+        |j AS (SELECT stratum, r_x, r_y FROM r1
+        |  JOIN rx USING (stratum, x) JOIN ry USING (stratum, y)),
+        |s AS (SELECT stratum, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
+        |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
+        |  FROM j GROUP BY stratum)
+        |SELECT stratum AS lang, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN (n * sxx - sx * sx) = 0
+        |      OR (n * syy - sy * sy) = 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+        |    AS spearman_rho
+        |FROM s ORDER BY lang""".stripMargin,
 
     // doubled-average-rank Pearson on raw continuous doubles — the
     // oracle's global rank windows stand in for the engine's two

@@ -744,6 +744,79 @@ object Eval {
     Seq((n, rho)).toDF("n", "spearman_rho")
   }
 
+  /** STRATIFIED Spearman — [[spearman]] per stratum in one pass:
+    * "does quality track perplexity PER LANGUAGE?" (a correlation
+    * that holds corpus-wide can invert inside a stratum — Simpson's
+    * reversal — which is exactly what a per-source monitor exists to
+    * catch). Rank construction as [[spearman]] but per stratum: both
+    * value-domain histograms group by (stratum, value), the rank
+    * cums run through [[Ranks.cumOver]] partitioned by (stratum,
+    * bucket), and the five sums fold per stratum in decimal(38,0)
+    * (Σr2² ≤ 4n³ per stratum — fine to n = 10¹² rows/stratum).
+    *
+    * The Pearson assembly n·Σxy − Σx·Σy exceeds every SQL decimal at
+    * corpus scale AND loses 6-dp-visible precision in doubles
+    * (catastrophic cancellation: Σx·Σy ≈ n⁴ dwarfs the ρ·n³ signal),
+    * so it stays BigInt — per stratum, on the driver, over the
+    * collected ≤10k-strata sums table (the chiSquareIndependence
+    * driver-finish contract, same limit-probe guard: the bound fires
+    * BEFORE anything materializes). Monitoring strata are
+    * languages × sources — thousands, not millions; for a
+    * corpus-cardinality stratum column you want [[spearman]] per
+    * group anyway.
+    *
+    * Output: one row per stratum — stratum, n, spearman_rho (null on
+    * zero rank variance), stratum ascending. */
+  def spearmanBy(df: DataFrame, strataCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val rows = df.select(strataCol.cast("string").as("stratum"),
+        xCol.as("x"), yCol.as("y"))
+      .where(col("stratum").isNotNull && col("x").isNotNull &&
+        col("y").isNotNull)
+      .localCheckpoint(false) // feeds two histograms + the rank join
+    def ranks(v: String): DataFrame =
+      Ranks.cumOver(
+        rows.groupBy(col("stratum"), col(v))
+          .agg(count(lit(1)).as("cnt")),
+        v, Seq("stratum"), Seq("cnt" -> "cum"))
+        .select(col("stratum"), col(v),
+          (col("cum") * 2 - col("cnt") + 1).as(s"r_$v"))
+    val ranked = rows.join(ranks("x"), Seq("stratum", "x"))
+      .join(ranks("y"), Seq("stratum", "y"))
+    val sums = ranked.groupBy("stratum").agg(
+      count(lit(1)).as("n"),
+      sum(col("r_x").cast(dec)).as("sx"),
+      sum(col("r_y").cast(dec)).as("sy"),
+      sum(col("r_x").cast(dec) * col("r_y").cast(dec)).as("sxy"),
+      sum(col("r_x").cast(dec) * col("r_x").cast(dec)).as("sxx"),
+      sum(col("r_y").cast(dec) * col("r_y").cast(dec)).as("syy"))
+      .limit(10001).collect()
+    require(sums.length <= 10000,
+      s"spearmanBy: more than 10000 strata exceed the driver-finish " +
+        "bound — bucket the stratum column or run spearman per group")
+    val out = sums.toSeq.map { s =>
+      val n = s.getLong(1)
+      def bi(i: Int): BigInt =
+        if (s.isNullAt(i)) BigInt(0)
+        else BigInt(s.getDecimal(i).toBigInteger)
+      val (sx, sy, sxy, sxx, syy) = (bi(2), bi(3), bi(4), bi(5), bi(6))
+      val nB = BigInt(n)
+      val num = nB * sxy - sx * sy
+      val d1 = nB * sxx - sx * sx
+      val d2 = nB * syy - sy * sy
+      val rho: Option[Double] =
+        if (d1 == 0 || d2 == 0) None
+        else Some(BigDecimal(num.toDouble /
+            math.sqrt(d1.toDouble * d2.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      (s.getString(0), n, rho)
+    }
+    out.toDF("stratum", "n", "spearman_rho").orderBy("stratum")
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) two-sample test — "did the
     * new crawl shift the quality-score distribution?" on ORDINAL
     * scores where a t-test's normality assumption is wrong. Emits the

@@ -514,6 +514,38 @@ class EvalSpec extends SparkSpec {
     assert(got("en").getDouble(3) > 0.55)
   }
 
+  test("spearmanBy: per-stratum ≡ single; Simpson reversal visible; >10k strata guard probes first") {
+    val rnd = new scala.util.Random(41)
+    // en: y tracks x; zh: y tracks -x — corpus-wide they cancel, the
+    // stratified monitor must see both signs
+    val rows = (for (i <- 0 until 200) yield {
+      val x = rnd.nextInt(500).toLong
+      ("en", x, x + rnd.nextInt(50).toLong)
+    }) ++ (for (i <- 0 until 200) yield {
+      val x = rnd.nextInt(500).toLong
+      ("zh", x, 600L - x + rnd.nextInt(50).toLong)
+    })
+    val df = rows.toDF("s", "x", "y")
+    val by = Eval.spearmanBy(df, col("s"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (st <- Seq("en", "zh")) {
+      val single = Eval.spearman(df.where(col("s") === st),
+        col("x"), col("y")).head
+      assert(by(st).getLong(1) == single.getLong(0), s"$st n")
+      assert(by(st).getDouble(2) == single.getDouble(1),
+        s"$st rho: ${by(st)} vs $single")
+    }
+    assert(by("en").getDouble(2) > 0.85 && by("zh").getDouble(2) < -0.85)
+    // strata guard: 10001 distinct strata raise off the limit probe
+    val wide = spark.range(10001).select(
+      col("id").cast("string").as("s"), col("id").as("x"),
+      (col("id") * 2).as("y"))
+    val e = intercept[IllegalArgumentException] {
+      Eval.spearmanBy(wide, col("s"), col("x"), col("y"))
+    }
+    assert(e.getMessage.contains("driver-finish bound"), e.getMessage)
+  }
+
   test("ksTest: hand case, shape-vs-location split vs MWU, brute ECDF replay") {
     // hand case: A = {1,2,3}, B = {2,3,4} -> ECDFs differ by 1/3 at
     // v=1 (1/3 vs 0), v=2 (2/3 vs 1/3), v=3 (1 vs 2/3); D = 1/3
