@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+  TimestampType}
 
 /** Distributed rank/cumulative-sum machinery over value-domain
   * histograms — the shared engine behind every "rank by value"
@@ -40,8 +41,10 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * big-endian unsigned number — UTF-8 byte order equals Spark's
   * UTF8String sort order, and truncation + right-zero-padding is
   * weakly monotone in it, so equal-prefix strings just share a bucket
-  * and the in-bucket sort tie-breaks them exactly. NULL values take a
-  * dedicated first bucket (windows order NULL first, both engines).
+  * and the in-bucket sort tie-breaks them exactly; DATE/TIMESTAMP
+  * values ride their epoch seconds (a fixed affine map — monotone
+  * regardless of session timezone). NULL values take a dedicated
+  * first bucket (windows order NULL first, both engines).
   *
   * Skew caveat (inherited from aucExact): a pathological distribution
   * — every distinct value inside one grid cell, e.g. one far outlier
@@ -161,12 +164,12 @@ object Ranks {
     * falls back to the plain window). */
   private def proxyOf(hist: DataFrame, v: String): Option[Column] =
     hist.schema(v).dataType match {
-      case _: NumericType =>
-        val sd = col(v).cast("double")
-        // clamp to finite doubles, monotone under Spark's sort order
-        // (NaN > +Inf > MaxValue: both land in the top bucket)
-        Some(least(greatest(nanvl(sd, lit(Double.MaxValue)),
-          lit(Double.MinValue)), lit(Double.MaxValue)))
+      case _: NumericType => Some(clamped(col(v).cast("double")))
+      // epoch seconds: monotone in event time regardless of session
+      // timezone (the cast is a fixed affine map)
+      case TimestampType => Some(clamped(col(v).cast("double")))
+      case DateType =>
+        Some(clamped(col(v).cast("timestamp").cast("double")))
       case StringType =>
         // first 8 UTF-8 bytes, right-padded with 0x00, as a big-endian
         // unsigned number: UTF-8 byte order == UTF8String sort order,
@@ -179,4 +182,10 @@ object Ranks {
             " 8, X'00')), 16, 10) AS DOUBLE)"))
       case _ => None
     }
+
+  /** Clamp to finite doubles, monotone under Spark's sort order
+    * (NaN > +Inf > MaxValue: both land in the top bucket). */
+  private def clamped(sd: Column): Column =
+    least(greatest(nanvl(sd, lit(Double.MaxValue)),
+      lit(Double.MinValue)), lit(Double.MaxValue))
 }

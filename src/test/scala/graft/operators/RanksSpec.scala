@@ -71,6 +71,23 @@ class RanksSpec extends SparkSpec {
     assert(byRank.sameElements(sorted))
   }
 
+  test("timestamps and dates: epoch-second proxy ≡ global window (incl. pre-1970 and micros ties)") {
+    val ts = (0 until 300).map { i =>
+      (java.sql.Timestamp.valueOf("1969-12-25 00:00:00").getTime +
+        (i % 97) * 86400123L + (i % 7), 1L)
+    }.map { case (ms, c) => (new java.sql.Timestamp(ms), c) }
+    val tHist = ts.toDF("v", "cnt")
+      .groupBy("v").agg(sum("cnt").as("cnt"))
+    same(Ranks.cumOver(tHist, "v", Nil, Seq("cnt" -> "cum")),
+      plainCum(tHist, "v", Nil, Seq("cnt" -> "cum"), Nil), Seq("cum"))
+    val ds = (0 until 200).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(1965, 1, 1)
+        .plusDays((i * 37) % 40000)), 1L))
+    val dHist = ds.toDF("v", "cnt").groupBy("v").agg(sum("cnt").as("cnt"))
+    same(Ranks.cumOver(dHist, "v", Nil, Seq("cnt" -> "cum")),
+      plainCum(dHist, "v", Nil, Seq("cnt" -> "cum"), Nil), Seq("cum"))
+  }
+
   test("stratified: per-group cums restart, tie columns break totally") {
     val hist = (for {
       g <- Seq("en", "zh", "de"); i <- 0 until 300
