@@ -1234,6 +1234,22 @@ object SparkEntry {
         Seq("c_custkey", "c_acctbal", "c_mktsegment", "c_name"))
         .orderBy("col_name")),
 
+    // release-over-release profile diff: 'yesterday' = 4/5 of the
+    // corpus, 'today' = the full corpus with n_chars NULLED for zh
+    // (an injected upstream corruption) — the diff table must show
+    // the row growth, the n_chars null-rate jump + min/max movement,
+    // and the untouched columns reading quiet
+    "q_profile_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.where(col("doc_id") % 5 =!= 0)
+      val b = docs.select(col("doc_id"), col("lang"), col("source"),
+        when(col("lang") === "zh", lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("n_chars"))
+      Profile.summarizeDiff(a, b,
+        Seq("doc_id", "lang", "n_chars", "source"))
+        .orderBy("col_name")
+    }),
+
     // equal-width value histogram (two map-side-combinable passes)
     "q_histogram" -> ((s, dir) =>
       Profile.histogram(events(s, dir), col("value"), 16)
@@ -5204,6 +5220,57 @@ object SparkEntry {
         str("c_mktsegment"), str("c_name"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
           "\n) ORDER BY col_name")
+    },
+
+    // two summarize replays joined per column; exact integer-mil null
+    // rates, null-safe min/max movement flag
+    "q_profile_diff" -> {
+      def num(c: String, src: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+           |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str,
+           |  CAST(NULL AS VARCHAR) AS max_str
+           |FROM $src""".stripMargin
+      def str(c: String, src: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM $src""".stripMargin
+      def prof(src: String) =
+        Seq(num("doc_id", src), str("lang", src),
+          num("n_chars", src), str("source", src))
+          .mkString("\nUNION ALL\n")
+      s"""WITH sa AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+         |sb AS (SELECT doc_id, lang, source,
+         |    CASE WHEN lang = 'zh' THEN NULL ELSE n_chars END
+         |      AS n_chars
+         |  FROM documents),
+         |pa AS (${prof("sa")}),
+         |pb AS (${prof("sb")}),
+         |j AS (SELECT col_name,
+         |    pa.n AS n_a, pb.n AS n_b,
+         |    pa.n_distinct AS n_distinct_a,
+         |    pb.n_distinct AS n_distinct_b,
+         |    CASE WHEN pa.n > 0 THEN (pa.n_null * 1000) // pa.n END
+         |      AS null_mil_a,
+         |    CASE WHEN pb.n > 0 THEN (pb.n_null * 1000) // pb.n END
+         |      AS null_mil_b,
+         |    CAST(NOT (pa.min_num IS NOT DISTINCT FROM pb.min_num
+         |      AND pa.max_num IS NOT DISTINCT FROM pb.max_num
+         |      AND pa.min_str IS NOT DISTINCT FROM pb.min_str
+         |      AND pa.max_str IS NOT DISTINCT FROM pb.max_str)
+         |      AS BIGINT) AS minmax_moved
+         |  FROM pa FULL OUTER JOIN pb USING (col_name))
+         |SELECT col_name, n_a, n_b, n_distinct_a, n_distinct_b,
+         |  null_mil_a, null_mil_b,
+         |  null_mil_b - null_mil_a AS d_null_mil, minmax_moved
+         |FROM j ORDER BY col_name""".stripMargin
     },
 
     "q_histogram" ->

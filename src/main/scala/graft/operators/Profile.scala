@@ -57,6 +57,53 @@ object Profile {
         "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)"))
   }
 
+  /** Release-over-release column-profile DIFF — two [[summarize]]
+    * snapshots joined per column with the deltas a triage dashboard
+    * acts on ("what changed between yesterday's corpus and today's"):
+    * row/distinct counts side by side, null RATE per side in exact
+    * integer mils ((n_null·1000) div n — no float on the compare) and
+    * its signed delta, and a `minmax_moved` flag (null-safe compare
+    * across the typed min/max pairs — a range shift is the cheapest
+    * corruption tripwire). Columns present in only ONE snapshot still
+    * report (full-outer join; the missing side's stats NULL, flag 1)
+    * — a dropped or added column IS the alert.
+    *
+    * Plan: exactly two one-pass [[summarize]] aggregations + a
+    * k-row join; nothing corpus-sized past the two scans. Output one
+    * row per column: col_name, n_a, n_b, n_distinct_a, n_distinct_b,
+    * null_mil_a, null_mil_b, d_null_mil, minmax_moved. */
+  def summarizeDiff(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summarizeDiff needs at least one column")
+    val missing = cols.filterNot(c =>
+      a.columns.contains(c) || b.columns.contains(c))
+    require(missing.isEmpty,
+      s"summarizeDiff: columns absent from BOTH snapshots: $missing")
+    def side(df: DataFrame, sfx: String): DataFrame =
+      summarize(df, cols.filter(df.columns.contains)).select(
+        col("col_name"),
+        col("n").as(s"n_$sfx"),
+        col("n_null").as(s"__nn_$sfx"),
+        col("n_distinct").as(s"n_distinct_$sfx"),
+        col("min_num").as(s"__mn_$sfx"),
+        col("max_num").as(s"__mx_$sfx"),
+        col("min_str").as(s"__ms_$sfx"),
+        col("max_str").as(s"__xs_$sfx"))
+    def nullMil(sfx: String): Column = when(col(s"n_$sfx") > 0,
+      expr(s"(__nn_$sfx * 1000) div n_$sfx"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"), "full_outer")
+      .select(col("col_name"), col("n_a"), col("n_b"),
+        col("n_distinct_a"), col("n_distinct_b"),
+        nullMil("a").as("null_mil_a"),
+        nullMil("b").as("null_mil_b"),
+        (nullMil("b") - nullMil("a")).as("d_null_mil"),
+        (!(col("__mn_a") <=> col("__mn_b") &&
+          col("__mx_a") <=> col("__mx_b") &&
+          col("__ms_a") <=> col("__ms_b") &&
+          col("__xs_a") <=> col("__xs_b"))).cast("long")
+          .as("minmax_moved"))
+  }
+
   /** Equal-width histogram of a numeric column: global min/max via one
     * aggregate (broadcast back as a 1-row table — never a driver
     * collect), bucket index by floor((v − min)/width) clamped to the

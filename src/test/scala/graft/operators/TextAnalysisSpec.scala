@@ -336,6 +336,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("10k driver-finish bound"), e.getMessage)
   }
 
+  test("summarizeDiff: quiet columns read zero, corruption lights up, one-sided columns flag") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L))
+      .toDF("id", "cat", "v")
+    // id grows, v gains a null + a range shift, cat unchanged, and
+    // a brand-new column appears only in b
+    val b = Seq((1L, "x", Some(10L), "p"), (2L, "y", Some(20L), "q"),
+      (3L, "x", Some(99L), "p"), (4L, "x", None, "q"))
+      .toDF("id", "cat", "v", "extra")
+    val got = Profile.summarizeDiff(a, b, Seq("id", "cat", "v", "extra"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cat = got("cat")
+    assert(cat.getLong(1) == 3L && cat.getLong(2) == 4L)
+    assert(cat.getLong(7) == 0L && cat.getLong(8) == 0L) // quiet
+    val v = got("v")
+    assert(v.getLong(6) == 250L && v.getLong(7) == 250L) // null rate jump
+    assert(v.getLong(8) == 1L) // max moved 30 -> 99
+    val extra = got("extra")
+    assert(extra.isNullAt(1) && extra.getLong(2) == 4L &&
+      extra.getLong(8) == 1L) // appeared-only-in-b flags
+    // absent from both -> reject
+    val e = intercept[IllegalArgumentException] {
+      Profile.summarizeDiff(a, b, Seq("id", "ghost"))
+    }
+    assert(e.getMessage.contains("ghost"))
+  }
+
   test("redactPii is idempotent") {
     import spark.implicits._
     val df = Seq("x 1234567 y a@b.com z").toDF("text")
