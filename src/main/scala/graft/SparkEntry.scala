@@ -2660,6 +2660,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // GPT-3-style benchmark decontamination: every 37th doc plays the
+    // eval benchmark; corpus docs sharing ANY verbatim 8-gram with it
+    // are flagged (the benchmark docs themselves + template near-dups)
+    // — the scrub a training pipeline runs BEFORE the mixer
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(docs, docs.where(col("doc_id") % 37 === 0),
+          w = 8)
+        .orderBy("doc_id")
+    }),
+
     // incremental containment (VERDICT r11 #3): even ids the indexed
     // standing corpus (the SAME even-ids jaccard artifact the
     // symmetric incremental query serves from — one nightly build,
@@ -8233,6 +8244,33 @@ object SparkEntry {
 
     // artifact serving is pair-identical by contract
     "dedup_containment_indexed" -> containmentOracleSql,
+
+    // 8-gram collision scrub: benchmark grams from the same distinct-
+    // shingle construction, corpus docs left-joined their collision
+    // counts (0 = clean)
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 8),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |      || ' ' || t[i+7]
+        |     for i in range(1, len(t) - 6)])) AS s
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+        |sz AS (SELECT doc_id, count(*) AS n_grams FROM sh
+        |  GROUP BY doc_id),
+        |cl AS (SELECT sh.doc_id, count(*) AS n_collisions
+        |  FROM sh JOIN bg USING (s) GROUP BY sh.doc_id)
+        |SELECT sz.doc_id AS doc_id, n_grams,
+        |  coalesce(n_collisions, 0) AS n_collisions,
+        |  CAST(coalesce(n_collisions, 0) >= 1 AS BIGINT)
+        |    AS contaminated
+        |FROM sz LEFT JOIN cl ON cl.doc_id = sz.doc_id
+        |ORDER BY sz.doc_id""".stripMargin,
 
     // incremental containment = the directed brute pairs at τ minus
     // the both-even (corpus-vs-corpus) quadrant — the spec, not the

@@ -60,6 +60,46 @@ object Dedup {
         .as("shingle"))
   }
 
+  /** Benchmark DECONTAMINATION — flag corpus documents sharing
+    * verbatim n-gram spans with an evaluation benchmark (the GPT-3
+    * Appendix-C / PaLM recipe: a training doc containing a test-set
+    * 13-gram makes published eval numbers on that benchmark
+    * meaningless; this is the scrub run BEFORE training, not after).
+    * Output: one row per corpus doc with ≥ w tokens —
+    * (id, n_grams, n_collisions, contaminated) with `contaminated` =
+    * 1 iff n_collisions ≥ `minCollisions` (raise it to tolerate
+    * boilerplate n-grams; pair with a stopgram cut upstream).
+    *
+    * 100 TB shape: the benchmark side collapses to its DISTINCT
+    * n-grams — bounded by the benchmark SUITE (thousands of docs),
+    * not the corpus — and the corpus's exploded shingles hash-join it
+    * (AQE broadcasts the gram table when it fits, which it does for
+    * every real benchmark); counts are map-side-combinable groupBys.
+    * No all-pairs anywhere. Shingling (lowercase whitespace tokens,
+    * DISTINCT n-grams per doc) is [[shingles]] — shared with the
+    * whole dedup family, so one tokenization defines "verbatim"
+    * everywhere. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      id: String = "doc_id", textCol: String = "text", w: Int = 8,
+      minCollisions: Int = 1): DataFrame = {
+    require(w >= 1 && minCollisions >= 1,
+      s"decontaminate: w and minCollisions must be >= 1: " +
+        s"$w, $minCollisions")
+    val benchGrams = shingles(benchmark, id, textCol, w)
+      .select(col("shingle")).distinct()
+    val corpusSh = shingles(corpus, id, textCol, w)
+      .localCheckpoint(false) // feeds sizes AND the collision join
+    val sizes = corpusSh.groupBy(col(id))
+      .agg(count(lit(1)).as("n_grams"))
+    val colls = corpusSh.join(benchGrams, Seq("shingle"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_collisions"))
+    sizes.join(colls, Seq(id), "left")
+      .select(col(id), col("n_grams"),
+        coalesce(col("n_collisions"), lit(0L)).as("n_collisions"))
+      .withColumn("contaminated",
+        (col("n_collisions") >= minCollisions).cast("long"))
+  }
+
   /** Exact dedup via hash-groupBy on a key expression (raw text, a
     * normalized form, or `TextAnalysis.fingerprint`). Keeps the
     * smallest id as the canonical survivor — deterministic, and

@@ -178,6 +178,32 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.containmentJoin(corpus, threshold = 0.7)))
   }
 
+  test("decontaminate: verbatim n-gram collisions flag; clean/short docs behave; minCollisions raises the bar") {
+    import spark.implicits._
+    val gram = "a b c d e f g h" // exactly 8 tokens
+    val bench = Seq((100L, s"$gram tail1 tail2")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix0 $gram suffix0"),       // contains the 8-gram -> hit
+      (2L, "q r s t u v w x y z aa bb"),    // unrelated -> clean
+      (3L, s"$gram tail1 tail2"),           // exact benchmark copy -> hit
+      (4L, "too short to gram"),            // <8 tokens -> absent
+      (5L, s"$gram h g f e d c b a")        // shares the one 8-gram
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(corpus, bench)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(!got.contains(4L), "sub-w docs emit nothing")
+    assert(got(2L)._2 == 0L && got(2L)._3 == 0L)
+    assert(got(1L)._3 == 1L && got(3L)._3 == 1L && got(5L)._3 == 1L)
+    // the exact copy collides on EVERY gram of the benchmark doc
+    assert(got(3L)._1 == got(3L)._2, got(3L).toString)
+    // raising minCollisions past doc 5's single shared gram clears it
+    val strict = Dedup.decontaminate(corpus, bench, minCollisions = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(strict(5L) == 0L && strict(3L) == 1L && strict(1L) == 0L)
+  }
+
   test("containmentJoinIncremental ≡ inline minus the corpus-vs-corpus quadrant (directed)") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
