@@ -2671,6 +2671,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the scrub served from the persisted benchmark-gram artifact
+    // (build once per suite RELEASE, scrub every nightly batch; the
+    // frozen gram set also pins which benchmark version a run was
+    // scrubbed against) — output ≡ inline, same oracle
+    "q_decontaminate_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(jacIndexCache, "dec", appId)
+      val path = jacIndexCache.getOrElseUpdate((appId, s"dec:$dir"), {
+        val p = indexPath("dec", appId, dir)
+        Dedup.decontaminationIndexWrite(
+          docs.where(col("doc_id") % 37 === 0), p)
+        p
+      })
+      Dedup.decontaminateIndexed(docs, path).orderBy("doc_id")
+    }),
+
     // incremental containment (VERDICT r11 #3): even ids the indexed
     // standing corpus (the SAME even-ids jaccard artifact the
     // symmetric incremental query serves from — one nightly build,
@@ -3210,6 +3227,32 @@ object SparkEntry {
        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
 
   private val ShingleCtes = shingleCtes("documents")
+
+  /** Shared by q_decontaminate and q_decontaminate_indexed (the
+    * persisted gram set IS the inline benchmark-side build). */
+  private lazy val decontaminateOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+      |      || ' ' || t[i+7]
+      |     for i in range(1, len(t) - 6)])) AS s
+      |  FROM toks),
+      |bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+      |sz AS (SELECT doc_id, count(*) AS n_grams FROM sh
+      |  GROUP BY doc_id),
+      |cl AS (SELECT sh.doc_id, count(*) AS n_collisions
+      |  FROM sh JOIN bg USING (s) GROUP BY sh.doc_id)
+      |SELECT sz.doc_id AS doc_id, n_grams,
+      |  coalesce(n_collisions, 0) AS n_collisions,
+      |  CAST(coalesce(n_collisions, 0) >= 1 AS BIGINT)
+      |    AS contaminated
+      |FROM sz LEFT JOIN cl ON cl.doc_id = sz.doc_id
+      |ORDER BY sz.doc_id""".stripMargin
 
   /** Shared by dedup_containment and dedup_containment_indexed
     * (the persisted arrays ARE the inline build outputs). */
@@ -8247,30 +8290,10 @@ object SparkEntry {
 
     // 8-gram collision scrub: benchmark grams from the same distinct-
     // shingle construction, corpus docs left-joined their collision
-    // counts (0 = clean)
-    "q_decontaminate" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS t
-        |  FROM documents
-        |  WHERE len(string_split(lower(text), ' ')) >= 8),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
-        |      || ' ' || t[i+7]
-        |     for i in range(1, len(t) - 6)])) AS s
-        |  FROM toks),
-        |bg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
-        |sz AS (SELECT doc_id, count(*) AS n_grams FROM sh
-        |  GROUP BY doc_id),
-        |cl AS (SELECT sh.doc_id, count(*) AS n_collisions
-        |  FROM sh JOIN bg USING (s) GROUP BY sh.doc_id)
-        |SELECT sz.doc_id AS doc_id, n_grams,
-        |  coalesce(n_collisions, 0) AS n_collisions,
-        |  CAST(coalesce(n_collisions, 0) >= 1 AS BIGINT)
-        |    AS contaminated
-        |FROM sz LEFT JOIN cl ON cl.doc_id = sz.doc_id
-        |ORDER BY sz.doc_id""".stripMargin,
+    // counts (0 = clean). ONE definition for the inline AND the
+    // artifact-served query — declared output-identical
+    "q_decontaminate" -> decontaminateOracleSql,
+    "q_decontaminate_indexed" -> decontaminateOracleSql,
 
     // incremental containment = the directed brute pairs at τ minus
     // the both-even (corpus-vs-corpus) quadrant — the spec, not the

@@ -85,8 +85,18 @@ object Dedup {
     require(w >= 1 && minCollisions >= 1,
       s"decontaminate: w and minCollisions must be >= 1: " +
         s"$w, $minCollisions")
-    val benchGrams = shingles(benchmark, id, textCol, w)
-      .select(col("shingle")).distinct()
+    scrubAgainst(corpus,
+      shingles(benchmark, id, textCol, w).select(col("shingle"))
+        .distinct(),
+      id, textCol, w, minCollisions)
+  }
+
+  /** Shared scrub of [[decontaminate]]/[[decontaminateIndexed]]:
+    * corpus shingles hash-join the (however-sourced) benchmark gram
+    * set; per-doc sizes and collision counts map-side combine. */
+  private def scrubAgainst(corpus: DataFrame, benchGrams: DataFrame,
+      id: String, textCol: String, w: Int,
+      minCollisions: Int): DataFrame = {
     val corpusSh = shingles(corpus, id, textCol, w)
       .localCheckpoint(false) // feeds sizes AND the collision join
     val sizes = corpusSh.groupBy(col(id))
@@ -98,6 +108,36 @@ object Dedup {
         coalesce(col("n_collisions"), lit(0L)).as("n_collisions"))
       .withColumn("contaminated",
         (col("n_collisions") >= minCollisions).cast("long"))
+  }
+
+  /** Persist the benchmark's distinct n-grams as the decontamination
+    * artifact — the build-once/serve-cheap split every nightly scrub
+    * wants (the benchmark suite changes on releases, the crawl
+    * arrives daily; re-shingling the suite per batch is waste, and
+    * freezing the gram set also pins WHICH benchmark version a
+    * training run was scrubbed against). Plain parquet of
+    * (shingle) rows; staleness contract as the other artifacts. */
+  def decontaminationIndexWrite(benchmark: DataFrame, path: String,
+      id: String = "doc_id", textCol: String = "text",
+      w: Int = 8): Unit =
+    shingles(benchmark, id, textCol, w)
+      .select(col("shingle")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** [[decontaminate]] served from a persisted
+    * [[decontaminationIndexWrite]] artifact: the per-batch cost is
+    * the BATCH's shingle explode + the hash join — the benchmark is
+    * never re-read as text. Output identical to inline at the same
+    * (w, minCollisions); DedupSpec pins it. */
+  def decontaminateIndexed(corpus: DataFrame, indexPath: String,
+      id: String = "doc_id", textCol: String = "text", w: Int = 8,
+      minCollisions: Int = 1): DataFrame = {
+    require(w >= 1 && minCollisions >= 1,
+      s"decontaminateIndexed: w and minCollisions must be >= 1: " +
+        s"$w, $minCollisions")
+    scrubAgainst(corpus,
+      corpus.sparkSession.read.parquet(indexPath), id, textCol, w,
+      minCollisions)
   }
 
   /** Exact dedup via hash-groupBy on a key expression (raw text, a

@@ -202,6 +202,14 @@ class DedupSpec extends SparkSpec {
     val strict = Dedup.decontaminate(corpus, bench, minCollisions = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(strict(5L) == 0L && strict(3L) == 1L && strict(1L) == 0L)
+    // artifact-served ≡ inline, row for row
+    val idx = java.nio.file.Files
+      .createTempDirectory("dec_idx").toString + "/grams"
+    Dedup.decontaminationIndexWrite(bench, idx)
+    assert(Dedup.decontaminateIndexed(corpus, idx).collect()
+      .map(_.toString).sorted.toSeq ==
+      Dedup.decontaminate(corpus, bench).collect()
+        .map(_.toString).sorted.toSeq)
   }
 
   test("containmentJoinIncremental ≡ inline minus the corpus-vs-corpus quadrant (directed)") {
