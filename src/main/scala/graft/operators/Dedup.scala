@@ -110,6 +110,22 @@ object Dedup {
         (col("n_collisions") >= minCollisions).cast("long"))
   }
 
+  /** Per-row DISTINCT w-gram array of a text column — the array form
+    * of [[shingles]] (same lowercase-whitespace tokenization, same
+    * distinct w-grams, DedupSpec pins the equivalence), for row-level
+    * gates that must not explode ([[graft.streaming.ScdStream
+    * .decontaminateStreamGate]]). Docs with < w tokens yield an
+    * empty array. */
+  def gramArray(text: Column, w: Int): Column = {
+    require(w >= 1, s"gramArray needs w >= 1, got $w")
+    val toks = split(lower(text), " ")
+    when(size(toks) >= w,
+      array_distinct(transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ",
+          (0 until w).map(k => element_at(toks, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Persist the benchmark's distinct n-grams as the decontamination
     * artifact — the build-once/serve-cheap split every nightly scrub
     * wants (the benchmark suite changes on releases, the crawl

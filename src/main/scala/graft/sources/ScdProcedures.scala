@@ -280,6 +280,35 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.decontamination_index(dir, id_col, text_col, w,
+    * out_path)` — persist an eval benchmark's distinct n-grams as the
+    * decontamination artifact from pure SQL (the
+    * [[graft.operators.Dedup.decontaminationIndexWrite]] build-once
+    * half of the GPT-3-style scrub; build once per benchmark RELEASE,
+    * serve every nightly batch via
+    * [[graft.operators.Dedup.decontaminateIndexed]]). Returns the
+    * artifact path and its gram count. */
+  object DecontaminationIndex extends GraftProcedure(
+    "decontamination_index",
+    "Persist a benchmark's distinct n-grams as the decontamination artifact") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("id_col", StringType),
+      in("text_col", StringType), in("w", IntegerType),
+      in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("n_grams", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 4)
+      graft.operators.Dedup.decontaminationIndexWrite(
+        spark.read.parquet(str(r, 0)), out, id = str(r, 1),
+        textCol = str(r, 2), w = r.getInt(3))
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(out).count()))
+    }
+  }
+
   /** `CALL graft.add_update(dir, stmt [, time])` — author the
     * `.updates` log from pure SQL: the reference's write UX ("append a
     * line to the sidecar", README.md:127-144 / SQLUpdater.java:107-119)
@@ -356,5 +385,6 @@ object ScdProcedures {
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
     "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex,
     "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate,
-    "hdr_index" -> HdrIndex)
+    "hdr_index" -> HdrIndex,
+    "decontamination_index" -> DecontaminationIndex)
 }

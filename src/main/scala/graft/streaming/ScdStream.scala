@@ -278,6 +278,48 @@ object ScdStream {
           .as("logw_nats"))
       .where(col("logw_nats") >= minLogwNats)
 
+  /** STREAMING decontamination admission gate — admit only documents
+    * sharing no w-gram with the persisted benchmark artifact
+    * ([[graft.operators.Dedup.decontaminationIndexWrite]]); the
+    * ingest-time face of the batch scrub. The suite's grams fold into
+    * a bloom filter ONCE at gate construction (a bounded driver
+    * action — the artifact is benchmark-suite-sized) and ride the
+    * stream as a LITERAL, so the gate is completely STATELESS: a
+    * per-row `exists(grams, might_contain)` over the doc's own gram
+    * array, no stream-static join, no aggregation state, no
+    * watermark.
+    *
+    * Safety direction: blooms have NO false negatives, so a
+    * contaminated document can NEVER pass — the failure mode is a
+    * false POSITIVE rejecting a clean doc (~`fpp` of clean docs at
+    * the sized capacity). Route the rejected slice through the exact
+    * batch recheck ([[graft.operators.Dedup.decontaminateIndexed]])
+    * to recover them; `expectedGrams` sizes the filter (undersizing
+    * only raises the FP rate, never admits contamination). Docs
+    * shorter than w tokens carry no grams and always pass. */
+  def decontaminateStreamGate(stream: DataFrame, indexPath: String,
+      textCol: String = "text", w: Int = 8,
+      expectedGrams: Long = 1000000L): DataFrame = {
+    require(w >= 1 && expectedGrams > 0,
+      s"decontaminateStreamGate: w >= 1 and expectedGrams > 0: " +
+        s"$w, $expectedGrams")
+    val spark = stream.sparkSession
+    val bloomRow = spark.read.parquet(indexPath)
+      .agg(org.apache.spark.sql.graft.CatalystBridge.bloomFilterAgg(
+        xxhash64(col("shingle")), expectedGrams).as("bf"))
+      .head()
+    if (bloomRow.isNullAt(0)) stream // empty suite: everything passes
+    else {
+      val bf = lit(bloomRow.getAs[Array[Byte]](0))
+      val hit = exists(
+        graft.operators.Dedup.gramArray(col(textCol), w),
+        g => coalesce(
+          org.apache.spark.sql.graft.CatalystBridge.bloomMightContain(
+            bf, xxhash64(g)), lit(false)))
+      stream.where(!hit)
+    }
+  }
+
   /** Static simhash band index of a corpus — the persisted artifact
     * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one
     * row per band per doc. Write it partitioned/bucketed by `band` so

@@ -202,6 +202,17 @@ class DedupSpec extends SparkSpec {
     val strict = Dedup.decontaminate(corpus, bench, minCollisions = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(strict(5L) == 0L && strict(3L) == 1L && strict(1L) == 0L)
+    // the per-row gram ARRAY agrees with the exploded shingles form
+    // (same tokenization — the streaming gate rides it)
+    val arr = corpus.select(col("doc_id"),
+        Dedup.gramArray(col("text"), 8).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    val shed = Dedup.shingles(corpus, w = 8).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    assert(arr(4L).isEmpty && !shed.contains(4L))
+    assert(arr.filter(_._2.nonEmpty) == shed, s"$arr vs $shed")
     // artifact-served ≡ inline, row for row
     val idx = java.nio.file.Files
       .createTempDirectory("dec_idx").toString + "/grams"

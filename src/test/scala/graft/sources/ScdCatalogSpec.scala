@@ -260,4 +260,24 @@ class ScdCatalogSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("cnt")).head.getLong(0)
     assert(total == 4000L)
   }
+
+  test("CALL graft.decontamination_index persists the gram artifact the scrub serves from") {
+    val d = Files.createTempDirectory("scdcat_dec").toString + "/bench"
+    Seq((1L, "a b c d e f g h tail"), (2L, "z y x w v u t s"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(d)
+    val out = Files.createTempDirectory("scdcat_deci").toString + "/g"
+    val res = spark.sql(
+      s"CALL graft.decontamination_index('$d', 'doc_id', 'text', 8, '$out')")
+      .collect()
+    assert(res.length == 1 && res(0).getString(0) == out)
+    // doc 1 has 2 grams, doc 2 has 1 -> 3 distinct grams persisted
+    assert(res(0).getLong(1) == 3L, res(0).toString)
+    // the artifact serves the scrub: a doc quoting the benchmark flags
+    val corpus = Seq((10L, "pre a b c d e f g h post"),
+      (11L, "clean words only here spread over eight tokens"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.decontaminateIndexed(corpus, out)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(10L) == 1L && got(11L) == 0L, got.toString)
+  }
 }

@@ -307,6 +307,33 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStreamGate — stateless; contaminated docs never pass, clean and short docs do") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val gram = "a b c d e f g h"
+    val bench = Seq((100L, s"$gram tail1")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("dec_gate").toString + "/grams"
+    graft.operators.Dedup.decontaminationIndexWrite(bench, dir)
+    val ms = MemoryStream[(Long, String)]
+    val gated = ScdStream.decontaminateStreamGate(
+      ms.toDF().toDF("doc_id", "text"), dir)
+    val q = gated.writeStream.format("memory").queryName("decgate")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, s"pre $gram post"),                       // quotes -> blocked
+        (2L, "clean words spread over enough tokens ok"), // clean -> pass
+        (3L, "short doc"))                             // <w tokens -> pass
+      q.processAllAvailable()
+      // stateless: no join/aggregation state in the executed batch
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.mkString(","))
+      val got = spark.table("decgate").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 3L), got.toString)
+    } finally q.stop()
+  }
+
   test("corpusMatchStream — maxDist out of [0,63] is rejected (width-0 bands)") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
