@@ -1871,6 +1871,19 @@ object SparkEntry {
       Eval.aucExact(scored, col("score"), col("label"))
     }),
 
+    // per-language exact AUC of the raw-score gate (the decision
+    // table a corpus-wide 0.9 hides: long-tail languages can sit at
+    // chance) — per-stratum distributed midranks, in-frame assembly
+    "q_gate_auc_by" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(col("lang"),
+        (Sketch.md5Fraction(col("doc_id")) +
+          when(col("doc_id") % 7 === 0, 0.25).otherwise(0.0)).as("score"),
+        (col("doc_id") % 7 === 0).cast("int").as("label"))
+      Eval.aucExactBy(scored, col("lang"), col("score"), col("label"))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")
+    }),
+
     // calibration check on the same collision-heavy gate: is a doc the
     // gate calls 80%-likely-English actually English 80% of the time?
     // (the diagonal gap is what temperature scaling would fix before
@@ -7197,6 +7210,39 @@ object SparkEntry {
          |    (CAST(2 AS DOUBLE) * CAST(nullif(p, 0) AS DOUBLE) *
          |      CAST(nullif(q, 0) AS DOUBLE)), 6) AS auc
          |FROM t""".stripMargin
+    },
+
+    // per-language doubled-midrank AUC replay: windows partition by
+    // lang, HUGEINT rank sums grouped by lang
+    "q_gate_auc_by" -> {
+      val f = md5FracSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH s AS (
+         |  SELECT CAST(lang AS VARCHAR) AS stratum,
+         |    $f + CASE WHEN doc_id % 7 = 0 THEN 0.25 ELSE 0.0 END
+         |      AS sc,
+         |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM documents WHERE lang IS NOT NULL),
+         |g AS (
+         |  SELECT stratum, sc, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS np
+         |  FROM s GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT stratum, sc, n, np,
+         |    CAST(sum(n) OVER (PARTITION BY stratum ORDER BY sc)
+         |      AS BIGINT) AS cum
+         |  FROM g),
+         |t AS (
+         |  SELECT stratum, CAST(sum(np) AS BIGINT) AS p,
+         |    CAST(sum(n - np) AS BIGINT) AS q,
+         |    sum(CAST(np AS HUGEINT) *
+         |      (2 * CAST(cum AS HUGEINT) - n + 1)) AS r2
+         |  FROM rk GROUP BY stratum)
+         |SELECT stratum AS lang, p AS n_pos, q AS n_neg,
+         |  round((CAST(r2 AS DOUBLE) -
+         |      CAST(p AS DOUBLE) * CAST(p + 1 AS DOUBLE)) /
+         |    (CAST(2 AS DOUBLE) * CAST(nullif(p, 0) AS DOUBLE) *
+         |      CAST(nullif(q, 0) AS DOUBLE)), 6) AS auc
+         |FROM t ORDER BY lang""".stripMargin
     },
 
     "q_gate_reliability" -> {

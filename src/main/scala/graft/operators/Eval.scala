@@ -195,6 +195,44 @@ object Eval {
           .as("auc"))
   }
 
+  /** STRATIFIED exact AUC — [[aucExact]] per stratum in one pass:
+    * "how good is the quality gate PER LANGUAGE?" (a gate trained on
+    * English routinely reads 0.9 corpus-wide while sitting at chance
+    * on the long-tail languages — the per-stratum table is the
+    * number that decision needs). Same doubled-midrank integer
+    * construction; the rank cums run through [[Ranks.cumOver]]
+    * partitioned by (stratum, bucket) and everything else groups by
+    * stratum — in-frame, strata-many safe, raw continuous scores
+    * welcome. Strata missing a class emit NULL auc (the
+    * [[mannWhitneyUBy]] degenerate-stratum rule).
+    * Output: stratum, n_pos, n_neg, auc. */
+  def aucExactBy(scored: DataFrame, strataCol: Column,
+      scoreCol: Column, labelCol: Column): DataFrame = {
+    val per = scored
+      .select(strataCol.as("stratum"), scoreCol.as("s"),
+        labelCol.cast("long").as("y"))
+      .where(col("stratum").isNotNull)
+      .groupBy("stratum", "s")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val ranked = Ranks.cumOver(per, "s", Seq("stratum"),
+        Seq("n" -> "cum", "np" -> "cumnp"))
+      .withColumn("rank2", lit(2) * col("cum") - col("n") + lit(1))
+    ranked.groupBy("stratum")
+      .agg(
+        sum(col("np")).as("p"),
+        sum(col("n") - col("np")).as("q"),
+        sum(col("np").cast("decimal(38,0)") *
+          col("rank2").cast("decimal(38,0)")).as("r2"))
+      .select(col("stratum"), col("p").as("n_pos"),
+        col("q").as("n_neg"),
+        round(
+          (col("r2").cast("double") -
+            col("p").cast("double") * (col("p") + 1).cast("double")) /
+            (lit(2.0) * nullif(col("p"), lit(0)).cast("double") *
+              nullif(col("q"), lit(0)).cast("double")), 6)
+          .as("auc"))
+  }
+
   /** Shared distributed rank machinery behind [[aucExact]] and
     * [[averagePrecision]]: one distinct-score row per group with
     * (n, np) counts and ASCENDING cumulative totals `cum` (rows) and

@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // which keeps the corpus pass
                                 // single-execution in this plan
     "q_gate_auc_raw" -> 2,      // same 2× bounds fold, raw-score form
+    "q_gate_auc_by" -> 2,       // 2× cumOver bounds fold on the
+                                // per-(stratum, score) histogram
     "q_gate_ece" -> 3,          // same NB scored-chain folds
     "q_gate_reliability" -> 3,  // same NB scored-chain folds
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds

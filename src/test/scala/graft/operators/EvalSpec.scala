@@ -514,6 +514,30 @@ class EvalSpec extends SparkSpec {
     assert(got("en").getDouble(3) > 0.55)
   }
 
+  test("aucExactBy: per-stratum ≡ single aucExact; class-missing strata NULL") {
+    val rnd = new scala.util.Random(23)
+    val rows = (for { st <- Seq("en", "zh"); i <- 0 until 250 } yield {
+      val y = i % 3 == 0
+      // en gets a separable score, zh near-chance
+      val s = rnd.nextDouble() +
+        (if (y && st == "en") 0.5 else if (y) 0.02 else 0.0)
+      (st, s, if (y) 1 else 0)
+    }) :+ (("solo", 0.4, 1)) // one stratum with positives only
+    val df = rows.toDF("st", "s", "y")
+    val by = Eval.aucExactBy(df, col("st"), col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (st <- Seq("en", "zh")) {
+      val single = Eval.aucExact(df.where(col("st") === st),
+        col("s"), col("y")).head
+      assert(by(st).getLong(1) == single.getLong(0) &&
+        by(st).getLong(2) == single.getLong(1), s"$st counts")
+      assert(by(st).getDouble(3) == single.getDouble(2),
+        s"$st auc: ${by(st)} vs $single")
+    }
+    assert(by("en").getDouble(3) > by("zh").getDouble(3) + 0.1)
+    assert(by("solo").isNullAt(3)) // no negatives -> AUC undefined
+  }
+
   test("spearmanBy: per-stratum ≡ single; Simpson reversal visible; >10k strata guard probes first") {
     val rnd = new scala.util.Random(41)
     // en: y tracks x; zh: y tracks -x — corpus-wide they cancel, the
