@@ -3,8 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, NumericType, StringType,
-  TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DateType, NumericType,
+  StringType, TimestampType}
 
 /** Distributed rank/cumulative-sum machinery over value-domain
   * histograms — the shared engine behind every "rank by value"
@@ -41,10 +41,12 @@ import org.apache.spark.sql.types.{DateType, NumericType, StringType,
   * big-endian unsigned number — UTF-8 byte order equals Spark's
   * UTF8String sort order, and truncation + right-zero-padding is
   * weakly monotone in it, so equal-prefix strings just share a bucket
-  * and the in-bucket sort tie-breaks them exactly; DATE/TIMESTAMP
-  * values ride their epoch seconds (a fixed affine map — monotone
-  * regardless of session timezone). NULL values take a dedicated
-  * first bucket (windows order NULL first, both engines).
+  * and the in-bucket sort tie-breaks them exactly; BINARY values
+  * (fingerprints, digests) take their first 8 raw bytes the same way
+  * (binary sorts byte-wise); DATE/TIMESTAMP values ride their epoch
+  * seconds (a fixed affine map — monotone regardless of session
+  * timezone). NULL values take a dedicated first bucket (windows
+  * order NULL first, both engines).
   *
   * Skew caveat (inherited from aucExact): a pathological distribution
   * — every distinct value inside one grid cell, e.g. one far outlier
@@ -180,6 +182,13 @@ object Ranks {
         Some(expr(
           s"CAST(conv(hex(rpad(substring(encode(`$v`, 'UTF-8'), 1, 8)," +
             " 8, X'00')), 16, 10) AS DOUBLE)"))
+      case BinaryType =>
+        // binary sorts byte-wise (unsigned lexicographic) — the string
+        // trick without the encode: first 8 bytes as a number
+        // (fingerprint/digest columns rank like any other value)
+        Some(expr(
+          s"CAST(conv(hex(rpad(substring(`$v`, 1, 8), 8, X'00'))," +
+            " 16, 10) AS DOUBLE)"))
       case _ => None
     }
 

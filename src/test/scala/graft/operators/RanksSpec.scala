@@ -88,6 +88,28 @@ class RanksSpec extends SparkSpec {
       plainCum(dHist, "v", Nil, Seq("cnt" -> "cum"), Nil), Seq("cum"))
   }
 
+  test("binary: byte-wise prefix proxy ≡ global window (digest-like values, shared prefixes, length ties)") {
+    val rnd = new scala.util.Random(61)
+    val vals = (0 until 300).map { i =>
+      val len = i % 3 match {
+        case 0 => 16; case 1 => 4; case _ => 10
+      }
+      val b = new Array[Byte](len); rnd.nextBytes(b)
+      // force shared 8+-byte prefixes on a slice
+      if (i % 11 == 0) java.util.Arrays.fill(b, 0, math.min(9, len), 0x41.toByte)
+      b
+    } :+ Array.empty[Byte] :+ Array[Byte](0, 0) :+ Array[Byte](-1, -1)
+    val hist = vals.map(v => (v, 1L)).toDF("v", "cnt")
+      .groupBy("v").agg(sum("cnt").as("cnt"))
+    // compare via hex: Row.toString prints byte arrays by identity
+    same(
+      Ranks.cumOver(hist, "v", Nil, Seq("cnt" -> "cum"))
+        .select(hex(col("v")).as("v"), col("cnt"), col("cum")),
+      plainCum(hist, "v", Nil, Seq("cnt" -> "cum"), Nil)
+        .select(hex(col("v")).as("v"), col("cnt"), col("cum")),
+      Seq("cum"))
+  }
+
   test("stratified: per-group cums restart, tie columns break totally") {
     val hist = (for {
       g <- Seq("en", "zh", "de"); i <- 0 until 300
