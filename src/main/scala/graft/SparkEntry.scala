@@ -2030,7 +2030,8 @@ object SparkEntry {
     // signals are interchangeable as filters) and quantity-vs-price
     // (ρ ≈ 0 — the synthetic price is independent, and the metric
     // says so). Ranks from the value-domain histogram (no corpus
-    // sort), sums in decimal(38,0), BigInt driver assembly, one sqrt.
+    // sort), centered product sums in decimal(38,0) IN-FRAME (r13:
+    // the BigInt driver finish factored away), one sqrt.
     "q_rank_corr" -> ((s, dir) => {
       val strong = Eval.spearman(
         t(s, dir, "documents").select(col("n_chars"),
@@ -2048,7 +2049,7 @@ object SparkEntry {
     // per-language Spearman: chars-vs-tokens must correlate within
     // EVERY language, not just corpus-wide (the Simpson's-reversal
     // guard a per-source monitor exists for); per-stratum distributed
-    // ranks, BigInt driver finish limit-probed at 10k strata
+    // ranks, centered in-frame assembly — strata-many safe (r13)
     "q_rank_corr_by" -> ((s, dir) =>
       Eval.spearmanBy(
         t(s, dir, "documents").select(col("lang"), col("n_chars"),
@@ -2274,10 +2275,12 @@ object SparkEntry {
     }),
 
     // Gini concentration of source byte mass — the single-number
-    // release-over-release companion to the q_source_pareto table
+    // release-over-release companion to the q_source_pareto table.
+    // smallDomain: `source` is a bounded enum, so the rank rides one
+    // ≤|sources|-row plain window instead of the full grid (r12 #5)
     "q_source_gini" -> ((s, dir) =>
       Profile.giniConcentration(t(s, dir, "documents"),
-        col("source"), col("n_chars"))),
+        col("source"), col("n_chars"), smallDomain = true)),
 
     // wordpiece tokenizer inference: greedy longest-match segmentation
     // of every word against a fixed 256-piece vocabulary (derived
@@ -7531,18 +7534,16 @@ object SparkEntry {
            |j$sfx AS (SELECT r_x, r_y FROM r$sfx
            |  JOIN rx$sfx USING (x) JOIN ry$sfx USING (y)),
            |s$sfx AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-           |    CAST(sum(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sx,
-           |    CAST(sum(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sy,
            |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
            |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
            |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
            |  FROM j$sfx),
            |o$sfx AS (SELECT '$label' AS pair, CAST(n AS BIGINT) AS n,
-           |  CASE WHEN (n * sxx - sx * sx) = 0
-           |      OR (n * syy - sy * sy) = 0 THEN NULL
-           |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
-           |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-           |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+           |  CASE WHEN (sxx - n * (n + 1) * (n + 1)) = 0
+           |      OR (syy - n * (n + 1) * (n + 1)) = 0 THEN NULL
+           |    ELSE round(CAST(sxy - n * (n + 1) * (n + 1) AS DOUBLE) /
+           |      sqrt(CAST(sxx - n * (n + 1) * (n + 1) AS DOUBLE) *
+           |        CAST(syy - n * (n + 1) * (n + 1) AS DOUBLE)), 6) END
            |    AS spearman_rho
            |  FROM s$sfx)""".stripMargin
       s"""WITH r1 AS (
@@ -7746,18 +7747,16 @@ object SparkEntry {
         |j AS (SELECT stratum, r_x, r_y FROM r1
         |  JOIN rx USING (stratum, x) JOIN ry USING (stratum, y)),
         |s AS (SELECT stratum, CAST(count(*) AS HUGEINT) AS n,
-        |    CAST(sum(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sx,
-        |    CAST(sum(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sy,
         |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
         |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
         |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
         |  FROM j GROUP BY stratum)
         |SELECT stratum AS lang, CAST(n AS BIGINT) AS n,
-        |  CASE WHEN (n * sxx - sx * sx) = 0
-        |      OR (n * syy - sy * sy) = 0 THEN NULL
-        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-        |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+        |  CASE WHEN (sxx - n * (n + 1) * (n + 1)) = 0
+        |      OR (syy - n * (n + 1) * (n + 1)) = 0 THEN NULL
+        |    ELSE round(CAST(sxy - n * (n + 1) * (n + 1) AS DOUBLE) /
+        |      sqrt(CAST(sxx - n * (n + 1) * (n + 1) AS DOUBLE) *
+        |        CAST(syy - n * (n + 1) * (n + 1) AS DOUBLE)), 6) END
         |    AS spearman_rho
         |FROM s ORDER BY lang""".stripMargin,
 
@@ -7781,18 +7780,16 @@ object SparkEntry {
          |j AS (SELECT r_x, r_y FROM r1
          |  JOIN rx USING (x) JOIN ry USING (y)),
          |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-         |    CAST(sum(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sx,
-         |    CAST(sum(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sy,
          |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
          |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
          |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
          |  FROM j)
          |SELECT CAST(n AS BIGINT) AS n,
-         |  CASE WHEN (n * sxx - sx * sx) = 0
-         |      OR (n * syy - sy * sy) = 0 THEN NULL
-         |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
-         |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-         |        CAST(n * syy - sy * sy AS DOUBLE)), 6) END
+         |  CASE WHEN (sxx - n * (n + 1) * (n + 1)) = 0
+         |      OR (syy - n * (n + 1) * (n + 1)) = 0 THEN NULL
+         |    ELSE round(CAST(sxy - n * (n + 1) * (n + 1) AS DOUBLE) /
+         |      sqrt(CAST(sxx - n * (n + 1) * (n + 1) AS DOUBLE) *
+         |        CAST(syy - n * (n + 1) * (n + 1) AS DOUBLE)), 6) END
          |    AS spearman_rho
          |FROM s""".stripMargin
     },

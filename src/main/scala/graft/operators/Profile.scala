@@ -79,8 +79,26 @@ object Profile {
       a.columns.contains(c) || b.columns.contains(c))
     require(missing.isEmpty,
       s"summarizeDiff: columns absent from BOTH snapshots: $missing")
-    def side(df: DataFrame, sfx: String): DataFrame =
-      summarize(df, cols.filter(df.columns.contains)).select(
+    def side(df: DataFrame, sfx: String): DataFrame = {
+      val present = cols.filter(df.columns.contains)
+      // a snapshot missing EVERY requested column still reports
+      // (ADVICE r12: summarize requires ≥1 column, but the
+      // dropped-ALL-columns release is exactly the alert this diff
+      // exists for) — an empty frame with summarize's schema makes
+      // the full-outer join emit each column as only-in-other-side
+      val base =
+        if (present.isEmpty)
+          df.sparkSession.range(0).select(
+            lit(null).cast("string").as("col_name"),
+            lit(null).cast("long").as("n"),
+            lit(null).cast("long").as("n_null"),
+            lit(null).cast("long").as("n_distinct"),
+            lit(null).cast("double").as("min_num"),
+            lit(null).cast("double").as("max_num"),
+            lit(null).cast("string").as("min_str"),
+            lit(null).cast("string").as("max_str"))
+        else summarize(df, present)
+      base.select(
         col("col_name"),
         col("n").as(s"n_$sfx"),
         col("n_null").as(s"__nn_$sfx"),
@@ -89,6 +107,7 @@ object Profile {
         col("max_num").as(s"__mx_$sfx"),
         col("min_str").as(s"__ms_$sfx"),
         col("max_str").as(s"__xs_$sfx"))
+    }
     def nullMil(sfx: String): Column = when(col(s"n_$sfx") > 0,
       expr(s"(__nn_$sfx * 1000) div n_$sfx"))
     side(a, "a").join(side(b, "b"), Seq("col_name"), "full_outer")
@@ -185,18 +204,22 @@ object Profile {
     * prefix sum (ones-cum ordered by (w, stratum) ≡ row_number) — so
     * even a pathological million-stratum table never funnels one
     * window task (ADVICE r11; the strata table is usually tiny, but
-    * nothing enforced that). Output: (n_strata, gini) — null on
+    * nothing enforced that). Pass `smallDomain = true` when the
+    * stratum column IS structurally bounded (a source/lang enum) to
+    * skip the grid's fixed multi-stage tax for one ≤domain-row plain
+    * window (VERDICT r12 #5: a 5-source table paid 3.4× for scale
+    * machinery it can't need). Output: (n_strata, gini) — null on
     * zero total mass AND on any negative stratum mass (masses are
     * counts/bytes by contract; a negative sum means upstream
     * corruption and a silently-wrong G would hide it). */
   def giniConcentration(df: DataFrame, strataCol: Column,
-      weight: Column): DataFrame = {
+      weight: Column, smallDomain: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
     val g = df.groupBy(strataCol.as("stratum"))
       .agg(sum(weight.cast("long")).as("w"))
       .withColumn("__one", lit(1L))
     Ranks.cumOver(g, "w", Nil, Seq("__one" -> "i"),
-        tieCols = Seq("stratum"))
+        tieCols = Seq("stratum"), smallDomain = smallDomain)
       .drop("__one")
       .agg(count(lit(1)).as("n_strata"),
         sum(col("w").cast(dec)).as("sw"),

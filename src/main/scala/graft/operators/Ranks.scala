@@ -25,15 +25,34 @@ import org.apache.spark.sql.types.{BinaryType, DateType, NumericType,
   * q_gate_auc_raw since r8), generalized here to any histogram:
   *
   *  1. derive a MONOTONE double proxy of the ordering value and
-  *     range-bucketize the distinct-value rows onto a constant grid
-  *     ([[Buckets]] cells over [min, max] of the proxy — a monotone
-  *     transform, so bucket order respects value order);
+  *     bucketize the distinct-value rows onto a RANK-ANCHORED grid:
+  *     [[Anchors]] approximate quantile cut points of the proxy
+  *     (one `percentile_approx` in the same 1-row bounds fold that
+  *     already computes min/max) pick the coarse cell, a linear
+  *     [[Fine]]-way split between adjacent anchors picks the fine
+  *     cell — [[Buckets]] = Anchors × Fine cells total, each step
+  *     weakly monotone, so bucket order respects value order;
   *  2. run each bucket's cumulative under `partitionBy(bucket)` — all
   *     buckets in parallel, each a tiny sorted run;
   *  3. add cross-bucket offsets from a rollup whose single-partition
   *     window sees ≤ [[Buckets]] rows — a CONSTANT, never
   *     input-sized (the one partition-less window this module emits,
   *     allowlisted by PlanAuditSpec's WindowExec lint).
+  *
+  * Why anchors and not [min, max] (ADVICE r12, VERDICT r12 "the one
+  * real finding"): a linear [min, max] grid is scale-DEPENDENT — one
+  * 1e300 outlier (or a NaN clamped to MaxValue) stretches the range
+  * until every ordinary value shares bucket 0, silently recreating
+  * the single-task sort. Quantile anchors are scale-INVARIANT by
+  * construction: each coarse cell holds ~1/[[Anchors]] of the
+  * DISTINCT values no matter how the values are distributed — a lone
+  * outlier moves one anchor, not the grid; a NaN is one histogram row
+  * (distinct values!) in the top cell. Worst case for the in-cell
+  * linear split (adversarially clumped values INSIDE one anchor span)
+  * degrades to one coarse cell ≈ distinct/[[Anchors]] rows in one
+  * task — bounded, and never worse than a few percent of the
+  * pre-fix global-window form. RanksPropertySpec pins both: outlier/
+  * NaN grids stay spread, and values are bit-identical either way.
   *
   * Monotone proxies: numeric values clamp NaN/±Inf into the edge
   * cells (Spark sort order puts NaN above +Inf, both land in the top
@@ -48,11 +67,13 @@ import org.apache.spark.sql.types.{BinaryType, DateType, NumericType,
   * timezone). NULL values take a dedicated first bucket (windows
   * order NULL first, both engines).
   *
-  * Skew caveat (inherited from aucExact): a pathological distribution
-  * — every distinct value inside one grid cell, e.g. one far outlier
-  * stretching the numeric range, or a vocabulary sharing one 8-char
-  * prefix — degrades toward one bucket. Never WORSE than the
-  * pre-fix single-partition form, and correct either way.
+  * Skew caveat (what remains after the anchor fix): anchors bound the
+  * worst coarse cell at ~1/[[Anchors]] of the DISTINCT values (plus
+  * anchor error ≤ 1e-4 of rank), so the residual pathology is only a
+  * vocabulary sharing one 8-char prefix (string/binary proxies clump
+  * before anchoring can help) or adversarial clumping INSIDE one
+  * anchor span — both degrade to ≈ distinct/[[Anchors]] rows in one
+  * sorted task, never the whole input, and correct either way.
   *
   * Exactness: bucketing only re-routes WHERE each cumulative runs;
   * the values are the plain prefix sums of the histogram in value
@@ -67,6 +88,16 @@ object Ranks {
     * spill guard away from fine; raise only with a matching look at
     * executor memory. */
   val Buckets = 4096
+
+  /** Coarse rank-anchored cells: quantile cut points of the proxy,
+    * so each holds ~1/Anchors of the distinct values regardless of
+    * the distribution (the scale-invariance guarantee). */
+  val Anchors = 64
+
+  /** Linear sub-cells between adjacent anchors (Anchors × Fine =
+    * Buckets): free extra spread when the span is locally uniform;
+    * the worst case is bounded by the anchor guarantee alone. */
+  val Fine = Buckets / Anchors
 
   /** Append cumulative sums in value order to a histogram — each
     * `(src, dst)` in `sums` adds column `dst` = running Σ src over
@@ -89,21 +120,34 @@ object Ranks {
     * rollup all re-read it, and without the cut each reference
     * inlines the full upstream corpus pass into the physical plan
     * (the r8 plan audit counted one corpus scan FOUR times). Pass
-    * false when the caller already checkpointed. */
+    * false when the caller already checkpointed.
+    *
+    * `smallDomain` (default false) skips the whole grid — no
+    * checkpoint, no bounds fold, just the plain window the fallback
+    * branch runs — for callers whose value domain is STRUCTURALLY
+    * bounded (an enum column, a per-supplier rollup, a ≤Buckets-row
+    * table): the grid's fixed ~3-stage tax dwarfs such inputs
+    * (VERDICT r12: q_source_gini paid 3.4× on a 5-row histogram).
+    * The caller owns the bound, exactly as on the non-proxy types;
+    * when global this emits ONE partition-less window — budget it in
+    * PlanAuditSpec's WindowExec lint with the domain-bound
+    * justification. */
   def cumOver(hist: DataFrame, v: String, partCols: Seq[String],
       sums: Seq[(String, String)], tieCols: Seq[String] = Nil,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      smallDomain: Boolean = false): DataFrame = {
     require(sums.nonEmpty, "cumOver: need at least one (src, dst) sum")
-    val reserved = Seq("__b", "__lo", "__hi") ++
+    val reserved = Seq("__b", "__lo", "__hi", "__qs", "__k", "__coarse",
+        "__loB", "__hiB") ++ (partCols :+ "__b").map(c => s"__j_$c") ++
       sums.flatMap { case (_, d) => Seq(s"__c_$d", s"__s_$d", s"__o_$d") }
     require(!hist.columns.exists(reserved.contains),
       s"cumOver: input must not carry ${reserved.mkString(", ")}")
     val ordCols = (v +: tieCols).map(col(_))
-    proxyOf(hist, v) match {
+    (if (smallDomain) None else proxyOf(hist, v)) match {
       case None =>
-        // non-numeric, non-string orderable v: plain window; the
-        // caller owns the bounded-domain contract (aucExact's
-        // original non-numeric branch, verbatim)
+        // smallDomain, or a type with no monotone proxy: plain
+        // window; the caller owns the bounded-domain contract
+        // (aucExact's original non-numeric branch, verbatim)
         val w = (if (partCols.isEmpty) Window.orderBy(ordCols: _*)
           else Window.partitionBy(partCols.map(col(_)): _*)
             .orderBy(ordCols: _*))
@@ -113,20 +157,7 @@ object Ranks {
         }
       case Some(proxy) =>
         val ck = if (checkpoint) hist.localCheckpoint(false) else hist
-        val bounds = ck.agg(min(proxy).as("__lo"), max(proxy).as("__hi"))
-        // hi == lo (single distinct value) must not divide — ANSI
-        // throws DIVIDE_BY_ZERO even for doubles; the clamp below
-        // then floors any residual into the edge cells
-        val ratio = when(col("__hi") > col("__lo"),
-          (proxy - col("__lo")) /
-            ((col("__hi") - col("__lo")) / lit(Buckets.toDouble)))
-          .otherwise(lit(0.0))
-        val bucket = when(col(v).isNull, lit(-1)).otherwise(
-          floor(least(lit(Buckets - 1.0), greatest(lit(0.0), ratio)))
-            .cast("int"))
-        val bucketed = ck.crossJoin(broadcast(bounds))
-          .withColumn("__b", bucket)
-          .drop("__lo", "__hi")
+        val bucketed = bucketize(ck, v, proxy)
         val grpCols = partCols :+ "__b"
         val wLocal = Window.partitionBy(grpCols.map(col(_)): _*)
           .orderBy(ordCols: _*)
@@ -151,13 +182,97 @@ object Ranks {
             sum(col(s"__s_$dst")).over(wOff) - col(s"__s_$dst"))
         }.drop(sums.map { case (_, dst) => s"__s_$dst" }: _*)
         // ≤Buckets rows broadcast when global; per-group offsets join
-        // by hash (AQE broadcasts small strata tables at runtime)
-        val offJ = if (partCols.isEmpty) broadcast(offsets) else offsets
-        val joined = withLocal.join(offJ, grpCols)
+        // by hash (AQE broadcasts small strata tables at runtime).
+        // NULL-SAFE keys (ADVICE r12): a NULL partCols value must
+        // rank like the plain-window fallback branch ranks it — as
+        // its own group — not silently drop on a null-unsafe
+        // equi-join; <=> keys stay hash-joinable (EqualNullSafe is an
+        // equi-predicate for BHJ/SMJ alike)
+        val offRenamed = offsets.select(
+          grpCols.map(c => col(c).as(s"__j_$c")) ++
+            sums.map { case (_, dst) => col(s"__o_$dst") }: _*)
+        val offJ =
+          if (partCols.isEmpty) broadcast(offRenamed) else offRenamed
+        val cond = grpCols.map(c => col(c) <=> col(s"__j_$c"))
+          .reduce(_ && _)
+        val joined = withLocal.join(offJ, cond)
+          .drop(grpCols.map(c => s"__j_$c"): _*)
         sums.foldLeft(joined) { case (df, (_, dst)) =>
           df.withColumn(dst, col(s"__c_$dst") + col(s"__o_$dst"))
             .drop(s"__c_$dst", s"__o_$dst")
         }.drop("__b")
+    }
+  }
+
+  /** Append the rank-anchored grid cell `__b` ∈ [-1, [[Buckets]]) to
+    * a histogram (−1 = the dedicated NULL cell; windows order NULL
+    * first in both engines). Package-visible so RanksPropertySpec can
+    * audit the spread directly.
+    *
+    * ONE 1-row bounds fold computes min, max and the [[Anchors]]−1
+    * interior quantile cut points of the proxy (`percentile_approx`,
+    * which ignores NULLs and sees only FINITE doubles — [[clamped]]
+    * folds NaN/±Inf first). Coarse cell = #cuts ≤ k (a 63-step
+    * fold — trivially weakly monotone); fine cell = linear
+    * [[Fine]]-way split between the cell's bounding anchors (floor of
+    * a nondecreasing map — weakly monotone; equal buckets are
+    * resolved exactly by the in-bucket sort). Anchor accuracy only
+    * moves WHERE a value lands, never its cumulative: the prefix sums
+    * are exact for any routing. */
+  private[graft] def bucketize(ck: DataFrame, v: String,
+      proxy: Column): DataFrame = {
+    val cuts = (1 until Anchors).map(i => lit(i.toDouble / Anchors))
+    // ONE 1-row driver fold (scale-free — 65 doubles whatever the
+    // input), embedded as LITERALS: percentile_approx is
+    // merge-order-dependent across executions, and the bucketed frame
+    // feeds two plan branches (local cums + offset rollup) that must
+    // agree on every row's routing — literal anchors make the grid a
+    // pure deterministic expression (and drop the old 1-row
+    // crossJoin(broadcast) BNLJ from every cumOver plan). The fold
+    // also materializes ck's lazy checkpoint, which the main query
+    // re-reads.
+    val b = ck.agg(min(proxy).as("__lo"), max(proxy).as("__hi"),
+      percentile_approx(proxy, array(cuts: _*), lit(10000)).as("__qs"))
+      .head()
+    if (b.isNullAt(0)) {
+      // no non-NULL proxy anywhere: only the NULL cell is populated
+      ck.withColumn("__b",
+        when(col(v).isNull, lit(-1)).otherwise(lit(0)))
+    } else {
+      val qsArr = typedlit(b.getSeq[Double](2))
+      val coarse = aggregate(qsArr, lit(0),
+        (acc, x) => acc + when(col("__k") >= x, 1).otherwise(0))
+      // element_at is 1-based and ANSI-throws out of range: guard the
+      // edge cells onto min/max instead
+      val loB = when(col("__coarse") >= 1,
+        element_at(qsArr, col("__coarse")))
+        .otherwise(lit(b.getDouble(0)))
+      val hiB = when(col("__coarse") <= Anchors - 2,
+        element_at(qsArr, col("__coarse") + 1))
+        .otherwise(lit(b.getDouble(1)))
+      // equal bounding anchors (few distinct values, or a massive tie
+      // region) must not divide — ANSI throws DIVIDE_BY_ZERO even for
+      // doubles. The ONLY divisor is hiB − loB itself: for distinct
+      // doubles the subtraction never rounds to 0.0 (gradual
+      // underflow), whereas a nested width = (hiB − loB)/Fine CAN
+      // (subnormal-close anchors — the IEEE property case). Inf/NaN
+      // products (MaxValue-spanning cells) are clamped BEFORE the int
+      // cast: Spark's least/greatest order NaN above everything, so
+      // least(Fine−1, greatest(0, NaN)) = Fine−1 — never an ANSI
+      // cast error; the int cast truncates, which equals floor on the
+      // clamped non-negative range.
+      val fine = when(col("__hiB") > col("__loB"),
+        least(lit(Fine - 1.0), greatest(lit(0.0),
+          (col("__k") - col("__loB")) / (col("__hiB") - col("__loB")) *
+            lit(Fine.toDouble))))
+        .otherwise(lit(0.0))
+      ck.withColumn("__k", proxy)
+        .withColumn("__coarse", coarse)
+        .withColumn("__loB", loB)
+        .withColumn("__hiB", hiB)
+        .withColumn("__b", when(col(v).isNull, lit(-1)).otherwise(
+          (col("__coarse") * Fine + fine.cast("int")).cast("int")))
+        .drop("__k", "__coarse", "__loB", "__hiB")
     }
   }
 

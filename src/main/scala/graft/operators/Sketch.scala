@@ -382,16 +382,26 @@ object Sketch {
     * of row count (the [[hdrSketchWeighted]] symmetry): "half the
     * corpus BYTES live in docs shorter than X", exactly. Rank
     * r = max(1, ⌈q·W/1000⌉) over total mass W; weights must be
-    * non-negative integers, zero-weight rows carry no mass and are
-    * dropped. Same histogram + distributed-cum + broadcast-pick plan.
-    * Output: (q_mil, v). */
+    * non-negative integers — ENFORCED per row (ADVICE r12: a negative
+    * or fractional weight used to silently drop/truncate, biasing the
+    * mass distribution; now it raises with the offending value —
+    * inline in the projection, no extra pass). NULL-weight and
+    * zero-weight rows carry no mass and are dropped. Same histogram +
+    * distributed-cum + broadcast-pick plan. Output: (q_mil, v). */
   def exactQuantilesWeighted(df: DataFrame, valueCol: String,
       weightCol: String, qMils: Seq[Int]): DataFrame = {
     require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
       s"exactQuantilesWeighted: q_mil values must be in [0,1000]," +
         s" got $qMils")
-    val rows = df.select(col(valueCol).as("v"),
-        col(weightCol).cast("long").as("w"))
+    val wd = col(weightCol).cast("double")
+    val w = when(col(weightCol).isNull, lit(null).cast("long"))
+      .when(wd < 0 || wd =!= floor(wd),
+        raise_error(concat(
+          lit("exactQuantilesWeighted: weights must be non-negative " +
+            s"integers; $weightCol = "),
+          col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val rows = df.select(col(valueCol).as("v"), w.as("w"))
       .where(col("v").isNotNull && col("w") > 0)
       .localCheckpoint(false)
     exactPick(rows.groupBy("v").agg(sum("w").as("cnt")),

@@ -28,15 +28,14 @@ class PlanAuditSpec extends SparkSpec {
     "q_cms_point" -> 1,         // 1-row count-min grid fold
     "q_cms_rollup" -> 2,        // single-pass grid + rolled-up grid folds
     "q_freq_topk" -> 1,         // (n_total, mg sketch) 1-row fold
-    "q_gate_auc" -> 2,          // 2× 1-row bounds fold (bucketed path
-                                // read twice: main + offset rollup).
-                                // The NB-chain folds execute inside
-                                // the distinct-score localCheckpoint,
-                                // which keeps the corpus pass
-                                // single-execution in this plan
-    "q_gate_auc_raw" -> 2,      // same 2× bounds fold, raw-score form
-    "q_gate_auc_by" -> 2,       // 2× cumOver bounds fold on the
-                                // per-(stratum, score) histogram
+    "q_gate_auc" -> 0,          // r13: cumOver's bounds fold became a
+                                // construction-time 1-row driver agg
+                                // with LITERAL anchors — no crossJoin,
+                                // no BNLJ, in any cumOver plan. The
+                                // NB-chain folds execute inside the
+                                // distinct-score localCheckpoint
+    "q_gate_auc_raw" -> 0,      // same — zero BNLJ since r13
+    "q_gate_auc_by" -> 0,       // same — zero BNLJ since r13
     "q_gate_ece" -> 3,          // same NB scored-chain folds
     "q_gate_reliability" -> 3,  // same NB scored-chain folds
     "q_gate_calibration" -> 7,  // per-gate corpus-constant folds
@@ -78,38 +77,35 @@ class PlanAuditSpec extends SparkSpec {
                                 // 2-row q-list × ≤1 920-bucket rank scan
                                 // (q_hdr_by_lang needs NO budget — its
                                 // stratified path is equi-join only)
-    "q_hdr_quantile" -> 6,      // 3-row q-list × ≤1 920-bucket sketch
-                                // rank scan + exactQuantiles' bounds/
-                                // total folds + its broadcast rank
-                                // pick — never corpus-sized sides
+    "q_hdr_quantile" -> 4,      // 3-row q-list × ≤1 920-bucket sketch
+                                // rank scan + exactQuantiles' 1-row
+                                // total fold + its broadcast rank pick
+                                // (was 6: the cumOver bounds-fold
+                                // BNLJs vanished in r13)
     "q_source_pareto" -> 1,     // 1-row total-mass fold onto the
                                 // domain-bounded strata table
-    "q_mwu_by_lang" -> 2,       // 2× Ranks.cumOver bounds fold on the
-                                // per-stratum value histogram
-    "q_ks_test" -> 2,           // 2× cumOver bounds fold (one pass
-                                // carries BOTH ECDF cums)
-    "q_ks_raw" -> 2,            // same, raw-score hazard form
-    "q_ks_by_lang" -> 2,        // same, stratified
-    "q_exact_quantile" -> 4,    // 2x cumOver bounds fold + 1-row total
-                                // fold + the broadcast <=|q|-row rank
-                                // pick (hdrQuantiles' join shape)
-    "q_exact_quantile_by" -> 2, // 2x cumOver bounds fold (rank pick is
-                                // an equi-join on stratum)
-    "q_exact_quantile_w" -> 4,  // same folds as q_exact_quantile,
+    "q_mwu_by_lang" -> 0,       // zero since r13 (cumOver literal
+                                // anchors — no bounds-fold BNLJ)
+    "q_ks_test" -> 0,           // same — zero BNLJ since r13
+    "q_ks_raw" -> 0,            // same, raw-score hazard form
+    "q_ks_by_lang" -> 0,        // same, stratified
+    "q_exact_quantile" -> 2,    // 1-row total fold + the broadcast
+                                // <=|q|-row rank pick (hdrQuantiles'
+                                // join shape); cumOver folds gone r13
+    "q_exact_quantile_by" -> 0, // rank pick is an equi-join on
+                                // stratum; cumOver folds gone r13
+    "q_exact_quantile_w" -> 2,  // same folds as q_exact_quantile,
                                 // mass-weighted
-    "q_pct_rank" -> 3,          // 2× cumOver bounds fold + the 1-row
-                                // corpus-total fold onto the mapping
-    "q_quantile_norm" -> 6,     // 2× bounds fold per Ranks.cumOver
-                                // (per-stratum + global hist = 4) +
-                                // the 1-row n_g fold onto the stratum
+    "q_pct_rank" -> 1,          // the 1-row corpus-total fold onto the
+                                // mapping; cumOver folds gone r13
+    "q_quantile_norm" -> 2,     // the 1-row n_g fold onto the stratum
                                 // ranks AND onto the rank-space bucket
-                                // explode (2) — all 1-row broadcasts;
-                                // the rank transfer itself is an
-                                // EQUI-join since r12
-    "q_quantile_norm_raw" -> 6, // same folds, raw-score hazard form
-    "q_source_gini" -> 2,       // 2× Ranks.cumOver bounds fold
-                                // (bucketed strata table read twice:
-                                // main + offset rollup)
+                                // explode — both 1-row broadcasts; the
+                                // rank transfer itself is an EQUI-join
+                                // since r12; cumOver folds gone r13
+    "q_quantile_norm_raw" -> 2, // same folds, raw-score hazard form
+    "q_source_gini" -> 0,       // smallDomain plain window since r13 —
+                                // no grid, no folds at all
     "q_winsorize" -> 3,         // hdrQuantiles' 2 sketch-bounded folds
                                 // + the 1-row clip-cuts fold per row
     "q_rate_anomaly" -> 3,      // 1-row n/median/MAD folds onto the
@@ -258,14 +254,20 @@ class PlanAuditSpec extends SparkSpec {
                                 // per-stratum one partitions by
                                 // stratum and doesn't count)
     "q_quantile_norm_raw" -> 1, // same, raw-score hazard row
-    "q_rank_corr" -> 2,         // two rank passes (x and y) → two
-                                // cumOver offset rollups in one plan
-    "q_rank_corr_raw" -> 2,     // same, both columns raw doubles
+    "q_rank_corr" -> 4,         // r13 in-frame assembly unions BOTH
+                                // spearman pairs into ONE final plan:
+                                // 2 rank passes × 2 pairs → four
+                                // ≤4096-row cumOver offset rollups
+                                // (pre-r13 the driver finish split
+                                // them 2-per-construction-plan)
+    "q_rank_corr_raw" -> 2,     // one pair: two rollups, raw doubles
     "q_rate_anomaly" -> 3,      // median/MAD rank windows over the
                                 // domain-bounded hourly bucket table
                                 // (Sessionize.scala:177)
     "q_skew_stats" -> 1,        // rank over the k-row top-k cut
-    "q_source_gini" -> 1,       // cumOver rollup over strata buckets
+    "q_source_gini" -> 1,       // smallDomain plain window over the
+                                // ≤|sources| strata table (r13 #5 —
+                                // the enum domain IS the bound)
     "q_source_pareto" -> 1,     // Pareto rank over the |strata| table
     "q_textrank" -> 1,          // kw_rank over the k-row cut (final
                                 // plan) / vocab-id cumOver rollup

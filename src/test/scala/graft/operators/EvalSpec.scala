@@ -560,14 +560,15 @@ class EvalSpec extends SparkSpec {
         s"$st rho: ${by(st)} vs $single")
     }
     assert(by("en").getDouble(2) > 0.85 && by("zh").getDouble(2) < -0.85)
-    // strata guard: 10001 distinct strata raise off the limit probe
+    // strata-many: the r13 in-frame centered assembly has NO driver
+    // bound — 10001 single-row strata (the old guard's failure case)
+    // stream through; 1-row strata have zero rank variance -> null ρ
     val wide = spark.range(10001).select(
       col("id").cast("string").as("s"), col("id").as("x"),
       (col("id") * 2).as("y"))
-    val e = intercept[IllegalArgumentException] {
-      Eval.spearmanBy(wide, col("s"), col("x"), col("y"))
-    }
-    assert(e.getMessage.contains("driver-finish bound"), e.getMessage)
+    val wideOut = Eval.spearmanBy(wide, col("s"), col("x"), col("y"))
+    assert(wideOut.count() == 10001)
+    assert(wideOut.where(col("spearman_rho").isNotNull).count() == 0)
   }
 
   test("ksTest: hand case, shape-vs-location split vs MWU, brute ECDF replay") {
@@ -644,6 +645,30 @@ class EvalSpec extends SparkSpec {
         g.getDouble(4) == single.getDouble(3) &&
         g.getDouble(5) == single.getDouble(4), s"$st: $g vs $single")
     }
+  }
+
+  test("bootstrapMeanCIBy: a stratum whose every replicate is empty still reports (ADVICE r12)") {
+    // hunt an id whose Poisson weight is 0 in ALL 4 replicates under
+    // seed "bs" (P ≈ e^-4 ≈ 1.9% per id — deterministic md5, so the
+    // found id replays forever); a 1-row stratum of it drops every
+    // replicate, which used to vanish from the inner join
+    val p0 = Eval.bootstrapCdf.head
+    val hunt = spark.range(4000)
+      .select(col("id").cast("string").as("id"))
+      .where((0 until 4).map(r =>
+        graft.operators.Sketch.md5Fraction(
+          concat(lit(s"bs|$r|"), col("id"))) < p0).reduce(_ && _))
+    val deadId = hunt.head().getString(0)
+    val df = Seq(("dead", deadId, 100L), ("live", "a", 10L),
+      ("live", "b", 20L), ("live", "c", 30L)).toDF("s", "id", "m")
+    val out = Eval.bootstrapMeanCIBy(df, col("s"), col("m"), col("id"),
+      replicates = 4).collect().map(r => r.getString(0) -> r).toMap
+    assert(out.contains("dead"), out.keySet.toString)
+    val d = out("dead")
+    assert(d.getLong(1) == 1L && d.getLong(2) == 0L &&
+      d.getDouble(3) == 100.0 && d.isNullAt(4) && d.isNullAt(5),
+      d.toString)
+    assert(out("live").getLong(2) > 0L)
   }
 
   test("krippendorffAlpha: hand cases, ragged drop, brute replay") {

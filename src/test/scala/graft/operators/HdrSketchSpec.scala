@@ -211,6 +211,42 @@ class HdrSketchSpec extends SparkSpec {
     }
   }
 
+  test("exactQuantilesWeighted: mass ranks; negative/fractional weights RAISE, null/zero drop (ADVICE r12)") {
+    import spark.implicits._
+    // mass: v=1 w=1, v=2 w=3 -> W=4; p500 rank ceil(2)=2 -> v=2
+    val df = Seq((1L, 1L), (2L, 3L)).toDF("x", "w")
+    val q = Sketch.exactQuantilesWeighted(df, "x", "w", Seq(250, 500))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q == Map(250L -> 1L, 500L -> 2L), q.toString)
+    // null + zero weights carry no mass (documented drop)
+    val withNull = Seq((1L, Some(0L)), (2L, None), (3L, Some(2L)))
+      .toDF("x", "w")
+    val qn = Sketch.exactQuantilesWeighted(withNull, "x", "w", Seq(500))
+      .head.getLong(1)
+    assert(qn == 3L)
+    // contract violations raise with the offending value, instead of
+    // the old silent drop (negative) / truncate (fractional)
+    def fullMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val neg = Seq((1L, 5L), (2L, -3L)).toDF("x", "w")
+    val e1 = intercept[Exception] {
+      Sketch.exactQuantilesWeighted(neg, "x", "w", Seq(500)).collect()
+    }
+    assert(fullMsg(e1).contains("non-negative integers") &&
+      fullMsg(e1).contains("-3"), fullMsg(e1))
+    val frac = Seq((1L, 1.0), (2L, 2.5)).toDF("x", "w")
+    val e2 = intercept[Exception] {
+      Sketch.exactQuantilesWeighted(frac, "x", "w", Seq(500)).collect()
+    }
+    assert(fullMsg(e2).contains("non-negative integers") &&
+      fullMsg(e2).contains("2.5"), fullMsg(e2))
+    // integral doubles are fine (they carry exact integer mass)
+    val okd = Seq((1L, 1.0), (2L, 3.0)).toDF("x", "w")
+    assert(Sketch.exactQuantilesWeighted(okd, "x", "w", Seq(500))
+      .head.getLong(1) == 2L)
+  }
+
   test("hdrDriftBy: per-stratum ≡ hdrDrift of the filtered sketches; one-sided stratum reports ks NULL") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

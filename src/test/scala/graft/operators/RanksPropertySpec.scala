@@ -105,4 +105,68 @@ class RanksPropertySpec extends SparkSpec {
         .groupBy("g", "v").agg(sum("cnt").as("cnt")), Seq("g"))
     }
   }
+
+  /** Max rows any one grid cell receives for a double-valued
+    * histogram — the spread the anchors must defend. */
+  private def maxCell(vals: Seq[Double]): Long = {
+    val hist = vals.map(v => (v, 1L)).toDF("v", "cnt")
+      .groupBy("v").agg(sum("cnt").as("cnt"))
+    Ranks.bucketize(hist, "v",
+      least(greatest(nanvl(col("v").cast("double"),
+        lit(Double.MaxValue)), lit(Double.MinValue)),
+        lit(Double.MaxValue)))
+      .groupBy("__b").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+  }
+
+  test("grid is scale-invariant: one extreme outlier / NaN / Inf cannot collapse the buckets (ADVICE r12)") {
+    // 4096 uniform-ish distinct values + the adversary. Under the old
+    // linear [min, max] grid each adversary collapsed ALL finite
+    // values into bucket 0 (maxCell ≈ 4096); rank anchors bound any
+    // coarse cell at ~1/Anchors of the distinct values + in-cell
+    // clumping, so demand maxCell ≤ 2 × distinct/Anchors.
+    val base = (1 to 4096).map(_.toDouble * 1.5 + 0.25)
+    val bound = 2L * 4096 / Ranks.Anchors
+    for (adversary <- Seq(1e300, -1e300, Double.NaN,
+        Double.PositiveInfinity, Double.NegativeInfinity,
+        Double.MaxValue)) {
+      val m = maxCell(base :+ adversary)
+      assert(m <= bound, s"adversary $adversary: maxCell $m > $bound")
+    }
+    // and the cums stay exact under the same adversaries
+    for (adversary <- Seq(1e300, Double.NaN, Double.NegativeInfinity)) {
+      val vs = (base :+ adversary).map(v => (v, 1L))
+      check(vs.toDF("v", "cnt")
+        .groupBy("v").agg(sum("cnt").as("cnt")), Nil)
+    }
+  }
+
+  test("log-spread domains spread too (anchors adapt where any fixed linear grid clumps)") {
+    // distinct values spanning 120 orders of magnitude, uniform in
+    // LOG space: a linear grid would put ~everything in bucket 0
+    val vals = (0 until 2048).map(i => math.pow(10.0, i / 17.0 - 60.0))
+    val m = maxCell(vals)
+    assert(m <= 2L * 2048 / Ranks.Anchors, s"log-uniform maxCell $m")
+  }
+
+  test("NULL partition values rank as their own group, same as the plain-window fallback (ADVICE r12)") {
+    // numeric proxy path: the offsets join must be null-safe or these
+    // rows silently vanish
+    val rows = Seq(("a", 1.0, 1L), ("a", 2.0, 1L), (null, 1.0, 2L),
+      (null, 5.0, 3L), ("b", 5.0, 1L), (null, 9.0, 1L))
+    val hist = rows.toDF("g", "v", "cnt")
+    val got = Ranks.cumOver(hist, "v", Seq("g"), Seq("cnt" -> "cum"))
+      .orderBy("g", "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(3)))
+    assert(got.count(_._1 == null) == 3, s"null-group rows kept: ${got.mkString(",")}")
+    assert(got.filter(_._1 == null).map(_._3).toSeq == Seq(2L, 5L, 6L),
+      s"null-group cums: ${got.mkString(",")}")
+    // and the string-proxy path behaves identically
+    val rowsS = Seq(("a", "x", 1L), (null, "x", 2L), (null, "y", 3L))
+    val gotS = Ranks.cumOver(rowsS.toDF("g", "v", "cnt"), "v", Seq("g"),
+      Seq("cnt" -> "cum"))
+      .where(col("g").isNull).orderBy("v")
+      .collect().map(_.getLong(3))
+    assert(gotS.toSeq == Seq(2L, 5L), s"string null-group: ${gotS.mkString(",")}")
+  }
 }

@@ -361,6 +361,14 @@ class TextAnalysisSpec extends SparkSpec {
       Profile.summarizeDiff(a, b, Seq("id", "ghost"))
     }
     assert(e.getMessage.contains("ghost"))
+    // EVERY requested column missing from one side still reports
+    // (ADVICE r12: the dropped-all-columns release IS the alert — it
+    // used to throw 'summarize needs at least one column')
+    val noneInB = Profile.summarizeDiff(a, b.select("extra"),
+      Seq("id", "v")).collect().map(r => r.getString(0) -> r).toMap
+    assert(noneInB.keySet == Set("id", "v"))
+    assert(noneInB("id").getLong(1) == 3L && noneInB("id").isNullAt(2))
+    assert(noneInB("id").getLong(8) == 1L) // minmax_moved flags
   }
 
   test("redactPii is idempotent") {
