@@ -94,6 +94,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // join shape); cumOver folds gone r13
     "q_exact_quantile_by" -> 0, // rank pick is an equi-join on
                                 // stratum; cumOver folds gone r13
+    "q_exact_quantile_outlier" -> 2, // q_exact_quantile's shape with
+                                // injected 1e300/NaN adversaries
     "q_exact_quantile_w" -> 2,  // same folds as q_exact_quantile,
                                 // mass-weighted
     "q_pct_rank" -> 1,          // the 1-row corpus-total fold onto the
@@ -248,6 +250,9 @@ class PlanAuditSpec extends SparkSpec {
                                 // raw-score histogram buckets (the
                                 // rank pick has no window)
     "q_exact_quantile_w" -> 1,  // same rollup, mass-weighted
+    "q_exact_quantile_outlier" -> 1, // same rollup — the adversaries
+                                // land in anchor-bounded cells, the
+                                // partition-less residue stays ≤4096
     "q_pct_rank" -> 1,          // cumOver offset rollup over the
                                 // raw-score histogram's 4096 buckets
     "q_quantile_norm" -> 1,     // global-histogram cumOver rollup (the

@@ -223,6 +223,56 @@ class DedupSpec extends SparkSpec {
         .map(_.toString).sorted.toSeq)
   }
 
+  test("decontaminateNear: fuzzy scrub flags paraphrase-level overlap the verbatim rule misses; self-pairs kept; brute replay") {
+    import spark.implicits._
+    // benchmark item: 12 tokens -> 10 3-gram shingles
+    val benchText = "the quick brown fox jumps over the lazy dog every single day"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // bench quoted whole inside a much longer page: C = 1
+      (1L, s"page header junk $benchText plus lots of trailing filler words here"),
+      // light mangle: one token swapped mid-way -> most 3-grams survive
+      (2L, "the quick brown fox leaps over the lazy dog every single day"),
+      // unrelated
+      (3L, "completely different text with no shared trigrams at all indeed"),
+      // the benchmark doc itself (same id as bench row 100 is absent
+      // from the corpus; this one shares ALL grams under its own id)
+      (4L, benchText),
+      (5L, "ab")) // < w tokens -> absent
+      .toDF("doc_id", "text")
+    val got = Dedup.decontaminateNear(corpus, bench, threshold = 0.5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(!got.contains(5L), "sub-w docs emit nothing")
+    assert(got(1L)._3 == 1L && got(1L)._2 == 1.0, got(1L).toString)
+    assert(got(4L)._3 == 1L && got(4L)._2 == 1.0, got(4L).toString)
+    assert(got(2L)._3 == 1L && got(2L)._2 < 1.0, got(2L).toString)
+    assert(got(3L)._3 == 0L && got(3L)._2 == 0.0, got(3L).toString)
+    // tight threshold keeps only whole-quote/verbatim
+    val tight = Dedup.decontaminateNear(corpus, bench, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(tight(1L) == 1L && tight(4L) == 1L && tight(2L) == 0L)
+    // brute replay: per-doc containment == |bench grams ∩ doc grams| / |bench grams|
+    def grams(s: String, w: Int = 3): Set[String] = {
+      val t = s.toLowerCase.split(" ")
+      if (t.length < w) Set.empty
+      else (0 to t.length - w).map(i => t.slice(i, i + w).mkString(" ")).toSet
+    }
+    val bg = grams(benchText)
+    for ((docId, text) <- Seq((1L, s"page header junk $benchText plus lots of trailing filler words here"),
+        (2L, "the quick brown fox leaps over the lazy dog every single day"))) {
+      val want = bg.intersect(grams(text)).size.toDouble / bg.size
+      val wantHit = if (want >= 0.5) math.rint(want * 1e6) / 1e6 else 0.0
+      assert(got(docId)._2 == wantHit, s"doc $docId: ${got(docId)} vs $want")
+    }
+    // self-id collision across sides: a corpus doc sharing the BENCH id
+    val corpusSameId = Seq((100L, benchText)).toDF("doc_id", "text")
+    val self = Dedup.decontaminateNear(corpusSameId, bench, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(self(100L) == 1L, "self-pair must flag")
+  }
+
   test("containmentJoinIncremental ≡ inline minus the corpus-vs-corpus quadrant (directed)") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
