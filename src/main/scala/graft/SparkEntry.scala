@@ -2712,6 +2712,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the fuzzy scrub served from a persisted jaccard artifact (the
+    // THIRD join flavor off one nightly build): corpus arrays +
+    // frozen df from parquet, only the benchmark suite shingles per
+    // run — output ≡ inline, same oracle
+    "q_decontaminate_near_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(jacIndexCache, "jac4", appId)
+      val path = jacIndexCache.getOrElseUpdate((appId, s"jac4:$dir"), {
+        val p = indexPath("jac4", appId, dir)
+        Dedup.jaccardIndexWrite(docs, p, w = 4)
+        p
+      })
+      Dedup.decontaminateNearIndexed(
+          docs.where(col("doc_id") % 37 === 0), path, w = 4,
+          threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // the scrub served from the persisted benchmark-gram artifact
     // (build once per suite RELEASE, scrub every nightly batch; the
     // frozen gram set also pins which benchmark version a run was
@@ -8420,6 +8439,7 @@ object SparkEntry {
     // artifact-served query — declared output-identical
     "q_decontaminate" -> decontaminateOracleSql,
     "q_decontaminate_near" -> decontaminateNearOracleSql,
+    "q_decontaminate_near_indexed" -> decontaminateNearOracleSql,
     "q_decontaminate_indexed" -> decontaminateOracleSql,
 
     // incremental containment = the directed brute pairs at τ minus

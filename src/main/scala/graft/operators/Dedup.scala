@@ -188,7 +188,6 @@ object Dedup {
   def decontaminateNear(corpus: DataFrame, benchmark: DataFrame,
       id: String = "doc_id", textCol: String = "text", w: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val tn = tnOf(threshold)
     val corpusSh = shingles(corpus, id, textCol, w)
     val dfreq = corpusSh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ordC = dfOrderedArrays(corpusSh, dfreq, id, frozen = false)
@@ -196,6 +195,34 @@ object Dedup {
     val ordB = dfOrderedArrays(shingles(benchmark, id, textCol, w),
       dfreq, id, frozen = true)
       .localCheckpoint(false) // feeds prefixes AND verify
+    decontaminateNearFrom(ordC, ordB, id, threshold)
+  }
+
+  /** [[decontaminateNear]] with the corpus served from a persisted
+    * [[jaccardIndexWrite]] artifact — the THIRD join flavor off one
+    * nightly build (symmetric jaccard, directed containment, and now
+    * the fuzzy scrub all read the same df-ordered arrays): per run
+    * the corpus contributes only its stored postings; the benchmark
+    * suite (small) shingles fresh under the frozen df order. `w` must
+    * match the artifact build's w — the stored arrays ARE w-grams.
+    * Output ≡ inline over the same corpus (DedupSpec pins it). */
+  def decontaminateNearIndexed(benchmark: DataFrame, indexPath: String,
+      id: String = "doc_id", textCol: String = "text", w: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = benchmark.sparkSession
+    val ordC = spark.read.parquet(s"$indexPath/docs")
+    val dfreq = spark.read.parquet(s"$indexPath/df")
+    val ordB = dfOrderedArrays(shingles(benchmark, id, textCol, w),
+      dfreq, id, frozen = true)
+      .localCheckpoint(false) // feeds prefixes AND verify
+    decontaminateNearFrom(ordC, ordB, id, threshold)
+  }
+
+  /** Shared probe-prefix → postings → verify → per-doc rollup of the
+    * fuzzy scrub (inline and indexed forms). */
+  private def decontaminateNearFrom(ordC: DataFrame, ordB: DataFrame,
+      id: String, threshold: Double): DataFrame = {
+    val tn = tnOf(threshold)
     val pre = prefixRows(ordB, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
     // containmentCandFilter minus its id_a =!= id_b term (self-pairs

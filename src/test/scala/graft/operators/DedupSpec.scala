@@ -271,6 +271,15 @@ class DedupSpec extends SparkSpec {
     val self = Dedup.decontaminateNear(corpusSameId, bench, threshold = 0.9)
       .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
     assert(self(100L) == 1L, "self-pair must flag")
+    // artifact-served ≡ inline, row for row (the third join flavor
+    // off one persisted jaccard build)
+    val idx = java.nio.file.Files
+      .createTempDirectory("decn_idx").toString + "/jac"
+    Dedup.jaccardIndexWrite(corpus, idx)
+    assert(Dedup.decontaminateNearIndexed(bench, idx, threshold = 0.5)
+      .collect().map(_.toString).sorted.toSeq ==
+      Dedup.decontaminateNear(corpus, bench, threshold = 0.5)
+        .collect().map(_.toString).sorted.toSeq)
   }
 
   test("containmentJoinIncremental ≡ inline minus the corpus-vs-corpus quadrant (directed)") {
