@@ -320,6 +320,57 @@ object ScdStream {
     }
   }
 
+  /** STREAMING FUZZY decontamination gate —
+    * [[decontaminateStreamGate]]'s near-duplicate sibling (the batch
+    * pair is `decontaminate` vs `decontaminateNear`, r13): admit only
+    * documents whose w-gram overlap FRACTION against the benchmark
+    * suite's pooled gram set stays below `thresholdMil`/1000. The
+    * verbatim gate kills on ANY shared gram — right at w = 8 where a
+    * collision is a quoted span; at the small w that catches
+    * paraphrases (3–4), single collisions are boilerplate noise, so
+    * this gate measures |doc-grams ∩ suite| / |doc-grams| per row:
+    * the same suite bloom folded ONCE into a literal, one `filter`
+    * HOF over the doc's own gram array — completely stateless, no
+    * join, no aggregation state, no watermark.
+    *
+    * Direction of error: bloom false positives only INFLATE the
+    * measured fraction, so a doc whose true pooled-gram containment
+    * is ≥ the threshold can NEVER pass (no false negatives); ~fpp of
+    * a clean doc's grams count as phantom hits, biasing toward
+    * REJECTION — size `expectedGrams` honestly and route the rejected
+    * slice through [[graft.operators.Dedup.decontaminateNear]] for
+    * the exact per-benchmark-item recheck. (This gate's fraction is
+    * doc-sided — the stateless per-row analogue; the batch scrub's
+    * per-ITEM directed containment is the sharper final word.) The
+    * decision boundary is exact integer mils (hits·1000 ≥ τmil·n —
+    * no float on the compare). Docs shorter than w tokens carry no
+    * grams and always pass. */
+  def decontaminateNearStreamGate(stream: DataFrame, indexPath: String,
+      textCol: String = "text", w: Int = 4, thresholdMil: Int = 500,
+      expectedGrams: Long = 1000000L): DataFrame = {
+    require(w >= 1 && expectedGrams > 0,
+      s"decontaminateNearStreamGate: w >= 1 and expectedGrams > 0: " +
+        s"$w, $expectedGrams")
+    require(thresholdMil >= 1 && thresholdMil <= 1000,
+      s"decontaminateNearStreamGate: thresholdMil must be in " +
+        s"[1,1000], got $thresholdMil")
+    val spark = stream.sparkSession
+    val bloomRow = spark.read.parquet(indexPath)
+      .agg(org.apache.spark.sql.graft.CatalystBridge.bloomFilterAgg(
+        xxhash64(col("shingle")), expectedGrams).as("bf"))
+      .head()
+    if (bloomRow.isNullAt(0)) stream // empty suite: everything passes
+    else {
+      val bf = lit(bloomRow.getAs[Array[Byte]](0))
+      val grams = graft.operators.Dedup.gramArray(col(textCol), w)
+      val hits = size(filter(grams, g => coalesce(
+        org.apache.spark.sql.graft.CatalystBridge.bloomMightContain(
+          bf, xxhash64(g)), lit(false))))
+      stream.where(size(grams) === 0 ||
+        hits * 1000 < lit(thresholdMil.toLong) * size(grams))
+    }
+  }
+
   /** Static simhash band index of a corpus — the persisted artifact
     * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one
     * row per band per doc. Write it partitioned/bucketed by `band` so

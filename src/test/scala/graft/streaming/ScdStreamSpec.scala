@@ -334,6 +334,36 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateNearStreamGate — fractional overlap gate: paraphrase blocked, light collision passes, stateless") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog every single day"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("decn_gate").toString + "/grams"
+    graft.operators.Dedup.decontaminationIndexWrite(bench, dir, w = 4)
+    val ms = MemoryStream[(Long, String)]
+    val gated = ScdStream.decontaminateNearStreamGate(
+      ms.toDF().toDF("doc_id", "text"), dir, w = 4, thresholdMil = 500)
+    val q = gated.writeStream.format("memory").queryName("decngate")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        // one-token paraphrase: most 4-grams survive -> blocked
+        (1L, "the quick brown fox leaps over the lazy dog every single day"),
+        // shares one 4-gram span inside a long clean doc: fraction
+        // far below 1/2 -> passes (the verbatim w=4 gate would kill)
+        (2L, "totally unrelated opening words here the quick brown fox then a very different long tail of many clean tokens"),
+        (3L, "clean words spread over enough tokens to gram ok fine"),
+        (4L, "shorty"))                              // <w tokens -> pass
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.mkString(","))
+      val got = spark.table("decngate").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 3L, 4L), got.toString)
+    } finally q.stop()
+  }
+
   test("corpusMatchStream — maxDist out of [0,63] is rejected (width-0 bands)") {
     import spark.implicits._
     val corpus = Seq((1L, "a b c")).toDF("doc_id", "text")
