@@ -2083,6 +2083,20 @@ object SparkEntry {
       Eval.spearman(d, col("x"), col("y"))
     }),
 
+    // the STRATIFIED raw hazard row (r13): per-language ρ where BOTH
+    // columns are corpus-cardinality doubles — per-(stratum, bucket)
+    // distributed ranks AND the in-frame centered assembly proven on
+    // the same input shape production monitors feed it
+    "q_rank_corr_by_raw" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang"),
+        Sketch.md5Fraction(col("doc_id")).as("x"),
+        (Sketch.md5Fraction(concat(lit("rc|"),
+          col("doc_id").cast("string"))) +
+          Sketch.md5Fraction(col("doc_id"))).as("y"))
+      Eval.spearmanBy(d, col("lang"), col("x"), col("y"))
+        .withColumnRenamed("stratum", "lang")
+    }),
+
     // Poisson-bootstrap CI on a corpus mean (Chamandy et al. 2012):
     // 64 deterministic resamples in ONE corpus pass (per-row md5
     // inverse-CDF Poisson(1) weights), percentile cut over the
@@ -2578,6 +2592,16 @@ object SparkEntry {
             .as("n_tokens_kept"),
           round(max(col("keep_rate")), 6).as("keep_rate"))
         .orderBy("lang")),
+
+    // UniMax (Chung et al. 2023) char-budget allocation across
+    // languages: small langs capped at 2 epochs, the rest share the
+    // remaining budget uniformly — the principled knob next to
+    // q_temperature_mix's n^alpha heuristic; exact integer
+    // waterfilling on the ≤|langs| strata table
+    "q_unimax_mix" -> ((s, dir) =>
+      Sampling.unimaxAllocation(t(s, dir, "documents"), col("lang"),
+          budget = 200000L, epochCap = 2, sizeCol = col("n_chars"))
+        .withColumnRenamed("stratum", "lang")),
 
     // temperature-style weighted sample: 20 docs per source, longer
     // docs proportionally likelier, reproducible from ids alone
@@ -7896,6 +7920,43 @@ object SparkEntry {
          |FROM s""".stripMargin
     },
 
+    // stratified raw-double rank replay: the q_rank_corr_by windows
+    // partitioned by lang over md5-uniform x/y, centered assembly
+    "q_rank_corr_by_raw" -> {
+      val f1 = md5FracSql("CAST(doc_id AS VARCHAR)")
+      val f2 = md5FracSql("'rc|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH r1 AS (
+         |  SELECT CAST(lang AS VARCHAR) AS stratum, $f1 AS x,
+         |    $f2 + $f1 AS y
+         |  FROM documents
+         |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+         |hx AS (SELECT stratum, x, count(*) AS cnt FROM r1
+         |  GROUP BY 1, 2),
+         |rx AS (SELECT stratum, x, 2 * sum(cnt) OVER (PARTITION BY
+         |    stratum ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) - cnt + 1 AS r_x FROM hx),
+         |hy AS (SELECT stratum, y, count(*) AS cnt FROM r1
+         |  GROUP BY 1, 2),
+         |ry AS (SELECT stratum, y, 2 * sum(cnt) OVER (PARTITION BY
+         |    stratum ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    CURRENT ROW) - cnt + 1 AS r_y FROM hy),
+         |j AS (SELECT stratum, r_x, r_y FROM r1
+         |  JOIN rx USING (stratum, x) JOIN ry USING (stratum, y)),
+         |s AS (SELECT stratum, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS syy
+         |  FROM j GROUP BY stratum)
+         |SELECT stratum AS lang, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (sxx - n * (n + 1) * (n + 1)) = 0
+         |      OR (syy - n * (n + 1) * (n + 1)) = 0 THEN NULL
+         |    ELSE round(CAST(sxy - n * (n + 1) * (n + 1) AS DOUBLE) /
+         |      sqrt(CAST(sxx - n * (n + 1) * (n + 1) AS DOUBLE) *
+         |        CAST(syy - n * (n + 1) * (n + 1) AS DOUBLE)), 6) END
+         |    AS spearman_rho
+         |FROM s ORDER BY lang""".stripMargin
+    },
+
     "q_gate_krippendorff" -> {
       val fp = md5FracSql(
         "'ka|p|' || CAST(doc_id AS VARCHAR) || '|' || CAST(rater AS VARCHAR)")
@@ -8332,6 +8393,40 @@ object SparkEntry {
          |FROM s JOIN r ON s.lang = r.g
          |WHERE ${md5FracSql("CAST(doc_id AS VARCHAR)")} < keep_rate
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exact-integer waterfilling replay: same ascending (n, lang)
+    // rank/cum windows, same capped-prefix condition, same floor divs
+    "q_unimax_mix" ->
+      """WITH c AS (
+        |  SELECT lang AS stratum, CAST(sum(n_chars) AS HUGEINT) AS n
+        |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+        |r AS (
+        |  SELECT stratum, n,
+        |    CAST(row_number() OVER (ORDER BY n, stratum) AS HUGEINT)
+        |      AS i,
+        |    CAST(sum(n) OVER (ORDER BY n, stratum ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+        |  FROM c),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS L FROM r),
+        |f AS (
+        |  SELECT r.*, L,
+        |    (2 * n * (L - i + 1) <= 200000 - 2 * (cum - n)) AS capped
+        |  FROM r, t),
+        |k AS (SELECT coalesce(max(CASE WHEN capped THEN i END),
+        |        CAST(0 AS HUGEINT)) AS k,
+        |      coalesce(max(CASE WHEN capped THEN cum END),
+        |        CAST(0 AS HUGEINT)) AS ck
+        |  FROM f),
+        |a AS (
+        |  SELECT stratum, n, i, k, L, ck,
+        |    CASE WHEN i <= k THEN 2 * n
+        |      ELSE (200000 - 2 * ck) // (L - k) END AS alloc
+        |  FROM f, k)
+        |SELECT stratum AS lang, CAST(n AS BIGINT) AS n,
+        |  CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(i <= k AS BIGINT) AS capped,
+        |  CAST(alloc * 1000000 // n AS BIGINT) AS epochs_e6
+        |FROM a ORDER BY n, lang""".stripMargin,
 
     "q_stratified_sample" ->
       // rate CASE mirrors stratifiedSample's sorted-key fold

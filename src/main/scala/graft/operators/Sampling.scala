@@ -181,6 +181,83 @@ object Sampling {
       .drop("__g")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, ICLR — "UniMax:
+    * Fairer and More Effective Language Sampling"): split a total
+    * training budget across strata (languages) as UNIFORMLY as the
+    * per-stratum epoch cap allows — small strata get their full
+    * `epochCap` epochs, the rest share the remaining budget equally —
+    * the principled alternative to [[temperatureSample]]'s n^α
+    * heuristic (which still over-allocates to head languages at any
+    * α > 0 and needs tuning; UniMax has one interpretable knob, the
+    * repeat ceiling).
+    *
+    * Closed-form waterfilling on the ascending-size stratum table
+    * (i = 1..L, sizes n_i ascending, cums c_i): stratum i is CAPPED
+    * iff cap·n_i·(L−i+1) ≤ B − cap·c_{i−1} (exact integers — "its
+    * full cap fits under the uniform share of what's left"); the
+    * capped set is an ascending PREFIX (if i overflows its share,
+    * every larger j does too), so k = max capped i, capped strata get
+    * cap·n_i, and the L−k uncapped share τ = (B − cap·c_k) div (L−k)
+    * each (floor — at most L−k−1 budget units go unspent; when every
+    * stratum is capped the suite is smaller than the budget and the
+    * leftover is reported by the allocs summing below B).
+    *
+    * Plan: one map-side-combined groupBy to the strata table, ONE
+    * window over |strata| rows (domain-bounded — languages, not
+    * corpus rows; the paretoCoverage justification), two 1-row
+    * broadcast folds (L, then (k, c_k)); arithmetic in decimal(38,0)
+    * (cap·n·L exceeds Long at petabyte char counts). Output one row
+    * per stratum: stratum, n, alloc, capped, epochs_e6
+    * (alloc·1e6 div n — the realized repeat factor), ordered by
+    * (n, stratum) ascending. */
+  def unimaxAllocation(df: DataFrame, strataCol: Column, budget: Long,
+      epochCap: Int, sizeCol: Column = lit(1L)): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(epochCap >= 1, s"epochCap must be >= 1: $epochCap")
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(strataCol.as("stratum"))
+      .agg(sum(sizeCol.cast("long")).as("n"))
+      .where(col("n") > 0)
+    // |strata|-row window: domain-bounded by contract (languages /
+    // sources) — budget it in PlanAuditSpec like paretoCoverage's
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n"), col("stratum"))
+    val ranked = counts
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .localCheckpoint(false) // feeds L-fold, k-fold AND the output
+    val tot = ranked.agg(count(lit(1)).as("__L"))
+    val b = lit(budget).cast(dec)
+    val cap = lit(epochCap.toLong).cast(dec)
+    val withL = ranked.crossJoin(broadcast(tot))
+      .withColumn("__capped",
+        cap * col("n").cast(dec) *
+          (col("__L").cast(dec) - col("i").cast(dec) + 1) <=
+          b - cap * (col("cum").cast(dec) - col("n").cast(dec)))
+    val kFold = withL.agg(
+      coalesce(max(when(col("__capped"), col("i"))), lit(0L)).as("__k"),
+      coalesce(max(when(col("__capped"), col("cum"))), lit(0L))
+        .as("__ck"))
+    withL.crossJoin(broadcast(kFold))
+      // div (IntegralDivide), not `/`: decimal `/` rounds at its
+      // result scale before any cast, which can round UP across the
+      // floor boundary — div is the exact floor both engines share
+      .withColumn("__rem", b - cap * col("__ck").cast(dec))
+      .withColumn("__lk",
+        col("__L").cast(dec) - col("__k").cast(dec))
+      .withColumn("alloc",
+        when(col("i") <= col("__k"),
+          (cap * col("n").cast(dec)).cast("long"))
+          .otherwise(expr("CAST(__rem div __lk AS LONG)")))
+      .drop("__rem", "__lk")
+      .withColumn("capped", (col("i") <= col("__k")).cast("long"))
+      .withColumn("epochs_e6",
+        expr("CAST(alloc AS DECIMAL(38,0)) * 1000000 div n"))
+      .select(col("stratum"), col("n"), col("alloc"), col("capped"),
+        col("epochs_e6"))
+      .orderBy(col("n"), col("stratum"))
+  }
+
   /** Epoch mixing — the missing HALF of the mixing story: every other
     * sampler here only thins (rate ≤ 1), but a real pretraining mix
     * also REPEATS rare high-quality strata (books ×3, a rare language

@@ -54,6 +54,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_resample_gaps" -> 1,     // hour grid × broadcast type set
     "q_skew_stats" -> 1,        // corpus moments fold
     "q_temperature_mix" -> 1,   // stratum-weight normalizer fold
+    "q_unimax_mix" -> 3,        // 1-row L fold (planned twice: it sits
+                                // under BOTH the waterline fold and
+                                // the output projection) + the 1-row
+                                // (k, c_k) waterline fold — all onto
+                                // the domain-bounded strata table
     "sim_bruteforce_topk" -> 1, // 1-row query-vector fold
     "sim_ivf_kmeans" -> 2,      // centroid table + query fold
     "sim_ivf_topk" -> 2,        // centroid table + query fold
@@ -274,6 +279,9 @@ class PlanAuditSpec extends SparkSpec {
                                 // ≤|sources| strata table (r13 #5 —
                                 // the enum domain IS the bound)
     "q_source_pareto" -> 1,     // Pareto rank over the |strata| table
+    "q_unimax_mix" -> 1,        // waterfilling rank/cum over the
+                                // ≤|langs| strata table (the
+                                // paretoCoverage justification)
     "q_textrank" -> 1,          // kw_rank over the k-row cut (final
                                 // plan) / vocab-id cumOver rollup
                                 // (construction plan) — max 1 per

@@ -169,6 +169,47 @@ class ScaleOpsSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("unimaxAllocation: waterfilling hand case, cap binds small strata, budget conserved, all-capped leftover") {
+    // hand case (B=100, cap=2, sizes 10/20/100): langs a,b capped at
+    // 2 epochs (20, 40), c takes the remaining 40 — exactly B spent
+    val rows = Seq.tabulate(10)(i => ("a", 1L)) ++
+      Seq.tabulate(20)(i => ("b", 1L)) ++
+      Seq.tabulate(100)(i => ("c", 1L))
+    val df = rows.toDF("lang", "sz")
+    val got = Sampling.unimaxAllocation(df, col("lang"), 100L, 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a") == ((10L, 20L, 1L, 2000000L)), got.toString)
+    assert(got("b") == ((20L, 40L, 1L, 2000000L)), got.toString)
+    assert(got("c") == ((100L, 40L, 0L, 400000L)), got.toString)
+    assert(got.values.map(_._2).sum == 100L, "budget conserved")
+    // all-capped: budget exceeds cap * total -> every stratum takes
+    // cap epochs, leftover reported by the sum falling below B
+    val all = Sampling.unimaxAllocation(df, col("lang"), 10000L, 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(all.forall(_._2 == 1L) && all.map(_._1).sum == 260L)
+    // monotone: a larger stratum never receives LESS than a smaller
+    val rnd = new scala.util.Random(7)
+    val sizes = (0 until 12).map(i => (s"l$i", 1L + rnd.nextInt(500).toLong))
+    val wdf = sizes.flatMap { case (l, n) => Seq.fill(n.toInt)((l, 1L)) }
+      .toDF("lang", "sz")
+    val out = Sampling.unimaxAllocation(wdf, col("lang"), 1500L, 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    out.toSeq.sliding(2).foreach {
+      case Seq((n1, a1), (n2, a2)) =>
+        assert(n1 <= n2 && a1 <= a2,
+          s"monotone: ($n1,$a1) vs ($n2,$a2)")
+      case _ => ()
+    }
+    // weighted size column (chars not rows)
+    val sz = Seq(("x", 30L), ("y", 300L)).toDF("lang", "chars")
+    val ws = Sampling.unimaxAllocation(sz, col("lang"), 120L, 2,
+      col("chars")).collect().map(r => r.getString(0) -> r.getLong(2))
+      .toMap
+    // x capped at 60, y takes the remaining 60
+    assert(ws == Map("x" -> 60L, "y" -> 60L), ws.toString)
+  }
+
   test("epochMix repeats whole epochs exactly, gates the fractional one, nests") {
     val df = (1L to 300L).toDF("id")
       .withColumn("src", when(col("id") <= 100, "a")
