@@ -1331,6 +1331,15 @@ object SparkEntry {
       Sketch.exactQuantilesWeighted(t(s, dir, "documents"),
         "n_chars", "n_chars", Seq(500, 900)).orderBy("q_mil")),
 
+    // EXACT robust scale on raw continuous scores: MAD = median of
+    // |x − median| — two exact ceil-rank passes through the anchored
+    // rank grid (the k·MAD outlier gate's inputs, bit-replayable)
+    "q_exact_mad" -> ((s, dir) =>
+      Sketch.exactMad(
+        t(s, dir, "documents")
+          .select(Sketch.md5Fraction(col("doc_id")).as("score")),
+        "score")),
+
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
     // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
@@ -2119,6 +2128,18 @@ object SparkEntry {
         col("lang"), col("n_tokens"), col("doc_id"))
         .withColumnRenamed("stratum", "lang")
         .orderBy("lang")),
+
+    // PAIRED bootstrap on a mean difference (r13): "is the chars-div-5
+    // folk token estimator biased against real whitespace counts,
+    // beyond resampling noise?" — same md5 Poisson weights weigh both
+    // metrics of a row identically (the paired design by
+    // construction); CI excluding 0 = significant
+    "q_bootstrap_diff" -> ((s, dir) =>
+      Eval.bootstrapMeanDiffCI(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("a"),
+          expr("n_chars div 5").as("b")),
+        col("a"), col("b"), col("doc_id"))),
 
     // the PUBLISHED Gopher web-filter recipe (Rae et al. 2021 A1.1),
     // per rule per document — audit why a doc fell, not just that it
@@ -5572,6 +5593,30 @@ object SparkEntry {
         |FROM r JOIN c ON c.cum >= r.r
         |GROUP BY q_mil ORDER BY q_mil""".stripMargin,
 
+    // two-pass exact MAD replay: ceil-rank median of v, then of
+    // |v − median| — identical IEEE deviation arithmetic
+    "q_exact_mad" ->
+      s"""WITH r0 AS MATERIALIZED (
+        |  SELECT ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (SELECT v, count(*) AS c FROM r0
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |c AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0
+        |  WHERE v IS NOT NULL),
+        |med AS (SELECT min(v) AS med FROM c, t
+        |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000)),
+        |d0 AS MATERIALIZED (
+        |  SELECT abs(v - med) AS d FROM r0, med WHERE v IS NOT NULL),
+        |hd AS (SELECT d, count(*) AS c FROM d0 GROUP BY d),
+        |cd AS (SELECT d, sum(c) OVER (ORDER BY d ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM hd),
+        |mad AS (SELECT min(d) AS mad FROM cd, t
+        |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000))
+        |SELECT n, med AS median, mad
+        |FROM t, med, mad""".stripMargin,
+
     // same ceil-rank pick with injected 1e300 / NaN adversaries (both
     // engines sort NaN above +Inf, so the histogram order agrees)
     "q_exact_quantile_outlier" ->
@@ -7955,6 +8000,55 @@ object SparkEntry {
          |        CAST(syy - n * (n + 1) * (n + 1) AS DOUBLE)), 6) END
          |    AS spearman_rho
          |FROM s ORDER BY lang""".stripMargin
+    },
+
+    // paired diff replay: the q_bootstrap_ci chain on m = a − b, with
+    // the overall per-metric means alongside
+    "q_bootstrap_diff" -> {
+      val cdf = Eval.bootstrapCdf
+      val u = md5FracSql(
+        "'bs|' || CAST(r.r AS VARCHAR) || '|' || b.id")
+      val wCase = ("CASE " + cdf.zipWithIndex.map { case (t, k) =>
+        s"WHEN ($u) < $t THEN $k"
+      }.mkString(" ") + " ELSE 5 END")
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id,
+         |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS a,
+         |    CAST(n_chars // 5 AS BIGINT) AS b
+         |  FROM documents
+         |  WHERE doc_id IS NOT NULL
+         |    AND len(string_split(lower(text), ' ')) IS NOT NULL
+         |    AND n_chars IS NOT NULL),
+         |m0 AS MATERIALIZED (
+         |  SELECT id, a - b AS m, a, b FROM base),
+         |wt AS MATERIALIZED (
+         |  SELECT r.r, b.m, $wCase AS w
+         |  FROM m0 b CROSS JOIN range(0, 64) r(r)),
+         |means AS (
+         |  SELECT r, CAST(sum(w * m) AS DOUBLE) / sum(w) AS rmean
+         |  FROM wt GROUP BY r HAVING sum(w) > 0),
+         |rkd AS (
+         |  SELECT r, rmean,
+         |    row_number() OVER (ORDER BY rmean, r) AS rk FROM means),
+         |ci0 AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS replicates_used,
+         |    max(CASE WHEN rk = 2 THEN rmean END) AS lo_at,
+         |    max(CASE WHEN rk = 63 THEN rmean END) AS hi_at,
+         |    max(rmean) AS mx
+         |  FROM rkd),
+         |ci AS (
+         |  SELECT replicates_used,
+         |    CASE WHEN replicates_used >= 2 THEN lo_at ELSE mx END AS lo,
+         |    CASE WHEN replicates_used >= 63 THEN hi_at ELSE mx END AS hi
+         |  FROM ci0),
+         |ov AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |    sum(m) AS sm, sum(a) AS sa, sum(b) AS sb FROM m0)
+         |SELECT n_rows, replicates_used,
+         |  round(CAST(sa AS DOUBLE) / n_rows, 6) AS mean_a,
+         |  round(CAST(sb AS DOUBLE) / n_rows, 6) AS mean_b,
+         |  round(CAST(sm AS DOUBLE) / n_rows, 6) AS mean_diff,
+         |  round(lo, 6) AS ci_lo, round(hi, 6) AS ci_hi
+         |FROM ov CROSS JOIN ci""".stripMargin
     },
 
     "q_gate_krippendorff" -> {

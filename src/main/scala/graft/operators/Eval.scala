@@ -719,6 +719,43 @@ object Eval {
         round(col("hi"), 6).as("ci_hi"))
   }
 
+  /** PAIRED bootstrap CI on a mean DIFFERENCE — the model/signal
+    * comparison primitive ("is scorer B actually higher than scorer A
+    * on the same docs, beyond resampling noise?"): both metrics are
+    * measured on the SAME rows, so the honest test bootstraps the
+    * per-row difference — pairing falls out of the construction here,
+    * because [[bootstrapMeanCI]]'s per-(replicate, id) md5 weights
+    * depend only on the row id: each resample weighs a row's a and b
+    * identically, which is exactly the paired design (independent
+    * resamples of a and b would double-count the between-row variance
+    * and wash out small real gaps). CI excluding 0 is the
+    * "significant at 2·alphaPermille‰" read.
+    *
+    * Same machinery, zero new state: one corpus pass for the
+    * replicate fold on (a − b) plus the overall a/b means; output one
+    * row — n_rows, replicates_used, mean_a, mean_b, mean_diff,
+    * ci_lo, ci_hi (CI on the diff). */
+  def bootstrapMeanDiffCI(rows: DataFrame, aCol: Column, bCol: Column,
+      idCol: Column, replicates: Int = 64, alphaPermille: Int = 25,
+      seed: String = "bs"): DataFrame = {
+    val base = rows.select(aCol.cast("long").as("a"),
+        bCol.cast("long").as("b"), idCol.cast("string").as("id"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("id").isNotNull)
+      .localCheckpoint(false) // feeds the diff bootstrap AND the means
+    val ci = bootstrapMeanCI(base, col("a") - col("b"), col("id"),
+      replicates, alphaPermille, seed)
+    val ab = base.agg(
+      round(sum(col("a")).cast("double") / count(lit(1)), 6)
+        .as("mean_a"),
+      round(sum(col("b")).cast("double") / count(lit(1)), 6)
+        .as("mean_b"))
+    ci.crossJoin(broadcast(ab))
+      .select(col("n_rows"), col("replicates_used"), col("mean_a"),
+        col("mean_b"), col("mean").as("mean_diff"), col("ci_lo"),
+        col("ci_hi"))
+  }
+
   /** Cumulative Poisson(1) CDF at k = 0..4, as the exact double
     * literals both the operator and the oracle use. */
   private[graft] val bootstrapCdf: Seq[Double] = {

@@ -408,6 +408,36 @@ object Sketch {
       rows.agg(sum("w").as("n")), qMils)
   }
 
+  /** EXACT median absolute deviation — the robust scale estimate
+    * behind outlier gates (flag rows beyond k·MAD of the median: the
+    * cut that ignores the very outliers a mean/σ rule would let drag
+    * it): MAD = median(|x − median(x)|), both medians the exact
+    * type-1 quantiles of [[exactQuantiles]] (ceil-rank, least value
+    * reaching it — replayable bit-for-bit, unlike an approximate
+    * sketch whose error bound the gate threshold would inherit).
+    *
+    * Plan: two [[exactQuantiles]] passes (value domain, then the
+    * deviation domain), each riding [[graft.operators.Ranks.cumOver]]
+    * — raw continuous scores (distinct ≈ corpus, the natural input)
+    * never funnel one task in either pass; the median folds back as a
+    * 1-row broadcast. Output one row: n, median, mad (doubles — the
+    * deviation arithmetic is a fixed IEEE chain both engines share). */
+  def exactMad(df: DataFrame, valueCol: String): DataFrame = {
+    val rows = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .localCheckpoint(false) // feeds both quantile passes + the count
+    val med = exactQuantiles(rows, "v", Seq(500))
+      .select(col("v").as("__med"))
+    val dev = rows.crossJoin(broadcast(med))
+      .select(abs(col("v") - col("__med")).as("d"))
+    val mad = exactQuantiles(dev, "d", Seq(500))
+      .select(col("v").as("__mad"))
+    rows.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .select(col("n"), col("__med").as("median"),
+        col("__mad").as("mad"))
+  }
+
   /** Shared ceil-rank pick of the exact-quantile family: least v
     * whose cumulative `cnt` reaches r = max(1, ⌈q·n/1000⌉), the
     * cumulative distributed through [[graft.operators.Ranks.cumOver]]

@@ -72,6 +72,13 @@ class PlanAuditSpec extends SparkSpec {
     "sim_sq8_topk" -> 3,        // grid fold ×2 (encode + scan) + query
     "sim_sq8_indexed" -> 2,     // grid fold (scan only) + query
     "q_bootstrap_ci" -> 1,      // 64-row replicate-CI fold onto totals
+    "q_bootstrap_diff" -> 2,    // same replicate-CI fold + the 1-row
+                                // per-metric means fold
+    "q_exact_mad" -> 6,         // two exactQuantiles passes × (1-row
+                                // total fold + ≤1-row rank pick) + the
+                                // 1-row median fold onto the deviation
+                                // pass + the final 1-row assembly —
+                                // every side 1-row/|q|-row bounded
     "q_curriculum_tiers" -> 6,  // unigramLm's 1-row total fold +
                                 // hdrQuantiles' 2-row q-list × sketch
                                 // rank scan + the ≤2-cut array fold —
@@ -225,6 +232,10 @@ class PlanAuditSpec extends SparkSpec {
   private val unpartWinBudget: Map[String, Int] = Map(
     "q_bootstrap_ci" -> 1,      // rank over the ≤64-row replicate
                                 // means table (B is a constant)
+    "q_bootstrap_diff" -> 1,    // same ≤64-row replicate rank window
+    "q_exact_mad" -> 2,         // one cumOver offset rollup per
+                                // exactQuantiles pass (value +
+                                // deviation domains), each ≤4096 rows
     "q_curriculum_tiers" -> 1,  // hdrQuantiles cum over the ≤1 920-row
                                 // sketch
     "q_funnel" -> 1,            // cum over the |steps|-row funnel

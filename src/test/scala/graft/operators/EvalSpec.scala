@@ -671,6 +671,33 @@ class EvalSpec extends SparkSpec {
     assert(out("live").getLong(2) > 0L)
   }
 
+  test("bootstrapMeanDiffCI: paired CI == bootstrapMeanCI of the diff; zero-diff centers at 0; means reported") {
+    val rows = (0L until 120L).map(i =>
+      (i, 10L + (i * 7) % 23, 8L + (i * 11) % 23)).toDF("id", "a", "b")
+    val got = Eval.bootstrapMeanDiffCI(rows, col("a"), col("b"),
+      col("id")).head
+    // the diff CI is EXACTLY the single-metric bootstrap of (a-b) —
+    // same ids, same weights, same percentile cut
+    val want = Eval.bootstrapMeanCI(
+      rows.select(col("id"), (col("a") - col("b")).as("m")),
+      col("m"), col("id")).head
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1), s"$got vs $want")
+    assert(got.getDouble(4) == want.getDouble(2) &&
+      got.getDouble(5) == want.getDouble(3) &&
+      got.getDouble(6) == want.getDouble(4), s"$got vs $want")
+    // means come from the same rows
+    val ma = rows.agg(sum("a"), count(lit(1))).head
+    assert(got.getDouble(2) ==
+      BigDecimal(ma.getLong(0).toDouble / ma.getLong(1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // identical metrics -> every replicate diff-mean is exactly 0
+    val same = Eval.bootstrapMeanDiffCI(rows, col("a"), col("a"),
+      col("id")).head
+    assert(same.getDouble(4) == 0.0 && same.getDouble(5) == 0.0 &&
+      same.getDouble(6) == 0.0, same.toString)
+  }
+
   test("krippendorffAlpha: hand cases, ragged drop, brute replay") {
     // perfect agreement on 2 items -> alpha = 1
     val perf = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))

@@ -247,6 +247,31 @@ class HdrSketchSpec extends SparkSpec {
       .head.getLong(1) == 2L)
   }
 
+  test("exactMad: hand case, brute replay on random doubles, outlier robustness") {
+    import spark.implicits._
+    // 1..9: median 5, |x-5| = {4,3,2,1,0,1,2,3,4} -> MAD median = 2
+    val got = Sketch.exactMad((1 to 9).map(_.toDouble).toDF("x"), "x")
+      .head
+    assert(got.getLong(0) == 9L && got.getDouble(1) == 5.0 &&
+      got.getDouble(2) == 2.0, got.toString)
+    // brute replay: type-1 ceil-rank medians on random doubles
+    val rnd = new scala.util.Random(31)
+    val vs = Seq.fill(201)(rnd.nextDouble() * 100 - 50)
+    def q500(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(math.max(1, (xs.length * 500 + 999) / 1000) - 1)
+    }
+    val med = q500(vs)
+    val wantMad = q500(vs.map(v => math.abs(v - med)))
+    val g2 = Sketch.exactMad(vs.toDF("x"), "x").head
+    assert(g2.getDouble(1) == med && g2.getDouble(2) == wantMad,
+      s"$g2 vs ($med, $wantMad)")
+    // robustness: one 1e12 outlier moves the MEAN wildly, the
+    // median/MAD pair barely (the point of the robust gate)
+    val g3 = Sketch.exactMad((vs :+ 1e12).toDF("x"), "x").head
+    assert(math.abs(g3.getDouble(1) - med) < 1.0 &&
+      g3.getDouble(2) < 60.0, g3.toString)
+  }
+
   test("hdrDriftBy: per-stratum ≡ hdrDrift of the filtered sketches; one-sided stratum reports ks NULL") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
