@@ -1340,6 +1340,16 @@ object SparkEntry {
           .select(Sketch.md5Fraction(col("doc_id")).as("score")),
         "score")),
 
+    // per-language exact robust scale — the k·MAD gate's denominators
+    // per stratum, rank picks equi-joined on stratum (hash, never a
+    // nested loop), strata-many safe
+    "q_exact_mad_by" -> ((s, dir) =>
+      Sketch.exactMadBy(
+        t(s, dir, "documents").select(col("lang"),
+          Sketch.md5Fraction(col("doc_id")).as("score")),
+        col("lang"), "score")
+        .withColumnRenamed("stratum", "lang")),
+
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
     // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
@@ -5616,6 +5626,40 @@ object SparkEntry {
         |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000))
         |SELECT n, med AS median, mad
         |FROM t, med, mad""".stripMargin,
+
+    // per-stratum two-pass MAD replay: windows/totals partition by
+    // lang, median joins back on lang
+    "q_exact_mad_by" ->
+      s"""WITH r0 AS MATERIALIZED (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum,
+        |    ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |h AS (SELECT stratum, v, count(*) AS c FROM r0 GROUP BY 1, 2),
+        |c AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS cum FROM h),
+        |t AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM r0
+        |  GROUP BY stratum),
+        |med AS (SELECT c.stratum, min(v) AS med
+        |  FROM c JOIN t ON c.stratum = t.stratum
+        |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000)
+        |  GROUP BY c.stratum),
+        |d0 AS MATERIALIZED (
+        |  SELECT r0.stratum, abs(v - med) AS d
+        |  FROM r0 JOIN med ON r0.stratum = med.stratum),
+        |hd AS (SELECT stratum, d, count(*) AS c FROM d0 GROUP BY 1, 2),
+        |cd AS (SELECT stratum, d, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS cum FROM hd),
+        |mad AS (SELECT cd.stratum, min(d) AS mad
+        |  FROM cd JOIN t ON cd.stratum = t.stratum
+        |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000)
+        |  GROUP BY cd.stratum)
+        |SELECT t.stratum AS lang, n, med AS median, mad
+        |FROM t JOIN med ON t.stratum = med.stratum
+        |  JOIN mad ON t.stratum = mad.stratum
+        |ORDER BY lang""".stripMargin,
 
     // same ceil-rank pick with injected 1e300 / NaN adversaries (both
     // engines sort NaN above +Inf, so the histogram order agrees)

@@ -438,6 +438,33 @@ object Sketch {
         col("__mad").as("mad"))
   }
 
+  /** STRATIFIED exact MAD — [[exactMad]] per stratum in one pass
+    * pair (the monitoring shape: "per-language robust score spread",
+    * the denominator of a per-stratum k·MAD outlier gate): both
+    * median passes are [[exactQuantilesBy]] (per-(stratum, bucket)
+    * distributed cums, rank picks equi-joined ON STRATUM), the median
+    * transfers back by a stratum hash join — no broadcast fold, no
+    * partition-less window, strata-many safe. Output: one row per
+    * stratum — stratum, n, median, mad, stratum ascending. */
+  def exactMadBy(df: DataFrame, strataCol: Column,
+      valueCol: String): DataFrame = {
+    val rows = df.select(strataCol.as("stratum"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("stratum").isNotNull && col("v").isNotNull)
+      .localCheckpoint(false) // feeds both passes + the counts
+    val med = exactQuantilesBy(rows, col("stratum"), "v", Seq(500))
+      .select(col("stratum"), col("v").as("__med"))
+    val dev = rows.join(med, Seq("stratum"))
+      .select(col("stratum"), abs(col("v") - col("__med")).as("d"))
+    val mad = exactQuantilesBy(dev, col("stratum"), "d", Seq(500))
+      .select(col("stratum"), col("v").as("mad"))
+    rows.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .join(med.select(col("stratum"), col("__med").as("median")),
+        Seq("stratum"))
+      .join(mad, Seq("stratum"))
+      .orderBy("stratum")
+  }
+
   /** Shared ceil-rank pick of the exact-quantile family: least v
     * whose cumulative `cnt` reaches r = max(1, ⌈q·n/1000⌉), the
     * cumulative distributed through [[graft.operators.Ranks.cumOver]]

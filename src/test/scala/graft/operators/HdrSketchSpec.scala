@@ -270,6 +270,19 @@ class HdrSketchSpec extends SparkSpec {
     val g3 = Sketch.exactMad((vs :+ 1e12).toDF("x"), "x").head
     assert(math.abs(g3.getDouble(1) - med) < 1.0 &&
       g3.getDouble(2) < 60.0, g3.toString)
+    // stratified ≡ single per stratum
+    val strat = vs.zipWithIndex.map { case (v, i) =>
+      (if (i % 2 == 0) "a" else "b", v) }.toDF("s", "x")
+    val by = Sketch.exactMadBy(strat, col("s"), "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (st <- Seq("a", "b")) {
+      val single = Sketch.exactMad(
+        strat.where(col("s") === st), "x").head
+      assert(by(st).getLong(1) == single.getLong(0) &&
+        by(st).getDouble(2) == single.getDouble(1) &&
+        by(st).getDouble(3) == single.getDouble(2),
+        s"$st: ${by(st)} vs $single")
+    }
   }
 
   test("hdrDriftBy: per-stratum ≡ hdrDrift of the filtered sketches; one-sided stratum reports ks NULL") {
