@@ -2634,6 +2634,27 @@ object SparkEntry {
           budget = 200000L, epochCap = 2, sizeCol = col("n_chars"))
         .withColumnRenamed("stratum", "lang")),
 
+    // the mixing pipeline END-TO-END (r13): UniMax's char allocation
+    // becomes per-language epoch rates (alloc/n — exact longs, one
+    // identical double division in both engines) feeding epochMix's
+    // copy generator — capped langs repeat ~2×, the uncapped head
+    // thins; the ≤|langs| allocation table folds at construction (the
+    // epochMix rates-map contract, domain-bounded)
+    "q_unimax_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val alloc = Sampling.unimaxAllocation(docs, col("lang"),
+          budget = 200000L, epochCap = 2, sizeCol = col("n_chars"))
+        .select(col("stratum"), col("n"), col("alloc")).collect()
+      val rates = alloc.map(r => r.getString(0) ->
+        r.getLong(2).toDouble / r.getLong(1).toDouble).toMap
+      Sampling.epochMix(docs.select(col("doc_id"), col("lang")),
+          col("doc_id"), col("lang"), rates)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows_out"),
+          max(col("copy")).as("max_copy"))
+        .orderBy("lang")
+    }),
+
     // temperature-style weighted sample: 20 docs per source, longer
     // docs proportionally likelier, reproducible from ids alone
     "q_weighted_sample" -> ((s, dir) =>
@@ -7067,6 +7088,52 @@ object SparkEntry {
          |  FROM n WHERE nc > 0)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
          |  count(DISTINCT doc_id) AS n_docs,
+         |  CAST(max(copy) AS BIGINT) AS max_copy
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // waterfilling rates (the q_unimax_mix CTE chain) feeding the
+    // epoch-mix gate: rate = alloc/n as ONE double division, then the
+    // same floor + md5-fraction copy generator
+    "q_unimax_epochs" -> {
+      val emfrac = md5FracSql("'em|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT lang AS stratum, CAST(sum(n_chars) AS HUGEINT) AS n
+         |  FROM documents GROUP BY 1 HAVING sum(n_chars) > 0),
+         |r AS (
+         |  SELECT stratum, n,
+         |    CAST(row_number() OVER (ORDER BY n, stratum) AS HUGEINT)
+         |      AS i,
+         |    CAST(sum(n) OVER (ORDER BY n, stratum ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS cum
+         |  FROM c),
+         |t AS (SELECT CAST(count(*) AS HUGEINT) AS L FROM r),
+         |f AS (
+         |  SELECT r.*, L,
+         |    (2 * n * (L - i + 1) <= 200000 - 2 * (cum - n)) AS capped
+         |  FROM r, t),
+         |k AS (SELECT coalesce(max(CASE WHEN capped THEN i END),
+         |        CAST(0 AS HUGEINT)) AS k,
+         |      coalesce(max(CASE WHEN capped THEN cum END),
+         |        CAST(0 AS HUGEINT)) AS ck
+         |  FROM f),
+         |a AS (
+         |  SELECT stratum,
+         |    CAST(CASE WHEN i <= k THEN 2 * n
+         |      ELSE (200000 - 2 * ck) // (L - k) END AS DOUBLE) /
+         |      CAST(n AS DOUBLE) AS rate
+         |  FROM f, k),
+         |nn AS (
+         |  SELECT doc_id, lang,
+         |    CAST(floor(rate) AS BIGINT) +
+         |      CASE WHEN ($emfrac) < rate - floor(rate) THEN 1 ELSE 0
+         |      END AS nc
+         |  FROM documents JOIN a ON documents.lang = a.stratum),
+         |e AS (
+         |  SELECT doc_id, lang,
+         |    unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS copy
+         |  FROM nn WHERE nc > 0)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows_out,
          |  CAST(max(copy) AS BIGINT) AS max_copy
          |FROM e GROUP BY lang ORDER BY lang""".stripMargin
     },

@@ -293,6 +293,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_unimax_mix" -> 1,        // waterfilling rank/cum over the
                                 // ≤|langs| strata table (the
                                 // paretoCoverage justification)
+    "q_unimax_epochs" -> 1,     // same ≤|langs| waterfilling window,
+                                // executed at construction (the
+                                // rates-map fold); the epochMix main
+                                // query itself is window-free
     "q_textrank" -> 1,          // kw_rank over the k-row cut (final
                                 // plan) / vocab-id cumOver rollup
                                 // (construction plan) — max 1 per
