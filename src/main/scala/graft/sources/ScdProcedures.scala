@@ -309,6 +309,35 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.jaccard_index(dir, id_col, text_col, w, out_path)`
+    * — persist the df-ordered shingle-array artifact
+    * ([[graft.operators.Dedup.jaccardIndexWrite]]) from pure SQL: the
+    * ONE nightly build that serves all three near-dup join flavors —
+    * [[graft.operators.Dedup.jaccardJoinIndexed]] (symmetric),
+    * [[graft.operators.Dedup.containmentJoinIndexed]] (directed), and
+    * [[graft.operators.Dedup.decontaminateNearIndexed]] (the r13
+    * fuzzy benchmark scrub) — plus the incremental batch forms.
+    * Returns the artifact path and its doc count. */
+  object JaccardIndex extends GraftProcedure("jaccard_index",
+    "Persist the df-ordered shingle arrays serving jaccard/containment/fuzzy-scrub joins") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("id_col", StringType),
+      in("text_col", StringType), in("w", IntegerType),
+      in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("n_docs", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 4)
+      graft.operators.Dedup.jaccardIndexWrite(
+        spark.read.parquet(str(r, 0)), out, id = str(r, 1),
+        textCol = str(r, 2), w = r.getInt(3))
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(s"$out/docs").count()))
+    }
+  }
+
   /** `CALL graft.add_update(dir, stmt [, time])` — author the
     * `.updates` log from pure SQL: the reference's write UX ("append a
     * line to the sidecar", README.md:127-144 / SQLUpdater.java:107-119)
@@ -386,5 +415,6 @@ object ScdProcedures {
     "verify_zone_map" -> VerifyZoneMap, "bpe_index" -> BpeIndex,
     "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate,
     "hdr_index" -> HdrIndex,
-    "decontamination_index" -> DecontaminationIndex)
+    "decontamination_index" -> DecontaminationIndex,
+    "jaccard_index" -> JaccardIndex)
 }

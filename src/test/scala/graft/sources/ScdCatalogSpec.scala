@@ -280,4 +280,31 @@ class ScdCatalogSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got(10L) == 1L && got(11L) == 0L, got.toString)
   }
+
+  test("CALL graft.jaccard_index persists the one artifact all three near-dup join flavors serve") {
+    val d = Files.createTempDirectory("scdcat_jac").toString + "/docs"
+    val benchText = "the quick brown fox jumps over the lazy dog daily"
+    Seq((1L, s"header junk $benchText plus trailing filler tokens"),
+      (2L, "totally different content with no shared trigrams at all"),
+      (3L, s"$benchText"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(d)
+    val out = Files.createTempDirectory("scdcat_jaci").toString + "/j"
+    val res = spark.sql(
+      s"CALL graft.jaccard_index('$d', 'doc_id', 'text', 3, '$out')")
+      .collect()
+    assert(res.length == 1 && res(0).getString(0) == out &&
+      res(0).getLong(1) == 3L, res.mkString(","))
+    // the SAME artifact serves the directed containment join...
+    val cont = graft.operators.Dedup.containmentJoinIndexed(spark, out,
+      threshold = 0.9).collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(cont.contains((1L, 3L)), cont.toString) // 3 contained in 1
+    // ...and the fuzzy benchmark scrub
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val near = graft.operators.Dedup.decontaminateNearIndexed(bench,
+      out, w = 3, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(near(1L) == 1L && near(3L) == 1L && near(2L) == 0L,
+      near.toString)
+  }
 }
