@@ -1331,6 +1331,15 @@ object SparkEntry {
       Sketch.exactQuantilesWeighted(t(s, dir, "documents"),
         "n_chars", "n_chars", Seq(500, 900)).orderBy("q_mil")),
 
+    // per-LANGUAGE byte-mass percentiles (r13 — the family square's
+    // last cell: plain/By × count/mass): rank over each language's
+    // own mass, pick equi-joined on stratum
+    "q_exact_quantile_w_by" -> ((s, dir) =>
+      Sketch.exactQuantilesWeightedBy(t(s, dir, "documents"),
+          col("lang"), "n_chars", "n_chars", Seq(500, 900))
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang", "q_mil")),
+
     // EXACT robust scale on raw continuous scores: MAD = median of
     // |x − median| — two exact ceil-rank passes through the anchored
     // rank grid (the k·MAD outlier gate's inputs, bit-replayable)
@@ -5743,6 +5752,29 @@ object SparkEntry {
         |SELECT q_mil, CAST(min(v) AS BIGINT) AS v
         |FROM r JOIN c ON c.cum >= r.r
         |GROUP BY q_mil ORDER BY q_mil""".stripMargin,
+
+    // per-language mass ranks: windows/totals partition by lang
+    "q_exact_quantile_w_by" ->
+      """WITH r0 AS (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum, n_chars AS v,
+        |    n_chars AS w
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |    AND n_chars > 0),
+        |h AS (SELECT stratum, v, sum(w) AS c FROM r0 GROUP BY 1, 2),
+        |c AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS cum FROM h),
+        |t AS (SELECT stratum, CAST(sum(w) AS BIGINT) AS n FROM r0
+        |  GROUP BY stratum),
+        |qs(q_mil) AS (VALUES (500), (900)),
+        |r AS (SELECT stratum, CAST(q_mil AS BIGINT) AS q_mil,
+        |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT))
+        |      AS r
+        |  FROM t, qs)
+        |SELECT r.stratum AS lang, q_mil, CAST(min(v) AS BIGINT) AS v
+        |FROM r JOIN c ON c.stratum = r.stratum AND c.cum >= r.r
+        |GROUP BY r.stratum, q_mil ORDER BY lang, q_mil""".stripMargin,
 
     "q_chi2_indep" ->
       // HUGEINT replay of the quantized χ² terms (exact to ~1e9 rows;

@@ -408,6 +408,47 @@ object Sketch {
       rows.agg(sum("w").as("n")), qMils)
   }
 
+  /** STRATIFIED weighted exact quantiles — [[exactQuantilesWeighted]]
+    * per stratum in one pass ("half of EACH LANGUAGE's bytes live in
+    * docs shorter than X", exactly), completing the family square
+    * (plain/By × count/mass): per-(stratum, value) mass histogram,
+    * per-stratum cums through [[graft.operators.Ranks.cumOver]]
+    * partitioned by (stratum, bucket), rank pick equi-joined ON
+    * STRATUM ([[exactQuantilesBy]]'s join shape — hash, never a
+    * nested loop). Same per-row weight contract as the single form
+    * (negative/fractional weights raise; NULL/zero drop).
+    * Output: (stratum, q_mil, v). */
+  def exactQuantilesWeightedBy(df: DataFrame, strataCol: Column,
+      valueCol: String, weightCol: String,
+      qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"exactQuantilesWeightedBy: q_mil values must be in [0,1000]," +
+        s" got $qMils")
+    val wd = col(weightCol).cast("double")
+    val w = when(col(weightCol).isNull, lit(null).cast("long"))
+      .when(wd < 0 || wd =!= floor(wd),
+        raise_error(concat(
+          lit("exactQuantilesWeightedBy: weights must be " +
+            s"non-negative integers; $weightCol = "),
+          col(weightCol).cast("string"))).cast("long"))
+      .otherwise(col(weightCol).cast("long"))
+    val rows = df.select(strataCol.as("stratum"),
+        col(valueCol).as("v"), w.as("w"))
+      .where(col("stratum").isNotNull && col("v").isNotNull &&
+        col("w") > 0)
+      .localCheckpoint(false)
+    val hist = graft.operators.Ranks.cumOver(
+      rows.groupBy("stratum", "v").agg(sum("w").as("cnt")),
+      "v", Seq("stratum"), Seq("cnt" -> "cum"))
+    val ranked = rows.groupBy("stratum").agg(sum("w").as("n"))
+      .withColumn("q_mil", explode(typedlit(qMils.map(_.toLong))))
+      .select(col("stratum"), col("q_mil"),
+        greatest(lit(1L), expr("(n * q_mil + 999) div 1000")).as("r"))
+    ranked.join(hist, Seq("stratum"))
+      .where(col("cum") >= col("r"))
+      .groupBy("stratum", "q_mil").agg(min("v").as("v"))
+  }
+
   /** EXACT median absolute deviation — the robust scale estimate
     * behind outlier gates (flag rows beyond k·MAD of the median: the
     * cut that ignores the very outliers a mean/σ rule would let drag

@@ -245,6 +245,27 @@ class HdrSketchSpec extends SparkSpec {
     val okd = Seq((1L, 1.0), (2L, 3.0)).toDF("x", "w")
     assert(Sketch.exactQuantilesWeighted(okd, "x", "w", Seq(500))
       .head.getLong(1) == 2L)
+    // stratified mass ranks ≡ single per stratum (+ same contract)
+    val rnd2 = new scala.util.Random(17)
+    val srows = (for { st <- Seq("a", "b"); _ <- 0 until 150 }
+      yield (st, rnd2.nextInt(400).toLong, 1L + rnd2.nextInt(9).toLong))
+      .toDF("s", "x", "w")
+    val wby = Sketch.exactQuantilesWeightedBy(srows, col("s"), "x", "w",
+      Seq(500, 900)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (st <- Seq("a", "b")) {
+      val single = Sketch.exactQuantilesWeighted(
+        srows.where(col("s") === st), "x", "w", Seq(500, 900))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(wby((st, 500L)) == single(500L) &&
+        wby((st, 900L)) == single(900L), s"$st: $wby vs $single")
+    }
+    val eby = intercept[Exception] {
+      Sketch.exactQuantilesWeightedBy(
+        Seq(("a", 1L, -2L)).toDF("s", "x", "w"), col("s"), "x", "w",
+        Seq(500)).collect()
+    }
+    assert(fullMsg(eby).contains("non-negative integers"), fullMsg(eby))
   }
 
   test("exactMad: hand case, brute replay on random doubles, outlier robustness") {

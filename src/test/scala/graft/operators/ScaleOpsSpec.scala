@@ -210,6 +210,48 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ws == Map("x" -> 60L, "y" -> 60L), ws.toString)
   }
 
+  test("unimaxAllocation ≡ independent sequential waterfilling across random cases") {
+    // brute force derives the allocation the ALGORITHM's way (walk
+    // ascending, spend the remainder) rather than the operator's
+    // closed-form prefix condition — a real cross-check, not a replay
+    def brute(sizes: Seq[(String, Long)], b: Long,
+        cap: Int): Map[String, Long] = {
+      val asc = sizes.sortBy(t => (t._2, t._1))
+      var rem = BigInt(b)
+      var left = asc.length
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      var uncappedShare: Option[Long] = None
+      for ((lang, n) <- asc) {
+        uncappedShare match {
+          case Some(tau) => out(lang) = tau
+          case None =>
+            if (BigInt(cap) * n * left <= rem) {
+              out(lang) = cap * n; rem -= cap * n; left -= 1
+            } else {
+              val tau = (rem / left).toLong
+              uncappedShare = Some(tau); out(lang) = tau
+            }
+        }
+      }
+      out.toMap
+    }
+    val rnd = new scala.util.Random(97)
+    for (trial <- 0 until 12) {
+      val L = 1 + rnd.nextInt(9)
+      val sizes = (0 until L).map(i =>
+        (s"l$i", 1L + rnd.nextInt(2000).toLong))
+      val b = rnd.nextInt(12000).toLong
+      val cap = 1 + rnd.nextInt(4)
+      val df = sizes.toDF("lang", "sz")
+      val got = Sampling.unimaxAllocation(df, col("lang"), b, cap,
+        col("sz")).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(got == brute(sizes, b, cap),
+        s"trial $trial (b=$b cap=$cap sizes=$sizes): " +
+          s"$got vs ${brute(sizes, b, cap)}")
+    }
+  }
+
   test("epochMix repeats whole epochs exactly, gates the fractional one, nests") {
     val df = (1L to 300L).toDF("id")
       .withColumn("src", when(col("id") <= 100, "a")
