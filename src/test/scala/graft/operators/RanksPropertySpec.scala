@@ -149,6 +149,26 @@ class RanksPropertySpec extends SparkSpec {
     assert(m <= 2L * 2048 / Ranks.Anchors, s"log-uniform maxCell $m")
   }
 
+  test("timestamps: epoch proxy rides the anchored grid, far-future outliers included") {
+    // ordinary 2020s event times + a year-9999 sentinel (a classic
+    // dirty-data value) + nulls: cums ≡ window, and the sentinel must
+    // not collapse the grid (quantile anchors ignore it)
+    val base = (0 until 2000).map(i =>
+      new java.sql.Timestamp(1600000000000L + i * 37000L))
+    val vals = base ++ Seq(java.sql.Timestamp.valueOf("9999-12-31 23:59:59"), null)
+    val hist = vals.map(v => (v, 1L)).toDF("v", "cnt")
+      .groupBy("v").agg(sum("cnt").as("cnt"))
+    check(hist, Nil)
+    val m = Ranks.bucketize(hist, "v",
+      least(greatest(nanvl(col("v").cast("double"),
+        lit(Double.MaxValue)), lit(Double.MinValue)),
+        lit(Double.MaxValue)))
+      .where(col("v").isNotNull)
+      .groupBy("__b").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(m <= 2L * 2001 / Ranks.Anchors, s"timestamp maxCell $m")
+  }
+
   test("NULL partition values rank as their own group, same as the plain-window fallback (ADVICE r12)") {
     // numeric proxy path: the offsets join must be null-safe or these
     // rows silently vanish
