@@ -1316,6 +1316,19 @@ object SparkEntry {
             .otherwise(Sketch.md5Fraction(col("doc_id"))).as("score")),
         "score", Seq(250, 500, 990)).orderBy("q_mil")),
 
+    // the r13 judge's adversary made a board row: the same exact
+    // ranks over a SHARED-PREFIX STRING column (zero-padded ids —
+    // every value's first 12 bytes tie, so the pre-r14 fixed
+    // first-8-byte proxy was constant and the whole distinct set
+    // sorted in one task); the LCP-stripped window spreads them
+    // across the anchored grid, and the answers stay exact
+    "q_exact_quantile_prefix" -> ((s, dir) =>
+      Sketch.exactQuantiles(
+        t(s, dir, "documents").select(
+          concat(lit("doc_"),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("sid")),
+        "sid", Seq(250, 500, 990)).orderBy("q_mil")),
+
     // per-language exact p50/p99 doc length — rank pick equi-joined
     // on stratum (hash join, never a nested loop)
     "q_exact_quantile_by" -> ((s, dir) =>
@@ -5698,6 +5711,28 @@ object SparkEntry {
         |  SELECT CASE WHEN doc_id % 251 = 0 THEN 1e300
         |    WHEN doc_id % 313 = 1 THEN 'nan'::DOUBLE
         |    ELSE ${md5FracSql("CAST(doc_id AS VARCHAR)")} END AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS (SELECT v, count(*) AS c FROM r0
+        |  WHERE v IS NOT NULL GROUP BY v),
+        |c AS (SELECT v, sum(c) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0
+        |  WHERE v IS NOT NULL),
+        |qs(q_mil) AS (VALUES (250), (500), (990)),
+        |r AS (SELECT CAST(q_mil AS BIGINT) AS q_mil,
+        |    greatest(1, CAST((n * q_mil + 999) // 1000 AS BIGINT))
+        |      AS r
+        |  FROM qs, t)
+        |SELECT q_mil, min(v) AS v
+        |FROM r JOIN c ON c.cum >= r.r
+        |GROUP BY q_mil ORDER BY q_mil""".stripMargin,
+
+    // shared-prefix string ranks: DuckDB's VARCHAR order is the same
+    // byte-wise order Spark's UTF8String uses (ASCII fixture), so the
+    // ceil-rank pick replays identically
+    "q_exact_quantile_prefix" ->
+      """WITH r0 AS (
+        |  SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS v
         |  FROM documents WHERE doc_id IS NOT NULL),
         |h AS (SELECT v, count(*) AS c FROM r0
         |  WHERE v IS NOT NULL GROUP BY v),

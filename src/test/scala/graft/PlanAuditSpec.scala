@@ -108,6 +108,8 @@ class PlanAuditSpec extends SparkSpec {
                                 // stratum; cumOver folds gone r13
     "q_exact_quantile_outlier" -> 2, // q_exact_quantile's shape with
                                 // injected 1e300/NaN adversaries
+    "q_exact_quantile_prefix" -> 2, // same shape on the shared-prefix
+                                // string column (LCP-stripped proxy)
     "q_exact_quantile_w" -> 2,  // same folds as q_exact_quantile,
                                 // mass-weighted
     "q_pct_rank" -> 1,          // the 1-row corpus-total fold onto the
@@ -269,6 +271,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_exact_quantile_outlier" -> 1, // same rollup — the adversaries
                                 // land in anchor-bounded cells, the
                                 // partition-less residue stays ≤4096
+    "q_exact_quantile_prefix" -> 1, // same rollup — the LCP strip
+                                // spreads the shared-prefix ids, the
+                                // residue stays the ≤4096-row rollup
     "q_pct_rank" -> 1,          // cumOver offset rollup over the
                                 // raw-score histogram's 4096 buckets
     "q_quantile_norm" -> 1,     // global-histogram cumOver rollup (the
