@@ -2829,6 +2829,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SEMANTIC decontamination (r14 — the ladder's last rung:
+    // verbatim → fuzzy → semantic): benchmark EMBEDDINGS probe their
+    // nProbe nearest trained IVF cells, exact cosine ≥ τ verifies —
+    // a reworded eval item sharing no gram at any w still flags when
+    // its embedding sits near a training doc's
+    "q_decontaminate_sem" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansFit(e, k = 8, iters = 2)
+      Dedup.decontaminateSemantic(e, e.where(col("vec_id") % 37 === 0),
+          cents, nProbe = 2, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // the semantic scrub served from the persisted IVF artifact
+    // (cents + corpus cell assignment — the corpus × centroids scan
+    // is paid once per corpus release, every scrub reads the
+    // assignment): output ≡ inline, same oracle
+    "q_decontaminate_sem_indexed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(jacIndexCache, "sem", appId)
+      val path = jacIndexCache.getOrElseUpdate((appId, s"sem:$dir"), {
+        val p = indexPath("sem", appId, dir)
+        Similarity.ivfIndexWrite(e, p, k = 8, iters = 2)
+        p
+      })
+      Dedup.decontaminateSemanticIndexed(
+          e.where(col("vec_id") % 37 === 0), path, nProbe = 2,
+          threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // the scrub served from the persisted benchmark-gram artifact
     // (build once per suite RELEASE, scrub every nightly batch; the
     // frozen gram set also pins which benchmark version a run was
@@ -3446,6 +3478,38 @@ object SparkEntry {
       |  CAST(coalesce(n_bench_hits, 0) >= 1 AS BIGINT) AS contaminated
       |FROM sz LEFT JOIN hits ON hits.did = sz.doc_id
       |ORDER BY sz.doc_id""".stripMargin
+
+  /** Shared by q_decontaminate_sem and q_decontaminate_sem_indexed
+    * (the persisted IVF assignment IS the inline build's routing):
+    * the same trained-centroid chain sim_ivf_kmeans replays, then
+    * benchmark probes → cell join → exact-cosine verify → rollup.
+    * Self-pairs kept (no vec_id <> filter — a benchmark vector in
+    * the corpus IS contamination). */
+  private lazy val decontaminateSemOracleSql: String =
+    s"""WITH $EmbCte,
+       |${kmeansChain(8)},
+       |b AS (SELECT vec_id AS id_b, v AS qv FROM e WHERE vec_id % 37 = 0),
+       |p AS (
+       |  SELECT id_b, qv, cid FROM (
+       |    SELECT b.id_b, b.qv, c.cid,
+       |      row_number() OVER (PARTITION BY b.id_b
+       |        ORDER BY round(${cosSql("b.qv", "c.cvec")}, 6) DESC, c.cid)
+       |        AS rn
+       |    FROM b CROSS JOIN c2 c)
+       |  WHERE rn <= 2),
+       |sc AS (
+       |  SELECT a.vec_id AS did, round(${cosSql("qv", "a.v")}, 6) AS cosine
+       |  FROM a2 a JOIN p USING (cid)),
+       |hits AS (
+       |  SELECT did, CAST(count(*) AS BIGINT) AS n_bench_hits,
+       |    max(cosine) AS max_cosine
+       |  FROM sc WHERE cosine >= 0.4 GROUP BY did)
+       |SELECT e.vec_id, CAST(coalesce(n_bench_hits, 0) AS BIGINT)
+       |    AS n_bench_hits,
+       |  coalesce(max_cosine, 0.0) AS max_cosine,
+       |  CAST(coalesce(n_bench_hits, 0) >= 1 AS BIGINT) AS contaminated
+       |FROM e LEFT JOIN hits ON hits.did = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
 
   /** Shared by dedup_containment and dedup_containment_indexed
     * (the persisted arrays ARE the inline build outputs). */
@@ -8807,6 +8871,8 @@ object SparkEntry {
     "q_decontaminate" -> decontaminateOracleSql,
     "q_decontaminate_near" -> decontaminateNearOracleSql,
     "q_decontaminate_near_indexed" -> decontaminateNearOracleSql,
+    "q_decontaminate_sem" -> decontaminateSemOracleSql,
+    "q_decontaminate_sem_indexed" -> decontaminateSemOracleSql,
     "q_decontaminate_indexed" -> decontaminateOracleSql,
 
     // incremental containment = the directed brute pairs at τ minus

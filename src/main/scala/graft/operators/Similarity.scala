@@ -105,36 +105,72 @@ object Similarity {
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
       cents: DataFrame, nProbe: Int, id: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    // n=1 (the corpus-sized side) is a map-side-combinable max_by —
-    // one combined row per id leaves each map task, no k×-row sort;
-    // n>1 (the small query side) keeps the windowed top-n
-    def nearestCells(df: DataFrame, outId: String, outVec: String, n: Int) = {
-      val scored = df.select(col(id).as(outId), col(vecCol).as(outVec))
-        .join(broadcast(cents), lit(true))
-        .withColumn("__ccos",
-          round(VectorFunctions.cosine(col(outVec), col("cvec")), 6))
-      if (n == 1)
-        scored.groupBy(col(outId))
-          .agg(max_by(struct(col(outVec), col("cid")),
-            struct(col("__ccos"), negate(col("cid")))).as("__b"))
-          .select(col(outId), col(s"__b.$outVec").as(outVec),
-            col("__b.cid").as("cid"))
-      else {
-        val w = Window.partitionBy(outId)
-          .orderBy(col("__ccos").desc, col("cid"))
-        scored.withColumn("__crn", row_number().over(w))
-          .where(col("__crn") <= n)
-          .select(col(outId), col(outVec), col("cid"))
-      }
-    }
-    val assigned = nearestCells(corpus, "neighbor_id", "cv", 1)
-    val probes = nearestCells(queries, "query_id", "qv", nProbe)
+    val assigned = probeCells(corpus, cents, 1, "neighbor_id", "cv",
+      id, vecCol)
+    val probes = probeCells(queries, cents, nProbe, "query_id", "qv",
+      id, vecCol)
     val scored = assigned.join(probes, Seq("cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6))
     topK(scored, k)
   }
+
+  /** Top-`n` nearest centroid cells per row against a BROADCAST
+    * (cid, cvec) table — the probe half every IVF consumer shares
+    * ([[ivfTopKWith]], [[graft.operators.Dedup.decontaminateSemantic]]).
+    * Cosine rounded to 6 with a cid tie-break so the pick replays in
+    * any engine. n=1 (the corpus-sized side) is a map-side-combinable
+    * max_by — one combined row per id leaves each map task, no k×-row
+    * sort; n>1 (the small probe side) keeps the windowed top-n.
+    * Output: (outId, outVec, cid). */
+  private[graft] def probeCells(df: DataFrame, cents: DataFrame,
+      n: Int, outId: String, outVec: String, id: String,
+      vecCol: String): DataFrame = {
+    val scored = df.select(col(id).as(outId), col(vecCol).as(outVec))
+      .join(broadcast(cents), lit(true))
+      .withColumn("__ccos",
+        round(VectorFunctions.cosine(col(outVec), col("cvec")), 6))
+    if (n == 1)
+      scored.groupBy(col(outId))
+        .agg(max_by(struct(col(outVec), col("cid")),
+          struct(col("__ccos"), negate(col("cid")))).as("__b"))
+        .select(col(outId), col(s"__b.$outVec").as(outVec),
+          col("__b.cid").as("cid"))
+    else {
+      val w = Window.partitionBy(outId)
+        .orderBy(col("__ccos").desc, col("cid"))
+      scored.withColumn("__crn", row_number().over(w))
+        .where(col("__crn") <= n)
+        .select(col(outId), col(outVec), col("cid"))
+    }
+  }
+
+  /** Persist the IVF serving artifact: `{path}/cents` = the
+    * [[kmeansFit]] centroid table, `{path}/assigned` = the corpus
+    * cell assignment (id, vecCol, cid) AGAINST THE PERSISTED
+    * centroids (doubles round-trip parquet exactly, so serving reads
+    * reproduce the build's routing bit-for-bit). The assignment is
+    * the corpus-sized cost of every IVF consumer — paying it once per
+    * corpus release and serving scrubs/probes from the artifact is
+    * the same build-once/serve-cheap split as [[pqIndexWrite]] and
+    * `Dedup.jaccardIndexWrite`. Staleness contract as the other
+    * artifacts: rebuild when the corpus changes. */
+  def ivfIndexWrite(corpus: DataFrame, path: String, k: Int = 8,
+      iters: Int = 2, id: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    kmeansFit(corpus, k, iters, id, vecCol)
+      .write.mode("overwrite").parquet(s"$path/cents")
+    val pc = corpus.sparkSession.read.parquet(s"$path/cents")
+    assignCells(corpus, pc, id, vecCol).drop("cosine")
+      .write.mode("overwrite").parquet(s"$path/assigned")
+  }
+
+  /** Read an [[ivfIndexWrite]] artifact → (cents, assigned). */
+  def ivfIndexRead(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/cents"),
+      spark.read.parquet(s"$path/assigned"))
 
   /** Nearest-centroid assignment: one pass over the corpus against a
     * BROADCAST centroid table (cid, cvec) — k rows per corpus row, never

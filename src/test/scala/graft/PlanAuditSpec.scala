@@ -59,6 +59,13 @@ class PlanAuditSpec extends SparkSpec {
                                 // the output projection) + the 1-row
                                 // (k, c_k) waterline fold — all onto
                                 // the domain-bounded strata table
+    "q_decontaminate_sem" -> 1, // benchmark probe × broadcast k-row
+                                // centroid table (suite-bounded probe
+                                // side; the corpus assignment's own
+                                // centroid scan sits behind the
+                                // checkpoint in a construction plan)
+    "q_decontaminate_sem_indexed" -> 1, // same probe fold; the corpus
+                                // assignment is the persisted artifact
     "sim_bruteforce_topk" -> 1, // 1-row query-vector fold
     "sim_ivf_kmeans" -> 2,      // centroid table + query fold
     "sim_ivf_topk" -> 2,        // centroid table + query fold

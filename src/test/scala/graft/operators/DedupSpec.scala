@@ -654,4 +654,62 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getLong(2))).toSet
     assert(gone == Set(("", 4L)))
   }
+
+  test("decontaminateSemantic: catches the REWORDED item the gram scrubs miss; self-pairs kept; indexed ≡ inline") {
+    import spark.implicits._
+    // benchmark item vs its full rewording: every word replaced, so
+    // NO shared w-gram at any w — only the embeddings are close
+    val benchText = "the quick brown fox jumps over the lazy dog"
+    val rewordText = "a speedy russet vulpine leapt across that idle hound"
+    val vBench = Array(0.9f, 0.1f, 0.05f, 0.3f)
+    val vReword = Array(0.88f, 0.12f, 0.06f, 0.29f) // cosine ≈ 0.9996
+    val corpus = Seq(
+      (1L, rewordText, vReword),
+      (2L, "completely unrelated text about distributed query planning",
+        Array(-0.2f, 0.9f, -0.3f, 0.1f)),
+      (3L, "another unrelated doc on parquet row groups and filters",
+        Array(0.1f, -0.4f, 0.9f, 0.2f)))
+      .toDF("doc_id", "text", "embedding")
+    val bench = Seq((100L, benchText, vBench))
+      .toDF("doc_id", "text", "embedding")
+    // the fuzzy gram scrub sees NOTHING (ladder gap this op closes)
+    val fuzzy = Dedup.decontaminateNear(corpus, bench, w = 3,
+        threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(fuzzy.values.forall(_ == 0L), s"fuzzy flagged: $fuzzy")
+    // the semantic scrub flags exactly the rewording
+    val cents = Similarity.kmeansFit(corpus, k = 2, iters = 1,
+      id = "doc_id")
+    val sem = Dedup.decontaminateSemantic(corpus, bench, cents,
+        nProbe = 2, threshold = 0.95, id = "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(sem.keySet == Set(1L, 2L, 3L), sem.toString)
+    assert(sem(1L)._3 == 1L && sem(1L)._1 == 1L && sem(1L)._2 >= 0.99,
+      sem(1L).toString)
+    assert(sem(2L) == ((0L, 0.0, 0L)) && sem(3L) == ((0L, 0.0, 0L)))
+    // self-pair kept: the benchmark vector itself in the corpus flags
+    // at cosine exactly 1.0
+    val withSelf = corpus.union(
+      Seq((4L, benchText, vBench)).toDF("doc_id", "text", "embedding"))
+    val cents2 = Similarity.kmeansFit(withSelf, k = 2, iters = 1,
+      id = "doc_id")
+    val s2 = Dedup.decontaminateSemantic(withSelf, bench, cents2,
+        nProbe = 2, threshold = 0.95, id = "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(4L) == 1.0, s2.toString)
+    // artifact-served ≡ inline over the persisted centroids, row for
+    // row (cents + assignment round-trip parquet bit-exactly)
+    val idx = java.nio.file.Files
+      .createTempDirectory("sem_idx").toString + "/ivf"
+    Similarity.ivfIndexWrite(corpus, idx, k = 2, iters = 1,
+      id = "doc_id")
+    val (pcents, _) = Similarity.ivfIndexRead(spark, idx)
+    assert(Dedup.decontaminateSemanticIndexed(bench, idx, nProbe = 2,
+        threshold = 0.95, id = "doc_id")
+      .collect().map(_.toString).sorted.toSeq ==
+      Dedup.decontaminateSemantic(corpus, bench, pcents, nProbe = 2,
+        threshold = 0.95, id = "doc_id")
+        .collect().map(_.toString).sorted.toSeq)
+  }
 }
