@@ -1372,6 +1372,22 @@ object SparkEntry {
         col("lang"), "score")
         .withColumnRenamed("stratum", "lang")),
 
+    // the k·MAD gate itself, end-to-end (r14 — q_exact_mad_by gives
+    // the denominators, this composes the flag): per-language spikes
+    // injected at every 97th doc (50 + score, unmissable), flagged
+    // counts + the smallest flagged ids per language — the robust cut
+    // the spikes cannot drag (median/MAD move only if HALF the mass
+    // moves)
+    "q_mad_outliers" -> ((s, dir) =>
+      Sketch.madOutliers(
+        t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          when(col("doc_id") % 97 === 0,
+            lit(50.0) + Sketch.md5Fraction(col("doc_id")))
+            .otherwise(Sketch.md5Fraction(col("doc_id"))).as("score")),
+        col("lang"), "score", "doc_id", k = 3.0, sampleK = 5)
+        .withColumnRenamed("stratum", "lang")
+        .orderBy("lang")),
+
     // χ² independence audit (+ Cramér's V effect size): is language
     // independent of source? Contingency cells are one map-side
     // groupBy; the exact per-cell terms (n·O − R·C)²·1e12 div (n·R·C)
@@ -5766,6 +5782,60 @@ object SparkEntry {
         |SELECT t.stratum AS lang, n, med AS median, mad
         |FROM t JOIN med ON t.stratum = med.stratum
         |  JOIN mad ON t.stratum = mad.stratum
+        |ORDER BY lang""".stripMargin,
+
+    // the exactMadBy chain with injected spikes, then the gate:
+    // abs(v − med) > 3.0·mad is the identical IEEE chain both engines
+    // run, so every flag replays; sample = 5 smallest flagged ids
+    "q_mad_outliers" ->
+      s"""WITH r0 AS MATERIALIZED (
+        |  SELECT CAST(lang AS VARCHAR) AS stratum, doc_id AS id,
+        |    CASE WHEN doc_id % 97 = 0
+        |      THEN 50.0 + ${md5FracSql("CAST(doc_id AS VARCHAR)")}
+        |      ELSE ${md5FracSql("CAST(doc_id AS VARCHAR)")} END AS v
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+        |h AS (SELECT stratum, v, count(*) AS c FROM r0 GROUP BY 1, 2),
+        |c AS (SELECT stratum, v, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS cum FROM h),
+        |t AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n FROM r0
+        |  GROUP BY stratum),
+        |med AS (SELECT c.stratum, min(v) AS med
+        |  FROM c JOIN t ON c.stratum = t.stratum
+        |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000)
+        |  GROUP BY c.stratum),
+        |d0 AS MATERIALIZED (
+        |  SELECT r0.stratum, abs(v - med) AS d
+        |  FROM r0 JOIN med ON r0.stratum = med.stratum),
+        |hd AS (SELECT stratum, d, count(*) AS c FROM d0 GROUP BY 1, 2),
+        |cd AS (SELECT stratum, d, sum(c) OVER (PARTITION BY stratum
+        |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS cum FROM hd),
+        |mad AS (SELECT cd.stratum, min(d) AS mad
+        |  FROM cd JOIN t ON cd.stratum = t.stratum
+        |  WHERE cum >= greatest(1, (n * 500 + 999) // 1000)
+        |  GROUP BY cd.stratum),
+        |f AS MATERIALIZED (
+        |  SELECT r0.stratum, id
+        |  FROM r0 JOIN med ON r0.stratum = med.stratum
+        |    JOIN mad ON r0.stratum = mad.stratum
+        |  WHERE abs(v - med) > 3.0 * mad),
+        |cnt AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_flagged
+        |  FROM f GROUP BY stratum),
+        |smp AS (SELECT stratum,
+        |    string_agg(CAST(id AS VARCHAR), ',' ORDER BY id)
+        |      AS sample_ids
+        |  FROM (SELECT stratum, id, row_number() OVER (
+        |      PARTITION BY stratum ORDER BY id) AS rn FROM f)
+        |  WHERE rn <= 5 GROUP BY stratum)
+        |SELECT t.stratum AS lang, n, med AS median, mad,
+        |  coalesce(n_flagged, 0) AS n_flagged,
+        |  coalesce(sample_ids, '') AS sample_ids
+        |FROM t JOIN med ON t.stratum = med.stratum
+        |  JOIN mad ON t.stratum = mad.stratum
+        |  LEFT JOIN cnt ON t.stratum = cnt.stratum
+        |  LEFT JOIN smp ON t.stratum = smp.stratum
         |ORDER BY lang""".stripMargin,
 
     // same ceil-rank pick with injected 1e300 / NaN adversaries (both

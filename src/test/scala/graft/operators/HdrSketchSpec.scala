@@ -306,6 +306,44 @@ class HdrSketchSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: injected spikes flag, clean strata report empty; the spikes cannot drag the gate") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    // stratum a: tight cluster + 3 unmistakable spikes; stratum b: clean
+    val base = Seq.tabulate(120)(i =>
+      ("a", 100L + i, 10.0 + rnd.nextDouble() * 0.1))
+    val spikes = Seq(("a", 7L, 500.0), ("a", 3L, -400.0), ("a", 9L, 99.0))
+    val clean = Seq.tabulate(50)(i =>
+      ("b", 200L + i, 5.0 + rnd.nextDouble() * 0.1))
+    val df = (base ++ spikes ++ clean).toDF("s", "id", "x")
+    val got = Sketch.madOutliers(df, col("s"), "x", "id", k = 3.0,
+        sampleK = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getString(5))).toMap
+    assert(got("a")._1 == 123L && got("a")._2 == 3L &&
+      got("a")._3 == "3,7", got("a").toString)
+    assert(got("b") == ((50L, 0L, "")), got("b").toString)
+    // robustness receipt: a mean/σ gate on stratum a would inflate σ
+    // past ~50 and keep the 99.0 spike; the MAD gate flags all three
+    // because the median/MAD pair ignores them
+    val stats = Sketch.exactMadBy(df.where(col("s") === "a"),
+      col("s"), "x").head
+    assert(stats.getDouble(2) < 10.2 && stats.getDouble(3) < 0.1,
+      stats.toString)
+    // sampleK caps the roster but not the count
+    val full = Sketch.madOutliers(df, col("s"), "x", "id", k = 3.0,
+        sampleK = 5)
+      .where(col("stratum") === "a").head
+    assert(full.getLong(4) == 3L && full.getString(5) == "3,7,9",
+      full.toString)
+    // non-numeric id fails fast
+    val e = intercept[IllegalArgumentException] {
+      Sketch.madOutliers(df.withColumn("sid",
+        col("id").cast("string")), col("s"), "x", "sid")
+    }
+    assert(e.getMessage.contains("NUMERIC"), e.getMessage)
+  }
+
   test("hdrDriftBy: per-stratum ≡ hdrDrift of the filtered sketches; one-sided stratum reports ks NULL") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
