@@ -136,9 +136,38 @@ object Dedup {
   def decontaminationIndexWrite(benchmark: DataFrame, path: String,
       id: String = "doc_id", textCol: String = "text",
       w: Int = 8): Unit =
+    // `w` rides every row (dictionary-encodes to ~nothing): the
+    // artifact's grams ARE w-grams, and a consumer probing at a
+    // different w misses EVERY gram — silently passing contaminated
+    // docs (ADVICE r13). [[decontaminationIndexGrams]] validates it.
     shingles(benchmark, id, textCol, w)
       .select(col("shingle")).distinct()
+      .withColumn("w", lit(w))
       .write.mode("overwrite").parquet(path)
+
+  /** Read a [[decontaminationIndexWrite]] artifact's gram set,
+    * VALIDATING the stored build `w` against the caller's (ADVICE
+    * r13: a w mismatch makes every probe miss — the silent opposite
+    * of the scrub/gates' no-false-negative contract, so it must fail
+    * loud at construction). Pre-r14 artifacts carry no `w` column and
+    * read unvalidated (rebuild to upgrade); an empty artifact skips
+    * the check (everything passes anyway). */
+  private[graft] def decontaminationIndexGrams(
+      spark: org.apache.spark.sql.SparkSession, path: String, w: Int,
+      caller: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    if (idx.columns.contains("w")) {
+      val b = idx.agg(min("w").as("lo"), max("w").as("hi")).head()
+      if (!b.isNullAt(0))
+        require(b.getInt(0) == w && b.getInt(1) == w,
+          s"$caller: artifact at $path was built with w = " +
+            s"${b.getInt(0)}${if (b.getInt(1) != b.getInt(0))
+              s"..${b.getInt(1)}" else ""} but the caller probes at " +
+            s"w = $w — every gram would miss (silent pass-through); " +
+            "rebuild the artifact or match w")
+    }
+    idx.select(col("shingle"))
+  }
 
   /** [[decontaminate]] served from a persisted
     * [[decontaminationIndexWrite]] artifact: the per-batch cost is
@@ -152,8 +181,9 @@ object Dedup {
       s"decontaminateIndexed: w and minCollisions must be >= 1: " +
         s"$w, $minCollisions")
     scrubAgainst(corpus,
-      corpus.sparkSession.read.parquet(indexPath), id, textCol, w,
-      minCollisions)
+      decontaminationIndexGrams(corpus.sparkSession, indexPath, w,
+        "decontaminateIndexed"),
+      id, textCol, w, minCollisions)
   }
 
   /** FUZZY benchmark decontamination (r13 judge ask #3) — the
@@ -651,10 +681,13 @@ object Dedup {
     * from [[jaccardJoinIndexed]] and batch-vs-corpus from
     * [[jaccardJoinIncremental]] at O(batch) + join cost. Plain
     * parquet, outlives the writing application; staleness contract as
-    * [[signatureIndexWrite]]. */
+    * [[signatureIndexWrite]]. Returns the artifact's doc count
+    * (ADVICE r13: counted from the already-checkpointed shingle
+    * table, so callers never pay a second scan of the written
+    * artifact just to report it). */
   def jaccardIndexWrite(corpusDocs: DataFrame, path: String,
       id: String = "doc_id", textCol: String = "text",
-      w: Int = 3): Unit = {
+      w: Int = 3): Long = {
     // lazy checkpoint: the shingle table feeds the df groupBy AND the
     // ordering join; df feeds its own write AND the ordering join
     val sh = shingles(corpusDocs, id, textCol, w).localCheckpoint(false)
@@ -663,6 +696,7 @@ object Dedup {
     dfreq.write.mode("overwrite").parquet(s"$path/df")
     dfOrderedArrays(sh, dfreq, id, frozen = false)
       .write.mode("overwrite").parquet(s"$path/docs")
+    sh.select(col(id)).distinct().count()
   }
 
   /** Append new documents to a [[jaccardIndexWrite]] artifact WITHOUT

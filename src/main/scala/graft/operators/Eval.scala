@@ -816,8 +816,12 @@ object Eval {
   /** Shared centered-Pearson finish of [[spearman]]/[[spearmanBy]]:
     * given (…, n, sxy, sxx, syy) rows (doubled-rank product sums in
     * decimal(38,0)), append `spearman_rho` = the centered assembly —
-    * identical double op order in both forms and in the oracle. An
-    * empty input (n = 0 never groups) simply yields no row. */
+    * identical double op order in both forms and in the oracle.
+    * Empty-input shape differs by caller (ADVICE r13): the stratified
+    * form's groupBy(stratum) never groups an empty input — no row;
+    * the single form's global groupBy().agg always yields exactly one
+    * row, which on empty input carries (n = 0, rho NULL via the
+    * d1/d2 ≠ 0 guard). */
   private def spearmanAssemble(sums: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val nD = col("n").cast(dec)

@@ -215,8 +215,23 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0: $budget")
     require(epochCap >= 1, s"epochCap must be >= 1: $epochCap")
     val dec = "decimal(38,0)"
+    // per-row size contract, mirroring exactQuantilesWeighted's
+    // (ADVICE r13: a fractional size used to silently truncate and a
+    // negative one to silently shrink its stratum — both bias the
+    // waterfill): negative/fractional sizes RAISE with the offending
+    // value; NULL sizes carry nothing; strata whose TOTAL is 0 hold
+    // no trainable mass and are dropped (no budget share) by the
+    // n > 0 cut below — documented, not accidental.
+    val sd = sizeCol.cast("double")
+    val sz = when(sizeCol.isNull, lit(null).cast("long"))
+      .when(sd < 0 || sd =!= floor(sd),
+        raise_error(concat(
+          lit("unimaxAllocation: sizes must be non-negative " +
+            "integers; got "),
+          sizeCol.cast("string"))).cast("long"))
+      .otherwise(sizeCol.cast("long"))
     val counts = df.groupBy(strataCol.as("stratum"))
-      .agg(sum(sizeCol.cast("long")).as("n"))
+      .agg(sum(sz).as("n"))
       .where(col("n") > 0)
     // |strata|-row window: domain-bounded by contract (languages /
     // sources) — budget it in PlanAuditSpec like paretoCoverage's

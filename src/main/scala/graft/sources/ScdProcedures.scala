@@ -330,11 +330,12 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 4)
-      graft.operators.Dedup.jaccardIndexWrite(
+      // the write itself reports the doc count (ADVICE r13: no
+      // second scan of the just-written artifact)
+      val nDocs = graft.operators.Dedup.jaccardIndexWrite(
         spark.read.parquet(str(r, 0)), out, id = str(r, 1),
         textCol = str(r, 2), w = r.getInt(3))
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(s"$out/docs").count()))
+      new GenericInternalRow(Array[Any](utf8(out), nDocs))
     }
   }
 

@@ -304,7 +304,8 @@ object ScdStream {
       s"decontaminateStreamGate: w >= 1 and expectedGrams > 0: " +
         s"$w, $expectedGrams")
     val spark = stream.sparkSession
-    val bloomRow = spark.read.parquet(indexPath)
+    val bloomRow = graft.operators.Dedup.decontaminationIndexGrams(
+        spark, indexPath, w, "decontaminateStreamGate")
       .agg(org.apache.spark.sql.graft.CatalystBridge.bloomFilterAgg(
         xxhash64(col("shingle")), expectedGrams).as("bf"))
       .head()
@@ -355,7 +356,13 @@ object ScdStream {
       s"decontaminateNearStreamGate: thresholdMil must be in " +
         s"[1,1000], got $thresholdMil")
     val spark = stream.sparkSession
-    val bloomRow = spark.read.parquet(indexPath)
+    // construction-time w validation (ADVICE r13): the artifact's
+    // grams are w-grams — a mismatched gate (e.g. the w=4 default
+    // against a w=8 decontaminationIndexWrite default) would never
+    // hit the bloom and silently pass EVERY doc, inverting the
+    // documented no-false-negative bias; fail loud here instead
+    val bloomRow = graft.operators.Dedup.decontaminationIndexGrams(
+        spark, indexPath, w, "decontaminateNearStreamGate")
       .agg(org.apache.spark.sql.graft.CatalystBridge.bloomFilterAgg(
         xxhash64(col("shingle")), expectedGrams).as("bf"))
       .head()

@@ -221,6 +221,30 @@ class DedupSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq ==
       Dedup.decontaminate(corpus, bench).collect()
         .map(_.toString).sorted.toSeq)
+    // w mismatch fails LOUD at construction (ADVICE r13: the w=8
+    // artifact probed at w=4 would miss every gram and silently pass
+    // every doc — the inverse of the no-false-negative contract);
+    // same guard on both stream gates, which share the reader
+    val mm = intercept[IllegalArgumentException] {
+      Dedup.decontaminateIndexed(corpus, idx, w = 4)
+    }
+    assert(mm.getMessage.contains("built with w = 8") &&
+      mm.getMessage.contains("w = 4"), mm.getMessage)
+    val gateMm = intercept[IllegalArgumentException] {
+      graft.streaming.ScdStream.decontaminateNearStreamGate(
+        corpus, idx, w = 4)
+    }
+    assert(gateMm.getMessage.contains("decontaminateNearStreamGate"),
+      gateMm.getMessage)
+    // a pre-r14 artifact (no w column) still reads, unvalidated
+    val old = java.nio.file.Files
+      .createTempDirectory("dec_old").toString + "/grams"
+    Dedup.shingles(bench, w = 8).select(col("shingle")).distinct()
+      .write.parquet(old)
+    assert(Dedup.decontaminateIndexed(corpus, old).collect()
+      .map(_.toString).sorted.toSeq ==
+      Dedup.decontaminate(corpus, bench).collect()
+        .map(_.toString).sorted.toSeq)
   }
 
   test("decontaminateNear: fuzzy scrub flags paraphrase-level overlap the verbatim rule misses; self-pairs kept; brute replay") {

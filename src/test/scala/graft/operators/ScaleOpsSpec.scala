@@ -208,6 +208,32 @@ class ScaleOpsSpec extends SparkSpec {
       .toMap
     // x capped at 60, y takes the remaining 60
     assert(ws == Map("x" -> 60L, "y" -> 60L), ws.toString)
+    // size contract (ADVICE r13, exactQuantilesWeighted's): negative
+    // and fractional sizes raise with the offending value; NULL sizes
+    // carry nothing; a zero-TOTAL stratum is dropped (no budget share)
+    def fullMsg(t: Throwable): String = {
+      var c: Throwable = t; var m = Option(t.getMessage).getOrElse("")
+      while (c.getCause != null) {
+        c = c.getCause; m += " | " + Option(c.getMessage).getOrElse("")
+      }
+      m
+    }
+    val neg = intercept[Exception] {
+      Sampling.unimaxAllocation(Seq(("x", -3L)).toDF("lang", "chars"),
+        col("lang"), 10L, 2, col("chars")).collect()
+    }
+    assert(fullMsg(neg).contains("non-negative integers"), fullMsg(neg))
+    val frac = intercept[Exception] {
+      Sampling.unimaxAllocation(Seq(("x", 1.5)).toDF("lang", "chars"),
+        col("lang"), 10L, 2, col("chars")).collect()
+    }
+    assert(fullMsg(frac).contains("non-negative integers"), fullMsg(frac))
+    val zs = Sampling.unimaxAllocation(
+      Seq(("x", Some(0L)), ("y", Some(5L)), ("z", None))
+        .toDF("lang", "chars"),
+      col("lang"), 10L, 2, col("chars"))
+      .collect().map(_.getString(0)).toSet
+    assert(zs == Set("y"), zs.toString)
   }
 
   test("unimaxAllocation ≡ independent sequential waterfilling across random cases") {
