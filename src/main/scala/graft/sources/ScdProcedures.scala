@@ -62,7 +62,17 @@ object ScdProcedures {
     * materialize the as-of view as an updates-free snapshot
     * ([[ScdReader.compact]]); `clear_log` additionally truncates the
     * source log to the unconsumed remainder. Returns the snapshot row
-    * count (one count scan of what was just written). */
+    * count (one count scan of what was just written).
+    *
+    * Concurrency (MaintenanceConcurrencySpec pins it): sequential
+    * interleavings with `add_update` serialize — append-then-compact
+    * consumes the new statement, compact-then-append lands it on the
+    * truncated log, and both orders leave identical state; the one
+    * cut that CANNOT serialize (consumed times interleaving with kept
+    * ones after a backdated append) is refused loudly with every log
+    * byte intact. Sub-operation overlap with a LIVE appender remains
+    * the stop-writers-first contract of
+    * [[graft.scd.ScdReader.truncateLog]]. */
   object Compact extends GraftProcedure("compact",
     "Materialize an SCD dir's as-of view into an updates-free snapshot") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -89,7 +99,14 @@ object ScdProcedures {
     * into size-targeted Z-ordered files. Naming a manifest refreshes
     * it in the same call ([[Layout.zoneMapRefresh]] /
     * [[Layout.bloomManifestRefresh]]), so skipping keeps working with
-    * no follow-up CALL. Returns (files_before, files_after). */
+    * no follow-up CALL. Returns (files_before, files_after).
+    *
+    * Concurrency (MaintenanceConcurrencySpec pins it): a zone-map /
+    * bloom manifest NOT named here goes stale when optimize rewrites
+    * the layout — but never silently: `verify_zone_map` reports the
+    * replaced files as missing, and one `zone_map` re-CALL heals.
+    * Naming the manifest refreshes it inside the same CALL, closing
+    * the reader-visible window between the two maintenance writers. */
   object Optimize extends GraftProcedure("optimize",
     "Compact a dir's small files into size-targeted Z-ordered files") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -127,7 +144,9 @@ object ScdProcedures {
     * [[Layout.zoneMapRefresh]] when one does (files no longer on disk
     * drop out, new files get rows — so re-CALLing after any layout
     * change, including OPTIMIZE, heals the manifest). Returns the
-    * manifest's file count after the write. */
+    * manifest's file count after the write. Losing a race with an
+    * optimize is therefore recoverable by construction: the audit
+    * surfaces it, the re-CALL heals it (MaintenanceConcurrencySpec). */
   object ZoneMap extends GraftProcedure("zone_map",
     "Build or refresh a per-file min/max zone-map manifest") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -357,7 +376,13 @@ object ScdProcedures {
     * time on every CALL if each statement carries its own effective
     * time.
     *
-    * Returns the dir and the total statement count now in the log. */
+    * Returns the dir and the total statement count now in the log.
+    *
+    * Concurrency: each CALL is one atomic read-validate-rename;
+    * sequential interleavings with `compact(clear_log)` serialize in
+    * either order, and a backdated append that would make a later
+    * mid-log truncation unserializable causes THAT truncation to
+    * refuse loudly (MaintenanceConcurrencySpec pins both). */
   object AddUpdate extends GraftProcedure("add_update",
     "Validate and append an UPDATE/DELETE statement to a dir's .updates log") {
     override def parameters(): Array[ProcedureParameter] = Array(
