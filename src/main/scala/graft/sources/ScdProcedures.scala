@@ -435,6 +435,34 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.ivf_index(dir, id_col, vec_col, k, iters, out_path)`
+    * — train the IVF serving artifact from pure SQL
+    * ([[graft.operators.Similarity.ivfIndexWrite]]: k-means centroids
+    * + the corpus cell assignment against the PERSISTED centroids),
+    * the build-once half of `ivfTopKWith` probes and
+    * `decontaminateSemanticIndexed` scrubs — one artifact per corpus
+    * release, the corpus × centroids scan never re-paid. Returns the
+    * artifact path and the assigned-vector count. */
+  object IvfIndex extends GraftProcedure("ivf_index",
+    "Train and persist the IVF centroids + corpus cell assignment") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("id_col", StringType),
+      in("vec_col", StringType), in("k", IntegerType),
+      in("iters", IntegerType), in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("n_vectors", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      val out = str(r, 5)
+      graft.operators.Similarity.ivfIndexWrite(
+        spark.read.parquet(str(r, 0)), out, k = r.getInt(3),
+        iters = r.getInt(4), id = str(r, 1), vecCol = str(r, 2))
+      new GenericInternalRow(Array[Any](utf8(out),
+        spark.read.parquet(s"$out/assigned").count()))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
@@ -442,5 +470,5 @@ object ScdProcedures {
     "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate,
     "hdr_index" -> HdrIndex,
     "decontamination_index" -> DecontaminationIndex,
-    "jaccard_index" -> JaccardIndex)
+    "jaccard_index" -> JaccardIndex, "ivf_index" -> IvfIndex)
 }

@@ -281,6 +281,31 @@ class ScdCatalogSpec extends SparkSpec {
     assert(got(10L) == 1L && got(11L) == 0L, got.toString)
   }
 
+  test("CALL graft.ivf_index trains and persists the ANN artifact the semantic scrub serves from") {
+    val d = Files.createTempDirectory("scdcat_ivf").toString + "/vecs"
+    (1 to 40).map(i => (i.toLong, Array(
+        (if (i % 2 == 0) 1.0f else 0.0f) + i * 0.001f,
+        (if (i % 2 == 0) 0.0f else 1.0f), 0.1f, 0.2f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(d)
+    val out = Files.createTempDirectory("scdcat_ivfi").toString + "/ivf"
+    val res = spark.sql(
+      s"CALL graft.ivf_index('$d', 'vec_id', 'embedding', 2, 1, '$out')")
+      .collect()
+    assert(res.length == 1 && res(0).getString(0) == out &&
+      res(0).getLong(1) == 40L, res.mkString(","))
+    // the artifact serves the semantic scrub: a near-copy of vector 2
+    // as the benchmark flags vector 2 (and itself via the roster side)
+    val bench = Seq((100L, Array(1.002f, 0.0f, 0.1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup.decontaminateSemanticIndexed(
+        bench, out, nProbe = 2, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got(2L) == 1L && got(1L) == 0L && got.size == 40, got.toString)
+    // ...and the persisted centroids drive ivfTopKWith directly
+    val (cents, _) = graft.operators.Similarity.ivfIndexRead(spark, out)
+    assert(cents.count() == 2L)
+  }
+
   test("CALL graft.jaccard_index persists the one artifact all three near-dup join flavors serve") {
     val d = Files.createTempDirectory("scdcat_jac").toString + "/docs"
     val benchText = "the quick brown fox jumps over the lazy dog daily"
