@@ -51,27 +51,12 @@ object AnnStream {
       cents: DataFrame, id: String = "vec_id",
       vecCol: String = "embedding", nProbe: Int = 2,
       minCosine: Double = 0.8): DataFrame = {
-    val centArr = cents
-      .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    require(centArr.nonEmpty, "annMatchStream: empty centroid table")
+    val centArr = collectCents(cents, "annMatchStream")
     require(nProbe >= 1 && nProbe <= centArr.length,
       s"annMatchStream needs 1 <= nProbe <= ${centArr.length}, got $nProbe")
-    // per-row cell ranking as a pure expression: struct order is
-    // (cosine desc, cid asc) via the negated-cid middle field — the
-    // exact tie-break of the batch nearestCells, so stream and batch
-    // probe identical cells. A zero-norm stream vector yields NULL
-    // cosines (sorted last) and is dropped by the verify filter.
-    val cellStructs = array(centArr.map { case (cid, cvec) =>
-      val cv = array(cvec.map(lit): _*)
-      struct(
-        round(VectorFunctions.cosine(col(vecCol), cv), 6).as("ccos"),
-        lit(-cid).as("ncid"),
-        lit(cid).as("cid"))
-    }: _*)
     val probed = stream.select(col(id), col(vecCol),
-      explode(slice(sort_array(cellStructs, asc = false), 1, nProbe))
-        .as("__c"))
+      explode(slice(sort_array(cellStructs(vecCol, centArr),
+        asc = false), 1, nProbe)).as("__c"))
       .select(col(id), col(vecCol), col("__c.cid").as("cid"))
     probed.join(index, Seq("cid"))
       .withColumn("cosine",
@@ -79,4 +64,85 @@ object AnnStream {
       .where(col("cosine") >= minCosine)
       .select(col(id), col("corpus_id"), col("cosine"))
   }
+
+  /** STREAMING SEMANTIC decontamination gate — the ingest-time face
+    * of [[graft.operators.Dedup.decontaminateSemantic]], completing
+    * the gate ladder exactly as the batch scrubs complete theirs
+    * (verbatim `decontaminateStreamGate` → fuzzy
+    * `decontaminateNearStreamGate` → THIS): admit only stream rows
+    * whose embedding sits below cosine `threshold` against every
+    * benchmark vector met in the row's probed cells. A reworded eval
+    * item sharing no gram with the incoming doc still blocks here.
+    *
+    * Stateless, by the family's construction: the stream row's OWN
+    * cell comes from a pure expression over the driver-collected
+    * centroid table ([[annMatchStream]]'s sanctioned shape — bounded
+    * by definition), and the gate itself is ONE stream-static LEFT
+    * ANTI join against the benchmark suite's probe rows (`id_b, qv,
+    * cid` — suite-bounded, broadcast at micro-batch planning) with
+    * the exact-cosine predicate inside the join condition. No
+    * aggregation state, no watermark, append-safe.
+    *
+    * Semantics ≡ batch, pinned by AnnStreamSpec: at equal
+    * (cents, nProbe, threshold) the REJECTED set is exactly the
+    * batch scrub's `contaminated = 1` set — the same probed-cell
+    * recall contract (a pair whose corpus cell falls outside the
+    * benchmark item's probes is missed by BOTH faces), and exact
+    * cosine means neither face ever false-positives. A zero-norm
+    * stream vector has NULL cosines and passes (it is semantically
+    * near nothing). */
+  def decontaminateSemanticStreamGate(stream: DataFrame,
+      benchmark: DataFrame, cents: DataFrame, nProbe: Int = 2,
+      threshold: Double = 0.9, id: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"decontaminateSemanticStreamGate: threshold in (0, 1]: " +
+        s"$threshold")
+    val centArr = collectCents(cents, "decontaminateSemanticStreamGate")
+    require(nProbe >= 1 && nProbe <= centArr.length,
+      s"decontaminateSemanticStreamGate needs 1 <= nProbe <= " +
+        s"${centArr.length}, got $nProbe")
+    // benchmark probes, exactly the batch scrub's probe side
+    val probes = Similarity.probeCells(benchmark, cents, nProbe,
+      "__id_b", "__qv", id, vecCol)
+      .select(col("__qv"), col("cid").as("__pcid"))
+    // the stream row's own (single) cell — the batch assignCells
+    // argmax as an expression, same (cosine desc, cid asc) tie-break
+    val own = element_at(
+      slice(sort_array(cellStructs(vecCol, centArr), asc = false),
+        1, 1), 1).getField("cid")
+    stream.withColumn("__cid", own)
+      .join(probes,
+        col("__cid") === col("__pcid") &&
+          round(VectorFunctions.cosine(col("__qv"), col(vecCol)), 6) >=
+            threshold,
+        "left_anti")
+      .drop("__cid")
+  }
+
+  /** Driver-collected (cid, cvec) rows — the sanctioned bounded fold
+    * both stream-side cell expressions ride. */
+  private def collectCents(cents: DataFrame,
+      caller: String): Array[(Long, Seq[Double])] = {
+    val arr = cents
+      .select(col("cid").cast("long"), col("cvec").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(arr.nonEmpty, s"$caller: empty centroid table")
+    arr
+  }
+
+  /** Per-row cell ranking as a pure expression: struct order is
+    * (cosine desc, cid asc) via the negated-cid middle field — the
+    * exact tie-break of the batch [[Similarity.probeCells]], so
+    * stream and batch probe identical cells. A zero-norm vector
+    * yields NULL cosines (sorted last). */
+  private def cellStructs(vecCol: String,
+      centArr: Array[(Long, Seq[Double])]) =
+    array(centArr.map { case (cid, cvec) =>
+      val cv = array(cvec.map(lit): _*)
+      struct(
+        round(VectorFunctions.cosine(col(vecCol), cv), 6).as("ccos"),
+        lit(-cid).as("ncid"),
+        lit(cid).as("cid"))
+    }: _*)
 }

@@ -50,6 +50,60 @@ class AnnStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateSemanticStreamGate — semantic twin blocked at ingest, rejected ≡ batch scrub, zero-norm passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cents = Similarity.kmeansFit(corpus, k = 2, iters = 2)
+    // one benchmark item near cluster A (a "reworded" eval question:
+    // no text shared, embedding within τ of the A-cluster docs)
+    val bench = Seq((100L, Array(0.95, 0.08, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val gated = AnnStream.decontaminateSemanticStreamGate(
+      ms.toDF().toDF("vec_id", "embedding"), bench, cents,
+      nProbe = 2, threshold = 0.95)
+    assert(gated.isStreaming)
+    // stateless: no streaming aggregate — one stream-static anti join
+    assert(gated.queryExecution.analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.isStreaming => a
+    }.isEmpty, "gate grew streaming state")
+    val q = gated.writeStream.format("memory").queryName("semgate")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, Seq(1.0, 0.0, 0.0, 0.0)),  // cos vs bench ≈ 0.996: block
+        (3L, Seq(0.0, 1.0, 0.0, 0.0)),  // cluster B: passes
+        (9L, Seq(0.0, 0.0, 0.0, 0.0)))  // zero-norm: passes (NULL cos)
+      q.processAllAvailable()
+      val kept = spark.table("semgate").select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(3L, 9L), kept.toString)
+    } finally q.stop()
+    // the REJECTED set equals the batch scrub's contaminated set at
+    // equal (cents, nProbe, τ) — same cells, same exact cosine
+    val batchFlags = graft.operators.Dedup.decontaminateSemantic(
+        corpus, bench, cents, nProbe = 2, threshold = 0.95)
+      .where(col("contaminated") === 1).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ms2 = MemoryStream[(Long, Seq[Double])]
+    val gated2 = AnnStream.decontaminateSemanticStreamGate(
+      ms2.toDF().toDF("vec_id", "embedding"), bench, cents,
+      nProbe = 2, threshold = 0.95)
+    val q2 = gated2.writeStream.format("memory").queryName("semgate2")
+      .outputMode("append").start()
+    try {
+      ms2.addData(corpus.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq: _*)
+      q2.processAllAvailable()
+      val kept2 = spark.table("semgate2").select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      val all = corpus.collect().map(_.getLong(0)).toSet
+      assert(kept2 == all -- batchFlags,
+        s"kept $kept2 vs batch flags $batchFlags")
+      assert(batchFlags.nonEmpty, "fixture must flag something")
+    } finally q2.stop()
+  }
+
   test("annMatchStream — multi-probe never duplicates a pair") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val cents = Similarity.kmeansFit(corpus, k = 2, iters = 2)
