@@ -2894,6 +2894,58 @@ object SparkEntry {
       Dedup.decontaminateIndexed(docs, path).orderBy("doc_id")
     }),
 
+    // the LADDER composed (r14): the nightly scrub REPORT a training
+    // pipeline actually consumes — all three rungs served from their
+    // persisted artifacts (grams / jaccard arrays / IVF assignment:
+    // the same cached builds their own rows serve), one row per doc
+    // with the per-rung flags and the union gate
+    "q_decontaminate_ladder" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val embs = t(s, dir, "embeddings")
+      val appId = s.sparkContext.applicationId
+      evictDeadApps(jacIndexCache, "dec", appId)
+      val decPath = jacIndexCache.getOrElseUpdate((appId, s"dec:$dir"), {
+        val p = indexPath("dec", appId, dir)
+        Dedup.decontaminationIndexWrite(
+          docs.where(col("doc_id") % 37 === 0), p)
+        p
+      })
+      evictDeadApps(jacIndexCache, "jac4", appId)
+      val jacPath = jacIndexCache.getOrElseUpdate((appId, s"jac4:$dir"), {
+        val p = indexPath("jac4", appId, dir)
+        Dedup.jaccardIndexWrite(docs, p, w = 4)
+        p
+      })
+      evictDeadApps(jacIndexCache, "sem", appId)
+      val semPath = jacIndexCache.getOrElseUpdate((appId, s"sem:$dir"), {
+        val p = indexPath("sem", appId, dir)
+        Similarity.ivfIndexWrite(embs, p, k = 8, iters = 2)
+        p
+      })
+      val bench = docs.where(col("doc_id") % 37 === 0)
+      val verb = Dedup.decontaminateIndexed(docs, decPath)
+        .select(col("doc_id"), col("contaminated").as("verbatim"))
+      val fuzzy = Dedup.decontaminateNearIndexed(bench, jacPath,
+          w = 4, threshold = 0.5)
+        .select(col("doc_id"), col("contaminated").as("fuzzy"))
+      val sem = Dedup.decontaminateSemanticIndexed(
+          embs.where(col("vec_id") % 37 === 0), semPath, nProbe = 2,
+          threshold = 0.4)
+        .select(col("vec_id").as("doc_id"),
+          col("contaminated").as("semantic"))
+      docs.select("doc_id")
+        .join(verb, Seq("doc_id"), "left")
+        .join(fuzzy, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("verbatim"), lit(0L)).as("verbatim"),
+          coalesce(col("fuzzy"), lit(0L)).as("fuzzy"),
+          coalesce(col("semantic"), lit(0L)).as("semantic"))
+        .withColumn("flagged",
+          greatest(col("verbatim"), col("fuzzy"), col("semantic")))
+        .orderBy("doc_id")
+    }),
+
     // incremental containment (VERDICT r11 #3): even ids the indexed
     // standing corpus (the SAME even-ids jaccard artifact the
     // symmetric incremental query serves from — one nightly build,
@@ -3526,6 +3578,72 @@ object SparkEntry {
        |  CAST(coalesce(n_bench_hits, 0) >= 1 AS BIGINT) AS contaminated
        |FROM e LEFT JOIN hits ON hits.did = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
+
+  /** The ladder report: all three scrub replays (prefixed CTEs so
+    * their internal names cannot clash), flags joined onto the full
+    * doc roster. A doc is flagged per rung iff it appears in that
+    * rung's hit set — the same predicates the standalone oracles
+    * apply. */
+  private lazy val decontaminateLadderOracleSql: String =
+    s"""WITH v_toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 8),
+       |v_sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+       |      || ' ' || t[i+7]
+       |     for i in range(1, len(t) - 6)])) AS s
+       |  FROM v_toks),
+       |v_bg AS (SELECT DISTINCT s FROM v_sh WHERE doc_id % 37 = 0),
+       |v_hit AS (SELECT DISTINCT v_sh.doc_id FROM v_sh
+       |  JOIN v_bg USING (s)),
+       |f_toks AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t
+       |  FROM documents
+       |  WHERE len(string_split(lower(text), ' ')) >= 4),
+       |f_sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |     for i in range(1, len(t) - 2)])) AS s
+       |  FROM f_toks),
+       |f_bsh AS (SELECT doc_id AS bid, s FROM f_sh WHERE doc_id % 37 = 0),
+       |f_bsz AS (SELECT bid, count(*) AS bsz FROM f_bsh GROUP BY bid),
+       |f_com AS (
+       |  SELECT bid, f_sh.doc_id AS did, count(*) AS n_common
+       |  FROM f_bsh JOIN f_sh ON f_bsh.s = f_sh.s
+       |  GROUP BY 1, 2),
+       |f_hit AS (
+       |  SELECT DISTINCT did FROM f_com JOIN f_bsz USING (bid)
+       |  WHERE n_common / bsz >= 0.5),
+       |$EmbCte,
+       |${kmeansChain(8)},
+       |s_b AS (SELECT vec_id AS id_b, v AS qv FROM e WHERE vec_id % 37 = 0),
+       |s_p AS (
+       |  SELECT id_b, qv, cid FROM (
+       |    SELECT b.id_b, b.qv, c.cid,
+       |      row_number() OVER (PARTITION BY b.id_b
+       |        ORDER BY round(${cosSql("b.qv", "c.cvec")}, 6) DESC, c.cid)
+       |        AS rn
+       |    FROM s_b b CROSS JOIN c2 c)
+       |  WHERE rn <= 2),
+       |s_hit AS (
+       |  SELECT DISTINCT a.vec_id AS did
+       |  FROM a2 a JOIN s_p USING (cid)
+       |  WHERE round(${cosSql("qv", "a.v")}, 6) >= 0.4)
+       |SELECT d.doc_id,
+       |  CAST(v_hit.doc_id IS NOT NULL AS BIGINT) AS verbatim,
+       |  CAST(f_hit.did IS NOT NULL AS BIGINT) AS fuzzy,
+       |  CAST(s_hit.did IS NOT NULL AS BIGINT) AS semantic,
+       |  greatest(CAST(v_hit.doc_id IS NOT NULL AS BIGINT),
+       |    CAST(f_hit.did IS NOT NULL AS BIGINT),
+       |    CAST(s_hit.did IS NOT NULL AS BIGINT)) AS flagged
+       |FROM documents d
+       |LEFT JOIN v_hit ON v_hit.doc_id = d.doc_id
+       |LEFT JOIN f_hit ON f_hit.did = d.doc_id
+       |LEFT JOIN s_hit ON s_hit.did = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Shared by dedup_containment and dedup_containment_indexed
     * (the persisted arrays ARE the inline build outputs). */
@@ -8943,6 +9061,7 @@ object SparkEntry {
     "q_decontaminate_near_indexed" -> decontaminateNearOracleSql,
     "q_decontaminate_sem" -> decontaminateSemOracleSql,
     "q_decontaminate_sem_indexed" -> decontaminateSemOracleSql,
+    "q_decontaminate_ladder" -> decontaminateLadderOracleSql,
     "q_decontaminate_indexed" -> decontaminateOracleSql,
 
     // incremental containment = the directed brute pairs at τ minus

@@ -172,6 +172,35 @@ object Similarity {
     (spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/assigned"))
 
+  /** Incrementally APPEND new vectors to a persisted [[ivfIndexWrite]]
+    * artifact WITHOUT re-training: the new vectors are assigned
+    * against the FROZEN persisted centroids, so old and new rows share
+    * one routing and every consumer serves appended ≡ rebuilt-at-the-
+    * same-centroids (DedupSpec pins it through the semantic scrub).
+    * Cluster QUALITY drifts as the corpus grows — re-train on corpus
+    * release, the [[pqIndexAppend]] staleness contract. ids must be
+    * disjoint from the indexed ones (one semi-join probe unless
+    * `checkDisjoint = false`). */
+  def ivfIndexAppend(newCorpus: DataFrame, path: String,
+      id: String = "vec_id", vecCol: String = "embedding",
+      checkDisjoint: Boolean = true): Unit = {
+    val spark = newCorpus.sparkSession
+    if (checkDisjoint) {
+      val existing = spark.read.parquet(s"$path/assigned")
+        .select(col(id))
+      val clash = newCorpus.select(col(id))
+        .join(existing, Seq(id), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"ivfIndexAppend: new `$id`s overlap the persisted index at " +
+          s"$path — appends must be disjoint; rebuild with " +
+          "ivfIndexWrite")
+    }
+    assignCells(newCorpus,
+        spark.read.parquet(s"$path/cents"), id, vecCol)
+      .drop("cosine")
+      .write.mode("append").parquet(s"$path/assigned")
+  }
+
   /** Nearest-centroid assignment: one pass over the corpus against a
     * BROADCAST centroid table (cid, cvec) — k rows per corpus row, never
     * a corpus shuffle. Argmin by cosine rounded to 6 with a cid

@@ -59,6 +59,10 @@ class PlanAuditSpec extends SparkSpec {
                                 // the output projection) + the 1-row
                                 // (k, c_k) waterline fold — all onto
                                 // the domain-bounded strata table
+    "q_decontaminate_ladder" -> 1, // the semantic rung's suite probe
+                                // × broadcast k-row centroid table
+                                // (the verbatim/fuzzy rungs are pure
+                                // equi-join serving)
     "q_decontaminate_sem" -> 1, // benchmark probe × broadcast k-row
                                 // centroid table (suite-bounded probe
                                 // side; the corpus assignment's own

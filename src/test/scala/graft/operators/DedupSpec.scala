@@ -735,5 +735,24 @@ class DedupSpec extends SparkSpec {
       Dedup.decontaminateSemantic(corpus, bench, pcents, nProbe = 2,
         threshold = 0.95, id = "doc_id")
         .collect().map(_.toString).sorted.toSeq)
+    // appended ≡ rebuilt at the same (frozen) centroids: new vectors
+    // route through the persisted cents, the scrub sees one corpus
+    val late = Seq((10L, "late arrival", vBench))
+      .toDF("doc_id", "text", "embedding")
+    Similarity.ivfIndexAppend(late, idx, id = "doc_id")
+    val served = Dedup.decontaminateSemanticIndexed(bench, idx,
+        nProbe = 2, threshold = 0.95, id = "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Dedup.decontaminateSemantic(corpus.union(late),
+        bench, pcents, nProbe = 2, threshold = 0.95, id = "doc_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(served == rebuilt, s"append != rebuild:\n$served\n$rebuilt")
+    assert(served.exists(s => s.startsWith("[10,") && s.endsWith(",1]")),
+      s"the appended benchmark twin must flag: $served")
+    // overlapping ids refuse
+    val dup = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(late, idx, id = "doc_id")
+    }
+    assert(dup.getMessage.contains("disjoint"), dup.getMessage)
   }
 }
