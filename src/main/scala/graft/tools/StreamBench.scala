@@ -144,7 +144,30 @@ object StreamBench {
     val hist = graft.scd.ScdReader.history(spark, dimDir).cache()
     val custKeys = hist.agg(max(col("c_custkey"))).head.getLong(0) + 1
 
+    // semantic-gate statics: centroids trained on the real embeddings
+    // table, the %37 suite as the benchmark — both cached outside the
+    // timed window (the production shape: the suite and cents are
+    // per-release artifacts, each micro-batch pays assignment + one
+    // stream-static anti join)
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val semCents = graft.operators.Similarity
+      .kmeansFit(embs, k = 8, iters = 2).cache()
+    semCents.count()
+    val semBench = embs.where(col("vec_id") % 37 === 0).cache()
+    semBench.count()
+    val embDim = embs.select(size(col("embedding"))).head.getInt(0)
+    // deterministic per-row synthetic vector (same dim as the corpus)
+    val streamVec = transform(
+      sequence(lit(1), lit(embDim)),
+      i => sin(col("value").cast("double") * 0.7 +
+        i.cast("double") * 1.3))
+
     val paths: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("sem_gate", "append", (src: DataFrame) =>
+        graft.streaming.AnnStream.decontaminateSemanticStreamGate(
+          src.select(col("value").as("vec_id"),
+            streamVec.as("embedding")),
+          semBench, semCents, nProbe = 2, threshold = 0.4)),
       ("enrich_asof", "append", (src: DataFrame) =>
         ScdStream.enrichAsOf(
           src.select(pmod(col("value"), lit(custKeys)).as("k"),
