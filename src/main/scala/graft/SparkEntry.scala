@@ -1734,6 +1734,21 @@ object SparkEntry {
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiScrub(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // VALIDATED PII audit over injected PII (the fixture carries
+    // none): every doc gains one email, one IPv4 candidate that is
+    // valid only when doc_id % 300 fits an octet, and a Luhn-valid /
+    // Luhn-invalid card pair — so the row exercises the checksum and
+    // octet-range validation in BOTH engines, not just the regexes
+    "q_pii_audit" -> ((s, dir) => {
+      val inj = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10."),
+          (col("doc_id") % 300).cast("string"),
+          lit(".0.1 card 4111111111111111 or 4111111111111112")))
+      TextAnalysis.piiAudit(inj).orderBy("doc_id")
+    }),
+
     // composite C4/Gopher keep-drop verdict with per-rule audit reasons
     "text_filter" -> ((s, dir) =>
       TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
@@ -2593,6 +2608,17 @@ object SparkEntry {
       Packing.chunkStats(packed, col("source"), maxTokens = 512)
         .orderBy("shard", "chunk_id")
     }),
+
+    // the trainer-facing straddle split: one row per (doc × spanned
+    // 512-token window) with exact doc-relative token ranges — every
+    // window's segments sum to 512 except each shard's final one
+    "q_pack_segments" -> ((s, dir) =>
+      Packing.packSegments(t(s, dir, "documents"), col("source"),
+        col("doc_id"), maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("chunk_id"),
+          col("seg_idx"), col("tok_start"), col("tok_end"),
+          col("n_seg_tokens"))
+        .orderBy("doc_id", "chunk_id")),
 
     // END-TO-END curation pipeline: quality filter → exact dedup →
     // sequence packing, reported per source — the operators COMPOSE
@@ -8746,6 +8772,40 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "q_pii_audit" -> {
+      // identical injected PII, then the SAME 1-indexed-from-reverse
+      // Luhn arithmetic and octet compare the Spark expressions run
+      val em = TextAnalysis.EmailPattern
+      val card = TextAnalysis.CardCandidatePattern
+      val ip = TextAnalysis.Ipv4CandidatePattern
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
+         |    '.0.1 card 4111111111111111 or 4111111111111112' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$card')) AS BIGINT)
+         |    AS n_card_candidates,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$card'), c ->
+         |    list_sum(list_transform(range(1, length(c) + 1), i ->
+         |      CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
+         |             THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
+         |             ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
+         |      ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10 = 0))
+         |    AS BIGINT) AS n_cards_luhn,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT)
+         |    AS n_ipv4_candidates,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$ip'), x ->
+         |    len(list_filter(string_split(x, '.'),
+         |      o -> CAST(o AS INT) > 255)) = 0)) AS BIGINT)
+         |    AS n_ipv4_valid
+         |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
     "q_pack_chunks" ->
       """WITH p AS (
         |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS nt,
@@ -8775,6 +8835,29 @@ object SparkEntry {
         |  CAST(greatest(min(off) + sum(nt) - (chunk_id + 1) * 512, 0)
         |    AS BIGINT) AS overflow
         |FROM q GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
+
+    // the straddle split replayed from the same prefix sum: each doc
+    // spans windows floor(s/512)..floor((s+nt-1)/512), window c takes
+    // tokens [max(0, c*512-s), min(nt, (c+1)*512-s))
+    "q_pack_segments" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS nt,
+        |    sum(len(string_split(lower(text), ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, source, nt, cum - nt AS s,
+        |    unnest(range(CAST(floor((cum - nt) / 512.0) AS BIGINT),
+        |                 CAST(floor((cum - 1) / 512.0) AS BIGINT) + 1)) AS c
+        |  FROM p WHERE nt > 0)
+        |SELECT doc_id, source, CAST(c AS BIGINT) AS chunk_id,
+        |  CAST(c - floor(s / 512.0) AS BIGINT) AS seg_idx,
+        |  CAST(greatest(c * 512 - s, 0) AS BIGINT) AS tok_start,
+        |  CAST(least((c + 1) * 512 - s, nt) AS BIGINT) AS tok_end,
+        |  CAST(least((c + 1) * 512 - s, nt) - greatest(c * 512 - s, 0)
+        |    AS BIGINT) AS n_seg_tokens
+        |FROM seg ORDER BY doc_id, chunk_id""".stripMargin,
 
     // keep-set and dedup survivors rebuilt from the text_filter /
     // dedup_exact oracle pieces, then the q_pack_stats prefix sum

@@ -45,6 +45,44 @@ object Packing {
       .withColumn("chunk_id", floor(col("start_offset") / maxTokens))
   }
 
+  /** The trainer-facing STRADDLE SPLIT of [[packByOffset]]: one row
+    * per (document × context window it spans), with the exact token
+    * range each window takes. [[packByOffset]] tells a trainer which
+    * window a doc STARTS in; this is the table it actually reads —
+    * every window's segments concatenate to exactly `maxTokens`
+    * tokens (except each shard's final, partial window), and every
+    * document's segments concatenate back to the whole document.
+    *
+    * A doc at running offset s with n tokens spans windows
+    * floor(s/M) .. floor((s+n-1)/M); window c takes the doc's tokens
+    * [max(0, c·M − s), min(n, (c+1)·M − s)). Zero-token docs span
+    * nothing and emit no row (documented; count them upstream if
+    * they must be audited).
+    *
+    * Scale: the only shuffle is [[packByOffset]]'s per-shard window;
+    * the explode factor is 1 + (n−1)/M per doc — total output rows =
+    * docs + totalTokens/M, linear in corpus size with no new
+    * shuffle. Output adds: chunk_id, seg_idx (0-based within the
+    * doc), tok_start/tok_end (doc-relative, end-exclusive),
+    * n_seg_tokens. */
+  def packSegments(docs: DataFrame, shardCol: Column, orderCol: Column,
+      textCol: String = "text", maxTokens: Int = 2048): DataFrame = {
+    val m = lit(maxTokens.toLong)
+    val packed = packByOffset(docs, shardCol, orderCol, textCol,
+      maxTokens)
+    val s = col("start_offset")
+    val n = col("n_tokens")
+    packed
+      .where(n > 0)
+      .withColumn("chunk_id",
+        explode(sequence(floor(s / m), floor((s + n - 1) / m))))
+      .withColumn("seg_idx", (col("chunk_id") - floor(s / m))
+        .cast("long"))
+      .withColumn("tok_start", greatest(col("chunk_id") * m - s, lit(0L)))
+      .withColumn("tok_end", least((col("chunk_id") + 1) * m - s, n))
+      .withColumn("n_seg_tokens", col("tok_end") - col("tok_start"))
+  }
+
   /** Per-chunk roll-up: how full each packed window is — the packing
     * efficiency report (docs per chunk, token fill, waste). A chunk's
     * fill can exceed maxTokens when its last doc straddles into the

@@ -401,6 +401,74 @@ object TextAnalysis {
         .as("n_longnums"),
       redactPii(col(textCol)).as("redacted"))
 
+  /** Payment-card candidate: a separator-free 13–19 digit run (the
+    * PAN length range). Separator-free by design, like
+    * [[LongNumberPattern]]: separator-tolerant forms are where regex
+    * dialects diverge, and both engines must see the same bytes. A
+    * ≥20-digit run yields its greedy 19-digit prefix as a candidate
+    * in BOTH engines (leftmost-greedy `{13,19}`) — validation, not
+    * the regex, is what rejects it. */
+  val CardCandidatePattern: String = "[0-9]{13,19}"
+
+  /** IPv4 candidate: four dot-separated 1–3 digit octets. Candidates
+    * only — `999.1.1.1` matches; octet-range VALIDATION is
+    * [[piiAudit]]'s job (kept out of the regex: `25[0-5]|…`
+    * alternations are long and easy to mistranscribe across
+    * dialects; an integer compare is not). */
+  val Ipv4CandidatePattern: String =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Luhn (mod-10) checksum over an all-digit string: 1-indexed from
+    * the RIGHT, every even position's digit doubles (minus 9 past 9),
+    * the total must divide by 10. Pure higher-order-function
+    * expression (`sequence`/`transform`/`aggregate`) — per-row,
+    * codegen-adjacent, shuffle-free, and replayable verbatim in
+    * DuckDB (`range`/`list_transform`/`list_sum` with the same
+    * 1-indexed-from-reverse formulation, so both engines execute the
+    * identical arithmetic). Caller guarantees all-digits (the
+    * [[CardCandidatePattern]] extract does). */
+  def luhnValid(num: Column): Column = {
+    val rev = reverse(num)
+    val terms = transform(sequence(lit(1), length(num)), i => {
+      val d = rev.substr(i, lit(1)).cast("int")
+      when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0
+  }
+
+  /** VALIDATED PII audit — the upgrade over [[piiScrub]]'s shape
+    * counts: a digit run is only a `card` if it passes the Luhn
+    * checksum, an IPv4 shape only counts when every octet ≤ 255.
+    * Validation is what separates an account-number-looking noise
+    * run from a chargeable PAN — the difference between a PII rate
+    * you can alert on and one that cries wolf on every timestamp.
+    *
+    * Output: id, n_emails, n_card_candidates, n_cards_luhn,
+    * n_ipv4_candidates, n_ipv4_valid. Entirely per-row expression
+    * work (regex extract + nested higher-order functions over ≤ a
+    * handful of short candidates per doc): shuffle-free, linear in
+    * corpus bytes, and embarrassingly parallel at 100 TB — the scan
+    * IS the cost, so it composes free with any other per-row pass. */
+  def piiAudit(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cards = regexp_extract_all(col(textCol),
+      lit(CardCandidatePattern), lit(0))
+    val ips = regexp_extract_all(col(textCol),
+      lit(Ipv4CandidatePattern), lit(0))
+    docs.select(
+      col(id),
+      regexp_count(col(textCol), lit(EmailPattern)).cast("long")
+        .as("n_emails"),
+      size(cards).cast("long").as("n_card_candidates"),
+      size(filter(cards, c => luhnValid(c))).cast("long")
+        .as("n_cards_luhn"),
+      size(ips).cast("long").as("n_ipv4_candidates"),
+      size(filter(ips, ip =>
+        forall(split(ip, "\\."), o => o.cast("int") <= 255)))
+        .cast("long").as("n_ipv4_valid"))
+  }
+
   /** Sentence segmentation: maximal runs of non-terminator characters
     * plus their trailing `.!?` runs, trimmed, empties dropped — the
     * unit below [[graft.operators.Dedup.segmentDedup]]'s lines when

@@ -170,6 +170,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, "clean text with no sensitive payloads at all")))
   }
 
+  test("piiAudit: Luhn checksum and octet range separate valid PII from shaped noise") {
+    import spark.implicits._
+    // independent reference Luhn (plain Scala), used to BUILD the
+    // fixture: a 16-digit base gets its correct check digit, then a
+    // corrupted twin gets check+1 — the operator must split them
+    def luhnCheckDigit(base: String): Int = {
+      val sum = ("0" + base.reverse).zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+        else d
+      }.sum // includes the placeholder 0 at position 1
+      (10 - sum % 10) % 10
+    }
+    val base = "537241908563214" // 15 digits -> 16-digit PAN
+    val valid = base + luhnCheckDigit(base)
+    val invalid = base + ((luhnCheckDigit(base) + 1) % 10)
+    val docs = Seq(
+      (1L, s"pay $valid not $invalid ok"), // checksum splits the twins
+      (2L, "visa 4111111111111111 and a 123456789012 tracker"), // 12 digits: below floor
+      (3L, "hosts 10.0.0.1 and 999.1.1.1 and 192.168.300.7"), // octet validation
+      (4L, "v6-ish 1.2.3.4.5.6 collapses to one candidate"),
+      (5L, "clean text, no candidates anywhere"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got(1L) == ((2L, 1L, 0L, 0L)),
+      s"Luhn must keep exactly the constructed-valid twin: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 0L, 0L)),
+      s"4111111111111111 is Luhn-valid; 12 digits is no candidate: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 3L, 1L)),
+      s"only 10.0.0.1 has all octets <= 255: ${got(3L)}")
+    // leftmost-greedy: "1.2.3.4" matches, ".5.6" cannot restart
+    assert(got(4L) == ((0L, 0L, 1L, 1L)), s"${got(4L)}")
+    assert(got(5L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("piiAudit: every 13..19 candidate length validates, 20+ yields its greedy 19-prefix") {
+    import spark.implicits._
+    def luhnCheckDigit(base: String): Int = {
+      val sum = ("0" + base.reverse).zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+        else d
+      }.sum
+      (10 - sum % 10) % 10
+    }
+    // one valid PAN per legal length (13..19): parity handling must
+    // hold for both odd and even lengths
+    val pans = (13 to 19).map { len =>
+      val b = "98765432109876543".take(len - 1)
+      b + luhnCheckDigit(b)
+    }
+    val docs = pans.zipWithIndex.map { case (p, i) =>
+      (i.toLong, s"pan $p end")
+    } :+ (99L, s"run ${pans.last}000 overflows") // 22 digits
+    val got = TextAnalysis.piiAudit(docs.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    (0 until 7).foreach { i =>
+      assert(got(i.toLong) == ((1L, 1L)),
+        s"len ${13 + i} PAN must validate: ${got(i.toLong)}")
+    }
+    // the 22-digit run: one greedy 19-digit candidate, Luhn fate is
+    // whatever the prefix's arithmetic says — here the 19-digit PAN
+    // plus trailing zeros shifts parity, so it must NOT pass as the
+    // embedded valid 19-PAN (the checksum sees different positions)
+    assert(got(99L)._1 == 1L, s"greedy prefix count: ${got(99L)}")
+  }
+
   test("heuristicFilter: rule verdicts and fixed-order reasons") {
     import spark.implicits._
     val clean = (1 to 30).map(i => s"word$i").mkString(" ")
