@@ -420,22 +420,19 @@ object TextAnalysis {
 
   /** Luhn (mod-10) checksum over an all-digit string: 1-indexed from
     * the RIGHT, every even position's digit doubles (minus 9 past 9),
-    * the total must divide by 10. Pure higher-order-function
-    * expression (`sequence`/`transform`/`aggregate`) — per-row,
-    * codegen-adjacent, shuffle-free, and replayable verbatim in
-    * DuckDB (`range`/`list_transform`/`list_sum` with the same
-    * 1-indexed-from-reverse formulation, so both engines execute the
-    * identical arithmetic). Caller guarantees all-digits (the
-    * [[CardCandidatePattern]] extract does). */
-  def luhnValid(num: Column): Column = {
-    val rev = reverse(num)
-    val terms = transform(sequence(lit(1), length(num)), i => {
-      val d = rev.substr(i, lit(1)).cast("int")
-      when(i % 2 === 0,
-        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
-    })
-    aggregate(terms, lit(0), (a, x) => a + x) % 10 === 0
-  }
+    * the total must divide by 10. Native codegen'd byte loop
+    * ([[graft.functions.expressions.LuhnValid]] — no per-candidate
+    * index-array allocation, unlike the equivalent
+    * `aggregate(transform(sequence(...)))` higher-order tree), also a
+    * SQL function `luhn_valid(s)` under [[graft.GraftExtensions]].
+    * Empty or any non-digit byte → FALSE (the [[CardCandidatePattern]]
+    * extract guarantees digits, so the audit path never hits it).
+    * Oracle-replayable: DuckDB runs the identical arithmetic as
+    * `list_sum(list_transform(range(1, length(c)+1), i -> ...)) % 10
+    * = 0` over `substr(reverse(c), i, 1)` — see the q_pii_audit
+    * oracle. */
+  def luhnValid(num: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.luhnValid(num)
 
   /** VALIDATED PII audit — the upgrade over [[piiScrub]]'s shape
     * counts: a digit run is only a `card` if it passes the Luhn

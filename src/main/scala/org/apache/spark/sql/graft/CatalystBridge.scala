@@ -82,6 +82,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.DeflateLen(
       ExpressionUtils.expression(c), level))
 
+  /** Native Luhn mod-10 checksum test (see
+    * [[graft.functions.expressions.LuhnValid]]). */
+  def luhnValid(c: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.LuhnValid(
+      ExpressionUtils.expression(c)))
+
   /** Native content-defined chunking over a binary column (see
     * [[graft.functions.expressions.GearChunks]]). */
   def gearChunks(bin: Column, maskBits: Int, minLen: Int,
@@ -567,6 +573,20 @@ object CatalystBridge {
       graft.functions.expressions.BloomContains(args.head, args(1))
     })
 
+  /** `luhn_valid(s)` — the payment-card mod-10 checksum as a SQL
+    * function, so pure-SQL PII audits validate candidates the same
+    * way [[graft.operators.TextAnalysis.piiAudit]] does. */
+  val luhnValidDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("luhn_valid"),
+    new ExpressionInfo("graft.functions.expressions.LuhnValid",
+      "luhn_valid"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"luhn_valid takes 1 argument, got ${args.length}")
+      graft.functions.expressions.LuhnValid(args.head)
+    })
+
   /** `hdr_key(x, subBits)` — the log-linear quantile-sketch bucket key
     * ([[graft.operators.Sketch.hdrKey]]) as a SQL function, so
     * pure-SQL pipelines histogram with the same integer bucketing the
@@ -609,7 +629,7 @@ object CatalystBridge {
     countMinDescriptor, topKDescriptor, wordpieceDescriptor,
     unigramSegmentDescriptor,
     deflateLenDescriptor, unicodeNormalizeDescriptor,
-    bloomContainsDescriptor, hdrKeyDescriptor)
+    bloomContainsDescriptor, hdrKeyDescriptor, luhnValidDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

@@ -184,6 +184,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("foldable"), e2.getMessage)
   }
 
+  test("luhn_valid in plain SQL: checksum, non-digit, empty, NULL, arity") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT luhn_valid('4111111111111111') AS ok,
+        |  luhn_valid('4111111111111112') AS bad,
+        |  luhn_valid('4111-1111') AS sep,
+        |  luhn_valid('') AS empty,
+        |  luhn_valid(CAST(NULL AS STRING)) AS nul""".stripMargin).head()
+    assert(got.getBoolean(0), "valid test PAN must pass")
+    assert(!got.getBoolean(1), "check-digit+1 must fail")
+    assert(!got.getBoolean(2), "separators are not digits -> false")
+    assert(!got.getBoolean(3), "empty -> false, not vacuously true")
+    assert(got.isNullAt(4), "NULL in -> NULL out")
+    // matches the Column API (which rides the same expression)
+    import spark.implicits._
+    val viaApi = Seq("4111111111111111", "4111111111111112").toDF("s")
+      .select(graft.operators.TextAnalysis.luhnValid(col("s")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(viaApi == Seq(true, false))
+    val e = intercept[Exception] {
+      spark.sql("SELECT luhn_valid('1', '2')").collect()
+    }
+    assert(e.getMessage.contains("luhn_valid"), e.getMessage)
+  }
+
   test("unicode_normalize in plain SQL: forms work, non-literal form rejected") {
     GraftExtensions.register(spark)
     // decomposed e + U+0301 composes under NFC
