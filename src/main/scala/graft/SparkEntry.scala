@@ -1749,6 +1749,32 @@ object SparkEntry {
       TextAnalysis.piiAudit(inj).orderBy("doc_id")
     }),
 
+    // the PII GATE composed end-to-end per source: inject validated
+    // PII into some docs and card-SHAPED noise into others, flag with
+    // hasValidatedPii (noise must not cost a doc), then close the
+    // recovery loop — every flagged doc re-admits after redactPiiAll
+    // (n_recovered = n_flagged is the row's visible invariant)
+    "q_pii_gate" -> ((s, dir) => {
+      val inj = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" card 4111111111111111")))
+          .when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" ip 10.1.2.3")))
+          .when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" tracker 4111111111111112")))
+          .otherwise(col("text")))
+      val flagged = TextAnalysis.hasValidatedPii(col("text"))
+      val recovered =
+        !TextAnalysis.hasValidatedPii(
+          TextAnalysis.redactPiiAll(col("text")))
+      inj.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(flagged.cast("long")).as("n_flagged"),
+        sum((!flagged).cast("long")).as("n_kept"),
+        sum((flagged && recovered).cast("long")).as("n_recovered"))
+        .orderBy("source")
+    }),
+
     // composite C4/Gopher keep-drop verdict with per-rule audit reasons
     "text_filter" -> ((s, dir) =>
       TextAnalysis.heuristicFilter(t(s, dir, "documents")).orderBy("doc_id")),
@@ -4635,6 +4661,28 @@ object SparkEntry {
       |  SELECT query_id, doc_id, s, n_terms, row_number() OVER (
       |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
       |  FROM agg)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.hasValidatedPii]]
+    * over a text expression `t` — the q_pii_audit Luhn/octet
+    * arithmetic reused as a boolean (shared by the q_pii_gate
+    * oracle's flag and its post-redaction recheck). */
+  private def piiFlagSql(t: String): String = {
+    val em = TextAnalysis.EmailPattern
+    val card = TextAnalysis.CardCandidatePattern
+    val ip = TextAnalysis.Ipv4CandidatePattern
+    s"""(len(regexp_extract_all($t, '$em')) > 0
+       |   OR len(list_filter(regexp_extract_all($t, '$card'), c ->
+       |     list_sum(list_transform(range(1, length(c) + 1), i ->
+       |       CASE WHEN i % 2 = 0 THEN
+       |         CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
+       |              THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
+       |              ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
+       |       ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10 = 0))
+       |     > 0
+       |   OR len(list_filter(regexp_extract_all($t, '$ip'), x ->
+       |     len(list_filter(string_split(x, '.'),
+       |       o -> CAST(o AS INT) > 255)) = 0)) > 0)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -8804,6 +8852,38 @@ object SparkEntry {
          |      o -> CAST(o AS INT) > 255)) = 0)) AS BIGINT)
          |    AS n_ipv4_valid
          |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_gate" -> {
+      val em = TextAnalysis.EmailPattern
+      val num = TextAnalysis.LongNumberPattern
+      val ip = TextAnalysis.Ipv4CandidatePattern
+      s"""WITH inj AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' card 4111111111111111'
+         |         WHEN doc_id % 3 = 0 THEN text || ' ip 10.1.2.3'
+         |         WHEN doc_id % 7 = 0 THEN text || ' tracker 4111111111111112'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT source, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$em', '[EMAIL]', 'g'), '$num', '[NUM]', 'g'),
+         |      '$ip', '[IP]', 'g') AS rtext
+         |  FROM inj),
+         |f AS (
+         |  SELECT source,
+         |    ${piiFlagSql("text")} AS flagged,
+         |    ${piiFlagSql("rtext")} AS still
+         |  FROM red)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  CAST(sum(CASE WHEN flagged THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(sum(CASE WHEN flagged AND NOT still THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_recovered
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q_pack_chunks" ->

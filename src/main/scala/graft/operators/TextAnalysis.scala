@@ -466,6 +466,41 @@ object TextAnalysis {
         .cast("long").as("n_ipv4_valid"))
   }
 
+  /** [[redactPii]] plus an IPv4 pass: emails → `[EMAIL]`, long digit
+    * runs (card candidates included — they are ≥ 13 digits) →
+    * `[NUM]`, then IPv4 SHAPES → `[IP]`. The IP pass is shape-level
+    * (regexp_replace cannot checksum): an invalid `999.1.1.1` also
+    * redacts, which only over-scrubs — never leaks. Ordering matters
+    * twice: emails before digit runs (a local-part run must not be
+    * half-replaced first) and digit runs before IPs only by
+    * convention (octets are ≤ 3 digits, below the 6-digit floor, so
+    * the passes cannot interact). Closes the recovery loop:
+    * [[hasValidatedPii]] is FALSE on this function's output, so a
+    * gated-out document re-enters the corpus redacted instead of
+    * being lost (pinned by the q_pii_gate board row's
+    * n_recovered = n_flagged). */
+  def redactPiiAll(text: Column): Column =
+    regexp_replace(redactPii(text), Ipv4CandidatePattern, "[IP]")
+
+  /** TRUE iff the text carries VALIDATED PII — an email shape, a
+    * Luhn-valid card run, or an octet-valid IPv4 — the row-level
+    * predicate under [[piiAudit]] (same candidates, same validation)
+    * for gates that must decide per row: pure per-row expression
+    * work, shuffle-free, stateless (so it rides streams as-is — see
+    * [[graft.streaming.ScdStream.piiStreamGate]]). Candidate-shaped
+    * noise (a Luhn-failing digit run, a 999.x.x.x) does NOT trip it —
+    * that is the point of validating. */
+  def hasValidatedPii(text: Column): Column = {
+    val cards = regexp_extract_all(text, lit(CardCandidatePattern),
+      lit(0))
+    val ips = regexp_extract_all(text, lit(Ipv4CandidatePattern),
+      lit(0))
+    (regexp_count(text, lit(EmailPattern)) > 0) ||
+      exists(cards, c => luhnValid(c)) ||
+      exists(ips, ip =>
+        forall(split(ip, "\\."), o => o.cast("int") <= 255))
+  }
+
   /** Sentence segmentation: maximal runs of non-terminator characters
     * plus their trailing `.!?` runs, trimmed, empties dropped — the
     * unit below [[graft.operators.Dedup.segmentDedup]]'s lines when

@@ -378,6 +378,27 @@ object ScdStream {
     }
   }
 
+  /** STREAMING PII admission gate — admit only documents carrying no
+    * VALIDATED PII (email shape, Luhn-valid card run, octet-valid
+    * IPv4 — [[graft.operators.TextAnalysis.hasValidatedPii]], the
+    * same candidates and validation as the batch
+    * [[graft.operators.TextAnalysis.piiAudit]]). Completely
+    * STATELESS: pure per-row regex + checksum expressions, no
+    * artifact, no join, no aggregation state, no watermark — the
+    * cheapest gate in the family, and the one every ingest path
+    * should run first.
+    *
+    * Validation is the point: a Luhn-FAILING digit run or a
+    * `999.x.x.x` shape does not cost the doc. The rejected slice
+    * keeps its text — route it through
+    * [[graft.operators.TextAnalysis.redactPii]] + a batch re-audit
+    * to recover redacted copies instead of dropping the documents
+    * outright. */
+  def piiStreamGate(stream: DataFrame,
+      textCol: String = "text"): DataFrame =
+    stream.where(
+      !graft.operators.TextAnalysis.hasValidatedPii(col(textCol)))
+
   /** Static simhash band index of a corpus — the persisted artifact
     * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one
     * row per band per doc. Write it partitioned/bucketed by `band` so

@@ -240,6 +240,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(99L)._1 == 1L, s"greedy prefix count: ${got(99L)}")
   }
 
+  test("hasValidatedPii / redactPiiAll: gate flags validated PII only; redaction closes the loop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),            // Luhn-valid card
+      (2L, "tracker 4111111111111112 is noise"),   // Luhn fails
+      (3L, "host 10.0.0.1 up"),                    // valid IPv4
+      (4L, "spec 999.1.1.1 rev"),                  // octet overflow
+      (5L, "mail bob@corp.io ok"),                 // email
+      (6L, "nothing here"),
+      (7L, "chain 10.0.0.1.2.3.4.5 both halves"))  // two IPs via global scan
+      .toDF("doc_id", "text")
+    val flags = docs.select($"doc_id",
+      TextAnalysis.hasValidatedPii($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> false, 7L -> true), flags.toString)
+    // redactPiiAll output never re-flags: the recovery-loop invariant
+    val after = docs.select($"doc_id",
+      TextAnalysis.redactPiiAll($"text").as("r"))
+      .withColumn("f", TextAnalysis.hasValidatedPii(col("r")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(after.values.forall(!_._2), after.toString)
+    assert(after(1L)._1 == "pay [NUM] now")
+    assert(after(3L)._1 == "host [IP] up")
+    // shape-level: the invalid IP also redacts (over-scrub, no leak)
+    assert(after(4L)._1 == "spec [IP] rev")
+    assert(after(5L)._1 == "mail [EMAIL] ok")
+    // global replace consumes BOTH dotted runs, not just the first
+    assert(after(7L)._1 == "chain [IP].[IP] both halves", after(7L)._1)
+  }
+
   test("heuristicFilter: rule verdicts and fixed-order reasons") {
     import spark.implicits._
     val clean = (1 to 30).map(i => s"word$i").mkString(" ")

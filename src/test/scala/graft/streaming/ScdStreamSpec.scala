@@ -334,6 +334,29 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("piiStreamGate — validated PII blocked, shaped noise passes, stateless") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String)]
+    val gated = ScdStream.piiStreamGate(ms.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory").queryName("piigate")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "pay with 4111111111111111 today"),   // Luhn-valid -> blocked
+        (2L, "tracker 4111111111111112 is noise"), // Luhn fails -> passes
+        (3L, "host 10.0.0.1 responded"),           // valid IPv4 -> blocked
+        (4L, "version 999.1.1.1 of the spec"),     // octet > 255 -> passes
+        (5L, "mail bob@corp.io now"),              // email -> blocked
+        (6L, "clean text with no payloads"))       // passes
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        q.lastProgress.stateOperators.mkString(","))
+      val got = spark.table("piigate").collect().map(_.getLong(0)).toSet
+      assert(got == Set(2L, 4L, 6L), got.toString)
+    } finally q.stop()
+  }
+
   test("decontaminateNearStreamGate — fractional overlap gate: paraphrase blocked, light collision passes, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
