@@ -1736,16 +1736,18 @@ object SparkEntry {
 
     // VALIDATED PII audit over injected PII (the fixture carries
     // none): every doc gains one email, one IPv4 candidate that is
-    // valid only when doc_id % 300 fits an octet, and a Luhn-valid /
-    // Luhn-invalid card pair — so the row exercises the checksum and
-    // octet-range validation in BOTH engines, not just the regexes
+    // valid only when doc_id % 300 fits an octet, a Luhn-valid /
+    // Luhn-invalid card pair, and a mod-97-valid / -invalid IBAN
+    // pair — so the row exercises every checksum and the octet-range
+    // validation in BOTH engines, not just the regexes
     "q_pii_audit" -> ((s, dir) => {
       val inj = t(s, dir, "documents").withColumn("text",
         concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com ip 10."),
           (col("doc_id") % 300).cast("string"),
-          lit(".0.1 card 4111111111111111 or 4111111111111112")))
+          lit(".0.1 card 4111111111111111 or 4111111111111112" +
+            " acct GB82WEST12345698765432 no GB82WEST12345698765433")))
       TextAnalysis.piiAudit(inj).orderBy("doc_id")
     }),
 
@@ -1762,6 +1764,8 @@ object SparkEntry {
             concat(col("text"), lit(" ip 10.1.2.3")))
           .when(col("doc_id") % 7 === 0,
             concat(col("text"), lit(" tracker 4111111111111112")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" acct GB82WEST12345698765432")))
           .otherwise(col("text")))
       val flagged = TextAnalysis.hasValidatedPii(col("text"))
       val recovered =
@@ -4670,6 +4674,7 @@ object SparkEntry {
     val em = TextAnalysis.EmailPattern
     val card = TextAnalysis.CardCandidatePattern
     val ip = TextAnalysis.Ipv4CandidatePattern
+    val iban = TextAnalysis.IbanCandidatePattern
     s"""(len(regexp_extract_all($t, '$em')) > 0
        |   OR len(list_filter(regexp_extract_all($t, '$card'), c ->
        |     list_sum(list_transform(range(1, length(c) + 1), i ->
@@ -4681,7 +4686,16 @@ object SparkEntry {
        |     > 0
        |   OR len(list_filter(regexp_extract_all($t, '$ip'), x ->
        |     len(list_filter(string_split(x, '.'),
-       |       o -> CAST(o AS INT) > 255)) = 0)) > 0)""".stripMargin
+       |       o -> CAST(o AS INT) > 255)) = 0)) > 0
+       |   OR len(list_filter(regexp_extract_all($t, '$iban'), b ->
+       |     list_reduce(['0'] || list_transform(
+       |         range(1, length(b) + 1),
+       |         i -> substr(substr(b, 5) || substr(b, 1, 4), i, 1)),
+       |       (a, c) -> CASE WHEN c BETWEEN '0' AND '9'
+       |         THEN CAST((CAST(a AS INT) * 10 + CAST(c AS INT)) % 97
+       |           AS VARCHAR)
+       |         ELSE CAST((CAST(a AS INT) * 100 + ascii(c) - 55) % 97
+       |           AS VARCHAR) END) = '1')) > 0)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -8822,15 +8836,20 @@ object SparkEntry {
 
     "q_pii_audit" -> {
       // identical injected PII, then the SAME 1-indexed-from-reverse
-      // Luhn arithmetic and octet compare the Spark expressions run
+      // Luhn arithmetic, octet compare, and mod-97 fold (seedless
+      // list_reduce: a prepended '0' is the accumulator seed) the
+      // Spark expressions run
       val em = TextAnalysis.EmailPattern
       val card = TextAnalysis.CardCandidatePattern
       val ip = TextAnalysis.Ipv4CandidatePattern
+      val iban = TextAnalysis.IbanCandidatePattern
       s"""WITH inj AS (
          |  SELECT doc_id,
          |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
          |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
-         |    '.0.1 card 4111111111111111 or 4111111111111112' AS text
+         |    '.0.1 card 4111111111111111 or 4111111111111112' ||
+         |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433'
+         |    AS text
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
@@ -8850,7 +8869,19 @@ object SparkEntry {
          |  CAST(len(list_filter(regexp_extract_all(text, '$ip'), x ->
          |    len(list_filter(string_split(x, '.'),
          |      o -> CAST(o AS INT) > 255)) = 0)) AS BIGINT)
-         |    AS n_ipv4_valid
+         |    AS n_ipv4_valid,
+         |  CAST(len(regexp_extract_all(text, '$iban')) AS BIGINT)
+         |    AS n_iban_candidates,
+         |  CAST(len(list_filter(regexp_extract_all(text, '$iban'), b ->
+         |    list_reduce(['0'] || list_transform(
+         |        range(1, length(b) + 1),
+         |        i -> substr(substr(b, 5) || substr(b, 1, 4), i, 1)),
+         |      (a, c) -> CASE WHEN c BETWEEN '0' AND '9'
+         |        THEN CAST((CAST(a AS INT) * 10 + CAST(c AS INT)) % 97
+         |          AS VARCHAR)
+         |        ELSE CAST((CAST(a AS INT) * 100 + ascii(c) - 55) % 97
+         |          AS VARCHAR) END) = '1')) AS BIGINT)
+         |    AS n_ibans_valid
          |FROM inj ORDER BY doc_id""".stripMargin
     },
 
@@ -8858,17 +8889,21 @@ object SparkEntry {
       val em = TextAnalysis.EmailPattern
       val num = TextAnalysis.LongNumberPattern
       val ip = TextAnalysis.Ipv4CandidatePattern
+      val iban = TextAnalysis.IbanCandidatePattern
       s"""WITH inj AS (
          |  SELECT source,
          |    CASE WHEN doc_id % 5 = 0 THEN text || ' card 4111111111111111'
          |         WHEN doc_id % 3 = 0 THEN text || ' ip 10.1.2.3'
          |         WHEN doc_id % 7 = 0 THEN text || ' tracker 4111111111111112'
+         |         WHEN doc_id % 11 = 0 THEN text || ' acct GB82WEST12345698765432'
          |         ELSE text END AS text
          |  FROM documents),
          |red AS (
          |  SELECT source, text,
-         |    regexp_replace(regexp_replace(regexp_replace(text,
-         |      '$em', '[EMAIL]', 'g'), '$num', '[NUM]', 'g'),
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(text,
+         |      '$em', '[EMAIL]', 'g'), '$iban', '[IBAN]', 'g'),
+         |      '$num', '[NUM]', 'g'),
          |      '$ip', '[IP]', 'g') AS rtext
          |  FROM inj),
          |f AS (

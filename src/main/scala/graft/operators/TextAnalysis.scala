@@ -418,6 +418,12 @@ object TextAnalysis {
   val Ipv4CandidatePattern: String =
     "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
+  /** IBAN candidate: two country letters, two check digits, 11–30
+    * alphanumerics (spans the 15–34 registry range). Uppercase,
+    * separator-free by design, like the card pattern; the mod-97
+    * checksum ([[ibanValid]]) is what rejects IBAN-shaped noise. */
+  val IbanCandidatePattern: String = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+
   /** Luhn (mod-10) checksum over an all-digit string: 1-indexed from
     * the RIGHT, every even position's digit doubles (minus 9 past 9),
     * the total must divide by 10. Native codegen'd byte loop
@@ -434,6 +440,15 @@ object TextAnalysis {
   def luhnValid(num: Column): Column =
     org.apache.spark.sql.graft.CatalystBridge.luhnValid(num)
 
+  /** ISO 13616 IBAN mod-97 checksum — [[luhnValid]]'s bank-account
+    * sibling (native codegen'd fold,
+    * [[graft.functions.expressions.IbanValid]]; SQL face
+    * `iban_valid(s)`). Checksum only — the registry's per-country
+    * BBAN lengths are deliberately not validated; the
+    * [[IbanCandidatePattern]] extract carries the shape. */
+  def ibanValid(s: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.ibanValid(s)
+
   /** VALIDATED PII audit — the upgrade over [[piiScrub]]'s shape
     * counts: a digit run is only a `card` if it passes the Luhn
     * checksum, an IPv4 shape only counts when every octet ≤ 255.
@@ -442,17 +457,20 @@ object TextAnalysis {
     * you can alert on and one that cries wolf on every timestamp.
     *
     * Output: id, n_emails, n_card_candidates, n_cards_luhn,
-    * n_ipv4_candidates, n_ipv4_valid. Entirely per-row expression
-    * work (regex extract + nested higher-order functions over ≤ a
-    * handful of short candidates per doc): shuffle-free, linear in
-    * corpus bytes, and embarrassingly parallel at 100 TB — the scan
-    * IS the cost, so it composes free with any other per-row pass. */
+    * n_ipv4_candidates, n_ipv4_valid, n_iban_candidates,
+    * n_ibans_valid. Entirely per-row expression work (regex extract
+    * + nested higher-order functions over ≤ a handful of short
+    * candidates per doc): shuffle-free, linear in corpus bytes, and
+    * embarrassingly parallel at 100 TB — the scan IS the cost, so it
+    * composes free with any other per-row pass. */
   def piiAudit(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val cards = regexp_extract_all(col(textCol),
       lit(CardCandidatePattern), lit(0))
     val ips = regexp_extract_all(col(textCol),
       lit(Ipv4CandidatePattern), lit(0))
+    val ibans = regexp_extract_all(col(textCol),
+      lit(IbanCandidatePattern), lit(0))
     docs.select(
       col(id),
       regexp_count(col(textCol), lit(EmailPattern)).cast("long")
@@ -463,42 +481,59 @@ object TextAnalysis {
       size(ips).cast("long").as("n_ipv4_candidates"),
       size(filter(ips, ip =>
         forall(split(ip, "\\."), o => o.cast("int") <= 255)))
-        .cast("long").as("n_ipv4_valid"))
+        .cast("long").as("n_ipv4_valid"),
+      size(ibans).cast("long").as("n_iban_candidates"),
+      size(filter(ibans, b => ibanValid(b))).cast("long")
+        .as("n_ibans_valid"))
   }
 
-  /** [[redactPii]] plus an IPv4 pass: emails → `[EMAIL]`, long digit
-    * runs (card candidates included — they are ≥ 13 digits) →
-    * `[NUM]`, then IPv4 SHAPES → `[IP]`. The IP pass is shape-level
-    * (regexp_replace cannot checksum): an invalid `999.1.1.1` also
-    * redacts, which only over-scrubs — never leaks. Ordering matters
-    * twice: emails before digit runs (a local-part run must not be
-    * half-replaced first) and digit runs before IPs only by
-    * convention (octets are ≤ 3 digits, below the 6-digit floor, so
-    * the passes cannot interact). Closes the recovery loop:
-    * [[hasValidatedPii]] is FALSE on this function's output, so a
-    * gated-out document re-enters the corpus redacted instead of
-    * being lost (pinned by the q_pii_gate board row's
+  /** [[redactPii]]'s full-surface sibling: emails → `[EMAIL]`, IBAN
+    * shapes → `[IBAN]`, long digit runs (card candidates included —
+    * they are ≥ 13 digits) → `[NUM]`, then IPv4 shapes → `[IP]`.
+    * The IP/IBAN passes are shape-level (regexp_replace cannot
+    * checksum): an invalid `999.1.1.1` or a checksum-failing IBAN
+    * shape also redacts, which only over-scrubs — never leaks.
+    * Ordering matters twice: emails before digit runs (a local-part
+    * run must not be half-replaced first) and IBANs before digit
+    * runs (an IBAN's interior ≥ 6-digit run must not be cored out
+    * to `GB82WEST[NUM]` first — the IBAN must go wholesale); the IP
+    * pass cannot interact with either (octets are ≤ 3 digits, below
+    * the 6-digit floor, and contain no letters). Closes the recovery
+    * loop: [[hasValidatedPii]] is FALSE on this function's output,
+    * so a gated-out document re-enters the corpus redacted instead
+    * of being lost (pinned by the q_pii_gate board row's
     * n_recovered = n_flagged). */
   def redactPiiAll(text: Column): Column =
-    regexp_replace(redactPii(text), Ipv4CandidatePattern, "[IP]")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "[EMAIL]"),
+          IbanCandidatePattern, "[IBAN]"),
+        LongNumberPattern, "[NUM]"),
+      Ipv4CandidatePattern, "[IP]")
 
   /** TRUE iff the text carries VALIDATED PII — an email shape, a
-    * Luhn-valid card run, or an octet-valid IPv4 — the row-level
-    * predicate under [[piiAudit]] (same candidates, same validation)
-    * for gates that must decide per row: pure per-row expression
-    * work, shuffle-free, stateless (so it rides streams as-is — see
+    * Luhn-valid card run, an octet-valid IPv4, or a mod-97-valid
+    * IBAN — the row-level predicate under [[piiAudit]] (same
+    * candidates, same validation) for gates that must decide per
+    * row: pure per-row expression work, shuffle-free, stateless (so
+    * it rides streams as-is — see
     * [[graft.streaming.ScdStream.piiStreamGate]]). Candidate-shaped
-    * noise (a Luhn-failing digit run, a 999.x.x.x) does NOT trip it —
-    * that is the point of validating. */
+    * noise (a Luhn-failing digit run, a 999.x.x.x, a checksum-failing
+    * IBAN shape) does NOT trip it — that is the point of
+    * validating. */
   def hasValidatedPii(text: Column): Column = {
     val cards = regexp_extract_all(text, lit(CardCandidatePattern),
       lit(0))
     val ips = regexp_extract_all(text, lit(Ipv4CandidatePattern),
       lit(0))
+    val ibans = regexp_extract_all(text, lit(IbanCandidatePattern),
+      lit(0))
     (regexp_count(text, lit(EmailPattern)) > 0) ||
       exists(cards, c => luhnValid(c)) ||
       exists(ips, ip =>
-        forall(split(ip, "\\."), o => o.cast("int") <= 255))
+        forall(split(ip, "\\."), o => o.cast("int") <= 255)) ||
+      exists(ibans, b => ibanValid(b))
   }
 
   /** Sentence segmentation: maximal runs of non-terminator characters

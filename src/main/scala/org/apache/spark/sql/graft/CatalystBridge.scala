@@ -88,6 +88,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.LuhnValid(
       ExpressionUtils.expression(c)))
 
+  /** Native IBAN mod-97 checksum test (see
+    * [[graft.functions.expressions.IbanValid]]). */
+  def ibanValid(c: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.IbanValid(
+      ExpressionUtils.expression(c)))
+
   /** Native content-defined chunking over a binary column (see
     * [[graft.functions.expressions.GearChunks]]). */
   def gearChunks(bin: Column, maskBits: Int, minLen: Int,
@@ -587,6 +593,19 @@ object CatalystBridge {
       graft.functions.expressions.LuhnValid(args.head)
     })
 
+  /** `iban_valid(s)` — the ISO 13616 mod-97 checksum as a SQL
+    * function, the bank-account sibling of `luhn_valid`. */
+  val ibanValidDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("iban_valid"),
+    new ExpressionInfo("graft.functions.expressions.IbanValid",
+      "iban_valid"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"iban_valid takes 1 argument, got ${args.length}")
+      graft.functions.expressions.IbanValid(args.head)
+    })
+
   /** `hdr_key(x, subBits)` — the log-linear quantile-sketch bucket key
     * ([[graft.operators.Sketch.hdrKey]]) as a SQL function, so
     * pure-SQL pipelines histogram with the same integer bucketing the
@@ -629,7 +648,8 @@ object CatalystBridge {
     countMinDescriptor, topKDescriptor, wordpieceDescriptor,
     unigramSegmentDescriptor,
     deflateLenDescriptor, unicodeNormalizeDescriptor,
-    bloomContainsDescriptor, hdrKeyDescriptor, luhnValidDescriptor)
+    bloomContainsDescriptor, hdrKeyDescriptor, luhnValidDescriptor,
+    ibanValidDescriptor)
 
   /** Imperative registration on an existing session (the builder-time
     * path is `withExtensions(new graft.GraftExtensions)`). */

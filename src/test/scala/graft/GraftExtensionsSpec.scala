@@ -209,6 +209,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("luhn_valid"), e.getMessage)
   }
 
+  test("iban_valid in plain SQL: mod-97, corruption, lowercase, NULL") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT iban_valid('GB82WEST12345698765432') AS ok,
+        |  iban_valid('FR1420041010050500013M02606') AS fr,
+        |  iban_valid('GB82WEST12345698765433') AS bad,
+        |  iban_valid('gb82west12345698765432') AS lower,
+        |  iban_valid('GB82') AS short,
+        |  iban_valid(CAST(NULL AS STRING)) AS nul""".stripMargin).head()
+    assert(got.getBoolean(0) && got.getBoolean(1))
+    assert(!got.getBoolean(2), "check-digit corruption must fail")
+    assert(!got.getBoolean(3), "lowercase is out of the strict alphabet")
+    assert(!got.getBoolean(4), "below the 5-char rearrangement floor")
+    assert(got.isNullAt(5), "NULL in -> NULL out")
+  }
+
   test("unicode_normalize in plain SQL: forms work, non-literal form rejected") {
     GraftExtensions.register(spark)
     // decomposed e + U+0301 composes under NFC

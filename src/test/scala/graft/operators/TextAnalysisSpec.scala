@@ -240,6 +240,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(99L)._1 == 1L, s"greedy prefix count: ${got(99L)}")
   }
 
+  test("piiAudit IBAN: mod-97 splits real IBANs from shaped noise across lengths") {
+    import spark.implicits._
+    // three public ISO 13616 example IBANs (GB/DE/FR — 22/22/27
+    // chars, mixed-alpha BBAN in the FR one) + a check-digit
+    // corruption + lowercase (not a candidate) + shaped noise
+    val docs = Seq(
+      (1L, "send to GB82WEST12345698765432 today"),
+      (2L, "konto DE89370400440532013000 bitte"),
+      (3L, "compte FR1420041010050500013M02606 merci"),
+      (4L, "typo GB82WEST12345698765433 fails"),
+      (5L, "lowercase gb82west12345698765432 is no candidate"),
+      (6L, "serial XY99ABCDEFGHIJ0123 looks bankish"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(6), r.getLong(7))).toMap
+    assert(got(1L) == ((1L, 1L)), got(1L).toString)
+    assert(got(2L) == ((1L, 1L)), got(2L).toString)
+    assert(got(3L) == ((1L, 1L)), got(3L).toString)
+    assert(got(4L) == ((1L, 0L)), s"check-digit corruption: ${got(4L)}")
+    assert(got(5L) == ((0L, 0L)), got(5L).toString)
+    assert(got(6L)._1 == 1L && got(6L)._2 == 0L,
+      s"shaped noise must fail mod-97: ${got(6L)}")
+  }
+
   test("hasValidatedPii / redactPiiAll: gate flags validated PII only; redaction closes the loop") {
     import spark.implicits._
     val docs = Seq(
@@ -249,13 +273,16 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "spec 999.1.1.1 rev"),                  // octet overflow
       (5L, "mail bob@corp.io ok"),                 // email
       (6L, "nothing here"),
-      (7L, "chain 10.0.0.1.2.3.4.5 both halves"))  // two IPs via global scan
+      (7L, "chain 10.0.0.1.2.3.4.5 both halves"),  // two IPs via global scan
+      (8L, "wire GB82WEST12345698765432 now"),     // mod-97-valid IBAN
+      (9L, "fake GB82WEST12345698765433 meh"))     // checksum fails
       .toDF("doc_id", "text")
     val flags = docs.select($"doc_id",
       TextAnalysis.hasValidatedPii($"text").as("f"))
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(flags == Map(1L -> true, 2L -> false, 3L -> true,
-      4L -> false, 5L -> true, 6L -> false, 7L -> true), flags.toString)
+      4L -> false, 5L -> true, 6L -> false, 7L -> true,
+      8L -> true, 9L -> false), flags.toString)
     // redactPiiAll output never re-flags: the recovery-loop invariant
     val after = docs.select($"doc_id",
       TextAnalysis.redactPiiAll($"text").as("r"))
@@ -270,6 +297,10 @@ class TextAnalysisSpec extends SparkSpec {
     assert(after(5L)._1 == "mail [EMAIL] ok")
     // global replace consumes BOTH dotted runs, not just the first
     assert(after(7L)._1 == "chain [IP].[IP] both halves", after(7L)._1)
+    // IBAN goes WHOLESALE (not cored to GB82WEST[NUM] by the digit
+    // pass); the checksum-failing shape also redacts — over-scrub
+    assert(after(8L)._1 == "wire [IBAN] now", after(8L)._1)
+    assert(after(9L)._1 == "fake [IBAN] meh", after(9L)._1)
   }
 
   test("heuristicFilter: rule verdicts and fixed-order reasons") {

@@ -348,12 +348,14 @@ class ScdStreamSpec extends SparkSpec {
         (3L, "host 10.0.0.1 responded"),           // valid IPv4 -> blocked
         (4L, "version 999.1.1.1 of the spec"),     // octet > 255 -> passes
         (5L, "mail bob@corp.io now"),              // email -> blocked
-        (6L, "clean text with no payloads"))       // passes
+        (6L, "clean text with no payloads"),       // passes
+        (7L, "wire GB82WEST12345698765432 ok"),    // valid IBAN -> blocked
+        (8L, "ref GB82WEST12345698765433 noise"))  // mod-97 fails -> passes
       q.processAllAvailable()
       assert(q.lastProgress.stateOperators.isEmpty,
         q.lastProgress.stateOperators.mkString(","))
       val got = spark.table("piigate").collect().map(_.getLong(0)).toSet
-      assert(got == Set(2L, 4L, 6L), got.toString)
+      assert(got == Set(2L, 4L, 6L, 8L), got.toString)
     } finally q.stop()
   }
 
