@@ -463,6 +463,44 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.pii_audit(dir, id_col, text_col, out_path)` — the
+    * compliance scan from pure SQL: run
+    * [[graft.operators.TextAnalysis.piiAudit]] (validated counts —
+    * Luhn cards, octet-checked IPv4s, mod-97 IBANs, emails) over a
+    * parquet corpus and persist the per-document report as the
+    * audit artifact. Returns the report path, the doc count, and how
+    * many documents carry validated PII (the alertable number) —
+    * both counted from the written report in ONE aggregation pass,
+    * not a per-metric rescan. One corpus scan total: the audit is
+    * pure per-row expression work, so the CALL costs exactly the
+    * read + the report write. */
+  object PiiAudit extends GraftProcedure("pii_audit",
+    "Persist the validated-PII per-document audit report") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("id_col", StringType),
+      in("text_col", StringType), in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("n_docs", LongType),
+        StructField("n_docs_with_pii", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      val out = str(r, 3)
+      graft.operators.TextAnalysis.piiAudit(
+          spark.read.parquet(str(r, 0)), id = str(r, 1),
+          textCol = str(r, 2))
+        .write.mode("overwrite").parquet(out)
+      val c = spark.read.parquet(out).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("n_emails") + col("n_cards_luhn") +
+          col("n_ipv4_valid") + col("n_ibans_valid") > 0, 1L)
+          .otherwise(0L)).as("p")).head()
+      new GenericInternalRow(Array[Any](utf8(out), c.getLong(0),
+        c.getLong(1)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
@@ -470,5 +508,6 @@ object ScdProcedures {
     "unigram_index" -> UnigramIndex, "add_update" -> AddUpdate,
     "hdr_index" -> HdrIndex,
     "decontamination_index" -> DecontaminationIndex,
-    "jaccard_index" -> JaccardIndex, "ivf_index" -> IvfIndex)
+    "jaccard_index" -> JaccardIndex, "ivf_index" -> IvfIndex,
+    "pii_audit" -> PiiAudit)
 }

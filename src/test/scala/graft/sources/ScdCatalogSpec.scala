@@ -332,4 +332,31 @@ class ScdCatalogSpec extends SparkSpec {
     assert(near(1L) == 1L && near(3L) == 1L && near(2L) == 0L,
       near.toString)
   }
+
+  test("CALL graft.pii_audit persists the validated-PII report and returns the alertable count") {
+    val d = Files.createTempDirectory("scdcat_pii").toString + "/docs"
+    Seq(
+      (1L, "pay 4111111111111111 today"),          // Luhn-valid
+      (2L, "tracker 4111111111111112 only"),       // shaped noise
+      (3L, "wire GB82WEST12345698765432 now"),     // mod-97-valid IBAN
+      (4L, "host 999.1.1.1 responded"),            // octet overflow
+      (5L, "mail bob@corp.io and 10.0.0.1"))       // email + valid IP
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(d)
+    val out = Files.createTempDirectory("scdcat_piio").toString + "/rep"
+    val res = spark.sql(
+      s"CALL graft.pii_audit('$d', 'doc_id', 'text', '$out')")
+      .collect()
+    assert(res.length == 1 && res(0).getString(0) == out, res.mkString(","))
+    assert(res(0).getLong(1) == 5L && res(0).getLong(2) == 3L,
+      s"docs 1/3/5 carry validated PII: ${res.mkString(",")}")
+    // the artifact is the full per-doc report
+    val rep = spark.read.parquet(out)
+      .select("doc_id", "n_cards_luhn", "n_ibans_valid", "n_ipv4_valid",
+        "n_emails")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep(1L) == ((1L, 0L, 0L, 0L)) && rep(2L) == ((0L, 0L, 0L, 0L))
+      && rep(3L) == ((0L, 1L, 0L, 0L)) && rep(4L) == ((0L, 0L, 0L, 0L))
+      && rep(5L) == ((0L, 0L, 1L, 1L)), rep.toString)
+  }
 }
