@@ -20,6 +20,10 @@ import org.apache.spark.sql.streaming.Trigger
   * count).
   *
   * Paths measured (all real library entry points, not synthetic maps):
+  *   - pii_gate        — `ScdStream.piiStreamGate` (stateless validated-
+  *                       PII admission: regex extract + Luhn/mod-97/
+  *                       octet checks per row, no state at all — the
+  *                       family's pure-expression throughput floor)
   *   - sessionize      — `ScdStream.sessionizeStream` (gap sessions via
   *                       flatMapGroupsWithState + event-time timeout)
   *   - neardup         — `ScdStream.nearDupStream` (banded simhash
@@ -162,7 +166,26 @@ object StreamBench {
       i => sin(col("value").cast("double") * 0.7 +
         i.cast("double") * 1.3))
 
+    // deterministic PII payload: half the rows carry a validated hit
+    // (rotating among card/IBAN/IP/email), half carry checksum-failing
+    // shaped noise — so the gate's validate branch runs every row and
+    // ~50% of rows are dropped (both branches measured)
+    val piiText = concat(docText(2000), lit(" "),
+      element_at(array(
+        lit("pay 4111111111111111 now"),          // Luhn-valid
+        lit("wire GB82WEST12345698765432 ok"),    // mod-97-valid
+        lit("host 10.0.0.1 up"),                  // octet-valid
+        lit("mail bob@corp.io today"),            // email
+        lit("tracker 4111111111111112 noise"),    // Luhn fails
+        lit("ref GB82WEST12345698765433 noise"),  // mod-97 fails
+        lit("spec 999.1.1.1 rev"),                // octet overflow
+        lit("plain words, nothing here")),        // clean
+        (pmod(col("value"), lit(8L)) + 1).cast("int")))
+
     val paths: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("pii_gate", "append", (src: DataFrame) =>
+        ScdStream.piiStreamGate(
+          src.select(col("value").as("doc_id"), piiText.as("text")))),
       ("sem_gate", "append", (src: DataFrame) =>
         graft.streaming.AnnStream.decontaminateSemanticStreamGate(
           src.select(col("value").as("vec_id"),
