@@ -1758,7 +1758,7 @@ object SparkEntry {
     // (n_recovered = n_flagged is the row's visible invariant)
     "q_pii_gate" -> ((s, dir) => {
       val inj = t(s, dir, "documents").withColumn("text",
-        when(col("doc_id") % 5 === 0,
+        when(col("doc_id") % 13 === 0,
           concat(col("text"), lit(" card 4111111111111111")))
           .when(col("doc_id") % 3 === 0,
             concat(col("text"), lit(" ip 10.1.2.3")))
@@ -8892,7 +8892,7 @@ object SparkEntry {
       val iban = TextAnalysis.IbanCandidatePattern
       s"""WITH inj AS (
          |  SELECT source,
-         |    CASE WHEN doc_id % 5 = 0 THEN text || ' card 4111111111111111'
+         |    CASE WHEN doc_id % 13 = 0 THEN text || ' card 4111111111111111'
          |         WHEN doc_id % 3 = 0 THEN text || ' ip 10.1.2.3'
          |         WHEN doc_id % 7 = 0 THEN text || ' tracker 4111111111111112'
          |         WHEN doc_id % 11 = 0 THEN text || ' acct GB82WEST12345698765432'
