@@ -2639,6 +2639,18 @@ object SparkEntry {
         .orderBy("shard", "chunk_id")
     }),
 
+    // packing under the TOKENIZER's counter, not whitespace: the
+    // same per-shard prefix sum with bpeishTokenCount supplying
+    // n_tokens — context budgets are in tokenizer tokens, and the
+    // counter fuses into the same scan (no extra pass, no new shuffle)
+    "q_pack_bpe" -> ((s, dir) =>
+      Packing.packByOffsetWith(t(s, dir, "documents"), col("source"),
+        col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")), maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("chunk_id"))
+        .orderBy("doc_id")),
+
     // the trainer-facing straddle split: one row per (doc × spanned
     // 512-token window) with exact doc-relative token ranges — every
     // window's segments sum to 512 except each shard's final one
@@ -8950,6 +8962,19 @@ object SparkEntry {
         |  CAST(greatest(min(off) + sum(nt) - (chunk_id + 1) * 512, 0)
         |    AS BIGINT) AS overflow
         |FROM q GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
+
+    "q_pack_bpe" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS nt,
+         |    sum(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')))
+         |      OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(cum - nt AS BIGINT) AS start_offset,
+         |  CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     // the straddle split replayed from the same prefix sum: each doc
     // spans windows floor(s/512)..floor((s+nt-1)/512), window c takes

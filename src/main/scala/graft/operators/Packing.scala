@@ -33,13 +33,27 @@ object Packing {
     * within a shard is by `orderCol` — pass a stable unique key (doc
     * id) for reproducible packing. */
   def packByOffset(docs: DataFrame, shardCol: Column, orderCol: Column,
-      textCol: String = "text", maxTokens: Int = 2048): DataFrame = {
+      textCol: String = "text", maxTokens: Int = 2048): DataFrame =
+    packByOffsetWith(docs, shardCol, orderCol,
+      TextAnalysis.tokenCount(col(textCol)), maxTokens)
+
+  /** [[packByOffset]] under a CALLER-SUPPLIED token counter — the
+    * form a real trainer needs, because context budgets are in
+    * TOKENIZER tokens, not whitespace words: pass
+    * `TextAnalysis.bpeishTokenCount(col("text"))` for the regex
+    * estimate, `size(UnigramTokenizer.unigramEncodeWith(...))` for
+    * exact trained-tokenizer counts, or a precomputed length column.
+    * Any non-negative integer expression works; the packing plan is
+    * unchanged (one per-shard window — the counter is per-row
+    * expression work fused into the same scan). */
+  def packByOffsetWith(docs: DataFrame, shardCol: Column,
+      orderCol: Column, nTokens: Column,
+      maxTokens: Int = 2048): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
     val w = Window.partitionBy(shardCol).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nTok = TextAnalysis.tokenCount(col(textCol)).cast("long")
     docs
-      .withColumn("n_tokens", nTok)
+      .withColumn("n_tokens", nTokens.cast("long"))
       .withColumn("start_offset",
         (sum(col("n_tokens")).over(w) - col("n_tokens")).cast("long"))
       .withColumn("chunk_id", floor(col("start_offset") / maxTokens))
@@ -66,9 +80,17 @@ object Packing {
     * doc), tok_start/tok_end (doc-relative, end-exclusive),
     * n_seg_tokens. */
   def packSegments(docs: DataFrame, shardCol: Column, orderCol: Column,
-      textCol: String = "text", maxTokens: Int = 2048): DataFrame = {
+      textCol: String = "text", maxTokens: Int = 2048): DataFrame =
+    packSegmentsWith(docs, shardCol, orderCol,
+      TextAnalysis.tokenCount(col(textCol)), maxTokens)
+
+  /** [[packSegments]] under a caller-supplied token counter (see
+    * [[packByOffsetWith]]). */
+  def packSegmentsWith(docs: DataFrame, shardCol: Column,
+      orderCol: Column, nTokens: Column,
+      maxTokens: Int = 2048): DataFrame = {
     val m = lit(maxTokens.toLong)
-    val packed = packByOffset(docs, shardCol, orderCol, textCol,
+    val packed = packByOffsetWith(docs, shardCol, orderCol, nTokens,
       maxTokens)
     val s = col("start_offset")
     val n = col("n_tokens")

@@ -105,6 +105,37 @@ class PackingSpec extends SparkSpec {
     assert(segs.count() == 2)
   }
 
+  test("packByOffsetWith: caller-supplied counters — precomputed column and bpeish both pack") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "word word", 7L),   // precomputed says 7, whitespace says 2
+      (2L, "a", "x, y!", 3L),       // bpeish says 4 (x , y !), whitespace 2
+      (3L, "a", "z", 10L))
+      .toDF("doc_id", "shard", "text", "n_pre")
+    // precomputed column drives offsets verbatim
+    val pre = Packing.packByOffsetWith(d, col("shard"), col("doc_id"),
+        col("n_pre"), maxTokens = 10)
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pre(1L) == ((7L, 0L, 0L)))
+    assert(pre(2L) == ((3L, 7L, 0L)))
+    assert(pre(3L) == ((10L, 10L, 1L)))
+    // bpeish counter: punctuation splits off as its own pieces
+    val bp = Packing.packByOffsetWith(d, col("shard"), col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")), maxTokens = 10)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bp == Map(1L -> 2L, 2L -> 4L, 3L -> 1L), bp.toString)
+    // the default whitespace form IS the With form under tokenCount
+    val a = Packing.packByOffset(docs, col("shard"), col("doc_id"),
+      maxTokens = 10).select("doc_id", "chunk_id").collect().toSeq
+    val b = Packing.packByOffsetWith(docs, col("shard"), col("doc_id"),
+      TextAnalysis.tokenCount(col("text")), maxTokens = 10)
+      .select("doc_id", "chunk_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("packing is deterministic under repartitioning") {
     val a = Packing.packByOffset(docs.repartition(7), col("shard"),
       col("doc_id"), maxTokens = 10).select("doc_id", "chunk_id").collect()
