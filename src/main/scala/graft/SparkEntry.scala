@@ -1747,7 +1747,8 @@ object SparkEntry {
           lit("@example.com ip 10."),
           (col("doc_id") % 300).cast("string"),
           lit(".0.1 card 4111111111111111 or 4111111111111112" +
-            " acct GB82WEST12345698765432 no GB82WEST12345698765433")))
+            " acct GB82WEST12345698765432 no GB82WEST12345698765433" +
+            " tel +14155550123")))
       TextAnalysis.piiAudit(inj).orderBy("doc_id")
     }),
 
@@ -8860,8 +8861,8 @@ object SparkEntry {
          |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
          |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
          |    '.0.1 card 4111111111111111 or 4111111111111112' ||
-         |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433'
-         |    AS text
+         |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433' ||
+         |    ' tel +14155550123' AS text
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
@@ -8893,7 +8894,10 @@ object SparkEntry {
          |          AS VARCHAR)
          |        ELSE CAST((CAST(a AS INT) * 100 + ascii(c) - 55) % 97
          |          AS VARCHAR) END) = '1')) AS BIGINT)
-         |    AS n_ibans_valid
+         |    AS n_ibans_valid,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.PhoneE164Pattern}')) AS BIGINT)
+         |    AS n_phones_e164
          |FROM inj ORDER BY doc_id""".stripMargin
     },
 

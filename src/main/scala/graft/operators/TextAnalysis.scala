@@ -424,6 +424,17 @@ object TextAnalysis {
     * checksum ([[ibanValid]]) is what rejects IBAN-shaped noise. */
   val IbanCandidatePattern: String = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
 
+  /** E.164 international phone shape: `+` then 8–15 digits, no
+    * leading zero. SHAPE-ONLY — phone numbers carry no checksum, so
+    * unlike cards/IBANs this column cannot be validated, only
+    * counted; it rides [[piiAudit]] as `n_phones_e164` but does NOT
+    * feed [[hasValidatedPii]] (the gate's contract is VALIDATED PII
+    * — a shape-only signal there would re-import the false-positive
+    * noise validation exists to kill). The national/separator-
+    * tolerant formats are deliberately out of scope: that is where
+    * regex dialects diverge. */
+  val PhoneE164Pattern: String = "\\+[1-9][0-9]{7,14}"
+
   /** Luhn (mod-10) checksum over an all-digit string: 1-indexed from
     * the RIGHT, every even position's digit doubles (minus 9 past 9),
     * the total must divide by 10. Native codegen'd byte loop
@@ -458,7 +469,8 @@ object TextAnalysis {
     *
     * Output: id, n_emails, n_card_candidates, n_cards_luhn,
     * n_ipv4_candidates, n_ipv4_valid, n_iban_candidates,
-    * n_ibans_valid. Entirely per-row expression work (regex extract
+    * n_ibans_valid, n_phones_e164 (shape-only — see
+    * [[PhoneE164Pattern]]). Entirely per-row expression work (regex extract
     * + nested higher-order functions over ≤ a handful of short
     * candidates per doc): shuffle-free, linear in corpus bytes, and
     * embarrassingly parallel at 100 TB — the scan IS the cost, so it
@@ -484,7 +496,9 @@ object TextAnalysis {
         .cast("long").as("n_ipv4_valid"),
       size(ibans).cast("long").as("n_iban_candidates"),
       size(filter(ibans, b => ibanValid(b))).cast("long")
-        .as("n_ibans_valid"))
+        .as("n_ibans_valid"),
+      regexp_count(col(textCol), lit(PhoneE164Pattern)).cast("long")
+        .as("n_phones_e164"))
   }
 
   /** [[redactPii]]'s full-surface sibling: emails → `[EMAIL]`, IBAN

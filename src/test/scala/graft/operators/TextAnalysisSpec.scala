@@ -264,6 +264,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"shaped noise must fail mod-97: ${got(6L)}")
   }
 
+  test("piiAudit phones: E.164 shape counts; national formats and leading zero do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "call +14155550123 or +442071838750 now"), // two E.164
+      (2L, "call (415) 555-0123 today"),              // national: out of scope
+      (3L, "code +0123456789 has a leading zero"),    // invalid E.164
+      (4L, "short +1234567 only 7 digits"))           // below the floor
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(docs).collect().map(r =>
+      r.getLong(0) -> r.getLong(8)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      got.toString)
+    // shape-only: phones never trip the VALIDATED gate
+    val flagged = docs.select(
+      TextAnalysis.hasValidatedPii($"text")).collect()
+      .map(_.getBoolean(0)).toSeq
+    assert(flagged == Seq(false, false, false, false), flagged.toString)
+  }
+
   test("hasValidatedPii / redactPiiAll: gate flags validated PII only; redaction closes the loop") {
     import spark.implicits._
     val docs = Seq(
