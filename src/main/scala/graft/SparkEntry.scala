@@ -2663,6 +2663,14 @@ object SparkEntry {
           col("n_seg_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // the terminal packing op: each 512-token window's ACTUAL text,
+    // reassembled from the straddle split in doc-id order — the table
+    // a trainer reads; per-group state bounded by the context budget
+    "q_pack_texts" -> ((s, dir) =>
+      Packing.chunkText(t(s, dir, "documents"), col("source"),
+        col("doc_id"), maxTokens = 512)
+        .orderBy("shard", "chunk_id")),
+
     // END-TO-END curation pipeline: quality filter → exact dedup →
     // sequence packing, reported per source — the operators COMPOSE
     // (each stage's output is the next one's input, one lineage)
@@ -9002,6 +9010,33 @@ object SparkEntry {
         |  CAST(least((c + 1) * 512 - s, nt) - greatest(c * 512 - s, 0)
         |    AS BIGINT) AS n_seg_tokens
         |FROM seg ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the window texts replayed: same straddle ranges, DuckDB's
+    // 1-based-inclusive list_slice + ordered string_agg reassembly
+    "q_pack_texts" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, text,
+        |    len(string_split(lower(text), ' ')) AS nt,
+        |    sum(len(string_split(lower(text), ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, source, text, nt, cum - nt AS s,
+        |    unnest(range(CAST(floor((cum - nt) / 512.0) AS BIGINT),
+        |                 CAST(floor((cum - 1) / 512.0) AS BIGINT) + 1)) AS c
+        |  FROM p WHERE nt > 0),
+        |pc AS (
+        |  SELECT source, c AS chunk_id, doc_id,
+        |    greatest(c * 512 - s, 0) AS t0,
+        |    least((c + 1) * 512 - s, nt) AS t1, text
+        |  FROM seg)
+        |SELECT source AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, CAST(sum(t1 - t0) AS BIGINT) AS n_tokens,
+        |  string_agg(array_to_string(list_slice(
+        |    string_split(lower(text), ' '), t0 + 1, t1), ' '), ' '
+        |    ORDER BY doc_id) AS text
+        |FROM pc GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin,
 
     // keep-set and dedup survivors rebuilt from the text_filter /
     // dedup_exact oracle pieces, then the q_pack_stats prefix sum

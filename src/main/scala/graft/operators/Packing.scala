@@ -105,6 +105,42 @@ object Packing {
       .withColumn("n_seg_tokens", col("tok_end") - col("tok_start"))
   }
 
+  /** The TERMINAL packing op: materialize each context window's
+    * actual training text — [[packSegments]]'s ranges applied to the
+    * token stream and reassembled per window, the table you hand a
+    * trainer (or write with
+    * [[graft.operators.Layout.shuffledShardWrite]]). Token space is
+    * [[TextAnalysis.tokens]] (lowercased whitespace tokens, the
+    * library-wide convention), documents inside a window join with a
+    * single space, in `orderCol` order.
+    *
+    * Scale: ZERO new shuffles — the per-window groupBy's clustering
+    * (shard, chunk_id) is satisfied by the packing window's existing
+    * hash partitioning on shard (subset-of-clustering rule), so the
+    * whole op is ONE exchange end to end (plan-verified: Exchange →
+    * Sort → Window → Generate → partial/final aggregate, no second
+    * Exchange). Per-group aggregation state is BOUNDED BY THE CONTEXT
+    * BUDGET — a window collects at most `maxTokens` tokens of text
+    * regardless of corpus size (ordered reassembly via sorted struct
+    * collect, the q_string_agg pattern — no per-group window sort).
+    * Output: shard, chunk_id, n_docs, n_tokens, text. */
+  def chunkText(docs: DataFrame, shardCol: Column, orderCol: Column,
+      textCol: String = "text", maxTokens: Int = 2048): DataFrame = {
+    val seg = packSegments(docs, shardCol, orderCol, textCol, maxTokens)
+    val piece = concat_ws(" ", slice(TextAnalysis.tokens(col(textCol)),
+      (col("tok_start") + 1).cast("int"),
+      col("n_seg_tokens").cast("int")))
+    seg.select(shardCol.as("shard"), col("chunk_id"),
+        struct(orderCol.as("o"), piece.as("p")).as("op"),
+        col("n_seg_tokens"))
+      .groupBy(col("shard"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_seg_tokens")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(col("op"))),
+          x => x.getField("p")), " ").as("text"))
+  }
+
   /** Per-chunk roll-up: how full each packed window is — the packing
     * efficiency report (docs per chunk, token fill, waste). A chunk's
     * fill can exceed maxTokens when its last doc straddles into the

@@ -136,6 +136,30 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunkText: window texts are exact token slices that reassemble the shard") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", "w1 w2 w3 w4"),
+      (2L, "a", "x1 x2 x3 x4"),
+      (3L, "a", "y1 y2 y3 y4"),        // straddles at offset 8
+      (4L, "b", "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11")) // 11: 10 + 1
+      .toDF("doc_id", "shard", "text")
+    val got = Packing.chunkText(d, col("shard"), col("doc_id"),
+        maxTokens = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // shard a window 0: docs 1, 2 whole + doc 3's first 2 tokens
+    assert(got(("a", 0L)) == ((3L, 10L, "w1 w2 w3 w4 x1 x2 x3 x4 y1 y2")),
+      got(("a", 0L)).toString)
+    assert(got(("a", 1L)) == ((1L, 2L, "y3 y4")), got(("a", 1L)).toString)
+    assert(got(("b", 0L)) ==
+      ((1L, 10L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")))
+    assert(got(("b", 1L)) == ((1L, 1L, "z11")))
+    // reassembly: windows in order concatenate to the shard's stream
+    val aText = got(("a", 0L))._3 + " " + got(("a", 1L))._3
+    assert(aText == "w1 w2 w3 w4 x1 x2 x3 x4 y1 y2 y3 y4")
+  }
+
   test("packing is deterministic under repartitioning") {
     val a = Packing.packByOffset(docs.repartition(7), col("shard"),
       col("doc_id"), maxTokens = 10).select("doc_id", "chunk_id").collect()
