@@ -8,8 +8,9 @@ import java.nio.file.{Files, Paths}
 /** The "table = directory + .updates sidecar" abstraction is
   * format-agnostic: the same replay must produce the same rows over
   * every DataSource format the host engine ships (SURVEY §2.2 source
-  * row — the reference is Avro-only; parquet/orc/json/csv come free
-  * from the format plumbing, and this spec pins that claim). */
+  * row — the reference is Avro-only; parquet/orc/json/csv/xml come
+  * free from the format plumbing, and this spec pins that claim; xml
+  * is Spark 4's built-in source, rowTag-scoped). */
 class FormatsSpec extends SparkSpec {
 
   import spark.implicits._
@@ -25,7 +26,7 @@ class FormatsSpec extends SparkSpec {
     val dir = Files.createTempDirectory(s"fmt_$format").toString
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     df.coalesce(1).write.mode("overwrite").format(format)
-      .option("header", "true").save(dir)
+      .option("header", "true").option("rowTag", "row").save(dir)
     Files.writeString(Paths.get(dir, ".updates"), log)
     dir
   }
@@ -33,12 +34,15 @@ class FormatsSpec extends SparkSpec {
   private val csvSchema = StructType(Seq(
     StructField("id", LongType), StructField("v", StringType)))
 
-  for (format <- Seq("parquet", "orc", "json", "csv")) {
+  for (format <- Seq("parquet", "orc", "json", "csv", "xml")) {
     test(s"SCD replay over $format matches the parquet result") {
       val dir = writeDir(format)
       val schema = if (format == "csv") Some(csvSchema) else None
-      val opts = if (format == "csv") Map("header" -> "true")
-        else Map.empty[String, String]
+      val opts = format match {
+        case "csv" => Map("header" -> "true")
+        case "xml" => Map("rowTag" -> "row")
+        case _ => Map.empty[String, String]
+      }
       val got = ScdReader.read(spark, dir, format, schema, opts)
         .orderBy("id").collect()
         .map(r => (r.getLong(r.fieldIndex("id")),
