@@ -2663,6 +2663,23 @@ object SparkEntry {
           col("n_seg_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // INCREMENTAL packing: the daily batch (doc_id >= 2500) packs
+    // from the old corpus's stored per-shard totals, never rescanning
+    // it — the ORACLE replays the full old∪new repack filtered to the
+    // batch, so a green row IS the append ≡ repack equivalence
+    "q_pack_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val totals = Packing.packTotals(
+        Packing.packByOffset(docs.where(col("doc_id") < 2500),
+          col("source"), col("doc_id"), maxTokens = 512),
+        col("source"))
+      Packing.packAppend(docs.where(col("doc_id") >= 2500),
+          col("source"), col("doc_id"), totals, maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("chunk_id"))
+        .orderBy("doc_id")
+    }),
+
     // the terminal packing op: each 512-token window's ACTUAL text,
     // reassembled from the straddle split in doc-id order — the table
     // a trainer reads; per-group state bounded by the context budget
@@ -9010,6 +9027,20 @@ object SparkEntry {
         |  CAST(least((c + 1) * 512 - s, nt) - greatest(c * 512 - s, 0)
         |    AS BIGINT) AS n_seg_tokens
         |FROM seg ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // append ≡ repack: the oracle computes the FULL old∪new prefix
+    // sum and filters to the appended batch
+    "q_pack_append" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS nt,
+        |    sum(len(string_split(lower(text), ' '))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+        |  CAST(cum - nt AS BIGINT) AS start_offset,
+        |  CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id
+        |FROM p WHERE doc_id >= 2500 ORDER BY doc_id""".stripMargin,
 
     // the window texts replayed: same straddle ranges, DuckDB's
     // 1-based-inclusive list_slice + ordered string_agg reassembly

@@ -105,6 +105,51 @@ object Packing {
       .withColumn("n_seg_tokens", col("tok_end") - col("tok_start"))
   }
 
+  /** Per-shard token totals of a packed frame — the tiny (one row per
+    * shard) state [[packAppendWith]] resumes from; persist it beside
+    * the packed output. */
+  def packTotals(packed: DataFrame, shardCol: Column): DataFrame =
+    packed.groupBy(shardCol.as("shard"))
+      .agg(sum(col("n_tokens")).as("prior_tokens"))
+
+  /** INCREMENTAL packing — the daily-ingest form: pack a NEW batch
+    * starting at each shard's stored token total
+    * ([[packTotals]]/chunk-stats of everything packed so far),
+    * without touching the already-packed corpus. Provided the batch's
+    * `orderCol` values sort after the packed corpus's (monotone
+    * ingest ids — the caller's contract, as with every incremental
+    * operator here), the result equals what a full repack of
+    * old ∪ new would assign the new docs — bit-identical offsets,
+    * chunk ids, and therefore [[packSegments]] ranges (spec-pinned).
+    * A shard unseen in `priorTotals` starts at offset 0.
+    *
+    * Cost: the batch's own per-shard window plus one BROADCAST join
+    * against the rows-per-shard totals table — O(batch), never
+    * O(corpus), and the batch itself is never re-exchanged for the
+    * join. */
+  def packAppendWith(docs: DataFrame, shardCol: Column,
+      orderCol: Column, nTokens: Column, priorTotals: DataFrame,
+      maxTokens: Int = 2048): DataFrame = {
+    val m = lit(maxTokens.toLong)
+    // collision-proof names: the batch may itself carry a "shard" or
+    // "prior_tokens" column
+    val totals = priorTotals.select(col("shard").as("__pt_shard"),
+      col("prior_tokens").as("__pt_tokens"))
+    packByOffsetWith(docs, shardCol, orderCol, nTokens, maxTokens)
+      .join(broadcast(totals), shardCol === col("__pt_shard"), "left")
+      .withColumn("start_offset",
+        col("start_offset") + coalesce(col("__pt_tokens"), lit(0L)))
+      .withColumn("chunk_id", floor(col("start_offset") / m))
+      .drop("__pt_shard", "__pt_tokens")
+  }
+
+  /** [[packAppendWith]] under the default whitespace counter. */
+  def packAppend(docs: DataFrame, shardCol: Column, orderCol: Column,
+      priorTotals: DataFrame, textCol: String = "text",
+      maxTokens: Int = 2048): DataFrame =
+    packAppendWith(docs, shardCol, orderCol,
+      TextAnalysis.tokenCount(col(textCol)), priorTotals, maxTokens)
+
   /** The TERMINAL packing op: materialize each context window's
     * actual training text — [[packSegments]]'s ranges applied to the
     * token stream and reassembled per window, the table you hand a

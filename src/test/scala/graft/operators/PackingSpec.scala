@@ -160,6 +160,34 @@ class PackingSpec extends SparkSpec {
     assert(aText == "w1 w2 w3 w4 x1 x2 x3 x4 y1 y2 y3 y4")
   }
 
+  test("packAppend: appending a monotone batch equals repacking the union") {
+    import spark.implicits._
+    val old = Seq((1L, "a", "t t t"), (2L, "a", "t t t t"),
+      (3L, "b", "t t")).toDF("doc_id", "shard", "text")
+    val batch = Seq((10L, "a", "t t t t t"), (11L, "b", "t"),
+      (12L, "c", "t t t")) // shard c unseen -> starts at 0
+      .toDF("doc_id", "shard", "text")
+    val totals = Packing.packTotals(
+      Packing.packByOffset(old, col("shard"), col("doc_id"),
+        maxTokens = 5), col("shard"))
+    val inc = Packing.packAppend(batch, col("shard"), col("doc_id"),
+        totals, maxTokens = 5)
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Packing.packByOffset(old.union(batch), col("shard"),
+        col("doc_id"), maxTokens = 5)
+      .where(col("doc_id") >= 10L)
+      .select("doc_id", "n_tokens", "start_offset", "chunk_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inc == full, s"inc=$inc full=$full")
+    // spot values: shard a had 7 tokens -> batch doc starts at 7,
+    // chunk 1 of budget 5; unseen shard c starts at 0
+    assert(inc.contains(10L -> ((5L, 7L, 1L))), inc.toString)
+    assert(inc.contains(12L -> ((3L, 0L, 0L))), inc.toString)
+  }
+
   test("packing is deterministic under repartitioning") {
     val a = Packing.packByOffset(docs.repartition(7), col("shard"),
       col("doc_id"), maxTokens = 10).select("doc_id", "chunk_id").collect()
