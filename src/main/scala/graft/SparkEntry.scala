@@ -2663,6 +2663,17 @@ object SparkEntry {
           col("n_seg_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // RAG passage chunking: per-doc overlapping token windows
+    // (size 64, stride 32) — shuffle-free explode, full coverage,
+    // window text materialized
+    "q_chunk_sliding" -> ((s, dir) =>
+      Packing.slidingWindows(t(s, dir, "documents"),
+          windowTokens = 64, stride = 32)
+        .select(col("doc_id"), col("n_tokens"), col("win_idx"),
+          col("tok_start"), col("tok_end"), col("n_win_tokens"),
+          col("window"))
+        .orderBy("doc_id", "win_idx")),
+
     // INCREMENTAL packing: the daily batch (doc_id >= 2500) packs
     // from the old corpus's stored per-shard totals, never rescanning
     // it — the ORACLE replays the full old∪new repack filtered to the
@@ -9027,6 +9038,27 @@ object SparkEntry {
         |  CAST(least((c + 1) * 512 - s, nt) - greatest(c * 512 - s, 0)
         |    AS BIGINT) AS n_seg_tokens
         |FROM seg ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same start arithmetic (k*32 for k = 0..ceil(max(0,n-64)/32)),
+    // 1-based-inclusive list_slice for the window text
+    "q_chunk_sliding" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    len(string_split(lower(text), ' ')) AS n
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0,
+        |      CAST((greatest(n - 64, 0) + 31) // 32 AS BIGINT) + 1)) AS k
+        |  FROM d)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(k AS BIGINT) AS win_idx,
+        |  CAST(k * 32 AS BIGINT) AS tok_start,
+        |  CAST(least(k * 32 + 64, n) AS BIGINT) AS tok_end,
+        |  CAST(least(k * 32 + 64, n) - k * 32 AS BIGINT) AS n_win_tokens,
+        |  array_to_string(list_slice(toks, k * 32 + 1,
+        |    least(k * 32 + 64, n)), ' ') AS window
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
 
     // append ≡ repack: the oracle computes the FULL old∪new prefix
     // sum and filters to the appended batch

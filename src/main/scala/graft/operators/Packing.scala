@@ -105,6 +105,45 @@ object Packing {
       .withColumn("n_seg_tokens", col("tok_end") - col("tok_start"))
   }
 
+  /** PER-DOCUMENT overlapping windows — retrieval/passage chunking
+    * (the RAG-prep sibling of training packing, which is cross-doc
+    * and non-overlapping): token windows of `size` starting every
+    * `stride` tokens, overlap = size − stride. Coverage rule, exact
+    * in integers in both engines: starts are k·stride for
+    * k = 0 .. ceil(max(0, n − size) / stride), so every token is
+    * covered, every window before the last is full, and the last
+    * window ends exactly at the document's n-th token (it may be
+    * shorter only when n < size).
+    *
+    * Shuffle-free: one per-row explode, fan-out ≈ n/stride windows
+    * per doc — linear in corpus tokens, embarrassingly parallel.
+    * Output: id (+ input cols), win_idx, tok_start/tok_end
+    * (doc-relative, end-exclusive), n_win_tokens, window text (token
+    * space = [[TextAnalysis.tokens]], the library convention). */
+  def slidingWindows(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", windowTokens: Int = 256,
+      stride: Int = 128): DataFrame = {
+    require(windowTokens >= 1 && stride >= 1 && stride <= windowTokens,
+      s"slidingWindows needs 1 <= stride <= windowTokens: " +
+        s"$stride, $windowTokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    val lastK = (greatest(n - windowTokens, lit(0L)) +
+      (stride - 1)).cast("long") / lit(stride.toLong)
+    docs
+      .withColumn("n_tokens", n)
+      .withColumn("win_idx",
+        explode(sequence(lit(0L), floor(lastK))))
+      .withColumn("tok_start", col("win_idx") * stride)
+      .withColumn("tok_end",
+        least(col("tok_start") + windowTokens, col("n_tokens")))
+      .withColumn("n_win_tokens", col("tok_end") - col("tok_start"))
+      .withColumn("window",
+        concat_ws(" ", slice(TextAnalysis.tokens(col(textCol)),
+          (col("tok_start") + 1).cast("int"),
+          col("n_win_tokens").cast("int"))))
+  }
+
   /** Per-shard token totals of a packed frame — the tiny (one row per
     * shard) state [[packAppendWith]] resumes from; persist it beside
     * the packed output. */

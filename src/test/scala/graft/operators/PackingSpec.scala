@@ -188,6 +188,37 @@ class PackingSpec extends SparkSpec {
     assert(inc.contains(12L -> ((3L, 0L, 0L))), inc.toString)
   }
 
+  test("slidingWindows: coverage, overlap, tail, and short docs") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                   // shorter than size
+      (3L, (1 to 8).map(i => s"v$i").mkString(" ")))   // exactly size
+      .toDF("doc_id", "text")
+    val got = Packing.slidingWindows(d, windowTokens = 8, stride = 3)
+      .select("doc_id", "win_idx", "tok_start", "tok_end", "window")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1 (n=10): windows [0,8) and [3,10) — overlap 5, tail covered
+    assert(got((1L, 0L)) ==
+      ((0L, 8L, "w1 w2 w3 w4 w5 w6 w7 w8")), got((1L, 0L)).toString)
+    assert(got((1L, 1L)) ==
+      ((3L, 10L, "w4 w5 w6 w7 w8 w9 w10")), got((1L, 1L)).toString)
+    // short doc: one partial window
+    assert(got((2L, 0L)) == ((0L, 3L, "a b c")))
+    // exactly size: one full window, no redundant second
+    assert(got((3L, 0L))._2 == 8L)
+    assert(!got.contains((3L, 1L)), got.keys.toString)
+    // every token of doc 1 appears in some window
+    val covered = got.collect { case ((1L, _), (s, e, _)) =>
+      (s until e) }.flatten.toSet
+    assert(covered == (0L until 10L).toSet)
+    val e = intercept[IllegalArgumentException] {
+      Packing.slidingWindows(d, windowTokens = 4, stride = 5)
+    }
+    assert(e.getMessage.contains("stride"), e.getMessage)
+  }
+
   test("packing is deterministic under repartitioning") {
     val a = Packing.packByOffset(docs.repartition(7), col("shard"),
       col("doc_id"), maxTokens = 10).select("doc_id", "chunk_id").collect()
