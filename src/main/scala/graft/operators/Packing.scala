@@ -165,7 +165,11 @@ object Packing {
     * Cost: the batch's own per-shard window plus one BROADCAST join
     * against the rows-per-shard totals table — O(batch), never
     * O(corpus), and the batch itself is never re-exchanged for the
-    * join. */
+    * join. The broadcast assumes what packing already assumes: shard
+    * keys are a bounded reader-parallelism knob (hundreds to
+    * thousands), not a per-row id — a totals table too big to
+    * broadcast means the shardCol is wrong for packing, not that this
+    * join needs a shuffle. */
   def packAppendWith(docs: DataFrame, shardCol: Column,
       orderCol: Column, nTokens: Column, priorTotals: DataFrame,
       maxTokens: Int = 2048): DataFrame = {

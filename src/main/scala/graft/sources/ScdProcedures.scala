@@ -501,6 +501,40 @@ object ScdProcedures {
     }
   }
 
+  /** `CALL graft.pack_shards(dir, shard_col, order_col, text_col,
+    * max_tokens, out_path)` — materialize the packed context-window
+    * texts ([[graft.operators.Packing.chunkText]]) as the training
+    * artifact from pure SQL: one corpus scan, one exchange (the
+    * chunkText plan), one write. Returns the artifact path, window
+    * count, and total tokens — counted from the written artifact
+    * with the text column PRUNED (parquet column pruning makes the
+    * report scan pay only the two stat columns, not the text). */
+  object PackShards extends GraftProcedure("pack_shards",
+    "Materialize packed context-window texts as the training artifact") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      in("dir", StringType), in("shard_col", StringType),
+      in("order_col", StringType), in("text_col", StringType),
+      in("max_tokens", IntegerType), in("out_path", StringType))
+    override protected val resultSchema: StructType =
+      StructType(Seq(StructField("out_path", StringType),
+        StructField("n_chunks", LongType),
+        StructField("n_tokens", LongType)))
+    override protected def run(spark: SparkSession,
+        r: InternalRow): InternalRow = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      val out = str(r, 5)
+      graft.operators.Packing.chunkText(
+          spark.read.parquet(str(r, 0)),
+          col(str(r, 1)), col(str(r, 2)), textCol = str(r, 3),
+          maxTokens = r.getInt(4))
+        .write.mode("overwrite").parquet(out)
+      val c = spark.read.parquet(out)
+        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t")).head()
+      new GenericInternalRow(Array[Any](utf8(out), c.getLong(0),
+        c.getLong(1)))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "compact" -> Compact, "optimize" -> Optimize,
     "zone_map" -> ZoneMap, "bloom_manifest" -> BloomManifest,
@@ -509,5 +543,5 @@ object ScdProcedures {
     "hdr_index" -> HdrIndex,
     "decontamination_index" -> DecontaminationIndex,
     "jaccard_index" -> JaccardIndex, "ivf_index" -> IvfIndex,
-    "pii_audit" -> PiiAudit)
+    "pii_audit" -> PiiAudit, "pack_shards" -> PackShards)
 }

@@ -283,6 +283,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(flagged == Seq(false, false, false, false), flagged.toString)
   }
 
+  test("piiAudit scope: ASCII digit classes only — localized digits never form candidates") {
+    import spark.implicits._
+    // Arabic-Indic and Devanagari digits are \\p{Nd} but NOT [0-9]:
+    // both Java regex and RE2 treat [0-9] as ASCII-only, so the scope
+    // is identical cross-engine — pinned here so a future "smarter"
+    // pattern doesn't silently diverge from the DuckDB oracle
+    val docs = Seq(
+      (1L, "card ٤١١١١١١١١١١١١١١١ end"),
+      (2L, "ip १٠.٠.٠.१ end"),
+      (3L, "card 4111111111111111 end"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiAudit(docs).collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got(1L) == ((0L, 0L)), s"localized digits: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L)), s"localized IP: ${got(2L)}")
+    assert(got(3L)._1 == 1L)
+  }
+
   test("hasValidatedPii / redactPiiAll: gate flags validated PII only; redaction closes the loop") {
     import spark.implicits._
     val docs = Seq(

@@ -359,4 +359,25 @@ class ScdCatalogSpec extends SparkSpec {
       && rep(3L) == ((0L, 1L, 0L, 0L)) && rep(4L) == ((0L, 0L, 0L, 0L))
       && rep(5L) == ((0L, 0L, 1L, 1L)), rep.toString)
   }
+
+  test("CALL graft.pack_shards materializes window texts and reports exact totals") {
+    val d = Files.createTempDirectory("scdcat_pack").toString + "/docs"
+    Seq((1L, "a", "t1 t2 t3 t4"), (2L, "a", "t5 t6 t7 t8"),
+      (3L, "b", "u1 u2"))
+      .toDF("doc_id", "shard", "text").write.mode("overwrite").parquet(d)
+    val out = Files.createTempDirectory("scdcat_packo").toString + "/sh"
+    val res = spark.sql(
+      s"CALL graft.pack_shards('$d', 'shard', 'doc_id', 'text', 5, '$out')")
+      .collect()
+    // shard a: 8 tokens -> windows [0,5) + [5,8); shard b: one
+    assert(res.length == 1 && res(0).getString(0) == out)
+    assert(res(0).getLong(1) == 3L && res(0).getLong(2) == 10L,
+      res.mkString(","))
+    val win = spark.read.parquet(out)
+      .select("shard", "chunk_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(win(("a", 0L)) == "t1 t2 t3 t4 t5")
+    assert(win(("a", 1L)) == "t6 t7 t8")
+    assert(win(("b", 0L)) == "u1 u2")
+  }
 }
