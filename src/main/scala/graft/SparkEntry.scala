@@ -2663,6 +2663,13 @@ object SparkEntry {
           col("n_seg_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // fill-in-the-middle: PSM reorder of a deterministic half of the
+    // corpus, integer md5-residue cut points — no float in the cuts
+    "q_fim" -> ((s, dir) =>
+      Packing.fimTransform(t(s, dir, "documents"), rate = 0.5)
+        .select(col("doc_id"), col("fim_applied"), col("text_fim"))
+        .orderBy("doc_id")),
+
     // RAG passage chunking: per-doc overlapping token windows
     // (size 64, stride 32) — shuffle-free explode, full coverage,
     // window text materialized
@@ -4409,6 +4416,15 @@ object SparkEntry {
 
   /** md5-derived hash fraction in [0,1) — mirrors Sketch.md5Fraction's
     * horner expansion exactly (left-assoc sum of exact-in-double terms) */
+  /** Exact integer value of an md5's first 8 hex digits — the
+    * float-free residue source (fim cut points); [[md5FracSql]]'s
+    * integer sibling. */
+  private def md5Hex8IntSql(arg: String): String = {
+    val terms = (0 until 8).map(i =>
+      s"(instr('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}")
+    "(" + terms.mkString(" + ") + ")"
+  }
+
   private def md5FracSql(arg: String): String = {
     val terms = (0 until 8).map(i =>
       s"(instr('0123456789abcdef', substr(md5($arg), ${i + 1}, 1)) - 1) * ${math.pow(16, 7 - i).toLong}.0")
@@ -9038,6 +9054,30 @@ object SparkEntry {
         |  CAST(least((c + 1) * 512 - s, nt) - greatest(c * 512 - s, 0)
         |    AS BIGINT) AS n_seg_tokens
         |FROM seg ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same salted integer residues, same least/greatest cut pair,
+    // same PSM list concatenation
+    "q_fim" -> {
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         |    len(string_split(lower(text), ' ')) AS n,
+         |    ${md5FracSql("CAST(doc_id AS VARCHAR)")} AS frac,
+         |    ${md5Hex8IntSql("CAST(doc_id AS VARCHAR) || ':a'")} AS va,
+         |    ${md5Hex8IntSql("CAST(doc_id AS VARCHAR) || ':b'")} AS vb
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, n, frac,
+         |    least(va % (n + 1), vb % (n + 1)) AS a,
+         |    greatest(va % (n + 1), vb % (n + 1)) AS b
+         |  FROM d)
+         |SELECT doc_id, frac < 0.5 AS fim_applied,
+         |  CASE WHEN frac < 0.5 THEN array_to_string(
+         |    ['<fim_pre>'] || list_slice(toks, 1, a) || ['<fim_suf>'] ||
+         |    list_slice(toks, b + 1, n) || ['<fim_mid>'] ||
+         |    list_slice(toks, a + 1, b), ' ')
+         |  ELSE array_to_string(toks, ' ') END AS text_fim
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     // same start arithmetic (k*32 for k = 0..ceil(max(0,n-64)/32)),
     // 1-based-inclusive list_slice for the window text

@@ -105,6 +105,51 @@ object Packing {
       .withColumn("n_seg_tokens", col("tok_end") - col("tok_start"))
   }
 
+  /** Fill-in-the-middle transform (the public FiM recipe: reorder a
+    * document as prefix/suffix/middle around sentinel tokens so an
+    * autoregressive model learns infilling — PSM mode, applied to a
+    * deterministic `rate`-fraction of documents). Two uniform token
+    * cut points come from EXACT INTEGER md5 residues (salted per
+    * cut, `value-of-first-8-hex % (n+1)` — no float in the cut
+    * arithmetic, so any engine replays bit-identically), the apply
+    * decision from the library's standard id-hash fraction. Output
+    * adds `fim_applied` and `text_fim`; BOTH branches are in token
+    * space (lowercased whitespace tokens rejoined by single spaces —
+    * the transformed branch cannot preserve raw bytes, so the
+    * passthrough branch doesn't either, keeping the column uniform).
+    * Empty prefix/middle/suffix segments are legal (cuts may
+    * coincide or touch the ends), matching the recipe.
+    *
+    * Pure per-row expression work: shuffle-free, linear, composes
+    * with [[packByOffsetWith]] downstream (FiM first, pack after —
+    * sentinels count as tokens). */
+  def fimTransform(docs: DataFrame, id: String = "doc_id",
+      textCol: String = "text", rate: Double = 0.5,
+      preTok: String = "<fim_pre>", sufTok: String = "<fim_suf>",
+      midTok: String = "<fim_mid>"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1]: $rate")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks).cast("long")
+    def cutHash(salt: String): Column =
+      conv(substring(md5(concat(col(id).cast("string"),
+        lit(":" + salt))), 1, 8), 16, 10).cast("long") % (n + 1)
+    val a0 = cutHash("a")
+    val b0 = cutHash("b")
+    val a = least(a0, b0)
+    val b = greatest(a0, b0)
+    val pre = slice(toks, lit(1), a.cast("int"))
+    val mid = slice(toks, (a + 1).cast("int"), (b - a).cast("int"))
+    val suf = slice(toks, (b + 1).cast("int"), (n - b).cast("int"))
+    val fim = array_join(concat(
+      array(lit(preTok)), pre, array(lit(sufTok)), suf,
+      array(lit(midTok)), mid), " ")
+    val applies = Sketch.md5Fraction(col(id)) < rate
+    docs
+      .withColumn("fim_applied", applies)
+      .withColumn("text_fim",
+        when(applies, fim).otherwise(array_join(toks, " ")))
+  }
+
   /** PER-DOCUMENT overlapping windows — retrieval/passage chunking
     * (the RAG-prep sibling of training packing, which is cross-doc
     * and non-overlapping): token windows of `size` starting every

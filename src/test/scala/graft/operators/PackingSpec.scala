@@ -219,6 +219,46 @@ class PackingSpec extends SparkSpec {
     assert(e.getMessage.contains("stride"), e.getMessage)
   }
 
+  test("fimTransform: PSM reorder is lossless and deterministic; rate gates application") {
+    import spark.implicits._
+    val d = (1L to 40L).map(i =>
+      (i, (1 to 12).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // rate 1.0: every doc transforms; tokens are conserved
+    val all = Packing.fimTransform(d, rate = 1.0)
+      .select("doc_id", "fim_applied", "text_fim").collect()
+    assert(all.forall(_.getBoolean(1)))
+    all.foreach { r =>
+      val toks = r.getString(2).split(" ").toSeq
+      val sentinels = Seq("<fim_pre>", "<fim_suf>", "<fim_mid>")
+      assert(sentinels.forall(toks.contains), toks.toString)
+      // sentinel ORDER is PSM: pre before suf before mid
+      assert(toks.indexOf("<fim_pre>") < toks.indexOf("<fim_suf>") &&
+        toks.indexOf("<fim_suf>") < toks.indexOf("<fim_mid>"))
+      // losslessness: removing sentinels leaves the original multiset
+      val orig = d.where($"doc_id" === r.getLong(0))
+        .head().getString(1).split(" ").toSet
+      assert(toks.filterNot(sentinels.contains).toSet == orig)
+      // reconstruction: pre ++ mid ++ suf IS the original sequence
+      val pre = toks.slice(toks.indexOf("<fim_pre>") + 1, toks.indexOf("<fim_suf>"))
+      val suf = toks.slice(toks.indexOf("<fim_suf>") + 1, toks.indexOf("<fim_mid>"))
+      val mid = toks.drop(toks.indexOf("<fim_mid>") + 1)
+      assert((pre ++ mid ++ suf).mkString(" ") ==
+        d.where($"doc_id" === r.getLong(0)).head().getString(1))
+    }
+    // rate 0: nothing transforms, passthrough is the token-space text
+    val none = Packing.fimTransform(d, rate = 0.0)
+      .select("fim_applied", "text_fim").collect()
+    assert(none.forall(r => !r.getBoolean(0) &&
+      !r.getString(1).contains("<fim_")))
+    // deterministic: two runs agree exactly
+    val x = Packing.fimTransform(d, rate = 0.5).select("text_fim")
+      .collect().map(_.getString(0)).toSeq
+    val y = Packing.fimTransform(d.repartition(7), rate = 0.5)
+      .select("text_fim").collect().map(_.getString(0)).toSeq.sorted
+    assert(x.sorted == y, "determinism under repartitioning")
+  }
+
   test("packing is deterministic under repartitioning") {
     val a = Packing.packByOffset(docs.repartition(7), col("shard"),
       col("doc_id"), maxTokens = 10).select("doc_id", "chunk_id").collect()
