@@ -2663,6 +2663,23 @@ object SparkEntry {
           col("n_seg_tokens"))
         .orderBy("doc_id", "chunk_id")),
 
+    // energy segmentation (VAD island detection) verified RELATIONALLY:
+    // a deterministic synthetic frame table (token length % 4 / 10 as
+    // rms) stands in for decoded audio, so DuckDB replays the exact
+    // island arithmetic; the real WAV path is MultimodalSpec-pinned
+    "q_energy_segments" -> ((s, dir) => {
+      val frames = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))))
+        .withColumnRenamed("pos", "frame_idx")
+        .withColumn("rms", (length(col("col")) % 4).cast("double") / 10.0)
+      Multimodal.energySegments(frames, id = "doc_id",
+          threshold = 0.25)
+        .select(col("doc_id"), col("seg_idx"), col("frame_start"),
+          col("frame_end"), col("n_frames"))
+        .orderBy("doc_id", "seg_idx")
+    }),
+
     // fill-in-the-middle: PSM reorder of a deterministic half of the
     // corpus, integer md5-residue cut points — no float in the cuts
     "q_fim" -> ((s, dir) =>
@@ -9054,6 +9071,36 @@ object SparkEntry {
         |  CAST(least((c + 1) * 512 - s, nt) - greatest(c * 512 - s, 0)
         |    AS BIGINT) AS n_seg_tokens
         |FROM seg ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the same island detection: flag starts with lag(), number
+    // segments with the running start-sum, aggregate active frames
+    "q_energy_segments" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM d),
+        |f AS (
+        |  SELECT doc_id, i - 1 AS frame_idx,
+        |    (length(t[i]) % 4) / 10.0 >= 0.25 AS act
+        |  FROM x),
+        |g AS (
+        |  SELECT doc_id, frame_idx, act,
+        |    CASE WHEN act AND NOT coalesce(lag(act) OVER
+        |      (PARTITION BY doc_id ORDER BY frame_idx), false)
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM f),
+        |s AS (
+        |  SELECT doc_id, frame_idx, act,
+        |    sum(st) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM g)
+        |SELECT doc_id, CAST(seg - 1 AS BIGINT) AS seg_idx,
+        |  CAST(min(frame_idx) AS BIGINT) AS frame_start,
+        |  CAST(max(frame_idx) + 1 AS BIGINT) AS frame_end,
+        |  count(*) AS n_frames
+        |FROM s WHERE act GROUP BY doc_id, seg
+        |ORDER BY doc_id, seg_idx""".stripMargin,
 
     // same salted integer residues, same least/greatest cut pair,
     // same PSM list concatenation

@@ -637,6 +637,45 @@ object Multimodal {
     }(enc)
   }
 
+  /** Energy-based audio segmentation (VAD-ish) over a frame table —
+    * the silence-trim / speech-extract pass of an audio curation
+    * pipeline: maximal runs of consecutive frames whose `rms` ≥
+    * `threshold` become segments. Takes ANY (id, frame_idx, rms)
+    * frame, usually [[audioFrameFeatures]]'s output — the op itself
+    * is pure relational island detection (one per-doc window ordered
+    * by frame_idx + one groupBy), so it replays in plain SQL and an
+    * oracle can verify it without decoding audio (q_energy_segments
+    * runs it over a deterministic synthetic frame table; the REAL
+    * tone/silence/tone WAV path is spec-pinned end to end).
+    *
+    * Output: id, seg_idx (0-based among ACTIVE segments), frame_start
+    * (inclusive) / frame_end (exclusive), n_frames, mean_rms. An
+    * all-silent doc yields no row. Scale: the window partitions by
+    * doc id and frames-per-doc is bounded by the decode prefix cap
+    * (`maxSampleBytes`), so there is no single-task sort risk. */
+  def energySegments(frames: DataFrame, id: String = "id",
+      threshold: Double = 0.01): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("frame_idx"))
+    val act = col("rms") >= threshold
+    frames
+      .withColumn("__start", (act &&
+        !coalesce(lag(act, 1).over(w), lit(false))).cast("long"))
+      .withColumn("__seg",
+        sum(col("__start")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .where(act)
+      .groupBy(col(id), col("__seg"))
+      .agg(
+        min(col("frame_idx")).as("frame_start"),
+        (max(col("frame_idx")) + 1).as("frame_end"),
+        count(lit(1)).as("n_frames"),
+        avg(col("rms")).as("mean_rms"))
+      .withColumn("seg_idx", col("__seg") - 1)
+      .drop("__seg")
+  }
+
   /** Full-scale-normalized samples (all channels interleaved) of the
     * first `maxBytes` of an 8/16-bit PCM stream — the decode loop of
     * [[pcmRms]] factored to a sample vector for framewise features.

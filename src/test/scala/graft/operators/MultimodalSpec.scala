@@ -382,4 +382,44 @@ class MultimodalSpec extends SparkSpec {
     // undecodable payloads contribute no frame rows
     assert(!got.keys.exists(_._1 == 3L))
   }
+
+  test("energySegments: tone/silence/tone WAV splits into two segments; all-silent yields none") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    def wav(samples: Array[Short], rate: Float): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        bytes(i * 2) = (samples(i) & 0xff).toByte
+        bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        samples.length.toLong), AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rate = 8000f
+    def tone(n: Int) = Array.tabulate(n)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    def silence(n: Int) = Array.fill(n)(0.toShort)
+    // 25 ms frames = 200 samples: 4 tone frames, 3 silent, 2 tone
+    val composite = tone(800) ++ silence(600) ++ tone(400)
+    val rows = Seq(
+      (1L, wav(composite, rate)),
+      (2L, wav(silence(600), rate)))
+      .toDF("id", "payload")
+    val frames = Multimodal.audioFrameFeatures(rows, "id", "payload",
+      frameMs = 25)
+    val segs = Multimodal.energySegments(frames, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(5)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // two active islands with exact frame ranges
+    assert(segs.keys.map(_._1).toSet == Set(1L), segs.keys.toString)
+    val (s0start, s0end, s0n, s0rms) = segs((1L, 0L))
+    assert((s0start, s0end, s0n) == ((0L, 4L, 4L)), segs.toString)
+    assert(math.abs(s0rms - 0.5 / math.sqrt(2)) < 0.01, s0rms.toString)
+    assert(segs((1L, 1L))._1 == 7L && segs((1L, 1L))._2 == 9L &&
+      segs((1L, 1L))._3 == 2L, segs.toString)
+  }
 }
