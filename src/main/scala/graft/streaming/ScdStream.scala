@@ -393,11 +393,15 @@ object ScdStream {
     * keeps its text — route it through
     * [[graft.operators.TextAnalysis.redactPii]] + a batch re-audit
     * to recover redacted copies instead of dropping the documents
-    * outright. */
+    * outright. NULL text trivially carries no PII and PASSES (the
+    * predicate's NULL is coalesced — without it a null-text row
+    * would be silently dropped, the wrong bias for an admission
+    * gate whose job is to remove PII, not rows). */
   def piiStreamGate(stream: DataFrame,
       textCol: String = "text"): DataFrame =
-    stream.where(
-      !graft.operators.TextAnalysis.hasValidatedPii(col(textCol)))
+    stream.where(coalesce(
+      !graft.operators.TextAnalysis.hasValidatedPii(col(textCol)),
+      lit(true)))
 
   /** Static simhash band index of a corpus — the persisted artifact
     * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one

@@ -350,12 +350,13 @@ class ScdStreamSpec extends SparkSpec {
         (5L, "mail bob@corp.io now"),              // email -> blocked
         (6L, "clean text with no payloads"),       // passes
         (7L, "wire GB82WEST12345698765432 ok"),    // valid IBAN -> blocked
-        (8L, "ref GB82WEST12345698765433 noise"))  // mod-97 fails -> passes
+        (8L, "ref GB82WEST12345698765433 noise"),  // mod-97 fails -> passes
+        (9L, null.asInstanceOf[String]))           // null text -> passes
       q.processAllAvailable()
       assert(q.lastProgress.stateOperators.isEmpty,
         q.lastProgress.stateOperators.mkString(","))
       val got = spark.table("piigate").collect().map(_.getLong(0)).toSet
-      assert(got == Set(2L, 4L, 6L, 8L), got.toString)
+      assert(got == Set(2L, 4L, 6L, 8L, 9L), got.toString)
     } finally q.stop()
   }
 
