@@ -535,7 +535,11 @@ object TextAnalysis {
     * [[graft.streaming.ScdStream.piiStreamGate]]). Candidate-shaped
     * noise (a Luhn-failing digit run, a 999.x.x.x, a checksum-failing
     * IBAN shape) does NOT trip it — that is the point of
-    * validating. */
+    * validating. NULL text → FALSE, not NULL: "carries no PII" is
+    * this predicate's truthful answer for an absent payload, and a
+    * three-valued result would silently skew every consumer a
+    * different way (a WHERE drops the row, a conditional SUM skips
+    * it, the oracle's CASE counts its ELSE branch). */
   def hasValidatedPii(text: Column): Column = {
     val cards = regexp_extract_all(text, lit(CardCandidatePattern),
       lit(0))
@@ -543,11 +547,13 @@ object TextAnalysis {
       lit(0))
     val ibans = regexp_extract_all(text, lit(IbanCandidatePattern),
       lit(0))
-    (regexp_count(text, lit(EmailPattern)) > 0) ||
-      exists(cards, c => luhnValid(c)) ||
-      exists(ips, ip =>
-        forall(split(ip, "\\."), o => o.cast("int") <= 255)) ||
-      exists(ibans, b => ibanValid(b))
+    coalesce(
+      (regexp_count(text, lit(EmailPattern)) > 0) ||
+        exists(cards, c => luhnValid(c)) ||
+        exists(ips, ip =>
+          forall(split(ip, "\\."), o => o.cast("int") <= 255)) ||
+        exists(ibans, b => ibanValid(b)),
+      lit(false))
   }
 
   /** Sentence segmentation: maximal runs of non-terminator characters
