@@ -2842,6 +2842,20 @@ object SparkEntry {
         TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"))
         .orderBy("doc_id")),
 
+    // tokenizer fertility per language — the standard tokenizer-eval
+    // ratio (pieces per word), as ONE division of two exact integer
+    // sums so the float appears exactly once per group
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+        sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text")))
+          .as("bpeish_tokens"))
+        .withColumn("fertility",
+          round(col("bpeish_tokens").cast("double") /
+            col("ws_tokens"), 6))
+        .orderBy("lang")),
+
     // rolling-hash (winnowing) dedup groups
     "dedup_winnow" -> ((s, dir) => {
       val fp = t(s, dir, "documents").select(col("doc_id"),
@@ -9383,6 +9397,18 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS BIGINT)
          |    AS bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_tokenizer_fertility" ->
+      s"""SELECT lang,
+         |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+         |    AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    '${TextAnalysis.BpeishPattern}'))) AS BIGINT)
+         |    AS bpeish_tokens,
+         |  round(sum(len(regexp_extract_all(text,
+         |      '${TextAnalysis.BpeishPattern}'))) * 1.0 /
+         |    sum(len(string_split(lower(text), ' '))), 6) AS fertility
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dedup_winnow" ->
       """WITH fp AS (
