@@ -2652,6 +2652,20 @@ object SparkEntry {
           col("start_offset"), col("chunk_id"))
         .orderBy("doc_id")),
 
+    // EPOCH-reshuffled packing: the same per-shard prefix sum ordered
+    // by the reproducible shuffle key (epoch = seed bump) — the
+    // "shuffle each epoch, then pack" composition in one lineage,
+    // ties broken by id so the order is total in both engines
+    "q_pack_epoch" -> ((s, dir) => {
+      val u = Sketch.md5Fraction(
+        concat(lit("sf|ep1|"), col("doc_id").cast("string")))
+      Packing.packByOffset(t(s, dir, "documents"), col("source"),
+          struct(u.as("u"), col("doc_id").as("i")), maxTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_offset"), col("chunk_id"))
+        .orderBy("doc_id")
+    }),
+
     // the trainer-facing straddle split: one row per (doc × spanned
     // 512-token window) with exact doc-relative token ranges — every
     // window's segments sum to 512 except each shard's final one
@@ -9160,6 +9174,23 @@ object SparkEntry {
         |  array_to_string(list_slice(toks, k * 32 + 1,
         |    least(k * 32 + 64, n)), ' ') AS window
         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+
+    // the prefix sum replayed under the shuffle-key order (same
+    // md5-fraction arithmetic as q_shard_assign's key)
+    "q_pack_epoch" -> {
+      val u = md5FracSql("'sf|ep1|' || CAST(doc_id AS VARCHAR)")
+      s"""WITH p AS (
+         |  SELECT doc_id, source,
+         |    len(string_split(lower(text), ' ')) AS nt,
+         |    sum(len(string_split(lower(text), ' '))) OVER (
+         |      PARTITION BY source ORDER BY $u, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(nt AS BIGINT) AS n_tokens,
+         |  CAST(cum - nt AS BIGINT) AS start_offset,
+         |  CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
 
     // append ≡ repack: the oracle computes the FULL old∪new prefix
     // sum and filters to the appended batch
