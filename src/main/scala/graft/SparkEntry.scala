@@ -1752,6 +1752,23 @@ object SparkEntry {
       TextAnalysis.piiAudit(inj).orderBy("doc_id")
     }),
 
+    // sentence-LEVEL PII location (targeted redaction needs WHERE,
+    // not just whether): inject a Luhn-valid card as a new final
+    // sentence into every 7th doc; only that sentence flags. Scope
+    // note, deliberate: dot-free PII (cards, IBANs) locates cleanly;
+    // emails/IPv4 contain '.' and are split ACROSS sentences by this
+    // segmenter — locate those at document granularity (q_pii_audit)
+    "q_pii_sentences" -> ((s, dir) => {
+      val inj = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(". card 4111111111111111 today")))
+          .otherwise(col("text")))
+      TextAnalysis.sentences(inj)
+        .where(TextAnalysis.hasValidatedPii(col("sentence")))
+        .select(col("doc_id"), col("sent_idx"), col("sentence"))
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // the PII GATE composed end-to-end per source: inject validated
     // PII into some docs and card-SHAPED noise into others, flag with
     // hasValidatedPii (noise must not cost a doc), then close the
@@ -8996,6 +9013,30 @@ object SparkEntry {
          |    '${TextAnalysis.PhoneE164Pattern}')) AS BIGINT)
          |    AS n_phones_e164
          |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_sentences" -> {
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN text || '. card 4111111111111111 today'
+         |         ELSE text END AS text
+         |  FROM documents),
+         |raw AS (
+         |  SELECT doc_id, list_filter(list_transform(
+         |    regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+         |    s -> s <> '') AS sl
+         |  FROM inj),
+         |i AS (
+         |  SELECT doc_id, sl, unnest(generate_series(1, len(sl))) AS i
+         |  FROM raw),
+         |sen AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS sent_idx,
+         |    sl[i] AS sentence
+         |  FROM i)
+         |SELECT doc_id, sent_idx, sentence FROM sen
+         |WHERE ${piiFlagSql("sentence")}
+         |ORDER BY doc_id, sent_idx""".stripMargin
     },
 
     "q_pii_gate" -> {
