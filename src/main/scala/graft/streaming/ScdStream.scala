@@ -403,6 +403,60 @@ object ScdStream {
       !graft.operators.TextAnalysis.hasValidatedPii(col(textCol)),
       lit(true)))
 
+  /** STREAMING sequence packing — the ingest-time face of
+    * [[graft.operators.Packing.packAppendWith]]: each shard's running
+    * token total is THE state (the streaming twin of
+    * [[graft.operators.Packing.packTotals]]), so every micro-batch
+    * packs exactly where the previous one stopped and the output
+    * equals a batch `packAppend` CHAIN fed the same batches in the
+    * same order (spec-pinned). Cross-batch order is ARRIVAL order —
+    * use this where arrival IS the training order (ingest pipelines);
+    * use the batch forms where a global key order matters.
+    *
+    * Within a micro-batch each (shard, batch) group sorts in memory
+    * by `orderCol` (must be long-castable — ingest seq ids), bounded
+    * by the batch's rows per shard — the same volume the batch
+    * window's sort pays, just per trigger. State per shard is ONE
+    * long. Null-token rows (null text) are dropped, matching the
+    * batch straddle split's documented guard. Output (append mode):
+    * the input columns + n_tokens, start_offset, chunk_id. */
+  def packStream(df: DataFrame, shardCol: String, orderCol: String,
+      textCol: String = "text", maxTokens: Int = 2048): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    val withN = df.withColumn("n_tokens",
+      graft.operators.TextAnalysis.tokenCount(col(textCol))
+        .cast("long"))
+      .where(col("n_tokens").isNotNull)
+    val inSchema = withN.schema
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("start_offset", LongType),
+      StructField("chunk_id", LongType)))
+    val enc = Encoders.row(outSchema)
+    val ordIdx = inSchema.fieldIndex(orderCol)
+    val nIdx = inSchema.fieldIndex("n_tokens")
+    val m = maxTokens.toLong
+    withN
+      .groupByKey(r => String.valueOf(r.getAs[Any](shardCol)))(
+        Encoders.STRING)
+      .flatMapGroupsWithState[Long, Row](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = rows.toVector
+            .sortBy(r => String.valueOf(r.getAs[Any](ordIdx)).toLong)
+            .map { r =>
+              val n = r.getLong(nIdx)
+              val s = off
+              off += n
+              Row.fromSeq(r.toSeq ++ Seq(s, s / m))
+            }
+          state.update(off)
+          out.iterator
+      }(Encoders.scalaLong, enc)
+  }
+
   /** Static simhash band index of a corpus — the persisted artifact
     * [[corpusMatchStream]] probes: (corpus_id, corpus_sig, band), one
     * row per band per doc. Write it partitioned/bucketed by `band` so

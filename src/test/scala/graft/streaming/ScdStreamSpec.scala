@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{timestamp_seconds, unix_timestamp}
+import org.apache.spark.sql.functions.{col, timestamp_seconds, unix_timestamp}
 
 import java.nio.file.Files
 import java.sql.Timestamp
@@ -357,6 +357,50 @@ class ScdStreamSpec extends SparkSpec {
         q.lastProgress.stateOperators.mkString(","))
       val got = spark.table("piigate").collect().map(_.getLong(0)).toSet
       assert(got == Set(2L, 4L, 6L, 8L, 9L), got.toString)
+    } finally q.stop()
+  }
+
+  test("packStream — offsets continue across micro-batches; equals the batch packAppend chain") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(Long, String, String)]
+    val packed = ScdStream.packStream(
+      ms.toDF().toDF("doc_id", "shard", "text"),
+      "shard", "doc_id", maxTokens = 5)
+    val q = packed.writeStream.format("memory").queryName("packstream")
+      .outputMode("append").start()
+    try {
+      // batch 1: shard a gets 3+4=7 tokens, shard b gets 2
+      ms.addData((1L, "a", "t t t"), (2L, "a", "u u u u"),
+        (3L, "b", "v v"))
+      q.processAllAvailable()
+      // batch 2: continues at a=7, b=2 — exactly packAppend semantics
+      ms.addData((4L, "a", "w w"), (5L, "b", "x x x x"))
+      q.processAllAvailable()
+      val got = spark.table("packstream")
+        .select("doc_id", "n_tokens", "start_offset", "chunk_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got(1L) == ((3L, 0L, 0L)))
+      assert(got(2L) == ((4L, 3L, 0L)))
+      assert(got(3L) == ((2L, 0L, 0L)))
+      assert(got(4L) == ((2L, 7L, 1L)), s"continues at 7: ${got(4L)}")
+      assert(got(5L) == ((4L, 2L, 0L)), s"continues at 2: ${got(5L)}")
+      // the batch twin: packAppend of batch 2 from batch 1's totals
+      val b1 = Seq((1L, "a", "t t t"), (2L, "a", "u u u u"),
+        (3L, "b", "v v")).toDF("doc_id", "shard", "text")
+      val b2 = Seq((4L, "a", "w w"), (5L, "b", "x x x x"))
+        .toDF("doc_id", "shard", "text")
+      val totals = graft.operators.Packing.packTotals(
+        graft.operators.Packing.packByOffset(b1, col("shard"),
+          col("doc_id"), maxTokens = 5), col("shard"))
+      val twin = graft.operators.Packing.packAppend(b2, col("shard"),
+          col("doc_id"), totals, maxTokens = 5)
+        .select("doc_id", "n_tokens", "start_offset", "chunk_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(twin == got.view.filterKeys(Set(4L, 5L)).toMap,
+        s"stream != packAppend twin: $twin vs $got")
     } finally q.stop()
   }
 
