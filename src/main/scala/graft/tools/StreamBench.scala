@@ -20,6 +20,9 @@ import org.apache.spark.sql.streaming.Trigger
   * count).
   *
   * Paths measured (all real library entry points, not synthetic maps):
+  *   - pack            — `ScdStream.packStream` (streaming sequence
+  *                       packing: per-shard running-offset state, one
+  *                       long per shard, 64 shards)
   *   - pii_gate        — `ScdStream.piiStreamGate` (stateless validated-
   *                       PII admission: regex extract + Luhn/mod-97/
   *                       octet checks per row, no state at all — the
@@ -183,6 +186,12 @@ object StreamBench {
         (pmod(col("value"), lit(8L)) + 1).cast("int")))
 
     val paths: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+      ("pack", "append", (src: DataFrame) =>
+        ScdStream.packStream(
+          src.select(col("value").as("doc_id"),
+            pmod(col("value"), lit(64L)).cast("string").as("shard"),
+            docText(2000).as("text")),
+          "shard", "doc_id", maxTokens = 2048)),
       ("pii_gate", "append", (src: DataFrame) =>
         ScdStream.piiStreamGate(
           src.select(col("value").as("doc_id"), piiText.as("text")))),
