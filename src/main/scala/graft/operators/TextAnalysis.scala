@@ -407,7 +407,14 @@ object TextAnalysis {
     * dialects diverge, and both engines must see the same bytes. A
     * ≥20-digit run yields its greedy 19-digit prefix as a candidate
     * in BOTH engines (leftmost-greedy `{13,19}`) — validation, not
-    * the regex, is what rejects it. */
+    * the regex, is what rejects it. Corollary, documented limitation:
+    * a PAN EMBEDDED inside a longer digit run is not recovered (the
+    * greedy window misaligns past it) — but that run still redacts
+    * wholesale as `[NUM]`, so detection can miss there while
+    * redaction never leaks. Cross-engine agreement on pathological
+    * inputs (10k-digit runs → 526 greedy candidates, fused adjacent
+    * IBANs, localized digits beside a PAN) verified against DuckDB
+    * beyond the board fixtures. */
   val CardCandidatePattern: String = "[0-9]{13,19}"
 
   /** IPv4 candidate: four dot-separated 1–3 digit octets. Candidates
