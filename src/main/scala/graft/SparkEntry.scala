@@ -1752,6 +1752,35 @@ object SparkEntry {
       TextAnalysis.piiAudit(inj).orderBy("doc_id")
     }),
 
+    // the audit's corpus TOTALS — also the row that carries the
+    // audit's honest cost on the board: the aggregation forces every
+    // count column under Bench's count() action (a pure-projection
+    // row gets column-pruned there; this one cannot be)
+    "q_pii_audit_agg" -> ((s, dir) => {
+      val inj = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com ip 10."),
+          (col("doc_id") % 300).cast("string"),
+          lit(".0.1 card 4111111111111111 or 4111111111111112" +
+            " acct GB82WEST12345698765432 no GB82WEST12345698765433" +
+            " tel +14155550123")))
+      TextAnalysis.piiAudit(inj).agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_emails").as("emails"),
+        sum("n_cards_luhn").as("cards"),
+        sum("n_ipv4_valid").as("ips"),
+        sum("n_ibans_valid").as("ibans"),
+        sum("n_phones_e164").as("phones"))
+        // count() prunes even UNREFERENCED aggregate expressions (the
+        // optimizer drops unused sums, leaving an empty aggregate over
+        // a zero-column scan — measured: 0.36 s vs the real ~7 s at
+        // sf10); this always-true filter REFERENCES every column, so
+        // the row's bench number is the audit's honest cost
+        .where(col("emails") + col("cards") + col("ips") +
+          col("ibans") + col("phones") + col("n_docs") >= 0)
+    }),
+
     // sentence-LEVEL PII location (targeted redaction needs WHERE,
     // not just whether): inject a Luhn-valid card as a new final
     // sentence into every 7th doc; only that sentence flags. Scope
@@ -9013,6 +9042,48 @@ object SparkEntry {
          |    '${TextAnalysis.PhoneE164Pattern}')) AS BIGINT)
          |    AS n_phones_e164
          |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_audit_agg" -> {
+      val em = TextAnalysis.EmailPattern
+      val card = TextAnalysis.CardCandidatePattern
+      val ip = TextAnalysis.Ipv4CandidatePattern
+      val iban = TextAnalysis.IbanCandidatePattern
+      val ph = TextAnalysis.PhoneE164Pattern
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
+         |    '.0.1 card 4111111111111111 or 4111111111111112' ||
+         |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433' ||
+         |    ' tel +14155550123' AS text
+         |  FROM documents)
+         |SELECT count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '$em'))) AS BIGINT)
+         |    AS emails,
+         |  CAST(sum(len(list_filter(regexp_extract_all(text, '$card'),
+         |    c -> list_sum(list_transform(range(1, length(c) + 1), i ->
+         |      CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
+         |             THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
+         |             ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
+         |      ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10
+         |      = 0))) AS BIGINT) AS cards,
+         |  CAST(sum(len(list_filter(regexp_extract_all(text, '$ip'),
+         |    x -> len(list_filter(string_split(x, '.'),
+         |      o -> CAST(o AS INT) > 255)) = 0))) AS BIGINT) AS ips,
+         |  CAST(sum(len(list_filter(regexp_extract_all(text, '$iban'),
+         |    b -> list_reduce(['0'] || list_transform(
+         |        range(1, length(b) + 1),
+         |        i -> substr(substr(b, 5) || substr(b, 1, 4), i, 1)),
+         |      (a, c) -> CASE WHEN c BETWEEN '0' AND '9'
+         |        THEN CAST((CAST(a AS INT) * 10 + CAST(c AS INT)) % 97
+         |          AS VARCHAR)
+         |        ELSE CAST((CAST(a AS INT) * 100 + ascii(c) - 55) % 97
+         |          AS VARCHAR) END) = '1'))) AS BIGINT) AS ibans,
+         |  CAST(sum(len(regexp_extract_all(text, '$ph'))) AS BIGINT)
+         |    AS phones
+         |FROM inj""".stripMargin
     },
 
     "q_pii_sentences" -> {
