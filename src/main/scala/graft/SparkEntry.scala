@@ -29,6 +29,37 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The shared PII-audit injection (q_pii_audit / q_pii_audit_agg
+    * and their oracles replay the identical text): every doc gains
+    * one email, one octet-validating-or-not IPv4, a Luhn-valid /
+    * -invalid card pair, a mod-97-valid / -invalid IBAN pair, and an
+    * E.164 phone; every 9th+4 doc also gains an EMBEDDED PAN
+    * (4111111111111111 fused into the 23-digit run
+    * 99204111111111111111880 — its greedy 19-digit candidate is
+    * Luhn-invalid and exactly one sliding window passes Luhn ∧ IIN,
+    * so the column isolates the window scan). */
+  private def piiAuditInjected(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ip 10."),
+        (col("doc_id") % 300).cast("string"),
+        lit(".0.1 card 4111111111111111 or 4111111111111112" +
+          " acct GB82WEST12345698765432 no GB82WEST12345698765433" +
+          " tel +14155550123"),
+        when(col("doc_id") % 9 === 4,
+          lit(" trace 99204111111111111111880")).otherwise(lit(""))))
+
+  /** DuckDB twin of [[piiAuditInjected]]'s text expression. */
+  private val piiAuditInjSql: String =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
+      |    '.0.1 card 4111111111111111 or 4111111111111112' ||
+      |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433' ||
+      |    ' tel +14155550123' ||
+      |    CASE WHEN doc_id % 9 = 4 THEN ' trace 99204111111111111111880'
+      |         ELSE '' END""".stripMargin
+
   /** Per-(application, data-dir) memo of the ON-DISK corpus minhash
     * signature index PATH — the persisted parquet artifact the
     * dedup_incremental_indexed pipeline reloads each night (its build
@@ -1739,17 +1770,16 @@ object SparkEntry {
     // valid only when doc_id % 300 fits an octet, a Luhn-valid /
     // Luhn-invalid card pair, and a mod-97-valid / -invalid IBAN
     // pair — so the row exercises every checksum and the octet-range
-    // validation in BOTH engines, not just the regexes
+    // validation in BOTH engines, not just the regexes. Every 9th+4
+    // doc (residue coprime with the %20 source assignment) also gains
+    // an EMBEDDED PAN — 4111111111111111 fused into a 23-digit run
+    // whose greedy 19-digit candidate is Luhn-INVALID, so only the
+    // sliding-window scan can detect it (VERDICT r14 #2; the 9920
+    // prefix and 880 suffix are chosen so exactly ONE window passes
+    // Luhn ∧ IIN — verified by hand and replayed by the oracle)
     "q_pii_audit" -> ((s, dir) => {
-      val inj = t(s, dir, "documents").withColumn("text",
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com ip 10."),
-          (col("doc_id") % 300).cast("string"),
-          lit(".0.1 card 4111111111111111 or 4111111111111112" +
-            " acct GB82WEST12345698765432 no GB82WEST12345698765433" +
-            " tel +14155550123")))
-      TextAnalysis.piiAudit(inj).orderBy("doc_id")
+      TextAnalysis.piiAudit(piiAuditInjected(t(s, dir, "documents")))
+        .orderBy("doc_id")
     }),
 
     // the audit's corpus TOTALS — also the row that carries the
@@ -1757,43 +1787,51 @@ object SparkEntry {
     // count column under Bench's count() action (a pure-projection
     // row gets column-pruned there; this one cannot be)
     "q_pii_audit_agg" -> ((s, dir) => {
-      val inj = t(s, dir, "documents").withColumn("text",
-        concat(col("text"),
-          lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com ip 10."),
-          (col("doc_id") % 300).cast("string"),
-          lit(".0.1 card 4111111111111111 or 4111111111111112" +
-            " acct GB82WEST12345698765432 no GB82WEST12345698765433" +
-            " tel +14155550123")))
-      TextAnalysis.piiAudit(inj).agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_emails").as("emails"),
-        sum("n_cards_luhn").as("cards"),
-        sum("n_ipv4_valid").as("ips"),
-        sum("n_ibans_valid").as("ibans"),
-        sum("n_phones_e164").as("phones"))
+      TextAnalysis.piiAudit(piiAuditInjected(t(s, dir, "documents")))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_emails").as("emails"),
+          sum("n_cards_luhn").as("cards"),
+          sum("n_cards_embedded").as("cards_embedded"),
+          sum("n_ipv4_valid").as("ips"),
+          sum("n_ibans_valid").as("ibans"),
+          sum("n_phones_e164").as("phones"))
         // count() prunes even UNREFERENCED aggregate expressions (the
         // optimizer drops unused sums, leaving an empty aggregate over
         // a zero-column scan — measured: 0.36 s vs the real ~7 s at
         // sf10); this always-true filter REFERENCES every column, so
         // the row's bench number is the audit's honest cost
-        .where(col("emails") + col("cards") + col("ips") +
-          col("ibans") + col("phones") + col("n_docs") >= 0)
+        .where(col("emails") + col("cards") + col("cards_embedded") +
+          col("ips") + col("ibans") + col("phones") +
+          col("n_docs") >= 0)
     }),
 
     // sentence-LEVEL PII location (targeted redaction needs WHERE,
-    // not just whether): inject a Luhn-valid card as a new final
-    // sentence into every 7th doc; only that sentence flags. Scope
-    // note, deliberate: dot-free PII (cards, IBANs) locates cleanly;
-    // emails/IPv4 contain '.' and are split ACROSS sentences by this
-    // segmenter — locate those at document granularity (q_pii_audit)
+    // not just whether), covering ALL FIVE PII classes since the
+    // r15 terminator+whitespace segmenter keeps dotted tokens whole
+    // (emails/IPv4 were unlocatable under the every-terminator
+    // split — VERDICT r14 #3): each class is injected as its own
+    // final sentence under a distinct residue (all coprime with the
+    // %20 source assignment), phones located by their E.164 shape
+    // (location-audit semantics — the VALIDATED-only contract stays
+    // with the gate, which phones cannot feed, having no checksum)
     "q_pii_sentences" -> ((s, dir) => {
       val inj = t(s, dir, "documents").withColumn("text",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(". card 4111111111111111 today")))
-          .otherwise(col("text")))
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(". card 4111111111111111 today")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 2,
+            lit(". mail user9@example.org then")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 3,
+            lit(". host 10.1.2.3 up")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 5,
+            lit(". acct GB82WEST12345698765432 ok")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 6,
+            lit(". call +14155550123 now")).otherwise(lit(""))))
       TextAnalysis.sentences(inj)
-        .where(TextAnalysis.hasValidatedPii(col("sentence")))
+        .where(TextAnalysis.hasValidatedPii(col("sentence")) ||
+          regexp_count(col("sentence"),
+            lit(TextAnalysis.PhoneE164Pattern)) > 0)
         .select(col("doc_id"), col("sent_idx"), col("sentence"))
         .orderBy("doc_id", "sent_idx")
     }),
@@ -4822,10 +4860,71 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
       |  FROM agg)""".stripMargin
 
+  /** DuckDB twin of the Luhn checksum as a boolean over a digit-string
+    * lambda variable `c` — the q_pii_audit arithmetic, factored so the
+    * embedded-window walk reuses it verbatim. */
+  private def luhnSqlPred(c: String): String =
+    s"""list_sum(list_transform(range(1, length($c) + 1), i ->
+       |       CASE WHEN i % 2 = 0 THEN
+       |         CASE WHEN 2 * CAST(substr(reverse($c), i, 1) AS INT) > 9
+       |              THEN 2 * CAST(substr(reverse($c), i, 1) AS INT) - 9
+       |              ELSE 2 * CAST(substr(reverse($c), i, 1) AS INT) END
+       |       ELSE CAST(substr(reverse($c), i, 1) AS INT) END)) % 10 = 0""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.iinPlausible]] over
+    * a window lambda variable `w` — same-length digit-string compares
+    * only (lexicographic ≡ numeric), so both engines run identical
+    * byte comparisons. */
+  private def iinSqlPred(w: String): String =
+    s"""((substr($w, 1, 1) = '4' AND length($w) IN (13, 16, 19))
+       |      OR (substr($w, 1, 2) BETWEEN '51' AND '55' AND length($w) = 16)
+       |      OR (substr($w, 1, 4) BETWEEN '2221' AND '2720' AND length($w) = 16)
+       |      OR (substr($w, 1, 2) IN ('34', '37') AND length($w) = 15)
+       |      OR ((substr($w, 1, 4) = '6011' OR substr($w, 1, 2) = '65'
+       |           OR substr($w, 1, 3) BETWEEN '644' AND '649')
+       |          AND length($w) BETWEEN 16 AND 19)
+       |      OR (substr($w, 1, 4) BETWEEN '3528' AND '3589'
+       |          AND length($w) BETWEEN 16 AND 19)
+       |      OR ((substr($w, 1, 3) BETWEEN '300' AND '305'
+       |           OR substr($w, 1, 2) IN ('36', '38', '39'))
+       |          AND length($w) = 14))""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.cardWindowsValid]]
+    * over a text expression `t`: every (offset, length 13..19) window
+    * of every maximal ≥13-digit run, filtered by Luhn ∧ IIN — the
+    * embedded-PAN window walk, replayed step for step. */
+  private def cardWindowsSql(t: String): String =
+    s"""len(list_filter(flatten(list_transform(
+       |    regexp_extract_all($t, '${TextAnalysis.DigitRunPattern}'), r ->
+       |    flatten(list_transform(range(13, 20), l ->
+       |      CASE WHEN length(r) >= l
+       |           THEN list_transform(range(0, length(r) - l + 1),
+       |                  o -> substr(r, o + 1, l))
+       |           ELSE CAST([] AS VARCHAR[]) END)))), w ->
+       |    ${luhnSqlPred("w")}
+       |    AND ${iinSqlPred("w")}))""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.sentences]]'
+    * split over a text expression `t`: pre-strip the sentinel,
+    * rewrite terminator-run + whitespace to terminator-run +
+    * sentinel (`'\\1' || chr(1)` — DuckDB replacement backrefs are
+    * backslash-style), split, trim, drop empties. The explicit
+    * whitespace class matches the Spark side byte-for-byte. */
+  private def sentenceListSql(t: String): String =
+    s"""list_filter(list_transform(
+       |    string_split(regexp_replace(replace($t, chr(1), ''),
+       |      '([.!?]+)[ \\t\\n\\r\\f]+', '\\1' || chr(1), 'g'),
+       |      chr(1)),
+       |    s -> trim(s)),
+       |    s -> s <> '' AND regexp_matches(s, '[^.!?]'))""".stripMargin
+
   /** DuckDB twin of [[graft.operators.TextAnalysis.hasValidatedPii]]
     * over a text expression `t` — the q_pii_audit Luhn/octet
     * arithmetic reused as a boolean (shared by the q_pii_gate
-    * oracle's flag and its post-redaction recheck). */
+    * oracle's flag and its post-redaction recheck), INCLUDING the
+    * embedded-window clause (r15: the Spark gate detects a PAN fused
+    * into a longer digit run; the oracle must walk the same
+    * windows). */
   private def piiFlagSql(t: String): String = {
     val em = TextAnalysis.EmailPattern
     val card = TextAnalysis.CardCandidatePattern
@@ -4833,13 +4932,8 @@ object SparkEntry {
     val iban = TextAnalysis.IbanCandidatePattern
     s"""(len(regexp_extract_all($t, '$em')) > 0
        |   OR len(list_filter(regexp_extract_all($t, '$card'), c ->
-       |     list_sum(list_transform(range(1, length(c) + 1), i ->
-       |       CASE WHEN i % 2 = 0 THEN
-       |         CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
-       |              THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
-       |              ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
-       |       ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10 = 0))
-       |     > 0
+       |     ${luhnSqlPred("c")})) > 0
+       |   OR ${cardWindowsSql(t)} > 0
        |   OR len(list_filter(regexp_extract_all($t, '$ip'), x ->
        |     len(list_filter(string_split(x, '.'),
        |       o -> CAST(o AS INT) > 255)) = 0)) > 0
@@ -8992,20 +9086,16 @@ object SparkEntry {
 
     "q_pii_audit" -> {
       // identical injected PII, then the SAME 1-indexed-from-reverse
-      // Luhn arithmetic, octet compare, and mod-97 fold (seedless
-      // list_reduce: a prepended '0' is the accumulator seed) the
-      // Spark expressions run
+      // Luhn arithmetic, octet compare, mod-97 fold (seedless
+      // list_reduce: a prepended '0' is the accumulator seed), and
+      // embedded-PAN window walk the Spark expressions run
       val em = TextAnalysis.EmailPattern
       val card = TextAnalysis.CardCandidatePattern
       val ip = TextAnalysis.Ipv4CandidatePattern
       val iban = TextAnalysis.IbanCandidatePattern
       s"""WITH inj AS (
          |  SELECT doc_id,
-         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-         |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
-         |    '.0.1 card 4111111111111111 or 4111111111111112' ||
-         |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433' ||
-         |    ' tel +14155550123' AS text
+         |    $piiAuditInjSql AS text
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT)
@@ -9013,13 +9103,9 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(text, '$card')) AS BIGINT)
          |    AS n_card_candidates,
          |  CAST(len(list_filter(regexp_extract_all(text, '$card'), c ->
-         |    list_sum(list_transform(range(1, length(c) + 1), i ->
-         |      CASE WHEN i % 2 = 0 THEN
-         |        CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
-         |             THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
-         |             ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
-         |      ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10 = 0))
+         |    ${luhnSqlPred("c")}))
          |    AS BIGINT) AS n_cards_luhn,
+         |  CAST(${cardWindowsSql("text")} AS BIGINT) AS n_cards_embedded,
          |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT)
          |    AS n_ipv4_candidates,
          |  CAST(len(list_filter(regexp_extract_all(text, '$ip'), x ->
@@ -9052,23 +9138,15 @@ object SparkEntry {
       val ph = TextAnalysis.PhoneE164Pattern
       s"""WITH inj AS (
          |  SELECT doc_id,
-         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-         |    '@example.com ip 10.' || CAST(doc_id % 300 AS VARCHAR) ||
-         |    '.0.1 card 4111111111111111 or 4111111111111112' ||
-         |    ' acct GB82WEST12345698765432 no GB82WEST12345698765433' ||
-         |    ' tel +14155550123' AS text
+         |    $piiAuditInjSql AS text
          |  FROM documents)
          |SELECT count(*) AS n_docs,
          |  CAST(sum(len(regexp_extract_all(text, '$em'))) AS BIGINT)
          |    AS emails,
          |  CAST(sum(len(list_filter(regexp_extract_all(text, '$card'),
-         |    c -> list_sum(list_transform(range(1, length(c) + 1), i ->
-         |      CASE WHEN i % 2 = 0 THEN
-         |        CASE WHEN 2 * CAST(substr(reverse(c), i, 1) AS INT) > 9
-         |             THEN 2 * CAST(substr(reverse(c), i, 1) AS INT) - 9
-         |             ELSE 2 * CAST(substr(reverse(c), i, 1) AS INT) END
-         |      ELSE CAST(substr(reverse(c), i, 1) AS INT) END)) % 10
-         |      = 0))) AS BIGINT) AS cards,
+         |    c -> ${luhnSqlPred("c")}))) AS BIGINT) AS cards,
+         |  CAST(sum(${cardWindowsSql("text")}) AS BIGINT)
+         |    AS cards_embedded,
          |  CAST(sum(len(list_filter(regexp_extract_all(text, '$ip'),
          |    x -> len(list_filter(string_split(x, '.'),
          |      o -> CAST(o AS INT) > 255)) = 0))) AS BIGINT) AS ips,
@@ -9088,15 +9166,20 @@ object SparkEntry {
 
     "q_pii_sentences" -> {
       s"""WITH inj AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, text ||
          |    CASE WHEN doc_id % 7 = 0
-         |         THEN text || '. card 4111111111111111 today'
-         |         ELSE text END AS text
+         |         THEN '. card 4111111111111111 today' ELSE '' END ||
+         |    CASE WHEN doc_id % 9 = 2
+         |         THEN '. mail user9@example.org then' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 3
+         |         THEN '. host 10.1.2.3 up' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 5
+         |         THEN '. acct GB82WEST12345698765432 ok' ELSE '' END ||
+         |    CASE WHEN doc_id % 17 = 6
+         |         THEN '. call +14155550123 now' ELSE '' END AS text
          |  FROM documents),
          |raw AS (
-         |  SELECT doc_id, list_filter(list_transform(
-         |    regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
-         |    s -> s <> '') AS sl
+         |  SELECT doc_id, ${sentenceListSql("text")} AS sl
          |  FROM inj),
          |i AS (
          |  SELECT doc_id, sl, unnest(generate_series(1, len(sl))) AS i
@@ -9107,6 +9190,8 @@ object SparkEntry {
          |  FROM i)
          |SELECT doc_id, sent_idx, sentence FROM sen
          |WHERE ${piiFlagSql("sentence")}
+         |   OR len(regexp_extract_all(sentence,
+         |        '${TextAnalysis.PhoneE164Pattern}')) > 0
          |ORDER BY doc_id, sent_idx""".stripMargin
     },
 
@@ -9580,11 +9665,10 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_sentences" ->
-      // same extract/trim/filter chain, 1-based i -> 0-based sent_idx
-      """WITH raw AS (
-        |  SELECT doc_id, list_filter(list_transform(
-        |    regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
-        |    s -> s <> '') AS sl
+      // same sentinel-rewrite/split/trim/filter chain, 1-based i ->
+      // 0-based sent_idx
+      s"""WITH raw AS (
+        |  SELECT doc_id, ${sentenceListSql("text")} AS sl
         |  FROM documents),
         |i AS (
         |  SELECT doc_id, sl, unnest(generate_series(1, len(sl))) AS i

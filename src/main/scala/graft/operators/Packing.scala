@@ -162,6 +162,9 @@ object Packing {
     *
     * Shuffle-free: one per-row explode, fan-out ≈ n/stride windows
     * per doc — linear in corpus tokens, embarrassingly parallel.
+    * NULL-text docs emit NO window row (the explode is over a null
+    * sequence) — the same silent-drop [[packSegments]] documents for
+    * its zero-token docs, stated here for symmetry (ADVICE r14).
     * Output: id (+ input cols), win_idx, tok_start/tok_end
     * (doc-relative, end-exclusive), n_win_tokens, window text (token
     * space = [[TextAnalysis.tokens]], the library convention). */

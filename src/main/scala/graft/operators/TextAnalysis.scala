@@ -407,15 +407,76 @@ object TextAnalysis {
     * dialects diverge, and both engines must see the same bytes. A
     * ≥20-digit run yields its greedy 19-digit prefix as a candidate
     * in BOTH engines (leftmost-greedy `{13,19}`) — validation, not
-    * the regex, is what rejects it. Corollary, documented limitation:
-    * a PAN EMBEDDED inside a longer digit run is not recovered (the
-    * greedy window misaligns past it) — but that run still redacts
-    * wholesale as `[NUM]`, so detection can miss there while
-    * redaction never leaks. Cross-engine agreement on pathological
+    * the regex, is what rejects it. A PAN EMBEDDED inside a longer
+    * digit run is not recovered by THIS greedy pattern (the window
+    * misaligns past it) — [[cardWindowsValid]]'s bounded sliding-Luhn
+    * scan is the detector for that case (VERDICT r14 #2); the run
+    * still redacts wholesale as `[NUM]` either way, so redaction
+    * never leaks. Cross-engine agreement on pathological
     * inputs (10k-digit runs → 526 greedy candidates, fused adjacent
     * IBANs, localized digits beside a PAN) verified against DuckDB
     * beyond the board fixtures. */
   val CardCandidatePattern: String = "[0-9]{13,19}"
+
+  /** Maximal digit run long enough to carry a PAN — the window-scan
+    * domain of [[cardWindowsValid]]. Unbounded on the right: the
+    * embedded case IS a PAN fused into an arbitrarily long
+    * timestamp/id run. */
+  val DigitRunPattern: String = "[0-9]{13,}"
+
+  /** Issuer-network (IIN) plausibility of a digit window — the
+    * public prefix/length ranges of the major card networks (ISO/IEC
+    * 7812 assignments as published by the networks): Visa `4` at
+    * 13/16/19; Mastercard `51–55` or `2221–2720` at 16; Amex `34/37`
+    * at 15; Discover `6011`/`65`/`644–649` at 16–19; JCB `3528–3589`
+    * at 16–19; Diners `300–305`/`36`/`38–39` at 14. Luhn alone
+    * passes 1-in-10 random windows — over a 10k-digit run that is
+    * thousands of false hits; the prefix∧length gate is what makes
+    * the sliding scan a usable detector. All comparisons are
+    * same-length digit-string compares (lexicographic ≡ numeric), so
+    * the DuckDB oracle replays them byte-for-byte. */
+  def iinPlausible(w: Column): Column = {
+    val len = length(w)
+    val p1 = substring(w, 1, 1)
+    val p2 = substring(w, 1, 2)
+    val p3 = substring(w, 1, 3)
+    val p4 = substring(w, 1, 4)
+    (p1 === "4" && (len === 13 || len === 16 || len === 19)) ||
+      (p2 >= "51" && p2 <= "55" && len === 16) ||
+      (p4 >= "2221" && p4 <= "2720" && len === 16) ||
+      ((p2 === "34" || p2 === "37") && len === 15) ||
+      ((p4 === "6011" || p2 === "65" || (p3 >= "644" && p3 <= "649")) &&
+        len >= 16 && len <= 19) ||
+      (p4 >= "3528" && p4 <= "3589" && len >= 16 && len <= 19) ||
+      ((p3 >= "300" && p3 <= "305" || p2 === "36" || p2 === "38" ||
+        p2 === "39") && len === 14)
+  }
+
+  /** EMBEDDED-PAN detector (VERDICT r14 #2): the count of sliding
+    * windows — every (offset, length ∈ 13..19) substring of every
+    * maximal ≥13-digit run — that pass BOTH the Luhn checksum and
+    * [[iinPlausible]]. The greedy [[CardCandidatePattern]] misaligns
+    * past a PAN fused into a longer timestamp/id run; this scan
+    * cannot (it tries every alignment). Bounded work: ≤ 7·len(run)
+    * windows, each a ≤19-byte codegen'd Luhn fold — linear in corpus
+    * bytes, per-row, shuffle-free. Window counts can overlap (a
+    * 16-digit PAN inside a run contributes 1; two fused PANs
+    * contribute 2; a window passing both gates by chance — ~0.1% per
+    * IIN-shaped window — also counts): this column is a detector for
+    * auditors, not an exact PAN parse. NULL text → NULL (callers
+    * coalesce; [[piiAudit]] selects from non-null-guarded docs like
+    * its sibling columns). */
+  def cardWindowsValid(text: Column): Column = {
+    val runs = regexp_extract_all(text, lit(DigitRunPattern), lit(0))
+    val windows = flatten(transform(runs, r =>
+      flatten(transform(sequence(lit(13), lit(19)), l =>
+        when(length(r) >= l,
+          transform(sequence(lit(0), length(r) - l),
+            o => r.substr(o + lit(1), l)))
+          .otherwise(array().cast("array<string>"))))))
+    size(filter(windows, w => luhnValid(w) && iinPlausible(w)))
+      .cast("long")
+  }
 
   /** IPv4 candidate: four dot-separated 1–3 digit octets. Candidates
     * only — `999.1.1.1` matches; octet-range VALIDATION is
@@ -475,6 +536,8 @@ object TextAnalysis {
     * you can alert on and one that cries wolf on every timestamp.
     *
     * Output: id, n_emails, n_card_candidates, n_cards_luhn,
+    * n_cards_embedded ([[cardWindowsValid]] — PANs fused inside
+    * longer digit runs, which the greedy candidate misses),
     * n_ipv4_candidates, n_ipv4_valid, n_iban_candidates,
     * n_ibans_valid, n_phones_e164 (shape-only — see
     * [[PhoneE164Pattern]]). Entirely per-row expression work (regex extract
@@ -497,6 +560,7 @@ object TextAnalysis {
       size(cards).cast("long").as("n_card_candidates"),
       size(filter(cards, c => luhnValid(c))).cast("long")
         .as("n_cards_luhn"),
+      cardWindowsValid(col(textCol)).as("n_cards_embedded"),
       size(ips).cast("long").as("n_ipv4_candidates"),
       size(filter(ips, ip =>
         forall(split(ip, "\\."), o => o.cast("int") <= 255)))
@@ -534,7 +598,10 @@ object TextAnalysis {
       Ipv4CandidatePattern, "[IP]")
 
   /** TRUE iff the text carries VALIDATED PII — an email shape, a
-    * Luhn-valid card run, an octet-valid IPv4, or a mod-97-valid
+    * Luhn-valid card run, a Luhn∧IIN-valid window EMBEDDED in a
+    * longer digit run ([[cardWindowsValid]] — so a PAN fused into a
+    * timestamp/id run trips the gate, VERDICT r14 #2), an octet-valid
+    * IPv4, or a mod-97-valid
     * IBAN — the row-level predicate under [[piiAudit]] (same
     * candidates, same validation) for gates that must decide per
     * row: pure per-row expression work, shuffle-free, stateless (so
@@ -557,28 +624,42 @@ object TextAnalysis {
     coalesce(
       (regexp_count(text, lit(EmailPattern)) > 0) ||
         exists(cards, c => luhnValid(c)) ||
+        (cardWindowsValid(text) > 0) ||
         exists(ips, ip =>
           forall(split(ip, "\\."), o => o.cast("int") <= 255)) ||
         exists(ibans, b => ibanValid(b)),
       lit(false))
   }
 
-  /** Sentence segmentation: maximal runs of non-terminator characters
-    * plus their trailing `.!?` runs, trimmed, empties dropped — the
-    * unit below [[graft.operators.Dedup.segmentDedup]]'s lines when
-    * boilerplate recurs at sentence granularity (nav snippets, cookie
-    * banners), and the natural input for sentence-level PII/quality
-    * passes. One per-row `regexp_extract_all` + array ops + a
-    * posexplode: shuffle-free, codegen-friendly. The pattern
-    * deliberately avoids lookbehind (RE2 has none) so the DuckDB
-    * oracle replays it verbatim; abbreviation handling ("Dr.") is a
-    * model problem, not a regex problem, and out of scope by design.
+  /** Sentence segmentation on terminator+WHITESPACE boundaries: a
+    * sentence ends at a `.!?` run only when whitespace (or
+    * end-of-text) follows, so DOTTED TOKENS — emails, IPv4s, decimal
+    * numbers, version strings — stay whole inside their sentence
+    * (VERDICT r14 #3: the previous every-terminator split cut
+    * `user@a.com` / `10.1.2.3` across sentences, making exactly those
+    * two PII classes unlocatable at sentence granularity). Mechanics:
+    * one `regexp_replace` rewrites `([.!?]+)[ \t\n\r\f]+` to the
+    * terminator run plus a `\u0001` sentinel (pre-stripped from the
+    * text, so a pathological input cannot forge boundaries), then a
+    * plain split on the sentinel; trimmed, empties dropped. No
+    * lookbehind/lookahead (RE2 has none) and an explicit whitespace
+    * class (Java's `\s` includes `\x0B`; RE2's does not), so the
+    * DuckDB oracle replays the split byte-for-byte. The unit below
+    * [[graft.operators.Dedup.segmentDedup]]'s lines when boilerplate
+    * recurs at sentence granularity, and the natural input for
+    * sentence-level PII/quality passes; shuffle-free, per-row.
+    * Abbreviation handling ("Dr.") remains a model problem, out of
+    * scope by design.
     * Output: id, sent_idx (0-based), n_tokens, sentence. */
   def sentences(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val parts = regexp_extract_all(col(textCol),
-      lit("[^.!?]+[.!?]*"), lit(0))
-    val cleaned = filter(transform(parts, s => trim(s)), s => s =!= "")
+    val marked = regexp_replace(
+      regexp_replace(col(textCol), "\u0001", ""),
+      "([.!?]+)[ \t\n\r\f]+", "$1\u0001")
+    // a part must carry at least one non-terminator character --
+    // terminator-only fragments ("...") are junk, not sentences
+    val cleaned = filter(transform(split(marked, "\u0001"),
+      s => trim(s)), s => s =!= "" && s.rlike("[^.!?]"))
     docs.select(col(id),
         posexplode(cleaned).as(Seq("sent_idx", "sentence")))
       .select(col(id), col("sent_idx").cast("long").as("sent_idx"),

@@ -393,15 +393,16 @@ object ScdStream {
     * keeps its text — route it through
     * [[graft.operators.TextAnalysis.redactPii]] + a batch re-audit
     * to recover redacted copies instead of dropping the documents
-    * outright. NULL text trivially carries no PII and PASSES (the
-    * predicate's NULL is coalesced — without it a null-text row
-    * would be silently dropped, the wrong bias for an admission
-    * gate whose job is to remove PII, not rows). */
+    * outright. NULL text trivially carries no PII and PASSES —
+    * [[graft.operators.TextAnalysis.hasValidatedPii]] itself
+    * coalesces its NULL to FALSE (its scaladoc's three-valued-logic
+    * argument), so the negation is TRUE for null text and the WHERE
+    * keeps the row; no second coalesce needed at this layer
+    * (ADVICE r14). */
   def piiStreamGate(stream: DataFrame,
       textCol: String = "text"): DataFrame =
-    stream.where(coalesce(
-      !graft.operators.TextAnalysis.hasValidatedPii(col(textCol)),
-      lit(true)))
+    stream.where(
+      !graft.operators.TextAnalysis.hasValidatedPii(col(textCol)))
 
   /** STREAMING sequence packing — the ingest-time face of
     * [[graft.operators.Packing.packAppendWith]]: each shard's running
@@ -414,7 +415,15 @@ object ScdStream {
     * use the batch forms where a global key order matters.
     *
     * Within a micro-batch each (shard, batch) group sorts in memory
-    * by `orderCol` (must be long-castable — ingest seq ids), bounded
+    * by `orderCol` — REQUIRED to be an integral type (ingest seq
+    * ids), checked at construction: a string orderCol would sort
+    * lexicographically in the batch twin ('10' < '9') but
+    * numerically here, silently breaking the spec-pinned
+    * batch-equivalence, and a non-castable value would otherwise
+    * throw a bare NumberFormatException inside the state function
+    * and kill the query (ADVICE r14). A NULL orderCol fails loud in
+    * the PLAN (`raise_error` with the column name) — a null seq id
+    * has no position in the pack order. The sort volume is bounded
     * by the batch's rows per shard — the same volume the batch
     * window's sort pays, just per trigger. State per shard is ONE
     * long. Null-token rows (null text) are dropped, matching the
@@ -423,17 +432,29 @@ object ScdStream {
   def packStream(df: DataFrame, shardCol: String, orderCol: String,
       textCol: String = "text", maxTokens: Int = 2048): DataFrame = {
     require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StructField, StructType}
+    val ordType = df.schema(orderCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(ordType),
+      s"packStream: orderCol `$orderCol` must be an integral type " +
+        s"(ingest seq ids), got $ordType — a non-integral column " +
+        "would order differently here than in the batch packAppend " +
+        "twin; cast or renumber upstream")
     val withN = df.withColumn("n_tokens",
       graft.operators.TextAnalysis.tokenCount(col(textCol))
         .cast("long"))
       .where(col("n_tokens").isNotNull)
+      .withColumn("__pack_ord", coalesce(col(orderCol).cast("long"),
+        raise_error(lit(s"packStream: orderCol `$orderCol` is NULL — " +
+          "a null seq id has no position in the pack order"))))
     val inSchema = withN.schema
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val outSchema = StructType(inSchema.fields ++ Seq(
-      StructField("start_offset", LongType),
-      StructField("chunk_id", LongType)))
+    val outSchema = StructType(
+      inSchema.fields.filterNot(_.name == "__pack_ord") ++ Seq(
+        StructField("start_offset", LongType),
+        StructField("chunk_id", LongType)))
     val enc = Encoders.row(outSchema)
-    val ordIdx = inSchema.fieldIndex(orderCol)
+    val ordIdx = inSchema.fieldIndex("__pack_ord")
     val nIdx = inSchema.fieldIndex("n_tokens")
     val m = maxTokens.toLong
     withN
@@ -445,12 +466,14 @@ object ScdStream {
         (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
           var off = state.getOption.getOrElse(0L)
           val out = rows.toVector
-            .sortBy(r => String.valueOf(r.getAs[Any](ordIdx)).toLong)
+            .sortBy(_.getLong(ordIdx))
             .map { r =>
               val n = r.getLong(nIdx)
               val s = off
               off += n
-              Row.fromSeq(r.toSeq ++ Seq(s, s / m))
+              // __pack_ord is inSchema's last field — dropped from
+              // the emitted row (internal sort key only)
+              Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(s, s / m))
             }
           state.update(off)
           out.iterator

@@ -194,8 +194,10 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, "clean text, no candidates anywhere"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiAudit(docs).collect().map(r =>
-      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
-        r.getLong(5))).toMap
+      r.getLong(0) -> (r.getAs[Long]("n_card_candidates"),
+        r.getAs[Long]("n_cards_luhn"),
+        r.getAs[Long]("n_ipv4_candidates"),
+        r.getAs[Long]("n_ipv4_valid"))).toMap
     assert(got(1L) == ((2L, 1L, 0L, 0L)),
       s"Luhn must keep exactly the constructed-valid twin: ${got(1L)}")
     assert(got(2L) == ((1L, 1L, 0L, 0L)),
@@ -254,7 +256,8 @@ class TextAnalysisSpec extends SparkSpec {
       (6L, "serial XY99ABCDEFGHIJ0123 looks bankish"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiAudit(docs).collect().map(r =>
-      r.getLong(0) -> (r.getLong(6), r.getLong(7))).toMap
+      r.getLong(0) -> (r.getAs[Long]("n_iban_candidates"),
+        r.getAs[Long]("n_ibans_valid"))).toMap
     assert(got(1L) == ((1L, 1L)), got(1L).toString)
     assert(got(2L) == ((1L, 1L)), got(2L).toString)
     assert(got(3L) == ((1L, 1L)), got(3L).toString)
@@ -273,7 +276,7 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "short +1234567 only 7 digits"))           // below the floor
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiAudit(docs).collect().map(r =>
-      r.getLong(0) -> r.getLong(8)).toMap
+      r.getLong(0) -> r.getAs[Long]("n_phones_e164")).toMap
     assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
       got.toString)
     // shape-only: phones never trip the VALIDATED gate
@@ -564,6 +567,63 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2L, 1L, "Four?"),
       (1L, 3L, 3L, "And no end"),
       (3L, 0L, 3L, "Just one line")))
+  }
+
+  test("sentences: dotted tokens (emails, IPv4, decimals) stay whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Mail a.user@ex.com today. Host 10.1.2.3 is up. Done"),
+      (2L, "Version 1.2.3 shipped! v1.2.4 next?"),
+      (3L, "trailing dot inside x.y.z")).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(docs)
+      .orderBy("doc_id", "sent_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "Mail a.user@ex.com today."),
+      (1L, 1L, "Host 10.1.2.3 is up."),
+      (1L, 2L, "Done"),
+      (2L, 0L, "Version 1.2.3 shipped!"),
+      (2L, 1L, "v1.2.4 next?"),
+      (3L, 0L, "trailing dot inside x.y.z")))
+  }
+
+  test("cardWindowsValid: detects a PAN fused into a longer digit run") {
+    import spark.implicits._
+    val docs = Seq(
+      // the q_pii_audit embedded fixture: greedy 19-prefix is
+      // Luhn-invalid, exactly one window passes Luhn AND IIN
+      (1L, "trace 99204111111111111111880 end"),
+      // a standalone valid PAN is also one window (its own alignment)
+      (2L, "card 4111111111111111"),
+      // Luhn-valid but IIN-implausible run (starts with 7): 0 windows
+      (3L, "id 7111111111111114"),
+      // Luhn-failing PAN shape: 0
+      (4L, "n 4111111111111112"),
+      // short run (< 13 digits): no window domain at all
+      (5L, "tel 411111111111"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+      TextAnalysis.cardWindowsValid($"text").as("w"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> -1L), got.toString)
+    // the greedy candidate audit MISSES the fused PAN; the window
+    // column catches it — the exact gap VERDICT r14 #2 named
+    val audit = TextAnalysis.piiAudit(docs.where($"doc_id" === 1))
+      .collect().head
+    assert(audit.getAs[Long]("n_cards_luhn") == 0L)
+    assert(audit.getAs[Long]("n_cards_embedded") == 1L)
+    // and the gate now trips on it (stream gate rides the same
+    // predicate), while redaction still closes the recovery loop
+    val flagged = docs.where($"doc_id" === 1)
+      .select(TextAnalysis.hasValidatedPii($"text")).collect().head
+    assert(flagged.getBoolean(0))
+    val recovered = docs.where($"doc_id" === 1)
+      .select(TextAnalysis.hasValidatedPii(
+        TextAnalysis.redactPiiAll($"text"))).collect().head
+    assert(!recovered.getBoolean(0))
   }
 
   test("dsirWeights: target-like docs outweigh off-target; selection deterministic") {
