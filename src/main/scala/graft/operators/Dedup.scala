@@ -135,15 +135,17 @@ object Dedup {
     * (shingle) rows; staleness contract as the other artifacts. */
   def decontaminationIndexWrite(benchmark: DataFrame, path: String,
       id: String = "doc_id", textCol: String = "text",
-      w: Int = 8): Unit =
+      w: Int = 8): Long =
     // `w` rides every row (dictionary-encodes to ~nothing): the
     // artifact's grams ARE w-grams, and a consumer probing at a
     // different w misses EVERY gram — silently passing contaminated
     // docs (ADVICE r13). [[decontaminationIndexGrams]] validates it.
-    shingles(benchmark, id, textCol, w)
-      .select(col("shingle")).distinct()
-      .withColumn("w", lit(w))
-      .write.mode("overwrite").parquet(path)
+    // Returns the gram count from the write itself (VERDICT r14 #6).
+    graft.functions.CountedWrite(
+      shingles(benchmark, id, textCol, w)
+        .select(col("shingle")).distinct()
+        .withColumn("w", lit(w)))(
+      _.write.mode("overwrite").parquet(path))
 
   /** Read a [[decontaminationIndexWrite]] artifact's gram set,
     * VALIDATING the stored build `w` against the caller's (ADVICE

@@ -312,11 +312,12 @@ object Layout {
 
   /** Persist a zone map beside the data (the manifest is KB-scale —
     * one row per file — so a single output file keeps the probe a
-    * one-task read). */
+    * one-task read). Returns the manifest row (= file) count from the
+    * write itself (VERDICT r14 #6: no post-write rescan). */
   def zoneMapWrite(spark: SparkSession, dataDir: String,
-      cols: Seq[String], manifestPath: String): Unit =
-    zoneMapBuild(spark, dataDir, cols)
-      .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+      cols: Seq[String], manifestPath: String): Long =
+    graft.functions.CountedWrite(zoneMapBuild(spark, dataDir, cols))(
+      _.coalesce(1).write.mode("overwrite").parquet(manifestPath))
 
   /** Incremental manifest growth: the dir listing is diffed against
     * the manifest DRIVER-SIDE (file paths only), and stats are
@@ -457,7 +458,7 @@ object Layout {
     * Swap is write-tmp → delete → rename: a crash between the last
     * two leaves no manifest (rebuildable), never a corrupt one. */
   def zoneMapRefresh(spark: SparkSession, dataDir: String,
-      manifestPath: String, cols: Seq[String] = Nil): Unit =
+      manifestPath: String, cols: Seq[String] = Nil): Long =
     manifestRefresh(spark, dataDir, manifestPath) { (man, freshDf) =>
       val cs =
         if (cols.nonEmpty) cols
@@ -471,7 +472,7 @@ object Layout {
     * (file, bloom) schema, so the caller restates them. */
   def bloomManifestRefresh(spark: SparkSession, dataDir: String,
       key: String, expectedItemsPerFile: Long,
-      manifestPath: String): Unit =
+      manifestPath: String): Long =
     manifestRefresh(spark, dataDir, manifestPath)((_, freshDf) =>
       bloomManifestOf(freshDf, key, expectedItemsPerFile))
 
@@ -479,10 +480,13 @@ object Layout {
     * the recursive dir listing (driver-side, O(files) — the manifest
     * is one row per file by construction), keep live rows, compute
     * stats for unknown files via `statsOf(manifest, freshRead)`, and
-    * atomically swap the merged manifest in. */
+    * atomically swap the merged manifest in. Returns the manifest's
+    * row count after the refresh — from the swap write itself, or
+    * from the already-collected file list on a no-op (VERDICT r14
+    * #6: never a rescan of the manifest). */
   private def manifestRefresh(spark: SparkSession, dataDir: String,
       manifestPath: String)(
-      statsOf: (DataFrame, DataFrame) => DataFrame): Unit = {
+      statsOf: (DataFrame, DataFrame) => DataFrame): Long = {
     def norm(s: String): String = new Path(s).toUri.getPath
     val manPath = new Path(manifestPath)
     val fs = manPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -494,7 +498,7 @@ object Layout {
     val dead = manFiles.filterNot(f => onDiskNorm(norm(f)))
     val knownNorm = manFiles.map(norm).toSet
     val freshPaths = onDisk.filterNot(p => knownNorm(norm(p)))
-    if (dead.isEmpty && freshPaths.isEmpty) return
+    if (dead.isEmpty && freshPaths.isEmpty) return manFiles.length.toLong
     val kept =
       if (dead.isEmpty) man
       else {
@@ -511,12 +515,14 @@ object Layout {
       "." + manPath.getName + ".refresh-tmp")
     fs.delete(tmp, true)
     // writing tmp materializes `merged` BEFORE the old manifest goes
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val n = graft.functions.CountedWrite(merged)(
+      _.coalesce(1).write.mode("overwrite").parquet(tmp.toString))
     fs.delete(manPath, true)
     if (!fs.rename(tmp, manPath))
       throw new IllegalStateException(
         s"manifest refresh: rename $tmp -> $manPath failed; " +
           s"rebuilt manifest left at $tmp")
+    n
   }
 
   /** Table maintenance: compact a directory's accumulated small files
@@ -700,11 +706,13 @@ object Layout {
       .agg(CatalystBridge.bloomFilterAgg(xxhash64(col(key)),
         expectedItemsPerFile).as("bloom"))
 
-  /** Persist a bloom manifest (see [[zoneMapWrite]]). */
+  /** Persist a bloom manifest (see [[zoneMapWrite]]); returns the
+    * manifest row count from the write itself. */
   def bloomManifestWrite(spark: SparkSession, dataDir: String,
-      key: String, expectedItemsPerFile: Long, manifestPath: String): Unit =
-    bloomManifestBuild(spark, dataDir, key, expectedItemsPerFile)
-      .coalesce(1).write.mode("overwrite").parquet(manifestPath)
+      key: String, expectedItemsPerFile: Long, manifestPath: String): Long =
+    graft.functions.CountedWrite(
+      bloomManifestBuild(spark, dataDir, key, expectedItemsPerFile))(
+      _.coalesce(1).write.mode("overwrite").parquet(manifestPath))
 
   /** Point-lookup scan through a bloom manifest: open only files whose
     * bloom might contain `value`, then re-check `key = value` exactly

@@ -158,12 +158,14 @@ object Similarity {
     * artifacts: rebuild when the corpus changes. */
   def ivfIndexWrite(corpus: DataFrame, path: String, k: Int = 8,
       iters: Int = 2, id: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Long = {
     kmeansFit(corpus, k, iters, id, vecCol)
       .write.mode("overwrite").parquet(s"$path/cents")
     val pc = corpus.sparkSession.read.parquet(s"$path/cents")
-    assignCells(corpus, pc, id, vecCol).drop("cosine")
-      .write.mode("overwrite").parquet(s"$path/assigned")
+    // the assigned-vector count rides the write (VERDICT r14 #6)
+    graft.functions.CountedWrite(
+      assignCells(corpus, pc, id, vecCol).drop("cosine"))(
+      _.write.mode("overwrite").parquet(s"$path/assigned"))
   }
 
   /** Read an [[ivfIndexWrite]] artifact → (cents, assigned). */

@@ -743,11 +743,12 @@ object Sketch {
     * serve-cheap split ([[Retrieval.tfIndexWrite]] pattern): the
     * corpus pays ONE histogram pass, every later quantile query reads
     * ≤ ~1 920 rows. Staleness contract as the other artifacts: rebuild
-    * (or [[hdrIndexAppend]]) when the corpus changes. */
+    * (or [[hdrIndexAppend]]) when the corpus changes. Returns the
+    * bucket count from the write itself. */
   def hdrIndexWrite(df: DataFrame, valueCol: String, subBits: Int,
-      path: String): Unit =
-    hdrSketch(df, valueCol, subBits)
-      .write.mode("overwrite").parquet(path)
+      path: String): Long =
+    graft.functions.CountedWrite(hdrSketch(df, valueCol, subBits))(
+      _.write.mode("overwrite").parquet(path))
 
   /** Load a persisted histogram, re-merged per key — partial rows from
     * appended batches collapse here, so readers always see ONE row per

@@ -1313,11 +1313,13 @@ object TextAnalysis {
   /** Persist a trained BPE merge table — the tokenizer artifact of the
     * build-once/serve-cheap family (tf/sig/pq indexes): train pays the
     * corpus passes once, every ingest batch [[bpeEncodeWith]]s against
-    * the parquet merge table. The table is merge-count-sized (KB). */
+    * the parquet merge table. The table is merge-count-sized (KB).
+    * Returns the merge count actually learned, from the write itself
+    * (early stop can yield fewer than requested). */
   def bpeIndexWrite(docs: DataFrame, merges: Int, path: String,
-      textCol: String = "text"): Unit =
-    bpeTrain(docs, merges, textCol)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      textCol: String = "text"): Long =
+    graft.functions.CountedWrite(bpeTrain(docs, merges, textCol))(
+      _.coalesce(1).write.mode("overwrite").parquet(path))
 
   /** Load a persisted merge table in training order — a driver-local
     * finish bounded by the MERGE COUNT (tokenizer vocabularies are

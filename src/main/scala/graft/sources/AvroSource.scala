@@ -264,7 +264,7 @@ object AvroSource {
     * can round-trip a reference-format (Avro) table dir. Distributed:
     * each task writes its partition's container file. */
   def write(df: DataFrame, path: String,
-      recordName: String = "record"): Unit = {
+      recordName: String = "record"): Long = {
     val avroSchema = toAvroSchema(df.schema, recordName)
     val schemaJson = avroSchema.toString
     val conf = new org.apache.hadoop.conf.Configuration(
@@ -276,6 +276,11 @@ object AvroSource {
       classOf[org.apache.avro.generic.GenericData].getName)
     val fields = df.schema.fields
     val convs = fields.map(f => convOfSpark(f.dataType))
+    // the written-row count rides the save through an accumulator
+    // (this is an RDD write — no Observation hook), so callers report
+    // what they wrote without a rescan (VERDICT r14 #6)
+    val written = df.sparkSession.sparkContext
+      .longAccumulator("graft.avro.rows_written")
     df.rdd.mapPartitions { rows =>
       // schema re-parsed per partition (Schema isn't serializable-safe
       // across all avro versions); records built positionally
@@ -288,12 +293,14 @@ object AvroSource {
             schema.getFields.get(i).schema()))
           i += 1
         }
+        written.add(1L)
         (new AvroKey[GenericRecord](rec), NullWritable.get())
       }
     }.saveAsNewAPIHadoopFile(path,
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
       classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[GenericRecord]],
       conf)
+    written.value
   }
 
   /** Spark StructType → Avro record schema (reverse of the §1.2 map;

@@ -62,7 +62,8 @@ object ScdProcedures {
     * materialize the as-of view as an updates-free snapshot
     * ([[ScdReader.compact]]); `clear_log` additionally truncates the
     * source log to the unconsumed remainder. Returns the snapshot row
-    * count (one count scan of what was just written).
+    * count from the write path itself (VERDICT r14 #6 — no rescan of
+    * the snapshot).
     *
     * Concurrency (MaintenanceConcurrencySpec pins it): sequential
     * interleavings with `add_update` serialize — append-then-compact
@@ -85,11 +86,10 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 1)
-      ScdReader.compact(spark, str(r, 0), out,
+      val n = ScdReader.compact(spark, str(r, 0), out,
         asOf = if (r.isNullAt(2)) None else Some(str(r, 2)),
         clearLog = !r.isNullAt(3) && r.getBoolean(3))
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(out).count()))
+      new GenericInternalRow(Array[Any](utf8(out), n))
     }
   }
 
@@ -160,11 +160,11 @@ object ScdProcedures {
       val (dir, cs, man) = (str(r, 0), cols(str(r, 1)).toSeq, str(r, 2))
       val fs = new org.apache.hadoop.fs.Path(man)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(new org.apache.hadoop.fs.Path(man)))
-        Layout.zoneMapRefresh(spark, dir, man, cs)
-      else Layout.zoneMapWrite(spark, dir, cs, man)
-      new GenericInternalRow(Array[Any](utf8(man),
-        spark.read.parquet(man).count()))
+      val n =
+        if (fs.exists(new org.apache.hadoop.fs.Path(man)))
+          Layout.zoneMapRefresh(spark, dir, man, cs)
+        else Layout.zoneMapWrite(spark, dir, cs, man)
+      new GenericInternalRow(Array[Any](utf8(man), n))
     }
   }
 
@@ -186,11 +186,11 @@ object ScdProcedures {
         (str(r, 0), str(r, 1), r.getLong(2), str(r, 3))
       val fs = new org.apache.hadoop.fs.Path(man)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(new org.apache.hadoop.fs.Path(man)))
-        Layout.bloomManifestRefresh(spark, dir, key, n, man)
-      else Layout.bloomManifestWrite(spark, dir, key, n, man)
-      new GenericInternalRow(Array[Any](utf8(man),
-        spark.read.parquet(man).count()))
+      val files =
+        if (fs.exists(new org.apache.hadoop.fs.Path(man)))
+          Layout.bloomManifestRefresh(spark, dir, key, n, man)
+        else Layout.bloomManifestWrite(spark, dir, key, n, man)
+      new GenericInternalRow(Array[Any](utf8(man), files))
     }
   }
 
@@ -237,10 +237,9 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 3)
-      graft.operators.TextAnalysis.bpeIndexWrite(
+      val n = graft.operators.TextAnalysis.bpeIndexWrite(
         spark.read.parquet(str(r, 0)), r.getInt(2), out, str(r, 1))
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(out).count()))
+      new GenericInternalRow(Array[Any](utf8(out), n))
     }
   }
 
@@ -263,11 +262,10 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 4)
-      graft.operators.UnigramTokenizer.unigramIndexWrite(
+      val n = graft.operators.UnigramTokenizer.unigramIndexWrite(
         spark.read.parquet(str(r, 0)), r.getInt(2), r.getInt(3), out,
         str(r, 1))
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(out).count()))
+      new GenericInternalRow(Array[Any](utf8(out), n))
     }
   }
 
@@ -292,10 +290,9 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 3)
-      graft.operators.Sketch.hdrIndexWrite(
+      val n = graft.operators.Sketch.hdrIndexWrite(
         spark.read.parquet(str(r, 0)), str(r, 1), r.getInt(2), out)
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(out).count()))
+      new GenericInternalRow(Array[Any](utf8(out), n))
     }
   }
 
@@ -320,11 +317,10 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 4)
-      graft.operators.Dedup.decontaminationIndexWrite(
+      val n = graft.operators.Dedup.decontaminationIndexWrite(
         spark.read.parquet(str(r, 0)), out, id = str(r, 1),
         textCol = str(r, 2), w = r.getInt(3))
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(out).count()))
+      new GenericInternalRow(Array[Any](utf8(out), n))
     }
   }
 
@@ -455,11 +451,10 @@ object ScdProcedures {
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
       val out = str(r, 5)
-      graft.operators.Similarity.ivfIndexWrite(
+      val n = graft.operators.Similarity.ivfIndexWrite(
         spark.read.parquet(str(r, 0)), out, k = r.getInt(3),
         iters = r.getInt(4), id = str(r, 1), vecCol = str(r, 2))
-      new GenericInternalRow(Array[Any](utf8(out),
-        spark.read.parquet(s"$out/assigned").count()))
+      new GenericInternalRow(Array[Any](utf8(out), n))
     }
   }
 
@@ -469,11 +464,11 @@ object ScdProcedures {
     * Luhn cards, octet-checked IPv4s, mod-97 IBANs, emails) over a
     * parquet corpus and persist the per-document report as the
     * audit artifact. Returns the report path, the doc count, and how
-    * many documents carry validated PII (the alertable number) —
-    * both counted from the written report in ONE aggregation pass,
-    * not a per-metric rescan. One corpus scan total: the audit is
-    * pure per-row expression work, so the CALL costs exactly the
-    * read + the report write. */
+    * many documents carry validated PII (the alertable number,
+    * embedded-window hits included) — both observed ON the report
+    * write (VERDICT r14 #6: the written files are never re-read).
+    * One corpus scan total: the audit is pure per-row expression
+    * work, so the CALL costs exactly the read + the report write. */
   object PiiAudit extends GraftProcedure("pii_audit",
     "Persist the validated-PII per-document audit report") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -485,19 +480,22 @@ object ScdProcedures {
         StructField("n_docs_with_pii", LongType)))
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
-      import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+      import org.apache.spark.sql.functions.{
+        coalesce, col, count, lit, sum, when}
       val out = str(r, 3)
+      val obs = org.apache.spark.sql.Observation()
       graft.operators.TextAnalysis.piiAudit(
           spark.read.parquet(str(r, 0)), id = str(r, 1),
           textCol = str(r, 2))
+        .observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(when(col("n_emails") + col("n_cards_luhn") +
+            col("n_cards_embedded") + col("n_ipv4_valid") +
+            col("n_ibans_valid") > 0, 1L)
+            .otherwise(0L)), lit(0L)).as("p"))
         .write.mode("overwrite").parquet(out)
-      val c = spark.read.parquet(out).agg(
-        count(lit(1)).as("n"),
-        sum(when(col("n_emails") + col("n_cards_luhn") +
-          col("n_ipv4_valid") + col("n_ibans_valid") > 0, 1L)
-          .otherwise(0L)).as("p")).head()
-      new GenericInternalRow(Array[Any](utf8(out), c.getLong(0),
-        c.getLong(1)))
+      new GenericInternalRow(Array[Any](utf8(out),
+        obs.get("n").asInstanceOf[Long],
+        obs.get("p").asInstanceOf[Long]))
     }
   }
 
@@ -506,9 +504,8 @@ object ScdProcedures {
     * texts ([[graft.operators.Packing.chunkText]]) as the training
     * artifact from pure SQL: one corpus scan, one exchange (the
     * chunkText plan), one write. Returns the artifact path, window
-    * count, and total tokens — counted from the written artifact
-    * with the text column PRUNED (parquet column pruning makes the
-    * report scan pay only the two stat columns, not the text). */
+    * count, and total tokens — observed ON the write (VERDICT r14
+    * #6: the written files are never re-read). */
   object PackShards extends GraftProcedure("pack_shards",
     "Materialize packed context-window texts as the training artifact") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -521,17 +518,20 @@ object ScdProcedures {
         StructField("n_tokens", LongType)))
     override protected def run(spark: SparkSession,
         r: InternalRow): InternalRow = {
-      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      import org.apache.spark.sql.functions.{
+        coalesce, col, count, lit, sum}
       val out = str(r, 5)
+      val obs = org.apache.spark.sql.Observation()
       graft.operators.Packing.chunkText(
           spark.read.parquet(str(r, 0)),
           col(str(r, 1)), col(str(r, 2)), textCol = str(r, 3),
           maxTokens = r.getInt(4))
+        .observe(obs, count(lit(1)).as("c"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("t"))
         .write.mode("overwrite").parquet(out)
-      val c = spark.read.parquet(out)
-        .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t")).head()
-      new GenericInternalRow(Array[Any](utf8(out), c.getLong(0),
-        c.getLong(1)))
+      new GenericInternalRow(Array[Any](utf8(out),
+        obs.get("c").asInstanceOf[Long],
+        obs.get("t").asInstanceOf[Long]))
     }
   }
 
