@@ -1763,7 +1763,12 @@ object SparkEntry {
 
     // PII scrub: typed placeholder redaction + hit counts
     "text_pii" -> ((s, dir) =>
-      TextAnalysis.piiScrub(t(s, dir, "documents")).orderBy("doc_id")),
+      TextAnalysis.piiScrub(t(s, dir, "documents"))
+        // bench honesty (VERDICT r14 #7): reference every computed
+        // column so count() pays the redaction regexes
+        .where(coalesce(col("n_emails") + col("n_longnums") +
+          length(col("redacted")), lit(0L)) >= 0)
+        .orderBy("doc_id")),
 
     // VALIDATED PII audit over injected PII (the fixture carries
     // none): every doc gains one email, one IPv4 candidate that is
@@ -1779,6 +1784,16 @@ object SparkEntry {
     // Luhn ∧ IIN — verified by hand and replayed by the oracle)
     "q_pii_audit" -> ((s, dir) => {
       TextAnalysis.piiAudit(piiAuditInjected(t(s, dir, "documents")))
+        // bench honesty (VERDICT r14 #7): count() prunes pure
+        // projections, so without this ALWAYS-TRUE filter (counts are
+        // non-negative; coalesce guards a null-text doc's null
+        // counts) the board would time a column-less scan instead of
+        // the audit — 0.25 s vs the real ~7 s at sf10
+        .where(coalesce(col("n_emails") + col("n_card_candidates") +
+          col("n_cards_luhn") + col("n_cards_embedded") +
+          col("n_ipv4_candidates") + col("n_ipv4_valid") +
+          col("n_iban_candidates") + col("n_ibans_valid") +
+          col("n_phones_e164"), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -2783,6 +2798,12 @@ object SparkEntry {
     "q_fim" -> ((s, dir) =>
       Packing.fimTransform(t(s, dir, "documents"), rate = 0.5)
         .select(col("doc_id"), col("fim_applied"), col("text_fim"))
+        // bench honesty (VERDICT r14 #7): the always-true filter
+        // (length ≥ 0; −1 fallback keeps a null-text doc) references
+        // both computed columns so count() pays the full PSM
+        // transform, not a pruned scan
+        .where(coalesce(length(col("text_fim")), lit(-1)) +
+          coalesce(col("fim_applied").cast("long"), lit(0L)) >= -1)
         .orderBy("doc_id")),
 
     // RAG passage chunking: per-doc overlapping token windows
