@@ -246,11 +246,16 @@ object Dedup {
       id: String = "doc_id", textCol: String = "text", w: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val corpusSh = shingles(corpus, id, textCol, w)
-    val dfreq = corpusSh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val ordC = dfOrderedArrays(corpusSh, dfreq, id, frozen = false)
+    // one dictionary, checkpointed: both sides' arrays must carry the
+    // SAME (df, shingle)→sid assignment
+    val dict = corpusSh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("sid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    val ordC = dfOrderedArrays(corpusSh, dict, id)
       .localCheckpoint(false) // feeds postings, verify AND the roster
-    val ordB = dfOrderedArrays(shingles(benchmark, id, textCol, w),
-      dfreq, id, frozen = true)
+    val shB = shingles(benchmark, id, textCol, w)
+    val ordB = dfOrderedArrays(shB,
+      dict.unionByName(unseenDict(shB, dict)), id)
       .localCheckpoint(false) // feeds prefixes AND verify
     decontaminateNearFrom(ordC, ordB, id, threshold)
   }
@@ -267,11 +272,13 @@ object Dedup {
       id: String = "doc_id", textCol: String = "text", w: Int = 3,
       threshold: Double = 0.8): DataFrame = {
     val spark = benchmark.sparkSession
-    val ordC = spark.read.parquet(s"$indexPath/docs")
-    val dfreq = jaccardIndexDfreq(spark, indexPath, w,
+    val ordC = jaccardIndexDocs(spark, indexPath,
       "decontaminateNearIndexed")
-    val ordB = dfOrderedArrays(shingles(benchmark, id, textCol, w),
-      dfreq, id, frozen = true)
+    val dict = jaccardIndexDict(spark, indexPath, w,
+      "decontaminateNearIndexed")
+    val shB = shingles(benchmark, id, textCol, w)
+    val ordB = dfOrderedArrays(shB,
+      dict.unionByName(unseenDict(shB, dict)), id)
       .localCheckpoint(false) // feeds prefixes AND verify
     decontaminateNearFrom(ordC, ordB, id, threshold)
   }
@@ -291,7 +298,9 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val a = ordB.select(col(id).as("id_a"), col("sharr").as("arr_a"))
     val bSide = ordC.select(col(id).as("id_b"), col("sharr").as("arr_b"))
-    val hits = cands.join(a, Seq("id_a")).join(bSide, Seq("id_b"))
+    // shuffle-hash build on the array sides — see verifyByArrays
+    val hits = cands.join(a.hint("shuffle_hash"), Seq("id_a"))
+      .join(bSide.hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_b"),
         (size(array_intersect(col("arr_a"), col("arr_b")))
           .cast("double") / size(col("arr_a")).cast("double"))
@@ -534,10 +543,14 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val tn = tnOf(threshold)
     val sh = shingles(docs, id, textCol, w)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    // per-doc shingle array in (df, shingle) order + set size; lazily
+    // the dictionary: df + a session-assigned sid per distinct
+    // shingle (checkpointed so the assignment is computed once)
+    val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("sid", monotonically_increasing_id())
+      .localCheckpoint(false)
+    // per-doc id array in (df, shingle) order + set size; lazily
     // checkpointed — it feeds the prefix explode AND both verify sides
-    val ordered = dfOrderedArrays(sh, dfreq, id, frozen = false)
+    val ordered = dfOrderedArrays(sh, dict, id)
       .localCheckpoint(false)
     val cands = prefixCandidates(prefixRows(ordered, id, tn), id, tn)
     verifyByArrays(cands, ordered.select(col(id), col("sharr")), id,
@@ -578,12 +591,13 @@ object Dedup {
       chunkBudget: Long = ContainmentChunkBudget): DataFrame = {
     val tn = tnOf(threshold)
     val sh = shingles(docs, id, textCol, w)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("sid", monotonically_increasing_id())
       .localCheckpoint(false) // feeds the ordering join AND the guard
-    val ordered = dfOrderedArrays(sh, dfreq, id, frozen = false)
+    val ordered = dfOrderedArrays(sh, dict, id)
       .localCheckpoint(false)
-    containmentCandidatesVerify(ordered, id, tn, threshold, dfreq,
-      chunkBudget)
+    containmentCandidatesVerify(ordered, id, tn, threshold,
+      dict.select(col("sid"), col("df")), chunkBudget)
   }
 
   /** Per-pass candidate budget of the containment family's
@@ -613,11 +627,13 @@ object Dedup {
     * shingle = df, shingles being distinct per doc), and the guard's
     * detector. One narrow join of the prefix rows against the
     * vocab-sized df table + a 1-row sum: far cheaper than the
-    * candidate join it sizes, and ~free next to it. */
+    * candidate join it sizes, and ~free next to it. `dfBySid` is
+    * keyed by the dictionary id (`sid`, `df`) — prefix rows explode
+    * id arrays post-r15, so the probe joins in id space. */
   private def prefixCollisionVolume(pre: DataFrame,
-      dfCounts: DataFrame): Long =
-    pre.select(col("shingle"))
-      .join(dfCounts.select(col("shingle"), col("df")), Seq("shingle"))
+      dfBySid: DataFrame): Long =
+    pre.select(col("shingle").as("sid"))
+      .join(dfBySid.select(col("sid"), col("df")), Seq("sid"))
       .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
 
   /** Run candidates→verify in `nChunks` SEQUENTIAL passes over an
@@ -665,11 +681,11 @@ object Dedup {
     * hash-identical by construction and pinned by spec. Normal
     * corpora stay single-pass (the estimate is one narrow join). */
   private def containmentCandidatesVerify(ordered: DataFrame,
-      id: String, tn: Int, threshold: Double, dfCounts: DataFrame,
+      id: String, tn: Int, threshold: Double, dfBySid: DataFrame,
       chunkBudget: Long): DataFrame = {
     def pre = prefixRows(ordered, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
-    val est = prefixCollisionVolume(pre, dfCounts)
+    val est = prefixCollisionVolume(pre, dfBySid)
     val arrs = ordered.select(col(id), col("sharr"))
     verifiedInChunks(chunksFor(est, chunkBudget), arrs, id,
       threshold) { chunk =>
@@ -702,7 +718,9 @@ object Dedup {
       id: String, threshold: Double): DataFrame = {
     val a = arrs.select(col(id).as("id_a"), col("sharr").as("arr_a"))
     val b = arrs.select(col(id).as("id_b"), col("sharr").as("arr_b"))
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    // shuffle-hash build on the array sides — see verifyByArrays
+    cands.join(a.hint("shuffle_hash"), Seq("id_a"))
+      .join(b.hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
           .as("n_common"),
@@ -725,29 +743,49 @@ object Dedup {
     math.max(1, math.floor(threshold * 1000).toInt)
   }
 
-  /** Per-doc shingle array sorted by (df, shingle) + set size — the
-    * common-total-order form the prefix filter needs. `frozen = true`
-    * LEFT-joins `dfreq` (a persisted index's df table) and scores
-    * unseen shingles df 0: (coalesce(df), shingle) is still ONE total
-    * order shared with the indexed corpus — whose own shingles all
-    * carry df ≥ 1 — and ANY common total order preserves the prefix
-    * theorem, so a frozen ordering serves new batches without
-    * reordering (or even touching) the corpus arrays. */
-  private def dfOrderedArrays(sh: DataFrame, dfreq: DataFrame,
-      id: String, frozen: Boolean): DataFrame = {
-    val joined =
-      if (frozen)
-        sh.join(dfreq, Seq("shingle"), "left")
-          .select(col(id), col("shingle"),
-            coalesce(col("df"), lit(0L)).as("df"))
-      else sh.join(dfreq, Seq("shingle"))
-    joined.groupBy(col(id))
-      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
-        .as("ord"))
+  /** Per-doc DICTIONARY-ID array sorted by (df, shingle) + set size —
+    * the common-total-order form the prefix filter needs, with each
+    * shingle replaced by its dictionary id `sid` from `dict`
+    * (r15 dictionary-encoded verification: the verify stage ships one
+    * array per candidate pair across a shuffle, and 8-byte ids cut
+    * that row width ~6× vs shingle strings — measured 67.9 s → 8.9 s
+    * on the sf10 verify; the sid is a bijection over the dict's
+    * shingles, so every intersection/count is EXACTLY the string
+    * arrays'). The ORDER stays (df, shingle) — ids play no ordering
+    * role, so any dict assignment yields the same array order, and
+    * the frozen-order argument is unchanged: a persisted index's dict
+    * scores batch-only shingles df 0 with fresh ids, which is still
+    * ONE total order shared with the indexed corpus, and ANY common
+    * total order preserves the prefix theorem.
+    *
+    * `dict` must cover every shingle of `sh` with columns
+    * (shingle, df, sid) — callers complete it via [[unseenDict]]
+    * when serving batches against a frozen index. */
+  private def dfOrderedArrays(sh: DataFrame, dict: DataFrame,
+      id: String): DataFrame =
+    sh.join(dict, Seq("shingle"))
+      .groupBy(col(id))
+      .agg(array_sort(collect_list(
+        struct(col("df"), col("shingle"), col("sid")))).as("ord"))
       .select(col(id),
-        expr("transform(ord, x -> x.shingle)").as("sharr"),
+        expr("transform(ord, x -> x.sid)").as("sharr"),
         size(col("ord")).cast("long").as("sz"))
-  }
+
+  /** Complete a frozen dictionary for a batch: shingles absent from
+    * `stored` get df 0 (the frozen-order convention) and fresh
+    * NEGATIVE ids — disjoint from every stored id (those are
+    * `monotonically_increasing_id`-born, ≥ 0) and consistent WITHIN
+    * the query (the assignment is checkpointed once), which is all a
+    * read-only batch join needs: two batch docs sharing an unseen
+    * shingle meet at the same id, and no unseen id ever collides
+    * with a corpus id. [[jaccardIndexAppend]] persists ids instead
+    * (stable across sessions) — see its numbering. */
+  private def unseenDict(sh: DataFrame, stored: DataFrame): DataFrame =
+    sh.select(col("shingle")).distinct()
+      .join(stored.select("shingle"), Seq("shingle"), "left_anti")
+      .select(col("shingle"), lit(0L).as("df"),
+        (lit(-1L) - monotonically_increasing_id()).as("sid"))
+      .localCheckpoint(false)
 
   /** (id, sz, shingle) prefix posting rows: the first
     * sz − ⌈tn·sz/1000⌉ + 1 elements of each ordered array — the only
@@ -805,32 +843,58 @@ object Dedup {
       w: Int = 3): Long = {
     val spark = corpusDocs.sparkSession
     val sh = shingles(corpusDocs, id, textCol, w)
+    // format v2 (r15): the df table carries the dictionary id `sid`
+    // and the docs arrays store sids, not shingle strings — ~6×
+    // narrower verify shuffles (dfOrderedArrays scaladoc). The
+    // read-back dict is authoritative: whatever ids landed on disk
+    // are the ids the arrays are built from.
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .withColumn("sid", monotonically_increasing_id())
       .withColumn("w", lit(w))
       .write.mode("overwrite").parquet(s"$path/df")
-    val dfreq = spark.read.parquet(s"$path/df")
-      .select(col("shingle"), col("df"))
+    val dict = spark.read.parquet(s"$path/df")
+      .select(col("shingle"), col("df"), col("sid"))
     val obs = org.apache.spark.sql.Observation()
-    dfOrderedArrays(sh, dfreq, id, frozen = false)
+    dfOrderedArrays(sh, dict, id)
       .observe(obs, count(lit(1)).as("n_docs"))
       .write.mode("overwrite").parquet(s"$path/docs")
     obs.get("n_docs").asInstanceOf[Long]
   }
 
-  /** Read a [[jaccardIndexWrite]] artifact's df table, VALIDATING the
-    * stored build `w` against the caller's (VERDICT r14 #1): every
-    * consumer that re-shingles fresh text against the artifact
-    * ([[jaccardIndexAppend]], [[jaccardJoinIncremental]],
-    * [[containmentJoinIncremental]], [[decontaminateNearIndexed]])
-    * must shingle at the artifact's w — the stored arrays ARE
-    * w-grams, and a mismatch makes every candidate probe miss.
-    * Pre-r15 artifacts carry no `w` column and read unvalidated. */
-  private def jaccardIndexDfreq(
+  /** Read a [[jaccardIndexWrite]] artifact's dictionary (shingle, df,
+    * sid), VALIDATING the stored build `w` against the caller's
+    * (VERDICT r14 #1): every consumer that re-shingles fresh text
+    * against the artifact ([[jaccardIndexAppend]],
+    * [[jaccardJoinIncremental]], [[containmentJoinIncremental]],
+    * [[decontaminateNearIndexed]]) must shingle at the artifact's w —
+    * the stored arrays ARE w-grams, and a mismatch makes every
+    * candidate probe miss. A pre-r15 (format v1) artifact — no `sid`
+    * column, string arrays — fails LOUD with a rebuild message: v1
+    * string arrays cannot join v2 id streams, and a silent mixed read
+    * would return zero pairs. */
+  private def jaccardIndexDict(
       spark: org.apache.spark.sql.SparkSession, path: String, w: Int,
       caller: String): DataFrame = {
     val raw = spark.read.parquet(s"$path/df")
+    require(raw.columns.contains("sid"),
+      s"$caller: artifact at $path is format v1 (pre-r15: no " +
+        "dictionary ids) — rebuild it with jaccardIndexWrite")
     requireStoredParams(raw, Seq("w" -> w), s"$path/df", caller)
-    raw.select(col("shingle"), col("df"))
+    raw.select(col("shingle"), col("df"), col("sid"))
+  }
+
+  /** Read a [[jaccardIndexWrite]] artifact's doc arrays, failing LOUD
+    * on the pre-r15 string-array format. */
+  private def jaccardIndexDocs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      caller: String): DataFrame = {
+    val docs = spark.read.parquet(s"$path/docs")
+    val elem = docs.schema("sharr").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    require(elem == org.apache.spark.sql.types.LongType,
+      s"$caller: artifact at $path is format v1 (pre-r15: " +
+        s"array<$elem> doc arrays) — rebuild it with jaccardIndexWrite")
+    docs
   }
 
   /** Append new documents to a [[jaccardIndexWrite]] artifact WITHOUT
@@ -840,7 +904,10 @@ object Dedup {
     * filtering needs — so the served pair set is EXACT, identical to
     * a full rebuild's output (the internal array orders differ; the
     * algorithm's result does not depend on which common order is
-    * used). The df table is left as written; ids must be disjoint
+    * used). Stored df values are never touched; the df table GROWS by
+    * the batch's new vocabulary (df-0 rows with persisted dictionary
+    * ids — cross-session id identity for the appended arrays; see the
+    * body for the crash-ordering argument). Doc ids must be disjoint
     * from the indexed ones (checked with one semi-join probe unless
     * `checkDisjoint = false`). */
   def jaccardIndexAppend(newDocs: DataFrame, path: String,
@@ -856,9 +923,37 @@ object Dedup {
           s"at $path — dedup/re-id the batch or rebuild with " +
           "jaccardIndexWrite")
     }
-    val dfreq = jaccardIndexDfreq(spark, path, w, "jaccardIndexAppend")
-    dfOrderedArrays(shingles(newDocs, id, textCol, w), dfreq, id,
-      frozen = true)
+    val dict = jaccardIndexDict(spark, path, w, "jaccardIndexAppend")
+    val shB = shingles(newDocs, id, textCol, w)
+    // batch-only shingles get PERSISTED ids: max stored id + a dense
+    // single-task numbering (bounded by one night's vocabulary
+    // growth), appended to the df table with df 0 (the frozen-order
+    // convention) BEFORE the docs append — a crash between the two
+    // leaves only harmless unused dictionary rows, never doc arrays
+    // whose ids a future session would re-assign differently
+    val unseen = shB.select(col("shingle")).distinct()
+      .join(dict.select("shingle"), Seq("shingle"), "left_anti")
+      .localCheckpoint(false) // feeds the probe AND the numbering
+    val dictAll =
+      if (unseen.limit(1).count() == 0) dict
+      else {
+        val maxRow = dict.agg(max(col("sid"))).head()
+        val maxSid = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+        val fresh = unseen
+          .select(col("shingle"), lit(0L).as("df"),
+            (lit(maxSid) + row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .orderBy(col("shingle"))).cast("long")).as("sid"))
+        val freshStamped =
+          if (spark.read.parquet(s"$path/df").columns.contains("w"))
+            fresh.withColumn("w", lit(w))
+          else fresh
+        freshStamped.write.mode("append").parquet(s"$path/df")
+        // re-read: the PERSISTED assignment is authoritative
+        spark.read.parquet(s"$path/df")
+          .select(col("shingle"), col("df"), col("sid"))
+      }
+    dfOrderedArrays(shB, dictAll, id)
       .write.mode("append").parquet(s"$path/docs")
   }
 
@@ -872,7 +967,7 @@ object Dedup {
       path: String, id: String = "doc_id",
       threshold: Double = 0.8): DataFrame = {
     val tn = tnOf(threshold)
-    val ordered = spark.read.parquet(s"$path/docs")
+    val ordered = jaccardIndexDocs(spark, path, "jaccardJoinIndexed")
     val cands = prefixCandidates(prefixRows(ordered, id, tn), id, tn)
     verifyByArrays(cands, ordered.select(col(id), col("sharr")), id,
       threshold)
@@ -889,9 +984,10 @@ object Dedup {
   def containmentJoinIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, id: String = "doc_id", threshold: Double = 0.8,
       chunkBudget: Long = ContainmentChunkBudget): DataFrame =
-    containmentCandidatesVerify(spark.read.parquet(s"$path/docs"), id,
+    containmentCandidatesVerify(
+      jaccardIndexDocs(spark, path, "containmentJoinIndexed"), id,
       tnOf(threshold), threshold,
-      spark.read.parquet(s"$path/df").select(col("shingle"), col("df")),
+      spark.read.parquet(s"$path/df").select(col("sid"), col("df")),
       chunkBudget)
 
   /** INCREMENTAL exact-Jaccard join — the nightly-crawl shape
@@ -910,12 +1006,15 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val spark = batchDocs.sparkSession
     val tn = tnOf(threshold)
-    val corpus = spark.read.parquet(s"$indexPath/docs")
-    val dfreq = jaccardIndexDfreq(spark, indexPath, w,
+    val corpus = jaccardIndexDocs(spark, indexPath,
       "jaccardJoinIncremental")
+    val dict = jaccardIndexDict(spark, indexPath, w,
+      "jaccardJoinIncremental")
+    val shB = shingles(batchDocs, id, textCol, w)
     // lazy checkpoint: batch arrays feed the prefix explode AND verify
-    val orderedB = dfOrderedArrays(shingles(batchDocs, id, textCol, w),
-      dfreq, id, frozen = true).localCheckpoint(false)
+    val orderedB = dfOrderedArrays(shB,
+      dict.unionByName(unseenDict(shB, dict)), id)
+      .localCheckpoint(false)
     val preB = prefixRows(orderedB, id, tn)
     val l = prefixRows(corpus, id, tn).unionByName(preB)
       .select(col("shingle"), col(id).as("id_l"), col("sz").as("sz_l"))
@@ -965,27 +1064,29 @@ object Dedup {
       chunkBudget: Long = ContainmentChunkBudget): DataFrame = {
     val spark = batchDocs.sparkSession
     val tn = tnOf(threshold)
-    val corpus = spark.read.parquet(s"$indexPath/docs")
-    val dfreq = jaccardIndexDfreq(spark, indexPath, w,
+    val corpus = jaccardIndexDocs(spark, indexPath,
       "containmentJoinIncremental")
+    val dict = jaccardIndexDict(spark, indexPath, w,
+      "containmentJoinIncremental")
+    val shB = shingles(batchDocs, id, textCol, w)
     // lazy checkpoint: batch arrays feed prefixes, postings AND verify
-    val orderedB = dfOrderedArrays(shingles(batchDocs, id, textCol, w),
-      dfreq, id, frozen = true).localCheckpoint(false)
+    val orderedB = dfOrderedArrays(shB,
+      dict.unionByName(unseenDict(shB, dict)), id)
+      .localCheckpoint(false)
     def pre(src: DataFrame) = prefixRows(src, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
     val corpusCols = orderedB.columns.map(col(_))
     // dense-vocab guard, the containmentCandidatesVerify shape over
     // BOTH quadrant streams: batch-posting counts are batch-sized
-    // (cheap to count directly); the corpus side reuses the stored df
-    // table. Unseen batch-only shingles carry df 0 in the frozen
-    // table — a slight underestimate, fine for a guard whose budget
-    // has 'x' of headroom
+    // (cheap to count directly, in sid space); the corpus side reuses
+    // the stored df table keyed by sid
     val dfB = containmentPostings(orderedB, id)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .select(col("shingle").as("sid"), col("df"))
       .localCheckpoint(false) // feeds both volume probes
-    val dfAll = dfreq.select(col("shingle"), col("df"))
+    val dfAll = dict.select(col("sid"), col("df"))
       .unionByName(dfB)
-      .groupBy("shingle").agg(sum(col("df")).as("df"))
+      .groupBy("sid").agg(sum(col("df")).as("df"))
     val est = prefixCollisionVolume(pre(orderedB), dfAll) +
       prefixCollisionVolume(pre(corpus), dfB)
     val arrs = corpus.select(col(id), col("sharr"))
@@ -1126,7 +1227,12 @@ object Dedup {
       id: String, threshold: Double): DataFrame = {
     val a = arr.select(col(id).as("id_a"), col("sharr").as("arr_a"))
     val b = arr.select(col(id).as("id_b"), col("sharr").as("arr_b"))
-    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+    // shuffle-hash hints: the array side is the BUILD side, so the
+    // wide candidate×array stream is never SORTED — a sort-merge join
+    // external-sorts the array-carrying rows (measured 1.5× slower
+    // at sf10 even on id arrays)
+    cands.join(a.hint("shuffle_hash"), Seq("id_a"))
+      .join(b.hint("shuffle_hash"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("arr_a"), col("arr_b"))).cast("long")
           .as("n_common"),

@@ -79,23 +79,61 @@ class ArtifactParamSpec extends SparkSpec {
     assert(Dedup.jaccardIndexWrite(docs, path, w = 3) == 5L)
   }
 
-  test("jaccard artifact: pre-r15 df table (no w column) reads unvalidated") {
+  test("jaccard artifact: pre-r15 format v1 fails LOUD with a rebuild message") {
+    // a v1 artifact: df table without dictionary ids, docs with
+    // STRING shingle arrays — v1 strings cannot join v2 id streams,
+    // so a silent read would return zero pairs; the format check
+    // must refuse instead
     val path = tmp("jac_legacy")
-    val sh = Dedup.shingles(docs.where(col("doc_id") <= 3), w = 3)
-    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .write.parquet(s"$path/df")
-    // legacy artifacts have the same docs layout, just no df metadata
-    val modern = tmp("jac_modern")
-    Dedup.jaccardIndexWrite(docs.where(col("doc_id") <= 3), modern, w = 3)
-    spark.read.parquet(s"$modern/docs").write.parquet(s"$path/docs")
+    val corpus = docs.where(col("doc_id") <= 3)
+    val sh = Dedup.shingles(corpus, w = 3)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    dfreq.write.parquet(s"$path/df")
+    sh.join(dfreq, Seq("shingle")).groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle"))))
+        .as("ord"))
+      .select(col("doc_id"),
+        expr("transform(ord, x -> x.shingle)").as("sharr"),
+        size(col("ord")).cast("long").as("sz"))
+      .write.parquet(s"$path/docs")
     val batch = docs.where(col("doc_id") > 3)
-    // any w is accepted (unvalidated) — and at the true build w the
-    // result matches the validated modern artifact
-    assert(Dedup.jaccardJoinIncremental(batch, path, w = 3)
-      .collect().map(_.toString).sorted.toSeq ==
-      Dedup.jaccardJoinIncremental(batch, modern, w = 3)
-        .collect().map(_.toString).sorted.toSeq)
-    Dedup.decontaminateNearIndexed(batch, path, w = 5).collect() // no throw
+    for ((name, probe) <- Seq[(String, () => Any)](
+      ("jaccardJoinIncremental",
+        () => Dedup.jaccardJoinIncremental(batch, path, w = 3)),
+      ("containmentJoinIndexed",
+        () => Dedup.containmentJoinIndexed(spark, path)),
+      ("jaccardJoinIndexed",
+        () => Dedup.jaccardJoinIndexed(spark, path)),
+      ("decontaminateNearIndexed",
+        () => Dedup.decontaminateNearIndexed(batch, path, w = 3)),
+      ("jaccardIndexAppend",
+        () => Dedup.jaccardIndexAppend(batch, path, w = 3)))) {
+      val e = intercept[IllegalArgumentException](probe())
+      assert(e.getMessage.contains("format v1") &&
+        e.getMessage.contains("rebuild"), s"$name: ${e.getMessage}")
+    }
+  }
+
+  test("jaccard artifact: append persists dictionary ids for new vocabulary") {
+    val path = tmp("jac_grow")
+    Dedup.jaccardIndexWrite(docs.where(col("doc_id") <= 2), path, w = 3)
+    val before = spark.read.parquet(s"$path/df").count()
+    // doc 4 has vocabulary the 1-2 corpus has never seen
+    Dedup.jaccardIndexAppend(docs.where(col("doc_id") === 4), path)
+    val dict = spark.read.parquet(s"$path/df")
+    assert(dict.count() > before, "new vocabulary must land in the dict")
+    // every id unique, new rows carry df 0 and the build w
+    assert(dict.select("sid").distinct().count() == dict.count())
+    assert(dict.where(col("df") === 0).select("w").distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    // appended ≡ rebuilt, served across a fresh read (ids persisted)
+    val rebuilt = tmp("jac_grow_rb")
+    Dedup.jaccardIndexWrite(docs.where(col("doc_id") <= 4 &&
+      col("doc_id") =!= 3), rebuilt, w = 3)
+    def pairs(p: String) = Dedup.jaccardJoinIncremental(
+      docs.where(col("doc_id") === 5), p, w = 3, threshold = 0.1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pairs(path) == pairs(rebuilt))
   }
 
   // -------------------------------------------------------------- signature
