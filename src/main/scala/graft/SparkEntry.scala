@@ -1876,6 +1876,12 @@ object SparkEntry {
         sum(flagged.cast("long")).as("n_flagged"),
         sum((!flagged).cast("long")).as("n_kept"),
         sum((flagged && recovered).cast("long")).as("n_recovered"))
+        // bench honesty (VERDICT r14 #7 corollary — count() drops
+        // UNREFERENCED aggregate expressions): reference every sum so
+        // the board pays the gate + recovery arithmetic, not an empty
+        // per-source count
+        .where(col("n_docs") + col("n_flagged") + col("n_kept") +
+          col("n_recovered") >= 0)
         .orderBy("source")
     }),
 

@@ -591,13 +591,15 @@ object Dedup {
       chunkBudget: Long = ContainmentChunkBudget): DataFrame = {
     val tn = tnOf(threshold)
     val sh = shingles(docs, id, textCol, w)
+    // single consumer (the ordering join) — the guard reads its df
+    // values from the arrays themselves, so the dict needs no
+    // checkpoint and the ids freeze inside `ordered`'s checkpoint
     val dict = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .withColumn("sid", monotonically_increasing_id())
-      .localCheckpoint(false) // feeds the ordering join AND the guard
     val ordered = dfOrderedArrays(sh, dict, id)
       .localCheckpoint(false)
     containmentCandidatesVerify(ordered, id, tn, threshold,
-      dict.select(col("sid"), col("df")), chunkBudget)
+      chunkBudget)
   }
 
   /** Per-pass candidate budget of the containment family's
@@ -635,6 +637,25 @@ object Dedup {
     pre.select(col("shingle").as("sid"))
       .join(dfBySid.select(col("sid"), col("df")), Seq("sid"))
       .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+
+  /** Σ per-doc prefix lengths — computable from the `sz` column
+    * alone (no explode, a narrow column-pruned agg): with maxDf it
+    * upper-bounds the collision volume, which is the guard's CHEAP
+    * first gate. Normal corpora short-circuit here and never pay the
+    * exact volume probe (measured +2–3 s on the incremental rows at
+    * sf1 before this gate existed). */
+  private def prefixLenSum(ordered: DataFrame, tn: Int): Long = {
+    val r = ordered.agg(coalesce(sum(
+      col("sz") - expr(s"CAST(($tn * sz + 999) DIV 1000 AS BIGINT)") +
+        lit(1L)), lit(0L))).head()
+    r.getLong(0)
+  }
+
+  /** Max df of a dictionary — one column-pruned agg; 0 when empty. */
+  private def maxDfOf(dfBySid: DataFrame): Long = {
+    val r = dfBySid.agg(max(col("df"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 
   /** Run candidates→verify in `nChunks` SEQUENTIAL passes over an
     * id_a-partition of the probe side (pass results are eagerly
@@ -681,11 +702,13 @@ object Dedup {
     * hash-identical by construction and pinned by spec. Normal
     * corpora stay single-pass (the estimate is one narrow join). */
   private def containmentCandidatesVerify(ordered: DataFrame,
-      id: String, tn: Int, threshold: Double, dfBySid: DataFrame,
+      id: String, tn: Int, threshold: Double,
       chunkBudget: Long): DataFrame = {
     def pre = prefixRows(ordered, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
-    val est = prefixCollisionVolume(pre, dfBySid)
+    // the EXACT collision volume from one narrow agg over the arrays'
+    // own df values — see prefixDfSum
+    val est = prefixDfSum(ordered, tn)
     val arrs = ordered.select(col(id), col("sharr"))
     verifiedInChunks(chunksFor(est, chunkBudget), arrs, id,
       threshold) { chunk =>
@@ -760,7 +783,13 @@ object Dedup {
     *
     * `dict` must cover every shingle of `sh` with columns
     * (shingle, df, sid) — callers complete it via [[unseenDict]]
-    * when serving batches against a frozen index. */
+    * when serving batches against a frozen index.
+    *
+    * The parallel `dfarr` column carries each element's df, so the
+    * dense-vocab guard's collision-volume estimate is ONE narrow agg
+    * over these arrays ([[prefixDfSum]]) — no join against the
+    * dictionary, no dictionary checkpoint (an early r15 draft joined
+    * the 22.9 M-key zipf dict per estimate and paid ~10 s for it). */
   private def dfOrderedArrays(sh: DataFrame, dict: DataFrame,
       id: String): DataFrame =
     sh.join(dict, Seq("shingle"))
@@ -769,7 +798,20 @@ object Dedup {
         struct(col("df"), col("shingle"), col("sid")))).as("ord"))
       .select(col(id),
         expr("transform(ord, x -> x.sid)").as("sharr"),
+        expr("transform(ord, x -> x.df)").as("dfarr"),
         size(col("ord")).cast("long").as("sz"))
+
+  /** EXACT collision-volume estimate from the arrays alone: Σ over
+    * docs of the df values in the PREFIX slice (posting rows per
+    * shingle = df) — one column-pruned agg, no join. For frozen-dict
+    * batch arrays the dfs are the CORPUS dfs (batch-side postings are
+    * not counted), an underestimate bounded by 2× on an
+    * even-split corpus — guard-budget headroom covers it. */
+  private def prefixDfSum(ordered: DataFrame, tn: Int): Long =
+    ordered.agg(coalesce(sum(expr(
+      s"aggregate(slice(dfarr, 1, size(dfarr) - " +
+        s"CAST(($tn * size(dfarr) + 999) DIV 1000 AS INT) + 1), " +
+        "0L, (a, x) -> a + x)")), lit(0L))).head().getLong(0)
 
   /** Complete a frozen dictionary for a batch: shingles absent from
     * `stored` get df 0 (the frozen-order convention) and fresh
@@ -889,11 +931,14 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       caller: String): DataFrame = {
     val docs = spark.read.parquet(s"$path/docs")
-    val elem = docs.schema("sharr").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-    require(elem == org.apache.spark.sql.types.LongType,
-      s"$caller: artifact at $path is format v1 (pre-r15: " +
-        s"array<$elem> doc arrays) — rebuild it with jaccardIndexWrite")
+    val v2 = docs.columns.contains("dfarr") && {
+      val elem = docs.schema("sharr").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      elem == org.apache.spark.sql.types.LongType
+    }
+    require(v2,
+      s"$caller: artifact at $path is format v1 (pre-r15: string doc " +
+        "arrays / no df arrays) — rebuild it with jaccardIndexWrite")
     docs
   }
 
@@ -976,19 +1021,17 @@ object Dedup {
   /** [[containmentJoin]] served from the SAME persisted
     * [[jaccardIndexWrite]] artifact (one nightly build feeds both the
     * symmetric and the asymmetric join — the df-ordered arrays are
-    * the only state either needs): probe prefixes and the full
-    * posting side both come from `path/docs`; no re-shingle, no df
-    * groupBy, no per-doc sorts (the stored df table feeds only the
-    * dense-vocab guard's volume estimate). Pair-identical to the
-    * inline form. */
+    * the only state either needs): probe prefixes, the full posting
+    * side AND the guard's volume estimate (the stored `dfarr`
+    * column) all come from `path/docs`; no re-shingle, no df
+    * groupBy, no per-doc sorts. Pair-identical to the inline
+    * form. */
   def containmentJoinIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, id: String = "doc_id", threshold: Double = 0.8,
       chunkBudget: Long = ContainmentChunkBudget): DataFrame =
     containmentCandidatesVerify(
       jaccardIndexDocs(spark, path, "containmentJoinIndexed"), id,
-      tnOf(threshold), threshold,
-      spark.read.parquet(s"$path/df").select(col("sid"), col("df")),
-      chunkBudget)
+      tnOf(threshold), threshold, chunkBudget)
 
   /** INCREMENTAL exact-Jaccard join — the nightly-crawl shape
     * ([[minhashLshPairsIncremental]]'s contract, exact instead of
@@ -1076,19 +1119,25 @@ object Dedup {
     def pre(src: DataFrame) = prefixRows(src, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
     val corpusCols = orderedB.columns.map(col(_))
-    // dense-vocab guard, the containmentCandidatesVerify shape over
-    // BOTH quadrant streams: batch-posting counts are batch-sized
-    // (cheap to count directly, in sid space); the corpus side reuses
-    // the stored df table keyed by sid
-    val dfB = containmentPostings(orderedB, id)
+    // dense-vocab guard over BOTH quadrant streams. The batch-probe
+    // quadrants' volume comes free from the arrays' own df values
+    // (prefixDfSum — corpus-frozen dfs, the nightly-dominant term;
+    // batch-side postings are uncounted, a ≤2× underestimate on an
+    // even split, inside the budget's headroom). The corpus-prefix ×
+    // batch-postings quadrant is gated by a cheap bound (prefix
+    // lengths × max batch df, three narrow aggs) and pays its exact
+    // probe join only when that trips — a Zipf head token trips it,
+    // a normal corpus never does
+    def dfB = containmentPostings(orderedB, id)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .select(col("shingle").as("sid"), col("df"))
-      .localCheckpoint(false) // feeds both volume probes
-    val dfAll = dict.select(col("sid"), col("df"))
-      .unionByName(dfB)
-      .groupBy("sid").agg(sum(col("df")).as("df"))
-    val est = prefixCollisionVolume(pre(orderedB), dfAll) +
-      prefixCollisionVolume(pre(corpus), dfB)
+    val estA = prefixDfSum(orderedB, tn)
+    val maxDfB = maxDfOf(dfB)
+    val upperB = BigInt(prefixLenSum(corpus, tn)) * BigInt(maxDfB)
+    val estB =
+      if (BigInt(estA) + upperB <= BigInt(chunkBudget)) 0L
+      else prefixCollisionVolume(pre(corpus), dfB)
+    val est = estA + estB
     val arrs = corpus.select(col(id), col("sharr"))
       .unionByName(orderedB.select(col(id), col("sharr")))
     verifiedInChunks(chunksFor(est, chunkBudget), arrs, id,
