@@ -670,9 +670,14 @@ object TextAnalysis {
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
     * Documents that differ only by token order/repetition collide —
     * the standard "near-exact" dedup key one step beyond raw-text
-    * equality. */
+    * equality. NULL text → NULL, explicitly (r15 adversarial sweep):
+    * `concat_ws` silently swallows a null array, which made a null
+    * document fingerprint-collide with an EMPTY document — absent is
+    * not empty, and DuckDB's md5(NULL) = NULL disagreed with the
+    * swallowed form on exactly that row. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))))
 
   /** Top-k characteristic terms per document by smoothed TF-IDF
     * (`tf · ln((N+1)/(df+1))`). Plan shape at scale: explode → one

@@ -404,6 +404,42 @@ class ScdStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packStream — non-integral orderCol rejected at construction (ADVICE r14)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // a string orderCol would sort '10' < '9' in the batch twin but
+    // 9 < 10 here — the divergence must refuse loudly up front
+    val ms = MemoryStream[(String, String, String)]
+    val e = intercept[IllegalArgumentException] {
+      ScdStream.packStream(ms.toDF().toDF("seq", "shard", "text"),
+        "shard", "seq")
+    }
+    assert(e.getMessage.contains("integral") &&
+      e.getMessage.contains("seq"), e.getMessage)
+  }
+
+  test("packStream — NULL orderCol fails the query loud, not with a bare NFE (ADVICE r14)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(java.lang.Long, String, String)]
+    val packed = ScdStream.packStream(
+      ms.toDF().toDF("doc_id", "shard", "text"),
+      "shard", "doc_id", maxTokens = 5)
+    val q = packed.writeStream.format("memory").queryName("packnull")
+      .outputMode("append").start()
+    try {
+      ms.addData((null.asInstanceOf[java.lang.Long], "a", "t t"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(causes(e).exists(m => m.contains("doc_id") &&
+        m.contains("null seq id")), causes(e).mkString(" | "))
+    } finally q.stop()
+  }
+
   test("decontaminateNearStreamGate — fractional overlap gate: paraphrase blocked, light collision passes, stateless") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
