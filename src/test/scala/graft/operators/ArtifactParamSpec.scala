@@ -188,6 +188,28 @@ class ArtifactParamSpec extends SparkSpec {
     assert(pairs(path) == pairs(rebuilt))
   }
 
+  test("empty inputs: counted writes return 0 and an empty artifact grows by append") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("jac_empty").toString
+    // the Observation-counted writes must complete (not hang) and
+    // report 0 on empty / sub-w inputs
+    assert(Dedup.jaccardIndexWrite(empty, s"$base/idx", w = 3) == 0L)
+    assert(Dedup.decontaminationIndexWrite(empty, s"$base/grams") == 0L)
+    // appending real docs to the empty artifact exercises the
+    // null-maxSid numbering path: ids start at 0, artifact serves
+    Dedup.jaccardIndexAppend(docs.where(col("doc_id") <= 3),
+      s"$base/idx", w = 3)
+    val dict = spark.read.parquet(s"$base/idx/df")
+    assert(dict.count() > 0 &&
+      dict.agg(min("sid")).head().getLong(0) == 0L)
+    assert(Dedup.jaccardJoinIndexed(spark, s"$base/idx",
+      threshold = 0.8).collect().map(_.toString).sorted.toSeq ==
+      Dedup.jaccardJoin(docs.where(col("doc_id") <= 3),
+        threshold = 0.8).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("signature artifact: legacy (no metadata) reads and appends as-is") {
     val path = tmp("sig_legacy")
     Dedup.minHashSignatures(
