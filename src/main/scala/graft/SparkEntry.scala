@@ -1619,6 +1619,8 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"), col("p_size"),
         Layout.zOrderKey(Seq(col("p_partkey"), col("p_size")), 16)
           .as("z_key"))
+        // bench honesty (VERDICT r14 #7): force the bit interleave
+        .where(coalesce(col("z_key"), lit(0L)) >= 0)
         .orderBy("z_key", "p_partkey")),
 
     // Hilbert curve position (the better-locality sibling of the
@@ -1629,6 +1631,8 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"), col("p_size"),
         Layout.hilbertKey(pmod(col("p_partkey"), lit(65536)),
           pmod(col("p_size"), lit(65536)), 16).as("h_key"))
+        // bench honesty (VERDICT r14 #7): force the xy2d recurrence
+        .where(coalesce(col("h_key"), lit(0L)) >= 0)
         .orderBy("h_key", "p_partkey")),
 
     // FILE-LEVEL data skipping through the persisted zone-map
@@ -2536,7 +2540,11 @@ object SparkEntry {
     "text_wordpiece" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val vocab = TextAnalysis.topWordVocab(docs, 256)
-      TextAnalysis.wordpieceSegment(docs, vocab).orderBy("doc_id")
+      TextAnalysis.wordpieceSegment(docs, vocab)
+        // bench honesty (VERDICT r14 #7): force the trie segmentation
+        .where(coalesce(col("n_words") + length(col("segmented")),
+          lit(0L)) >= 0)
+        .orderBy("doc_id")
     }),
 
     // BPE merge TRAINING (round 8) — the learning half of tokenization
@@ -2568,7 +2576,12 @@ object SparkEntry {
       val merges = TextAnalysis.bpeTrain(docs, merges = 3)
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      TextAnalysis.bpeEncode(docs, merges).orderBy("doc_id")
+      TextAnalysis.bpeEncode(docs, merges)
+        // bench honesty (VERDICT r14 #7): reference the computed
+        // columns so count() pays the encode, not a pruned scan
+        .where(coalesce(col("n_words") + col("n_pieces") +
+          length(col("segmented")), lit(0L)) >= 0)
+        .orderBy("doc_id")
     }),
 
     // BPE inference from the PERSISTED merge-table artifact — the
@@ -2585,6 +2598,9 @@ object SparkEntry {
         p
       })
       TextAnalysis.bpeEncodeWith(t(s, dir, "documents"), path)
+        // bench honesty (VERDICT r14 #7), as text_bpe_encode
+        .where(coalesce(col("n_words") + col("n_pieces") +
+          length(col("segmented")), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -2629,7 +2645,11 @@ object SparkEntry {
         p
       })
       UnigramTokenizer.unigramEncodeWith(t(s, dir, "documents"), path,
-        maxWordLen = 12).orderBy("doc_id")
+          maxWordLen = 12)
+        // bench honesty (VERDICT r14 #7): force the Viterbi encode
+        .where(coalesce(col("n_words") + col("n_pieces") +
+          length(col("seg_md5")), lit(0L)) >= 0)
+        .orderBy("doc_id")
     }),
 
     // DSIR data selection (Xie et al., NeurIPS 2023): hashed-unigram
