@@ -1308,9 +1308,21 @@ object TextAnalysis {
           .otherwise(concat(acc, array(x))))
 
   /** Segment one (lowercased, [a-z0-9]) word column with a learned
-    * merge list, in training order — BPE inference as a pure per-row
-    * expression chain (rule i's fold feeds rule i+1's). */
+    * merge list, in training order — BPE inference as ONE native
+    * codegen'd per-row scan
+    * ([[graft.functions.expressions.BpeApplyAll]]), merge-count-
+    * independent per word, so a production 30k-merge vocabulary costs
+    * the same scan as the board's 3 merges. Bit-identical to
+    * [[bpeApplyHof]] (pinned by BpeApplyAllSpec). */
   def bpeApply(word: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.graft.CatalystBridge.bpeApplyAll(word, merges)
+
+  /** The declarative reference formulation of [[bpeApply]] — rule i's
+    * fold feeds rule i+1's, one interpreted `aggregate`-HOF pass per
+    * merge rule (the shape the DuckDB oracle replays). Kept as the
+    * equivalence baseline; cost and plan size are linear in the merge
+    * count, so serving uses the native form. */
+  def bpeApplyHof(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, "(?!^)(?=.)")) {
       case (syms, (l, r)) => bpeApplyOne(syms, l, r)
     }

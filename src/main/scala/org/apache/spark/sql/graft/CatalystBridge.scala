@@ -116,6 +116,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.UnigramSegment(
       ExpressionUtils.expression(word), vocab, oovCostMicro))
 
+  /** Native whole-merge-list BPE inference for one word (see
+    * [[graft.functions.expressions.BpeApplyAll]]). */
+  def bpeApplyAll(word: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(graft.functions.expressions.BpeApplyAll(
+      ExpressionUtils.expression(word), merges))
+
   /** Native per-row DSIR importance score against a fixed full-table
     * scorer (see [[graft.functions.expressions.DsirScore]]). */
   def dsirScore(textLower: Column,
@@ -564,6 +570,27 @@ object CatalystBridge {
     walk(residual.node)
   }
 
+  /** `bpe_apply(word, array(lhs...), array(rhs...))` — whole-merge-list
+    * BPE inference in plain SQL (the [[wordpieceDescriptor]] twin for
+    * the trained-BPE serving path). Both arrays must be foldable,
+    * equal-length, and pair up in TRAINING ORDER: rule i merges
+    * (lhs[i], rhs[i]). */
+  val bpeApplyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bpe_apply"),
+    new ExpressionInfo(
+      classOf[graft.functions.expressions.BpeApplyAll].getName,
+      "bpe_apply"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"bpe_apply takes (word, lhs_array, rhs_array), got ${args.length} args")
+      val lhs = foldStringArray("bpe_apply", args(1), "lhs")
+      val rhs = foldStringArray("bpe_apply", args(2), "rhs")
+      require(lhs.length == rhs.length,
+        s"bpe_apply: ${lhs.length} lhs vs ${rhs.length} rhs")
+      graft.functions.expressions.BpeApplyAll(args.head, lhs.zip(rhs))
+    })
+
   /** `bloom_contains(bloom, xxhash64(v))` — SQL probe for the per-file
     * bloom manifests `CALL graft.bloom_manifest(...)` builds, so file
     * skipping composes in pure SQL: filter the manifest, read the
@@ -646,7 +673,7 @@ object CatalystBridge {
     dotProductDescriptor, md5FractionDescriptor, winnowMinDescriptor,
     simhash64Descriptor, hamming64Descriptor, freqItemsDescriptor,
     countMinDescriptor, topKDescriptor, wordpieceDescriptor,
-    unigramSegmentDescriptor,
+    unigramSegmentDescriptor, bpeApplyDescriptor,
     deflateLenDescriptor, unicodeNormalizeDescriptor,
     bloomContainsDescriptor, hdrKeyDescriptor, luhnValidDescriptor,
     ibanValidDescriptor)
