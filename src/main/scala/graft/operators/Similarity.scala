@@ -481,18 +481,17 @@ object Similarity {
             lit(s"pqCodebooksTrained: codebook must have m*k = ${m * k} " +
               "rows, got "),
             size(col("__cb")).cast("string")))).as("__cb"))
+      // native codegen'd argmin (PqNearestCode; bit-identical to the
+      // old per-codeword `aggregate`-HOF fold — PqDistancesSpec);
+      // the -1 sentinel keeps the fold's fail-fast raise
+      val assignedCode = org.apache.spark.sql.graft.CatalystBridge
+        .pqNearestCode(col("__cb"), col("sv"), col("sub"), k)
       val assigned = subvecs.crossJoin(broadcast(folded))
         .select(col("sub"), col("sv"),
-          aggregate(sequence(lit(0), lit(k - 1)), init, (a, c) => {
-            val cw = element_at(col("__cb"),
-              (col("sub") * k + c + 1).cast("int")).getField("cvec")
-            val dm = l2SqMicro(col("sv"), cw)
-            when(dm < a.getField("d"),
-              struct(c.cast("int").as("c"), dm.as("d"))).otherwise(a)
-          }, a => when(a.getField("c") >= 0, a.getField("c"))
+          when(assignedCode >= 0, assignedCode)
             .otherwise(raise_error(lit(
               "pqCodebooksTrained: no codeword distance defined for a " +
-                "subvector (NaN or NULL embedding?)")).cast("int")))
+                "subvector (NaN or NULL embedding?)")).cast("int"))
             .as("code"))
       // element-wise mean WITHOUT the posexplode: dsub is small (dim/m),
       // so the per-coordinate quantized sums are dsub map-side-combinable
@@ -546,27 +545,20 @@ object Similarity {
         .otherwise(raise_error(concat(
           lit(s"pqEncode: codebook must have m*k = ${m * k} rows, got "),
           size(col("__cb")).cast("string")))).as("__cb"))
-    val init = struct(lit(-1).cast("int").as("c"),
-      lit(Long.MaxValue).as("d"))
+    // native codegen'd all-subspace argmin (PqNearestCodes) — the old
+    // form was m × k interpreted `aggregate`-HOF folds per row; the
+    // -1 sentinels keep the fold's fail-fast raise (PqDistancesSpec
+    // pins bit-equality against the fold)
     corpus.crossJoin(broadcast(folded))
       .select(col(id), col(vecCol).cast("array<double>").as("__v"),
         col("__cb"))
       .select(col(id),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val sv = slice(col("__v"), s * dsub + 1, lit(dsub))
-          val code = aggregate(sequence(lit(0), lit(k - 1)), init,
-            (a, c) => {
-              val cw = element_at(col("__cb"), (s * k + c + 1).cast("int"))
-                .getField("cvec")
-              val dm = l2SqMicro(sv, cw)
-              when(dm < a.getField("d"),
-                struct(c.cast("int").as("c"), dm.as("d"))).otherwise(a)
-            },
-            a => a.getField("c"))
-          when(code >= 0, code).otherwise(raise_error(lit(
+        transform(
+          org.apache.spark.sql.graft.CatalystBridge.pqNearestCodes(
+            col("__cb"), col("__v"), m, k, dsub),
+          code => when(code >= 0, code).otherwise(raise_error(lit(
             "pqEncode: no codeword distance defined for a subvector " +
-              "(NaN or NULL embedding?)")).cast("int"))
-        }).as("codes"))
+              "(NaN or NULL embedding?)")).cast("int"))).as("codes"))
   }
 
   /** Per-query ADC distance tables: (query_id, dt) where
@@ -608,10 +600,12 @@ object Similarity {
     val scored = encoded.join(broadcast(dts),
         col("query_id") =!= col(id))
       .select(col("query_id"), col(id).as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (a, s) =>
-          a + element_at(element_at(col("dt"), (s + 1).cast("int")),
-            element_at(col("codes"), (s + 1).cast("int")) + 1))
-          .as("adist_micro"))
+        // native codegen'd Σ_s dt[s][codes[s]] — the `aggregate`-HOF
+        // form is CodegenFallback, i.e. interpreted per subspace in
+        // the hottest ANN serving loop (AdcDistance is bit-identical;
+        // PqDistancesSpec pins it against the fold)
+        org.apache.spark.sql.graft.CatalystBridge.adcDistance(
+          col("dt"), col("codes"), m).as("adist_micro"))
     Rank.topKPerGroup(scored, Seq("query_id"),
         struct(negate(col("adist_micro")).as("o1"),
           negate(col("neighbor_id")).as("o2")), topK)
@@ -883,17 +877,12 @@ object Similarity {
     val scored = enc.join(broadcast(qs), col("query_id") =!= col(id))
       .crossJoin(broadcast(sqFolded(grid, dim)))
       .select(col("query_id"), col(id).as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (a, d) => {
-          val g = element_at(col("__g"), (d + 1).cast("int"))
-          val lo = g.getField("lo")
-          val hi = g.getField("hi")
-          val c = element_at(col("codes"), (d + 1).cast("int"))
-          val q = element_at(col("qv"), (d + 1).cast("int"))
-          val recon = lo + (c.cast("double") + lit(0.5)) * (hi - lo) /
-            lit(256)
-          a + floor(lit(1000000.0) * (q - recon) * (q - recon))
-            .cast("long")
-        }).as("adist_micro"))
+        // native codegen'd per-dim midpoint-reconstruction distance —
+        // same IEEE expression order as the `aggregate`-HOF fold it
+        // replaces (interpreted per dim × per pair), so every oracle
+        // replays unchanged (PqDistancesSpec pins bit-equality)
+        org.apache.spark.sql.graft.CatalystBridge.sqDistance(
+          col("__g"), col("codes"), col("qv"), dim).as("adist_micro"))
     Rank.topKPerGroup(scored, Seq("query_id"),
         struct(negate(col("adist_micro")).as("o1"),
           negate(col("neighbor_id")).as("o2")), topK)

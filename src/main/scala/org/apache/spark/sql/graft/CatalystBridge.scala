@@ -122,6 +122,35 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.BpeApplyAll(
       ExpressionUtils.expression(word), merges))
 
+  /** Native PQ asymmetric-distance sum (see
+    * [[graft.functions.expressions.AdcDistance]]). */
+  def adcDistance(dt: Column, codes: Column, m: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.AdcDistance(
+      ExpressionUtils.expression(dt), ExpressionUtils.expression(codes), m))
+
+  /** Native SQ8 asymmetric distance (see
+    * [[graft.functions.expressions.SqDistance]]). */
+  def sqDistance(grid: Column, codes: Column, qv: Column,
+      dim: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.SqDistance(
+      ExpressionUtils.expression(grid), ExpressionUtils.expression(codes),
+      ExpressionUtils.expression(qv), dim))
+
+  /** Native all-subspace PQ code assignment (see
+    * [[graft.functions.expressions.PqNearestCodes]]). */
+  def pqNearestCodes(cb: Column, v: Column, m: Int, k: Int,
+      dsub: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.PqNearestCodes(
+      ExpressionUtils.expression(cb), ExpressionUtils.expression(v),
+      m, k, dsub))
+
+  /** Native single-subspace PQ code assignment (see
+    * [[graft.functions.expressions.PqNearestCode]]). */
+  def pqNearestCode(cb: Column, sv: Column, sub: Column, k: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.PqNearestCode(
+      ExpressionUtils.expression(cb), ExpressionUtils.expression(sv),
+      ExpressionUtils.expression(sub), k))
+
   /** Native per-row DSIR importance score against a fixed full-table
     * scorer (see [[graft.functions.expressions.DsirScore]]). */
   def dsirScore(textLower: Column,
