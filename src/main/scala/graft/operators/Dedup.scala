@@ -619,10 +619,14 @@ object Dedup {
 
   /** Chunk count for an estimated candidate volume: ⌈est/budget⌉,
     * capped at 64 passes (beyond the cap each pass simply carries
-    * more than the budget — still bounded, never unbounded). */
-  private def chunksFor(est: Long, chunkBudget: Long): Int =
-    math.max(1L, math.min(64L,
-      (est + chunkBudget - 1) / math.max(1L, chunkBudget))).toInt
+    * more than the budget — still bounded, never unbounded). The
+    * ceiling is computed overflow-safely — `est + budget - 1` wraps
+    * negative for budgets near Long.MaxValue (ADVICE r15). */
+  private def chunksFor(est: Long, chunkBudget: Long): Int = {
+    val b = math.max(1L, chunkBudget)
+    val ceil = if (est <= 0L) 1L else 1L + (est - 1L) / b
+    math.max(1L, math.min(64L, ceil)).toInt
+  }
 
   /** Σ over probe-prefix rows of df(shingle) — the EXACT pre-filter
     * candidate volume of a prefix×postings join (posting rows per
@@ -1120,22 +1124,25 @@ object Dedup {
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
     val corpusCols = orderedB.columns.map(col(_))
     // dense-vocab guard over BOTH quadrant streams. The batch-probe
-    // quadrants' volume comes free from the arrays' own df values
-    // (prefixDfSum — corpus-frozen dfs, the nightly-dominant term;
-    // batch-side postings are uncounted, a ≤2× underestimate on an
-    // even split, inside the budget's headroom). The corpus-prefix ×
-    // batch-postings quadrant is gated by a cheap bound (prefix
-    // lengths × max batch df, three narrow aggs); when that trips —
-    // a Zipf head token does, a normal corpus never does — the probe
-    // runs over a DETERMINISTIC 1-in-64 sample of corpus docs (the
-    // guard needs order-of-magnitude, not exactness: prefix rows per
-    // doc are (1−τ)·sz-bounded, so no single doc dominates the sum
-    // and the scaled sample concentrates; measured ~4 s → ~0.5 s on
-    // the sf10-zipf probe)
+    // quadrants' volume: corpus-frozen dfs come free from the arrays'
+    // own df values (prefixDfSum — the nightly-dominant term), and
+    // the batch×batch postings term is an exact batch-sized probe
+    // against dfB (ADVICE r15: a dense self-similar batch against a
+    // small corpus is batch×batch-dominated, and leaving it uncounted
+    // let that regime blow past chunkBudget undetected). The
+    // corpus-prefix × batch-postings quadrant is gated by a cheap
+    // bound (prefix lengths × max batch df, three narrow aggs); when
+    // that trips — a Zipf head token does, a normal corpus never
+    // does — the probe runs over a DETERMINISTIC 1-in-64 sample of
+    // corpus docs (the guard needs order-of-magnitude, not exactness:
+    // prefix rows per doc are (1−τ)·sz-bounded, so no single doc
+    // dominates the sum and the scaled sample concentrates; measured
+    // ~4 s → ~0.5 s on the sf10-zipf probe)
     def dfB = containmentPostings(orderedB, id)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .select(col("shingle").as("sid"), col("df"))
-    val estA = prefixDfSum(orderedB, tn)
+    val estA = prefixDfSum(orderedB, tn) +
+      prefixCollisionVolume(pre(orderedB), dfB)
     val maxDfB = maxDfOf(dfB)
     val upperB = BigInt(prefixLenSum(corpus, tn)) * BigInt(maxDfB)
     val estB =
@@ -1557,11 +1564,25 @@ object Dedup {
     * metadata columns append unvalidated AND without the columns, so
     * one artifact never mixes schemas (parquet reads without
     * mergeSchema pick one footer — a half-metadata artifact would
-    * validate or not depending on file listing order). */
+    * validate or not depending on file listing order). An ABSENT path
+    * bootstraps: the first append creates the artifact exactly as
+    * [[signatureIndexWrite]] would (stamped), so append-only
+    * pipelines need no separate first-write branch (ADVICE r15). */
   def signatureIndexAppend(newDocs: DataFrame, path: String,
       id: String = "doc_id", textCol: String = "text", w: Int = 3,
       numHashes: Int = 16, checkDisjoint: Boolean = true): Unit = {
-    val existing = newDocs.sparkSession.read.parquet(path)
+    val spark = newDocs.sparkSession
+    // append-first bootstrap (ADVICE r15): an absent path means there
+    // is nothing to validate against — create the artifact exactly as
+    // signatureIndexWrite would (stamped with the build params), so
+    // append-only pipelines need no separate first-write branch
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) {
+      signatureIndexWrite(newDocs, path, id, textCol, w, numHashes)
+      return
+    }
+    val existing = spark.read.parquet(path)
     requireStoredParams(existing,
       Seq("w" -> w, "num_hashes" -> numHashes), path,
       "signatureIndexAppend")

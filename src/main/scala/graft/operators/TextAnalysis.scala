@@ -463,9 +463,11 @@ object TextAnalysis {
     * 16-digit PAN inside a run contributes 1; two fused PANs
     * contribute 2; a window passing both gates by chance — ~0.1% per
     * IIN-shaped window — also counts): this column is a detector for
-    * auditors, not an exact PAN parse. NULL text → NULL (callers
-    * coalesce; [[piiAudit]] selects from non-null-guarded docs like
-    * its sibling columns). */
+    * auditors, not an exact PAN parse. NULL text → -1 under the
+    * default `spark.sql.legacy.sizeOfNull` (the final `size()` maps
+    * the NULL window array to -1, consistent with the sibling
+    * size()-based audit columns); [[piiAudit]] selects from
+    * non-null-guarded docs, so the sentinel never reaches the audit. */
   def cardWindowsValid(text: Column): Column = {
     val runs = regexp_extract_all(text, lit(DigitRunPattern), lit(0))
     val windows = flatten(transform(runs, r =>

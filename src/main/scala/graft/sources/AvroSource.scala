@@ -278,7 +278,14 @@ object AvroSource {
     val convs = fields.map(f => convOfSpark(f.dataType))
     // the written-row count rides the save through an accumulator
     // (this is an RDD write — no Observation hook), so callers report
-    // what they wrote without a rescan (VERDICT r14 #6)
+    // what they wrote without a rescan (VERDICT r14 #6). AT-LEAST-ONCE
+    // caveat (ADVICE r15): accumulator updates inside a transformation
+    // are only exactly-once per successful action — a retried/
+    // speculated task can over-COUNT even though the committed DATA is
+    // exactly-once (the output committer discards losers). Callers
+    // wanting an exact count on a flaky cluster should recount from
+    // the committed files; the procedures accept the cheap count
+    // because local[..] never retries and the data is unaffected.
     val written = df.sparkSession.sparkContext
       .longAccumulator("graft.avro.rows_written")
     df.rdd.mapPartitions { rows =>

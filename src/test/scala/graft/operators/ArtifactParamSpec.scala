@@ -154,6 +154,22 @@ class ArtifactParamSpec extends SparkSpec {
     assert(ok.columns.toSeq == "doc_id" +: (0 until 16).map(i => s"m$i"))
   }
 
+  test("signature artifact: append-first bootstraps a stamped artifact") {
+    // ADVICE r15: an absent path must bootstrap (like a first write),
+    // not throw PATH_NOT_FOUND on the validation read
+    val path = tmp("sig_boot")
+    Dedup.signatureIndexAppend(docs.where(col("doc_id") <= 3), path,
+      w = 3, numHashes = 16)
+    val got = Dedup.signatureIndexRead(spark, path, w = 3, numHashes = 16)
+    assert(got.count() == 3)
+    // the bootstrap stamped the params: a mismatched follow-up append
+    // validates against them like any pre-existing artifact
+    val e = intercept[IllegalArgumentException](
+      Dedup.signatureIndexAppend(docs.where(col("doc_id") > 3), path,
+        w = 5, numHashes = 16))
+    assert(e.getMessage.contains("built with w = 3"), e.getMessage)
+  }
+
   test("signature artifact: append validates and keeps one schema") {
     val path = tmp("sig_app")
     Dedup.signatureIndexWrite(docs.where(col("doc_id") <= 3), path,
