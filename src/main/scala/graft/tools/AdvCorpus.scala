@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The round-15 adversarial cross-engine sweep corpora, committed as a
+  * deterministic generator so the sweeps re-run in CI instead of living
+  * only as SCALE.md receipts (VERDICT r15 #4 — the PII corpus caught a
+  * real bug pre-ship: `concat_ws` swallowing a null token array made a
+  * NULL document fingerprint-collide with an EMPTY one).
+  *
+  * Two corpora over the `documents` schema (doc_id, text, lang, source,
+  * n_chars — source = "src" + doc_id % 20 and n_chars = length(text),
+  * matching the driver's generator so every board oracle replays):
+  *
+  *  - `pii`: digit-run, whitespace-class, localized-digit and
+  *    fused-PAN/IBAN pathologies for the validated-PII family
+  *    (sliding-Luhn windows, sentinel sentence segmentation).
+  *  - `dedup`: unicode/emoji/CJK shingles, null/empty/sub-w texts,
+  *    exact-dup and 50x-containment pairs, one-distinct-shingle docs
+  *    and whitespace storms for the dictionary-encoded
+  *    jaccard/containment/minhash/simhash/scrub families.
+  *
+  * Everything is a fixed literal — no RNG, no clock — so the parquet
+  * bytes are reproducible and the sweep specs can pin result hashes
+  * that were verified cross-engine (DuckDB replay of oracle_sql.json
+  * via tools/oracle_check.py) when the pin was minted.
+  *
+  * Usage: `runMain graft.tools.AdvCorpus <outDir> <pii|dedup>`, then
+  * `runMain graft.Verify <outDir> <dumpDir> <names>` and
+  * `python3 tools/oracle_check.py <outDir> <dumpDir> <names>`.
+  */
+object AdvCorpus {
+
+  /** (doc_id, lang, text) — doc_id 4 lands the board's %9==4 embedded-
+    * PAN injection on top of the fused-double-PAN doc on purpose. */
+  val piiDocs: Seq[(Long, String, String)] = {
+    val pan = "4111111111111111"
+    Seq(
+      (0L, "en", "Dr. Smith met a.user@ex.com on 2024-01-02. The total " +
+        "was 12.50 dollars at 10.1.2.3. Versions 1.2.3 stay whole."),
+      // 10k-digit run: 526 greedy 19-digit candidates, zero valid cards
+      (1L, "en", "log " + ("1234567890" * 1000) + " end."),
+      // one PAN fused at offset 34 of a 76-digit run — only the sliding
+      // window walk can see it; the greedy 19-digit cut is Luhn-invalid
+      (2L, "en", "trace " + ("9" * 34) + pan + ("8" * 26) + " done."),
+      // fused adjacent IBANs — candidate regex must not resynchronize
+      (3L, "de", "acct GB82WEST12345698765432GB82WEST12345698765432 x."),
+      // two PANs fused into one 35-digit run (doc_id 4 also gets the
+      // board injection's trace run appended)
+      (4L, "en", "ids 777" + pan + pan + " tail."),
+      // U+0001 — the segmenter's sentinel class must survive input
+      // text that already contains control characters
+      (5L, "fr", "alphabeta. gammadelta. fin."),
+      // every whitespace-class member directly after a terminator
+      (6L, "en", "One.\tTwo.\nThree.\rFour.Five.\fSix. " +
+        "Seven. Eight. Nine.　Ten."),
+      // Arabic-Indic digits beside a PAN shape: [0-9] classes must not
+      // match them identically in both engines
+      (7L, "en", "رقم ٤١١١١" +
+        "١١١١١١١١١١" +
+        "١ test ٠١٢٣٤٥٦٧" +
+        "٨٩. done."),
+      (8L, "en", "...!?."),
+      // 25k-token doc with no terminator at all
+      (9L, "en", ("tok " * 25000).trim),
+      (10L, "en", null),
+      (11L, "en", ""),
+      (12L, "en", "IP edge 999.1.2.3 and 10.1.2.3 and 1.2.3 done. " +
+        "v1.2.3.4 tag."),
+      (13L, "es", "card 4111111111111112 end."),
+      (14L, "en", "acct gb82west12345698765432 and " +
+        "GB82WEST12345698765432."),
+      (15L, "en", "pi 3.14159. mail first.last+tag@sub.example.co.uk " +
+        "works."),
+      (16L, "en", "+14155550123 and +442071838750 and +10000 end."),
+      // a 12-digit run (below candidate floor) and a valid 13-digit
+      // Visa PAN — the boundary pair
+      (17L, "zh", "a 123456789012 b 4222222222222 c."))
+  }
+
+  val dedupDocs: Seq[(Long, String, String)] = {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val contained = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (0L, "en", base),
+      (1L, "en", base), // exact dup of 0
+      (2L, "en", contained),
+      (3L, "en", Seq.fill(50)(contained).mkString(" ")), // 50x container
+      (4L, "zh", "深度 学习 模型 训练 " +
+        "数据 去重 质量 评估 " +
+        "深度 学习"),
+      (5L, "en", "🚀 fire 🔥 water 💧 " +
+        "earth 🌍 air 💨 rocket 🚀 " +
+        "fire 🔥"),
+      (6L, "fr", "café résumé naïve coöperate " +
+        "señor café résumé"),
+      (7L, "en", null),
+      (8L, "en", ""),
+      (9L, "en", "two words"), // below shingle width w=3
+      (10L, "en", "word word word word word word word word"),
+      (11L, "en", "a\t\tb\n\n c d   e　f g\ta b c"),
+      // near-dup of 0: one token changed
+      (12L, "en", base.replace("dog", "cat")),
+      (13L, "de", "blatt blatt blatt blatt blatt blatt blatt blatt"))
+  }
+
+  /** Writes `<outDir>/documents.parquet` for the named corpus. */
+  def write(spark: SparkSession, outDir: String, which: String): Unit = {
+    import spark.implicits._
+    val docs = (which match {
+      case "pii"   => piiDocs
+      case "dedup" => dedupDocs
+      case other => sys.error(s"unknown corpus '$other' (pii|dedup)")
+    }).toDF("doc_id", "lang", "text")
+      .withColumn("source", concat(lit("src"), (col("doc_id") % 20)))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(outDir, which) = args.take(2)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    write(spark, outDir, which)
+    spark.stop()
+  }
+}

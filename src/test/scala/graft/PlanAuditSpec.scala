@@ -156,7 +156,9 @@ class PlanAuditSpec extends SparkSpec {
     "text_tfidf" -> 1           // corpus doc-count fold
   ).withDefaultValue(0)
 
-  private case class Audit(plan: String, maxUnpartWin: Int)
+  private case class Audit(plan: String, maxUnpartWin: Int,
+      fullScan: Map[String, Set[String]],
+      countedScan: Map[String, Set[String]])
 
   // One construction pass for every lint below. A registered
   // QueryExecutionListener additionally captures CONSTRUCTION-TIME
@@ -184,12 +186,19 @@ class PlanAuditSpec extends SparkSpec {
     try {
       SparkEntry.queries.map { case (name, fn) =>
         captured.synchronized(captured.clear())
-        val finalPlan = fn(spark, dir).queryExecution.executedPlan
+        val df = fn(spark, dir)
+        val finalPlan = df.queryExecution.executedPlan
+        // Bench's action is count() — plan the SAME shape (planning
+        // only, nothing executes) so the honesty lint below sees
+        // exactly what the board times
+        val countedPlan =
+          df.groupBy().count().queryExecution.executedPlan
         org.apache.spark.sql.graft.TestBridge.waitListenerBus(spark)
         val all = captured.synchronized(captured.toList)
           .map(_.executedPlan) :+ finalPlan
         name -> Audit(finalPlan.toString,
-          all.map(unpartitionedWindows).max)
+          all.map(unpartitionedWindows).max,
+          scanColumns(finalPlan), scanColumns(countedPlan))
       }
     } finally spark.listenerManager.unregister(listener)
   }
@@ -209,6 +218,31 @@ class PlanAuditSpec extends SparkSpec {
     }
     (p +: kids.flatMap(allNodes)) ++ p.subqueries.flatMap(allNodes)
   }
+
+  /** Parquet columns actually read, per table location — the ground
+    * truth for what a plan pays at the scan. Partition columns ride
+    * along in `output`; both sides of a comparison include them
+    * identically, so they never produce a spurious diff. */
+  private def scanColumns(p: org.apache.spark.sql.execution.SparkPlan)
+      : Map[String, Set[String]] =
+    allNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",") ->
+          f.output.map(_.name).toSet
+    }.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).toSet).toMap
+
+  /** Scan columns the full plan reads but the counted plan dropped —
+    * non-empty means Bench's count() action would NOT pay for this
+    * query's declared work (VERDICT r15 #7: three rounds of
+    * whack-a-mole on exactly this class). */
+  private def countPruned(full: Map[String, Set[String]],
+      counted: Map[String, Set[String]]): Seq[String] =
+    full.toSeq.flatMap { case (path, cols) =>
+      val missing = cols -- counted.getOrElse(path, Set.empty)
+      if (missing.isEmpty) None
+      else Some(s"${path.replaceAll(".*/", "")}: lost ${missing.toSeq.sorted.mkString(",")}")
+    }
 
   private def unpartitionedWindows(
       p: org.apache.spark.sql.execution.SparkPlan): Int =
@@ -357,6 +391,49 @@ class PlanAuditSpec extends SparkSpec {
       }.flatten.filter(_ >= fullWidth)
         .map(w => s"$q: $table scan reads $w of $fullWidth cols")
     }
+  }
+
+  // ---- bench honesty as a LINT (VERDICT r15 #7) -------------------
+  // Bench times `df.count()`, and Catalyst prunes ANY value expression
+  // the count doesn't need — pure projections and unused aggregate
+  // sums alike — so a query without an output-referencing always-true
+  // filter silently benches a column-less scan instead of its real
+  // work (q_pii_audit read 0.25 s instead of ~7 s at sf10 for three
+  // rounds). This lint ends the convention-by-memory: under the
+  // count() action every query must still READ every parquet column
+  // its full plan reads. A new projection-shaped row that forgets the
+  // honesty filter fails here, not in a judge's sf10 re-measure.
+  test("no board query is count()-pruned at the scan (bench honesty)") {
+    val over = audits.flatMap { case (n, a) =>
+      val lost = countPruned(a.fullScan, a.countedScan)
+      if (lost.isEmpty) None else Some(s"$n: ${lost.mkString("; ")}")
+    }
+    assert(over.isEmpty,
+      s"""queries whose bench number would NOT pay their declared work
+         |(add the always-true output-referencing filter — see
+         |q_pii_audit in SparkEntry for the template):
+         |${over.toSeq.sorted.mkString("\n")}""".stripMargin)
+  }
+
+  test("the honesty lint actually fires on a deliberately pruned query") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // the anti-pattern: compute-only projection, nothing references it
+    val pruned = docs.select(col("doc_id"), length(col("text")).as("len"))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      scanColumns(df.queryExecution.executedPlan)
+    val lostP = countPruned(sig(pruned),
+      sig(pruned.groupBy().count()))
+    assert(lostP.exists(_.contains("text")),
+      s"lint failed to flag the pruned fixture: $lostP")
+    // the fix template (SparkEntry.honest): an always-true filter
+    // referencing EVERY output column — hash never returns NULL and
+    // any int >= Int.MinValue, so no row is dropped
+    val honest = pruned.where(
+      hash(pruned.columns.map(col): _*) >= lit(Int.MinValue))
+    val lostH = countPruned(sig(honest),
+      sig(honest.groupBy().count()))
+    assert(lostH.isEmpty, s"honest fixture still flagged: $lostH")
   }
 
   test("lineitem scans are column-pruned (never full table width)") {
