@@ -105,6 +105,20 @@ object AdvCorpus {
       (13L, "de", "blatt blatt blatt blatt blatt blatt blatt blatt"))
   }
 
+  /** Canonical, order-insensitive md5 of a bounded result — the pin
+    * format the sweep specs assert. Sound only for the sweep corpora's
+    * few-row outputs (collect() is driver-side by design here). */
+  def resultHash(df: DataFrame): String = {
+    val rows = df.collect().map(_.toSeq.map {
+      case null => "NULL"
+      case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+      case v => v.toString
+    }.mkString("")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Writes `<outDir>/documents.parquet` for the named corpus. */
   def write(spark: SparkSession, outDir: String, which: String): Unit = {
     import spark.implicits._
@@ -116,8 +130,18 @@ object AdvCorpus {
       .withColumn("source", concat(lit("src"), (col("doc_id") % 20)))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    docs.coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
+    // a PLAIN FILE like the driver's testdata (DuckDB's read_parquet
+    // in tools/oracle_check.py reads the path directly, not a Spark
+    // part-file directory)
+    val tmp = s"$outDir/_documents_tmp"
+    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dest = java.nio.file.Paths.get(outDir, "documents.parquet")
+    java.nio.file.Files.deleteIfExists(dest)
+    java.nio.file.Files.move(part.toPath, dest)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   def main(args: Array[String]): Unit = {

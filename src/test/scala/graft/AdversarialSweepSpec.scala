@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tools.AdvCorpus
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The round-15 adversarial cross-engine sweeps, as CI (VERDICT r15 #4
+  * — they previously lived only as SCALE.md receipts, and they caught a
+  * real bug pre-ship: `concat_ws` swallowing a null token array made a
+  * NULL document fingerprint-collide with an EMPTY one).
+  *
+  * Two layers per corpus:
+  *  - semantic row-level assertions on the raw operators (explainable
+  *    failures for the adversarial cases each corpus exists for);
+  *  - a pinned [[AdvCorpus.resultHash]] per board query, minted from a
+  *    run whose outputs were replayed in DuckDB from the dumped
+  *    oracle_sql.json (`python3 tools/oracle_check.py <corpus> <dump>
+  *    <names>` — 6/6 and 15/15 OK, round 16). A pin mismatch means the
+  *    operator's cross-engine-verified behavior CHANGED: re-run the
+  *    DuckDB replay before re-minting the pin.
+  */
+class AdversarialSweepSpec extends SparkSpec {
+
+  private def corpusDir(which: String): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-adv-$which").toString
+    AdvCorpus.write(spark, dir, which)
+    dir
+  }
+
+  private lazy val piiDir = corpusDir("pii")
+  private lazy val dedupDir = corpusDir("dedup")
+
+  private def docs(dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ---- PII corpus: semantic assertions ----------------------------
+
+  test("fused PAN at offset 34 of a 76-digit run: embedded window finds it, greedy cut does not") {
+    val row = TextAnalysis.piiAudit(docs(piiDir))
+      .where(col("doc_id") === 2).head()
+    assert(row.getAs[Long]("n_cards_luhn") === 0L)
+    assert(row.getAs[Long]("n_cards_embedded") >= 1L)
+  }
+
+  test("10k-digit run: the detectors stay exact on a pathological candidate volume") {
+    val row = TextAnalysis.piiAudit(docs(piiDir))
+      .where(col("doc_id") === 1).head()
+    // a repeating 10k-digit decimal necessarily contains Luhn-valid
+    // shapes at every granularity: 526 greedy candidates of which 104
+    // pass Luhn, and 998 (offset, length) windows pass Luhn ∧ IIN.
+    // The exact counts are the cross-engine contract — DuckDB replays
+    // the same greedy extraction and window walk bit-for-bit (also
+    // covered by the q_pii_audit pin; replayed via oracle_check.py
+    // when these values were minted)
+    assert(row.getAs[Long]("n_card_candidates") === 526L)
+    assert(row.getAs[Long]("n_cards_luhn") === 104L)
+    assert(row.getAs[Long]("n_cards_embedded") === 998L)
+  }
+
+  test("Luhn boundary pair: invalid 16-digit fails, valid 13-digit Visa passes") {
+    val audit = TextAnalysis.piiAudit(docs(piiDir))
+    assert(audit.where(col("doc_id") === 13)
+      .head().getAs[Long]("n_cards_luhn") === 0L)
+    assert(audit.where(col("doc_id") === 17)
+      .head().getAs[Long]("n_cards_luhn") === 1L)
+  }
+
+  test("Arabic-Indic digits never match the ASCII digit classes") {
+    val row = TextAnalysis.piiAudit(docs(piiDir))
+      .where(col("doc_id") === 7).head()
+    assert(row.getAs[Long]("n_card_candidates") === 0L)
+    assert(row.getAs[Long]("n_cards_embedded") === 0L)
+  }
+
+  test("sentence segmentation keeps dotted tokens whole across every whitespace class") {
+    val all = TextAnalysis.sentences(docs(piiDir)).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("sentence"))
+    val sents = all.collect { case (0L, s) => s }
+    assert(sents.exists(_.contains("a.user@ex.com")),
+      s"email split apart: ${sents.mkString(" | ")}")
+    assert(sents.exists(_.contains("10.1.2.3")))
+    assert(sents.exists(_.contains("1.2.3 stay whole")))
+    // doc 6 mixes the segmenter's split class ([ \t\n\r\f] after a
+    // terminator → a cut) with non-splitting whitespace (VT, NBSP,
+    // LS, PS, ideographic space stay INSIDE a sentence): exactly the
+    // four non-space class members cut (tab/nl/cr/ff), so 5 parts —
+    // the doc's NBSP/LS/PS terminators deliberately do not split
+    val ws = all.count(_._1 == 6L)
+    assert(ws === 5, s"whitespace-class doc split into $ws parts")
+    // doc 8 is terminator-only — junk fragments are dropped entirely
+    assert(!all.exists(_._1 == 8L), "terminator-only doc leaked a sentence")
+  }
+
+  test("null and empty texts flow through the audit without flagging") {
+    val flagged = docs(piiDir)
+      .where(col("doc_id").isin(10, 11))
+      .where(TextAnalysis.hasValidatedPii(col("text")))
+    assert(flagged.head(1).isEmpty)
+  }
+
+  // ---- PII corpus: cross-engine pins ------------------------------
+
+  private val piiPins = Map(
+    "q_pii_audit" -> "296655b1d02552f7d8fe511eb7158e91",
+    "q_pii_audit_agg" -> "983b87ef38d866f648add0d3bc0aaca4",
+    "q_pii_sentences" -> "9f11cf3c30134a113eec9cc7b8550216",
+    "q_pii_gate" -> "65e53f3f9ac3e222f4f7e6fbcc21e1df",
+    "text_sentences" -> "3a710724440e26e67678e6a94905f02c",
+    "text_pii" -> "cfd8c4b76e687f6776b6fbad03b37d02")
+
+  for ((name, pin) <- piiPins.toSeq.sortBy(_._1))
+    test(s"pii sweep pin: $name") {
+      val got = AdvCorpus.resultHash(
+        SparkEntry.queries(name)(spark, piiDir))
+      assert(got === pin,
+        s"$name diverged from its DuckDB-verified pin — re-run " +
+          "tools/oracle_check.py on the pii corpus before re-minting")
+    }
+
+  // ---- dedup corpus: semantic assertions --------------------------
+
+  test("NULL text fingerprints NULL; EMPTY text fingerprints non-null (absent != empty)") {
+    val byId = docs(dedupDir)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(7L).isEmpty, "null text must fingerprint NULL")
+    assert(byId(8L).nonEmpty, "empty text must fingerprint non-null")
+    assert(byId(0L) === byId(1L), "exact dups must collide")
+    assert(byId(0L) !== byId(12L), "near-dups must not collide")
+  }
+
+  test("containment finds the doc inside its 50x container, directed") {
+    val pairs = Dedup.containmentJoin(
+        docs(dedupDir).select(col("doc_id"), col("text")),
+        w = 3, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 3L)),
+      s"containment missed the 50x pair: $pairs")
+  }
+
+  test("sub-width, null and empty texts produce no shingle pairs and no errors") {
+    val pairs = Dedup.containmentJoin(
+        docs(dedupDir).select(col("doc_id"), col("text")),
+        w = 3, threshold = 0.1)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(Set(7L, 8L, 9L)),
+      s"degenerate docs surfaced in pairs: $pairs")
+  }
+
+  // ---- dedup corpus: cross-engine pins -----------------------------
+
+  private val dedupPins = Map(
+    "dedup_exact" -> "a35715a204e215e4cf4135011aef4fd0",
+    "dedup_scrub" -> "afa9a211ed1c919c375adbce8f3de260",
+    "dedup_survivor" -> "6a57beeb12b58b66550bc0bde6cbab5c",
+    "dedup_winnow" -> "15900975c9f6412c76c0f5bd1757244f",
+    "dedup_simhash" -> "8aa76feb220e3909c30b6b30307f62dd",
+    "dedup_spans" -> "ca539132bbd06be9259462aeed0be367",
+    "dedup_minhash_lsh" -> "838b63e108268daf510111cc5945e9a9",
+    "dedup_jaccard_join" -> "838b63e108268daf510111cc5945e9a9",
+    "dedup_jaccard_indexed" -> "838b63e108268daf510111cc5945e9a9",
+    "dedup_jaccard_pairs_1k" -> "838b63e108268daf510111cc5945e9a9",
+    "dedup_containment" -> "2f0bf9db4ea92badccc6735b1fbe1d4c",
+    "dedup_containment_indexed" -> "2f0bf9db4ea92badccc6735b1fbe1d4c",
+    "dedup_cc" -> "622cc43727b24ada28fe922c1d387881",
+    "text_fingerprint" -> "0f0ee0a7da9ed093bcd71c206b22842b",
+    "text_line_dedup" -> "b8ffc576e4eb2f90ed9ed57edd76540a")
+
+  for ((name, pin) <- dedupPins.toSeq.sortBy(_._1))
+    test(s"dedup sweep pin: $name") {
+      val got = AdvCorpus.resultHash(
+        SparkEntry.queries(name)(spark, dedupDir))
+      assert(got === pin,
+        s"$name diverged from its DuckDB-verified pin — re-run " +
+          "tools/oracle_check.py on the dedup corpus before re-minting")
+    }
+}
