@@ -1851,7 +1851,7 @@ object SparkEntry {
           col("n_cards_luhn") + col("n_cards_embedded") +
           col("n_ipv4_candidates") + col("n_ipv4_valid") +
           col("n_iban_candidates") + col("n_ibans_valid") +
-          col("n_phones_e164"), lit(0L)) >= 0)
+          col("n_phones_e164") + col("n_phones_valid"), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -1868,7 +1868,8 @@ object SparkEntry {
           sum("n_cards_embedded").as("cards_embedded"),
           sum("n_ipv4_valid").as("ips"),
           sum("n_ibans_valid").as("ibans"),
-          sum("n_phones_e164").as("phones"))
+          sum("n_phones_e164").as("phones"),
+          sum("n_phones_valid").as("phones_valid"))
         // count() prunes even UNREFERENCED aggregate expressions (the
         // optimizer drops unused sums, leaving an empty aggregate over
         // a zero-column scan — measured: 0.36 s vs the real ~7 s at
@@ -1876,7 +1877,7 @@ object SparkEntry {
         // the row's bench number is the audit's honest cost
         .where(col("emails") + col("cards") + col("cards_embedded") +
           col("ips") + col("ibans") + col("phones") +
-          col("n_docs") >= 0)
+          col("phones_valid") + col("n_docs") >= 0)
     }),
 
     // sentence-LEVEL PII location (targeted redaction needs WHERE,
@@ -5019,6 +5020,34 @@ object SparkEntry {
        |    s -> trim(s)),
        |    s -> s <> '' AND regexp_matches(s, '[^.!?]'))""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.TextAnalysis.phonePlausible]]
+    * over an E.164 candidate lambda variable `p` (`+` then 8–15
+    * digits): longest-prefix country-code match against the shared
+    * ITU assignment tables, then the published NSN length bounds —
+    * pure substr/length/IN digit-string work, no regex, so both
+    * engines run identical byte comparisons. Digit i of the stripped
+    * number is `substr(p, i + 1, 1)`; NSN length is
+    * `length(p) - 1 - ccLen`. */
+  private def phoneSqlPred(p: String): String = {
+    val cc2 = TextAnalysis.PhoneCc2.map(c => s"'$c'").mkString(", ")
+    val cc3 = TextAnalysis.PhoneCc3.map(c => s"'$c'").mkString(", ")
+    s"""(CASE
+       |  WHEN substr($p, 2, 1) = '1' THEN length($p) - 2 = 10
+       |    AND substr($p, 3, 1) BETWEEN '2' AND '9'
+       |    AND substr($p, 6, 1) BETWEEN '2' AND '9'
+       |  WHEN substr($p, 2, 1) = '7' THEN length($p) - 2 = 10
+       |  WHEN substr($p, 2, 2) IN ('33', '34') THEN length($p) - 3 = 9
+       |  WHEN substr($p, 2, 2) IN ('44', '81')
+       |    THEN length($p) - 3 BETWEEN 9 AND 10
+       |  WHEN substr($p, 2, 2) = '49' THEN length($p) - 3 BETWEEN 6 AND 11
+       |  WHEN substr($p, 2, 2) = '86' THEN length($p) - 3 BETWEEN 9 AND 12
+       |  WHEN substr($p, 2, 2) = '91' THEN length($p) - 3 = 10
+       |  WHEN substr($p, 2, 2) IN ($cc2)
+       |    THEN length($p) - 3 BETWEEN 4 AND 13
+       |  ELSE substr($p, 2, 3) IN ($cc3)
+       |    AND length($p) - 4 BETWEEN 4 AND 13 END)""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.operators.TextAnalysis.hasValidatedPii]]
     * over a text expression `t` — the q_pii_audit Luhn/octet
     * arithmetic reused as a boolean (shared by the q_pii_gate
@@ -5046,7 +5075,10 @@ object SparkEntry {
        |         THEN CAST((CAST(a AS INT) * 10 + CAST(c AS INT)) % 97
        |           AS VARCHAR)
        |         ELSE CAST((CAST(a AS INT) * 100 + ascii(c) - 55) % 97
-       |           AS VARCHAR) END) = '1')) > 0)""".stripMargin
+       |           AS VARCHAR) END) = '1')) > 0
+       |   OR len(list_filter(regexp_extract_all($t,
+       |     '${TextAnalysis.PhoneE164Pattern}'), p ->
+       |     ${phoneSqlPred("p")})) > 0)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -9227,7 +9259,11 @@ object SparkEntry {
          |    AS n_ibans_valid,
          |  CAST(len(regexp_extract_all(text,
          |    '${TextAnalysis.PhoneE164Pattern}')) AS BIGINT)
-         |    AS n_phones_e164
+         |    AS n_phones_e164,
+         |  CAST(len(list_filter(regexp_extract_all(text,
+         |    '${TextAnalysis.PhoneE164Pattern}'), p ->
+         |    ${phoneSqlPred("p")})) AS BIGINT)
+         |    AS n_phones_valid
          |FROM inj ORDER BY doc_id""".stripMargin
     },
 
@@ -9261,7 +9297,9 @@ object SparkEntry {
          |        ELSE CAST((CAST(a AS INT) * 100 + ascii(c) - 55) % 97
          |          AS VARCHAR) END) = '1'))) AS BIGINT) AS ibans,
          |  CAST(sum(len(regexp_extract_all(text, '$ph'))) AS BIGINT)
-         |    AS phones
+         |    AS phones,
+         |  CAST(sum(len(list_filter(regexp_extract_all(text, '$ph'),
+         |    p -> ${phoneSqlPred("p")}))) AS BIGINT) AS phones_valid
          |FROM inj""".stripMargin
     },
 

@@ -495,15 +495,99 @@ object TextAnalysis {
   val IbanCandidatePattern: String = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
 
   /** E.164 international phone shape: `+` then 8–15 digits, no
-    * leading zero. SHAPE-ONLY — phone numbers carry no checksum, so
-    * unlike cards/IBANs this column cannot be validated, only
-    * counted; it rides [[piiAudit]] as `n_phones_e164` but does NOT
-    * feed [[hasValidatedPii]] (the gate's contract is VALIDATED PII
-    * — a shape-only signal there would re-import the false-positive
-    * noise validation exists to kill). The national/separator-
-    * tolerant formats are deliberately out of scope: that is where
-    * regex dialects diverge. */
+    * leading zero. The SHAPE count rides [[piiAudit]] as
+    * `n_phones_e164`; [[phonePlausible]] is the validation tier on
+    * top (assigned country code + published length metadata) and is
+    * what feeds `n_phones_valid` and [[hasValidatedPii]]. The
+    * national/separator-tolerant formats are deliberately out of
+    * scope: that is where regex dialects diverge. */
   val PhoneE164Pattern: String = "\\+[1-9][0-9]{7,14}"
+
+  /** The assigned TWO-digit E.164 country calling codes (ITU-T E.164
+    * assignment list, public — the same structure libphonenumber's
+    * metadata encodes). `1` and `7` are the only one-digit codes;
+    * every other assigned code is three digits and lives in
+    * [[PhoneCc3]]. Codes absent here (21, 28, 29, 35, 37, 38, 42,
+    * 50, 59, 67–69, 80, 85, 87, 88, 96, 97, 99) head three-digit
+    * blocks, which is why longest-prefix matching tries this list
+    * before falling through to three digits. */
+  val PhoneCc2: Seq[String] = Seq(
+    "20", "27", "30", "31", "32", "33", "34", "36", "39", "40", "41",
+    "43", "44", "45", "46", "47", "48", "49", "51", "52", "53", "54",
+    "55", "56", "57", "58", "60", "61", "62", "63", "64", "65", "66",
+    "81", "82", "84", "86", "90", "91", "92", "93", "94", "95", "98")
+
+  /** The assigned THREE-digit E.164 country calling codes (ITU-T
+    * E.164 assignment list, public), including the global services
+    * (800/808/870/878/881–883/888) — phone-shaped noise under an
+    * UNASSIGNED code (e.g. `+999…`) is exactly what this table
+    * rejects. */
+  val PhoneCc3: Seq[String] = Seq(
+    // zone 2 — Africa
+    "211", "212", "213", "216", "218", "220", "221", "222", "223",
+    "224", "225", "226", "227", "228", "229", "230", "231", "232",
+    "233", "234", "235", "236", "237", "238", "239", "240", "241",
+    "242", "243", "244", "245", "246", "247", "248", "249", "250",
+    "251", "252", "253", "254", "255", "256", "257", "258", "260",
+    "261", "262", "263", "264", "265", "266", "267", "268", "269",
+    "290", "291", "297", "298", "299",
+    // zone 3 — Europe
+    "350", "351", "352", "353", "354", "355", "356", "357", "358",
+    "359", "370", "371", "372", "373", "374", "375", "376", "377",
+    "378", "379", "380", "381", "382", "383", "385", "386", "387",
+    "389",
+    // zone 4
+    "420", "421", "423",
+    // zone 5 — Central/South America
+    "500", "501", "502", "503", "504", "505", "506", "507", "508",
+    "509", "590", "591", "592", "593", "594", "595", "596", "597",
+    "598", "599",
+    // zone 6 — Pacific
+    "670", "672", "673", "674", "675", "676", "677", "678", "679",
+    "680", "681", "682", "683", "685", "686", "687", "688", "689",
+    "690", "691", "692",
+    // zone 8 — East Asia + global services
+    "800", "808", "850", "852", "853", "855", "856", "870", "878",
+    "880", "881", "882", "883", "886", "888",
+    // zone 9 — Middle East / Central + South Asia
+    "960", "961", "962", "963", "964", "965", "966", "967", "968",
+    "970", "971", "972", "973", "974", "975", "976", "977", "979",
+    "992", "993", "994", "995", "996", "998")
+
+  /** Phone-number PLAUSIBILITY over an E.164 candidate (the fifth
+    * validated PII class — phones carry no checksum, so the
+    * validation tier is libphonenumber-style public metadata instead
+    * of arithmetic): longest-prefix country-code match against the
+    * ITU assignment tables ([[PhoneCc2]]/[[PhoneCc3]]; an unassigned
+    * code like `+999…` fails outright), then the national significant
+    * number's length against published bounds — exact for the
+    * highest-volume codes (NANP is 10 with `[2-9]` area/exchange
+    * leads, per the NANP numbering plan; Russia 10; France/Spain 9;
+    * UK 9–10; Germany 6–11; Japan 9–10; China 9–12; India 10), a
+    * structural 4–13 elsewhere (E.164 caps totals at 15; no code's
+    * published NSN floor is under 4). All substr/length/IN work on
+    * digit strings — no regex, so the DuckDB oracle replays it
+    * byte-for-byte. Candidates come from [[PhoneE164Pattern]], which
+    * guarantees `+` then 8–15 digits. */
+  def phonePlausible(p: Column): Column = {
+    val d = substring(p, 2, 16) // the digits (strip '+')
+    val n = length(d)
+    val c1 = substring(d, 1, 1)
+    val c2 = substring(d, 1, 2)
+    val c3 = substring(d, 1, 3)
+    when(c1 === "1",
+      n - 1 === 10 &&
+        substring(d, 2, 1).between("2", "9") &&
+        substring(d, 5, 1).between("2", "9"))
+      .when(c1 === "7", n - 1 === 10)
+      .when(c2 === "33" || c2 === "34", n - 2 === 9)
+      .when(c2 === "44" || c2 === "81", (n - 2).between(9, 10))
+      .when(c2 === "49", (n - 2).between(6, 11))
+      .when(c2 === "86", (n - 2).between(9, 12))
+      .when(c2 === "91", n - 2 === 10)
+      .when(c2.isin(PhoneCc2: _*), (n - 2).between(4, 13))
+      .otherwise(c3.isin(PhoneCc3: _*) && (n - 3).between(4, 13))
+  }
 
   /** Luhn (mod-10) checksum over an all-digit string: 1-indexed from
     * the RIGHT, every even position's digit doubles (minus 9 past 9),
@@ -541,8 +625,10 @@ object TextAnalysis {
     * n_cards_embedded ([[cardWindowsValid]] — PANs fused inside
     * longer digit runs, which the greedy candidate misses),
     * n_ipv4_candidates, n_ipv4_valid, n_iban_candidates,
-    * n_ibans_valid, n_phones_e164 (shape-only — see
-    * [[PhoneE164Pattern]]). Entirely per-row expression work (regex extract
+    * n_ibans_valid, n_phones_e164 (shape count), n_phones_valid
+    * ([[phonePlausible]] — assigned country code + published length
+    * metadata, the checksum-less class's validation tier).
+    * Entirely per-row expression work (regex extract
     * + nested higher-order functions over ≤ a handful of short
     * candidates per doc): shuffle-free, linear in corpus bytes, and
     * embarrassingly parallel at 100 TB — the scan IS the cost, so it
@@ -571,7 +657,10 @@ object TextAnalysis {
       size(filter(ibans, b => ibanValid(b))).cast("long")
         .as("n_ibans_valid"),
       regexp_count(col(textCol), lit(PhoneE164Pattern)).cast("long")
-        .as("n_phones_e164"))
+        .as("n_phones_e164"),
+      size(filter(regexp_extract_all(col(textCol),
+          lit(PhoneE164Pattern), lit(0)), p => phonePlausible(p)))
+        .cast("long").as("n_phones_valid"))
   }
 
   /** [[redactPii]]'s full-surface sibling: emails → `[EMAIL]`, IBAN
@@ -603,8 +692,10 @@ object TextAnalysis {
     * Luhn-valid card run, a Luhn∧IIN-valid window EMBEDDED in a
     * longer digit run ([[cardWindowsValid]] — so a PAN fused into a
     * timestamp/id run trips the gate, VERDICT r14 #2), an octet-valid
-    * IPv4, or a mod-97-valid
-    * IBAN — the row-level predicate under [[piiAudit]] (same
+    * IPv4, a mod-97-valid IBAN, or a PLAUSIBLE E.164 phone
+    * ([[phonePlausible]] — assigned country code + published length
+    * bounds; shape-only phone noise under an unassigned code still
+    * does not trip the gate) — the row-level predicate under [[piiAudit]] (same
     * candidates, same validation) for gates that must decide per
     * row: pure per-row expression work, shuffle-free, stateless (so
     * it rides streams as-is — see
@@ -629,7 +720,9 @@ object TextAnalysis {
         (cardWindowsValid(text) > 0) ||
         exists(ips, ip =>
           forall(split(ip, "\\."), o => o.cast("int") <= 255)) ||
-        exists(ibans, b => ibanValid(b)),
+        exists(ibans, b => ibanValid(b)) ||
+        exists(regexp_extract_all(text, lit(PhoneE164Pattern), lit(0)),
+          p => phonePlausible(p)),
       lit(false))
   }
 

@@ -76,7 +76,14 @@ object AdvCorpus {
       (16L, "en", "+14155550123 and +442071838750 and +10000 end."),
       // a 12-digit run (below candidate floor) and a valid 13-digit
       // Visa PAN — the boundary pair
-      (17L, "zh", "a 123456789012 b 4222222222222 c."))
+      (17L, "zh", "a 123456789012 b 4222222222222 c."),
+      // phone plausibility ladder (r16): valid RU 10-digit NSN; NANP
+      // shape with a 1-led area code (fails [2-9]); an UNASSIGNED
+      // 3-digit code (+999…); Gibraltar at the short-NSN floor;
+      // China one digit past its published max; NANP rule-plausible
+      (18L, "en", "call +78005553535 or +11555550123 or " +
+        "+999123456789 or +35012345 or +861234567890123 or " +
+        "+12005550123 end."))
   }
 
   val dedupDocs: Seq[(Long, String, String)] = {

@@ -92,6 +92,21 @@ class AdversarialSweepSpec extends SparkSpec {
     assert(!all.exists(_._1 == 8L), "terminator-only doc leaked a sentence")
   }
 
+  test("phone plausibility ladder: assignment table + published lengths decide, not shape") {
+    val row = TextAnalysis.piiAudit(docs(piiDir))
+      .where(col("doc_id") === 18).head()
+    // six E.164 shapes; exactly three plausible: +7 with a 10-digit
+    // NSN, Gibraltar (+350) at the short-NSN floor, and the NANP
+    // rule-plausible +12005550123 — the 1-led NANP area code, the
+    // unassigned +999 code and the over-length +86 NSN all fail
+    assert(row.getAs[Long]("n_phones_e164") === 6L)
+    assert(row.getAs[Long]("n_phones_valid") === 3L)
+    // the gate agrees with the audit: plausible phones are validated
+    // PII, shape-only noise alone is not
+    assert(docs(piiDir).where(col("doc_id") === 18)
+      .where(TextAnalysis.hasValidatedPii(col("text"))).count() === 1L)
+  }
+
   test("null and empty texts flow through the audit without flagging") {
     val flagged = docs(piiDir)
       .where(col("doc_id").isin(10, 11))
@@ -102,12 +117,12 @@ class AdversarialSweepSpec extends SparkSpec {
   // ---- PII corpus: cross-engine pins ------------------------------
 
   private val piiPins = Map(
-    "q_pii_audit" -> "296655b1d02552f7d8fe511eb7158e91",
-    "q_pii_audit_agg" -> "983b87ef38d866f648add0d3bc0aaca4",
-    "q_pii_sentences" -> "9f11cf3c30134a113eec9cc7b8550216",
-    "q_pii_gate" -> "65e53f3f9ac3e222f4f7e6fbcc21e1df",
-    "text_sentences" -> "3a710724440e26e67678e6a94905f02c",
-    "text_pii" -> "cfd8c4b76e687f6776b6fbad03b37d02")
+    "q_pii_audit" -> "8849ee56fb1764b5608d6dd2e6fa3147",
+    "q_pii_audit_agg" -> "97f957d00a0dc051725b4b9e8ff18d0b",
+    "q_pii_sentences" -> "368fbbcc6397c889c9361a6c35e88d9c",
+    "q_pii_gate" -> "a1df4a6ecb58c8531c26740d8d2c23c0",
+    "text_sentences" -> "8dce1d2e05da5c86a29581989bc698a2",
+    "text_pii" -> "0cbe947a59e60ed6418fcbc11cb4aa97")
 
   for ((name, pin) <- piiPins.toSeq.sortBy(_._1))
     test(s"pii sweep pin: $name") {

@@ -267,23 +267,35 @@ class TextAnalysisSpec extends SparkSpec {
       s"shaped noise must fail mod-97: ${got(6L)}")
   }
 
-  test("piiAudit phones: E.164 shape counts; national formats and leading zero do not") {
+  test("piiAudit phones: E.164 shape counts; plausibility is the validated tier (r16)") {
     import spark.implicits._
     val docs = Seq(
-      (1L, "call +14155550123 or +442071838750 now"), // two E.164
+      (1L, "call +14155550123 or +442071838750 now"), // two E.164, both plausible
       (2L, "call (415) 555-0123 today"),              // national: out of scope
       (3L, "code +0123456789 has a leading zero"),    // invalid E.164
-      (4L, "short +1234567 only 7 digits"))           // below the floor
+      (4L, "short +1234567 only 7 digits"),           // below the floor
+      (5L, "noise +999123456789 unassigned code"))    // shape, no assignment
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiAudit(docs).collect().map(r =>
-      r.getLong(0) -> r.getAs[Long]("n_phones_e164")).toMap
-    assert(got == Map(1L -> 2L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      r.getLong(0) -> (r.getAs[Long]("n_phones_e164"),
+        r.getAs[Long]("n_phones_valid"))).toMap
+    assert(got == Map(1L -> ((2L, 2L)), 2L -> ((0L, 0L)),
+      3L -> ((0L, 0L)), 4L -> ((0L, 0L)), 5L -> ((1L, 0L))),
       got.toString)
-    // shape-only: phones never trip the VALIDATED gate
+    // PLAUSIBLE phones trip the validated gate; shape-only noise
+    // (unassigned code) does not — and redaction still recovers
+    // (the digits fall under the [NUM] pass, so a redacted doc
+    // never re-flags)
     val flagged = docs.select(
       TextAnalysis.hasValidatedPii($"text")).collect()
       .map(_.getBoolean(0)).toSeq
-    assert(flagged == Seq(false, false, false, false), flagged.toString)
+    assert(flagged == Seq(true, false, false, false, false),
+      flagged.toString)
+    val reflagged = docs.select(TextAnalysis.hasValidatedPii(
+      TextAnalysis.redactPiiAll($"text"))).collect()
+      .map(_.getBoolean(0)).toSeq
+    assert(reflagged == Seq(false, false, false, false, false),
+      reflagged.toString)
   }
 
   test("piiAudit scope: ASCII digit classes only — localized digits never form candidates") {
