@@ -826,6 +826,53 @@ object Dedup {
     * shingle meet at the same id, and no unseen id ever collides
     * with a corpus id. [[jaccardIndexAppend]] persists ids instead
     * (stable across sessions) — see its numbering. */
+  /** Cap on the batch-vocabulary bloom fold of [[batchPrunedDict]]:
+    * past this the folded literal stops being small (~1.2 MB per
+    * million keys) and a batch approaching corpus vocabulary gains
+    * nothing from pruning the dict anyway — the serve falls back to
+    * the unpruned dict, which is exactly the pre-r16 plan. */
+  private val MaxBatchBloomKeys: Long = 8L * 1000 * 1000
+
+  /** Doc-count regime gate for [[batchPrunedDict]]: the prune runs
+    * only when the batch is at most a 1/8 fraction of the indexed
+    * corpus — the nightly-serve regime it exists for. Above that the
+    * batch vocabulary approaches the dict's and the prune cannot
+    * shrink anything (measured at sf10-zipf: a half-corpus batch has
+    * 94% of the dict's vocabulary unseen-or-shared; the sizing pass
+    * alone cost ~2 s for zero pruning). */
+  private val SmallBatchFactor: Long = 8L
+
+  /** Prune a corpus-frozen dictionary SCAN to the batch's vocabulary
+    * (VERDICT r15 #5): the incremental serves only touch dict rows
+    * whose shingle occurs in the batch, yet the ordering join and the
+    * unseen anti-join previously shuffled the WHOLE stored dict
+    * (22.9 M keys ≈ 8 s at sf10-zipf) to discover that. Two narrow
+    * O(batch) passes — approx_count_distinct sizes the filter, then
+    * the batch vocabulary folds into a bloom ONCE on the driver (the
+    * stateless-gate pattern of
+    * [[graft.streaming.ScdStream.decontaminateStreamGate]]) — and the
+    * bloom literal filters the dict scan BEFORE any exchange. Blooms
+    * have no false negatives, so every dict row whose shingle occurs
+    * in the batch survives and both joins are ROW-IDENTICAL to the
+    * unpruned form; false positives only leak extra dict rows into
+    * exchanges that previously carried all of them. An empty batch
+    * folds a NULL bloom → empty dict, which the empty joins ignore. */
+  private def batchPrunedDict(sh: DataFrame, dict: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge
+    val approx = sh.agg(approx_count_distinct(col("shingle")).as("n"))
+      .head().getLong(0)
+    if (approx > MaxBatchBloomKeys) dict
+    else {
+      val bloomRow = sh.agg(CatalystBridge.bloomFilterAgg(
+          xxhash64(col("shingle")),
+          math.max(1024L, approx + approx / 4)).as("bf"))
+        .head()
+      if (bloomRow.isNullAt(0)) dict.where(lit(false))
+      else dict.where(CatalystBridge.bloomMightContain(
+        lit(bloomRow.getAs[Array[Byte]](0)), xxhash64(col("shingle"))))
+    }
+  }
+
   private def unseenDict(sh: DataFrame, stored: DataFrame): DataFrame =
     sh.select(col("shingle")).distinct()
       .join(stored.select("shingle"), Seq("shingle"), "left_anti")
@@ -1055,9 +1102,20 @@ object Dedup {
     val tn = tnOf(threshold)
     val corpus = jaccardIndexDocs(spark, indexPath,
       "jaccardJoinIncremental")
-    val dict = jaccardIndexDict(spark, indexPath, w,
-      "jaccardJoinIncremental")
     val shB = shingles(batchDocs, id, textCol, w)
+    // the stored dict pruned to the batch vocabulary (r16 — exact;
+    // see batchPrunedDict): in the nightly regime (batch ≪ corpus)
+    // the ordering join and the unseen anti-join exchange
+    // O(batch ∩ corpus) dict rows, not the corpus. Gated on doc
+    // counts (two cheap jobs): a batch comparable to the corpus has
+    // corpus-scale vocabulary, where the prune cannot shrink the dict
+    // and its O(batch) sizing passes are pure loss.
+    val dict0 = jaccardIndexDict(spark, indexPath, w,
+      "jaccardJoinIncremental")
+    val dict =
+      if (batchDocs.count() * SmallBatchFactor <= corpus.count())
+        batchPrunedDict(shB, dict0)
+      else dict0
     // lazy checkpoint: batch arrays feed the prefix explode AND verify
     val orderedB = dfOrderedArrays(shB,
       dict.unionByName(unseenDict(shB, dict)), id)
@@ -1113,9 +1171,16 @@ object Dedup {
     val tn = tnOf(threshold)
     val corpus = jaccardIndexDocs(spark, indexPath,
       "containmentJoinIncremental")
-    val dict = jaccardIndexDict(spark, indexPath, w,
-      "containmentJoinIncremental")
     val shB = shingles(batchDocs, id, textCol, w)
+    // the stored dict pruned to the batch vocabulary (r16 — exact;
+    // see batchPrunedDict), gated on doc counts exactly as in
+    // [[jaccardJoinIncremental]]
+    val dict0 = jaccardIndexDict(spark, indexPath, w,
+      "containmentJoinIncremental")
+    val dict =
+      if (batchDocs.count() * SmallBatchFactor <= corpus.count())
+        batchPrunedDict(shB, dict0)
+      else dict0
     // lazy checkpoint: batch arrays feed prefixes, postings AND verify
     val orderedB = dfOrderedArrays(shB,
       dict.unionByName(unseenDict(shB, dict)), id)
@@ -1138,9 +1203,15 @@ object Dedup {
     // prefix rows per doc are (1−τ)·sz-bounded, so no single doc
     // dominates the sum and the scaled sample concentrates; measured
     // ~4 s → ~0.5 s on the sf10-zipf probe)
-    def dfB = containmentPostings(orderedB, id)
+    // materialized once (r16): the batch-posting df table feeds the
+    // batch×batch volume term, maxDfB AND the sampled corpus-quadrant
+    // probe — as a `def` it recomputed its posting groupBy per
+    // consumer (2–3 full passes); the rows are two longs, so the
+    // checkpoint is narrow
+    val dfB = containmentPostings(orderedB, id)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .select(col("shingle").as("sid"), col("df"))
+      .localCheckpoint(false)
     val estA = prefixDfSum(orderedB, tn) +
       prefixCollisionVolume(pre(orderedB), dfB)
     val maxDfB = maxDfOf(dfB)

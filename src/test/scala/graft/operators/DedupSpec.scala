@@ -347,6 +347,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("small-batch incremental (bloom-pruned dict regime) ≡ inline minus corpus-vs-corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = ('a' to 'z').map(_.toString)
+    // a corpus big enough that a ≤1/8 batch takes batchPrunedDict's
+    // bloom path (the half-corpus sibling test above takes the
+    // gated-off path) — the batch mixes quoted corpus content with
+    // entirely NEW vocabulary, so the pruned dict must serve both the
+    // seen lookups and the unseen-id assignment exactly
+    val corpus = ((0L until 60L).map { i =>
+      val stem = Seq.fill(6)(vocab(rnd.nextInt(5)))
+      val tail = Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(26)))
+      (i, (stem ++ tail).mkString(" "))
+    } :+ ((60L, "kq kw ke kr kt ky ku ki ko kp kz kx"))) // quoted below
+      .toDF("doc_id", "text").localCheckpoint()
+    val batch = Seq(
+      (200L, "kq kw ke kr kt ky ku ki ko kp"), // contained in doc 60
+      (201L, "nv1 nv2 nv3 nv4 nv5 nv6 nv7"),   // all-new vocabulary
+      (202L, "nv1 nv2 nv3 nv4 nv5 nv6 nv7 nv8 nv9"), // contains 201
+      (203L, "mixed kq kw ke nv1 nv2 nv3 words here"))
+      .toDF("doc_id", "text").localCheckpoint()
+    assert(batch.count() * 8 <= corpus.count(), "fixture must gate ON")
+    val dir = java.nio.file.Files
+      .createTempDirectory("cont_small").toString + "/idx"
+    Dedup.jaccardIndexWrite(corpus, dir)
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "n_common", "n_a", "n_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    for (tau <- Seq(0.6, 0.8)) {
+      val inc = rows(Dedup.containmentJoinIncremental(batch, dir,
+        threshold = tau))
+      val want = rows(Dedup.containmentJoin(
+          corpus.unionByName(batch), threshold = tau))
+        .filterNot(p => p._1 < 200 && p._2 < 200)
+      assert(inc == want, s"tau=$tau: missing=${want -- inc} " +
+        s"extra=${inc -- want}")
+    }
+    // the fixture exercises batch→corpus (200 in 60), batch→batch on
+    // UNSEEN vocabulary (201 in 202) — both must surface at 0.6
+    val got = rows(Dedup.containmentJoinIncremental(batch, dir,
+      threshold = 0.6))
+    assert(got.exists(p => p._1 == 200L && p._2 == 60L), got.toString)
+    assert(got.exists(p => p._1 == 201L && p._2 == 202L), got.toString)
+  }
+
   test("jaccard index: indexed ≡ inline, incremental ≡ brute batch pairs, append ≡ rebuild") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
