@@ -112,6 +112,36 @@ object AdvCorpus {
       (13L, "de", "blatt blatt blatt blatt blatt blatt blatt blatt"))
   }
 
+  /** Tokenizer-family adversarial corpus (r16 — the sweep family's
+    * third member, aimed at the native BPE/wordpiece/unigram scans
+    * and their cross-engine training replays): pathological word
+    * lengths (the per-word DP/scan cost axis), words that CLEAN to
+    * nothing (punctuation/unicode/emoji under the `[^a-z0-9]` strip),
+    * oracle-delimiter hazards (`|sym|` is the DuckDB replay's symbol
+    * encoding — a literal `|` in text must never forge it), merge
+    * dominance, and null/empty/single-char degenerates. */
+  val tokDocs: Seq[(Long, String, String)] = Seq(
+    (0L, "en", "The Quick BROWN fox jumps over the lazy dog and " +
+      "the quick brown cat naps"),
+    // one 10k-char word: the per-word cost axis of every tokenizer
+    (1L, "en", "start " + ("a" * 10000) + " end"),
+    // words that clean to NOTHING under [^a-z0-9]
+    (2L, "en", "!!! ??? ### $$$ %%% ***"),
+    (3L, "fr", "café 🚀🚀 深度学习 naïve " +
+      "mixed深度script"),
+    (4L, "en", "123 4567 89 000111222 12ab34"),
+    (5L, "en", null),
+    (6L, "en", ""),
+    // single chars: below bpeTrain's minWordLen
+    (7L, "en", "a b c d e f g"),
+    // pipe is the oracle's '|sym|' delimiter — it must strip, never forge
+    (8L, "en", "a|b c|d ||| |sym| x||||y"),
+    // merge dominance: one overwhelming pair
+    (9L, "en", "banana banana banana banana bandana"),
+    (10L, "en", "x\t\ty\n\n z　w"),
+    // 6k chars of a two-char cycle: merge-heavy, symbol-count stress
+    (11L, "de", "cycle " + ("ab" * 3000) + " done"))
+
   /** Canonical, order-insensitive md5 of a bounded result — the pin
     * format the sweep specs assert. Sound only for the sweep corpora's
     * few-row outputs (collect() is driver-side by design here). */
@@ -132,7 +162,8 @@ object AdvCorpus {
     val docs = (which match {
       case "pii"   => piiDocs
       case "dedup" => dedupDocs
-      case other => sys.error(s"unknown corpus '$other' (pii|dedup)")
+      case "tok"   => tokDocs
+      case other => sys.error(s"unknown corpus '$other' (pii|dedup|tok)")
     }).toDF("doc_id", "lang", "text")
       .withColumn("source", concat(lit("src"), (col("doc_id") % 20)))
       .withColumn("n_chars", length(col("text")).cast("long"))

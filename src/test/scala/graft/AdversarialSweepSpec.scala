@@ -168,6 +168,66 @@ class AdversarialSweepSpec extends SparkSpec {
 
   // ---- dedup corpus: cross-engine pins -----------------------------
 
+  // ---- tokenizer corpus: semantic assertions (r16) ------------------
+
+  private lazy val tokDir = corpusDir("tok")
+
+  test("tokenizer training never sees oracle-delimiter or non-[a-z0-9] bytes") {
+    // doc 8 is pipe soup and doc 2/3 clean to nothing/latin residue —
+    // the trained merge symbols must be pure [a-z0-9] (a literal '|'
+    // reaching a symbol would forge the DuckDB replay's '|sym|'
+    // encoding; the cleaning strip is what makes the oracle sound)
+    val merges = TextAnalysis.bpeTrain(docs(tokDir), merges = 3)
+      .collect()
+    assert(merges.nonEmpty)
+    merges.foreach { r =>
+      val m = r.getAs[String]("merged")
+      assert(m.matches("[a-z0-9]+"), s"non-clean merge symbol: '$m'")
+    }
+  }
+
+  test("10k-char single word flows through bpe inference bounded and intact") {
+    val merges = TextAnalysis.bpeTrain(docs(tokDir), merges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val row = TextAnalysis.bpeEncode(docs(tokDir), merges)
+      .where(col("doc_id") === 1).head()
+    // "start" + the 10k-a word + "end": the repeated-letter word must
+    // survive the native one-pass scan as ONE word whose pieces
+    // reassemble to the original 10000 chars
+    assert(row.getAs[Long]("n_words") === 3L)
+    val seg = row.getAs[String]("segmented")
+    assert(seg.replace(" ", "").length >= 10000 + 8)
+  }
+
+  // ---- tokenizer corpus: cross-engine pins (replayed via
+  // tools/oracle_check.py on /tmp/advtok this round: 14/14 OK) -------
+
+  private val tokPins = Map(
+    "text_bpe_train" -> "b959835d365e9b10061ac68483bac1db",
+    "text_bpe_encode" -> "ce04f904f637b0e178bcf362f6c265ef",
+    "text_bpe_indexed" -> "ce04f904f637b0e178bcf362f6c265ef",
+    "text_wordpiece" -> "0bed3c1e9965729aacad39b965d14426",
+    "text_unigram_train" -> "caf1168f50d61b5533109555a9244e69",
+    "text_unigram_train2" -> "caf1168f50d61b5533109555a9244e69",
+    "text_unigram_train3" -> "0c76eb7892bd3b4517cdb44156172d1b",
+    "text_unigram_encode" -> "73e65c06b2eff1a96ff014645590b2ea",
+    "q_token_counts" -> "c54b1eb1bc5ea57575acd0d4af000b13",
+    "q_tokenizer_fertility" -> "7438dce8666c860322f29df8eea84293",
+    "text_vocab_oov" -> "8cb90c4bfb1d196fe8114b380339feab",
+    "text_perplexity" -> "469aa5d89b9c8502881235500c3a6018",
+    "text_perplexity_bigram" -> "1728cfc6d9f29a95042f237211bc9a12",
+    "text_perplexity_kn" -> "276d8e0211a3e9bf82cf0c4ece9740d5")
+
+  for ((name, pin) <- tokPins.toSeq.sortBy(_._1))
+    test(s"tok sweep pin: $name") {
+      val got = AdvCorpus.resultHash(
+        SparkEntry.queries(name)(spark, tokDir))
+      assert(got === pin,
+        s"$name diverged from its DuckDB-verified pin — re-run " +
+          "tools/oracle_check.py on the tok corpus before re-minting")
+    }
+
   private val dedupPins = Map(
     "dedup_exact" -> "a35715a204e215e4cf4135011aef4fd0",
     "dedup_scrub" -> "afa9a211ed1c919c375adbce8f3de260",
