@@ -318,9 +318,21 @@ object SparkEntry {
     * int is >= Int.MinValue, so no row is ever dropped and every oracle
     * replays unchanged. PlanAuditSpec's bench-honesty lint both enforces
     * coverage of this set and fails loudly if a future optimizer learns
-    * to fold the guard away. */
+    * to fold the guard away.
+    *
+    * The `rand(42) * 0` term makes the predicate NON-DETERMINISTIC on
+    * purpose (it never changes the value): Catalyst pushes a
+    * deterministic filter below the query's final Project by INLINING
+    * every referenced alias, so the guard would otherwise carry a full
+    * copy of the output expression tree — and conditional branches
+    * (CASE argmax chains) escape codegen subexpression elimination, so
+    * the copy really executes. Measured on text_langid at sf0.1: 4.9 s
+    * with the pushable guard vs ~1.2 s with the filter held ABOVE the
+    * projection, where it references plain attributes and every output
+    * expression is computed exactly once. */
   private def honest(df: DataFrame): DataFrame =
-    df.where(hash(df.columns.map(col): _*) >= lit(Int.MinValue))
+    df.where(hash(df.columns.map(col) :+
+      (rand(42) * 0).cast("int"): _*) >= lit(Int.MinValue))
 
   /** Rows whose natural shape is count()-prunable (pass-through or
     * output-only value columns): the PlanAuditSpec lint "no board query
@@ -338,6 +350,9 @@ object SparkEntry {
     "q_decontaminate_ladder", "q_decontaminate_near_indexed",
     "q_decontaminate_sem", "q_decontaminate_sem_indexed",
     "q_distinct_agg", "q_dynamic_file_prune", "q_event_buckets",
+    "q_zorder_key", "q_hilbert_key", "q_pii_audit", "q_pii_audit_agg",
+    "q_pii_gate", "q_fim", "text_bpe_encode", "text_bpe_indexed",
+    "text_unigram_encode",
     "q_graph_pagerank_warm", "q_hdr_incremental", "q_json_props",
     "q_kmv_distinct", "q_ntile", "q_outer_join", "q_pack_append",
     "q_pack_bpe", "q_pack_chunks", "q_pack_epoch", "q_percentile",
@@ -1673,8 +1688,6 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"), col("p_size"),
         Layout.zOrderKey(Seq(col("p_partkey"), col("p_size")), 16)
           .as("z_key"))
-        // bench honesty (VERDICT r14 #7): force the bit interleave
-        .where(coalesce(col("z_key"), lit(0L)) >= 0)
         .orderBy("z_key", "p_partkey")),
 
     // Hilbert curve position (the better-locality sibling of the
@@ -1685,8 +1698,6 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"), col("p_size"),
         Layout.hilbertKey(pmod(col("p_partkey"), lit(65536)),
           pmod(col("p_size"), lit(65536)), 16).as("h_key"))
-        // bench honesty (VERDICT r14 #7): force the xy2d recurrence
-        .where(coalesce(col("h_key"), lit(0L)) >= 0)
         .orderBy("h_key", "p_partkey")),
 
     // FILE-LEVEL data skipping through the persisted zone-map
@@ -1822,10 +1833,6 @@ object SparkEntry {
     // PII scrub: typed placeholder redaction + hit counts
     "text_pii" -> ((s, dir) =>
       TextAnalysis.piiScrub(t(s, dir, "documents"))
-        // bench honesty (VERDICT r14 #7): reference every computed
-        // column so count() pays the redaction regexes
-        .where(coalesce(col("n_emails") + col("n_longnums") +
-          length(col("redacted")), lit(0L)) >= 0)
         .orderBy("doc_id")),
 
     // VALIDATED PII audit over injected PII (the fixture carries
@@ -1842,23 +1849,11 @@ object SparkEntry {
     // Luhn ∧ IIN — verified by hand and replayed by the oracle)
     "q_pii_audit" -> ((s, dir) => {
       TextAnalysis.piiAudit(piiAuditInjected(t(s, dir, "documents")))
-        // bench honesty (VERDICT r14 #7): count() prunes pure
-        // projections, so without this ALWAYS-TRUE filter (counts are
-        // non-negative; coalesce guards a null-text doc's null
-        // counts) the board would time a column-less scan instead of
-        // the audit — 0.25 s vs the real ~7 s at sf10
-        .where(coalesce(col("n_emails") + col("n_card_candidates") +
-          col("n_cards_luhn") + col("n_cards_embedded") +
-          col("n_ipv4_candidates") + col("n_ipv4_valid") +
-          col("n_iban_candidates") + col("n_ibans_valid") +
-          col("n_phones_e164") + col("n_phones_valid"), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
-    // the audit's corpus TOTALS — also the row that carries the
-    // audit's honest cost on the board: the aggregation forces every
-    // count column under Bench's count() action (a pure-projection
-    // row gets column-pruned there; this one cannot be)
+    // the audit's corpus TOTALS (bench honesty rides the shared
+    // honest() wrap — benchHonestWrap — like every other row)
     "q_pii_audit_agg" -> ((s, dir) => {
       TextAnalysis.piiAudit(piiAuditInjected(t(s, dir, "documents")))
         .agg(
@@ -1870,14 +1865,6 @@ object SparkEntry {
           sum("n_ibans_valid").as("ibans"),
           sum("n_phones_e164").as("phones"),
           sum("n_phones_valid").as("phones_valid"))
-        // count() prunes even UNREFERENCED aggregate expressions (the
-        // optimizer drops unused sums, leaving an empty aggregate over
-        // a zero-column scan — measured: 0.36 s vs the real ~7 s at
-        // sf10); this always-true filter REFERENCES every column, so
-        // the row's bench number is the audit's honest cost
-        .where(col("emails") + col("cards") + col("cards_embedded") +
-          col("ips") + col("ibans") + col("phones") +
-          col("phones_valid") + col("n_docs") >= 0)
     }),
 
     // sentence-LEVEL PII location (targeted redaction needs WHERE,
@@ -1935,12 +1922,6 @@ object SparkEntry {
         sum(flagged.cast("long")).as("n_flagged"),
         sum((!flagged).cast("long")).as("n_kept"),
         sum((flagged && recovered).cast("long")).as("n_recovered"))
-        // bench honesty (VERDICT r14 #7 corollary — count() drops
-        // UNREFERENCED aggregate expressions): reference every sum so
-        // the board pays the gate + recovery arithmetic, not an empty
-        // per-source count
-        .where(col("n_docs") + col("n_flagged") + col("n_kept") +
-          col("n_recovered") >= 0)
         .orderBy("source")
     }),
 
@@ -2596,9 +2577,6 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val vocab = TextAnalysis.topWordVocab(docs, 256)
       TextAnalysis.wordpieceSegment(docs, vocab)
-        // bench honesty (VERDICT r14 #7): force the trie segmentation
-        .where(coalesce(col("n_words") + length(col("segmented")),
-          lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -2632,10 +2610,6 @@ object SparkEntry {
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(docs, merges)
-        // bench honesty (VERDICT r14 #7): reference the computed
-        // columns so count() pays the encode, not a pruned scan
-        .where(coalesce(col("n_words") + col("n_pieces") +
-          length(col("segmented")), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -2653,9 +2627,6 @@ object SparkEntry {
         p
       })
       TextAnalysis.bpeEncodeWith(t(s, dir, "documents"), path)
-        // bench honesty (VERDICT r14 #7), as text_bpe_encode
-        .where(coalesce(col("n_words") + col("n_pieces") +
-          length(col("segmented")), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -2701,9 +2672,6 @@ object SparkEntry {
       })
       UnigramTokenizer.unigramEncodeWith(t(s, dir, "documents"), path,
           maxWordLen = 12)
-        // bench honesty (VERDICT r14 #7): force the Viterbi encode
-        .where(coalesce(col("n_words") + col("n_pieces") +
-          length(col("seg_md5")), lit(0L)) >= 0)
         .orderBy("doc_id")
     }),
 
@@ -2879,12 +2847,6 @@ object SparkEntry {
     "q_fim" -> ((s, dir) =>
       Packing.fimTransform(t(s, dir, "documents"), rate = 0.5)
         .select(col("doc_id"), col("fim_applied"), col("text_fim"))
-        // bench honesty (VERDICT r14 #7): the always-true filter
-        // (length ≥ 0; −1 fallback keeps a null-text doc) references
-        // both computed columns so count() pays the full PSM
-        // transform, not a pruned scan
-        .where(coalesce(length(col("text_fim")), lit(-1)) +
-          coalesce(col("fim_applied").cast("long"), lit(0L)) >= -1)
         .orderBy("doc_id")),
 
     // RAG passage chunking: per-doc overlapping token windows

@@ -428,9 +428,15 @@ class PlanAuditSpec extends SparkSpec {
       s"lint failed to flag the pruned fixture: $lostP")
     // the fix template (SparkEntry.honest): an always-true filter
     // referencing EVERY output column — hash never returns NULL and
-    // any int >= Int.MinValue, so no row is dropped
+    // any int >= Int.MinValue, so no row is dropped. The rand(42)*0
+    // term keeps the predicate non-deterministic so it is NOT pushed
+    // below the projection (pushdown would inline a full copy of the
+    // output expression tree into the filter — duplicated work that
+    // conditional branches hide from codegen subexpression
+    // elimination; measured 4.9 s vs 1.2 s on text_langid)
     val honest = pruned.where(
-      hash(pruned.columns.map(col): _*) >= lit(Int.MinValue))
+      hash(pruned.columns.map(col) :+
+        (rand(42) * 0).cast("int"): _*) >= lit(Int.MinValue))
     val lostH = countPruned(sig(honest),
       sig(honest.groupBy().count()))
     assert(lostH.isEmpty, s"honest fixture still flagged: $lostH")
