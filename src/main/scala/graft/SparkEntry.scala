@@ -1265,6 +1265,9 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("ts_us", "event_id")
       events(s, dir)
+        // null-ts events have no position on the time axis (r16
+        // sweep; the Sessionize.sessions contract)
+        .where(col("ts_us").isNotNull)
         .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
         .where(col("prev_us").isNotNull)
         .select(col("user_id"), col("event_id"),
@@ -5893,7 +5896,8 @@ object SparkEntry {
          |ORDER BY change_type, c_custkey""".stripMargin,
 
     "scd2_reconstruct" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events)
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE ts IS NOT NULL)
         |SELECT user_id, event_id, ts_us AS valid_from_us,
         |  lead(ts_us) OVER w AS valid_to_us,
         |  lead(ts_us) OVER w IS NULL AS is_current
@@ -5901,7 +5905,8 @@ object SparkEntry {
         |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
 
     "scd2_snapshot" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+         |  FROM events WHERE ts IS NOT NULL),
          |v AS (
          |  SELECT user_id, event_id, ts_us AS valid_from_us,
          |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -6066,7 +6071,8 @@ object SparkEntry {
 
     "q_event_gaps" ->
       """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
         |w AS (
         |  SELECT user_id, event_id, us,
         |    lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
@@ -6746,7 +6752,8 @@ object SparkEntry {
     "q_json_props" ->
       """WITH e AS (
         |  SELECT event_type,
-        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |    CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+        |      AS BIGINT) AS k
         |  FROM events)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
@@ -6761,7 +6768,8 @@ object SparkEntry {
         |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin,
 
     "sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE ts IS NOT NULL),
         |f AS (
         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
         |    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf

@@ -44,8 +44,12 @@ object ScdMerge {
       case org.apache.spark.sql.types.LongType => col(tsCol)
       case _ => unix_micros(col(tsCol))
     }
+    // an UNDATED change cannot be versioned: with a NULL effective
+    // time the row's interval position is engine-null-ordering
+    // dependent and `is_current` (valid_to IS NULL) becomes ambiguous
+    // — dropped explicitly (r16 adversarial events sweep)
     val w = Window.partitionBy(col(key)).orderBy(ts, col(tieBreak))
-    changes
+    changes.where(ts.isNotNull)
       .withColumn("valid_from_us", ts)
       .withColumn("valid_to_us", lead(ts, 1).over(w))
       .withColumn("is_current", col("valid_to_us").isNull)

@@ -15,7 +15,16 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   /** Output: one row per session — user, session_seq (1-based per
-    * user), n_events, start/end in epoch micros, duration_s. */
+    * user), n_events, start/end in epoch micros, duration_s.
+    *
+    * NULL-timestamp events are DROPPED (r16 adversarial events sweep):
+    * an event without a time has no position on the time axis, so its
+    * session membership would be an artifact of the engine's null
+    * ordering — Spark windows sort nulls FIRST (the event became its
+    * own leading session), DuckDB's replay folded it elsewhere.
+    * Dropping is the only order-independent answer; a NULL user_id is
+    * fine (it is a GROUP, not an ordering input) and keeps its own
+    * sessions. */
   def sessions(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", idCol: String = "event_id",
       gapSeconds: Long = 1800): DataFrame = {
@@ -24,8 +33,9 @@ object Sessionize {
       case org.apache.spark.sql.types.LongType => col(tsCol)
       case _ => unix_micros(col(tsCol))
     }
+    val timed = events.where(us.isNotNull)
     val w = Window.partitionBy(col(userCol)).orderBy(us, col(idCol))
-    val withFlag = events.withColumn("__prev_us", lag(us, 1).over(w))
+    val withFlag = timed.withColumn("__prev_us", lag(us, 1).over(w))
       .withColumn("__new_session",
         when(col("__prev_us").isNull ||
           us - col("__prev_us") > gapSeconds * 1000000L, 1).otherwise(0))

@@ -142,6 +142,72 @@ object AdvCorpus {
     // 6k chars of a two-char cycle: merge-heavy, symbol-count stress
     (11L, "de", "cycle " + ("ab" * 3000) + " done"))
 
+  /** Events/time-family adversarial corpus (r16 — the fourth sweep
+    * member; timestamp semantics are the classic cross-engine
+    * divergence axis): duplicate timestamps inside one user (as-of
+    * tie-breaks, zero gaps), events EXACTLY at the session-gap
+    * threshold (`<` vs `<=` divergence), event ids out of order vs
+    * time, epoch and microsecond-precision edges, funnel steps out of
+    * order / repeated / missing, malformed + null + huge-value JSON
+    * props, NaN / ±Infinity / −0.0 values, null user/ts/type, a
+    * single-event user and a one-second burst.
+    * (event_id, ts ISO-micros or null, user_id boxed, event_type,
+    * value, props). */
+  val eventDocs: Seq[(Long, String, Any, String, Any, String)] = Seq(
+    // user 1: a clean view->click->purchase funnel, µs-precision ts
+    (0L, "2024-01-01 00:00:00.000001", 1L, "view", 1.0, """{"k": 1}"""),
+    (1L, "2024-01-01 00:00:01.500000", 1L, "click", 2.5, """{"k": 2}"""),
+    (2L, "2024-01-01 00:00:02.999999", 1L, "purchase", 9.99, """{"k": 3}"""),
+    // user 2: DUPLICATE timestamps (tie-break surface) + a click at
+    // the same instant as the purchase it should as-of match
+    (3L, "2024-01-01 01:00:00", 2L, "click", 1.0, """{"k": 10}"""),
+    (4L, "2024-01-01 01:00:00", 2L, "click", 2.0, """{"k": 11}"""),
+    (5L, "2024-01-01 01:00:00", 2L, "purchase", 3.0, """{"k": 12}"""),
+    // user 3: out-of-order ids vs time; funnel steps REVERSED
+    (6L, "2024-01-02 10:00:30", 3L, "purchase", 5.0, """{"k": 20}"""),
+    (7L, "2024-01-02 10:00:20", 3L, "click", 4.0, """{"k": 21}"""),
+    (8L, "2024-01-02 10:00:10", 3L, "view", 3.0, """{"k": 22}"""),
+    // user 4: gap EXACTLY at a 30-minute session threshold
+    (9L, "2024-01-03 00:00:00", 4L, "view", 1.0, """{"k": 30}"""),
+    (10L, "2024-01-03 00:30:00", 4L, "click", 1.0, """{"k": 31}"""),
+    (11L, "2024-01-03 01:00:00.000001", 4L, "view", 1.0, """{"k": 32}"""),
+    // user 5: epoch edge + far past
+    (12L, "1970-01-01 00:00:00", 5L, "signup", 0.0, """{"k": 40}"""),
+    (13L, "1970-01-01 00:00:00.000001", 5L, "view", 0.5, """{"k": 41}"""),
+    // user 6: value hazards — NaN, +Inf, -Inf, -0.0
+    (14L, "2024-02-01 12:00:00", 6L, "error", Double.NaN, """{"k": 50}"""),
+    (15L, "2024-02-01 12:00:01", 6L, "error", Double.PositiveInfinity,
+      """{"k": 51}"""),
+    (16L, "2024-02-01 12:00:02", 6L, "error", Double.NegativeInfinity,
+      """{"k": 52}"""),
+    (17L, "2024-02-01 12:00:03", 6L, "error", -0.0, """{"k": 53}"""),
+    // props hazards: malformed, null, missing k, string k, huge k,
+    // nested object
+    (18L, "2024-02-02 00:00:00", 7L, "signup", 1.0, "{not json"),
+    (19L, "2024-02-02 00:00:01", 7L, "view", 1.0, null),
+    (20L, "2024-02-02 00:00:02", 7L, "click", 1.0, """{"x": 1}"""),
+    (21L, "2024-02-02 00:00:03", 7L, "view", 1.0, """{"k": "abc"}"""),
+    // 2^62: parses as a long in both engines, and every group sum it
+    // joins stays under 2^63 (an overflowING sum has NO cross-engine
+    // contract: DuckDB promotes to HUGEINT, ANSI Spark throws)
+    (22L, "2024-02-02 00:00:04", 7L, "purchase", 1.0,
+      """{"k": 4611686018427387904}"""),
+    (23L, "2024-02-02 00:00:05", 7L, "view", 1.0,
+      """{"k": {"nested": 1}}"""),
+    // null hazards: null user, null ts, null type
+    (24L, "2024-02-03 00:00:00", null, "view", 1.0, """{"k": 60}"""),
+    (25L, null, 8L, "click", 1.0, """{"k": 61}"""),
+    (26L, "2024-02-03 00:00:02", 8L, null, 1.0, """{"k": 62}"""),
+    // user 9: single event
+    (27L, "2024-02-04 09:00:00", 9L, "view", 7.0, """{"k": 70}""")) ++
+    // user 10: a one-second burst of 120 events (rate anomaly, dense
+    // sessions, zero gaps)
+    (0 until 120).map { i =>
+      (100L + i, f"2024-02-05 00:00:00.${i * 8333}%06d", 10L: Any,
+        if (i % 3 == 0) "view" else if (i % 3 == 1) "click" else "purchase",
+        (i % 7).toDouble: Any, s"""{"k": $i}""")
+    }
+
   /** Canonical, order-insensitive md5 of a bounded result — the pin
     * format the sweep specs assert. Sound only for the sweep corpora's
     * few-row outputs (collect() is driver-side by design here). */
@@ -156,27 +222,50 @@ object AdvCorpus {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Writes `<outDir>/documents.parquet` for the named corpus. */
+  /** Writes the named corpus: `documents.parquet` for pii/dedup/tok,
+    * `events.parquet` for events. */
   def write(spark: SparkSession, outDir: String, which: String): Unit = {
     import spark.implicits._
+    if (which == "events") {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts_s", StringType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val rows = eventDocs.map { case (id, ts, u, et, v, pr) =>
+        Row(id, ts, u, et, v, pr) }
+      val ev = spark
+        .createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .withColumn("ts", to_timestamp(col("ts_s")))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      writeOne(ev, outDir, "events.parquet")
+      return
+    }
     val docs = (which match {
       case "pii"   => piiDocs
       case "dedup" => dedupDocs
       case "tok"   => tokDocs
-      case other => sys.error(s"unknown corpus '$other' (pii|dedup|tok)")
+      case other =>
+        sys.error(s"unknown corpus '$other' (pii|dedup|tok|events)")
     }).toDF("doc_id", "lang", "text")
       .withColumn("source", concat(lit("src"), (col("doc_id") % 20)))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    // a PLAIN FILE like the driver's testdata (DuckDB's read_parquet
-    // in tools/oracle_check.py reads the path directly, not a Spark
-    // part-file directory)
-    val tmp = s"$outDir/_documents_tmp"
-    docs.coalesce(1).write.mode("overwrite").parquet(tmp)
+    writeOne(docs, outDir, "documents.parquet")
+  }
+
+  /** One PLAIN parquet FILE like the driver's testdata (DuckDB's
+    * read_parquet in tools/oracle_check.py reads the path directly,
+    * not a Spark part-file directory). */
+  private def writeOne(df: DataFrame, outDir: String,
+      name: String): Unit = {
+    val tmp = s"$outDir/_${name.stripSuffix(".parquet")}_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error(s"no part file under $tmp"))
-    val dest = java.nio.file.Paths.get(outDir, "documents.parquet")
+    val dest = java.nio.file.Paths.get(outDir, name)
     java.nio.file.Files.deleteIfExists(dest)
     java.nio.file.Files.move(part.toPath, dest)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))

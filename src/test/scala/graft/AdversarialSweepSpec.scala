@@ -133,6 +133,102 @@ class AdversarialSweepSpec extends SparkSpec {
           "tools/oracle_check.py on the pii corpus before re-minting")
     }
 
+  // ---- events corpus: semantic assertions (r16 — this corpus found
+  // FOUR real cross-engine divergences on first contact: null-ts
+  // events sessionized/versioned by engine null-ordering, a JSON sum
+  // with no overflow contract, and a no-match extract the oracle
+  // could not cast) ---------------------------------------------------
+
+  private lazy val evDir = corpusDir("events")
+
+  private def evs = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$evDir/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts")))
+  }
+
+  test("null-timestamp events are dropped from time-ordered operators, not null-ordered") {
+    import graft.operators.{Sessionize, ScdMerge}
+    // user 8 has one null-ts click and one timed event: exactly ONE
+    // session of ONE event (pre-fix, Spark's nulls-first window made
+    // the undated event its own leading session)
+    val u8 = Sessionize.sessions(evs, tsCol = "ts_us")
+      .where(col("user_id") === 8).collect()
+    assert(u8.length === 1 && u8.head.getAs[Long]("n_events") === 1L, u8.mkString)
+    // an undated change is never versioned and cannot fake is_current
+    val v8 = ScdMerge.scd2FromChangeLog(
+        evs.select("user_id", "event_id", "ts_us"),
+        "user_id", "ts_us", "event_id")
+      .where(col("user_id") === 8).collect()
+    assert(v8.length === 1 && v8.head.getAs[Boolean]("is_current"), v8.mkString)
+  }
+
+  test("gap exactly at the session threshold stays inside the session") {
+    import graft.operators.Sessionize
+    // user 4: events at 00:00, 00:30 (gap == 1800 s — NOT >), then
+    // +30 m 1 µs (gap > threshold → new session)
+    val u4 = Sessionize.sessions(evs, tsCol = "ts_us")
+      .where(col("user_id") === 4).orderBy("session_seq").collect()
+    assert(u4.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L), u4.mkString)
+  }
+
+  test("duplicate timestamps: one zero-duration session, event_id tie-break in versions") {
+    import graft.operators.{Sessionize, ScdMerge}
+    val u2 = Sessionize.sessions(evs, tsCol = "ts_us")
+      .where(col("user_id") === 2).collect()
+    assert(u2.length === 1 && u2.head.getAs[Double]("duration_s") === 0.0)
+    // three same-instant changes version in event_id order: each
+    // valid_to equals the next event's valid_from (zero-width, ordered)
+    val v2 = ScdMerge.scd2FromChangeLog(
+        evs.select("user_id", "event_id", "ts_us"),
+        "user_id", "ts_us", "event_id")
+      .where(col("user_id") === 2).orderBy("event_id").collect()
+    assert(v2.map(_.getAs[Long]("event_id")).toSeq === Seq(3L, 4L, 5L))
+    assert(v2.count(_.getAs[Boolean]("is_current")) === 1)
+  }
+
+  test("schema-on-read props: malformed, missing, string and nested k are NULL; 2^62 parses") {
+    import org.apache.spark.sql.types.StructType
+    val k = evs.where(col("user_id") === 7)
+      .select(col("event_id"), from_json(col("props"),
+        StructType.fromDDL("k LONG")).getField("k").as("k"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(k(18L).isEmpty, "malformed json must yield NULL k")
+    assert(k(19L).isEmpty, "null props must yield NULL k")
+    assert(k(20L).isEmpty, "missing k must yield NULL")
+    assert(k(21L).isEmpty, "string k must yield NULL")
+    assert(k(22L) === Some(4611686018427387904L))
+    assert(k(23L).isEmpty, "nested object k must yield NULL")
+  }
+
+  // ---- events corpus: cross-engine pins (replayed via
+  // tools/oracle_check.py on /tmp/advev this round: 14/14 OK) --------
+
+  private val evPins = Map(
+    "asof_join_events" -> "27bd85c41ee0405df68c9392801ee8d7",
+    "asof_join_fwd" -> "382b11320f393f34bde25e775df7014c",
+    "asof_join_nearest" -> "27bd85c41ee0405df68c9392801ee8d7",
+    "asof_join_slim" -> "27bd85c41ee0405df68c9392801ee8d7",
+    "sessionize" -> "dd15bd96741176e3830d57314bbdc373",
+    "q_funnel" -> "27c4cf32f6778eb864a64f057a6baf91",
+    "q_event_gaps" -> "25d24a5fe8b8d5d50d8757d40343fe1f",
+    "q_event_buckets" -> "1e144efb0bee23d428dec9305a940154",
+    "q_rate_anomaly" -> "7bac8dd5edebff3ff56e559758222c51",
+    "q_rate_acf" -> "d9be52ec1eea3b6b40720f77dde1d6a0",
+    "q_resample_gaps" -> "72843213b06c29633008d969d648fe55",
+    "scd2_reconstruct" -> "ccd68f1e813811f3d4de110c4f22f0e5",
+    "scd2_snapshot" -> "808ad24580aeaed1b13ad156ac0553bc",
+    "q_json_props" -> "80d995ccb95673cefd11b1410a80b361")
+
+  for ((name, pin) <- evPins.toSeq.sortBy(_._1))
+    test(s"events sweep pin: $name") {
+      val got = AdvCorpus.resultHash(
+        SparkEntry.queries(name)(spark, evDir))
+      assert(got === pin,
+        s"$name diverged from its DuckDB-verified pin — re-run " +
+          "tools/oracle_check.py on the events corpus before re-minting")
+    }
+
   // ---- dedup corpus: semantic assertions --------------------------
 
   test("NULL text fingerprints NULL; EMPTY text fingerprints non-null (absent != empty)") {
