@@ -4107,7 +4107,7 @@ object SparkEntry {
     val enScore = langScoreSql(TextAnalysis.LangMarkers.toMap.apply("en"))
     s"""lab AS (
        |  SELECT doc_id,
-       |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+       |    CAST(($enScore > 0) AS INT) AS y
        |  FROM p),
        |tok AS (
        |  SELECT d.doc_id, lab.y,
@@ -4835,14 +4835,21 @@ object SparkEntry {
     (r0 +: rounds).mkString(",\n")
   }
 
-  private def pprUnrollSql(iters: Int, seedMax: Int,
-      seedCount: Int): String = {
+  private def pprUnrollSql(iters: Int, seedMax: Int): String = {
+    // teleport denominator = seeds PRESENT in the graph, computed (sk)
+    // rather than assumed: Graph.personalizedPageRank renormalizes
+    // over the seed ∩ nodes intersection (ADVICE r9 — an absent seed
+    // id receives no rank row, so dividing by the raw seed count would
+    // silently discard its teleport share). A literal count here
+    // diverged the moment an adversarial graph dropped two seed ids
+    // (r16 events sweep: uniform 10/9 rank inflation).
     val ns =
       s"""ns AS (SELECT node,
          |  CASE WHEN node < $seedMax THEN 1 ELSE 0 END AS seed
          |  FROM nodes),
+         |sk AS (SELECT count(*) AS k FROM ns WHERE seed = 1),
          |p0 AS (SELECT node, seed,
-         |  seed * (1000000 // $seedCount) AS rank_u FROM ns)""".stripMargin
+         |  seed * (1000000 // (SELECT k FROM sk)) AS rank_u FROM ns)""".stripMargin
     val rounds = (1 to iters).map { k =>
       s"""pc$k AS (
          |  SELECT e.dst, sum((r.rank_u * 85) // (od.outdeg * 100)) AS s
@@ -4851,7 +4858,7 @@ object SparkEntry {
          |  GROUP BY e.dst),
          |p$k AS (
          |  SELECT ns.node, ns.seed,
-         |    ns.seed * (150000 // $seedCount) + coalesce(pc$k.s, 0)
+         |    ns.seed * (150000 // (SELECT k FROM sk)) + coalesce(pc$k.s, 0)
          |      AS rank_u
          |  FROM ns LEFT JOIN pc$k ON ns.node = pc$k.dst)""".stripMargin
     }
@@ -6158,14 +6165,16 @@ object SparkEntry {
     },
 
     "q_histogram" ->
-      """WITH b AS (
-        |  SELECT min(CAST(value AS DOUBLE)) AS mn,
-        |    max(CAST(value AS DOUBLE)) AS mx FROM events),
+      """WITH ev AS (
+        |  SELECT CAST(value AS DOUBLE) AS value FROM events
+        |  WHERE isfinite(CAST(value AS DOUBLE))),
+        |b AS (
+        |  SELECT min(value) AS mn, max(value) AS mx FROM ev),
         |j AS (
         |  SELECT least(coalesce(CAST(floor(
         |      (CAST(value AS DOUBLE) - mn) / nullif((mx - mn) / 16, 0))
         |      AS BIGINT), 0), 15) AS bucket, mn, mx
-        |  FROM events CROSS JOIN b WHERE value IS NOT NULL)
+        |  FROM ev CROSS JOIN b)
         |SELECT bucket,
         |  round(mn + (mx - mn) / 16 * bucket, 6) AS lo,
         |  round(mn + (mx - mn) / 16 * (bucket + 1), 6) AS hi,
@@ -6537,7 +6546,8 @@ object SparkEntry {
 
     "q_source_pareto" ->
       """WITH g AS (
-        |  SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS w
+        |  SELECT source AS stratum,
+        |    CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS w
         |  FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tt FROM g),
         |c AS (SELECT stratum, w,
@@ -6608,7 +6618,7 @@ object SparkEntry {
     // the seed-set size, matching Graph.personalizedPageRank)
     "q_graph_ppr" ->
       s"""WITH $graphEdgeCtesSql,
-         |${pprUnrollSql(3, seedMax = 20, seedCount = 20)}
+         |${pprUnrollSql(3, seedMax = 20)}
          |SELECT node, round(rank_u / 1000000.0, 6) AS "rank"
          |FROM p3 ORDER BY node""".stripMargin,
 
@@ -6728,7 +6738,7 @@ object SparkEntry {
     "q_chunk_text" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |n AS (
         |  SELECT doc_id, toks,
         |    greatest(CAST(floor((len(toks) - 8 + 23) / 24.0) AS BIGINT), 1)
@@ -6999,7 +7009,7 @@ object SparkEntry {
          |  $scores
          |  FROM p)
          |SELECT doc_id,
-         |  CASE WHEN $greatestAll = 0 THEN 'und'
+         |  CASE WHEN COALESCE($greatestAll, 0) = 0 THEN 'und'
          |    $caseArms
          |    ELSE '${langs.last}' END AS lang_guess,
          |  ${langs.map(l => s"score_$l").mkString(", ")}
@@ -7403,7 +7413,8 @@ object SparkEntry {
 
     "q_source_gini" ->
       """WITH g AS (
-        |  SELECT source AS stratum, CAST(sum(n_chars) AS HUGEINT) AS w
+        |  SELECT source AS stratum,
+        |    CAST(sum(COALESCE(n_chars, 0)) AS HUGEINT) AS w
         |  FROM documents GROUP BY 1),
         |r AS (SELECT w,
         |    CAST(row_number() OVER (ORDER BY w, stratum) AS HUGEINT)
@@ -7764,7 +7775,7 @@ object SparkEntry {
       val wfrac = md5FracSql("'w|' || tok")
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |b AS (
          |  SELECT doc_id, CAST(floor(($bfrac) * 16) AS INT) AS bk,
          |    CAST(floor(($wfrac) * 2000000) AS BIGINT) - 1000000 AS w
@@ -7772,7 +7783,8 @@ object SparkEntry {
          |s AS (SELECT doc_id, bk, sum(w) AS s FROM b GROUP BY 1, 2),
          |g AS (
          |  SELECT d.doc_id, t.i
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  FROM (SELECT DISTINCT doc_id FROM documents
+         |        WHERE text IS NOT NULL) d
          |  CROSS JOIN unnest(generate_series(0, 15)) AS t(i))
          |SELECT g.doc_id, CAST(g.i AS INT) AS pos,
          |  CAST(coalesce(s.s, 0) AS BIGINT) AS val_q
@@ -7788,7 +7800,7 @@ object SparkEntry {
       s"""WITH $PaddedDocCte,
          |lab AS (
          |  SELECT doc_id,
-         |    CASE WHEN $enScore > 0 THEN 1 ELSE 0 END AS y
+         |    CAST(($enScore > 0) AS INT) AS y
          |  FROM p),
          |tok AS (
          |  SELECT d.doc_id, lab.y,
@@ -8161,7 +8173,8 @@ object SparkEntry {
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |    '&#39;', ''''), '&apos;', ''''), '&nbsp;', ' ') AS x FROM s4),
         |s6 AS (SELECT doc_id, trim(regexp_replace(
-        |  replace(x, '&amp;', '&'), '\s+', ' ', 'g')) AS clean_text
+        |  replace(x, '&amp;', '&'), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+        |  AS clean_text
         |  FROM s5)
         |SELECT doc_id, clean_text,
         |  CAST(length(clean_text) AS BIGINT) AS n_chars
@@ -9466,7 +9479,7 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
         |    len(string_split(lower(text), ' ')) AS n
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |w AS (
         |  SELECT doc_id, toks, n,
         |    unnest(range(0,

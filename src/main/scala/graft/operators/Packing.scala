@@ -179,6 +179,11 @@ object Packing {
     val lastK = (greatest(n - windowTokens, lit(0L)) +
       (stride - 1)).cast("long") / lit(stride.toLong)
     docs
+      // the scaladoc's NULL-text no-row contract, made real (r16
+      // adversarial sweep): under legacy sizeOfNull the null doc's
+      // n = -1 still produced ONE degenerate window whose text was ''
+      // in Spark but NULL in the DuckDB replay — absent is not empty
+      .where(col(textCol).isNotNull)
       .withColumn("n_tokens", n)
       .withColumn("win_idx",
         explode(sequence(lit(0L), floor(lastK))))

@@ -136,9 +136,17 @@ object Profile {
     * needed). Output: bucket, lo, hi, n. */
   def histogram(df: DataFrame, valueCol: Column, nBuckets: Int): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    val bounds = df.agg(
-      min(valueCol.cast("double")).as("__mn"),
-      max(valueCol.cast("double")).as("__mx"))
+    // non-finite values have NO bin (r16 adversarial sweep): NaN
+    // sorts ABOVE every double in Spark's ordering, so one NaN made
+    // max() — and every bucket bound — NaN, while ±Infinity makes the
+    // width infinite; engines disagree on all of it. Dropped like
+    // NULLs, before the bounds fold.
+    val v = valueCol.cast("double")
+    val df2 = df.where(v.isNotNull && !isnan(v) &&
+      v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
+    val bounds = df2.agg(
+      min(v).as("__mn"),
+      max(v).as("__mx"))
     val width = (col("__mx") - col("__mn")) / nBuckets
     // coalesce BEFORE least: least/greatest IGNORE null operands (in
     // Spark and DuckDB alike), so a width-0 null bucket would otherwise
@@ -151,7 +159,7 @@ object Profile {
       lit(nBuckets - 1L))
     // NULL values are excluded (min/max already ignore them); without
     // this the width-0 coalesce would silently count NULLs in bucket 0
-    df.where(valueCol.isNotNull).crossJoin(broadcast(bounds))
+    df2.crossJoin(broadcast(bounds))
       .withColumn("bucket", bucket)
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
@@ -215,8 +223,12 @@ object Profile {
   def giniConcentration(df: DataFrame, strataCol: Column,
       weight: Column, smallDomain: Boolean = false): DataFrame = {
     val dec = "decimal(38,0)"
+    // a NULL weight is ZERO mass (r16 adversarial sweep): strata of
+    // unmeasured docs exist with no mass — summing nulls instead
+    // leaks NULL into the rank ORDER, where engines disagree on null
+    // position and the whole statistic diverges
     val g = df.groupBy(strataCol.as("stratum"))
-      .agg(sum(weight.cast("long")).as("w"))
+      .agg(sum(coalesce(weight.cast("long"), lit(0L))).as("w"))
       .withColumn("__one", lit(1L))
     Ranks.cumOver(g, "w", Nil, Seq("__one" -> "i"),
         tieCols = Seq("stratum"), smallDomain = smallDomain)
@@ -320,8 +332,9 @@ object Profile {
       coverMil: Long = 900L): DataFrame = {
     require(coverMil >= 1 && coverMil <= 1000,
       s"paretoCoverage: coverMil must be in [1,1000], got $coverMil")
+    // NULL weight = zero mass, as in [[giniConcentration]] (r16)
     val g = df.groupBy(strataCol.as("stratum"))
-      .agg(sum(weight.cast("long")).as("w"))
+      .agg(sum(coalesce(weight.cast("long"), lit(0L))).as("w"))
     val total = g.agg(sum("w").as("__t"))
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("w").desc, col("stratum"))

@@ -165,9 +165,13 @@ object TextAnalysis {
       .cast("double") / nLines
     val alphaRatio = size(filter(words, w => w.rlike("[a-z]")))
       .cast("double") / nWordsD
+    // null-propagating per-word hit: `when(contains, 1).otherwise(0)`
+    // would turn a NULL doc's NULL containment into 0, making
+    // n_stop_hits the one non-NULL stat of a null document (r16
+    // adversarial sweep — the DuckDB replay says NULL)
     val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
-      "with").map(sw => when(array_contains(words, sw), 1L)
-      .otherwise(0L)).reduce(_ + _)
+      "with").map(sw => array_contains(words, sw).cast("long"))
+      .reduce(_ + _)
     docs.select(
       col(id), nWords.as("n_words"),
       round(meanLen, 4).as("mean_word_len"),
@@ -193,8 +197,13 @@ object TextAnalysis {
     * ASCII-scoped: Unicode letter classes (`\p{L}`) differ subtly
     * between Java regex and RE2, so non-ASCII letters count as
     * punctuation here — a documented approximation that is identical
-    * in every engine that replays it. */
-  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    * in every engine that replays it. The whitespace class is
+    * EXPLICIT for the same reason (r16 adversarial sweep): Java's
+    * `\s` includes `\x0B` (vertical tab) but RE2's does not, so a
+    * VT-carrying doc counted one extra "punctuation" token in the
+    * DuckDB replay; the class below IS Java's `\s`, spelled out. */
+  val BpeishPattern: String =
+    "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** Token count under [[BpeishPattern]] — the "how many BPE-ish
     * pieces" estimate, vs whitespace [[tokenCount]]. */
@@ -1121,7 +1130,10 @@ object TextAnalysis {
     val nChunks = greatest(
       floor((size(toks) - overlap + (stride - 1)).cast("double") / stride)
         .cast("long"), lit(1L))
-    val chunked = docs
+    // a NULL doc has no chunks (r16 adversarial sweep: the degenerate
+    // min-1 chunk rendered '' in Spark but NULL in DuckDB — absent is
+    // not empty); an EMPTY doc keeps its single empty chunk
+    val chunked = docs.where(col(textCol).isNotNull)
       .select(col(id), toks.as("__toks"),
         explode(sequence(lit(0L), nChunks - 1)).as("chunk_idx"))
     val window = slice(col("__toks"),

@@ -103,7 +103,9 @@ object WebOps {
       case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
     }
     val amp = replace(decoded, lit("&amp;"), lit("&"))
-    trim(regexp_replace(amp, "\\s+", " "))
+    // explicit class = Java's \s (r16 sweep: RE2's \s lacks \x0B,
+    // so a vertical tab survived collapse in the DuckDB replay)
+    trim(regexp_replace(amp, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
   /** Robots-style URL rule filter: `rules(domain, path_prefix,

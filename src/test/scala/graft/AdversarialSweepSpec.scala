@@ -122,7 +122,13 @@ class AdversarialSweepSpec extends SparkSpec {
     "q_pii_sentences" -> "368fbbcc6397c889c9361a6c35e88d9c",
     "q_pii_gate" -> "a1df4a6ecb58c8531c26740d8d2c23c0",
     "text_sentences" -> "8dce1d2e05da5c86a29581989bc698a2",
-    "text_pii" -> "0cbe947a59e60ed6418fcbc11cb4aa97")
+    "text_pii" -> "0cbe947a59e60ed6418fcbc11cb4aa97",
+    // r16 full-board sweep finds, pinned post-fix (the explicit
+    // whitespace class: Java's \s includes \x0B, RE2's does not)
+    "q_token_counts" -> "271ab17998e8ea50e8aa05eadec4c4b8",
+    "q_tokenizer_fertility" -> "0b093afbe6715d589af15c840d4beccf",
+    "text_html_extract" -> "6fbc679c38ebced26e7f4e2c1fd39ff2",
+    "q_pack_bpe" -> "9b43520bd095cf2d1a4e7379ec3540fd")
 
   for ((name, pin) <- piiPins.toSeq.sortBy(_._1))
     test(s"pii sweep pin: $name") {
@@ -218,7 +224,11 @@ class AdversarialSweepSpec extends SparkSpec {
     "q_resample_gaps" -> "72843213b06c29633008d969d648fe55",
     "scd2_reconstruct" -> "ccd68f1e813811f3d4de110c4f22f0e5",
     "scd2_snapshot" -> "808ad24580aeaed1b13ad156ac0553bc",
-    "q_json_props" -> "80d995ccb95673cefd11b1410a80b361")
+    "q_json_props" -> "80d995ccb95673cefd11b1410a80b361",
+    // r16 full-board sweep finds, pinned post-fix (seed ∩ nodes
+    // teleport renormalization; non-finite values have no bin)
+    "q_graph_ppr" -> "c7c363f0223f98a7e6662fc804aad042",
+    "q_histogram" -> "0240764802492cd63e461883ebe9fec8")
 
   for ((name, pin) <- evPins.toSeq.sortBy(_._1))
     test(s"events sweep pin: $name") {
@@ -313,7 +323,21 @@ class AdversarialSweepSpec extends SparkSpec {
     "text_vocab_oov" -> "8cb90c4bfb1d196fe8114b380339feab",
     "text_perplexity" -> "469aa5d89b9c8502881235500c3a6018",
     "text_perplexity_bigram" -> "1728cfc6d9f29a95042f237211bc9a12",
-    "text_perplexity_kn" -> "276d8e0211a3e9bf82cf0c4ece9740d5")
+    "text_perplexity_kn" -> "276d8e0211a3e9bf82cf0c4ece9740d5",
+    // r16 full-board sweep finds, pinned post-fix (NULL-doc langid
+    // argmax, null-doc chunks, null n_stop_hits, zero-mass strata,
+    // null-label training exclusion, embed doc grid, the binned gates
+    // downstream of the classifier prior)
+    "text_langid" -> "888546f9e27ca7132f836b3570779094",
+    "q_chunk_text" -> "6ff1523e42c7b6b494c22c67a2562c65",
+    "q_chunk_sliding" -> "3249871d7204963f9569eb3169956423",
+    "text_gopher_rules" -> "4e9b16da581416ae7bdb925ac7079382",
+    "q_source_gini" -> "f18520decf781f342fd40db4912f8b24",
+    "q_source_pareto" -> "06064e1a2e781fee47011052c75f5f2c",
+    "text_classify" -> "7e7922b7188ecdddd3d92f3f9d5ac7a2",
+    "text_embed" -> "a2e7c79f1e25bd9735ed290f0d842ae6",
+    "q_gate_ece" -> "077850299086f94a8e56fdc54ecad618",
+    "q_gate_reliability" -> "fda577cc15efb2cce3083ee838a0914e")
 
   for ((name, pin) <- tokPins.toSeq.sortBy(_._1))
     test(s"tok sweep pin: $name") {
