@@ -5928,7 +5928,8 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL),
         |w AS (
         |  SELECT *, last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
@@ -5943,7 +5944,8 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL),
         |w AS (
         |  SELECT *, last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts_us, side, event_id
@@ -5958,7 +5960,8 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL),
         |w AS (
         |  SELECT *, first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
         |    OVER (PARTITION BY user_id ORDER BY ts_us, side DESC, event_id
@@ -5973,7 +5976,8 @@ object SparkEntry {
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL),
         |w AS (
         |  SELECT *,
         |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)

@@ -78,6 +78,15 @@ object AsOfJoin {
           s"timestamps to epoch micros first); got $leftTime: $lt, " +
           s"$rightTime: $rt")
     }
+    // a NULL-time row has no as-of position (r16 adversarial events
+    // sweep class): the union-tag sort would place an undated quote
+    // BEFORE all time in Spark (nulls first) but AFTER all time in a
+    // NULLS-LAST engine — the same row silently becomes "the earliest
+    // quote" or "the latest", two different wrong answers. Dropped on
+    // BOTH sides: an undated reference can never attach, an undated
+    // probe has nothing defined to see.
+    val left1 = left.where(col(leftTime).isNotNull)
+    val right1 = right.where(col(rightTime).isNotNull)
     val leftCols = left.columns
     // nearest carries the matched right time inside the payload struct
     // so the projection can compare the two candidates' distances
@@ -93,13 +102,13 @@ object AsOfJoin {
         StructField(alias, right.schema(rc).dataType, nullable = true)
     }).toArray)
     val meta = Seq(key, "__t", "__side", "__tb", "__r")
-    val leftSel = left
+    val leftSel = left1
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tb", col(tieBreak))
       .withColumn("__r", lit(null).cast(payloadType))
       .select((meta ++ leftCols.filterNot(_ == key)).map(col): _*)
-    val rightSel = right
+    val rightSel = right1
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tb", col(tieBreak))

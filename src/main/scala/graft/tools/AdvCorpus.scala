@@ -199,7 +199,17 @@ object AdvCorpus {
     (25L, null, 8L, "click", 1.0, """{"k": 61}"""),
     (26L, "2024-02-03 00:00:02", 8L, null, 1.0, """{"k": 62}"""),
     // user 9: single event
-    (27L, "2024-02-04 09:00:00", 9L, "view", 7.0, """{"k": 70}""")) ++
+    (27L, "2024-02-04 09:00:00", 9L, "view", 7.0, """{"k": 70}"""),
+    // user 11 (r16): the as-of null-time hazard — an UNDATED quote
+    // must never attach (Spark's nulls-first sort would make it "the
+    // earliest", a NULLS-LAST engine "the latest"), and an undated
+    // probe has no as-of position; the timed purchase's only forward
+    // click candidate is the undated one, so the forward join must
+    // attach NULL
+    (28L, "2024-02-06 10:00:00", 11L, "click", 1.0, """{"k": 80}"""),
+    (29L, null, 11L, "click", 2.0, """{"k": 81}"""),
+    (30L, "2024-02-06 11:00:00", 11L, "purchase", 3.0, """{"k": 82}"""),
+    (31L, null, 11L, "purchase", 4.0, """{"k": 83}""")) ++
     // user 10: a one-second burst of 120 events (rate anomaly, dense
     // sessions, zero gaps)
     (0 until 120).map { i =>

@@ -207,28 +207,52 @@ class AdversarialSweepSpec extends SparkSpec {
     assert(k(23L).isEmpty, "nested object k must yield NULL")
   }
 
+  test("an undated quote never attaches; an undated probe has no as-of position") {
+    import graft.operators.AsOfJoin
+    // user 11: click@10:00, an UNDATED click, purchase@11:00, an
+    // UNDATED purchase. Backward: the timed click attaches. Forward:
+    // the only following candidate is the undated click — NULL must
+    // attach (pre-contract, a NULLS-LAST engine would have attached
+    // it as "the latest"). The undated probe emits no row at all.
+    val ev = evs.where(col("user_id") === 11)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_id").as("click_eid"))
+    def run(dir: String) = AsOfJoin.asOf(purchases, clicks, "user_id",
+        "ts_us", "ts_us", Seq(("click_eid", "click_id")), "event_id",
+        direction = dir)
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val back = run("backward")
+    assert(back.keySet === Set(30L), "undated probe must emit no row")
+    assert(back(30L) === Some(28L), "backward attaches the timed click")
+    val fwd = run("forward")
+    assert(fwd(30L).isEmpty, "the undated click must NOT attach forward")
+  }
+
   // ---- events corpus: cross-engine pins (replayed via
   // tools/oracle_check.py on /tmp/advev this round: 14/14 OK) --------
 
   private val evPins = Map(
-    "asof_join_events" -> "27bd85c41ee0405df68c9392801ee8d7",
-    "asof_join_fwd" -> "382b11320f393f34bde25e775df7014c",
-    "asof_join_nearest" -> "27bd85c41ee0405df68c9392801ee8d7",
-    "asof_join_slim" -> "27bd85c41ee0405df68c9392801ee8d7",
-    "sessionize" -> "dd15bd96741176e3830d57314bbdc373",
+    "asof_join_events" -> "771d794d445183593dad7195eeb15d54",
+    "asof_join_fwd" -> "86feff9244523d60f69ac72a6a0a9ff5",
+    "asof_join_nearest" -> "771d794d445183593dad7195eeb15d54",
+    "asof_join_slim" -> "771d794d445183593dad7195eeb15d54",
+    "sessionize" -> "98e26686ca3771c4c12ed0cfd024023f",
     "q_funnel" -> "27c4cf32f6778eb864a64f057a6baf91",
-    "q_event_gaps" -> "25d24a5fe8b8d5d50d8757d40343fe1f",
-    "q_event_buckets" -> "1e144efb0bee23d428dec9305a940154",
-    "q_rate_anomaly" -> "7bac8dd5edebff3ff56e559758222c51",
-    "q_rate_acf" -> "d9be52ec1eea3b6b40720f77dde1d6a0",
-    "q_resample_gaps" -> "72843213b06c29633008d969d648fe55",
-    "scd2_reconstruct" -> "ccd68f1e813811f3d4de110c4f22f0e5",
+    "q_event_gaps" -> "ede7c599a629e8f269e3f1c6425be59b",
+    "q_event_buckets" -> "e9c60da71f2631bcf3ada6efeb3d2cea",
+    "q_rate_anomaly" -> "de1a6451a04555e0785e7fce3aed7fb9",
+    "q_rate_acf" -> "eab18202df73485cde9dcae16c741458",
+    "q_resample_gaps" -> "c06406c2bd4ab8f1fe782acb9d35ef55",
+    "scd2_reconstruct" -> "5cffdae2c690fd9cb78ab613a7106426",
     "scd2_snapshot" -> "808ad24580aeaed1b13ad156ac0553bc",
-    "q_json_props" -> "80d995ccb95673cefd11b1410a80b361",
-    // r16 full-board sweep finds, pinned post-fix (seed ∩ nodes
-    // teleport renormalization; non-finite values have no bin)
-    "q_graph_ppr" -> "c7c363f0223f98a7e6662fc804aad042",
-    "q_histogram" -> "0240764802492cd63e461883ebe9fec8")
+    "q_json_props" -> "7268b681cea0f23a3e44d3c4ab90d5a1",
+    // r16 follow-up finds, pinned post-fix (seed ∩ nodes teleport
+    // renormalization; non-finite values have no bin)
+    "q_graph_ppr" -> "9a08e88942ead703eaabbb57dc450c2b",
+    "q_histogram" -> "1966253b87b7eece2194bffd20662ba6")
 
   for ((name, pin) <- evPins.toSeq.sortBy(_._1))
     test(s"events sweep pin: $name") {
