@@ -5218,7 +5218,8 @@ object SparkEntry {
     "q_rollup" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
         |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
-        |  count(*) AS n, round(sum(c_acctbal), 2) AS acctbal_sum
+        |  count(*) AS n,
+        |  round(sum(c_acctbal), 2) + 0.0 AS acctbal_sum
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
         |ORDER BY segment, nation""".stripMargin,
 
@@ -5857,7 +5858,8 @@ object SparkEntry {
         |  FROM customer WHERE c_custkey % 97 = 0)
         |SELECT * FROM (
         |  SELECT * FROM customer
-        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM staging)
+        |  WHERE c_custkey IS NULL
+        |     OR c_custkey NOT IN (SELECT c_custkey FROM staging)
         |  UNION ALL SELECT * FROM staging)
         |ORDER BY c_custkey""".stripMargin,
 
@@ -5877,29 +5879,58 @@ object SparkEntry {
     // CDC diff raw vs as-of-now: the 'I' branch is dead here (a DML
     // log never inserts) but the SQL classifies generically
     "scd_diff" ->
+      // snapshotDiff's r16 contract: `U` only for keys with an
+      // unambiguous row identity (exactly one row per side, non-NULL);
+      // duplicated/NULL keys degrade to full-row multiset D/I via
+      // EXCEPT ALL — the naive full-outer cross-pairs them. Side
+      // presence is detected with explicit flags (bp/ap), never key
+      // nullness.
       s"""WITH $AsOfNowCte,
-         |d AS (
+         |uk AS (
+         |  SELECT coalesce(bc.k, ac.k) AS k
+         |  FROM (SELECT c_custkey AS k, count(*) AS n FROM customer
+         |        GROUP BY 1) bc
+         |  FULL OUTER JOIN (SELECT c_custkey AS k, count(*) AS n
+         |        FROM asof_dim GROUP BY 1) ac ON bc.k = ac.k
+         |  WHERE coalesce(bc.n, 0) <= 1 AND coalesce(ac.n, 0) <= 1
+         |    AND coalesce(bc.k, ac.k) IS NOT NULL),
+         |bu AS (SELECT b.*, TRUE AS bp FROM customer b
+         |       JOIN uk ON b.c_custkey = uk.k),
+         |au AS (SELECT a.*, TRUE AS ap FROM asof_dim a
+         |       JOIN uk ON a.c_custkey = uk.k),
+         |keyed AS (
          |  SELECT
-         |    CASE WHEN b.c_custkey IS NULL THEN 'I'
-         |         WHEN a.c_custkey IS NULL THEN 'D'
-         |         WHEN (b.c_name IS DISTINCT FROM a.c_name)
-         |           OR (b.c_nationkey IS DISTINCT FROM a.c_nationkey)
-         |           OR (b.c_acctbal IS DISTINCT FROM a.c_acctbal)
-         |           OR (b.c_mktsegment IS DISTINCT FROM a.c_mktsegment)
+         |    CASE WHEN bp IS NULL THEN 'I'
+         |         WHEN ap IS NULL THEN 'D'
+         |         WHEN (bu.c_name IS DISTINCT FROM au.c_name)
+         |           OR (bu.c_nationkey IS DISTINCT FROM au.c_nationkey)
+         |           OR (bu.c_acctbal IS DISTINCT FROM au.c_acctbal)
+         |           OR (bu.c_mktsegment IS DISTINCT FROM au.c_mktsegment)
          |           THEN 'U'
          |    END AS change_type,
-         |    coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
-         |    CASE WHEN a.c_custkey IS NULL THEN b.c_name
-         |         ELSE a.c_name END AS c_name,
-         |    CASE WHEN a.c_custkey IS NULL THEN b.c_nationkey
-         |         ELSE a.c_nationkey END AS c_nationkey,
-         |    CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal
-         |         ELSE a.c_acctbal END AS c_acctbal,
-         |    CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment
-         |         ELSE a.c_mktsegment END AS c_mktsegment
-         |  FROM customer b FULL OUTER JOIN asof_dim a
-         |    ON b.c_custkey = a.c_custkey)
-         |SELECT * FROM d WHERE change_type IS NOT NULL
+         |    coalesce(bu.c_custkey, au.c_custkey) AS c_custkey,
+         |    CASE WHEN ap IS NULL THEN bu.c_name
+         |         ELSE au.c_name END AS c_name,
+         |    CASE WHEN ap IS NULL THEN bu.c_nationkey
+         |         ELSE au.c_nationkey END AS c_nationkey,
+         |    CASE WHEN ap IS NULL THEN bu.c_acctbal
+         |         ELSE au.c_acctbal END AS c_acctbal,
+         |    CASE WHEN ap IS NULL THEN bu.c_mktsegment
+         |         ELSE au.c_mktsegment END AS c_mktsegment
+         |  FROM bu FULL OUTER JOIN au ON bu.c_custkey = au.c_custkey),
+         |brest AS (SELECT * FROM customer b
+         |  WHERE NOT EXISTS (SELECT 1 FROM uk WHERE uk.k = b.c_custkey)),
+         |arest AS (SELECT * FROM asof_dim a
+         |  WHERE NOT EXISTS (SELECT 1 FROM uk WHERE uk.k = a.c_custkey)),
+         |rest AS (
+         |  SELECT 'D' AS change_type, * FROM
+         |    (SELECT * FROM brest EXCEPT ALL SELECT * FROM arest)
+         |  UNION ALL
+         |  SELECT 'I' AS change_type, * FROM
+         |    (SELECT * FROM arest EXCEPT ALL SELECT * FROM brest))
+         |SELECT * FROM (
+         |  SELECT * FROM keyed WHERE change_type IS NOT NULL
+         |  UNION ALL SELECT * FROM rest)
          |ORDER BY change_type, c_custkey""".stripMargin,
 
     "scd2_reconstruct" ->
@@ -6775,9 +6806,13 @@ object SparkEntry {
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_ntile" ->
+      // NULLS FIRST spelled out: Spark's ascending default; DuckDB's
+      // is NULLS LAST (r16 cust sweep — a NULL balance swapped
+      // quartiles 1 and 4)
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment
-        |    ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        |    ORDER BY c_acctbal NULLS FIRST, c_custkey NULLS FIRST)
+        |    AS INT) AS quartile
         |FROM customer
         |ORDER BY c_mktsegment, quartile, c_custkey""".stripMargin,
 

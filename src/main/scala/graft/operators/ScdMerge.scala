@@ -72,19 +72,38 @@ object ScdMerge {
     * Unchanged keys are dropped. Comparison is null-safe per column
     * (a NULL→value or value→NULL transition is a `U`).
     *
-    * Scale: ONE full-outer shuffle join on the key; with both
-    * snapshots bucketed on the key it is co-located and shuffle-free.
-    * The struct pack-and-compare keeps the comparison a single
-    * codegen'd EqualNullSafe instead of n per-column branches. */
+    * `U` requires an UNAMBIGUOUS row identity (r16 cust sweep): keys
+    * appearing on more than one row of either snapshot — and NULL
+    * keys, which SQL joins never match — have none, and the naive
+    * full-outer join CROSS-PAIRS them (an unchanged duplicate key
+    * fabricated two U rows whose "post-images" were each other's
+    * siblings). Such rows degrade to MULTISET semantics instead:
+    * full-row `D` for before-rows missing from after, full-row `I`
+    * for after-rows missing from before, and identical multisets —
+    * including an unchanged NULL-key row — emit nothing.
+    *
+    * Scale: the unique-key branch is ONE full-outer shuffle join on
+    * the key (bucketed snapshots make it co-located); the uniqueness
+    * split costs two map-side-combinable key counts, and the multiset
+    * branch's exceptAll runs over only the ambiguous residue (empty
+    * on any healthy keyed dimension). The struct pack-and-compare
+    * keeps the comparison a single codegen'd EqualNullSafe instead of
+    * n per-column branches. */
   def snapshotDiff(before: DataFrame, after: DataFrame,
       key: String): DataFrame = {
     require(after.columns.toSet == before.columns.toSet,
       s"snapshotDiff: column sets differ " +
         s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")})")
     val valCols = before.columns.filterNot(_ == key).toIndexedSeq
-    val b = before.select(col(key),
+    val uniqKeys = before.groupBy(col(key)).agg(count(lit(1)).as("__nb"))
+      .join(after.groupBy(col(key)).agg(count(lit(1)).as("__na")),
+        Seq(key), "full_outer")
+      .where(coalesce(col("__nb"), lit(0L)) <= 1 &&
+        coalesce(col("__na"), lit(0L)) <= 1 && col(key).isNotNull)
+      .select(col(key))
+    val b = before.join(uniqKeys, Seq(key), "left_semi").select(col(key),
       struct(valCols.map(col): _*).as("_before"))
-    val a = after.select(col(key),
+    val a = after.join(uniqKeys, Seq(key), "left_semi").select(col(key),
       struct(valCols.map(col): _*).as("_after"))
     // USING-column full outer: Spark emits coalesce(left.key, right.key)
     val j = b.join(a, Seq(key), "full_outer")
@@ -93,9 +112,19 @@ object ScdMerge {
       .when(!(col("_before") <=> col("_after")), lit("U"))
     val image =
       when(col("_after").isNull, col("_before")).otherwise(col("_after"))
-    j.withColumn("change_type", changeType)
+    val keyed = j.withColumn("change_type", changeType)
       .where(col("change_type").isNotNull)
       .select(col("change_type") +: col(key) +:
         valCols.map(c => image.getField(c).as(c)): _*)
+    val outCols = key +: valCols
+    val bRest = before.join(uniqKeys, Seq(key), "left_anti")
+      .select(outCols.map(col): _*)
+    val aRest = after.join(uniqKeys, Seq(key), "left_anti")
+      .select(outCols.map(col): _*)
+    keyed
+      .unionByName(bRest.exceptAll(aRest)
+        .select(lit("D").as("change_type") +: outCols.map(col): _*))
+      .unionByName(aRest.exceptAll(bRest)
+        .select(lit("I").as("change_type") +: outCols.map(col): _*))
   }
 }

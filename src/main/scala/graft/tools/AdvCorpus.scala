@@ -218,6 +218,37 @@ object AdvCorpus {
         (i % 7).toDouble: Any, s"""{"k": $i}""")
     }
 
+  /** SCD/relational-surface adversarial corpus (r16 — the fifth sweep
+    * member, aimed at the REFERENCE's own replay semantics): NULL
+    * arithmetic through UPDATE (a NULL balance + 100 stays NULL), the
+    * O10 contract (a NULL predicate KEEPS the row on DELETE), a
+    * boundary row that the UPDATE lifts exactly to the DELETE
+    * threshold, duplicate and NULL keys (per-record staging), quotes/
+    * unicode/newlines inside string values (the quote-aware comment
+    * strip must never see them as syntax), a NULL partition value
+    * (the default-partition round trip), and ±huge/−0.0 doubles.
+    * (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment). */
+  val custDocs: Seq[(Any, String, Any, Any, String)] = Seq(
+    (0L, "Customer#000000000", 0, 100.0, "BUILDING"),
+    // a quote and DML-looking text INSIDE a value
+    (1L, "O'Brien; DROP TABLE x; --", 1, -50.0, "MACHINERY"),
+    // NULL balance: UPDATE arithmetic keeps NULL, DELETE keeps the row
+    (2L, null, 2, null, "BUILDING"),
+    (3L, "Ünïcode 客戶 ✓", 3, 0.0, "AUTOMOBILE"),
+    (null, "no key at all", 4, 10.0, "FURNITURE"),
+    // duplicate key: TWO rows, each replays independently (per-record
+    // one-row staging semantics — O8)
+    (5L, "dup one", 5, 1.0, "HOUSEHOLD"),
+    (5L, "dup two", 5, 2.0, "HOUSEHOLD"),
+    // empty name, negative zero, NULL partition value
+    (6L, "", 6, -0.0, null),
+    (7L, "big balance", 7, 1.0e300, "BUILDING"),
+    (8L, "deleted by the log", 8, -1.0e-300, "MACHINERY"),
+    // -100 + 100 = 0: the UPDATE lifts it EXACTLY to the DELETE
+    // threshold — `< 0` must keep it
+    (9L, "boundary", 9, -100.0, "BUILDING"),
+    (10L, "line\nbreak name", 10, 5.5, "AUTOMOBILE"))
+
   /** Canonical, order-insensitive md5 of a bounded result — the pin
     * format the sweep specs assert. Sound only for the sweep corpora's
     * few-row outputs (collect() is driver-side by design here). */
@@ -236,6 +267,20 @@ object AdvCorpus {
     * `events.parquet` for events. */
   def write(spark: SparkSession, outDir: String, which: String): Unit = {
     import spark.implicits._
+    if (which == "cust") {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType), StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      val rows = custDocs.map { case (k, n, nk, b, m) => Row(k, n, nk, b, m) }
+      writeOne(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema),
+        outDir, "customer.parquet")
+      return
+    }
     if (which == "events") {
       import org.apache.spark.sql.types._
       import org.apache.spark.sql.Row
@@ -257,7 +302,7 @@ object AdvCorpus {
       case "dedup" => dedupDocs
       case "tok"   => tokDocs
       case other =>
-        sys.error(s"unknown corpus '$other' (pii|dedup|tok|events)")
+        sys.error(s"unknown corpus '$other' (pii|dedup|tok|events|cust)")
     }).toDF("doc_id", "lang", "text")
       .withColumn("source", concat(lit("src"), (col("doc_id") % 20)))
       .withColumn("n_chars", length(col("text")).cast("long"))

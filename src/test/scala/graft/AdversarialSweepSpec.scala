@@ -263,6 +263,112 @@ class AdversarialSweepSpec extends SparkSpec {
           "tools/oracle_check.py on the events corpus before re-minting")
     }
 
+  // ---- cust corpus: semantic assertions (r16 — the fifth sweep
+  // member, the REFERENCE's own replay semantics; found five
+  // divergences on first contact: ntile null ordering, round's signed
+  // zero, a NOT-IN null-key drop, and the keyed-diff cross-pairing) --
+
+  private lazy val custDir = corpusDir("cust")
+
+  private def cust = spark.read.parquet(s"$custDir/customer.parquet")
+
+  test("SCD replay contracts on degenerate rows: NULL predicate keeps (O10), NULL arithmetic stays NULL, boundary exact") {
+    import graft.scd.ScdReader
+    val log = "UPDATE customer SET c_acctbal = c_acctbal + 100 " +
+      "WHERE c_mktsegment = 'BUILDING';\n" +
+      "DELETE FROM customer WHERE c_acctbal < 0;\n"
+    val out = ScdReader.applyLogText(spark, cust, log, None)
+      .collect().map(r => Option(r.get(0)) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    // O10: the NULL-balance row survives DELETE (NULL predicate keeps)
+    assert(out.contains(Some(2L)), "NULL-balance row must survive DELETE")
+    assert(out(Some(2L))._1.isEmpty, "NULL + 100 must stay NULL")
+    // the UPDATE lifts -100 exactly to the threshold: < 0 keeps it
+    assert(out.contains(Some(9L)))
+    assert(out(Some(9L))._1 === Some(0.0))
+    // genuinely negative rows are gone; quotes in values never parse
+    assert(!out.contains(Some(8L)))
+    assert(!out.contains(Some(1L)))
+    // the NULL-key row flows through untouched (FURNITURE, no match)
+    assert(out.contains(None))
+  }
+
+  test("snapshotDiff never fabricates U from ambiguous identities") {
+    import graft.operators.ScdMerge
+    // key 5 is duplicated and UNCHANGED between the snapshots; the
+    // NULL-key row is unchanged too — the diff must emit NOTHING for
+    // either (the naive full-outer cross-paired the duplicates into
+    // two U rows whose post-images were each other's siblings)
+    val after = cust.withColumn("c_acctbal",
+      when(col("c_custkey") === 0, col("c_acctbal") + 100)
+        .otherwise(col("c_acctbal")))
+    val d = ScdMerge.snapshotDiff(cust, after, "c_custkey").collect()
+    assert(d.length === 1, d.mkString("; "))
+    assert(d.head.getString(0) === "U" && d.head.getLong(1) === 0L)
+    // a duplicate key whose MULTISET really changes degrades to
+    // full-row D/I, never U
+    val after2 = cust.withColumn("c_name",
+      when(col("c_custkey") === 5 && col("c_name") === "dup one",
+        lit("dup one v2")).otherwise(col("c_name")))
+    val d2 = ScdMerge.snapshotDiff(cust, after2, "c_custkey")
+      .collect().map(r => (r.getString(0), r.getAs[String]("c_name")))
+    assert(d2.toSet === Set(("D", "dup one"), ("I", "dup one v2")),
+      d2.mkString("; "))
+  }
+
+  test("a keyed merge can never touch a NULL-key base row") {
+    import graft.operators.ScdMerge
+    val updates = cust.where(col("c_custkey") === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 500)
+    val merged = ScdMerge.upsert(cust, updates, "c_custkey")
+    assert(merged.where(col("c_custkey").isNull).count() === 1L,
+      "the NULL-key base row must survive the merge")
+    assert(merged.count() === cust.count())
+  }
+
+  // ---- cust corpus: cross-engine pins (replayed via
+  // tools/oracle_check.py on /tmp/advcust this round: 27/27 OK; note
+  // the seven as-of-NOW surfaces hash-identical, and the four
+  // as-of-PAST surfaces likewise) ------------------------------------
+
+  private val custPins = Map(
+    "q_above_avg" -> "f3ae171efdbdeea123e9d89a6256ba51",
+    "q_ntile" -> "9b5f83ebc46b8ce8e72550f8b29fcfd9",
+    "q_profile" -> "79033c134d18aed65cc8c3fccda296f2",
+    "q_registrable_domain" -> "83f49d67bfecdaee33330b37592e794b",
+    "q_rollup" -> "3c9a5369ae58b26c82362c0d1f6e6b6e",
+    "q_string_agg" -> "7515a3f312be8798ec3d5b19ac1fa6bf",
+    "q_url_canonical" -> "10133fe911adbb36bc472431197b1d83",
+    "scd_asof_future" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_asof_now" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_asof_past" -> "fc7ee013de105601c396632608c06f6c",
+    "scd_catalog_travel" -> "fc7ee013de105601c396632608c06f6c",
+    "scd_cdc_stmt" -> "be861c48ba657ec36f15bc8d1f00522d",
+    "scd_compact" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_diff" -> "eebef70a1ec4756e76e8196ce0034e23",
+    "scd_disabled" -> "417a3fcb2bbd2bc88b8a671b1b301ce7",
+    "scd_history" -> "5c4873f3b6449199c295ec4d83eb3f11",
+    "scd_log_feed" -> "24b6e5405115ae900c8bd58e576aec16",
+    "scd_log_stats" -> "848e0a3fc1664bfc893b135be3f5df03",
+    "scd_merge_upsert" -> "f2f38e650b3035ea7c1268c57adfb648",
+    "scd_partitioned" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_sequential" -> "d6ecb91cc56319fd86d5bae9afcef894",
+    "scd_sidecar" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_sql_add_update" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_sql_conf" -> "fc7ee013de105601c396632608c06f6c",
+    "scd_sql_source" -> "1611825fac3b343cdfe633547a8566ae",
+    "scd_sql_view" -> "fc7ee013de105601c396632608c06f6c",
+    "text_normalize" -> "905009d0d85d04b68c371993a2b04f54")
+
+  for ((name, pin) <- custPins.toSeq.sortBy(_._1))
+    test(s"cust sweep pin: $name") {
+      val got = AdvCorpus.resultHash(
+        SparkEntry.queries(name)(spark, custDir))
+      assert(got === pin,
+        s"$name diverged from its DuckDB-verified pin — re-run " +
+          "tools/oracle_check.py on the cust corpus before re-minting")
+    }
+
   // ---- dedup corpus: semantic assertions --------------------------
 
   test("NULL text fingerprints NULL; EMPTY text fingerprints non-null (absent != empty)") {
