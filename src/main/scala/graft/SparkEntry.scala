@@ -526,30 +526,49 @@ object SparkEntry {
             .as("names"))
         .orderBy("c_mktsegment")),
 
-    "q_percentile" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
-        .orderBy("l_returnflag")),
+    // interpolated quantile_cont with BOUNDED state (VERDICT r16 #1):
+    // the built-in percentile() buffers a per-group value→count map —
+    // an executor-OOM shape on a continuous column at 100×. The
+    // cumOver-grid form computes the identical IEEE chain (identical
+    // oracle hashes); PlanAuditSpec bans the buffering aggregate
+    // board-wide so the class cannot return.
+    "q_percentile" -> ((s, dir) => {
+      val q = Sketch.interpQuantilesBy(t(s, dir, "lineitem"),
+        col("l_returnflag"), "l_extendedprice", Seq(500, 900, 990))
+      q.groupBy("stratum")
+        .agg(round(max(when(col("q_mil") === 500, col("v"))), 4).as("p50"),
+          round(max(when(col("q_mil") === 900, col("v"))), 4).as("p90"),
+          round(max(when(col("q_mil") === 990, col("v"))), 4).as("p99"))
+        .select(col("stratum").as("l_returnflag"),
+          col("p50"), col("p90"), col("p99"))
+        .orderBy("l_returnflag")
+    }),
 
     // production quantile sketch (t-digest-style approx_percentile) made
     // verifiable the same way as the HLL query: emit the exact median
     // plus a bound flag — the sketch's rank error at accuracy 10000 is
     // ≤ 1e-4, so the estimate must lie between the exact 0.495 / 0.505
-    // quantiles (a 50× margin); the oracle asserts the flag is constant
-    "q_approx_quantile_bound" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_exact"),
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__ap"),
-          expr("percentile(l_extendedprice, 0.495)").as("__lo"),
-          expr("percentile(l_extendedprice, 0.505)").as("__hi"))
-        .select(col("l_returnflag"), col("p50_exact"),
+    // quantiles (a 50× margin); the oracle asserts the flag is constant.
+    // The exact quantiles ride the bounded-state cumOver grid (r16 #1);
+    // only the sketch itself stays an aggregate (that IS the product).
+    "q_approx_quantile_bound" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ap = li.groupBy(col("l_returnflag").as("__as"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("__ap"))
+      val ex = Sketch.interpQuantilesBy(li,
+          col("l_returnflag"), "l_extendedprice", Seq(495, 500, 505))
+        .groupBy("stratum")
+        .agg(max(when(col("q_mil") === 500, col("v"))).as("__p50"),
+          max(when(col("q_mil") === 495, col("v"))).as("__lo"),
+          max(when(col("q_mil") === 505, col("v"))).as("__hi"))
+      ex.join(ap, col("stratum") <=> col("__as"))
+        .select(col("stratum").as("l_returnflag"),
+          round(col("__p50"), 2).as("p50_exact"),
           (col("__ap") >= col("__lo") && col("__ap") <= col("__hi"))
             .cast("long").as("within_bound"))
-        .orderBy("l_returnflag")),
+        .orderBy("l_returnflag")
+    }),
 
     // bloom-pruned semi-join: every probe row is tested against the
     // build side's bloom (scalar subquery, no exchange) BEFORE the

@@ -242,7 +242,7 @@ object Ranks {
     * sort). Anchor accuracy only moves WHERE a value lands, never its
     * cumulative: the prefix sums are exact for any routing. */
   private[graft] def bucketize(ck: DataFrame, v: String,
-      rawProxy: Column): DataFrame = {
+      rawProxy: Column, accuracy: Int = 10000): DataFrame = {
     val cuts = (1 until Anchors).map(i => lit(i.toDouble / Anchors))
     // ONE 1-row driver fold (scale-free — 65 doubles + 2 bound values
     // whatever the input), embedded as LITERALS: percentile_approx is
@@ -253,8 +253,14 @@ object Ranks {
     // crossJoin(broadcast) BNLJ from every cumOver plan). The fold
     // also materializes ck's lazy checkpoint, which the main query
     // re-reads.
+    // `accuracy` tunes the anchor sketch only — anchors ROUTE values
+    // to cells, they never touch a cumulative, so a caller whose input
+    // is corpus rows (not a distinct-value histogram) can pass a cheap
+    // fold (Sketch.interpQuantilesBy uses 100: anchor rank error ~1%
+    // of n barely moves cell balance, but the 10000-capacity sketch
+    // update was that caller's single hottest stage)
     def bounds(p: Column) = Seq(min(p).as("__lo"), max(p).as("__hi"),
-      percentile_approx(p, array(cuts: _*), lit(10000)).as("__qs"))
+      percentile_approx(p, array(cuts: _*), lit(accuracy)).as("__qs"))
     val prefixType = ck.schema(v).dataType match {
       case StringType | BinaryType => true
       case _ => false
@@ -287,40 +293,23 @@ object Ranks {
           val b2 = ck.agg(bounds(p).head, bounds(p).tail: _*).head()
           (p, b2.getDouble(0), b2.getDouble(1), b2.getSeq[Double](2))
         }
-      val qsArr = typedlit(pQs)
-      val coarse = aggregate(qsArr, lit(0),
-        (acc, x) => acc + when(col("__k") >= x, 1).otherwise(0))
-      // element_at is 1-based and ANSI-throws out of range: guard the
-      // edge cells onto min/max instead
-      val loB = when(col("__coarse") >= 1,
-        element_at(qsArr, col("__coarse")))
-        .otherwise(lit(pLo))
-      val hiB = when(col("__coarse") <= Anchors - 2,
-        element_at(qsArr, col("__coarse") + 1))
-        .otherwise(lit(pHi))
-      // equal bounding anchors (few distinct values, or a massive tie
-      // region) must not divide — ANSI throws DIVIDE_BY_ZERO even for
-      // doubles. The ONLY divisor is hiB − loB itself: for distinct
-      // doubles the subtraction never rounds to 0.0 (gradual
-      // underflow), whereas a nested width = (hiB − loB)/Fine CAN
-      // (subnormal-close anchors — the IEEE property case). Inf/NaN
-      // products (MaxValue-spanning cells) are clamped BEFORE the int
-      // cast: Spark's least/greatest order NaN above everything, so
-      // least(Fine−1, greatest(0, NaN)) = Fine−1 — never an ANSI
-      // cast error; the int cast truncates, which equals floor on the
-      // clamped non-negative range.
-      val fine = when(col("__hiB") > col("__loB"),
-        least(lit(Fine - 1.0), greatest(lit(0.0),
-          (col("__k") - col("__loB")) / (col("__hiB") - col("__loB")) *
-            lit(Fine.toDouble))))
-        .otherwise(lit(0.0))
-      ck.withColumn("__k", proxy)
-        .withColumn("__coarse", coarse)
-        .withColumn("__loB", loB)
-        .withColumn("__hiB", hiB)
-        .withColumn("__b", when(col(v).isNull, lit(-1)).otherwise(
-          (col("__coarse") * Fine + fine.cast("int")).cast("int")))
-        .drop("__k", "__coarse", "__loB", "__hiB")
+      // routing is ONE native codegen'd binary search per row
+      // ([[graft.functions.expressions.GridCell]], r17) — the
+      // declarative chain (a Σ when(k ≥ cut) coarse fold + element_at
+      // anchor lookups + the clamped linear fine split) was re-INLINED
+      // ~6× wherever the optimizer substituted the __b alias into a
+      // filter or join key, and at that size the generated method
+      // abandons JIT (26 s interpreted / 17 s as a when-fold vs 0.4 s
+      // for one evaluation on the same 600k-row scan). GridCell
+      // reproduces the chain bit-for-bit, including the cell-edge
+      // pLo/pHi guards (element_at is 1-based and ANSI-throws), the
+      // no-divide equal-anchor branch (ANSI DIVIDE_BY_ZERO even for
+      // doubles), and the Spark-ordering NaN/Inf clamp before the
+      // truncating int cast — RanksPropertySpec pins the routing.
+      val cell = org.apache.spark.sql.graft.CatalystBridge.gridCell(
+        proxy, pQs.toArray, pLo, pHi, Fine)
+      ck.withColumn("__b",
+        when(col(v).isNull, lit(-1)).otherwise(cell))
     }
   }
 

@@ -607,6 +607,234 @@ object Sketch {
       .groupBy("stratum", "q_mil").agg(min("v").as("v"))
   }
 
+  /** EXACT INTERPOLATED quantiles per stratum — `quantile_cont` /
+    * Spark `percentile` semantics with BOUNDED state (VERDICT r16 #1:
+    * the built-in `Percentile` aggregate buffers a per-group
+    * value→count map in its aggregation buffer — at 100× the distinct
+    * domain of a continuous column blows the executor).
+    *
+    * Semantics replayed bit-for-bit from the built-in (so existing
+    * oracle hashes hold): for q‰ over n non-NULL values the position
+    * is p = (n−1)·(q/1000) in doubles; the answer is the value at
+    * 0-based index p when p is integral, else
+    * `(⌈p⌉−p)·v_lo + (p−⌊p⌋)·v_hi` — the exact IEEE chain
+    * `Percentile.getPercentile` runs, with v_lo/v_hi the type-1 picks
+    * at ranks ⌊p⌋+1 / ⌈p⌉+1 (least value whose cumulative count
+    * reaches the rank).
+    *
+    * Plan — DISTRIBUTED RADIX SELECTION, not a corpus histogram (the
+    * first cut of this operator shuffled a (stratum, value) histogram:
+    * on a near-distinct continuous column that is the whole corpus
+    * reshuffled just to read back ≤ 2·|q| rows per stratum):
+    *
+    *  1. count rows per (stratum, radix cell), where the cell is the
+    *     top 12 bits of the order-preserving unsigned image of the
+    *     double ([[graft.functions.expressions.RadixPrefix]] — pure
+    *     bit arithmetic: no value shuffle, no sketch, deterministic;
+    *     the aggregate is map-side combined to ≤ strata × 4096 rows);
+    *  2. a DRIVER fold over that grid-bounded metadata locates, for
+    *     each target rank, the cell holding it and the count of rows
+    *     before it (bounded like the repo's other driver folds —
+    *     vocab/centroid/manifest tables — and CAP'd loud at
+    *     [[InterpQuantilesCellCap]]); while any located cell still
+    *     holds more than [[InterpQuantilesRefineCap]] rows, REFINE:
+    *     re-count 12 more prefix bits inside the located cells only
+    *     (a scan filtered by a broadcast semi-join on the parent
+    *     cells) and relocate — each round multiplies resolution
+    *     4096×, and at the 60-bit floor a cell spans 16 adjacent
+    *     doubles, so the loop is ≤ 5 rounds for ANY distribution
+    *     (real data stops after round 1: 10¹² rows/stratum refine
+    *     once). Skew needs no anchors here — a fat cell is split by
+    *     recursion, not balanced in advance;
+    *  3. rescan ONLY the final cells (broadcast semi-join on the
+    *     (stratum, cell) set) and take the k-th smallest within each
+    *     via a distinct-value cumulative whose window partition is
+    *     one cell — ≤ [[InterpQuantilesRefineCap]] rows by the loop
+    *     bound (or ≤ 16 distinct values at the bit floor, however
+    *     many duplicate rows a tie region holds).
+    *
+    * Two narrow scans of the value column in the common case (counts
+    * + band), no corpus-sized shuffle, no corpus-sized window, state
+    * bounded everywhere — the shape survives 100× where both the
+    * built-in (per-group value→count map) and the histogram form
+    * (corpus reshuffle) die.
+    *
+    * NULL strata group like the built-in groupBy does (their own
+    * group, null-safe join keys); NULL values carry no rank, exactly
+    * as `percentile` ignores them; a stratum with zero non-NULL
+    * values yields no row; NaN orders above +Inf and −0.0 groups
+    * with 0.0, both exactly as SQL comparison/grouping do. Output:
+    * (stratum, q_mil, v double), one row per (stratum, q). */
+  def interpQuantilesBy(df: DataFrame, strataCol: Column,
+      valueCol: String, qMils: Seq[Int]): DataFrame = {
+    require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
+      s"interpQuantilesBy: q_mil values must be in [0,1000], got $qMils")
+    import graft.operators.{Ranks => R}
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val rows = df.select(strataCol.as("stratum"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val stratumType = rows.schema("stratum").dataType
+    val cap = InterpQuantilesCellCap
+    val FirstBits = 20 // sign+exponent+8 mantissa bits: ~256 cells per
+    // populated binade — 12 bits would be sign+exponent ONLY, i.e.
+    // one cell per binade, and real-world columns concentrate in a
+    // handful of binades (prices at sf0.1 measured ~150k-row cells —
+    // a single-task in-cell window). Populated-cell count stays
+    // value-RANGE-bounded (binades × 256), not n-bounded; if an
+    // adversarially wide domain × many strata overflows the collect
+    // cap, ONE retry at 12 bits restores the ≤ strata × 4096 bound.
+    val Step = 12
+    val MaxBits = 56 // FirstBits + 3·Step; cells there span 256
+    // adjacent doubles — ≤ 256 distinct values however many rows
+    def pfxCol(bits: Int): Column =
+      org.apache.spark.sql.graft.CatalystBridge.radixPrefix(col("v"), bits)
+    def smallDF(data: Seq[org.apache.spark.sql.Row],
+        schema: StructType): DataFrame =
+      spark.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava, schema)
+    def collectCells(bits: Int, shift: Int, live: Option[Seq[(Any, Long)]])
+        : Array[org.apache.spark.sql.Row] = {
+      val keyed = rows.select(col("stratum"), pfxCol(bits).as("pfx"))
+      val src = live match {
+        case None => keyed
+        case Some(cells) =>
+          val lf = smallDF(cells.map { case (s, c) =>
+              org.apache.spark.sql.Row(s, c) },
+            StructType(Seq(StructField("__ls", stratumType),
+              StructField("__lp", LongType, nullable = false))))
+          keyed.join(broadcast(lf),
+            col("stratum") <=> col("__ls") &&
+              shiftrightunsigned(col("pfx"), shift) === col("__lp"),
+            "left_semi")
+      }
+      src.groupBy("stratum", "pfx")
+        .agg(count(lit(1)).as("cnt")).limit(cap + 1).collect()
+    }
+    // round 1: full corpus at FirstBits (one 12-bit retry on cap trip)
+    var bits = FirstBits
+    var cells = collectCells(bits, 0, None)
+    if (cells.length > cap) {
+      bits = Step
+      cells = collectCells(bits, 0, None)
+    }
+    require(cells.length <= cap,
+      s"interpQuantilesBy: over $cap (stratum, radix-cell) rows — " +
+        "strata cardinality is report-sized; use exactQuantilesBy")
+    if (cells.isEmpty)
+      return smallDF(Nil, StructType(Seq(
+        StructField("stratum", stratumType),
+        StructField("q_mil", LongType, nullable = false),
+        StructField("v", DoubleType))))
+    // target state: stratum value, q, p (replaying the built-in
+    // bit-for-bit: p = (n−1)·(q/1000) in doubles — q/1000.0 rounds to
+    // the same nearest double as the 0.xxx literal the built-in was
+    // given), side (0=⌊p⌋ pick, 1=⌈p⌉ pick), absolute rank r, rows
+    // before the current cell, current cell prefix, current cell rows
+    final class Tgt(val s: Any, val q: Long, val p: Double,
+      val side: Int, val r: Long, var before: Long, var cell: Long,
+      var cnt: Long)
+    val targets = new scala.collection.mutable.ArrayBuffer[Tgt]()
+    val byStratum = cells.groupBy(r => Option(r.get(0)))
+    byStratum.foreach { case (sOpt, rs) =>
+      val s = sOpt.orNull
+      val sorted = rs.sortBy(_.getLong(1))
+      val n = sorted.map(_.getLong(2)).sum
+      for (q <- qMils) {
+        val p = (n - 1).toDouble * (q.toDouble / 1000.0)
+        targets += new Tgt(s, q.toLong, p, 0,
+          math.floor(p).toLong + 1L, 0L, 0L, 0L)
+        targets += new Tgt(s, q.toLong, p, 1,
+          math.ceil(p).toLong + 1L, 0L, 0L, 0L)
+      }
+    }
+    // locate within the freshly counted subcells: for round 1 every
+    // target's parent is the root (before = 0); later rounds walk the
+    // subcells of each target's own cell, starting from its count of
+    // rows before that cell. Subcell prefixes nest (parent = pfx >>
+    // 12), so grouping the collected rows by (stratum, parent) routes
+    // each target to exactly its cell's split.
+    def relocate(collected: Array[org.apache.spark.sql.Row],
+        round1: Boolean): Unit = {
+      val grouped = collected.groupBy(r =>
+        (Option(r.get(0)), if (round1) 0L else r.getLong(1) >>> Step))
+      val sortedCache = grouped.map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)) }
+      targets.foreach { t =>
+        val subs = sortedCache((Option(t.s), if (round1) 0L else t.cell))
+        var acc = t.before
+        var i = 0
+        while (acc + subs(i).getLong(2) < t.r) {
+          acc += subs(i).getLong(2); i += 1
+        }
+        t.before = acc
+        t.cell = subs(i).getLong(1)
+        t.cnt = subs(i).getLong(2)
+      }
+    }
+    relocate(cells, round1 = true)
+    while (bits < MaxBits &&
+        targets.exists(_.cnt > InterpQuantilesRefineCap)) {
+      bits += Step
+      val live = targets.map(t => (t.s, t.cell)).distinct.toSeq
+      cells = collectCells(bits, Step, Some(live))
+      require(cells.length <= cap, // live ≤ 2·|q|·strata parents
+        s"interpQuantilesBy: over $cap cells in a refine round — " +
+          "strata cardinality is report-sized; use exactQuantilesBy")
+      relocate(cells, round1 = false)
+    }
+    val probeSchema = StructType(Seq(
+      StructField("__ps", stratumType),
+      StructField("q_mil", LongType, nullable = false),
+      StructField("p", DoubleType, nullable = false),
+      StructField("side", IntegerType, nullable = false),
+      StructField("pb", LongType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    val probes = smallDF(targets.toSeq.map(t =>
+      org.apache.spark.sql.Row(t.s, t.q, t.p, t.side, t.cell,
+        t.r - t.before)), probeSchema)
+    val pairs = probes.select(col("__ps"), col("pb")).distinct()
+    // rescan: only rows landing in a final cell survive the broadcast
+    // semi-join (≤ 2·|q| cells per stratum)
+    val band = rows.withColumn("bkt", pfxCol(bits))
+      .join(broadcast(pairs),
+        col("stratum") <=> col("__ps") && col("bkt") === col("pb"),
+        "left_semi")
+    // k-th smallest within a cell: distinct-value counts + a window
+    // partitioned by (stratum, cell) — per-partition input is one
+    // refined cell (≤ RefineCap rows / ≤ 16 distinct at the bit floor)
+    val bandCum = R.cumOver(
+      band.groupBy("stratum", "bkt", "v").agg(count(lit(1)).as("cnt")),
+      "v", Seq("stratum", "bkt"), Seq("cnt" -> "cum"),
+      smallDomain = true)
+    val picks = broadcast(probes).join(bandCum,
+        col("__ps") <=> col("stratum") && col("pb") === col("bkt") &&
+          col("cum") >= col("k"))
+      .groupBy(col("__ps"), col("q_mil"), col("p"), col("side"))
+      .agg(min(col("v")).as("pv"))
+    picks.groupBy(col("__ps").as("stratum"), col("q_mil"), col("p"))
+      .agg(max(when(col("side") === 0, col("pv"))).as("__vlo"),
+        max(when(col("side") === 1, col("pv"))).as("__vhi"))
+      .select(col("stratum"), col("q_mil"),
+        // integral p: the weighted form would cancel to 0·v_lo+0·v_hi
+        // — early-return v_lo exactly as Percentile.getPercentile does
+        when(ceil(col("p")) === floor(col("p")), col("__vlo"))
+          .otherwise((ceil(col("p")) - col("p")) * col("__vlo") +
+            (col("p") - floor(col("p"))) * col("__vhi")).as("v"))
+  }
+
+  /** [[interpQuantilesBy]]'s driver-metadata bound: each collected
+    * locate round is ≤ strata × 4096 rows; 2M cells ≈ tens of MB of
+    * Rows, far past any per-stratum quantile report worth reading. */
+  val InterpQuantilesCellCap: Int = 1 << 21
+
+  /** [[interpQuantilesBy]] refines a located cell while it holds more
+    * rows than this — the bound on the in-cell selection's window
+    * partition (1M rows sorts in one task comfortably; each extra
+    * round costs one filtered re-count and buys 4096×). */
+  val InterpQuantilesRefineCap: Long = 1L << 20
+
   /** Winsorize (quantile-clip) a column against its own sketch —
     * outlier taming before means/σ-based stats or length-capped
     * training batches: values below the lo‰ bucket's LOW edge clamp

@@ -82,6 +82,19 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.DeflateLen(
       ExpressionUtils.expression(c), level))
 
+  /** Native order-preserving radix cell prefix of a double (see
+    * [[graft.functions.expressions.RadixPrefix]]). */
+  def radixPrefix(d: Column, bits: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.RadixPrefix(
+      ExpressionUtils.expression(d), bits))
+
+  /** Native rank-anchored grid cell (see
+    * [[graft.functions.expressions.GridCell]]). */
+  def gridCell(k: Column, cuts: Array[Double], pLo: Double, pHi: Double,
+      fine: Int): Column =
+    ExpressionUtils.column(graft.functions.expressions.GridCell(
+      ExpressionUtils.expression(k), cuts, pLo, pHi, fine))
+
   /** Native Luhn mod-10 checksum test (see
     * [[graft.functions.expressions.LuhnValid]]). */
   def luhnValid(c: Column): Column =

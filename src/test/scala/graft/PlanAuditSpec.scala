@@ -442,6 +442,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(lostH.isEmpty, s"honest fixture still flagged: $lostH")
   }
 
+  // VERDICT r16 #1: the built-in `percentile()` (and its `median()`
+  // alias) buffers a per-group value→count map in the AGGREGATION
+  // BUFFER — on a continuous column at 100× the per-group distinct
+  // domain is executor-OOM, the exact failure mode the repo's
+  // Ranks.cumOver grid exists to avoid. Exact interpolated quantiles
+  // belong on Sketch.interpQuantilesBy (bounded state, identical IEEE
+  // chain); the sketch tier is approx_percentile. This lint makes the
+  // class unshippable board-wide. (The lookbehind keeps
+  // approx_percentile / percentile_approx legal — those are mergeable
+  // fixed-size sketches.)
+  test("no board query carries a value-buffering percentile()/median() aggregate") {
+    val pat = raw"(?<![\w_])(percentile|median)\(".r
+    // the lint's own controls: fires on the buffering forms, stays
+    // silent on the sketch forms — a broken regex can't pass vacuously
+    // (the partial stage prints partial_percentile( — blocked by the
+    // lookbehind — but every plan carrying it also carries the final
+    // percentile( merge stage, which is what the lint keys on)
+    assert(pat.findFirstIn("functions=[percentile(l_extendedprice#1, 0.5, 1)]").isDefined)
+    assert(pat.findFirstIn("[median(x#3)]").isDefined)
+    assert(pat.findFirstIn("approx_percentile(x#1, 0.5, 10000)").isEmpty)
+    assert(pat.findFirstIn("percentile_approx(x#1, [0.1], 10000)").isEmpty)
+    val bad = plans.collect {
+      case (n, p) if pat.findFirstIn(p).isDefined => n
+    }
+    assert(bad.isEmpty,
+      s"value-buffering percentile()/median() in: ${bad.toSeq.sorted}" +
+        " — use Sketch.interpQuantilesBy (exact, bounded state) or" +
+        " approx_percentile (sketch)")
+  }
+
   test("lineitem scans are column-pruned (never full table width)") {
     val bad = wideScans("lineitem", Set.empty)
     assert(bad.isEmpty, bad.sorted.mkString("\n"))

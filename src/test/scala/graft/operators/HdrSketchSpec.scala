@@ -211,6 +211,39 @@ class HdrSketchSpec extends SparkSpec {
     }
   }
 
+  test("interpQuantilesBy: bit-equal to the built-in percentile() per group (VERDICT r16 #1)") {
+    import spark.implicits._
+    // random doubles with heavy ties + uneven strata sizes (odd/even n
+    // exercises both the integral-p early return and the interpolated
+    // branch), plus NULL values (ignored) and a NULL stratum (its own
+    // group, exactly as groupBy treats it)
+    val rnd = new scala.util.Random(17)
+    val rows = (for {
+      (st, n) <- Seq(("a", 501), ("b", 640), ("c", 1), (null, 37))
+      i <- 0 until n
+    } yield (st, if (i % 53 == 7) null
+      else java.lang.Double.valueOf(rnd.nextInt(200) + rnd.nextDouble())))
+      .toDF("s", "x")
+      .union(Seq(("a", null.asInstanceOf[java.lang.Double])).toDF("s", "x"))
+    val qMils = Seq(0, 250, 500, 900, 990, 1000)
+    val got = Sketch.interpQuantilesBy(rows, col("s"), "x", qMils)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val aggs = qMils.map(q => expr(s"percentile(x, ${q / 1000.0})")
+      .as(s"q$q"))
+    val exp = rows.groupBy("s").agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        qMils.zipWithIndex.map { case (q, i) =>
+          (r.getString(0), q.toLong) -> r.getDouble(i + 1) }
+      }.toMap
+    assert(got.keySet == exp.keySet, s"${got.keySet} vs ${exp.keySet}")
+    // BIT equality — the IEEE chain is replayed, not approximated
+    for (k <- exp.keySet)
+      assert(java.lang.Double.doubleToLongBits(got(k)) ==
+        java.lang.Double.doubleToLongBits(exp(k)),
+        s"$k: ${got(k)} != ${exp(k)}")
+  }
+
   test("exactQuantilesWeighted: mass ranks; negative/fractional weights RAISE, null/zero drop (ADVICE r12)") {
     import spark.implicits._
     // mass: v=1 w=1, v=2 w=3 -> W=4; p500 rank ceil(2)=2 -> v=2
