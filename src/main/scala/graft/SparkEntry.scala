@@ -351,8 +351,8 @@ object SparkEntry {
     "q_decontaminate_sem", "q_decontaminate_sem_indexed",
     "q_distinct_agg", "q_dynamic_file_prune", "q_event_buckets",
     "q_zorder_key", "q_hilbert_key", "q_pii_audit", "q_pii_audit_agg",
-    "q_pii_gate", "q_fim", "text_bpe_encode", "text_bpe_indexed",
-    "text_unigram_encode",
+    "q_pii_gate", "q_fim", "text_bpe_encode", "text_bpe_gpt2",
+    "text_bpe_indexed", "text_unigram_encode",
     "q_graph_pagerank_warm", "q_hdr_incremental", "q_json_props",
     "q_kmv_distinct", "q_ntile", "q_outer_join", "q_pack_append",
     "q_pack_bpe", "q_pack_chunks", "q_pack_epoch", "q_percentile",
@@ -2613,6 +2613,18 @@ object SparkEntry {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), merges = 3)
         .orderBy("step")),
 
+    // PRODUCTION-vocabulary BPE trainer (round 17): one distributed
+    // word-frequency pass, then the merge loop in memory on the driver
+    // over the bounded distinct-word table with incremental pair
+    // counts — the sentencepiece/HF split, making a 30k-merge
+    // vocabulary minutes instead of 30k sequential Spark jobs. Same
+    // greedy algorithm, tie-break and early stop as bpeTrain, so the
+    // SAME relational oracle replays it (BpeTrainHybridSpec pins
+    // row-for-row equality and a recount differential at depth).
+    "text_bpe_train_hybrid" -> ((s, dir) =>
+      TextAnalysis.bpeTrainHybrid(t(s, dir, "documents"), merges = 3)
+        .orderBy("step")),
+
     // exact PHRASE search — the positional-index plan: the token
     // stream filters to the phrase's 2-term vocabulary BEFORE anything
     // wide, then terms chain through (id, pos−offset) equi-joins;
@@ -2650,6 +2662,31 @@ object SparkEntry {
       })
       TextAnalysis.bpeEncodeWith(t(s, dir, "documents"), path)
         .orderBy("doc_id")
+    }),
+
+    // REAL-tokenizer interop + byte-level alphabet (round 17): the
+    // committed GPT-2-format fixture round-trips through an actual
+    // merges.txt file and gpt2MergesRead (the path a user's exported
+    // HF/GPT-2 vocabulary takes), then the corpus encodes BYTE-LEVEL —
+    // pre-tokens keep their leading space, whose UTF-8 byte maps to
+    // the 'Ġ' word-boundary marker through the bytes_to_unicode
+    // bijection — under the loaded table. The oracle replays the
+    // identical pre-tokenization and the full merge walk from the
+    // same fixture list. The corpus is pre-cleaned to [a-z0-9 ] in
+    // the query (byteBpeEncode itself is alphabet-agnostic and
+    // case-preserving; unicode byte decomposition is spec-pinned)
+    "text_bpe_gpt2" -> ((s, dir) => {
+      val p = new java.io.File(indexPath("gpt2merges",
+        s.sparkContext.applicationId, dir), "merges.txt")
+      p.getParentFile.mkdirs()
+      java.nio.file.Files.write(p.toPath,
+        ("#version: 0.2\n" + Gpt2FixtureMerges.map { case (l, r) =>
+          s"$l $r" }.mkString("\n") + "\n").getBytes("UTF-8"))
+      val merges = TextAnalysis.gpt2MergesRead(s, p.getPath)
+      val cleaned = t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")
+          .as("text"))
+      TextAnalysis.byteBpeEncode(cleaned, merges).orderBy("doc_id")
     }),
 
     // unigram-LM (SentencePiece, Kudo 2018) tokenizer — the third
@@ -4433,6 +4470,56 @@ object SparkEntry {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(np) AS BIGINT) AS n_pieces,
        |  string_agg(replace(sp, '||', '|'), ' ' ORDER BY widx)
+       |    AS segmented
+       |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** text_bpe_gpt2's committed merge list — GPT-2's actual first
+    * merges (public), Ġ-prefixed rules included so the byte-level
+    * word-boundary marker participates. The board row serializes this
+    * to a real `merges.txt` and round-trips it through
+    * [[graft.operators.TextAnalysis.gpt2MergesRead]]; the oracle
+    * replays the same list, so file format, parser and walk cannot
+    * drift apart. */
+  private val Gpt2FixtureMerges: Seq[(String, String)] = Seq(
+    "Ġ" -> "t", "Ġ" -> "a", "h" -> "e", "i" -> "n", "e" -> "r",
+    "Ġt" -> "he", "o" -> "n", "r" -> "e", "a" -> "n", "s" -> "t")
+
+  /** text_bpe_gpt2's replay: identical pre-tokenization (split on
+    * single spaces, empty tokens dropped, every split element after
+    * the FIRST re-attaches its leading space as 'Ġ' — so a leading
+    * space in the text Ġ-marks every word, exactly like the engine's
+    * pos-0 test), then the full literal merge walk on the '|sym|'
+    * encoding. The corpus is cleaned to [a-z0-9 ] in both engines, so
+    * every byte maps identity and 'Ġ' is the only multi-byte symbol —
+    * RE2/Java regex agreement is trivial. */
+  private def bpeGpt2OracleSql: String = {
+    val apply = Gpt2FixtureMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"""g${i + 1} AS (SELECT doc_id, pos,
+         |  replace(seg, '|$l||$r|', '|$l$r|') AS seg
+         |  FROM g$i)""".stripMargin }.mkString(",\n")
+    s"""WITH pt AS (
+       |  SELECT doc_id, widx AS pos,
+       |    CASE WHEN widx = 1 THEN ws[widx]
+       |      ELSE 'Ġ' || ws[widx] END AS w
+       |  FROM (SELECT doc_id,
+       |          string_split(regexp_replace(lower(text),
+       |            '[^a-z0-9 ]', '', 'g'), ' ') AS ws
+       |        FROM documents) d
+       |  CROSS JOIN unnest(generate_series(1, len(ws))) AS g(widx)
+       |  WHERE length(ws[widx]) >= 1),
+       |g0 AS (
+       |  SELECT doc_id, pos,
+       |    regexp_replace(w, '(.)', '|\\1|', 'g') AS seg
+       |  FROM pt),
+       |$apply,
+       |fin AS (
+       |  SELECT doc_id, pos, trim(seg, '|') AS sp,
+       |    len(string_split(trim(seg, '|'), '||')) AS np
+       |  FROM g${Gpt2FixtureMerges.length})
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  string_agg(replace(sp, '||', '|'), ' ' ORDER BY pos)
        |    AS segmented
        |FROM fin GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
@@ -7277,6 +7364,17 @@ object SparkEntry {
       s"WITH $BpeHeadCte,\n${bpeStepCtes(iters)}\n$rows\nORDER BY step"
     },
 
+    // the hybrid trainer is pinned to the SAME relational replay —
+    // identical greedy algorithm and tie-break, different execution
+    "text_bpe_train_hybrid" -> {
+      val iters = 3
+      val rows = (1 to iters).map(i =>
+        s"SELECT CAST($i AS INT) AS step, l AS lhs, r AS rhs, " +
+          s"m AS merged, c AS pair_count FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"WITH $BpeHeadCte,\n${bpeStepCtes(iters)}\n$rows\nORDER BY step"
+    },
+
     "text_phrase_match" ->
       // positional replay: consecutive token positions, overlap-safe
       """WITH toks AS (
@@ -7294,6 +7392,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_bpe_encode" -> bpeEncodeOracleSql,
+
+    "text_bpe_gpt2" -> bpeGpt2OracleSql,
 
     // the persisted-artifact serving path replays identically: the
     // merge table on disk IS bpeTrain's output, so the oracle is the

@@ -1402,6 +1402,152 @@ object TextAnalysis {
     out.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
   }
 
+  /** PRODUCTION-VOCABULARY BPE training (VERDICT r16 #2): one
+    * distributed pass, then the merge loop in memory on the driver.
+    *
+    * [[bpeTrain]] is the cross-engine-verifiable form — every
+    * iteration is a Spark job whose pair counts the DuckDB oracle
+    * replays — but one job per learned merge makes a 30k-merge
+    * production vocabulary ~30k sequential jobs: structurally
+    * unreachable, exactly as interpreted inference was before
+    * BpeApplyAll. This trainer is the split every production BPE
+    * implementation uses (sentencepiece, HF tokenizers): the
+    * CORPUS-proportional work is ONE word-frequency groupBy; the
+    * merge loop then runs over the bounded distinct-word table with
+    * INCREMENTAL pair counts — each merge touches only the words
+    * containing its pair (an inverted pair→words index), and the
+    * argmax pops from a lazy-deletion priority queue instead of
+    * rescanning, so 30k merges take seconds where 30k jobs took
+    * hours.
+    *
+    * Driver-fold bound (the repo's vocab/centroid/manifest rule):
+    * the collected table is DISTINCT WORDS, which Zipf keeps orders
+    * of magnitude under corpus size; `maxWords` caps it LOUD
+    * (default [[BpeTrainMaxWords]]) — at crawl scale prune the long
+    * tail first with `minFreq` (a freq-1 garbage string can never
+    * win a merge against a real pair, it only costs memory; note a
+    * minFreq above 1 is a different corpus than [[bpeTrain]] sees,
+    * so equivalence holds at the default only).
+    *
+    * Algorithm, tie-break (count desc, then (l, r) lexicographic)
+    * and the greedy non-overlapping merge application are
+    * bit-identical to [[bpeTrain]] — BpeTrainHybridSpec pins
+    * row-for-row equality against it, and a from-scratch-recount
+    * differential pins the incremental bookkeeping at depth. Output
+    * schema identical: (step, lhs, rhs, merged, pair_count). */
+  def bpeTrainHybrid(docs: DataFrame, merges: Int,
+      textCol: String = "text", minWordLen: Int = 2, minFreq: Long = 1L,
+      maxWords: Int = BpeTrainMaxWords): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordRows = docs
+      .select(explode(tokens(col(textCol))).as("w0"))
+      .select(regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .where(length(col("w")) >= minWordLen)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minFreq)
+      .limit(maxWords + 1)
+      .collect()
+    require(wordRows.length <= maxWords,
+      s"bpeTrainHybrid: over $maxWords distinct words — raise minFreq " +
+        "to prune the long tail (freq-1 strings cannot win merges)")
+    val freqs = wordRows.map(_.getLong(1))
+    val syms: Array[Array[String]] =
+      wordRows.map(_.getString(0).map(_.toString).toArray)
+    val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+    val occ = new scala.collection.mutable.HashMap[(String, String),
+      scala.collection.mutable.BitSet]()
+    // max count first, then LEAST (l, r) — bpeTrain's ORDER BY c DESC, l, r
+    val pq = new scala.collection.mutable.PriorityQueue[
+      (Long, String, String)]()(new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else if (a._2 != b._2) b._2.compareTo(a._2)
+        else b._3.compareTo(a._3)
+      }
+    })
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      val f = freqs(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c <= 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          occ.getOrElseUpdate(p, new scala.collection.mutable.BitSet()) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { addPairs(i, 1L); i += 1 }
+    counts.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+    def applyMerge(s: Array[String], l: String, r: String): Array[String] = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+      var j = 0
+      while (j < s.length) {
+        if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+          out += l + r; j += 2
+        } else { out += s(j); j += 1 }
+      }
+      out.toArray
+    }
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      // lazy deletion: an entry is live iff its count snapshot is
+      // still the pair's current count (every change re-enqueues)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && pq.nonEmpty) {
+        val (c, l, r) = pq.dequeue()
+        if (counts.get((l, r)).contains(c)) top = Some((c, l, r))
+      }
+      top match {
+        case None => exhausted = true
+        case Some((c, l, r)) =>
+          out += ((step, l, r, l + r, c))
+          val touched = occ.remove((l, r))
+            .getOrElse(new scala.collection.mutable.BitSet())
+          val dirty = new scala.collection.mutable.HashSet[(String, String)]()
+          touched.foreach { w =>
+            val s = syms(w)
+            var j = 0
+            var has = false
+            while (!has && j + 1 < s.length) {
+              has = s(j) == l && s(j + 1) == r; j += 1
+            }
+            if (has) { // stale index entries skip
+              var k = 0
+              while (k + 1 < s.length) {
+                dirty += ((s(k), s(k + 1))); k += 1
+              }
+              addPairs(w, -1L)
+              syms(w) = applyMerge(s, l, r)
+              addPairs(w, 1L)
+              val ns = syms(w)
+              k = 0
+              while (k + 1 < ns.length) {
+                dirty += ((ns(k), ns(k + 1))); k += 1
+              }
+            }
+          }
+          counts.remove((l, r))
+          dirty.foreach { p =>
+            counts.get(p).foreach(c2 => pq.enqueue((c2, p._1, p._2)))
+          }
+          step += 1
+      }
+    }
+    out.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** [[bpeTrainHybrid]]'s driver-fold cap: 2M distinct words ≈ a few
+    * hundred MB of symbol arrays — past every production vocab run
+    * (sentencepiece defaults to ~1M sentences); raise `minFreq`
+    * before raising this. */
+  val BpeTrainMaxWords: Int = 1 << 21
+
   /** One BPE merge rule applied to a symbol array — greedy
     * left-to-right single pass, non-overlapping (the merged symbol
     * never re-merges with its left neighbor in the same pass). */
@@ -1480,6 +1626,79 @@ object TextAnalysis {
       .select(col(idCol), col("pos"),
         regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
       .where(length(col("w")) >= minWordLen)
+      .withColumn("pieces", bpeApply(col("w"), merges))
+    w.groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).as("n_pieces"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            array_join(col("pieces"), "|").as("seg")))),
+          s => s.getField("seg"))).as("segmented"))
+  }
+
+  /** Parse a GPT-2-style `merges.txt` (HF tokenizers' BPE export —
+    * the format a REAL trained tokenizer arrives in): one merge rule
+    * per line as `left right` (single space; symbols never contain a
+    * raw space — the byte-level alphabet maps it to 'Ġ'), `#…` header
+    * lines and blank lines skipped, file order = training order.
+    * Returns the same (l, r) list [[bpeEncode]]/[[byteBpeEncode]]
+    * consume, so a user can serve under the exact vocabulary their
+    * training run uses instead of a corpus-trained approximation.
+    * Read through Hadoop FS (works for local/DFS paths alike); merge
+    * tables are KB–MB driver constants like every tokenizer artifact
+    * here. */
+  def gpt2MergesRead(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val txt = spark.sparkContext.wholeTextFiles(path).collect()
+      .sortBy(_._1).map(_._2).mkString("\n")
+    txt.split("\n", -1).iterator
+      .map(_.stripSuffix("\r"))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val parts = l.split(" ", -1)
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"gpt2MergesRead: malformed merge line '$l' — expected " +
+            "'left right' (single space)")
+        (parts(0), parts(1))
+      }.toSeq
+  }
+
+  /** GPT-2's byte→unicode alphabet map as a column (see
+    * [[graft.functions.expressions.ByteLevelChars]]): the string's
+    * UTF-8 bytes each become one printable char (space → 'Ġ'), so
+    * byte-level merge rules are plain strings and ANY unicode text
+    * tokenizes over a closed 256-symbol alphabet. */
+  def byteLevelChars(c: Column): Column =
+    org.apache.spark.sql.graft.CatalystBridge.byteLevelChars(c)
+
+  /** Byte-level BPE corpus encoding — [[bpeEncode]] under the
+    * alphabet a production LLM tokenizer actually uses: pre-tokens
+    * are the whitespace-split words with their LEADING SPACE kept
+    * (every pre-token after the first re-attaches ' ', which the byte
+    * map turns into the 'Ġ' word-boundary marker — the GPT-2
+    * convention), each pre-token's UTF-8 bytes map through
+    * [[byteLevelChars]], and the loaded merge list applies in one
+    * native [[graft.functions.expressions.BpeApplyAll]] scan.
+    * Documented simplification vs the full GPT-2 pre-tokenizer: no
+    * contraction/category splitting and space RUNS collapse (empty
+    * split tokens drop) — the repo's whitespace word model, kept so
+    * the DuckDB oracle replays the walk exactly (the full regex needs
+    * lookahead RE2 lacks); token budgets on natural text are
+    * unaffected, and the merge WALK itself is bit-faithful.
+    *
+    * No case folding, no alphabet restriction — bytes are bytes
+    * (a real tokenizer is case-sensitive; callers wanting the
+    * engine's cleaned domain clean the column first). Output:
+    * (idCol, n_words, n_pieces, segmented), docs with no retained
+    * pre-token absent — [[bpeEncode]]'s contract. */
+  def byteBpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w0")))
+      .where(length(col("w0")) >= 1)
+      .select(col(idCol), col("pos"),
+        byteLevelChars(when(col("pos") === 0, col("w0"))
+          .otherwise(concat(lit(" "), col("w0")))).as("w"))
       .withColumn("pieces", bpeApply(col("w"), merges))
     w.groupBy(idCol)
       .agg(count(lit(1)).as("n_words"),

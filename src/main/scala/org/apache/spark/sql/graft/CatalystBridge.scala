@@ -82,6 +82,12 @@ object CatalystBridge {
     ExpressionUtils.column(graft.functions.expressions.DeflateLen(
       ExpressionUtils.expression(c), level))
 
+  /** GPT-2 byte→unicode alphabet map (see
+    * [[graft.functions.expressions.ByteLevelChars]]). */
+  def byteLevelChars(c: Column): Column =
+    ExpressionUtils.column(graft.functions.expressions.ByteLevelChars(
+      ExpressionUtils.expression(c)))
+
   /** Native order-preserving radix cell prefix of a double (see
     * [[graft.functions.expressions.RadixPrefix]]). */
   def radixPrefix(d: Column, bits: Int): Column =
