@@ -254,8 +254,7 @@ object Dedup {
     val ordC = dfOrderedArrays(corpusSh, dict, id)
       .localCheckpoint(false) // feeds postings, verify AND the roster
     val shB = shingles(benchmark, id, textCol, w)
-    val ordB = dfOrderedArrays(shB,
-      dict.unionByName(unseenDict(shB, dict)), id)
+    val ordB = dfOrderedArraysFrozen(shB, dict, id)
       .localCheckpoint(false) // feeds prefixes AND verify
     decontaminateNearFrom(ordC, ordB, id, threshold)
   }
@@ -277,8 +276,7 @@ object Dedup {
     val dict = jaccardIndexDict(spark, indexPath, w,
       "decontaminateNearIndexed")
     val shB = shingles(benchmark, id, textCol, w)
-    val ordB = dfOrderedArrays(shB,
-      dict.unionByName(unseenDict(shB, dict)), id)
+    val ordB = dfOrderedArraysFrozen(shB, dict, id)
       .localCheckpoint(false) // feeds prefixes AND verify
     decontaminateNearFrom(ordC, ordB, id, threshold)
   }
@@ -880,6 +878,48 @@ object Dedup {
         (lit(-1L) - monotonically_increasing_id()).as("sid"))
       .localCheckpoint(false)
 
+  /** [[dfOrderedArrays]] for a batch served against a FROZEN
+    * dictionary — the r16 watch item's verified-bijection hash-id
+    * assignment (SCALE.md r17): unseen shingles take df 0 and a HASH
+    * id (xxhash64 with the sign bit forced on — stored ids are
+    * `monotonically_increasing_id`/append-numbered, ≥ 0, so the id
+    * ranges are disjoint by construction) via ONE left join,
+    * replacing the [[unseenDict]] anti-join + global numbering +
+    * checkpoint + dict union, which shuffled the stored dict an extra
+    * time per serve (~2.6 s of the half-corpus sf10-zipf row) and
+    * serialized two more driver jobs. The hash is deterministic, so
+    * unlike the numbered path nothing needs checkpointing to keep two
+    * batch docs' shared unseen shingle on one id.
+    *
+    * Exactness: the sid must stay a BIJECTION over shingles or verify
+    * counts drift, so one narrow pre-pass groups the batch vocabulary
+    * by hash (map-side combined to distinct hashes) and trips on any
+    * hash owning two shingles — probability ~n²/2⁶⁴, i.e. never, but
+    * when it does trip the serve FALLS BACK to the numbered path,
+    * bit-identical output either way (ids play no ordering role; the
+    * array order is (df, shingle) in both forms). */
+  private def dfOrderedArraysFrozen(sh: DataFrame, dict: DataFrame,
+      id: String): DataFrame = {
+    val collision = sh.groupBy(xxhash64(col("shingle")).as("h"))
+      .agg(min(col("shingle")).as("lo"), max(col("shingle")).as("hi"))
+      .where(col("lo") =!= col("hi")).limit(1).count() > 0
+    if (collision)
+      dfOrderedArrays(sh, dict.unionByName(unseenDict(sh, dict)), id)
+    else
+      sh.join(dict, Seq("shingle"), "left")
+        .select(col(id), col("shingle"),
+          coalesce(col("df"), lit(0L)).as("df"),
+          coalesce(col("sid"), xxhash64(col("shingle"))
+            .bitwiseOR(lit(Long.MinValue))).as("sid"))
+        .groupBy(col(id))
+        .agg(array_sort(collect_list(
+          struct(col("df"), col("shingle"), col("sid")))).as("ord"))
+        .select(col(id),
+          expr("transform(ord, x -> x.sid)").as("sharr"),
+          expr("transform(ord, x -> x.df)").as("dfarr"),
+          size(col("ord")).cast("long").as("sz"))
+  }
+
   /** (id, sz, shingle) prefix posting rows: the first
     * sz − ⌈tn·sz/1000⌉ + 1 elements of each ordered array — the only
     * shingles a doc posts as join keys. */
@@ -1117,8 +1157,7 @@ object Dedup {
         batchPrunedDict(shB, dict0)
       else dict0
     // lazy checkpoint: batch arrays feed the prefix explode AND verify
-    val orderedB = dfOrderedArrays(shB,
-      dict.unionByName(unseenDict(shB, dict)), id)
+    val orderedB = dfOrderedArraysFrozen(shB, dict, id)
       .localCheckpoint(false)
     val preB = prefixRows(orderedB, id, tn)
     val l = prefixRows(corpus, id, tn).unionByName(preB)
@@ -1182,8 +1221,7 @@ object Dedup {
         batchPrunedDict(shB, dict0)
       else dict0
     // lazy checkpoint: batch arrays feed prefixes, postings AND verify
-    val orderedB = dfOrderedArrays(shB,
-      dict.unionByName(unseenDict(shB, dict)), id)
+    val orderedB = dfOrderedArraysFrozen(shB, dict, id)
       .localCheckpoint(false)
     def pre(src: DataFrame) = prefixRows(src, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
