@@ -43,7 +43,11 @@ object ScdStream {
   def latestPerKeyStateful(df: DataFrame, key: String, ts: String): DataFrame = {
     val enc = Encoders.row(df.schema)
     val tsIdx = df.schema.fieldIndex(ts)
-    df.groupByKey(r => String.valueOf(r.getAs[Any](key)))(Encoders.STRING)
+    // NULL-ts rows can never be "latest" and getLong would NPE the
+    // state function (r17 stream sweep find); the batch twin's max_by
+    // skips NULL ordering keys the same way
+    df.where(col(ts).isNotNull)
+      .groupByKey(r => String.valueOf(r.getAs[Any](key)))(Encoders.STRING)
       .mapGroupsWithState[Row, Row](GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Row]) =>
           val newest = (state.getOption.iterator ++ rows)
@@ -77,9 +81,12 @@ object ScdStream {
     * sub-ms digits are zero), vs the batch operator's full micros —
     * a documented divergence. Scale: one
     * hash shuffle on the key; state is ONE open session per key;
-    * late events beyond `watermarkDelay` are dropped by the watermark
-    * (the documented streaming/batch divergence — batch replays would
-    * include them). */
+    * late events AT or below the current watermark are dropped (the
+    * boundary is exclusive-keep: an event whose time EQUALS the
+    * watermark is already late — pinned by the r17 stream sweep) —
+    * the documented streaming/batch divergence; batch replays would
+    * include them. NULL event times are dropped, not crashed on
+    * (the r16 null-has-no-position contract). */
   def sessionizeStream(df: DataFrame, key: String, tsCol: String,
       gapSeconds: Long, watermarkDelay: String): DataFrame = {
     import df.sparkSession.implicits._
@@ -89,6 +96,11 @@ object ScdStream {
     val typed = df
       .select(col(key).cast("long").as("__k"),
         col(tsCol).cast("timestamp").as("__t"))
+      // a NULL event time has no position on the time axis (the r16
+      // batch contract, streaming face): without this filter the row
+      // sails past the watermark (NULL < wm is not TRUE) and NPEs the
+      // state function — found by the r17 stream sweep corpus
+      .where(col("__t").isNotNull)
       .withWatermark("__t", watermarkDelay)
       .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)

@@ -249,6 +249,51 @@ object AdvCorpus {
     (9L, "boundary", 9, -100.0, "BUILDING"),
     (10L, "line\nbreak name", 10, 5.5, "AUTOMOBILE"))
 
+  /** STREAMING corpus (r17): feed-scheduled rows for replaying
+    * watermark-edge / late-row / restart semantics against batch
+    * twins. `sec` is the event time in epoch seconds (NULL = the
+    * no-position-on-the-time-axis hazard); `feed` is the micro-batch
+    * the row arrives in (the sweep feeds them through a MemoryStream
+    * in feed order with processAllAvailable barriers). The clock user
+    * 9 advances the watermark deterministically: with delay 10 s the
+    * watermark after feed 1 is 1990, after feed 2 is 2990.
+    * (event_id, sec, user_id, feed). */
+  val streamDocs: Seq[(Long, Any, Long, Int)] = Seq(
+    // feed 1 — u1 opens a session; u9 drives the clock to 2000
+    (0L, 1000L, 1L, 1),
+    (1L, 1030L, 1L, 1),
+    (2L, 2000L, 9L, 1),
+    // feed 2 (watermark 1990) — u1's 1040 is LATE beyond the
+    // watermark; u2's 1990 sits EXACTLY at it; u2's 1995 is within;
+    // u9 drives to 3000
+    (3L, 1040L, 1L, 2),
+    (4L, 1990L, 2L, 2),
+    (5L, 1995L, 2L, 2),
+    (6L, 3000L, 9L, 2),
+    // feed 3 (watermark 2990) — u2's 2985 late again; u3 carries
+    // duplicate timestamps (tie surface); a NULL event time rides
+    // along (must be dropped, not crash the query — the r16
+    // null-has-no-position contract, streaming face); u9 to 4000
+    (7L, 2985L, 2L, 3),
+    (8L, 3100L, 3L, 3),
+    (9L, 3100L, 3L, 3),
+    (10L, null, 4L, 3),
+    (11L, 4000L, 9L, 3))
+
+  /** LAYOUT corpus (r17): a multi-file table with per-file key ranges
+    * engineered for zone-map staleness / unindexed / missing-file /
+    * NULL-stats / non-finite-stats hazards. Four files under
+    * `layout_table/`: f0 k∈[0,9], f1 k∈[100,109], f2 all-NULL k,
+    * f3 k∈[200,209] with NaN/±0.0/+Inf in the x column. The sweep
+    * perturbs copies (in-place rewrite, append, delete) and pins the
+    * verify/refresh/heal lifecycle. */
+  def layoutFiles: Seq[(String, Seq[(Any, Double, String)])] = Seq(
+    "f0.parquet" -> (0L to 9L).map(k => (k: Any, k * 1.0, s"r$k")),
+    "f1.parquet" -> (100L to 109L).map(k => (k: Any, 50.0 + k, s"r$k")),
+    "f2.parquet" -> (0 until 5).map(i => (null: Any, 7.5 + i, s"n$i")),
+    "f3.parquet" -> ((200L to 207L).map(k => (k: Any, k * 2.0, s"r$k")) ++
+      Seq((208L: Any, Double.NaN, "nan"), (209L: Any, -0.0, "negz"))))
+
   /** Canonical, order-insensitive md5 of a bounded result — the pin
     * format the sweep specs assert. Sound only for the sweep corpora's
     * few-row outputs (collect() is driver-side by design here). */
@@ -297,12 +342,38 @@ object AdvCorpus {
       writeOne(ev, outDir, "events.parquet")
       return
     }
+    if (which == "stream") {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("sec", LongType),
+        StructField("user_id", LongType), StructField("feed", IntegerType)))
+      val rows = streamDocs.map { case (id, sc, u, f) => Row(id, sc, u, f) }
+      writeOne(spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema),
+        outDir, "stream_events.parquet")
+      return
+    }
+    if (which == "layout") {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.Row
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("x", DoubleType),
+        StructField("s", StringType)))
+      for ((name, rows) <- layoutFiles)
+        writeOne(spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (k, x, s) => Row(k, x, s) }, 1), schema),
+          s"$outDir/layout_table", name)
+      return
+    }
     val docs = (which match {
       case "pii"   => piiDocs
       case "dedup" => dedupDocs
       case "tok"   => tokDocs
       case other =>
-        sys.error(s"unknown corpus '$other' (pii|dedup|tok|events|cust)")
+        sys.error(s"unknown corpus '$other' " +
+          "(pii|dedup|tok|events|cust|stream|layout)")
     }).toDF("doc_id", "lang", "text")
       .withColumn("source", concat(lit("src"), (col("doc_id") % 20)))
       .withColumn("n_chars", length(col("text")).cast("long"))

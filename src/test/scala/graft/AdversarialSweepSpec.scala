@@ -503,4 +503,258 @@ class AdversarialSweepSpec extends SparkSpec {
         s"$name diverged from its DuckDB-verified pin — re-run " +
           "tools/oracle_check.py on the dedup corpus before re-minting")
     }
+
+  // ---- stream corpus (r17): watermark-edge / late-row / restart
+  // semantics replayed against batch twins. First contact found TWO
+  // real hazards: a NULL event time CRASHED sessionizeStream and
+  // latestPerKeyStateful (NPE inside the state function — both now
+  // filter, matching the r16 null-has-no-position batch contract),
+  // and an event timestamped EXACTLY at the watermark is already
+  // late (the boundary is drop-inclusive) — now documented. --------
+
+  private lazy val streamDir = corpusDir("stream")
+
+  /** corpus rows as (event_id, Option[sec], user_id) per feed. */
+  private def feeds: Map[Int, Seq[(Long, Option[Long], Long)]] =
+    spark.read.parquet(s"$streamDir/stream_events.parquet").collect()
+      .map(r => (r.getInt(3), (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sortBy(_._1)).toMap
+
+  private def tOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  /** The batch twin over a chosen row subset, as comparable tuples. */
+  private def batchSessions(
+      rows: Seq[(Long, Option[Long], Long)]): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val df = rows.map { case (id, sec, u) =>
+      (id, sec.map(tOf).orNull, u) }.toDF("event_id", "ts", "user_id")
+    graft.operators.Sessionize.sessions(df, gapSeconds = 60)
+      .where(col("user_id") =!= 9L)
+      .select("user_id", "start_us", "end_us", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+        r.getLong(2) / 1000000L, r.getLong(3))).toSet
+  }
+
+  /** Run sessionizeStream over the corpus feeds (plus two clock
+    * batches that flush every open session), optionally stopping and
+    * restarting from the checkpoint between feeds 2 and 3. */
+  private def streamSessions(name: String,
+      restart: Boolean): Set[(Long, Long, Long, Long)] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"sweepck-$name").toString
+    // parquet sink, not memory: the memory sink cannot recover from a
+    // checkpoint, and the restart leg is the point of this harness
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"sweepout-$name").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Option[java.sql.Timestamp])]
+    def start() = graft.streaming.ScdStream.sessionizeStream(
+        ms.toDF().toDF("user_id", "ts"), "user_id", "ts",
+        gapSeconds = 60, watermarkDelay = "10 seconds")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    def add(fd: Int): Unit =
+      ms.addData(feeds(fd).map { case (_, sec, u) => (u, sec.map(tOf)) })
+    var q = start()
+    try {
+      add(1); q.processAllAvailable()
+      add(2); q.processAllAvailable()
+      if (restart) { q.stop(); q = start() }
+      add(3); q.processAllAvailable()
+      // clock batches: advance the watermark past every flush deadline
+      ms.addData(Seq((9L, Some(tOf(5000))))); q.processAllAvailable()
+      ms.addData(Seq((9L, Some(tOf(6000))))); q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(outDir).where(col("user_id") =!= 9L).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000000L,
+        r.getLong(2) / 1000000L, r.getLong(3))).toSet
+  }
+
+  test("stream sweep: watermark edges vs the batch twin — late AND at-watermark rows drop, nulls don't crash") {
+    val got = streamSessions("sweep_sess", restart = false)
+    // the pinned drop set: 3 (late beyond), 4 (EXACTLY at the
+    // watermark — the boundary is drop-inclusive), 7 (late), 10 (null)
+    val dropped = Set(3L, 4L, 7L, 10L)
+    val kept = feeds.values.flatten.toSeq.filterNot(r => dropped(r._1))
+    assert(got == batchSessions(kept),
+      s"stream != batch-twin-minus-drops: $got")
+    // and the drops MATTER: the full batch replay differs exactly by
+    // the late extensions (u1 absorbs 1040; u2 starts at 1990 and
+    // gains a 2985 singleton) — the documented divergence
+    val full = batchSessions(feeds.values.flatten.toSeq)
+    assert(full != got)
+    assert(full == Set((1L, 1000L, 1040L, 3L), (2L, 1990L, 1995L, 2L),
+      (2L, 2985L, 2985L, 1L), (3L, 3100L, 3100L, 2L)), full.toString)
+  }
+
+  test("stream sweep: restart from checkpoint mid-corpus equals the uninterrupted run") {
+    val uninterrupted = streamSessions("sweep_sess_a", restart = false)
+    val restarted = streamSessions("sweep_sess_b", restart = true)
+    assert(restarted == uninterrupted,
+      s"restart diverged: $restarted vs $uninterrupted")
+  }
+
+  test("stream sweep: latestPerKeyStateful drops null-ts rows instead of crashing; agrees with the batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.lang.Long, String)]
+    val out = graft.streaming.ScdStream.latestPerKeyStateful(
+      ms.toDF().toDF("k", "ts", "v"), "k", "ts")
+    val q = out.writeStream.format("memory").queryName("sweep_latest")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, 10L, "a"), (1L, null, "null-ts"), (2L, 5L, "b"))
+      q.processAllAvailable()
+      ms.addData((1L, 10L, "tie"), (2L, null, "null-again"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sweep_latest").groupBy("k")
+      .agg(max_by(col("v"), col("ts")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch twin (max_by skips NULL ordering keys); the ts=10 tie is
+    // last-write-wins in the stateful form (maxBy keeps the FIRST max
+    // — state arrived before the tie, so "a" survives)
+    assert(got(2L) == "b" && Set("a", "tie")(got(1L)), got.toString)
+  }
+
+  // ---- layout corpus (r17): zone-map staleness / unindexed /
+  // missing-file / NULL- and non-finite-stats hazards, and the
+  // verify -> refresh/append heal lifecycle ------------------------
+
+  import graft.operators.Layout
+
+  /** A fresh mutable copy of the corpus table (the sweep perturbs
+    * files in place). */
+  private def layoutCopy(): String = {
+    val src = corpusDir("layout")
+    s"$src/layout_table"
+  }
+
+  private def man(path: String) = spark.read.parquet(path)
+
+  private def fullScan(dir: String, residual: org.apache.spark.sql.Column) =
+    spark.read.parquet(dir).where(residual).collect()
+      .map(_.getString(2)).toSet
+
+  private def statuses(dir: String, mp: String): Map[String, String] =
+    Layout.zoneMapVerify(spark, dir, Seq("k"), mp).collect()
+      .map(r => (r.getString(0).split('/').last, r.getString(1))).toMap
+
+  test("layout sweep: NULL-stats and non-finite-stats files are never wrongly skipped") {
+    val dir = layoutCopy()
+    val mp = s"$dir/../zm"
+    Layout.zoneMapWrite(spark, dir, Seq("k", "x"), mp)
+    // k-range query: the all-NULL-k file is skipped SOUNDLY — not by
+    // a NULL comparison (which proves nothing) but by the explicit
+    // nulls = rows term (no non-null value exists to match a range);
+    // the result still equals the full scan because NULL k cannot
+    // pass the residual either
+    val keepK = Layout.rangeKeep("k", lit(0L), lit(9L))
+    val files = Layout.prunedFiles(man(mp), keepK)
+    assert(files.exists(_.endsWith("f0.parquet")), files.toString)
+    assert(!files.exists(_.endsWith("f2.parquet")), files.toString)
+    assert(!files.exists(_.endsWith("f1.parquet")), files.toString)
+    val resK = col("k").between(0L, 9L)
+    assert(Layout.skipScan(spark, dir, man(mp), keepK, resK)
+      .collect().map(_.getString(2)).toSet == fullScan(dir, resK))
+    // an IS NULL probe keeps EXACTLY the null-bearing file
+    val nf = Layout.prunedFiles(man(mp), Layout.nullKeep("k"))
+    assert(nf.length == 1 && nf.head.endsWith("f2.parquet"), nf.toString)
+    // x-range query over the NaN/-0.0 file: result == full scan
+    val res = col("x") >= 0.0 && col("x") <= 20.0
+    val got = Layout.skipScan(spark, dir, man(mp),
+      Layout.rangeKeep("x", lit(0.0), lit(20.0)), res)
+      .collect().map(_.getString(2)).toSet
+    assert(got == fullScan(dir, res), got.toString)
+  }
+
+  test("layout sweep: in-place rewrite -> stale row detected, skipScan hazard is real, refresh heals") {
+    val dir = layoutCopy()
+    val mp = s"$dir/../zm2"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), mp)
+    // rewrite f1 IN PLACE with keys far outside its recorded range
+    import spark.implicits._
+    val tmp = s"$dir/../_rw"
+    (500L to 509L).map(k => (k, k * 1.0, s"w$k")).toDF("k", "x", "s")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "f1.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // verify pinpoints EXACTLY the rewritten file
+    val st = statuses(dir, mp)
+    assert(st("f1.parquet") == "stale" &&
+      st.filterKeys(_ != "f1.parquet").values.forall(_ == "ok"), st.toString)
+    // the documented hazard: a stale manifest WRONGLY SKIPS the
+    // rewritten file (this is WHY verify exists)
+    val res = col("k") === 505L
+    val stale = Layout.skipScan(spark, dir, man(mp),
+      Layout.rangeKeep("k", lit(505L), lit(505L)), res)
+    assert(stale.count() == 0 && fullScan(dir, res) == Set("w505"))
+    // refresh does NOT heal stale rows — it diffs PATHS, and the
+    // rewritten file's path is unchanged (the pinned contract: verify
+    // detects, REBUILD heals; refresh is for add/remove only)
+    Layout.zoneMapRefresh(spark, dir, mp)
+    assert(statuses(dir, mp)("f1.parquet") == "stale")
+    Layout.zoneMapWrite(spark, dir, Seq("k"), mp)
+    val healed = Layout.skipScan(spark, dir, man(mp),
+      Layout.rangeKeep("k", lit(505L), lit(505L)), res)
+      .collect().map(_.getString(2)).toSet
+    assert(healed == Set("w505"), healed.toString)
+  }
+
+  test("layout sweep: unindexed and missing files — detected, invisible-or-loud, then healed") {
+    val dir = layoutCopy()
+    val mp = s"$dir/../zm3"
+    Layout.zoneMapWrite(spark, dir, Seq("k"), mp)
+    // an ingest lands WITHOUT zoneMapAppend: invisible to skip scans
+    import spark.implicits._
+    val tmp = s"$dir/../_new"
+    (300L to 309L).map(k => (k, k * 1.0, s"v$k")).toDF("k", "x", "s")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(dir, "f4.parquet"))
+    assert(statuses(dir, mp)("f4.parquet") == "unindexed")
+    val res = col("k").between(300L, 309L)
+    assert(Layout.skipScan(spark, dir, man(mp),
+      Layout.rangeKeep("k", lit(300L), lit(309L)), res).count() == 0)
+    Layout.zoneMapAppend(spark, dir, Seq("k"), mp)
+    assert(Layout.skipScan(spark, dir, man(mp),
+      Layout.rangeKeep("k", lit(300L), lit(309L)), res).count() == 10)
+    // a file deleted without refresh: verify says missing; the skip
+    // scan that selects it fails LOUD (never silently empty)
+    assert(new java.io.File(dir, "f0.parquet").delete())
+    assert(statuses(dir, mp)("f0.parquet") == "missing")
+    intercept[Exception] {
+      Layout.skipScan(spark, dir, man(mp),
+        Layout.rangeKeep("k", lit(0L), lit(9L)),
+        col("k").between(0L, 9L)).count()
+    }
+    Layout.zoneMapRefresh(spark, dir, mp)
+    assert(!statuses(dir, mp).contains("f0.parquet"))
+  }
+
+  test("layout sweep: optimize is re-runnable — a second (racing-loser) run neither duplicates nor drops rows") {
+    val dir = layoutCopy()
+    val rows0 = spark.read.parquet(dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+      .sorted.toSeq
+    Layout.optimize(spark, dir, Seq(col("k")), targetBytes = 1L << 20)
+    val rows1 = spark.read.parquet(dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+      .sorted.toSeq
+    assert(rows1 == rows0, "first optimize changed the data")
+    Layout.optimize(spark, dir, Seq(col("k")), targetBytes = 1L << 20)
+    val rows2 = spark.read.parquet(dir).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(2)))
+      .sorted.toSeq
+    assert(rows2 == rows0, "second optimize changed the data")
+  }
 }
