@@ -19,9 +19,14 @@ import org.apache.spark.sql.types._
   *
   * Domain notes shared by all: the valid domain is the one the
   * builders construct (dense size-checked codebooks/grids, codes in
-  * [0, k)); out-of-range lookups raise (the ANSI `element_at`
-  * behavior of the folds), NULL inputs/elements propagate exactly as
-  * the folds' three-valued logic did.
+  * [0, k)); out-of-range lookups DELIBERATELY fail loud
+  * (ArrayIndexOutOfBounds) where the replaced folds' `element_at`
+  * returned NULL under this repo's non-ANSI sessions — a corrupted
+  * codes artifact should kill the job, not silently NULL-propagate
+  * into a wrong top-k (ADVICE r16: in-domain results are pinned
+  * identical; only the out-of-domain failure MODE differs, by
+  * choice). NULL inputs/elements propagate exactly as the folds'
+  * three-valued logic did.
   */
 
 /** `Σ_s dt[s][codes[s]]` — the PQ asymmetric-distance (ADC) sum:

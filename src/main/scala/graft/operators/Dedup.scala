@@ -1142,7 +1142,6 @@ object Dedup {
     val tn = tnOf(threshold)
     val corpus = jaccardIndexDocs(spark, indexPath,
       "jaccardJoinIncremental")
-    val shB = shingles(batchDocs, id, textCol, w)
     // the stored dict pruned to the batch vocabulary (r16 — exact;
     // see batchPrunedDict): in the nightly regime (batch ≪ corpus)
     // the ordering join and the unseen anti-join exchange
@@ -1150,12 +1149,23 @@ object Dedup {
     // counts (two cheap jobs): a batch comparable to the corpus has
     // corpus-scale vocabulary, where the prune cannot shrink the dict
     // and its O(batch) sizing passes are pure loss.
+    // In the PRUNE regime the batch shingles are checkpointed ONCE
+    // (ADVICE r16): the bloom fold, the bijection check and the
+    // ordering join must see the same rows, or a non-deterministic
+    // batch source (a sample(), a fresh read of a moving dir) makes
+    // the driver-folded bloom silently drop dict rows. Outside that
+    // regime no bloom exists, the batch is corpus-sized and the
+    // checkpoint measured ~5 s pure loss at sf10-zipf, so the
+    // subtree recomputes as before (the residual nondeterminism
+    // exposure there — bijection check vs join — is no worse than
+    // the numbered path's unseen-vs-join exposure was).
     val dict0 = jaccardIndexDict(spark, indexPath, w,
       "jaccardJoinIncremental")
-    val dict =
-      if (batchDocs.count() * SmallBatchFactor <= corpus.count())
-        batchPrunedDict(shB, dict0)
-      else dict0
+    val nightly = batchDocs.count() * SmallBatchFactor <= corpus.count()
+    val shB =
+      if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint(false)
+      else shingles(batchDocs, id, textCol, w)
+    val dict = if (nightly) batchPrunedDict(shB, dict0) else dict0
     // lazy checkpoint: batch arrays feed the prefix explode AND verify
     val orderedB = dfOrderedArraysFrozen(shB, dict, id)
       .localCheckpoint(false)
@@ -1210,16 +1220,17 @@ object Dedup {
     val tn = tnOf(threshold)
     val corpus = jaccardIndexDocs(spark, indexPath,
       "containmentJoinIncremental")
-    val shB = shingles(batchDocs, id, textCol, w)
-    // the stored dict pruned to the batch vocabulary (r16 — exact;
-    // see batchPrunedDict), gated on doc counts exactly as in
+    // the stored dict pruned to the batch vocabulary (r16 — exact),
+    // with the batch shingles checkpointed once IN the prune regime
+    // (ADVICE r16) — gating and rationale exactly as in
     // [[jaccardJoinIncremental]]
     val dict0 = jaccardIndexDict(spark, indexPath, w,
       "containmentJoinIncremental")
-    val dict =
-      if (batchDocs.count() * SmallBatchFactor <= corpus.count())
-        batchPrunedDict(shB, dict0)
-      else dict0
+    val nightly = batchDocs.count() * SmallBatchFactor <= corpus.count()
+    val shB =
+      if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint(false)
+      else shingles(batchDocs, id, textCol, w)
+    val dict = if (nightly) batchPrunedDict(shB, dict0) else dict0
     // lazy checkpoint: batch arrays feed prefixes, postings AND verify
     val orderedB = dfOrderedArraysFrozen(shB, dict, id)
       .localCheckpoint(false)
@@ -1684,7 +1695,14 @@ object Dedup {
     // append-first bootstrap (ADVICE r15): an absent path means there
     // is nothing to validate against — create the artifact exactly as
     // signatureIndexWrite would (stamped with the build params), so
-    // append-only pipelines need no separate first-write branch
+    // append-only pipelines need no separate first-write branch.
+    // SINGLE-WRITER contract (ADVICE r16): the exists-then-bootstrap
+    // probe is not atomic — two concurrent FIRST appends can both see
+    // the path absent and the second's mode-overwrite write clobbers
+    // the first batch. Nightly index maintenance is one scheduled
+    // writer everywhere in this family (the same contract every
+    // *IndexWrite/Append artifact carries); concurrent appenders need
+    // an external lock or a rename-into-place protocol upstream.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hPath)) {
