@@ -33,8 +33,12 @@ object ScdReader {
   val ConfKeyGraft = "spark.graft.scd.time"
   val SidecarName = ".updates"
 
-  /** Session-conf scd.time: `spark.graft.scd.time` > `spark.scd.time`. */
-  private def confTime(spark: SparkSession): Option[String] =
+  /** Session-conf scd.time: `spark.graft.scd.time` > `spark.scd.time`.
+    * Package-visible: the V1/DSv2 fallback captures it at TABLE
+    * CONSTRUCTION so a conf set around `load()` is honored even if
+    * unset before the action fires (r17 sweep find — see
+    * [[graft.sources.ScdDataSource]]). */
+  private[graft] def confTime(spark: SparkSession): Option[String] =
     spark.conf.getOption(ConfKeyGraft).orElse(spark.conf.getOption(ConfKey))
 
   /** Read the as-of view of an SCD table directory.

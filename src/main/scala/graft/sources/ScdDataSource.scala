@@ -75,14 +75,17 @@ class ScdDataSource extends TableProvider with RelationProvider
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val p = ScdDataSource.params(new CaseInsensitiveStringMap(properties))
+    val p = ScdDataSource.capturedConfTime(
+      ScdDataSource.params(new CaseInsensitiveStringMap(properties)),
+      SparkSession.active)
     if (p.logFeed) ScdLogTable(p.path) else ScdTable(schema, p)
   }
 
   // ---- V1 surface (CREATE [TEMPORARY] VIEW/TABLE ... USING scd) ------
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val p = ScdDataSource.params(parameters)
+    val p = ScdDataSource.capturedConfTime(
+      ScdDataSource.params(parameters), sqlContext.sparkSession)
     if (p.logFeed)
       return ScdLogFeedRelation(sqlContext, p.path)
     val schema =
@@ -94,8 +97,10 @@ class ScdDataSource extends TableProvider with RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String],
       schema: StructType): BaseRelation =
-    ScdScanRelation(sqlContext, ScdDataSource.params(parameters), schema,
-      userSchema = Some(schema), filters = Array.empty)
+    ScdScanRelation(sqlContext,
+      ScdDataSource.capturedConfTime(ScdDataSource.params(parameters),
+        sqlContext.sparkSession),
+      schema, userSchema = Some(schema), filters = Array.empty)
 }
 
 object ScdDataSource {
@@ -111,6 +116,22 @@ object ScdDataSource {
       asOfSeq: Option[Long] = None)
 
   private val Reserved = Set("path", "paths", "format", "asof", "feed")
+
+  /** Bake a SET `scd.time` session conf into the params at TABLE /
+    * RELATION construction (r17 sweep find): the fallback paths
+    * otherwise resolve the conf inside `buildScan` — PHYSICAL
+    * planning, i.e. action time — while the native analyzer rewrite
+    * resolves it when the query ANALYZES. A conf set around `load()`
+    * and unset before the action was honored natively and silently
+    * ignored by the fallback: different ROWS by extension presence,
+    * breaking the fallback's "never wrong, just slower" contract.
+    * Only a PRESENT conf is captured — with no conf and no option the
+    * as-of stays None, so the now-fallback remains dynamic (each
+    * execution sees fresh "now", exactly like the native path). */
+  private[graft] def capturedConfTime(p: ScdParams,
+      spark: SparkSession): ScdParams =
+    if (p.asOf.isDefined || p.logFeed) p
+    else p.copy(asOf = graft.scd.ScdReader.confTime(spark))
 
   private[graft] def params(options: CaseInsensitiveStringMap): ScdParams = {
     import scala.jdk.CollectionConverters._

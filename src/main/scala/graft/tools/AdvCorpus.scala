@@ -298,11 +298,15 @@ object AdvCorpus {
     * format the sweep specs assert. Sound only for the sweep corpora's
     * few-row outputs (collect() is driver-side by design here). */
   def resultHash(df: DataFrame): String = {
+    // length-prefixed values (ADVICE r16: the \u0001 join was
+    // unescaped — a value CONTAINING the separator could make two
+    // different rows encode identically); the length prefix makes the
+    // encoding injective. Pins re-minted from DuckDB-verified outputs.
     val rows = df.collect().map(_.toSeq.map {
       case null => "NULL"
       case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
       case v => v.toString
-    }.mkString("")).sorted
+    }.map(v => s"${v.length}:$v").mkString("|")).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     rows.foreach(r => md.update((r + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString

@@ -117,18 +117,18 @@ class AdversarialSweepSpec extends SparkSpec {
   // ---- PII corpus: cross-engine pins ------------------------------
 
   private val piiPins = Map(
-    "q_pii_audit" -> "8849ee56fb1764b5608d6dd2e6fa3147",
-    "q_pii_audit_agg" -> "97f957d00a0dc051725b4b9e8ff18d0b",
-    "q_pii_sentences" -> "368fbbcc6397c889c9361a6c35e88d9c",
-    "q_pii_gate" -> "a1df4a6ecb58c8531c26740d8d2c23c0",
-    "text_sentences" -> "8dce1d2e05da5c86a29581989bc698a2",
-    "text_pii" -> "0cbe947a59e60ed6418fcbc11cb4aa97",
+    "q_pii_audit" -> "8dae8a500337b579c19b68a23440b05e",
+    "q_pii_audit_agg" -> "f11c608df13c68957aad42bec9dd0244",
+    "q_pii_sentences" -> "a4295c3d1715ec1c78a7ad9ee3f26b22",
+    "q_pii_gate" -> "0125a50c0ca9d67e6d63071d5c61951d",
+    "text_sentences" -> "7be6736c10744c02d1ade770cf35bb48",
+    "text_pii" -> "bab110d506d85c2867c106f4087abd7b",
     // r16 full-board sweep finds, pinned post-fix (the explicit
     // whitespace class: Java's \s includes \x0B, RE2's does not)
-    "q_token_counts" -> "271ab17998e8ea50e8aa05eadec4c4b8",
-    "q_tokenizer_fertility" -> "0b093afbe6715d589af15c840d4beccf",
-    "text_html_extract" -> "6fbc679c38ebced26e7f4e2c1fd39ff2",
-    "q_pack_bpe" -> "9b43520bd095cf2d1a4e7379ec3540fd")
+    "q_token_counts" -> "315cd626d9e4702bc24db75a5b05712d",
+    "q_tokenizer_fertility" -> "33ff14205685b20cf8eab7d8d897268f",
+    "text_html_extract" -> "fb3b02a201413d1d4b3f9431c208823e",
+    "q_pack_bpe" -> "38ec3935286656fe62b8ff81a5f52ac4")
 
   for ((name, pin) <- piiPins.toSeq.sortBy(_._1))
     test(s"pii sweep pin: $name") {
@@ -235,24 +235,24 @@ class AdversarialSweepSpec extends SparkSpec {
   // tools/oracle_check.py on /tmp/advev this round: 14/14 OK) --------
 
   private val evPins = Map(
-    "asof_join_events" -> "771d794d445183593dad7195eeb15d54",
-    "asof_join_fwd" -> "86feff9244523d60f69ac72a6a0a9ff5",
-    "asof_join_nearest" -> "771d794d445183593dad7195eeb15d54",
-    "asof_join_slim" -> "771d794d445183593dad7195eeb15d54",
-    "sessionize" -> "98e26686ca3771c4c12ed0cfd024023f",
-    "q_funnel" -> "27c4cf32f6778eb864a64f057a6baf91",
-    "q_event_gaps" -> "ede7c599a629e8f269e3f1c6425be59b",
-    "q_event_buckets" -> "e9c60da71f2631bcf3ada6efeb3d2cea",
-    "q_rate_anomaly" -> "de1a6451a04555e0785e7fce3aed7fb9",
-    "q_rate_acf" -> "eab18202df73485cde9dcae16c741458",
-    "q_resample_gaps" -> "c06406c2bd4ab8f1fe782acb9d35ef55",
-    "scd2_reconstruct" -> "5cffdae2c690fd9cb78ab613a7106426",
-    "scd2_snapshot" -> "808ad24580aeaed1b13ad156ac0553bc",
-    "q_json_props" -> "7268b681cea0f23a3e44d3c4ab90d5a1",
+    "asof_join_events" -> "7ca0926324a23d940d2684d7ffcd0cb4",
+    "asof_join_fwd" -> "72b8a26d9ce5365163f10644d79aee3e",
+    "asof_join_nearest" -> "7ca0926324a23d940d2684d7ffcd0cb4",
+    "asof_join_slim" -> "7ca0926324a23d940d2684d7ffcd0cb4",
+    "sessionize" -> "6a501860e4534d345a3fc3f9959a7618",
+    "q_funnel" -> "330a978835a2d1db92070b1604cd4487",
+    "q_event_gaps" -> "1235e8fa7544d81a8d96c2e38dea3371",
+    "q_event_buckets" -> "cfea8b8dd29b32b4b9410a01b9edd092",
+    "q_rate_anomaly" -> "710a39673bd84d97afdfdfcabfb051fd",
+    "q_rate_acf" -> "b0a2033c698251b3f5c8a36a5becffe7",
+    "q_resample_gaps" -> "e7688f68a242a4d775020f4b0572e83e",
+    "scd2_reconstruct" -> "7ec09cbcd001a156034c5a2a4dd695be",
+    "scd2_snapshot" -> "ab3112eec75463b38341ad50286acf16",
+    "q_json_props" -> "c619114c2cf48ba365ffafda04f2efcf",
     // r16 follow-up finds, pinned post-fix (seed ∩ nodes teleport
     // renormalization; non-finite values have no bin)
-    "q_graph_ppr" -> "9a08e88942ead703eaabbb57dc450c2b",
-    "q_histogram" -> "1966253b87b7eece2194bffd20662ba6")
+    "q_graph_ppr" -> "1118fb9b744fb51eb50045cf3ce106cf",
+    "q_histogram" -> "40caee3a9a34b3f0a186f94c4d84084e")
 
   for ((name, pin) <- evPins.toSeq.sortBy(_._1))
     test(s"events sweep pin: $name") {
@@ -332,33 +332,33 @@ class AdversarialSweepSpec extends SparkSpec {
   // as-of-PAST surfaces likewise) ------------------------------------
 
   private val custPins = Map(
-    "q_above_avg" -> "f3ae171efdbdeea123e9d89a6256ba51",
-    "q_ntile" -> "9b5f83ebc46b8ce8e72550f8b29fcfd9",
-    "q_profile" -> "79033c134d18aed65cc8c3fccda296f2",
-    "q_registrable_domain" -> "83f49d67bfecdaee33330b37592e794b",
-    "q_rollup" -> "3c9a5369ae58b26c82362c0d1f6e6b6e",
-    "q_string_agg" -> "7515a3f312be8798ec3d5b19ac1fa6bf",
-    "q_url_canonical" -> "10133fe911adbb36bc472431197b1d83",
-    "scd_asof_future" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_asof_now" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_asof_past" -> "fc7ee013de105601c396632608c06f6c",
-    "scd_catalog_travel" -> "fc7ee013de105601c396632608c06f6c",
-    "scd_cdc_stmt" -> "be861c48ba657ec36f15bc8d1f00522d",
-    "scd_compact" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_diff" -> "eebef70a1ec4756e76e8196ce0034e23",
-    "scd_disabled" -> "417a3fcb2bbd2bc88b8a671b1b301ce7",
-    "scd_history" -> "5c4873f3b6449199c295ec4d83eb3f11",
-    "scd_log_feed" -> "24b6e5405115ae900c8bd58e576aec16",
-    "scd_log_stats" -> "848e0a3fc1664bfc893b135be3f5df03",
-    "scd_merge_upsert" -> "f2f38e650b3035ea7c1268c57adfb648",
-    "scd_partitioned" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_sequential" -> "d6ecb91cc56319fd86d5bae9afcef894",
-    "scd_sidecar" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_sql_add_update" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_sql_conf" -> "fc7ee013de105601c396632608c06f6c",
-    "scd_sql_source" -> "1611825fac3b343cdfe633547a8566ae",
-    "scd_sql_view" -> "fc7ee013de105601c396632608c06f6c",
-    "text_normalize" -> "905009d0d85d04b68c371993a2b04f54")
+    "q_above_avg" -> "c226535dbd467495a07fd6d218f6d38a",
+    "q_ntile" -> "c98b12f46d365cd5a04b35b7d83a0573",
+    "q_profile" -> "8d35429ce98ccca4c6890e4bea0814fb",
+    "q_registrable_domain" -> "37318636d5e3318d765abb410c8c378c",
+    "q_rollup" -> "2fa400df8cf8344f51b6f2d589836f37",
+    "q_string_agg" -> "78401e7dbe17dd480f72ae2a4e79fe5a",
+    "q_url_canonical" -> "e8e47f0a08fea8cd7b0bb6c18a34affe",
+    "scd_asof_future" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_asof_now" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_asof_past" -> "44a2977d4e268ff66937447f850a3bb6",
+    "scd_catalog_travel" -> "44a2977d4e268ff66937447f850a3bb6",
+    "scd_cdc_stmt" -> "c57d220833c25917744971b9aeed1599",
+    "scd_compact" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_diff" -> "a465f600d24fc2d3f42ed50968ba5b96",
+    "scd_disabled" -> "3aba2133b024e22ca5dc63063eceab1c",
+    "scd_history" -> "96c323ec44f4cd0a5939d7f30dd7e72c",
+    "scd_log_feed" -> "2e34f2a3cbfe34a04e5e9f7fedad16af",
+    "scd_log_stats" -> "daa74283173740425abb8e863c9c7970",
+    "scd_merge_upsert" -> "dd257377ac5473eda833cd68e18824f9",
+    "scd_partitioned" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_sequential" -> "515e7b1c232b98a0079b5801bb9447e4",
+    "scd_sidecar" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_sql_add_update" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_sql_conf" -> "44a2977d4e268ff66937447f850a3bb6",
+    "scd_sql_source" -> "8c8fd786dde84b7488386ac65119ebf2",
+    "scd_sql_view" -> "44a2977d4e268ff66937447f850a3bb6",
+    "text_normalize" -> "4be838231fa09d73d3ef6e114798730e")
 
   for ((name, pin) <- custPins.toSeq.sortBy(_._1))
     test(s"cust sweep pin: $name") {
@@ -440,34 +440,34 @@ class AdversarialSweepSpec extends SparkSpec {
   // tools/oracle_check.py on /tmp/advtok this round: 14/14 OK) -------
 
   private val tokPins = Map(
-    "text_bpe_train" -> "b959835d365e9b10061ac68483bac1db",
-    "text_bpe_encode" -> "ce04f904f637b0e178bcf362f6c265ef",
-    "text_bpe_indexed" -> "ce04f904f637b0e178bcf362f6c265ef",
-    "text_wordpiece" -> "0bed3c1e9965729aacad39b965d14426",
-    "text_unigram_train" -> "caf1168f50d61b5533109555a9244e69",
-    "text_unigram_train2" -> "caf1168f50d61b5533109555a9244e69",
-    "text_unigram_train3" -> "0c76eb7892bd3b4517cdb44156172d1b",
-    "text_unigram_encode" -> "73e65c06b2eff1a96ff014645590b2ea",
-    "q_token_counts" -> "c54b1eb1bc5ea57575acd0d4af000b13",
-    "q_tokenizer_fertility" -> "7438dce8666c860322f29df8eea84293",
-    "text_vocab_oov" -> "8cb90c4bfb1d196fe8114b380339feab",
-    "text_perplexity" -> "469aa5d89b9c8502881235500c3a6018",
-    "text_perplexity_bigram" -> "1728cfc6d9f29a95042f237211bc9a12",
-    "text_perplexity_kn" -> "276d8e0211a3e9bf82cf0c4ece9740d5",
+    "text_bpe_train" -> "c45ecd577854b84b8315f7de89c07191",
+    "text_bpe_encode" -> "612e8ac2e60fc989794be3adb4acee61",
+    "text_bpe_indexed" -> "612e8ac2e60fc989794be3adb4acee61",
+    "text_wordpiece" -> "725c3c7f172be1b948bafa4b56728e2e",
+    "text_unigram_train" -> "d2985b39f5bffacfa14befed239f1247",
+    "text_unigram_train2" -> "d2985b39f5bffacfa14befed239f1247",
+    "text_unigram_train3" -> "aebd253d4504bfb4c89f12af6f30fdf9",
+    "text_unigram_encode" -> "2058b0afc56ff6c2f921c2099df4fc5f",
+    "q_token_counts" -> "597493b4096d75871552694a8e1e6854",
+    "q_tokenizer_fertility" -> "0971937b1d3cd1ad5bb4e9986b3e0fa8",
+    "text_vocab_oov" -> "f5eef8b85dfa6d94f5c824d6626a6bbf",
+    "text_perplexity" -> "ff19cff5438a920ba53e9147526c102e",
+    "text_perplexity_bigram" -> "930344a1a641cc42e7fac7b61c7267ef",
+    "text_perplexity_kn" -> "80157315ed8bceaf752a85ceaa7f85b6",
     // r16 full-board sweep finds, pinned post-fix (NULL-doc langid
     // argmax, null-doc chunks, null n_stop_hits, zero-mass strata,
     // null-label training exclusion, embed doc grid, the binned gates
     // downstream of the classifier prior)
-    "text_langid" -> "888546f9e27ca7132f836b3570779094",
-    "q_chunk_text" -> "6ff1523e42c7b6b494c22c67a2562c65",
-    "q_chunk_sliding" -> "3249871d7204963f9569eb3169956423",
-    "text_gopher_rules" -> "4e9b16da581416ae7bdb925ac7079382",
-    "q_source_gini" -> "f18520decf781f342fd40db4912f8b24",
-    "q_source_pareto" -> "06064e1a2e781fee47011052c75f5f2c",
-    "text_classify" -> "7e7922b7188ecdddd3d92f3f9d5ac7a2",
-    "text_embed" -> "a2e7c79f1e25bd9735ed290f0d842ae6",
-    "q_gate_ece" -> "077850299086f94a8e56fdc54ecad618",
-    "q_gate_reliability" -> "fda577cc15efb2cce3083ee838a0914e")
+    "text_langid" -> "e125fd50a63b9031e188088758fc5f80",
+    "q_chunk_text" -> "2f818eafb1ca05e3919e68472bd253e8",
+    "q_chunk_sliding" -> "bbdaef037cbfdd40658822e934d16402",
+    "text_gopher_rules" -> "51eaebf9ce4690afad2dafd1e11d01b7",
+    "q_source_gini" -> "53697fda88d1f543cc9af31b3f42f71a",
+    "q_source_pareto" -> "1deddf7b632bb40fde4225854c137308",
+    "text_classify" -> "834d3b938058e78c856aeb3a34ac936b",
+    "text_embed" -> "a4bd6b518caef35cce4ede4a8039bdaa",
+    "q_gate_ece" -> "0153f0a6bc266f3a0f05bc13703c1fcf",
+    "q_gate_reliability" -> "0aac41f868db82911dc96624ea75c4ca")
 
   for ((name, pin) <- tokPins.toSeq.sortBy(_._1))
     test(s"tok sweep pin: $name") {
@@ -479,21 +479,21 @@ class AdversarialSweepSpec extends SparkSpec {
     }
 
   private val dedupPins = Map(
-    "dedup_exact" -> "a35715a204e215e4cf4135011aef4fd0",
-    "dedup_scrub" -> "afa9a211ed1c919c375adbce8f3de260",
-    "dedup_survivor" -> "6a57beeb12b58b66550bc0bde6cbab5c",
-    "dedup_winnow" -> "15900975c9f6412c76c0f5bd1757244f",
-    "dedup_simhash" -> "8aa76feb220e3909c30b6b30307f62dd",
-    "dedup_spans" -> "ca539132bbd06be9259462aeed0be367",
-    "dedup_minhash_lsh" -> "838b63e108268daf510111cc5945e9a9",
-    "dedup_jaccard_join" -> "838b63e108268daf510111cc5945e9a9",
-    "dedup_jaccard_indexed" -> "838b63e108268daf510111cc5945e9a9",
-    "dedup_jaccard_pairs_1k" -> "838b63e108268daf510111cc5945e9a9",
-    "dedup_containment" -> "2f0bf9db4ea92badccc6735b1fbe1d4c",
-    "dedup_containment_indexed" -> "2f0bf9db4ea92badccc6735b1fbe1d4c",
-    "dedup_cc" -> "622cc43727b24ada28fe922c1d387881",
-    "text_fingerprint" -> "0f0ee0a7da9ed093bcd71c206b22842b",
-    "text_line_dedup" -> "b8ffc576e4eb2f90ed9ed57edd76540a")
+    "dedup_exact" -> "f7b862e3b817f0a0ef429e80d15a360e",
+    "dedup_scrub" -> "17674228461c4656add9350dd3862e5b",
+    "dedup_survivor" -> "66a4c5e2d68ec6fd9f9c92db99a27867",
+    "dedup_winnow" -> "e4b10322ef7f78fe54cac709bcb2c466",
+    "dedup_simhash" -> "4d0f98eb3f02a3ef4ba49d0be594d236",
+    "dedup_spans" -> "b82f500bdb8705a50ffc8e440c249bb0",
+    "dedup_minhash_lsh" -> "a63bd93e0572211f64f51bd9492c3c67",
+    "dedup_jaccard_join" -> "a63bd93e0572211f64f51bd9492c3c67",
+    "dedup_jaccard_indexed" -> "a63bd93e0572211f64f51bd9492c3c67",
+    "dedup_jaccard_pairs_1k" -> "a63bd93e0572211f64f51bd9492c3c67",
+    "dedup_containment" -> "e67615a1398128b9ea34db1f39a64839",
+    "dedup_containment_indexed" -> "e67615a1398128b9ea34db1f39a64839",
+    "dedup_cc" -> "772baf5b3ef68ac6a5a6c99530bb4a0e",
+    "text_fingerprint" -> "0a22bea58c0f7161ffcbee6845d005fb",
+    "text_line_dedup" -> "43ea4492fba94d9bba76c66382ef62a3")
 
   for ((name, pin) <- dedupPins.toSeq.sortBy(_._1))
     test(s"dedup sweep pin: $name") {

@@ -118,6 +118,33 @@ class ScdSqlSourceSpec extends SparkSpec {
     }
   }
 
+  test("V1 fallback captures a SET scd.time conf at load(), not at the action") {
+    // r17 sweep find: the native analyzer rewrite resolves the session
+    // conf when the query ANALYZES (load time), but the fallback used
+    // to read it inside buildScan — action time. A conf set around
+    // load() and unset before the action was silently ignored,
+    // breaking the fallback's "never wrong, just slower" contract.
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val bare = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").getOrCreate()
+      assert(bare.sessionState ne orig.sessionState)
+      bare.conf.set(ScdReader.ConfKeyGraft, "2031-01-01")
+      val df = try bare.read.format("scd").load(dir)
+               finally bare.conf.unset(ScdReader.ConfKeyGraft)
+      // acted on AFTER the unset — the captured time must still gate
+      // the future DELETE in (100 -> 90 rows), matching the native path
+      assert(df.count() == 90)
+      // and with no conf at load, the default (now) applies: 100 rows
+      assert(bare.read.format("scd").load(dir).count() == 100)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+    }
+  }
+
   test("partition pruning reaches PartitionFilters through format(\"scd\")") {
     val pdir = Files.createTempDirectory("scdsqlpart").toString
     (1 to 100).map(i => (i.toLong, i * 10.0, if (i % 2 == 0) "A" else "B"))
