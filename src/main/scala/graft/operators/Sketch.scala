@@ -457,53 +457,85 @@ object Sketch {
     * reaching it — replayable bit-for-bit, unlike an approximate
     * sketch whose error bound the gate threshold would inherit).
     *
-    * Plan: two [[exactQuantiles]] passes (value domain, then the
-    * deviation domain), each riding [[graft.operators.Ranks.cumOver]]
-    * — raw continuous scores (distinct ≈ corpus, the natural input)
-    * never funnel one task in either pass; the median folds back as a
-    * 1-row broadcast. Output one row: n, median, mad (doubles — the
-    * deviation arithmetic is a fixed IEEE chain both engines share). */
+    * Plan (r17, optimization round — was two [[exactQuantiles]]
+    * passes over the [[graft.operators.Ranks.cumOver]] histogram
+    * grid): two [[radixPicksBy]] selection passes (value domain, then
+    * the deviation domain). Each pass is one map-side-combined radix
+    * cell count + a driver locate + a rescan of only the median's
+    * cell — no corpus-histogram shuffle (on a near-distinct
+    * continuous column the (value, cnt) histogram IS the corpus
+    * reshuffled), no checkpointed intermediate, and n rides the
+    * locate fold for free. The picked medians are exactly the old
+    * ceil-rank picks (least value whose cumulative count reaches
+    * ⌈n/2⌉ — SketchSpec pins the brute replay), and the deviation
+    * arithmetic is the same fixed IEEE chain abs(v − median), so the
+    * output row is bit-identical. Output one row: n, median, mad. */
   def exactMad(df: DataFrame, valueCol: String): DataFrame = {
-    val rows = df.select(col(valueCol).cast("double").as("v"))
+    val spark = df.sparkSession
+    val rows = df
+      .select(lit(0).as("stratum"), col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
-      .localCheckpoint(false) // feeds both quantile passes + the count
-    val med = exactQuantiles(rows, "v", Seq(500))
-      .select(col("v").as("__med"))
-    val dev = rows.crossJoin(broadcast(med))
-      .select(abs(col("v") - col("__med")).as("d"))
-    val mad = exactQuantiles(dev, "d", Seq(500))
-      .select(col("v").as("__mad"))
-    rows.agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(med)).crossJoin(broadcast(mad))
-      .select(col("n"), col("__med").as("median"),
-        col("__mad").as("mad"))
+      .localCheckpoint(false) // feeds both passes' cell counts + rescans
+    val (nBy, meds) = radixPicksBy(rows, Seq(500))
+    if (nBy.isEmpty)
+      return spark.range(0).select(col("id").as("n"),
+        lit(null).cast("double").as("median"),
+        lit(null).cast("double").as("mad"))
+    val n = nBy.values.head
+    val med = meds.values.head
+    val dev = rows.select(col("stratum"),
+      abs(col("v") - lit(med)).as("v"))
+    val (_, mads) = radixPicksBy(dev, Seq(500))
+    spark.range(1).select(lit(n).as("n"), lit(med).as("median"),
+      lit(mads.values.head).as("mad"))
   }
 
   /** STRATIFIED exact MAD — [[exactMad]] per stratum in one pass
     * pair (the monitoring shape: "per-language robust score spread",
-    * the denominator of a per-stratum k·MAD outlier gate): both
-    * median passes are [[exactQuantilesBy]] (per-(stratum, bucket)
-    * distributed cums, rank picks equi-joined ON STRATUM), the median
-    * transfers back by a stratum hash join — no broadcast fold, no
-    * partition-less window, strata-many safe. Output: one row per
-    * stratum — stratum, n, median, mad, stratum ascending. */
+    * the denominator of a per-stratum k·MAD outlier gate). r17: both
+    * median passes are [[radixPicksBy]] selections (radix cells →
+    * driver locate → rescan of only the per-stratum median cells) —
+    * the old [[exactQuantilesBy]] pair reshuffled a (stratum, value)
+    * histogram per pass, i.e. the whole corpus twice on a continuous
+    * column. The per-stratum medians transfer to the deviation pass
+    * as a broadcast ≤strata-row table; picks are the identical
+    * ceil-rank values (HdrSketchSpec pins the per-stratum ≡
+    * single-stratum equality). Strata cardinality is bounded by the
+    * locate fold's cap ([[InterpQuantilesCellCap]]) — report-sized,
+    * loud on overflow. Output: one row per stratum — stratum, n,
+    * median, mad, stratum ascending. */
   def exactMadBy(df: DataFrame, strataCol: Column,
-      valueCol: String): DataFrame = {
-    val rows = df.select(strataCol.as("stratum"),
+      valueCol: String): DataFrame =
+    exactMadByRows(df.select(strataCol.as("stratum"),
         col(valueCol).cast("double").as("v"))
       .where(col("stratum").isNotNull && col("v").isNotNull)
-      .localCheckpoint(false) // feeds both passes + the counts
-    val med = exactQuantilesBy(rows, col("stratum"), "v", Seq(500))
-      .select(col("stratum"), col("v").as("__med"))
-    val dev = rows.join(med, Seq("stratum"))
-      .select(col("stratum"), abs(col("v") - col("__med")).as("d"))
-    val mad = exactQuantilesBy(dev, col("stratum"), "d", Seq(500))
-      .select(col("stratum"), col("v").as("mad"))
-    rows.groupBy("stratum").agg(count(lit(1)).as("n"))
-      .join(med.select(col("stratum"), col("__med").as("median")),
-        Seq("stratum"))
-      .join(mad, Seq("stratum"))
-      .orderBy("stratum")
+      .localCheckpoint(false)) // feeds both passes' counts + rescans
+
+  /** [[exactMadBy]] over pre-normalized, pre-checkpointed
+    * (stratum, v double) rows — shared with [[madOutliers]], whose
+    * checkpoint already covers the gate scan. */
+  private def exactMadByRows(rows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = rows.sparkSession
+    val stratumType = rows.schema("stratum").dataType
+    val (nBy, meds) = radixPicksBy(rows, Seq(500))
+    val medSchema = StructType(Seq(
+      StructField("stratum", stratumType),
+      StructField("__med", DoubleType, nullable = false)))
+    val medDF = smallDF(spark, meds.toSeq.map { case ((s, _), v) =>
+      org.apache.spark.sql.Row(s.orNull, v) }, medSchema)
+    val dev = rows.join(broadcast(medDF), Seq("stratum"))
+      .select(col("stratum"), abs(col("v") - col("__med")).as("v"))
+    val (_, mads) = radixPicksBy(dev, Seq(500))
+    val outSchema = StructType(Seq(
+      StructField("stratum", stratumType),
+      StructField("n", LongType, nullable = false),
+      StructField("median", DoubleType, nullable = false),
+      StructField("mad", DoubleType, nullable = false)))
+    smallDF(spark, nBy.toSeq.map { case (sOpt, n) =>
+      org.apache.spark.sql.Row(sOpt.orNull, n,
+        meds((sOpt, 500L)), mads((sOpt, 500L)))
+    }, outSchema).orderBy("stratum")
   }
 
   /** The k·MAD robust outlier GATE composed end-to-end (VERDICT r13
@@ -541,7 +573,7 @@ object Sketch {
         col(valueCol).cast("double").as("v"), col(idCol).as("__id"))
       .where(col("stratum").isNotNull && col("v").isNotNull)
       .localCheckpoint(false) // feeds the MAD passes AND the gate scan
-    val stats = exactMadBy(rows, col("stratum"), "v")
+    val stats = exactMadByRows(rows.select(col("stratum"), col("v")))
     val flagged = rows.join(stats, Seq("stratum"))
       .where(abs(col("v") - col("median")) > lit(k) * col("mad"))
       .select(col("stratum"), col("__id"))
@@ -669,12 +701,91 @@ object Sketch {
       valueCol: String, qMils: Seq[Int]): DataFrame = {
     require(qMils.nonEmpty && qMils.forall(q => q >= 0 && q <= 1000),
       s"interpQuantilesBy: q_mil values must be in [0,1000], got $qMils")
-    import graft.operators.{Ranks => R}
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
     val rows = df.select(strataCol.as("stratum"),
         col(valueCol).cast("double").as("v"))
       .where(col("v").isNotNull)
+    val stratumType = rows.schema("stratum").dataType
+    // two targets per (stratum, q): tag 2q = the ⌊p⌋+1 pick (side 0),
+    // tag 2q+1 = the ⌈p⌉+1 pick (side 1), with p = (n−1)·(q/1000) in
+    // doubles — q/1000.0 rounds to the same nearest double as the
+    // 0.xxx literal the built-in was given
+    val (nBy, targets, bits) = radixLocate(rows,
+      n => qMils.flatMap { q =>
+        val p = (n - 1).toDouble * (q.toDouble / 1000.0)
+        Seq((q * 2L, math.floor(p).toLong + 1L),
+          (q * 2L + 1L, math.ceil(p).toLong + 1L))
+      }, "interpQuantilesBy")
+    if (targets.isEmpty)
+      return smallDF(df.sparkSession, Nil, StructType(Seq(
+        StructField("stratum", stratumType),
+        StructField("q_mil", LongType, nullable = false),
+        StructField("v", DoubleType))))
+    val probeSchema = StructType(Seq(
+      StructField("__ps", stratumType),
+      StructField("q_mil", LongType, nullable = false),
+      StructField("p", DoubleType, nullable = false),
+      StructField("side", IntegerType, nullable = false),
+      StructField("pb", LongType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    val probes = smallDF(df.sparkSession, targets.map { t =>
+      val q = t.tag / 2
+      val p = (nBy(Option(t.s)) - 1).toDouble * (q.toDouble / 1000.0)
+      org.apache.spark.sql.Row(t.s, q, p, (t.tag % 2).toInt, t.cell,
+        t.r - t.before)
+    }, probeSchema)
+    val picks = radixPick(rows, probes, bits,
+      Seq(col("__ps"), col("q_mil"), col("p"), col("side")))
+    picks.groupBy(col("__ps").as("stratum"), col("q_mil"), col("p"))
+      .agg(max(when(col("side") === 0, col("pv"))).as("__vlo"),
+        max(when(col("side") === 1, col("pv"))).as("__vhi"))
+      .select(col("stratum"), col("q_mil"),
+        // integral p: the weighted form would cancel to 0·v_lo+0·v_hi
+        // — early-return v_lo exactly as Percentile.getPercentile does
+        when(ceil(col("p")) === floor(col("p")), col("__vlo"))
+          .otherwise((ceil(col("p")) - col("p")) * col("__vlo") +
+            (col("p") - floor(col("p"))) * col("__vhi")).as("v"))
+  }
+
+  /** One located target of [[radixLocate]]: stratum value, caller tag,
+    * absolute rank r, rows before the current cell, current cell
+    * prefix, current cell row count. */
+  private final class RadixTgt(val s: Any, val tag: Long, val r: Long,
+    var before: Long, var cell: Long, var cnt: Long)
+
+  private def smallDF(spark: org.apache.spark.sql.SparkSession,
+      data: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava, schema)
+
+  /** Shared locate/refine core of the radix-selection family
+    * ([[interpQuantilesBy]], [[radixPicksBy]]): count rows per
+    * (stratum, radix cell) — the cell is the top bits of the
+    * order-preserving unsigned image of the double
+    * ([[graft.functions.expressions.RadixPrefix]]: pure bit
+    * arithmetic, no value shuffle, no sketch, deterministic; the
+    * aggregate is map-side combined) — then a DRIVER fold over that
+    * grid-bounded metadata locates, for each target rank
+    * `mkTargets(n) = (tag, rank)` per stratum, the cell holding it
+    * and the count of rows before it (CAP'd loud at
+    * [[InterpQuantilesCellCap]]); while any located cell still holds
+    * more than [[InterpQuantilesRefineCap]] rows, REFINE: re-count 12
+    * more prefix bits inside the located cells only (a scan filtered
+    * by a broadcast semi-join on the parent cells) and relocate —
+    * each round multiplies resolution 4096×, and at the 56-bit floor
+    * a cell spans 256 adjacent doubles, so the loop is ≤ 4 rounds for
+    * ANY distribution. Skew needs no anchors here — a fat cell is
+    * split by recursion, not balanced in advance.
+    *
+    * `rows` must be (stratum, v double) with v non-NULL. Returns
+    * (non-NULL row count per stratum, located targets, final bit
+    * width); empty input → (empty, empty, _). */
+  private def radixLocate(rows: DataFrame,
+      mkTargets: Long => Seq[(Long, Long)], api: String)
+      : (Map[Option[Any], Long], Seq[RadixTgt], Int) = {
+    import org.apache.spark.sql.types._
+    val spark = rows.sparkSession
     val stratumType = rows.schema("stratum").dataType
     val cap = InterpQuantilesCellCap
     val FirstBits = 20 // sign+exponent+8 mantissa bits: ~256 cells per
@@ -690,17 +801,13 @@ object Sketch {
     // adjacent doubles — ≤ 256 distinct values however many rows
     def pfxCol(bits: Int): Column =
       org.apache.spark.sql.graft.CatalystBridge.radixPrefix(col("v"), bits)
-    def smallDF(data: Seq[org.apache.spark.sql.Row],
-        schema: StructType): DataFrame =
-      spark.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava, schema)
     def collectCells(bits: Int, shift: Int, live: Option[Seq[(Any, Long)]])
         : Array[org.apache.spark.sql.Row] = {
       val keyed = rows.select(col("stratum"), pfxCol(bits).as("pfx"))
       val src = live match {
         case None => keyed
         case Some(cells) =>
-          val lf = smallDF(cells.map { case (s, c) =>
+          val lf = smallDF(spark, cells.map { case (s, c) =>
               org.apache.spark.sql.Row(s, c) },
             StructType(Seq(StructField("__ls", stratumType),
               StructField("__lp", LongType, nullable = false))))
@@ -720,33 +827,16 @@ object Sketch {
       cells = collectCells(bits, 0, None)
     }
     require(cells.length <= cap,
-      s"interpQuantilesBy: over $cap (stratum, radix-cell) rows — " +
+      s"$api: over $cap (stratum, radix-cell) rows — " +
         "strata cardinality is report-sized; use exactQuantilesBy")
-    if (cells.isEmpty)
-      return smallDF(Nil, StructType(Seq(
-        StructField("stratum", stratumType),
-        StructField("q_mil", LongType, nullable = false),
-        StructField("v", DoubleType))))
-    // target state: stratum value, q, p (replaying the built-in
-    // bit-for-bit: p = (n−1)·(q/1000) in doubles — q/1000.0 rounds to
-    // the same nearest double as the 0.xxx literal the built-in was
-    // given), side (0=⌊p⌋ pick, 1=⌈p⌉ pick), absolute rank r, rows
-    // before the current cell, current cell prefix, current cell rows
-    final class Tgt(val s: Any, val q: Long, val p: Double,
-      val side: Int, val r: Long, var before: Long, var cell: Long,
-      var cnt: Long)
-    val targets = new scala.collection.mutable.ArrayBuffer[Tgt]()
+    if (cells.isEmpty) return (Map.empty, Nil, bits)
+    val targets = new scala.collection.mutable.ArrayBuffer[RadixTgt]()
     val byStratum = cells.groupBy(r => Option(r.get(0)))
-    byStratum.foreach { case (sOpt, rs) =>
-      val s = sOpt.orNull
-      val sorted = rs.sortBy(_.getLong(1))
-      val n = sorted.map(_.getLong(2)).sum
-      for (q <- qMils) {
-        val p = (n - 1).toDouble * (q.toDouble / 1000.0)
-        targets += new Tgt(s, q.toLong, p, 0,
-          math.floor(p).toLong + 1L, 0L, 0L, 0L)
-        targets += new Tgt(s, q.toLong, p, 1,
-          math.ceil(p).toLong + 1L, 0L, 0L, 0L)
+    val nBy = byStratum.map { case (sOpt, rs) =>
+      sOpt -> rs.map(_.getLong(2)).sum }
+    byStratum.keys.foreach { sOpt =>
+      mkTargets(nBy(sOpt)).foreach { case (tag, r) =>
+        targets += new RadixTgt(sOpt.orNull, tag, r, 0L, 0L, 0L)
       }
     }
     // locate within the freshly counted subcells: for round 1 every
@@ -779,49 +869,78 @@ object Sketch {
       bits += Step
       val live = targets.map(t => (t.s, t.cell)).distinct.toSeq
       cells = collectCells(bits, Step, Some(live))
-      require(cells.length <= cap, // live ≤ 2·|q|·strata parents
-        s"interpQuantilesBy: over $cap cells in a refine round — " +
+      require(cells.length <= cap, // live ≤ |targets| parents
+        s"$api: over $cap cells in a refine round — " +
           "strata cardinality is report-sized; use exactQuantilesBy")
       relocate(cells, round1 = false)
     }
-    val probeSchema = StructType(Seq(
-      StructField("__ps", stratumType),
-      StructField("q_mil", LongType, nullable = false),
-      StructField("p", DoubleType, nullable = false),
-      StructField("side", IntegerType, nullable = false),
-      StructField("pb", LongType, nullable = false),
-      StructField("k", LongType, nullable = false)))
-    val probes = smallDF(targets.toSeq.map(t =>
-      org.apache.spark.sql.Row(t.s, t.q, t.p, t.side, t.cell,
-        t.r - t.before)), probeSchema)
+    (nBy, targets.toSeq, bits)
+  }
+
+  /** Shared rescan + in-cell type-1 pick of the radix-selection
+    * family: only rows landing in a final located cell survive the
+    * broadcast semi-join (≤ targets cells per stratum); the k-th
+    * smallest within a cell is a distinct-value cumulative whose
+    * window partition is one refined cell (≤
+    * [[InterpQuantilesRefineCap]] rows / ≤ 256 distinct values at the
+    * bit floor, however many duplicate rows a tie region holds).
+    * `probes` carries (__ps stratum, pb cell, k in-cell rank) plus
+    * any caller columns; output: one `pv` row per `groupCols` group. */
+  private def radixPick(rows: DataFrame, probes: DataFrame, bits: Int,
+      groupCols: Seq[Column]): DataFrame = {
     val pairs = probes.select(col("__ps"), col("pb")).distinct()
-    // rescan: only rows landing in a final cell survive the broadcast
-    // semi-join (≤ 2·|q| cells per stratum)
-    val band = rows.withColumn("bkt", pfxCol(bits))
+    val band = rows.withColumn("bkt",
+        org.apache.spark.sql.graft.CatalystBridge.radixPrefix(
+          col("v"), bits))
       .join(broadcast(pairs),
         col("stratum") <=> col("__ps") && col("bkt") === col("pb"),
         "left_semi")
-    // k-th smallest within a cell: distinct-value counts + a window
-    // partitioned by (stratum, cell) — per-partition input is one
-    // refined cell (≤ RefineCap rows / ≤ 16 distinct at the bit floor)
-    val bandCum = R.cumOver(
+    val bandCum = Ranks.cumOver(
       band.groupBy("stratum", "bkt", "v").agg(count(lit(1)).as("cnt")),
       "v", Seq("stratum", "bkt"), Seq("cnt" -> "cum"),
       smallDomain = true)
-    val picks = broadcast(probes).join(bandCum,
+    broadcast(probes).join(bandCum,
         col("__ps") <=> col("stratum") && col("pb") === col("bkt") &&
           col("cum") >= col("k"))
-      .groupBy(col("__ps"), col("q_mil"), col("p"), col("side"))
+      .groupBy(groupCols: _*)
       .agg(min(col("v")).as("pv"))
-    picks.groupBy(col("__ps").as("stratum"), col("q_mil"), col("p"))
-      .agg(max(when(col("side") === 0, col("pv"))).as("__vlo"),
-        max(when(col("side") === 1, col("pv"))).as("__vhi"))
-      .select(col("stratum"), col("q_mil"),
-        // integral p: the weighted form would cancel to 0·v_lo+0·v_hi
-        // — early-return v_lo exactly as Percentile.getPercentile does
-        when(ceil(col("p")) === floor(col("p")), col("__vlo"))
-          .otherwise((ceil(col("p")) - col("p")) * col("__vlo") +
-            (col("p") - floor(col("p"))) * col("__vhi")).as("v"))
+  }
+
+  /** EXACT per-stratum ceil-rank quantile picks by distributed radix
+    * selection, collected to the driver — the [[exactQuantilesBy]]
+    * ANSWER (type-1: least value whose cumulative row count reaches
+    * r = max(1, ⌈q·n/1000⌉)) with [[interpQuantilesBy]]'s bounded
+    * plan shape (radix cells → driver locate → refine → rescan of
+    * only the target cells) instead of the corpus-histogram
+    * `cumOver` shuffle: on a near-distinct continuous column the
+    * (stratum, value) histogram IS the corpus reshuffled, while the
+    * radix cells are map-side-combined metadata. The MAD family
+    * consumes the ≤ strata × |q| picked values as driver literals /
+    * broadcast tables, so collecting them here is the bounded driver
+    * fold the repo already budgets (vocab/centroid/manifest tables).
+    *
+    * `rows` must be (stratum, v double). Returns (non-NULL row count
+    * per stratum, picked value per (stratum, q_mil)). */
+  private def radixPicksBy(rows: DataFrame, qMils: Seq[Int])
+      : (Map[Option[Any], Long], Map[(Option[Any], Long), Double]) = {
+    import org.apache.spark.sql.types._
+    val stratumType = rows.schema("stratum").dataType
+    val (nBy, targets, bits) = radixLocate(rows,
+      n => qMils.map(q =>
+        (q.toLong, math.max(1L, (n * q + 999) / 1000))), "radixPicksBy")
+    if (targets.isEmpty) return (Map.empty, Map.empty)
+    val probeSchema = StructType(Seq(
+      StructField("__ps", stratumType),
+      StructField("q_mil", LongType, nullable = false),
+      StructField("pb", LongType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    val probes = smallDF(rows.sparkSession, targets.map(t =>
+      org.apache.spark.sql.Row(t.s, t.tag, t.cell, t.r - t.before)),
+      probeSchema)
+    val picks = radixPick(rows, probes, bits,
+      Seq(col("__ps"), col("q_mil"))).collect()
+    (nBy, picks.map(r =>
+      (Option(r.get(0)), r.getLong(1)) -> r.getDouble(2)).toMap)
   }
 
   /** [[interpQuantilesBy]]'s driver-metadata bound: each collected
