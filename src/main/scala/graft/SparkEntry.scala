@@ -692,10 +692,25 @@ object SparkEntry {
     // a VERIFIABLE claim instead: the exact count plus a bound flag
     // (|approx−exact| ≤ 5%·exact at rsd=0.01, a 5σ margin) that the
     // oracle asserts as constant 1 — all three driver checks run.
+    //
+    // r17 shape: dedup to distinct (flag, partkey) pairs FIRST, then
+    // one agg computes both the exact count and the HLL estimate.
+    // Mixing countDistinct with approx_count_distinct in a single agg
+    // plans the rewriter's per-(group, distinct-key) partial: at
+    // rsd=0.01 the HLL buffer is 1639 register words, so the first
+    // Exchange shipped 1641 columns × every distinct pair (guide §2.3
+    // — GBs of shuffle for a 3-row answer; measured 4.1 s solo, one
+    // sample 30 s). HLL registers are max-folds of per-value hashes,
+    // so deduping first leaves the estimate BIT-IDENTICAL and the
+    // exchange carries two columns. 4.11 → 0.52 s, output unchanged.
     "q_approx_distinct_hll" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+      t(s, dir, "lineitem")
+        .select("l_returnflag", "l_partkey")
+        .where(col("l_partkey").isNotNull)
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx") - col("exact_parts")) <=
             col("exact_parts") * lit(0.05)).cast("long").as("within_bound"))
@@ -2487,13 +2502,19 @@ object SparkEntry {
       // compact ranks after dropping self (window over <= 8 rows/query)
       val wq = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy("rank")
+      // each run list feeds TWO consumers (the RRF fold and its own
+      // rank-column join-back) — checkpoint the ≤24-row lists so the
+      // BM25 and brute-force-cosine pipelines run once, not twice
+      // (r17, guide §2.4; measured 2.73 → half the pipeline work)
       val lex = lexRaw
         .select(col("query_id"), col("doc_id"),
           row_number().over(wq).cast("long").as("rank"))
+        .localCheckpoint(false)
       val dense = Similarity.bruteForceTopK(emb,
           emb.where(col("vec_id").between(1, 3)), k = 8)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank"))
+        .localCheckpoint(false)
       Retrieval.rrfFuse(Seq("bm25" -> lex, "cos" -> dense), k = 5)
         .join(lex.withColumnRenamed("rank", "bm25_rank"),
           Seq("query_id", "doc_id"), "left")

@@ -1397,6 +1397,14 @@ object Dedup {
     val cands = lshCandidates(
       minHashSignatures(sh, id, numHashes, dictShingles), id,
       numHashes, bands)
+    // r17 note: candidate-pruning the verify side (the semi-join
+    // [[minhashLshPairsIncremental]] uses) was tried and MEASURED
+    // SLOWER here (1.7 → 2.2 s solo at sf0.1): it serializes the
+    // critical path (arrays wait on the candidate set), while this
+    // shape computes the array branch and the candidate branch as
+    // independent stages concurrently. The incremental variant keeps
+    // the prune because there the corpus re-shingle is the term the
+    // operator exists to avoid.
     verifyByArrays(cands, arr, id, threshold)
   }
 
@@ -1758,10 +1766,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 20,
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    // one evaluation of `pairs` for both edge directions (r17, guide
+    // §2.4): the old src/dst union referenced the pair subtree twice,
+    // re-running the whole upstream pipeline (LSH verify join, index
+    // probe, …) once per direction before the checkpoint
     val edges = pairs
-      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
-      .union(pairs
-        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .select(explode(array(
+        struct(col(idA).cast("long").as("src"),
+          col(idB).cast("long").as("dst")),
+        struct(col(idB).cast("long").as("src"),
+          col(idA).cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     // label(v) starts at min(v, min neighbor); propagation only lowers
@@ -1771,28 +1786,20 @@ object Dedup {
       .agg(min(col("dst")).as("mn"))
       .select(col("vertex"), least(col("vertex"), col("mn")).as("component"))
       .localCheckpoint()
-    // labels only ever decrease, so the label-sum is a strictly
-    // decreasing convergence surrogate: unchanged sum == no label moved
-    // (one single-row agg per round instead of a join + isEmpty job)
-    // decimal(38,0) sum: exact and overflow-free for any id range
-    // (ANSI mode would throw on a long-sum overflow at large scale)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    // per-round probe over the SAME aggregation output: the label sum
-    // (convergence) and the changed-label count (the delta-frontier
-    // size `onRound` observes — how fast the moving set shrinks toward
-    // the long-chain frontier) ride ONE single-row job; the frontier
-    // instrumentation costs zero extra jobs, joins, or rows
-    def probe(df: DataFrame): (java.math.BigDecimal, Long) = {
-      val r = df.agg(
-        coalesce(sum(col("component").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)).as("s"),
-        coalesce(sum(when(col("component") < col("__prev"), 1L)
-          .otherwise(0L)), lit(0L)).as("c")).head()
-      (r.getDecimal(0), r.getLong(1))
-    }
-    var prevSum = labelSum(labels)
+    // per-round probe: the changed-label count is BOTH the convergence
+    // test and the delta-frontier size `onRound` observes. Labels only
+    // ever decrease and every vertex carries its previous label through
+    // the round's aggregation (its viaJump row — each vertex has
+    // exactly one, since labels are vertex ids and every vertex is
+    // labeled), so changed == 0 ⟺ no label moved ⟺ the old label-sum
+    // surrogate unchanged — same fixpoint, one single-row job per
+    // round, and no separate init-sum job before the loop (r17: the
+    // decimal label-sum pass was a second full convergence probe per
+    // call; guide §2.4 — one job fewer per CC invocation, measured
+    // ~0.25 s of fixed cost on a converged-in-one-round pair graph).
+    def probe(df: DataFrame): Long =
+      df.agg(coalesce(sum(when(col("component") < col("__prev"), 1L)
+        .otherwise(0L)), lit(0L))).head().getLong(0)
     var round = 0
     var converged = false
     // Per-round shuffle-mass trims (oracle output identical):
@@ -1840,9 +1847,8 @@ object Dedup {
       val next = agg.select(col("vertex"), col("component"))
       changed = agg.where(col("component") < col("__prev"))
         .select(col("vertex"), col("component"))
-      val (nextSum, changedCount) = probe(agg)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      val changedCount = probe(agg)
+      converged = changedCount == 0
       labels = next
       round += 1
       onRound(round, changedCount)
