@@ -636,9 +636,15 @@ object Dedup {
     * id arrays post-r15, so the probe joins in id space. */
   private def prefixCollisionVolume(pre: DataFrame,
       dfBySid: DataFrame): Long =
+    prefixCollisionVolumeAgg(pre, dfBySid).head().getLong(0)
+
+  /** [[prefixCollisionVolume]] as a 1-row DataFrame, so callers can
+    * crossJoin several guard aggregates into ONE driver job (r17). */
+  private def prefixCollisionVolumeAgg(pre: DataFrame,
+      dfBySid: DataFrame): DataFrame =
     pre.select(col("shingle").as("sid"))
       .join(dfBySid.select(col("sid"), col("df")), Seq("sid"))
-      .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+      .agg(coalesce(sum(col("df")), lit(0L)).as("__pcv"))
 
   /** Σ per-doc prefix lengths — computable from the `sz` column
     * alone (no explode, a narrow column-pruned agg): with maxDf it
@@ -646,12 +652,14 @@ object Dedup {
     * first gate. Normal corpora short-circuit here and never pay the
     * exact volume probe (measured +2–3 s on the incremental rows at
     * sf1 before this gate existed). */
-  private def prefixLenSum(ordered: DataFrame, tn: Int): Long = {
-    val r = ordered.agg(coalesce(sum(
+  private def prefixLenSum(ordered: DataFrame, tn: Int): Long =
+    prefixLenSumAgg(ordered, tn).head().getLong(0)
+
+  /** [[prefixLenSum]] as a 1-row DataFrame (crossJoin-combinable). */
+  private def prefixLenSumAgg(ordered: DataFrame, tn: Int): DataFrame =
+    ordered.agg(coalesce(sum(
       col("sz") - expr(s"CAST(($tn * sz + 999) DIV 1000 AS BIGINT)") +
-        lit(1L)), lit(0L))).head()
-    r.getLong(0)
-  }
+        lit(1L)), lit(0L)).as("__pls"))
 
   /** Max df of a dictionary — one column-pruned agg; 0 when empty. */
   private def maxDfOf(dfBySid: DataFrame): Long = {
@@ -810,10 +818,14 @@ object Dedup {
     * not counted), an underestimate bounded by 2× on an
     * even-split corpus — guard-budget headroom covers it. */
   private def prefixDfSum(ordered: DataFrame, tn: Int): Long =
+    prefixDfSumAgg(ordered, tn).head().getLong(0)
+
+  /** [[prefixDfSum]] as a 1-row DataFrame (crossJoin-combinable). */
+  private def prefixDfSumAgg(ordered: DataFrame, tn: Int): DataFrame =
     ordered.agg(coalesce(sum(expr(
       s"aggregate(slice(dfarr, 1, size(dfarr) - " +
         s"CAST(($tn * size(dfarr) + 999) DIV 1000 AS INT) + 1), " +
-        "0L, (a, x) -> a + x)")), lit(0L))).head().getLong(0)
+        "0L, (a, x) -> a + x)")), lit(0L)).as("__pds"))
 
   /** Complete a frozen dictionary for a batch: shingles absent from
     * `stored` get df 0 (the frozen-order convention) and fresh
@@ -840,6 +852,15 @@ object Dedup {
     * alone cost ~2 s for zero pruning). */
   private val SmallBatchFactor: Long = 8L
 
+  /** batch ≤ corpus/[[SmallBatchFactor]], both counts in ONE crossJoin'd
+    * job (r17) — the gate cost two sequential count jobs per serve. */
+  private def nightlyRegime(batchDocs: DataFrame,
+      corpus: DataFrame): Boolean = {
+    val r = batchDocs.agg(count(lit(1)).as("__nb"))
+      .crossJoin(corpus.agg(count(lit(1)).as("__nc"))).head()
+    r.getLong(0) * SmallBatchFactor <= r.getLong(1)
+  }
+
   /** Prune a corpus-frozen dictionary SCAN to the batch's vocabulary
     * (VERDICT r15 #5): the incremental serves only touch dict rows
     * whose shingle occurs in the batch, yet the ordering join and the
@@ -855,10 +876,25 @@ object Dedup {
     * unpruned form; false positives only leak extra dict rows into
     * exchanges that previously carried all of them. An empty batch
     * folds a NULL bloom → empty dict, which the empty joins ignore. */
-  private def batchPrunedDict(sh: DataFrame, dict: DataFrame): DataFrame = {
+  /** One driver round-trip for the nightly serve's two INDEPENDENT
+    * batch-vocabulary probes (r17): the approx distinct count (bloom
+    * sizing, [[batchPrunedDict]]) and the hash-bijection collision
+    * check ([[dfOrderedArraysFrozen]]) were two sequential jobs over
+    * the same checkpointed shingles; one crossJoin'd query computes
+    * both. Values are identical to the separate jobs'. */
+  private def batchVocabStats(sh: DataFrame): (Long, Boolean) = {
+    val r = sh.agg(approx_count_distinct(col("shingle")).as("__n"))
+      .crossJoin(sh.groupBy(xxhash64(col("shingle")).as("h"))
+        .agg(min(col("shingle")).as("lo"), max(col("shingle")).as("hi"))
+        .where(col("lo") =!= col("hi"))
+        .agg(count(lit(1)).as("__c")))
+      .head()
+    (r.getLong(0), r.getLong(1) > 0L)
+  }
+
+  private def batchPrunedDict(sh: DataFrame, dict: DataFrame,
+      approx: Long): DataFrame = {
     import org.apache.spark.sql.graft.CatalystBridge
-    val approx = sh.agg(approx_count_distinct(col("shingle")).as("n"))
-      .head().getLong(0)
     if (approx > MaxBatchBloomKeys) dict
     else {
       val bloomRow = sh.agg(CatalystBridge.bloomFilterAgg(
@@ -899,10 +935,13 @@ object Dedup {
     * bit-identical output either way (ids play no ordering role; the
     * array order is (df, shingle) in both forms). */
   private def dfOrderedArraysFrozen(sh: DataFrame, dict: DataFrame,
-      id: String): DataFrame = {
-    val collision = sh.groupBy(xxhash64(col("shingle")).as("h"))
-      .agg(min(col("shingle")).as("lo"), max(col("shingle")).as("hi"))
-      .where(col("lo") =!= col("hi")).limit(1).count() > 0
+      id: String, knownCollision: Option[Boolean] = None): DataFrame = {
+    // the bijection probe: precomputed by [[batchVocabStats]] when the
+    // caller already paid a batch-vocabulary job (r17), else probed here
+    val collision = knownCollision.getOrElse(
+      sh.groupBy(xxhash64(col("shingle")).as("h"))
+        .agg(min(col("shingle")).as("lo"), max(col("shingle")).as("hi"))
+        .where(col("lo") =!= col("hi")).limit(1).count() > 0)
     if (collision)
       dfOrderedArrays(sh, dict.unionByName(unseenDict(sh, dict)), id)
     else
@@ -1161,13 +1200,14 @@ object Dedup {
     // the numbered path's unseen-vs-join exposure was).
     val dict0 = jaccardIndexDict(spark, indexPath, w,
       "jaccardJoinIncremental")
-    val nightly = batchDocs.count() * SmallBatchFactor <= corpus.count()
+    val nightly = nightlyRegime(batchDocs, corpus)
     val shB =
       if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint(false)
       else shingles(batchDocs, id, textCol, w)
-    val dict = if (nightly) batchPrunedDict(shB, dict0) else dict0
+    val stats = if (nightly) Some(batchVocabStats(shB)) else None
+    val dict = stats.fold(dict0)(s => batchPrunedDict(shB, dict0, s._1))
     // lazy checkpoint: batch arrays feed the prefix explode AND verify
-    val orderedB = dfOrderedArraysFrozen(shB, dict, id)
+    val orderedB = dfOrderedArraysFrozen(shB, dict, id, stats.map(_._2))
       .localCheckpoint(false)
     val preB = prefixRows(orderedB, id, tn)
     val l = prefixRows(corpus, id, tn).unionByName(preB)
@@ -1226,13 +1266,14 @@ object Dedup {
     // [[jaccardJoinIncremental]]
     val dict0 = jaccardIndexDict(spark, indexPath, w,
       "containmentJoinIncremental")
-    val nightly = batchDocs.count() * SmallBatchFactor <= corpus.count()
+    val nightly = nightlyRegime(batchDocs, corpus)
     val shB =
       if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint(false)
       else shingles(batchDocs, id, textCol, w)
-    val dict = if (nightly) batchPrunedDict(shB, dict0) else dict0
+    val stats = if (nightly) Some(batchVocabStats(shB)) else None
+    val dict = stats.fold(dict0)(s => batchPrunedDict(shB, dict0, s._1))
     // lazy checkpoint: batch arrays feed prefixes, postings AND verify
-    val orderedB = dfOrderedArraysFrozen(shB, dict, id)
+    val orderedB = dfOrderedArraysFrozen(shB, dict, id, stats.map(_._2))
       .localCheckpoint(false)
     def pre(src: DataFrame) = prefixRows(src, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
@@ -1261,10 +1302,19 @@ object Dedup {
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .select(col("shingle").as("sid"), col("df"))
       .localCheckpoint(false)
-    val estA = prefixDfSum(orderedB, tn) +
-      prefixCollisionVolume(pre(orderedB), dfB)
-    val maxDfB = maxDfOf(dfB)
-    val upperB = BigInt(prefixLenSum(corpus, tn)) * BigInt(maxDfB)
+    // ONE guard job (r17): the four narrow single-row aggregates
+    // (batch prefix-df sum, batch×batch collision volume, max batch
+    // df, corpus prefix-length sum) ride a single crossJoin'd query
+    // instead of four sequential driver round-trips — each round-trip
+    // cost a job launch plus a Catalyst pass (profiled: 35 jobs,
+    // ~1.4 s of inter-job gaps on this operator at sf0.1)
+    val g = prefixDfSumAgg(orderedB, tn)
+      .crossJoin(prefixCollisionVolumeAgg(pre(orderedB), dfB))
+      .crossJoin(dfB.agg(coalesce(max(col("df")), lit(0L)).as("__mdf")))
+      .crossJoin(prefixLenSumAgg(corpus, tn)).head()
+    val estA = g.getLong(0) + g.getLong(1)
+    val maxDfB = g.getLong(2)
+    val upperB = BigInt(g.getLong(3)) * BigInt(maxDfB)
     val estB =
       if (BigInt(estA) + upperB <= BigInt(chunkBudget)) 0L
       else 64L * prefixCollisionVolume(

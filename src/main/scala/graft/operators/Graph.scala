@@ -131,6 +131,8 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("w").isNotNull && col("w") > 0 && col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+      // three consumers (node union ×2, wsum self-join) — one compute
+      .localCheckpoint(false)
     val eo = e.join(e.groupBy("src").agg(sum(col("w")).as("wsum")),
         "src")
       .repartition(col("src"))
@@ -188,6 +190,8 @@ object Graph {
         col(item).cast("long").as("i"))
       .where(col("u").isNotNull && col("i").isNotNull)
       .distinct()
+      // three consumers (degree build, both pair-explode sides)
+      .localCheckpoint(false)
     val deg = inc.groupBy("u").agg(count(lit(1)).as("d"))
       .localCheckpoint(false) // feeds the drop count AND the anti-join
     droppedActors(deg.where(col("d") > maxDegree).count())
@@ -202,7 +206,12 @@ object Graph {
       .where(col("w") >= minCount)
   }
 
-  /** Deduped, null-free, self-loop-free long-typed edge list. */
+  /** Deduped, null-free, self-loop-free long-typed edge list. Lazily
+    * checkpointed (r17): every caller consumes it 2–4× (the node-set
+    * union reads it twice, the out-degree attach joins it against its
+    * own groupBy) — without the checkpoint the caller's WHOLE edge
+    * subtree (q_textrank's vocab joins, a coproject explode, …)
+    * re-ran once per consumer. */
   private def cleanEdges(edges: DataFrame, src: String,
       dst: String): DataFrame =
     edges
@@ -211,6 +220,7 @@ object Graph {
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint(false)
 
   /** Out-degree attached to every edge row, hash-partitioned by src
     * and pinned — the |E|-row table every iteration probes without

@@ -983,8 +983,12 @@ object TextAnalysis {
     val ids = pairs
       .join(vocab.select(col("word").as("a"), col("wid").as("sa")), "a")
       .join(vocab.select(col("word").as("b"), col("wid").as("sb")), "b")
-    val edges = ids.select(col("sa").as("src"), col("sb").as("dst"))
-      .unionByName(ids.select(col("sb").as("src"), col("sa").as("dst")))
+    // both edge directions from ONE evaluation of the vocab joins
+    // (r17, guide §2.4 — the two-branch union re-ran them per branch)
+    val edges = ids.select(explode(array(
+        struct(col("sa").as("src"), col("sb").as("dst")),
+        struct(col("sb").as("src"), col("sa").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
     val pr = Graph.pageRank(edges, iters = iters)
     val cut = pr.join(vocab.select(col("wid").as("node"), col("word")),
