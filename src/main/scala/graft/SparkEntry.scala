@@ -26,6 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Plain table scan. Deliberately NO blanket fan-out here: the
+    * split-starved-scan fix lives at the entry of the heavy per-row
+    * operators ([[graft.operators.Fan.out]]) — fanning every table out
+    * at the reader regressed the light rows (measured: text_tfidf
+    * 0.59 → 1.26 s, q1_pricing_summary 0.35 → 1.08 s — near-empty
+    * partitions add per-task cost to every downstream stage). */
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

@@ -36,7 +36,7 @@ object Dedup {
   def shingleArrays(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", w: Int = 3): DataFrame = {
     val refs = (0 until w).map(k => s"toks[i+$k]").mkString(", ")
-    docs
+    Fan.out(docs)
       .select(col(id), split(lower(col(textCol)), " ").as("toks"))
       .where(size(col("toks")) >= w)
       .select(col(id), array_distinct(expr(
@@ -52,7 +52,7 @@ object Dedup {
   def shingles(docs: DataFrame, id: String = "doc_id",
       textCol: String = "text", w: Int = 3): DataFrame = {
     val refs = (0 until w).map(k => s"toks[i+$k]").mkString(", ")
-    docs
+    Fan.out(docs)
       .select(col(id), split(lower(col(textCol)), " ").as("toks"))
       .where(size(col("toks")) >= w)
       .select(col(id), explode(array_distinct(expr(
@@ -449,9 +449,14 @@ object Dedup {
   def segmentDedup(docs: DataFrame, segs: Column, id: String = "doc_id",
       joinSep: String = " ", minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"segmentDedup needs minDf >= 2, got $minDf")
+    // lazy checkpoint (r17): segRows feeds the df count AND the
+    // anti-join probe side — sequential stages, so the first
+    // materializes the blocks and the second reads them, instead of
+    // re-running the explode+md5 per consumer
     val segRows = docs
       .select(col(id), posexplode(segs).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
+      .localCheckpoint(false)
     val boiler = segRows.select("h", id).distinct()
       .groupBy("h").count()
       .where(col("count") >= minDf)
@@ -1579,7 +1584,7 @@ object Dedup {
     // index) + one array lookup; the groupBy then carries ONE packed
     // 64-bit counter per digit instead of four bit-sums.
     // slice() stays inline under explode (projection-collapse rule).
-    val tok = docs.select(col(id),
+    val tok = Fan.out(docs).select(col(id),
       explode(slice(split(lower(col(textCol)), " "), 1, MaxSimhashTokens))
         .as("t"))
     def digitPacks(src: DataFrame, keep: Column): DataFrame =
@@ -1828,14 +1833,14 @@ object Dedup {
           col(idA).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // label(v) starts at min(v, min neighbor); propagation only lowers
     // it, and every label value is itself a vertex id (so the pointer
     // jump's join on label = vertex always finds its target)
     var labels = edges.groupBy(col("src").as("vertex"))
       .agg(min(col("dst")).as("mn"))
       .select(col("vertex"), least(col("vertex"), col("mn")).as("component"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // per-round probe: the changed-label count is BOTH the convergence
     // test and the delta-frontier size `onRound` observes. Labels only
     // ever decrease and every vertex carries its previous label through
@@ -1893,7 +1898,7 @@ object Dedup {
       val agg = viaEdge.union(viaJump)
         .groupBy("vertex").agg(min("component").as("component"),
           max("__prev").as("__prev"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val next = agg.select(col("vertex"), col("component"))
       changed = agg.where(col("component") < col("__prev"))
         .select(col("vertex"), col("component"))
@@ -1966,10 +1971,15 @@ object Dedup {
       .join(cc, col(id) === cc("vertex"), "left")
       .select(col(id),
         coalesce(col("component"), col(id).cast("long")).as("cluster_id"))
+    // lazy checkpoint (r17, guide §2.4): withQ feeds BOTH the argmax
+    // aggregation and the final join-back — without it the whole
+    // docs ⋈ cc ⋈ quality subtree (including the quality table's text
+    // scoring) re-ran once per consumer
     val withQ = clustered.join(
       quality.select(col(id).as("__qid"), col(qualityCol).as("__q")),
       col(id) === col("__qid"))
       .select(col(id), col("cluster_id"), col("__q"))
+      .localCheckpoint(false)
     val winners = withQ.groupBy("cluster_id")
       .agg(max_by(col(id),
         struct(col("__q"), negate(col(id).cast("long")))).as("survivor_id"))
@@ -2067,7 +2077,7 @@ object Dedup {
     require(w >= 2, s"duplicateSpans: window width $w < 2")
     val refs = (0 until w).map(k => s"toks[i+$k]").mkString(", ")
     // positions kept: posexplode, no array_distinct (cf. shingles)
-    val wins = docs
+    val wins = Fan.out(docs)
       .select(col(id), split(lower(col(textCol)), " ").as("toks"))
       .where(size(col("toks")) >= w)
       .select(col(id), posexplode(expr(

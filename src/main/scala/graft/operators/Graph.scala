@@ -52,8 +52,11 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct out of range: $dampingPct")
     val e = cleanEdges(edges, src, dst)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // node set from ONE evaluation of e (r17): the src/dst self-union
+    // read the checkpointed edges twice in the same stage — the second
+    // branch's tasks block on the BlockManager per-block lock while the
+    // first computes each block. explode reads once; same distinct set.
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
@@ -82,8 +85,7 @@ object Graph {
     val seedCol = seeds.columns.head
     val sd = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().localCheckpoint()
-    val nodesAll = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodesAll = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .join(broadcast(sd.select(col("node"), lit(1L).as("__seed"))),
         Seq("node"), "left")
@@ -137,8 +139,7 @@ object Graph {
         "src")
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
@@ -302,8 +303,11 @@ object Graph {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct out of range: $dampingPct")
     val e = cleanEdges(edges, src, dst)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    // node set from ONE evaluation of e (r17): the src/dst self-union
+    // read the checkpointed edges twice in the same stage — the second
+    // branch's tasks block on the BlockManager per-block lock while the
+    // first computes each block. explode reads once; same distinct set.
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
@@ -364,8 +368,7 @@ object Graph {
     val e = cleanEdges(edges, src, dst)
       .repartition(col("src"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct()
       .localCheckpoint()
     // one half-step: fold `scoreCol` across edges from `fromSide` to
@@ -496,8 +499,8 @@ object Graph {
           .partitionBy("src").orderBy("dst")) - 1)
       .join(e.groupBy("src").agg(count(lit(1)).as("odeg")), Seq("src"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
     var walks = nodes
       .select(col("node").as("start"),
         explode(expr(s"sequence(CAST(1 AS BIGINT), CAST($walksPerNode AS BIGINT))"))
@@ -595,8 +598,7 @@ object Graph {
         greatest(col("x"), col("y")).as("b"))
       .distinct()
       .localCheckpoint()
-    val deg = und.select(col("a").as("node"))
-      .union(und.select(col("b").as("node")))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("d").as("da")), "a")

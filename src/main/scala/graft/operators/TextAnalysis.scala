@@ -650,7 +650,7 @@ object TextAnalysis {
       lit(Ipv4CandidatePattern), lit(0))
     val ibans = regexp_extract_all(col(textCol),
       lit(IbanCandidatePattern), lit(0))
-    docs.select(
+    Fan.out(docs).select(
       col(id),
       regexp_count(col(textCol), lit(EmailPattern)).cast("long")
         .as("n_emails"),
@@ -973,9 +973,14 @@ object TextAnalysis {
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .where(col("a") =!= col("b"))
       .localCheckpoint(false) // feeds the vocab AND two id joins
+    // vocab from ONE evaluation of pairs (r17): the a/b self-union read
+    // the checkpointed pairs twice IN THE SAME STAGE — the second
+    // branch's tasks blocked on the BlockManager's per-block lock while
+    // the first computed each block (task-metrics receipt: 64 tasks,
+    // sumRun 65.7 s vs sumCpu 9.8 s). explode reads it once.
     val vocab = Ranks.cumOver(
-        pairs.select(col("a").as("word"))
-          .union(pairs.select(col("b").as("word"))).distinct()
+        pairs.select(explode(array(col("a"), col("b"))).as("word"))
+          .distinct()
           .withColumn("__one", lit(1L)),
         "word", Nil, Seq("__one" -> "wid"))
       .select(col("word"), col("wid"))
