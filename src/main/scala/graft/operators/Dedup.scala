@@ -1979,7 +1979,12 @@ object Dedup {
       quality.select(col(id).as("__qid"), col(qualityCol).as("__q")),
       col(id) === col("__qid"))
       .select(col(id), col("cluster_id"), col("__q"))
-      .localCheckpoint(false)
+      // EAGER checkpoint (r17): withQ feeds the argmax map stage AND
+      // the join-back's shuffle stage — two INDEPENDENT stages the
+      // scheduler runs concurrently, so a lazy checkpoint would leave
+      // the second stage's tasks blocked on the per-block cache locks
+      // while the first computes each block
+      .localCheckpoint()
     val winners = withQ.groupBy("cluster_id")
       .agg(max_by(col(id),
         struct(col("__q"), negate(col(id).cast("long")))).as("survivor_id"))

@@ -81,7 +81,12 @@ object RangeJoin {
       .withColumn("__cell", explode(sequence(cell(leftStart), cell(leftEnd))))
     val r = right.where(col(rightEnd) >= col(rightStart))
       .withColumn("__cell", explode(sequence(cell(rightStart), cell(rightEnd))))
-    l.join(r, Seq("__cell") ++ extraKeys)
+    // shuffle-hash, not sort-merge (r17, guide §3.2): both sides are
+    // interval-exploded streams — sort-merge external-sorts BOTH before
+    // probing, where a hash build of one side streams the other
+    // unsorted; the post-join filter and the per-key aggregation
+    // downstream never need the sort order back
+    l.join(r.hint("shuffle_hash"), Seq("__cell") ++ extraKeys)
       .where(col(leftStart) <= col(rightEnd) &&
         col(rightStart) <= col(leftEnd) &&
         col("__cell") === greatest(cell(leftStart), cell(rightStart)))
