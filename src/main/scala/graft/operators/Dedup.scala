@@ -449,14 +449,15 @@ object Dedup {
   def segmentDedup(docs: DataFrame, segs: Column, id: String = "doc_id",
       joinSep: String = " ", minDf: Int = 2): DataFrame = {
     require(minDf >= 2, s"segmentDedup needs minDf >= 2, got $minDf")
-    // lazy checkpoint (r17): segRows feeds the df count AND the
-    // anti-join probe side — sequential stages, so the first
-    // materializes the blocks and the second reads them, instead of
-    // re-running the explode+md5 per consumer
+    // EAGER checkpoint (r17): segRows feeds the df count AND the
+    // anti-join probe side — independent stages the scheduler runs
+    // concurrently, so the blocks must exist before either consumer
+    // (the block-lock rule, see dropWideBuckets) — and either way one
+    // compute replaces re-running the explode+md5 per consumer
     val segRows = docs
       .select(col(id), posexplode(segs).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val boiler = segRows.select("h", id).distinct()
       .groupBy("h").count()
       .where(col("count") >= minDf)
@@ -1206,14 +1207,16 @@ object Dedup {
     val dict0 = jaccardIndexDict(spark, indexPath, w,
       "jaccardJoinIncremental")
     val nightly = nightlyRegime(batchDocs, corpus)
+    // eager: shB feeds batchVocabStats' two crossJoin'd probe branches
+    // concurrently (r17 — the block-lock rule, see dropWideBuckets)
     val shB =
-      if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint(false)
+      if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint()
       else shingles(batchDocs, id, textCol, w)
     val stats = if (nightly) Some(batchVocabStats(shB)) else None
     val dict = stats.fold(dict0)(s => batchPrunedDict(shB, dict0, s._1))
     // lazy checkpoint: batch arrays feed the prefix explode AND verify
     val orderedB = dfOrderedArraysFrozen(shB, dict, id, stats.map(_._2))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val preB = prefixRows(orderedB, id, tn)
     val l = prefixRows(corpus, id, tn).unionByName(preB)
       .select(col("shingle"), col(id).as("id_l"), col("sz").as("sz_l"))
@@ -1272,14 +1275,16 @@ object Dedup {
     val dict0 = jaccardIndexDict(spark, indexPath, w,
       "containmentJoinIncremental")
     val nightly = nightlyRegime(batchDocs, corpus)
+    // eager: shB feeds batchVocabStats' two crossJoin'd probe branches
+    // concurrently (r17 — the block-lock rule, see dropWideBuckets)
     val shB =
-      if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint(false)
+      if (nightly) shingles(batchDocs, id, textCol, w).localCheckpoint()
       else shingles(batchDocs, id, textCol, w)
     val stats = if (nightly) Some(batchVocabStats(shB)) else None
     val dict = stats.fold(dict0)(s => batchPrunedDict(shB, dict0, s._1))
     // lazy checkpoint: batch arrays feed prefixes, postings AND verify
     val orderedB = dfOrderedArraysFrozen(shB, dict, id, stats.map(_._2))
-      .localCheckpoint(false)
+      .localCheckpoint()
     def pre(src: DataFrame) = prefixRows(src, id, tn)
       .select(col("shingle"), col(id).as("id_a"), col("sz").as("sz_a"))
     val corpusCols = orderedB.columns.map(col(_))
@@ -1306,7 +1311,7 @@ object Dedup {
     val dfB = containmentPostings(orderedB, id)
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .select(col("shingle").as("sid"), col("df"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // ONE guard job (r17): the four narrow single-row aggregates
     // (batch prefix-df sum, batch×batch collision volume, max batch
     // df, corpus prefix-length sum) ride a single crossJoin'd query
@@ -1396,7 +1401,12 @@ object Dedup {
     // wrote. Production note: this is exactly where a deployment
     // persists its band index instead (bandRows scaladoc) — the
     // checkpoint is the self-contained stand-in.
-    val cached = rows.localCheckpoint(false)
+    // EAGER (r17): cached feeds the over-cap aggregate AND the
+    // anti-join probe — independent stages the scheduler runs
+    // concurrently; a lazy checkpoint serializes the second stage's
+    // tasks on per-block cache locks (32x worse once the input is
+    // fanned out by [[Fan.out]])
+    val cached = rows.localCheckpoint()
     val ks = keyCols.map(col)
     val overCap = cached.groupBy(ks: _*)
       .agg(count(lit(1)).as("__bucket_n"))
@@ -1833,14 +1843,14 @@ object Dedup {
           col(idA).cast("long").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(false)
+      .localCheckpoint()
     // label(v) starts at min(v, min neighbor); propagation only lowers
     // it, and every label value is itself a vertex id (so the pointer
     // jump's join on label = vertex always finds its target)
     var labels = edges.groupBy(col("src").as("vertex"))
       .agg(min(col("dst")).as("mn"))
       .select(col("vertex"), least(col("vertex"), col("mn")).as("component"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     // per-round probe: the changed-label count is BOTH the convergence
     // test and the delta-frontier size `onRound` observes. Labels only
     // ever decrease and every vertex carries its previous label through
@@ -1898,7 +1908,7 @@ object Dedup {
       val agg = viaEdge.union(viaJump)
         .groupBy("vertex").agg(min("component").as("component"),
           max("__prev").as("__prev"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val next = agg.select(col("vertex"), col("component"))
       changed = agg.where(col("component") < col("__prev"))
         .select(col("vertex"), col("component"))
